@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared engine capability: a named deterministic query over the
+  * test tables plus (when SQL-expressible) its DuckDB oracle SQL. A `None`
+  * oracle means the driver records a weaker rows-only check and the
+  * operator is verified by ScalaTest instead (SURVEY.md §2B "Oracle"
+  * column).
+  *
+  * Determinism contract for every query (SURVEY.md §5, §7.5):
+  *   - ends in a total ORDER BY (key tie-breaks included);
+  *   - float aggregates rounded (the round is applied to the aggregate,
+  *     never per-row, so summation-order ulp noise cannot flip it);
+  *   - column names aliased identically in Spark and oracle SQL;
+  *   - events.ts (ns in parquet, µs in Spark) never emitted raw — only
+  *     via date_trunc/epoch-µs, with `CAST(ts AS TIMESTAMP)` oracle-side.
+  */
+final case class Q(
+    name: String,
+    doc: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Table access for the harness fixtures (TESTDATA.md): one parquet file
+  * per table under the scale-factor dir. At cluster scale the same names
+  * would resolve through the catalog / a partitioned directory tree; the
+  * reader API is identical. */
+object Tables {
+  import org.apache.spark.sql.functions._
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
+    * read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw ns
+    * (legacy nanosAsLong), integer-divide to µs (never float-divide:
+    * 2024 epoch-ns ≈ 1.7e18 > 2^53, doubles would corrupt it) and expose
+    * a naive (NTZ) µs timestamp — exactly what DuckDB's
+    * CAST(ts AS TIMESTAMP) yields, so oracle comparisons line up. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Epoch microseconds of a (possibly NTZ) timestamp column; NTZ is
+    * interpreted at the pinned-UTC session zone, matching DuckDB's
+    * epoch_us over naive timestamps. */
+  def epochUs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_micros(c.cast("timestamp"))
+}

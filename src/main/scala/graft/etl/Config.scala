@@ -1,0 +1,65 @@
+package graft.etl
+
+/** Config semantics of the reference's `AppConfig` (main.py:15-43),
+  * re-expressed for a file-based source. Kept warts (SURVEY.md §2C):
+  *   - `bacth_size` (sic, main.py:31) accepted as an alias of
+  *     `batch_size` — the reference silently ignored the correctly
+  *     spelled key; we accept both, correctly spelled wins;
+  *   - include/exclude both set → error (main.py:35-36);
+  *   - both date bounds inclusive (main.py:291,293).
+  */
+final case class ExportConfig(
+    inputDir: String,
+    outputDir: String,
+    compression: String = "zstd",
+    startDate: Option[String] = None,
+    endDate: Option[String] = None,
+    includeTables: Set[String] = Set.empty,
+    excludeTables: Set[String] = Set.empty,
+    batchSize: Int = 10000,
+    rowGroupSize: Int = 400000,
+    /** table name → optional date column (the reference's
+      * `date_collections` work list, main.py:38). */
+    dateColumns: Map[String, Option[String]] = Map.empty) {
+  require(
+    includeTables.isEmpty || excludeTables.isEmpty,
+    "Cannot specify both include_tables and exclude_tables")
+}
+
+object ExportConfig {
+
+  /** Build from a loosely-typed key/value map (as a parsed JSON object
+    * would yield). Mirrors AppConfig's key set with the documented
+    * renames (mongodb_host/port → input_dir; date_collections →
+    * date_columns). */
+  def fromMap(m: Map[String, Any]): ExportConfig = {
+    def str(k: String, d: => String): String =
+      m.get(k).map(_.toString).getOrElse(d)
+    def optStr(k: String): Option[String] = m.get(k).map(_.toString)
+    def int(k: String, d: Int): Int =
+      m.get(k).map(_.toString.toDouble.toInt).getOrElse(d)
+    def strSet(k: String): Set[String] = m.get(k) match {
+      case Some(xs: Seq[_]) => xs.map(_.toString).toSet
+      case _                => Set.empty
+    }
+    val dateCols: Map[String, Option[String]] = m.get("date_columns") match {
+      case Some(mm: Map[_, _]) =>
+        mm.map { case (k, v) => k.toString -> Option(v).map(_.toString).filter(_.nonEmpty) }
+      case _ => Map.empty
+    }
+    // Correctly spelled key wins; reference-compatible typo'd key accepted.
+    val batch = m.get("batch_size").orElse(m.get("bacth_size"))
+      .map(_.toString.toDouble.toInt).getOrElse(10000)
+    ExportConfig(
+      inputDir = str("input_dir", "."),
+      outputDir = str("output_dir", "./output"),
+      compression = str("compression", "zstd"),
+      startDate = optStr("start_date"),
+      endDate = optStr("end_date"),
+      includeTables = strSet("include_tables"),
+      excludeTables = strSet("exclude_tables"),
+      batchSize = batch,
+      rowGroupSize = int("row_group_size", 400000),
+      dateColumns = dateCols)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.etl
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity data-plane operators as declared queries: the
+  * date-range pushdown filter (reference main.py:288-293), the derived
+  * year/month/day partition columns (main.py:92-100), the `"unknown"`
+  * partition fallback (main.py:110) and plain projection/rename
+  * (main.py:107). The write side (A8/A12) is exercised by
+  * [[graft.etl.Export]] + its ScalaTest round-trip, since a sink is a
+  * side effect, not a DataFrame-returning query. */
+object EtlQueries {
+
+  def defs: Seq[Q] = Seq(
+    Q(
+      "etl_date_filter_derive",
+      "A5+A7: inclusive date-range filter pushed to the parquet scan, " +
+        "then derived year/month/day columns (reference main.py:92-100,288-293).",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        li.filter(col("l_shipdate").between(
+            lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            year(col("l_shipdate")).as("y"),
+            month(col("l_shipdate")).as("m"),
+            dayofmonth(col("l_shipdate")).as("d"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        CAST(year(l_shipdate) AS INT) AS y,
+        CAST(month(l_shipdate) AS INT) AS m,
+        CAST(day(l_shipdate) AS INT) AS d
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    Q(
+      "etl_partition_unknown",
+      "A8: partition-value derivation with the reference's string " +
+        "'unknown' fallback for missing dates (main.py:110); nulls are " +
+        "synthesized (year >= 2000) since fixtures have none.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        val y = year(col("l_shipdate"))
+        li.withColumn("part_year",
+            coalesce(when(y >= 2000, lit(null)).otherwise(y).cast("string"), lit("unknown")))
+          .groupBy("part_year").agg(count(lit(1)).as("n"))
+          .orderBy("part_year")
+      },
+      Some("""SELECT coalesce(CAST(CASE WHEN year(l_shipdate) >= 2000 THEN NULL
+          ELSE CAST(year(l_shipdate) AS INT) END AS VARCHAR), 'unknown') AS part_year,
+        count(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY part_year""")),
+
+    Q(
+      "etl_projection_rename",
+      "A6: column select / drop / rename (reference drops `_id`, main.py:107).",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        c.drop("c_acctbal")
+          .withColumnRenamed("c_name", "name")
+          .select(col("c_custkey").as("id"), col("name"), col("c_mktsegment").as("segment"))
+          .orderBy("id")
+      },
+      Some("""SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+        FROM customer ORDER BY id"""))
+  )
+}

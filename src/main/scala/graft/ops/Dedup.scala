@@ -1,0 +1,224 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.expr.{HammingDistance, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Deduplication operators for the LLM-data-pipeline mandate
+  * (BASELINE.json north star): exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup. Every variant is shuffle-based
+  * (explode → hash-join on shingle/bucket keys), never an all-pairs
+  * cross join, so the same plan holds at 100 TB: candidate generation is
+  * O(rows × shingles) with joins only inside buckets. */
+object Dedup {
+
+  /** Bigram shingles of the whitespace-tokenized text, distinct. Guarded
+    * for <2 tokens (sequence(1,0) would count down). */
+  private def bigramShingles(text: Column): Column = {
+    val words = split(text, " ")
+    when(size(words) < 2, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))))
+  }
+
+  /** One literal mask per bit position (shift-by-column isn't a thing in
+    * functions._, masks are). */
+  private def bitMasks = typedlit((0 until 64).map(b => 1L << b))
+
+  /** 64-bit SimHash of the token multiset: per bit, sign of the sum of
+    * ±1 votes from each token's xxhash64. Pure HOF fold — stays in
+    * codegen, no UDF. */
+  private def simhash64(words: Column): Column = {
+    val votes = aggregate(
+      words,
+      array_repeat(lit(0L), 64),
+      (acc, w) => zip_with(
+        acc,
+        transform(bitMasks, m =>
+          when(xxhash64(w).bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(votes, bitMasks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  def defs: Seq[Q] = Seq(
+
+    Q(
+      "dedup_exact_key",
+      "Exact dedup by key with a deterministic survivor (min doc_id via " +
+        "row_number — dropDuplicates keeps an arbitrary row, so the " +
+        "window form is the reproducible one).",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+        d.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("lang", "source", "doc_id", "n_chars")
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, doc_id, n_chars FROM (
+          SELECT lang, source, doc_id, n_chars,
+            row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1 ORDER BY lang, source""")),
+
+    Q(
+      "dedup_exact_distinct",
+      "Exact dedup of a projection (hash-groupBy distinct).",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .select("lang", "source").distinct()
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""")),
+
+    Q(
+      "dedup_ngram_jaccard",
+      "Near-dup detection by bigram-shingle Jaccard, top-50 pairs. " +
+        "Scalable shape: explode shingles → self-equi-join on shingle → " +
+        "count intersections → sizes join (|A∪B| = |A|+|B|−|A∩B|). " +
+        "Jaccard is a single division of identical integers in both " +
+        "engines, so ordering on it is exact.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), bigramShingles(col("text")).as("shingles"))
+        val sizes = d.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+        val ex = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        val pairs = ex.as("a").join(ex.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "na"), "d1")
+          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "nb"), "d2")
+          .select(col("d1"), col("d2"), col("inter"),
+            (col("na") + col("nb") - col("inter")).as("un"),
+            (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+          .limit(50)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 200),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words)),
+            i -> words[CAST(i AS INT)] || ' ' || words[CAST(i + 1 AS INT)])) AS shingles FROM w),
+        sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+        e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT d1, d2, inter, sa.n + sb.n - inter AS un,
+          CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = d1
+        JOIN sizes sb ON sb.doc_id = d2
+        ORDER BY jaccard DESC, d1, d2 LIMIT 50""")),
+
+    Q(
+      "dedup_minhash_lsh",
+      "MinHash (32 perms) + LSH banding (8 bands × 4 rows): shingle → " +
+        "per-permutation min of an affine-transformed xxhash64 → band " +
+        "buckets → candidate pairs via bucket equi-join → verified " +
+        "Jaccard. Hash-function specific → no SQL oracle (rows-only + " +
+        "ScalaCheck property: Jaccard-similar pairs collide).",
+      (s, dir) => minhashLsh(Tables.t(s, dir, "documents").filter(col("doc_id") < 200)),
+      None),
+
+    Q(
+      "dedup_simhash",
+      "SimHash near-dup: 64-bit fingerprint per doc (HOF bit votes over " +
+        "xxhash64), candidates via 4×16-bit band buckets, verified with " +
+        "the native codegen'd hamming_distance expression. Rows-only " +
+        "check (hash-specific); ScalaTest covers the semantics.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sig"))
+        // 16-bit band buckets: key = sig & bandMask (no down-shift needed —
+        // the masked value is just as good a bucket key)
+        val bandMasks = typedlit(Seq(0xFFFFL, 0xFFFF0000L, 0xFFFF00000000L, 0xFFFF000000000000L))
+        val banded = d.select(col("doc_id"), col("sig"),
+            explode(transform(sequence(lit(0), lit(3)),
+              k => struct(k.as("band"),
+                col("sig").bitwiseAND(element_at(bandMasks, k + 1)).as("key")))).as("bk"))
+          .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            HammingDistance.hamming(col("a.sig"), col("b.sig")).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 16)
+          .orderBy(col("hamming"), col("d1"), col("d2"))
+      },
+      None),
+
+    Q(
+      "dedup_embedding_cosine",
+      "Embedding-cosine near-dup pairs (threshold 0.4). Double-precision " +
+        "sequential-fold dot products are bit-identical to the oracle's " +
+        "list_reduce, so the threshold cut is exact. All-pairs here " +
+        "(N=500 fixture); the scale path is LSH/IVF bucketing first " +
+        "(see sim_ann_ivf).",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        // precompute each side's norm once (O(N)) so the pair loop does a
+        // single dot product (O(N²) pairs × 1 fold, not 3)
+        val a = e.select(col("vec_id").as("v1"), col("embedding").as("ea"),
+          sqrt(VectorOps.normSq(col("embedding"))).as("na"))
+        val b = e.select(col("vec_id").as("v2"), col("embedding").as("eb"),
+          sqrt(VectorOps.normSq(col("embedding"))).as("nb"))
+        a.join(b, col("v1") < col("v2"))
+          .withColumn("cos", VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .filter(col("cos") >= 0.4)
+          .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos_sim"))
+          .orderBy("v1", "v2")
+      },
+      Some(s"""WITH p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+          ${VectorOps.duckCosine("a.embedding", "b.embedding")} AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        SELECT v1, v2, round(cos, 6) AS cos_sim FROM p
+        WHERE cos >= 0.4 ORDER BY v1, v2"""))
+  )
+
+  /** MinHash-LSH candidate generation + verification, reusable from the
+    * spec. 32 permutations h_i(t) = (a_i·h32(t) + b_i) mod p, 8 bands of
+    * 4 rows. The token hash is first reduced to 32 bits and multipliers
+    * stay < 2^20 so a_i·h32 + b_i < 2^53 — no long overflow under
+    * Spark 4's default ANSI arithmetic. */
+  def minhashLsh(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val p = 4294967291L // largest prime < 2^32
+    val rng = new scala.util.Random(42)
+    val as = typedlit(Seq.fill(k)((rng.nextInt(1 << 20).toLong << 1) | 1L))
+    val bs = typedlit(Seq.fill(k)(rng.nextLong().abs % p))
+    val words = array_distinct(split(col("text"), " "))
+    val sig = transform(sequence(lit(1), lit(k)), i =>
+      array_min(transform(words, t =>
+        pmod(element_at(as, i) * pmod(xxhash64(t), lit(p)) + element_at(bs, i), lit(p)))))
+    val d = docs.select(col("doc_id"), words.as("tokens"), sig.as("sig"))
+    val banded = d.select(col("doc_id"), col("tokens"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          bn => struct(bn.as("band"),
+            xxhash64(concat_ws(",",
+              transform(slice(col("sig"), bn * rowsPerBand + 1, lit(rowsPerBand)),
+                x => x.cast("string"))), bn).as("bucket")))).as("bk"))
+      .select(col("doc_id"), col("tokens"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.tokens").as("ta"), col("b.tokens").as("tb"))
+      .distinct()
+    cand
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+  }
+}

@@ -1,0 +1,518 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational batch operators (SURVEY.md §2B: aggregations, joins,
+  * windows, sorts/limits, set ops). All stock DataFrame API — Catalyst
+  * picks broadcast-hash for the small dimensions and sort-merge/shuffled
+  * hash for fact-fact joins; AQE re-plans at runtime. Scale notes are on
+  * each query. */
+object Relational {
+
+  def defs: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------- aggregations
+    Q(
+      "agg_q1",
+      "TPC-H Q1 shape: two-phase hash aggregation (partial map-side, " +
+        "final after a 2-key shuffle). l_quantity is integral so its sum " +
+        "is exact; price sums are rounded post-aggregate so summation " +
+        "order can't flip the value. Scales: shuffle carries only " +
+        "6 groups × partial buffers, never rows.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        round(avg(l_quantity), 4) AS avg_qty,
+        round(avg(l_extendedprice), 4) AS avg_price,
+        round(avg(l_discount), 4) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    Q(
+      "agg_count_distinct",
+      "Exact distinct counts per group (expands to a two-level " +
+        "aggregation; at scale prefer approx_count_distinct — declared " +
+        "separately without an oracle since HLL is approximate).",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        li.groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            countDistinct(col("l_partkey")).as("n_parts"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        count(DISTINCT l_orderkey) AS n_orders,
+        count(DISTINCT l_partkey) AS n_parts,
+        count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q(
+      "agg_filtered",
+      "Filtered/conditional aggregation (FILTER (WHERE ...) ≡ " +
+        "count/sum(when(...))); stays in whole-stage codegen.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.groupBy("o_orderpriority")
+          .agg(
+            count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+            round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("sum_f"),
+            round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 4).as("avg_o"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        round(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS sum_f,
+        round(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS avg_o
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    Q(
+      "agg_rollup",
+      "ROLLUP grouping-set aggregation with grouping() flags; Spark " +
+        "expands to a single Expand + hash aggregate (one shuffle).",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        li.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum("l_quantity").as("sum_qty"),
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"))
+          .orderBy(col("g_rf"), col("g_ls"),
+            col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_rf, CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    Q(
+      "agg_cube",
+      "CUBE over two order dimensions with a rounded sum.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("sum_price"),
+            grouping(col("o_orderstatus")).cast("int").as("g_st"),
+            grouping(col("o_orderpriority")).cast("int").as("g_pr"))
+          .orderBy(col("g_st"), col("g_pr"),
+            col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        round(sum(o_totalprice), 2) AS sum_price,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_st, CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    Q(
+      "agg_collect",
+      "collect_list / collect_set made deterministic by sorting the " +
+        "arrays. Bounded input (filter) — unbounded collect on a hot key " +
+        "is an anti-pattern at scale, hence the guard.",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        c.filter(col("c_custkey") < 200)
+          .groupBy("c_mktsegment")
+          .agg(
+            array_sort(collect_list(col("c_custkey"))).as("custkeys"),
+            array_sort(collect_set(col("c_nationkey"))).as("nations"),
+            count(lit(1)).as("n"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+        list_sort(list(c_custkey)) AS custkeys,
+        list_sort(list(DISTINCT c_nationkey)) AS nations,
+        count(*) AS n
+        FROM customer WHERE c_custkey < 200
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ----------------------------------------------------------------- joins
+    Q(
+      "join_inner_chain",
+      "customer⋈nation⋈region dimension chain — both dims broadcast " +
+        "(no shuffle of the fact side at any scale).",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val n = broadcast(Tables.t(s, dir, "nation"))
+        val r = broadcast(Tables.t(s, dir, "region"))
+        c.join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_bal"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    Q(
+      "join_left_outer",
+      "Left outer join preserving customers with zero orders; " +
+        "count(col) skips the nulls the outer side introduces.",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+        round(sum(o_totalprice), 2) AS sum_price
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    Q(
+      "join_semi",
+      "Left semi join (EXISTS): customers having at least one big order. " +
+        "Semi joins ship only the join key of the right side.",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val big = Tables.t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey""")),
+
+    Q(
+      "join_anti",
+      "Left anti join (NOT EXISTS): customers with no big order.",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val big = Tables.t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey""")),
+
+    Q(
+      "join_full_outer",
+      "Full outer join over partially overlapping key ranges, nulls on " +
+        "both sides; total order via nulls-first keys.",
+      (s, dir) => {
+        val left = Tables.t(s, dir, "customer")
+          .filter(col("c_custkey") < 1000)
+          .select(col("c_custkey").as("k"), col("c_name"))
+        val right = Tables.t(s, dir, "orders")
+          .filter(col("o_custkey") >= 500)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+          .select(col("o_custkey").as("k2"), col("n_orders"))
+        left.join(right, col("k") === col("k2"), "full")
+          .orderBy(col("k").asc_nulls_first, col("k2").asc_nulls_first)
+      },
+      Some("""SELECT l.k, l.c_name, r.k2, r.n_orders
+        FROM (SELECT c_custkey AS k, c_name FROM customer WHERE c_custkey < 1000) l
+        FULL JOIN (SELECT o_custkey AS k2, count(*) AS n_orders
+                   FROM orders WHERE o_custkey >= 500 GROUP BY 1) r
+          ON l.k = r.k2
+        ORDER BY l.k NULLS FIRST, r.k2 NULLS FIRST""")),
+
+    Q(
+      "join_cross",
+      "Cross join bounded to tiny inputs (5 regions × order statuses).",
+      (s, dir) => {
+        val r = Tables.t(s, dir, "region")
+        val st = Tables.t(s, dir, "orders").select("o_orderstatus").distinct()
+        r.crossJoin(st)
+          .select("r_name", "o_orderstatus")
+          .orderBy("r_name", "o_orderstatus")
+      },
+      Some("""SELECT r_name, o_orderstatus
+        FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        ORDER BY r_name, o_orderstatus""")),
+
+    Q(
+      "join_theta",
+      "Theta self-join: nation pairs within a region (equi conjunct " +
+        "keeps it a hash join; the < is a post-join filter).",
+      (s, dir) => {
+        val n = Tables.t(s, dir, "nation")
+        val n1 = n.select(col("n_nationkey").as("k1"), col("n_name").as("name1"), col("n_regionkey").as("rk"))
+        val n2 = n.select(col("n_nationkey").as("k2"), col("n_name").as("name2"), col("n_regionkey").as("rk2"))
+        n1.join(n2, col("rk") === col("rk2") && col("k1") < col("k2"))
+          .select("rk", "k1", "name1", "k2", "name2")
+          .orderBy("rk", "k1", "k2")
+      },
+      Some("""SELECT a.n_regionkey AS rk, a.n_nationkey AS k1, a.n_name AS name1,
+        b.n_nationkey AS k2, b.n_name AS name2
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        ORDER BY rk, k1, k2""")),
+
+    Q(
+      "join_range_band",
+      "Pure non-equi band join (broadcast nested loop over the small " +
+        "side): parts whose retail price falls in a band around each " +
+        "supplier's balance. At 100 TB a band join is pre-bucketed on " +
+        "floor(value/width) to regain an equi key; here the inputs are " +
+        "dimension-sized so BNLJ is the right plan.",
+      (s, dir) => {
+        val su = broadcast(Tables.t(s, dir, "supplier"))
+        val p = Tables.t(s, dir, "part")
+        p.join(su, col("p_retailprice").between(col("s_acctbal") - 500, col("s_acctbal") + 500))
+          .groupBy("s_suppkey")
+          .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("min_part"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_parts, min(p_partkey) AS min_part
+        FROM part JOIN supplier
+          ON p_retailprice BETWEEN s_acctbal - 500 AND s_acctbal + 500
+        GROUP BY s_suppkey ORDER BY s_suppkey""")),
+
+    Q(
+      "join_asof",
+      "As-of join: for each event, the most recent purchase ts (≤ its " +
+        "own ts) of the same user. Implemented as a single-pass window " +
+        "(last ignoreNulls over unbounded-preceding) — one shuffle on " +
+        "user_id, no self-join blowup; DuckDB's native ASOF JOIN is the " +
+        "oracle. Emitted as epoch-µs (events.ts is ns in parquet).",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("p_ts",
+            last(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true).over(w))
+          .select(col("event_id"), Tables.epochUs(col("p_ts")).as("asof_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, epoch_us(CAST(p.ts AS TIMESTAMP)) AS asof_us
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+        ORDER BY e.event_id""")),
+
+    // --------------------------------------------------------------- windows
+    Q(
+      "window_rank",
+      "Ranking window functions: top-3 orders per customer by price " +
+        "(row_number with key tie-break) plus a dense_rank on status.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val byPrice = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val byStatus = Window.partitionBy("o_custkey").orderBy(col("o_orderstatus"))
+        o.withColumn("rn", row_number().over(byPrice).cast("int"))
+          .withColumn("drk", dense_rank().over(byStatus).cast("int"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "drk")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn, drk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+            CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS INT) AS drk
+          FROM orders)
+        WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    Q(
+      "window_lag_lead",
+      "Analytic lag/lead/first over per-user event streams; deltas in " +
+        "epoch-µs (exact integers, immune to ts precision skew).",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        e.select(
+            col("event_id"), col("user_id"),
+            (Tables.epochUs(col("ts")) - Tables.epochUs(lag(col("ts"), 1).over(w))).as("delta_us"),
+            lead(col("event_type"), 1).over(w).as("next_type"),
+            first(col("event_type")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_type"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS eus FROM events)
+        SELECT event_id, user_id,
+          eus - lag(eus) OVER w AS delta_us,
+          lead(event_type) OVER w AS next_type,
+          first_value(event_type) OVER (PARTITION BY user_id ORDER BY eus, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id)
+        ORDER BY event_id""")),
+
+    Q(
+      "window_frames",
+      "Frame specs: running sum (unbounded preceding) and sliding " +
+        "3-row average per customer; rounded post-window so segment-tree " +
+        "vs sequential accumulation order can't flip values.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        o.select(
+            col("o_custkey"), col("o_orderkey"),
+            round(sum("o_totalprice").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_sum"),
+            round(avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).as("sliding_avg"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+        round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    Q(
+      "window_ntile",
+      "ntile quartiles over a global ordering. NOTE: an unpartitioned " +
+        "window forces all rows through one task — acceptable for a " +
+        "dimension table; at fact scale ntile is computed per partition " +
+        "key or via approx quantiles.",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        c.select(
+            col("c_custkey"),
+            ntile(4).over(Window.orderBy(col("c_acctbal").desc, col("c_custkey"))).cast("int").as("quartile"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+        CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+        FROM customer ORDER BY c_custkey""")),
+
+    // --------------------------------------------------------- sorts / top-k
+    Q(
+      "sort_topk",
+      "Global top-k: planned as TakeOrderedAndProject (per-partition " +
+        "heap + driver merge of k rows — no global sort at any scale).",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(15)
+          .select("o_orderkey", "o_totalprice", "o_orderdate")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""")),
+
+    Q(
+      "sort_global",
+      "Global range-partitioned sort (sampled range exchange) over a " +
+        "filtered projection.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "P")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderstatus = 'P'
+        ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""")),
+
+    // ---------------------------------------------------------------- set ops
+    Q(
+      "set_union",
+      "UNION (distinct) of two customer key sets.",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .union(c.filter(col("c_acctbal") > 7000).select("c_custkey"))
+          .distinct()
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+        ORDER BY c_custkey""")),
+
+    Q(
+      "set_union_all",
+      "UNION ALL keeping duplicates (unionByName; no shuffle at all).",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey", "c_nationkey")
+          .unionByName(c.filter(col("c_acctbal") > 7000).select("c_custkey", "c_nationkey"))
+          .orderBy("c_custkey", "c_nationkey")
+      },
+      Some("""SELECT * FROM (
+          SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          UNION ALL SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 7000)
+        ORDER BY c_custkey, c_nationkey""")),
+
+    Q(
+      "set_intersect",
+      "INTERSECT (distinct) of the same two key sets.",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .intersect(c.filter(col("c_acctbal") > 7000).select("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+        ORDER BY c_custkey""")),
+
+    Q(
+      "set_except",
+      "EXCEPT (distinct).",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .except(c.filter(col("c_acctbal") > 7000).select("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+        ORDER BY c_custkey""")),
+
+    Q(
+      "set_except_all",
+      "EXCEPT ALL — multiset difference with duplicate counting.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .exceptAll(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY o_custkey""")),
+
+    Q(
+      "set_intersect_all",
+      "INTERSECT ALL — multiset intersection.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .intersectAll(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY o_custkey"""))
+  )
+}

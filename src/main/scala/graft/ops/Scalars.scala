@@ -1,0 +1,211 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Scalar expression families (SURVEY.md §2B): string, date/time, math,
+  * conditional, array + higher-order functions, JSON, and the generator
+  * (explode) surface. All built-in `functions._` — every expression stays
+  * inside whole-stage codegen; no UDFs anywhere. */
+object Scalars {
+
+  def defs: Seq[Q] = Seq(
+
+    Q(
+      "scalar_string",
+      "String family: case, substring, length, concat_ws, split/element " +
+        "access, regexp_replace, regexp_extract.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            upper(col("lang")).as("lang_u"),
+            substring(col("text"), 1, 12).as("prefix"),
+            length(col("text")).as("len"),
+            concat_ws("-", col("lang"), col("source")).as("tag"),
+            element_at(split(col("text"), " "), 1).as("first_tok"),
+            regexp_replace(col("source"), "src", "S").as("src_s"),
+            regexp_extract(col("text"), "(ta[a-z]+)", 1).as("first_ta"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, upper(lang) AS lang_u,
+        substring(text, 1, 12) AS prefix,
+        CAST(length(text) AS INT) AS len,
+        concat_ws('-', lang, source) AS tag,
+        string_split(text, ' ')[1] AS first_tok,
+        regexp_replace(source, 'src', 'S') AS src_s,
+        coalesce(regexp_extract(text, '(ta[a-z]+)', 1), '') AS first_ta
+        FROM documents ORDER BY doc_id""")),
+
+    Q(
+      "scalar_datetime",
+      "Date/time family: extract parts, truncation, date arithmetic, " +
+        "epoch conversion. dayofweek aligned (Spark is 1=Sunday, DuckDB " +
+        "0=Sunday). All UTC both engines.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            quarter(col("o_orderdate")).as("q"),
+            month(col("o_orderdate")).as("mo"),
+            dayofweek(col("o_orderdate")).as("dow"),
+            date_trunc("month", col("o_orderdate")).as("mon_start"),
+            to_date(col("o_orderdate")).as("d"),
+            date_add(to_date(col("o_orderdate")), 30).as("d30"),
+            datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
+            Tables.epochUs(col("o_orderdate")).as("eus"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INT) AS y,
+        CAST(quarter(o_orderdate) AS INT) AS q,
+        CAST(month(o_orderdate) AS INT) AS mo,
+        CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        date_trunc('month', o_orderdate) AS mon_start,
+        CAST(o_orderdate AS DATE) AS d,
+        CAST(o_orderdate AS DATE) + 30 AS d30,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        epoch_us(o_orderdate) AS eus
+        FROM orders ORDER BY o_orderkey""")),
+
+    Q(
+      "scalar_math",
+      "Math family: abs, floor/ceil, sqrt (IEEE-exact), modulo, exact " +
+        "integer arithmetic, greatest/least, ln rounded to 6 (applied to " +
+        "the final value, so last-ulp libm skew cannot flip it).",
+      (s, dir) => {
+        val p = Tables.t(s, dir, "part")
+        p.select(
+            col("p_partkey"),
+            abs(col("p_size") - 25).as("size_dev"),
+            floor(col("p_retailprice")).as("floor_p"),
+            ceil(col("p_retailprice")).as("ceil_p"),
+            sqrt(col("p_retailprice")).as("sqrt_p"),
+            pmod(col("p_size"), lit(7)).as("size_mod"),
+            (col("p_size").cast("long") * col("p_size")).as("size_sq"),
+            greatest(col("p_size"), lit(10)).as("size_min10"),
+            round(log(col("p_retailprice")), 6).as("ln_p"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+        abs(p_size - 25) AS size_dev,
+        CAST(floor(p_retailprice) AS BIGINT) AS floor_p,
+        CAST(ceil(p_retailprice) AS BIGINT) AS ceil_p,
+        sqrt(p_retailprice) AS sqrt_p,
+        p_size % 7 AS size_mod,
+        CAST(p_size AS BIGINT) * p_size AS size_sq,
+        greatest(p_size, 10) AS size_min10,
+        round(ln(p_retailprice), 6) AS ln_p
+        FROM part ORDER BY p_partkey""")),
+
+    Q(
+      "scalar_case",
+      "Conditional projection: CASE WHEN ladder + null-producing branch.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.select(
+            col("o_orderkey"),
+            when(col("o_orderpriority").startsWith("1") || col("o_orderpriority").startsWith("2"), "high")
+              .when(col("o_orderpriority").startsWith("3"), "mid")
+              .otherwise("low").as("prio_class"),
+            when(col("o_orderstatus") === "F", col("o_totalprice")).as("f_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%' THEN 'high'
+             WHEN o_orderpriority LIKE '3%' THEN 'mid'
+             ELSE 'low' END AS prio_class,
+        CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS f_price
+        FROM orders ORDER BY o_orderkey""")),
+
+    Q(
+      "scalar_predicates",
+      "Compound predicates: IN-list, IS NULL-safe logic, LIKE, rlike; " +
+        "all pushed into the parquet scan where the source supports it.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.filter(
+            col("o_orderstatus").isin("F", "P") &&
+            col("o_orderpriority").like("%URGENT%") === false &&
+            col("o_orderpriority").rlike("^[1-3]-") &&
+            col("o_totalprice").isNotNull)
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        WHERE o_orderstatus IN ('F', 'P')
+          AND NOT (o_orderpriority LIKE '%URGENT%')
+          AND regexp_matches(o_orderpriority, '^[1-3]-')
+          AND o_totalprice IS NOT NULL
+        ORDER BY o_orderkey""")),
+
+    Q(
+      "scalar_array_hof",
+      "Array family + higher-order functions: size, distinct-size, " +
+        "slice, transform, aggregate (fold), contains, sorted distinct.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val words = split(col("text"), " ")
+        d.select(
+            col("doc_id"),
+            size(words).as("n_words"),
+            size(array_distinct(words)).as("n_uniq"),
+            slice(words, 1, 3).as("first3"),
+            transform(slice(words, 1, 3), w => upper(w)).as("first3_u"),
+            aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("total_chars"),
+            array_contains(words, "spark").as("has_spark"),
+            sort_array(array_distinct(words)).as("vocab"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        SELECT doc_id,
+          CAST(len(words) AS INT) AS n_words,
+          CAST(len(list_distinct(words)) AS INT) AS n_uniq,
+          words[1:3] AS first3,
+          list_transform(words[1:3], w -> upper(w)) AS first3_u,
+          list_reduce(list_transform(words, w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b) AS total_chars,
+          list_contains(words, 'spark') AS has_spark,
+          list_sort(list_distinct(words)) AS vocab
+        FROM d ORDER BY doc_id""")),
+
+    Q(
+      "scalar_json",
+      "JSON family over events.props: get_json_object path extraction, " +
+        "schema-applied from_json, missing-path null.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        e.select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").as("k_str"),
+            get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+            from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+              .getField("k").as("k_typed"),
+            get_json_object(col("props"), "$.missing").as("missing"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        json_extract_string(props, '$.k') AS k_str,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+        json_extract_string(props, '$.missing') AS missing
+        FROM events ORDER BY event_id""")),
+
+    Q(
+      "explode_tokens",
+      "Generator surface: posexplode of a split column (the UDTF shape).",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        d.filter(col("doc_id") < 50)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos").cast("int").as("pos"), col("col").as("token"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 50)
+        SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, words[CAST(g.i AS INT)] AS token
+        FROM d, generate_series(1, len(words)) AS g(i)
+        ORDER BY doc_id, pos"""))
+  )
+}

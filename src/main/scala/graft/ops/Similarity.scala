@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.expr.{VectorMean, VectorOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture (64-dim float
+  * vectors): brute-force cosine top-k as the exact baseline, kNN join
+  * per group, a centroid aggregate, and an IVF-bucketed approximate
+  * variant as the 100 TB path (probe a subset of partitions instead of
+  * scanning all vectors). */
+object Similarity {
+
+  def defs: Seq[Q] = Seq(
+
+    Q(
+      "sim_topk_cosine",
+      "Brute-force cosine top-k against a query vector (vec_id 0): " +
+        "broadcast the 1-row query side, HOF double-precision dot per " +
+        "row, TakeOrderedAndProject for the top 10. Ordering is on the " +
+        "raw cosine, which is bit-identical to the oracle's (same fold).",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cos", VectorOps.cosine(col("embedding"), col("qe")))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        sc AS (SELECT vec_id, ${VectorOps.duckCosine("embedding", "qe")} AS cos
+          FROM embeddings, q WHERE vec_id != 0)
+        SELECT vec_id, round(cos, 6) AS cos_sim FROM sc
+        ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    Q(
+      "sim_knn_per_label",
+      "kNN join per group: top-3 same-label neighbors for each of 5 " +
+        "query vectors — broadcast queries, label equi-join prunes the " +
+        "candidate space (the blocked-join shape; at scale the block key " +
+        "comes from LSH/IVF instead of a given label).",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("embedding").as("qe"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        e.join(broadcast(qs), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+          .withColumn("cos", VectorOps.cosine(col("embedding"), col("qe")))
+          .withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk"), col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH qs AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+          FROM embeddings WHERE vec_id < 5),
+        sc AS (SELECT qid, vec_id, ${VectorOps.duckCosine("embedding", "qe")} AS cos
+          FROM embeddings JOIN qs ON label = qlabel AND vec_id != qid),
+        rk AS (SELECT qid, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rk
+          FROM sc)
+        SELECT qid, rk, vec_id, round(cos, 6) AS cos_sim FROM rk
+        WHERE rk <= 3 ORDER BY qid, rk""")),
+
+    Q(
+      "sim_vector_mean",
+      "Per-label centroid via the custom typed Aggregator (double " +
+        "accumulator, map-side partial aggregation); flattened to " +
+        "(label, dim, mean) rows and rounded post-aggregate.",
+      (s, dir) => {
+        val vm = udaf(VectorMean)
+        val e = Tables.t(s, dir, "embeddings")
+        e.groupBy("label")
+          .agg(vm(col("embedding")).as("mean_vec"))
+          .select(col("label"), posexplode(col("mean_vec")))
+          .select(col("label"), col("pos").cast("int").as("dim"), round(col("col"), 4).as("mean_val"))
+          .orderBy("label", "dim")
+      },
+      Some("""WITH x AS (SELECT label, CAST(i AS INT) - 1 AS dim,
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) r(i))
+        SELECT label, dim, round(avg(v), 4) AS mean_val FROM x
+        GROUP BY label, dim ORDER BY label, dim""")),
+
+    Q(
+      "sim_ann_ivf",
+      "IVF-style approximate nearest neighbor: vectors 0..7 seed the " +
+        "centroid list; every vector is assigned to its nearest centroid " +
+        "(broadcast join + argmin window); the query probes its 2 " +
+        "closest centroids and ranks only those buckets — at 100 TB this " +
+        "reads a fraction of the corpus instead of all of it. " +
+        "Approximate → no SQL oracle; ScalaTest checks recall vs " +
+        "sim_topk_cosine.",
+      (s, dir) => annIvf(s, dir, queryVecId = 0, nProbe = 2, topK = 10),
+      None)
+  )
+
+  /** IVF assignment + probe. Centroids = embeddings of vec_id < nCentroids
+    * (deterministic seeds; a real build would k-means iterate — the
+    * assignment/probe dataflow is identical). */
+  def annIvf(s: org.apache.spark.sql.SparkSession, dir: String,
+      queryVecId: Long, nProbe: Int, topK: Int, nCentroids: Int = 8): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // assign every vector to its nearest centroid (broadcast nCentroids rows)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cdist", VectorOps.cosine(col("embedding"), col("ce")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    // probe the nProbe centroids closest to the query
+    val q = e.filter(col("vec_id") === queryVecId).select(col("embedding").as("qe"))
+    val probes = cents.crossJoin(broadcast(q))
+      .withColumn("qdist", VectorOps.cosine(col("ce"), col("qe")))
+      .orderBy(col("qdist").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("cid"))
+    assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("qe")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+}

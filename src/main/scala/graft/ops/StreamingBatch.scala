@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalent forms of the streaming operators (SURVEY.md §2B
+  * "Streaming"): `window()` is the same function in batch and Structured
+  * Streaming, so the oracle checks the exact semantics the stream would
+  * compute; watermarks / state / sinks are stream-only and live in
+  * [[graft.streaming.StreamOps]] + its MemoryStream ScalaTests. */
+object StreamingBatch {
+
+  def defs: Seq[Q] = Seq(
+
+    Q(
+      "stream_tumbling_window",
+      "Tumbling 1h event-time window per event type (epoch-aligned, " +
+        "identical grid to date_trunc for whole-hour widths).",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"))
+          .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_val"))
+          .orderBy("w_start", "event_type")
+      },
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        count(*) AS n, round(sum(value), 2) AS sum_val
+        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    Q(
+      "stream_sliding_window",
+      "Sliding window (1h width, 15min slide): each event lands in 4 " +
+        "windows; oracle reconstructs the epoch-aligned window grid.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        e.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("w_start"), col("n"))
+          .orderBy("w_start")
+      },
+      Some("""SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+          - k.k * INTERVAL '15 minutes' AS w_start, count(*) AS n
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+        GROUP BY 1 ORDER BY w_start""")),
+
+    Q(
+      "stream_session_gap",
+      "Session windows via gap-and-island (lag + cumulative flag): " +
+        "10-minute inactivity gap per user. This composition is also " +
+        "exactly what session_window computes in the streaming form " +
+        "(verified against it in ScalaTest). One shuffle on user_id.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("eus", Tables.epochUs(col("ts")))
+          .withColumn("prev_eus", lag(col("eus"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_eus").isNull || col("eus") - col("prev_eus") > 600L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum("new_sess").over(cum))
+          .groupBy("user_id", "sess_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min("eus").as("start_us"),
+            max("eus").as("end_us"),
+            round(sum("value"), 2).as("sum_val"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS eus FROM events),
+        g AS (SELECT *, CASE WHEN lag(eus) OVER w IS NULL
+              OR eus - lag(eus) OVER w > 600000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id)),
+        s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY eus, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+          FROM g)
+        SELECT user_id, sess_id, count(*) AS n_events,
+          min(eus) AS start_us, max(eus) AS end_us, round(sum(value), 2) AS sum_val
+        FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id"""))
+  )
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Text-analysis operators (LLM-pipeline mandate): token statistics,
+  * n-grams, TF-IDF, language-ID features, quality scoring, and document
+  * fingerprinting. All explode/groupBy/HOF compositions — the token
+  * streams shuffle on the token key, which is exactly the shape that
+  * scales (no per-doc driver loops, no collect). */
+object Text {
+
+  def defs: Seq[Q] = Seq(
+
+    Q(
+      "text_token_counts",
+      "Corpus token frequencies, top 30 (count desc, token tie-break).",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(30)
+      },
+      Some("""SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 30""")),
+
+    Q(
+      "text_ngram_counts",
+      "Bigram frequencies, top 20; n-grams built with a HOF over the " +
+        "token sequence (guarded for 1-token docs).",
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        val bigrams = when(size(words) < 2, array().cast(ArrayType(StringType)))
+          .otherwise(transform(
+            sequence(lit(1), size(words) - 1),
+            i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+        Tables.t(s, dir, "documents")
+          .select(explode(bigrams).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""SELECT bigram, count(*) AS n FROM (
+          SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+            i -> string_split(text, ' ')[CAST(i AS INT)] || ' ' ||
+                 string_split(text, ' ')[CAST(i + 1 AS INT)])) AS bigram
+          FROM documents)
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")),
+
+    Q(
+      "text_tfidf",
+      "TF-IDF with a pinned formula (idf = ln((N+1)/(df+1))), top 100 " +
+        "terms. Two aggregations + a token join; doc count joined in as " +
+        "a 1-row broadcast, never collected. Ordered by the rounded " +
+        "score so last-ulp ln() skew cannot reorder rows.",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df_ = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        val n = Tables.t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+        tf.join(df_, "token")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1).cast("double")), 6))
+          .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
+          .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
+          .limit(100)
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.token, tf.tf AS tf, df.df AS df,
+          round(tf.tf * ln((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        ORDER BY tfidf DESC, doc_id, token LIMIT 100""")),
+
+    Q(
+      "text_langid_features",
+      "Language-ID heuristic features: stopword hits/ratio from a fixed " +
+        "marker lexicon (the n-gram-profile approach reduced to its " +
+        "feature extraction — deterministic and oracle-checkable).",
+      (s, dir) => {
+        val stop = typedlit(Seq("the", "a", "of", "and", "to"))
+        val words = split(col("text"), " ")
+        val nStop = size(filter(words, w => array_contains(stop, w)))
+        Tables.t(s, dir, "documents")
+          .select(
+            col("doc_id"), col("lang"),
+            nStop.as("n_stop"),
+            round(nStop.cast("double") / size(words), 4).as("stop_ratio"),
+            array_contains(words, "the").as("has_the"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+        SELECT doc_id, lang,
+          CAST(len(list_filter(words, w -> list_contains(['the','a','of','and','to'], w))) AS INT) AS n_stop,
+          round(CAST(len(list_filter(words, w -> list_contains(['the','a','of','and','to'], w))) AS DOUBLE)
+            / len(words), 4) AS stop_ratio,
+          list_contains(words, 'the') AS has_the
+        FROM d ORDER BY doc_id""")),
+
+    Q(
+      "text_quality",
+      "Quality-scoring features: char/word counts, average word length, " +
+        "vocabulary (type/token) ratio.",
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        Tables.t(s, dir, "documents")
+          .select(
+            col("doc_id"), col("n_chars"),
+            length(col("text")).as("len"),
+            size(words).as("n_words"),
+            round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(words), 4)
+              .as("avg_word_len"),
+            round(size(array_distinct(words)).cast("double") / size(words), 4).as("uniq_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS words FROM documents)
+        SELECT doc_id, n_chars,
+          CAST(length(text) AS INT) AS len,
+          CAST(len(words) AS INT) AS n_words,
+          round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words), 4) AS avg_word_len,
+          round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4) AS uniq_ratio
+        FROM d ORDER BY doc_id""")),
+
+    Q(
+      "text_fingerprint",
+      "Document fingerprinting: content hash (md5/sha256) plus a " +
+        "canonical fingerprint over the sorted distinct token set " +
+        "(identical token multisets in any order collide — the " +
+        "fingerprint-dedup primitive).",
+      (s, dir) => {
+        val canonical = concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))
+        Tables.t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(col("text").cast("binary")).as("md5_text"),
+            sha2(col("text").cast("binary"), 256).as("sha256_text"),
+            md5(canonical.cast("binary")).as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS md5_text, sha256(text) AS sha256_text,
+        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        FROM documents ORDER BY doc_id"""))
+  )
+}

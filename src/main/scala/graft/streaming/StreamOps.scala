@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators (SURVEY.md §2B "Streaming"). The
+  * batch-equivalent queries live in [[graft.ops.StreamingBatch]] and are
+  * oracle-checked; these are the genuinely stream-only semantics —
+  * watermarks, late-data drop, stream dedup, session windows, arbitrary
+  * state — verified with MemoryStream in ScalaTest.
+  *
+  * Every transform takes and returns a (possibly streaming) Dataset, so
+  * the same code runs under `readStream` in production and under a
+  * MemoryStream in tests. */
+object StreamOps {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  final case class SessionOut(
+      user_id: Long, n_events: Long, start_us: Long, end_us: Long)
+
+  /** Tumbling 1h window counts with a 1h watermark: late events beyond
+    * the watermark are dropped; state is bounded by (watermark window ×
+    * groups). */
+  def tumblingCounts(events: Dataset[Event]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_val"))
+
+  /** Built-in session windows (10-minute gap) under a watermark — the
+    * streaming twin of the gap-and-island batch query. */
+  def sessionWindows(events: Dataset[Event]): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"))
+
+  /** Exactly-once-ish stream dedup: duplicates of event_id arriving
+    * within the watermark are dropped with bounded state. */
+  def dedupWithinWatermark(events: Dataset[Event]): Dataset[Event] =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Arbitrary stateful sessionization via flatMapGroupsWithState:
+    * custom 10-minute-gap sessions with an explicit event-time timeout —
+    * the state shape `mapGroupsWithState` family supports that
+    * session_window cannot (e.g. emitting per-session aggregates with
+    * custom close rules). */
+  def sessionize(spark: SparkSession, events: Dataset[Event], gapMinutes: Int = 10): Dataset[SessionOut] = {
+    import spark.implicits._
+    // state: (nEvents, startUs, endUs)
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var out = List.empty[SessionOut]
+          var cur = state.getOption
+          if (state.hasTimedOut) {
+            cur.foreach { case (n, s, e) => out ::= SessionOut(userId, n, s, e) }
+            state.remove()
+            cur = None
+          }
+          sorted.foreach { ev =>
+            val us = ev.ts.getTime * 1000
+            cur match {
+              case Some((n, s, e)) if us - e <= gapUs => cur = Some((n + 1, s, math.max(e, us)))
+              case Some((n, s, e)) =>
+                out ::= SessionOut(userId, n, s, e)
+                cur = Some((1L, us, us))
+              case None => cur = Some((1L, us, us))
+            }
+          }
+          cur.foreach { st =>
+            state.update(st)
+            state.setTimeoutTimestamp(st._3 / 1000 + gapMinutes.toLong * 60 * 1000)
+          }
+          out.reverseIterator
+      }
+  }
+
+  /** Streaming parquet sink with checkpointing (the A12 sink in stream
+    * form). Returns the started query; caller stops it. */
+  def parquetSink(df: DataFrame, outDir: String, checkpointDir: String) =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+}

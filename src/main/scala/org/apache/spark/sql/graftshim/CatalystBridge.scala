@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access bridge into Spark's `private[sql]` Expression↔Column
+  * converters (Spark 4 removed the public `Column(expr)` constructor and
+  * `Column.expr`). This object lives in a subpackage of
+  * `org.apache.spark.sql` solely to satisfy the access qualifier; no
+  * Spark internals are modified or shadowed. */
+object CatalystBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

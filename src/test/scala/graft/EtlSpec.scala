@@ -1,0 +1,72 @@
+package graft
+
+import graft.etl.{Export, ExportConfig}
+import org.apache.spark.sql.functions._
+
+class EtlSpec extends SparkSpec {
+
+  test("config: batch_size wins over bacth_size alias; both accepted") {
+    assert(ExportConfig.fromMap(Map("bacth_size" -> 123)).batchSize == 123)
+    assert(ExportConfig.fromMap(Map("batch_size" -> 9)).batchSize == 9)
+    assert(ExportConfig.fromMap(Map("batch_size" -> 9, "bacth_size" -> 123)).batchSize == 9)
+    assert(ExportConfig.fromMap(Map.empty).batchSize == 10000)
+  }
+
+  test("config: include+exclude conflict rejected (reference main.py:35-36)") {
+    intercept[IllegalArgumentException] {
+      ExportConfig(inputDir = ".", outputDir = ".",
+        includeTables = Set("a"), excludeTables = Set("b"))
+    }
+  }
+
+  test("config: date_columns map with null/empty values") {
+    val c = ExportConfig.fromMap(Map(
+      "date_columns" -> Map("lineitem" -> "l_shipdate", "region" -> null)))
+    assert(c.dateColumns == Map("lineitem" -> Some("l_shipdate"), "region" -> None))
+  }
+
+  test("export round-trip: filter + derive + partitioned zstd write (A4-A12)") {
+    val out = tmpDir("graft-export")
+    val cfg = ExportConfig(
+      inputDir = sfDir, outputDir = out,
+      startDate = Some("1996-01-01"), endDate = Some("1997-12-31"),
+      dateColumns = Map("lineitem" -> Some("l_shipdate"), "region" -> None))
+    val results = Export.run(spark, cfg)
+    assert(results.forall(_.isRight), results.collect { case Left((t, e)) => s"$t: $e" })
+
+    // read-back equals the filtered source count (inclusive bounds)
+    val expected = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+      .count()
+    val back = spark.read.parquet(s"$out/lineitem")
+    assert(back.count() == expected)
+
+    // hive partition layout by string year + zstd files
+    val dirs = new java.io.File(s"$out/lineitem").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("part_year=1996", "part_year=1997"))
+    val files = new java.io.File(s"$out/lineitem/part_year=1996").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.getName.contains("zstd")))
+
+    // derived columns present; year reconstructed from partition dir
+    assert(back.columns.toSet.contains("month"))
+    assert(back.filter(col("part_year") === "1996").count() ==
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(year(col("l_shipdate")) === 1996).count())
+
+    // dateless table: single unknown partition (reference main.py:110)
+    val region = spark.read.parquet(s"$out/region")
+    assert(region.select("part_year").distinct().collect().map(_.getString(0)).toSeq == Seq("unknown"))
+  }
+
+  test("export: include/exclude selection") {
+    val out = tmpDir("graft-export-sel")
+    val cfg = ExportConfig(
+      inputDir = sfDir, outputDir = out,
+      includeTables = Set("region"),
+      dateColumns = Map("region" -> None, "nation" -> None))
+    val results = Export.run(spark, cfg)
+    assert(results.map(_.toOption.get.table) == Seq("region"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.expr.{VectorMean, VectorOps}
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("VectorOps.dot/cosine match a driver-side double computation") {
+    import spark.implicits._
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(4.0f, -5.0f, 6.0f)
+    val df = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+    val got = df.select(
+      VectorOps.dot(col("a"), col("b")).as("dot"),
+      VectorOps.cosine(col("a"), col("b")).as("cos")).head()
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(got.getDouble(0) - dot) < 1e-12)
+    assert(math.abs(got.getDouble(1) - dot / (na * nb)) < 1e-12)
+  }
+
+  test("VectorMean aggregator equals per-dimension avg") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)),
+      (0, Seq(3.0f, 4.0f)),
+      (1, Seq(10.0f, 20.0f))).toDF("label", "embedding")
+    val vm = udaf(VectorMean)
+    val got = df.groupBy("label").agg(vm(col("embedding")).as("m"))
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(got(0)._2 == Seq(2.0, 3.0))
+    assert(got(1)._2 == Seq(10.0, 20.0))
+  }
+
+  test("IVF ANN achieves recall >= 0.5 vs brute force at sf0.001") {
+    val exact = SparkEntry.queries("sim_topk_cosine")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.annIvf(spark, sfDir, queryVecId = 0, nProbe = 2, topK = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (exact=$exact approx=$approx)")
+  }
+
+  test("IVF ANN with all centroids probed equals brute force over same k") {
+    val exact = SparkEntry.queries("sim_topk_cosine")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Similarity.annIvf(spark, sfDir, queryVecId = 0, nProbe = 8, topK = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact, "probing every partition must reduce to exact search")
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Stream-only semantics (SURVEY §2B "Streaming", ✖-oracle rows):
+  * watermark late-data drop, stream dedup, session windows, arbitrary
+  * state, streaming parquet sink — driven synchronously by MemoryStream. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$second%02d")
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumbling window agg with watermark drops late data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val agg = StreamOps.tumblingCounts(in.toDS())
+    val q = agg.writeStream.format("memory").queryName("tumble").outputMode("append").start()
+    // batch 1: two events in hour 10
+    in.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "view", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 10:20:00"), 1, "view", 2.0))
+    q.processAllAvailable()
+    // batch 2: advance watermark far past hour 10 (wm = max - 1h)
+    in.addData(Event(3, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "view", 3.0))
+    q.processAllAvailable()
+    // batch 3: a LATE event back in hour 10 — must be dropped
+    in.addData(Event(4, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "view", 100.0))
+    q.processAllAvailable()
+    // batch 4: advance again so hour-13 window also closes
+    in.addData(Event(5, Timestamp.valueOf("2024-01-01 15:00:00"), 1, "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumble").collect()
+    val hour10 = rows.find(_.getAs[Timestamp]("w_start") == Timestamp.valueOf("2024-01-01 10:00:00")).get
+    assert(hour10.getAs[Long]("n") == 2, "late event must not be counted")
+    assert(hour10.getAs[Double]("sum_val") == 3.0)
+  }
+
+  test("dropDuplicatesWithinWatermark removes dups, keeps state bounded") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.dedupWithinWatermark(in.toDS())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    in.addData(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(1, ts(1), 1, "view", 1.0), // dup id within watermark
+      Event(2, ts(2), 1, "click", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(1, ts(3), 1, "view", 1.0)) // still within watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("session_window (stream) matches gap-and-island batch computation") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(5), 1, "view", 1.0),   // same session (gap 5m < 10m)
+      Event(3, ts(30), 1, "view", 1.0),  // new session (gap 25m)
+      Event(4, ts(2), 2, "view", 1.0))   // other user
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionWindows(in.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    in.addData(events: _*)
+    q.processAllAvailable()
+    // close sessions by advancing the watermark
+    in.addData(Event(99, Timestamp.valueOf("2024-01-01 23:00:00"), 99, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess")
+      .filter(col("user_id") < 10)
+      .select("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(got == Seq((1L, 2L), (1L, 1L), (2L, 1L)).sortBy(identity))
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionize(spark, in.toDS())
+      .writeStream.format("memory").queryName("fmgs").outputMode("append").start()
+    in.addData(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(5), 1, "view", 1.0),
+      Event(3, ts(30), 1, "view", 1.0)) // closes session 1 in-batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fmgs").select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.contains((1L, 2L)), s"first session (2 events) should have closed, got $got")
+  }
+
+  test("streaming parquet sink with checkpoint writes append-mode files") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val out = tmpDir("graft-stream-sink")
+    val cp = tmpDir("graft-stream-cp")
+    val q = StreamOps.parquetSink(in.toDS().toDF(), out, cp)
+    in.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 2, "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(out).count() == 2)
+  }
+}
