@@ -3,21 +3,19 @@ package graft.expr
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from
-  * codegen'd higher-order functions (zip_with + aggregate) — no UDFs.
+/** Vector math over `array<float>` embedding columns, backed by the
+  * native codegen'd [[VecDot]] expression (a HOF composition
+  * `aggregate(zip_with(...))` computes the same value ~100× slower —
+  * higher-order lambdas are interpreted per element).
   *
-  * Determinism: every element is cast to double BEFORE multiplying, and
-  * the fold is a left-to-right sequential accumulation starting at 0.0 —
-  * the exact sequence DuckDB's `list_reduce` produces — so dot products
-  * and cosines are bit-identical between engine and oracle. */
+  * Determinism: every element is widened to double BEFORE multiplying,
+  * and the fold is a left-to-right sequential accumulation starting at
+  * 0.0 — the exact sequence DuckDB's `list_reduce` produces — so dot
+  * products and cosines are bit-identical between engine and oracle. */
 object VectorOps {
 
   /** Σ aᵢ·bᵢ in double precision, sequential left fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, p) => acc + p)
+  def dot(a: Column, b: Column): Column = VecDot.vecDot(a, b)
 
   /** Σ aᵢ² in double precision. */
   def normSq(a: Column): Column = dot(a, a)

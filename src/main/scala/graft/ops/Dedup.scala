@@ -15,15 +15,16 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * O(rows × shingles) with joins only inside buckets. */
 object Dedup {
 
-  /** Bigram shingles of the whitespace-tokenized text, distinct. Guarded
-    * for <2 tokens (sequence(1,0) would count down). */
-  private def bigramShingles(text: Column): Column = {
-    val words = split(text, " ")
+  /** Bigram shingles from an already-materialized token-array column,
+    * distinct. Guarded for <2 tokens (sequence(1,0) would count down).
+    * `words` must be a plain column reference — passing `split(...)`
+    * directly would re-split the text per element access inside the
+    * lambda (O(words²) per doc). */
+  private def bigramShingles(words: Column): Column =
     when(size(words) < 2, array().cast(ArrayType(StringType)))
       .otherwise(array_distinct(transform(
         sequence(lit(1), size(words) - 1),
         i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))))
-  }
 
   /** One literal mask per bit position (shift-by-column isn't a thing in
     * functions._, masks are). */
@@ -87,7 +88,8 @@ object Dedup {
         "engines, so ordering on it is exact.",
       (s, dir) => {
         val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
-          .select(col("doc_id"), bigramShingles(col("text")).as("shingles"))
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .select(col("doc_id"), bigramShingles(col("words")).as("shingles"))
         val sizes = d.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
         val ex = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
         val pairs = ex.as("a").join(ex.as("b"),
@@ -196,11 +198,13 @@ object Dedup {
     val rng = new scala.util.Random(42)
     val as = typedlit(Seq.fill(k)((rng.nextInt(1 << 20).toLong << 1) | 1L))
     val bs = typedlit(Seq.fill(k)(rng.nextLong().abs % p))
-    val words = array_distinct(split(col("text"), " "))
+    // materialize the distinct token array once; building `sig` straight
+    // off the split expression would re-tokenize per permutation (32×)
+    val tokens = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tokens"))
     val sig = transform(sequence(lit(1), lit(k)), i =>
-      array_min(transform(words, t =>
+      array_min(transform(col("tokens"), t =>
         pmod(element_at(as, i) * pmod(xxhash64(t), lit(p)) + element_at(bs, i), lit(p)))))
-    val d = docs.select(col("doc_id"), words.as("tokens"), sig.as("sig"))
+    val d = tokens.select(col("doc_id"), col("tokens"), sig.as("sig"))
     val banded = d.select(col("doc_id"), col("tokens"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           bn => struct(bn.as("band"),

@@ -63,7 +63,7 @@ object Scalars {
         CAST(quarter(o_orderdate) AS INT) AS q,
         CAST(month(o_orderdate) AS INT) AS mo,
         CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
-        date_trunc('month', o_orderdate) AS mon_start,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
         CAST(o_orderdate AS DATE) AS d,
         CAST(o_orderdate AS DATE) + 30 AS d30,
         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
@@ -147,16 +147,17 @@ object Scalars {
         "slice, transform, aggregate (fold), contains, sorted distinct.",
       (s, dir) => {
         val d = Tables.t(s, dir, "documents")
-        val words = split(col("text"), " ")
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+        val w = col("words")
         d.select(
             col("doc_id"),
-            size(words).as("n_words"),
-            size(array_distinct(words)).as("n_uniq"),
-            slice(words, 1, 3).as("first3"),
-            transform(slice(words, 1, 3), w => upper(w)).as("first3_u"),
-            aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("total_chars"),
-            array_contains(words, "spark").as("has_spark"),
-            sort_array(array_distinct(words)).as("vocab"))
+            size(w).as("n_words"),
+            size(array_distinct(w)).as("n_uniq"),
+            slice(w, 1, 3).as("first3"),
+            transform(slice(w, 1, 3), t => upper(t)).as("first3_u"),
+            aggregate(w, lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+            array_contains(w, "spark").as("has_spark"),
+            sort_array(array_distinct(w)).as("vocab"))
           .orderBy("doc_id")
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
@@ -203,9 +204,9 @@ object Scalars {
           .orderBy("doc_id", "pos")
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
-          FROM documents WHERE doc_id < 50)
-        SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, words[CAST(g.i AS INT)] AS token
-        FROM d, generate_series(1, len(words)) AS g(i)
-        ORDER BY doc_id, pos"""))
+          FROM documents WHERE doc_id < 50),
+        x AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM d)
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[CAST(i AS INT)] AS token
+        FROM x ORDER BY doc_id, pos"""))
   )
 }

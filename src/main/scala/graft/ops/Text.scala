@@ -32,13 +32,16 @@ object Text {
       "Bigram frequencies, top 20; n-grams built with a HOF over the " +
         "token sequence (guarded for 1-token docs).",
       (s, dir) => {
-        val words = split(col("text"), " ")
-        val bigrams = when(size(words) < 2, array().cast(ArrayType(StringType)))
+        // materialize the token array ONCE per row before the HOF — an
+        // element_at(split(...), i) inside the lambda would re-split the
+        // text per element (O(words²) per doc)
+        val d = Tables.t(s, dir, "documents").select(split(col("text"), " ").as("words"))
+        val w = col("words")
+        val bigrams = when(size(w) < 2, array().cast(ArrayType(StringType)))
           .otherwise(transform(
-            sequence(lit(1), size(words) - 1),
-            i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
-        Tables.t(s, dir, "documents")
-          .select(explode(bigrams).as("bigram"))
+            sequence(lit(1), size(w) - 1),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+        d.select(explode(bigrams).as("bigram"))
           .groupBy("bigram").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram"))
           .limit(20)
@@ -86,14 +89,15 @@ object Text {
         "feature extraction — deterministic and oracle-checkable).",
       (s, dir) => {
         val stop = typedlit(Seq("the", "a", "of", "and", "to"))
-        val words = split(col("text"), " ")
-        val nStop = size(filter(words, w => array_contains(stop, w)))
-        Tables.t(s, dir, "documents")
-          .select(
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+        val w = col("words")
+        val nStop = size(filter(w, t => array_contains(stop, t)))
+        d.select(
             col("doc_id"), col("lang"),
             nStop.as("n_stop"),
-            round(nStop.cast("double") / size(words), 4).as("stop_ratio"),
-            array_contains(words, "the").as("has_the"))
+            round(nStop.cast("double") / size(w), 4).as("stop_ratio"),
+            array_contains(w, "the").as("has_the"))
           .orderBy("doc_id")
       },
       Some("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
@@ -109,15 +113,16 @@ object Text {
       "Quality-scoring features: char/word counts, average word length, " +
         "vocabulary (type/token) ratio.",
       (s, dir) => {
-        val words = split(col("text"), " ")
-        Tables.t(s, dir, "documents")
-          .select(
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), col("text"), split(col("text"), " ").as("words"))
+        val w = col("words")
+        d.select(
             col("doc_id"), col("n_chars"),
             length(col("text")).as("len"),
-            size(words).as("n_words"),
-            round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(words), 4)
+            size(w).as("n_words"),
+            round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(w), 4)
               .as("avg_word_len"),
-            round(size(array_distinct(words)).cast("double") / size(words), 4).as("uniq_ratio"))
+            round(size(array_distinct(w)).cast("double") / size(w), 4).as("uniq_ratio"))
           .orderBy("doc_id")
       },
       Some("""WITH d AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS words FROM documents)
