@@ -1,0 +1,39 @@
+package graft
+
+import graft.expr.{HammingDistance, VecDot}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.CatalystBridge
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions so `spark.sql("... vec_dot(a, b) ...")`
+  * works next to the Column API. Install with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` at session
+  * build time, or [[GraftExtensions.register]] on a live session.
+  *
+  * This is the SURVEY §4 extension-point wiring (injectFunction); the
+  * engine needs no custom planner rules — every declared operator lowers
+  * to stock Catalyst plans, which is the point of being Spark-first. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))),
+    (
+      FunctionIdentifier("hamming_distance"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
+      (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))
+
+  /** Imperative registration on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, b) =>
+      CatalystBridge.registerFunction(spark, id, info, b)
+    }
+}

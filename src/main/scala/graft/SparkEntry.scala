@@ -18,7 +18,8 @@ object SparkEntry {
       ops.Dedup.defs ++
       ops.Similarity.defs ++
       ops.Text.defs ++
-      ops.Multimodal.defs
+      ops.Multimodal.defs ++
+      ops.SqlApi.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. Revenue per region/year over the full star join — dims

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** The SQL entry point (`spark.sql`) as a first-class surface: the same
+  * engine drives ANSI SQL over temp views — proving a reference user
+  * can keep writing SQL instead of the Column DSL. Views are registered
+  * per-call (cheap: a view is just a plan alias). */
+object SqlApi {
+
+  private def withViews(s: org.apache.spark.sql.SparkSession, dir: String, tables: String*)(
+      sql: String) = {
+    tables.foreach(t => Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sql)
+  }
+
+  def defs: Seq[Q] = Seq(
+
+    Q(
+      "sql_revenue_by_nation",
+      "spark.sql surface: TPC-H Q5-shaped revenue per nation through the " +
+        "full star join, written as ANSI SQL over temp views. Catalyst " +
+        "plans it identically to the DataFrame form (dims broadcast).",
+      (s, dir) => withViews(s, dir, "lineitem", "orders", "customer", "nation", "region")(
+        """SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation   ON c_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+           WHERE r_name IN ('ASIA', 'AMERICA', 'EUROPE', 'AFRICA', 'MIDDLE EAST')
+           GROUP BY n_name
+           ORDER BY n_name"""),
+      Some("""SELECT n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'AMERICA', 'EUROPE', 'AFRICA', 'MIDDLE EAST')
+        GROUP BY n_name
+        ORDER BY n_name""")),
+
+    Q(
+      "sql_scalar_subquery",
+      "spark.sql surface: correlated EXISTS + scalar subquery " +
+        "(decorrelated by Catalyst into joins — subquery support the " +
+        "Column DSL doesn't express directly).",
+      (s, dir) => withViews(s, dir, "orders", "customer")(
+        """SELECT c_custkey, c_name,
+             (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+           FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+           ORDER BY c_custkey"""),
+      Some("""SELECT c_custkey, c_name,
+        (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        ORDER BY c_custkey""")),
+
+    Q(
+      "agg_approx_distinct",
+      "HLL++ approximate distinct counts per group — the 100 TB path " +
+        "where exact countDistinct's two-level expansion is too " +
+        "expensive. Approximate → no hash oracle; the ScalaTest bounds " +
+        "it within 5% of exact.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        li.groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+            approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .orderBy("l_returnflag")
+      },
+      None)
+  )
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** API-surface coverage that isn't oracle-checkable: the
+  * SparkSessionExtensions SQL functions, approximate-distinct bounds,
+  * and the CSV/JSON source generality (no fixtures → round-trip). */
+class SurfaceSpec extends SparkSpec {
+
+  test("GraftExtensions registers vec_dot and hamming_distance for SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+        "hamming_distance(255L, 15L) AS h").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 4)
+  }
+
+  test("approx_count_distinct within 10% (2x default rsd) of exact") {
+    val got = SparkEntry.queries("agg_approx_distinct")(spark, sfDir).collect()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("o"), countDistinct(col("l_partkey")).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { r =>
+      val (eo, ep) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - eo).toDouble / eo < 0.10)
+      assert(math.abs(r.getLong(2) - ep).toDouble / ep < 0.10)
+    }
+  }
+
+  test("CSV source round-trip preserves schema and values") {
+    val dir = tmpDir("graft-csv")
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == df.count())
+    assert(back.columns.toSeq == df.columns.toSeq)
+    val a = df.orderBy("n_nationkey").collect().map(r => (r.getInt(0), r.getString(1)))
+    val b = back.orderBy("n_nationkey").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("JSON source round-trip preserves values") {
+    val dir = tmpDir("graft-json")
+    val df = spark.read.parquet(s"$sfDir/region.parquet")
+    df.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 5)
+    assert(back.select("r_name").orderBy("r_name").collect().map(_.getString(0)).toSeq ==
+      df.select("r_name").orderBy("r_name").collect().map(_.getString(0)).toSeq)
+  }
+}
