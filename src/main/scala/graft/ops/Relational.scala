@@ -151,6 +151,28 @@ object Relational {
         FROM customer WHERE c_custkey < 200
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    Q(
+      "agg_percentile",
+      "Exact interpolated percentiles per group (median + p90). Rounded " +
+        "post-aggregate: both engines interpolate over the same sorted " +
+        "values, but the lerp formula may differ in the last ulp. At " +
+        "100 TB the exact form needs a per-group sort — approx_percentile " +
+        "is the sketch-based alternative (t-digest).",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.groupBy("o_orderstatus")
+          .agg(
+            round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)), 4).as("p50_approx"),
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+        round(quantile_disc(o_totalprice, 0.5), 4) AS p50_approx,
+        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ----------------------------------------------------------------- joins
     Q(
       "join_inner_chain",
@@ -220,6 +242,23 @@ object Relational {
         WHERE NOT EXISTS (SELECT 1 FROM orders
           WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         ORDER BY c_custkey""")),
+
+    Q(
+      "join_right_outer",
+      "Right outer join preserving order rows whose customer was " +
+        "filtered away (null customer columns).",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer").filter(col("c_custkey") < 700)
+        val o = Tables.t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+        c.join(o, col("c_custkey") === col("o_custkey"), "right")
+          .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, c_name
+        FROM (SELECT * FROM customer WHERE c_custkey < 700) c
+        RIGHT JOIN (SELECT * FROM orders WHERE o_orderkey < 3000) o
+          ON c_custkey = o_custkey
+        ORDER BY o_orderkey""")),
 
     Q(
       "join_full_outer",
@@ -388,6 +427,34 @@ object Relational {
         round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg
         FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    Q(
+      "window_range_frame",
+      "RANGE frame over a numeric day offset: 30-day trailing order " +
+        "count and rounded sum per customer (rangeBetween needs a " +
+        "single numeric sort key — day-since-epoch here).",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+        val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+          .rangeBetween(-30, 0)
+        o.withColumn("day", day)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("day"),
+            count(lit(1)).over(w).as("n_30d"),
+            round(sum("o_totalprice").over(w), 2).as("sum_30d"))
+          .orderBy("o_custkey", "day", "o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day
+        FROM orders)
+        SELECT o_custkey, o_orderkey, day,
+          count(*) OVER w AS n_30d,
+          round(sum(o_totalprice) OVER w, 2) AS sum_30d
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, day, o_orderkey""")),
 
     Q(
       "window_ntile",

@@ -194,6 +194,29 @@ object Scalars {
         FROM events ORDER BY event_id""")),
 
     Q(
+      "scalar_map",
+      "Map family: map construction, map_keys/map_values (insertion " +
+        "order both engines), element_at lookups incl. a missing key.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val m = map_from_arrays(
+          array(lit("lang"), lit("source")),
+          array(col("lang"), col("source")))
+        d.select(
+            col("doc_id"),
+            map_keys(m).as("ks"),
+            map_values(m).as("vs"),
+            element_at(m, "lang").as("lang_v"),
+            element_at(m, "nope").as("missing_v"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, MAP(['lang','source'], [lang, source]) AS m
+          FROM documents)
+        SELECT doc_id, map_keys(m) AS ks, map_values(m) AS vs,
+          m['lang'][1] AS lang_v, m['nope'][1] AS missing_v
+        FROM d ORDER BY doc_id""")),
+
+    Q(
       "explode_tokens",
       "Generator surface: posexplode of a split column (the UDTF shape).",
       (s, dir) => {

@@ -66,6 +66,25 @@ object SqlApi {
         ORDER BY c_custkey""")),
 
     Q(
+      "sql_grouping_sets",
+      "Explicit GROUPING SETS (the general form rollup/cube sugar " +
+        "over): totals by returnflag, by linestatus, and grand total in " +
+        "one Expand + aggregate pass.",
+      (s, dir) => withViews(s, dir, "lineitem")(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+             CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             CAST(grouping(l_linestatus) AS INT) AS g_ls
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    Q(
       "agg_approx_distinct",
       "HLL++ approximate distinct counts per group — the 100 TB path " +
         "where exact countDistinct's two-level expansion is too " +
