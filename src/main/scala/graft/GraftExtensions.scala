@@ -16,8 +16,10 @@ import org.apache.spark.sql.graftshim.CatalystBridge
   * engine needs no custom planner rules — every declared operator lowers
   * to stock Catalyst plans, which is the point of being Spark-first. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.BandJoinRule)
+  }
 }
 
 object GraftExtensions {
