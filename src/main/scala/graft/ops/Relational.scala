@@ -357,6 +357,27 @@ object Relational {
           ON e.user_id = p.user_id AND e.ts >= p.ts
         ORDER BY e.event_id""")),
 
+    Q(
+      "join_asof_native",
+      "Same as-of semantics through the engine's native operator stack " +
+        "(AsOfJoin logical node → AsOfJoinStrategy → AsOfJoinExec " +
+        "two-pointer merge over co-partitioned sorted children) — " +
+        "O(|L|+|R|) with O(1) state, vs the window composition that " +
+        "buffers through window machinery. Same DuckDB ASOF oracle.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        AsOf.join(e, purchases, "user_id", "p_user", "ts", "p_ts")
+          .select(col("event_id"), Tables.epochUs(col("p_ts")).as("asof_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, epoch_us(CAST(p.ts AS TIMESTAMP)) AS asof_us
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+        ORDER BY e.event_id""")),
+
     // --------------------------------------------------------------- windows
     Q(
       "window_rank",

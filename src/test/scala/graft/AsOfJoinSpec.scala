@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.AsOf
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Native as-of join operator: semantics vs hand-built expectation, vs
+  * the window-based composition on the fixtures, null/no-match rows,
+  * and the physical plan shape. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("matches latest right row <= left time per key, null when none") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:20"), "t2"),
+      (2L, ts("2024-01-01 10:00:10"), "t3"),
+      (3L, ts("2024-01-01 10:00:10"), "t4")) // key with no quotes
+      .toDF("sym", "t_ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:10"), 101.0),
+      (1L, ts("2024-01-01 10:00:30"), 102.0), // after both trades
+      (2L, ts("2024-01-01 10:00:10"), 200.0)) // exactly equal → matches
+      .toDF("q_sym", "q_ts", "price")
+    val got = AsOf.join(trades, quotes, "sym", "q_sym", "t_ts", "q_ts")
+      .select("trade", "price").orderBy("trade")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq == Seq(
+      ("t1", Some(100.0)), // 10:00:05 → quote at 10:00:00
+      ("t2", Some(101.0)), // 10:00:20 → quote at 10:00:10
+      ("t3", Some(200.0)), // equal timestamps included (<=)
+      ("t4", None)))       // no quotes for key 3
+  }
+
+  test("equals the window-based composition on the events fixture") {
+    val native = SparkEntry.queries("join_asof_native")(spark, sfDir).collect().toSeq
+    val window = SparkEntry.queries("join_asof")(spark, sfDir).collect().toSeq
+    assert(native == window)
+  }
+
+  test("physical plan is the custom exec over co-partitioned sorted children") {
+    val e = Tables.t(spark, sfDir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val df = AsOf.join(e, p, "user_id", "p_user", "ts", "p_ts")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), s"custom exec missing:\n$plan")
+    assert(plan.contains("Sort ["), "children should be sorted")
+    assert(plan.contains("hashpartitioning"), "children should be hash-clustered")
+  }
+
+  test("duplicate right times at the match boundary take the last in sort order") {
+    import spark.implicits._
+    val l = Seq((1L, ts("2024-01-01 00:00:10"), "L")).toDF("k", "lt", "tag")
+    val r = Seq(
+      (1L, ts("2024-01-01 00:00:10"), "a"),
+      (1L, ts("2024-01-01 00:00:10"), "b")).toDF("rk", "rt", "v")
+    val got = AsOf.join(l, r, "k", "rk", "lt", "rt").select("v").collect()
+    assert(got.length == 1 && !got.head.isNullAt(0)) // one of the ties, non-null
+  }
+}
