@@ -33,19 +33,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    * read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw ns
-    * (legacy nanosAsLong), integer-divide to µs (never float-divide:
-    * 2024 epoch-ns ≈ 1.7e18 > 2^53, doubles would corrupt it) and expose
-    * a naive (NTZ) µs timestamp — exactly what DuckDB's
-    * CAST(ts AS TIMESTAMP) yields, so oracle comparisons line up. */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
-  }
+  /** All fixture access goes through the [[graft.sources.TableSource]]
+    * abstraction (ParquetDirSource here; MongoSource in production) —
+    * including the events ns-timestamp normalization. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.ParquetDirSource(dir).read(spark, name)
 
   /** Epoch microseconds of a (possibly NTZ) timestamp column; NTZ is
     * interpreted at the pinned-UTC session zone, matching DuckDB's

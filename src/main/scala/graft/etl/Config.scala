@@ -20,7 +20,15 @@ final case class ExportConfig(
     rowGroupSize: Int = 400000,
     /** table name → optional date column (the reference's
       * `date_collections` work list, main.py:38). */
-    dateColumns: Map[String, Option[String]] = Map.empty) {
+    dateColumns: Map[String, Option[String]] = Map.empty,
+    /** Per-table date-range overrides — the generalization the
+      * reference's config.json.example promises but its code never
+      * implemented (SURVEY §1.4); falls back to the global range. */
+    dateRanges: Map[String, (Option[String], Option[String])] = Map.empty) {
+
+  def rangeFor(table: String): (Option[String], Option[String]) =
+    dateRanges.getOrElse(table, (startDate, endDate))
+
   require(
     includeTables.isEmpty || excludeTables.isEmpty,
     "Cannot specify both include_tables and exclude_tables")

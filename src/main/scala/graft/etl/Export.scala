@@ -81,7 +81,8 @@ object Export {
       dateCol: Option[String]): TableResult = {
     val in = s"${cfg.inputDir}/$table.parquet"
     val out = s"${cfg.outputDir}/$table"
-    val df = transform(spark.read.parquet(in), dateCol, cfg.startDate, cfg.endDate)
+    val (start, end) = cfg.rangeFor(table)
+    val df = transform(spark.read.parquet(in), dateCol, start, end)
     df.write
       .mode("overwrite")
       .partitionBy("part_year")

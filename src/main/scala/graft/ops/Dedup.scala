@@ -184,8 +184,53 @@ object Dedup {
           ${VectorOps.duckCosine("a.embedding", "b.embedding")} AS cos
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         SELECT v1, v2, round(cos, 6) AS cos_sim FROM p
-        WHERE cos >= 0.4 ORDER BY v1, v2"""))
+        WHERE cos >= 0.4 ORDER BY v1, v2""")),
+
+    Q(
+      "dedup_embedding_lsh",
+      "Hyperplane-LSH near-dup (4 bands × 4 signed projections → bucket " +
+        "equi-join → exact-cosine verify): the scale path for " +
+        "dedup_embedding_cosine — O(Σ bucket²) candidates instead of " +
+        "O(N²). Verified pairs are exact (precision 1); recall is " +
+        "probabilistic → rows-only + recall spec.",
+      (s, dir) => embeddingLsh(Tables.t(s, dir, "embeddings")),
+      None)
   )
+
+  /** Random-hyperplane LSH near-dup over embeddings: 16 signed
+    * projections (4 bands × 4 bits) bucket the vectors; candidate pairs
+    * from bucket equi-joins are verified with the exact double-fold
+    * cosine, so precision is 1 and only recall is approximate —
+    * P(bit agree) = 1 − θ/π per hyperplane (the SimHash bound). The
+    * scale path: buckets shrink the pair space from O(N²) to
+    * O(Σ bucket²). */
+  def embeddingLsh(e: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val bandsN = 4
+    val bitsPerBand = 4
+    val rng = new scala.util.Random(7)
+    // 16 hyperplanes as literal double arrays (deterministic)
+    val planes = typedlit(Seq.fill(bandsN * bitsPerBand)(Seq.fill(64)(rng.nextGaussian())))
+    val bits = transform(planes, h =>
+      when(aggregate(zip_with(col("embedding"), h, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, p) => acc + p) >= 0, 1L).otherwise(0L))
+    val sig = e.select(col("vec_id"), col("embedding"), bits.as("bits"))
+    val banded = sig.select(col("vec_id"), col("embedding"),
+        explode(transform(sequence(lit(0), lit(bandsN - 1)),
+          bn => struct(bn.as("band"),
+            aggregate(slice(col("bits"), bn * bitsPerBand + 1, lit(bitsPerBand)),
+              lit(0L), (acc, b) => acc * 2 + b).as("bucket")))).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .distinct()
+      .withColumn("cos", VectorOps.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("v1", "v2")
+  }
 
   /** MinHash-LSH candidate generation + verification, reusable from the
     * spec. 32 permutations h_i(t) = (a_i·h32(t) + b_i) mod p, 8 bands of

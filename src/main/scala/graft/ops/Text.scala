@@ -83,6 +83,32 @@ object Text {
         ORDER BY tfidf DESC, doc_id, token LIMIT 100""")),
 
     Q(
+      "text_token_regex",
+      "Regex (BPE-pre-tokenizer-style) token counting next to the " +
+        "whitespace path: runs of letters / digits / single other chars " +
+        "— the split every subword tokenizer applies before merges. " +
+        "Same counts from DuckDB's RE2 (pattern stays in the common " +
+        "dialect subset).",
+      (s, dir) => {
+        val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), regexp_extract_all(col("text"), lit(pat), lit(0)).as("toks"))
+        d.select(
+            col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            size(array_distinct(col("toks"))).as("n_uniq"),
+            element_at(col("toks"), 1).as("first_tok"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+          regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+        FROM documents)
+        SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+          toks[1] AS first_tok
+        FROM d ORDER BY doc_id""")),
+
+    Q(
       "text_langid_features",
       "Language-ID heuristic features: stopword hits/ratio from a fixed " +
         "marker lexicon (the n-gram-profile approach reduced to its " +

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source abstraction (SURVEY §7.5): the engine's operators read tables
+  * through this trait so the offline parquet harness and a production
+  * MongoDB deployment are interchangeable — swap the source, keep every
+  * query. */
+trait TableSource {
+  /** Read one logical table/collection as a DataFrame. Implementations
+    * must normalize timestamps to µs (Spark's native precision). */
+  def read(spark: SparkSession, table: String): DataFrame
+  /** Tables this source can enumerate (reference A1 catalog scan). */
+  def list(spark: SparkSession): Seq[String]
+}
+
+/** Directory of `<table>.parquet` files (the harness fixture layout).
+  * events.ts ships as TIMESTAMP(NANOS): read as raw ns and integer-
+  * divide — float division would corrupt it (2024 epoch-ns > 2^53). */
+final case class ParquetDirSource(dir: String) extends TableSource {
+  override def read(spark: SparkSession, table: String): DataFrame = {
+    val df = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$table.parquet")
+    }
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      // ns-as-long columns are detectable only by name convention in the
+      // fixtures; production would carry this in the catalog
+      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        acc.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      else acc
+    }
+  }
+
+  override def list(spark: SparkSession): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet"))
+      .sorted
+}
+
+/** MongoDB source via the Spark MongoDB connector (the production path
+  * of the reference, BASELINE.json `spark_approach`). Maps the
+  * reference's knobs onto connector options: cursor `batch_size`
+  * (main.py:31,301) → the connector's batch size; the single-cursor
+  * scan (main.py:297-303) becomes a partitioned read
+  * (`SamplePartitioner`), which is the whole reason to run on Spark.
+  *
+  * Not exercised in this zero-egress harness (no mongod, no connector
+  * jar) — construction fails fast if the connector isn't on the
+  * classpath; everything downstream of `read` is source-agnostic and IS
+  * tested through [[ParquetDirSource]]. */
+final case class MongoSource(
+    connectionUri: String,
+    database: String,
+    batchSize: Int = 10000) extends TableSource {
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read
+      .format("mongodb")
+      .option("spark.mongodb.read.connection.uri", connectionUri)
+      .option("spark.mongodb.read.database", database)
+      .option("spark.mongodb.read.collection", table)
+      .option("spark.mongodb.read.batchSize", batchSize.toString)
+      .option("spark.mongodb.read.partitioner",
+        "com.mongodb.spark.sql.connector.read.partitioner.SamplePartitioner")
+      .load()
+      .drop("_id") // reference A6 (main.py:107)
+
+  override def list(spark: SparkSession): Seq[String] =
+    throw new UnsupportedOperationException(
+      "collection listing requires a live MongoClient; wire via config in this harness")
+}

@@ -60,6 +60,28 @@ class EtlSpec extends SparkSpec {
     assert(region.select("part_year").distinct().collect().map(_.getString(0)).toSeq == Seq("unknown"))
   }
 
+  test("export: per-table date-range override beats the global range") {
+    val out = tmpDir("graft-export-range")
+    val cfg = ExportConfig(
+      inputDir = sfDir, outputDir = out,
+      startDate = Some("1996-01-01"), endDate = Some("1996-12-31"),
+      dateColumns = Map("lineitem" -> Some("l_shipdate")),
+      dateRanges = Map("lineitem" -> (Some("1997-01-01"), Some("1997-12-31"))))
+    Export.run(spark, cfg)
+    val back = spark.read.parquet(s"$out/lineitem")
+    // partition-type inference reads all-numeric dirs back as int —
+    // only a mixed set (with "unknown") stays string
+    assert(back.select("part_year").distinct().collect().map(_.get(0).toString).toSeq == Seq("1997"))
+  }
+
+  test("source abstraction: ParquetDirSource lists the catalog and reads ns events") {
+    val src = graft.sources.ParquetDirSource(sfDir)
+    assert(src.list(spark) == Tables.names.sorted)
+    val events = src.read(spark, "events")
+    assert(events.schema("ts").dataType.typeName == "timestamp_ntz")
+    assert(events.count() > 0)
+  }
+
   test("export: include/exclude selection") {
     val out = tmpDir("graft-export-sel")
     val cfg = ExportConfig(

@@ -44,6 +44,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low (exact=$exact approx=$approx)")
   }
 
+  test("hyperplane-LSH near-dup: precision 1, recall above chance") {
+    val exact = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dedup_embedding_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH verify step must make every emitted pair exact")
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.2, s"recall $recall (exact=${exact.size}, lsh=${lsh.size})")
+    }
+  }
+
   test("IVF ANN with all centroids probed equals brute force over same k") {
     val exact = SparkEntry.queries("sim_topk_cosine")(spark, sfDir)
       .collect().map(_.getLong(0)).toSeq
