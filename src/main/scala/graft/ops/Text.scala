@@ -160,6 +160,78 @@ object Text {
         FROM d ORDER BY doc_id""")),
 
     Q(
+      "text_bm25_search",
+      "BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed query " +
+        "{'spark','merge','batch'}: tf/df/doclen aggregations + join — " +
+        "the keyword-search half of a training-data curation stack. " +
+        "Ordered by the rounded score (ln ulp-safe), top 20.",
+      (s, dir) => {
+        val k1 = 1.2
+        val b = 0.75
+        val docs = Tables.t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(dl.agg(round(avg("dl"), 6).as("avgdl")))
+        val qterms = Seq("spark", "merge", "batch")
+        val tf = tok.filter(col("token").isin(qterms: _*))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        val scored = tf.join(df_, "token").join(dl, "doc_id").crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+          .withColumn("contrib",
+            col("idf") * (col("tf") * (k1 + 1)) /
+              (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        scored.groupBy("doc_id")
+          .agg(round(sum("contrib"), 6).as("bm25"), count(lit(1)).as("n_terms"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                         (SELECT round(avg(dl), 6) FROM dl) AS avgdl),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN ('spark', 'merge', 'batch') GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT tf.doc_id,
+            ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1)) /
+              (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl)) AS contrib
+          FROM tf JOIN df USING (token) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats)
+        SELECT doc_id, round(sum(contrib), 6) AS bm25, count(*) AS n_terms
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
+    Q(
+      "sample_seeded",
+      "Seeded Bernoulli sampling (corpus subsampling). Sampler RNGs " +
+        "differ across engines → rows-only; the spec pins determinism " +
+        "(same seed ⇒ same rows) and fraction bounds.",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .sample(withReplacement = false, fraction = 0.2, seed = 42L)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      None),
+
+    Q(
+      "sample_stratified",
+      "Stratified sampling by language (per-class fractions via " +
+        "sampleBy) — class rebalancing for training mixes. Rows-only + " +
+        "spec on per-stratum bounds.",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .stat.sampleBy("lang",
+            Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2), 42L)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      None),
+
+    Q(
       "text_fingerprint",
       "Document fingerprinting: content hash (md5/sha256) plus a " +
         "canonical fingerprint over the sorted distinct token set " +

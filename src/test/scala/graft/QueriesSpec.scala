@@ -14,6 +14,29 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("seeded sampling is deterministic and near the target fraction") {
+    val q = SparkEntry.queries("sample_seeded")
+    val a = q(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    val b = q(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same seed must give same sample")
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(a.size > total * 0.1 && a.size < total * 0.35, s"got ${a.size} of $total")
+  }
+
+  test("stratified sampling respects per-stratum fractions roughly") {
+    val got = SparkEntry.queries("sample_stratified")(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en sampled at 0.5 should out-fraction the 0.2 strata
+    val enFrac = got.getOrElse("en", 0L).toDouble / totals("en")
+    val esFrac = got.getOrElse("es", 0L).toDouble / totals("es")
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en fraction $enFrac")
+    assert(esFrac < 0.4, s"es fraction $esFrac")
+  }
+
   test("every declared query executes and returns rows at sf0.001") {
     val empties = SparkEntry.queries.flatMap { case (name, fn) =>
       val n = fn(spark, sfDir).count()
