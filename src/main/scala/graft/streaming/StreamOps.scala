@@ -92,6 +92,45 @@ object StreamOps {
       }
   }
 
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Spark 4 transformWithState processor: per-user running totals in a
+    * ValueState — the successor API to mapGroupsWithState (explicit
+    * state variables, timers, TTL; requires the RocksDB state store). */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: TimeMode): Unit = {
+      val enc: Encoder[(Long, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+      totals = getHandle.getValueState[(Long, Double)]("totals", enc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      var (n, v) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; v += e.value }
+      totals.update((n, v))
+      Iterator.single(UserTotals(key, n, math.rint(v * 100) / 100))
+    }
+  }
+
+  /** Running per-user totals via transformWithState (Update mode). */
+  def runningTotals(spark: SparkSession, events: Dataset[Event]): Dataset[UserTotals] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming parquet sink with checkpointing (the A12 sink in stream
     * form). Returns the started query; caller stops it. */
   def parquetSink(df: DataFrame, outDir: String, checkpointDir: String) =

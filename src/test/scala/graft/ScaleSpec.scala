@@ -73,6 +73,31 @@ class ScaleSpec extends SparkSpec {
     assert(nSalts == 8)
   }
 
+  test("bucketed tables co-locate the join: no Exchange between scans and join") {
+    // (default spark-warehouse dir; tables dropped in finally)
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    o.write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bkt")
+    c.write.mode("overwrite").bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bkt")
+    try {
+      // disable broadcast so the join must pick a clustered strategy
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n${plan.take(3000)}")
+      assert(j.count() == o.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+
   test("query-execution listener captures write metrics (A15)") {
     val rec = Metrics.attach(spark)
     val out = tmpDir("graft-metrics")

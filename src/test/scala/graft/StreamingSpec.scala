@@ -107,6 +107,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((1L, 2L)), s"first session (2 events) should have closed, got $got")
   }
 
+  test("transformWithState keeps running totals across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = StreamOps.runningTotals(spark, in.toDS())
+        .writeStream.format("memory").queryName("tws").outputMode("update").start()
+      in.addData(Event(1, ts(0), 1, "view", 1.5), Event(2, ts(1), 1, "view", 2.5))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(2), 1, "view", 4.0)) // second batch, same user
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows.contains((1L, 2L, 4.0)), s"batch-1 totals missing: $rows")
+      assert(rows.contains((1L, 3L, 8.0)), s"state not carried to batch 2: $rows")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming parquet sink with checkpoint writes append-mode files") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
