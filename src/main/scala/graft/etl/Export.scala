@@ -62,14 +62,21 @@ object Export {
   /** Run the export for every configured table. Failure semantics are
     * per-table keep-going with an error summary — the reference's
     * thread pool silently swallowed failures (main.py:269-273); we keep
-    * "one bad table doesn't kill the job" but never lose the error. */
-  def run(spark: SparkSession, cfg: ExportConfig): Seq[Either[(String, Throwable), TableResult]] = {
+    * "one bad table doesn't kill the job" but never lose the error.
+    * `source` defaults to the parquet harness layout; pass a
+    * [[graft.sources.MongoSource]] for the production path — the
+    * pipeline below is identical either way. */
+  def run(
+      spark: SparkSession,
+      cfg: ExportConfig,
+      source: Option[graft.sources.TableSource] = None): Seq[Either[(String, Throwable), TableResult]] = {
+    val src = source.getOrElse(graft.sources.ParquetDirSource(cfg.inputDir))
     val all = cfg.dateColumns.keySet
     val selected =
       if (cfg.includeTables.nonEmpty) all.intersect(cfg.includeTables)
       else all.diff(cfg.excludeTables)
     selected.toSeq.sorted.map { table =>
-      try Right(exportTable(spark, cfg, table, cfg.dateColumns(table)))
+      try Right(exportTable(spark, cfg, src, table, cfg.dateColumns(table)))
       catch { case e: Exception => Left(table -> e) }
     }
   }
@@ -77,12 +84,12 @@ object Export {
   def exportTable(
       spark: SparkSession,
       cfg: ExportConfig,
+      source: graft.sources.TableSource,
       table: String,
       dateCol: Option[String]): TableResult = {
-    val in = s"${cfg.inputDir}/$table.parquet"
     val out = s"${cfg.outputDir}/$table"
     val (start, end) = cfg.rangeFor(table)
-    val df = transform(spark.read.parquet(in), dateCol, start, end)
+    val df = transform(source.read(spark, table), dateCol, start, end)
     df.write
       .mode("overwrite")
       .partitionBy("part_year")

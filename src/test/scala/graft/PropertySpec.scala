@@ -1,0 +1,97 @@
+package graft
+
+import graft.etl.Export
+import graft.expr.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator-driven properties (SURVEY §5.4), run under
+  * ScalaTest: partition routing is a total function, partitioned writes
+  * round-trip, top-k cosine matches a driver-side brute force, MinHash
+  * candidate probability grows with Jaccard similarity. Generators are
+  * seeded — failures are reproducible. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("property: partition-value derivation routes every row to exactly one bucket") {
+    import spark.implicits._
+    val genTs = Gen.option(Gen.choose(0L, 2000000000L))
+    val rows = samples(genTs, 200, 1L)
+    val df = rows.map(o => Tuple1(o.map(s => new java.sql.Timestamp(s * 1000)).orNull))
+      .toDF("d")
+    val routed = df.withColumn("part_year", Export.partitionValue("d"))
+    // total: no nulls, exactly one value per row
+    assert(routed.filter(col("part_year").isNull).count() == 0)
+    assert(routed.count() == rows.size)
+    // nulls land in "unknown", non-nulls in their year
+    val got = routed.collect().map(r => (Option(r.getTimestamp(0)), r.getString(1)))
+    got.foreach {
+      case (None, p) => assert(p == "unknown")
+      case (Some(t), p) =>
+        val cal = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+        cal.setTime(t)
+        assert(p == cal.get(java.util.Calendar.YEAR).toString)
+    }
+  }
+
+  test("property: partitioned write read-back equals the pre-write frame") {
+    import spark.implicits._
+    val gen = for {
+      id <- Gen.choose(0L, 1000000L)
+      year <- Gen.choose(1995, 2005)
+      v <- Gen.choose(-1e6, 1e6)
+    } yield (id, java.sql.Timestamp.valueOf(f"$year-06-15 12:00:00"), v)
+    val rows = samples(gen, 300, 2L).distinct
+    val df = rows.toDF("id", "d", "v")
+    val out = tmpDir("graft-prop-rt")
+    df.withColumn("part_year", Export.partitionValue("d"))
+      .write.mode("overwrite").partitionBy("part_year").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == rows.size)
+    assert(back.select("id", "v").except(df.select("id", "v")).count() == 0)
+    assert(df.select("id", "v").except(back.select("id", "v")).count() == 0)
+  }
+
+  test("property: engine top-k cosine equals driver-side brute force on random vectors") {
+    import spark.implicits._
+    val genVec = Gen.listOfN(16, Gen.choose(-1.0, 1.0).map(_.toFloat))
+    val vecs = samples(genVec, 60, 3L).map(_.toArray).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+    val q = vecs.head._2.toArray
+    val df = vecs.toDF("id", "vec")
+    val got = df.filter(col("id") =!= 0)
+      .withColumn("cos", VectorOps.cosine(col("vec"), typedlit(q.toSeq)))
+      .orderBy(col("cos").desc, col("id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expected = vecs.tail
+      .map { case (i, v) => (i, cosine(v.toArray, q)) }
+      .sortBy { case (i, c) => (-c, i) }.take(5).map(_._1)
+    assert(got == expected)
+  }
+
+  test("property: minhash candidate probability grows with jaccard") {
+    import spark.implicits._
+    // doc pairs at controlled jaccard levels: shared/total tokens
+    def doc(shared: Int, own: Int, tag: String) =
+      ((1 to shared).map(i => s"c$i") ++ (1 to own).map(i => s"$tag$i")).mkString(" ")
+    val pairs = Seq(
+      (0.9, doc(18, 2, "a"), doc(18, 2, "b")),
+      (0.5, doc(10, 10, "a"), doc(10, 10, "b")),
+      (0.1, doc(2, 18, "a"), doc(2, 18, "b")))
+    val hits = pairs.map { case (jac, d1, d2) =>
+      val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      val out = graft.ops.Dedup.minhashLsh(df).collect()
+      jac -> out.nonEmpty
+    }
+    // high-similarity pair must collide; low-similarity must not
+    assert(hits.head._2, "jaccard 0.9 pair should be an LSH candidate")
+    assert(!hits.last._2, "jaccard 0.1 pair should not collide")
+  }
+}
