@@ -34,10 +34,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** All fixture access goes through the [[graft.sources.TableSource]]
-    * abstraction (ParquetDirSource here; MongoSource in production) —
-    * including the events ns-timestamp normalization. */
+    * abstraction (ParquetDirSource here; MongoSource in production).
+    * The fixtures' `ts` column (events) is TIMESTAMP(NANOS) — declared
+    * here, applied by the source. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    graft.sources.ParquetDirSource(dir).read(spark, name)
+    graft.sources.ParquetDirSource(dir, nsTimestampCols = Set("ts")).read(spark, name)
 
   /** Epoch microseconds of a (possibly NTZ) timestamp column; NTZ is
     * interpreted at the pinned-UTC session zone, matching DuckDB's

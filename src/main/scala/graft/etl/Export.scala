@@ -63,14 +63,16 @@ object Export {
     * per-table keep-going with an error summary — the reference's
     * thread pool silently swallowed failures (main.py:269-273); we keep
     * "one bad table doesn't kill the job" but never lose the error.
-    * `source` defaults to the parquet harness layout; pass a
-    * [[graft.sources.MongoSource]] for the production path — the
-    * pipeline below is identical either way. */
+    * `source` defaults to the plain parquet harness layout (no column
+    * rewriting); pass a [[graft.sources.MongoSource]] for the
+    * production path — the pipeline below is identical either way. */
+  def run(spark: SparkSession, cfg: ExportConfig): Seq[Either[(String, Throwable), TableResult]] =
+    run(spark, cfg, graft.sources.ParquetDirSource(cfg.inputDir))
+
   def run(
       spark: SparkSession,
       cfg: ExportConfig,
-      source: Option[graft.sources.TableSource] = None): Seq[Either[(String, Throwable), TableResult]] = {
-    val src = source.getOrElse(graft.sources.ParquetDirSource(cfg.inputDir))
+      src: graft.sources.TableSource): Seq[Either[(String, Throwable), TableResult]] = {
     val all = cfg.dateColumns.keySet
     val selected =
       if (cfg.includeTables.nonEmpty) all.intersect(cfg.includeTables)

@@ -16,19 +16,25 @@ trait TableSource {
 }
 
 /** Directory of `<table>.parquet` files (the harness fixture layout).
-  * events.ts ships as TIMESTAMP(NANOS): read as raw ns and integer-
-  * divide — float division would corrupt it (2024 epoch-ns > 2^53). */
-final case class ParquetDirSource(dir: String) extends TableSource {
+  *
+  * `nsTimestampCols` names columns stored as TIMESTAMP(NANOS) (which
+  * Spark 4 can't read natively): they're read as raw ns via the legacy
+  * nanosAsLong flag and integer-divided to µs — float division would
+  * corrupt them (2024 epoch-ns > 2^53). Strictly opt-in: with the
+  * default empty set no column is touched and no session flag is set,
+  * so a plain long column that happens to be named `ts` passes through
+  * verbatim (production would carry this annotation in the catalog). */
+final case class ParquetDirSource(
+    dir: String,
+    nsTimestampCols: Set[String] = Set.empty) extends TableSource {
   override def read(spark: SparkSession, table: String): DataFrame = {
-    val df = {
+    if (nsTimestampCols.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$table.parquet")
-    }
+    val df = spark.read.parquet(s"$dir/$table.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>
-      // ns-as-long columns are detectable only by name convention in the
-      // fixtures; production would carry this in the catalog
-      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-        acc.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      if (nsTimestampCols.contains(f.name) && f.dataType == org.apache.spark.sql.types.LongType)
+        acc.withColumn(f.name,
+          timestamp_micros(expr(s"${f.name} div 1000")).cast("timestamp_ntz"))
       else acc
     }
   }

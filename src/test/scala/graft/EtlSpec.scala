@@ -75,11 +75,14 @@ class EtlSpec extends SparkSpec {
   }
 
   test("source abstraction: ParquetDirSource lists the catalog and reads ns events") {
-    val src = graft.sources.ParquetDirSource(sfDir)
+    val src = graft.sources.ParquetDirSource(sfDir, nsTimestampCols = Set("ts"))
     assert(src.list(spark) == Tables.names.sorted)
     val events = src.read(spark, "events")
     assert(events.schema("ts").dataType.typeName == "timestamp_ntz")
     assert(events.count() > 0)
+    // without the opt-in, no column is rewritten (plain tables untouched)
+    val plain = graft.sources.ParquetDirSource(sfDir).read(spark, "lineitem")
+    assert(plain.schema("l_shipdate").dataType.typeName.startsWith("timestamp"))
   }
 
   test("export: include/exclude selection") {

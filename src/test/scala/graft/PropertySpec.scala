@@ -78,20 +78,19 @@ class PropertySpec extends SparkSpec {
 
   test("property: minhash candidate probability grows with jaccard") {
     import spark.implicits._
-    // doc pairs at controlled jaccard levels: shared/total tokens
+    // doc pair with `shared` common tokens and `own` unique per side:
+    // jaccard = shared / (shared + 2*own)
     def doc(shared: Int, own: Int, tag: String) =
       ((1 to shared).map(i => s"c$i") ++ (1 to own).map(i => s"$tag$i")).mkString(" ")
     val pairs = Seq(
-      (0.9, doc(18, 2, "a"), doc(18, 2, "b")),
-      (0.5, doc(10, 10, "a"), doc(10, 10, "b")),
-      (0.1, doc(2, 18, "a"), doc(2, 18, "b")))
+      (18.0 / 22, doc(18, 2, "a"), doc(18, 2, "b")), // jaccard 0.82
+      (2.0 / 38, doc(2, 18, "a"), doc(2, 18, "b")))  // jaccard 0.05
     val hits = pairs.map { case (jac, d1, d2) =>
       val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
-      val out = graft.ops.Dedup.minhashLsh(df).collect()
-      jac -> out.nonEmpty
+      jac -> graft.ops.Dedup.minhashLsh(df).collect().nonEmpty
     }
-    // high-similarity pair must collide; low-similarity must not
-    assert(hits.head._2, "jaccard 0.9 pair should be an LSH candidate")
-    assert(!hits.last._2, "jaccard 0.1 pair should not collide")
+    // with 8 bands × 4 rows: P(candidate | j=0.82) ≈ 0.98, P | j=0.05 ≈ 5e-5
+    assert(hits.head._2, s"jaccard ${hits.head._1} pair should be an LSH candidate")
+    assert(!hits.last._2, s"jaccard ${hits.last._1} pair should not collide")
   }
 }
