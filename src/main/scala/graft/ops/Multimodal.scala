@@ -71,6 +71,34 @@ object Multimodal {
         FROM documents ORDER BY doc_id""")),
 
     Q(
+      "mm_frame_sample",
+      "Frame sampling over the decoded (stubbed) video metadata: every " +
+        "5th frame index exploded to rows with a deterministic fake " +
+        "per-frame feature — the decode→sample→featurize dataflow shape " +
+        "(rows fan out on executors, never the driver). A real " +
+        "frame-grab drops into the feature expression.",
+      (s, dir) => {
+        import s.implicits._
+        val meta = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) => MediaDecode.decode(id, bytes) }
+          .toDF()
+        meta
+          .select(col("doc_id"), col("n_frames"),
+            explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"))
+          .withColumn("frame_feature",
+            pmod(col("doc_id") * 31 + col("frame_idx") * 7, lit(997)).cast("int"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH meta AS (SELECT doc_id,
+          CAST(1 + strlen(text) % 25 AS INT) AS n_frames FROM documents),
+        fr AS (SELECT doc_id, n_frames, unnest(range(0, n_frames, 5)) AS fi FROM meta)
+        SELECT doc_id, n_frames, CAST(fi AS INT) AS frame_idx,
+          CAST((doc_id * 31 + fi * 7) % 997 AS INT) AS frame_feature
+        FROM fr ORDER BY doc_id, frame_idx""")),
+
+    Q(
       "mm_decode_stub",
       "Typed per-partition decode pipeline: binary payload → case-class " +
         "metadata via Dataset.map (executor-parallel, codegen'd " +
