@@ -208,17 +208,20 @@ object Dedup {
     val bandsN = 4
     val bitsPerBand = 4
     val rng = new scala.util.Random(7)
-    // 16 hyperplanes as literal double arrays (deterministic)
-    val planes = typedlit(Seq.fill(bandsN * bitsPerBand)(Seq.fill(64)(rng.nextGaussian())))
-    val bits = transform(planes, h =>
-      when(aggregate(zip_with(col("embedding"), h, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, p) => acc + p) >= 0, 1L).otherwise(0L))
-    val sig = e.select(col("vec_id"), col("embedding"), bits.as("bits"))
+    // 16 hyperplanes as float-array literals; each signed projection is
+    // one codegen'd VecDot against the literal (unrolled — a HOF lambda
+    // over a planes array would interpret per element)
+    val planes = Seq.fill(bandsN * bitsPerBand)(Seq.fill(64)(rng.nextGaussian().toFloat))
+    val bitCols = planes.map(p =>
+      when(graft.expr.VecDot.vecDot(col("embedding"), typedlit(p)) >= 0, 1L).otherwise(0L))
+    val bucketCols = (0 until bandsN).map { bn =>
+      bitCols.slice(bn * bitsPerBand, (bn + 1) * bitsPerBand)
+        .reduce((acc, b) => acc * 2 + b).as(s"bucket_$bn")
+    }
+    val sig = e.select(Seq(col("vec_id"), col("embedding")) ++ bucketCols: _*)
     val banded = sig.select(col("vec_id"), col("embedding"),
-        explode(transform(sequence(lit(0), lit(bandsN - 1)),
-          bn => struct(bn.as("band"),
-            aggregate(slice(col("bits"), bn * bitsPerBand + 1, lit(bitsPerBand)),
-              lit(0L), (acc, b) => acc * 2 + b).as("bucket")))).as("bk"))
+        explode(array((0 until bandsN).map(bn =>
+          struct(lit(bn).as("band"), col(s"bucket_$bn").as("bucket"))): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

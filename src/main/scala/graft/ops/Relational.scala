@@ -152,6 +152,55 @@ object Relational {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     Q(
+      "agg_pivot",
+      "Pivot: order counts + rounded sums per priority, one column per " +
+        "status. Explicit value list keeps the output schema static (at " +
+        "scale an implicit pivot means an extra distinct-values job).",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(round(sum("o_totalprice"), 2))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        round(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS F,
+        round(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS O,
+        round(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    Q(
+      "agg_unpivot",
+      "Unpivot (melt): wide per-part numeric columns to (key, metric, " +
+        "value) rows — narrow shuffle-friendly form.",
+      (s, dir) => {
+        val p = Tables.t(s, dir, "part")
+        p.select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("double").as("p_size"))
+          .unpivot(
+            Array(col("p_partkey")),
+            Array(col("p_retailprice"), col("p_size")),
+            "metric", "value")
+          .orderBy("p_partkey", "metric")
+      },
+      Some("""SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+        ORDER BY p_partkey, metric""")),
+
+    Q(
+      "agg_string_agg",
+      "String aggregation (listagg): ordered, delimited concatenation " +
+        "per group — built as concat_ws over a sorted collect_list.",
+      (s, dir) => {
+        val n = Tables.t(s, dir, "nation")
+        n.groupBy("n_regionkey")
+          .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    Q(
       "agg_percentile",
       "Exact interpolated percentiles per group (median + p90). Rounded " +
         "post-aggregate: both engines interpolate over the same sorted " +
