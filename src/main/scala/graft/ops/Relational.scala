@@ -527,6 +527,27 @@ object Relational {
         ORDER BY o_custkey, day, o_orderkey""")),
 
     Q(
+      "window_distribution",
+      "Distribution window functions: percent_rank and cume_dist per " +
+        "market segment (exact rational values — identical operands both " +
+        "engines, no rounding needed).",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+        c.select(
+            col("c_custkey"), col("c_mktsegment"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+        percent_rank() OVER w AS pr,
+        cume_dist() OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey""")),
+
+    Q(
       "window_ntile",
       "ntile quartiles over a global ordering. NOTE: an unpartitioned " +
         "window forces all rows through one task — acceptable for a " +

@@ -194,6 +194,55 @@ object Scalars {
         FROM events ORDER BY event_id""")),
 
     Q(
+      "scalar_string2",
+      "Second string family: pad, reverse, repeat, translate, " +
+        "contains/startsWith/endsWith predicates.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            lpad(col("lang"), 5, "*").as("lang_lpad"),
+            rpad(col("source"), 8, "-").as("src_rpad"),
+            reverse(col("lang")).as("lang_rev"),
+            repeat(col("lang"), 3).as("lang_x3"),
+            translate(col("source"), "src", "SRC").as("src_tr"),
+            col("text").contains("table").as("has_table"),
+            col("source").startsWith("src1").as("is_src1x"),
+            col("lang").endsWith("n").as("ends_n"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        lpad(lang, 5, '*') AS lang_lpad,
+        rpad(source, 8, '-') AS src_rpad,
+        reverse(lang) AS lang_rev,
+        repeat(lang, 3) AS lang_x3,
+        translate(source, 'src', 'SRC') AS src_tr,
+        contains(text, 'table') AS has_table,
+        starts_with(source, 'src1') AS is_src1x,
+        ends_with(lang, 'n') AS ends_n
+        FROM documents ORDER BY doc_id""")),
+
+    Q(
+      "scalar_struct",
+      "Struct family: construction (named_struct), nested field access, " +
+        "struct column round-trip through the sink.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val st = struct(col("lang").as("lang"), col("n_chars").as("n"))
+        d.select(
+            col("doc_id"),
+            st.as("meta"),
+            st.getField("lang").as("meta_lang"),
+            (st.getField("n") + 1).as("n_plus"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        struct_pack(lang := lang, n := n_chars) AS meta,
+        lang AS meta_lang,
+        n_chars + 1 AS n_plus
+        FROM documents ORDER BY doc_id""")),
+
+    Q(
       "scalar_map",
       "Map family: map construction, map_keys/map_values (insertion " +
         "order both engines), element_at lookups incl. a missing key.",
