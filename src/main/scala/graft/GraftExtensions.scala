@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{HammingDistance, VecDot}
+import graft.expr.{HammingDistance, MinHashSig, VecDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -31,7 +31,11 @@ object GraftExtensions {
     (
       FunctionIdentifier("hamming_distance"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
-      (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))),
+    (
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
 
   /** Imperative registration on an already-running session. */
   def register(spark: SparkSession): Unit =

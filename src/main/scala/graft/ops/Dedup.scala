@@ -236,23 +236,14 @@ object Dedup {
   }
 
   /** MinHash-LSH candidate generation + verification, reusable from the
-    * spec. 32 permutations h_i(t) = (a_i·h32(t) + b_i) mod p, 8 bands of
-    * 4 rows. The token hash is first reduced to 32 bits and multipliers
-    * stay < 2^20 so a_i·h32 + b_i < 2^53 — no long overflow under
-    * Spark 4's default ANSI arithmetic. */
+    * spec. 32 permutations via the native [[graft.expr.MinHashSig]]
+    * expression (one compiled pass, each token hashed once), 8 bands of
+    * 4 rows. */
   def minhashLsh(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val p = 4294967291L // largest prime < 2^32
-    val rng = new scala.util.Random(42)
-    val as = typedlit(Seq.fill(k)((rng.nextInt(1 << 20).toLong << 1) | 1L))
-    val bs = typedlit(Seq.fill(k)(rng.nextLong().abs % p))
-    // materialize the distinct token array once; building `sig` straight
-    // off the split expression would re-tokenize per permutation (32×)
     val tokens = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tokens"))
-    val sig = transform(sequence(lit(1), lit(k)), i =>
-      array_min(transform(col("tokens"), t =>
-        pmod(element_at(as, i) * pmod(xxhash64(t), lit(p)) + element_at(bs, i), lit(p)))))
-    val d = tokens.select(col("doc_id"), col("tokens"), sig.as("sig"))
+    val d = tokens.select(col("doc_id"), col("tokens"),
+      graft.expr.MinHashSig.minhashSig(col("tokens"), numHashes = k).as("sig"))
     val banded = d.select(col("doc_id"), col("tokens"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           bn => struct(bn.as("band"),
