@@ -83,7 +83,13 @@ case class AsOfJoinExec(
     val rightWidth = right.output.size
     val schema = output
 
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfJoinExec children must be co-partitioned " +
+        s"(left=${lRdd.getNumPartitions}, right=${rRdd.getNumPartitions}); " +
+        "EnsureRequirements/AQE should have aligned them")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       // ordering within a partition: (key asc, time asc) on both sides.
       // Two-pointer merge with one buffered right row per current key.
       val nullRight = new GenericInternalRow(rightWidth)

@@ -131,6 +131,35 @@ object StreamOps {
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Stream-stream inner join: purchases enriched with the user's
+    * clicks within the preceding 30 minutes. Both sides watermarked and
+    * the join range-bounded — the two conditions Spark needs to bound
+    * state retention on BOTH sides at 100 TB/day rates. */
+  def purchaseClickJoin(spark: SparkSession, events: Dataset[Event]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
+  /** foreachBatch sink: per-micro-batch custom logic (upserts, multi-
+    * sink fan-out — whatever the format API can't express). The handler
+    * receives a BATCH DataFrame, so everything in the engine applies. */
+  def foreachBatchSink(df: DataFrame, checkpointDir: String)(
+      handler: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit) =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(handler)
+      .outputMode("append")
+      .start()
+
   /** Streaming parquet sink with checkpointing (the A12 sink in stream
     * form). Returns the started query; caller stops it. */
   def parquetSink(df: DataFrame, outDir: String, checkpointDir: String) =

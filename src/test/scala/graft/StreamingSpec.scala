@@ -128,6 +128,42 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stream-stream join matches purchases to preceding clicks in range") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.purchaseClickJoin(spark, in.toDS())
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0),     // 10:00 click
+      Event(2, ts(20), 1, "purchase", 5.0), // 10:20 purchase → joins click@10:00
+      Event(3, ts(2), 2, "click", 1.0),     // other user
+      Event(4, ts(55), 1, "purchase", 5.0)) // 10:55 → click@10:00 is 55m old, out of range
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj").select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L)), s"got $got")
+  }
+
+  test("foreachBatch sink receives batch DataFrames with batch ids") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = StreamOps.foreachBatchSink(in.toDS().toDF(), tmpDir("graft-feb-cp")) {
+      (batch, id) => seen.add(id -> batch.count())
+    }
+    in.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 1, "view", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(2), 2, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = seen.toArray(Array.empty[(Long, Long)]).toSeq.sortBy(_._1)
+    assert(rows.map(_._2).sum == 3, s"all events must pass through: $rows")
+    assert(rows.map(_._1).distinct.size == rows.size, "distinct batch ids")
+  }
+
   test("streaming parquet sink with checkpoint writes append-mode files") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
