@@ -28,7 +28,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // a failed query must be visible, not a plausible timing
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())

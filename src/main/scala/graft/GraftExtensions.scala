@@ -35,7 +35,21 @@ object GraftExtensions {
     (
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        // minhash_sig(tokens[, numHashes[, seed]]) — literal params only
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig $what must be an integer literal, got $other")
+        }
+        exprs match {
+          case Seq(t)       => MinHashSig(t)
+          case Seq(t, k)    => MinHashSig(t, intLit(k, "numHashes"))
+          case Seq(t, k, s) => MinHashSig(t, intLit(k, "numHashes"), intLit(s, "seed").toLong)
+          case _ => throw new IllegalArgumentException(
+            s"minhash_sig takes 1-3 arguments, got ${exprs.size}")
+        }
+      }))
 
   /** Imperative registration on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -55,6 +55,17 @@ object ExportConfig {
         mm.map { case (k, v) => k.toString -> Option(v).map(_.toString).filter(_.nonEmpty) }
       case _ => Map.empty
     }
+    val ranges: Map[String, (Option[String], Option[String])] = m.get("date_ranges") match {
+      case Some(mm: Map[_, _]) =>
+        mm.map { case (k, v) =>
+          val bounds = v match {
+            case xs: Seq[_] => xs.map(x => Option(x).map(_.toString).filter(_.nonEmpty))
+            case _          => Seq.empty
+          }
+          k.toString -> (bounds.headOption.flatten, bounds.lift(1).flatten)
+        }
+      case _ => Map.empty
+    }
     // Correctly spelled key wins; reference-compatible typo'd key accepted.
     val batch = m.get("batch_size").orElse(m.get("bacth_size"))
       .map(_.toString.toDouble.toInt).getOrElse(10000)
@@ -68,6 +79,7 @@ object ExportConfig {
       excludeTables = strSet("exclude_tables"),
       batchSize = batch,
       rowGroupSize = int("row_group_size", 400000),
-      dateColumns = dateCols)
+      dateColumns = dateCols,
+      dateRanges = ranges)
   }
 }

@@ -77,7 +77,13 @@ object Export {
     val selected =
       if (cfg.includeTables.nonEmpty) all.intersect(cfg.includeTables)
       else all.diff(cfg.excludeTables)
-    selected.toSeq.sorted.map { table =>
+    // an include entry with no date_columns config is an error, not a
+    // silent skip ("never lose the error")
+    val unknown = cfg.includeTables.diff(all).toSeq.sorted.map { t =>
+      Left(t -> new IllegalArgumentException(
+        s"include_tables entry '$t' has no date_columns configuration"))
+    }
+    unknown ++ selected.toSeq.sorted.map { table =>
       try Right(exportTable(spark, cfg, src, table, cfg.dateColumns(table)))
       catch { case e: Exception => Left(table -> e) }
     }

@@ -14,9 +14,18 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * Inputs must be LongType (both call sites produce 64-bit signatures). */
 case class HammingDistance(left: Expression, right: Expression)
     extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.LongType
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hamming_distance"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two bigint arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])

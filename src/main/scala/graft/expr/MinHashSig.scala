@@ -25,6 +25,16 @@ case class MinHashSig(child: Expression, numHashes: Int = 32, seed: Long = 42L)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> argument, got ${other.simpleString}")
+    }
+  }
+
   override protected def nullSafeEval(input: Any): Any =
     MinHashSig.compute(input.asInstanceOf[ArrayData], numHashes, seed)
 

@@ -19,9 +19,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * 100 TB the difference between an interpreted lambda and a compiled
   * loop on the O(pairs × dim) path is the whole budget. */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

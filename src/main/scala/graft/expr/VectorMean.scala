@@ -14,10 +14,16 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
 
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
+  /** Embeddings are fixed-dimension by contract; a ragged vector (data
+    * corruption) must not crash the task — the accumulator grows to the
+    * max seen length and shorter inputs contribute to their prefix. */
+  private def grown(acc: Array[Double], n: Int): Array[Double] =
+    if (acc.length >= n) acc else java.util.Arrays.copyOf(acc, n)
+
   override def reduce(b: (Array[Double], Long), a: Seq[Float]): (Array[Double], Long) = {
     if (a == null) b
     else {
-      val acc = if (b._1.isEmpty) new Array[Double](a.length) else b._1
+      val acc = grown(b._1, a.length)
       var i = 0
       while (i < a.length) { acc(i) += a(i); i += 1 }
       (acc, b._2 + 1)
@@ -28,9 +34,10 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
     if (x._1.isEmpty) y
     else if (y._1.isEmpty) x
     else {
+      val acc = grown(x._1, y._1.length)
       var i = 0
-      while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
-      (x._1, x._2 + y._2)
+      while (i < y._1.length) { acc(i) += y._1(i); i += 1 }
+      (acc, x._2 + y._2)
     }
   }
 

@@ -31,16 +31,17 @@ object Dedup {
   private def bitMasks = typedlit((0 until 64).map(b => 1L << b))
 
   /** 64-bit SimHash of the token multiset: per bit, sign of the sum of
-    * ±1 votes from each token's xxhash64. Pure HOF fold — stays in
-    * codegen, no UDF. */
+    * ±1 votes from each token's xxhash64. The fold runs over the
+    * PRE-HASHED array (transform once) — voting on `xxhash64(w)` inside
+    * the per-mask lambda would hash every token 64 times. */
   private def simhash64(words: Column): Column = {
     val votes = aggregate(
-      words,
+      transform(words, w => xxhash64(w)),
       array_repeat(lit(0L), 64),
-      (acc, w) => zip_with(
+      (acc, h) => zip_with(
         acc,
         transform(bitMasks, m =>
-          when(xxhash64(w).bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))),
+          when(h.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))),
         (a, v) => a + v))
     aggregate(
       zip_with(votes, bitMasks, (v, m) => when(v > 0, m).otherwise(lit(0L))),

@@ -388,15 +388,17 @@ object Relational {
       "join_asof",
       "As-of join: for each event, the most recent purchase ts (≤ its " +
         "own ts) of the same user. Implemented as a single-pass window " +
-        "(last ignoreNulls over unbounded-preceding) — one shuffle on " +
+        "(max over an unbounded-preceding RANGE frame) — one shuffle on " +
         "user_id, no self-join blowup; DuckDB's native ASOF JOIN is the " +
-        "oracle. Emitted as epoch-µs (events.ts is ns in parquet).",
+        "oracle. The RANGE (not ROWS) frame includes same-ts peers, so a " +
+        "same-timestamp purchase matches — ASOF's `>=` semantics exactly. " +
+        "Emitted as epoch-µs (events.ts is ns in parquet).",
       (s, dir) => {
         val e = Tables.t(s, dir, "events")
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val w = Window.partitionBy("user_id").orderBy(col("ts"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         e.withColumn("p_ts",
-            last(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true).over(w))
+            max(when(col("event_type") === "purchase", col("ts"))).over(w))
           .select(col("event_id"), Tables.epochUs(col("p_ts")).as("asof_us"))
           .orderBy("event_id")
       },

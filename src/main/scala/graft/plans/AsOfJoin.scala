@@ -107,11 +107,13 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val k = lKey.eval(l)
-          if (k == null) {
-            // SQL join semantics: null keys never match
+          val tBoxed = lTime.eval(l)
+          if (k == null || tBoxed == null) {
+            // SQL join semantics: null keys/times never match (an
+            // unboxed null would silently read as epoch 0)
             return project(joined(l, nullRight))
           }
-          val t = lTime.eval(l).asInstanceOf[Long]
+          val t = tBoxed.asInstanceOf[Long]
           if (!haveKey || k != curKey) {
             curKey = k
             haveKey = true
@@ -119,10 +121,14 @@ case class AsOfJoinExec(
             // drop right rows with key < current left key
             while (rBuf.hasNext && lt(rKey.eval(rBuf.head), k)) rBuf.next()
           }
-          // consume right rows with same key and time <= t
-          while (rBuf.hasNext && rKey.eval(rBuf.head) == k &&
-              rTime.eval(rBuf.head).asInstanceOf[Long] <= t) {
-            lastMatch = rBuf.next().copy()
+          // consume right rows with same key and time <= t; null right
+          // times sort first (asc) and must never become a match
+          var advance = true
+          while (advance && rBuf.hasNext && rKey.eval(rBuf.head) == k) {
+            val rt = rTime.eval(rBuf.head)
+            if (rt == null) rBuf.next() // skip, never buffer
+            else if (rt.asInstanceOf[Long] <= t) lastMatch = rBuf.next().copy()
+            else advance = false
           }
           project(joined(l, if (lastMatch == null) nullRight else lastMatch))
         }

@@ -53,6 +53,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning"), "children should be hash-clustered")
   }
 
+  test("null timestamps never match (not unboxed to epoch 0)") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, Some(ts("2024-01-01 00:10:00")), "normal"),
+      (1L, None, "null-time")).toDF("k", "lt", "tag")
+      .select(col("k"), col("lt").cast("timestamp").as("lt"), col("tag"))
+    val r = Seq(
+      (1L, Some(ts("2024-01-01 00:00:00")), 1.0),
+      (1L, None, 99.0)) // null right time must never be buffered as a match
+      .toDF("rk", "rt", "v")
+      .select(col("rk"), col("rt").cast("timestamp").as("rt"), col("v"))
+    val got = AsOf.join(l, r, "k", "rk", "lt", "rt")
+      .select("tag", "v").collect()
+      .map(row => (row.getString(0), if (row.isNullAt(1)) None else Some(row.getDouble(1))))
+      .toMap
+    assert(got("normal") == Some(1.0), "real match picks the non-null-time row")
+    assert(got("null-time") == None, "null left time gets no match")
+  }
+
   test("duplicate right times at the match boundary take the last in sort order") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 00:00:10"), "L")).toDF("k", "lt", "tag")

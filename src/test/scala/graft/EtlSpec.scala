@@ -25,6 +25,30 @@ class EtlSpec extends SparkSpec {
     assert(c.dateColumns == Map("lineitem" -> Some("l_shipdate"), "region" -> None))
   }
 
+  test("config: date_ranges parsed from the map form") {
+    val c = ExportConfig.fromMap(Map(
+      "start_date" -> "1996-01-01",
+      "date_ranges" -> Map(
+        "lineitem" -> Seq("1997-01-01", "1997-12-31"),
+        "orders" -> Seq(null, "1998-06-30"))))
+    assert(c.rangeFor("lineitem") == (Some("1997-01-01"), Some("1997-12-31")))
+    assert(c.rangeFor("orders") == (None, Some("1998-06-30")))
+    assert(c.rangeFor("part") == (Some("1996-01-01"), None)) // global fallback
+  }
+
+  test("export: include entry without date_columns config surfaces an error") {
+    val out = tmpDir("graft-export-unk")
+    val results = Export.run(spark, ExportConfig(
+      inputDir = sfDir, outputDir = out,
+      includeTables = Set("region", "ordrs"),
+      dateColumns = Map("region" -> None)))
+    assert(results.exists {
+      case Left((t, e)) => t == "ordrs" && e.getMessage.contains("no date_columns")
+      case _ => false
+    }, s"missing include must be a Left: $results")
+    assert(results.exists(_.toOption.exists(_.table == "region")))
+  }
+
   test("export round-trip: filter + derive + partitioned zstd write (A4-A12)") {
     val out = tmpDir("graft-export")
     val cfg = ExportConfig(
