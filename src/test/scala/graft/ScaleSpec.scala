@@ -98,6 +98,41 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("partition pruning: reading one part_year touches only that directory") {
+    val out = tmpDir("graft-prune")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.withColumn("part_year", graft.etl.Export.partitionValue("l_shipdate"))
+      .write.mode("overwrite").partitionBy("part_year").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("part_year") === "1996")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("1996"),
+      s"partition filter not applied:\n${plan.take(1500)}")
+    val expected = li.filter(year(col("l_shipdate")) === 1996).count()
+    assert(pruned.count() == expected)
+  }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val out = tmpDir("graft-dpp")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.withColumn("part_year", year(col("l_shipdate")))
+      .write.mode("overwrite").partitionBy("part_year").parquet(out)
+    // dim filter not statically foldable (a literal year would be
+    // constant-propagated into a static partition filter — no DPP needed)
+    val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_totalprice") > 450000)
+      .select(year(col("o_orderdate")).as("d_year")).distinct()
+    val j = spark.read.parquet(out)
+      .join(dim, col("part_year") === col("d_year"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n${plan.take(2000)}")
+    val years = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_totalprice") > 450000)
+      .select(year(col("o_orderdate"))).distinct().collect().map(_.getInt(0)).toSet
+    val expected = li.filter(year(col("l_shipdate")).isin(years.toSeq: _*)).count()
+    assert(j.count() == expected)
+  }
+
   test("query-execution listener captures write metrics (A15)") {
     val rec = Metrics.attach(spark)
     val out = tmpDir("graft-metrics")
