@@ -243,6 +243,36 @@ object Scalars {
         FROM documents ORDER BY doc_id""")),
 
     Q(
+      "scalar_array_setops",
+      "Array set operations between the two halves of each document's " +
+        "token list: sorted intersect / union / except (sorting removes " +
+        "the engines' differing element-order conventions).",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+        val half = (size(col("words")) / 2).cast("int")
+        val d2 = d.select(col("doc_id"),
+          slice(col("words"), lit(1), half).as("w1"),
+          slice(col("words"), half + 1, size(col("words"))).as("w2"))
+        d2.select(
+            col("doc_id"),
+            sort_array(array_distinct(array_intersect(col("w1"), col("w2")))).as("common"),
+            sort_array(array_distinct(array_union(col("w1"), col("w2")))).as("all_toks"),
+            sort_array(array_distinct(array_except(col("w1"), col("w2")))).as("only_first"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        h AS (SELECT doc_id,
+            words[1:CAST(len(words) // 2 AS INT)] AS w1,
+            words[CAST(len(words) // 2 AS INT) + 1:] AS w2
+          FROM d)
+        SELECT doc_id,
+          list_sort(list_distinct(list_intersect(w1, w2))) AS common,
+          list_sort(list_distinct(w1 || w2)) AS all_toks,
+          list_sort(list_distinct(list_filter(w1, x -> NOT list_contains(w2, x)))) AS only_first
+        FROM h ORDER BY doc_id""")),
+
+    Q(
       "scalar_map",
       "Map family: map construction, map_keys/map_values (insertion " +
         "order both engines), element_at lookups incl. a missing key.",

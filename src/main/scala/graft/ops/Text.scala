@@ -232,6 +232,22 @@ object Text {
       None),
 
     Q(
+      "text_length_histogram",
+      "Corpus profiling: fixed-width histogram of document lengths " +
+        "(floor bucketing — exact integer arithmetic both engines). The " +
+        "distribution pass every curation pipeline runs before choosing " +
+        "length filters.",
+      (s, dir) => {
+        val width = 50
+        Tables.t(s, dir, "documents")
+          .select((floor(col("n_chars") / width) * width).cast("long").as("bucket_lo"))
+          .groupBy("bucket_lo").agg(count(lit(1)).as("n"))
+          .orderBy("bucket_lo")
+      },
+      Some("""SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo, count(*) AS n
+        FROM documents GROUP BY 1 ORDER BY bucket_lo""")),
+
+    Q(
       "text_fingerprint",
       "Document fingerprinting: content hash (md5/sha256) plus a " +
         "canonical fingerprint over the sorted distinct token set " +
