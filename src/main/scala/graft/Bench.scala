@@ -28,19 +28,28 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
           case e: Throwable =>
             // a failed query must be visible, not a plausible timing
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            Double.NaN
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val (a, b) = (once(), once())
+      // -1 sentinel: a failed query must never read as a fast engine
+      name -> (if (a.isNaN || b.isNaN) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.filter(_._2 >= 0)
+    val failed = results.size - ok.size
+    val total = ok.values.sum
+    def f3(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The machine line goes LAST and stays compact (3-decimal values):
+    // the driver tail-captures stdout, so anything printed after the
+    // JSON — or a front-loaded giant line — would truncate it.
+    System.out.flush()
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

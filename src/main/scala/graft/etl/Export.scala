@@ -98,14 +98,27 @@ object Export {
     val out = s"${cfg.outputDir}/$table"
     val (start, end) = cfg.rangeFor(table)
     val df = transform(source.read(spark, table), dateCol, start, end)
-    df.write
-      .mode("overwrite")
-      .partitionBy("part_year")
-      .option("compression", cfg.compression)
-      // reference rotates files at row_group_size*10 rows (main.py:225-228)
-      .option("maxRecordsPerFile", cfg.rowGroupSize.toLong * 10)
-      .parquet(out)
-    val rows = spark.read.parquet(out).count()
-    TableResult(table, rows, out)
+    // A13's running count comes from the write job's own numOutputRows
+    // metric (a re-read-and-count would double every export's read I/O
+    // — at 100 TB that is the difference between one pass and two).
+    val recorder = Metrics.attach(spark)
+    try {
+      df.write
+        .mode("overwrite")
+        .partitionBy("part_year")
+        .option("compression", cfg.compression)
+        // reference rotates files at row_group_size*10 rows (main.py:225-228)
+        .option("maxRecordsPerFile", cfg.rowGroupSize.toLong * 10)
+        .parquet(out)
+      // listener delivery is async — barrier before reading the metric
+      org.apache.spark.sql.graftshim.CatalystBridge.waitForListeners(spark)
+      val rows = recorder.snapshot()
+        .filter(_.failure.isEmpty)
+        .flatMap(_.numOutputRows)
+        .lastOption
+        .getOrElse(throw new IllegalStateException(
+          s"write of $table reported no numOutputRows metric"))
+      TableResult(table, rows, out)
+    } finally Metrics.detach(spark, recorder)
   }
 }

@@ -27,6 +27,11 @@ object Metrics {
     r
   }
 
+  /** Remove a recorder's listener (scoped use: attach → action → read →
+    * detach, so short-lived recorders don't accumulate on the session). */
+  def detach(spark: SparkSession, r: Recorder): Unit =
+    spark.listenerManager.unregister(r.listener)
+
   final class Recorder {
     private val events = new ConcurrentLinkedQueue[ActionMetrics]()
 

@@ -58,7 +58,9 @@ object MinHashSig {
     coeffCache.computeIfAbsent((seed, k), { _ =>
       val rng = new scala.util.Random(seed)
       val as = Array.fill(k)((rng.nextInt(1 << 20).toLong << 1) | 1L)
-      val bs = Array.fill(k)(rng.nextLong().abs % P)
+      // floorMod, not .abs % P: Long.MinValue.abs is still negative and
+      // would yield a negative b_i corrupting the min-tracking
+      val bs = Array.fill(k)(java.lang.Math.floorMod(rng.nextLong(), P))
       (as, bs)
     })
 

@@ -33,9 +33,27 @@ object AsOf {
     def resolve(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not in ${plan.output.map(_.name)}"))
-    CatalystBridge.ofRows(spark,
-      AsOfJoin(lp, rp,
-        resolve(lp, leftKey), resolve(rp, rightKey),
-        resolve(lp, leftTime), resolve(rp, rightTime)))
+    val (lk, rk) = (resolve(lp, leftKey), resolve(rp, rightKey))
+    val (lt, rt) = (resolve(lp, leftTime), resolve(rp, rightTime))
+    // fail fast at plan time: the exec's orderings assume matching,
+    // orderable types — a mismatch here would otherwise surface as a
+    // wrong answer or a deep executor-side cast failure
+    def check(ok: Boolean, msg: => String): Unit =
+      if (!ok) throw new IllegalArgumentException(msg)
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    import org.apache.spark.sql.types.DataType
+    def same(a: DataType, b: DataType) =
+      DataType.equalsStructurally(a, b, ignoreNullability = true)
+    check(same(lk.dataType, rk.dataType),
+      s"as-of key types differ: $leftKey is ${lk.dataType.simpleString}, " +
+        s"$rightKey is ${rk.dataType.simpleString}")
+    check(same(lt.dataType, rt.dataType),
+      s"as-of time types differ: $leftTime is ${lt.dataType.simpleString}, " +
+        s"$rightTime is ${rt.dataType.simpleString}")
+    check(RowOrdering.isOrderable(lk.dataType),
+      s"as-of key type ${lk.dataType.simpleString} is not orderable")
+    check(RowOrdering.isOrderable(lt.dataType),
+      s"as-of time type ${lt.dataType.simpleString} is not orderable")
+    CatalystBridge.ofRows(spark, AsOfJoin(lp, rp, lk, rk, lt, rt))
   }
 }

@@ -85,27 +85,15 @@ object Dedup {
       "Near-dup detection by bigram-shingle Jaccard, top-50 pairs. " +
         "Scalable shape: explode shingles → self-equi-join on shingle → " +
         "count intersections → sizes join (|A∪B| = |A|+|B|−|A∩B|). " +
-        "Jaccard is a single division of identical integers in both " +
-        "engines, so ordering on it is exact.",
-      (s, dir) => {
-        val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
-          .select(col("doc_id"), split(col("text"), " ").as("words"))
-          .select(col("doc_id"), bigramShingles(col("words")).as("shingles"))
-        val sizes = d.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
-        val ex = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        val pairs = ex.as("a").join(ex.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "na"), "d1")
-          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "nb"), "d2")
-          .select(col("d1"), col("d2"), col("inter"),
-            (col("na") + col("nb") - col("inter")).as("un"),
-            (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-          .orderBy(col("jaccard").desc, col("d1"), col("d2"))
-          .limit(50)
-      },
+        "The self-join routes through Skew.saltedJoinHot (threshold 20 " +
+        "docs), so stopword-ish hot shingles are salted 8 ways instead " +
+        "of pinning one reducer — active on this fixture (max df 23) " +
+        "and semantics-preserving (same oracle). Jaccard is a single " +
+        "division of identical integers in both engines, so ordering " +
+        "on it is exact.",
+      (s, dir) => ngramJaccard(
+        Tables.t(s, dir, "documents").filter(col("doc_id") < 200),
+        topK = 50, hotThreshold = 20),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
           FROM documents WHERE doc_id < 200),
         sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words)),
@@ -162,20 +150,23 @@ object Dedup {
 
     Q(
       "dedup_embedding_cosine",
-      "Embedding-cosine near-dup pairs (threshold 0.4). Double-precision " +
-        "sequential-fold dot products are bit-identical to the oracle's " +
-        "list_reduce, so the threshold cut is exact. All-pairs here " +
-        "(N=500 fixture); the scale path is LSH/IVF bucketing first " +
-        "(see sim_ann_ivf).",
+      "Embedding-cosine near-dup pairs (threshold 0.4) for a BOUNDED " +
+        "probe set (vec_id < 64) against the full corpus: exact " +
+        "double-precision cosine, bit-identical to the oracle's " +
+        "list_reduce fold. The probe side is broadcast, so the plan is " +
+        "O(K·N) scanning the corpus once — never an unbounded all-pairs " +
+        "nested loop. This is the exact recall baseline for " +
+        "dedup_embedding_lsh, which is the unbounded-corpus scale path.",
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
         // precompute each side's norm once (O(N)) so the pair loop does a
-        // single dot product (O(N²) pairs × 1 fold, not 3)
-        val a = e.select(col("vec_id").as("v1"), col("embedding").as("ea"),
-          sqrt(VectorOps.normSq(col("embedding"))).as("na"))
-        val b = e.select(col("vec_id").as("v2"), col("embedding").as("eb"),
+        // single dot product per candidate (1 fold, not 3)
+        val probe = e.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("v1"), col("embedding").as("ea"),
+            sqrt(VectorOps.normSq(col("embedding"))).as("na"))
+        val corpus = e.select(col("vec_id").as("v2"), col("embedding").as("eb"),
           sqrt(VectorOps.normSq(col("embedding"))).as("nb"))
-        a.join(b, col("v1") < col("v2"))
+        corpus.join(broadcast(probe), col("v1") < col("v2"))
           .withColumn("cos", VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
           .filter(col("cos") >= 0.4)
           .select(col("v1"), col("v2"), round(col("cos"), 6).as("cos_sim"))
@@ -183,7 +174,8 @@ object Dedup {
       },
       Some(s"""WITH p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
           ${VectorOps.duckCosine("a.embedding", "b.embedding")} AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 64)
         SELECT v1, v2, round(cos, 6) AS cos_sim FROM p
         WHERE cos >= 0.4 ORDER BY v1, v2""")),
 
@@ -197,6 +189,42 @@ object Dedup {
       (s, dir) => embeddingLsh(Tables.t(s, dir, "embeddings")),
       None)
   )
+
+  /** Bigram-shingle Jaccard near-dup pairs, top-k. Candidate generation
+    * is explode → self-equi-join on shingle (never all-pairs); the join
+    * goes through [[Skew.saltedJoinHot]] so shingles appearing in more
+    * than `hotThreshold` docs are salted `salts` ways — the hot-shingle
+    * mitigation for real corpora where a boilerplate bigram would
+    * otherwise concentrate O(df²) pair work on one task. The da < db
+    * filter sits directly above the inner join, so Catalyst pushes it
+    * into the join condition. */
+  def ngramJaccard(
+      docs: DataFrame,
+      topK: Int = 50,
+      hotThreshold: Long = 1000000L,
+      salts: Int = 8): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), bigramShingles(col("words")).as("shingles"))
+    val sizes = d.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val ex = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val a = ex.select(col("shingle"), col("doc_id").as("da"))
+    val b = ex.select(col("shingle"), col("doc_id").as("db"))
+    val pairs = Skew
+      .saltedJoinHot(a, b, "shingle", spreadBy = col("da"), salts = salts,
+        hotThreshold = hotThreshold)
+      .filter(col("da") < col("db"))
+      .groupBy(col("da").as("d1"), col("db").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "na"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "nb"), "d2")
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("un"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(topK)
+  }
 
   /** Random-hyperplane LSH near-dup over embeddings: 16 signed
     * projections (4 bands × 4 bits) bucket the vectors; candidate pairs

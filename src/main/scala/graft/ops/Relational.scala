@@ -132,21 +132,25 @@ object Relational {
     Q(
       "agg_collect",
       "collect_list / collect_set made deterministic by sorting the " +
-        "arrays. Bounded input (filter) — unbounded collect on a hot key " +
-        "is an anti-pattern at scale, hence the guard.",
+        "arrays (numerically, before the canonical ','-joined string " +
+        "encoding — string-sorting would put 10 before 2). Bounded input " +
+        "(filter) — unbounded collect on a hot key is an anti-pattern at " +
+        "scale, hence the guard.",
       (s, dir) => {
         val c = Tables.t(s, dir, "customer")
         c.filter(col("c_custkey") < 200)
           .groupBy("c_mktsegment")
           .agg(
-            array_sort(collect_list(col("c_custkey"))).as("custkeys"),
-            array_sort(collect_set(col("c_nationkey"))).as("nations"),
+            concat_ws(",", transform(array_sort(collect_list(col("c_custkey"))),
+              x => x.cast("string"))).as("custkeys"),
+            concat_ws(",", transform(array_sort(collect_set(col("c_nationkey"))),
+              x => x.cast("string"))).as("nations"),
             count(lit(1)).as("n"))
           .orderBy("c_mktsegment")
       },
       Some("""SELECT c_mktsegment,
-        list_sort(list(c_custkey)) AS custkeys,
-        list_sort(list(DISTINCT c_nationkey)) AS nations,
+        array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
+        array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
         count(*) AS n
         FROM customer WHERE c_custkey < 200
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
@@ -366,12 +370,15 @@ object Relational {
 
     Q(
       "join_range_band",
-      "Pure non-equi band join (broadcast nested loop over the small " +
-        "side): parts whose retail price falls in a band around each " +
-        "supplier's balance. At 100 TB a band join is pre-bucketed on " +
-        "floor(value/width) to regain an equi key; here the inputs are " +
-        "dimension-sized so BNLJ is the right plan.",
+      "Pure non-equi band join, planned through the engine's " +
+        "BandJoinRule (installed on the session here): the O(|L|·|R|) " +
+        "nested loop Spark would pick is rewritten to a bucketed " +
+        "equi-join on floor(value/width) — 5|L|+|R| rows through a hash " +
+        "join, the shape that survives 100 TB. Results are identical to " +
+        "the nested loop (the rule re-verifies the exact band " +
+        "condition); ScaleSpec pins the no-BNLJ plan at realistic |R|.",
       (s, dir) => {
+        graft.plans.BandJoinRule.ensureRule(s)
         val su = broadcast(Tables.t(s, dir, "supplier"))
         val p = Tables.t(s, dir, "part")
         p.join(su, col("p_retailprice").between(col("s_acctbal") - 500, col("s_acctbal") + 500))

@@ -144,7 +144,11 @@ object Scalars {
     Q(
       "scalar_array_hof",
       "Array family + higher-order functions: size, distinct-size, " +
-        "slice, transform, aggregate (fold), contains, sorted distinct.",
+        "slice, transform, aggregate (fold), contains, sorted distinct. " +
+        "Array-valued outputs are emitted through a canonical '|'-joined " +
+        "encoding (concat_ws ≡ DuckDB array_to_string) — the harness " +
+        "comparator sorts result frames and cannot order raw arrays; the " +
+        "HOF computation itself is unchanged underneath the join.",
       (s, dir) => {
         val d = Tables.t(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("words"))
@@ -153,22 +157,22 @@ object Scalars {
             col("doc_id"),
             size(w).as("n_words"),
             size(array_distinct(w)).as("n_uniq"),
-            slice(w, 1, 3).as("first3"),
-            transform(slice(w, 1, 3), t => upper(t)).as("first3_u"),
+            concat_ws("|", slice(w, 1, 3)).as("first3"),
+            concat_ws("|", transform(slice(w, 1, 3), t => upper(t))).as("first3_u"),
             aggregate(w, lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
             array_contains(w, "spark").as("has_spark"),
-            sort_array(array_distinct(w)).as("vocab"))
+            concat_ws("|", sort_array(array_distinct(w))).as("vocab"))
           .orderBy("doc_id")
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
         SELECT doc_id,
           CAST(len(words) AS INT) AS n_words,
           CAST(len(list_distinct(words)) AS INT) AS n_uniq,
-          words[1:3] AS first3,
-          list_transform(words[1:3], w -> upper(w)) AS first3_u,
+          coalesce(array_to_string(words[1:3], '|'), '') AS first3,
+          coalesce(array_to_string(list_transform(words[1:3], w -> upper(w)), '|'), '') AS first3_u,
           list_reduce(list_transform(words, w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b) AS total_chars,
           list_contains(words, 'spark') AS has_spark,
-          list_sort(list_distinct(words)) AS vocab
+          coalesce(array_to_string(list_sort(list_distinct(words)), '|'), '') AS vocab
         FROM d ORDER BY doc_id""")),
 
     Q(
@@ -224,20 +228,23 @@ object Scalars {
 
     Q(
       "scalar_struct",
-      "Struct family: construction (named_struct), nested field access, " +
-        "struct column round-trip through the sink.",
+      "Struct family: construction (named_struct), nested field access. " +
+        "The struct column is emitted as canonical JSON (to_json ≡ " +
+        "DuckDB to_json over struct_pack — both compact, key-ordered by " +
+        "construction) so the harness comparator can sort it; the struct " +
+        "construction and field access stay under test.",
       (s, dir) => {
         val d = Tables.t(s, dir, "documents")
         val st = struct(col("lang").as("lang"), col("n_chars").as("n"))
         d.select(
             col("doc_id"),
-            st.as("meta"),
+            to_json(st).as("meta"),
             st.getField("lang").as("meta_lang"),
             (st.getField("n") + 1).as("n_plus"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-        struct_pack(lang := lang, n := n_chars) AS meta,
+        CAST(to_json(struct_pack(lang := lang, n := n_chars)) AS VARCHAR) AS meta,
         lang AS meta_lang,
         n_chars + 1 AS n_plus
         FROM documents ORDER BY doc_id""")),
@@ -256,9 +263,9 @@ object Scalars {
           slice(col("words"), half + 1, size(col("words"))).as("w2"))
         d2.select(
             col("doc_id"),
-            sort_array(array_distinct(array_intersect(col("w1"), col("w2")))).as("common"),
-            sort_array(array_distinct(array_union(col("w1"), col("w2")))).as("all_toks"),
-            sort_array(array_distinct(array_except(col("w1"), col("w2")))).as("only_first"))
+            concat_ws("|", sort_array(array_distinct(array_intersect(col("w1"), col("w2"))))).as("common"),
+            concat_ws("|", sort_array(array_distinct(array_union(col("w1"), col("w2"))))).as("all_toks"),
+            concat_ws("|", sort_array(array_distinct(array_except(col("w1"), col("w2"))))).as("only_first"))
           .orderBy("doc_id")
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -267,9 +274,9 @@ object Scalars {
             words[CAST(len(words) // 2 AS INT) + 1:] AS w2
           FROM d)
         SELECT doc_id,
-          list_sort(list_distinct(list_intersect(w1, w2))) AS common,
-          list_sort(list_distinct(w1 || w2)) AS all_toks,
-          list_sort(list_distinct(list_filter(w1, x -> NOT list_contains(w2, x)))) AS only_first
+          coalesce(array_to_string(list_sort(list_distinct(list_intersect(w1, w2))), '|'), '') AS common,
+          coalesce(array_to_string(list_sort(list_distinct(w1 || w2)), '|'), '') AS all_toks,
+          coalesce(array_to_string(list_sort(list_distinct(list_filter(w1, x -> NOT list_contains(w2, x)))), '|'), '') AS only_first
         FROM h ORDER BY doc_id""")),
 
     Q(
@@ -283,17 +290,87 @@ object Scalars {
           array(col("lang"), col("source")))
         d.select(
             col("doc_id"),
-            map_keys(m).as("ks"),
-            map_values(m).as("vs"),
+            concat_ws("|", map_keys(m)).as("ks"),
+            concat_ws("|", map_values(m)).as("vs"),
             element_at(m, "lang").as("lang_v"),
             element_at(m, "nope").as("missing_v"))
           .orderBy("doc_id")
       },
       Some("""WITH d AS (SELECT doc_id, MAP(['lang','source'], [lang, source]) AS m
           FROM documents)
-        SELECT doc_id, map_keys(m) AS ks, map_values(m) AS vs,
+        SELECT doc_id,
+          array_to_string(map_keys(m), '|') AS ks,
+          array_to_string(map_values(m), '|') AS vs,
           m['lang'][1] AS lang_v, m['nope'][1] AS missing_v
         FROM d ORDER BY doc_id""")),
+
+    Q(
+      "scalar_array_flatten_zip",
+      "flatten of nested arrays + zip_with fold: flatten recombines two " +
+        "slices; zip_with pairs per-token lengths with 1-based positions " +
+        "and aggregate folds the products (position-weighted length).",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+        val w = col("words")
+        d.select(
+            col("doc_id"),
+            concat_ws("|", flatten(array(slice(w, 1, 2), slice(w, 3, 2)))).as("first4_flat"),
+            aggregate(
+              zip_with(
+                transform(w, t => length(t).cast("long")),
+                sequence(lit(1L), size(w).cast("long")),
+                (l, p) => l * p),
+              lit(0L), (acc, x) => acc + x).as("pos_weighted_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        SELECT doc_id,
+          coalesce(array_to_string(flatten([words[1:2], words[3:4]]), '|'), '') AS first4_flat,
+          list_reduce(
+            list_transform(
+              list_zip(list_transform(words, w -> CAST(length(w) AS BIGINT)),
+                       range(1, len(words) + 1)),
+              x -> x[1] * x[2]),
+            (a, b) -> a + b) AS pos_weighted_len
+        FROM d ORDER BY doc_id""")),
+
+    Q(
+      "scalar_json_schema",
+      "schema_of_json DDL inference (foldable sample — Catalyst " +
+        "requirement) plus per-row json_object_keys and " +
+        "json_array_length.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        e.select(
+            col("event_id"),
+            schema_of_json(lit("""{"k": 87}""")).as("props_schema"),
+            concat_ws("|", json_object_keys(col("props"))).as("prop_keys"),
+            json_array_length(lit("[1,2,3]")).as("arr_len"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        'STRUCT<k: BIGINT>' AS props_schema,
+        array_to_string(json_keys(props), '|') AS prop_keys,
+        CAST(json_array_length('[1,2,3]') AS INT) AS arr_len
+        FROM events ORDER BY event_id""")),
+
+    Q(
+      "map_explode",
+      "explode of a map column into (key, value) rows — the " +
+        "map-generator surface completing the map family.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val m = map_from_arrays(
+          array(lit("lang"), lit("source")),
+          array(col("lang"), col("source")))
+        d.select(col("doc_id"), explode(m))
+          .select(col("doc_id"), col("key"), col("value"))
+          .orderBy("doc_id", "key")
+      },
+      Some("""SELECT doc_id, 'lang' AS "key", lang AS "value" FROM documents
+        UNION ALL SELECT doc_id, 'source' AS "key", source AS "value" FROM documents
+        ORDER BY doc_id, "key"""")),
 
     Q(
       "explode_tokens",

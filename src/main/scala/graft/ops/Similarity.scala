@@ -87,25 +87,53 @@ object Similarity {
 
     Q(
       "sim_ann_ivf",
-      "IVF-style approximate nearest neighbor: vectors 0..7 seed the " +
-        "centroid list; every vector is assigned to its nearest centroid " +
-        "(broadcast join + argmin window); the query probes its 2 " +
-        "closest centroids and ranks only those buckets — at 100 TB this " +
-        "reads a fraction of the corpus instead of all of it. " +
+      "IVF approximate nearest neighbor: centroids built by 2 Lloyd " +
+        "k-means iterations (all DataFrame ops — broadcast assignment " +
+        "+ VectorMean update, nothing collected); every vector is " +
+        "assigned to its nearest centroid; the query probes its 2 " +
+        "closest centroids and ranks only those buckets — at 100 TB " +
+        "this reads a fraction of the corpus instead of all of it. " +
         "Approximate → no SQL oracle; ScalaTest checks recall vs " +
         "sim_topk_cosine.",
       (s, dir) => annIvf(s, dir, queryVecId = 0, nProbe = 2, topK = 10),
       None)
   )
 
-  /** IVF assignment + probe. Centroids = embeddings of vec_id < nCentroids
-    * (deterministic seeds; a real build would k-means iterate — the
-    * assignment/probe dataflow is identical). */
-  def annIvf(s: org.apache.spark.sql.SparkSession, dir: String,
-      queryVecId: Long, nProbe: Int, topK: Int, nCentroids: Int = 8): DataFrame = {
-    val e = Tables.t(s, dir, "embeddings")
-    val cents = e.filter(col("vec_id") < nCentroids)
+  /** Lloyd k-means over the embedding column, entirely as DataFrame
+    * ops: assignment = broadcast-centroids join + argmax-cosine window;
+    * update = the VectorMean typed aggregate (map-side combined, so
+    * shuffle traffic is O(k), not O(rows)). Centroids stay a k-row
+    * DataFrame end-to-end — nothing is collected to the driver; each
+    * iteration costs one broadcast + one k-group shuffle, the standard
+    * distributed k-means shape. Seeds = the first k vectors
+    * (deterministic; a k-means‖ sampler would slot in here). A cluster
+    * that loses every member drops out rather than going NaN. */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vm = udaf(VectorMean)
+    var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cid"))
+      cents = e.crossJoin(broadcast(cents))
+        .withColumn("cdist", VectorOps.cosine(col("embedding"), col("ce")))
+        .withColumn("arn", row_number().over(w))
+        .filter(col("arn") === 1)
+        .groupBy("cid")
+        .agg(vm(col("embedding")).as("cm"))
+        // cosine assignment is scale-invariant, so the unnormalized mean
+        // is a valid spherical-k-means centroid; float cast re-enters
+        // the codegen'd VecDot path
+        .select(col("cid"), col("cm").cast("array<float>").as("ce"))
+    }
+    cents
+  }
+
+  /** IVF assignment + probe over k-means-built centroids. */
+  def annIvf(s: org.apache.spark.sql.SparkSession, dir: String,
+      queryVecId: Long, nProbe: Int, topK: Int, nCentroids: Int = 8,
+      buildIters: Int = 2): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val cents = kmeansCentroids(e, nCentroids, buildIters)
     // assign every vector to its nearest centroid (broadcast nCentroids rows)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cid"))
     val assigned = e.crossJoin(broadcast(cents))

@@ -29,4 +29,31 @@ object Skew {
     val s = small.withColumn("__salt", explode(typedlit((0L until salts.toLong).toSeq)))
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Hot-key-only salting: blanket salting replicates the whole small
+    * side `salts`×, but in the power-law reality only a handful of keys
+    * are hot. This splits the join — keys with big-side frequency above
+    * `hotThreshold` go through [[saltedJoin]], the long tail through a
+    * plain equi-join — so the replication cost is paid only where the
+    * skew is. The hot-key set is exact (one aggregated pass over the
+    * big side's keys, map-side combined, broadcast back); at extreme
+    * scale the same set can come from a sample instead. Results are
+    * identical to `big.join(small, key)` for any threshold. */
+  def saltedJoinHot(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      spreadBy: Column,
+      salts: Int = 8,
+      hotThreshold: Long = 1000000L): DataFrame = {
+    val hot = big.groupBy(key).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > hotThreshold)
+      .select(key)
+    val bigHot    = big.join(broadcast(hot), Seq(key))
+    val bigCold   = big.join(broadcast(hot), Seq(key), "left_anti")
+    val smallHot  = small.join(broadcast(hot), Seq(key))
+    val smallCold = small.join(broadcast(hot), Seq(key), "left_anti")
+    saltedJoin(bigHot, smallHot, key, spreadBy, salts)
+      .unionByName(bigCold.join(smallCold, Seq(key)))
+  }
 }

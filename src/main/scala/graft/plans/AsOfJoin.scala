@@ -80,6 +80,13 @@ case class AsOfJoinExec(
     val lTime = BindReferences.bindReference(leftTime, left.output)
     val rKey = BindReferences.bindReference(rightKey, right.output)
     val rTime = BindReferences.bindReference(rightTime, right.output)
+    // Catalyst interpreted orderings: correct for every orderable type
+    // (string, decimal, date, timestamp, struct, array) — a hand-rolled
+    // Long/Int ladder would MatchError on anything else.
+    val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftTime.dataType)
     val rightWidth = right.output.size
     val schema = output
 
@@ -107,43 +114,44 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val k = lKey.eval(l)
-          val tBoxed = lTime.eval(l)
-          if (k == null || tBoxed == null) {
+          val t = lTime.eval(l)
+          if (k == null || t == null) {
             // SQL join semantics: null keys/times never match (an
             // unboxed null would silently read as epoch 0)
             return project(joined(l, nullRight))
           }
-          val t = tBoxed.asInstanceOf[Long]
-          if (!haveKey || k != curKey) {
-            curKey = k
+          if (!haveKey || !keyOrd.equiv(curKey, k)) {
+            // COPY the evaluated key: for string/binary/struct keys the
+            // eval result is a view into a reused UnsafeRow buffer that
+            // the next iterator advance silently overwrites
+            curKey = InternalRow.copyValue(k)
             haveKey = true
             lastMatch = null
-            // drop right rows with key < current left key
-            while (rBuf.hasNext && lt(rKey.eval(rBuf.head), k)) rBuf.next()
+            // drop right rows with null key (sorted first, never match)
+            // or key < current left key
+            var dropping = true
+            while (dropping && rBuf.hasNext) {
+              val rk = rKey.eval(rBuf.head)
+              if (rk == null || keyOrd.lt(rk, curKey)) rBuf.next()
+              else dropping = false
+            }
           }
           // consume right rows with same key and time <= t; null right
           // times sort first (asc) and must never become a match
           var advance = true
-          while (advance && rBuf.hasNext && rKey.eval(rBuf.head) == k) {
+          while (advance && rBuf.hasNext && {
+              val rk = rKey.eval(rBuf.head)
+              rk != null && keyOrd.equiv(rk, curKey)
+            }) {
             val rt = rTime.eval(rBuf.head)
             if (rt == null) rBuf.next() // skip, never buffer
-            else if (rt.asInstanceOf[Long] <= t) lastMatch = rBuf.next().copy()
+            else if (timeOrd.lteq(rt, t)) lastMatch = rBuf.next().copy()
             else advance = false
           }
           project(joined(l, if (lastMatch == null) nullRight else lastMatch))
         }
       }
     }
-  }
-
-  /** Keys here are numeric/long in practice; a production version would
-    * thread the catalyst ordering for arbitrary types. */
-  private def lt(a: Any, b: Any): Boolean = (a, b) match {
-    case (null, _) => true
-    case (_, null) => false
-    case (x: Long, y: Long) => x < y
-    case (x: Int, y: Int) => x < y
-    case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
   }
 
   override protected def withNewChildrenInternal(

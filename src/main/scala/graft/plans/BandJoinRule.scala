@@ -18,13 +18,17 @@ import org.apache.spark.sql.types._
   *   R' = R projected with bucket(b)
   *   L' ⋈ R' ON L'.bucket = R'.bucket AND <original band condition>
   *
-  * Any (a, b) with |a - b| <= W lands in adjacent buckets, so the 3-way
-  * explode covers every candidate exactly once (the right row owns ONE
-  * bucket — no dedup needed), and the original condition re-verifies
-  * exact membership. Cost: 3|L| + |R| rows through a hash join instead
-  * of |L|·|R| comparisons — the difference between feasible and not at
-  * 100 TB (this is the standard interval-bucketing trick behind
-  * production range-join optimizations).
+  * Any (a, b) with |a - b| <= W lands within one bucket of each other in
+  * exact arithmetic; the floating-point divisions a/W and b/W each carry
+  * up to 1 ulp of error, which at the inclusive boundary |a-b| == W can
+  * push the two floor() results 2 apart — so the explode covers ±2
+  * buckets, which bounds the computed difference with margin. Candidates
+  * are covered exactly once (the right row owns ONE bucket — no dedup
+  * needed), and the original condition re-verifies exact membership.
+  * Cost: 5|L| + |R| rows through a hash join instead of |L|·|R|
+  * comparisons — the difference between feasible and not at 100 TB
+  * (this is the standard interval-bucketing trick behind production
+  * range-join optimizations).
   *
   * Scope guards: inner join, condition is exactly the two-sided band
   * with foldable non-negative numeric widths, no equi conjunct (if one
@@ -40,6 +44,16 @@ import org.apache.spark.sql.types._
   * ratio scales with |R| (nested-loop is |L|·|R|, this is 3|L|+|R|).
   */
 object BandJoinRule extends Rule[LogicalPlan] {
+
+  /** Idempotent installation on a live session (the extensions path
+    * only applies at session build time). The rule is semantics-
+    * preserving and self-guarding (its output has an equi conjunct, so
+    * it can never match its own rewrite), so leaving it installed
+    * session-wide is safe. */
+  def ensureRule(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(BandJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BandJoinRule
 
   private def unwrapLit(e: Expression): Option[Double] = e match {
     case Literal(v: Number, _: NumericType) => Some(v.doubleValue())
@@ -81,7 +95,9 @@ object BandJoinRule extends Rule[LogicalPlan] {
         case Some((a, b, width)) =>
           val lBucket = bucketOf(a, width)
           val candidates = CreateArray(Seq(
-            Subtract(lBucket, Literal(1L)), lBucket, Add(lBucket, Literal(1L))))
+            Subtract(lBucket, Literal(2L)), Subtract(lBucket, Literal(1L)),
+            lBucket,
+            Add(lBucket, Literal(1L)), Add(lBucket, Literal(2L))))
           val lAttr = AttributeReference("__band_bucket_l", LongType, nullable = true)()
           val newLeft = Generate(
             Explode(candidates), unrequiredChildIndex = Nil, outer = false,

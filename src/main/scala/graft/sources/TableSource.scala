@@ -28,8 +28,7 @@ final case class ParquetDirSource(
     dir: String,
     nsTimestampCols: Set[String] = Set.empty) extends TableSource {
   override def read(spark: SparkSession, table: String): DataFrame = {
-    if (nsTimestampCols.nonEmpty)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (nsTimestampCols.nonEmpty) ParquetDirSource.prepareSession(spark)
     val df = spark.read.parquet(s"$dir/$table.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (nsTimestampCols.contains(f.name) && f.dataType == org.apache.spark.sql.types.LongType)
@@ -44,6 +43,23 @@ final case class ParquetDirSource(
       .filter(_.getName.endsWith(".parquet"))
       .map(_.getName.stripSuffix(".parquet"))
       .sorted
+}
+
+object ParquetDirSource {
+  private val prepared =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]()
+
+  /** One-time per-session setup for TIMESTAMP(NANOS) columns: the
+    * legacy nanosAsLong flag is session-global, so it is set exactly
+    * once under computeIfAbsent (concurrent first readers block until
+    * the flag is visible instead of racing a scan past an unset flag).
+    * Callers that build the session themselves can also pre-set the
+    * flag at config time, which makes this a no-op check. */
+  def prepareSession(spark: SparkSession): Unit =
+    prepared.computeIfAbsent(spark, s => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      java.lang.Boolean.TRUE
+    })
 }
 
 /** MongoDB source via the Spark MongoDB connector (the production path

@@ -26,6 +26,13 @@ object CatalystBridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
 
+  /** Block until every queued listener-bus event has been delivered —
+    * QueryExecutionListener callbacks are asynchronous, so a metrics
+    * reader that runs right after an action needs this barrier
+    * (`listenerBus.waitUntilEmpty` is private[spark]). */
+  def waitForListeners(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Imperative twin of SparkSessionExtensions.injectFunction for an
     * already-running session (the extensions path only applies at
     * session build time). */

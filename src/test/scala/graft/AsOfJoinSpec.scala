@@ -72,6 +72,51 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("null-time") == None, "null left time gets no match")
   }
 
+  test("string keys join correctly (evaluated keys copied, not buffer views)") {
+    import spark.implicits._
+    // Many distinct string keys across partitions: if the exec held a
+    // UTF8String view into a reused UnsafeRow buffer instead of a copy,
+    // key-change detection would corrupt and matches would cross keys.
+    val l = (0 until 500).map(i => (s"sym${i % 50}", i.toLong + 1000L, i))
+      .toDF("k", "lt", "tag")
+    val r = (0 until 50).map(i => (s"sym$i", 500L, i * 10.0))
+      .toDF("rk", "rt", "v")
+    val got = AsOf.join(l, r, "k", "rk", "lt", "rt")
+      .select("k", "v").collect()
+    assert(got.length == 500)
+    got.foreach { row =>
+      val expected = row.getString(0).stripPrefix("sym").toDouble * 10.0
+      assert(!row.isNullAt(1) && row.getDouble(1) == expected,
+        s"key ${row.getString(0)} matched wrong right row: $row")
+    }
+  }
+
+  test("integer (date-typed) time columns work — no Long unboxing assumption") {
+    import spark.implicits._
+    val l = Seq((1L, java.sql.Date.valueOf("2024-03-10"), "L"))
+      .toDF("k", "lt", "tag")
+    val r = Seq(
+      (1L, java.sql.Date.valueOf("2024-03-01"), "early"),
+      (1L, java.sql.Date.valueOf("2024-03-15"), "late")).toDF("rk", "rt", "v")
+    val got = AsOf.join(l, r, "k", "rk", "lt", "rt").select("v").collect()
+    assert(got.length == 1 && got.head.getString(0) == "early")
+  }
+
+  test("mismatched key/time types fail fast at plan time") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "lt")
+    val rStrKey = Seq(("1", 5L)).toDF("rk", "rt")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.join(l, rStrKey, "k", "rk", "lt", "rt")
+    }
+    assert(e1.getMessage.contains("key types differ"))
+    val rTsTime = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("rk", "rt")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(l, rTsTime, "k", "rk", "lt", "rt")
+    }
+    assert(e2.getMessage.contains("time types differ"))
+  }
+
   test("duplicate right times at the match boundary take the last in sort order") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 00:00:10"), "L")).toDF("k", "lt", "tag")

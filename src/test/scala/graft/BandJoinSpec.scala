@@ -16,16 +16,27 @@ class BandJoinSpec extends SparkSpec {
       .orderBy("s_suppkey")
   }
 
+  // The declared join_range_band query installs the rule session-wide
+  // (BandJoinRule.ensureRule), so both directions save/restore instead
+  // of assuming a pristine session.
   private def withRule[T](f: => T): T = {
+    val saved = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = Seq(BandJoinRule)
-    try f finally spark.experimental.extraOptimizations = Nil
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
+  private def withoutRule[T](f: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    try f finally spark.experimental.extraOptimizations = saved
   }
 
   test("rewrites pure band join to a bucketed equi-join with same results") {
-    val baseline = bandQuery()
-    val basePlan = baseline.queryExecution.executedPlan.toString
+    val (basePlan, expected) = withoutRule {
+      val baseline = bandQuery()
+      (baseline.queryExecution.executedPlan.toString, baseline.collect().toSeq)
+    }
     assert(basePlan.contains("NestedLoop"), s"expected nested-loop baseline:\n$basePlan")
-    val expected = baseline.collect().toSeq
 
     withRule {
       val rewritten = bandQuery()

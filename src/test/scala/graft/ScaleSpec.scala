@@ -73,6 +73,29 @@ class ScaleSpec extends SparkSpec {
     assert(nSalts == 8)
   }
 
+  test("declared band-join query plans as a bucketed equi-join, not a nested loop") {
+    // BandJoinRule is installed by the declared query itself; at any
+    // realistic |R| a nested loop would be the 100 TB failure mode
+    val df = SparkEntry.queries("join_range_band")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"declared band join still nested-loop:\n${plan.take(3000)}")
+    assert(plan.contains("__band_bucket"), "band-bucket rewrite not applied")
+  }
+
+  test("declared ngram-jaccard path salts hot shingles and preserves results") {
+    // threshold 20 < max shingle df 23 on this fixture → the salted
+    // branch is genuinely exercised by the declared query
+    val salted = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+    assert(salted.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "hot-key salting not present in the declared plan")
+    val plain = graft.ops.Dedup.ngramJaccard(
+      Tables.t(spark, sfDir, "documents").filter(col("doc_id") < 200),
+      topK = 50, hotThreshold = Long.MaxValue)
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("bucketed tables co-locate the join: no Exchange between scans and join") {
     // (default spark-warehouse dir; tables dropped in finally)
     val o = spark.read.parquet(s"$sfDir/orders.parquet")

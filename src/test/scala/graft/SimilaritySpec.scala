@@ -45,7 +45,16 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("hyperplane-LSH near-dup: precision 1, recall above chance") {
-    val exact = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
+    // full all-pairs exact reference built inline: O(N²) is the point of
+    // a bounded spec fixture (N=500); the declared exact query is
+    // intentionally probe-bounded and can't serve as reference here
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("eb"))
+    val exact = a.join(b, col("v1") < col("v2"))
+      .withColumn("cos", VectorOps.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.4)
+      .select("v1", "v2")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = SparkEntry.queries("dedup_embedding_lsh")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -54,6 +63,19 @@ class SimilaritySpec extends SparkSpec {
       val recall = lsh.intersect(exact).size.toDouble / exact.size
       assert(recall >= 0.2, s"recall $recall (exact=${exact.size}, lsh=${lsh.size})")
     }
+  }
+
+  test("k-means-built centroids keep IVF recall at least at seed-centroid level") {
+    val exact = SparkEntry.queries("sim_topk_cosine")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    def recall(iters: Int): Double = {
+      val approx = Similarity
+        .annIvf(spark, sfDir, queryVecId = 0, nProbe = 2, topK = 10, buildIters = iters)
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val (seeded, iterated) = (recall(0), recall(2))
+    assert(iterated >= seeded, s"k-means build hurt recall: $seeded -> $iterated")
   }
 
   test("IVF ANN with all centroids probed equals brute force over same k") {
