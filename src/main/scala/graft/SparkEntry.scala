@@ -19,6 +19,7 @@ object SparkEntry {
       ops.Similarity.defs ++
       ops.Text.defs ++
       ops.Multimodal.defs ++
+      ops.Pipeline.defs ++
       ops.SqlApi.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -101,8 +101,7 @@ object Export {
     // A13's running count comes from the write job's own numOutputRows
     // metric (a re-read-and-count would double every export's read I/O
     // — at 100 TB that is the difference between one pass and two).
-    val recorder = Metrics.attach(spark)
-    try {
+    val rows = countedWrite(spark) {
       df.write
         .mode("overwrite")
         .partitionBy("part_year")
@@ -110,15 +109,24 @@ object Export {
         // reference rotates files at row_group_size*10 rows (main.py:225-228)
         .option("maxRecordsPerFile", cfg.rowGroupSize.toLong * 10)
         .parquet(out)
-      // listener delivery is async — barrier before reading the metric
+    }
+    TableResult(table, rows, out)
+  }
+
+  /** Runs a write action and returns its numOutputRows metric — the
+    * plan's own exact counter, no second scan. The listener bus is
+    * asynchronous, so a barrier precedes the read. */
+  private[etl] def countedWrite(spark: SparkSession)(write: => Unit): Long = {
+    val recorder = Metrics.attach(spark)
+    try {
+      write
       org.apache.spark.sql.graftshim.CatalystBridge.waitForListeners(spark)
-      val rows = recorder.snapshot()
+      recorder.snapshot()
         .filter(_.failure.isEmpty)
         .flatMap(_.numOutputRows)
         .lastOption
         .getOrElse(throw new IllegalStateException(
-          s"write of $table reported no numOutputRows metric"))
-      TableResult(table, rows, out)
+          "write reported no numOutputRows metric"))
     } finally Metrics.detach(spark, recorder)
   }
 }

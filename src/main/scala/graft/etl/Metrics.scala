@@ -36,12 +36,26 @@ object Metrics {
     private val events = new ConcurrentLinkedQueue[ActionMetrics]()
 
     private[Metrics] val listener: QueryExecutionListener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-        // sum output-row metrics of the root node (covers writes:
-        // numOutputRows on the commit exec; falls back to None)
-        val rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
-        events.add(ActionMetrics(funcName, durationNs, rows, None))
-      }
+      // Topmost numOutputRows in the executed plan. For narrow writes
+      // that is the write-command root itself; when the plan contains a
+      // shuffle, planned-write + AQE make the root an
+      // AdaptiveSparkPlanExec with EMPTY metrics and HIDDEN children
+      // (its final plan is not in `children`), so the search descends
+      // through the AQE wrapper and materialized query stages.
+      private def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] =
+        p.metrics.get("numOutputRows").map(_.value).orElse {
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              Seq(q.plan)
+            case other => other.children
+          }
+          kids.view.flatMap(rowsOf).headOption
+        }
+
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        events.add(ActionMetrics(funcName, durationNs, rowsOf(qe.executedPlan), None))
       override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit =
         events.add(ActionMetrics(funcName, 0L, None, Some(error.toString)))
     }

@@ -111,6 +111,45 @@ object Dedup {
         ORDER BY jaccard DESC, d1, d2 LIMIT 50""")),
 
     Q(
+      "dedup_components",
+      "Near-dup clustering: Jaccard pairs (>= 0.10) as an undirected " +
+        "graph, connected components by iterative min-label propagation " +
+        "(converged, lineage-truncated per round), component = min doc " +
+        "id, keep = survivor flag. Oracle: DuckDB recursive CTE over " +
+        "the same pairs. This is the pairs → clusters → survivors step " +
+        "every production dedup pipeline needs between candidate " +
+        "generation and the actual drop.",
+      (s, dir) => {
+        val stats = ngramJaccardStats(
+          Tables.t(s, dir, "documents").filter(col("doc_id") < 200),
+          hotThreshold = 20)
+        val edges = stats.filter(col("jaccard") >= 0.10)
+          .select(col("d1").as("src"), col("d2").as("dst"))
+        connectedComponents(edges)
+          .select(col("node"), col("component"), col("keep"))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE
+        w AS (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 200),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words)),
+            i -> words[CAST(i AS INT)] || ' ' || words[CAST(i + 1 AS INT)])) AS shingles FROM w),
+        sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+        e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        p0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (SELECT d1, d2
+          FROM p0 JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.10),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        r(node, lbl) AS (SELECT node, node FROM nodes
+          UNION SELECT e.b, r.lbl FROM edges e JOIN r ON e.a = r.node)
+        SELECT node, min(lbl) AS component, node = min(lbl) AS keep
+        FROM r GROUP BY node ORDER BY node""")),
+
+    Q(
       "dedup_minhash_lsh",
       "MinHash (32 perms) + LSH banding (8 bands × 4 rows): shingle → " +
         "per-permutation min of an affine-transformed xxhash64 → band " +
@@ -202,6 +241,17 @@ object Dedup {
       docs: DataFrame,
       topK: Int = 50,
       hotThreshold: Long = 1000000L,
+      salts: Int = 8): DataFrame =
+    ngramJaccardStats(docs, hotThreshold, salts)
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(topK)
+
+  /** Un-truncated (d1, d2, inter, un, jaccard) pair statistics — the
+    * shared candidate-generation stage behind [[ngramJaccard]] (top-k)
+    * and [[connectedComponents]]-based clustering (threshold filter). */
+  def ngramJaccardStats(
+      docs: DataFrame,
+      hotThreshold: Long = 1000000L,
       salts: Int = 8): DataFrame = {
     val d = docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
@@ -222,8 +272,48 @@ object Dedup {
       .select(col("d1"), col("d2"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("un"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
-      .limit(topK)
+  }
+
+  /** Connected components over an undirected candidate-pair edge list
+    * (`src`, `dst`) — the clustering stage of a production near-dup
+    * pipeline: candidate pairs → clusters → one survivor per cluster.
+    * Iterative min-label propagation: every round each node takes the
+    * minimum label in its 1-hop neighborhood; fixpoint in at most
+    * `diameter` rounds. Each round is one equi-join + one partial-agg
+    * groupBy; `localCheckpoint` truncates lineage so round k doesn't
+    * replan rounds 1..k-1, and the convergence test moves one Long per
+    * round to the driver (control flow, not data). At extreme scale the
+    * large-star/small-star variant lowers the round count; the per-round
+    * dataflow is the same. Output: (node, component, keep) where
+    * component = min doc id of the cluster and keep marks the survivor. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    // materialize the (possibly expensive) candidate-generation lineage
+    // ONCE — every propagation round joins against sym, and without the
+    // checkpoint each round would recompute the upstream pipeline
+    val sym = edges
+      .select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbr = sym.join(labels, sym("b") === labels("node"))
+        .select(sym("a").as("node"), col("comp"))
+      val next = labels.union(nbr)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.withColumnRenamed("comp", "prev"), "node")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node"), col("comp").as("component"),
+      (col("node") === col("comp")).as("keep"))
   }
 
   /** Random-hyperplane LSH near-dup over embeddings: 16 signed

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline composition: the individual
+  * operators (quality filter, exact dedup, feature extraction,
+  * deterministic sampling) are declared elsewhere; this module chains
+  * them into the shape a real corpus-preparation job runs, as ONE
+  * declarative plan — filters reach the scan, the dedup window is the
+  * only shuffle, and the sample predicate is a pushable hash filter
+  * (no RNG, so the oracle can replay it exactly). */
+object Pipeline {
+
+  def defs: Seq[Q] = Seq(
+
+    Q(
+      "pipeline_training_data",
+      "Composed corpus-preparation pipeline over documents: language + " +
+        "length quality gate → exact content dedup (md5 fingerprint, " +
+        "min-doc_id survivor) → per-doc features (token count, " +
+        "chars/token) → deterministic 75% hash sample (md5 of the doc " +
+        "id, engine-replayable — a seeded RNG would not be). One " +
+        "declarative plan: pushed filters, a single window shuffle, no " +
+        "collect points.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val filtered = d
+          .filter(col("lang") === "en" && col("n_chars") >= 100)
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+            split(col("text"), " ").as("words"))
+          .filter(size(col("words")) >= 20)
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        val deduped = filtered
+          .withColumn("fp", md5(col("text").cast("binary")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        deduped
+          .select(
+            col("doc_id"), col("source"),
+            size(col("words")).as("n_tokens"),
+            col("n_chars"),
+            round(col("n_chars").cast("double") / size(col("words")), 4)
+              .as("chars_per_token"),
+            col("fp"))
+          .filter(
+            substring(md5(concat(col("doc_id").cast("string"), lit("|graft"))
+              .cast("binary")), 1, 1) < "c")
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id, text, source, n_chars, string_split(text, ' ') AS words
+          FROM documents WHERE lang = 'en' AND n_chars >= 100),
+        f2 AS (SELECT * FROM f WHERE len(words) >= 20),
+        d AS (SELECT *, md5(text) AS fp,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM f2)
+        SELECT doc_id, source,
+          CAST(len(words) AS INT) AS n_tokens,
+          n_chars,
+          round(CAST(n_chars AS DOUBLE) / len(words), 4) AS chars_per_token,
+          fp
+        FROM d
+        WHERE rn = 1
+          AND substring(md5(CAST(doc_id AS VARCHAR) || '|graft'), 1, 1) < 'c'
+        ORDER BY doc_id"""))
+  )
+}

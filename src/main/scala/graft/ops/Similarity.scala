@@ -86,6 +86,52 @@ object Similarity {
         GROUP BY label, dim ORDER BY label, dim""")),
 
     Q(
+      "sim_quantized_topk",
+      "Scalar-quantized (int8-range) top-k with exact re-ranking: " +
+        "per-vector symmetric quantization floor(x·127/max|x| + 0.5) — " +
+        "floor form so both engines round identically — integer dot " +
+        "through the codegen'd VecDot (values ≤127 are exact in " +
+        "float32), top-30 candidates by approximate score, exact-cosine " +
+        "re-rank to top-10. The 100 TB story: 4× smaller vectors in the " +
+        "scan and a cheap integer hot loop, exactness restored by the " +
+        "re-rank; integer dots are bit-exact in both engines so the " +
+        "candidate cut is oracle-deterministic.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val maxAbs = aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double"))))
+        val quant = e
+          .select(col("vec_id"), col("embedding"), (lit(127.0) / maxAbs).as("sc"))
+          .withColumn("qv", transform(col("embedding"),
+            x => floor(x.cast("double") * col("sc") + 0.5).cast("float")))
+        val q = quant.filter(col("vec_id") === 0)
+          .select(col("qv").as("qqv"), col("sc").as("qsc"), col("embedding").as("qe"))
+        val cand = quant.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("approx",
+            graft.expr.VecDot.vecDot(col("qv"), col("qqv")) / (col("sc") * col("qsc")))
+          .orderBy(col("approx").desc, col("vec_id"))
+          .limit(30)
+        cand
+          .withColumn("cos_sim", round(VectorOps.cosine(col("embedding"), col("qe")), 6))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("cos_sim"))
+      },
+      Some(s"""WITH s AS (SELECT vec_id, embedding,
+          127.0 / list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), (a, b) -> greatest(a, b)) AS sc
+        FROM embeddings),
+        qz AS (SELECT vec_id, embedding, sc,
+          list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * sc + 0.5)) AS qv FROM s),
+        q0 AS (SELECT qv AS qqv, sc AS qsc, embedding AS qe FROM qz WHERE vec_id = 0),
+        appr AS (SELECT vec_id, embedding, qe,
+            list_reduce(list_transform(range(1, 65), i -> qv[CAST(i AS INT)] * qqv[CAST(i AS INT)]), (x, y) -> x + y) / (sc * qsc) AS approx
+          FROM qz, q0 WHERE vec_id != 0),
+        cand AS (SELECT vec_id, embedding, qe FROM appr ORDER BY approx DESC, vec_id LIMIT 30)
+        SELECT vec_id, round(${VectorOps.duckCosine("embedding", "qe")}, 6) AS cos_sim
+        FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""")),
+
+    Q(
       "sim_ann_ivf",
       "IVF approximate nearest neighbor: centroids built by 2 Lloyd " +
         "k-means iterations (all DataFrame ops — broadcast assignment " +
@@ -133,7 +179,10 @@ object Similarity {
       queryVecId: Long, nProbe: Int, topK: Int, nCentroids: Int = 8,
       buildIters: Int = 2): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
-    val cents = kmeansCentroids(e, nCentroids, buildIters)
+    // materialize the k-row centroid build once — it feeds both the
+    // assignment and the probe selection, which would otherwise each
+    // re-execute the full iterative build lineage
+    val cents = kmeansCentroids(e, nCentroids, buildIters).localCheckpoint(true)
     // assign every vector to its nearest centroid (broadcast nCentroids rows)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cid"))
     val assigned = e.crossJoin(broadcast(cents))

@@ -78,15 +78,22 @@ final case class MongoSource(
     database: String,
     batchSize: Int = 10000) extends TableSource {
 
+  /** Connector options derived from the reference's knobs — exposed so
+    * the mapping is unit-testable without a live mongod/connector jar
+    * (reference main.py:31,301: cursor batch_size; single-cursor scan →
+    * partitioned read). */
+  def readerOptions(table: String): Map[String, String] = Map(
+    "spark.mongodb.read.connection.uri" -> connectionUri,
+    "spark.mongodb.read.database" -> database,
+    "spark.mongodb.read.collection" -> table,
+    "spark.mongodb.read.batchSize" -> batchSize.toString,
+    "spark.mongodb.read.partitioner" ->
+      "com.mongodb.spark.sql.connector.read.partitioner.SamplePartitioner")
+
   override def read(spark: SparkSession, table: String): DataFrame =
     spark.read
       .format("mongodb")
-      .option("spark.mongodb.read.connection.uri", connectionUri)
-      .option("spark.mongodb.read.database", database)
-      .option("spark.mongodb.read.collection", table)
-      .option("spark.mongodb.read.batchSize", batchSize.toString)
-      .option("spark.mongodb.read.partitioner",
-        "com.mongodb.spark.sql.connector.read.partitioner.SamplePartitioner")
+      .options(readerOptions(table))
       .load()
       .drop("_id") // reference A6 (main.py:107)
 

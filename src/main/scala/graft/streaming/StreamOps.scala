@@ -131,6 +131,77 @@ object StreamOps {
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class SessionClose(user_id: Long, n_events: Long, closed_at_ms: Long)
+
+  /** transformWithState with EVENT-TIME TIMERS: counts events per user
+    * and emits one SessionClose when the watermark passes
+    * last-event-time + gap — idle-session detection with explicit timer
+    * re-arming. This is the processor shape the older
+    * mapGroupsWithState timeout API cannot express: multiple typed
+    * state variables plus first-class timers that fire independently of
+    * input arriving for the key. */
+  class IdleCloseProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionClose] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var counts: ValueState[Long] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: TimeMode): Unit = {
+      counts = getHandle.getValueState[Long]("counts", Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionClose] = {
+      var n = if (counts.exists()) counts.get() else 0L
+      var maxTs = 0L
+      rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
+      counts.update(n)
+      // re-arm: one live timer per key, at last-event + gap
+      val fireAt = maxTs + gapMs
+      if (armed.exists() && armed.get() < fireAt) {
+        getHandle.deleteTimer(armed.get())
+        getHandle.registerTimer(fireAt)
+        armed.update(fireAt)
+      } else if (!armed.exists()) {
+        getHandle.registerTimer(fireAt)
+        armed.update(fireAt)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionClose] = {
+      val n = if (counts.exists()) counts.get() else 0L
+      counts.clear()
+      armed.clear()
+      Iterator.single(SessionClose(key, n, expiredTimerInfo.getExpiryTimeInMs()))
+    }
+  }
+
+  /** Idle-session closes via event-time timers (Append mode; requires
+    * the RocksDB state store like all transformWithState operators). */
+  def idleSessionCloses(
+      spark: SparkSession, events: Dataset[Event], gapMinutes: Int = 10): Dataset[SessionClose] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new IdleCloseProcessor(gapMinutes.toLong * 60 * 1000),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Stream-stream inner join: purchases enriched with the user's
     * clicks within the preceding 30 minutes. Both sides watermarked and
     * the join range-bounded — the two conditions Spark needs to bound

@@ -11,6 +11,24 @@ class DedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("connectedComponents: chains, cycles, and pairs converge to min labels") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (needs 4 propagation rounds), triangle 10-11-12
+    // with a tail to 13, isolated pair 20-21
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L),
+      (20L, 21L)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val comp = got.map(t => t._1 -> t._2).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comp(_) == 1L), s"chain: $comp")
+    assert(Seq(10L, 11L, 12L, 13L).forall(comp(_) == 10L), s"triangle+tail: $comp")
+    assert(Seq(20L, 21L).forall(comp(_) == 20L), s"pair: $comp")
+    assert(got.filter(_._3).map(_._1).toSeq == Seq(1L, 10L, 20L),
+      "exactly one survivor per component, the min node")
+  }
+
   test("hamming_distance expression: eval + codegen paths agree with popcount") {
     import spark.implicits._
     val df = Seq((0L, 0L), (-1L, 0L), (0xFFL, 0x0FL), (123456789L, 987654321L))

@@ -16,6 +16,36 @@ class PropertySpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
 
+  test("property: band-join rule preserves results at FP bucket boundaries") {
+    import spark.implicits._
+    import graft.plans.BandJoinRule
+    // values engineered onto exact band edges: multiples of the width
+    // and their ±1-ulp neighbors — where floor(a/W) vs floor(b/W) can
+    // disagree by 2 and a ±1-bucket explode would silently drop a pair
+    Seq(0.1, 0.3, 7.5, 50.0).foreach { w =>
+      val mults = samples(Gen.choose(-12, 12), 25, seed = (w * 1000).toLong)
+      val base = mults.map(_ * w)
+      val vals = (base ++ base.map(Math.nextUp) ++ base.map(Math.nextDown) ++
+        samples(Gen.choose(-12.0 * w, 12.0 * w), 25, seed = 11L)).distinct
+      val l = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
+      val r = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
+      def q() = l.join(r, col("lv") >= col("rv") - w && col("lv") <= col("rv") + w)
+        .select("lid", "rid")
+      def run() = q().collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val plain = run()
+      val saved = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations = Seq(BandJoinRule)
+      try {
+        assert(q().queryExecution.optimizedPlan.toString.contains("__band_bucket"),
+          s"width $w: rule did not fire")
+        val rewritten = run()
+        assert(rewritten == plain,
+          s"width $w: rewrite dropped ${(plain -- rewritten).take(5)} " +
+            s"added ${(rewritten -- plain).take(5)}")
+      } finally spark.experimental.extraOptimizations = saved
+    }
+  }
+
   test("property: partition-value derivation routes every row to exactly one bucket") {
     import spark.implicits._
     val genTs = Gen.option(Gen.choose(0L, 2000000000L))

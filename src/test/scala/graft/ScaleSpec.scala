@@ -156,6 +156,63 @@ class ScaleSpec extends SparkSpec {
     assert(j.count() == expected)
   }
 
+  test("small-files compaction rewrites to the target file count, same data") {
+    val in = tmpDir("graft-frag")
+    val out = tmpDir("graft-compact")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.repartition(32).write.mode("overwrite").parquet(in)
+    def parquetFiles(dir: String) =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 32, "fragmented input fixture")
+    val rows = graft.etl.Compact.compact(spark, in, out, targetFiles = 4)
+    assert(parquetFiles(out) == 4, "compacted to target file count")
+    assert(rows == li.count())
+    assert(spark.read.parquet(out).count() == li.count())
+  }
+
+  test("ANALYZE TABLE statistics reach the cost-based optimizer") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.write.mode("overwrite").saveAsTable("li_cbo")
+    try {
+      spark.sql("ANALYZE TABLE li_cbo COMPUTE STATISTICS")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val stats = spark.table("li_cbo").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(li.count())),
+        s"ANALYZE row count missing from plan stats: $stats")
+      assert(stats.sizeInBytes > 0)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS li_cbo")
+    }
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // InjectRuntimeFilter: a selective predicate on the creation (dim)
+    // side of a shuffle join materializes a bloom filter that is pushed
+    // into the fact side as might_contain — runtime row pruning before
+    // the shuffle, the 100 TB lever when broadcast isn't possible.
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_totalprice") > 400000)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter in:\n${plan.take(3000)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    }
+  }
+
   test("query-execution listener captures write metrics (A15)") {
     val rec = Metrics.attach(spark)
     val out = tmpDir("graft-metrics")

@@ -128,6 +128,32 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState event-time timers close idle sessions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = StreamOps.idleSessionCloses(spark, in.toDS(), gapMinutes = 10)
+        .writeStream.format("memory").queryName("timers").outputMode("append").start()
+      // batch 1: user 1 active at 10:00/10:05 → timer armed at 10:15
+      in.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(5), 1, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 2 at 11:00 pushes the watermark to 10:50 > 10:15
+      in.addData(Event(3, ts(60), 2, "view", 1.0))
+      q.processAllAvailable()
+      // batch 3: timers fire against the watermark computed in batch 2
+      in.addData(Event(4, ts(65), 2, "view", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("timers").select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.contains((1L, 2L)),
+        s"idle user 1 (2 events) should have been closed by its timer, got $got")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream join matches purchases to preceding clicks in range") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -31,6 +31,28 @@ class SurfaceSpec extends SparkSpec {
     }
   }
 
+  test("Mongo source maps the reference's knobs onto connector options") {
+    // the connector itself can't run in this harness (no mongod, no
+    // jar); the option mapping is the testable contract (reference
+    // main.py:31,301 batch_size + partitioned read)
+    val src = graft.sources.MongoSource("mongodb://db:27017", "app", batchSize = 2048)
+    val opts = src.readerOptions("users")
+    assert(opts("spark.mongodb.read.connection.uri") == "mongodb://db:27017")
+    assert(opts("spark.mongodb.read.database") == "app")
+    assert(opts("spark.mongodb.read.collection") == "users")
+    assert(opts("spark.mongodb.read.batchSize") == "2048")
+    assert(opts("spark.mongodb.read.partitioner").endsWith("SamplePartitioner"))
+  }
+
+  test("observe() attaches named inline metrics to a query (A15 surface)") {
+    val obs = org.apache.spark.sql.Observation("pipeline_stats")
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .observe(obs, count(lit(1)).as("rows"), sum(col("o_totalprice")).as("total"))
+    df.collect()
+    assert(obs.get("rows").asInstanceOf[Long] == 1500L)
+    assert(obs.get("total").asInstanceOf[Double] > 0)
+  }
+
   test("CSV source round-trip preserves schema and values") {
     val dir = tmpDir("graft-csv")
     val df = spark.read.parquet(s"$sfDir/nation.parquet")
