@@ -64,6 +64,33 @@ object Pipeline {
         FROM d
         WHERE rn = 1
           AND substring(md5(CAST(doc_id AS VARCHAR) || '|graft'), 1, 1) < 'c'
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    Q(
+      "pipeline_train_split",
+      "Deterministic 3-way train/val/test split (~80/10/10) by md5 hex " +
+        "prefix of the doc id — reproducible across engines, runs, and " +
+        "cluster sizes (a seeded RNG is none of those). Hex-string " +
+        "comparison avoids any hex→int conversion divergence. Emits " +
+        "per-language split counts (the mix report a data loader wants).",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val h = substring(
+          md5(concat(col("doc_id").cast("string"), lit("|split")).cast("binary")), 1, 2)
+        d.select(col("lang"),
+            when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "split")
+      },
+      Some("""SELECT lang, split, count(*) AS n FROM (
+          SELECT lang,
+            CASE WHEN h < 'cc' THEN 'train'
+                 WHEN h < 'e6' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT lang,
+              substring(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 2) AS h
+            FROM documents))
+        GROUP BY lang, split ORDER BY lang, split"""))
   )
 }

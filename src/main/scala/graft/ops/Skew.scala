@@ -32,13 +32,15 @@ object Skew {
 
   /** Hot-key-only salting: blanket salting replicates the whole small
     * side `salts`×, but in the power-law reality only a handful of keys
-    * are hot. This splits the join — keys with big-side frequency above
-    * `hotThreshold` go through [[saltedJoin]], the long tail through a
-    * plain equi-join — so the replication cost is paid only where the
-    * skew is. The hot-key set is exact (one aggregated pass over the
-    * big side's keys, map-side combined, broadcast back); at extreme
-    * scale the same set can come from a sample instead. Results are
-    * identical to `big.join(small, key)` for any threshold. */
+    * are hot. Single-pass formulation: each side gets a broadcast
+    * hot-key flag; the big side salts hot rows (cold rows take salt 0),
+    * the small side replicates ONLY hot rows across all salts (cold
+    * rows take the one-element salt list) — then one equi-join on
+    * (key, salt). No semi/anti split, no union, each input read once.
+    * The hot-key set is exact (one aggregated pass over the big side's
+    * keys, map-side combined, broadcast back); at extreme scale the
+    * same set can come from a sample instead. Results are identical to
+    * `big.join(small, key)` for any threshold. */
   def saltedJoinHot(
       big: DataFrame,
       small: DataFrame,
@@ -48,12 +50,16 @@ object Skew {
       hotThreshold: Long = 1000000L): DataFrame = {
     val hot = big.groupBy(key).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > hotThreshold)
-      .select(key)
-    val bigHot    = big.join(broadcast(hot), Seq(key))
-    val bigCold   = big.join(broadcast(hot), Seq(key), "left_anti")
-    val smallHot  = small.join(broadcast(hot), Seq(key))
-    val smallCold = small.join(broadcast(hot), Seq(key), "left_anti")
-    saltedJoin(bigHot, smallHot, key, spreadBy, salts)
-      .unionByName(bigCold.join(smallCold, Seq(key)))
+      .select(col(key), lit(true).as("__hot"))
+    val b = big.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot"), pmod(xxhash64(spreadBy), lit(salts.toLong))).otherwise(0L))
+      .drop("__hot")
+    val s = small.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt",
+        explode(when(col("__hot"), typedlit((0L until salts.toLong).toSeq))
+          .otherwise(typedlit(Seq(0L)))))
+      .drop("__hot")
+    b.join(s, Seq(key, "__salt")).drop("__salt")
   }
 }

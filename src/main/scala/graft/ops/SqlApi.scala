@@ -85,6 +85,28 @@ object SqlApi {
         ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
     Q(
+      "sql_lateral_topn",
+      "LATERAL correlated subquery with ORDER BY + LIMIT: top-2 orders " +
+        "per customer — the SQL spelling of per-group top-N (Catalyst " +
+        "decorrelates the lateral limit into a ranked join; the Column " +
+        "DSL twin is the window row_number form).",
+      (s, dir) => withViews(s, dir, "customer", "orders")(
+        """SELECT c_custkey, o.o_orderkey, o.o_totalprice
+           FROM customer,
+           LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                    WHERE o_custkey = c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+           WHERE c_custkey < 100
+           ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""),
+      Some("""SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c_custkey < 100
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")),
+
+    Q(
       "agg_approx_distinct",
       "HLL++ approximate distinct counts per group — the 100 TB path " +
         "where exact countDistinct's two-level expansion is too " +

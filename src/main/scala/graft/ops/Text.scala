@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
@@ -203,6 +204,63 @@ object Text {
         SELECT doc_id, round(sum(contrib), 6) AS bm25, count(*) AS n_terms
         FROM scored GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
+    Q(
+      "text_chunking",
+      "Document chunking into overlapping token windows (size 8, " +
+        "stride 6 — the context-window preparation step of a training " +
+        "pipeline): chunk starts via sequence(1, n, stride), slice per " +
+        "start, one row per chunk. All generator + array ops — the " +
+        "explode parallelizes chunks across tasks at corpus scale.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+        d.select(col("doc_id"), col("words"),
+            explode(sequence(lit(1), size(col("words")), lit(6))).as("st"))
+          .select(
+            col("doc_id"),
+            (((col("st") - 1) / 6) + 1).cast("int").as("chunk_id"),
+            concat_ws(" ", slice(col("words"), col("st"), lit(8))).as("chunk"),
+            size(slice(col("words"), col("st"), lit(8))).as("n_tokens"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 100),
+        x AS (SELECT doc_id, words, unnest(range(1, len(words) + 1, 6)) AS st FROM d)
+        SELECT doc_id,
+          CAST((st - 1) // 6 + 1 AS INT) AS chunk_id,
+          array_to_string(words[CAST(st AS INT):CAST(st + 7 AS INT)], ' ') AS chunk,
+          CAST(len(words[CAST(st AS INT):CAST(st + 7 AS INT)]) AS INT) AS n_tokens
+        FROM x ORDER BY doc_id, chunk_id""")),
+
+    Q(
+      "text_pack_batches",
+      "Token-budget batch packing (500 tokens, per source): running " +
+        "token cumsum over a per-source window, batch id = prefix-start " +
+        "div budget — the deterministic streaming approximation of bin " +
+        "packing every pretraining data loader uses. Partitioned by " +
+        "source so the packing parallelizes (a global pack would be one " +
+        "task; at scale the partition key is the shard).",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("n_tokens"))
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            floor((col("cum") - col("n_tokens")) / 500).cast("int").as("batch_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d)
+        SELECT doc_id, source, n_tokens,
+          CAST((cum - n_tokens) // 500 AS INT) AS batch_id
+        FROM c ORDER BY doc_id""")),
 
     Q(
       "sample_seeded",

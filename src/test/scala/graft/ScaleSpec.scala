@@ -156,6 +156,40 @@ class ScaleSpec extends SparkSpec {
     assert(j.count() == expected)
   }
 
+  test("AQE splits skewed sort-merge join partitions at runtime") {
+    // the runtime half of the skew story (Skew.saltedJoinHot is the
+    // deterministic half): one key holding 90% of the big side, skew
+    // thresholds lowered to fixture scale, final plan shows skew=true
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      val big = spark.range(100000)
+        .select(
+          when(col("id") < 90000, 1L).otherwise(col("id")).as("k"),
+          concat(lit("payload-"), lpad(col("id").cast("string"), 64, "x")).as("pay"))
+      val small = spark.range(2000).select(col("id").as("k"), col("id").as("meta"))
+      val j = big.join(small, "k")
+      // only the hot key (k=1) matches the small side: 90000 rows.
+      // collect() (not count()) so the inspected plan is the one that ran
+      assert(j.collect().length == 90000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"AQE skew handling did not fire:\n${plan.take(3000)}")
+    } finally {
+      Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled").foreach(spark.conf.unset)
+    }
+  }
+
   test("small-files compaction rewrites to the target file count, same data") {
     val in = tmpDir("graft-frag")
     val out = tmpDir("graft-compact")
