@@ -47,4 +47,16 @@ class QueriesSpec extends SparkSpec {
     assert(empties.filterNot(_ == "dedup_embedding_cosine").isEmpty,
       s"queries with empty results: $empties")
   }
+
+  test("no declared query plans a CartesianProduct") {
+    // the one plan shape that is never acceptable at 100 TB: every
+    // crossJoin in the registry must broadcast its bounded side, so a
+    // CartesianProduct (both sides shuffled, |L|·|R| rows) appearing in
+    // any optimized-to-physical plan is a regression
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
 }

@@ -53,6 +53,30 @@ class SurfaceSpec extends SparkSpec {
     assert(obs.get("total").asInstanceOf[Double] > 0)
   }
 
+  test("ORC source/sink round-trip preserves schema and values") {
+    val out = tmpDir("graft-orc")
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+    df.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema == df.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      df.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("binaryFile source reads whole files as (path, length, content) rows") {
+    // the multimodal ingestion path: raw image/audio files → binary rows;
+    // everything downstream (mm_binary_stats etc.) applies unchanged
+    val dir = tmpDir("graft-bin")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.bin"), Array[Byte](9, 8, 7, 6))
+    val rows = spark.read.format("binaryFile").load(dir)
+      .select("path", "length", "content").orderBy("path").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0).endsWith("a.bin"))
+    assert(rows(0).getLong(1) == 3L)
+    assert(rows(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("CSV source round-trip preserves schema and values") {
     val dir = tmpDir("graft-csv")
     val df = spark.read.parquet(s"$sfDir/nation.parquet")
