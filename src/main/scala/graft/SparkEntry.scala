@@ -13,6 +13,7 @@ object SparkEntry {
   def all: Seq[Q] =
     etl.EtlQueries.defs ++
       ops.Relational.defs ++
+      ops.Stats.defs ++
       ops.Scalars.defs ++
       ops.StreamingBatch.defs ++
       ops.Dedup.defs ++

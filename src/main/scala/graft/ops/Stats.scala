@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregate + ordered-analytics surface (SURVEY.md §2B
+  * completions): moment aggregates (corr/covariance/stddev/variance/
+  * skewness/kurtosis/median), the SQL-standard linear-regression family
+  * (regr_*), IGNORE NULLS window navigation, and a time-series
+  * gap-fill with last-observation-carried-forward — the resample/fill
+  * shape every metrics pipeline needs.
+  *
+  * All stock codegen'd aggregates — one partial+final hash aggregation,
+  * shuffle carries only the fixed-size moment buffers, never rows.
+  * Skewness/kurtosis are population moments in Spark; the DuckDB oracle
+  * computes the same g1/g2 from explicit central moments (its builtins
+  * are the bias-corrected sample versions). */
+object Stats {
+
+  def defs: Seq[Q] = Seq(
+
+    Q(
+      "agg_stats_family",
+      "Moment aggregates per group: corr, covar_samp/pop, " +
+        "stddev_samp/pop, var_samp, exact interpolated median, " +
+        "population skewness/kurtosis. Single two-phase hash agg — the " +
+        "shuffle moves constant-size moment buffers per group (median " +
+        "adds a sort-based buffer; at 100 TB prefer approx_percentile).",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        li.groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_s"),
+            round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("cov_p"),
+            round(stddev_samp(col("l_extendedprice")), 4).as("sd_s"),
+            round(stddev_pop(col("l_extendedprice")), 4).as("sd_p"),
+            round(var_samp(col("l_extendedprice")), 2).as("var_s"),
+            round(median(col("l_discount")), 6).as("med_disc"),
+            round(skewness(col("l_discount")), 5).as("skew_d"),
+            round(kurtosis(col("l_discount")), 5).as("kurt_d"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH g AS (SELECT l_returnflag AS rf, avg(l_discount) AS m,
+            stddev_pop(l_discount) AS sd, count(*) AS cnt
+          FROM lineitem GROUP BY 1)
+        SELECT l.l_returnflag,
+          count(*) AS n,
+          round(corr(l.l_quantity, l.l_extendedprice), 6) AS corr_qp,
+          round(covar_samp(l.l_quantity, l.l_extendedprice), 2) AS cov_s,
+          round(covar_pop(l.l_quantity, l.l_extendedprice), 2) AS cov_p,
+          round(stddev_samp(l.l_extendedprice), 4) AS sd_s,
+          round(stddev_pop(l.l_extendedprice), 4) AS sd_p,
+          round(var_samp(l.l_extendedprice), 2) AS var_s,
+          round(median(l.l_discount), 6) AS med_disc,
+          round(sum(pow(l.l_discount - g.m, 3)) / (g.cnt * pow(g.sd, 3)), 5) AS skew_d,
+          round(sum(pow(l.l_discount - g.m, 4)) / (g.cnt * pow(g.sd, 4)) - 3, 5) AS kurt_d
+        FROM lineitem l JOIN g ON l.l_returnflag = g.rf
+        GROUP BY l.l_returnflag, g.m, g.sd, g.cnt
+        ORDER BY l.l_returnflag""")),
+
+    Q(
+      "agg_regression",
+      "SQL-standard linear-regression aggregates per group: slope, " +
+        "intercept, R², count, mean-x/mean-y of the fitted pairs. Same " +
+        "constant-size-buffer shuffle shape as the moment family.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        li.groupBy("l_linestatus")
+          .agg(
+            round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+            round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+            round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+            regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"),
+            round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4).as("avg_x"),
+            round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 4).as("avg_y"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+        round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        regr_count(l_extendedprice, l_quantity) AS n_pairs,
+        round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+        round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    Q(
+      "window_ignore_nulls",
+      "IGNORE NULLS window navigation over a sparse (null-bearing) " +
+        "measure: lag skipping nulls, nth_value from frame start, and " +
+        "last-non-null over a running frame (the LOCF primitive). " +
+        "Per-user partitions shuffle once; frames are ROWS-bounded so " +
+        "state per partition is O(1).",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val v = when(col("event_type") === "purchase", col("value"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.select(
+            col("event_id"), col("user_id"), v.as("purchase_v"),
+            lag(v, 1, null, ignoreNulls = true).over(w).as("prev_purchase"),
+            nth_value(v, 2, ignoreNulls = true).over(wRun).as("second_purchase"),
+            last(v, ignoreNulls = true).over(wRun).as("locf_purchase"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, ts,
+            CASE WHEN event_type = 'purchase' THEN value END AS v FROM events)
+        SELECT event_id, user_id, v AS purchase_v,
+          lag(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_purchase,
+          nth_value(v, 2 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_purchase,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_purchase
+        FROM e ORDER BY event_id""")),
+
+    Q(
+      "ts_gapfill_locf",
+      "Time-series gap-fill: per-user daily revenue joined onto a " +
+        "generated date spine (explode(sequence) — distributed, never a " +
+        "driver loop), missing days filled by last-observation-carried-" +
+        "forward with a leading-zero default. The spine is |users|×|days| " +
+        "— at 100 TB generate it per user-partition (as here) so the " +
+        "join stays co-partitioned on user_id.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events").filter(col("user_id") < 40)
+        val daily = e
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(round(sum("value"), 2).as("day_value"))
+        val spine = e.select("user_id").distinct()
+          .select(col("user_id"),
+            explode(sequence(
+              lit(java.sql.Date.valueOf("2024-01-01")),
+              lit(java.sql.Date.valueOf("2024-01-30")))).as("day"))
+        val wRun = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .select(
+            col("user_id"), col("day"), col("day_value"),
+            coalesce(last(col("day_value"), ignoreNulls = true).over(wRun), lit(0.0)).as("filled"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH f AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+            FROM events WHERE user_id < 40),
+        daily AS (SELECT user_id, day, round(sum(value), 2) AS day_value
+            FROM f GROUP BY 1, 2),
+        users AS (SELECT DISTINCT user_id FROM f),
+        days AS (SELECT CAST(unnest(range(DATE '2024-01-01', DATE '2024-01-31',
+            INTERVAL 1 DAY)) AS DATE) AS day),
+        spine AS (SELECT user_id, day FROM users, days)
+        SELECT s.user_id, s.day, d.day_value,
+          coalesce(last_value(d.day_value IGNORE NULLS) OVER (
+            PARTITION BY s.user_id ORDER BY s.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled
+        FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        ORDER BY s.user_id, s.day"""))
+  )
+}
