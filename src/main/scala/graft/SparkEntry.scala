@@ -19,6 +19,7 @@ object SparkEntry {
       ops.Dedup.defs ++
       ops.Similarity.defs ++
       ops.Text.defs ++
+      ops.TextHygiene.defs ++
       ops.Multimodal.defs ++
       ops.Pipeline.defs ++
       ops.SqlApi.defs

@@ -1,0 +1,188 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Corpus-hygiene operators for the training-data pipeline (the
+  * pre-training cleanup pass): benchmark decontamination, PII
+  * redaction, within-document repetition metrics (Gopher-style), and a
+  * rule-based quality gate with machine-readable reasons.
+  *
+  * All are explode/groupBy/regexp compositions — token streams shuffle
+  * on the shingle key (the same scale shape as the near-dup family);
+  * regex work is per-row codegen'd `regexp_replace`/`regexp_extract_all`
+  * with no UDFs. */
+object TextHygiene {
+
+  /** Word k-grams as a codegen'd HOF over a pre-split token array
+    * (guarded for docs shorter than k). */
+  private def wordGrams(w: org.apache.spark.sql.Column, k: Int) =
+    when(size(w) < k, array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(1), size(w) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(w, i + o)): _*)))
+
+  def defs: Seq[Q] = Seq(
+
+    Q(
+      "text_decontaminate",
+      "Benchmark decontamination: corpus docs sharing word-3-grams with " +
+        "a held-out benchmark set (doc_id%10==0 stands in for the eval " +
+        "suite). Distinct shingles explode → equi-join on the shingle → " +
+        "per-doc distinct-overlap count; contaminated = ≥5 shared " +
+        "3-grams; the anti-join of this result is the clean corpus. At " +
+        "100 TB the join shuffles on the shingle key (never all-pairs); " +
+        "a hot shingle salts exactly like the near-dup path.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val tri = d
+          .select(col("doc_id"), explode(wordGrams(col("w"), 3)).as("sh"))
+          .distinct()
+        val bench = tri.filter(col("doc_id") % 10 === 0).select("sh").distinct()
+        val corp = tri.filter(col("doc_id") % 10 =!= 0)
+        corp.join(bench, "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .select(col("doc_id"), col("n_shared"),
+            (col("n_shared") >= 5).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+          FROM d),
+        bench AS (SELECT DISTINCT sh FROM g WHERE doc_id % 10 = 0),
+        corp AS (SELECT doc_id, sh FROM g WHERE doc_id % 10 != 0)
+        SELECT c.doc_id, count(*) AS n_shared, count(*) >= 5 AS contaminated
+        FROM corp c JOIN bench b ON c.sh = b.sh
+        GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
+    Q(
+      "text_pii_redact",
+      "PII redaction: deterministic synthetic emails/phones are " +
+        "appended per doc (the fixture corpus carries none), then " +
+        "redacted by global regexp_replace with per-doc match counts " +
+        "from regexp_extract_all. Pure per-row codegen'd regex — " +
+        "embarrassingly parallel at any scale.",
+      (s, dir) => {
+        val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val phoneRe = "\\+1-555-[0-9]{3}-[0-9]{4}"
+        val d = Tables.t(s, dir, "documents")
+        val t = concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or call +1-555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val red = regexp_replace(
+          regexp_replace(t, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+        d.select(
+            col("doc_id"),
+            size(regexp_extract_all(t, lit(emailRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all(t, lit(phoneRe), lit(0))).as("n_phones"),
+            length(red).as("red_len"),
+            md5(red).as("red_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call +1-555-' ||
+            lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+          FROM documents),
+        r AS (SELECT doc_id, t,
+          regexp_replace(regexp_replace(t,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+            '\+1-555-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+          FROM p)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', 0)) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{3}-[0-9]{4}', 0)) AS INT) AS n_phones,
+          CAST(length(red) AS INT) AS red_len,
+          md5(red) AS red_md5
+        FROM r ORDER BY doc_id""")),
+
+    Q(
+      "text_repetition",
+      "Within-document repetition metrics (Gopher-style): duplicate-" +
+        "word fraction and most-frequent-bigram fraction. Per-doc " +
+        "bigram counts aggregate inside the doc_id partition — the " +
+        "shuffle key is (doc_id, bigram), so skew is bounded by " +
+        "single-document size, not corpus size.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val stats = d.select(
+          col("doc_id"), size(col("w")).as("n_words"),
+          size(array_distinct(col("w"))).as("n_uniq"))
+        val rep = d
+          .select(col("doc_id"), explode(wordGrams(col("w"), 2)).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("top_bigram_n"), sum("c").as("n_bigrams"))
+        stats.join(rep, "doc_id")
+          .select(
+            col("doc_id"), col("n_words"), col("n_uniq"),
+            round(lit(1) - col("n_uniq") / col("n_words"), 6).as("dup_word_frac"),
+            col("top_bigram_n"), col("n_bigrams"),
+            round(col("top_bigram_n") / col("n_bigrams"), 6).as("top_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        s AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq FROM d),
+        bg AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+          FROM d),
+        bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        rep AS (SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams
+          FROM bc GROUP BY 1)
+        SELECT s.doc_id, CAST(s.n_words AS INT) AS n_words, CAST(s.n_uniq AS INT) AS n_uniq,
+          round(1 - s.n_uniq / s.n_words, 6) AS dup_word_frac,
+          rep.top_bigram_n, rep.n_bigrams,
+          round(rep.top_bigram_n / rep.n_bigrams, 6) AS top_bigram_frac
+        FROM s JOIN rep ON s.doc_id = rep.doc_id ORDER BY s.doc_id""")),
+
+    Q(
+      "text_quality_gate",
+      "Rule-based quality gate (C4/Gopher-style) with machine-readable " +
+        "failure reasons: word-count band, mean-chars-per-word band, " +
+        "duplicate-word-fraction cap. All exact integer-derived doubles " +
+        "so both engines branch identically; reasons concat_ws-joined " +
+        "(nulls drop out in both engines).",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
+        val n = size(col("w"))
+        val dupFrac = lit(1) - size(array_distinct(col("w"))) / n
+        val meanLen = col("n_chars") / n
+        val reasons = concat_ws("|",
+          when(n < 20, "too_short"), when(n > 80, "too_long"),
+          when(meanLen < 3.0 || meanLen > 8.0, "word_len"),
+          when(dupFrac > 0.3, "repetitive"))
+        d.select(
+            col("doc_id"),
+            col("n_chars"),
+            n.as("n_words"),
+            round(meanLen, 6).as("mean_word_len"),
+            round(dupFrac, 6).as("dup_word_frac"),
+            (reasons === "").as("passed"),
+            reasons.as("reasons"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+        m AS (SELECT doc_id, n_chars, len(w) AS n,
+            1 - len(list_distinct(w)) / len(w) AS dup_frac,
+            n_chars / len(w) AS mean_len
+          FROM d),
+        r AS (SELECT *, concat_ws('|',
+            CASE WHEN n < 20 THEN 'too_short' END,
+            CASE WHEN n > 80 THEN 'too_long' END,
+            CASE WHEN mean_len < 3.0 OR mean_len > 8.0 THEN 'word_len' END,
+            CASE WHEN dup_frac > 0.3 THEN 'repetitive' END) AS reasons
+          FROM m)
+        SELECT doc_id, n_chars, CAST(n AS INT) AS n_words,
+          round(mean_len, 6) AS mean_word_len,
+          round(dup_frac, 6) AS dup_word_frac,
+          reasons = '' AS passed, reasons
+        FROM r ORDER BY doc_id"""))
+  )
+}
