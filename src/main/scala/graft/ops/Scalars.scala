@@ -373,6 +373,57 @@ object Scalars {
         ORDER BY doc_id, "key"""")),
 
     Q(
+      "scalar_hash",
+      "Cryptographic digest family over the document text: md5, " +
+        "sha2-256, lower-hex byte encoding, base64 — the content-" +
+        "fingerprint primitives the exact-dedup path builds on. " +
+        "(xxhash64/crc32 exist too but are Spark-specific seeds — " +
+        "covered by spec, not oracle.)",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            md5(col("text")).as("text_md5"),
+            sha2(col("text"), 256).as("text_sha256"),
+            lower(hex(substring(col("text"), 1, 8))).as("prefix_hex"),
+            base64(substring(col("text"), 1, 8).cast("binary")).as("prefix_b64"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        md5(text) AS text_md5,
+        sha256(text) AS text_sha256,
+        lower(hex(substring(text, 1, 8))) AS prefix_hex,
+        to_base64(CAST(substring(text, 1, 8) AS BLOB)) AS prefix_b64
+        FROM documents ORDER BY doc_id""")),
+
+    Q(
+      "scalar_bitwise",
+      "Bitwise scalar family: AND/OR/XOR/NOT, shifts, popcount — all " +
+        "exact integer ops, codegen'd.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        li.select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_partkey").bitwiseAND(255)).as("pk_and"),
+            (col("l_partkey").bitwiseOR(16)).as("pk_or"),
+            (col("l_partkey").bitwiseXOR(85)).as("pk_xor"),
+            bitwise_not(col("l_partkey")).as("pk_not"),
+            shiftleft(col("l_linenumber"), 3).as("ln_shl"),
+            shiftright(col("l_partkey"), 2).as("pk_shr"),
+            bit_count(col("l_partkey")).as("pk_bits"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        l_partkey & 255 AS pk_and,
+        l_partkey | 16 AS pk_or,
+        xor(l_partkey, 85) AS pk_xor,
+        ~l_partkey AS pk_not,
+        CAST(l_linenumber << 3 AS INT) AS ln_shl,
+        l_partkey >> 2 AS pk_shr,
+        CAST(bit_count(l_partkey) AS INT) AS pk_bits
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    Q(
       "explode_tokens",
       "Generator surface: posexplode of a split column (the UDTF shape).",
       (s, dir) => {

@@ -88,6 +88,30 @@ object Stats {
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
     Q(
+      "agg_bool_bitwise",
+      "Boolean and bitwise aggregates per group: bool_and/bool_or " +
+        "predicates, bit_and/bit_or/bit_xor over the line number. " +
+        "Constant-size buffers — the cheapest possible shuffle shape.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        li.groupBy("l_returnflag")
+          .agg(
+            bool_and(col("l_quantity") > 0).as("all_pos_qty"),
+            bool_or(col("l_discount") > 0.09).as("any_big_disc"),
+            bit_and(col("l_linenumber")).as("ln_and"),
+            bit_or(col("l_linenumber")).as("ln_or"),
+            bit_xor(col("l_linenumber")).as("ln_xor"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        bool_and(l_quantity > 0) AS all_pos_qty,
+        bool_or(l_discount > 0.09) AS any_big_disc,
+        CAST(bit_and(l_linenumber) AS INT) AS ln_and,
+        CAST(bit_or(l_linenumber) AS INT) AS ln_or,
+        CAST(bit_xor(l_linenumber) AS INT) AS ln_xor
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q(
       "window_ignore_nulls",
       "IGNORE NULLS window navigation over a sparse (null-bearing) " +
         "measure: lag skipping nulls, nth_value from frame start, and " +
