@@ -20,6 +20,21 @@ object Metrics {
       numOutputRows: Option[Long],
       failure: Option[String])
 
+  /** Inline pipeline metrics via `Dataset.observe`: the named
+    * aggregates are computed DURING the action that consumes the
+    * returned frame — no second scan, exactly the A15 "count what you
+    * exported" need at 100 TB (a read-back count would double the
+    * I/O). Read the values from the returned Observation after the
+    * action completes. */
+  def observed(
+      df: org.apache.spark.sql.DataFrame,
+      name: String,
+      first: org.apache.spark.sql.Column,
+      rest: org.apache.spark.sql.Column*): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, first, rest: _*), obs)
+  }
+
   /** Attach a capturing listener; returns a handle to read/clear. */
   def attach(spark: SparkSession): Recorder = {
     val r = new Recorder

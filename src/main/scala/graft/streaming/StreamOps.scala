@@ -220,6 +220,26 @@ object StreamOps {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join, same keys/range/watermarks as
+    * [[purchaseClickJoin]]: purchases with no click in the preceding
+    * 30 minutes still emit (null click columns) — but only once the
+    * watermark proves no matching click can arrive, so correctness of
+    * the null rows is watermark-gated, not timing-dependent. */
+  def purchaseClickLeftJoin(spark: SparkSession, events: Dataset[Event]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+  }
+
   /** foreachBatch sink: per-micro-batch custom logic (upserts, multi-
     * sink fan-out — whatever the format API can't express). The handler
     * receives a BATCH DataFrame, so everything in the engine applies. */

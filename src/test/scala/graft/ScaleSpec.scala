@@ -247,6 +247,18 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("Dataset.observe computes export metrics in the SAME pass, no second scan (A15)") {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val (df, obs) = Metrics.observed(orders, "export_obs",
+      count(lit(1)).as("n_rows"),
+      round(sum("o_totalprice"), 2).as("sum_price"))
+    df.write.mode("overwrite").parquet(tmpDir("graft-observe"))
+    val row = obs.get
+    assert(row("n_rows").asInstanceOf[Long] == orders.count(),
+      "observed row count must equal the written row count")
+    assert(row("sum_price").asInstanceOf[Double] > 0.0)
+  }
+
   test("query-execution listener captures write metrics (A15)") {
     val rec = Metrics.attach(spark)
     val out = tmpDir("graft-metrics")

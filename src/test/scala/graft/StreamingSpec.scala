@@ -172,6 +172,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((2L, 1L)), s"got $got")
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched purchases after watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.purchaseClickLeftJoin(spark, in.toDS())
+      .writeStream.format("memory").queryName("ssloj").outputMode("append").start()
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0),     // 10:00 click
+      Event(2, ts(20), 1, "purchase", 5.0), // 10:20 purchase → joins click@10:00
+      Event(3, ts(25), 2, "purchase", 7.0)) // user 2 never clicks
+    q.processAllAvailable()
+    // advance BOTH watermarks (multi-watermark policy = min) well past
+    // 10:25 so the unmatched purchase's state can be finalized...
+    in.addData(
+      Event(9, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "click", 0.0),
+      Event(10, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "purchase", 0.0))
+    q.processAllAvailable()
+    // ...and one more micro-batch so eviction (which runs on the batch
+    // AFTER the watermark update) actually fires.
+    in.addData(
+      Event(20, Timestamp.valueOf("2024-01-01 13:30:00"), 8, "click", 0.0),
+      Event(21, Timestamp.valueOf("2024-01-01 13:30:00"), 8, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssloj").select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got.contains((2L, Some(1L))), s"matched purchase must join its click: $got")
+    assert(got.contains((3L, None)), s"unmatched purchase must emit with null click: $got")
+  }
+
   test("foreachBatch sink receives batch DataFrames with batch ids") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
