@@ -424,6 +424,116 @@ object Scalars {
         FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
 
     Q(
+      "scalar_try_family",
+      "ANSI-safe try_* family (Spark 4 runs ANSI mode ON, where raw " +
+        "casts/arithmetic THROW): try_cast, try_divide, try_element_at, " +
+        "try_to_timestamp, try_add on a would-overflow sum. The " +
+        "null-instead-of-fail semantics is what keeps a 100 TB job from " +
+        "dying on one malformed row.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            concat(col("doc_id").cast("string"), lit("x")).try_cast("int").as("bad_int"),
+            col("doc_id").cast("string").try_cast("int").as("good_int"),
+            try_divide(col("n_chars"), col("doc_id") % 3).as("div3"),
+            try_element_at(split(col("text"), " "), lit(200)).as("tok200"),
+            try_to_timestamp(lit("2024-13-01")).cast("timestamp_ntz").as("bad_ts"),
+            try_to_timestamp(lit("2024-06-01 12:00:00")).cast("timestamp_ntz").as("good_ts"),
+            try_add(col("doc_id"), lit(Long.MaxValue)).as("overflow_add"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        TRY_CAST(CAST(doc_id AS VARCHAR) || 'x' AS INT) AS bad_int,
+        TRY_CAST(CAST(doc_id AS VARCHAR) AS INT) AS good_int,
+        n_chars / (doc_id % 3) AS div3,
+        (string_split(text, ' '))[200] AS tok200,
+        TRY_CAST('2024-13-01' AS TIMESTAMP) AS bad_ts,
+        TIMESTAMP '2024-06-01 12:00:00' AS good_ts,
+        CASE WHEN doc_id = 0 THEN 9223372036854775807 END AS overflow_add
+        FROM documents ORDER BY doc_id""")),
+
+    Q(
+      "scalar_variant",
+      "Spark 4 VARIANT semi-structured type: parse_json → variant, " +
+        "typed path extraction via variant_get, missing-path null via " +
+        "try_variant_get, and foldable schema_of_variant. The variant " +
+        "binary encoding scans ~8× faster than re-parsing JSON strings " +
+        "per access at scale.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val v = parse_json(col("props"))
+        e.select(
+            col("event_id"),
+            variant_get(v, "$.k", "int").as("k_int"),
+            try_variant_get(v, "$.missing", "int").as("missing_int"),
+            is_variant_null(v).as("is_null_variant"),
+            schema_of_variant(parse_json(lit("""{"k": 87}"""))).as("v_schema"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        CAST(NULL AS INT) AS missing_int,
+        false AS is_null_variant,
+        'OBJECT<k: BIGINT>' AS v_schema
+        FROM events ORDER BY event_id""")),
+
+    Q(
+      "scalar_map_hof",
+      "Map higher-order functions: transform_values, map_filter, " +
+        "map_entries projection, map_concat — outputs via the canonical " +
+        "'|'-joined encoding (map value/key order is insertion order in " +
+        "both engines).",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val m = map_from_arrays(
+          array(lit("lang"), lit("source")),
+          array(col("lang"), col("source")))
+        d.select(
+            col("doc_id"),
+            concat_ws("|", map_values(transform_values(m, (_, v) => upper(v)))).as("vals_u"),
+            concat_ws("|", map_keys(map_filter(m, (k, _) => k =!= "lang"))).as("keys_nolang"),
+            concat_ws("|", transform(map_entries(m),
+              e => concat(e.getField("key"), lit("="), e.getField("value")))).as("kv_pairs"),
+            concat_ws("|", map_keys(map_concat(m,
+              map(lit("extra"), lit("v"))))).as("keys_extra"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, MAP(['lang','source'], [lang, source]) AS m
+          FROM documents)
+        SELECT doc_id,
+          array_to_string(list_transform(map_values(m), v -> upper(v)), '|') AS vals_u,
+          array_to_string(list_filter(map_keys(m), k -> k != 'lang'), '|') AS keys_nolang,
+          array_to_string(list_transform(map_entries(m), e -> e.key || '=' || e.value), '|') AS kv_pairs,
+          array_to_string(map_keys(map_concat(m, MAP(['extra'], ['v']))), '|') AS keys_extra
+        FROM d ORDER BY doc_id""")),
+
+    Q(
+      "explode_outer_nulls",
+      "explode_outer/posexplode_outer generator semantics: rows with an " +
+        "EMPTY match set still emit one null row (inner explode would " +
+        "drop the document entirely — the outer form is what keeps " +
+        "per-doc joins total).",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), t => t.startsWith("sc")).as("zz"))
+        d.select(col("doc_id"), posexplode_outer(col("zz")))
+          .select(col("doc_id"), col("pos").cast("int").as("pos"), col("col").as("tok"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), t -> t LIKE 'sc%') AS zz
+          FROM documents),
+        x AS (SELECT doc_id,
+            CASE WHEN len(zz) = 0 THEN [NULL] ELSE zz END AS zz2 FROM d),
+        u AS (SELECT doc_id, unnest(zz2) AS tok,
+            generate_subscripts(zz2, 1) AS i FROM x)
+        SELECT doc_id,
+          CASE WHEN tok IS NULL THEN NULL ELSE CAST(i - 1 AS INT) END AS pos, tok
+        FROM u ORDER BY doc_id, pos""")),
+
+    Q(
       "explode_tokens",
       "Generator surface: posexplode of a split column (the UDTF shape).",
       (s, dir) => {
