@@ -112,6 +112,71 @@ object Stats {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     Q(
+      "agg_argmax",
+      "Argmax/argmin aggregates: max_by/min_by pick a companion column " +
+        "at the group's extreme (deterministic here because the ordering " +
+        "key o_orderkey is unique). One hash agg, constant-size buffers.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.groupBy("o_orderpriority")
+          .agg(
+            max_by(col("o_totalprice"), col("o_orderkey")).as("price_of_last"),
+            min_by(col("o_totalprice"), col("o_orderkey")).as("price_of_first"),
+            max(col("o_orderkey")).as("last_key"),
+            min(col("o_orderkey")).as("first_key"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        arg_max(o_totalprice, o_orderkey) AS price_of_last,
+        arg_min(o_totalprice, o_orderkey) AS price_of_first,
+        max(o_orderkey) AS last_key,
+        min(o_orderkey) AS first_key
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    Q(
+      "set_union_byname",
+      "unionByName with allowMissingColumns: schema-mismatched frames " +
+        "align by column NAME (not position), absent columns null-fill — " +
+        "the schema-drift-tolerant append every long-lived pipeline " +
+        "needs (reference freezes the first-seen schema instead; " +
+        "SURVEY §1.2 documents the upgrade).",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val a = d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        val b = d.filter(col("doc_id") % 2 === 1)
+          .select(col("lang"), col("doc_id"), col("source"))
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+        ORDER BY doc_id""")),
+
+    Q(
+      "scalar_interval",
+      "Interval arithmetic: timestamp ± INTERVAL, unit-truncating " +
+        "timestampdiff/timestampadd — emitted as epoch-µs bigints (the " +
+        "only portable sub-second encoding; see the ns-timestamp note " +
+        "on the events source).",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        e.select(
+            col("event_id"),
+            Tables.epochUs(col("ts") + expr("INTERVAL 3 HOURS")).as("plus3h_us"),
+            Tables.epochUs(col("ts") - expr("INTERVAL 90 MINUTES")).as("minus90m_us"),
+            expr("timestampdiff(MINUTE, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)").as("mins_since"),
+            Tables.epochUs(expr("timestampadd(DAY, 7, ts)")).as("plus7d_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        epoch_us(CAST(ts AS TIMESTAMP) + INTERVAL 3 HOUR) AS plus3h_us,
+        epoch_us(CAST(ts AS TIMESTAMP) - INTERVAL 90 MINUTE) AS minus90m_us,
+        date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', CAST(ts AS TIMESTAMP)) AS mins_since,
+        epoch_us(CAST(ts AS TIMESTAMP) + INTERVAL 7 DAY) AS plus7d_us
+        FROM events ORDER BY event_id""")),
+
+    Q(
       "window_ignore_nulls",
       "IGNORE NULLS window navigation over a sparse (null-bearing) " +
         "measure: lag skipping nulls, nth_value from frame start, and " +

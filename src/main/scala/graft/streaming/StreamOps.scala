@@ -220,6 +220,16 @@ object StreamOps {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (broadcast) static dimension — stateless on the stream side, no
+    * watermark needed; the dimension is re-broadcast per batch so a
+    * refreshed dim table is picked up on the next trigger. The standard
+    * "enrich events with reference data" shape. */
+  def enrichWithDim(events: Dataset[Event], dim: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    events.toDF().join(broadcast(dim), Seq("user_id"), "left")
+  }
+
   /** Stream-stream LEFT OUTER join, same keys/range/watermarks as
     * [[purchaseClickJoin]]: purchases with no click in the preceding
     * 30 minutes still emit (null click columns) — but only once the

@@ -172,6 +172,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((2L, 1L)), s"got $got")
   }
 
+  test("stream-static join enriches events with broadcast dimension rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = StreamOps.enrichWithDim(in.toDS(), dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    in.addData(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(1), 2, "view", 1.0),
+      Event(3, ts(2), 99, "view", 1.0)) // no dim row → left join keeps it
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich").select("event_id", "tier").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)), s"got $got")
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched purchases after watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
