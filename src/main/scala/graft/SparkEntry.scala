@@ -14,6 +14,7 @@ object SparkEntry {
     etl.EtlQueries.defs ++
       ops.Relational.defs ++
       ops.Stats.defs ++
+      ops.Analytics.defs ++
       ops.Scalars.defs ++
       ops.StreamingBatch.defs ++
       ops.Dedup.defs ++

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics compositions over the event stream: funnel
+  * progression and cohort retention — the two queries every
+  * events-warehouse user runs weekly. Both are conditional-aggregation
+  * + join shapes: the event table is scanned a bounded number of
+  * times, everything aggregates per user_id (one shuffle key), and the
+  * final outputs are tiny (stages × cohorts), so the plans scale to
+  * arbitrary event volumes. */
+object Analytics {
+
+  def defs: Seq[Q] = Seq(
+
+    Q(
+      "analytics_funnel",
+      "Ordered funnel view → click → purchase per user: each stage is " +
+        "the earliest qualifying event STRICTLY AFTER the previous " +
+        "stage (conditional min-aggregates, one per pass), then users " +
+        "roll up by furthest stage reached. Three passes over events, " +
+        "all keyed on user_id; output is 4 rows. The two-day analysis " +
+        "slice keeps every stage populated on the fixture (over the " +
+        "full month everyone converts).",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .filter(col("ts") < lit("2024-01-03").cast("timestamp_ntz"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = e.groupBy("user_id")
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
+        val c = e.join(v, "user_id")
+          .filter(col("event_type") === "click" && col("ts") > col("v_ts"))
+          .groupBy("user_id").agg(min("ts").as("c_ts"))
+        val p = e.join(c, "user_id")
+          .filter(col("event_type") === "purchase" && col("ts") > col("c_ts"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("p_ts").isNotNull, 3)
+              .when(col("c_ts").isNotNull, 2)
+              .when(col("v_ts").isNotNull, 1)
+              .otherwise(0).as("stage"))
+          .groupBy("stage").agg(count(lit(1)).as("n_users"))
+          .orderBy("stage")
+      },
+      Some("""WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+        v AS (SELECT user_id,
+            min(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+          FROM ev GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS c_ts
+          FROM ev e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.v_ts
+          GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS p_ts
+          FROM ev e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+          GROUP BY e.user_id)
+        SELECT CASE WHEN p.p_ts IS NOT NULL THEN 3
+                    WHEN c.c_ts IS NOT NULL THEN 2
+                    WHEN v.v_ts IS NOT NULL THEN 1
+                    ELSE 0 END AS stage,
+          count(*) AS n_users
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+          LEFT JOIN p ON v.user_id = p.user_id
+        GROUP BY 1 ORDER BY stage""")),
+
+    Q(
+      "analytics_retention",
+      "Cohort retention: users grouped by first-seen week; for each " +
+        "(cohort, weeks-since-cohort) cell, the count of cohort members " +
+        "active that week. Two aggregations keyed on user_id + one " +
+        "distinct-(user, week) reduction — the output is a |cohorts| × " +
+        "|weeks| matrix regardless of event volume.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val firstDay = e.groupBy("user_id").agg(min("d").as("first_d"))
+        val active = e.select(col("user_id"),
+            date_trunc("week", col("d")).cast("date").as("w")).distinct()
+        active.join(firstDay, "user_id")
+          .select(col("user_id"),
+            date_trunc("week", col("first_d")).cast("date").as("cohort_week"),
+            col("w"))
+          .select(col("user_id"), col("cohort_week"),
+            (datediff(col("w"), col("cohort_week")) / 7).cast("int").as("week_n"))
+          .groupBy("cohort_week", "week_n")
+          .agg(countDistinct("user_id").as("n_active"))
+          .orderBy("cohort_week", "week_n")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        f AS (SELECT user_id, CAST(date_trunc('week', min(d)) AS DATE) AS cohort_week
+          FROM e GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', d) AS DATE) AS w FROM e)
+        SELECT f.cohort_week,
+          CAST(date_diff('day', f.cohort_week, a.w) // 7 AS INT) AS week_n,
+          count(DISTINCT a.user_id) AS n_active
+        FROM a JOIN f ON a.user_id = f.user_id
+        GROUP BY 1, 2 ORDER BY cohort_week, week_n"""))
+  )
+}
