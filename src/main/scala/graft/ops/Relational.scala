@@ -573,6 +573,35 @@ object Relational {
         CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
         FROM customer ORDER BY c_custkey""")),
 
+    Q(
+      "window_ntile_partitioned",
+      "The fact-scale ntile shape the plain query's NOTE points at: " +
+        "quartiles per nation (partitioned window — every partition key " +
+        "sorts independently, full task parallelism) plus width_bucket " +
+        "equal-width binning, which needs no sort at all. (DuckDB lacks " +
+        "width_bucket — the oracle spells out the SQL-standard formula; " +
+        "cent-valued inputs sit far from bin edges so the engines' " +
+        "float paths agree on every floor.)",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        c.select(
+            col("c_custkey"),
+            col("c_nationkey"),
+            ntile(4).over(
+              Window.partitionBy(col("c_nationkey"))
+                .orderBy(col("c_acctbal").desc, col("c_custkey"))).cast("int").as("nation_quartile"),
+            width_bucket(col("c_acctbal"), lit(-1000.0), lit(10000.0), lit(8)).cast("int").as("bal_bin"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+        CAST(ntile(4) OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal DESC, c_custkey) AS INT) AS nation_quartile,
+        CAST(CASE WHEN c_acctbal < -1000.0 THEN 0
+                  WHEN c_acctbal >= 10000.0 THEN 9
+                  ELSE 1 + floor((c_acctbal - (-1000.0)) / ((10000.0 - (-1000.0)) / 8))
+             END AS INT) AS bal_bin
+        FROM customer ORDER BY c_custkey""")),
+
     // --------------------------------------------------------- sorts / top-k
     Q(
       "sort_topk",
