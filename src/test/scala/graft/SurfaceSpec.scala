@@ -98,4 +98,58 @@ class SurfaceSpec extends SparkSpec {
     assert(back.select("r_name").orderBy("r_name").collect().map(_.getString(0)).toSeq ==
       df.select("r_name").orderBy("r_name").collect().map(_.getString(0)).toSeq)
   }
+
+  test("malformed JSON: PERMISSIVE quarantines rows in _corrupt_record, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("graft-badjson")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-0.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 "v": "missing-comma"}
+        |{"id": 3, "v": "ok2"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (the 100 TB default): bad rows land in the quarantine
+    // column, good rows parse — one poison record can't kill the job
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    // Spark requires materializing the corrupt column via a cache or
+    // separate scan; a straight filter on it alone is disallowed
+    val rows = permissive.cache().collect()
+    assert(rows.length == 3)
+    val bad = rows.filter(r => !r.isNullAt(2))
+    assert(bad.length == 1 && bad.head.getString(2).contains("missing-comma"))
+    assert(rows.filter(_.isNullAt(2)).map(_.getLong(0)).toSet == Set(1L, 3L))
+    permissive.unpersist()
+    // FAILFAST: schema-on-read violations surface immediately
+    val ff = intercept[Exception] {
+      spark.read.schema(StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").json(dir).collect()
+    }
+    // Spark 4 wraps the malformed-record error in FAILED_READ_FILE;
+    // the contract pinned here is that the read THROWS instead of
+    // silently dropping or null-filling the bad row
+    val chain = Iterator.iterate(ff: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("FAILED_READ_FILE") || chain.contains("MALFORMED_RECORD") ||
+      chain.contains("Malformed"), s"unexpected error: ${chain.take(300)}")
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val dir = tmpDir("graft-evolve")
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/gen=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v2", "score").write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "score", "gen"))
+    val r1 = merged.filter(col("id") === 1L).collect().head
+    assert(r1.getAs[String]("v1") == "a" && r1.isNullAt(merged.columns.indexOf("v2")),
+      "old-generation rows null-fill new columns")
+    val r2 = merged.filter(col("id") === 2L).collect().head
+    assert(r2.getAs[Double]("score") == 9.5 && r2.isNullAt(merged.columns.indexOf("v1")),
+      "new-generation rows null-fill dropped columns")
+  }
 }
