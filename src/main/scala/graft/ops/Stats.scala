@@ -112,6 +112,30 @@ object Stats {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     Q(
+      "agg_hll_sketch",
+      "Re-aggregatable distinct-count sketches (DataSketches HLL): " +
+        "per-group hll_sketch_agg → estimate, plus the roll-up " +
+        "hll_union_agg over the per-group sketches. The union estimate " +
+        "tracks sketching the raw data directly — THE pattern for " +
+        "distinct counts over 100 TB partitioned by day: sketch once " +
+        "per partition, merge bytes forever after, never rescan. " +
+        "Sketch internals are implementation-specific → rows-only " +
+        "(StatsSpec pins accuracy and merge-equals-direct).",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        val perGroup = li.groupBy("l_returnflag")
+          .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+        val rolled = perGroup
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .select(lit("ALL").as("l_returnflag"), col("est"))
+        perGroup
+          .select(col("l_returnflag"), hll_sketch_estimate(col("sk")).as("est"))
+          .unionByName(rolled)
+          .orderBy("l_returnflag")
+      },
+      None),
+
+    Q(
       "agg_argmax",
       "Argmax/argmin aggregates: max_by/min_by pick a companion column " +
         "at the group's extreme (deterministic here because the ordering " +

@@ -54,6 +54,27 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(ku - g2) < 1e-9, s"kurtosis $ku != population g2 $g2")
   }
 
+  test("HLL sketch estimates are accurate and merge-equals-direct") {
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val exact = li.select(countDistinct($"l_orderkey")).as[Long].head()
+    // direct sketch over the raw column
+    val direct = li.select(hll_sketch_estimate(hll_sketch_agg($"l_orderkey")))
+      .as[Long].head()
+    // partial sketches per group, merged — the partition-and-merge path
+    val merged = li.groupBy($"l_returnflag")
+      .agg(hll_sketch_agg($"l_orderkey").as("sk"))
+      .select(hll_sketch_estimate(hll_union_agg($"sk")))
+      .as[Long].head()
+    // the union estimator path may differ from the direct sketch by a
+    // hair (different target-HLL promotion), but both must stay tight
+    assert(math.abs(merged - direct).toDouble / direct < 0.01,
+      s"merged $merged vs direct $direct beyond 1%")
+    assert(math.abs(direct - exact).toDouble / exact < 0.05,
+      s"estimate $direct vs exact $exact beyond 5%")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged estimate $merged vs exact $exact beyond 5%")
+  }
+
   test("ts_gapfill_locf emits a dense 30-day spine per user with no null fills") {
     val df = SparkEntry.queries("ts_gapfill_locf")(spark, sfDir)
     val rows = df.collect()
