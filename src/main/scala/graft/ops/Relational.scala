@@ -574,6 +574,31 @@ object Relational {
         FROM customer ORDER BY c_custkey""")),
 
     Q(
+      "join_null_safe",
+      "Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys " +
+        "match each other instead of vanishing — the semantic every " +
+        "dimension-with-unknown-member join needs. Keys are pre-" +
+        "aggregated per side so the null bucket joins 1:1.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val k = nullif(substring(col("o_orderpriority"), 1, 1), lit("3"))
+        val a = o.filter(col("o_orderkey") % 2 === 0)
+          .groupBy(k.as("k")).agg(count(lit(1)).as("n_even"))
+        val b = o.filter(col("o_orderkey") % 2 === 1)
+          .groupBy(k.as("k")).agg(count(lit(1)).as("n_odd"))
+        a.join(b, a("k") <=> b("k"))
+          .select(a("k").as("k"), col("n_even"), col("n_odd"))
+          .orderBy(col("k").asc_nulls_first)
+      },
+      Some("""WITH a AS (SELECT nullif(substring(o_orderpriority, 1, 1), '3') AS k,
+            count(*) AS n_even FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        b AS (SELECT nullif(substring(o_orderpriority, 1, 1), '3') AS k,
+            count(*) AS n_odd FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+        SELECT a.k, a.n_even, b.n_odd
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        ORDER BY a.k NULLS FIRST""")),
+
+    Q(
       "window_ntile_partitioned",
       "The fact-scale ntile shape the plain query's NOTE points at: " +
         "quartiles per nation (partitioned window — every partition key " +

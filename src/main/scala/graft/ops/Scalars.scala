@@ -424,6 +424,34 @@ object Scalars {
         FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
 
     Q(
+      "scalar_string3",
+      "Third string family: edit distance (levenshtein), position/" +
+        "instr search, split_part field extraction, left/right slices, " +
+        "ascii/chr codec.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            levenshtein(col("lang"), col("source")).as("lev_ls"),
+            instr(col("text"), "table").as("pos_table"),
+            split_part(col("source"), lit("c"), lit(2)).as("after_c"),
+            expr("left(text, 6)").as("head6"),
+            expr("right(text, 4)").as("tail4"),
+            ascii(col("lang")).as("lang_ascii"),
+            chr(col("doc_id") % 26 + 65).as("doc_chr"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(levenshtein(lang, source) AS INT) AS lev_ls,
+        CAST(instr(text, 'table') AS INT) AS pos_table,
+        split_part(source, 'c', 2) AS after_c,
+        "left"(text, 6) AS head6,
+        "right"(text, 4) AS tail4,
+        CAST(ascii(lang) AS INT) AS lang_ascii,
+        chr(CAST(doc_id % 26 + 65 AS INT)) AS doc_chr
+        FROM documents ORDER BY doc_id""")),
+
+    Q(
       "scalar_try_family",
       "ANSI-safe try_* family (Spark 4 runs ANSI mode ON, where raw " +
         "casts/arithmetic THROW): try_cast, try_divide, try_element_at, " +
