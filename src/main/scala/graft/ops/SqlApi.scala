@@ -107,6 +107,29 @@ object SqlApi {
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")),
 
     Q(
+      "sql_recursive_cte",
+      "WITH RECURSIVE (Spark 4): ancestor-chain walk over the implicit " +
+        "doc_id // 2 binary-tree hierarchy — each document's generation " +
+        "count to the root. Recursion depth is log2(N) (~9 on the " +
+        "fixture); each iteration is one self-join the engine unions " +
+        "into the working set. The same surface DuckDB runs verbatim.",
+      (s, dir) => withViews(s, dir, "documents")(
+        """WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+             SELECT doc_id, doc_id, 0 FROM documents
+             UNION ALL
+             SELECT a.doc_id, CAST(FLOOR(a.anc_id / 2.0) AS BIGINT), a.depth + 1
+             FROM anc a WHERE a.anc_id > 0)
+           SELECT doc_id, CAST(max(depth) AS INT) AS generations
+           FROM anc GROUP BY doc_id ORDER BY doc_id"""),
+      Some("""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM documents
+          UNION ALL
+          SELECT a.doc_id, CAST(FLOOR(a.anc_id / 2.0) AS BIGINT), a.depth + 1
+          FROM anc a WHERE a.anc_id > 0)
+        SELECT doc_id, CAST(max(depth) AS INT) AS generations
+        FROM anc GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q(
       "agg_approx_distinct",
       "HLL++ approximate distinct counts per group — the 100 TB path " +
         "where exact countDistinct's two-level expansion is too " +
