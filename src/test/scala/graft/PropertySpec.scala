@@ -123,4 +123,56 @@ class PropertySpec extends SparkSpec {
     assert(hits.head._2, s"jaccard ${hits.head._1} pair should be an LSH candidate")
     assert(!hits.last._2, s"jaccard ${hits.last._1} pair should not collide")
   }
+
+  test("property: PII redaction is idempotent and leaves no matchable PII behind") {
+    import spark.implicits._
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{3}-[0-9]{4}"
+    val word = Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty)
+    val email = for { u <- word; d <- word } yield s"$u@$d.com"
+    val phone = Gen.choose(0, 9999).map(n => f"+1-555-${n % 1000}%03d-$n%04d")
+    val text = Gen.listOfN(12, Gen.frequency(6 -> word, 3 -> email, 3 -> phone))
+      .map(_.mkString(" "))
+    val docs = samples(text, 60, seed = 77L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    def redact(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    val once = docs.select(col("id"), redact(col("t")).as("r1"))
+    val twice = once.select(col("id"), col("r1"), redact(col("r1")).as("r2"))
+      .withColumn("leftover",
+        size(regexp_extract_all(col("r1"), lit(emailRe), lit(0))) +
+          size(regexp_extract_all(col("r1"), lit(phoneRe), lit(0))))
+      .collect()
+    twice.foreach { r =>
+      assert(r.getString(1) == r.getString(2), "second redaction must be a no-op")
+      assert(r.getInt(3) == 0, s"redacted text still matches PII: ${r.getString(1).take(80)}")
+    }
+  }
+
+  test("property: LOCF fill equals the most recent non-null at every position") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val series = Gen.listOfN(40, Gen.option(Gen.choose(-100.0, 100.0)))
+    samples(series, 6, seed = 13L).zipWithIndex.foreach { case (xs, g) =>
+      val df = xs.zipWithIndex.map { case (v, i) => (g, i, v) }.toDF("g", "seq", "v")
+      val w = Window.partitionBy("g").orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = df.select(col("seq"), last(col("v"), ignoreNulls = true).over(w).as("locf"))
+        .orderBy("seq").collect()
+        .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+      val expected = xs.scanLeft(Option.empty[Double])((acc, v) => v.orElse(acc)).tail
+      assert(got.toSeq == expected, s"series $g mismatch")
+    }
+  }
+
+  test("property: quality gate passes exactly the docs with no reason codes") {
+    val df = SparkEntry.queries("text_quality_gate")(spark, sfDir).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      val passed = r.getBoolean(5)
+      val reasons = r.getString(6)
+      assert(passed == reasons.isEmpty,
+        s"doc ${r.getLong(0)}: passed=$passed but reasons='$reasons'")
+    }
+  }
 }
