@@ -220,6 +220,21 @@ object StreamOps {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Incremental file ingestion: tail a landing directory as a stream —
+    * new files are discovered per trigger (bounded by
+    * maxFilesPerTrigger for backpressure) and processed exactly once
+    * per checkpoint. This is the continuous form of the reference's
+    * batch export loop: drop files in, they flow through. */
+  def fileIngest(
+      spark: SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * (broadcast) static dimension — stateless on the stream side, no
     * watermark needed; the dimension is re-broadcast per batch so a

@@ -172,6 +172,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((2L, 1L)), s"got $got")
   }
 
+  test("file-source stream ingests newly landed files incrementally") {
+    import spark.implicits._
+    val src = tmpDir("graft-ingest-src")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    val q = StreamOps.fileIngest(spark, src, schema)
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("ingest").count() == 2, "initial files ingested")
+    // land another file AFTER the stream started — only the delta flows
+    Seq((3L, "c")).toDF("id", "v").coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ingest").select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L), s"late-landed file must be picked up: $got")
+  }
+
   test("stream-static join enriches events with broadcast dimension rows") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
