@@ -247,6 +247,21 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("nested schema pruning: selecting one struct field prunes the rest from the scan") {
+    import spark.implicits._
+    val dir = tmpDir("graft-nested")
+    spark.range(100)
+      .select(struct(col("id").as("a"), (col("id") * 2).as("b"),
+        lit("x").as("c")).as("s"))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).select(col("s.a"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan must read only s.a — at 100 TB with wide event payloads
+    // this is the difference between reading 1 column and the world
+    assert(plan.contains("ReadSchema: struct<s:struct<a:bigint>>"),
+      s"nested fields not pruned:\n${plan.take(1200)}")
+  }
+
   test("Dataset.observe computes export metrics in the SAME pass, no second scan (A15)") {
     val orders = Tables.t(spark, sfDir, "orders")
     val (df, obs) = Metrics.observed(orders, "export_obs",
