@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics compositions over the event stream: funnel
@@ -64,6 +65,36 @@ object Analytics {
         FROM v LEFT JOIN c ON v.user_id = c.user_id
           LEFT JOIN p ON v.user_id = p.user_id
         GROUP BY 1 ORDER BY stage""")),
+
+    Q(
+      "analytics_paths",
+      "Top user journeys: each user's first three events (sequence-" +
+        "ordered, tie-broken on event_id) joined into a path string, " +
+        "counted and ranked. Ranking windows + ordered string-agg; the " +
+        "per-user state is a bounded 3-element list regardless of " +
+        "history length.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val r = e.select(col("user_id"), col("event_type"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+        r.groupBy("user_id")
+          .agg(concat_ws(">",
+            transform(
+              sort_array(collect_list(struct(col("rn"), col("event_type")))),
+              s => s.getField("event_type"))).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(10)
+      },
+      Some("""WITH r AS (SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 3 GROUP BY user_id)
+        SELECT path, count(*) AS n_users FROM p GROUP BY path
+        ORDER BY n_users DESC, path LIMIT 10""")),
 
     Q(
       "analytics_retention",

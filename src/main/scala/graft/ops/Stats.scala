@@ -112,6 +112,36 @@ object Stats {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     Q(
+      "profile_table_stats",
+      "One-pass table profiling: row count, per-column null counts, " +
+        "distinct cardinalities, numeric and temporal min/max — the " +
+        "data-quality summary every ingest job should emit. A single " +
+        "aggregation; at 100 TB swap the exact distincts for " +
+        "approx_count_distinct (declared separately) and nothing else " +
+        "changes.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.agg(
+            count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col("o_totalprice"))).as("nulls_price"),
+            countDistinct(col("o_orderstatus")).as("n_status"),
+            countDistinct(col("o_custkey")).as("n_cust"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"),
+            min(to_date(col("o_orderdate"))).as("min_date"),
+            max(to_date(col("o_orderdate"))).as("max_date"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+        count(*) - count(o_totalprice) AS nulls_price,
+        count(DISTINCT o_orderstatus) AS n_status,
+        count(DISTINCT o_custkey) AS n_cust,
+        min(o_totalprice) AS min_price,
+        max(o_totalprice) AS max_price,
+        CAST(min(o_orderdate) AS DATE) AS min_date,
+        CAST(max(o_orderdate) AS DATE) AS max_date
+        FROM orders""")),
+
+    Q(
       "agg_hll_sketch",
       "Re-aggregatable distinct-count sketches (DataSketches HLL): " +
         "per-group hll_sketch_agg → estimate, plus the roll-up " +
