@@ -91,6 +91,58 @@ object Pipeline {
           FROM (SELECT lang,
               substring(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 2) AS h
             FROM documents))
-        GROUP BY lang, split ORDER BY lang, split"""))
+        GROUP BY lang, split ORDER BY lang, split""")),
+
+    Q(
+      "pipeline_canonical_dedup",
+      "Near-dup canonicalization end-to-end: Jaccard candidate pairs → " +
+        "connected components → ONE survivor per cluster by quality " +
+        "(longest doc, doc-id tie-break). Unclustered docs are their own " +
+        "canonical. This is the cluster-then-pick step between candidate " +
+        "generation and the actual drop in a production dedup pipeline; " +
+        "oracle = DuckDB recursive CTE + the same argmax window.",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+        val stats = Dedup.ngramJaccardStats(docs, hotThreshold = 20)
+        val edges = stats.filter(col("jaccard") >= 0.10)
+          .select(col("d1").as("src"), col("d2").as("dst"))
+        val comps = Dedup.connectedComponents(edges)
+        val labeled = docs.select(col("doc_id"), col("n_chars"))
+          .join(comps, docs("doc_id") === comps("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"),
+            col("n_chars"))
+        val w = Window.partitionBy("component")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        labeled
+          .withColumn("rk", row_number().over(w))
+          .select(col("doc_id"), col("component"), col("n_chars"),
+            (col("rk") === 1).as("canonical"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+        w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 200),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words)),
+            i -> words[CAST(i AS INT)] || ' ' || words[CAST(i + 1 AS INT)])) AS shingles FROM w),
+        sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+        e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        p0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (SELECT d1, d2
+          FROM p0 JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.10),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        r(node, lbl) AS (SELECT node, node FROM nodes
+          UNION SELECT e.b, r.lbl FROM edges e JOIN r ON e.a = r.node),
+        comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node),
+        labeled AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+          FROM w d LEFT JOIN comp c ON d.doc_id = c.node)
+        SELECT doc_id, component, n_chars,
+          row_number() OVER (PARTITION BY component
+            ORDER BY n_chars DESC, doc_id) = 1 AS canonical
+        FROM labeled ORDER BY doc_id"""))
   )
 }
