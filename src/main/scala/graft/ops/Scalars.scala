@@ -452,6 +452,28 @@ object Scalars {
         FROM documents ORDER BY doc_id""")),
 
     Q(
+      "scalar_regex_family",
+      "Extended regex family: regexp_count, regexp_substr (null on " +
+        "miss), capture-group backreference rewrite (Spark `$1` ≡ " +
+        "DuckDB `\\1`), regexp_extract_all joined canonically.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        d.select(
+            col("doc_id"),
+            regexp_count(col("text"), lit("[aeiou]{2}")).as("n_vowel_pairs"),
+            regexp_substr(col("text"), lit("s[a-z]{3}")).as("first_s4"),
+            regexp_replace(col("source"), "([a-z]+)([0-9]+)", "$2_$1").as("src_flipped"),
+            concat_ws("|", regexp_extract_all(col("text"), lit("\\b[a-z]{3}\\b"), lit(0))).as("three_letter_words"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[aeiou]{2}', 0)) AS INT) AS n_vowel_pairs,
+        nullif(regexp_extract(text, 's[a-z]{3}', 0), '') AS first_s4,
+        regexp_replace(source, '([a-z]+)([0-9]+)', '\2_\1', 'g') AS src_flipped,
+        coalesce(array_to_string(regexp_extract_all(text, '\b[a-z]{3}\b', 0), '|'), '') AS three_letter_words
+        FROM documents ORDER BY doc_id""")),
+
+    Q(
       "scalar_try_family",
       "ANSI-safe try_* family (Spark 4 runs ANSI mode ON, where raw " +
         "casts/arithmetic THROW): try_cast, try_divide, try_element_at, " +

@@ -172,6 +172,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((2L, 1L)), s"got $got")
   }
 
+  test("update output mode re-emits only the changed aggregate rows per batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = in.toDS().groupBy("event_type").count()
+      .writeStream.format("memory").queryName("updmode").outputMode("update").start()
+    in.addData(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(1), 1, "view", 1.0),
+      Event(3, ts(2), 2, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(4, ts(3), 1, "view", 1.0)) // only `view` changes
+    q.processAllAvailable()
+    q.stop()
+    // the memory sink keeps every emitted update: view is re-emitted
+    // with its new count, click is NOT repeated
+    val hist = spark.table("updmode").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(hist.filter(_._1 == "view").map(_._2).sorted == Seq(2L, 3L), s"got $hist")
+    assert(hist.filter(_._1 == "click").map(_._2) == Seq(1L), s"got $hist")
+  }
+
   test("file-source stream ingests newly landed files incrementally") {
     import spark.implicits._
     val src = tmpDir("graft-ingest-src")
