@@ -59,4 +59,22 @@ class QueriesSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
+
+  test("no declared query plans an unpartitioned Window outside the documented allowlist") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // an empty partitionSpec funnels the whole input through ONE task —
+    // acceptable only where the query's own doc justifies it on a
+    // bounded input; everything else must partition
+    val allow = Set(
+      "window_ntile" // global quartiles on the customer dim; the scale
+                     // twin window_ntile_partitioned is the fact shape
+    )
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val unpartitioned = fn(spark, sfDir).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (unpartitioned.nonEmpty && !allow(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned Window in: $offenders")
+  }
 }
