@@ -21,10 +21,7 @@ object Dedup {
     * directly would re-split the text per element access inside the
     * lambda (O(words²) per doc). */
   private def bigramShingles(words: Column): Column =
-    when(size(words) < 2, array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(words) - 1),
-        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))))
+    array_distinct(TextFns.wordGrams(words, 2))
 
   /** One literal mask per bit position (shift-by-column isn't a thing in
     * functions._, masks are). */
@@ -312,6 +309,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // non-converged labels are silently WRONG (one true cluster splits
+    // into several, each electing its own survivor) — fail fast instead;
+    // the caller can raise maxIters (rounds needed = graph diameter)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — raise maxIters")
     labels.select(col("node"), col("comp").as("component"),
       (col("node") === col("comp")).as("keep"))
   }

@@ -506,8 +506,10 @@ object Scalars {
     Q(
       "scalar_variant",
       "Spark 4 VARIANT semi-structured type: parse_json → variant, " +
-        "typed path extraction via variant_get, missing-path null via " +
-        "try_variant_get, and foldable schema_of_variant. The variant " +
+        "typed path extraction via try_variant_get (null — not an ANSI " +
+        "throw — on a missing path or non-int value, so one malformed " +
+        "row can't kill a 100 TB scan), and foldable schema_of_variant. " +
+        "The variant " +
         "binary encoding scans ~8× faster than re-parsing JSON strings " +
         "per access at scale.",
       (s, dir) => {
@@ -515,14 +517,14 @@ object Scalars {
         val v = parse_json(col("props"))
         e.select(
             col("event_id"),
-            variant_get(v, "$.k", "int").as("k_int"),
+            try_variant_get(v, "$.k", "int").as("k_int"),
             try_variant_get(v, "$.missing", "int").as("missing_int"),
             is_variant_null(v).as("is_null_variant"),
             schema_of_variant(parse_json(lit("""{"k": 87}"""))).as("v_schema"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id,
-        CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
         CAST(NULL AS INT) AS missing_int,
         false AS is_null_variant,
         'OBJECT<k: BIGINT>' AS v_schema

@@ -38,11 +38,7 @@ object Text {
         // text per element (O(words²) per doc)
         val d = Tables.t(s, dir, "documents").select(split(col("text"), " ").as("words"))
         val w = col("words")
-        val bigrams = when(size(w) < 2, array().cast(ArrayType(StringType)))
-          .otherwise(transform(
-            sequence(lit(1), size(w) - 1),
-            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-        d.select(explode(bigrams).as("bigram"))
+        d.select(explode(TextFns.wordGrams(w, 2)).as("bigram"))
           .groupBy("bigram").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram"))
           .limit(20)

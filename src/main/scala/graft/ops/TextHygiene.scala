@@ -15,13 +15,8 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * with no UDFs. */
 object TextHygiene {
 
-  /** Word k-grams as a codegen'd HOF over a pre-split token array
-    * (guarded for docs shorter than k). */
   private def wordGrams(w: org.apache.spark.sql.Column, k: Int) =
-    when(size(w) < k, array().cast(ArrayType(StringType)))
-      .otherwise(transform(
-        sequence(lit(1), size(w) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(o => element_at(w, i + o)): _*)))
+    TextFns.wordGrams(w, k)
 
   def defs: Seq[Q] = Seq(
 

@@ -237,9 +237,12 @@ object StreamOps {
 
   /** Stream-static enrichment join: each micro-batch joins against the
     * (broadcast) static dimension — stateless on the stream side, no
-    * watermark needed; the dimension is re-broadcast per batch so a
-    * refreshed dim table is picked up on the next trigger. The standard
-    * "enrich events with reference data" shape. */
+    * watermark needed. NOTE: a plain file-backed DataFrame snapshots
+    * its file list at creation, so dim updates are NOT picked up
+    * mid-stream; for a refreshing dimension re-read it per batch
+    * inside foreachBatch (or use a table format with refreshable
+    * snapshots). The standard "enrich events with reference data"
+    * shape. */
   def enrichWithDim(events: Dataset[Event], dim: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     events.toDF().join(broadcast(dim), Seq("user_id"), "left")

@@ -48,33 +48,28 @@ class QueriesSpec extends SparkSpec {
       s"queries with empty results: $empties")
   }
 
-  test("no declared query plans a CartesianProduct") {
-    // the one plan shape that is never acceptable at 100 TB: every
-    // crossJoin in the registry must broadcast its bounded side, so a
-    // CartesianProduct (both sides shuffled, |L|·|R| rows) appearing in
-    // any optimized-to-physical plan is a regression
-    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct")) Some(name) else None
-    }
-    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
-  }
-
-  test("no declared query plans an unpartitioned Window outside the documented allowlist") {
+  test("no declared query plans a CartesianProduct or an unallowed unpartitioned Window") {
     import org.apache.spark.sql.execution.window.WindowExec
-    // an empty partitionSpec funnels the whole input through ONE task —
-    // acceptable only where the query's own doc justifies it on a
-    // bounded input; everything else must partition
-    val allow = Set(
+    // one planning sweep over the whole registry, two invariants:
+    // - CartesianProduct (both sides shuffled, |L|·|R| rows) is never
+    //   acceptable at 100 TB — every crossJoin must broadcast its
+    //   bounded side;
+    // - an empty window partitionSpec funnels the input through ONE
+    //   task — acceptable only where the query's own doc justifies it
+    //   on a bounded input
+    val allowUnpartitioned = Set(
       "window_ntile" // global quartiles on the customer dim; the scale
                      // twin window_ntile_partitioned is the fact shape
     )
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
-      val unpartitioned = fn(spark, sfDir).queryExecution.sparkPlan.collect {
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val cartesian = plan.toString.contains("CartesianProduct")
+      val unpartitioned = !allowUnpartitioned(name) && plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
-      }
-      if (unpartitioned.nonEmpty && !allow(name)) Some(name) else None
+      }.nonEmpty
+      (if (cartesian) Seq(s"$name: CartesianProduct") else Nil) ++
+        (if (unpartitioned) Seq(s"$name: unpartitioned Window") else Nil)
     }
-    assert(offenders.isEmpty, s"unpartitioned Window in: $offenders")
+    assert(offenders.isEmpty, s"plan invariants violated: $offenders")
   }
 }
