@@ -42,14 +42,39 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val failed = results.size - ok.size
     val total = ok.values.sum
-    def f3(v: Double) = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    // The machine line goes LAST and stays compact (3-decimal values):
-    // the driver tail-captures stdout, so anything printed after the
-    // JSON — or a front-loaded giant line — would truncate it.
+    // Two lines: the FULL per-query map first (for humans and BENCHLOG),
+    // then the compact machine line LAST. The driver tail-captures
+    // stdout with a bounded window — round 1 and 2 both lost the bench
+    // signal because the single ~3.5 KB line had its FRONT truncated,
+    // leaving unparseable JSON. The final line therefore carries only a
+    // fixed headline subset and stays well under the capture window
+    // (pinned by BenchLineSpec).
+    println(s"""{"detail":"per_query","queries":$qs}""")
     System.out.flush()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(machineLine(results, total, failed, sfDir))
     spark.stop()
+  }
+
+  private def f3(v: Double) = f"$v%.3f"
+
+  /** Representative queries across every family: the compact machine
+    * line reports these (plus total/failed/n_queries); the full map is
+    * on the previous stdout line. */
+  val headline: Seq[String] = Seq(
+    "agg_q1", "sql_revenue_by_nation", "join_inner_chain",
+    "join_asof_native", "join_range_band", "window_rank", "sort_topk",
+    "dedup_exact_key", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_embedding_lsh", "sim_topk_cosine", "sim_ann_ivf",
+    "text_tfidf", "text_bm25_search", "stream_session_gap",
+    "etl_date_filter_derive", "graph_pagerank")
+
+  /** Final stdout line: complete JSON, bounded size (tail-capture-safe). */
+  def machineLine(results: Map[String, Double], total: Double,
+      failed: Int, sfDir: String): String = {
+    val hq = headline.flatMap(n => results.get(n).map(v => "\"" + n + "\":" + f3(v)))
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$hq,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
   }
 }

@@ -14,6 +14,8 @@ object SparkEntry {
     etl.EtlQueries.defs ++
       ops.Relational.defs ++
       ops.Stats.defs ++
+      ops.Cdc.defs ++
+      ops.Graph.defs ++
       ops.Analytics.defs ++
       ops.Scalars.defs ++
       ops.StreamingBatch.defs ++

@@ -5,7 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [nameSubstring...] — the optional filters
+    // restrict the run to matching queries (local iteration only; the
+    // driver always passes exactly two args → full run).
+    val sfDir = args(0)
+    val outDir = args(1)
+    val filters = args.drop(2)
+    def selected(name: String): Boolean =
+      filters.isEmpty || filters.exists(name.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +28,7 @@ object Verify {
     // Queries are independent writes to distinct dirs — run them on a
     // small pool; Spark's scheduler interleaves the jobs.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val tasks = SparkEntry.queries.toSeq.filter(t => selected(t._1)).map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit = {
           val t0 = System.nanoTime()

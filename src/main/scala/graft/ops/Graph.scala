@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationally-derived edges. Companion to the
+  * iterative connected-components in [[Dedup]] (dedup_components):
+  * PageRank is the other canonical bulk-iterative dataflow, and the
+  * distributed shape is the one a 1000-executor cluster runs — ranks
+  * and edges co-partitioned on the join key, one shuffle per
+  * iteration (join + groupBy), dangling mass as a 1-row broadcast,
+  * `localCheckpoint` to cut the replanned lineage per round (the same
+  * lesson dedup_components learned: without it every iteration
+  * re-executes the whole upstream join).
+  *
+  * The fixture graph is nation→nation trade (25 nodes), so the data is
+  * tiny — but the plan is the generic one; node count enters only as
+  * two literals. The oracle unrolls the same damped, weighted,
+  * dangling-aware power iteration as chained SQL CTEs (generated, one
+  * per iteration — DuckDB disallows aggregation inside a recursive
+  * CTE, so fixed-K unrolling is the portable form).
+  */
+object Graph {
+
+  private val Damping = 0.85
+  private val Iterations = 5
+
+  /** Trade edges: customer's nation → supplier's nation, weighted by
+    * line-item count. Star join with broadcast dims, one aggregation. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val o = Tables.t(s, dir, "orders")
+    val c = broadcast(Tables.t(s, dir, "customer"))
+    val sup = broadcast(Tables.t(s, dir, "supplier"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+  }
+
+  def defs: Seq[Q] = Seq(
+
+    Q(
+      "graph_pagerank",
+      s"Weighted PageRank (d=$Damping, $Iterations iterations) over the " +
+        "nation→nation trade graph derived from the star join. Each " +
+        "iteration: contributions = ranks ⋈ out-normalized edges on src " +
+        "(co-partitioned equi-join) → groupBy dst; dangling mass (nodes " +
+        "with no out-edges) is a 1-row broadcast, never a collect. " +
+        "Edges are localCheckpoint'ed once so iterations replan a " +
+        "25-row join, not the 4-table upstream.",
+      (s, dir) => {
+        val n = 25 // |nation| — fixed TPC-H dimension cardinality
+        val nodes = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("id"))
+        val edges = {
+          val e = tradeEdges(s, dir)
+          // p = w / Σ_dst w per src: transition probability
+          import org.apache.spark.sql.expressions.Window
+          e.withColumn("p", col("w") / sum("w").over(Window.partitionBy("src")))
+            .select(col("src").cast("long"), col("dst").cast("long"), col("p"))
+            .localCheckpoint(true)
+        }
+        var ranks = nodes.withColumn("rank", lit(1.0 / n))
+        for (_ <- 1 to Iterations) {
+          val dangling = ranks.join(edges.select("src").distinct(),
+              ranks("id") === col("src"), "left_anti")
+            .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
+          val contribs = ranks.join(edges, ranks("id") === edges("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("rank") * col("p")).as("contrib"))
+          ranks = nodes
+            .join(contribs, Seq("id"), "left")
+            .crossJoin(broadcast(dangling))
+            .select(col("id"),
+              (lit((1.0 - Damping) / n) + lit(Damping) *
+                (coalesce(col("contrib"), lit(0.0)) + col("dang") / n)).as("rank"))
+            .localCheckpoint(true)
+        }
+        ranks.select(col("id").as("nation_id"), round(col("rank"), 6).as("pagerank"))
+          .orderBy("nation_id")
+      },
+      Some(pagerankSql))
+  )
+
+  /** The identical iteration unrolled as chained CTEs r0..rK. */
+  private def pagerankSql: String = {
+    val n = 25
+    val steps = (1 to Iterations).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+        SELECT nodes.id,
+          ${(1.0 - Damping) / n} + $Damping * (
+            coalesce(c.contrib, 0) +
+            (SELECT coalesce(sum(r.rank), 0) FROM $prev r
+             WHERE NOT EXISTS (SELECT 1 FROM norm e WHERE e.src = r.id)) / $n
+          ) AS rank
+        FROM nodes LEFT JOIN (
+          SELECT e.dst AS id, sum(r.rank * e.p) AS contrib
+          FROM $prev r JOIN norm e ON e.src = r.id GROUP BY 1) c
+        USING (id))"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+          CAST(s.s_nationkey AS BIGINT) AS dst,
+          CAST(count(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      norm AS (
+        SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges),
+      nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+      r0 AS (SELECT id, 1.0 / $n AS rank FROM nodes),
+      $steps
+      SELECT id AS nation_id, round(rank, 6) AS pagerank FROM r$Iterations
+      ORDER BY nation_id"""
+  }
+}

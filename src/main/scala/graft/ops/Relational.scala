@@ -734,6 +734,90 @@ object Relational {
       },
       Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
-        ORDER BY o_custkey"""))
+        ORDER BY o_custkey""")),
+
+    Q(
+      "join_interval_overlap",
+      "Keyed interval-overlap join: each customer's open-status order " +
+        "windows [orderdate, +14d] against their finished-status " +
+        "windows, pairs where the intervals overlap (a.start ≤ b.end ∧ " +
+        "b.start ≤ a.end). The customer key makes this an EQUI-join " +
+        "with a range post-filter — sort-merge/hash on the key, never " +
+        "a nested loop — so it scales as any keyed join does; the " +
+        "unkeyed analogue is join_range_band's bucketed rewrite.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        def side(status: String, pre: String) = o
+          .filter(col("o_orderstatus") === status)
+          .select(col("o_custkey").as(s"${pre}_cust"),
+            col("o_orderkey").as(s"${pre}_order"),
+            to_date(col("o_orderdate")).as(s"${pre}_start"),
+            date_add(to_date(col("o_orderdate")), 14).as(s"${pre}_end"))
+        side("O", "a").join(side("F", "b"),
+            col("a_cust") === col("b_cust") &&
+              col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+          .select(col("a_cust").as("custkey"),
+            col("a_order"), col("b_order"), col("a_start"), col("b_start"))
+          .orderBy("custkey", "a_order", "b_order")
+      },
+      Some("""WITH a AS (
+          SELECT o_custkey AS cust, o_orderkey AS ord,
+            CAST(o_orderdate AS DATE) AS s,
+            CAST(o_orderdate AS DATE) + 14 AS e
+          FROM orders WHERE o_orderstatus = 'O'),
+        b AS (
+          SELECT o_custkey AS cust, o_orderkey AS ord,
+            CAST(o_orderdate AS DATE) AS s,
+            CAST(o_orderdate AS DATE) + 14 AS e
+          FROM orders WHERE o_orderstatus = 'F')
+        SELECT a.cust AS custkey, a.ord AS a_order, b.ord AS b_order,
+          a.s AS a_start, b.s AS b_start
+        FROM a JOIN b ON a.cust = b.cust AND a.s <= b.e AND b.s <= a.e
+        ORDER BY custkey, a_order, b_order""")),
+
+    Q(
+      "join_bloom_prefilter",
+      "Explicit bloom-filter semi-join: build a bloom filter over the " +
+        "high-value order keys (distributed treeAggregate via " +
+        "DataFrameStatFunctions — the driver holds only the ~24 KB " +
+        "sketch, the same cost class as a broadcast), evaluate " +
+        "membership with the codegen'd BloomFilterMightContain " +
+        "expression as a constant prefilter BEFORE the shuffle, then " +
+        "an exact left-semi join scrubs the false positives, so the " +
+        "result equals the plain semi-join (that is the oracle). At " +
+        "100 TB the bloom drops ~all non-matching rows at the scan, " +
+        "shrinking the shuffle by the selectivity factor; Spark's " +
+        "runtime row-group bloom pushdown is the implicit twin " +
+        "(pinned in ScaleSpec).",
+      (s, dir) => {
+        import org.apache.spark.sql.graftshim.CatalystBridge
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        val li = Tables.t(s, dir, "lineitem")
+        val hot = Tables.t(s, dir, "orders")
+          .filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey"))
+        val bf = hot.stat.bloomFilter("o_orderkey", 20000L, 0.01)
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos); bos.toByteArray
+        }
+        val mightContain = CatalystBridge.column(BloomFilterMightContain(
+          Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+          CatalystBridge.expression(col("l_orderkey"))))
+        li.filter(mightContain)
+          .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+          round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))
   )
 }

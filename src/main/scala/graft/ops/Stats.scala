@@ -298,6 +298,90 @@ object Stats {
             PARTITION BY s.user_id ORDER BY s.day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled
         FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
-        ORDER BY s.user_id, s.day"""))
+        ORDER BY s.user_id, s.day""")),
+
+    Q(
+      "ts_ewma",
+      "Exponentially-weighted moving average (α=0.3, adjust form) of " +
+        "each user's daily value series, final smoothed value per " +
+        "user. The recursive definition is rewritten to its closed " +
+        "weighted-sum form — ewma = Σ xᵢ(1-α)^(n-i) / Σ (1-α)^(n-i) — " +
+        "so it is one window (row_number + per-key count) and one hash " +
+        "aggregation instead of a sequential fold: fully parallel per " +
+        "key, exponents bounded by series length so no overflow.",
+      (s, dir) => {
+        val decay = 0.7 // 1 - α
+        val daily = Tables.t(s, dir, "events")
+          .filter(col("user_id") < 60)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum("value").as("x"))
+        val wSeq = Window.partitionBy("user_id").orderBy("day")
+        val wAll = Window.partitionBy("user_id")
+        daily
+          .withColumn("rn", row_number().over(wSeq))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_days"),
+            round(
+              sum(col("x") * pow(lit(decay), col("n") - col("rn"))) /
+                sum(pow(lit(decay), col("n") - col("rn"))), 6).as("ewma"))
+          .orderBy("user_id")
+      },
+      Some("""WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS x
+          FROM events WHERE user_id < 60 GROUP BY 1, 2),
+        seq AS (
+          SELECT user_id, x,
+            row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+            count(*) OVER (PARTITION BY user_id) AS n
+          FROM daily)
+        SELECT user_id, count(*) AS n_days,
+          round(sum(x * pow(0.7, n - rn)) / sum(pow(0.7, n - rn)), 6) AS ewma
+        FROM seq GROUP BY user_id
+        ORDER BY user_id""")),
+
+    Q(
+      "ts_anomaly_zscore",
+      "Trailing-window anomaly detection: each user-day's value scored " +
+        "against the mean/stddev of its own previous 7 days (ROWS " +
+        "7 PRECEDING..1 PRECEDING — strictly causal, no leakage); " +
+        "emit days with |z| > 2 and ≥4 prior observations. One window " +
+        "pass per key — the standard streaming-compatible outlier " +
+        "screen for metrics pipelines.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .filter(col("user_id") < 80)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum("value").as("x"))
+        val trail = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(-7, -1)
+        daily
+          .withColumn("mu", avg("x").over(trail))
+          .withColumn("sd", stddev_samp(col("x")).over(trail))
+          .withColumn("n_prior", count(lit(1)).over(trail))
+          .filter(col("n_prior") >= 4 && col("sd") > 0)
+          .withColumn("z", (col("x") - col("mu")) / col("sd"))
+          .filter(abs(col("z")) > 2)
+          .select(col("user_id"), col("day"),
+            round(col("x"), 3).as("x"), round(col("z"), 3).as("z"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS x
+          FROM events WHERE user_id < 80 GROUP BY 1, 2),
+        scored AS (
+          SELECT user_id, day, x,
+            avg(x) OVER w AS mu,
+            stddev_samp(x) OVER w AS sd,
+            count(*) OVER w AS n_prior
+          FROM daily
+          WINDOW w AS (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT user_id, day, round(x, 3) AS x,
+          round((x - mu) / sd, 3) AS z
+        FROM scored
+        WHERE n_prior >= 4 AND sd > 0 AND abs((x - mu) / sd) > 2
+        ORDER BY user_id, day"""))
   )
 }
