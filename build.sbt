@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures stdout of `sbt "runMain graft.Bench"` and
+// parses the LAST line as JSON. Two defaults break that: the forked
+// app's stdout is re-logged with an "[info] " prefix, and sbt appends
+// a "[success] Total time…" line after the app exits. Route forked
+// output straight through and drop the success banner so the bench
+// machine line is the literal final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
