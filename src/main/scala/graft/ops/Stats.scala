@@ -360,8 +360,13 @@ object Stats {
           .withColumn("mu", avg("x").over(trail))
           .withColumn("sd", stddev_samp(col("x")).over(trail))
           .withColumn("n_prior", count(lit(1)).over(trail))
-          .filter(col("n_prior") >= 4 && col("sd") > 0)
-          .withColumn("z", (col("x") - col("mu")) / col("sd"))
+          // Membership thresholds compare ROUNDED values: Spark and the
+          // oracle may sum the trailing window in different orders, so a
+          // raw |z| or sd within float noise of the threshold could be
+          // admitted by one engine and not the other (determinism
+          // contract: round before compare).
+          .filter(col("n_prior") >= 4 && round(col("sd"), 6) > 0)
+          .withColumn("z", round((col("x") - col("mu")) / col("sd"), 6))
           .filter(abs(col("z")) > 2)
           .select(col("user_id"), col("day"),
             round(col("x"), 3).as("x"), round(col("z"), 3).as("z"))
@@ -378,10 +383,11 @@ object Stats {
           FROM daily
           WINDOW w AS (PARTITION BY user_id ORDER BY day
             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-        SELECT user_id, day, round(x, 3) AS x,
-          round((x - mu) / sd, 3) AS z
-        FROM scored
-        WHERE n_prior >= 4 AND sd > 0 AND abs((x - mu) / sd) > 2
+        SELECT user_id, day, round(x, 3) AS x, round(zr, 3) AS z
+        FROM (SELECT user_id, day, x, round((x - mu) / sd, 6) AS zr
+              FROM scored
+              WHERE n_prior >= 4 AND round(sd, 6) > 0)
+        WHERE abs(zr) > 2
         ORDER BY user_id, day"""))
   )
 }
