@@ -17,6 +17,7 @@ object SparkEntry {
       ops.Cdc.defs ++
       ops.Graph.defs ++
       ops.Analytics.defs ++
+      ops.Features.defs ++
       ops.Scalars.defs ++
       ops.StreamingBatch.defs ++
       ops.Dedup.defs ++

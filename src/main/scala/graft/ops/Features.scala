@@ -1,0 +1,203 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering operators for training-data preparation: column
+  * standardization, categorical one-hot encoding, the hashing trick,
+  * quantile binning, a deterministic mode aggregate, and a count-min
+  * frequency sketch.
+  *
+  * Scale posture: every per-group statistic is an aggregate joined back
+  * (group stats broadcast — they are dimension-sized), never an
+  * unpartitioned window; the hashing trick and the count-min sketch use
+  * md5-derived bucket ids so the SAME hash is computable in any engine
+  * (the DuckDB oracle replays it exactly — no engine-private hash in
+  * the data path). The sketch itself is d×w cells, a broadcastable
+  * 1-job aggregate regardless of input size — the standard way to get
+  * heavy-hitter frequencies out of a 100 TB corpus without a full
+  * groupBy shuffle of the raw keys.
+  */
+object Features {
+
+  /** First 8 hex chars of md5(s) as a long (0..2^32-1, ANSI-safe) —
+    * the portable hash both engines compute identically. */
+  private def hexHash(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Same hash, DuckDB spelling. */
+  private def hexHashSql(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 8)) AS BIGINT)"
+
+  def defs: Seq[Q] = Seq(
+
+    Q(
+      "feat_standardize",
+      "Per-brand z-score + global min-max scaling of part retail price. " +
+        "Group stats computed as a 25-row aggregate and broadcast-joined " +
+        "back (never an unpartitioned window); global lo/hi is a 1-row " +
+        "cross join. The standard numeric-feature normalization pass.",
+      (s, dir) => {
+        val p = Tables.t(s, dir, "part")
+        val brandStats = p.groupBy("p_brand").agg(
+          avg("p_retailprice").as("mu"),
+          stddev_samp(col("p_retailprice")).as("sd"))
+        val globalStats = p.agg(
+          min("p_retailprice").as("lo"), max("p_retailprice").as("hi"))
+        p.join(broadcast(brandStats), "p_brand")
+          .crossJoin(broadcast(globalStats))
+          .select(col("p_partkey"), col("p_brand"),
+            round((col("p_retailprice") - col("mu")) / col("sd"), 6).as("z"),
+            round((col("p_retailprice") - col("lo")) / (col("hi") - col("lo")), 6)
+              .as("minmax"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH bs AS (
+          SELECT p_brand, avg(p_retailprice) AS mu,
+                 stddev_samp(p_retailprice) AS sd
+          FROM part GROUP BY 1),
+        gs AS (SELECT min(p_retailprice) AS lo, max(p_retailprice) AS hi FROM part)
+        SELECT p.p_partkey, p.p_brand,
+          round((p.p_retailprice - bs.mu) / bs.sd, 6) AS z,
+          round((p.p_retailprice - gs.lo) / (gs.hi - gs.lo), 6) AS minmax
+        FROM part p JOIN bs USING (p_brand) CROSS JOIN gs
+        ORDER BY p_partkey""")),
+
+    Q(
+      "feat_onehot",
+      "One-hot encoding of the language categorical (fixed, enumerated " +
+        "vocabulary — the only scalable form: a data-driven pivot would " +
+        "need a schema-defining extra pass) plus a scaled length feature.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        d.select(
+          col("doc_id") +: col("lang") +:
+            langs.map(l => (col("lang") === l).cast("int").as(s"lang_$l")) :+
+            round(col("n_chars") / lit(1000.0), 6).as("len_kchars"): _*)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+          CAST(lang = 'de' AS INT) AS lang_de,
+          CAST(lang = 'en' AS INT) AS lang_en,
+          CAST(lang = 'es' AS INT) AS lang_es,
+          CAST(lang = 'fr' AS INT) AS lang_fr,
+          CAST(lang = 'zh' AS INT) AS lang_zh,
+          round(n_chars / 1000.0, 6) AS len_kchars
+        FROM documents ORDER BY doc_id""")),
+
+    Q(
+      "feat_hash_bucket",
+      "Hashing trick: tokens hashed into 32 buckets (md5-derived, " +
+        "engine-portable), per-doc bucket counts — fixed-width " +
+        "bag-of-words features with no vocabulary pass. Explode → " +
+        "groupBy(doc, bucket): one shuffle on the doc key.",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .withColumn("bucket", hexHash(col("token")) % 32)
+          .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+          .orderBy("doc_id", "bucket")
+      },
+      Some(s"""SELECT doc_id, ${hexHashSql("token")} % 32 AS bucket,
+          count(*) AS n
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE doc_id < 50)
+        GROUP BY 1, 2 ORDER BY doc_id, bucket""")),
+
+    Q(
+      "sketch_countmin",
+      "Count-min sketch (d=3, w=16) over the token stream, estimates " +
+        "joined against exact counts. The sketch is a 3×16-cell " +
+        "aggregate — constant size however large the corpus — and the " +
+        "estimate is min over the 3 salted-hash cells (never " +
+        "underestimates; DedupSpec-style property in FeatureSpec). " +
+        "md5-derived salted hashes keep it engine-portable; the oracle " +
+        "replays the identical sketch.",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+        val salts = array(lit(0), lit(1), lit(2))
+        def bucket(c: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+          hexHash(concat_ws(":", j, c)) % 16
+        val cells = tok.select(col("token"), explode(salts).as("j"))
+          .withColumn("bucket", bucket(col("token"), col("j")))
+          .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+        val exact = tok.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        exact.select(col("token"), col("exact_n"), explode(salts).as("j"))
+          .withColumn("bucket", bucket(col("token"), col("j")))
+          .join(broadcast(cells), Seq("j", "bucket"))
+          .groupBy("token", "exact_n").agg(min("c").as("cm_est"))
+          .orderBy("token")
+      },
+      Some(s"""WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        salted AS (
+          SELECT token, j,
+            ${hexHashSql("CAST(j AS VARCHAR) || ':' || token")} % 16 AS bucket
+          FROM tok CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+        cells AS (SELECT j, bucket, count(*) AS c FROM salted GROUP BY 1, 2),
+        exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY 1),
+        probes AS (
+          SELECT e.token, e.exact_n, s.j,
+            ${hexHashSql("CAST(s.j AS VARCHAR) || ':' || e.token")} % 16 AS bucket
+          FROM exact e CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) s)
+        SELECT p.token, p.exact_n, min(c.c) AS cm_est
+        FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+        GROUP BY 1, 2 ORDER BY token""")),
+
+    Q(
+      "agg_mode",
+      "Deterministic mode: most frequent brand per part size, ties " +
+        "broken by brand name (a bare mode() leaves tie order " +
+        "engine-defined — unacceptable under the determinism contract). " +
+        "groupBy + per-group top-1 window: WindowGroupLimit prunes to " +
+        "one row per group before the final sort.",
+      (s, dir) => {
+        val counts = Tables.t(s, dir, "part")
+          .groupBy("p_size", "p_brand").agg(count(lit(1)).as("n_rows"))
+        val w = Window.partitionBy("p_size")
+          .orderBy(col("n_rows").desc, col("p_brand"))
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("p_size"), col("p_brand").as("mode_brand"), col("n_rows"))
+          .orderBy("p_size")
+      },
+      Some("""SELECT p_size, p_brand AS mode_brand, n_rows FROM (
+          SELECT p_size, p_brand, count(*) AS n_rows,
+            row_number() OVER (PARTITION BY p_size
+              ORDER BY count(*) DESC, p_brand) AS rn
+          FROM part GROUP BY p_size, p_brand)
+        WHERE rn = 1 ORDER BY p_size""")),
+
+    Q(
+      "feat_quantile_bins",
+      "Quantile binning: order totals cut into per-priority deciles " +
+        "(ntile over a totally-ordered partitioned window — orderkey " +
+        "tie-break), then per-bin count/avg/edges. The discretization " +
+        "pass that turns a numeric column into a categorical feature.",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.t(s, dir, "orders")
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy("o_orderpriority", "decile")
+          .agg(count(lit(1)).as("n"),
+            round(avg("o_totalprice"), 2).as("avg_price"),
+            round(min("o_totalprice"), 2).as("lo"),
+            round(max("o_totalprice"), 2).as("hi"))
+          .orderBy("o_orderpriority", "decile")
+      },
+      Some("""SELECT o_orderpriority, decile, count(*) AS n,
+          round(avg(o_totalprice), 2) AS avg_price,
+          round(min(o_totalprice), 2) AS lo,
+          round(max(o_totalprice), 2) AS hi
+        FROM (SELECT o_orderpriority, o_totalprice,
+            ntile(10) OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey) AS decile
+          FROM orders)
+        GROUP BY 1, 2 ORDER BY o_orderpriority, decile"""))
+  )
+}
