@@ -63,10 +63,16 @@ object Graph {
             .select(col("src").cast("long"), col("dst").cast("long"), col("p"))
             .localCheckpoint(true)
         }
+        // The dangling-node SET is static (edges don't change between
+        // iterations) — derive it once and checkpoint; each iteration
+        // then only semi-joins ranks against it, instead of re-running
+        // the distinct + anti-join shuffle every round.
+        val danglingIds = nodes.join(
+            edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+          .localCheckpoint(true)
         var ranks = nodes.withColumn("rank", lit(1.0 / n))
         for (_ <- 1 to Iterations) {
-          val dangling = ranks.join(edges.select("src").distinct(),
-              ranks("id") === col("src"), "left_anti")
+          val dangling = ranks.join(danglingIds, Seq("id"), "left_semi")
             .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
           val contribs = ranks.join(edges, ranks("id") === edges("src"))
             .groupBy(col("dst").as("id"))
