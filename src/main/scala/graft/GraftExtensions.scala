@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{HammingDistance, MinHashSig, VecDot}
+import graft.expr.{HammingDistance, KllMergeAgg, KllQuantile, KllSketchAgg, MinHashSig, VecDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -49,7 +49,36 @@ object GraftExtensions {
           case _ => throw new IllegalArgumentException(
             s"minhash_sig takes 1-3 arguments, got ${exprs.size}")
         }
-      }))
+      }),
+    (
+      FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c)    => KllSketchAgg(c)
+        case Seq(c, k) => KllSketchAgg(c, litInt(k, "kll_sketch_agg k"))
+        case _ => throw new IllegalArgumentException(
+          s"kll_sketch_agg takes 1-2 arguments, got ${exprs.size}")
+      }),
+    (
+      FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c)    => KllMergeAgg(c)
+        case Seq(c, k) => KllMergeAgg(c, litInt(k, "kll_merge_agg k"))
+        case _ => throw new IllegalArgumentException(
+          s"kll_merge_agg takes 1-2 arguments, got ${exprs.size}")
+      }),
+    (
+      FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (exprs: Seq[Expression]) => KllQuantile(exprs(0), exprs(1))))
+
+  /** Literal-int extractor for function-builder parameters. */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Imperative registration on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -166,6 +166,34 @@ object Stats {
       None),
 
     Q(
+      "agg_kll_quantiles",
+      "Re-aggregatable QUANTILE sketches (DataSketches KLL via the " +
+        "native graft.expr.KllSketchAgg TypedImperativeAggregate — " +
+        "Spark ships no built-in): per-group price sketch → p50/p90/p99 " +
+        "estimates, plus the kll_merge_agg roll-up over the per-group " +
+        "sketch bytes. Same 100 TB pattern as agg_hll_sketch but for " +
+        "percentiles: sketch per partition once (~2 KB at k=200), merge " +
+        "bytes forever, never rescan. KLL compaction is randomized → " +
+        "rows-only; FeatureSpec pins the rank-error bound and " +
+        "merge-vs-direct agreement.",
+      (s, dir) => {
+        import graft.expr.KllSketch
+        val li = Tables.t(s, dir, "lineitem")
+        val perGroup = li.groupBy("l_returnflag")
+          .agg(KllSketch.sketchAgg(col("l_extendedprice")).as("sk"))
+        val rolled = perGroup
+          .agg(KllSketch.mergeAgg(col("sk")).as("sk"))
+          .select(lit("ALL").as("l_returnflag"), col("sk"))
+        perGroup.unionByName(rolled)
+          .select(col("l_returnflag"),
+            round(KllSketch.quantile(col("sk"), 0.5), 2).as("p50"),
+            round(KllSketch.quantile(col("sk"), 0.9), 2).as("p90"),
+            round(KllSketch.quantile(col("sk"), 0.99), 2).as("p99"))
+          .orderBy("l_returnflag")
+      },
+      None),
+
+    Q(
       "agg_argmax",
       "Argmax/argmin aggregates: max_by/min_by pick a companion column " +
         "at the group's extreme (deterministic here because the ordering " +

@@ -63,6 +63,42 @@ class FeatureSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("agg_kll_quantiles: estimates inside the k=200 rank-error bound of exact") {
+    val out = q("agg_kll_quantiles").cache()
+    // Exact quantiles at rank ± 3.5% (published KLL eps at k=200 is
+    // ~1.65%; double it for slack — the check must pin correctness,
+    // not flake on sketch randomness).
+    val li = Tables.t(spark, sfDir, "lineitem")
+    for ((p, colName) <- Seq((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))) {
+      val bounds = li.agg(
+        expr(s"percentile(l_extendedprice, ${math.max(0.0, p - 0.035)})").as("lo"),
+        expr(s"percentile(l_extendedprice, ${math.min(1.0, p + 0.035)})").as("hi"))
+        .head()
+      val est = out.filter(col("l_returnflag") === "ALL")
+        .head().getAs[Double](colName)
+      assert(est >= bounds.getDouble(0) && est <= bounds.getDouble(1),
+        s"$colName=$est outside exact-rank window [${bounds.getDouble(0)}, ${bounds.getDouble(1)}]")
+    }
+    // Per-group rows present alongside the roll-up.
+    assert(out.count() === li.select("l_returnflag").distinct().count() + 1)
+    out.unpersist()
+  }
+
+  test("kll functions: SQL surface registered via GraftExtensions") {
+    GraftExtensions.register(spark)
+    Tables.t(spark, sfDir, "lineitem").createOrReplaceTempView("li_kll")
+    val est = spark.sql(
+      """SELECT kll_quantile(
+           kll_merge_agg(sk), CAST(0.5 AS DOUBLE)) AS p50
+         FROM (SELECT kll_sketch_agg(CAST(l_extendedprice AS DOUBLE), 200) AS sk
+               FROM li_kll GROUP BY l_returnflag)""").head().getDouble(0)
+    val Array(lo, hi) = Tables.t(spark, sfDir, "lineitem")
+      .agg(expr("percentile(l_extendedprice, 0.465)"),
+        expr("percentile(l_extendedprice, 0.535)"))
+      .head() match { case r => Array(r.getDouble(0), r.getDouble(1)) }
+    assert(est >= lo && est <= hi, s"SQL-path p50=$est outside [$lo, $hi]")
+  }
+
   test("feat_quantile_bins: deciles partition each priority, sizes within 1") {
     val out = q("feat_quantile_bins").cache()
     assert(out.groupBy("o_orderpriority").count()
