@@ -149,6 +149,33 @@ object Features {
         GROUP BY 1, 2 ORDER BY token""")),
 
     Q(
+      "sample_mixture_weighted",
+      "Deterministic data-mixture sampling: per-language acceptance " +
+        "rates applied via an md5-derived uniform fraction of the doc " +
+        "id — the corpus re-weighting step of training-data prep " +
+        "(up/down-sample sources to a target mix). Pure per-row filter, " +
+        "no shuffle, reproducible across engines and runs (the salt " +
+        "string pins the sample).",
+      (s, dir) => {
+        val rates = map(
+          lit("en"), lit(0.9), lit("de"), lit(0.5), lit("es"), lit(0.25),
+          lit("fr"), lit(0.1), lit("zh"), lit(0.05))
+        Tables.t(s, dir, "documents")
+          .withColumn("frac",
+            hexHash(concat(lit("mix:"), col("doc_id").cast("string"))) / 4294967296.0)
+          .filter(col("frac") < element_at(rates, col("lang")))
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, source
+        FROM (SELECT doc_id, lang, source,
+            ${hexHashSql("'mix:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0 AS frac
+          FROM documents)
+        WHERE frac < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5
+          WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.05 END
+        ORDER BY doc_id""")),
+
+    Q(
       "agg_mode",
       "Deterministic mode: most frequent brand per part size, ties " +
         "broken by brand name (a bare mode() leaves tie order " +

@@ -132,6 +132,38 @@ object Text {
         FROM d ORDER BY doc_id""")),
 
     Q(
+      "text_unigram_logprob",
+      "Unigram language-model scoring: corpus token distribution → " +
+        "per-doc mean negative log-probability in bits (the perplexity " +
+        "proxy used for LM-based quality filtering — low = typical, " +
+        "high = outlier). Token join against the (vocabulary-sized, " +
+        "broadcast) frequency table, corpus total as a 1-row cross " +
+        "join; aggregate rounded so summation-order ulp noise cannot " +
+        "flip a row.",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val freq = tok.groupBy("token").agg(count(lit(1)).as("n"))
+        val total = tok.agg(count(lit(1)).as("t"))
+        tok.join(broadcast(freq), "token")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            round((-sum(log(col("n") / col("t").cast("double"))) /
+              count(lit(1)) / math.log(2.0)), 6).as("bits_per_token"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        freq AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+        tot AS (SELECT count(*) AS t FROM tok)
+        SELECT doc_id, count(*) AS n_tok,
+          round(-sum(ln(freq.n / CAST(tot.t AS DOUBLE))) / count(*) / ln(2), 6)
+            AS bits_per_token
+        FROM tok JOIN freq USING (token) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q(
       "text_quality",
       "Quality-scoring features: char/word counts, average word length, " +
         "vocabulary (type/token) ratio.",

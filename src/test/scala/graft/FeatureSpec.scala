@@ -42,6 +42,39 @@ class FeatureSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("sample_mixture_weighted: per-language acceptance tracks the target mix") {
+    val out = q("sample_mixture_weighted").cache()
+    val totals = Tables.t(spark, sfDir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n_all"))
+    val targets = Map("en" -> 0.9, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.1, "zh" -> 0.05)
+    val got = out.groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .join(totals, "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1).toDouble / r.getLong(2), r.getLong(2))).toMap
+    for ((lang, (rate, nAll)) <- got) {
+      // Binomial-ish tolerance: 3 sigma at the observed group size.
+      val p = targets(lang)
+      val tol = 3 * math.sqrt(p * (1 - p) / nAll) + 0.02
+      assert(math.abs(rate - p) <= tol,
+        s"$lang acceptance $rate vs target $p (tol $tol, n=$nAll)")
+    }
+    // Deterministic: the same sample comes back on a re-run.
+    assert(out.count() === q("sample_mixture_weighted").count())
+    out.unpersist()
+  }
+
+  test("text_unigram_logprob: scores positive, rare-token docs score higher") {
+    val out = q("text_unigram_logprob").cache()
+    assert(out.filter(col("bits_per_token") <= 0).count() === 0)
+    // The corpus vocabulary is non-uniform, so scores must spread.
+    val mm = out.agg(min("bits_per_token"), max("bits_per_token")).head()
+    assert(mm.getDouble(1) > mm.getDouble(0))
+    // Every doc is scored exactly once.
+    assert(out.count() ===
+      Tables.t(spark, sfDir, "documents").select("doc_id").distinct().count())
+    out.unpersist()
+  }
+
   test("feat_onehot: exactly one indicator set per row, matching lang") {
     val out = q("feat_onehot")
     val bad = out.filter(
