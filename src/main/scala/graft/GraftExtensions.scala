@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{HammingDistance, KllMergeAgg, KllQuantile, KllSketchAgg, MinHashSig, VecDot}
+import graft.expr.{HammingDistance, KllMergeAgg, KllQuantile, KllSketchAgg, MinHashSig, ThetaANotB, ThetaEstimate, ThetaIntersect, ThetaSketchAgg, ThetaUnionAgg, VecDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -71,7 +71,37 @@ object GraftExtensions {
     (
       FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
-      (exprs: Seq[Expression]) => KllQuantile(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => KllQuantile(exprs(0), exprs(1))),
+    (
+      FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c)    => ThetaSketchAgg(c)
+        case Seq(c, n) => ThetaSketchAgg(c, litInt(n, "theta_sketch_agg nominal"))
+        case _ => throw new IllegalArgumentException(
+          s"theta_sketch_agg takes 1-2 arguments, got ${exprs.size}")
+      }),
+    (
+      FunctionIdentifier("theta_union_agg"),
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c)    => ThetaUnionAgg(c)
+        case Seq(c, n) => ThetaUnionAgg(c, litInt(n, "theta_union_agg nominal"))
+        case _ => throw new IllegalArgumentException(
+          s"theta_union_agg takes 1-2 arguments, got ${exprs.size}")
+      }),
+    (
+      FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (exprs: Seq[Expression]) => ThetaEstimate(exprs(0))),
+    (
+      FunctionIdentifier("theta_intersect"),
+      new ExpressionInfo(classOf[ThetaIntersect].getName, "theta_intersect"),
+      (exprs: Seq[Expression]) => ThetaIntersect(exprs(0), exprs(1))),
+    (
+      FunctionIdentifier("theta_a_not_b"),
+      new ExpressionInfo(classOf[ThetaANotB].getName, "theta_a_not_b"),
+      (exprs: Seq[Expression]) => ThetaANotB(exprs(0), exprs(1))))
 
   /** Literal-int extractor for function-builder parameters. */
   private def litInt(e: Expression, what: String): Int = e match {

@@ -194,6 +194,46 @@ object Stats {
       None),
 
     Q(
+      "agg_theta_sketch",
+      "Theta-sketch SET ALGEBRA (native graft.expr.ThetaSketchAgg " +
+        "TypedImperativeAggregates): distinct clickers, viewers, the " +
+        "INTERSECTION and DIFFERENCE of the two audiences, and the " +
+        "theta_union_agg roll-up — all derived from two per-group " +
+        "sketches, never co-shuffling the raw user ids. HLL cannot " +
+        "answer the overlap questions; theta can, from sketch bytes " +
+        "alone. Below nominal_entries=4096 the sketch is exact (no " +
+        "sampling has begun), so at fixture scale (≤1500 users at " +
+        "sf0.1) results equal the exact set counts and the DuckDB " +
+        "oracle applies; beyond that the same plan degrades gracefully " +
+        "to bounded-error estimates.",
+      (s, dir) => {
+        import graft.expr.ThetaSketch
+        val sks = Tables.t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy("event_type")
+          .agg(ThetaSketch.sketchAgg(col("user_id")).as("sk"))
+        val a = sks.filter(col("event_type") === "click").select(col("sk").as("ska"))
+        val b = sks.filter(col("event_type") === "view").select(col("sk").as("skb"))
+        val u = sks.agg(ThetaSketch.unionAgg(col("sk")).as("sku"))
+        a.crossJoin(b).crossJoin(u) // three 1-row inputs
+          .select(
+            round(ThetaSketch.estimate(col("ska"))).cast("long").as("n_click"),
+            round(ThetaSketch.estimate(col("skb"))).cast("long").as("n_view"),
+            round(ThetaSketch.estimate(
+              ThetaSketch.intersect(col("ska"), col("skb")))).cast("long").as("n_both"),
+            round(ThetaSketch.estimate(
+              ThetaSketch.aNotB(col("ska"), col("skb")))).cast("long").as("n_click_only"),
+            round(ThetaSketch.estimate(col("sku"))).cast("long").as("n_either"))
+      },
+      Some("""WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+          v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+        SELECT (SELECT count(*) FROM c) AS n_click,
+          (SELECT count(*) FROM v) AS n_view,
+          (SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM v)) AS n_both,
+          (SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM v)) AS n_click_only,
+          (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM v)) AS n_either""")),
+
+    Q(
       "agg_argmax",
       "Argmax/argmin aggregates: max_by/min_by pick a companion column " +
         "at the group's extreme (deterministic here because the ordering " +

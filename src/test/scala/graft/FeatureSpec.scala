@@ -117,6 +117,49 @@ class FeatureSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("agg_theta_sketch: set algebra internally consistent and exact at fixture scale") {
+    val r = q("agg_theta_sketch").head()
+    val (nClick, nView, nBoth, nClickOnly, nEither) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // Partition identity: A = (A∩B) ⊎ (A∖B).
+    assert(nClick === nBoth + nClickOnly)
+    // Inclusion-exclusion: |A∪B| = |A| + |B| − |A∩B|.
+    assert(nEither === nClick + nView - nBoth)
+    // Exact regime below nominal entries: equals true distinct counts.
+    val ev = Tables.t(spark, sfDir, "events")
+    def exact(t: String) = ev.filter(col("event_type") === t)
+      .select("user_id").distinct().count()
+    assert(nClick === exact("click"))
+    assert(nView === exact("view"))
+  }
+
+  test("theta sketch: estimating regime (above nominal entries) stays within bounds") {
+    import graft.expr.ThetaSketch
+    import org.apache.spark.sql.graftshim.CatalystBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // 50k distinct keys through a k=256 sketch: RSE ≈ 1/√256 = 6.25%;
+    // assert within 4σ so the randomized compaction cannot flake.
+    val n = 50000L
+    val agg = CatalystBridge.column(
+      graft.expr.ThetaSketchAgg(
+        CatalystBridge.expression(col("id")), nominal = 256)
+        .toAggregateExpression())
+    val est = spark.range(n).agg(ThetaSketch.estimate(agg).as("est"))
+      .head().getDouble(0)
+    assert(math.abs(est - n) / n < 0.25, s"estimate $est vs $n")
+  }
+
+  test("theta functions: SQL surface registered via GraftExtensions") {
+    GraftExtensions.register(spark)
+    Tables.t(spark, sfDir, "events").createOrReplaceTempView("ev_theta")
+    val r = spark.sql(
+      """SELECT CAST(round(theta_estimate(theta_intersect(a.sk, b.sk))) AS BIGINT) AS n_both
+         FROM (SELECT theta_sketch_agg(user_id) AS sk FROM ev_theta WHERE event_type = 'click') a,
+              (SELECT theta_sketch_agg(user_id) AS sk FROM ev_theta WHERE event_type = 'view') b""")
+      .head().getLong(0)
+    assert(r === q("agg_theta_sketch").head().getLong(2))
+  }
+
   test("kll functions: SQL surface registered via GraftExtensions") {
     GraftExtensions.register(spark)
     Tables.t(spark, sfDir, "lineitem").createOrReplaceTempView("li_kll")
