@@ -142,6 +142,61 @@ object Similarity {
         "Approximate → no SQL oracle; ScalaTest checks recall vs " +
         "sim_topk_cosine.",
       (s, dir) => annIvf(s, dir, queryVecId = 0, nProbe = 2, topK = 10),
+      None),
+
+    Q(
+      "sim_pca_power",
+      "Top principal component of the embedding corpus by power " +
+        "iteration, entirely as DataFrame ops: center via the " +
+        "VectorMean aggregate, then 24 rounds of v ← normalize(mean_i " +
+        "((xᵢ·v) xᵢ)) — each round one broadcast of the 64-float " +
+        "candidate vector, one codegen'd VecDot pass over the corpus, " +
+        "one map-side-combined vector aggregate. Nothing is collected; " +
+        "the per-round state is a 1-row DataFrame, checkpointed so " +
+        "round k replans a constant-size join. At 100 TB each round is " +
+        "a single scan+agg — the dataflow of distributed Oja/power " +
+        "methods. Sign-canonicalized (dominant loading positive); " +
+        "float-sum ulp noise → rows-only; spec pins unit norm, " +
+        "fixpoint, and variance dominance.",
+      (s, dir) => {
+        val vm = udaf(VectorMean)
+        val e = Tables.t(s, dir, "embeddings")
+        val mu = e.agg(vm(col("embedding")).as("mud"))
+          .select(transform(col("mud"), d => d.cast("float")).as("mu"))
+        val xc = e.crossJoin(broadcast(mu))
+          .select(col("vec_id"),
+            zip_with(col("embedding"), col("mu"),
+              (a, b) => (a - b).cast("float")).as("x"))
+          .localCheckpoint(true)
+        // Deterministic init: the centered row with the smallest id.
+        var v = xc.orderBy("vec_id").limit(1).select(col("x").as("v"))
+          .localCheckpoint(true)
+        // 24 rounds: the synthetic corpus has a narrow top eigengap, and
+        // convergence goes as (λ2/λ1)^k — 8 rounds left ~0.7% residual
+        // rotation; 24 pins the fixpoint below spec tolerance.
+        for (_ <- 1 to 24) {
+          v = xc.crossJoin(broadcast(v))
+            .withColumn("s", VectorOps.dot(col("x"), col("v")))
+            .select(transform(col("x"), e2 => (e2 * col("s")).cast("float")).as("y"))
+            .agg(vm(col("y")).as("vd")) // mean ∝ sum: direction identical
+            .select(col("vd"),
+              sqrt(aggregate(col("vd"), lit(0.0), (acc, d) => acc + d * d)).as("nrm"))
+            .select(transform(col("vd"), d => (d / col("nrm")).cast("float")).as("v"))
+            .localCheckpoint(true)
+        }
+        // Canonical sign: the dominant |loading| is positive.
+        val canon = v.select(
+          when(abs(array_max(col("v"))) >= abs(array_min(col("v"))), col("v"))
+            .otherwise(transform(col("v"), x => (-x).cast("float"))).as("v"))
+        val eig = xc.crossJoin(broadcast(canon))
+          .agg(round(avg(pow(VectorOps.dot(col("x"), col("v")), 2)), 4)
+            .as("eigenvalue"))
+        canon.crossJoin(broadcast(eig))
+          .select(posexplode(col("v")), col("eigenvalue"))
+          .select(col("pos").cast("int").as("dim"),
+            round(col("col").cast("double"), 4).as("loading"), col("eigenvalue"))
+          .orderBy("dim")
+      },
       None)
   )
 

@@ -21,6 +21,40 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got.getDouble(1) - dot / (na * nb)) < 1e-12)
   }
 
+  test("sim_pca_power: unit norm, fixpoint, and variance dominance") {
+    val out = SparkEntry.queries("sim_pca_power")(spark, sfDir).cache()
+    assert(out.count() === 64)
+    // Unit norm (loadings rounded to 4dp → generous tolerance).
+    val n2 = out.agg(sum(col("loading") * col("loading"))).head().getDouble(0)
+    assert(math.abs(n2 - 1.0) < 0.01, s"norm² = $n2")
+    // Fixpoint: one more power step barely rotates v.
+    val vArr = out.orderBy("dim").collect().map(_.getAs[Double]("loading").toFloat)
+    import spark.implicits._
+    val vDf = Seq(Tuple1(vArr.toSeq)).toDF("v")
+    val vm = udaf(VectorMean)
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val mu = e.agg(vm(col("embedding")).as("mud"))
+      .select(transform(col("mud"), d => d.cast("float")).as("mu"))
+    val xc = e.crossJoin(broadcast(mu))
+      .select(zip_with(col("embedding"), col("mu"), (a, b) => (a - b).cast("float")).as("x"))
+    val w = xc.crossJoin(broadcast(vDf))
+      .withColumn("s", VectorOps.dot(col("x"), col("v")))
+      .select(transform(col("x"), e2 => (e2 * col("s")).cast("float")).as("y"))
+      .agg(vm(col("y")).as("w"))
+      .select(transform(col("w"), d => d.cast("float")).as("w"))
+    val cosVW = w.crossJoin(broadcast(vDf))
+      .select(abs(VectorOps.cosine(col("w"), col("v")))).head().getDouble(0)
+    assert(cosVW > 0.998, s"|cos(v, Av)| = $cosVW — not a fixpoint")
+    // Dominance: variance along v >= variance along every basis axis.
+    val eig = out.head().getAs[Double]("eigenvalue")
+    val maxDimVar = e
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(var_pop(col("x")).as("v")).agg(max("v"))
+      .head().getDouble(0)
+    assert(eig >= maxDimVar * 0.999, s"eigenvalue $eig < max axis variance $maxDimVar")
+    out.unpersist()
+  }
+
   test("VectorMean aggregator equals per-dimension avg") {
     import spark.implicits._
     val df = Seq(
