@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
@@ -130,6 +131,58 @@ object Text {
             / len(words), 4) AS stop_ratio,
           list_contains(words, 'the') AS has_the
         FROM d ORDER BY doc_id""")),
+
+    Q(
+      "text_bpe_merges",
+      "BPE tokenizer TRAINING: learn 10 merge rules from the corpus by " +
+        "repeatedly fusing the most frequent adjacent symbol pair. " +
+        "Runs on the frequency-weighted VOCABULARY table (the standard " +
+        "trick — at 100 TB the corpus is huge but its distinct-word " +
+        "table is small, so each round is an explode→groupBy over " +
+        "vocab-sized data): state = (word, freq, symbol array), one " +
+        "pair-count aggregation + a greedy left-to-right fold (HOF) " +
+        "per round, 1-row winner broadcast, checkpointed. Fully " +
+        "deterministic (count desc, pair asc tie-break) but iterative " +
+        "argmax is not expressible in one SQL query → rows-only; " +
+        "TextSpec pins determinism, monotone non-increasing pair " +
+        "frequency, and rule well-formedness.",
+      (s, dir) => {
+        val nMerges = 10
+        // Vocabulary with corpus frequency; symbols start as characters.
+        var vocab = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .select(col("word"), col("freq"),
+            // Spark's split keeps trailing empties (limit = -1); drop them.
+            filter(split(col("word"), ""), u => length(u) > 0).as("units"))
+          .localCheckpoint(true)
+        var rules: DataFrame = null
+        for (step <- 1 to nMerges) {
+          // Adjacent-pair counts, weighted by word frequency.
+          val top = vocab
+            .select(col("freq"), explode(TextFns.adjacentPairs(col("units"))).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum("freq").as("pair_freq"))
+            .orderBy(col("pair_freq").desc, col("l"), col("r"))
+            .limit(1)
+            .select(lit(step).as("step"), col("l"), col("r"), col("pair_freq"))
+            .localCheckpoint(true)
+          rules = if (rules == null) top else rules.unionByName(top)
+          // Greedy left-to-right merge of the winning pair in every word.
+          vocab = vocab.crossJoin(broadcast(top.select("l", "r")))
+            .select(col("word"), col("freq"),
+              aggregate(col("units"),
+                array().cast("array<string>"),
+                (acc, u) => when(
+                  size(acc) > 0 && element_at(acc, -1) === col("l") && u === col("r"),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(concat(col("l"), col("r")))))
+                  .otherwise(concat(acc, array(u)))).as("units"))
+            .localCheckpoint(true)
+        }
+        rules.orderBy("step")
+      },
+      None),
 
     Q(
       "text_unigram_logprob",

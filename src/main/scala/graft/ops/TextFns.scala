@@ -18,4 +18,12 @@ object TextFns {
       .otherwise(transform(
         sequence(lit(1), size(words) - (k - 1)),
         i => concat_ws(" ", (0 until k).map(o => element_at(words, i + o)): _*)))
+
+  /** Adjacent element pairs of an array as (l, r) structs, guarded for
+    * single-element arrays (BPE pair counting). */
+  def adjacentPairs(units: Column): Column =
+    when(size(units) < 2, array().cast("array<struct<l:string,r:string>>"))
+      .otherwise(transform(
+        sequence(lit(1), size(units) - 1),
+        i => struct(element_at(units, i).as("l"), element_at(units, i + 1).as("r"))))
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Registry-level invariants + smoke: every declared query runs at
   * sf0.001 and the contract the driver relies on holds. */
 class QueriesSpec extends SparkSpec {
@@ -12,6 +14,39 @@ class QueriesSpec extends SparkSpec {
 
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("text_bpe_merges: deterministic, monotone, well-formed rules") {
+    val run1 = SparkEntry.queries("text_bpe_merges")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // Deterministic end to end (argmax tie-breaks are total).
+    val run2 = SparkEntry.queries("text_bpe_merges")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(run1.toSeq === run2.toSeq)
+    assert(run1.length === 10)
+    // Max adjacent-pair frequency never increases as merges proceed:
+    // merging (a,b) only removes (a,b) mass and creates pairs bounded
+    // by it.
+    val freqs = run1.sortBy(_._1).map(_._4)
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, freqs.mkString(","))
+    // Well-formed: each side is a single char or a previously merged symbol.
+    val formed = scala.collection.mutable.Set[String]()
+    for ((_, l, r, _) <- run1.sortBy(_._1)) {
+      assert(l.length == 1 || formed.contains(l), s"rule left '$l' not derivable")
+      assert(r.length == 1 || formed.contains(r), s"rule right '$r' not derivable")
+      formed += (l + r)
+    }
+    // The first rule is the true most frequent adjacent char pair,
+    // recomputed via an independent path (char bigrams over the corpus).
+    val first = Tables.t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(filter(split(col("w"), ""), u => length(u) > 0).as("cs"))
+      .select(explode(graft.ops.TextFns.wordGrams(col("cs"), 2)).as("bg"))
+      .groupBy("bg").count()
+      .orderBy(col("count").desc, col("bg"))
+      .head()
+    assert(first.getString(0) === s"${run1.head._2} ${run1.head._3}")
+    assert(first.getLong(1) === run1.head._4)
   }
 
   test("seeded sampling is deterministic and near the target fraction") {
