@@ -88,8 +88,66 @@ object Graph {
         ranks.select(col("id").as("nation_id"), round(col("rank"), 6).as("pagerank"))
           .orderBy("nation_id")
       },
-      Some(pagerankSql))
+      Some(pagerankSql)),
+
+    Q(
+      "graph_triangle_count",
+      "Per-node triangle count over the undirected nation-trade graph: " +
+        "edges canonicalized to a < b (each triangle materializes " +
+        "exactly once as a < b < c), found by a two-hop equi-join " +
+        "(e1.b = e2.a) closed against a third edge (e1.a, e2.b), then " +
+        "credited to all three corners via explode. The id-ordered " +
+        "orientation is the degree-ordering trick of distributed " +
+        "triangle counting (Cohen / Suri-Vassilvitskii): every join is " +
+        "an equi-join on a node key — hash-partitionable, no all-pairs " +
+        "step — so the same plan runs on a billion-edge graph. Oracle: " +
+        "the identical 3-way self-join in DuckDB.",
+      (s, dir) => {
+        val und = tradeEdges(s, dir)
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).cast("long").as("a"),
+            greatest(col("src"), col("dst")).cast("long").as("b"))
+          .distinct()
+          // 3 self-joins over an expensively-derived edge list: derive once
+          .localCheckpoint(true)
+        triangleCounts(und).orderBy("node")
+      },
+      Some("""WITH edges AS (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+            CAST(s.s_nationkey AS BIGINT) AS dst
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (
+          SELECT x AS node FROM tri UNION ALL
+          SELECT y FROM tri UNION ALL
+          SELECT z FROM tri)
+        SELECT node, count(*) AS n_triangles FROM corners
+        GROUP BY node ORDER BY node"""))
   )
+
+  /** Per-node triangle counts from canonical undirected edges (a < b,
+    * deduplicated): each triangle a < b < c materializes exactly once
+    * via the two-hop join closed by the (a, c) edge, then is credited
+    * to its three corners. Every join is a node-keyed equi-join. */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 
   /** The identical iteration unrolled as chained CTEs r0..rK. */
   private def pagerankSql: String = {

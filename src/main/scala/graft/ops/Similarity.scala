@@ -145,6 +145,23 @@ object Similarity {
       None),
 
     Q(
+      "sim_ann_pq",
+      "Product-quantization ANN: the 64-dim space is split into 4 " +
+        "subspaces of 16 dims; each subspace gets a 16-codeword L2 " +
+        "codebook (2 Lloyd iterations, all DataFrame ops); every vector " +
+        "is encoded as 4 small code ids. Query-time asymmetric distance " +
+        "(ADC): a 64-row (subspace, code) → distance lookup table is " +
+        "broadcast, candidate distances are Σ of 4 table lookups — no " +
+        "float vector math per corpus row — then the top-96 candidates " +
+        "are exactly re-ranked. The 100 TB story: codes are 4 ints vs " +
+        "64 floats (16× smaller scan), distance evaluation is a " +
+        "broadcast-join + sum, and exactness is restored by the " +
+        "re-rank. Codebooks are float-iterated → rows-only; ScalaTest " +
+        "pins recall vs the exact baseline and encode determinism.",
+      (s, dir) => annPq(s, dir, queryVecId = 0, topK = 10),
+      None),
+
+    Q(
       "sim_pca_power",
       "Top principal component of the embedding corpus by power " +
         "iteration, entirely as DataFrame ops: center via the " +
@@ -227,6 +244,79 @@ object Similarity {
         .select(col("cid"), col("cm").cast("array<float>").as("ce"))
     }
     cents
+  }
+
+  /** Squared L2 distance via three codegen'd VecDot evaluations:
+    * |a-b|² = a·a − 2 a·b + b·b (double precision throughout). */
+  private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    VectorOps.normSq(a) - lit(2.0) * VectorOps.dot(a, b) + VectorOps.normSq(b)
+
+  /** (vec_id, sub, sv): each embedding split into m contiguous
+    * subvectors of subDim floats. One generator pass, no shuffle. */
+  private def pqSubvectors(e: DataFrame, m: Int, subDim: Int): DataFrame =
+    e.select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          k => struct(k.cast("int").as("sub"),
+            slice(col("embedding"), k * lit(subDim) + 1, lit(subDim)).as("sv")))).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+
+  /** Per-subspace L2 Lloyd k-means codebooks: (sub, cid, ce). All m
+    * subspaces train in ONE dataflow — the subspace id is just another
+    * grouping key, so adding subspaces adds no stages. Seeds = the
+    * first k vectors' subvectors (deterministic). */
+  def pqCodebooks(subs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vm = udaf(VectorMean)
+    var books = subs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv").as("ce"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("cid"))
+      books = subs.join(broadcast(books), "sub")
+        .withColumn("d", l2sq(col("sv"), col("ce")))
+        .withColumn("arn", row_number().over(w))
+        .filter(col("arn") === 1)
+        .groupBy("sub", "cid")
+        .agg(vm(col("sv")).as("cm"))
+        .select(col("sub"), col("cid"), col("cm").cast("array<float>").as("ce"))
+    }
+    books
+  }
+
+  /** PQ encode + asymmetric-distance probe + exact re-rank. */
+  def annPq(s: org.apache.spark.sql.SparkSession, dir: String,
+      queryVecId: Long, topK: Int, m: Int = 4, subDim: Int = 16,
+      k: Int = 16, buildIters: Int = 2, nCandidates: Int = 96): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val subs = pqSubvectors(e, m, subDim)
+    // trained once, feeds both encoding and the ADC table
+    val books = pqCodebooks(subs, k, buildIters).localCheckpoint(true)
+    // encode: nearest codeword per (vector, subspace) → m ints per vector
+    val wEnc = Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("cid"))
+    val codes = subs.join(broadcast(books), "sub")
+      .withColumn("d", l2sq(col("sv"), col("ce")))
+      .withColumn("arn", row_number().over(wEnc))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid"))
+    // ADC lookup table: distance from the query's subvectors to every
+    // codeword — k·m rows, broadcast to the probe join
+    val qsubs = pqSubvectors(e.filter(col("vec_id") === queryVecId), m, subDim)
+      .select(col("sub"), col("sv").as("qsv"))
+    val dtab = books.join(qsubs, "sub")
+      .select(col("sub"), col("cid"), l2sq(col("ce"), col("qsv")).as("dq"))
+    // approximate distance = Σ over subspaces of the table lookup;
+    // grouped on vec_id — one exchange on the id key at any scale
+    val cand = codes.join(broadcast(dtab), Seq("sub", "cid"))
+      .groupBy("vec_id").agg(sum("dq").as("adist"))
+      .filter(col("vec_id") =!= queryVecId)
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(nCandidates)
+    // exact re-rank of the tiny candidate set against the true vectors
+    val q = e.filter(col("vec_id") === queryVecId).select(col("embedding").as("qe"))
+    e.join(broadcast(cand.select("vec_id")), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("qe")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
   /** IVF assignment + probe over k-means-built centroids. */

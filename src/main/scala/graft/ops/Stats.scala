@@ -456,6 +456,58 @@ object Stats {
               FROM scored
               WHERE n_prior >= 4 AND round(sd, 6) > 0)
         WHERE abs(zr) > 2
-        ORDER BY user_id, day"""))
+        ORDER BY user_id, day""")),
+
+    Q(
+      "ts_resample_ohlc",
+      "Downsample the event stream to per-type daily OHLC bars: open/" +
+        "close by deterministic (ts, event_id) ordering via first/last " +
+        "window navigation, high/low/volume as plain aggregates. One " +
+        "window pass + one hash aggregation, both partitioned on " +
+        "(event_type, day) — the resample key — so at 100 TB the " +
+        "shuffle is one exchange on the bar key and bars stream out " +
+        "per partition. The financial-bar shape of time-series " +
+        "downsampling (candles, metric rollups, sensor decimation).",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(col("event_type"),
+            to_date(col("ts")).as("day"),
+            col("ts"), col("event_id"), col("value"))
+        val wBar = Window.partitionBy("event_type", "day")
+          .orderBy(col("ts"), col("event_id"))
+        val wAll = wBar.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        e.withColumn("open", first("value").over(wBar))
+          .withColumn("close", last("value").over(wAll))
+          .groupBy("event_type", "day")
+          .agg(
+            round(max("open"), 3).as("open"),
+            round(max("value"), 3).as("high"),
+            round(min("value"), 3).as("low"),
+            round(max("close"), 3).as("close"),
+            count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("volume"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH e AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(ts AS TIMESTAMP) AS tsv, event_id, value
+          FROM events),
+        nav AS (
+          SELECT event_type, day, value,
+            first_value(value) OVER w AS open,
+            last_value(value) OVER (PARTITION BY event_type, day
+              ORDER BY tsv, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+          FROM e
+          WINDOW w AS (PARTITION BY event_type, day ORDER BY tsv, event_id))
+        SELECT event_type, day,
+          round(max(open), 3) AS open,
+          round(max(value), 3) AS high,
+          round(min(value), 3) AS low,
+          round(max(close), 3) AS close,
+          count(*) AS n_events,
+          round(sum(value), 2) AS volume
+        FROM nav GROUP BY event_type, day
+        ORDER BY event_type, day"""))
   )
 }

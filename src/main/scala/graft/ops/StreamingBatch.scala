@@ -78,6 +78,37 @@ object StreamingBatch {
           FROM g)
         SELECT user_id, sess_id, count(*) AS n_events,
           min(eus) AS start_us, max(eus) AS end_us, round(sum(value), 2) AS sum_val
-        FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id"""))
+        FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""")),
+
+    Q(
+      "stream_windowed_topk",
+      "Top-2 event types per tumbling 6h window (by count, then type): " +
+        "windowed agg + per-window rank — the trending-items shape. In " +
+        "Structured Streaming the same plan runs as a windowed " +
+        "aggregation with the rank applied per finalized window in " +
+        "foreachBatch (rank-over-update-stream isn't incremental); " +
+        "batch and stream compute identical finalized windows, which " +
+        "is what the oracle checks. WindowGroupLimit prunes the rank " +
+        "at scale.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val counts = e.groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"))
+          .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_val"))
+        val w = Window.partitionBy("w_start").orderBy(col("n").desc, col("event_type"))
+        counts.withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 2)
+          .orderBy("w_start", "rk")
+      },
+      Some("""WITH counts AS (
+          SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w_start,
+            event_type, count(*) AS n, round(sum(value), 2) AS sum_val
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY w_start ORDER BY n DESC, event_type) AS INT) AS rk
+          FROM counts)
+        SELECT w_start, event_type, n, sum_val, rk FROM ranked
+        WHERE rk <= 2 ORDER BY w_start, rk"""))
   )
 }

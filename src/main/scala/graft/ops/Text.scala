@@ -371,6 +371,31 @@ object Text {
       None),
 
     Q(
+      "sample_reservoir_group",
+      "Deterministic k-per-group reservoir sample: 5 documents per " +
+        "language, selection order = md5 of the doc id (a fixed pseudo-" +
+        "random permutation both engines compute identically, so unlike " +
+        "the RNG samplers this one is fully oracle-checked). One " +
+        "window pass partitioned by the group key, WindowGroupLimit-" +
+        "prunable — the per-class quota shape (balanced eval sets, " +
+        "per-source caps) at any corpus size.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+        val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+        d.withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("rk"), col("doc_id"), col("source"))
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH h AS (SELECT doc_id, lang, source,
+          md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        rk AS (SELECT *, CAST(row_number() OVER (
+            PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rk FROM h)
+        SELECT lang, rk, doc_id, source FROM rk
+        WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    Q(
       "text_length_histogram",
       "Corpus profiling: fixed-width histogram of document lengths " +
         "(floor bucketing — exact integer arithmetic both engines). The " +
@@ -404,6 +429,45 @@ object Text {
       },
       Some("""SELECT doc_id, md5(text) AS md5_text, sha256(text) AS sha256_text,
         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    Q(
+      "text_entropy",
+      "Per-document unigram (word) Shannon entropy — the information-" +
+        "density quality signal that separates natural text from " +
+        "boilerplate/spam (low-entropy repetition) and noise (entropy " +
+        "near log2 of vocabulary). H = log2(n) - Σ c·log2(c) / n over " +
+        "within-doc token frequencies: explode → two hash aggregations, " +
+        "both keyed by doc_id, so the shuffle is one exchange on the " +
+        "doc key at any corpus size. Also emits the normalized form " +
+        "H / log2(distinct) (1.0 = uniform usage).",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(
+            sum("c").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            (log2(sum("c")) - sum(col("c") * log2(col("c"))) / sum("c")).as("h"))
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_distinct"),
+            round(col("h"), 6).as("entropy_bits"),
+            when(col("n_distinct") === 1, lit(0.0))
+              .otherwise(round(col("h") / log2(col("n_distinct")), 6)).as("entropy_norm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        ent AS (
+          SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+            log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+          FROM cnt GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_distinct,
+          round(h, 6) AS entropy_bits,
+          CASE WHEN n_distinct = 1 THEN 0.0
+               ELSE round(h / log2(n_distinct), 6) END AS entropy_norm
+        FROM ent ORDER BY doc_id"""))
   )
 }

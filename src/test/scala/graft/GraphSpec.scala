@@ -71,4 +71,30 @@ class GraphSpec extends SparkSpec {
     // |z| > 2 for every emitted row (the filter is part of the contract).
     assert(out.filter(abs(col("z")) <= 2).count() === 0)
   }
+
+  test("triangleCounts: K4 has four triangles, three per corner; pendant edges none") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} (6 canonical edges) plus a pendant edge 3-9.
+    val und = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 9L)).toDF("a", "b")
+    val got = ops.Graph.triangleCounts(und).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // Each K4 corner sits in C(3,2) = 3 triangles; node 9 in none.
+    assert(got.toSeq === Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+    // Total triangle count = Σ per-node / 3 = 4.
+    assert(got.map(_._2).sum / 3 === 4)
+  }
+
+  test("ts_resample_ohlc: bar invariants — low <= open/close <= high, volume consistent") {
+    val out = q("ts_resample_ohlc").cache()
+    assert(out.count() > 0)
+    val bad = out.filter(
+      col("low") > col("high") ||
+        col("open") < col("low") || col("open") > col("high") ||
+        col("close") < col("low") || col("close") > col("high") ||
+        col("n_events") <= 0)
+    assert(bad.count() === 0)
+    out.unpersist()
+  }
 }

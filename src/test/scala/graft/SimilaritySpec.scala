@@ -119,4 +119,30 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(full == exact, "probing every partition must reduce to exact search")
   }
+
+  test("PQ ANN: recall >= 0.6 vs brute force, exact re-rank scores, deterministic") {
+    val exact = SparkEntry.queries("sim_topk_cosine")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pq = Similarity.annPq(spark, sfDir, queryVecId = 0, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val recall = pq.map(_._1).count(exact.contains) / 10.0
+    assert(recall >= 0.6, s"PQ recall $recall too low (pq=${pq.map(_._1).toSeq})")
+    // Survivors carry the EXACT cosine (re-rank), not the ADC estimate.
+    pq.filter(p => exact.contains(p._1)).foreach { case (id, cos) =>
+      assert(math.abs(cos - exact(id)) < 1e-9, s"vec $id score drifted")
+    }
+    val again = Similarity.annPq(spark, sfDir, queryVecId = 0, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(pq.toSeq === again.toSeq, "PQ pipeline must be deterministic")
+  }
+
+  test("PQ ANN with candidate set >= corpus reduces to exact search") {
+    val exact = SparkEntry.queries("sim_topk_cosine")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    val n = Tables.t(spark, sfDir, "embeddings").count().toInt
+    val full = Similarity.annPq(spark, sfDir, queryVecId = 0, topK = 10,
+        nCandidates = n)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact, "re-ranking every vector must reduce to exact search")
+  }
 }
