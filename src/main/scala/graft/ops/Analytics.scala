@@ -127,6 +127,48 @@ object Analytics {
           CAST(date_diff('day', f.cohort_week, a.w) // 7 AS INT) AS week_n,
           count(DISTINCT a.user_id) AS n_active
         FROM a JOIN f ON a.user_id = f.user_id
-        GROUP BY 1, 2 ORDER BY cohort_week, week_n"""))
+        GROUP BY 1, 2 ORDER BY cohort_week, week_n""")),
+
+    Q(
+      "analytics_attribution",
+      "Last-touch attribution: every purchase is credited to the most " +
+        "recent preceding view/click by the same user within 24h " +
+        "(else 'none'); revenue and counts roll up by attributed " +
+        "channel. ONE window pass — last(touch, ignoreNulls) over a " +
+        "strictly-preceding frame keyed on user_id — instead of a " +
+        "purchases×touches self-join: at 100 TB that is one shuffle on " +
+        "the user key and no join blow-up on busy users.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .withColumn("eus", Tables.epochUs(col("ts")))
+        val isTouch = col("event_type").isin("view", "click")
+        val w = Window.partitionBy("user_id").orderBy(col("eus"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        e.withColumn("t_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+          .withColumn("t_eus", last(when(isTouch, col("eus")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(
+            when(col("t_eus").isNotNull && col("eus") - col("t_eus") <= 86400L * 1000000L,
+              col("t_type")).otherwise("none").as("channel"),
+            col("value"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("revenue"))
+          .orderBy("channel")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, value,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS eus FROM events),
+        nav AS (SELECT *,
+            last_value(CASE WHEN event_type IN ('view', 'click')
+              THEN event_type END IGNORE NULLS) OVER w AS t_type,
+            last_value(CASE WHEN event_type IN ('view', 'click')
+              THEN eus END IGNORE NULLS) OVER w AS t_eus
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT CASE WHEN t_eus IS NOT NULL AND eus - t_eus <= 86400000000
+                 THEN t_type ELSE 'none' END AS channel,
+          count(*) AS n_purchases, round(sum(value), 2) AS revenue
+        FROM nav WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY channel"""))
   )
 }

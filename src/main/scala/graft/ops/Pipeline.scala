@@ -100,13 +100,17 @@ object Pipeline {
         "(longest doc, doc-id tie-break). Unclustered docs are their own " +
         "canonical. This is the cluster-then-pick step between candidate " +
         "generation and the actual drop in a production dedup pipeline; " +
-        "oracle = DuckDB recursive CTE + the same argmax window.",
+        "oracle = DuckDB recursive CTE + the same argmax window. " +
+        "Clustering here runs the alternating large-star/small-star " +
+        "algorithm (diameter-independent O(log²) rounds — the web-scale " +
+        "path), while dedup_components runs min-label propagation: both " +
+        "declared, both oracle-checked, spec-pinned equivalent.",
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
         val stats = Dedup.ngramJaccardStats(docs, hotThreshold = 20)
         val edges = stats.filter(col("jaccard") >= 0.10)
           .select(col("d1").as("src"), col("d2").as("dst"))
-        val comps = Dedup.connectedComponents(edges)
+        val comps = Dedup.connectedComponentsStar(edges)
         val labeled = docs.select(col("doc_id"), col("n_chars"))
           .join(comps, docs("doc_id") === comps("node"), "left")
           .select(col("doc_id"),

@@ -29,6 +29,39 @@ class DedupSpec extends SparkSpec {
       "exactly one survivor per component, the min node")
   }
 
+  test("connectedComponentsStar: matches label propagation on chains, cycles, random graphs") {
+    import spark.implicits._
+    def run(pairs: Seq[(Long, Long)], propIters: Int = 80): Unit = {
+      val edges = pairs.toDF("src", "dst")
+      val star = Dedup.connectedComponentsStar(edges).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+      val prop = Dedup.connectedComponents(edges, maxIters = propIters).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+      assert(star.toSeq === prop.toSeq, s"divergence on ${pairs.take(8)}…")
+    }
+    // triangle + tail, isolated pair, short chain
+    run(Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (12L, 13L), (20L, 21L)))
+    // cycle of 9
+    run((0L until 9L).map(i => (i, (i + 1) % 9)))
+    // seeded random graphs: 60 nodes, varying density
+    val rnd = new scala.util.Random(42)
+    for (m <- Seq(25, 60, 120)) {
+      run(Seq.fill(m)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2))
+    }
+  }
+
+  test("connectedComponentsStar: diameter-29 chain converges in logarithmic rounds") {
+    import spark.implicits._
+    // min-label propagation needs 29 rounds here; the alternating
+    // algorithm's round count is O(log^2 n) — well under 16.
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Dedup.connectedComponentsStar(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 29L).forall(got(_) == 0L), s"chain must collapse to 0: $got")
+  }
+
   test("hamming_distance expression: eval + codegen paths agree with popcount") {
     import spark.implicits._
     val df = Seq((0L, 0L), (-1L, 0L), (0xFFL, 0x0FL), (123456789L, 987654321L))
