@@ -131,7 +131,47 @@ object Graph {
           SELECT y FROM tri UNION ALL
           SELECT z FROM tri)
         SELECT node, count(*) AS n_triangles FROM corners
-        GROUP BY node ORDER BY node"""))
+        GROUP BY node ORDER BY node""")),
+
+    Q(
+      "graph_degree",
+      "Graph profiling: weighted in/out degree and total edge weight " +
+        "per node of the directed trade graph — the first diagnostic " +
+        "run on any derived graph (skew detection before an iterative " +
+        "job: a node with degree ~|V| means salting or filtering). Two " +
+        "aggregations + one full outer join on the node key.",
+      (s, dir) => {
+        val e = tradeEdges(s, dir)
+        val outD = e.groupBy(col("src").cast("long").as("node"))
+          .agg(count(lit(1)).as("out_deg"), sum("w").cast("long").as("out_w"))
+        val inD = e.groupBy(col("dst").cast("long").as("node"))
+          .agg(count(lit(1)).as("in_deg"), sum("w").cast("long").as("in_w"))
+        outD.join(inD, Seq("node"), "full_outer")
+          .select(col("node"),
+            coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+            coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+            coalesce(col("out_w"), lit(0L)).as("out_w"),
+            coalesce(col("in_w"), lit(0L)).as("in_w"))
+          .orderBy("node")
+      },
+      Some("""WITH edges AS (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+            CAST(s.s_nationkey AS BIGINT) AS dst,
+            count(*) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        o AS (SELECT src AS node, count(*) AS out_deg, CAST(sum(w) AS BIGINT) AS out_w
+          FROM edges GROUP BY 1),
+        i AS (SELECT dst AS node, count(*) AS in_deg, CAST(sum(w) AS BIGINT) AS in_w
+          FROM edges GROUP BY 1)
+        SELECT coalesce(o.node, i.node) AS node,
+          coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg,
+          coalesce(out_w, 0) AS out_w, coalesce(in_w, 0) AS in_w
+        FROM o FULL OUTER JOIN i ON o.node = i.node
+        ORDER BY node"""))
   )
 
   /** Per-node triangle counts from canonical undirected edges (a < b,

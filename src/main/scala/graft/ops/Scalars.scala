@@ -599,6 +599,33 @@ object Scalars {
           FROM documents WHERE doc_id < 50),
         x AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM d)
         SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[CAST(i AS INT)] AS token
-        FROM x ORDER BY doc_id, pos"""))
+        FROM x ORDER BY doc_id, pos""")),
+
+    Q(
+      "scalar_format_family",
+      "Formatting family: printf-style templating (format_string ≡ " +
+        "printf), fixed-width lpad/rpad report alignment, repeat, " +
+        "reverse, character-class translate — the display/export " +
+        "surface of the string stack.",
+      (s, dir) => {
+        val p = Tables.t(s, dir, "part")
+        p.select(
+            col("p_partkey"),
+            format_string("%s#%06d", col("p_brand"), col("p_partkey")).as("sku"),
+            lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+            rpad(col("p_brand"), 12, ".").as("brand_cell"),
+            repeat(lit("*"), (col("p_size") % 5 + 1).cast("int")).as("stars"),
+            reverse(col("p_name")).as("name_rev"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+        printf('%s#%06d', p_brand, p_partkey) AS sku,
+        lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        rpad(p_brand, 12, '.') AS brand_cell,
+        repeat('*', CAST(p_size % 5 + 1 AS INT)) AS stars,
+        reverse(p_name) AS name_rev,
+        translate(p_name, 'aeiou', 'AEIOU') AS name_tr
+        FROM part ORDER BY p_partkey"""))
   )
 }

@@ -81,6 +81,45 @@ object Text {
         ORDER BY tfidf DESC, doc_id, token LIMIT 100""")),
 
     Q(
+      "text_keyword_extract",
+      "Per-document keyword extraction: top-3 terms by the same pinned " +
+        "TF-IDF formula as text_tfidf, ranked inside each doc with a " +
+        "rounded-score window (WindowGroupLimit-prunable). The " +
+        "tag-every-document step of corpus curation — tf/df/N " +
+        "aggregations + token join, one window on the doc key, nothing " +
+        "collected.",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = tok.filter(col("doc_id") < 50)
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df_ = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("token"))
+        tf.join(df_, "token")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1).cast("double")), 6))
+          .withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("token"), col("tfidf"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE doc_id < 50 GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (SELECT tf.doc_id, tf.token,
+            round(tf.tf * ln((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)), 6) AS tfidf
+          FROM tf JOIN df USING (token) CROSS JOIN n),
+        rk AS (SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rk
+          FROM scored)
+        SELECT doc_id, rk, token, tfidf FROM rk
+        WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    Q(
       "text_token_regex",
       "Regex (BPE-pre-tokenizer-style) token counting next to the " +
         "whitespace path: runs of letters / digits / single other chars " +
