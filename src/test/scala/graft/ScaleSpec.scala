@@ -46,6 +46,16 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("reservoir sample and windowed top-k push their limit into the window") {
+    // both filter row_number <= k directly above a single window —
+    // WindowGroupLimit prunes per-group input instead of ranking
+    // every row (the property that keeps per-group quotas cheap at
+    // corpus scale)
+    assert(planOf("sample_reservoir_group").contains("WindowGroupLimit"))
+    assert(planOf("stream_windowed_topk").contains("WindowGroupLimit"))
+    assert(planOf("text_keyword_extract").contains("WindowGroupLimit"))
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // codegen stages appear as `*(n)` prefixes — only in the FINAL
     // adaptive plan, so execute before inspecting

@@ -48,6 +48,50 @@ class StreamingSpec extends SparkSpec {
     assert(hour10.getAs[Double]("sum_val") == 3.0)
   }
 
+  test("windowed top-k: stream-finalized windows rank identically to batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the stream_windowed_topk contract: the streaming windowed agg
+    // finalizes exactly the windows batch computes; the rank is then a
+    // per-finalized-window batch step (foreachBatch in production)
+    val events = Seq(
+      Event(1, ts(2), 1, "view", 1.0), Event(2, ts(3), 1, "view", 1.0),
+      Event(3, ts(4), 2, "click", 1.0), Event(4, ts(5), 3, "error", 1.0),
+      Event(5, ts(6), 1, "error", 1.0), Event(6, ts(7), 2, "error", 1.0),
+      Event(7, ts(12), 1, "click", 1.0), Event(8, ts(13), 2, "click", 1.0),
+      Event(9, ts(14), 1, "view", 1.0))
+    val in = MemoryStream[Event]
+    val counts = in.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("wtopk")
+      .outputMode("append").start()
+    in.addData(events: _*)
+    q.processAllAvailable()
+    // advance event time far enough that both windows finalize
+    in.addData(Event(99, Timestamp.valueOf("2024-01-01 11:00:00"), 9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    def rank(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("w_start").orderBy(col("n").desc, col("event_type"))
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+        .orderBy("w_start", "rk")
+        .collect().map(r => (r.getAs[Timestamp]("w_start").toString,
+          r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    }
+    val streamSide = rank(spark.table("wtopk"))
+    val batchSide = rank(events.toDF()
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n")))
+    assert(streamSide.nonEmpty)
+    assert(streamSide === batchSide,
+      "finalized stream windows must rank exactly like the batch query")
+  }
+
   test("dropDuplicatesWithinWatermark removes dups, keeps state bounded") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
