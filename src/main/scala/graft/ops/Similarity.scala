@@ -191,7 +191,11 @@ object Similarity {
         // 24 rounds: the synthetic corpus has a narrow top eigengap, and
         // convergence goes as (λ2/λ1)^k — 8 rounds left ~0.7% residual
         // rotation; 24 pins the fixpoint below spec tolerance.
-        for (_ <- 1 to 24) {
+        // Checkpoint every 4th round, not every round: rounds between
+        // checkpoints fuse into ONE job (the broadcast of v forces the
+        // whole 4-round chain once), cutting the sequential job count
+        // 4× while keeping the replanned lineage depth bounded.
+        for (i <- 1 to 24) {
           v = xc.crossJoin(broadcast(v))
             .withColumn("s", VectorOps.dot(col("x"), col("v")))
             .select(transform(col("x"), e2 => (e2 * col("s")).cast("float")).as("y"))
@@ -199,7 +203,7 @@ object Similarity {
             .select(col("vd"),
               sqrt(aggregate(col("vd"), lit(0.0), (acc, d) => acc + d * d)).as("nrm"))
             .select(transform(col("vd"), d => (d / col("nrm")).cast("float")).as("v"))
-            .localCheckpoint(true)
+          if (i % 4 == 0) v = v.localCheckpoint(true)
         }
         // Canonical sign: the dominant |loading| is positive.
         val canon = v.select(
