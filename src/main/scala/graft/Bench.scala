@@ -25,7 +25,13 @@ object Bench {
     // shows sporadic multi-second stalls unrelated to the plans (same
     // query 1.7s vs 27s across runs); min-of-2 reports the engine, not
     // the noise.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Local-iteration filter (builder only; the driver sets no filter →
+    // full run): comma/space-separated name substrings.
+    val filters = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split("[,\\s]+").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      filters.isEmpty || filters.exists(n.contains) }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
@@ -36,6 +42,13 @@ object Bench {
         }
       }
       val (a, b) = (once(), once())
+      // The iterative builders (components, PCA, BPE, IVF/PQ) leave
+      // localCheckpoint blocks behind that only the async ContextCleaner
+      // would reclaim; drop them eagerly so query N's storage pressure
+      // never shows up in query N+1's time (r4 showed exactly that
+      // cross-query contamination in the sim cluster).
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       // -1 sentinel: a failed query must never read as a fast engine
       name -> (if (a.isNaN || b.isNaN) -1.0 else math.min(a, b))
     }

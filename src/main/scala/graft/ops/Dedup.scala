@@ -336,18 +336,45 @@ object Dedup {
     * [[connectedComponents]]; equivalence is spec-pinned on chains,
     * cycles, and seeded random graphs. */
   def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
-    val init = edges
+    // materialize the (possibly expensive) candidate-generation lineage
+    // exactly ONCE — both the node set and the initial edge set read it,
+    // and without this checkpoint each would re-run the whole upstream
+    // pipeline
+    val raw = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-    val nodes = init.select(col("u").as("node"))
-      .union(init.select(col("v").as("node")))
-      .distinct()
       .localCheckpoint(true)
+    // node set from the RAW endpoints (before the self-loop filter) so a
+    // node whose only edges are self-loops still appears in the output —
+    // matching connectedComponents' contract; consumed once by the final
+    // join, so lazy over the checkpoint
+    val nodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node")))
+      .distinct()
+    val init = raw.filter(col("u") =!= col("v"))
+    // O(ZERO-extra-job) fixpoint detection: the edge set is stable when
+    // its (count, xor of per-edge 64-bit hashes) signature is stable.
+    // The signature rides the eager checkpoint's own job as observe()
+    // metrics — no scan, no shuffle, no action beyond the checkpoint the
+    // round does anyway; the carried scalar replaces round 4's two full
+    // `except` shuffles of old vs new. bit_xor is order-independent and
+    // cannot overflow under ANSI mode (unlike a hash SUM); a signature
+    // collision on differing sets is ~2⁻⁶⁴ — far below any
+    // hardware-error floor.
+    var sigSeq = 0
+    def sigCheckpoint(df: DataFrame): (DataFrame, (Long, Long)) = {
+      sigSeq += 1
+      val obs = new org.apache.spark.sql.Observation(s"ccstar_sig_$sigSeq")
+      val ck = df.observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
+        .localCheckpoint(true)
+      val m = obs.get
+      (ck, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
+    }
     // invariant throughout: every stored edge points high → low (u > v)
-    var e = init
+    var (e, prevSig) = sigCheckpoint(init
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -357,27 +384,36 @@ object Dedup {
         .union(e.select(col("v").as("x"), col("u").as("y")))
       val mins = nbr.groupBy("x").agg(min("y").as("mn"))
         .select(col("x"), least(col("mn"), col("x")).as("m"))
+      // no checkpoint and no dedup here: duplicates can't change m2's
+      // min and the relinked distinct() removes pair duplicates. The
+      // explicit u-repartition gives BOTH consumers (m2's groupBy and
+      // the join) the identical exchange subtree, so ReuseExchange
+      // materializes afterLarge exactly once inside the relinked job —
+      // a distinct()+localCheckpoint here costs 2 extra exchanges and 1
+      // extra job per round for nothing; lineage stays bounded by the
+      // relinked checkpoint below.
       val afterLarge = nbr.join(mins, "x")
         .filter(col("y") > col("x"))
         .select(col("y").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint(true)
+        .repartition(col("u"))
       // small-star: center u over its (all smaller) neighbors; each
       // neighbor AND u itself link to m = min(Γ⁻(u) ∪ {u}) = min(v)
       val m2 = afterLarge.groupBy("u").agg(min("v").as("m"))
-      val relinked = afterLarge.join(m2, "u")
+      val (relinked, sig) = sigCheckpoint(afterLarge.join(m2, "u")
         .select(col("v").as("a"), col("m").as("b"))
         .union(m2.select(col("u").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-        .distinct()
-        .localCheckpoint(true)
-      // fixpoint test on the edge SET (both sides are distinct);
-      // two scalar counts — control flow, not data movement
-      converged = relinked.except(e).isEmpty && e.except(relinked).isEmpty
+        .distinct())
+      // fixpoint test on the edge SET (both sides are distinct): compare
+      // this round's signature to the carried one — control flow only
+      converged = sig == prevSig
+      prevSig = sig
       e = relinked
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[ccstar] round $rounds sig=$sig converged=$converged")
     }
     if (!converged)
       throw new IllegalStateException(

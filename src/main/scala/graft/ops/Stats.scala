@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -376,7 +377,10 @@ object Stats {
         "weighted-sum form — ewma = Σ xᵢ(1-α)^(n-i) / Σ (1-α)^(n-i) — " +
         "so it is one window (row_number + per-key count) and one hash " +
         "aggregation instead of a sequential fold: fully parallel per " +
-        "key, exponents bounded by series length so no overflow.",
+        "key, exponents bounded by series length so no overflow. The " +
+        "two double sums are sorted sequential folds (series length is " +
+        "calendar-bounded, so collecting per key is safe) — bit-" +
+        "identical under any partial-aggregation order.",
       (s, dir) => {
         val decay = 0.7 // 1 - α
         val daily = Tables.t(s, dir, "events")
@@ -385,15 +389,16 @@ object Stats {
           .agg(sum("value").as("x"))
         val wSeq = Window.partitionBy("user_id").orderBy("day")
         val wAll = Window.partitionBy("user_id")
+        def foldSum(c: Column): Column =
+          aggregate(sort_array(collect_list(c)), lit(0.0), (acc, x) => acc + x)
         daily
           .withColumn("rn", row_number().over(wSeq))
           .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("w", pow(lit(decay), col("n") - col("rn")))
           .groupBy("user_id")
           .agg(
             count(lit(1)).as("n_days"),
-            round(
-              sum(col("x") * pow(lit(decay), col("n") - col("rn"))) /
-                sum(pow(lit(decay), col("n") - col("rn"))), 6).as("ewma"))
+            round(foldSum(col("x") * col("w")) / foldSum(col("w")), 6).as("ewma"))
           .orderBy("user_id")
       },
       Some("""WITH daily AS (
@@ -403,10 +408,12 @@ object Stats {
           SELECT user_id, x,
             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
             count(*) OVER (PARTITION BY user_id) AS n
-          FROM daily)
+          FROM daily),
+        terms AS (SELECT user_id, x, pow(0.7, n - rn) AS w FROM seq)
         SELECT user_id, count(*) AS n_days,
-          round(sum(x * pow(0.7, n - rn)) / sum(pow(0.7, n - rn)), 6) AS ewma
-        FROM seq GROUP BY user_id
+          round(list_reduce(list_sort(list(x * w)), (a, b) -> a + b) /
+                list_reduce(list_sort(list(w)), (a, b) -> a + b), 6) AS ewma
+        FROM terms GROUP BY user_id
         ORDER BY user_id""")),
 
     Q(

@@ -230,30 +230,46 @@ object Text {
         "proxy used for LM-based quality filtering — low = typical, " +
         "high = outlier). Token join against the (vocabulary-sized, " +
         "broadcast) frequency table, corpus total as a 1-row cross " +
-        "join; aggregate rounded so summation-order ulp noise cannot " +
-        "flip a row.",
+        "join. The per-doc double sum is a sorted sequential fold " +
+        "(sort_array + aggregate ≡ DuckDB list_sort + list_reduce) so " +
+        "the result is bit-identical regardless of partial-aggregation " +
+        "order — integer sums are order-safe, float sums are not.",
       (s, dir) => {
         val tok = Tables.t(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         val freq = tok.groupBy("token").agg(count(lit(1)).as("n"))
         val total = tok.agg(count(lit(1)).as("t"))
-        tok.join(broadcast(freq), "token")
+        // one addend per (doc, token-type): c·ln(n/t); folding per
+        // token type (vocab-bounded per doc) instead of per occurrence
+        // also shrinks the collected array
+        tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+          .join(broadcast(freq), "token")
           .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("c"),
+            (col("c").cast("double") *
+              log(col("n") / col("t").cast("double"))).as("x"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tok"),
-            round((-sum(log(col("n") / col("t").cast("double"))) /
-              count(lit(1)) / math.log(2.0)), 6).as("bits_per_token"))
+          .agg(sum("c").as("n_tok"), sort_array(collect_list(col("x"))).as("xs"))
+          .select(col("doc_id"), col("n_tok"),
+            round(-aggregate(col("xs"), lit(0.0), (acc, x) => acc + x) /
+              col("n_tok") / math.log(2.0), 6).as("bits_per_token"))
           .orderBy("doc_id")
       },
       Some("""WITH tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         freq AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
-        tot AS (SELECT count(*) AS t FROM tok)
-        SELECT doc_id, count(*) AS n_tok,
-          round(-sum(ln(freq.n / CAST(tot.t AS DOUBLE))) / count(*) / ln(2), 6)
-            AS bits_per_token
-        FROM tok JOIN freq USING (token) CROSS JOIN tot
-        GROUP BY doc_id ORDER BY doc_id""")),
+        tot AS (SELECT count(*) AS t FROM tok),
+        cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        terms AS (
+          SELECT doc_id, c,
+            CAST(c AS DOUBLE) * ln(freq.n / CAST(tot.t AS DOUBLE)) AS x
+          FROM cnt JOIN freq USING (token) CROSS JOIN tot),
+        agg AS (
+          SELECT doc_id, sum(c) AS n_tok,
+            list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx
+          FROM terms GROUP BY doc_id)
+        SELECT doc_id, n_tok, round(-sx / n_tok / ln(2), 6) AS bits_per_token
+        FROM agg ORDER BY doc_id""")),
 
     Q(
       "text_quality",
@@ -285,7 +301,9 @@ object Text {
       "BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed query " +
         "{'spark','merge','batch'}: tf/df/doclen aggregations + join — " +
         "the keyword-search half of a training-data curation stack. " +
-        "Ordered by the rounded score (ln ulp-safe), top 20.",
+        "Ordered by the rounded score (ln ulp-safe), top 20. The per-doc " +
+        "score sum (≤3 addends) is a sorted sequential fold so partial-" +
+        "aggregation order cannot flip the 6th decimal.",
       (s, dir) => {
         val k1 = 1.2
         val b = 0.75
@@ -305,7 +323,10 @@ object Text {
             col("idf") * (col("tf") * (k1 + 1)) /
               (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
         scored.groupBy("doc_id")
-          .agg(round(sum("contrib"), 6).as("bm25"), count(lit(1)).as("n_terms"))
+          .agg(
+            round(aggregate(sort_array(collect_list(col("contrib"))), lit(0.0),
+              (acc, x) => acc + x), 6).as("bm25"),
+            count(lit(1)).as("n_terms"))
           .orderBy(col("bm25").desc, col("doc_id"))
           .limit(20)
       },
@@ -321,7 +342,9 @@ object Text {
               * (tf.tf * (1.2 + 1)) /
               (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl)) AS contrib
           FROM tf JOIN df USING (token) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats)
-        SELECT doc_id, round(sum(contrib), 6) AS bm25, count(*) AS n_terms
+        SELECT doc_id,
+          round(list_reduce(list_sort(list(contrib)), (a, b) -> a + b), 6) AS bm25,
+          count(*) AS n_terms
         FROM scored GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id LIMIT 20""")),
 
@@ -478,7 +501,11 @@ object Text {
         "near log2 of vocabulary). H = log2(n) - Σ c·log2(c) / n over " +
         "within-doc token frequencies: explode → two hash aggregations, " +
         "both keyed by doc_id, so the shuffle is one exchange on the " +
-        "doc key at any corpus size. Also emits the normalized form " +
+        "doc key at any corpus size. The Σ c·log2(c) double sum is a " +
+        "sorted sequential fold (sort_array + aggregate ≡ DuckDB " +
+        "list_sort + list_reduce), so the value is bit-identical under " +
+        "any partial-aggregation order; integer sums (n, distinct) are " +
+        "order-safe as-is. Also emits the normalized form " +
         "H / log2(distinct) (1.0 = uniform usage).",
       (s, dir) => {
         val tok = Tables.t(s, dir, "documents")
@@ -488,7 +515,13 @@ object Text {
           .agg(
             sum("c").as("n_tokens"),
             count(lit(1)).as("n_distinct"),
-            (log2(sum("c")) - sum(col("c") * log2(col("c"))) / sum("c")).as("h"))
+            sort_array(collect_list(col("c"))).as("cs"))
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_distinct"),
+            (log2(col("n_tokens")) -
+              aggregate(col("cs"), lit(0.0),
+                (acc, c) => acc + c.cast("double") * log2(c)) /
+              col("n_tokens")).as("h"))
           .select(
             col("doc_id"), col("n_tokens"), col("n_distinct"),
             round(col("h"), 6).as("entropy_bits"),
@@ -501,7 +534,9 @@ object Text {
         cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
         ent AS (
           SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
-            log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+            log2(sum(c)) -
+              list_reduce(list_transform(list_sort(list(c)),
+                c -> CAST(c AS DOUBLE) * log2(c)), (a, b) -> a + b) / sum(c) AS h
           FROM cnt GROUP BY doc_id)
         SELECT doc_id, n_tokens, n_distinct,
           round(h, 6) AS entropy_bits,

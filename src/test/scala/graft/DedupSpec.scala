@@ -42,6 +42,10 @@ class DedupSpec extends SparkSpec {
     // triangle + tail, isolated pair, short chain
     run(Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
       (12L, 13L), (20L, 21L)))
+    // self-loops: node 5 exists ONLY via a self-loop and must still be
+    // emitted (component 5, keep) by both algorithms; 7's self-loop is
+    // redundant with its real edge
+    run(Seq((5L, 5L), (1L, 2L), (7L, 7L), (2L, 7L)))
     // cycle of 9
     run((0L until 9L).map(i => (i, (i + 1) % 9)))
     // seeded random graphs: 60 nodes, varying density

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Round, SortArray}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Sum}
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Float-determinism contract (SURVEY §5): oracle-checked queries must
+  * hash identically under ANY partial-aggregation order, because the
+  * driver's DuckDB compare is exact. Two teeth:
+  *
+  *   1. Re-run the queries that fold floats under a different
+  *      `spark.sql.shuffle.partitions` (different partial-agg merge
+  *      tree) and assert bit-identical results.
+  *   2. A plan lint that fails if a NEW oracle query reintroduces the
+  *      class that bit `text_entropy` in round 4: a float/double
+  *      Sum/Average feeding `round(…, ≥4)` — sub-ulp summation-order
+  *      noise flips the last rounded digit. The sanctioned pattern is a
+  *      sorted sequential fold (`aggregate(sort_array(collect_list(…)))`
+  *      ≡ DuckDB `list_sort` + `list_reduce`); coarse money rounding
+  *      (scale ≤ 2 over ~1e4-magnitude sums) is tolerated and listed.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  /** Queries whose result embeds an order-sensitive float fold made
+    * deterministic by sorting — re-run under a different shuffle fan-out
+    * must be bit-identical. */
+  private val foldQueries =
+    Seq("text_entropy", "text_unigram_logprob", "dedup_embedding_cosine",
+      "ts_ewma", "text_bm25_search")
+
+  test("float-fold queries are bit-identical under a different shuffle fan-out") {
+    // An isolated session over the same context with a different
+    // partition count: partial aggregates merge in a different tree.
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    for (name <- foldQueries) {
+      val a = SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).toSeq
+      val b = SparkEntry.queries(name)(alt, sfDir).collect().map(_.toString).toSeq
+      assert(a === b, s"$name differs across shuffle fan-outs")
+    }
+  }
+
+  /** Oracle queries audited as acceptable despite a round-over-float-agg:
+    * agg_q1's per-group cardinality is unbounded (a sorted collect_list
+    * fold would not survive 100 TB), and its avg(double) at scale 4 has
+    * reorder noise ~1e-9 against a 1e-4 grid on ~3e4 magnitudes — five
+    * driver rounds of exact hash-compares green. Adding a NEW query here
+    * requires the same audit (bounded noise ≫ margin + unbounded group). */
+  private val auditedCoarseRounding = Set("agg_q1", "agg_filtered")
+
+  private def fragileRounds(e: Expression): Seq[Round] =
+    e.collect {
+      case r: Round if r.scale.foldable && evalScale(r) >= 4 && hasUnsortedFloatAgg(r.child) => r
+    }
+
+  private def evalScale(r: Round): Int =
+    r.scale.eval() match { case i: Int => i; case other => other.toString.toInt }
+
+  /** True if the subtree holds a float/double Sum/Average NOT shielded by
+    * a sorted fold (SortArray ancestor ⇒ the fold input was sorted). */
+  private def hasUnsortedFloatAgg(e: Expression): Boolean = e match {
+    case _: SortArray => false
+    case agg: AggregateExpression =>
+      agg.aggregateFunction match {
+        case s: Sum if s.child.dataType == DoubleType || s.child.dataType == FloatType => true
+        case a: Average if a.child.dataType == DoubleType || a.child.dataType == FloatType => true
+        case f => f.children.exists(hasUnsortedFloatAgg)
+      }
+    case other => other.children.exists(hasUnsortedFloatAgg)
+  }
+
+  test("plan lint: no oracle query rounds an unsorted float aggregate at scale >= 4") {
+    val offenders = SparkEntry.all
+      .filter(q => q.oracle.isDefined && !auditedCoarseRounding.contains(q.name))
+      .flatMap { q =>
+        val plan = q.fn(spark, sfDir).queryExecution.analyzed
+        val hits = plan.collect { case n => n }.flatMap(_.expressions.flatMap(fragileRounds))
+        if (hits.nonEmpty) Seq(q.name) else Nil
+      }
+      .distinct
+    assert(offenders.isEmpty,
+      s"fragile round-over-float-sum in oracle queries: ${offenders.mkString(", ")} — " +
+        "use a sorted fold (sort_array+aggregate ≡ list_sort+list_reduce) or coarser rounding")
+  }
+}
