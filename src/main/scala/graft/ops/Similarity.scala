@@ -157,9 +157,54 @@ object Similarity {
         "64 floats (16× smaller scan), distance evaluation is a " +
         "broadcast-join + sum, and exactness is restored by the " +
         "re-rank. Codebooks are float-iterated → rows-only; ScalaTest " +
-        "pins recall vs the exact baseline and encode determinism.",
+        "pins recall vs the exact baseline and encode determinism; the " +
+        "encode step itself is oracle-checked by sim_pq_codes.",
       (s, dir) => annPq(s, dir, queryVecId = 0, topK = 10),
       None),
+
+    Q(
+      "sim_pq_codes",
+      "The PQ ENCODE operator, oracle-checked end to end: every vector " +
+        "is assigned, per 16-dim subspace, the id of its nearest " +
+        "codeword by exact double-precision L2² (same codegen'd VecDot " +
+        "fold as the oracle's list_reduce — bit-identical distances) " +
+        "with (distance, id) floor-form tie-breaks. The codebook here " +
+        "is the deterministic first-16-subvectors book, so DuckDB can " +
+        "replay the whole assignment — this pins the deterministic " +
+        "half of sim_ann_pq (encode + argmin + tie-breaks), leaving " +
+        "only the float Lloyd training loop rows-only. Same " +
+        "WindowGroupLimit argmin shape the encoder uses at any scale.",
+      (s, dir) => {
+        val subs = pqSubvectors(Tables.t(s, dir, "embeddings"), m = 4, subDim = 16)
+        val books = subs.filter(col("vec_id") < 16)
+          .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("ce"))
+        val wEnc = Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("code"))
+        subs.join(broadcast(books), "sub")
+          .withColumn("d", l2sq(col("sv"), col("ce")))
+          .withColumn("arn", row_number().over(wEnc))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("sub"), col("code"))
+          .orderBy("vec_id", "sub")
+      },
+      Some(s"""WITH subs AS (
+          SELECT vec_id, s.sub AS sub,
+            embedding[(s.sub * 16 + 1):(s.sub * 16 + 16)] AS sv
+          FROM embeddings CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) s),
+        books AS (
+          SELECT sub, CAST(vec_id AS INT) AS code, sv AS ce
+          FROM subs WHERE vec_id < 16),
+        enc AS (
+          SELECT a.vec_id, a.sub, b.code,
+            (${VectorOps.duckDot("a.sv", "a.sv", 16)})
+              - 2.0 * (${VectorOps.duckDot("a.sv", "b.ce", 16)})
+              + (${VectorOps.duckDot("b.ce", "b.ce", 16)}) AS d
+          FROM subs a JOIN books b USING (sub)),
+        ranked AS (
+          SELECT vec_id, sub, code,
+            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+          FROM enc)
+        SELECT vec_id, sub, code FROM ranked WHERE rn = 1
+        ORDER BY vec_id, sub""")),
 
     Q(
       "sim_pca_power",

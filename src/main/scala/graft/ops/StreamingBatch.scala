@@ -109,6 +109,51 @@ object StreamingBatch {
             PARTITION BY w_start ORDER BY n DESC, event_type) AS INT) AS rk
           FROM counts)
         SELECT w_start, event_type, n, sum_val, rk FROM ranked
-        WHERE rk <= 2 ORDER BY w_start, rk"""))
+        WHERE rk <= 2 ORDER BY w_start, rk""")),
+
+    Q(
+      "stream_sink_roundtrip",
+      "End-to-end exercise of the checkpointed streaming parquet sink " +
+        "(reference A12 in stream form): the events fixture flows " +
+        "through readStream → stateless purchase projection → " +
+        "writeStream(parquet + checkpoint, AvailableNow) into a fresh " +
+        "sink dir, and the RESULT is a batch aggregation over what the " +
+        "sink actually persisted. The oracle computes the same " +
+        "aggregate straight from the source table, so a row lost or " +
+        "duplicated anywhere in the stream/checkpoint/sink path is a " +
+        "hash mismatch. Stateless append emits every row (no watermark " +
+        "truncation), which is what makes sink-vs-source equality " +
+        "exact. At scale this is the continuous-ingest landing zone: " +
+        "file-source backpressure in, exactly-once parquet out.",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        graft.sources.ParquetDirSource.prepareSession(s)
+        val path = s"$dir/events.parquet"
+        val base = java.nio.file.Files.createTempDirectory("graft-sinkrt")
+        base.toFile.deleteOnExit()
+        val (out, cp) = (s"$base/out", s"$base/cp")
+        val raw = s.read.parquet(path) // schema only (ts as raw ns longs)
+        // the file stream source wants a DIRECTORY; glob-filter it down
+        // to the events table
+        val q = s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            round(sum("value"), 2).as("sum_val"))
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS sum_val
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY day"""))
   )
 }

@@ -86,15 +86,4 @@ class GraphSpec extends SparkSpec {
     assert(got.map(_._2).sum / 3 === 4)
   }
 
-  test("ts_resample_ohlc: bar invariants — low <= open/close <= high, volume consistent") {
-    val out = q("ts_resample_ohlc").cache()
-    assert(out.count() > 0)
-    val bad = out.filter(
-      col("low") > col("high") ||
-        col("open") < col("low") || col("open") > col("high") ||
-        col("close") < col("low") || col("close") > col("high") ||
-        col("n_events") <= 0)
-    assert(bad.count() === 0)
-    out.unpersist()
-  }
 }

@@ -56,6 +56,23 @@ class ScaleSpec extends SparkSpec {
     assert(planOf("text_keyword_extract").contains("WindowGroupLimit"))
   }
 
+  test("k-means seeding is one hash aggregation, not a full-corpus window") {
+    // seedBucketWinners picks the top key per sign bucket via one
+    // max_by aggregation; the only Window (the cid ranking) must sit
+    // ABOVE the TakeOrderedAndProject candidate cut, i.e. it ranks at
+    // most k−1 rows — a row_number over the corpus would shuffle every
+    // row to rank a handful
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val plan = graft.ops.Similarity.kmeansSeeds(e, 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("max_by"), plan.take(1500))
+    val win = plan.indexOf("Window")
+    val cut = plan.indexOf("TakeOrderedAndProject(limit=7")
+    assert(win >= 0 && cut > win,
+      s"cid-ranking window must consume the limit-7 candidate cut:\n${plan.take(1500)}")
+    assert(plan.indexOf("Window", win + 1) < 0, "exactly one (tiny) window expected")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // codegen stages appear as `*(n)` prefixes — only in the FINAL
     // adaptive plan, so execute before inspecting

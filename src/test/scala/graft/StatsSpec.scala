@@ -84,4 +84,16 @@ class StatsSpec extends SparkSpec {
     // day_value is null exactly on gap days, and filled carries values forward
     assert(rows.exists(_.isNullAt(2)), "fixture has at least one gap day")
   }
+
+  test("ts_resample_ohlc: bar invariants — low <= open/close <= high, volume consistent") {
+    val out = SparkEntry.queries("ts_resample_ohlc")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    val bad = out.filter(
+      col("low") > col("high") ||
+        col("open") < col("low") || col("open") > col("high") ||
+        col("close") < col("low") || col("close") > col("high") ||
+        col("n_events") <= 0)
+    assert(bad.count() === 0)
+    out.unpersist()
+  }
 }
