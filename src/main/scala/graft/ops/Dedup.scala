@@ -157,11 +157,140 @@ object Dedup {
       None),
 
     Q(
+      "dedup_minhash_replay",
+      "The MinHash+LSH DATAFLOW under an engine-portable hash, fully " +
+        "oracle-checked: 32 permutations via md5-derived hexHash(perm : " +
+        "token) mins, 8 bands × 4 rows keyed by the in-order signature " +
+        "slice, candidate pairs from the band-bucket equi-join, exact " +
+        "Jaccard verify. DuckDB replays every hash, min, band key, and " +
+        "pair — so the banding/bucketing/verify pipeline that " +
+        "dedup_minhash_lsh runs with the native one-pass MinHashSig " +
+        "expression (the 100 TB hot path, hash-specific → rows-only) " +
+        "is hash-checked end to end here.",
+      (s, dir) => {
+        import PortableHash.hexHash
+        val toks = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tokens"))
+        val sigs = toks.select(col("doc_id"), explode(col("tokens")).as("token"))
+          .select(col("doc_id"), col("token"),
+            explode(sequence(lit(0), lit(31))).as("p"))
+          .select(col("doc_id"), col("p"),
+            hexHash(concat(col("p").cast("string"), lit(":"), col("token"))).as("h"))
+          .groupBy("doc_id", "p").agg(min("h").as("m"))
+        val banded = sigs
+          .groupBy(col("doc_id"), (col("p") / 4).cast("int").as("band"))
+          .agg(sort_array(collect_list(struct(col("p"), col("m")))).as("pm"))
+          .select(col("doc_id"), col("band"),
+            concat_ws(",", transform(col("pm"), x => x("m").cast("string"))).as("key"))
+          .join(toks, "doc_id")
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.tokens").as("ta"), col("b.tokens").as("tb"))
+          .distinct()
+          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          .select(col("d1"), col("d2"),
+            round(col("inter").cast("double") /
+              (size(col("ta")) + size(col("tb")) - col("inter")), 6).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
+          FROM documents WHERE doc_id < 200),
+        ex AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+        hashed AS (
+          SELECT doc_id, p,
+            ${PortableHash.hexHashSql("CAST(p AS VARCHAR) || ':' || token")} AS h
+          FROM ex CROSS JOIN (SELECT unnest(range(32)) AS p)),
+        sigs AS (SELECT doc_id, p, min(h) AS m FROM hashed GROUP BY 1, 2),
+        banded AS (
+          SELECT s.doc_id, CAST(p // 4 AS INT) AS band,
+            string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS key
+          FROM sigs s GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT c.d1, c.d2,
+          round(CAST(len(list_intersect(ta.tokens, tb.tokens)) AS DOUBLE) /
+            (len(ta.tokens) + len(tb.tokens) - len(list_intersect(ta.tokens, tb.tokens))),
+            6) AS jaccard
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.d1
+        JOIN toks tb ON tb.doc_id = c.d2
+        ORDER BY jaccard DESC, d1, d2""")),
+
+    Q(
+      "dedup_simhash_portable",
+      "The SimHash band/bucket/Hamming DATAFLOW under an engine-" +
+        "portable hash, fully oracle-checked: 32-bit fingerprints from " +
+        "md5-derived per-token bit votes, candidates via 4×8-bit band " +
+        "buckets, pairs verified with the codegen'd hamming_distance " +
+        "expression vs DuckDB's bit_count(xor(...)). Integer votes and " +
+        "shifts only — bit-identical across engines. Pins the exact " +
+        "banding/verify pipeline that dedup_simhash runs with native " +
+        "64-bit xxhash64 fingerprints (the hot path, rows-only).",
+      (s, dir) => {
+        import PortableHash.hexHash
+        val votes = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .select(col("doc_id"), hexHash(col("token")).as("h"))
+          .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+          .groupBy("doc_id", "b")
+          .agg(sum(when(expr("(shiftright(h, CAST(b AS INT)) & 1) = 1"), 1L)
+            .otherwise(-1L)).as("v"))
+        val d = votes.groupBy("doc_id")
+          .agg(sum(when(col("v") >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("sig"))
+        val bandMasks = typedlit(Seq(0xFFL, 0xFF00L, 0xFF0000L, 0xFF000000L))
+        val banded = d.select(col("doc_id"), col("sig"),
+            explode(transform(sequence(lit(0), lit(3)),
+              k => struct(k.as("band"),
+                col("sig").bitwiseAND(element_at(bandMasks, k + 1)).as("key")))).as("bk"))
+          .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            HammingDistance.hamming(col("a.sig"), col("b.sig")).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 8)
+          .orderBy(col("hamming"), col("d1"), col("d2"))
+      },
+      Some(s"""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE doc_id < 200),
+        h AS (SELECT doc_id, ${PortableHash.hexHashSql("token")} AS h FROM tok),
+        votes AS (
+          SELECT doc_id, b,
+            sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) GROUP BY 1, 2),
+        sig AS (
+          SELECT doc_id,
+            sum(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                     ELSE 0 END) AS sig
+          FROM votes GROUP BY 1),
+        banded AS (
+          SELECT doc_id, sig, band, sig & mask AS key
+          FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band,
+            unnest([255, 65280, 16711680, 4278190080]) AS mask)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+            CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT d1, d2, hamming FROM pairs WHERE hamming <= 8
+        ORDER BY hamming, d1, d2""")),
+
+    Q(
       "dedup_simhash",
       "SimHash near-dup: 64-bit fingerprint per doc (HOF bit votes over " +
         "xxhash64), candidates via 4×16-bit band buckets, verified with " +
         "the native codegen'd hamming_distance expression. Rows-only " +
-        "check (hash-specific); ScalaTest covers the semantics.",
+        "check (hash-specific); ScalaTest covers the semantics; the " +
+        "band/bucket/Hamming dataflow itself is oracle-checked by " +
+        "dedup_simhash_portable.",
       (s, dir) => {
         val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
           .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sig"))

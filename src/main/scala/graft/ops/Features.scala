@@ -23,12 +23,7 @@ object Features {
 
   /** First 8 hex chars of md5(s) as a long (0..2^32-1, ANSI-safe) —
     * the portable hash both engines compute identically. */
-  private def hexHash(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-
-  /** Same hash, DuckDB spelling. */
-  private def hexHashSql(e: String): String =
-    s"CAST(('0x' || substring(md5($e), 1, 8)) AS BIGINT)"
+  import PortableHash.{hexHash, hexHashSql}
 
   def defs: Seq[Q] = Seq(
 
