@@ -349,11 +349,51 @@ object Dedup {
       "Hyperplane-LSH near-dup (4 bands × 4 signed projections → bucket " +
         "equi-join → exact-cosine verify): the scale path for " +
         "dedup_embedding_cosine — O(Σ bucket²) candidates instead of " +
-        "O(N²). Verified pairs are exact (precision 1); recall is " +
-        "probabilistic → rows-only + recall spec.",
+        "O(N²). Verified pairs are exact (precision 1). FULLY oracle-" +
+        "checked: the hyperplanes are fixed-seed literals, so the " +
+        "oracle SQL embeds the identical 16×64 doubles and replays " +
+        "every signed projection (same sequential-fold dot product → " +
+        "bit-identical sign), band bucket, candidate pair, and exact-" +
+        "cosine verification.",
       (s, dir) => embeddingLsh(Tables.t(s, dir, "embeddings")),
-      None)
+      Some(embeddingLshOracle))
   )
+
+  /** DuckDB replay of [[embeddingLsh]]: regenerates the SAME fixed-seed
+    * hyperplanes and inlines them as double literals (a float widened
+    * to double prints to a literal that parses back to the exact same
+    * double, so the projections are bit-identical to the codegen'd
+    * VecDot ones). */
+  private def embeddingLshOracle: String = {
+    val rng = new scala.util.Random(7)
+    val planes = Seq.fill(16)(Seq.fill(64)(rng.nextGaussian().toFloat))
+    def planeLit(p: Seq[Float]) =
+      "[" + p.map(_.toDouble.toString).mkString(", ") + "]"
+    def bit(p: Seq[Float]) =
+      s"""(CASE WHEN (list_reduce(list_transform(range(1, 65),
+         | i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (${planeLit(p)})[CAST(i AS INT)]),
+         | (x, y) -> x + y)) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+        .stripMargin.replaceAll("\n", "")
+    val buckets = (0 until 4).map { bn =>
+      planes.slice(bn * 4, bn * 4 + 4).map(bit)
+        .reduce((acc, b) => s"(($acc) * 2 + $b)") + s" AS bucket_$bn"
+    }
+    val bandSelects = (0 until 4).map(bn =>
+      s"SELECT vec_id, embedding, $bn AS band, bucket_$bn AS bucket FROM sig")
+    s"""WITH sig AS (
+        SELECT vec_id, embedding, ${buckets.mkString(", ")} FROM embeddings),
+      banded AS (${bandSelects.mkString(" UNION ALL ")}),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,
+          a.embedding AS ea, b.embedding AS eb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT v1, v2, ${graft.expr.VectorOps.duckCosine("ea", "eb")} AS cos
+        FROM cand)
+      SELECT v1, v2, round(cos, 6) AS cos_sim FROM scored
+      WHERE cos >= 0.4 ORDER BY v1, v2"""
+  }
 
   /** Bigram-shingle Jaccard near-dup pairs, top-k. Candidate generation
     * is explode → self-equi-join on shingle (never all-pairs); the join
