@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
@@ -224,6 +224,63 @@ object Text {
       None),
 
     Q(
+      "text_bpe_encode",
+      "BPE tokenizer APPLICATION, oracle-checked — the other half of " +
+        "text_bpe_merges: every word is split to characters and a fixed " +
+        "merge table is applied in rule order with the same greedy " +
+        "left-to-right scan the trainer uses (each rule is one " +
+        "`aggregate` fold over the unit array ≡ DuckDB list_reduce over " +
+        "singleton-lists — pure string/array ops, bit-identical across " +
+        "engines). The merge table is inline so DuckDB can replay the " +
+        "encode exactly; swapping in trained rules is the same unrolled " +
+        "plan. Per-row array work only — no shuffle until the final " +
+        "sort, so encoding parallelizes embarrassingly at corpus scale.",
+      (s, dir) => {
+        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"))
+        def scanMerge(units: Column, l: String, r: String): Column =
+          aggregate(units, array().cast("array<string>"),
+            (acc, u) => when(
+              size(acc) > 0 && element_at(acc, -1) === l && u === r,
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(u))))
+        val words = Tables.t(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumnRenamed("col", "word")
+          .select(col("doc_id"), col("pos").cast("int").as("pos"), col("word"),
+            filter(split(col("word"), ""), u => length(u) > 0).as("units"))
+        val encoded = merges.foldLeft(words) { case (df, (l, r)) =>
+          df.withColumn("units", scanMerge(col("units"), l, r))
+        }
+        encoded.select(col("doc_id"), col("pos"), col("word"),
+            concat_ws("|", col("units")).as("tokens"),
+            size(col("units")).as("n_units"))
+          .orderBy("doc_id", "pos")
+      },
+      Some {
+        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"))
+        val folds = merges.zipWithIndex.map { case ((l, r), i) =>
+          s"""u${i + 1} AS (SELECT doc_id, pos, word,
+             | CASE WHEN len(units) = 0 THEN CAST([] AS VARCHAR[])
+             | ELSE list_reduce(list_transform(units, u -> [u]),
+             |   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '$l' AND x[1] = '$r'
+             |   THEN acc[1:len(acc) - 1] || ['$l$r'] ELSE acc || x END) END AS units
+             | FROM u$i)""".stripMargin.replaceAll("\n", "")
+        }
+        s"""WITH w AS (
+            SELECT doc_id,
+              unnest(string_split(text, ' ')) AS word,
+              CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos
+            FROM documents WHERE doc_id < 100),
+          u0 AS (SELECT doc_id, pos, word,
+            list_filter(string_split(word, ''), u -> len(u) > 0) AS units FROM w),
+          ${folds.mkString(", ")}
+          SELECT doc_id, pos, word,
+            array_to_string(units, '|') AS tokens,
+            CAST(len(units) AS INT) AS n_units
+          FROM u${merges.size} ORDER BY doc_id, pos"""
+      }),
+
+    Q(
       "text_unigram_logprob",
       "Unigram language-model scoring: corpus token distribution → " +
         "per-doc mean negative log-probability in bits (the perplexity " +
@@ -269,6 +326,64 @@ object Text {
             list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx
           FROM terms GROUP BY doc_id)
         SELECT doc_id, n_tok, round(-sx / n_tok / ln(2), 6) AS bits_per_token
+        FROM agg ORDER BY doc_id""")),
+
+    Q(
+      "text_bigram_logprob",
+      "Bigram language-model scoring: in-corpus conditional " +
+        "cross-entropy −mean log2 n(prev,w)/n(prev) per document — the " +
+        "context-sensitive upgrade of text_unigram_logprob (repetitive " +
+        "boilerplate scores near 0 bits, incoherent token salad scores " +
+        "high even when its unigrams are common). Bigrams via one lag " +
+        "window per doc; corpus tables joined back (unigram table " +
+        "broadcast, bigram join keyed — one shuffle at any scale); the " +
+        "per-doc double sum is the sorted sequential fold ≡ DuckDB " +
+        "list_sort + list_reduce, bit-identical under any " +
+        "partial-aggregation order.",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumnRenamed("col", "w")
+        val wn = Window.partitionBy("doc_id").orderBy("pos")
+        val pairs = tok
+          .withColumn("prev", lag(col("w"), 1).over(wn))
+          .filter(col("prev").isNotNull)
+          .select(col("doc_id"), col("prev"), col("w"))
+        val uni = tok.groupBy("w").agg(count(lit(1)).as("nw"))
+          .select(col("w").as("prev"), col("nw"))
+        val big = pairs.groupBy("prev", "w").agg(count(lit(1)).as("n2"))
+        pairs.groupBy("doc_id", "prev", "w").agg(count(lit(1)).as("c"))
+          .join(big, Seq("prev", "w"))
+          .join(broadcast(uni), "prev")
+          .select(col("doc_id"), col("c"),
+            (col("c").cast("double") *
+              log2(col("n2") / col("nw").cast("double"))).as("x"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_bigrams"), sort_array(collect_list(col("x"))).as("xs"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(-aggregate(col("xs"), lit(0.0), (acc, x) => acc + x) /
+              col("n_bigrams"), 6).as("bits_per_bigram"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+            CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+          FROM documents),
+        pairs AS (
+          SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w
+          FROM tok QUALIFY prev IS NOT NULL),
+        uni AS (SELECT w AS prev, count(*) AS nw FROM tok GROUP BY 1),
+        big AS (SELECT prev, w, count(*) AS n2 FROM pairs GROUP BY 1, 2),
+        cd AS (SELECT doc_id, prev, w, count(*) AS c FROM pairs GROUP BY 1, 2, 3),
+        terms AS (
+          SELECT doc_id, c,
+            CAST(c AS DOUBLE) * log2(b.n2 / CAST(u.nw AS DOUBLE)) AS x
+          FROM cd JOIN big b USING (prev, w) JOIN uni u USING (prev)),
+        agg AS (
+          SELECT doc_id, sum(c) AS n_bigrams,
+            list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx
+          FROM terms GROUP BY 1)
+        SELECT doc_id, n_bigrams, round(-sx / n_bigrams, 6) AS bits_per_bigram
         FROM agg ORDER BY doc_id""")),
 
     Q(

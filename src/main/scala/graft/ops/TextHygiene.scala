@@ -178,6 +178,36 @@ object TextHygiene {
           round(mean_len, 6) AS mean_word_len,
           round(dup_frac, 6) AS dup_word_frac,
           reasons = '' AS passed, reasons
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    Q(
+      "text_substring_dupes",
+      "Exact substring duplication detection — the primitive behind " +
+        "exact-substring train-set dedup (find every 8-token window " +
+        "that occurs more than once anywhere in the corpus, with its " +
+        "document spread): one generator pass explodes sliding windows, " +
+        "one count-aggregated shuffle keyed by the window. Map-side " +
+        "combine absorbs the boilerplate-window hot keys (counting " +
+        "commutes), so the plan is explode → partial-agg → one exchange " +
+        "at any corpus size. Downstream, a cutter joins these windows " +
+        "back to drop or split the repeated spans.",
+      (s, dir) => {
+        val win = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(TextFns.wordGrams(col("w"), 8)).as("win"))
+        win.groupBy("win")
+          .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+          .filter(col("n_occ") > 1)
+          .orderBy(col("n_occ").desc, col("win"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        wins AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(words) - 6),
+            i -> array_to_string(words[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))) AS win
+          FROM w)
+        SELECT win, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        FROM wins GROUP BY win HAVING count(*) > 1
+        ORDER BY n_occ DESC, win"""))
   )
 }

@@ -25,8 +25,8 @@ class DeterminismSpec extends SparkSpec {
     * deterministic by sorting — re-run under a different shuffle fan-out
     * must be bit-identical. */
   private val foldQueries =
-    Seq("text_entropy", "text_unigram_logprob", "dedup_embedding_cosine",
-      "ts_ewma", "text_bm25_search")
+    Seq("text_entropy", "text_unigram_logprob", "text_bigram_logprob",
+      "dedup_embedding_cosine", "ts_ewma", "text_bm25_search")
 
   test("float-fold queries are bit-identical under a different shuffle fan-out") {
     // An isolated session over the same context with a different
