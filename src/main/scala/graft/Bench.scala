@@ -81,7 +81,8 @@ object Bench {
     "dedup_exact_key", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_embedding_lsh", "sim_topk_cosine", "sim_ann_ivf",
     "text_tfidf", "text_bm25_search", "stream_session_gap",
-    "etl_date_filter_derive", "graph_pagerank")
+    "etl_date_filter_derive", "graph_pagerank",
+    "pipeline_canonical_dedup", "pipeline_semantic_dedup", "sim_pca_power")
 
   /** Final stdout line: complete JSON, bounded size (tail-capture-safe). */
   def machineLine(results: Map[String, Double], total: Double,

@@ -359,12 +359,14 @@ object Dedup {
       Some(embeddingLshOracle))
   )
 
-  /** DuckDB replay of [[embeddingLsh]]: regenerates the SAME fixed-seed
-    * hyperplanes and inlines them as double literals (a float widened
-    * to double prints to a literal that parses back to the exact same
-    * double, so the projections are bit-identical to the codegen'd
-    * VecDot ones). */
-  private def embeddingLshOracle: String = {
+  /** DuckDB replay of [[embeddingLsh]]'s candidate scoring, as a CTE
+    * block ending in `scored(v1, v2, cos)`: regenerates the SAME
+    * fixed-seed hyperplanes and inlines them as double literals (a
+    * float widened to double prints to a literal that parses back to
+    * the exact same double, so the projections are bit-identical to
+    * the codegen'd VecDot ones). Shared by the dedup_embedding_lsh and
+    * pipeline_semantic_dedup oracles. */
+  def embeddingLshScoredCtes: String = {
     val rng = new scala.util.Random(7)
     val planes = Seq.fill(16)(Seq.fill(64)(rng.nextGaussian().toFloat))
     def planeLit(p: Seq[Float]) =
@@ -380,7 +382,7 @@ object Dedup {
     }
     val bandSelects = (0 until 4).map(bn =>
       s"SELECT vec_id, embedding, $bn AS band, bucket_$bn AS bucket FROM sig")
-    s"""WITH sig AS (
+    s"""sig AS (
         SELECT vec_id, embedding, ${buckets.mkString(", ")} FROM embeddings),
       banded AS (${bandSelects.mkString(" UNION ALL ")}),
       cand AS (
@@ -390,10 +392,13 @@ object Dedup {
           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
       scored AS (
         SELECT v1, v2, ${graft.expr.VectorOps.duckCosine("ea", "eb")} AS cos
-        FROM cand)
+        FROM cand)"""
+  }
+
+  private def embeddingLshOracle: String =
+    s"""WITH $embeddingLshScoredCtes
       SELECT v1, v2, round(cos, 6) AS cos_sim FROM scored
       WHERE cos >= 0.4 ORDER BY v1, v2"""
-  }
 
   /** Bigram-shingle Jaccard near-dup pairs, top-k. Candidate generation
     * is explode → self-equi-join on shingle (never all-pairs); the join

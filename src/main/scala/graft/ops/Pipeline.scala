@@ -147,6 +147,46 @@ object Pipeline {
         SELECT doc_id, component, n_chars,
           row_number() OVER (PARTITION BY component
             ORDER BY n_chars DESC, doc_id) = 1 AS canonical
-        FROM labeled ORDER BY doc_id"""))
+        FROM labeled ORDER BY doc_id""")),
+
+    Q(
+      "pipeline_semantic_dedup",
+      "SemDeDup-shaped semantic deduplication end-to-end, fully " +
+        "oracle-checked: hyperplane-LSH buckets generate candidate " +
+        "pairs (never all-pairs), exact cosine ≥ 0.4 verifies them, " +
+        "connected components (large-star/small-star — the " +
+        "diameter-independent web-scale algorithm) groups transitive " +
+        "near-dups, and ONE survivor per group is kept (the min-id " +
+        "root). Unclustered vectors are their own survivor. Every " +
+        "stage is engine-replayable: fixed-seed hyperplanes inlined as " +
+        "double literals, the bit-identical fold cosine, and a " +
+        "recursive-CTE min-label propagation as the clustering " +
+        "oracle. This is the embedding-space counterpart of " +
+        "pipeline_canonical_dedup's token-space dedup.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val edges = Dedup.embeddingLsh(e)
+          .select(col("v1").as("src"), col("v2").as("dst"))
+        val comps = Dedup.connectedComponentsStar(edges)
+        e.select(col("vec_id"))
+          .join(comps, col("vec_id") === col("node"), "left")
+          .select(col("vec_id"),
+            coalesce(col("component"), col("vec_id")).as("component"),
+            (coalesce(col("component"), col("vec_id")) === col("vec_id")).as("keep"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.embeddingLshScoredCtes},
+        pairs AS (SELECT v1, v2 FROM scored WHERE cos >= 0.4),
+        edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+          UNION SELECT v2, v1 FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        r(node, lbl) AS (SELECT node, node FROM nodes
+          UNION SELECT e.b, r.lbl FROM edges e JOIN r ON e.a = r.node),
+        comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node)
+        SELECT v.vec_id,
+          coalesce(c.component, v.vec_id) AS component,
+          coalesce(c.component, v.vec_id) = v.vec_id AS keep
+        FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node
+        ORDER BY v.vec_id"""))
   )
 }
