@@ -237,19 +237,13 @@ object Text {
         "sort, so encoding parallelizes embarrassingly at corpus scale.",
       (s, dir) => {
         val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"))
-        def scanMerge(units: Column, l: String, r: String): Column =
-          aggregate(units, array().cast("array<string>"),
-            (acc, u) => when(
-              size(acc) > 0 && element_at(acc, -1) === l && u === r,
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(u))))
         val words = Tables.t(s, dir, "documents").filter(col("doc_id") < 100)
           .select(col("doc_id"), posexplode(split(col("text"), " ")))
           .withColumnRenamed("col", "word")
           .select(col("doc_id"), col("pos").cast("int").as("pos"), col("word"),
             filter(split(col("word"), ""), u => length(u) > 0).as("units"))
         val encoded = merges.foldLeft(words) { case (df, (l, r)) =>
-          df.withColumn("units", scanMerge(col("units"), l, r))
+          df.withColumn("units", TextFns.applyMerge(col("units"), l, r))
         }
         encoded.select(col("doc_id"), col("pos"), col("word"),
             concat_ws("|", col("units")).as("tokens"),

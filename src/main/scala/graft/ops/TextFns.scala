@@ -9,6 +9,19 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * between candidate generation, counting, and decontamination. */
 object TextFns {
 
+  /** One greedy left-to-right BPE merge pass: every adjacent (l, r)
+    * pair in `units` collapses to the merged symbol, scanning once
+    * (so "a a a" under (a,a) gives ["aa","a"], never ["a","aa"]).
+    * The fold the trainer applies per learned rule and the encoder
+    * applies per table entry — pure array/string ops, replayed exactly
+    * by DuckDB's list_reduce over singleton lists. */
+  def applyMerge(units: Column, l: String, r: String): Column =
+    aggregate(units, array().cast("array<string>"),
+      (acc, u) => when(
+        size(acc) > 0 && element_at(acc, -1) === l && u === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(u))))
+
   /** Word k-grams as a codegen'd HOF over a pre-split token array,
     * guarded for docs shorter than k. `words` must be a materialized
     * array column — passing `split(...)` directly would re-split the

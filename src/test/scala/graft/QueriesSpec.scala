@@ -107,4 +107,50 @@ class QueriesSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"plan invariants violated: $offenders")
   }
+
+  test("applyMerge: greedy left-to-right BPE merge semantics") {
+    import spark.implicits._
+    import graft.ops.TextFns
+    def merged(units: Seq[String], l: String, r: String): Seq[String] =
+      Seq(Tuple1(units)).toDF("units")
+        .select(TextFns.applyMerge(col("units"), l, r))
+        .head().getSeq[String](0)
+    // two chained rules tokenize the word
+    val the = Seq(Tuple1(Seq("t", "h", "e"))).toDF("units")
+      .withColumn("units", TextFns.applyMerge(col("units"), "t", "h"))
+      .withColumn("units", TextFns.applyMerge(col("units"), "th", "e"))
+      .head().getSeq[String](0)
+    assert(the == Seq("the"))
+    // greedy single scan: the merged symbol cannot re-merge in the
+    // same pass, and overlaps resolve leftmost-first
+    assert(merged(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    // non-adjacent pairs untouched; empty input stays empty
+    assert(merged(Seq("t", "x", "h"), "t", "h") == Seq("t", "x", "h"))
+    assert(merged(Seq.empty, "t", "h") == Seq.empty)
+  }
+
+  test("text_substring_dupes: windows are 8 tokens, duplicated, doc-spread consistent") {
+    val out = SparkEntry.queries("text_substring_dupes")(spark, sfDir).cache()
+    assert(out.count() > 0, "fixture corpus must contain repeated windows")
+    assert(out.filter(size(split(col("win"), " ")) =!= 8).count() === 0,
+      "every reported window is exactly 8 tokens")
+    assert(out.filter(col("n_occ") < 2 || col("n_docs") > col("n_occ") ||
+      col("n_docs") < 1).count() === 0,
+      "n_occ > 1 and 1 <= n_docs <= n_occ must hold")
+    out.unpersist()
+  }
+
+  test("text_bigram_logprob: non-negative bits, bigram counts match doc lengths") {
+    val out = SparkEntry.queries("text_bigram_logprob")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // n2 <= n(prev) always, so -mean log2(n2/n(prev)) >= 0
+    assert(rows.forall(_.getDouble(2) >= 0.0), "cross-entropy must be non-negative")
+    // per doc, bigram count = word count - 1 (single pass, no drops)
+    val lens = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => r.getLong(1) == lens(r.getLong(0))),
+      "n_bigrams must equal n_words - 1")
+  }
 }
