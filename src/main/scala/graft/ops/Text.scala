@@ -181,10 +181,13 @@ object Text {
         "vocab-sized data): state = (word, freq, symbol array), one " +
         "pair-count aggregation + a greedy left-to-right fold (HOF) " +
         "per round, 1-row winner broadcast, checkpointed. Fully " +
-        "deterministic (count desc, pair asc tie-break) but iterative " +
-        "argmax is not expressible in one SQL query → rows-only; " +
-        "TextSpec pins determinism, monotone non-increasing pair " +
-        "frequency, and rule well-formedness.",
+        "deterministic (count desc, pair asc tie-break) AND fully " +
+        "oracle-checked: the oracle unrolls all 10 training rounds as " +
+        "CTE stages — pair counts, ORDER BY/LIMIT argmax, and the " +
+        "same greedy merge fold referencing each round's winner row — " +
+        "so every learned rule and its frequency is replayed exactly. " +
+        "QueriesSpec additionally pins determinism, monotone " +
+        "non-increasing pair frequency, and rule well-formedness.",
       (s, dir) => {
         val nMerges = 10
         // Vocabulary with corpus frequency; symbols start as characters.
@@ -221,7 +224,7 @@ object Text {
         }
         rules.orderBy("step")
       },
-      None),
+      Some(bpeMergesOracle(10))),
 
     Q(
       "text_bpe_encode",
@@ -653,4 +656,40 @@ object Text {
                ELSE round(h / log2(n_distinct), 6) END AS entropy_norm
         FROM ent ORDER BY doc_id"""))
   )
+
+  /** DuckDB replay of the full BPE training loop, one CTE stage per
+    * merge round: pair counts from the evolving vocabulary, the
+    * ORDER BY freq DESC, l, r LIMIT 1 argmax (the same total
+    * tie-break the trainer uses), and the greedy left-to-right merge
+    * fold applied with the round's winner row in scope. Pure
+    * integer/string/array ops — the whole training trajectory is
+    * bit-replayable. */
+  private def bpeMergesOracle(nMerges: Int): String = {
+    val stages = (1 to nMerges).map { k =>
+      val prev = s"v${k - 1}"
+      s"""p$k AS (
+         SELECT u.l AS l, u.r AS r, sum(freq) AS pair_freq FROM (
+           SELECT freq, unnest(list_transform(range(1, len(units)),
+             i -> struct_pack(l := units[CAST(i AS INT)],
+                              r := units[CAST(i + 1 AS INT)]))) AS u
+           FROM $prev) GROUP BY 1, 2),
+       w$k AS (SELECT l, r, pair_freq FROM p$k
+         ORDER BY pair_freq DESC, l, r LIMIT 1),
+       v$k AS (SELECT word, freq,
+           CASE WHEN len(units) = 0 THEN CAST([] AS VARCHAR[])
+           ELSE list_reduce(list_transform(units, u -> [u]),
+             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
+               THEN acc[1:len(acc) - 1] || [w.l || w.r] ELSE acc || x END) END AS units
+         FROM $prev CROSS JOIN w$k w)"""
+    }
+    val finals = (1 to nMerges).map(k =>
+      s"SELECT CAST($k AS INT) AS step, l, r, pair_freq FROM w$k")
+    s"""WITH v0 AS (
+        SELECT word, count(*) AS freq,
+          list_filter(string_split(word, ''), u -> len(u) > 0) AS units
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word),
+      ${stages.mkString(", ")}
+      ${finals.mkString(" UNION ALL ")} ORDER BY step"""
+  }
 }
