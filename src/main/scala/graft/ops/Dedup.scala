@@ -457,6 +457,25 @@ object Dedup {
     * large-star/small-star variant lowers the round count; the per-round
     * dataflow is the same. Output: (node, component, keep) where
     * component = min doc id of the cluster and keep marks the survivor. */
+  /** Eagerly localCheckpoints `df` and returns it with a
+    * (count, xor-of-row-hashes over `key`) signature observed on the
+    * checkpoint's OWN job — the zero-extra-action fixpoint probe both
+    * components loops use: an iteration's state is stable when its
+    * carried signature stops changing. bit_xor is order-independent
+    * and cannot overflow under ANSI mode (unlike a hash SUM); a
+    * signature collision on differing states is ~2⁻⁶⁴ — far below any
+    * hardware-error floor. */
+  private val sigSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def sigCheckpoint(df: DataFrame, key: Seq[String]): (DataFrame, (Long, Long)) = {
+    val obs = new org.apache.spark.sql.Observation(s"cc_sig_${sigSeq.incrementAndGet()}")
+    val ck = df.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(key.map(col): _*)), lit(0L)).as("x"))
+      .localCheckpoint(true)
+    val m = obs.get
+    (ck, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
+  }
+
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     // materialize the (possibly expensive) candidate-generation lineage
     // ONCE — every propagation round joins against sym, and without the
@@ -466,30 +485,32 @@ object Dedup {
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
-      .localCheckpoint(true)
-    var changed = 1L
+    // fixpoint via the carried label-set signature (the node set is
+    // fixed, so "no label changed" ⟺ signature unchanged) — observed on
+    // each round's checkpoint, replacing a per-round join+count job
+    var (labels, prevSig) = sigCheckpoint(
+      sym.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("comp")),
+      Seq("node", "comp"))
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (!converged && iter < maxIters) {
       val nbr = sym.join(labels, sym("b") === labels("node"))
         .select(sym("a").as("node"), col("comp"))
-      val next = labels.union(nbr)
-        .groupBy("node").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
-      changed = next
-        .join(labels.withColumnRenamed("comp", "prev"), "node")
-        .filter(col("comp") =!= col("prev")).count()
+      val (next, sig) = sigCheckpoint(
+        labels.union(nbr).groupBy("node").agg(min("comp").as("comp")),
+        Seq("node", "comp"))
+      converged = sig == prevSig
+      prevSig = sig
       labels = next
       iter += 1
     }
     // non-converged labels are silently WRONG (one true cluster splits
     // into several, each electing its own survivor) — fail fast instead;
     // the caller can raise maxIters (rounds needed = graph diameter)
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still changing) — raise maxIters")
+        s"connectedComponents did not converge in $maxIters rounds — raise maxIters")
     labels.select(col("node"), col("comp").as("component"),
       (col("node") === col("comp")).as("keep"))
   }
@@ -526,29 +547,12 @@ object Dedup {
       .distinct()
     val init = raw.filter(col("u") =!= col("v"))
     // O(ZERO-extra-job) fixpoint detection: the edge set is stable when
-    // its (count, xor of per-edge 64-bit hashes) signature is stable.
-    // The signature rides the eager checkpoint's own job as observe()
-    // metrics — no scan, no shuffle, no action beyond the checkpoint the
-    // round does anyway; the carried scalar replaces round 4's two full
-    // `except` shuffles of old vs new. bit_xor is order-independent and
-    // cannot overflow under ANSI mode (unlike a hash SUM); a signature
-    // collision on differing sets is ~2⁻⁶⁴ — far below any
-    // hardware-error floor.
-    var sigSeq = 0
-    def sigCheckpoint(df: DataFrame): (DataFrame, (Long, Long)) = {
-      sigSeq += 1
-      val obs = new org.apache.spark.sql.Observation(s"ccstar_sig_$sigSeq")
-      val ck = df.observe(obs,
-          count(lit(1)).as("n"),
-          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
-        .localCheckpoint(true)
-      val m = obs.get
-      (ck, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
-    }
+    // its [[sigCheckpoint]] signature is stable — the carried scalar
+    // replaces round 4's two full `except` shuffles of old vs new.
     // invariant throughout: every stored edge points high → low (u > v)
     var (e, prevSig) = sigCheckpoint(init
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct())
+      .distinct(), Seq("u", "v"))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -579,7 +583,7 @@ object Dedup {
         .union(m2.select(col("u").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-        .distinct())
+        .distinct(), Seq("u", "v"))
       // fixpoint test on the edge SET (both sides are distinct): compare
       // this round's signature to the carried one — control flow only
       converged = sig == prevSig
