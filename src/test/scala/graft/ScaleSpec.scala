@@ -73,6 +73,23 @@ class ScaleSpec extends SparkSpec {
     assert(plan.indexOf("Window", win + 1) < 0, "exactly one (tiny) window expected")
   }
 
+  test("bigram LM scoring broadcasts the vocabulary table") {
+    // the unigram-count side is vocabulary-sized and must broadcast;
+    // only the bigram join may shuffle (one key exchange at any scale)
+    val plan = planOf("text_bigram_logprob")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("substring-dup detection is one count aggregation, no distinct expansion blowup") {
+    // explode → partial-agg → single exchange on the window key; the
+    // count(DISTINCT doc_id) expands to a two-phase aggregate, which
+    // must NOT introduce a join or window
+    val plan = planOf("text_substring_dupes")
+    assert(plan.contains("HashAggregate"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"unexpected join/window in substring-dup plan:\n${plan.take(1500)}")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // codegen stages appear as `*(n)` prefixes — only in the FINAL
     // adaptive plan, so execute before inspecting
