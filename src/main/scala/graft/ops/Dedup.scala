@@ -182,13 +182,18 @@ object Dedup {
           .agg(sort_array(collect_list(struct(col("p"), col("m")))).as("pm"))
           .select(col("doc_id"), col("band"),
             concat_ws(",", transform(col("pm"), x => x("m").cast("string"))).as("key"))
-          .join(toks, "doc_id")
-        banded.as("a").join(banded.as("b"),
+        // dedupe candidate PAIRS on ids before touching the token
+        // arrays — a pair colliding in several bands is deduped on two
+        // longs, and the wide arrays join on only once per survivor
+        // (the same shape the oracle uses)
+        val cand = banded.as("a").join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            col("a.tokens").as("ta"), col("b.tokens").as("tb"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .distinct()
+        cand
+          .join(toks.select(col("doc_id").as("d1"), col("tokens").as("ta")), "d1")
+          .join(toks.select(col("doc_id").as("d2"), col("tokens").as("tb")), "d2")
           .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
           .select(col("d1"), col("d2"),
             round(col("inter").cast("double") /

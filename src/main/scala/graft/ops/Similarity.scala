@@ -297,20 +297,21 @@ object Similarity {
     * other vector gets an Efraimidis–Spirakis key d²(x, seed0)/(−ln u)
     * — u a uniform derived from xxhash64(vec_id) — AND a 5-bit
     * hyperplane sign bucket (fixed-seed planes, codegen'd VecDot).
-    * Seeds 1..k−1 are the top keys taken ROUND-ROBIN across buckets
-    * (rank-within-bucket first, key second): a one-shot weighted
+    * Seeds 1..k−1 are the top-keyed WINNER of each bucket (at most one
+    * seed per direction bucket, ordered by key): a one-shot weighted
     * sample alone can drop all k seeds into one far cluster, while the
-    * direction buckets force spread — a skewed corpus whose first k
+    * one-per-bucket rule forces spread — a skewed corpus whose first k
     * rows share one cluster still seeds every major direction
-    * (spec-pinned). Fully engine-replayable: same ids ⇒ same seeds,
-    * no RNG state. Cost: one scan for seed 0 + one scan + tiny top-k —
-    * two jobs regardless of corpus size. (Weight is L2²; for the
-    * spherical assignment below the ordering matches angular distance
-    * on near-unit vectors.) */
-  def kmeansSeeds(e: DataFrame, k: Int): DataFrame = {
+    * (spec-pinned); if fewer than k−1 buckets are populated the seed
+    * set shrinks rather than doubling up in a direction. Fully
+    * engine-replayable: same ids ⇒ same seeds, no RNG state. Cost: one
+    * scan for seed 0 + one scan + tiny top-k — two jobs regardless of
+    * corpus size. (Weight is L2²; for the spherical assignment below
+    * the ordering matches angular distance on near-unit vectors.) */
+  def kmeansSeeds(e: DataFrame, k: Int, dim: Int = 64): DataFrame = {
     val s0 = e.orderBy("vec_id").limit(1).select(col("embedding").as("s0"))
     val rest = seedBucketWinners(e.crossJoin(broadcast(s0)), col("embedding"),
-        l2sq(col("embedding"), col("s0")), xxhash64(col("vec_id")), Nil)
+        l2sq(col("embedding"), col("s0")), xxhash64(col("vec_id")), Nil, dim)
       .orderBy(col("wkey").desc, col("vec_id"))
       .limit(k - 1)
       .select(row_number().over(
@@ -329,9 +330,12 @@ object Similarity {
     * semantics. `grp` carries extra grouping columns (the PQ subspace
     * id). */
   private def seedBucketWinners(in: DataFrame, vec: Column, d2: Column,
-      hash: Column, grp: Seq[String]): DataFrame = {
+      hash: Column, grp: Seq[String], dim: Int): DataFrame = {
     val rng = new scala.util.Random(11)
-    val planes = Seq.fill(5)(Seq.fill(64)(rng.nextGaussian().toFloat))
+    // planes sized to the INPUT dimension — VecDot would silently
+    // truncate a longer literal, making the bucket a projection onto a
+    // prefix nothing documents
+    val planes = Seq.fill(5)(Seq.fill(dim)(rng.nextGaussian().toFloat))
     val bucket = planes.map(p =>
         when(graft.expr.VecDot.vecDot(vec, typedlit(p)) >= 0, 1L).otherwise(0L))
       .reduce((acc, b) => acc * 2 + b)
@@ -404,13 +408,13 @@ object Similarity {
     * d²(sv, seed0)/(−ln u), taken round-robin across hyperplane sign
     * buckets — deterministic, rank-based (no dense-id precondition),
     * and spread across a skewed corpus. */
-  def pqSeeds(subs: DataFrame, k: Int): DataFrame = {
+  def pqSeeds(subs: DataFrame, k: Int, subDim: Int = 16): DataFrame = {
     // seed 0 per subspace = the subvectors of the min vec_id — ONE
     // max_by aggregation, no full-corpus window
     val first = subs.groupBy("sub")
       .agg(min_by(col("sv"), col("vec_id")).as("s0"))
     val winners = seedBucketWinners(subs.join(broadcast(first), "sub"), col("sv"),
-      l2sq(col("sv"), col("s0")), xxhash64(col("vec_id"), col("sub")), Seq("sub"))
+      l2sq(col("sv"), col("s0")), xxhash64(col("vec_id"), col("sub")), Seq("sub"), subDim)
     val wSel = Window.partitionBy("sub").orderBy(col("wkey").desc, col("vec_id"))
     winners.withColumn("sel", row_number().over(wSel))
       .filter(col("sel") < k)
@@ -426,12 +430,12 @@ object Similarity {
     * loses every member during a Lloyd iteration drops out of the
     * returned frame (codebook shrinkage) rather than going NaN. */
   def pqCodebooks(subs: DataFrame, k: Int, iters: Int,
-      seeds: Option[DataFrame] = None): DataFrame = {
+      seeds: Option[DataFrame] = None, subDim: Int = 16): DataFrame = {
     val vm = udaf(VectorMean)
     // per-step checkpoint of the k·m-row state: every broadcast
     // otherwise re-executes the seed scan plus all earlier assignment
     // passes — iters full-corpus passes, not iters² ones
-    var books = seeds.getOrElse(pqSeeds(subs, k)).localCheckpoint(true)
+    var books = seeds.getOrElse(pqSeeds(subs, k, subDim)).localCheckpoint(true)
     for (_ <- 0 until iters) {
       val w = Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("cid"))
       books = subs.join(broadcast(books), "sub")
@@ -453,7 +457,7 @@ object Similarity {
     val e = Tables.t(s, dir, "embeddings")
     val subs = pqSubvectors(e, m, subDim)
     // trained once, feeds both encoding and the ADC table
-    val books = pqCodebooks(subs, k, buildIters).localCheckpoint(true)
+    val books = pqCodebooks(subs, k, buildIters, subDim = subDim).localCheckpoint(true)
     // encode: nearest codeword per (vector, subspace) → m ints per vector
     val wEnc = Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("cid"))
     val codes = subs.join(broadcast(books), "sub")

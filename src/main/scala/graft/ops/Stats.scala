@@ -383,14 +383,17 @@ object Stats {
         "identical under any partial-aggregation order.",
       (s, dir) => {
         val decay = 0.7 // 1 - α
+        def foldSum(c: Column): Column =
+          aggregate(sort_array(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+        // the per-day sum is ALSO a double aggregate — fold it sorted
+        // too, or partial-agg order noise in x defeats the downstream
+        // sorted fold
         val daily = Tables.t(s, dir, "events")
           .filter(col("user_id") < 60)
           .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-          .agg(sum("value").as("x"))
+          .agg(foldSum(col("value")).as("x"))
         val wSeq = Window.partitionBy("user_id").orderBy("day")
         val wAll = Window.partitionBy("user_id")
-        def foldSum(c: Column): Column =
-          aggregate(sort_array(collect_list(c)), lit(0.0), (acc, x) => acc + x)
         daily
           .withColumn("rn", row_number().over(wSeq))
           .withColumn("n", count(lit(1)).over(wAll))
@@ -402,7 +405,8 @@ object Stats {
           .orderBy("user_id")
       },
       Some("""WITH daily AS (
-          SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS x
+          SELECT user_id, CAST(ts AS DATE) AS day,
+            list_reduce(list_sort(list(value)), (a, b) -> a + b) AS x
           FROM events WHERE user_id < 60 GROUP BY 1, 2),
         seq AS (
           SELECT user_id, x,

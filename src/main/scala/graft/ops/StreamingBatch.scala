@@ -129,8 +129,13 @@ object StreamingBatch {
         import org.apache.spark.sql.streaming.Trigger
         graft.sources.ParquetDirSource.prepareSession(s)
         val path = s"$dir/events.parquet"
-        val base = java.nio.file.Files.createTempDirectory("graft-sinkrt")
-        base.toFile.deleteOnExit()
+        // FIXED sink/checkpoint location per source dir: re-invocations
+        // resume from the checkpoint and reprocess NOTHING (the
+        // exactly-once restart semantics EtlSpec pins), instead of
+        // leaking a fresh temp tree per bench/verify run
+        val base = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"),
+          s"graft-sinkrt-${java.lang.Integer.toHexString(dir.hashCode)}")
         val (out, cp) = (s"$base/out", s"$base/cp")
         val raw = s.read.parquet(path) // schema only (ts as raw ns longs)
         // the file stream source wants a DIRECTORY; glob-filter it down

@@ -213,13 +213,7 @@ object Text {
           // Greedy left-to-right merge of the winning pair in every word.
           vocab = vocab.crossJoin(broadcast(top.select("l", "r")))
             .select(col("word"), col("freq"),
-              aggregate(col("units"),
-                array().cast("array<string>"),
-                (acc, u) => when(
-                  size(acc) > 0 && element_at(acc, -1) === col("l") && u === col("r"),
-                  concat(slice(acc, lit(1), size(acc) - 1),
-                    array(concat(col("l"), col("r")))))
-                  .otherwise(concat(acc, array(u)))).as("units"))
+              TextFns.applyMerge(col("units"), col("l"), col("r")).as("units"))
             .localCheckpoint(true)
         }
         rules.orderBy("step")
@@ -257,10 +251,7 @@ object Text {
         val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"))
         val folds = merges.zipWithIndex.map { case ((l, r), i) =>
           s"""u${i + 1} AS (SELECT doc_id, pos, word,
-             | CASE WHEN len(units) = 0 THEN CAST([] AS VARCHAR[])
-             | ELSE list_reduce(list_transform(units, u -> [u]),
-             |   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '$l' AND x[1] = '$r'
-             |   THEN acc[1:len(acc) - 1] || ['$l$r'] ELSE acc || x END) END AS units
+             | ${TextFns.applyMergeSql("units", s"'$l'", s"'$r'")} AS units
              | FROM u$i)""".stripMargin.replaceAll("\n", "")
         }
         s"""WITH w AS (
@@ -676,10 +667,7 @@ object Text {
        w$k AS (SELECT l, r, pair_freq FROM p$k
          ORDER BY pair_freq DESC, l, r LIMIT 1),
        v$k AS (SELECT word, freq,
-           CASE WHEN len(units) = 0 THEN CAST([] AS VARCHAR[])
-           ELSE list_reduce(list_transform(units, u -> [u]),
-             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
-               THEN acc[1:len(acc) - 1] || [w.l || w.r] ELSE acc || x END) END AS units
+           ${TextFns.applyMergeSql("units", "w.l", "w.r")} AS units
          FROM $prev CROSS JOIN w$k w)"""
     }
     val finals = (1 to nMerges).map(k =>

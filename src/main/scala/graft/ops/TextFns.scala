@@ -12,15 +12,32 @@ object TextFns {
   /** One greedy left-to-right BPE merge pass: every adjacent (l, r)
     * pair in `units` collapses to the merged symbol, scanning once
     * (so "a a a" under (a,a) gives ["aa","a"], never ["a","aa"]).
-    * The fold the trainer applies per learned rule and the encoder
-    * applies per table entry — pure array/string ops, replayed exactly
-    * by DuckDB's list_reduce over singleton lists. */
-  def applyMerge(units: Column, l: String, r: String): Column =
+    * THE single definition of the merge semantics — the trainer
+    * applies it per learned rule (column l/r), the encoder per merge
+    * table entry (literal l/r), and [[applyMergeSql]] is its DuckDB
+    * spelling for the oracles; keeping one source prevents the four
+    * copies from drifting apart. */
+  def applyMerge(units: Column, l: Column, r: Column): Column =
     aggregate(units, array().cast("array<string>"),
       (acc, u) => when(
         size(acc) > 0 && element_at(acc, -1) === l && u === r,
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
         .otherwise(concat(acc, array(u))))
+
+  def applyMerge(units: Column, l: String, r: String): Column =
+    applyMerge(units, lit(l), lit(r))
+
+  /** DuckDB spelling of the same greedy merge pass. `l`/`r` are SQL
+    * expressions (string literals or winner-row columns); the
+    * singleton-list transform gives list_reduce its empty-accumulator
+    * start, and the len-0 guard covers empty unit arrays, which
+    * list_reduce rejects. */
+  def applyMergeSql(units: String, l: String, r: String): String =
+    s"""CASE WHEN len($units) = 0 THEN CAST([] AS VARCHAR[])
+       | ELSE list_reduce(list_transform($units, u -> [u]),
+       |   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $l AND x[1] = $r
+       |   THEN acc[1:len(acc) - 1] || [$l || $r] ELSE acc || x END) END"""
+      .stripMargin.replaceAll("\n", "")
 
   /** Word k-grams as a codegen'd HOF over a pre-split token array,
     * guarded for docs shorter than k. `words` must be a materialized
