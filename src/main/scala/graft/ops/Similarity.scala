@@ -178,12 +178,13 @@ object Similarity {
         val subs = pqSubvectors(Tables.t(s, dir, "embeddings"), m = 4, subDim = 16)
         val books = subs.filter(col("vec_id") < 16)
           .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("ce"))
-        val wEnc = Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("code"))
+        // argmin as one min_by hash aggregation — the (d, code) struct
+        // ordering IS the floor-form tie-break the oracle's
+        // row_number-rank-1 expresses, minus the per-group sort
         subs.join(broadcast(books), "sub")
           .withColumn("d", l2sq(col("sv"), col("ce")))
-          .withColumn("arn", row_number().over(wEnc))
-          .filter(col("arn") === 1)
-          .select(col("vec_id"), col("sub"), col("code"))
+          .groupBy("vec_id", "sub")
+          .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
           .orderBy("vec_id", "sub")
       },
       Some(s"""WITH subs AS (
@@ -372,13 +373,17 @@ object Similarity {
     // assignment passes) — iters full-corpus passes, not iters² ones
     var cents = seeds.getOrElse(kmeansSeeds(e, k)).localCheckpoint(true)
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cid"))
+      // argmax-cosine assignment as ONE map-combined max_by hash
+      // aggregation ((cdist, -cid) lexicographic = best cosine, min
+      // cid tie-break) — no per-group sort, no window, same argmax a
+      // row_number-over-(cdist desc, cid) rank-1 filter selects
       cents = e.crossJoin(broadcast(cents))
         .withColumn("cdist", VectorOps.cosine(col("embedding"), col("ce")))
-        .withColumn("arn", row_number().over(w))
-        .filter(col("arn") === 1)
-        .groupBy("cid")
-        .agg(vm(col("embedding")).as("cm"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("cid"), col("embedding")),
+          struct(col("cdist"), -col("cid"))).as("a"))
+        .groupBy(col("a.cid").as("cid"))
+        .agg(vm(col("a.embedding")).as("cm"))
         // cosine assignment is scale-invariant, so the unnormalized mean
         // is a valid spherical-k-means centroid; float cast re-enters
         // the codegen'd VecDot path
@@ -437,13 +442,15 @@ object Similarity {
     // passes — iters full-corpus passes, not iters² ones
     var books = seeds.getOrElse(pqSeeds(subs, k, subDim)).localCheckpoint(true)
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("cid"))
+      // argmin-L2 assignment as ONE min_by hash aggregation per
+      // (vector, subspace) — the (d, cid) struct ordering is exactly
+      // the row_number-over-(d, cid) rank-1 tie-break, minus the sort
       books = subs.join(broadcast(books), "sub")
         .withColumn("d", l2sq(col("sv"), col("ce")))
-        .withColumn("arn", row_number().over(w))
-        .filter(col("arn") === 1)
-        .groupBy("sub", "cid")
-        .agg(vm(col("sv")).as("cm"))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(struct(col("cid"), col("sv")), struct(col("d"), col("cid"))).as("a"))
+        .groupBy(col("sub"), col("a.cid").as("cid"))
+        .agg(vm(col("a.sv")).as("cm"))
         .select(col("sub"), col("cid"), col("cm").cast("array<float>").as("ce"))
         .localCheckpoint(true)
     }
@@ -458,13 +465,12 @@ object Similarity {
     val subs = pqSubvectors(e, m, subDim)
     // trained once, feeds both encoding and the ADC table
     val books = pqCodebooks(subs, k, buildIters, subDim = subDim).localCheckpoint(true)
-    // encode: nearest codeword per (vector, subspace) → m ints per vector
-    val wEnc = Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("cid"))
+    // encode: nearest codeword per (vector, subspace) → m ints per
+    // vector, as one min_by hash aggregation (same (d, cid) argmin)
     val codes = subs.join(broadcast(books), "sub")
       .withColumn("d", l2sq(col("sv"), col("ce")))
-      .withColumn("arn", row_number().over(wEnc))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("sub"), col("cid"))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"))
     // ADC lookup table: distance from the query's subvectors to every
     // codeword — k·m rows, broadcast to the probe join
     val qsubs = pqSubvectors(e.filter(col("vec_id") === queryVecId), m, subDim)
