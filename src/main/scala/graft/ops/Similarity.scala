@@ -503,13 +503,15 @@ object Similarity {
     // assignment and the probe selection, which would otherwise each
     // re-execute the full iterative build lineage
     val cents = kmeansCentroids(e, nCentroids, buildIters).localCheckpoint(true)
-    // assign every vector to its nearest centroid (broadcast nCentroids rows)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cid"))
+    // assign every vector to its nearest centroid (broadcast
+    // nCentroids rows): one max_by hash aggregation, same
+    // (cdist desc, cid) argmax as a rank-1 window, no per-group sort
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("cdist", VectorOps.cosine(col("embedding"), col("ce")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cid"), col("embedding"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("embedding")),
+        struct(col("cdist"), -col("cid"))).as("a"))
+      .select(col("vec_id"), col("a.cid").as("cid"), col("a.embedding").as("embedding"))
     // probe the nProbe centroids closest to the query
     val q = e.filter(col("vec_id") === queryVecId).select(col("embedding").as("qe"))
     val probes = cents.crossJoin(broadcast(q))
