@@ -129,13 +129,19 @@ object StreamingBatch {
         import org.apache.spark.sql.streaming.Trigger
         graft.sources.ParquetDirSource.prepareSession(s)
         val path = s"$dir/events.parquet"
-        // FIXED sink/checkpoint location per source dir: re-invocations
-        // resume from the checkpoint and reprocess NOTHING (the
-        // exactly-once restart semantics EtlSpec pins), instead of
-        // leaking a fresh temp tree per bench/verify run
+        // FIXED sink/checkpoint location per source dir AND content
+        // fingerprint: re-invocations over the same fixture resume from
+        // the checkpoint and reprocess NOTHING (the exactly-once
+        // restart semantics EtlSpec pins) instead of leaking a fresh
+        // temp tree per run — while a REGENERATED fixture (file stream
+        // sources track seen files by path, so a same-path new file
+        // would silently be skipped as already-processed) gets a fresh
+        // sink.
+        val srcFile = new java.io.File(path)
+        val fp = java.lang.Long.toHexString(
+          dir.hashCode.toLong ^ srcFile.length() ^ srcFile.lastModified())
         val base = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"),
-          s"graft-sinkrt-${java.lang.Integer.toHexString(dir.hashCode)}")
+          sys.props("java.io.tmpdir"), s"graft-sinkrt-$fp")
         val (out, cp) = (s"$base/out", s"$base/cp")
         val raw = s.read.parquet(path) // schema only (ts as raw ns longs)
         // the file stream source wants a DIRECTORY; glob-filter it down
