@@ -361,4 +361,39 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(spark.read.parquet(out).count() == 2)
   }
+
+  test("stream_sink_roundtrip: same source resumes; regenerated source gets a fresh sink") {
+    import spark.implicits._
+    val dir = tmpDir("graft-sinkrt-src")
+    // the fixture layout is a single FILE named events.parquet (the
+    // pathGlobFilter matches file names); stage a directory write and
+    // copy the part file into place
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val stage = tmpDir("graft-sinkrt-stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val ns = 1700000000L * 1000000000L // fixture-style epoch nanos
+    val day = 86400L * 1000000000L
+    write(Seq((1L, ns, 1L, "purchase", 10.0, "{}"), (2L, ns, 2L, "click", 1.0, "{}")))
+    val q = SparkEntry.queries("stream_sink_roundtrip")
+    val r1 = q(spark, dir).collect().map(_.toString).toSeq
+    assert(r1.length == 1, s"one purchase day expected: $r1")
+    // identical source: the checkpoint resumes, nothing reprocessed,
+    // identical read-back
+    val r2 = q(spark, dir).collect().map(_.toString).toSeq
+    assert(r1 === r2)
+    // the fixture regenerated IN PLACE (same path, new content): a
+    // stale checkpoint would silently skip the new file — the
+    // fingerprinted sink location must yield fresh results instead
+    write(Seq((1L, ns, 1L, "purchase", 10.0, "{}"),
+      (3L, ns + day, 3L, "purchase", 5.0, "{}")))
+    val r3 = q(spark, dir).collect()
+    assert(r3.length == 2, s"regenerated fixture must produce a fresh sink: ${r3.toSeq}")
+  }
 }
