@@ -171,6 +171,49 @@ object Features {
         ORDER BY doc_id""")),
 
     Q(
+      "sample_temperature",
+      "Temperature-resampled language mix (α = 0.7): unlike " +
+        "sample_mixture_weighted's GIVEN rates, the acceptance rates " +
+        "here are DERIVED from corpus statistics — target share ∝ " +
+        "n_lang^α, the multilingual-LM rebalancing that upsamples " +
+        "low-resource languages relative to their natural share — with " +
+        "a half-corpus budget. Rates round to 6dp in BOTH engines " +
+        "before the md5-uniform acceptance compare, so a sub-ulp pow() " +
+        "difference cannot flip a row. One 5-row stats aggregation " +
+        "(sorted-fold Σ n^α) broadcast back + a per-row hash predicate " +
+        "— embarrassingly parallel at any corpus size.",
+      (s, dir) => {
+        val alpha = 0.7
+        val d = Tables.t(s, dir, "documents")
+        val sizes = d.groupBy("lang").agg(count(lit(1)).as("n"))
+          .withColumn("w", pow(col("n").cast("double"), alpha))
+        val tot = sizes.agg(
+          sum("n").as("nt"),
+          aggregate(sort_array(collect_list(col("w"))), lit(0.0),
+            (a, x) => a + x).as("wt"))
+        val rates = sizes.crossJoin(broadcast(tot))
+          .select(col("lang"),
+            round(least(lit(1.0),
+              (col("nt") / lit(2.0)) * (col("w") / col("wt")) / col("n")), 6).as("rate"))
+        d.join(broadcast(rates), "lang")
+          .filter((hexHash(concat(lit("temp:"), col("doc_id").cast("string"))) /
+            4294967296.0) < col("rate"))
+          .select(col("doc_id"), col("lang"), col("rate"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sizes AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        sw AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.7) AS w FROM sizes),
+        tot AS (SELECT sum(n) AS nt,
+            list_reduce(list_sort(list(w)), (a, b) -> a + b) AS wt FROM sw),
+        rates AS (SELECT lang,
+            round(least(1.0, (nt / 2.0) * (w / wt) / n), 6) AS rate
+          FROM sw CROSS JOIN tot)
+        SELECT d.doc_id, d.lang, r.rate
+        FROM documents d JOIN rates r USING (lang)
+        WHERE ${hexHashSql("'temp:' || CAST(d.doc_id AS VARCHAR)")} / 4294967296.0 < r.rate
+        ORDER BY d.doc_id""")),
+
+    Q(
       "agg_mode",
       "Deterministic mode: most frequent brand per part size, ties " +
         "broken by brand name (a bare mode() leaves tie order " +
