@@ -177,11 +177,14 @@ object Features {
         "here are DERIVED from corpus statistics — target share ∝ " +
         "n_lang^α, the multilingual-LM rebalancing that upsamples " +
         "low-resource languages relative to their natural share — with " +
-        "a half-corpus budget. Rates round to 6dp in BOTH engines " +
-        "before the md5-uniform acceptance compare, so a sub-ulp pow() " +
-        "difference cannot flip a row. One 5-row stats aggregation " +
-        "(sorted-fold Σ n^α) broadcast back + a per-row hash predicate " +
-        "— embarrassingly parallel at any corpus size.",
+        "a half-corpus budget. Rates quantize to 6dp via the floor " +
+        "form floor(r·1e6)/1e6 — the same IEEE multiply/floor/divide " +
+        "sequence in BOTH engines (round() implementations differ " +
+        "between Spark's decimal-string HALF_UP and DuckDB's scaled " +
+        "std round, so round() here could disagree at a boundary) — " +
+        "before the md5-uniform acceptance compare. One 5-row stats " +
+        "aggregation (sorted-fold Σ n^α) broadcast back + a per-row " +
+        "hash predicate — embarrassingly parallel at any corpus size.",
       (s, dir) => {
         val alpha = 0.7
         val d = Tables.t(s, dir, "documents")
@@ -193,8 +196,9 @@ object Features {
             (a, x) => a + x).as("wt"))
         val rates = sizes.crossJoin(broadcast(tot))
           .select(col("lang"),
-            round(least(lit(1.0),
-              (col("nt") / lit(2.0)) * (col("w") / col("wt")) / col("n")), 6).as("rate"))
+            (floor(least(lit(1.0),
+              (col("nt") / lit(2.0)) * (col("w") / col("wt")) / col("n")) * 1e6) /
+              1e6).as("rate"))
         d.join(broadcast(rates), "lang")
           .filter((hexHash(concat(lit("temp:"), col("doc_id").cast("string"))) /
             4294967296.0) < col("rate"))
@@ -206,7 +210,7 @@ object Features {
         tot AS (SELECT sum(n) AS nt,
             list_reduce(list_sort(list(w)), (a, b) -> a + b) AS wt FROM sw),
         rates AS (SELECT lang,
-            round(least(1.0, (nt / 2.0) * (w / wt) / n), 6) AS rate
+            floor(least(1.0, (nt / 2.0) * (w / wt) / n) * 1e6) / 1e6 AS rate
           FROM sw CROSS JOIN tot)
         SELECT d.doc_id, d.lang, r.rate
         FROM documents d JOIN rates r USING (lang)

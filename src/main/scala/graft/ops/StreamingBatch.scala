@@ -136,12 +136,27 @@ object StreamingBatch {
         // temp tree per run — while a REGENERATED fixture (file stream
         // sources track seen files by path, so a same-path new file
         // would silently be skipped as already-processed) gets a fresh
-        // sink.
+        // sink. The fingerprint CONCATENATES dir-hash, length, and
+        // mtime (an XOR would let a length change cancel an mtime
+        // change); stale sibling trees older than a day are pruned so
+        // regeneration churn stays bounded without racing a concurrent
+        // run on another fixture.
         val srcFile = new java.io.File(path)
-        val fp = java.lang.Long.toHexString(
-          dir.hashCode.toLong ^ srcFile.length() ^ srcFile.lastModified())
-        val base = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), s"graft-sinkrt-$fp")
+        val fp = java.lang.Integer.toHexString(dir.hashCode) + "-" +
+          java.lang.Long.toHexString(srcFile.length()) + "-" +
+          java.lang.Long.toHexString(srcFile.lastModified())
+        val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+        val dayMs = 24L * 3600 * 1000
+        def rmTree(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
+          f.delete(): Unit
+        }
+        Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("graft-sinkrt-") &&
+            !f.getName.endsWith(fp) &&
+            f.lastModified() < System.currentTimeMillis() - dayMs)
+          .foreach(rmTree)
+        val base = java.nio.file.Paths.get(tmpRoot.getPath, s"graft-sinkrt-$fp")
         val (out, cp) = (s"$base/out", s"$base/cp")
         val raw = s.read.parquet(path) // schema only (ts as raw ns longs)
         // the file stream source wants a DIRECTORY; glob-filter it down
