@@ -108,6 +108,49 @@ object Dedup {
         ORDER BY jaccard DESC, d1, d2 LIMIT 50""")),
 
     Q(
+      "dedup_containment",
+      "Asymmetric near-dup by bigram-shingle CONTAINMENT — the case " +
+        "Jaccard misses: a short document pasted inside a long one has " +
+        "low Jaccard (union is large) but containment |A∩B|/|A| near 1. " +
+        "Same salted candidate-generation stage as dedup_ngram_jaccard " +
+        "(explode → hot-salted equi-join → intersection counts), then " +
+        "both directed ratios per pair; a pair survives when either " +
+        "direction clears 0.6. Each ratio is one division of identical " +
+        "integers in both engines, so filtering and ordering on it is " +
+        "exact.",
+      (s, dir) => {
+        val stats = ngramJaccardStats(
+          Tables.t(s, dir, "documents").filter(col("doc_id") < 200),
+          hotThreshold = 20)
+        stats
+          .withColumn("c_fwd", round(col("inter").cast("double") / col("na"), 4))
+          .withColumn("c_rev", round(col("inter").cast("double") / col("nb"), 4))
+          .filter(greatest(col("c_fwd"), col("c_rev")) >= 0.6)
+          .select(col("d1"), col("d2"), col("inter"), col("na"), col("nb"),
+            col("c_fwd"), col("c_rev"))
+          .orderBy(greatest(col("c_fwd"), col("c_rev")).desc, col("d1"), col("d2"))
+          .limit(50)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 200),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words)),
+            i -> words[CAST(i AS INT)] || ' ' || words[CAST(i + 1 AS INT)])) AS shingles FROM w),
+        sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+        e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        c AS (SELECT d1, d2, inter, sa.n AS na, sb.n AS nb,
+            round(CAST(inter AS DOUBLE) / sa.n, 4) AS c_fwd,
+            round(CAST(inter AS DOUBLE) / sb.n, 4) AS c_rev
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = d1
+          JOIN sizes sb ON sb.doc_id = d2)
+        SELECT d1, d2, inter, na, nb, c_fwd, c_rev FROM c
+        WHERE greatest(c_fwd, c_rev) >= 0.6
+        ORDER BY greatest(c_fwd, c_rev) DESC, d1, d2 LIMIT 50""")),
+
+    Q(
       "dedup_components",
       "Near-dup clustering: Jaccard pairs (>= 0.10) as an undirected " +
         "graph, connected components by iterative min-label propagation " +
@@ -419,6 +462,7 @@ object Dedup {
       hotThreshold: Long = 1000000L,
       salts: Int = 8): DataFrame =
     ngramJaccardStats(docs, hotThreshold, salts)
+      .select("d1", "d2", "inter", "un", "jaccard")
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(topK)
 
@@ -445,7 +489,7 @@ object Dedup {
     pairs
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "na"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "nb"), "d2")
-      .select(col("d1"), col("d2"), col("inter"),
+      .select(col("d1"), col("d2"), col("inter"), col("na"), col("nb"),
         (col("na") + col("nb") - col("inter")).as("un"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }

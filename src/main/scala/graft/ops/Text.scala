@@ -561,6 +561,35 @@ object Text {
         WHERE rk <= 5 ORDER BY lang, rk""")),
 
     Q(
+      "sample_weighted",
+      "Weighted sampling without replacement, top 100 by the " +
+        "Efraimidis–Spirakis exponential race: per-row u in (0,1] from " +
+        "the portable md5 hash, key = -ln(u)/w with w = n_chars, keep " +
+        "the k smallest keys — one scan + TakeOrderedAndProject, no " +
+        "shuffle of the corpus. Unlike the RNG samplers this one is " +
+        "FULLY oracle-checked: u is an exact dyadic rational both " +
+        "engines derive from the same md5 bytes, and the key is a " +
+        "single per-row ln + division (no accumulation), quantized to " +
+        "12 decimals before ordering so a last-ulp libm difference " +
+        "cannot reorder the race. The probability-proportional-to-size " +
+        "selection every mixture/curation pipeline needs, at any scale.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val u = (PortableHash.hexHash(concat(lit("ws:"), col("doc_id").cast("string"))) + 1)
+          .cast("double") / lit(4294967296.0)
+        d.select(col("doc_id"), col("lang"), col("n_chars"),
+            round(-log(u) / col("n_chars"), 12).as("es_key"))
+          .orderBy(col("es_key"), col("doc_id"))
+          .limit(100)
+      },
+      Some(s"""WITH u AS (SELECT doc_id, lang, n_chars,
+          (${PortableHash.hexHashSql("'ws:' || CAST(doc_id AS VARCHAR)")} + 1)
+            / 4294967296.0 AS u
+          FROM documents)
+        SELECT doc_id, lang, n_chars, round(-ln(u) / n_chars, 12) AS es_key
+        FROM u ORDER BY es_key, doc_id LIMIT 100""")),
+
+    Q(
       "text_length_histogram",
       "Corpus profiling: fixed-width histogram of document lengths " +
         "(floor bucketing — exact integer arithmetic both engines). The " +

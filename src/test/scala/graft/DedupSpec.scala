@@ -141,6 +141,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment flags a subset doc that Jaccard misses") {
+    // doc 1's shingles are a strict subset of doc 2's: containment of
+    // 1-in-2 is exactly 1.0 while Jaccard dilutes toward |A|/|B|
+    val short = "a b c d e"
+    val long = "a b c d e " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val stats = Dedup.ngramJaccardStats(docsDf(Seq((1L, short), (2L, long)))).collect()
+    assert(stats.length === 1)
+    val r = stats.head
+    val (inter, na, nb) = (r.getAs[Long]("inter"), r.getAs[Long]("na"), r.getAs[Long]("nb"))
+    assert(inter === na, "every shingle of the short doc appears in the long one")
+    assert(inter.toDouble / na === 1.0)
+    assert(r.getAs[Double]("jaccard") < 0.1, "Jaccard misses the subset pair")
+    assert(nb > na)
+  }
+
   test("exact dedup survivor is the minimum doc_id per (lang, source)") {
     val out = SparkEntry.queries("dedup_exact_key")(spark, sfDir)
     import spark.implicits._

@@ -26,7 +26,10 @@ class DeterminismSpec extends SparkSpec {
     * must be bit-identical. */
   private val foldQueries =
     Seq("text_entropy", "text_unigram_logprob", "text_bigram_logprob",
-      "dedup_embedding_cosine", "ts_ewma", "text_bm25_search")
+      "dedup_embedding_cosine", "ts_ewma", "text_bm25_search",
+      // per-row ln, no fold — pins that the quantized race key is
+      // stable across fan-outs (ordering feeds a limit)
+      "sample_weighted")
 
   test("float-fold queries are bit-identical under a different shuffle fan-out") {
     // An isolated session over the same context with a different

@@ -58,6 +58,20 @@ class QueriesSpec extends SparkSpec {
     assert(a.size > total * 0.1 && a.size < total * 0.35, s"got ${a.size} of $total")
   }
 
+  test("weighted sampling is biased toward heavy docs and its race keys are sorted") {
+    val out = SparkEntry.queries("sample_weighted")(spark, sfDir).collect()
+    assert(out.length === 100)
+    val keys = out.map(_.getAs[Double]("es_key"))
+    assert(keys.forall(_ > 0.0))
+    assert(keys.sameElements(keys.sorted), "keys must come out in race order")
+    // selection probability ∝ n_chars, so the winners' mean weight must
+    // exceed the corpus mean (deterministic on the fixed-hash fixture)
+    val selMean = out.map(_.getAs[Long]("n_chars")).sum.toDouble / out.length
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(selMean > corpus, s"selected mean $selMean vs corpus mean $corpus")
+  }
+
   test("stratified sampling respects per-stratum fractions roughly") {
     val got = SparkEntry.queries("sample_stratified")(spark, sfDir)
       .groupBy("lang").count().collect()
