@@ -103,6 +103,36 @@ object Features {
         GROUP BY 1, 2 ORDER BY doc_id, bucket""")),
 
     Q(
+      "feat_target_encode",
+      "Smoothed target (mean) encoding of the source categorical " +
+        "against the n_chars target, m-estimate smoothing (m=10): " +
+        "encoded = (Σ target + m·prior) / (n + m), prior = global " +
+        "mean. Rare categories shrink toward the prior — the leakage-" +
+        "bounded categorical encoder of tabular feature pipelines. Two " +
+        "integer-sum aggregations (exact in any order, so no float-" +
+        "determinism caveat) + a 1-row broadcast; the encode itself is " +
+        "arithmetic both engines evaluate identically.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val g = d.agg(sum(col("n_chars")).as("gs"), count(lit(1)).as("gc"))
+        d.groupBy("source")
+          .agg(sum(col("n_chars")).as("ss"), count(lit(1)).as("sc"))
+          .crossJoin(broadcast(g))
+          .select(col("source"), col("sc").as("n_docs"),
+            round(col("gs").cast("double") / col("gc"), 6).as("prior"),
+            round((col("ss") + lit(10.0) * (col("gs").cast("double") / col("gc")))
+              / (col("sc") + lit(10.0)), 6).as("encoded"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (SELECT sum(n_chars) AS gs, count(*) AS gc FROM documents),
+        s AS (SELECT source, sum(n_chars) AS ss, count(*) AS sc
+          FROM documents GROUP BY 1)
+        SELECT source, sc AS n_docs,
+          round(CAST(gs AS DOUBLE) / gc, 6) AS prior,
+          round((ss + 10.0 * (CAST(gs AS DOUBLE) / gc)) / (sc + 10.0), 6) AS encoded
+        FROM s CROSS JOIN g ORDER BY source""")),
+
+    Q(
       "sketch_countmin",
       "Count-min sketch (d=3, w=16) over the token stream, estimates " +
         "joined against exact counts. The sketch is a 3×16-cell " +

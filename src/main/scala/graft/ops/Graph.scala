@@ -134,6 +134,68 @@ object Graph {
         GROUP BY node ORDER BY node""")),
 
     Q(
+      "graph_jaccard_neighbors",
+      "Link prediction by neighbor-set Jaccard over the strong-trade " +
+        "graph (edges at or above the global mean weight — a scale-" +
+        "relative sparsifier, so the same query is meaningful at every " +
+        "SF). Common neighbors come from ONE adjacency self-equi-join " +
+        "on the shared-neighbor key — hash-partitionable, never " +
+        "all-pairs — then degrees join in and Jaccard is a single " +
+        "division of identical integers in both engines. The " +
+        "who-should-be-connected primitive behind graph-based corpus " +
+        "expansion.",
+      (s, dir) => {
+        val e = tradeEdges(s, dir).filter(col("src") =!= col("dst"))
+        // mean edge weight = exact integer sums / count: identical in
+        // both engines, order-independent
+        val aw = e.agg(avg(col("w")).as("aw"))
+        val strong = e.crossJoin(broadcast(aw)).filter(col("w") >= col("aw"))
+          .select(least(col("src"), col("dst")).cast("long").as("a"),
+            greatest(col("src"), col("dst")).cast("long").as("b"))
+          .distinct()
+        val adj = strong.select(col("a").as("node"), col("b").as("nbr"))
+          .union(strong.select(col("b").as("node"), col("a").as("nbr")))
+        val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+        val common = adj.as("x")
+          .join(adj.as("y"),
+            col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+          .groupBy(col("x.node").as("u"), col("y.node").as("v"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .select(col("u"), col("v"), col("common"), col("du"), col("dv"),
+            round(col("common").cast("double") / (col("du") + col("dv") - col("common")), 4)
+              .as("jaccard"))
+          .orderBy(col("jaccard").desc, col("u"), col("v"))
+          .limit(50)
+      },
+      Some("""WITH edges AS (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+            CAST(s.s_nationkey AS BIGINT) AS dst,
+            CAST(count(*) AS DOUBLE) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        ne AS (SELECT * FROM edges WHERE src <> dst),
+        strong AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM ne WHERE w >= (SELECT avg(w) FROM ne)),
+        adj AS (SELECT a AS node, b AS nbr FROM strong
+          UNION ALL SELECT b, a FROM strong),
+        deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+        common AS (SELECT x.node AS u, y.node AS v, count(*) AS common
+          FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+          GROUP BY 1, 2)
+        SELECT u, v, common, du.deg AS du, dv.deg AS dv,
+          round(CAST(common AS DOUBLE) / (du.deg + dv.deg - common), 4) AS jaccard
+        FROM common
+        JOIN deg du ON du.node = u
+        JOIN deg dv ON dv.node = v
+        ORDER BY jaccard DESC, u, v LIMIT 50""")),
+
+    Q(
       "graph_degree",
       "Graph profiling: weighted in/out degree and total edge weight " +
         "per node of the directed trade graph — the first diagnostic " +

@@ -42,6 +42,22 @@ class FeatureSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("feat_target_encode: encoding shrinks the raw mean toward the prior") {
+    val out = q("feat_target_encode").collect()
+    val prior = out.head.getAs[Double]("prior")
+    assert(out.forall(_.getAs[Double]("prior") === prior), "prior is global, one value")
+    val raw = Tables.t(spark, sfDir, "documents")
+      .groupBy("source").agg((sum("n_chars") / count(lit(1))).as("mu"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("mu")).toMap
+    for (r <- out) {
+      val (lo, hi) = (math.min(raw(r.getString(0)), prior), math.max(raw(r.getString(0)), prior))
+      val enc = r.getAs[Double]("encoded")
+      // m-estimate is a convex combination of raw mean and prior
+      assert(enc >= lo - 1e-6 && enc <= hi + 1e-6,
+        s"${r.getString(0)}: encoded $enc outside [$lo, $hi]")
+    }
+  }
+
   test("sample_mixture_weighted: per-language acceptance tracks the target mix") {
     val out = q("sample_mixture_weighted").cache()
     val totals = Tables.t(spark, sfDir, "documents")

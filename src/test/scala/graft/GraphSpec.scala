@@ -8,6 +8,20 @@ class GraphSpec extends SparkSpec {
   private def q(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("graph_jaccard_neighbors: scores are valid Jaccards over canonical pairs") {
+    val out = q("graph_jaccard_neighbors").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (u, v) = (r.getAs[Long]("u"), r.getAs[Long]("v"))
+      val (common, du, dv) = (r.getAs[Long]("common"), r.getAs[Long]("du"), r.getAs[Long]("dv"))
+      assert(u < v, "pairs are canonical u < v")
+      assert(common >= 1 && common <= math.min(du, dv),
+        s"($u,$v): common $common vs degrees $du/$dv")
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("graph_pagerank: probability mass conserved, all nodes present, ranks positive") {
     val out = q("graph_pagerank").cache()
     assert(out.count() === 25)

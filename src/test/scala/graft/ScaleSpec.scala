@@ -38,6 +38,15 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("weighted sampling is one scan + TakeOrderedAndProject, no shuffle") {
+    // the E-S race is a per-row key + global top-k: at 100 TB this must
+    // be a single pass with per-partition heaps, never a full sort
+    val plan = planOf("sample_weighted")
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "the race must not shuffle the corpus")
+  }
+
   test("top-k per group pushes the limit into the window (WindowGroupLimit)") {
     // sim_knn_per_label filters row_number <= 3 directly above its single
     // window — the shape WindowGroupLimit optimizes (window_rank stacks a
