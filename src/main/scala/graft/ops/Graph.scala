@@ -145,7 +145,10 @@ object Graph {
         "who-should-be-connected primitive behind graph-based corpus " +
         "expansion.",
       (s, dir) => {
+        // the 4-table star join feeds both the mean-weight aggregate and
+        // the sparsified edge list: derive it once
         val e = tradeEdges(s, dir).filter(col("src") =!= col("dst"))
+          .localCheckpoint(true)
         // mean edge weight = exact integer sums / count: identical in
         // both engines, order-independent
         val aw = e.agg(avg(col("w")).as("aw"))

@@ -62,7 +62,7 @@ class QueriesSpec extends SparkSpec {
     val out = SparkEntry.queries("sample_weighted")(spark, sfDir).collect()
     assert(out.length === 100)
     val keys = out.map(_.getAs[Double]("es_key"))
-    assert(keys.forall(_ > 0.0))
+    assert(keys.forall(_ >= 0.0)) // key 0 only at the u=1 hash edge
     assert(keys.sameElements(keys.sorted), "keys must come out in race order")
     // selection probability ∝ n_chars, so the winners' mean weight must
     // exceed the corpus mean (deterministic on the fixed-hash fixture)
