@@ -124,8 +124,8 @@ object Features {
               / (col("sc") + lit(10.0)), 6).as("encoded"))
           .orderBy("source")
       },
-      Some("""WITH g AS (SELECT sum(n_chars) AS gs, count(*) AS gc FROM documents),
-        s AS (SELECT source, sum(n_chars) AS ss, count(*) AS sc
+      Some("""WITH g AS (SELECT CAST(sum(n_chars) AS BIGINT) AS gs, count(*) AS gc FROM documents),
+        s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS ss, count(*) AS sc
           FROM documents GROUP BY 1)
         SELECT source, sc AS n_docs,
           round(CAST(gs AS DOUBLE) / gc, 6) AS prior,
@@ -237,7 +237,7 @@ object Features {
       },
       Some(s"""WITH sizes AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         sw AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.7) AS w FROM sizes),
-        tot AS (SELECT sum(n) AS nt,
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
             list_reduce(list_sort(list(w)), (a, b) -> a + b) AS wt FROM sw),
         rates AS (SELECT lang,
             floor(least(1.0, (nt / 2.0) * (w / wt) / n) * 1e6) / 1e6 AS rate
@@ -294,8 +294,8 @@ object Features {
           round(min(o_totalprice), 2) AS lo,
           round(max(o_totalprice), 2) AS hi
         FROM (SELECT o_orderpriority, o_totalprice,
-            ntile(10) OVER (PARTITION BY o_orderpriority
-              ORDER BY o_totalprice, o_orderkey) AS decile
+            CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
           FROM orders)
         GROUP BY 1, 2 ORDER BY o_orderpriority, decile"""))
   )

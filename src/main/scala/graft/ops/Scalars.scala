@@ -96,7 +96,7 @@ object Scalars {
         sqrt(p_retailprice) AS sqrt_p,
         p_size % 7 AS size_mod,
         CAST(p_size AS BIGINT) * p_size AS size_sq,
-        greatest(p_size, 10) AS size_min10,
+        CAST(greatest(p_size, 10) AS INT) AS size_min10,
         round(ln(p_retailprice), 6) AS ln_p
         FROM part ORDER BY p_partkey""")),
 

@@ -83,7 +83,7 @@ object Stats {
         round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
         round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
         round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-        regr_count(l_extendedprice, l_quantity) AS n_pairs,
+        CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
         round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
         round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),

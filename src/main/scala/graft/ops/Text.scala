@@ -310,7 +310,7 @@ object Text {
             CAST(c AS DOUBLE) * ln(freq.n / CAST(tot.t AS DOUBLE)) AS x
           FROM cnt JOIN freq USING (token) CROSS JOIN tot),
         agg AS (
-          SELECT doc_id, sum(c) AS n_tok,
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
             list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx
           FROM terms GROUP BY doc_id)
         SELECT doc_id, n_tok, round(-sx / n_tok / ln(2), 6) AS bits_per_token
@@ -368,7 +368,7 @@ object Text {
             CAST(c AS DOUBLE) * log2(b.n2 / CAST(u.nw AS DOUBLE)) AS x
           FROM cd JOIN big b USING (prev, w) JOIN uni u USING (prev)),
         agg AS (
-          SELECT doc_id, sum(c) AS n_bigrams,
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
             list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx
           FROM terms GROUP BY 1)
         SELECT doc_id, n_bigrams, round(-sx / n_bigrams, 6) AS bits_per_bigram
@@ -665,10 +665,11 @@ object Text {
           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
         ent AS (
-          SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
-            log2(sum(c)) -
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+            log2(CAST(sum(c) AS BIGINT)) -
               list_reduce(list_transform(list_sort(list(c)),
-                c -> CAST(c AS DOUBLE) * log2(c)), (a, b) -> a + b) / sum(c) AS h
+                c -> CAST(c AS DOUBLE) * log2(c)), (a, b) -> a + b)
+              / CAST(sum(c) AS BIGINT) AS h
           FROM cnt GROUP BY doc_id)
         SELECT doc_id, n_tokens, n_distinct,
           round(h, 6) AS entropy_bits,
@@ -688,7 +689,7 @@ object Text {
     val stages = (1 to nMerges).map { k =>
       val prev = s"v${k - 1}"
       s"""p$k AS (
-         SELECT u.l AS l, u.r AS r, sum(freq) AS pair_freq FROM (
+         SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS pair_freq FROM (
            SELECT freq, unnest(list_transform(range(1, len(units)),
              i -> struct_pack(l := units[CAST(i AS INT)],
                               r := units[CAST(i + 1 AS INT)]))) AS u

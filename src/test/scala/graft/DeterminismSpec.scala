@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Round, SortArray}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, CollectList, Sum}
 import org.apache.spark.sql.types.{DoubleType, FloatType}
 
 /** Float-determinism contract (SURVEY §5): oracle-checked queries must
@@ -59,10 +59,19 @@ class DeterminismSpec extends SparkSpec {
   private def evalScale(r: Round): Int =
     r.scale.eval() match { case i: Int => i; case other => other.toString.toInt }
 
+  /** The sanctioned sorted-fold shape: sort_array DIRECTLY over a
+    * collect_list aggregate. Only that shape is shielded — an unrelated
+    * sort_array elsewhere in the tree must not hide an unsorted float
+    * Sum/Average beneath it (r5 advice). */
+  private def isSortedFold(sa: SortArray): Boolean = sa.base match {
+    case agg: AggregateExpression => agg.aggregateFunction.isInstanceOf[CollectList]
+    case _ => false
+  }
+
   /** True if the subtree holds a float/double Sum/Average NOT shielded by
     * a sorted fold (SortArray ancestor ⇒ the fold input was sorted). */
   private def hasUnsortedFloatAgg(e: Expression): Boolean = e match {
-    case _: SortArray => false
+    case sa: SortArray if isSortedFold(sa) => false
     case agg: AggregateExpression =>
       agg.aggregateFunction match {
         case s: Sum if s.child.dataType == DoubleType || s.child.dataType == FloatType => true
@@ -84,5 +93,34 @@ class DeterminismSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"fragile round-over-float-sum in oracle queries: ${offenders.mkString(", ")} — " +
         "use a sorted fold (sort_array+aggregate ≡ list_sort+list_reduce) or coarser rounding")
+  }
+
+  /** Identifiers known to be DOUBLE in the test tables / oracle CTEs —
+    * DuckDB sum(DOUBLE) stays DOUBLE, no widening. */
+  private val doubleSumIdents = Set(
+    "l_quantity", "l_extendedprice", "o_totalprice", "c_acctbal", "value")
+
+  /** Bare-identifier sum(...) not wrapped in CAST and not a window sum.
+    * DuckDB widens sum(BIGINT/INT) to HUGEINT while Spark emits BIGINT,
+    * and the driver's hash compare is type-sensitive — this bit the four
+    * text LM oracles in round 5. Window sums are skipped because their
+    * result is always consumed (the dtype parity gate in tools/check.py
+    * catches an emitted one). */
+  private val bareSum =
+    raw"(?i)(?<!cast\()\bsum\(\s*([a-z_][a-z0-9_]*)\s*\)(?!\s*over\b)".r
+
+  test("oracle lint: integer sum() columns are CAST to BIGINT (DuckDB HUGEINT widening)") {
+    val offenders = SparkEntry.all.flatMap { q =>
+      q.oracle.toSeq.flatMap { sql =>
+        bareSum.findAllMatchIn(sql)
+          .map(_.group(1).toLowerCase)
+          .filterNot(doubleSumIdents)
+          .map(id => s"${q.name}: sum($id)")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"bare integer sum() in oracle SQL widens to HUGEINT in DuckDB and fails the " +
+        s"driver's type-sensitive hash — wrap as CAST(sum(x) AS BIGINT): " +
+        offenders.mkString(", "))
   }
 }

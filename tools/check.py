@@ -62,6 +62,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ spark={got_cols} oracle={exp_cols}")
             n_fail += 1
             continue
+        # dtype parity gate (round-5 lesson): the driver's hash compare is
+        # type-sensitive, so DuckDB widening (e.g. sum(BIGINT) -> HUGEINT
+        # vs Spark's BIGINT) fails it even when every value is identical.
+        got_types = dict(zip(got.columns, (str(t) for t in got.types)))
+        exp_types = dict(zip(res.columns, (str(t) for t in res.types)))
+        dt = [(c, got_types[c], exp_types[c]) for c in got_cols
+              if got_types[c] != exp_types[c]]
+        if dt:
+            print(f"FAIL {name}: dtype drift (spark vs oracle): {dt}")
+            n_fail += 1
+            continue
         if len(got_rows) != len(exp_rows):
             print(f"FAIL {name}: row count spark={len(got_rows)} oracle={len(exp_rows)}")
             n_fail += 1
