@@ -134,15 +134,57 @@ object Similarity {
     Q(
       "sim_ann_ivf",
       "IVF approximate nearest neighbor: centroids built by 2 Lloyd " +
-        "k-means iterations (all DataFrame ops — broadcast assignment " +
-        "+ VectorMean update, nothing collected); every vector is " +
-        "assigned to its nearest centroid; the query probes its 2 " +
+        "k-means iterations (all DataFrame ops — per-row packed-" +
+        "centroid assignment fold + VectorMean update, nothing " +
+        "collected, zero corpus shuffle); every vector is assigned to " +
+        "its nearest centroid in the scan; the query probes its 2 " +
         "closest centroids and ranks only those buckets — at 100 TB " +
         "this reads a fraction of the corpus instead of all of it. " +
         "Approximate → no SQL oracle; ScalaTest checks recall vs " +
-        "sim_topk_cosine.",
+        "sim_topk_cosine; the assignment dataflow is oracle-checked " +
+        "by sim_ivf_assign.",
       (s, dir) => annIvf(s, dir, queryVecId = 0, nProbe = 2, topK = 10),
       None),
+
+    Q(
+      "sim_ivf_assign",
+      "The IVF ASSIGN operator, oracle-checked end to end: every " +
+        "vector gets the id of its nearest centroid by exact double-" +
+        "precision cosine (the same sequential VecDot fold as the " +
+        "oracle's list_reduce — bit-identical) with (cos DESC, cid) " +
+        "tie-breaks. The centroid set here is the deterministic " +
+        "first-8-vectors book, so DuckDB can replay the whole " +
+        "assignment — this pins the deterministic half of sim_ann_ivf " +
+        "(assignment + argmax + tie-breaks), leaving only the float " +
+        "Lloyd training loop rows-only; the shuffle-free packed-" +
+        "centroid fold is the exact shape annIvf and every Lloyd " +
+        "iteration use at any scale.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val packed = packCentroids(
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce")))
+        e.crossJoin(broadcast(packed))
+          .select(col("vec_id"),
+            nearestByCosine(col("embedding"), col("cs")).as("best"))
+          .select(col("vec_id"),
+            col("best.c.cid").as("cid"),
+            round(col("best.d"), 6).as("cos_sim"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cents AS (
+          SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < 8),
+        sc AS (
+          SELECT e.vec_id, c.cid,
+            ${VectorOps.duckCosine("e.embedding", "c.ce")} AS cos
+          FROM embeddings e CROSS JOIN cents c),
+        rk AS (
+          SELECT vec_id, cid, cos,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM sc)
+        SELECT vec_id, cid, round(cos, 6) AS cos_sim
+        FROM rk WHERE rn = 1 ORDER BY vec_id""")),
 
     Q(
       "sim_ann_pq",
@@ -150,13 +192,14 @@ object Similarity {
         "subspaces of 16 dims; each subspace gets a 16-codeword L2 " +
         "codebook (2 Lloyd iterations, all DataFrame ops); every vector " +
         "is encoded as 4 small code ids. Query-time asymmetric distance " +
-        "(ADC): a 64-row (subspace, code) → distance lookup table is " +
-        "broadcast, candidate distances are Σ of 4 table lookups — no " +
-        "float vector math per corpus row — then the top-96 candidates " +
-        "are exactly re-ranked. The 100 TB story: codes are 4 ints vs " +
-        "64 floats (16× smaller scan), distance evaluation is a " +
-        "broadcast-join + sum, and exactness is restored by the " +
-        "re-rank. Codebooks are float-iterated → rows-only; ScalaTest " +
+        "(ADC): the 64-row (subspace, code) → distance table is packed " +
+        "into ONE broadcast row and the encode + lookup run as a " +
+        "per-row fold — candidate distances are Σ of 4 table lookups " +
+        "computed in the scan, no row blow-up, no per-vector shuffle — " +
+        "then the top-96 candidates are exactly re-ranked. The 100 TB " +
+        "story: candidate generation is scan + TakeOrdered, and " +
+        "exactness is restored by the re-rank. Codebooks are " +
+        "float-iterated → rows-only; ScalaTest " +
         "pins recall vs the exact baseline and encode determinism; the " +
         "encode step itself is oracle-checked by sim_pq_codes.",
       (s, dir) => annPq(s, dir, queryVecId = 0, topK = 10),
@@ -176,15 +219,18 @@ object Similarity {
         "WindowGroupLimit argmin shape the encoder uses at any scale.",
       (s, dir) => {
         val subs = pqSubvectors(Tables.t(s, dir, "embeddings"), m = 4, subDim = 16)
-        val books = subs.filter(col("vec_id") < 16)
-          .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("ce"))
-        // argmin as one min_by hash aggregation — the (d, code) struct
-        // ordering IS the floor-form tie-break the oracle's
-        // row_number-rank-1 expresses, minus the per-group sort
-        subs.join(broadcast(books), "sub")
-          .withColumn("d", l2sq(col("sv"), col("ce")))
-          .groupBy("vec_id", "sub")
-          .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+        val packed = subs.filter(col("vec_id") < 16)
+          .select(col("sub"), col("vec_id").cast("int").as("cid"), col("sv").as("ce"))
+          .groupBy("sub")
+          .agg(collect_list(struct(col("cid"), col("ce"))).as("cs"))
+        // argmin as the per-row nearestByL2 fold over the packed
+        // broadcast codebook — the (d, cid) comparison IS the
+        // floor-form tie-break the oracle's row_number-rank-1
+        // expresses, with no ×k row blow-up and no per-vector shuffle
+        subs.join(broadcast(packed), "sub")
+          .select(col("vec_id"), col("sub"),
+            nearestByL2(col("sv"), col("cs"))
+              .getField("c").getField("cid").as("code"))
           .orderBy("vec_id", "sub")
       },
       Some(s"""WITH subs AS (
@@ -355,40 +401,43 @@ object Similarity {
   }
 
   /** Lloyd k-means over the embedding column, entirely as DataFrame
-    * ops: assignment = broadcast-centroids join + argmax-cosine window;
-    * update = the VectorMean typed aggregate (map-side combined, so
-    * shuffle traffic is O(k), not O(rows)). Centroids stay a k-row
-    * DataFrame end-to-end — nothing is collected to the driver; each
-    * iteration costs one broadcast + one k-group shuffle, the standard
-    * distributed k-means shape. Seeds default to [[kmeansSeeds]]
-    * (deterministic distance-weighted); pass `seeds` to inject another
-    * (cid, ce) frame. A cluster that loses every member drops out of
-    * the returned frame rather than going NaN — callers needing
-    * exactly k centroids must re-seed the difference. */
+    * ops: assignment = a per-row [[nearestByCosine]] fold over the
+    * packed broadcast centroids (ZERO corpus shuffle — the former
+    * crossJoin×k + groupBy(vec_id) argmax exchanged the whole corpus
+    * once per iteration); update = the VectorMean typed aggregate
+    * (map-side combined, so shuffle traffic is O(k), not O(rows)).
+    * Centroids stay a k-row DataFrame end-to-end — nothing is
+    * collected to the driver; each iteration costs one tiny broadcast
+    * + one k-group shuffle, the cheapest distributed k-means shape.
+    * Seeds default to [[kmeansSeeds]] (deterministic
+    * distance-weighted); pass `seeds` to inject another (cid, ce)
+    * frame. A cluster that loses every member drops out of the
+    * returned frame rather than going NaN — callers needing exactly k
+    * centroids must re-seed the difference. */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
       seeds: Option[DataFrame] = None): DataFrame = {
     val vm = udaf(VectorMean)
-    // checkpoint the k-row state each step: every broadcast otherwise
-    // re-executes the whole prior lineage (seed scan + all earlier
-    // assignment passes) — iters full-corpus passes, not iters² ones
+    // Checkpoint the k-row state every SECOND step (and after the last):
+    // an unbroken lineage would re-execute every earlier assignment pass
+    // inside each broadcast — iters² full-corpus passes — while a
+    // per-step checkpoint pays one materialization job per iteration.
+    // Two-step blocks fuse a pair of iterations into ONE job (the
+    // un-checkpointed middle state rides along as a nested broadcast
+    // stage), halving the sequential job count — the same blocking the
+    // PCA power loop uses.
     var cents = seeds.getOrElse(kmeansSeeds(e, k)).localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      // argmax-cosine assignment as ONE map-combined max_by hash
-      // aggregation ((cdist, -cid) lexicographic = best cosine, min
-      // cid tie-break) — no per-group sort, no window, same argmax a
-      // row_number-over-(cdist desc, cid) rank-1 filter selects
-      cents = e.crossJoin(broadcast(cents))
-        .withColumn("cdist", VectorOps.cosine(col("embedding"), col("ce")))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("cid"), col("embedding")),
-          struct(col("cdist"), -col("cid"))).as("a"))
-        .groupBy(col("a.cid").as("cid"))
-        .agg(vm(col("a.embedding")).as("cm"))
+    for (i <- 1 to iters) {
+      cents = e.crossJoin(broadcast(packCentroids(cents)))
+        .select(col("embedding"),
+          nearestByCosine(col("embedding"), col("cs"))
+            .getField("c").getField("cid").as("cid"))
+        .groupBy("cid")
+        .agg(vm(col("embedding")).as("cm"))
         // cosine assignment is scale-invariant, so the unnormalized mean
         // is a valid spherical-k-means centroid; float cast re-enters
         // the codegen'd VecDot path
         .select(col("cid"), col("cm").cast("array<float>").as("ce"))
-        .localCheckpoint(true)
+      if (i % 2 == 0 || i == iters) cents = cents.localCheckpoint(true)
     }
     cents
   }
@@ -397,6 +446,77 @@ object Similarity {
     * |a-b|² = a·a − 2 a·b + b·b (double precision throughout). */
   private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     VectorOps.normSq(a) - lit(2.0) * VectorOps.dot(a, b) + VectorOps.normSq(b)
+
+  /** The k-row centroid frame packed into ONE row holding an array of
+    * (cid, ce) structs — broadcast to [[nearestByCosine]]/[[nearestByL2]]
+    * so nearest-centroid assignment runs per row with ZERO corpus
+    * shuffle. The former shape (crossJoin×k then groupBy(vec_id)
+    * argmax) shuffled the whole corpus once per Lloyd iteration — the
+    * kind of exchange that dominates at 100 TB; packing moves the
+    * argmax into the scan. */
+  private def packCentroids(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("cid"), col("ce"))).as("cs"))
+
+  /** Per-row nearest centroid by cosine over a packed (cid, ce, …)
+    * array: an order-independent fold keeping the element that
+    * maximizes (d, then min cid) — the exact argmax a
+    * row_number-over-(cos DESC, cid) rank-1 filter selects, with no
+    * join, no shuffle, no per-group sort. Initialized from element 1
+    * (re-compared against itself harmlessly), so no sentinel values
+    * and the element struct may carry extra payload fields. Returns
+    * struct(d, c = the winning element). */
+  private def nearestByCosine(vec: Column, cs: Column): Column = {
+    val c0 = element_at(cs, 1)
+    aggregate(cs,
+      struct(VectorOps.cosine(vec, c0.getField("ce")).as("d"), c0.as("c")),
+      (acc, c) => {
+        val d = VectorOps.cosine(vec, c.getField("ce"))
+        when(d > acc.getField("d") ||
+            (d === acc.getField("d") &&
+              c.getField("cid") < acc.getField("c").getField("cid")),
+          struct(d.as("d"), c.as("c"))).otherwise(acc)
+      })
+  }
+
+  /** [[nearestByL2]] over a SEGMENT of `vec` ([off, off+len)) without
+    * materializing the subvector: inside an interpreted HOF lambda a
+    * `slice(...)` input is re-evaluated (and re-allocated) once per
+    * codeword × reference — the VecDotSeg offset dots read the stored
+    * embedding in place, so the per-subspace argmin costs three tight
+    * 16-element loops per codeword and zero allocation. Values are
+    * bit-identical to the slice form (same elements, same fold order). */
+  private def nearestByL2Seg(vec: Column, off: Column, cs: Column, len: Column): Column = {
+    import graft.expr.VecDotSeg.vecDotSeg
+    def d(ce: Column) =
+      vecDotSeg(vec, vec, off, off, len) -
+        lit(2.0) * vecDotSeg(vec, ce, off, lit(0), len) +
+        VectorOps.normSq(ce)
+    val c0 = element_at(cs, 1)
+    aggregate(cs,
+      struct(d(c0.getField("ce")).as("d"), c0.as("c")),
+      (acc, c) => {
+        val dd = d(c.getField("ce"))
+        when(dd < acc.getField("d") ||
+            (dd === acc.getField("d") &&
+              c.getField("cid") < acc.getField("c").getField("cid")),
+          struct(dd.as("d"), c.as("c"))).otherwise(acc)
+      })
+  }
+
+  /** [[nearestByCosine]]'s L2 twin: minimizes (d, then cid) — the
+    * row_number-over-(d, cid) rank-1 argmin as a shuffle-free fold. */
+  private def nearestByL2(sv: Column, cs: Column): Column = {
+    val c0 = element_at(cs, 1)
+    aggregate(cs,
+      struct(l2sq(sv, c0.getField("ce")).as("d"), c0.as("c")),
+      (acc, c) => {
+        val d = l2sq(sv, c.getField("ce"))
+        when(d < acc.getField("d") ||
+            (d === acc.getField("d") &&
+              c.getField("cid") < acc.getField("c").getField("cid")),
+          struct(d.as("d"), c.as("c"))).otherwise(acc)
+      })
+  }
 
   /** (vec_id, sub, sv): each embedding split into m contiguous
     * subvectors of subDim floats. One generator pass, no shuffle. */
@@ -429,30 +549,32 @@ object Similarity {
 
   /** Per-subspace L2 Lloyd k-means codebooks: (sub, cid, ce). All m
     * subspaces train in ONE dataflow — the subspace id is just another
-    * grouping key, so adding subspaces adds no stages. Seeds default to
-    * [[pqSeeds]] (deterministic distance-weighted, rank-based); pass
+    * grouping key, so adding subspaces adds no stages. Assignment is a
+    * per-row [[nearestByL2]] fold over the subspace's packed codewords
+    * (broadcast join on `sub`, m rows — no corpus shuffle, no ×k row
+    * blow-up); the update shuffles O(k·m) partial sums. Seeds default
+    * to [[pqSeeds]] (deterministic distance-weighted, rank-based); pass
     * `seeds` to inject another (sub, cid, ce) frame. A codeword that
     * loses every member during a Lloyd iteration drops out of the
     * returned frame (codebook shrinkage) rather than going NaN. */
   def pqCodebooks(subs: DataFrame, k: Int, iters: Int,
       seeds: Option[DataFrame] = None, subDim: Int = 16): DataFrame = {
     val vm = udaf(VectorMean)
-    // per-step checkpoint of the k·m-row state: every broadcast
-    // otherwise re-executes the seed scan plus all earlier assignment
-    // passes — iters full-corpus passes, not iters² ones
+    // k·m-row state checkpointed every SECOND step (and after the last)
+    // — two Lloyd iterations fuse into one job, the middle state riding
+    // as a nested broadcast stage; see kmeansCentroids for the tradeoff
     var books = seeds.getOrElse(pqSeeds(subs, k, subDim)).localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      // argmin-L2 assignment as ONE min_by hash aggregation per
-      // (vector, subspace) — the (d, cid) struct ordering is exactly
-      // the row_number-over-(d, cid) rank-1 tie-break, minus the sort
-      books = subs.join(broadcast(books), "sub")
-        .withColumn("d", l2sq(col("sv"), col("ce")))
-        .groupBy("vec_id", "sub")
-        .agg(min_by(struct(col("cid"), col("sv")), struct(col("d"), col("cid"))).as("a"))
-        .groupBy(col("sub"), col("a.cid").as("cid"))
-        .agg(vm(col("a.sv")).as("cm"))
+    for (i <- 1 to iters) {
+      val packed = books.groupBy("sub")
+        .agg(collect_list(struct(col("cid"), col("ce"))).as("cs"))
+      books = subs.join(broadcast(packed), "sub")
+        .select(col("sub"), col("sv"),
+          nearestByL2(col("sv"), col("cs"))
+            .getField("c").getField("cid").as("cid"))
+        .groupBy("sub", "cid")
+        .agg(vm(col("sv")).as("cm"))
         .select(col("sub"), col("cid"), col("cm").cast("array<float>").as("ce"))
-        .localCheckpoint(true)
+      if (i % 2 == 0 || i == iters) books = books.localCheckpoint(true)
     }
     books
   }
@@ -463,24 +585,32 @@ object Similarity {
       k: Int = 16, buildIters: Int = 2, nCandidates: Int = 96): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
     val subs = pqSubvectors(e, m, subDim)
-    // trained once, feeds both encoding and the ADC table
-    val books = pqCodebooks(subs, k, buildIters, subDim = subDim).localCheckpoint(true)
-    // encode: nearest codeword per (vector, subspace) → m ints per
-    // vector, as one min_by hash aggregation (same (d, cid) argmin)
-    val codes = subs.join(broadcast(books), "sub")
-      .withColumn("d", l2sq(col("sv"), col("ce")))
-      .groupBy("vec_id", "sub")
-      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"))
-    // ADC lookup table: distance from the query's subvectors to every
-    // codeword — k·m rows, broadcast to the probe join
+    // trained once; pqCodebooks already checkpoints its final state —
+    // re-checkpointing here would just add a materialization job
+    val books = pqCodebooks(subs, k, buildIters, subDim = subDim)
+    // ADC table: distance from the query's subvectors to every codeword
+    // (k·m rows), carried alongside the codewords and packed into ONE
+    // broadcast row — an array over subspaces (sorted by sub) of
+    // (cid, ce, dq) arrays
     val qsubs = pqSubvectors(e.filter(col("vec_id") === queryVecId), m, subDim)
       .select(col("sub"), col("sv").as("qsv"))
-    val dtab = books.join(qsubs, "sub")
-      .select(col("sub"), col("cid"), l2sq(col("ce"), col("qsv")).as("dq"))
-    // approximate distance = Σ over subspaces of the table lookup;
-    // grouped on vec_id — one exchange on the id key at any scale
-    val cand = codes.join(broadcast(dtab), Seq("sub", "cid"))
-      .groupBy("vec_id").agg(sum("dq").as("adist"))
+    val packedAdc = books.join(qsubs, "sub")
+      .select(col("sub"), col("cid"), col("ce"), l2sq(col("ce"), col("qsv")).as("dq"))
+      .groupBy("sub")
+      .agg(collect_list(struct(col("cid"), col("ce"), col("dq"))).as("cs"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("cs")))).as("tabs"))
+    // encode + ADC lookup fused into one per-row fold: for each
+    // subspace, the nearestByL2 winner's dq is the table lookup for
+    // that vector's code — approximate distance = Σ over the (sorted)
+    // subspaces, computed in the SCAN. No ×k row blow-up, no
+    // per-vector shuffle — candidate generation is scan + TakeOrdered
+    // at any scale.
+    val cand = e.crossJoin(broadcast(packedAdc))
+      .select(col("vec_id"),
+        aggregate(col("tabs"), lit(0.0), (acc, t) =>
+          acc + nearestByL2Seg(col("embedding"),
+              t.getField("sub") * lit(subDim), t.getField("cs"), lit(subDim))
+            .getField("c").getField("dq")).as("adist"))
       .filter(col("vec_id") =!= queryVecId)
       .orderBy(col("adist"), col("vec_id"))
       .limit(nCandidates)
@@ -499,19 +629,10 @@ object Similarity {
       queryVecId: Long, nProbe: Int, topK: Int, nCentroids: Int = 8,
       buildIters: Int = 2): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
-    // materialize the k-row centroid build once — it feeds both the
-    // assignment and the probe selection, which would otherwise each
-    // re-execute the full iterative build lineage
-    val cents = kmeansCentroids(e, nCentroids, buildIters).localCheckpoint(true)
-    // assign every vector to its nearest centroid (broadcast
-    // nCentroids rows): one max_by hash aggregation, same
-    // (cdist desc, cid) argmax as a rank-1 window, no per-group sort
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cdist", VectorOps.cosine(col("embedding"), col("ce")))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cid"), col("embedding")),
-        struct(col("cdist"), -col("cid"))).as("a"))
-      .select(col("vec_id"), col("a.cid").as("cid"), col("a.embedding").as("embedding"))
+    // the k-row centroid build feeds both the assignment and the probe
+    // selection; kmeansCentroids already checkpoints its final state,
+    // so both consumers read the materialized rows, no rebuild
+    val cents = kmeansCentroids(e, nCentroids, buildIters)
     // probe the nProbe centroids closest to the query
     val q = e.filter(col("vec_id") === queryVecId).select(col("embedding").as("qe"))
     val probes = cents.crossJoin(broadcast(q))
@@ -519,7 +640,15 @@ object Similarity {
       .orderBy(col("qdist").desc, col("cid"))
       .limit(nProbe)
       .select(col("cid"))
-    assigned.join(broadcast(probes), "cid")
+    // assignment = per-row nearestByCosine fold over the packed
+    // broadcast centroids (no corpus shuffle); the probe filter is a
+    // broadcast semi-join on cid, so the whole query is scan +
+    // TakeOrderedAndProject
+    e.crossJoin(broadcast(packCentroids(cents)))
+      .select(col("vec_id"), col("embedding"),
+        nearestByCosine(col("embedding"), col("cs"))
+          .getField("c").getField("cid").as("cid"))
+      .join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .withColumn("cos", VectorOps.cosine(col("embedding"), col("qe")))
