@@ -66,20 +66,53 @@ object ExportConfig {
         }
       case _ => Map.empty
     }
+    // The reference's config.json.example:4-16 promises a NESTED schema
+    // (databases → collections → {date_field, start_date, end_date})
+    // its code never reads (SURVEY §1.4 divergence). Accept it here so
+    // the reference's own example file works as-is: every collection
+    // key joins the include list, date_field feeds dateColumns (absent
+    // → None, the no-filter work-list entry), and a per-collection
+    // start/end pair lands in dateRanges. Flat keys win on conflict —
+    // they are the semantics the reference actually implemented.
+    val nested: Seq[(String, Option[String], Option[(Option[String], Option[String])])] =
+      m.get("databases") match {
+        case Some(dbs: Map[_, _]) =>
+          dbs.values.toSeq.flatMap {
+            case db: Map[_, _] =>
+              db.asInstanceOf[Map[String, Any]].get("collections") match {
+                case Some(cols: Map[_, _]) =>
+                  cols.asInstanceOf[Map[String, Any]].toSeq.map {
+                    case (name, spec: Map[_, _]) =>
+                      val sm = spec.asInstanceOf[Map[String, Any]]
+                      def f(k: String) = sm.get(k).map(_.toString).filter(_.nonEmpty)
+                      val range = (f("start_date"), f("end_date"))
+                      (name, f("date_field"),
+                        if (range._1.isEmpty && range._2.isEmpty) None else Some(range))
+                    case (name, _) => (name.toString, None, None)
+                  }
+                case _ => Nil
+              }
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+    val nestedCols = nested.map { case (n, df, _) => n -> df }.toMap
+    val nestedRanges = nested.collect { case (n, _, Some(r)) => n -> r }.toMap
     // Correctly spelled key wins; reference-compatible typo'd key accepted.
     val batch = m.get("batch_size").orElse(m.get("bacth_size"))
       .map(_.toString.toDouble.toInt).getOrElse(10000)
+    val include = strSet("include_tables")
     ExportConfig(
       inputDir = str("input_dir", "."),
       outputDir = str("output_dir", "./output"),
       compression = str("compression", "zstd"),
       startDate = optStr("start_date"),
       endDate = optStr("end_date"),
-      includeTables = strSet("include_tables"),
+      includeTables = if (include.nonEmpty) include else nested.map(_._1).toSet,
       excludeTables = strSet("exclude_tables"),
       batchSize = batch,
       rowGroupSize = int("row_group_size", 400000),
-      dateColumns = dateCols,
-      dateRanges = ranges)
+      dateColumns = nestedCols ++ dateCols,
+      dateRanges = nestedRanges ++ ranges)
   }
 }

@@ -212,7 +212,13 @@ object Features {
         "sequence in BOTH engines (round() implementations differ " +
         "between Spark's decimal-string HALF_UP and DuckDB's scaled " +
         "std round, so round() here could disagree at a boundary) — " +
-        "before the md5-uniform acceptance compare. One 5-row stats " +
+        "before the md5-uniform acceptance compare. Residual cross-" +
+        "engine dependency (shared with sample_weighted's ln): " +
+        "JVM Math.pow and DuckDB's libm pow agreeing to the last ulp " +
+        "on these inputs — a 1-ulp divergence only flips a rate if " +
+        "the true value sits within it of a 1e-6 grid line AND a " +
+        "doc's 32-bit hash lands in that sliver; accepted and pinned " +
+        "here rather than widened away. One 5-row stats " +
         "aggregation (sorted-fold Σ n^α) broadcast back + a per-row " +
         "hash predicate — embarrassingly parallel at any corpus size.",
       (s, dir) => {

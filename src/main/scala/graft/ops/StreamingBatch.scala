@@ -136,27 +136,45 @@ object StreamingBatch {
         // temp tree per run — while a REGENERATED fixture (file stream
         // sources track seen files by path, so a same-path new file
         // would silently be skipped as already-processed) gets a fresh
-        // sink. The fingerprint CONCATENATES dir-hash, length, and
-        // mtime (an XOR would let a length change cancel an mtime
-        // change); stale sibling trees older than a day are pruned so
-        // regeneration churn stays bounded without racing a concurrent
-        // run on another fixture.
+        // sink. The fingerprint is a CONTENT hash — md5 over the first
+        // and last 64 KiB plus the length — so a fixture rewritten with
+        // the same byte length inside the filesystem's mtime
+        // granularity still changes it (mtime-based fingerprints
+        // don't); parquet puts its footer (row counts, column stats)
+        // in the tail block, so any data change moves the hash. Trees
+        // live under a PER-SOURCE-DIR root, and pruning stays inside
+        // that root: stale content-generations of THIS fixture older
+        // than a day are dropped, while another run on a different
+        // fixture — whatever its age — is out of reach by construction.
         val srcFile = new java.io.File(path)
-        val fp = java.lang.Integer.toHexString(dir.hashCode) + "-" +
-          java.lang.Long.toHexString(srcFile.length()) + "-" +
-          java.lang.Long.toHexString(srcFile.lastModified())
-        val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+        val fp = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val raf = new java.io.RandomAccessFile(srcFile, "r")
+          try {
+            val block = 64 * 1024
+            val head = new Array[Byte](math.min(block.toLong, raf.length()).toInt)
+            raf.readFully(head); md.update(head)
+            if (raf.length() > block) {
+              raf.seek(raf.length() - block)
+              val tail = new Array[Byte](block)
+              raf.readFully(tail); md.update(tail)
+            }
+          } finally raf.close()
+          md.update(java.lang.Long.toHexString(srcFile.length()).getBytes)
+          md.digest().take(8).map("%02x".format(_)).mkString
+        }
+        val srcRoot = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft-sinkrt-" + java.lang.Integer.toHexString(dir.hashCode))
         val dayMs = 24L * 3600 * 1000
         def rmTree(f: java.io.File): Unit = {
           Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
           f.delete(): Unit
         }
-        Option(tmpRoot.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("graft-sinkrt-") &&
-            !f.getName.endsWith(fp) &&
+        Option(srcRoot.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName != fp &&
             f.lastModified() < System.currentTimeMillis() - dayMs)
           .foreach(rmTree)
-        val base = java.nio.file.Paths.get(tmpRoot.getPath, s"graft-sinkrt-$fp")
+        val base = java.nio.file.Paths.get(srcRoot.getPath, fp)
         val (out, cp) = (s"$base/out", s"$base/cp")
         val raw = s.read.parquet(path) // schema only (ts as raw ns longs)
         // the file stream source wants a DIRECTORY; glob-filter it down

@@ -36,6 +36,34 @@ class EtlSpec extends SparkSpec {
     assert(c.rangeFor("part") == (Some("1996-01-01"), None)) // global fallback
   }
 
+  test("config: nested reference schema (config.json.example shape) accepted") {
+    // The reference's example file promises this nested shape but its
+    // code never reads it (SURVEY §1.4); our fromMap honors it so the
+    // example works as-is.
+    val c = ExportConfig.fromMap(Map(
+      "start_date" -> "1996-01-01",
+      "databases" -> Map(
+        "db1" -> Map("collections" -> Map(
+          "lineitem" -> Map(
+            "date_field" -> "l_shipdate",
+            "start_date" -> "1997-01-01",
+            "end_date" -> "1997-12-31"),
+          "region" -> Map.empty[String, Any])),
+        "db2" -> Map.empty[String, Any])))
+    assert(c.includeTables == Set("lineitem", "region"))
+    assert(c.dateColumns == Map("lineitem" -> Some("l_shipdate"), "region" -> None))
+    assert(c.rangeFor("lineitem") == (Some("1997-01-01"), Some("1997-12-31")))
+    assert(c.rangeFor("region") == (Some("1996-01-01"), None)) // global fallback
+    // Flat keys override the nested shape — the semantics the code implements.
+    val flat = ExportConfig.fromMap(Map(
+      "databases" -> Map("db1" -> Map("collections" -> Map(
+        "lineitem" -> Map("date_field" -> "wrong")))),
+      "date_columns" -> Map("lineitem" -> "l_shipdate"),
+      "include_tables" -> Seq("lineitem")))
+    assert(flat.dateColumns("lineitem") == Some("l_shipdate"))
+    assert(flat.includeTables == Set("lineitem"))
+  }
+
   test("export: include entry without date_columns config surfaces an error") {
     val out = tmpDir("graft-export-unk")
     val results = Export.run(spark, ExportConfig(
