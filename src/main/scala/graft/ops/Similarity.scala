@@ -66,6 +66,50 @@ object Similarity {
         WHERE rk <= 3 ORDER BY qid, rk""")),
 
     Q(
+      "sim_knn_graph",
+      "Full kNN-graph construction: every vector's top-3 cosine " +
+        "neighbors, candidates restricted to LSH bucket co-occupants " +
+        "(the shared Dedup.embeddingLshScored stage — 4 bands × 4 " +
+        "fixed-seed hyperplane bits, never all-pairs). Scored v1<v2 " +
+        "pairs are symmetrized (an edge serves both endpoints) and " +
+        "ranked per node with row_number ≤ 3 — the WindowGroupLimit " +
+        "top-k-per-group shape, so the full-sort never happens. This " +
+        "graph is the input to graph-based curation (SemDeDup-style " +
+        "cluster pruning, kNN-classifier quality scoring). FULLY " +
+        "oracle-checked: the oracle inlines the identical hyperplane " +
+        "literals and replays bucketing, pairing, the exact cosine " +
+        "fold, and the (cos DESC, dst) rank. A node whose buckets " +
+        "yield <3 candidates contributes fewer rows (recall is the " +
+        "LSH tradeoff; the bound is spec-pinned for dedup_embedding_" +
+        "lsh and shared here).",
+      (s, dir) => {
+        val scored = Dedup.embeddingLshScored(Tables.t(s, dir, "embeddings"))
+        // both edge directions from ONE generator over the scored
+        // pairs — a self-union would execute the whole bucket-join
+        // candidate stage twice
+        val sym = scored.select(explode(array(
+            struct(col("v1").as("src"), col("v2").as("dst"), col("cos")),
+            struct(col("v2").as("src"), col("v1").as("dst"), col("cos")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.cos").as("cos"))
+        val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+        sym.withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 3)
+          .select(col("src"), col("rk"), col("dst"), round(col("cos"), 6).as("cos_sim"))
+          .orderBy("src", "rk")
+      },
+      Some(s"""WITH ${Dedup.embeddingLshScoredCtes},
+        sym AS (
+          SELECT v1 AS src, v2 AS dst, cos FROM scored
+          UNION ALL
+          SELECT v2 AS src, v1 AS dst, cos FROM scored),
+        rk AS (
+          SELECT src, dst, cos,
+            CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS INT) AS rk
+          FROM sym)
+        SELECT src, rk, dst, round(cos, 6) AS cos_sim FROM rk
+        WHERE rk <= 3 ORDER BY src, rk""")),
+
+    Q(
       "sim_vector_mean",
       "Per-label centroid via the custom typed Aggregator (double " +
         "accumulator, map-side partial aggregation); flattened to " +

@@ -400,6 +400,47 @@ object Text {
         FROM d ORDER BY doc_id""")),
 
     Q(
+      "text_oov_rate",
+      "Out-of-vocabulary rate per document against a fixed-size " +
+        "corpus vocabulary (top-25 tokens by total occurrences, ties " +
+        "broken by token — the deterministic stand-in for a frozen " +
+        "tokenizer vocab): the coverage signal that decides whether a " +
+        "tokenizer fits a corpus and flags encoding-junk documents. " +
+        "Per-(doc, token) counts feed BOTH the vocab (token-keyed " +
+        "re-aggregation, corpus-vocabulary-sized) and the per-doc " +
+        "rate (broadcast vocab left join, null ⇒ OOV) — one corpus " +
+        "tokenize pass, integer arithmetic end to end except the " +
+        "final division.",
+      (s, dir) => {
+        val cnt = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val vocab = cnt.groupBy("w").agg(sum("c").as("freq"))
+          .orderBy(col("freq").desc, col("w")).limit(25)
+          .select(col("w"), lit(1).as("iv"))
+        cnt.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"),
+            sum(when(col("iv").isNull, col("c")).otherwise(lit(0L))).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        vocab AS (SELECT w FROM (
+            SELECT w, row_number() OVER (
+              ORDER BY CAST(sum(c) AS BIGINT) DESC, w) AS rk
+            FROM cnt GROUP BY w) WHERE rk <= 25),
+        agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE c END) AS BIGINT) AS n_oov
+          FROM cnt GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_oov,
+          round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+        FROM agg ORDER BY doc_id""")),
+
+    Q(
       "text_bm25_search",
       "BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed query " +
         "{'spark','merge','batch'}: tf/df/doclen aggregations + join — " +

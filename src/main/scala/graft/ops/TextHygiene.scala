@@ -208,6 +208,55 @@ object TextHygiene {
           FROM w)
         SELECT win, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         FROM wins GROUP BY win HAVING count(*) > 1
-        ORDER BY n_occ DESC, win"""))
+        ORDER BY n_occ DESC, win""")),
+
+    Q(
+      "text_boilerplate",
+      "Per-document boilerplate fraction — the line-dedup filtering " +
+        "signal of web-corpus pipelines (CCNet/RefinedWeb drop or " +
+        "strip content repeated across many pages), spelled over " +
+        "3-token windows since the fixture has no line structure: a " +
+        "window is boilerplate when it appears in ≥ 5 distinct docs; " +
+        "each doc reports its window positions, how many sit inside a " +
+        "boilerplate window, and the fraction. Dataflow: one window " +
+        "explode feeds BOTH the df table ((window, doc) distinct → " +
+        "window count) and per-(doc, window) position counts; the " +
+        "flag join is window-keyed — boilerplate keys are hot by " +
+        "definition, but each carries exactly ONE df row, so the join " +
+        "fans nothing out and AQE's skew split covers the partition " +
+        "imbalance. All-integer until the final division.",
+      (s, dir) => {
+        val win = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(TextFns.wordGrams(col("w"), 3)).as("win"))
+        val cnt = win.groupBy("doc_id", "win").agg(count(lit(1)).as("c"))
+        val boiler = cnt.groupBy("win")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 5)
+          .select(col("win"), lit(1).as("bp"))
+        cnt.join(boiler, Seq("win"), "left")
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_windows"),
+            sum(when(col("bp").isNotNull, col("c")).otherwise(lit(0L))).as("n_boiler"))
+          .select(col("doc_id"), col("n_windows"), col("n_boiler"),
+            round(col("n_boiler").cast("double") / col("n_windows"), 6).as("boiler_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        wins AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+            i -> array_to_string(words[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS win
+          FROM w),
+        cnt AS (SELECT doc_id, win, count(*) AS c FROM wins GROUP BY 1, 2),
+        boiler AS (SELECT win FROM cnt GROUP BY win HAVING count(*) >= 5),
+        agg AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_windows,
+            CAST(sum(CASE WHEN win IN (SELECT win FROM boiler) THEN c ELSE 0 END) AS BIGINT)
+              AS n_boiler
+          FROM cnt GROUP BY doc_id)
+        SELECT doc_id, n_windows, n_boiler,
+          round(CAST(n_boiler AS DOUBLE) / n_windows, 6) AS boiler_frac
+        FROM agg ORDER BY doc_id"""))
   )
 }

@@ -55,6 +55,19 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("kNN graph ranks inside WindowGroupLimit; vocab and boilerplate flags join cheap") {
+    // sim_knn_graph's per-node top-3 must prune per-group input, not
+    // rank every symmetrized candidate edge
+    assert(planOf("sim_knn_graph").contains("WindowGroupLimit"))
+    // the 25-row vocabulary joins broadcast — the corpus-sized count
+    // table must not shuffle against a handful of vocab rows
+    assert(planOf("text_oov_rate").contains("BroadcastHashJoin"))
+    // the incremental-dedup store probe is a fingerprint equi-join
+    // (anti); nothing may expand it to a nested loop
+    val inc = planOf("dedup_incremental")
+    assert(inc.contains("LeftAnti") && !inc.contains("NestedLoop"))
+  }
+
   test("reservoir sample and windowed top-k push their limit into the window") {
     // both filter row_number <= k directly above a single window —
     // WindowGroupLimit prunes per-group input instead of ranking
