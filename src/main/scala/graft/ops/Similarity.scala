@@ -379,7 +379,60 @@ object Similarity {
             round(col("col").cast("double"), 4).as("loading"), col("eigenvalue"))
           .orderBy("dim")
       },
-      None)
+      None),
+
+    Q(
+      "sim_cluster_prune",
+      "SemDeDup/SSL-prototypes-style cluster pruning: assign every " +
+        "vector to its nearest centroid (the same shuffle-free packed-" +
+        "centroid cosine fold sim_ivf_assign pins), rank vectors " +
+        "within each cluster by prototypicality (cosine to the " +
+        "centroid, DESC, vec_id tie-break), and mark the most-" +
+        "prototypical fifth of each cluster pruned — the semantic-" +
+        "redundancy removal pass that shrinks a training corpus with " +
+        "near-zero quality loss. The prune rule rk*5 <= cnt is pure " +
+        "integer arithmetic on a rank that orders by the bit-identical " +
+        "unrounded cosine, so both engines prune the same rows. The " +
+        "within-cluster window partitions on cid (bounded partitions " +
+        "at any corpus size — no global sort); the centroid book here " +
+        "is the deterministic first-8 set so DuckDB can replay " +
+        "assignment end-to-end; at 100 TB it comes from " +
+        "kmeansCentroids and the dataflow is unchanged.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val packed = packCentroids(
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce")))
+        val assigned = e.crossJoin(broadcast(packed))
+          .select(col("vec_id"),
+            nearestByCosine(col("embedding"), col("cs")).as("best"))
+          .select(col("vec_id"), col("best.c.cid").as("cid"), col("best.d").as("cos"))
+        val w = Window.partitionBy("cid").orderBy(col("cos").desc, col("vec_id"))
+        assigned
+          .withColumn("rk", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("cid")))
+          .select(col("vec_id"), col("cid"), round(col("cos"), 6).as("cos_sim"),
+            (col("rk") * 5 <= col("cnt")).as("pruned"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cents AS (
+          SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < 8),
+        sc AS (
+          SELECT e.vec_id, c.cid,
+            ${VectorOps.duckCosine("e.embedding", "c.ce")} AS cos
+          FROM embeddings e CROSS JOIN cents c),
+        asg AS (
+          SELECT vec_id, cid, cos,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM sc),
+        a AS (SELECT vec_id, cid, cos FROM asg WHERE rn = 1),
+        rk AS (SELECT vec_id, cid, cos,
+            row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id) AS rk,
+            count(*) OVER (PARTITION BY cid) AS cnt
+          FROM a)
+        SELECT vec_id, cid, round(cos, 6) AS cos_sim, rk * 5 <= cnt AS pruned
+        FROM rk ORDER BY vec_id"""))
   )
 
   /** Deterministic distance-weighted, bucket-diversified seeding (the

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
@@ -279,42 +279,9 @@ object Text {
         "(sort_array + aggregate ≡ DuckDB list_sort + list_reduce) so " +
         "the result is bit-identical regardless of partial-aggregation " +
         "order — integer sums are order-safe, float sums are not.",
-      (s, dir) => {
-        val tok = Tables.t(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        val freq = tok.groupBy("token").agg(count(lit(1)).as("n"))
-        val total = tok.agg(count(lit(1)).as("t"))
-        // one addend per (doc, token-type): c·ln(n/t); folding per
-        // token type (vocab-bounded per doc) instead of per occurrence
-        // also shrinks the collected array
-        tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-          .join(broadcast(freq), "token")
-          .crossJoin(broadcast(total))
-          .select(col("doc_id"), col("c"),
-            (col("c").cast("double") *
-              log(col("n") / col("t").cast("double"))).as("x"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n_tok"), sort_array(collect_list(col("x"))).as("xs"))
-          .select(col("doc_id"), col("n_tok"),
-            round(-aggregate(col("xs"), lit(0.0), (acc, x) => acc + x) /
-              col("n_tok") / math.log(2.0), 6).as("bits_per_token"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH tok AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        freq AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
-        tot AS (SELECT count(*) AS t FROM tok),
-        cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
-        terms AS (
-          SELECT doc_id, c,
-            CAST(c AS DOUBLE) * ln(freq.n / CAST(tot.t AS DOUBLE)) AS x
-          FROM cnt JOIN freq USING (token) CROSS JOIN tot),
-        agg AS (
-          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
-            list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx
-          FROM terms GROUP BY doc_id)
-        SELECT doc_id, n_tok, round(-sx / n_tok / ln(2), 6) AS bits_per_token
-        FROM agg ORDER BY doc_id""")),
+      (s, dir) => unigramBits(s, dir).orderBy("doc_id"),
+      Some(s"""WITH $unigramBitsCtes
+        SELECT doc_id, n_tok, bits_per_token FROM ub ORDER BY doc_id""")),
 
     Q(
       "text_bigram_logprob",
@@ -716,8 +683,160 @@ object Text {
           round(h, 6) AS entropy_bits,
           CASE WHEN n_distinct = 1 THEN 0.0
                ELSE round(h / log2(n_distinct), 6) END AS entropy_norm
-        FROM ent ORDER BY doc_id"""))
+        FROM ent ORDER BY doc_id""")),
+
+    Q(
+      "text_perplexity_buckets",
+      "CCNet-style perplexity bucketing: every document is assigned to " +
+        "the head / middle / tail tercile of the corpus by its unigram " +
+        "bits-per-token (the [[unigramBits]] score text_unigram_logprob " +
+        "emits — low = typical text, kept; tail = outliers, reviewed or " +
+        "dropped). The ranked frame is the per-doc SCORE table (three " +
+        "narrow columns), not the corpus — ~20 bytes/doc after the " +
+        "heavy token work has already reduced; ties broken by doc_id " +
+        "so the tercile is total-order deterministic. At extreme scale " +
+        "the exact global ntile becomes two KLL-sketch cutoffs " +
+        "(feat_kll_quantiles is the same library) and a per-row " +
+        "comparison — curation tolerates approximate cut points; here " +
+        "exactness is chosen so DuckDB replays the bucketing bit-for-" +
+        "bit.",
+      (s, dir) => {
+        val w = Window.orderBy(col("bits_per_token"), col("doc_id"))
+        unigramBits(s, dir)
+          .withColumn("tercile", ntile(3).over(w))
+          .select(col("doc_id"), col("n_tok"), col("bits_per_token"),
+            when(col("tercile") === 1, "head")
+              .when(col("tercile") === 2, "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $unigramBitsCtes,
+          t AS (SELECT doc_id, n_tok, bits_per_token,
+            ntile(3) OVER (ORDER BY bits_per_token, doc_id) AS tercile FROM ub)
+        SELECT doc_id, n_tok, bits_per_token,
+          CASE WHEN tercile = 1 THEN 'head'
+               WHEN tercile = 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM t ORDER BY doc_id""")),
+
+    Q(
+      "text_dsir_weights",
+      "DSIR-style importance weights (data selection via importance " +
+        "resampling): per-document mean log-likelihood ratio between a " +
+        "target corpus (the `en` slice stands in for the high-quality " +
+        "target) and the raw rest, under add-1-smoothed unigram models " +
+        "over the shared vocabulary. Docs scoring high look like the " +
+        "target and get upsampled by a downstream weighted sampler " +
+        "(sample_weighted is the companion operator). Dataflow: one " +
+        "tokenize pass; the two (vocabulary-sized) frequency tables " +
+        "broadcast; smoothing constants ride a 1-row cross join; the " +
+        "per-doc double sum is the sorted sequential fold ≡ DuckDB " +
+        "list_sort + list_reduce, so the score is bit-identical under " +
+        "any partial-aggregation order. One keyed shuffle at any " +
+        "corpus size.",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("token"))
+        val ft = tok.filter(col("lang") === "en")
+          .groupBy("token").agg(count(lit(1)).as("nt"))
+        val fr = tok.filter(col("lang") =!= "en")
+          .groupBy("token").agg(count(lit(1)).as("nr"))
+        val consts = tok.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("tr"),
+          countDistinct(col("token")).as("v"))
+        tok.groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("c"))
+          .join(broadcast(ft), Seq("token"), "left")
+          .join(broadcast(fr), Seq("token"), "left")
+          .crossJoin(broadcast(consts))
+          .select(col("doc_id"), col("lang"), col("c"),
+            (col("c").cast("double") *
+              (log((coalesce(col("nt"), lit(0L)) + 1) /
+                   (col("tt") + col("v")).cast("double")) -
+               log((coalesce(col("nr"), lit(0L)) + 1) /
+                   (col("tr") + col("v")).cast("double")))).as("x"))
+          .groupBy("doc_id", "lang")
+          .agg(sum("c").as("n_tok"), sort_array(collect_list(col("x"))).as("xs"))
+          .select(col("doc_id"), col("lang"), col("n_tok"),
+            round(aggregate(col("xs"), lit(0.0), (a, x) => a + x) /
+              col("n_tok"), 6).as("log_ratio_per_token"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        ft AS (SELECT token, count(*) AS nt FROM tok WHERE lang = 'en' GROUP BY 1),
+        fr AS (SELECT token, count(*) AS nr FROM tok WHERE lang <> 'en' GROUP BY 1),
+        consts AS (SELECT
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt,
+            sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS tr,
+            count(DISTINCT token) AS v
+          FROM tok),
+        cnt AS (SELECT doc_id, lang, token, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+        terms AS (
+          SELECT doc_id, lang, c,
+            CAST(c AS DOUBLE) * (
+              ln((coalesce(ft.nt, 0) + 1) / CAST(consts.tt + consts.v AS DOUBLE)) -
+              ln((coalesce(fr.nr, 0) + 1) / CAST(consts.tr + consts.v AS DOUBLE))) AS x
+          FROM cnt LEFT JOIN ft USING (token) LEFT JOIN fr USING (token)
+          CROSS JOIN consts),
+        agg AS (
+          SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tok,
+            list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx
+          FROM terms GROUP BY 1, 2)
+        SELECT doc_id, lang, n_tok, round(sx / n_tok, 6) AS log_ratio_per_token
+        FROM agg ORDER BY doc_id"""))
   )
+
+  /** Per-document unigram LM bits-per-token — (doc_id, n_tok,
+    * bits_per_token), unordered. The dataflow behind
+    * text_unigram_logprob, factored out so text_perplexity_buckets can
+    * bucket the same scores without re-stating it: token join against
+    * the (vocabulary-sized, broadcast) frequency table, corpus total as
+    * a 1-row cross join, per-doc double sum as a sorted sequential fold
+    * (sort_array + aggregate ≡ DuckDB list_sort + list_reduce) so the
+    * value is bit-identical under any partial-aggregation order. */
+  private[ops] def unigramBits(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("n"))
+    val total = tok.agg(count(lit(1)).as("t"))
+    // one addend per (doc, token-type): c·ln(n/t); folding per
+    // token type (vocab-bounded per doc) instead of per occurrence
+    // also shrinks the collected array
+    tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .join(broadcast(freq), "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("c"),
+        (col("c").cast("double") *
+          log(col("n") / col("t").cast("double"))).as("x"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), sort_array(collect_list(col("x"))).as("xs"))
+      .select(col("doc_id"), col("n_tok"),
+        round(-aggregate(col("xs"), lit(0.0), (acc, x) => acc + x) /
+          col("n_tok") / math.log(2.0), 6).as("bits_per_token"))
+  }
+
+  /** DuckDB CTE chain ending in `ub(doc_id, n_tok, bits_per_token)` ≡
+    * [[unigramBits]] (same sorted fold, same BIGINT cast). */
+  private[ops] val unigramBitsCtes: String =
+    """tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        freq AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+        tot AS (SELECT count(*) AS t FROM tok),
+        cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        terms AS (
+          SELECT doc_id, c,
+            CAST(c AS DOUBLE) * ln(freq.n / CAST(tot.t AS DOUBLE)) AS x
+          FROM cnt JOIN freq USING (token) CROSS JOIN tot),
+        uagg AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+            list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx
+          FROM terms GROUP BY doc_id),
+        ub AS (
+          SELECT doc_id, n_tok, round(-sx / n_tok / ln(2), 6) AS bits_per_token
+          FROM uagg)"""
 
   /** DuckDB replay of the full BPE training loop, one CTE stage per
     * merge round: pair counts from the evolving vocabulary, the

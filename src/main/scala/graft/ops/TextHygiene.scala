@@ -257,6 +257,72 @@ object TextHygiene {
           FROM cnt GROUP BY doc_id)
         SELECT doc_id, n_windows, n_boiler,
           round(CAST(n_boiler AS DOUBLE) / n_windows, 6) AS boiler_frac
-        FROM agg ORDER BY doc_id"""))
+        FROM agg ORDER BY doc_id""")),
+
+    Q(
+      "text_quality_logistic",
+      "Model-based quality scoring (the fastText-classifier shape used " +
+        "by GPT-3/LLaMA-style curation): a fixed-weight linear scorer " +
+        "over per-document features — unique-word ratio, stopword " +
+        "fraction, digit fraction, mean word length — squashed through " +
+        "a sigmoid; keep = score above 0.5. The weights here are " +
+        "fixture constants standing in for trained parameters; the " +
+        "operator IS the scorer dataflow (one scan, no shuffle, no " +
+        "UDFs — every feature a codegen'd expression). Every feature " +
+        "is a quotient of exact integers and z is a FIXED left-to-" +
+        "right sum of their products with double literals, so z is " +
+        "bit-identical across engines; the final sigmoid is one libm " +
+        "exp() quantized to 4dp (the coarse grid makes a last-ulp " +
+        "exp() difference unobservable), and keep branches on the " +
+        "exact z sign, not the rounded score.",
+      (s, dir) => {
+        val stops = Seq("the", "of", "and", "to", "in", "a", "is", "that")
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), col("text"),
+            split(col("text"), " ").as("w"))
+        val n = size(col("w"))
+        val uniq = size(array_distinct(col("w"))).cast("double") / n
+        val stopFrac = size(filter(col("w"),
+          t => t.isInCollection(stops))).cast("double") / n
+        val digitFrac = length(regexp_replace(col("text"), "[^0-9]", ""))
+          .cast("double") / col("n_chars")
+        val meanLen = col("n_chars").cast("double") / n
+        val z = lit(-3.0) + lit(1.5) * uniq + lit(8.0) * stopFrac -
+          lit(10.0) * digitFrac + lit(0.4) * meanLen
+        d.select(
+            col("doc_id"),
+            round(uniq, 6).as("uniq_ratio"),
+            round(stopFrac, 6).as("stop_frac"),
+            round(digitFrac, 6).as("digit_frac"),
+            round(meanLen, 6).as("mean_word_len"),
+            round(z, 6).as("z"),
+            round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"),
+            (z > 0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars, text,
+          string_split(text, ' ') AS w FROM documents),
+        f AS (SELECT doc_id,
+            CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq,
+            CAST(len(list_filter(w, t -> t IN
+              ('the', 'of', 'and', 'to', 'in', 'a', 'is', 'that'))) AS DOUBLE)
+              / len(w) AS stop_frac,
+            CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+              / n_chars AS digit_frac,
+            CAST(n_chars AS DOUBLE) / len(w) AS mean_len
+          FROM d),
+        sc AS (SELECT doc_id, uniq, stop_frac, digit_frac, mean_len,
+            -3.0 + 1.5 * uniq + 8.0 * stop_frac - 10.0 * digit_frac
+              + 0.4 * mean_len AS z
+          FROM f)
+        SELECT doc_id,
+          round(uniq, 6) AS uniq_ratio,
+          round(stop_frac, 6) AS stop_frac,
+          round(digit_frac, 6) AS digit_frac,
+          round(mean_len, 6) AS mean_word_len,
+          round(z, 6) AS z,
+          round(1.0 / (1.0 + exp(-z)), 4) AS score,
+          z > 0 AS keep
+        FROM sc ORDER BY doc_id"""))
   )
 }

@@ -27,6 +27,12 @@ class DeterminismSpec extends SparkSpec {
   private val foldQueries =
     Seq("text_entropy", "text_unigram_logprob", "text_bigram_logprob",
       "dedup_embedding_cosine", "ts_ewma", "text_bm25_search",
+      // sorted folds over likelihood addends; perplexity_buckets also
+      // pins that the tercile cut is stable when the fold input varies
+      "text_dsir_weights", "text_perplexity_buckets",
+      // per-row VecDot sequential fold feeding a rank — the prune set
+      // must not flip across fan-outs
+      "sim_cluster_prune",
       // per-row ln, no fold — pins that the quantized race key is
       // stable across fan-outs (ordering feeds a limit)
       "sample_weighted")

@@ -68,6 +68,25 @@ class ScaleSpec extends SparkSpec {
     assert(inc.contains("LeftAnti") && !inc.contains("NestedLoop"))
   }
 
+  test("curation scorers: logistic gate is one scan; DSIR/prune stay broadcast") {
+    // the logistic scorer is pure per-row arithmetic — any Exchange
+    // means a feature accidentally aggregated
+    assert(!planOf("text_quality_logistic").contains("Exchange hashpartitioning"),
+      "quality scorer must not shuffle")
+    // DSIR's vocabulary-sized frequency tables and 1-row constants must
+    // broadcast; the corpus-sized (doc, token) table never sort-merges
+    // against them
+    val dsir = planOf("text_dsir_weights")
+    assert(dsir.contains("BroadcastHashJoin") && dsir.contains("BroadcastNestedLoopJoin"))
+    assert(!dsir.contains("SortMergeJoin"))
+    // cluster pruning assigns via the broadcast packed-centroid fold
+    // (one BroadcastNestedLoopJoin against ONE packed row, never a
+    // per-centroid join) and its windows partition by cid
+    val prune = planOf("sim_cluster_prune")
+    assert(prune.contains("BroadcastNestedLoopJoin"))
+    assert(!prune.contains("SortMergeJoin"))
+  }
+
   test("reservoir sample and windowed top-k push their limit into the window") {
     // both filter row_number <= k directly above a single window —
     // WindowGroupLimit prunes per-group input instead of ranking
