@@ -187,6 +187,142 @@ object Pipeline {
           coalesce(c.component, v.vec_id) AS component,
           coalesce(c.component, v.vec_id) = v.vec_id AS keep
         FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node
-        ORDER BY v.vec_id"""))
+        ORDER BY v.vec_id""")),
+
+    Q(
+      "pipeline_curation",
+      "The canonical pretraining-corpus curation chain end-to-end, one " +
+        "declarative plan: heuristic quality gate (lang/length) → exact " +
+        "content dedup (md5 fingerprint, min-doc_id survivor) → " +
+        "model-based perplexity filter — a unigram LM is fit ON THE " +
+        "SURVIVING corpus (filter-then-fit, the CCNet ordering; fitting " +
+        "before dedup would let boilerplate dupes drag the model toward " +
+        "themselves), each survivor scored in bits-per-token, and the " +
+        "worst tercile marked dropped. The gate filters reach the scan, " +
+        "dedup is the only corpus-wide shuffle, the vocabulary table " +
+        "broadcasts, and the tercile ranks the narrow per-doc score " +
+        "table, not the corpus. Per-doc double sums are sorted " +
+        "sequential folds (bit-identical to DuckDB's list_sort + " +
+        "list_reduce), so the tercile cut — and therefore the kept set " +
+        "— replays exactly.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val gated = d.filter(col("lang") === "en" && col("n_chars") >= 100)
+          .select(col("doc_id"), col("text"),
+            split(col("text"), " ").as("words"))
+          .filter(size(col("words")) >= 20)
+        val wd = Window.partitionBy("fp").orderBy("doc_id")
+        val kept = gated
+          .withColumn("fp", md5(col("text").cast("binary")))
+          .withColumn("rn", row_number().over(wd))
+          .filter(col("rn") === 1)
+          .select("doc_id", "text")
+        val tok = kept.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        val freq = tok.groupBy("token").agg(count(lit(1)).as("n"))
+        val total = tok.agg(count(lit(1)).as("t"))
+        val scored = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+          .join(broadcast(freq), "token")
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("c"),
+            (col("c").cast("double") *
+              log(col("n") / col("t").cast("double"))).as("x"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tok"), sort_array(collect_list(col("x"))).as("xs"))
+          .select(col("doc_id"), col("n_tok"),
+            round(-aggregate(col("xs"), lit(0.0), (a, x) => a + x) /
+              col("n_tok") / math.log(2.0), 6).as("bits_per_token"))
+        val wt = Window.orderBy(col("bits_per_token"), col("doc_id"))
+        scored
+          .withColumn("tercile", ntile(3).over(wt))
+          .select(col("doc_id"), col("n_tok"), col("bits_per_token"),
+            when(col("tercile") === 1, "head")
+              .when(col("tercile") === 2, "middle")
+              .otherwise("tail").as("bucket"),
+            (col("tercile") <= 2).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, text, string_split(text, ' ') AS words
+          FROM documents WHERE lang = 'en' AND n_chars >= 100),
+        g2 AS (SELECT doc_id, text FROM g WHERE len(words) >= 20),
+        k AS (SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM g2) WHERE rn = 1),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM k),
+        freq AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+        tot AS (SELECT count(*) AS t FROM tok),
+        cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        terms AS (
+          SELECT doc_id, c,
+            CAST(c AS DOUBLE) * ln(freq.n / CAST(tot.t AS DOUBLE)) AS x
+          FROM cnt JOIN freq USING (token) CROSS JOIN tot),
+        agg AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+            list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx
+          FROM terms GROUP BY doc_id),
+        ub AS (SELECT doc_id, n_tok,
+            round(-sx / n_tok / ln(2), 6) AS bits_per_token FROM agg),
+        t AS (SELECT doc_id, n_tok, bits_per_token,
+            ntile(3) OVER (ORDER BY bits_per_token, doc_id) AS tercile FROM ub)
+        SELECT doc_id, n_tok, bits_per_token,
+          CASE WHEN tercile = 1 THEN 'head'
+               WHEN tercile = 2 THEN 'middle'
+               ELSE 'tail' END AS bucket,
+          tercile <= 2 AS keep
+        FROM t ORDER BY doc_id""")),
+
+    Q(
+      "pipeline_domain_mix",
+      "Domain-mixture rebalancing (the step that decides how much of " +
+        "each source a training run samples): per-source document and " +
+        "token counts, the actual token share, and resampling weights " +
+        "for two published target mixtures — uniform-over-sources and " +
+        "the τ=0.5 temperature mixture (share ∝ √tokens, the standard " +
+        "multilingual-LM sampling rule; DoReMi replaces these targets " +
+        "with proxy-model weights, the dataflow is identical). Token " +
+        "counts come from size(split(…)) in the scan — no explode, no " +
+        "token-level shuffle — and reduce to one tiny grouped table; " +
+        "the cross-source normalizers ride a 1-row broadcast whose √ " +
+        "sum is a sorted fold, so every weight is bit-identical. " +
+        "Weights feed sample_weighted/sample_mixture_weighted " +
+        "downstream.",
+      (s, dir) => {
+        val per = Tables.t(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("nt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        val tot = per.agg(
+            sum("n_tokens").as("tt"), count(lit(1)).as("ns"),
+            sort_array(collect_list(sqrt(col("n_tokens").cast("double"))))
+              .as("ss"))
+          .select(col("tt"), col("ns"),
+            aggregate(col("ss"), lit(0.0), (a, x) => a + x).as("sq"))
+        val share = col("n_tokens") / col("tt").cast("double")
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(share, 6).as("token_share"),
+            round((lit(1.0) / col("ns")) / share, 6).as("w_uniform"),
+            round((sqrt(col("n_tokens").cast("double")) / col("sq")) / share, 6)
+              .as("w_temp05"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+            count(*) AS ns,
+            list_reduce(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))),
+              (a, b) -> a + b) AS sq
+          FROM per)
+        SELECT source, n_docs, n_tokens,
+          round(n_tokens / CAST(tt AS DOUBLE), 6) AS token_share,
+          round((1.0 / ns) / (n_tokens / CAST(tt AS DOUBLE)), 6) AS w_uniform,
+          round((sqrt(CAST(n_tokens AS DOUBLE)) / sq)
+            / (n_tokens / CAST(tt AS DOUBLE)), 6) AS w_temp05
+        FROM per CROSS JOIN tot ORDER BY source"""))
   )
 }

@@ -30,6 +30,10 @@ class DeterminismSpec extends SparkSpec {
       // sorted folds over likelihood addends; perplexity_buckets also
       // pins that the tercile cut is stable when the fold input varies
       "text_dsir_weights", "text_perplexity_buckets",
+      // gate→dedup→perplexity chain: the tercile cut (and so the kept
+      // set) must not move across fan-outs; domain mix's √-sum
+      // normalizer is a sorted fold over the per-source table
+      "pipeline_curation", "pipeline_domain_mix",
       // per-row VecDot sequential fold feeding a rank — the prune set
       // must not flip across fan-outs
       "sim_cluster_prune",

@@ -85,6 +85,15 @@ class ScaleSpec extends SparkSpec {
     val prune = planOf("sim_cluster_prune")
     assert(prune.contains("BroadcastNestedLoopJoin"))
     assert(!prune.contains("SortMergeJoin"))
+    // domain mix counts tokens with size(split(..)) inside the scan —
+    // an explode here would shuffle every token to count them
+    val mix = planOf("pipeline_domain_mix")
+    assert(!mix.contains("Generate"), "domain mix must not explode tokens")
+    assert(!mix.contains("SortMergeJoin"))
+    // the curation chain broadcasts its vocabulary (corpus side never
+    // sort-merges against the frequency table)
+    val cur = planOf("pipeline_curation")
+    assert(cur.contains("BroadcastHashJoin") && !cur.contains("SortMergeJoin"))
   }
 
   test("reservoir sample and windowed top-k push their limit into the window") {
