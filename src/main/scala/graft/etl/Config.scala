@@ -74,10 +74,15 @@ object ExportConfig {
     // → None, the no-filter work-list entry), and a per-collection
     // start/end pair lands in dateRanges. Flat keys win on conflict —
     // they are the semantics the reference actually implemented.
+    // databases iterate in sorted key order: Scala Map order is an
+    // implementation detail above 4 entries, and the winner for a
+    // collection name declared under two databases must not be
+    // load-order roulette — equal respecs are tolerated, conflicting
+    // ones rejected below
     val nested: Seq[(String, Option[String], Option[(Option[String], Option[String])])] =
       m.get("databases") match {
         case Some(dbs: Map[_, _]) =>
-          dbs.values.toSeq.flatMap {
+          dbs.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1).map(_._2).flatMap {
             case db: Map[_, _] =>
               db.asInstanceOf[Map[String, Any]].get("collections") match {
                 case Some(cols: Map[_, _]) =>
@@ -96,6 +101,11 @@ object ExportConfig {
           }
         case _ => Nil
       }
+    val dupes = nested.groupBy(_._1).filter(_._2.distinct.size > 1).keys
+    require(dupes.isEmpty,
+      s"collection(s) ${dupes.mkString(", ")} declared under multiple " +
+        "databases with conflicting date_field/start_date/end_date — " +
+        "make the specs identical or use flat keys")
     val nestedCols = nested.map { case (n, df, _) => n -> df }.toMap
     val nestedRanges = nested.collect { case (n, _, Some(r)) => n -> r }.toMap
     // Correctly spelled key wins; reference-compatible typo'd key accepted.

@@ -516,12 +516,40 @@ object Dedup {
   def ngramJaccardStats(
       docs: DataFrame,
       hotThreshold: Long = 1000000L,
+      salts: Int = 8,
+      width: Int = 2): DataFrame = {
+    // width governs the join's fan-out: Σ_shingle df² pairs. Wider
+    // shingles (5 is the production near-dup norm) make shingles rarer,
+    // collapsing df and with it the candidate volume — the knob that
+    // keeps a FULL-corpus pass feasible where bigrams need a scope cap.
+    //
+    // The shingle expression is fused INTO each consumer (explode /
+    // size) rather than projected as a named array column first:
+    // exploding a named non-codegen array column (transform is a
+    // CodegenFallback higher-order function) re-evaluates the array
+    // builder per EMITTED row — O(shingles²) per doc, measured 14× on
+    // the full-corpus pass — while the fused generator evaluates it
+    // once per input row.
+    val shingleExpr =
+      array_distinct(TextFns.wordGrams(split(col("text"), " "), width))
+    shingleJaccardStats(
+      docs.select(col("doc_id"), explode(shingleExpr).as("shingle")),
+      hotThreshold, salts)
+  }
+
+  /** [[ngramJaccardStats]] over a PRE-BUILT (doc_id, shingle) table —
+    * shingles already distinct per doc. The declarative helper above
+    * evaluates its shingle expression once per consuming subtree (two
+    * join sides + the hot-key pass + the size table); callers running a
+    * full-corpus pass can instead materialize the exploded shingle
+    * table once (the production near-dup shape — the shingle table IS
+    * the standard intermediate a 100 TB dedup job persists) and feed it
+    * here, paying ONE shingle-generation pass total. */
+  def shingleJaccardStats(
+      ex: DataFrame,
+      hotThreshold: Long = 1000000L,
       salts: Int = 8): DataFrame = {
-    val d = docs
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), bigramShingles(col("words")).as("shingles"))
-    val sizes = d.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
-    val ex = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = ex.select(col("shingle"), col("doc_id").as("da"))
     val b = ex.select(col("shingle"), col("doc_id").as("db"))
     val pairs = Skew

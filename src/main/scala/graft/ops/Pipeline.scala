@@ -200,8 +200,11 @@ object Pipeline {
         "themselves), each survivor scored in bits-per-token, and the " +
         "worst tercile marked dropped. The gate filters reach the scan, " +
         "dedup is the only corpus-wide shuffle, the vocabulary table " +
-        "broadcasts, and the tercile ranks the narrow per-doc score " +
-        "table, not the corpus. Per-doc double sums are sorted " +
+        "broadcasts, and the tercile is [[Skew.globalNtile]] — range-" +
+        "repartitioned rank + broadcast offsets, bit-identical to the " +
+        "ntile oracle with NO single-task global window (the round-6 " +
+        "unpartitioned-window version failed the repo's own plan " +
+        "lint). Per-doc double sums are sorted " +
         "sequential folds (bit-identical to DuckDB's list_sort + " +
         "list_reduce), so the tercile cut — and therefore the kept set " +
         "— replays exactly.",
@@ -232,9 +235,8 @@ object Pipeline {
           .select(col("doc_id"), col("n_tok"),
             round(-aggregate(col("xs"), lit(0.0), (a, x) => a + x) /
               col("n_tok") / math.log(2.0), 6).as("bits_per_token"))
-        val wt = Window.orderBy(col("bits_per_token"), col("doc_id"))
-        scored
-          .withColumn("tercile", ntile(3).over(wt))
+        Skew.globalNtile(scored,
+            Seq(col("bits_per_token"), col("doc_id")), 3, "tercile")
           .select(col("doc_id"), col("n_tok"), col("bits_per_token"),
             when(col("tercile") === 1, "head")
               .when(col("tercile") === 2, "middle")
@@ -272,6 +274,167 @@ object Pipeline {
                ELSE 'tail' END AS bucket,
           tercile <= 2 AS keep
         FROM t ORDER BY doc_id""")),
+
+    Q(
+      "pipeline_pretrain",
+      "The FULL pretraining-data preparation job, one declarative " +
+        "plan chaining six operator families end to end: (1) heuristic " +
+        "quality gate (lang/length — filters reach the scan); (2) " +
+        "exact content dedup (md5 fingerprint window, min-doc_id " +
+        "survivor); (3) near-dup removal over 5-GRAM-shingle Jaccard " +
+        "≥ 0.5 — the hot-salted candidate join dedup_ngram_jaccard " +
+        "pins, widened to the production shingle width so per-shingle " +
+        "document frequency (and with it the Σdf² pair fan-out) stays " +
+        "bounded on a FULL corpus pass, with the greedy keep-first " +
+        "rule (a doc drops iff it pairs with ANY smaller id; " +
+        "pipeline_canonical_dedup is the component-accurate variant); " +
+        "(4) model-based filter — unigram " +
+        "LM fit ON the surviving corpus (filter-then-fit, CCNet " +
+        "ordering), worst bits-per-token tercile dropped via the " +
+        "scale-safe Skew.globalNtile; (5) domain-mix reweighting " +
+        "(τ=0.5 temperature over per-source token counts of what " +
+        "SURVIVED, so the mixture reflects the corpus a trainer would " +
+        "actually see); (6) weighted sample — the Efraimidis–Spirakis " +
+        "md5 race, top 60, one TakeOrderedAndProject. Source rides the " +
+        "token aggregation as a dependent group key, so no corpus-" +
+        "sized rejoin; every stage is the declared operator's exact " +
+        "dataflow and the whole chain replays bit-for-bit in DuckDB.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val gated = d.filter(col("lang") === "en" && col("n_chars") >= 100)
+          .select(col("doc_id"), col("text"), col("source"),
+            split(col("text"), " ").as("words"))
+          .filter(size(col("words")) >= 20)
+        val wd = Window.partitionBy("fp").orderBy("doc_id")
+        // materialize the exact-dedup survivors ONCE: four subtrees
+        // read them (both sides + the hot-key pass of the shingle
+        // self-join, and the anti-join below) — without the checkpoint
+        // each replays the gate+window chain from the scan
+        val exact = gated
+          .withColumn("fp", md5(col("text").cast("binary")))
+          .withColumn("rn", row_number().over(wd))
+          .filter(col("rn") === 1)
+          .select("doc_id", "text", "source")
+          .localCheckpoint(true)
+        // materialize the exploded 5-gram shingle table ONCE (the
+        // standard intermediate a production dedup job persists): the
+        // candidate join reads it three ways (both sides + the hot-key
+        // pass) and the size table a fourth — fed lazily, each subtree
+        // would re-run shingle generation over the corpus
+        val shingles = exact.select(col("doc_id"),
+            explode(array_distinct(TextFns.wordGrams(
+              split(col("text"), " "), 5))).as("shingle"))
+          .localCheckpoint(true)
+        val dropped = Dedup.shingleJaccardStats(shingles, hotThreshold = 20)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("d2").as("doc_id")).distinct()
+        // materialize the survivor set ONCE: three aggregation subtrees
+        // (vocab, total, per-doc counts) all read it, and without the
+        // checkpoint each replays the gate→dedup→near-dup chain
+        // (shingle join included) from the scan
+        val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        val tok = kept.select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        val freq = tok.groupBy("token").agg(count(lit(1)).as("n"))
+        val total = tok.agg(count(lit(1)).as("t"))
+        val scored = tok.groupBy("doc_id", "source", "token")
+          .agg(count(lit(1)).as("c"))
+          .join(broadcast(freq), "token")
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("source"), col("c"),
+            (col("c").cast("double") *
+              log(col("n") / col("t").cast("double"))).as("x"))
+          .groupBy("doc_id", "source")
+          .agg(sum("c").as("n_tok"),
+            sort_array(collect_list(col("x"))).as("xs"))
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            round(-aggregate(col("xs"), lit(0.0), (a, x) => a + x) /
+              col("n_tok") / math.log(2.0), 6).as("bits_per_token"))
+        // narrow per-doc frame, read twice (mix normalizers + sample)
+        val keep2 = Skew.globalNtile(scored,
+            Seq(col("bits_per_token"), col("doc_id")), 3, "tercile")
+          .filter(col("tercile") <= 2)
+          .localCheckpoint(true)
+        val per = keep2.groupBy("source").agg(sum("n_tok").as("src_tokens"))
+        val tot = per.agg(sum("src_tokens").as("tt"),
+            sort_array(collect_list(sqrt(col("src_tokens").cast("double"))))
+              .as("ss"))
+          .select(col("tt"),
+            aggregate(col("ss"), lit(0.0), (a, x) => a + x).as("sq"))
+        val u = (PortableHash.hexHash(
+            concat(lit("pp:"), col("doc_id").cast("string"))) + 1)
+          .cast("double") / lit(4294967296.0)
+        keep2.join(broadcast(per), "source").crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            col("bits_per_token"),
+            round((sqrt(col("src_tokens").cast("double")) / col("sq")) /
+              (col("src_tokens") / col("tt").cast("double")), 6).as("w"))
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            col("bits_per_token"), col("w"),
+            round(-log(u) / col("w"), 12).as("es_key"))
+          .orderBy(col("es_key"), col("doc_id"))
+          .limit(60)
+      },
+      Some(s"""WITH g AS (
+          SELECT doc_id, text, source, string_split(text, ' ') AS words
+          FROM documents WHERE lang = 'en' AND n_chars >= 100),
+        g2 AS (SELECT doc_id, text, source FROM g WHERE len(words) >= 20),
+        k AS (SELECT doc_id, text, source FROM (
+            SELECT doc_id, text, source,
+              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM g2) WHERE rn = 1),
+        w2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM k),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 3),
+            i -> words[CAST(i AS INT)] || ' ' || words[CAST(i + 1 AS INT)]
+              || ' ' || words[CAST(i + 2 AS INT)] || ' ' || words[CAST(i + 3 AS INT)]
+              || ' ' || words[CAST(i + 4 AS INT)])) AS shingles
+          FROM w2),
+        sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+        e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        dropped AS (SELECT DISTINCT d2 AS doc_id FROM pairs
+          JOIN sizes sa ON sa.doc_id = d1
+          JOIN sizes sb ON sb.doc_id = d2
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+        kept AS (SELECT * FROM k
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+        tok AS (SELECT doc_id, source,
+            unnest(string_split(text, ' ')) AS token FROM kept),
+        freq AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+        tot AS (SELECT count(*) AS t FROM tok),
+        cnt AS (SELECT doc_id, source, token, count(*) AS c
+          FROM tok GROUP BY 1, 2, 3),
+        terms AS (SELECT doc_id, source, c,
+            CAST(c AS DOUBLE) * ln(freq.n / CAST(tot.t AS DOUBLE)) AS x
+          FROM cnt JOIN freq USING (token) CROSS JOIN tot),
+        agg AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_tok,
+            list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx
+          FROM terms GROUP BY 1, 2),
+        sc AS (SELECT doc_id, source, n_tok,
+            round(-sx / n_tok / ln(2.0), 6) AS bits_per_token FROM agg),
+        bk AS (SELECT *, ntile(3) OVER (ORDER BY bits_per_token, doc_id)
+            AS tercile FROM sc),
+        keep2 AS (SELECT doc_id, source, n_tok, bits_per_token
+          FROM bk WHERE tercile <= 2),
+        per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens
+          FROM keep2 GROUP BY 1),
+        tt AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tt,
+            list_reduce(list_sort(list(sqrt(CAST(src_tokens AS DOUBLE)))),
+              (a, b) -> a + b) AS sq FROM per),
+        wt AS (SELECT k2.doc_id, k2.source, k2.n_tok, k2.bits_per_token,
+            round((sqrt(CAST(p.src_tokens AS DOUBLE)) / tt.sq)
+              / (p.src_tokens / CAST(tt.tt AS DOUBLE)), 6) AS w
+          FROM keep2 k2 JOIN per p USING (source) CROSS JOIN tt),
+        es AS (SELECT doc_id, source, n_tok, bits_per_token, w,
+            round(-ln((${PortableHash.hexHashSql(
+              "'pp:' || CAST(doc_id AS VARCHAR)")} + 1)
+              / 4294967296.0) / w, 12) AS es_key
+          FROM wt)
+        SELECT doc_id, source, n_tok, bits_per_token, w, es_key
+        FROM es ORDER BY es_key, doc_id LIMIT 60""")),
 
     Q(
       "pipeline_domain_mix",

@@ -558,15 +558,18 @@ object Relational {
 
     Q(
       "window_ntile",
-      "ntile quartiles over a global ordering. NOTE: an unpartitioned " +
-        "window forces all rows through one task — acceptable for a " +
-        "dimension table; at fact scale ntile is computed per partition " +
-        "key or via approx quantiles.",
+      "ntile quartiles over a global ordering, computed at scale by " +
+        "[[Skew.globalNtile]]: range-repartition on the sort key, rank " +
+        "locally per partition, add broadcast per-partition offsets, " +
+        "and reconstruct the SQL-standard tile rule in integer " +
+        "arithmetic — bit-identical to an unpartitioned-window ntile " +
+        "(the DuckDB oracle) with no single-task global sort anywhere " +
+        "in the plan.",
       (s, dir) => {
         val c = Tables.t(s, dir, "customer")
-        c.select(
-            col("c_custkey"),
-            ntile(4).over(Window.orderBy(col("c_acctbal").desc, col("c_custkey"))).cast("int").as("quartile"))
+        Skew.globalNtile(c,
+            Seq(col("c_acctbal").desc, col("c_custkey")), 4, "quartile")
+          .select(col("c_custkey"), col("quartile").cast("int").as("quartile"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey,

@@ -312,7 +312,8 @@ object Similarity {
         "single scan+agg — the dataflow of distributed Oja/power " +
         "methods. Sign-canonicalized (dominant loading positive); " +
         "float-sum ulp noise → rows-only; spec pins unit norm, " +
-        "fixpoint, and variance dominance.",
+        "fixpoint, and variance dominance, and the matmul step " +
+        "dataflow is oracle-checked end to end by sim_pca_step.",
       (s, dir) => {
         val vm = udaf(VectorMean)
         val vws = udaf(VectorWeightedSum)
@@ -380,6 +381,62 @@ object Similarity {
           .orderBy("dim")
       },
       None),
+
+    Q(
+      "sim_pca_step",
+      "One POWER-ITERATION STEP, oracle-checked end to end: " +
+        "y = X'Xv₀ for the deterministic start vector v₀ (the vec_id-0 " +
+        "embedding, read from the table by both engines — the " +
+        "sim_ivf_assign trick), then unit-normalize. This pins the " +
+        "matmul dataflow of sim_pca_power — per-row scale w = x·v (the " +
+        "same codegen'd VecDot sequential fold as the oracle's " +
+        "list_reduce, bit-identical), then per-dimension accumulation " +
+        "— without the float Lloyd-style training loop, which stays " +
+        "rows-only. Determinism at scale WITHOUT a sorted corpus-sized " +
+        "fold: each term x_j·w is quantized to fixed-point longs " +
+        "(scale 2²⁰), so the per-dimension sum is exact integer " +
+        "arithmetic — associative, map-side combined, 64 reduce keys " +
+        "of combiner-sized traffic (the budget holds to ~2²⁹ rows per " +
+        "scale unit: |term| ≤ 2²⁴ · 2²⁰ keeps Σ under 2⁵³; a 100 TB " +
+        "run re-blocks the sum hierarchically). The 64-value " +
+        "normalization fold runs in dimension order on ONE packed row " +
+        "— bit-identical to the oracle's ORDER BY j list_reduce.",
+      (s, dir) => {
+        val sc = 1048576.0 // 2^20 fixed-point scale for exact sums
+        val e = Tables.t(s, dir, "embeddings")
+        val v0 = e.filter(col("vec_id") === 0).select(col("embedding").as("v0"))
+        val ys = e.crossJoin(broadcast(v0))
+          .select(posexplode(col("embedding")).as(Seq("j", "x")),
+            VectorOps.dot(col("embedding"), col("v0")).as("w"))
+          .select(col("j"),
+            floor(col("x").cast("double") * col("w") * sc + 0.5)
+              .cast("long").as("t"))
+          .groupBy("j").agg(sum("t").as("ts"))
+        ys.agg(sort_array(collect_list(struct(col("j"), col("ts")))).as("a"))
+          .select(col("a"), sqrt(aggregate(col("a"), lit(0.0),
+            (acc, st) => acc + (st("ts") / sc) * (st("ts") / sc))).as("nrm"))
+          .select(explode(col("a")).as("e"), col("nrm"))
+          .select(col("e.j").cast("int").as("dim"),
+            round((col("e.ts") / sc) / col("nrm"), 6).as("loading"))
+          .orderBy("dim")
+      },
+      Some(s"""WITH v0 AS (
+          SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+        w AS (SELECT e.vec_id, e.embedding,
+            ${VectorOps.duckDot("e.embedding", "v0.v")} AS w
+          FROM embeddings e CROSS JOIN v0),
+        dims AS (SELECT unnest(range(0, 64)) AS j),
+        terms AS (SELECT d.j,
+            CAST(floor(CAST(w.embedding[CAST(d.j + 1 AS INT)] AS DOUBLE)
+              * w.w * 1048576.0 + 0.5) AS BIGINT) AS t
+          FROM w CROSS JOIN dims d),
+        ys AS (SELECT j, CAST(sum(t) AS BIGINT) AS ts FROM terms GROUP BY 1),
+        nrm AS (SELECT sqrt(list_reduce(
+            list((ts / 1048576.0) * (ts / 1048576.0) ORDER BY j),
+            (a, b) -> a + b)) AS nrm FROM ys)
+        SELECT CAST(j AS INT) AS dim,
+          round((ts / 1048576.0) / nrm.nrm, 6) AS loading
+        FROM ys CROSS JOIN nrm ORDER BY dim""")),
 
     Q(
       "sim_cluster_prune",
@@ -563,11 +620,17 @@ object Similarity {
     * and the element struct may carry extra payload fields. Returns
     * struct(d, c = the winning element). */
   private def nearestByCosine(vec: Column, cs: Column): Column = {
+    // nanvl: a zero-norm input yields NaN cosine, under which every
+    // comparison is false and the fold's result would depend on the
+    // (nondeterministic) packed-centroid order — pinned to -2, below
+    // any real cosine, so such rows deterministically take the lowest
+    // cid and the fold stays order-independent unconditionally
+    def dist(a: Column, b: Column) = nanvl(VectorOps.cosine(a, b), lit(-2.0))
     val c0 = element_at(cs, 1)
     aggregate(cs,
-      struct(VectorOps.cosine(vec, c0.getField("ce")).as("d"), c0.as("c")),
+      struct(dist(vec, c0.getField("ce")).as("d"), c0.as("c")),
       (acc, c) => {
-        val d = VectorOps.cosine(vec, c.getField("ce"))
+        val d = dist(vec, c.getField("ce"))
         when(d > acc.getField("d") ||
             (d === acc.getField("d") &&
               c.getField("cid") < acc.getField("c").getField("cid")),
@@ -584,10 +647,14 @@ object Similarity {
     * bit-identical to the slice form (same elements, same fold order). */
   private def nearestByL2Seg(vec: Column, off: Column, cs: Column, len: Column): Column = {
     import graft.expr.VecDotSeg.vecDotSeg
+    // nanvl as in nearestByL2: keeps the fold order-independent when
+    // an input element is NaN
     def d(ce: Column) =
-      vecDotSeg(vec, vec, off, off, len) -
-        lit(2.0) * vecDotSeg(vec, ce, off, lit(0), len) +
-        VectorOps.normSq(ce)
+      nanvl(
+        vecDotSeg(vec, vec, off, off, len) -
+          lit(2.0) * vecDotSeg(vec, ce, off, lit(0), len) +
+          VectorOps.normSq(ce),
+        lit(Double.MaxValue))
     val c0 = element_at(cs, 1)
     aggregate(cs,
       struct(d(c0.getField("ce")).as("d"), c0.as("c")),
@@ -603,11 +670,15 @@ object Similarity {
   /** [[nearestByCosine]]'s L2 twin: minimizes (d, then cid) — the
     * row_number-over-(d, cid) rank-1 argmin as a shuffle-free fold. */
   private def nearestByL2(sv: Column, cs: Column): Column = {
+    // nanvl: NaN input elements would make every comparison false and
+    // leave the result order-dependent — pinned to MaxValue so such
+    // rows deterministically take the lowest cid (see nearestByCosine)
+    def dist(a: Column, b: Column) = nanvl(l2sq(a, b), lit(Double.MaxValue))
     val c0 = element_at(cs, 1)
     aggregate(cs,
-      struct(l2sq(sv, c0.getField("ce")).as("d"), c0.as("c")),
+      struct(dist(sv, c0.getField("ce")).as("d"), c0.as("c")),
       (acc, c) => {
-        val d = l2sq(sv, c.getField("ce"))
+        val d = dist(sv, c.getField("ce"))
         when(d < acc.getField("d") ||
             (d === acc.getField("d") &&
               c.getField("cid") < acc.getField("c").getField("cid")),

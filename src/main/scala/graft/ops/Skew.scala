@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot join keys: salting. AQE's skew-join handling
@@ -62,4 +63,88 @@ object Skew {
       .drop("__hot")
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Exact integer division a div b for non-negative longs, expressed so
+    * the double division is always exact: the remainder is subtracted
+    * first, so the quotient is integral and correctly-rounded division
+    * returns it bit-exactly (no 3.9999… → 4 truncation hazards). */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Scalable global rank: a total-order 1-based row number WITHOUT an
+    * unpartitioned Window (which funnels every row through one task —
+    * the classic 100 TB scale-killer this repo's QueriesSpec lint bans).
+    *
+    * Dataflow: range-repartition on the sort key (contiguous, ordered
+    * key ranges per partition; no single task ever sees the whole
+    * input), rank locally with a Window PARTITIONED by the physical
+    * partition id, and add each partition's global offset — the prefix
+    * sum of per-partition counts, computed as a numPartitions-row
+    * aggregate (sort_array + higher-order prefix fold, no window at
+    * all) and broadcast back. Three narrow exchanges of the input, all
+    * parallel; the only driver-sized state is the numPartitions-row
+    * offset table. The result is deterministic for a total sort key
+    * even though the range boundaries are sampled: boundaries only move
+    * rows between ordered ranges, never change any row's global rank. */
+  def globalRank(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      numParts: Int = 32,
+      rankCol: String = "__rank",
+      totalCol: Option[String] = None): DataFrame = {
+    val parted = df.repartitionByRange(numParts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    // per-partition counts → (offset, grand total) in ONE tiny aggregate;
+    // the total rides along so callers never re-scan the input for n —
+    // both subtrees below hang off the SAME range exchange (ReuseExchange
+    // dedupes it), so the upstream dataflow is computed once
+    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__pc"))
+      .agg(sort_array(collect_list(struct(col("__pid"), col("__pc")))).as("a"))
+      .select(explode(expr(
+        "transform(a, (x, i) -> struct(x.__pid AS __pid, " +
+          "aggregate(slice(a, 1, i), CAST(0 AS BIGINT), " +
+          "(acc, y) -> acc + y.__pc) AS __off))")).as("o"),
+        expr("aggregate(a, CAST(0 AS BIGINT), (acc, y) -> acc + y.__pc)")
+          .as("__n"))
+      .select(col("o.__pid").as("__pid"), col("o.__off").as("__off"),
+        col("__n"))
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val ranked = parted
+      .withColumn("__lr", row_number().over(w))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankCol, col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__off")
+    totalCol match {
+      case Some(t) => ranked.withColumnRenamed("__n", t)
+      case None => ranked.drop("__n")
+    }
+  }
+
+  /** ntile(k) reconstructed from a global rank: SQL-standard semantics
+    * (first n mod k tiles get floor(n/k)+1 rows, the rest floor(n/k)),
+    * in pure integer Column arithmetic — bit-identical to
+    * ntile(k).over(Window.orderBy(...)) for any total sort order. */
+  private[ops] def ntileFromRank(r: Column, n: Column, k: Int): Column = {
+    val kL = lit(k.toLong)
+    val s = pmod(n, kL) // number of oversized (q+1)-row tiles
+    val q = idiv(n, kL) // base tile size
+    val big = (q + lit(1L)) * s // rows covered by the oversized tiles
+    when(r <= big, idiv(r - lit(1L), q + lit(1L)) + lit(1L))
+      .otherwise(s + idiv(r - big - lit(1L), greatest(q, lit(1L))) + lit(1L))
+  }
+
+  /** Global ntile(k) at scale: [[globalRank]] + [[ntileFromRank]], with
+    * the total row count riding a 1-row broadcast. Output is
+    * bit-identical to the unpartitioned-window ntile, so oracles
+    * written as `ntile(k) OVER (ORDER BY ...)` replay unchanged. */
+  def globalNtile(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      k: Int,
+      outCol: String,
+      numParts: Int = 32): DataFrame =
+    globalRank(df, sortCols, numParts, rankCol = "__r",
+        totalCol = Some("__n"))
+      .withColumn(outCol, ntileFromRank(col("__r"), col("__n"), k))
+      .drop("__r", "__n")
 }

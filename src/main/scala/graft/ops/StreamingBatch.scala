@@ -136,31 +136,25 @@ object StreamingBatch {
         // temp tree per run — while a REGENERATED fixture (file stream
         // sources track seen files by path, so a same-path new file
         // would silently be skipped as already-processed) gets a fresh
-        // sink. The fingerprint is a CONTENT hash — md5 over the first
-        // and last 64 KiB plus the length — so a fixture rewritten with
-        // the same byte length inside the filesystem's mtime
-        // granularity still changes it (mtime-based fingerprints
-        // don't); parquet puts its footer (row counts, column stats)
-        // in the tail block, so any data change moves the hash. Trees
-        // live under a PER-SOURCE-DIR root, and pruning stays inside
+        // sink. The fingerprint is a FULL-content md5, streamed in
+        // 1 MiB chunks — a head/tail+length hash can miss a
+        // same-length edit confined to the middle of the file (parquet
+        // min/max stats need not move), and the fixture is small
+        // enough that hashing it whole costs nothing next to the
+        // streaming query it guards. Trees live under a
+        // PER-SOURCE-DIR root, and pruning stays inside
         // that root: stale content-generations of THIS fixture older
         // than a day are dropped, while another run on a different
         // fixture — whatever its age — is out of reach by construction.
         val srcFile = new java.io.File(path)
         val fp = {
           val md = java.security.MessageDigest.getInstance("MD5")
-          val raf = new java.io.RandomAccessFile(srcFile, "r")
+          val in = new java.io.FileInputStream(srcFile)
           try {
-            val block = 64 * 1024
-            val head = new Array[Byte](math.min(block.toLong, raf.length()).toInt)
-            raf.readFully(head); md.update(head)
-            if (raf.length() > block) {
-              raf.seek(raf.length() - block)
-              val tail = new Array[Byte](block)
-              raf.readFully(tail); md.update(tail)
-            }
-          } finally raf.close()
-          md.update(java.lang.Long.toHexString(srcFile.length()).getBytes)
+            val buf = new Array[Byte](1024 * 1024)
+            var n = in.read(buf)
+            while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
           md.digest().take(8).map("%02x".format(_)).mkString
         }
         val srcRoot = new java.io.File(sys.props("java.io.tmpdir"),
@@ -172,6 +166,16 @@ object StreamingBatch {
         }
         Option(srcRoot.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName != fp &&
+            f.lastModified() < System.currentTimeMillis() - dayMs)
+          .foreach(rmTree)
+        // one-time sweep of the PREVIOUS layout's trees: before the
+        // per-source-dir root, sinks lived at the tmpdir top level as
+        // graft-sinkrt-<dirhash>-<len>-<mtime> — three hex fields; the
+        // per-source roots have one — and nothing prunes them anymore
+        val legacy = "graft-sinkrt-[0-9a-f]+-[0-9a-f]+-[0-9a-f]+".r
+        Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => legacy.matches(f.getName) &&
             f.lastModified() < System.currentTimeMillis() - dayMs)
           .foreach(rmTree)
         val base = java.nio.file.Paths.get(srcRoot.getPath, fp)

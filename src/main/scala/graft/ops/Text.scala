@@ -13,6 +13,12 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * scales (no per-doc driver loops, no collect). */
 object Text {
 
+  /** DSIR model-vocabulary cap: the frequency table text_dsir_weights
+    * broadcasts is at most this many rows regardless of corpus size
+    * (25 keeps the OOV/tail path exercised on the tiny fixture vocab;
+    * a production run freezes 10⁵–10⁶). */
+  private[ops] val DsirVocabK = 25
+
   def defs: Seq[Q] = Seq(
 
     Q(
@@ -691,19 +697,17 @@ object Text {
         "the head / middle / tail tercile of the corpus by its unigram " +
         "bits-per-token (the [[unigramBits]] score text_unigram_logprob " +
         "emits — low = typical text, kept; tail = outliers, reviewed or " +
-        "dropped). The ranked frame is the per-doc SCORE table (three " +
-        "narrow columns), not the corpus — ~20 bytes/doc after the " +
-        "heavy token work has already reduced; ties broken by doc_id " +
-        "so the tercile is total-order deterministic. At extreme scale " +
-        "the exact global ntile becomes two KLL-sketch cutoffs " +
-        "(feat_kll_quantiles is the same library) and a per-row " +
-        "comparison — curation tolerates approximate cut points; here " +
-        "exactness is chosen so DuckDB replays the bucketing bit-for-" +
-        "bit.",
+        "dropped). Ties broken by doc_id so the tercile is total-order " +
+        "deterministic. The tercile is computed by [[Skew.globalNtile]] " +
+        "— range-repartition + partitioned local rank + broadcast " +
+        "per-partition offsets — so NO task ever sorts the whole score " +
+        "table (the unpartitioned-window ntile this query shipped with " +
+        "in round 6 funnels every row through one reducer at 100 TB; " +
+        "the rank reconstruction is bit-identical, so the DuckDB " +
+        "ntile oracle replays unchanged).",
       (s, dir) => {
-        val w = Window.orderBy(col("bits_per_token"), col("doc_id"))
-        unigramBits(s, dir)
-          .withColumn("tercile", ntile(3).over(w))
+        Skew.globalNtile(unigramBits(s, dir),
+            Seq(col("bits_per_token"), col("doc_id")), 3, "tercile")
           .select(col("doc_id"), col("n_tok"), col("bits_per_token"),
             when(col("tercile") === 1, "head")
               .when(col("tercile") === 2, "middle")
@@ -727,28 +731,38 @@ object Text {
         "target) and the raw rest, under add-1-smoothed unigram models " +
         "over the shared vocabulary. Docs scoring high look like the " +
         "target and get upsampled by a downstream weighted sampler " +
-        "(sample_weighted is the companion operator). Dataflow: one " +
-        "tokenize pass; the two (vocabulary-sized) frequency tables " +
-        "broadcast; smoothing constants ride a 1-row cross join; the " +
-        "per-doc double sum is the sorted sequential fold ≡ DuckDB " +
-        "list_sort + list_reduce, so the score is bit-identical under " +
-        "any partial-aggregation order. One keyed shuffle at any " +
-        "corpus size.",
+        "(sample_weighted is the companion operator). The models are " +
+        "fit on a deterministic FIXED-SIZE vocabulary — the top-K " +
+        "tokens by total occurrences, ties broken by token (K=25 here, " +
+        "matching text_oov_rate; production would freeze 10⁵–10⁶) — so " +
+        "the broadcast frequency table is O(K) however large the " +
+        "corpus vocabulary grows (a web-scale unigram vocab is 10⁸+; " +
+        "broadcasting it unbounded was round 6's scale watch-item). " +
+        "Out-of-vocabulary tokens fall to the add-1 floor on both " +
+        "sides, i.e. a constant per-token log ratio — the smoothing " +
+        "absorbs the tail, no per-token state needed. Dataflow: one " +
+        "tokenize pass; ONE token-keyed aggregation yields both slice " +
+        "counts and the vocab ranking (top-K via per-partition heaps, " +
+        "TakeOrderedAndProject — never a vocab-wide sort); smoothing " +
+        "constants ride a 1-row cross join; the per-doc double sum is " +
+        "the sorted sequential fold ≡ DuckDB list_sort + list_reduce, " +
+        "so the score is bit-identical under any partial-aggregation " +
+        "order. One keyed shuffle at any corpus size.",
       (s, dir) => {
         val tok = Tables.t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             explode(split(col("text"), " ")).as("token"))
-        val ft = tok.filter(col("lang") === "en")
-          .groupBy("token").agg(count(lit(1)).as("nt"))
-        val fr = tok.filter(col("lang") =!= "en")
-          .groupBy("token").agg(count(lit(1)).as("nr"))
+        val vocab = tok.groupBy("token").agg(
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+            sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nr"))
+          .orderBy((col("nt") + col("nr")).desc, col("token"))
+          .limit(DsirVocabK)
         val consts = tok.agg(
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
           sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("tr"),
           countDistinct(col("token")).as("v"))
         tok.groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("c"))
-          .join(broadcast(ft), Seq("token"), "left")
-          .join(broadcast(fr), Seq("token"), "left")
+          .join(broadcast(vocab), Seq("token"), "left")
           .crossJoin(broadcast(consts))
           .select(col("doc_id"), col("lang"), col("c"),
             (col("c").cast("double") *
@@ -763,11 +777,17 @@ object Text {
               col("n_tok"), 6).as("log_ratio_per_token"))
           .orderBy("doc_id")
       },
-      Some("""WITH tok AS (
+      Some(s"""WITH tok AS (
           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
           FROM documents),
-        ft AS (SELECT token, count(*) AS nt FROM tok WHERE lang = 'en' GROUP BY 1),
-        fr AS (SELECT token, count(*) AS nr FROM tok WHERE lang <> 'en' GROUP BY 1),
+        tcnt AS (SELECT token,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+            CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nr
+          FROM tok GROUP BY 1),
+        vocab AS (SELECT token, nt, nr FROM (
+            SELECT token, nt, nr,
+              row_number() OVER (ORDER BY nt + nr DESC, token) AS rk
+            FROM tcnt) WHERE rk <= $DsirVocabK),
         consts AS (SELECT
             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt,
             sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS tr,
@@ -777,9 +797,9 @@ object Text {
         terms AS (
           SELECT doc_id, lang, c,
             CAST(c AS DOUBLE) * (
-              ln((coalesce(ft.nt, 0) + 1) / CAST(consts.tt + consts.v AS DOUBLE)) -
-              ln((coalesce(fr.nr, 0) + 1) / CAST(consts.tr + consts.v AS DOUBLE))) AS x
-          FROM cnt LEFT JOIN ft USING (token) LEFT JOIN fr USING (token)
+              ln((coalesce(vb.nt, 0) + 1) / CAST(consts.tt + consts.v AS DOUBLE)) -
+              ln((coalesce(vb.nr, 0) + 1) / CAST(consts.tr + consts.v AS DOUBLE))) AS x
+          FROM cnt LEFT JOIN vocab vb USING (token)
           CROSS JOIN consts),
         agg AS (
           SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tok,

@@ -106,10 +106,9 @@ class QueriesSpec extends SparkSpec {
     // - an empty window partitionSpec funnels the input through ONE
     //   task — acceptable only where the query's own doc justifies it
     //   on a bounded input
-    val allowUnpartitioned = Set(
-      "window_ntile" // global quartiles on the customer dim; the scale
-                     // twin window_ntile_partitioned is the fact shape
-    )
+    // empty since round 7: the last global-ntile queries moved onto
+    // Skew.globalNtile (range-repartitioned rank + broadcast offsets)
+    val allowUnpartitioned = Set.empty[String]
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan
       val cartesian = plan.toString.contains("CartesianProduct")
@@ -120,6 +119,17 @@ class QueriesSpec extends SparkSpec {
         (if (unpartitioned) Seq(s"$name: unpartitioned Window") else Nil)
     }
     assert(offenders.isEmpty, s"plan invariants violated: $offenders")
+  }
+
+  test("README's query counts match the registry (no bookkeeping drift)") {
+    val readme = scala.io.Source.fromFile("README.md", "UTF-8").mkString
+    val m = """(\d+) queries, (\d+) oracle-checked""".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README.md no longer states 'N queries, M oracle-checked'"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"README says ${m.group(1)} queries; registry has ${SparkEntry.queries.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"README says ${m.group(2)} oracle-checked; registry has ${SparkEntry.oracleSql.size}")
   }
 
   test("applyMerge: greedy left-to-right BPE merge semantics") {

@@ -73,10 +73,14 @@ class ScaleSpec extends SparkSpec {
     // means a feature accidentally aggregated
     assert(!planOf("text_quality_logistic").contains("Exchange hashpartitioning"),
       "quality scorer must not shuffle")
-    // DSIR's vocabulary-sized frequency tables and 1-row constants must
-    // broadcast; the corpus-sized (doc, token) table never sort-merges
-    // against them
+    // DSIR's frequency table is CAPPED at DsirVocabK rows — selected by
+    // per-partition heaps (TakeOrderedAndProject, never a vocab-wide
+    // sort) — so the broadcast is O(K) however large the corpus vocab
+    // grows; 1-row constants broadcast too, and the corpus-sized
+    // (doc, token) table never sort-merges against either
     val dsir = planOf("text_dsir_weights")
+    assert(dsir.contains("TakeOrderedAndProject"),
+      "DSIR vocab must be a bounded top-K, not the full vocabulary")
     assert(dsir.contains("BroadcastHashJoin") && dsir.contains("BroadcastNestedLoopJoin"))
     assert(!dsir.contains("SortMergeJoin"))
     // cluster pruning assigns via the broadcast packed-centroid fold
@@ -148,6 +152,34 @@ class ScaleSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("isFinalPlan=true"))
     assert(plan.contains("*("), s"no codegen stage in:\n${plan.take(1500)}")
+  }
+
+  test("globalNtile is bit-identical to unpartitioned ntile; plan has no single-task window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.window.WindowExec
+    // semantics: the SQL-standard tile rule (first n mod k tiles one row
+    // larger) reconstructed from the distributed rank must match the
+    // reference unpartitioned-window ntile for awkward n/k combinations,
+    // duplicate sort values, and a descending key
+    for (n <- Seq(1, 2, 3, 5, 11, 97); k <- Seq(3, 4)) {
+      val df = (1 to n).map(i => (i.toLong, (i * 31 % 7).toLong)).toDF("id", "v")
+      val got = Skew.globalNtile(df, Seq(col("v").desc, col("id")), k, "t", numParts = 5)
+        .select("id", "t").as[(Long, Long)].collect().toMap
+      val want = df.select(col("id"),
+          ntile(k).over(Window.orderBy(col("v").desc, col("id"))).cast("long").as("t"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"n=$n k=$k")
+    }
+    // plan shape: range exchange for the rank, broadcast for the offsets,
+    // and never a Window with an empty partitionSpec
+    val qe = SparkEntry.queries("window_ntile")(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), "rank must range-repartition")
+    assert(plan.contains("BroadcastHashJoin"), "offsets must broadcast-join")
+    assert(qe.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, "globalNtile must not plan an unpartitioned window")
   }
 
   test("salted join equals plain join and spreads the hot key") {
