@@ -234,6 +234,57 @@ object Dedup {
         FROM r GROUP BY node ORDER BY node""")),
 
     Q(
+      "dedup_cluster_stats",
+      "Duplicate-cluster size distribution — the observability report " +
+        "every production dedup run emits before anything is dropped " +
+        "(how much duplication is there, and is it a few giant " +
+        "near-dup families or many small pairs?): the same Jaccard " +
+        "pairs and min-label components as dedup_components, reduced " +
+        "to cluster sizes, then a histogram of sizes with the doc and " +
+        "removable-doc totals per bucket (removable = all but the one " +
+        "survivor each cluster keeps). Two tiny keyed aggregations " +
+        "after the components fixpoint — the stats table is " +
+        "O(distinct cluster sizes) however large the corpus.",
+      (s, dir) => {
+        val stats = ngramJaccardStats(
+          Tables.t(s, dir, "documents").filter(col("doc_id") < 200),
+          hotThreshold = 20)
+        val edges = stats.filter(col("jaccard") >= 0.10)
+          .select(col("d1").as("src"), col("d2").as("dst"))
+        connectedComponents(edges)
+          .groupBy("component").agg(count(lit(1)).as("csize"))
+          .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+          .select(col("csize"), col("n_clusters"),
+            (col("csize") * col("n_clusters")).as("n_docs"),
+            ((col("csize") - 1) * col("n_clusters")).as("n_removable"))
+          .orderBy("csize")
+      },
+      Some("""WITH RECURSIVE
+        w AS (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 200),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words)),
+            i -> words[CAST(i AS INT)] || ' ' || words[CAST(i + 1 AS INT)])) AS shingles FROM w),
+        sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+        e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        p0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (SELECT d1, d2
+          FROM p0 JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.10),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        r(node, lbl) AS (SELECT node, node FROM nodes
+          UNION SELECT e.b, r.lbl FROM edges e JOIN r ON e.a = r.node),
+        comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node),
+        cs AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+          FROM comp GROUP BY 1)
+        SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+          CAST(csize * count(*) AS BIGINT) AS n_docs,
+          CAST((csize - 1) * count(*) AS BIGINT) AS n_removable
+        FROM cs GROUP BY csize ORDER BY csize""")),
+
+    Q(
       "dedup_minhash_lsh",
       "MinHash (32 perms) + LSH banding (8 bands × 4 rows): shingle → " +
         "per-permutation min of an affine-transformed xxhash64 → band " +

@@ -486,6 +486,89 @@ object Pipeline {
           round((1.0 / ns) / (n_tokens / CAST(tt AS DOUBLE)), 6) AS w_uniform,
           round((sqrt(CAST(n_tokens AS DOUBLE)) / sq)
             / (n_tokens / CAST(tt AS DOUBLE)), 6) AS w_temp05
-        FROM per CROSS JOIN tot ORDER BY source"""))
+        FROM per CROSS JOIN tot ORDER BY source""")),
+
+    Q(
+      "pipeline_shard_assign",
+      "Token-balanced shard assignment — the step that splits a " +
+        "prepared corpus into the N output files a dataloader reads: " +
+        "docs ranked by token count (descending, doc_id tie-break) via " +
+        "the scale-safe [[Skew.globalRank]], then dealt serpentine " +
+        "(boustrophedon) across 8 shards — pass p assigns rank " +
+        "positions left-to-right when p is even and right-to-left when " +
+        "odd, the classic LPT-style balance that keeps every shard's " +
+        "token total within one document of its neighbors without any " +
+        "sequential greedy state. Pure integer arithmetic on the rank, " +
+        "so the oracle replays it from row_number(); pos is the " +
+        "within-shard write position (= the pass index). No " +
+        "single-task window anywhere; the ranked frame is two narrow " +
+        "columns however large the corpus.",
+      (s, dir) => {
+        val n = 8L
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        Skew.globalRank(d, Seq(col("n_tok").desc, col("doc_id")),
+            rankCol = "r")
+          .withColumn("pass", Skew.idiv(col("r") - 1, lit(n)))
+          .withColumn("m", pmod(col("r") - 1, lit(n)))
+          .select(col("doc_id"), col("n_tok"),
+            when(pmod(col("pass"), lit(2L)) === 0, col("m"))
+              .otherwise(lit(n - 1) - col("m")).as("shard"),
+            col("pass").as("pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        r AS (SELECT doc_id, n_tok,
+            row_number() OVER (ORDER BY n_tok DESC, doc_id) AS r FROM d)
+        SELECT doc_id, n_tok,
+          CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
+            ELSE 7 - ((r - 1) % 8) END AS BIGINT) AS shard,
+          CAST((r - 1) // 8 AS BIGINT) AS pos
+        FROM r ORDER BY doc_id""")),
+
+    Q(
+      "pipeline_corpus_shuffle",
+      "Deterministic global corpus shuffle + contiguous sharding — the " +
+        "final step before training: every epoch-0 dataloader wants " +
+        "the corpus in a reproducible pseudo-random order, split into " +
+        "N contiguous shard files. Shuffle key = the engine-portable " +
+        "md5 hash of the doc id (replayable; a seeded RNG would not " +
+        "be), global position via [[Skew.globalRank]] (range exchange " +
+        "+ broadcast offsets — no single-task sort), shard = position " +
+        "div ceil(total/N) so each shard file is one contiguous slice " +
+        "of the shuffled sequence, pos = the offset inside it. The " +
+        "total row count rides globalRank's 1-row broadcast — no " +
+        "second corpus scan.",
+      (s, dir) => {
+        val n = 8L
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), PortableHash.hexHash(
+            concat(lit("shuf:"), col("doc_id").cast("string")))
+            .as("shuffle_key"))
+        Skew.globalRank(d, Seq(col("shuffle_key"), col("doc_id")),
+            rankCol = "r", totalCol = Some("total"))
+          .withColumn("cap", Skew.idiv(col("total") + lit(n - 1), lit(n)))
+          .select(col("doc_id"), col("shuffle_key"),
+            Skew.idiv(col("r") - 1, col("cap")).as("shard"),
+            pmod(col("r") - 1, col("cap")).as("pos"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id,
+            ${PortableHash.hexHashSql("'shuf:' || CAST(doc_id AS VARCHAR)")}
+              AS shuffle_key
+          FROM documents),
+        r AS (SELECT doc_id, shuffle_key,
+            row_number() OVER (ORDER BY shuffle_key, doc_id) AS r,
+            count(*) OVER () AS total FROM d),
+        c AS (SELECT *, (total + 7) // 8 AS cap FROM r)
+        SELECT doc_id, shuffle_key,
+          CAST((r - 1) // cap AS BIGINT) AS shard,
+          CAST((r - 1) % cap AS BIGINT) AS pos
+        FROM c ORDER BY doc_id"""))
   )
 }

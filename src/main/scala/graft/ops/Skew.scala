@@ -68,7 +68,7 @@ object Skew {
     * the double division is always exact: the remainder is subtracted
     * first, so the quotient is integral and correctly-rounded division
     * returns it bit-exactly (no 3.9999… → 4 truncation hazards). */
-  private def idiv(a: Column, b: Column): Column =
+  private[ops] def idiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
   /** Scalable global rank: a total-order 1-based row number WITHOUT an

