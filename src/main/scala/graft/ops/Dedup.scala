@@ -285,6 +285,60 @@ object Dedup {
         FROM cs GROUP BY csize ORDER BY csize""")),
 
     Q(
+      "dedup_threshold_sweep",
+      "Threshold-sensitivity sweep — the tuning report run before " +
+        "committing to a near-dup cutoff: candidate pairs from the " +
+        "shared salted shingle stage, bucketed into 0.05-wide Jaccard " +
+        "bands, with per-band pair counts and the cumulative pairs at " +
+        "or above each band (the 'how many pairs would threshold t " +
+        "drop' curve). The band index is floor(20*inter/union) in " +
+        "EXACT integer arithmetic — no float boundary can flip a " +
+        "bucket between engines. The cumulative sum runs over the " +
+        "<=20-row band table packed into ONE row (sorted struct array " +
+        "+ prefix fold — the globalRank offsets pattern), so there is " +
+        "no unpartitioned window and nothing driver-sized anywhere.",
+      (s, dir) => {
+        val stats = ngramJaccardStats(
+          Tables.t(s, dir, "documents").filter(col("doc_id") < 200),
+          hotThreshold = 20)
+        val bands = stats
+          .groupBy(Skew.idiv(col("inter") * 20, col("un")).as("band_idx"))
+          .agg(count(lit(1)).as("n_pairs"))
+        bands
+          .agg(sort_array(collect_list(
+            struct(col("band_idx"), col("n_pairs"))), asc = false).as("a"))
+          .select(explode(expr(
+            "transform(a, (x, i) -> struct(x.band_idx AS band_idx, " +
+              "x.n_pairs AS n_pairs, " +
+              "aggregate(slice(a, 1, i + 1), CAST(0 AS BIGINT), " +
+              "(acc, y) -> acc + y.n_pairs) AS n_at_or_above))")).as("o"))
+          .select((col("o.band_idx") / 20.0).as("band"),
+            col("o.n_pairs").as("n_pairs"),
+            col("o.n_at_or_above").as("n_at_or_above"))
+          .orderBy("band")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id < 200),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words)),
+            i -> words[CAST(i AS INT)] || ' ' || words[CAST(i + 1 AS INT)])) AS shingles FROM w),
+        sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+        e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        p0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        p AS (SELECT CAST(inter AS BIGINT) AS inter,
+            sa.n + sb.n - CAST(inter AS BIGINT) AS un
+          FROM p0 JOIN sizes sa ON sa.doc_id = d1
+          JOIN sizes sb ON sb.doc_id = d2),
+        bands AS (SELECT (inter * 20) // un AS band_idx,
+            CAST(count(*) AS BIGINT) AS n_pairs
+          FROM p GROUP BY 1)
+        SELECT band_idx / 20.0 AS band, n_pairs,
+          CAST(sum(n_pairs) OVER (ORDER BY band_idx DESC) AS BIGINT)
+            AS n_at_or_above
+        FROM bands ORDER BY band""")),
+
+    Q(
       "dedup_minhash_lsh",
       "MinHash (32 perms) + LSH banding (8 bands × 4 rows): shingle → " +
         "per-permutation min of an affine-transformed xxhash64 → band " +

@@ -569,6 +569,55 @@ object Pipeline {
         SELECT doc_id, shuffle_key,
           CAST((r - 1) // cap AS BIGINT) AS shard,
           CAST((r - 1) % cap AS BIGINT) AS pos
-        FROM c ORDER BY doc_id"""))
+        FROM c ORDER BY doc_id""")),
+
+    Q(
+      "pipeline_data_card",
+      "The corpus datasheet (data-card) report a curated release " +
+        "ships with: per (source, lang) cell — with per-source " +
+        "subtotals and the corpus grand total via ROLLUP, one Expand + " +
+        "one hash aggregate, a single shuffle — document and token " +
+        "counts, token share of the whole corpus, mean and max " +
+        "document length in tokens. Token counts come from " +
+        "size(split(...)) in the scan (no explode, no token-level " +
+        "shuffle); the grand-total normalizer rides a 1-row broadcast. " +
+        "The report is O(sources x langs) however large the corpus.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("nt"))
+        val tot = d.agg(sum("nt").as("tt"))
+        d.rollup(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+            max("nt").as("max_tokens"),
+            grouping(col("source")).cast("int").as("g_src"),
+            grouping(col("lang")).cast("int").as("g_lang"))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("lang"), col("n_docs"),
+            col("n_tokens"),
+            round(col("n_tokens") / col("tt").cast("double"), 6)
+              .as("token_share"),
+            round(col("n_tokens") / col("n_docs").cast("double"), 6)
+              .as("mean_tokens"),
+            col("max_tokens"), col("g_src"), col("g_lang"))
+          .orderBy(col("g_src"), col("g_lang"),
+            col("source").asc_nulls_first, col("lang").asc_nulls_first)
+      },
+      Some("""WITH d AS (SELECT source, lang,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+          FROM documents),
+        tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt FROM d)
+        SELECT source, lang, count(*) AS n_docs,
+          CAST(sum(nt) AS BIGINT) AS n_tokens,
+          round(CAST(sum(nt) AS BIGINT) / CAST(tt AS DOUBLE), 6)
+            AS token_share,
+          round(CAST(sum(nt) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+            AS mean_tokens,
+          max(nt) AS max_tokens,
+          CAST(GROUPING(source) AS INT) AS g_src,
+          CAST(GROUPING(lang) AS INT) AS g_lang
+        FROM d CROSS JOIN tot
+        GROUP BY ROLLUP(source, lang), tt
+        ORDER BY g_src, g_lang, source NULLS FIRST, lang NULLS FIRST"""))
   )
 }
