@@ -82,7 +82,8 @@ object Bench {
     "dedup_embedding_lsh", "sim_topk_cosine", "sim_ann_ivf",
     "text_tfidf", "text_bm25_search", "stream_session_gap",
     "etl_date_filter_derive", "graph_pagerank",
-    "pipeline_canonical_dedup", "pipeline_semantic_dedup", "sim_pca_power")
+    "pipeline_canonical_dedup", "pipeline_semantic_dedup", "sim_pca_power",
+    "pipeline_pretrain")
 
   /** Final stdout line: complete JSON, bounded size (tail-capture-safe). */
   def machineLine(results: Map[String, Double], total: Double,

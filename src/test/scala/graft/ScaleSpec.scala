@@ -100,6 +100,33 @@ class ScaleSpec extends SparkSpec {
     assert(cur.contains("BroadcastHashJoin") && !cur.contains("SortMergeJoin"))
   }
 
+  test("sharding/shuffle/report queries keep the globalRank and rollup shapes") {
+    // both sharders rank via globalRank: a range exchange for the
+    // contiguous ordered partitions, broadcast offsets, and never a
+    // sort-merge join of the corpus against the numPartitions-row
+    // offset table (the registry lint already bans the unpartitioned
+    // window alternative)
+    for (q <- Seq("pipeline_shard_assign", "pipeline_corpus_shuffle")) {
+      val p = planOf(q)
+      assert(p.contains("rangepartitioning"), s"$q must range-repartition")
+      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        s"$q offsets must broadcast")
+    }
+    // the data card is ONE Expand + hash aggregation (rollup), with the
+    // grand-total normalizer broadcast as a single row — a token
+    // explode or a sort-merge join would mean the report stopped being
+    // O(cells)
+    val card = planOf("pipeline_data_card")
+    assert(card.contains("Expand"), "rollup must expand grouping sets")
+    assert(!card.contains("Generate"), "data card must not explode tokens")
+    assert(card.contains("BroadcastNestedLoopJoin") &&
+      !card.contains("SortMergeJoin"))
+    // the threshold sweep's cumulative curve folds over ONE packed row —
+    // no window at all in the plan
+    assert(!planOf("dedup_threshold_sweep").contains("Window"),
+      "sweep cumulative must be the packed-row fold, not a window")
+  }
+
   test("reservoir sample and windowed top-k push their limit into the window") {
     // both filter row_number <= k directly above a single window —
     // WindowGroupLimit prunes per-group input instead of ranking
