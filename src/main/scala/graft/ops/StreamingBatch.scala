@@ -180,12 +180,20 @@ object StreamingBatch {
           .foreach(rmTree)
         val base = java.nio.file.Paths.get(srcRoot.getPath, fp)
         val (out, cp) = (s"$base/out", s"$base/cp")
-        val raw = s.read.parquet(path) // schema only (ts as raw ns longs)
+        val raw = s.read.parquet(path) // schema only
         // the file stream source wants a DIRECTORY; glob-filter it down
         // to the events table
-        val q = s.readStream.schema(raw.schema)
+        val stream0 = s.readStream.schema(raw.schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        // same dtype-conditional ts normalization as the batch source:
+        // only a raw ns-long fixture needs the div-to-µs rewrite; a
+        // native timestamp column passes through untouched
+        val stream =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            stream0.withColumn("ts",
+              timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+          else stream0
+        val q = stream
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"), col("value"))
           .writeStream.format("parquet")
