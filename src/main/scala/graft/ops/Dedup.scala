@@ -553,7 +553,61 @@ object Dedup {
         "bit-identical sign), band bucket, candidate pair, and exact-" +
         "cosine verification.",
       (s, dir) => embeddingLsh(Tables.t(s, dir, "embeddings")),
-      Some(embeddingLshOracle))
+      Some(embeddingLshOracle)),
+
+    Q(
+      "dedup_chunk_exact",
+      "Paragraph-level exact dedup WITH document reconstruction — the " +
+        "CCNet/RefinedWeb shape where duplicated passages are stripped " +
+        "but the surviving document text is kept, spelled over " +
+        "non-overlapping 10-token chunks since the fixture has no line " +
+        "structure: each chunk keeps only its globally FIRST occurrence " +
+        "(min (doc_id, position)); every later occurrence — cross-doc " +
+        "boilerplate or an in-doc repeat — is stripped, and each doc " +
+        "re-emits its kept chunks in original order as cleaned text " +
+        "(possibly empty when a doc is pure repetition). Dataflow: one " +
+        "chunk explode → first-occurrence window PARTITIONED BY the " +
+        "chunk text (a hot chunk's partition is its duplicate-cluster " +
+        "size — the dedup_exact_key survivor shape, AQE skew split " +
+        "behind it) → per-doc sorted-fold reassembly (collect_list of " +
+        "kept (pos, chunk), sort_array, array_join — bounded by one " +
+        "document). No corpus-sized rejoin: counts and the rebuilt " +
+        "text ride the same per-doc aggregate.",
+      (s, dir) => {
+        val ch = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .select(col("doc_id"), col("words"),
+            explode(sequence(lit(1), size(col("words")), lit(10))).as("st"))
+          .select(col("doc_id"),
+            (((col("st") - 1) / 10) + 1).cast("int").as("pos"),
+            concat_ws(" ", slice(col("words"), col("st"), lit(10))).as("chunk"))
+        val w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+        ch.withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("rn") === 1, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+            array_join(expr("transform(" +
+              "sort_array(collect_list(CASE WHEN rn = 1 THEN " +
+              "struct(pos, chunk) END)), x -> x.chunk)"), " ").as("cleaned"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        ch AS (
+          SELECT doc_id,
+            CAST((st - 1) / 10 + 1 AS INT) AS pos,
+            array_to_string(words[CAST(st AS INT):CAST(st + 9 AS INT)], ' ') AS chunk
+          FROM (SELECT doc_id, words,
+              unnest(range(1, len(words) + 1, 10)) AS st FROM d)),
+        rk AS (
+          SELECT doc_id, pos, chunk,
+            row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+          FROM ch)
+        SELECT doc_id, count(*) AS n_chunks,
+          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos),
+            '') AS cleaned
+        FROM rk GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[embeddingLsh]]'s candidate scoring, as a CTE

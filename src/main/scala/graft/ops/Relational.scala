@@ -821,6 +821,42 @@ object Relational {
         WHERE l_orderkey IN
           (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         GROUP BY l_returnflag
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    Q(
+      "join_fuzzy_name",
+      "Blocked fuzzy (edit-distance) self-join — the entity-resolution " +
+        "operator: near-matching part-name pairs at Levenshtein ≤ 4. " +
+        "The scale discipline is dedupe-then-compare: pairing runs over " +
+        "the DISTINCT name vocabulary (a hash aggregate collapses the " +
+        "corpus to its value domain FIRST, so a billion rows with a " +
+        "bounded vocabulary never go quadratic), candidates are blocked " +
+        "on the first token (an equi-join — never all-pairs; production " +
+        "would add q-gram or length-band blocking keys the same way), " +
+        "and the codegen'd levenshtein verifies survivors only inside " +
+        "a block. The bounded distinct side is broadcast, so the " +
+        "candidate join is shuffle-free.",
+      (s, dir) => {
+        val names = Tables.t(s, dir, "part")
+          .select(col("p_name").as("name")).distinct()
+          .withColumn("blk", split(col("name"), " ").getItem(0))
+        val right = broadcast(names
+          .select(col("name").as("name_b"), col("blk")))
+        names.select(col("name").as("name_a"), col("blk"))
+          .join(right, Seq("blk"))
+          .filter(col("name_a") < col("name_b"))
+          .withColumn("dist",
+            levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("dist") <= 4)
+          .select(col("name_a"), col("name_b"), col("dist"))
+          .orderBy("name_a", "name_b")
+      },
+      Some("""WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+        b AS (SELECT name, string_split(name, ' ')[1] AS blk FROM n)
+        SELECT a.name AS name_a, c.name AS name_b,
+          CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist
+        FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+        WHERE levenshtein(a.name, c.name) <= 4
+        ORDER BY name_a, name_b"""))
   )
 }

@@ -66,6 +66,42 @@ object Similarity {
         WHERE rk <= 3 ORDER BY qid, rk""")),
 
     Q(
+      "sim_hard_negatives",
+      "Hard-negative mining for contrastive training (the retrieval-" +
+        "training counterpart of sim_knn_per_label): for each of 5 " +
+        "anchor vectors, the top-5 most-similar vectors with a " +
+        "DIFFERENT label — the negatives that sit closest to the " +
+        "decision boundary and carry the most gradient signal. " +
+        "Broadcast anchors, different-label predicate on the join, " +
+        "exact cosine, per-anchor row_number ≤ 5 (WindowGroupLimit — " +
+        "no global sort). At corpus scale the candidate side would be " +
+        "pre-bucketed by ANN (sim_ann_ivf) instead of scanned; the " +
+        "ranking dataflow is identical.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qe"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        e.join(broadcast(qs), col("label") =!= col("qlabel"))
+          .withColumn("cos", VectorOps.cosine(col("embedding"), col("qe")))
+          .withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("rk"), col("vec_id"), col("label"),
+            round(col("cos"), 6).as("cos_sim"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH qs AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+          FROM embeddings WHERE vec_id < 5),
+        sc AS (SELECT qid, vec_id, label, ${VectorOps.duckCosine("embedding", "qe")} AS cos
+          FROM embeddings JOIN qs ON label != qlabel),
+        rk AS (SELECT qid, vec_id, label, cos,
+            CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rk
+          FROM sc)
+        SELECT qid, rk, vec_id, label, round(cos, 6) AS cos_sim FROM rk
+        WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    Q(
       "sim_knn_graph",
       "Full kNN-graph construction: every vector's top-3 cosine " +
         "neighbors, candidates restricted to LSH bucket co-occupants " +

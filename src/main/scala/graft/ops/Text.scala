@@ -466,6 +466,107 @@ object Text {
         ORDER BY bm25 DESC, doc_id LIMIT 20""")),
 
     Q(
+      "text_hybrid_rrf",
+      "Hybrid retrieval via reciprocal-rank fusion (k=60): the BM25 " +
+        "lexical ranking of text_bm25_search fused with the dense " +
+        "cosine ranking against a query embedding (vec_id 0, embeddings " +
+        "joined to documents by id) — the standard two-tower retrieval " +
+        "stack for curation and RAG. Each arm is a bounded top-50 via " +
+        "TakeOrderedAndProject on the ROUNDED score (doc_id tie-break); " +
+        "ranks are then assigned WITHOUT any window — the 50-row list " +
+        "collapses to one sorted array (sort_array ∘ collect_list on " +
+        "(-score, doc_id)) and posexplode re-emits (rank, doc) — the " +
+        "repo's bounded sorted-fold idiom, so the QueriesSpec " +
+        "unpartitioned-window ban holds by construction. Fusion is a " +
+        "full-outer join of two ≤50-row frames (absent rank → 0, " +
+        "contributing nothing); 1/(60+r) sums in fixed written order, " +
+        "so the 6-decimal round is stable. At 100 TB each arm's " +
+        "ranking is the already-scaled operator (BM25 token shuffle / " +
+        "ANN candidates); fusion cost never grows past 2·k rows.",
+      (s, dir) => {
+        val k1 = 1.2
+        val b = 0.75
+        val docs = Tables.t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(dl.agg(round(avg("dl"), 6).as("avgdl")))
+        val qterms = Seq("spark", "merge", "batch")
+        val tf = tok.filter(col("token").isin(qterms: _*))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        val bmTop = tf.join(df_, "token").join(dl, "doc_id").crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+          .withColumn("contrib",
+            col("idf") * (col("tf") * (k1 + 1)) /
+              (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id")
+          .agg(round(aggregate(sort_array(collect_list(col("contrib"))), lit(0.0),
+            (acc, x) => acc + x), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(50)
+        def rankOf(top: DataFrame, scoreCol: String, rankName: String): DataFrame =
+          top.agg(sort_array(collect_list(
+              struct((-col(scoreCol)).as("ns"), col("doc_id")))).as("a"))
+            .select(posexplode(col("a")).as(Seq("p", "x")))
+            .select(col("x.doc_id").as("doc_id"),
+              (col("p") + 1).cast("int").as(rankName))
+        val e = Tables.t(s, dir, "embeddings")
+        val qe = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val cosTop = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qe))
+          .select(col("vec_id").as("doc_id"),
+            round(graft.expr.VectorOps.cosine(col("embedding"), col("qe")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id"))
+          .limit(50)
+        rankOf(bmTop, "bm25", "r_bm")
+          .join(rankOf(cosTop, "cos", "r_cos"), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("r_bm"), lit(0)).as("r_bm"),
+            coalesce(col("r_cos"), lit(0)).as("r_cos"))
+          .withColumn("rrf", round(
+            when(col("r_bm") > 0, lit(1.0) / (lit(60) + col("r_bm"))).otherwise(lit(0.0)) +
+              when(col("r_cos") > 0, lit(1.0) / (lit(60) + col("r_cos"))).otherwise(lit(0.0)),
+            6))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                         (SELECT round(avg(dl), 6) FROM dl) AS avgdl),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN ('spark', 'merge', 'batch') GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT tf.doc_id,
+            ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (tf.tf * (1.2 + 1)) /
+              (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl)) AS contrib
+          FROM tf JOIN df USING (token) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
+        bm AS (SELECT doc_id,
+            round(list_reduce(list_sort(list(contrib)), (a, b) -> a + b), 6) AS bm25
+          FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+        bmr AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r_bm FROM bm),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        cs AS (SELECT vec_id AS doc_id,
+            round(${graft.expr.VectorOps.duckCosine("embedding", "qe")}, 6) AS cos
+          FROM embeddings, q WHERE vec_id != 0
+          ORDER BY cos DESC, doc_id LIMIT 50),
+        csr AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS r_cos FROM cs),
+        f AS (SELECT coalesce(bmr.doc_id, csr.doc_id) AS doc_id,
+            coalesce(r_bm, 0) AS r_bm, coalesce(r_cos, 0) AS r_cos
+          FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id)
+        SELECT doc_id, r_bm, r_cos,
+          round(CASE WHEN r_bm > 0 THEN CAST(1 AS DOUBLE) / (60 + r_bm)
+                     ELSE CAST(0 AS DOUBLE) END +
+                CASE WHEN r_cos > 0 THEN CAST(1 AS DOUBLE) / (60 + r_cos)
+                     ELSE CAST(0 AS DOUBLE) END, 6) AS rrf
+        FROM f ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
+    Q(
       "text_chunking",
       "Document chunking into overlapping token windows (size 8, " +
         "stride 6 — the context-window preparation step of a training " +

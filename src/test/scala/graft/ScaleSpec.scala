@@ -127,6 +127,32 @@ class ScaleSpec extends SparkSpec {
       "sweep cumulative must be the packed-row fold, not a window")
   }
 
+  test("round-9 queries keep their scale shapes (negatives, chunk dedup, fuzzy join, RRF)") {
+    // hard-negative mining: anchors broadcast against the corpus scan,
+    // per-anchor rank pruned by WindowGroupLimit — never a shuffle of
+    // the corpus against 5 rows, never a full per-anchor sort
+    val hn = planOf("sim_hard_negatives")
+    assert(hn.contains("BroadcastNestedLoopJoin") || hn.contains("BroadcastHashJoin"),
+      "anchors must broadcast")
+    assert(!hn.contains("SortMergeJoin"))
+    assert(hn.contains("WindowGroupLimit"), "top-5 must prune per group")
+    // chunk dedup is join-free: one explode, a chunk-keyed window, a
+    // per-doc aggregate — any Join node means a corpus-sized rejoin
+    // crept in
+    val cd = planOf("dedup_chunk_exact")
+    assert(!cd.contains("Join"), s"chunk dedup must not join:\n${cd.take(800)}")
+    // fuzzy join pairs the DISTINCT name vocabulary (hash aggregate
+    // below the join) and broadcasts the bounded side
+    val fz = planOf("join_fuzzy_name")
+    assert(fz.contains("BroadcastHashJoin") && !fz.contains("SortMergeJoin"),
+      "fuzzy candidates must be a broadcast block join")
+    // RRF fusion assigns ranks via the bounded sorted-fold — no Window
+    // node anywhere; each arm bounds itself with TakeOrderedAndProject
+    val rrf = planOf("text_hybrid_rrf")
+    assert(!rrf.contains("Window"), "RRF ranks must be window-free")
+    assert(rrf.contains("TakeOrderedAndProject"), "each arm must top-k at the scan side")
+  }
+
   test("reservoir sample and windowed top-k push their limit into the window") {
     // both filter row_number <= k directly above a single window —
     // WindowGroupLimit prunes per-group input instead of ranking
