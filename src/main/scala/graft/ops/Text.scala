@@ -721,6 +721,45 @@ object Text {
         FROM documents GROUP BY 1 ORDER BY bucket_lo""")),
 
     Q(
+      "text_zipf_fit",
+      "Zipf-law fit over the corpus token-frequency distribution — the " +
+        "data-card diagnostic that flags synthetic or template-heavy " +
+        "corpora (natural text has log(freq) ≈ a + s·log(rank) with " +
+        "s ≈ -1): one token-count aggregation, frequency ranks via the " +
+        "scale-safe Skew.globalRank (range exchange + broadcast " +
+        "offsets — the vocabulary never funnels through one task), " +
+        "then the SQL-standard regression aggregates over (ln rank, " +
+        "ln freq) — constant-size moment buffers, map-side combined, " +
+        "same determinism class as agg_regression (coarse 4/6-decimal " +
+        "rounds over bounded reorder noise).",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+        val freq = tok.groupBy("token").agg(count(lit(1)).as("n"))
+        val ranked = Skew.globalRank(freq,
+          Seq(col("n").desc, col("token")), rankCol = "rank")
+        val y = log(col("n").cast("double"))
+        val x = log(col("rank").cast("double"))
+        ranked.agg(
+          count(lit(1)).as("vocab_size"),
+          round(regr_slope(y, x), 4).as("zipf_slope"),
+          round(regr_intercept(y, x), 4).as("zipf_intercept"),
+          round(regr_r2(y, x), 6).as("r2"))
+      },
+      Some("""WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        freq AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+        rk AS (SELECT n,
+            row_number() OVER (ORDER BY n DESC, token) AS rank FROM freq)
+        SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+          round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+            AS zipf_slope,
+          round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+            AS zipf_intercept,
+          round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS r2
+        FROM rk""")),
+
+    Q(
       "text_fingerprint",
       "Document fingerprinting: content hash (md5/sha256) plus a " +
         "canonical fingerprint over the sorted distinct token set " +

@@ -39,7 +39,12 @@ class DeterminismSpec extends SparkSpec {
       "sim_cluster_prune",
       // per-row ln, no fold — pins that the quantized race key is
       // stable across fan-outs (ordering feeds a limit)
-      "sample_weighted")
+      "sample_weighted",
+      // RRF arms rank ROUNDED scores; fusion must be fan-out stable
+      "text_hybrid_rrf",
+      // moment-buffer regression over (ln rank, ln freq): reorder noise
+      // must stay under the 4/6-decimal rounds (agg_regression class)
+      "text_zipf_fit")
 
   test("float-fold queries are bit-identical under a different shuffle fan-out") {
     // An isolated session over the same context with a different
