@@ -112,6 +112,48 @@ object StreamingBatch {
         WHERE rk <= 2 ORDER BY w_start, rk""")),
 
     Q(
+      "stream_join_batch_equiv",
+      "Batch twin of the stream-stream interval join " +
+        "(streaming/StreamOps.purchaseClickJoin, spec-verified under " +
+        "MemoryStream): every purchase joined to the same user's " +
+        "clicks in the preceding 30 minutes, aggregated per purchase " +
+        "(click count, min/max gap in exact integer µs). The join is " +
+        "an EQUI join on user_id with the time band as a post-filter — " +
+        "the same key+range shape the streaming operator executes " +
+        "against its state store, so this query oracle-pins the " +
+        "streaming semantics DuckDB can replay. One keyed shuffle; " +
+        "per-user fan-out is bounded by the 30-minute window, and " +
+        "AQE's skew split covers a hot user.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .withColumn("eus", Tables.epochUs(col("ts")))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            col("eus").as("p_eus"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("eus").as("c_eus"))
+        p.join(c, Seq("user_id"))
+          .filter(col("c_eus") >= col("p_eus") - lit(1800000000L) &&
+            col("c_eus") <= col("p_eus"))
+          .groupBy("p_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            min(col("p_eus") - col("c_eus")).as("min_gap_us"),
+            max(col("p_eus") - col("c_eus")).as("max_gap_us"))
+          .orderBy("p_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS eus FROM events),
+        p AS (SELECT user_id, event_id AS p_id, eus AS p_eus FROM e
+          WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, eus AS c_eus FROM e WHERE event_type = 'click')
+        SELECT p_id, count(*) AS n_clicks,
+          CAST(min(p_eus - c_eus) AS BIGINT) AS min_gap_us,
+          CAST(max(p_eus - c_eus) AS BIGINT) AS max_gap_us
+        FROM p JOIN c ON p.user_id = c.user_id
+          AND c_eus >= p_eus - 1800000000 AND c_eus <= p_eus
+        GROUP BY p_id ORDER BY p_id""")),
+
+    Q(
       "stream_sink_roundtrip",
       "End-to-end exercise of the checkpointed streaming parquet sink " +
         "(reference A12 in stream form): the events fixture flows " +
