@@ -436,6 +436,74 @@ object Relational {
           ON e.user_id = p.user_id AND e.ts >= p.ts
         ORDER BY e.event_id""")),
 
+    Q(
+      "join_asof_forward",
+      "Forward as-of join (pandas merge_asof direction='forward'): for " +
+        "each event, the EARLIEST purchase at-or-after its own ts by " +
+        "the same user — the mirror of join_asof, as a min over an " +
+        "unbounded-FOLLOWING RANGE frame. Same one-shuffle-on-user_id " +
+        "shape, no self-join; the oracle is an independent correlated " +
+        "min subquery (DuckDB decorrelates it into a join).",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"))
+          .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        e.withColumn("p_ts",
+            min(when(col("event_type") === "purchase", col("ts"))).over(w))
+          .select(col("event_id"), Tables.epochUs(col("p_ts")).as("asof_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id,
+          (SELECT min(epoch_us(CAST(p.ts AS TIMESTAMP))) FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+              AND p.ts >= e.ts) AS asof_us
+        FROM events e ORDER BY e.event_id""")),
+
+    Q(
+      "join_asof_nearest",
+      "Nearest as-of join (pandas merge_asof direction='nearest', ties " +
+        "to the earlier side): each event matched to the purchase " +
+        "closest in time by the same user, in either direction. " +
+        "Composes the backward max-frame and forward min-frame over " +
+        "one exchange+sort on (user_id, ts) — Spark stacks the two " +
+        "frame passes directly on the same sorted partitioning, no " +
+        "second shuffle — then picks the smaller exact-integer µs " +
+        "gap. NULL direction falls back to the other side; tie " +
+        "prefers backward.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val ord = Window.partitionBy("user_id").orderBy(col("ts"))
+        val wb = ord.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = ord.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        val isP = col("event_type") === "purchase"
+        e.withColumn("b_us", Tables.epochUs(max(when(isP, col("ts"))).over(wb)))
+          .withColumn("f_us", Tables.epochUs(min(when(isP, col("ts"))).over(wf)))
+          .withColumn("eus", Tables.epochUs(col("ts")))
+          .select(col("event_id"),
+            when(col("b_us").isNull, col("f_us"))
+              .when(col("f_us").isNull, col("b_us"))
+              .when(col("eus") - col("b_us") <= col("f_us") - col("eus"),
+                col("b_us"))
+              .otherwise(col("f_us")).as("asof_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS eus FROM events),
+        b AS (SELECT event_id, user_id, eus,
+            max(CASE WHEN event_type = 'purchase' THEN eus END)
+              OVER (PARTITION BY user_id ORDER BY eus
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_us,
+            min(CASE WHEN event_type = 'purchase' THEN eus END)
+              OVER (PARTITION BY user_id ORDER BY eus
+                RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_us
+          FROM e)
+        SELECT event_id,
+          CASE WHEN b_us IS NULL THEN f_us
+               WHEN f_us IS NULL THEN b_us
+               WHEN eus - b_us <= f_us - eus THEN b_us
+               ELSE f_us END AS asof_us
+        FROM b ORDER BY event_id""")),
+
     // --------------------------------------------------------------- windows
     Q(
       "window_rank",
