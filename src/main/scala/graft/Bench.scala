@@ -83,7 +83,7 @@ object Bench {
     "text_tfidf", "text_bm25_search", "stream_session_gap",
     "etl_date_filter_derive", "graph_pagerank",
     "pipeline_canonical_dedup", "pipeline_semantic_dedup", "sim_pca_power",
-    "pipeline_pretrain")
+    "pipeline_pretrain", "dedup_chunk_exact", "text_hybrid_rrf")
 
   /** Final stdout line: complete JSON, bounded size (tail-capture-safe). */
   def machineLine(results: Map[String, Double], total: Double,

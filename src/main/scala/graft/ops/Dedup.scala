@@ -573,24 +573,7 @@ object Dedup {
         "kept (pos, chunk), sort_array, array_join — bounded by one " +
         "document). No corpus-sized rejoin: counts and the rebuilt " +
         "text ride the same per-doc aggregate.",
-      (s, dir) => {
-        val ch = Tables.t(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("words"))
-          .select(col("doc_id"), col("words"),
-            explode(sequence(lit(1), size(col("words")), lit(10))).as("st"))
-          .select(col("doc_id"),
-            (((col("st") - 1) / 10) + 1).cast("int").as("pos"),
-            concat_ws(" ", slice(col("words"), col("st"), lit(10))).as("chunk"))
-        val w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-        ch.withColumn("rn", row_number().over(w))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(when(col("rn") === 1, lit(1L)).otherwise(lit(0L))).as("n_kept"),
-            array_join(expr("transform(" +
-              "sort_array(collect_list(CASE WHEN rn = 1 THEN " +
-              "struct(pos, chunk) END)), x -> x.chunk)"), " ").as("cleaned"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => chunkDedup(Tables.t(s, dir, "documents"), 10),
       Some("""WITH d AS (
           SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         ch AS (
@@ -609,6 +592,31 @@ object Dedup {
             '') AS cleaned
         FROM rk GROUP BY doc_id ORDER BY doc_id"""))
   )
+
+  /** Chunk-level exact dedup with document reconstruction (the
+    * dedup_chunk_exact dataflow, factored for property tests): split
+    * each doc into non-overlapping k-token chunks, keep only each
+    * chunk's globally first occurrence (min (doc_id, position)), and
+    * rebuild every document from its kept chunks in original order.
+    * Output: (doc_id, n_chunks, n_kept, cleaned), ordered by doc_id. */
+  def chunkDedup(docs: DataFrame, k: Int): DataFrame = {
+    val ch = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("words"),
+        explode(sequence(lit(1), size(col("words")), lit(k))).as("st"))
+      .select(col("doc_id"),
+        (((col("st") - 1) / k) + 1).cast("int").as("pos"),
+        concat_ws(" ", slice(col("words"), col("st"), lit(k))).as("chunk"))
+    val w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    ch.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(expr("transform(" +
+          "sort_array(collect_list(CASE WHEN rn = 1 THEN " +
+          "struct(pos, chunk) END)), x -> x.chunk)"), " ").as("cleaned"))
+      .orderBy("doc_id")
+  }
 
   /** DuckDB replay of [[embeddingLsh]]'s candidate scoring, as a CTE
     * block ending in `scored(v1, v2, cos)`: regenerates the SAME

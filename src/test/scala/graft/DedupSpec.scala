@@ -164,4 +164,40 @@ class DedupSpec extends SparkSpec {
     assert(out.select("lang", "source", "doc_id").except(expected).count() == 0)
     assert(out.count() == expected.count())
   }
+
+  test("chunkDedup: unique corpus is untouched; duplicates strip; chunks stay globally unique") {
+    // all-unique corpus → reconstruction is the identity
+    val uniq = docsDf(Seq(
+      (1L, (1 to 25).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 13).map(i => s"b$i").mkString(" "))))
+    val u = Dedup.chunkDedup(uniq, 10).collect()
+    assert(u.forall(r => r.getAs[Long]("n_chunks") == r.getAs[Long]("n_kept")))
+    val uniqText = uniq.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(u.forall(r => r.getAs[String]("cleaned") == uniqText(r.getAs[Long]("doc_id"))))
+
+    // an identical later doc strips to empty; the first survives whole
+    val twin = docsDf(Seq(
+      (1L, (1 to 20).map(i => s"c$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"c$i").mkString(" "))))
+    val t = Dedup.chunkDedup(twin, 10).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(t(1L).getAs[Long]("n_kept") == 2 && t(2L).getAs[Long]("n_kept") == 0)
+    assert(t(2L).getAs[String]("cleaned") == "")
+
+    // fixture corpus: every distinct chunk survives exactly once
+    // globally (sum of kept == distinct chunk strings), and kept never
+    // exceeds total
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Dedup.chunkDedup(docs, 10)
+    val kept = out.agg(sum("n_kept")).collect().head.getLong(0)
+    val distinctChunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "transform(sequence(1, size(w), 10), st -> " +
+          "concat_ws(' ', slice(w, st, 10)))")).as("chunk"))
+      .distinct().count()
+    assert(kept == distinctChunks,
+      s"kept=$kept distinct=$distinctChunks — a chunk was kept twice or lost")
+    assert(out.filter(col("n_kept") > col("n_chunks")).isEmpty)
+  }
 }
