@@ -127,6 +127,26 @@ class ScaleSpec extends SparkSpec {
       "sweep cumulative must be the packed-row fold, not a window")
   }
 
+  test("parquet aggregate pushdown: count/min/max answered from footer metadata") {
+    // at 100 TB a data-card COUNT(*)/MIN/MAX over a table should read
+    // row-group footers, not data pages — the v2 parquet scan pushes
+    // whole aggregates when enabled (no group-by, count(*)/min/max
+    // only); pin both the plan marker and result equality
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    alt.conf.set("spark.sql.sources.useV1SourceList", "")
+    val agged = alt.read.parquet(s"$sfDir/orders.parquet")
+      .agg(count("*").as("n"), min("o_totalprice").as("lo"),
+        max("o_totalprice").as("hi"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*), MIN(o_totalprice), MAX(o_totalprice)]"),
+      s"aggregates not pushed to the parquet footer scan:\n${plan.take(1500)}")
+    val expected = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(count(lit(1)), min("o_totalprice"), max("o_totalprice"))
+      .collect().head
+    assert(agged.collect().head == expected, "footer-answered aggregate differs")
+  }
+
   test("round-9 queries keep their scale shapes (negatives, chunk dedup, fuzzy join, RRF)") {
     // hard-negative mining: anchors broadcast against the corpus scan,
     // per-anchor rank pruned by WindowGroupLimit — never a shuffle of
