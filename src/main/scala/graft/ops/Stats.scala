@@ -143,6 +143,53 @@ object Stats {
         FROM orders""")),
 
     Q(
+      "profile_constraints",
+      "Declarative data-validation constraints (the Deequ shape — the " +
+        "quality gate an ingest or training pipeline evaluates before " +
+        "shipping a corpus): completeness, key uniqueness, a value " +
+        "range, and domain membership, each reported as (constraint, " +
+        "metric, pass). ALL metrics come out of ONE aggregation pass " +
+        "over the table (constant-size buffers, map-side combined); " +
+        "the per-constraint rows are a stack() over that single " +
+        "broadcastable row — adding a constraint never adds a scan. " +
+        "Metrics are exact integer ratios rounded once at the end.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val m = d.agg(
+          count(lit(1)).as("n"),
+          count(col("text")).as("n_text"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          sum(when(col("n_chars") >= 0, lit(1L)).otherwise(lit(0L))).as("n_chars_ok"),
+          sum(when(col("lang").isin("en", "fr", "de", "es"), lit(1L))
+            .otherwise(lit(0L))).as("n_lang_ok"))
+        m.select(expr(
+            "stack(4," +
+              "'completeness_text', n_text, " +
+              "'uniqueness_doc_id', n_ids, " +
+              "'range_n_chars_nonneg', n_chars_ok, " +
+              "'membership_lang', n_lang_ok) AS (check_name, hits)"),
+            col("n"))
+          .select(col("check_name"),
+            round(col("hits").cast("double") / col("n"), 6).as("metric"),
+            (col("hits") === col("n")).as("pass"))
+          .orderBy("check_name")
+      },
+      Some("""WITH m AS (SELECT count(*) AS n,
+            count(text) AS n_text,
+            count(DISTINCT doc_id) AS n_ids,
+            CAST(sum(CASE WHEN n_chars >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_ok,
+            CAST(sum(CASE WHEN lang IN ('en','fr','de','es') THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok
+          FROM documents),
+        s AS (
+          SELECT 'completeness_text' AS check_name, n_text AS hits, n FROM m
+          UNION ALL SELECT 'uniqueness_doc_id', n_ids, n FROM m
+          UNION ALL SELECT 'range_n_chars_nonneg', n_chars_ok, n FROM m
+          UNION ALL SELECT 'membership_lang', n_lang_ok, n FROM m)
+        SELECT check_name, round(CAST(hits AS DOUBLE) / n, 6) AS metric,
+          hits = n AS pass
+        FROM s ORDER BY check_name""")),
+
+    Q(
       "agg_hll_sketch",
       "Re-aggregatable distinct-count sketches (DataSketches HLL): " +
         "per-group hll_sketch_agg → estimate, plus the roll-up " +
