@@ -236,7 +236,72 @@ object Graph {
           coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg,
           coalesce(out_w, 0) AS out_w, coalesce(in_w, 0) AS in_w
         FROM o FULL OUTER JOIN i ON o.node = i.node
-        ORDER BY node"""))
+        ORDER BY node""")),
+
+    Q(
+      "graph_label_prop",
+      "Community detection by synchronous weighted label propagation " +
+        "(3 unrolled rounds, labels initialized to node ids): each " +
+        "round a node adopts the label carrying the largest total " +
+        "out-edge weight among its successors (ties to the smaller " +
+        "label; a node with no out-edges keeps its own). Per round: " +
+        "ONE node-keyed equi-join (edges ⋈ labels on dst), a (src, " +
+        "label) weight aggregation, and a WindowGroupLimit argmax " +
+        "partitioned by src — the same shuffle shape as a PageRank " +
+        "step, so it scales identically. Edge weights are integer " +
+        "counts in doubles, so the weight sums are exact and the " +
+        "argmax is deterministic. The oracle unrolls the identical " +
+        "three rounds as chained CTEs.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nodes = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("id"))
+          .localCheckpoint(true)
+        val edges = tradeEdges(s, dir)
+          .select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst"), col("w"))
+          .localCheckpoint(true)
+        var labels = nodes.withColumn("lbl", col("id"))
+        for (_ <- 1 to 3) {
+          val w = Window.partitionBy("src").orderBy(col("tw").desc, col("lbl"))
+          val best = edges.join(labels.select(col("id"), col("lbl")),
+              edges("dst") === col("id"))
+            .groupBy("src", "lbl").agg(sum("w").as("tw"))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(col("src").as("id"), col("lbl").as("new_lbl"))
+          labels = labels.join(best, Seq("id"), "left")
+            .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+            .localCheckpoint(true)
+        }
+        labels.select(col("id"), col("lbl").as("community")).orderBy("id")
+      },
+      Some {
+        val rounds = (1 to 3).map { k =>
+          s"""u$k AS (SELECT e.src, l.lbl, sum(e.w) AS tw
+              FROM e JOIN l${k - 1} l ON l.id = e.dst GROUP BY 1, 2),
+            p$k AS (SELECT src, lbl,
+                row_number() OVER (PARTITION BY src ORDER BY tw DESC, lbl) AS rk
+              FROM u$k),
+            l$k AS (SELECT prev.id, coalesce(b.lbl, prev.lbl) AS lbl
+              FROM l${k - 1} prev
+              LEFT JOIN (SELECT src, lbl FROM p$k WHERE rk = 1) b
+                ON b.src = prev.id)"""
+        }.mkString(",\n")
+        s"""WITH e AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+              CAST(s.s_nationkey AS BIGINT) AS dst,
+              CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+          l0 AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+              CAST(n_nationkey AS BIGINT) AS lbl FROM nation),
+          $rounds
+          SELECT id, lbl AS community FROM l3 ORDER BY id"""
+      })
   )
 
   /** Per-node triangle counts from canonical undirected edges (a < b,
