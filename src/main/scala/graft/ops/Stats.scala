@@ -190,6 +190,34 @@ object Stats {
         FROM s ORDER BY check_name""")),
 
     Q(
+      "profile_k_anonymity",
+      "k-anonymity audit over quasi-identifiers (nation × market " +
+        "segment) — the re-identification risk check a privacy review " +
+        "runs before a dataset ships, complementing text_pii_redact's " +
+        "content-level scrub: the minimum equivalence-class size, " +
+        "class count, and how many classes/rows fall below k=5. Two " +
+        "chained aggregations (keyed group-by, then a 1-row reduce) — " +
+        "the shuffle carries one row per equivalence class, never the " +
+        "table.",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        c.groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("k"))
+          .agg(
+            min("k").as("k_min"),
+            count(lit(1)).as("n_classes"),
+            sum(when(col("k") < 5, lit(1L)).otherwise(lit(0L))).as("n_small_classes"),
+            sum(when(col("k") < 5, col("k")).otherwise(lit(0L))).as("n_rows_at_risk"))
+      },
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS k
+          FROM customer GROUP BY 1, 2)
+        SELECT CAST(min(k) AS BIGINT) AS k_min,
+          count(*) AS n_classes,
+          CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+          CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+        FROM g""")),
+
+    Q(
       "agg_hll_sketch",
       "Re-aggregatable distinct-count sketches (DataSketches HLL): " +
         "per-group hll_sketch_agg → estimate, plus the roll-up " +
