@@ -169,6 +169,68 @@ object Analytics {
                  THEN t_type ELSE 'none' END AS channel,
           count(*) AS n_purchases, round(sum(value), 2) AS revenue
         FROM nav WHERE event_type = 'purchase'
-        GROUP BY 1 ORDER BY channel"""))
+        GROUP BY 1 ORDER BY channel""")),
+
+    Q(
+      "analytics_rfm",
+      "RFM user segmentation — recency (days since last purchase, " +
+        "exact integer µs arithmetic against the corpus max), " +
+        "frequency (purchase count), monetary (2-decimal revenue sum), " +
+        "each scored into quartiles via the scale-safe Skew.globalNtile " +
+        "(range exchange + broadcast offsets; three rank passes over " +
+        "the per-user frame, never a single-task window) and " +
+        "concatenated into the segment code. The per-user frame is one " +
+        "keyed aggregation of the event stream; the reference ts rides " +
+        "a 1-row broadcast. Quartile ranks sort on the ROUNDED " +
+        "monetary with user_id tie-breaks, so the scores are " +
+        "deterministic under any fan-out.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .withColumn("eus", Tables.epochUs(col("ts")))
+        val refTs = e.agg(max("eus").as("ref_eus"))
+        val per = e.groupBy("user_id")
+          .agg(max("eus").as("last_eus"),
+            count(lit(1)).as("frequency"),
+            round(sum("value"), 2).as("monetary"))
+          .crossJoin(broadcast(refTs))
+          .select(col("user_id"),
+            Skew.idiv(col("ref_eus") - col("last_eus"), lit(86400000000L))
+              .as("recency_days"),
+            col("frequency"), col("monetary"))
+        val r = Skew.globalNtile(per,
+          Seq(col("recency_days"), col("user_id")), 4, "r_score")
+        val rf = Skew.globalNtile(r,
+          Seq(col("frequency").desc, col("user_id")), 4, "f_score")
+        val rfm = Skew.globalNtile(rf,
+          Seq(col("monetary").desc, col("user_id")), 4, "m_score")
+        rfm.select(col("user_id"), col("recency_days"), col("frequency"),
+            col("monetary"),
+            col("r_score").cast("int").as("r_score"),
+            col("f_score").cast("int").as("f_score"),
+            col("m_score").cast("int").as("m_score"),
+            concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT user_id, value,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+          FROM events WHERE event_type = 'purchase'),
+        ref AS (SELECT max(eus) AS ref_eus FROM p),
+        per AS (SELECT user_id,
+            CAST((ref_eus - max(eus)) // 86400000000 AS BIGINT) AS recency_days,
+            count(*) AS frequency,
+            round(sum(value), 2) AS monetary
+          FROM p CROSS JOIN ref GROUP BY user_id, ref_eus),
+        sc AS (SELECT *,
+            ntile(4) OVER (ORDER BY recency_days, user_id) AS r_score,
+            ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+            ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+          FROM per)
+        SELECT user_id, recency_days, frequency, monetary,
+          CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+          CAST(m_score AS INT) AS m_score,
+          CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+            CAST(m_score AS VARCHAR) AS segment
+        FROM sc ORDER BY user_id"""))
   )
 }
