@@ -566,13 +566,14 @@ object Dedup {
         "boilerplate or an in-doc repeat — is stripped, and each doc " +
         "re-emits its kept chunks in original order as cleaned text " +
         "(possibly empty when a doc is pure repetition). Dataflow: one " +
-        "chunk explode → first-occurrence window PARTITIONED BY the " +
-        "chunk text (a hot chunk's partition is its duplicate-cluster " +
-        "size — the dedup_exact_key survivor shape, AQE skew split " +
-        "behind it) → per-doc sorted-fold reassembly (collect_list of " +
-        "kept (pos, chunk), sort_array, array_join — bounded by one " +
-        "document). No corpus-sized rejoin: counts and the rebuilt " +
-        "text ride the same per-doc aggregate.",
+        "chunk explode → per-chunk min((doc_id, pos)) as a MAP-SIDE-" +
+        "COMBINED aggregate joined back on the chunk key (deliberately " +
+        "NOT a chunk-partitioned window: a boilerplate chunk's " +
+        "duplicate cluster can be a billion rows, and the min combines " +
+        "to one row per chunk before the shuffle while AQE splits the " +
+        "hot probe partitions) → per-doc sorted-fold reassembly " +
+        "(collect_list of kept (pos, chunk), sort_array, array_join — " +
+        "bounded by one document).",
       (s, dir) => chunkDedup(Tables.t(s, dir, "documents"), 10),
       Some("""WITH d AS (
           SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -607,13 +608,23 @@ object Dedup {
       .select(col("doc_id"),
         (((col("st") - 1) / k) + 1).cast("int").as("pos"),
         concat_ws(" ", slice(col("words"), col("st"), lit(k))).as("chunk"))
-    val w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-    ch.withColumn("rn", row_number().over(w))
+    // first occurrence per chunk as a MAP-SIDE-COMBINABLE min aggregate
+    // (lexicographic struct min), joined back chunk-keyed — NOT a
+    // window partitioned by chunk: a boilerplate chunk's duplicate
+    // cluster can be a billion rows at corpus scale, and a window
+    // funnels the whole cluster through one task, while the min
+    // combines to one row per chunk before the shuffle and the probe
+    // side of the join splits under AQE skew handling
+    val first = ch.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    ch.join(first, Seq("chunk"))
+      .withColumn("kept",
+        col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("rn") === 1, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
         array_join(expr("transform(" +
-          "sort_array(collect_list(CASE WHEN rn = 1 THEN " +
+          "sort_array(collect_list(CASE WHEN kept THEN " +
           "struct(pos, chunk) END)), x -> x.chunk)"), " ").as("cleaned"))
       .orderBy("doc_id")
   }

@@ -156,11 +156,14 @@ class ScaleSpec extends SparkSpec {
       "anchors must broadcast")
     assert(!hn.contains("SortMergeJoin"))
     assert(hn.contains("WindowGroupLimit"), "top-5 must prune per group")
-    // chunk dedup is join-free: one explode, a chunk-keyed window, a
-    // per-doc aggregate — any Join node means a corpus-sized rejoin
-    // crept in
+    // chunk dedup finds first occurrences with a map-side-combined min
+    // aggregate joined back on the chunk key — never a chunk-keyed
+    // window (a hot chunk's duplicate cluster would funnel through one
+    // task; the min combines before the shuffle instead)
     val cd = planOf("dedup_chunk_exact")
-    assert(!cd.contains("Join"), s"chunk dedup must not join:\n${cd.take(800)}")
+    assert(!cd.contains("Window"), s"chunk dedup must not window:\n${cd.take(800)}")
+    assert(cd.contains("partial_min") || cd.contains("HashAggregate"),
+      "first-occurrence must be an aggregate (map-side combinable)")
     // fuzzy join pairs the DISTINCT name vocabulary (hash aggregate
     // below the join) and broadcasts the bounded side
     val fz = planOf("join_fuzzy_name")
