@@ -246,12 +246,13 @@ object Graph {
         "out-edge weight among its successors (ties to the smaller " +
         "label; a node with no out-edges keeps its own). Per round: " +
         "ONE node-keyed equi-join (edges ⋈ labels on dst), a (src, " +
-        "label) weight aggregation, and a WindowGroupLimit argmax " +
-        "partitioned by src — the same shuffle shape as a PageRank " +
-        "step, so it scales identically. Edge weights are integer " +
-        "counts in doubles, so the weight sums are exact and the " +
-        "argmax is deterministic. The oracle unrolls the identical " +
-        "three rounds as chained CTEs.",
+        "label) weight aggregation, then the per-src argmax as a " +
+        "lexicographic struct MIN — map-side combinable, so a " +
+        "celebrity node reduces before the shuffle instead of " +
+        "buffering its full degree in one window task. Edge weights " +
+        "are integer counts in doubles, so the weight sums are exact " +
+        "and the argmax is deterministic. The oracle unrolls the " +
+        "identical three rounds as chained CTEs.",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val nodes = Tables.t(s, dir, "nation")
@@ -263,13 +264,17 @@ object Graph {
           .localCheckpoint(true)
         var labels = nodes.withColumn("lbl", col("id"))
         for (_ <- 1 to 3) {
-          val w = Window.partitionBy("src").orderBy(col("tw").desc, col("lbl"))
+          // argmax by (tw DESC, lbl ASC) as a lexicographic struct MIN —
+          // map-side combinable, so a celebrity node's (src, lbl) rows
+          // reduce before the shuffle; a row_number window partitioned
+          // by src would buffer the full degree in one task instead
+          // (-tw is exact: integer-count weights in doubles)
           val best = edges.join(labels.select(col("id"), col("lbl")),
               edges("dst") === col("id"))
             .groupBy("src", "lbl").agg(sum("w").as("tw"))
-            .withColumn("rk", row_number().over(w))
-            .filter(col("rk") === 1)
-            .select(col("src").as("id"), col("lbl").as("new_lbl"))
+            .groupBy("src")
+            .agg(min(struct((-col("tw")).as("nt"), col("lbl"))).as("b"))
+            .select(col("src").as("id"), col("b.lbl").as("new_lbl"))
           labels = labels.join(best, Seq("id"), "left")
             .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
             .localCheckpoint(true)
