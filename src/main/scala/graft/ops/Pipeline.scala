@@ -94,6 +94,35 @@ object Pipeline {
         GROUP BY lang, split ORDER BY lang, split""")),
 
     Q(
+      "pipeline_kfold",
+      "Deterministic k-fold assignment (k=5) for cross-validation: " +
+        "fold = portable 32-bit hash of the doc id mod k — " +
+        "reproducible across engines, runs, and cluster sizes, and " +
+        "disjoint/exhaustive by construction (every doc lands in " +
+        "exactly one fold; a seeded RNG guarantees neither). Reports " +
+        "per-fold document and character counts — one scan, one " +
+        "keyed aggregation.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        d.select(
+            (pmod(PortableHash.hexHash(
+              concat(lit("kf:"), col("doc_id").cast("string"))), lit(5L)) + 1)
+              .as("fold"),
+            col("n_chars"))
+          .groupBy("fold")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("n_chars"))
+          .orderBy("fold")
+      },
+      Some(s"""SELECT fold, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM (SELECT
+            ${PortableHash.hexHashSql("'kf:' || CAST(doc_id AS VARCHAR)")} % 5 + 1 AS fold,
+            n_chars
+          FROM documents)
+        GROUP BY fold ORDER BY fold""")),
+
+    Q(
       "pipeline_canonical_dedup",
       "Near-dup canonicalization end-to-end: Jaccard candidate pairs → " +
         "connected components → ONE survivor per cluster by quality " +
