@@ -306,7 +306,90 @@ object Graph {
               CAST(n_nationkey AS BIGINT) AS lbl FROM nation),
           $rounds
           SELECT id, lbl AS community FROM l3 ORDER BY id"""
-      })
+      }),
+
+    Q(
+      "graph_shortest_path",
+      "Single-source BFS hop distance from nation 0 over the directed " +
+        "trade graph, as 4 unrolled rounds of min-distance relaxation " +
+        "(Bellman-Ford on hop count — the bulk-synchronous form every " +
+        "distributed graph engine runs): each round joins the current " +
+        "distance table to the edges on the source key (node-keyed " +
+        "equi-join), unions in the existing distances, and takes the " +
+        "per-node MIN — map-side combinable, so a high-in-degree hub " +
+        "reduces before the shuffle. Distances only ever shrink, so " +
+        "extra rounds past convergence are no-ops and the unroll " +
+        "count is a latency knob, not a correctness one. The oracle " +
+        "unrolls the identical rounds as chained CTEs.",
+      (s, dir) => {
+        val edges = tradeEdges(s, dir)
+          .filter(col("src") =!= col("dst"))
+          .select(col("src").cast("long"), col("dst").cast("long"))
+          .distinct()
+          .localCheckpoint(true)
+        var dist = edges.sparkSession.range(1)
+          .select(lit(0L).as("id"), lit(0L).as("dist"))
+        for (_ <- 1 to 4) {
+          val relaxed = dist.join(edges, dist("id") === edges("src"))
+            .select(col("dst").as("id"), (col("dist") + 1).as("d"))
+          dist = dist.select(col("id"), col("dist").as("d"))
+            .union(relaxed)
+            .groupBy("id").agg(min("d").as("dist"))
+            .localCheckpoint(true)
+        }
+        dist.orderBy("id")
+      },
+      Some {
+        val rounds = (1 to 4).map { k =>
+          s"""d$k AS (SELECT id, min(d) AS dist FROM (
+              SELECT id, dist AS d FROM d${k - 1}
+              UNION ALL
+              SELECT e.dst AS id, p.dist + 1 AS d
+              FROM d${k - 1} p JOIN e ON e.src = p.id) GROUP BY id)"""
+        }.mkString(",\n")
+        s"""WITH te AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+              CAST(s.s_nationkey AS BIGINT) AS dst
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+          e AS (SELECT DISTINCT src, dst FROM te WHERE src <> dst),
+          d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+          $rounds
+          SELECT id, dist FROM d4 ORDER BY id"""
+      }),
+
+    Q(
+      "graph_copurchase",
+      "Item co-occurrence graph (co-purchase): part pairs appearing in " +
+        "the same order, counted across orders — the association edge " +
+        "list behind recommenders and query-expansion corpora. ONE " +
+        "self-equi-join on the order key (hash-partitionable; never " +
+        "all-pairs over the catalog) with the a < b orientation so each " +
+        "pair materializes once; fan-out per order is C(items,2), " +
+        "bounded by the order-size cap (7 lines in TPC-H), so the " +
+        "join's output is linear in orders at any scale. Pair counts " +
+        "reduce map-side; the top-50 plans TakeOrderedAndProject, " +
+        "never a global sort.",
+      (s, dir) => {
+        val op = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        op.as("x").join(op.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+          .limit(50)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem)
+          SELECT x.pk AS part_a, y.pk AS part_b, count(*) AS n_orders
+          FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+          GROUP BY 1, 2
+          ORDER BY n_orders DESC, part_a, part_b LIMIT 50"""))
   )
 
   /** Per-node triangle counts from canonical undirected edges (a < b,
