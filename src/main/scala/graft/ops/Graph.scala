@@ -389,7 +389,76 @@ object Graph {
           SELECT x.pk AS part_a, y.pk AS part_b, count(*) AS n_orders
           FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
           GROUP BY 1, 2
-          ORDER BY n_orders DESC, part_a, part_b LIMIT 50"""))
+          ORDER BY n_orders DESC, part_a, part_b LIMIT 50""")),
+
+    Q(
+      "graph_kcore",
+      "k-core decomposition (k=3, 4 unrolled peeling rounds) of the " +
+        "strong-trade graph (edges at or above the global mean weight " +
+        "— the same scale-relative sparsifier as " +
+        "graph_jaccard_neighbors). Each round: degrees via a map-side-" +
+        "combinable count over both endpoint lists, survivors filtered " +
+        "by the HAVING, then TWO left-semi joins prune edges to " +
+        "surviving endpoints — every step a node-keyed equi-join or " +
+        "hash agg, no all-pairs. Peeling is monotone (removed nodes " +
+        "never return), so extra rounds past the fixpoint are no-ops. " +
+        "Output: surviving nodes with their in-core degree. The " +
+        "oracle unrolls the identical rounds as chained CTEs.",
+      (s, dir) => {
+        val e = tradeEdges(s, dir).filter(col("src") =!= col("dst"))
+          .localCheckpoint(true)
+        val aw = e.agg(avg(col("w")).as("aw"))
+        var und = e.crossJoin(broadcast(aw)).filter(col("w") >= col("aw"))
+          .select(least(col("src"), col("dst")).cast("long").as("a"),
+            greatest(col("src"), col("dst")).cast("long").as("b"))
+          .distinct()
+          .localCheckpoint(true)
+        for (_ <- 1 to 4) {
+          val adj = und.select(col("a").as("node"))
+            .union(und.select(col("b").as("node")))
+          val keep = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 3).select("node")
+            .localCheckpoint(true)
+          und = und
+            .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+            .localCheckpoint(true)
+        }
+        und.select(col("a").as("node"))
+          .union(und.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("core_deg"))
+          .orderBy("node")
+      },
+      Some {
+        // each round references the previous round's edge set three
+        // times — MATERIALIZED stops DuckDB inlining the chain into an
+        // exponential 3^rounds expansion of the upstream star join
+        val rounds = (1 to 4).map { k =>
+          s"""adj$k AS MATERIALIZED (SELECT a AS node FROM s${k - 1}
+              UNION ALL SELECT b FROM s${k - 1}),
+            keep$k AS MATERIALIZED (SELECT node FROM adj$k
+              GROUP BY node HAVING count(*) >= 3),
+            s$k AS MATERIALIZED (SELECT a, b FROM s${k - 1}
+              WHERE a IN (SELECT node FROM keep$k)
+                AND b IN (SELECT node FROM keep$k))"""
+        }.mkString(",\n")
+        s"""WITH te AS MATERIALIZED (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+              CAST(s.s_nationkey AS BIGINT) AS dst,
+              CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+          ne AS MATERIALIZED (SELECT * FROM te WHERE src <> dst),
+          s0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM ne WHERE w >= (SELECT avg(w) FROM ne)),
+          $rounds
+          SELECT node, count(*) AS core_deg FROM (
+            SELECT a AS node FROM s4 UNION ALL SELECT b FROM s4)
+          GROUP BY node ORDER BY node"""
+      })
   )
 
   /** Per-node triangle counts from canonical undirected edges (a < b,

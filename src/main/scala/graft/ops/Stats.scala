@@ -22,6 +22,46 @@ object Stats {
   def defs: Seq[Q] = Seq(
 
     Q(
+      "agg_weighted_median",
+      "Exact weighted median per group (price weighted by quantity): " +
+        "pre-aggregate to (group, value) with summed weights — a " +
+        "map-side-combinable hash agg that shrinks the window input " +
+        "to distinct values per group — then one cumulative-sum " +
+        "window over the reduced table picks the smallest value whose " +
+        "cumulative weight reaches half the total. Weights are " +
+        "integer-valued doubles, so the running sums are exact and " +
+        "the threshold comparison is deterministic in both engines. " +
+        "For groups whose distinct-value set is itself huge at 100 TB, " +
+        "the in-repo KLL sketch (agg_kll_quantiles) is the approximate " +
+        "path; this is the exact one.",
+      (s, dir) => {
+        val w = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            col("l_extendedprice").as("price"))
+          .agg(sum("l_quantity").as("wt"))
+        val cum = Window.partitionBy("l_returnflag", "l_linestatus")
+          .orderBy("price")
+        val tot = Window.partitionBy("l_returnflag", "l_linestatus")
+        w.withColumn("cw", sum("wt").over(cum))
+          .withColumn("tw", sum("wt").over(tot))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(min("price").as("w_median"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""WITH w AS (SELECT l_returnflag, l_linestatus,
+            l_extendedprice AS price, sum(l_quantity) AS wt
+          FROM lineitem GROUP BY 1, 2, 3),
+        c AS (SELECT l_returnflag, l_linestatus, price,
+            sum(wt) OVER (PARTITION BY l_returnflag, l_linestatus
+              ORDER BY price) AS cw,
+            sum(wt) OVER (PARTITION BY l_returnflag, l_linestatus) AS tw
+          FROM w)
+        SELECT l_returnflag, l_linestatus, min(price) AS w_median
+        FROM c WHERE cw * 2 >= tw
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q(
       "agg_stats_family",
       "Moment aggregates per group: corr, covar_samp/pop, " +
         "stddev_samp/pop, var_samp, exact interpolated median, " +
