@@ -16,6 +16,40 @@ object Analytics {
   def defs: Seq[Q] = Seq(
 
     Q(
+      "analytics_transitions",
+      "First-order Markov transition matrix over each user's event " +
+        "sequence: lag window partitioned by user_id (high-cardinality " +
+        "key — every partition is one user's bounded history, never a " +
+        "global sort), (from, to) pair counts reduced map-side, then " +
+        "row-normalized transition probabilities via a window over the " +
+        "tiny (types × types) count table. The behavioral-model input " +
+        "every session-analysis pipeline derives; ties within a " +
+        "timestamp break on event_id so the sequence is total.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val pairs = e
+          .select(col("user_id"), col("event_type").as("to_type"),
+            lag("event_type", 1).over(seq).as("from_type"))
+          .filter(col("from_type").isNotNull)
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+        pairs
+          .withColumn("p", round(col("n").cast("double") /
+            sum("n").over(Window.partitionBy("from_type")), 4))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH p AS (SELECT
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+            event_type AS to_type
+          FROM events),
+        c AS (SELECT from_type, to_type, count(*) AS n
+          FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+          round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        FROM c ORDER BY from_type, to_type""")),
+
+    Q(
       "analytics_funnel",
       "Ordered funnel view → click → purchase per user: each stage is " +
         "the earliest qualifying event STRICTLY AFTER the previous " +

@@ -123,6 +123,55 @@ object Pipeline {
         GROUP BY fold ORDER BY fold""")),
 
     Q(
+      "pipeline_token_budget",
+      "Capped proportional token-budget allocation across sources (one " +
+        "water-filling step): per-source token totals from a map-side-" +
+        "combinable hash agg, a 60% global budget split ∝ size, capped " +
+        "at each source's supply, and the leftover redistributed ∝ " +
+        "remaining headroom, capped again. The epoch-mixing allocator " +
+        "a pretraining run uses to decide how many tokens to draw per " +
+        "domain. ALL arithmetic is 64-bit integer (DIV), so both " +
+        "engines agree bit-for-bit; the per-source table is tiny and " +
+        "rides broadcast cross-joins — no shuffle after the first agg. " +
+        "(At 10^13-token corpora the products stay under 2^63 only if " +
+        "budgets are computed per-domain-group; production would widen " +
+        "to DECIMAL(38,0).)",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .groupBy("source").agg(expr("sum(n_chars) DIV 4").as("tok"))
+        val tot = tok.agg(sum("tok").as("t"))
+        val a1 = tok.crossJoin(broadcast(tot))
+          .withColumn("budget", expr("(t * 3) DIV 5"))
+          .withColumn("alloc1", least(col("tok"), expr("(budget * tok) DIV t")))
+        val s1 = a1.agg(sum("alloc1").as("used"),
+          sum(col("tok") - col("alloc1")).as("hr"))
+        a1.crossJoin(broadcast(s1))
+          .withColumn("bonus", when(col("hr") > 0,
+            expr("((budget - used) * (tok - alloc1)) DIV hr")).otherwise(lit(0L)))
+          .withColumn("alloc", least(col("tok"), col("alloc1") + col("bonus")))
+          .select(col("source"), col("tok"), col("alloc"),
+            round(col("alloc").cast("double") / col("tok"), 4).as("fill_ratio"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (SELECT source,
+            CAST(sum(n_chars) AS BIGINT) // 4 AS tok
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(tok) AS BIGINT) AS t FROM tok),
+        a1 AS (SELECT source, tok,
+            (t * 3) // 5 AS budget,
+            least(tok, ((t * 3) // 5) * tok // t) AS alloc1
+          FROM tok, tot),
+        s1 AS (SELECT CAST(sum(alloc1) AS BIGINT) AS used,
+            CAST(sum(tok - alloc1) AS BIGINT) AS hr FROM a1),
+        f AS (SELECT source, tok,
+            least(tok, alloc1 + CASE WHEN hr > 0
+              THEN ((budget - used) * (tok - alloc1)) // hr ELSE 0 END) AS alloc
+          FROM a1, s1)
+        SELECT source, tok, alloc,
+          round(CAST(alloc AS DOUBLE) / tok, 4) AS fill_ratio
+        FROM f ORDER BY source""")),
+
+    Q(
       "pipeline_canonical_dedup",
       "Near-dup canonicalization end-to-end: Jaccard candidate pairs → " +
         "connected components → ONE survivor per cluster by quality " +
