@@ -50,6 +50,41 @@ object Analytics {
         FROM c ORDER BY from_type, to_type""")),
 
     Q(
+      "analytics_time_to_convert",
+      "View→purchase conversion latency histogram: per user the " +
+        "earliest view and earliest purchase as conditional MINs over " +
+        "epoch-µs — one map-side-combinable hash agg on the user key, " +
+        "constant state per user regardless of history length — then " +
+        "converting users bucket into whole hours with integer " +
+        "division. Timestamps never leave as raw ns/µs values; both " +
+        "engines compare the same integer microseconds.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        e.groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view",
+              Tables.epochUs(col("ts")))).as("fv"),
+            min(when(col("event_type") === "purchase",
+              Tables.epochUs(col("ts")))).as("fp"))
+          .filter(col("fv").isNotNull && col("fp").isNotNull &&
+            col("fp") > col("fv"))
+          .select(expr("(fp - fv) DIV 3600000000").as("hours_to_convert"))
+          .groupBy("hours_to_convert")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("hours_to_convert")
+      },
+      Some("""WITH a AS (SELECT user_id,
+            min(CASE WHEN event_type = 'view'
+              THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fv,
+            min(CASE WHEN event_type = 'purchase'
+              THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp
+          FROM events GROUP BY 1)
+        SELECT (fp - fv) // 3600000000 AS hours_to_convert,
+          count(*) AS n_users
+        FROM a WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv
+        GROUP BY 1 ORDER BY 1""")),
+
+    Q(
       "analytics_funnel",
       "Ordered funnel view → click → purchase per user: each stage is " +
         "the earliest qualifying event STRICTLY AFTER the previous " +

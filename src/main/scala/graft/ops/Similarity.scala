@@ -16,6 +16,46 @@ object Similarity {
   def defs: Seq[Q] = Seq(
 
     Q(
+      "sim_prefix_rerank",
+      "Two-stage retrieval with a truncated-dimension coarse pass " +
+        "(the Matryoshka-embedding serving pattern): stage 1 scores " +
+        "every corpus vector by the 8-dim PREFIX dot product — 1/8th " +
+        "the FLOPs and memory traffic of the full vector — and keeps " +
+        "the top-20 via TakeOrderedAndProject; stage 2 reranks only " +
+        "those 20 candidates by exact full-dim cosine for the final " +
+        "top-5. Both scores are sequential double folds (VecDot ≡ " +
+        "list_reduce), so ordering is bit-identical to the oracle; " +
+        "ties break on vec_id. At scale stage 1 is the only corpus " +
+        "scan, and a prefix-dim index (or IVF over prefixes) drops it " +
+        "below linear.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val cand = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("coarse",
+            VectorOps.dot(slice(col("embedding"), 1, 8), slice(col("qe"), 1, 8)))
+          .orderBy(col("coarse").desc, col("vec_id"))
+          .limit(20)
+        cand
+          .withColumn("cos", VectorOps.cosine(col("embedding"), col("qe")))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), round(col("coarse"), 6).as("coarse_dot"),
+            round(col("cos"), 6).as("cos_sim"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        sc AS (SELECT vec_id, embedding, qe,
+            ${VectorOps.duckDot("embedding", "qe", 8)} AS coarse
+          FROM embeddings, q WHERE vec_id != 0),
+        cand AS (SELECT * FROM sc ORDER BY coarse DESC, vec_id LIMIT 20),
+        r AS (SELECT vec_id, coarse,
+            ${VectorOps.duckCosine("embedding", "qe")} AS cos
+          FROM cand)
+        SELECT vec_id, round(coarse, 6) AS coarse_dot, round(cos, 6) AS cos_sim
+        FROM r ORDER BY cos DESC, vec_id LIMIT 5""")),
+
+    Q(
       "sim_topk_cosine",
       "Brute-force cosine top-k against a query vector (vec_id 0): " +
         "broadcast the 1-row query side, HOF double-precision dot per " +
