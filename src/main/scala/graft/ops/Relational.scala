@@ -460,6 +460,40 @@ object Relational {
         FROM events e ORDER BY e.event_id""")),
 
     Q(
+      "join_asof_tolerance",
+      "Backward as-of join with a max-staleness tolerance (pandas " +
+        "merge_asof tolerance=1h): each event takes the latest same-" +
+        "user purchase at-or-before its ts, but only if it is at most " +
+        "one hour old — the freshness bound every feature-store lookup " +
+        "needs. Same single exchange+sort on (user_id, ts) as " +
+        "join_asof (unbounded-PRECEDING RANGE max frame); the bound is " +
+        "a null-out on the exact integer µs gap, which is equivalent " +
+        "to windowing the frame itself (the latest purchase ≤ ts " +
+        "either is the latest within tolerance, or none is) without " +
+        "needing a range-offset frame over a timestamp key. Oracle: " +
+        "independent correlated subquery with the bound in the " +
+        "predicate.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("b_us", Tables.epochUs(
+            max(when(col("event_type") === "purchase", col("ts"))).over(w)))
+          .withColumn("eus", Tables.epochUs(col("ts")))
+          .select(col("event_id"),
+            when(col("eus") - col("b_us") <= lit(3600000000L), col("b_us"))
+              .as("asof_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id,
+          (SELECT max(epoch_us(CAST(p.ts AS TIMESTAMP))) FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+              AND p.ts <= e.ts
+              AND epoch_us(CAST(e.ts AS TIMESTAMP))
+                - epoch_us(CAST(p.ts AS TIMESTAMP)) <= 3600000000) AS asof_us
+        FROM events e ORDER BY e.event_id""")),
+
+    Q(
       "join_asof_nearest",
       "Nearest as-of join (pandas merge_asof direction='nearest', ties " +
         "to the earlier side): each event matched to the purchase " +

@@ -780,6 +780,48 @@ object Text {
         FROM documents ORDER BY doc_id""")),
 
     Q(
+      "text_winnowing",
+      "Winnowing fingerprints (Schleimer et al., the MOSS algorithm, " +
+        "robust variant): word 3-gram portable hashes per document, a " +
+        "sliding window of 4 consecutive hashes selects its MIN, and " +
+        "the distinct selected hashes form the document's fingerprint " +
+        "set — guaranteed to share members for any sufficiently long " +
+        "common substring, the locality property plain k-gram " +
+        "sampling lacks. One posexplode → window-min partitioned by " +
+        "the doc key → distinct → per-doc aggregate; emits the set " +
+        "size and an order-canonical md5 digest of the sorted set.",
+      (s, dir) => {
+        val g = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFns.wordGrams(split(col("text"), " "), 3)))
+          .select(col("doc_id"), col("pos"),
+            PortableHash.hexHash(col("col")).as("h"))
+        val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+        g.withColumn("wmin", min("h").over(win))
+          .filter(col("pos") >= 3) // full windows only
+          .select(col("doc_id"), col("wmin"))
+          .distinct()
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            md5(concat_ws(",", sort_array(collect_list(col("wmin"))))
+              .cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+            ${PortableHash.hexHashSql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")} AS h
+          FROM d, unnest(range(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 3),
+        s AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id
+            ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+          FROM g),
+        sel AS (SELECT DISTINCT doc_id, wmin FROM s WHERE pos >= 3)
+        SELECT doc_id, count(*) AS n_fp,
+          md5(array_to_string(list_sort(list(wmin)), ',')) AS fp
+        FROM sel GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q(
       "text_entropy",
       "Per-document unigram (word) Shannon entropy — the information-" +
         "density quality signal that separates natural text from " +
