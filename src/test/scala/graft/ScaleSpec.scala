@@ -476,6 +476,39 @@ class ScaleSpec extends SparkSpec {
     assert(row("sum_price").asInstanceOf[Double] > 0.0)
   }
 
+  test("round-9 additions keep their scale posture") {
+    // sim_prefix_rerank: both stages are TakeOrderedAndProject (never a
+    // global sort), and the corpus side is scanned exactly once
+    val rerank = planOf("sim_prefix_rerank")
+    assert(rerank.contains("TakeOrderedAndProject"), rerank.take(1500))
+    assert(!rerank.contains("SortMergeJoin"), "corpus must not shuffle-join")
+    // graph_copurchase: order-key equi-join + map-side-combined pair agg,
+    // top-50 via TakeOrderedAndProject
+    val cop = planOf("graph_copurchase")
+    assert(cop.contains("TakeOrderedAndProject"), cop.take(1500))
+    assert(!cop.contains("CartesianProduct"))
+    // agg_weighted_median: the window runs over the pre-aggregated
+    // (group, value) table — a partial_sum must appear BELOW the window
+    // (map-side combine before any exchange the window needs)
+    val med = SparkEntry.queries("agg_weighted_median")(spark, sfDir)
+      .queryExecution.executedPlan
+    assert(med.toString.contains("partial_sum"), med.toString.take(1500))
+    // pipeline_token_budget: after the per-source agg everything rides
+    // broadcasts — no sort-merge exchange anywhere
+    val tb = planOf("pipeline_token_budget")
+    assert(!tb.contains("SortMergeJoin"), tb.take(1500))
+    assert(tb.contains("BroadcastNestedLoopJoin") || tb.contains("BroadcastExchange"),
+      tb.take(1500))
+    // analytics_transitions / text_winnowing / join_asof_tolerance:
+    // every window is partitioned (user/doc key) — the registry lint
+    // asserts this globally; here pin that no CartesianProduct sneaks in
+    for (n <- Seq("analytics_transitions", "text_winnowing",
+        "join_asof_tolerance", "analytics_time_to_convert",
+        "graph_shortest_path", "graph_kcore")) {
+      assert(!planOf(n).contains("CartesianProduct"), s"$n plans a cross product")
+    }
+  }
+
   test("query-execution listener captures write metrics (A15)") {
     val rec = Metrics.attach(spark)
     val out = tmpDir("graft-metrics")
