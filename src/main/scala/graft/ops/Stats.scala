@@ -536,6 +536,37 @@ object Stats {
         ORDER BY user_id""")),
 
     Q(
+      "ts_seasonality",
+      "Hour-of-day seasonality profile: event volume and mean value " +
+        "per hour slot, plus each slot's deviation from the global " +
+        "mean — the seasonal-naive baseline every forecasting and " +
+        "anomaly pipeline starts from. One map-side-combinable hash " +
+        "agg to 24 rows, then a 1-row broadcast for the global mean; " +
+        "no sorted fold needed because outputs round at scale 2, " +
+        "which absorbs partial-aggregation ulp noise (the audited " +
+        "coarse-round class — see DeterminismSpec).",
+      (s, dir) => {
+        val prof = Tables.t(s, dir, "events")
+          .groupBy(hour(col("ts").cast("timestamp")).as("hod"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+        val glob = prof.agg(sum("n").as("gn"), sum("sv").as("gs"))
+        prof.crossJoin(broadcast(glob))
+          .select(col("hod"), col("n"),
+            round(col("sv") / col("n"), 2).as("hod_avg"),
+            round(col("sv") / col("n") - col("gs") / col("gn"), 2)
+              .as("dev_from_mean"))
+          .orderBy("hod")
+      },
+      Some("""WITH prof AS (SELECT
+            CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+            count(*) AS n, sum(value) AS sv
+          FROM events GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS gn, sum(sv) AS gs FROM prof)
+        SELECT hod, n, round(sv / n, 2) AS hod_avg,
+          round(sv / n - gs / gn, 2) AS dev_from_mean
+        FROM prof, tot ORDER BY hod""")),
+
+    Q(
       "ts_anomaly_zscore",
       "Trailing-window anomaly detection: each user-day's value scored " +
         "against the mean/stddev of its own previous 7 days (ROWS " +

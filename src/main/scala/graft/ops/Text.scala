@@ -780,6 +780,46 @@ object Text {
         FROM documents ORDER BY doc_id""")),
 
     Q(
+      "text_ngram_novelty",
+      "Per-document n-gram novelty: the fraction of a doc's DISTINCT " +
+        "word 3-grams that occur in no other document (corpus doc-" +
+        "frequency 1) — the memorization/templating risk signal " +
+        "(low novelty = boilerplate or near-dup; high = unique " +
+        "content). Distinct grams per doc → gram-keyed doc-frequency " +
+        "agg (map-side combinable) → join back on the gram key. All " +
+        "counts are integers, so the novelty ratio is exact at any " +
+        "aggregation order. A hot gram is bounded by |docs| after the " +
+        "per-doc distinct, and the df table join is the salt-able " +
+        "equi-join shape dedup_ngram_jaccard already hardens.",
+      (s, dir) => {
+        val g = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(
+              TextFns.wordGrams(split(col("text"), " "), 3))).as("gram"))
+        val df = g.groupBy("gram").agg(count(lit(1)).as("df"))
+        g.join(df, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .withColumn("novelty",
+            round(col("n_unique").cast("double") / col("n_grams"), 4))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents),
+        g AS (SELECT DISTINCT doc_id,
+            ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          FROM d, unnest(range(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 3),
+        df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+        SELECT doc_id, count(*) AS n_grams,
+          CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+          round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 4) AS novelty
+        FROM g JOIN df USING (gram)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q(
       "text_winnowing",
       "Winnowing fingerprints (Schleimer et al., the MOSS algorithm, " +
         "robust variant): word 3-gram portable hashes per document, a " +
