@@ -56,6 +56,44 @@ object Similarity {
         FROM r ORDER BY cos DESC, vec_id LIMIT 5""")),
 
     Q(
+      "sim_recall_eval",
+      "Retrieval-quality evaluation: recall@10 of the 8-dim prefix " +
+        "coarse ranking against exact full-dim cosine for query 0 — " +
+        "the measure-your-ANN harness every similarity deployment " +
+        "needs before trusting an approximate index. Two " +
+        "TakeOrderedAndProject top-10s off one broadcast corpus scan, " +
+        "a left-semi join of the two 10-row id sets, and an exact " +
+        "integer overlap count.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val base = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        val exact = base
+          .withColumn("cos", VectorOps.cosine(col("embedding"), col("qe")))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10).select("vec_id")
+        val approx = base
+          .withColumn("coarse",
+            VectorOps.dot(slice(col("embedding"), 1, 8), slice(col("qe"), 1, 8)))
+          .orderBy(col("coarse").desc, col("vec_id")).limit(10).select("vec_id")
+        exact.join(approx, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(col("n_overlap"),
+            round(col("n_overlap") / lit(10.0), 2).as("recall_at_10"))
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        ex AS (SELECT vec_id FROM (
+            SELECT vec_id, ${VectorOps.duckCosine("embedding", "qe")} AS cos
+            FROM embeddings, q WHERE vec_id != 0)
+          ORDER BY cos DESC, vec_id LIMIT 10),
+        ap AS (SELECT vec_id FROM (
+            SELECT vec_id, ${VectorOps.duckDot("embedding", "qe", 8)} AS coarse
+            FROM embeddings, q WHERE vec_id != 0)
+          ORDER BY coarse DESC, vec_id LIMIT 10)
+        SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+          round(count(*) / 10.0, 2) AS recall_at_10
+        FROM ex JOIN ap USING (vec_id)""")),
+
+    Q(
       "sim_topk_cosine",
       "Brute-force cosine top-k against a query vector (vec_id 0): " +
         "broadcast the 1-row query side, HOF double-precision dot per " +

@@ -183,6 +183,65 @@ object Stats {
         FROM orders""")),
 
     Q(
+      "profile_psi_drift",
+      "Distribution-drift audit by Population Stability Index: events " +
+        "split into reference/current halves at the exact integer-µs " +
+        "timestamp midpoint, `value` binned into 10 equal-width " +
+        "buckets over the global range, and each bucket reporting its " +
+        "PSI term (pᴬ−pᴮ)·ln(pᴬ/pᴮ) with add-half smoothing (Σ terms " +
+        "> 0.2 is the classic retrain trigger). Range and midpoint " +
+        "are two 1-row broadcasts; the bucket/segment counts are one " +
+        "map-side-combinable agg; probabilities are exact integer " +
+        "ratios, and the single per-bucket ln rounds at 4 — libm vs " +
+        "DuckDB ln agree far beyond that.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(Tables.epochUs(col("ts")).as("us"), col("value"))
+        val stats = e.agg(min("us").as("mn"), max("us").as("mx"),
+          min("value").as("vmn"), max("value").as("vmx"))
+        val counts = e.crossJoin(broadcast(stats))
+          .withColumn("seg",
+            when(col("us") * 2 <= col("mn") + col("mx"), lit("ref"))
+              .otherwise(lit("cur")))
+          .withColumn("bucket", least(lit(9L), floor(
+            (col("value") - col("vmn")) * 10.0 / (col("vmx") - col("vmn")))
+            .cast("long")))
+          .groupBy("bucket")
+          .agg(
+            sum(when(col("seg") === "ref", 1L).otherwise(0L)).as("n_ref"),
+            sum(when(col("seg") === "cur", 1L).otherwise(0L)).as("n_cur"))
+        val tot = counts.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("pa", (col("n_ref") + 0.5) / (col("tr") + 5.0))
+          .withColumn("pb", (col("n_cur") + 0.5) / (col("tc") + 5.0))
+          .select(col("bucket"), col("n_ref"), col("n_cur"),
+            round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 4)
+              .as("psi_term"))
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+            FROM events),
+        st AS (SELECT min(us) AS mn, max(us) AS mx,
+            min(value) AS vmn, max(value) AS vmx FROM e),
+        b AS (SELECT
+            CASE WHEN us * 2 <= mn + mx THEN 'ref' ELSE 'cur' END AS seg,
+            least(9, CAST(floor((value - vmn) * 10.0 / (vmx - vmn)) AS BIGINT)) AS bucket
+          FROM e, st),
+        c AS (SELECT bucket,
+            CAST(sum(CASE WHEN seg = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+            CAST(sum(CASE WHEN seg = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+          FROM b GROUP BY 1),
+        t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+            CAST(sum(n_cur) AS BIGINT) AS tc FROM c),
+        p AS (SELECT bucket, n_ref, n_cur,
+            (n_ref + 0.5) / (tr + 5.0) AS pa,
+            (n_cur + 0.5) / (tc + 5.0) AS pb
+          FROM c, t)
+        SELECT bucket, n_ref, n_cur,
+          round((pa - pb) * ln(pa / pb), 4) AS psi_term
+        FROM p ORDER BY bucket""")),
+
+    Q(
       "profile_constraints",
       "Declarative data-validation constraints (the Deequ shape — the " +
         "quality gate an ingest or training pipeline evaluates before " +
