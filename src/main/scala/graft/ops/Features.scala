@@ -133,6 +133,54 @@ object Features {
         FROM s CROSS JOIN g ORDER BY source""")),
 
     Q(
+      "feat_woe_encode",
+      "Weight-of-evidence encoding of the source categorical against " +
+        "a binary target (doc length at or above the global mean): " +
+        "WOE = ln((good_s/G)/(bad_s/B)) with add-half smoothing, plus " +
+        "each category's information-value term — the scorecard-" +
+        "standard encoder for monotone categorical risk features. The " +
+        "global mean and the good/bad totals are 1-row broadcasts; " +
+        "per-category counts are one map-side-combinable agg; all " +
+        "ratios are exact integer arithmetic into a single ln that " +
+        "rounds at 4.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val g = d.agg((sum("n_chars") / count(lit(1))).as("mu"))
+        val flagged = d.crossJoin(broadcast(g))
+          .withColumn("good", (col("n_chars") >= col("mu")).cast("long"))
+        val cat = flagged.groupBy("source")
+          .agg(sum("good").as("n_good"),
+            sum(lit(1L) - col("good")).as("n_bad"))
+        val tot = cat.agg(sum("n_good").as("tg"), sum("n_bad").as("tb"))
+        cat.crossJoin(broadcast(tot))
+          .withColumn("pg", (col("n_good") + 0.5) / (col("tg") + 1.0))
+          .withColumn("pb", (col("n_bad") + 0.5) / (col("tb") + 1.0))
+          .select(col("source"), col("n_good"), col("n_bad"),
+            round(log(col("pg") / col("pb")), 4).as("woe"),
+            round((col("pg") - col("pb")) * log(col("pg") / col("pb")), 4)
+              .as("iv_term"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (SELECT CAST(sum(n_chars) AS BIGINT)
+              / CAST(count(*) AS DOUBLE) AS mu FROM documents),
+        f AS (SELECT source,
+            CASE WHEN n_chars >= mu THEN 1 ELSE 0 END AS good
+          FROM documents, g),
+        c AS (SELECT source, CAST(sum(good) AS BIGINT) AS n_good,
+            CAST(sum(1 - good) AS BIGINT) AS n_bad
+          FROM f GROUP BY 1),
+        t AS (SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+            CAST(sum(n_bad) AS BIGINT) AS tb FROM c),
+        p AS (SELECT source, n_good, n_bad,
+            (n_good + 0.5) / (tg + 1.0) AS pg,
+            (n_bad + 0.5) / (tb + 1.0) AS pb
+          FROM c, t)
+        SELECT source, n_good, n_bad,
+          round(ln(pg / pb), 4) AS woe,
+          round((pg - pb) * ln(pg / pb), 4) AS iv_term
+        FROM p ORDER BY source""")),
+
+    Q(
       "sketch_countmin",
       "Count-min sketch (d=3, w=16) over the token stream, estimates " +
         "joined against exact counts. The sketch is a 3×16-cell " +

@@ -626,6 +626,60 @@ object Stats {
         FROM prof, tot ORDER BY hod""")),
 
     Q(
+      "ts_period_over_period",
+      "Month-over-month growth per nation: monthly order revenue " +
+        "(rounded at the aggregate, the audited coarse class), the " +
+        "MoM percent change via lag, and a 3-month trailing moving " +
+        "average — the period-comparison dashboard primitive. One " +
+        "hash agg to nation×month rows, then both window passes ride " +
+        "a single exchange+sort on the nation key; the pct-change " +
+        "ratio and the 3-row frame average run over already-rounded " +
+        "exact inputs, so fine rounding downstream is order-safe.",
+      (s, dir) => {
+        val m = Tables.t(s, dir, "orders")
+          .join(Tables.t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"),
+            to_date(date_trunc("MONTH", col("o_orderdate"))).as("month"))
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+        val w = Window.partitionBy("n_name").orderBy("month")
+        val f = w.rowsBetween(-2, 0)
+        // the moving average is a floor-average in exact integer cents:
+        // float summation (DuckDB compensates, Spark folds) and the
+        // round() of a frame average sitting exactly on a .005
+        // boundary (Spark rounds the shortest decimal repr HALF_UP,
+        // DuckDB rounds the binary value) both flip the last digit —
+        // integer DIV then /100.0 involves neither
+        m.withColumn("prev", lag("rev", 1).over(w))
+          .withColumn("cents", round(col("rev") * 100).cast("long"))
+          .withColumn("sc", sum("cents").over(f))
+          .withColumn("nc", count(lit(1)).over(f))
+          .select(col("n_name"), col("month"), col("rev"),
+            round((col("rev") - col("prev")) / col("prev"), 4).as("mom_pct"),
+            (expr("sc DIV nc").cast("double") / lit(100.0)).as("ma3"))
+          .orderBy("n_name", "month")
+      },
+      Some("""WITH m AS (SELECT n_name,
+            CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS month,
+            round(sum(o_totalprice), 2) AS rev
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        c AS (SELECT n_name, month, rev,
+            CAST(round(rev * 100) AS BIGINT) AS cents FROM m)
+        SELECT n_name, month, rev,
+          round((rev - lag(rev) OVER w) / lag(rev) OVER w, 4) AS mom_pct,
+          (CAST(sum(cents) OVER f AS BIGINT) // (count(*) OVER f)) / 100.0 AS ma3
+        FROM c
+        WINDOW w AS (PARTITION BY n_name ORDER BY month),
+          f AS (PARTITION BY n_name ORDER BY month
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY n_name, month""")),
+
+    Q(
       "ts_anomaly_zscore",
       "Trailing-window anomaly detection: each user-day's value scored " +
         "against the mean/stddev of its own previous 7 days (ROWS " +

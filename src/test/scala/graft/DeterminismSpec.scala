@@ -113,7 +113,9 @@ class DeterminismSpec extends SparkSpec {
   /** Identifiers known to be DOUBLE in the test tables / oracle CTEs —
     * DuckDB sum(DOUBLE) stays DOUBLE, no widening. */
   private val doubleSumIdents = Set(
-    "l_quantity", "l_extendedprice", "o_totalprice", "c_acctbal", "value")
+    "l_quantity", "l_extendedprice", "o_totalprice", "c_acctbal", "value",
+    // ts_seasonality's per-hour sum-of-value CTE column (DOUBLE)
+    "sv")
 
   /** Bare-identifier sum(...) not wrapped in CAST and not a window sum.
     * DuckDB widens sum(BIGINT/INT) to HUGEINT while Spark emits BIGINT,
