@@ -40,6 +40,64 @@ object Cdc {
   def defs: Seq[Q] = Seq(
 
     Q(
+      "join_point_in_time",
+      "Point-in-time-correct dimension lookup (the feature-store / " +
+        "audit-correctness join): each order joins the SCD2 customer " +
+        "segment version whose validity interval contains the order " +
+        "date — never the current row, which silently leaks future " +
+        "attributes into historical facts. The SCD2 dim is built " +
+        "inline (every 7th customer migrates effective 1995-06-01, " +
+        "genesis 1992-01-01, matching the order-date range); the join " +
+        "is an equi-join on the customer key with the interval " +
+        "containment as a residual predicate — ≤2 versions per key, " +
+        "so the residual filters a bounded fan-out and the join " +
+        "shuffles once on the key like any dimension join. Revenue " +
+        "rounds at the aggregate (coarse class).",
+      (s, dir) => {
+        val genesis = java.sql.Date.valueOf("1992-01-01")
+        val eff = java.sql.Date.valueOf("1995-06-01")
+        val base = Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            (col("c_custkey") % 7 === 0).as("chg"))
+        val dim = base.select(col("c_custkey"),
+            col("c_mktsegment").as("segment"),
+            lit(genesis).as("valid_from"),
+            when(col("chg"), lit(eff)).otherwise(lit(null).cast("date"))
+              .as("valid_to"))
+          .unionByName(base.filter(col("chg")).select(col("c_custkey"),
+            lit("MIGRATED").as("segment"),
+            lit(eff).as("valid_from"),
+            lit(null).cast("date").as("valid_to")))
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+            col("o_totalprice"))
+        o.join(dim, col("o_custkey") === col("c_custkey") &&
+            col("od") >= col("valid_from") &&
+            (col("valid_to").isNull || col("od") < col("valid_to")))
+          .groupBy(col("segment"), year(col("od")).as("order_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+          .orderBy("segment", "order_year")
+      },
+      Some("""WITH base AS (SELECT c_custkey, c_mktsegment,
+            c_custkey % 7 = 0 AS chg FROM customer),
+        dim AS (
+          SELECT c_custkey, c_mktsegment AS segment,
+            DATE '1992-01-01' AS valid_from,
+            CASE WHEN chg THEN DATE '1995-06-01' END AS valid_to
+          FROM base
+          UNION ALL
+          SELECT c_custkey, 'MIGRATED', DATE '1995-06-01', NULL
+          FROM base WHERE chg),
+        o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+            o_totalprice FROM orders)
+        SELECT segment, CAST(year(od) AS INT) AS order_year,
+          count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM o JOIN dim ON o_custkey = c_custkey
+          AND od >= valid_from AND (valid_to IS NULL OR od < valid_to)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q(
       "etl_scd2_merge",
       "Slowly-changing-dimension type 2 merge: apply a change batch " +
         "(every 7th customer migrates market segment, effective " +

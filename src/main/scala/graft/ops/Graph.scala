@@ -253,34 +253,8 @@ object Graph {
         "are integer counts in doubles, so the weight sums are exact " +
         "and the argmax is deterministic. The oracle unrolls the " +
         "identical three rounds as chained CTEs.",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val nodes = Tables.t(s, dir, "nation")
-          .select(col("n_nationkey").cast("long").as("id"))
-          .localCheckpoint(true)
-        val edges = tradeEdges(s, dir)
-          .select(col("src").cast("long").as("src"),
-            col("dst").cast("long").as("dst"), col("w"))
-          .localCheckpoint(true)
-        var labels = nodes.withColumn("lbl", col("id"))
-        for (_ <- 1 to 3) {
-          // argmax by (tw DESC, lbl ASC) as a lexicographic struct MIN —
-          // map-side combinable, so a celebrity node's (src, lbl) rows
-          // reduce before the shuffle; a row_number window partitioned
-          // by src would buffer the full degree in one task instead
-          // (-tw is exact: integer-count weights in doubles)
-          val best = edges.join(labels.select(col("id"), col("lbl")),
-              edges("dst") === col("id"))
-            .groupBy("src", "lbl").agg(sum("w").as("tw"))
-            .groupBy("src")
-            .agg(min(struct((-col("tw")).as("nt"), col("lbl"))).as("b"))
-            .select(col("src").as("id"), col("b.lbl").as("new_lbl"))
-          labels = labels.join(best, Seq("id"), "left")
-            .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-            .localCheckpoint(true)
-        }
-        labels.select(col("id"), col("lbl").as("community")).orderBy("id")
-      },
+      (s, dir) => labelPropLabels(s, dir, 3)
+        .select(col("id"), col("lbl").as("community")).orderBy("id"),
       Some {
         val rounds = (1 to 3).map { k =>
           s"""u$k AS (SELECT e.src, l.lbl, sum(e.w) AS tw
@@ -458,8 +432,131 @@ object Graph {
           SELECT node, count(*) AS core_deg FROM (
             SELECT a AS node FROM s4 UNION ALL SELECT b FROM s4)
           GROUP BY node ORDER BY node"""
+      }),
+
+    Q(
+      "graph_modularity",
+      "Directed weighted modularity of the label-propagation " +
+        "communities — the did-the-clustering-find-structure score: " +
+        "per community c, Q_c = w_cc/W − (out_c/W)(in_c/W), computed " +
+        "from the same 3-round labels as graph_label_prop (shared " +
+        "helper). Intra/out/in weights are three node-keyed equi-join " +
+        "+ hash-agg passes over the checkpointed edge list; W is a " +
+        "1-row broadcast. Edge weights are integer counts kept as " +
+        "BIGINT end to end, so every ratio divides exact integers and " +
+        "the rounded Q terms are order-independent without any sorted " +
+        "fold. (W² in int64 bounds total edge weight at ~3·10⁹; past " +
+        "that, production widens to DECIMAL(38).)",
+      (s, dir) => {
+        val lab = labelPropLabels(s, dir, 3).localCheckpoint(true)
+        val e = tradeEdges(s, dir)
+          .select(col("src"), col("dst"), col("w").cast("long").as("wl"))
+          .localCheckpoint(true)
+        val ls = lab.select(col("id").as("src"), col("lbl").as("slbl"))
+        val ld = lab.select(col("id").as("dst"), col("lbl").as("dlbl"))
+        val tagged = e.join(ls, "src").join(ld, "dst")
+        val intra = tagged.filter(col("slbl") === col("dlbl"))
+          .groupBy(col("slbl").as("community")).agg(sum("wl").as("w_intra"))
+        val outW = tagged.groupBy(col("slbl").as("community"))
+          .agg(sum("wl").as("w_out"))
+        val inW = tagged.groupBy(col("dlbl").as("community"))
+          .agg(sum("wl").as("w_in"))
+        val nn = lab.groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_nodes"))
+        val tot = e.agg(sum("wl").as("tw"))
+        nn.join(intra, Seq("community"), "left")
+          .join(outW, Seq("community"), "left")
+          .join(inW, Seq("community"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("community"), col("n_nodes"),
+            coalesce(col("w_intra"), lit(0L)).as("w_intra"),
+            round((coalesce(col("w_intra"), lit(0L)) * col("tw") -
+              coalesce(col("w_out"), lit(0L)) * coalesce(col("w_in"), lit(0L)))
+              .cast("double") / (col("tw") * col("tw")), 6).as("q_term"))
+          .orderBy("community")
+      },
+      Some {
+        val rounds = (1 to 3).map { k =>
+          s"""u$k AS (SELECT e.src, l.lbl, CAST(sum(e.w) AS BIGINT) AS tw
+              FROM e JOIN l${k - 1} l ON l.id = e.dst GROUP BY 1, 2),
+            p$k AS (SELECT src, lbl,
+                row_number() OVER (PARTITION BY src ORDER BY tw DESC, lbl) AS rk
+              FROM u$k),
+            l$k AS (SELECT prev.id, coalesce(b.lbl, prev.lbl) AS lbl
+              FROM l${k - 1} prev
+              LEFT JOIN (SELECT src, lbl FROM p$k WHERE rk = 1) b
+                ON b.src = prev.id)"""
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+              CAST(s.s_nationkey AS BIGINT) AS dst,
+              CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+          l0 AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+              CAST(n_nationkey AS BIGINT) AS lbl FROM nation),
+          $rounds,
+          lab AS MATERIALIZED (SELECT id, lbl FROM l3),
+          tagged AS MATERIALIZED (SELECT e.w, ls.lbl AS slbl, ld.lbl AS dlbl
+            FROM e JOIN lab ls ON ls.id = e.src
+            JOIN lab ld ON ld.id = e.dst),
+          intra AS (SELECT slbl AS community, CAST(sum(w) AS BIGINT) AS w_intra
+            FROM tagged WHERE slbl = dlbl GROUP BY 1),
+          oc AS (SELECT slbl AS community, CAST(sum(w) AS BIGINT) AS w_out
+            FROM tagged GROUP BY 1),
+          ic AS (SELECT dlbl AS community, CAST(sum(w) AS BIGINT) AS w_in
+            FROM tagged GROUP BY 1),
+          nn AS (SELECT lbl AS community, count(*) AS n_nodes
+            FROM lab GROUP BY 1),
+          tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM e)
+          SELECT nn.community, nn.n_nodes,
+            coalesce(intra.w_intra, 0) AS w_intra,
+            round(CAST(coalesce(intra.w_intra, 0) * tw -
+              coalesce(oc.w_out, 0) * coalesce(ic.w_in, 0) AS DOUBLE)
+              / (tw * tw), 6) AS q_term
+          FROM nn
+          LEFT JOIN intra ON intra.community = nn.community
+          LEFT JOIN oc ON oc.community = nn.community
+          LEFT JOIN ic ON ic.community = nn.community
+          CROSS JOIN tot
+          ORDER BY nn.community"""
       })
   )
+
+  /** Synchronous weighted label propagation over the trade graph:
+    * labels start as node ids; each round a node adopts the label with
+    * the largest total out-edge weight among its successors (ties to
+    * the smaller label; no out-edges keeps its own). The per-src argmax
+    * is a lexicographic struct MIN — map-side combinable, so a
+    * celebrity node reduces before the shuffle instead of buffering its
+    * full degree in one window task (-tw is exact: integer-count
+    * weights in doubles). Shared by graph_label_prop and
+    * graph_modularity. */
+  private def labelPropLabels(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val nodes = Tables.t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("id"))
+      .localCheckpoint(true)
+    val edges = tradeEdges(s, dir)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w"))
+      .localCheckpoint(true)
+    var labels = nodes.withColumn("lbl", col("id"))
+    for (_ <- 1 to rounds) {
+      val best = edges.join(labels.select(col("id"), col("lbl")),
+          edges("dst") === col("id"))
+        .groupBy("src", "lbl").agg(sum("w").as("tw"))
+        .groupBy("src")
+        .agg(min(struct((-col("tw")).as("nt"), col("lbl"))).as("b"))
+        .select(col("src").as("id"), col("b.lbl").as("new_lbl"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 
   /** Per-node triangle counts from canonical undirected edges (a < b,
     * deduplicated): each triangle a < b < c materializes exactly once
