@@ -172,6 +172,32 @@ object Pipeline {
         FROM f ORDER BY source""")),
 
     Q(
+      "pipeline_curriculum",
+      "Sequence-length curriculum schedule: docs split into three " +
+        "phases by global length tercile (short→long = easy→hard, the " +
+        "classic length curriculum) via Skew.globalNtile — range-" +
+        "repartitioned rank + broadcast offsets, NO single-task " +
+        "window — with a portable-hash order key shuffling docs " +
+        "within each phase. ORDER BY (phase, order_key, doc_id) IS " +
+        "the training order, reproducible on any engine or cluster " +
+        "size; a trainer consumes it as-is.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        Skew.globalNtile(d.select(col("doc_id"), col("n_chars")),
+            Seq(col("n_chars"), col("doc_id")), 3, "phase")
+          .select(col("doc_id"), col("phase").cast("int").as("phase"),
+            pmod(PortableHash.hexHash(
+              concat(lit("cur:"), col("doc_id").cast("string"))), lit(1000000L))
+              .as("order_key"))
+          .orderBy("phase", "order_key", "doc_id")
+      },
+      Some(s"""SELECT doc_id,
+          CAST(ntile(3) OVER (ORDER BY n_chars, doc_id) AS INT) AS phase,
+          ${PortableHash.hexHashSql("'cur:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS order_key
+        FROM documents
+        ORDER BY phase, order_key, doc_id""")),
+
+    Q(
       "pipeline_canonical_dedup",
       "Near-dup canonicalization end-to-end: Jaccard candidate pairs → " +
         "connected components → ONE survivor per cluster by quality " +

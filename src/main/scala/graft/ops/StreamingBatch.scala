@@ -14,6 +14,53 @@ object StreamingBatch {
   def defs: Seq[Q] = Seq(
 
     Q(
+      "stream_lateness_profile",
+      "Out-of-orderness profile for watermark tuning: per event, how " +
+        "far its event time lags the per-user running max seen so far " +
+        "in arrival order, bucketed into whole minutes and counted. " +
+        "THE histogram that tells you what withWatermark delay " +
+        "actually drops: pick the bucket where the tail mass is " +
+        "acceptable. The fixture's ingest order is perfectly ts-" +
+        "sorted, so arrival is modeled as event time plus a " +
+        "deterministic 0-10 min transport delay (portable hash of the " +
+        "event id — replayable in any engine); on production ingest " +
+        "the arrival column is real and the jitter term drops out. " +
+        "One window pass partitioned by the high-cardinality user key " +
+        "over an unbounded-PRECEDING-to-1-PRECEDING max frame, then a " +
+        "map-side-combinable bucket count; lateness is exact integer " +
+        "µs throughout.",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("arr", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            Tables.epochUs(col("ts")).as("us"))
+          .withColumn("arr", col("us") +
+            pmod(PortableHash.hexHash(
+              concat(lit("lat:"), col("event_id").cast("string"))),
+              lit(600000000L)))
+          .withColumn("seen", max("us").over(w))
+          .withColumn("late_min",
+            expr("greatest(0, coalesce(seen - us, 0)) DIV 60000000"))
+          .groupBy("late_min")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("late_min")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        a AS (SELECT user_id, event_id, us,
+            us + ${PortableHash.hexHashSql("'lat:' || CAST(event_id AS VARCHAR)")}
+              % 600000000 AS arr
+          FROM e),
+        s AS (SELECT user_id, us, max(us) OVER (PARTITION BY user_id
+            ORDER BY arr, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+          FROM a)
+        SELECT greatest(0, coalesce(seen - us, 0)) // 60000000 AS late_min,
+          count(*) AS n_events
+        FROM s GROUP BY 1 ORDER BY 1""")),
+
+    Q(
       "stream_tumbling_window",
       "Tumbling 1h event-time window per event type (epoch-aligned, " +
         "identical grid to date_trunc for whole-hour widths).",
