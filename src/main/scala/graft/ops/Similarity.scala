@@ -94,6 +94,59 @@ object Similarity {
         FROM ex JOIN ap USING (vec_id)""")),
 
     Q(
+      "sim_centroid_drift",
+      "Embedding-distribution drift monitor: per label, the cosine " +
+        "between the centroid of the reference half and the current " +
+        "half of the corpus (deterministic halves by vec_id parity " +
+        "here; snapshot ids in production). Cosine is scale-invariant, " +
+        "so per-dimension SUMS stand in for means — one explode to " +
+        "(label, half, dim), a per-cell sorted-fold sum, a self-join " +
+        "on (label, dim), and three more 64-element sorted folds for " +
+        "dot and norms, keeping every float sum bit-identical under " +
+        "any partial-aggregation order. A centroid_cos well below 1 " +
+        "means the embedding distribution moved — retrain or " +
+        "re-index. (At 100 TB swap the per-cell collect for plain " +
+        "sums and an approximate-tolerance compare.)",
+      (s, dir) => {
+        def foldSum(c: Column): Column =
+          aggregate(sort_array(collect_list(c)), lit(0.0), (a, x) => a + x)
+        val x = Tables.t(s, dir, "embeddings")
+          .select(col("label"), (col("vec_id") % 2 === 0).as("ref"),
+            posexplode(col("embedding")))
+          .select(col("label"), col("ref"), col("pos"),
+            col("col").cast("double").as("v"))
+        val sums = x.groupBy("label", "ref", "pos").agg(foldSum(col("v")).as("sv"))
+        val a = sums.filter(col("ref"))
+          .select(col("label"), col("pos"), col("sv").as("av"))
+        val b = sums.filter(!col("ref"))
+          .select(col("label"), col("pos"), col("sv").as("bv"))
+        a.join(b, Seq("label", "pos"))
+          .groupBy("label")
+          .agg(foldSum(col("av") * col("bv")).as("dot"),
+            foldSum(col("av") * col("av")).as("na"),
+            foldSum(col("bv") * col("bv")).as("nb"))
+          .select(col("label"),
+            round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 4)
+              .as("centroid_cos"))
+          .orderBy("label")
+      },
+      Some("""WITH x AS (SELECT label, vec_id % 2 = 0 AS ref, i - 1 AS pos,
+            CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, unnest(range(1, 65)) AS t(i)),
+        s AS (SELECT label, ref, pos,
+            list_reduce(list_sort(list(v)), (a, b) -> a + b) AS sv
+          FROM x GROUP BY 1, 2, 3),
+        j AS (SELECT a.label, a.pos, a.sv AS av, b.sv AS bv
+          FROM s a JOIN s b ON a.label = b.label AND a.pos = b.pos
+            AND a.ref AND NOT b.ref)
+        SELECT label,
+          round(list_reduce(list_sort(list(av * bv)), (a, b) -> a + b) /
+            (sqrt(list_reduce(list_sort(list(av * av)), (a, b) -> a + b)) *
+             sqrt(list_reduce(list_sort(list(bv * bv)), (a, b) -> a + b))), 4)
+            AS centroid_cos
+        FROM j GROUP BY label ORDER BY label""")),
+
+    Q(
       "sim_topk_cosine",
       "Brute-force cosine top-k against a query vector (vec_id 0): " +
         "broadcast the 1-row query side, HOF double-precision dot per " +

@@ -62,6 +62,33 @@ object Stats {
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     Q(
+      "agg_decimal_money",
+      "Exact-decimal money aggregation: prices cast to DECIMAL(18,2) " +
+        "at the scan and summed in decimal — cent-exact at ANY " +
+        "aggregation order and ANY scale, the arithmetic a financial " +
+        "ledger requires where float summation is unacceptable. Spark " +
+        "widens the sum to DECIMAL(28,2) and DuckDB to DECIMAL(38,2); " +
+        "both cast back to DECIMAL(18,2) for bit-identical output. " +
+        "Same one-shuffle two-phase hash agg as any sum; the decimal " +
+        "buffers stay in Tungsten's codegen'd unsafe rows.",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(18,2)").as("p"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum("p").cast("decimal(18,2)").as("sum_price"),
+            min("p").as("min_price"),
+            max("p").as("max_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+          min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
+          max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    Q(
       "agg_stats_family",
       "Moment aggregates per group: corr, covar_samp/pop, " +
         "stddev_samp/pop, var_samp, exact interpolated median, " +
