@@ -14,6 +14,50 @@ object EtlQueries {
 
   def defs: Seq[Q] = Seq(
     Q(
+      "etl_backfill_plan",
+      "Backfill/completeness audit over the partition grid: for each " +
+        "nation, how many of the calendar months between the global " +
+        "first and last order date actually have orders, and how many " +
+        "are missing — the plan a scheduler turns into backfill jobs " +
+        "(the operational companion to A8's partition routing). The " +
+        "calendar bounds are a 1-row broadcast; presence is one " +
+        "(nation, month) hash agg rolled up to a per-nation distinct " +
+        "count; expected-vs-present is exact integer month " +
+        "arithmetic.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .join(Tables.t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"),
+            to_date(date_trunc("MONTH", col("o_orderdate"))).as("m"))
+        val cal = o.agg(min("m").as("mn"), max("m").as("mx"))
+        o.groupBy("n_name")
+          .agg(countDistinct("m").as("n_present"))
+          .crossJoin(broadcast(cal))
+          .select(col("n_name"),
+            (months_between(col("mx"), col("mn")).cast("long") + 1)
+              .as("n_expected"),
+            col("n_present"),
+            (months_between(col("mx"), col("mn")).cast("long") + 1 -
+              col("n_present")).as("n_missing"))
+          .orderBy("n_name")
+      },
+      Some("""WITH o AS (SELECT n_name,
+            CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS m
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey),
+        cal AS (SELECT min(m) AS mn, max(m) AS mx FROM o),
+        p AS (SELECT n_name, count(DISTINCT m) AS n_present FROM o GROUP BY 1)
+        SELECT n_name,
+          CAST(date_diff('month', mn, mx) + 1 AS BIGINT) AS n_expected,
+          n_present,
+          CAST(date_diff('month', mn, mx) + 1 AS BIGINT) - n_present AS n_missing
+        FROM p, cal ORDER BY n_name""")),
+
+    Q(
       "etl_date_filter_derive",
       "A5+A7: inclusive date-range filter pushed to the parquet scan, " +
         "then derived year/month/day columns (reference main.py:92-100,288-293).",
