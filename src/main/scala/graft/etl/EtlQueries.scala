@@ -58,6 +58,56 @@ object EtlQueries {
         FROM p, cal ORDER BY n_name""")),
 
     Q(
+      "etl_snapshot_diff",
+      "Data-diff between two snapshots (the halves of the event " +
+        "stream at the exact integer-µs timestamp midpoint): per " +
+        "user, event counts on each side classify the key as added / " +
+        "removed / changed / same, then one tiny status rollup with " +
+        "per-side totals — the regression report every pipeline " +
+        "migration and backfill wants before swapping outputs. One " +
+        "user-keyed conditional-count agg (map-side combinable, " +
+        "constant per-key state) plus a 1-row broadcast for the " +
+        "split; all integers.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(Tables.epochUs(col("ts")).as("us"), col("user_id"))
+        val st = e.agg(min("us").as("mn"), max("us").as("mx"))
+        val per = e.crossJoin(broadcast(st))
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("us") * 2 <= col("mn") + col("mx"), 1L)
+              .otherwise(0L)).as("n_a"),
+            sum(when(col("us") * 2 > col("mn") + col("mx"), 1L)
+              .otherwise(0L)).as("n_b"))
+        per.select(
+            when(col("n_a") === 0, "added")
+              .when(col("n_b") === 0, "removed")
+              .when(col("n_a") =!= col("n_b"), "changed")
+              .otherwise("same").as("status"),
+            col("n_a"), col("n_b"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_users"),
+            sum("n_a").as("events_before"),
+            sum("n_b").as("events_after"))
+          .orderBy("status")
+      },
+      Some("""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+            user_id FROM events),
+        st AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+        per AS (SELECT user_id,
+            CAST(sum(CASE WHEN us * 2 <= mn + mx THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN us * 2 > mn + mx THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM e, st GROUP BY 1)
+        SELECT CASE WHEN n_a = 0 THEN 'added'
+            WHEN n_b = 0 THEN 'removed'
+            WHEN n_a <> n_b THEN 'changed'
+            ELSE 'same' END AS status,
+          count(*) AS n_users,
+          CAST(sum(n_a) AS BIGINT) AS events_before,
+          CAST(sum(n_b) AS BIGINT) AS events_after
+        FROM per GROUP BY 1 ORDER BY 1""")),
+
+    Q(
       "etl_date_filter_derive",
       "A5+A7: inclusive date-range filter pushed to the parquet scan, " +
         "then derived year/month/day columns (reference main.py:92-100,288-293).",

@@ -89,6 +89,33 @@ object Stats {
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     Q(
+      "agg_hour_bitmap",
+      "Bitmap presence rollup: each user's active hours-of-day packed " +
+        "into one 24-bit mask via bit_or(1 << hour) — a constant-size " +
+        "aggregation buffer no matter how many events the user has, " +
+        "the cheapest possible presence encoding (the roaring-bitmap " +
+        "idea at word width). popcount gives hours-active; the " +
+        "histogram of that is the engagement-breadth profile. Two " +
+        "map-side-combinable integer aggs, zero floats.",
+      (s, dir) => {
+        Tables.t(s, dir, "events")
+          .select(col("user_id"),
+            hour(col("ts").cast("timestamp")).as("hod"))
+          .groupBy("user_id")
+          .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), hod)")).as("bm"))
+          .select(expr("CAST(bit_count(bm) AS INT)").as("n_active_hours"))
+          .groupBy("n_active_hours")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("n_active_hours")
+      },
+      Some("""WITH b AS (SELECT user_id,
+            bit_or(CAST(1 AS BIGINT) << CAST(hour(CAST(ts AS TIMESTAMP)) AS INT)) AS bm
+          FROM events GROUP BY 1)
+        SELECT CAST(bit_count(bm) AS INT) AS n_active_hours,
+          count(*) AS n_users
+        FROM b GROUP BY 1 ORDER BY 1""")),
+
+    Q(
       "agg_stats_family",
       "Moment aggregates per group: corr, covar_samp/pop, " +
         "stddev_samp/pop, var_samp, exact interpolated median, " +
