@@ -85,6 +85,50 @@ object Analytics {
         GROUP BY 1 ORDER BY 1""")),
 
     Q(
+      "analytics_dau_mau",
+      "Monthly engagement: MAU (distinct users), average DAU, and the " +
+        "DAU/MAU stickiness ratio per calendar month — the retention " +
+        "headline every product dashboard opens with. Daily distincts " +
+        "come from one (day, user) dedup agg rolled up per day, the " +
+        "monthly rollup is integer arithmetic over at most 31 rows " +
+        "per month, and MAU is an exact distinct on the month key; " +
+        "ratios are exact integer divisions rounded once.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(to_date(col("ts").cast("timestamp")).as("day"),
+            to_date(date_trunc("MONTH", col("ts").cast("timestamp")))
+              .as("month"),
+            col("user_id"))
+        val dau = e.select("day", "month", "user_id").distinct()
+          .groupBy("month", "day").agg(count(lit(1)).as("dau"))
+          .groupBy("month")
+          .agg(sum("dau").as("dau_sum"), count(lit(1)).as("n_days"))
+        val mau = e.groupBy("month")
+          .agg(countDistinct("user_id").as("mau"))
+        dau.join(mau, "month")
+          .select(col("month"), col("mau"),
+            round(col("dau_sum").cast("double") / col("n_days"), 2)
+              .as("avg_dau"),
+            round(col("dau_sum").cast("double") /
+              (col("n_days") * col("mau")), 4).as("stickiness"))
+          .orderBy("month")
+      },
+      Some("""WITH e AS (SELECT CAST(ts AS DATE) AS day,
+            CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+            user_id FROM events),
+        d AS (SELECT month, day, count(*) AS dau
+          FROM (SELECT DISTINCT day, month, user_id FROM e)
+          GROUP BY 1, 2),
+        ds AS (SELECT month, CAST(sum(dau) AS BIGINT) AS dau_sum,
+            count(*) AS n_days FROM d GROUP BY 1),
+        m AS (SELECT month, count(DISTINCT user_id) AS mau FROM e GROUP BY 1)
+        SELECT ds.month, mau,
+          round(CAST(dau_sum AS DOUBLE) / n_days, 2) AS avg_dau,
+          round(CAST(dau_sum AS DOUBLE) / (n_days * mau), 4) AS stickiness
+        FROM ds JOIN m ON ds.month = m.month
+        ORDER BY ds.month""")),
+
+    Q(
       "analytics_funnel",
       "Ordered funnel view → click → purchase per user: each stage is " +
         "the earliest qualifying event STRICTLY AFTER the previous " +

@@ -296,6 +296,37 @@ object Stats {
         FROM p ORDER BY bucket""")),
 
     Q(
+      "profile_key_skew",
+      "Shuffle-key skew profiler — the diagnostic run BEFORE deciding " +
+        "to salt a join or aggregation (Skew.saltedJoinHot's input): " +
+        "for the candidate key, the heaviest 10 keys with their share " +
+        "of total rows, plus the max/mean hot ratio. One map-side-" +
+        "combinable count per key, a 1-row broadcast of the totals, " +
+        "TakeOrderedAndProject for the top-10 — the profiler itself " +
+        "never global-sorts. Shares are exact integer ratios rounded " +
+        "once.",
+      (s, dir) => {
+        val k = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey").as("key"))
+          .agg(count(lit(1)).as("n"))
+        val tot = k.agg(sum("n").as("t"), count(lit(1)).as("nk"))
+        k.crossJoin(broadcast(tot))
+          .select(col("key"), col("n"),
+            round(col("n").cast("double") / col("t"), 6).as("share"),
+            round(col("n").cast("double") * col("nk") / col("t"), 4)
+              .as("hot_ratio"))
+          .orderBy(col("n").desc, col("key"))
+          .limit(10)
+      },
+      Some("""WITH k AS (SELECT l_suppkey AS key, count(*) AS n
+            FROM lineitem GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS t, count(*) AS nk FROM k)
+        SELECT key, n,
+          round(CAST(n AS DOUBLE) / t, 6) AS share,
+          round(CAST(n AS DOUBLE) * nk / t, 4) AS hot_ratio
+        FROM k, t ORDER BY n DESC, key LIMIT 10""")),
+
+    Q(
       "profile_constraints",
       "Declarative data-validation constraints (the Deequ shape — the " +
         "quality gate an ingest or training pipeline evaluates before " +
