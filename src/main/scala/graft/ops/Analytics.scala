@@ -129,6 +129,53 @@ object Analytics {
         ORDER BY ds.month""")),
 
     Q(
+      "analytics_windowed_funnel",
+      "Time-bound conversion: of users whose FIRST view fell in a " +
+        "given month, how many purchased within 7 days of it — the " +
+        "windowed funnel that measures the product, where the " +
+        "unbounded funnel measures the archive. First-view is a " +
+        "map-side-combinable conditional MIN per user; the 7-day test " +
+        "is one user-keyed left join against purchases with the bound " +
+        "as a residual on exact integer µs, collapsed by max() so a " +
+        "user converts at most once; rates are exact integer ratios.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(Tables.epochUs(col("ts"))).as("fv"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), Tables.epochUs(col("ts")).as("pu"))
+        val conv = v.join(p, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("fv"))
+          .agg(max(when(col("pu") >= col("fv") &&
+            col("pu") <= col("fv") + lit(604800000000L), 1L)
+            .otherwise(0L)).as("converted"))
+        conv
+          .groupBy(to_date(date_trunc("MONTH", timestamp_micros(col("fv"))))
+            .as("cohort_month"))
+          .agg(count(lit(1)).as("n_users"),
+            sum("converted").as("n_converted"))
+          .withColumn("conv_rate",
+            round(col("n_converted").cast("double") / col("n_users"), 4))
+          .orderBy("cohort_month")
+      },
+      Some("""WITH v AS (SELECT user_id,
+            min(epoch_us(CAST(ts AS TIMESTAMP))) AS fv
+          FROM events WHERE event_type = 'view' GROUP BY 1),
+        p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pu
+          FROM events WHERE event_type = 'purchase'),
+        conv AS (SELECT v.user_id, v.fv,
+            max(CASE WHEN p.pu >= v.fv AND p.pu <= v.fv + 604800000000
+              THEN 1 ELSE 0 END) AS converted
+          FROM v LEFT JOIN p ON p.user_id = v.user_id
+          GROUP BY 1, 2)
+        SELECT CAST(date_trunc('month', make_timestamp(fv)) AS DATE)
+            AS cohort_month,
+          count(*) AS n_users,
+          CAST(sum(converted) AS BIGINT) AS n_converted,
+          round(CAST(sum(converted) AS DOUBLE) / count(*), 4) AS conv_rate
+        FROM conv GROUP BY 1 ORDER BY 1""")),
+
+    Q(
       "analytics_funnel",
       "Ordered funnel view → click → purchase per user: each stage is " +
         "the earliest qualifying event STRICTLY AFTER the previous " +

@@ -832,6 +832,56 @@ object Text {
         ORDER BY c.doc_id""")),
 
     Q(
+      "text_langid_confusion",
+      "Language-ID EVALUATION: predict each doc's language by marker-" +
+        "lexicon hits (argmin over (-score, lang) structs — ties to " +
+        "the alphabetically first language, so the argmax is total) " +
+        "and cross-tabulate against the labeled language. The " +
+        "confusion matrix is THE quality gate for any classifier " +
+        "feeding a training-mix decision; zh has no lexicon here, so " +
+        "its row shows exactly where unknown languages land. Pure " +
+        "per-row scalar scoring (codegen'd array HOFs, zero shuffle) " +
+        "into one tiny matrix aggregation.",
+      (s, dir) => {
+        val marks = Seq(
+          "de" -> Seq("der", "und", "die", "das", "ist"),
+          "en" -> Seq("the", "and", "of", "to", "is"),
+          "es" -> Seq("el", "la", "de", "que", "es"),
+          "fr" -> Seq("le", "les", "et", "une", "des"))
+        val d = Tables.t(s, dir, "documents")
+          .select(col("lang"), split(col("text"), " ").as("ws"))
+        val scored = marks.foldLeft(d) { case (df, (l, m)) =>
+          df.withColumn(s"s_$l",
+            size(filter(col("ws"), w => array_contains(typedlit(m), w))))
+        }
+        val pred = least(marks.map { case (l, _) =>
+          struct((-col(s"s_$l")).as("ns"), lit(l).as("plang")) }: _*)
+          .getField("plang")
+        scored
+          .select(col("lang").as("true_lang"), pred.as("pred_lang"))
+          .groupBy("true_lang", "pred_lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("true_lang", "pred_lang")
+      },
+      Some("""WITH d AS (SELECT lang, string_split(text, ' ') AS ws
+            FROM documents),
+        sc AS (SELECT lang,
+            CAST(len(list_filter(ws, w -> list_contains(['der','und','die','das','ist'], w))) AS INT) AS s_de,
+            CAST(len(list_filter(ws, w -> list_contains(['the','and','of','to','is'], w))) AS INT) AS s_en,
+            CAST(len(list_filter(ws, w -> list_contains(['el','la','de','que','es'], w))) AS INT) AS s_es,
+            CAST(len(list_filter(ws, w -> list_contains(['le','les','et','une','des'], w))) AS INT) AS s_fr
+          FROM d),
+        p AS (SELECT lang AS true_lang,
+            (list_sort([
+              {'ns': -s_de, 'plang': 'de'},
+              {'ns': -s_en, 'plang': 'en'},
+              {'ns': -s_es, 'plang': 'es'},
+              {'ns': -s_fr, 'plang': 'fr'}])[1]).plang AS pred_lang
+          FROM sc)
+        SELECT true_lang, pred_lang, count(*) AS n
+        FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q(
       "text_winnowing",
       "Winnowing fingerprints (Schleimer et al., the MOSS algorithm, " +
         "robust variant): word 3-gram portable hashes per document, a " +
