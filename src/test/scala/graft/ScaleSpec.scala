@@ -507,6 +507,13 @@ class ScaleSpec extends SparkSpec {
         "graph_shortest_path", "graph_kcore")) {
       assert(!planOf(n).contains("CartesianProduct"), s"$n plans a cross product")
     }
+    // profile_key_skew: the skew profiler itself must not global-sort
+    val skew = planOf("profile_key_skew")
+    assert(skew.contains("TakeOrderedAndProject"), skew.take(1500))
+    // text_langid_confusion: per-row scoring, no shuffle before the
+    // tiny matrix aggregation (exactly one exchange in the plan)
+    val conf = planOf("text_langid_confusion")
+    assert("Exchange".r.findAllIn(conf).size <= 2, conf.take(1500))
   }
 
   test("query-execution listener captures write metrics (A15)") {
