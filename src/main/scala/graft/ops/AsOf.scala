@@ -18,14 +18,18 @@ object AsOf {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
   /** Left-outer as-of join: each left row gets the right row with the
-    * greatest rightTime <= leftTime within the same key. */
+    * greatest rightTime <= leftTime within the same key (direction
+    * "backward"), the least rightTime >= leftTime ("forward"), or the
+    * closer of the two with ties backward ("nearest" — integral-backed
+    * time types only, since it subtracts). */
   def join(
       left: DataFrame,
       right: DataFrame,
       leftKey: String,
       rightKey: String,
       leftTime: String,
-      rightTime: String): DataFrame = {
+      rightTime: String,
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = CatalystBridge.analyzed(left)
@@ -54,6 +58,18 @@ object AsOf {
       s"as-of key type ${lk.dataType.simpleString} is not orderable")
     check(RowOrdering.isOrderable(lt.dataType),
       s"as-of time type ${lt.dataType.simpleString} is not orderable")
-    CatalystBridge.ofRows(spark, AsOfJoin(lp, rp, lk, rk, lt, rt))
+    check(Set("backward", "forward", "nearest")(direction),
+      s"as-of direction must be backward/forward/nearest, got $direction")
+    if (direction == "nearest") {
+      import org.apache.spark.sql.types._
+      val ok = lt.dataType match {
+        case TimestampType | TimestampNTZType | DateType |
+             ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      check(ok, "nearest as-of needs an integral-backed time type " +
+        s"(timestamp/date/integer), got ${lt.dataType.simpleString}")
+    }
+    CatalystBridge.ofRows(spark, AsOfJoin(lp, rp, lk, rk, lt, rt, direction))
   }
 }

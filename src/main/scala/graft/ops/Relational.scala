@@ -437,6 +437,63 @@ object Relational {
         ORDER BY e.event_id""")),
 
     Q(
+      "join_asof_forward_native",
+      "Forward as-of through the native operator stack: the exec " +
+        "drops same-key right rows strictly below the left time (left " +
+        "times ascend within a key, so they can never match again) " +
+        "and PEEKS the head as the match without consuming it — one " +
+        "right row may serve many left rows. Same O(|L|+|R|) merge, " +
+        "same oracle as the window-based join_asof_forward.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        AsOf.join(e, purchases, "user_id", "p_user", "ts", "p_ts",
+            direction = "forward")
+          .select(col("event_id"), Tables.epochUs(col("p_ts")).as("asof_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id,
+          (SELECT min(epoch_us(CAST(p.ts AS TIMESTAMP))) FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+              AND p.ts >= e.ts) AS asof_us
+        FROM events e ORDER BY e.event_id""")),
+
+    Q(
+      "join_asof_nearest_native",
+      "Nearest as-of through the native operator stack: the backward " +
+        "candidate buffers as in the classic merge, the forward " +
+        "candidate is the peeked head, and the closer exact-integer-" +
+        "µs gap wins with ties backward (the pandas merge_asof rule). " +
+        "Still one pass, O(1) state. Same oracle as the window-based " +
+        "join_asof_nearest.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        AsOf.join(e, purchases, "user_id", "p_user", "ts", "p_ts",
+            direction = "nearest")
+          .select(col("event_id"), Tables.epochUs(col("p_ts")).as("asof_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS eus FROM events),
+        b AS (SELECT event_id, user_id, eus,
+            max(CASE WHEN event_type = 'purchase' THEN eus END)
+              OVER (PARTITION BY user_id ORDER BY eus
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_us,
+            min(CASE WHEN event_type = 'purchase' THEN eus END)
+              OVER (PARTITION BY user_id ORDER BY eus
+                RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_us
+          FROM e)
+        SELECT event_id,
+          CASE WHEN b_us IS NULL THEN f_us
+               WHEN f_us IS NULL THEN b_us
+               WHEN eus - b_us <= f_us - eus THEN b_us
+               ELSE f_us END AS asof_us
+        FROM b ORDER BY event_id""")),
+
+    Q(
       "join_asof_forward",
       "Forward as-of join (pandas merge_asof direction='forward'): for " +
         "each event, the EARLIEST purchase at-or-after its own ts by " +

@@ -32,7 +32,8 @@ case class AsOfJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    direction: String = "backward")
   extends BinaryNode {
 
   /** Right columns come back nullable (no-match rows). */
@@ -46,19 +47,32 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir) :: Nil
     case _ => Nil
   }
 }
 
+/** Directions, all left-outer, all O(|L|+|R|) over the same
+  * co-partitioned (key, time)-sorted children:
+  *   - backward: greatest rt <= t (the classic as-of);
+  *   - forward: least rt >= t — smaller right rows are DROPPED (safe:
+  *     left times ascend within a key, so a right row below this left
+  *     time is below every later one) and the match is PEEKED, never
+  *     consumed, since the same right row may serve many left rows;
+  *   - nearest: backward candidate buffered as usual, forward
+  *     candidate peeked at the head, closer exact-integer gap wins,
+  *     ties to backward (pandas merge_asof rule). Gap arithmetic needs
+  *     an integral-backed time (timestamp/date/integer — enforced by
+  *     the [[graft.ops.AsOf]] API at plan time). */
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    direction: String = "backward")
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -104,10 +118,26 @@ case class AsOfJoinExec(
       val project = UnsafeProjection.create(schema, schema)
       val rBuf = rIter.buffered
 
+      // integral view of a time value for nearest's gap arithmetic
+      // (timestamp = Long µs, date = Int days, integers as themselves)
+      def toL(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case s: java.lang.Short => s.toLong
+        case b: java.lang.Byte => b.toLong
+        case other => throw new IllegalStateException(
+          s"nearest as-of needs an integral-backed time, got $other")
+      }
+
       new Iterator[InternalRow] {
         private var curKey: Any = _
         private var haveKey = false
         private var lastMatch: InternalRow = _ // copied right row, time <= left time
+
+        private def headSameKey: Boolean = rBuf.hasNext && {
+          val rk = rKey.eval(rBuf.head)
+          rk != null && keyOrd.equiv(rk, curKey)
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -136,19 +166,53 @@ case class AsOfJoinExec(
               else dropping = false
             }
           }
-          // consume right rows with same key and time <= t; null right
-          // times sort first (asc) and must never become a match
-          var advance = true
-          while (advance && rBuf.hasNext && {
-              val rk = rKey.eval(rBuf.head)
-              rk != null && keyOrd.equiv(rk, curKey)
-            }) {
-            val rt = rTime.eval(rBuf.head)
-            if (rt == null) rBuf.next() // skip, never buffer
-            else if (timeOrd.lteq(rt, t)) lastMatch = rBuf.next().copy()
-            else advance = false
+          direction match {
+            case "forward" =>
+              // drop same-key rows strictly below t (they can never
+              // match this or any later left row of this key); the
+              // match is the head, PEEKED not consumed — it may serve
+              // later left rows too
+              var advance = true
+              while (advance && headSameKey) {
+                val rt = rTime.eval(rBuf.head)
+                if (rt == null || timeOrd.lt(rt, t)) rBuf.next()
+                else advance = false
+              }
+              val m = if (headSameKey) rBuf.head else null
+              project(joined(l, if (m == null) nullRight else m))
+            case "nearest" =>
+              // backward candidate: consume rows with rt <= t as usual
+              var advance = true
+              while (advance && headSameKey) {
+                val rt = rTime.eval(rBuf.head)
+                if (rt == null) rBuf.next()
+                else if (timeOrd.lteq(rt, t)) lastMatch = rBuf.next().copy()
+                else advance = false
+              }
+              // forward candidate: the head (rt > t by construction)
+              val fwd = if (headSameKey) rBuf.head else null
+              val m =
+                if (lastMatch == null) fwd
+                else if (fwd == null) lastMatch
+                else {
+                  val tl = toL(t)
+                  val bGap = tl - toL(rTime.eval(lastMatch))
+                  val fGap = toL(rTime.eval(fwd)) - tl
+                  if (bGap <= fGap) lastMatch else fwd
+                }
+              project(joined(l, if (m == null) nullRight else m))
+            case _ => // backward
+              // consume right rows with same key and time <= t; null
+              // right times sort first (asc) and must never match
+              var advance = true
+              while (advance && headSameKey) {
+                val rt = rTime.eval(rBuf.head)
+                if (rt == null) rBuf.next() // skip, never buffer
+                else if (timeOrd.lteq(rt, t)) lastMatch = rBuf.next().copy()
+                else advance = false
+              }
+              project(joined(l, if (lastMatch == null) nullRight else lastMatch))
           }
-          project(joined(l, if (lastMatch == null) nullRight else lastMatch))
         }
       }
     }

@@ -126,4 +126,62 @@ class AsOfJoinSpec extends SparkSpec {
     val got = AsOf.join(l, r, "k", "rk", "lt", "rt").select("v").collect()
     assert(got.length == 1 && !got.head.isNullAt(0)) // one of the ties, non-null
   }
+
+  test("forward direction: earliest right >= left time; one row serves many lefts") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, ts("2024-01-01 00:00:05"), "a"),
+      (1L, ts("2024-01-01 00:00:08"), "b"),  // same forward match as a
+      (1L, ts("2024-01-01 00:00:10"), "c"),  // equality is inclusive
+      (1L, ts("2024-01-01 00:00:11"), "d"),  // nothing at-or-after → null
+      (2L, ts("2024-01-01 00:00:01"), "e"))  // key with no right rows
+      .toDF("k", "lt", "tag")
+    val r = Seq(
+      (1L, ts("2024-01-01 00:00:02"), "early"),
+      (1L, ts("2024-01-01 00:00:10"), "hit"))
+      .toDF("rk", "rt", "v")
+    val got = AsOf.join(l, r, "k", "rk", "lt", "rt", direction = "forward")
+      .select("tag", "v").collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+      .toMap
+    assert(got === Map("a" -> "hit", "b" -> "hit", "c" -> "hit",
+      "d" -> null, "e" -> null))
+  }
+
+  test("nearest direction: closer side wins, ties backward") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, ts("2024-01-01 00:00:06"), "nearBack"),   // 1s back vs 4s fwd
+      (1L, ts("2024-01-01 00:00:09"), "nearFwd"),    // 4s back vs 1s fwd
+      (1L, ts("2024-01-01 00:00:07.5"), "tie"))      // 2.5s both → backward
+      .toDF("k", "lt", "tag")
+    val r = Seq(
+      (1L, ts("2024-01-01 00:00:05"), "B"),
+      (1L, ts("2024-01-01 00:00:10"), "F"))
+      .toDF("rk", "rt", "v")
+    val got = AsOf.join(l, r, "k", "rk", "lt", "rt", direction = "nearest")
+      .select("tag", "v").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(got === Map("nearBack" -> "B", "nearFwd" -> "F", "tie" -> "B"))
+  }
+
+  test("native forward/nearest equal the window-based registry queries") {
+    for ((native, window) <- Seq(
+        "join_asof_forward_native" -> "join_asof_forward",
+        "join_asof_nearest_native" -> "join_asof_nearest")) {
+      val a = SparkEntry.queries(native)(spark, sfDir).collect().map(_.toString)
+      val b = SparkEntry.queries(window)(spark, sfDir).collect().map(_.toString)
+      assert(a.toSeq === b.toSeq, s"$native != $window")
+    }
+  }
+
+  test("nearest rejects non-integral time types at plan time") {
+    import spark.implicits._
+    val l = Seq((1L, "x", "a")).toDF("k", "lt", "tag")
+    val r = Seq((1L, "y", "v")).toDF("rk", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "rk", "lt", "rt", direction = "nearest")
+    }
+    assert(e.getMessage.contains("integral-backed"))
+  }
 }
