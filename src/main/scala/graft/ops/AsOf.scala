@@ -29,7 +29,8 @@ object AsOf {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = CatalystBridge.analyzed(left)
@@ -60,16 +61,18 @@ object AsOf {
       s"as-of time type ${lt.dataType.simpleString} is not orderable")
     check(Set("backward", "forward", "nearest")(direction),
       s"as-of direction must be backward/forward/nearest, got $direction")
-    if (direction == "nearest") {
+    if (direction == "nearest" || tolerance.isDefined) {
       import org.apache.spark.sql.types._
       val ok = lt.dataType match {
         case TimestampType | TimestampNTZType | DateType |
              ByteType | ShortType | IntegerType | LongType => true
         case _ => false
       }
-      check(ok, "nearest as-of needs an integral-backed time type " +
-        s"(timestamp/date/integer), got ${lt.dataType.simpleString}")
+      check(ok, "nearest/tolerance as-of needs an integral-backed time " +
+        s"type (timestamp/date/integer), got ${lt.dataType.simpleString}")
+      tolerance.foreach(t => check(t >= 0, s"tolerance must be >= 0, got $t"))
     }
-    CatalystBridge.ofRows(spark, AsOfJoin(lp, rp, lk, rk, lt, rt, direction))
+    CatalystBridge.ofRows(spark,
+      AsOfJoin(lp, rp, lk, rk, lt, rt, direction, tolerance))
   }
 }

@@ -494,6 +494,31 @@ object Relational {
         FROM b ORDER BY event_id""")),
 
     Q(
+      "join_asof_tolerance_native",
+      "Staleness-bounded backward as-of through the native operator " +
+        "stack: the exec's emit step nulls any match whose exact-" +
+        "integer-µs gap exceeds the 1h tolerance (pandas merge_asof " +
+        "tolerance=, composable with every direction). Same single " +
+        "merge pass; same oracle as the window-based " +
+        "join_asof_tolerance.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        AsOf.join(e, purchases, "user_id", "p_user", "ts", "p_ts",
+            tolerance = Some(3600000000L))
+          .select(col("event_id"), Tables.epochUs(col("p_ts")).as("asof_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id,
+          (SELECT max(epoch_us(CAST(p.ts AS TIMESTAMP))) FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+              AND p.ts <= e.ts
+              AND epoch_us(CAST(e.ts AS TIMESTAMP))
+                - epoch_us(CAST(p.ts AS TIMESTAMP)) <= 3600000000) AS asof_us
+        FROM events e ORDER BY e.event_id""")),
+
+    Q(
       "join_asof_forward",
       "Forward as-of join (pandas merge_asof direction='forward'): for " +
         "each event, the EARLIEST purchase at-or-after its own ts by " +

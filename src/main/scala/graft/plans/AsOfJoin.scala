@@ -33,7 +33,8 @@ case class AsOfJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    direction: String = "backward")
+    direction: String = "backward",
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   /** Right columns come back nullable (no-match rows). */
@@ -47,8 +48,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, dir) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -72,7 +73,8 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    direction: String = "backward")
+    direction: String = "backward",
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -139,6 +141,18 @@ case class AsOfJoinExec(
           rk != null && keyOrd.equiv(rk, curKey)
         }
 
+        /** Emit the joined row, nulling the match when it falls
+          * outside the staleness tolerance (pandas merge_asof
+          * tolerance; the gap is exact integer time units, so the
+          * bound is deterministic). */
+        private def emit(l: InternalRow, t: Any, m: InternalRow): InternalRow = {
+          val ok = m != null && (tolerance match {
+            case Some(tol) => math.abs(toL(t) - toL(rTime.eval(m))) <= tol
+            case None => true
+          })
+          project(joined(l, if (ok) m else nullRight))
+        }
+
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
@@ -178,8 +192,7 @@ case class AsOfJoinExec(
                 if (rt == null || timeOrd.lt(rt, t)) rBuf.next()
                 else advance = false
               }
-              val m = if (headSameKey) rBuf.head else null
-              project(joined(l, if (m == null) nullRight else m))
+              emit(l, t, if (headSameKey) rBuf.head else null)
             case "nearest" =>
               // backward candidate: consume rows with rt <= t as usual
               var advance = true
@@ -200,7 +213,7 @@ case class AsOfJoinExec(
                   val fGap = toL(rTime.eval(fwd)) - tl
                   if (bGap <= fGap) lastMatch else fwd
                 }
-              project(joined(l, if (m == null) nullRight else m))
+              emit(l, t, m)
             case _ => // backward
               // consume right rows with same key and time <= t; null
               // right times sort first (asc) and must never match
@@ -211,7 +224,7 @@ case class AsOfJoinExec(
                 else if (timeOrd.lteq(rt, t)) lastMatch = rBuf.next().copy()
                 else advance = false
               }
-              project(joined(l, if (lastMatch == null) nullRight else lastMatch))
+              emit(l, t, lastMatch)
           }
         }
       }

@@ -175,6 +175,30 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("tolerance nulls stale matches in every direction") {
+    import spark.implicits._
+    val l = Seq((1L, ts("2024-01-01 00:10:00"), "L")).toDF("k", "lt", "tag")
+    val r = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "back10m"),
+      (1L, ts("2024-01-01 00:30:00"), "fwd20m")).toDF("rk", "rt", "v")
+    def run(dir: String, tolSec: Long) =
+      AsOf.join(l, r, "k", "rk", "lt", "rt", direction = dir,
+          tolerance = Some(tolSec * 1000000L))
+        .select("v").head()
+    assert(run("backward", 700).getString(0) == "back10m") // within ~11.7m
+    assert(run("backward", 300).isNullAt(0))               // 5m < 10m gap
+    assert(run("forward", 1500).getString(0) == "fwd20m")
+    assert(run("forward", 600).isNullAt(0))
+    assert(run("nearest", 700).getString(0) == "back10m")  // closer side in
+    assert(run("nearest", 300).isNullAt(0))                // both outside
+    // native tolerance query equals the window-based registry query
+    val a = SparkEntry.queries("join_asof_tolerance_native")(spark, sfDir)
+      .collect().map(_.toString)
+    val b = SparkEntry.queries("join_asof_tolerance")(spark, sfDir)
+      .collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("nearest rejects non-integral time types at plan time") {
     import spark.implicits._
     val l = Seq((1L, "x", "a")).toDF("k", "lt", "tag")
