@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * are the bias-corrected sample versions). */
 object Stats {
 
+  /** Order-pinned double sum over a BOUNDED group (collect, sort, fold)
+    * — the float-determinism idiom for small per-group summations whose
+    * partial-aggregation order would otherwise wobble in the last ulp.
+    * DuckDB twin: list_reduce(list_sort(list(x)), (a, b) -> a + b). */
+  private[ops] def sfold(c: Column): Column =
+    aggregate(sort_array(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+
   def defs: Seq[Q] = Seq(
 
     Q(
@@ -863,6 +870,376 @@ object Stats {
           count(*) AS n_events,
           round(sum(value), 2) AS volume
         FROM nav GROUP BY event_type, day
-        ORDER BY event_type, day"""))
+        ORDER BY event_type, day""")),
+
+    Q(
+      "stats_chi2",
+      "Chi-squared test of independence between market segment and " +
+        "region over the customer dimension: the contingency table is " +
+        "one hash aggregation (the only pass over the fact-sized " +
+        "input); margins and the grand total are re-aggregations of " +
+        "that tiny table, joined back by broadcast — no window, no " +
+        "second scan. The final sum over |segments|×|regions| cells " +
+        "is a sorted fold (bounded cell count), so the double " +
+        "summation order is pinned in both engines.",
+      (s, dir) => {
+        val cu = Tables.t(s, dir, "customer")
+        val na = broadcast(Tables.t(s, dir, "nation"))
+        val re = broadcast(Tables.t(s, dir, "region"))
+        val obs = cu
+          .join(na, col("c_nationkey") === col("n_nationkey"))
+          .join(re, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("c_mktsegment").as("seg"), col("r_name").as("reg"))
+          .agg(count(lit(1)).as("o"))
+        val rm = obs.groupBy("seg").agg(sum("o").as("rn"))
+        val cm = obs.groupBy("reg").agg(sum("o").as("cn"))
+        val tm = obs.agg(sum("o").as("tn"),
+          countDistinct("seg").as("nr"), countDistinct("reg").as("nc"))
+        obs.join(broadcast(rm), Seq("seg")).join(broadcast(cm), Seq("reg"))
+          .crossJoin(broadcast(tm))
+          .withColumn("e", col("rn").cast("double") * col("cn") / col("tn"))
+          .withColumn("term", pow(col("o") - col("e"), 2) / col("e"))
+          .agg(round(sfold(col("term")), 6).as("chi2"),
+            max((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+            max("tn").as("n_obs"))
+      },
+      Some("""WITH obs AS (SELECT c_mktsegment AS seg, r_name AS reg,
+            count(*) AS o
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2),
+        rm AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rn FROM obs GROUP BY 1),
+        cm AS (SELECT reg, CAST(sum(o) AS BIGINT) AS cn FROM obs GROUP BY 1),
+        tm AS (SELECT CAST(sum(o) AS BIGINT) AS tn,
+            CAST(count(DISTINCT seg) AS BIGINT) AS nr,
+            CAST(count(DISTINCT reg) AS BIGINT) AS nc FROM obs),
+        terms AS (SELECT
+            pow(o - CAST(rn AS DOUBLE) * cn / tn, 2)
+              / (CAST(rn AS DOUBLE) * cn / tn) AS term,
+            nr, nc, tn
+          FROM obs JOIN rm USING (seg) JOIN cm USING (reg), tm)
+        SELECT round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS chi2,
+          max((nr - 1) * (nc - 1)) AS dof, max(tn) AS n_obs
+        FROM terms""")),
+
+    Q(
+      "stats_ks_test",
+      "Two-sample Kolmogorov–Smirnov statistic between the English and " +
+        "non-English document-length distributions (the drift test a " +
+        "corpus-monitoring pipeline runs between sources). Exact and " +
+        "scale-safe: lengths reduce to per-value group counts (one " +
+        "hash agg), cumulative counts are two-level — a window " +
+        "partitioned by a value-range bucket for the within-bucket " +
+        "running sum, plus exclusive bucket offsets computed by a " +
+        "1-row sorted-array prefix fold and broadcast back (the " +
+        "globalRank pattern from Skew, generalized to prefix sums) — " +
+        "so no unpartitioned window anywhere. The sup statistic " +
+        "stays in integer cross-multiplied form |ca·nb − cb·na| " +
+        "(decimal-exact, summation-order-free) and is divided to a " +
+        "double exactly once.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("n_chars").cast("long").as("v"),
+            when(col("lang") === "en", lit("a")).otherwise(lit("b")).as("g"))
+        val vc = d.groupBy("v").agg(
+          count(when(col("g") === "a", 1)).as("ca"),
+          count(when(col("g") === "b", 1)).as("cb"))
+        val bkt = vc.withColumn("b", floor(col("v") / 256L).cast("long"))
+        val wIn = Window.partitionBy("b").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bkt
+          .withColumn("ia", sum("ca").over(wIn))
+          .withColumn("ib", sum("cb").over(wIn))
+        val offs = bkt.groupBy("b").agg(sum("ca").as("sa"), sum("cb").as("sb"))
+          .agg(sort_array(collect_list(struct(col("b"), col("sa"), col("sb")))).as("arr"))
+          .select(explode(expr(
+            "transform(arr, (x, i) -> struct(x.b AS b, " +
+              "aggregate(slice(arr, 1, i), CAST(0 AS BIGINT), (acc, y) -> acc + y.sa) AS oa, " +
+              "aggregate(slice(arr, 1, i), CAST(0 AS BIGINT), (acc, y) -> acc + y.sb) AS ob))")).as("o"))
+          .select(col("o.b").as("b"), col("o.oa").as("oa"), col("o.ob").as("ob"))
+        val tot = vc.agg(sum("ca").as("na"), sum("cb").as("nb"))
+        cum.join(broadcast(offs), Seq("b"))
+          .crossJoin(broadcast(tot))
+          .withColumn("dnum", abs(
+            (col("oa") + col("ia")).cast("decimal(38,0)") * col("nb")
+              - (col("ob") + col("ib")).cast("decimal(38,0)") * col("na")))
+          .agg(
+            round(max("dnum").cast("double")
+              / (max("na").cast("double") * max("nb")), 6).as("ks_stat"),
+            max("na").as("na"), max("nb").as("nb"))
+      },
+      Some("""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS v,
+            CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS g FROM documents),
+        vc AS (SELECT v, count(*) FILTER (WHERE g = 'a') AS ca,
+            count(*) FILTER (WHERE g = 'b') AS cb FROM d GROUP BY 1),
+        c AS (SELECT v,
+            sum(ca) OVER (ORDER BY v) AS cca,
+            sum(cb) OVER (ORDER BY v) AS ccb FROM vc),
+        t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+            CAST(sum(cb) AS BIGINT) AS nb FROM vc)
+        SELECT round(CAST(max(abs(CAST(cca AS DECIMAL(38,0)) * nb
+              - CAST(ccb AS DECIMAL(38,0)) * na)) AS DOUBLE)
+            / (CAST(max(na) AS DOUBLE) * max(nb)), 6) AS ks_stat,
+          max(na) AS na, max(nb) AS nb
+        FROM c, t""")),
+
+    Q(
+      "stats_gini",
+      "Gini coefficient of order value per order priority (the " +
+        "inequality/concentration measure for spend, token, or " +
+        "traffic distributions). Prices are fixed to exact integer " +
+        "cents at the scan, ranked per group by a partitioned window " +
+        "(ties broken by key — the Σ i·xᵢ sum is invariant under " +
+        "tie order anyway), and both sums run in decimal — the whole " +
+        "computation is exact integer arithmetic until the single " +
+        "final division, so it is deterministic at any parallelism.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_orderpriority").as("prio"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"),
+            col("o_orderkey"))
+        val w = Window.partitionBy("prio").orderBy(col("cents"), col("o_orderkey"))
+        o.withColumn("i", row_number().over(w).cast("long"))
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents").cast("decimal(38,0)") * col("i")).as("s"),
+            sum(col("cents").cast("decimal(38,0)")).as("t"))
+          .select(col("prio"), col("n"),
+            round(lit(2.0) * col("s").cast("double")
+                / (col("n").cast("double") * col("t").cast("double"))
+              - (col("n") + 1).cast("double") / col("n").cast("double"),
+              6).as("gini"))
+          .orderBy("prio")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS prio,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+          FROM orders),
+        r AS (SELECT prio, cents,
+            CAST(row_number() OVER (PARTITION BY prio
+              ORDER BY cents, o_orderkey) AS BIGINT) AS i FROM o)
+        SELECT prio, CAST(count(*) AS BIGINT) AS n,
+          round(2.0 * CAST(sum(CAST(cents AS DECIMAL(38,0)) * i) AS DOUBLE)
+              / (CAST(count(*) AS DOUBLE)
+                * CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))
+            - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE),
+            6) AS gini
+        FROM r GROUP BY prio ORDER BY prio""")),
+
+    Q(
+      "profile_benford",
+      "Benford's-law audit of line-item prices: observed first-" +
+        "significant-digit distribution vs the expected log10(1+1/d) " +
+        "— the fraud/corruption screen for any monetary or count " +
+        "column. The digit is taken from the decimal string of the " +
+        "exact integer cents (identical formatting in both engines — " +
+        "no float log10 edge cases at powers of ten); one hash " +
+        "aggregation to 9 rows, total joined back by broadcast.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+          .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .filter(col("cents") > 0)
+        val obs = li
+          .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = obs.agg(sum("n").as("total"))
+        obs.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            round(col("n").cast("double") / col("total"), 6).as("obs_pct"),
+            round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_pct"))
+          .orderBy("digit")
+      },
+      Some("""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem WHERE round(l_extendedprice * 100) > 0),
+        obs AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+            count(*) AS n FROM c GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs)
+        SELECT digit, n,
+          round(CAST(n AS DOUBLE) / total, 6) AS obs_pct,
+          round(log10(1.0 + 1.0 / digit), 6) AS benford_pct
+        FROM obs, t ORDER BY digit""")),
+
+    Q(
+      "ts_interpolate_linear",
+      "Linear interpolation of a sparse daily series onto a dense " +
+        "spine (the gap-fill upgrade of ts_gapfill_locf): per event " +
+        "type, days with no high-value activity are filled by the " +
+        "line between the nearest known neighbors — prev/next value " +
+        "and day via IGNORE NULLS window navigation, edges falling " +
+        "back to nearest-known. Spine generated per type partition " +
+        "(explode(sequence)), windows partitioned by type; the known " +
+        "daily mean is a sorted fold so the interpolation inputs are " +
+        "bit-reproducible.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events").filter(col("value") > 200)
+        val daily = e
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("d"))
+          .agg((sfold(col("value")) / count(lit(1))).as("known"))
+        val spine = e.select("event_type").distinct()
+          .select(col("event_type"), explode(sequence(lit(1), lit(30))).as("d"))
+        val wPrev = Window.partitionBy("event_type").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy("event_type").orderBy("d")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        spine.join(daily, Seq("event_type", "d"), "left")
+          .withColumn("pv", last(col("known"), ignoreNulls = true).over(wPrev))
+          .withColumn("pd", last(when(col("known").isNotNull, col("d")), ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("known"), ignoreNulls = true).over(wNext))
+          .withColumn("nd", first(when(col("known").isNotNull, col("d")), ignoreNulls = true).over(wNext))
+          .select(col("event_type"), col("d").as("day"),
+            round(col("known"), 4).as("known"),
+            round(
+              when(col("known").isNotNull, col("known"))
+                .when(col("pv").isNull, col("nv"))
+                .when(col("nv").isNull, col("pv"))
+                .otherwise(col("pv") + (col("nv") - col("pv"))
+                  * (col("d") - col("pd")) / (col("nd") - col("pd"))),
+              4).as("interp"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            day(CAST(ts AS TIMESTAMP)) AS d, value
+          FROM events WHERE value > 200),
+        daily AS (SELECT event_type, d,
+            list_reduce(list_sort(list(value)), (a, b) -> a + b) / count(*) AS known
+          FROM e GROUP BY 1, 2),
+        types AS (SELECT DISTINCT event_type FROM e),
+        spine AS (SELECT event_type, CAST(unnest(range(1, 31)) AS INT) AS d FROM types),
+        nav AS (SELECT s.event_type, s.d, daily.known,
+            last_value(known IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN known IS NOT NULL THEN s.d END IGNORE NULLS)
+              OVER (PARTITION BY s.event_type ORDER BY s.d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+            first_value(known IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.d
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN known IS NOT NULL THEN s.d END IGNORE NULLS)
+              OVER (PARTITION BY s.event_type ORDER BY s.d
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+          FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.d = daily.d)
+        SELECT event_type, d AS day, round(known, 4) AS known,
+          round(CASE WHEN known IS NOT NULL THEN known
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (d - pd) / (nd - pd) END, 4) AS interp
+        FROM nav ORDER BY event_type, day""")),
+
+    Q(
+      "ts_cusum_changepoint",
+      "CUSUM change-point detection per event type: the day where the " +
+        "cumulative deviation of daily volume from the series mean " +
+        "peaks. Daily totals are exact integer cents (order-free " +
+        "sums); the deviation is kept in cross-multiplied integer " +
+        "form |n·S_t − t·T| (no float mean subtraction, no running " +
+        "double sum), so the argmax is exact and deterministic — the " +
+        "single division to a reportable double happens after the " +
+        "pick. Windows partitioned by type; series totals join back " +
+        "by broadcast. At 100 TB the longs upgrade to decimal(38,0) " +
+        "(the in-repo agg_decimal_money pattern).",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val daily = e.groupBy("event_type", "d").agg(sum("cents").as("dc"))
+        val tot = daily.groupBy("event_type")
+          .agg(sum("dc").as("tc"), count(lit(1)).as("nd"))
+        val wSeq = Window.partitionBy("event_type").orderBy("d")
+        val wCum = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wPick = Window.partitionBy("event_type").orderBy(col("dev").desc, col("d"))
+        daily.join(broadcast(tot), Seq("event_type"))
+          .withColumn("t", row_number().over(wSeq).cast("long"))
+          .withColumn("sc", sum("dc").over(wCum))
+          .withColumn("dev", abs(col("nd") * col("sc") - col("t") * col("tc")))
+          .withColumn("rk", row_number().over(wPick))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("d").as("cp_day"),
+            round(col("dev").cast("double")
+              / (col("nd").cast("double") * 100.0), 4).as("max_dev"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        daily AS (SELECT event_type, d, CAST(sum(cents) AS BIGINT) AS dc
+          FROM e GROUP BY 1, 2),
+        tot AS (SELECT event_type, CAST(sum(dc) AS BIGINT) AS tc,
+            CAST(count(*) AS BIGINT) AS nd FROM daily GROUP BY 1),
+        cum AS (SELECT daily.event_type, d, nd, tc,
+            CAST(row_number() OVER (PARTITION BY daily.event_type ORDER BY d) AS BIGINT) AS t,
+            CAST(sum(dc) OVER (PARTITION BY daily.event_type ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sc
+          FROM daily JOIN tot USING (event_type)),
+        dev AS (SELECT event_type, d, nd, abs(nd * sc - t * tc) AS dev FROM cum),
+        pick AS (SELECT event_type, d, nd, dev,
+            row_number() OVER (PARTITION BY event_type ORDER BY dev DESC, d) AS rk
+          FROM dev)
+        SELECT event_type, d AS cp_day,
+          round(CAST(dev AS DOUBLE) / (CAST(nd AS DOUBLE) * 100.0), 4) AS max_dev
+        FROM pick WHERE rk = 1 ORDER BY event_type""")),
+
+    Q(
+      "ts_downsample_lttb",
+      "Largest-Triangle-Three-Buckets downsampling (the dashboard/" +
+        "preview decimator) of each event type's daily series, " +
+        "parallel variant: buckets of 5 days, neighbor anchors are " +
+        "the adjacent BUCKET AVERAGES (not the sequentially-selected " +
+        "point, which would serialize the scan), each bucket keeps " +
+        "the point maximizing the triangle area against its anchors; " +
+        "first/last buckets keep the first/last point, as in the " +
+        "original algorithm. Everything is per-(type,bucket) " +
+        "partitioned — no sequential dependency, so the same plan " +
+        "decimates a billion-point series. Bucket/daily means are " +
+        "sorted folds for bit-stable areas.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("d"))
+          .agg((sfold(col("value")) / count(lit(1))).as("y"))
+        val bk = daily.withColumn("b", floor((col("d") - 1) / 5.0).cast("int"))
+        val wB = Window.partitionBy("event_type").orderBy("b")
+        val an = bk.groupBy("event_type", "b")
+          .agg((sum(col("d")).cast("double") / count(lit(1))).as("bxv"),
+            (sfold(col("y")) / count(lit(1))).as("byv"))
+          .withColumn("lbx", lag("bxv", 1).over(wB))
+          .withColumn("lby", lag("byv", 1).over(wB))
+          .withColumn("nbx", lead("bxv", 1).over(wB))
+          .withColumn("nby", lead("byv", 1).over(wB))
+          .select("event_type", "b", "lbx", "lby", "nbx", "nby")
+        val wT = Window.partitionBy("event_type")
+        val wPick = Window.partitionBy("event_type", "b").orderBy(col("ord"), col("d"))
+        bk.join(broadcast(an), Seq("event_type", "b"))
+          .withColumn("maxb", max("b").over(wT))
+          .withColumn("area", abs((col("lbx") - col("nbx")) * (col("y") - col("lby"))
+            - (col("lbx") - col("d")) * (col("nby") - col("lby"))))
+          .withColumn("ord",
+            when(col("b") === 0, col("d").cast("double"))
+              .when(col("b") === col("maxb"), col("d") * -1.0)
+              .otherwise(col("area") * -1.0))
+          .withColumn("rk", row_number().over(wPick))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("d").as("day"), round(col("y"), 4).as("y"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            list_reduce(list_sort(list(value)), (a, b) -> a + b) / count(*) AS y
+          FROM events GROUP BY 1, 2),
+        bk AS (SELECT *, CAST(floor((d - 1) / 5.0) AS INT) AS b FROM daily),
+        av AS (SELECT event_type, b, CAST(sum(d) AS DOUBLE) / count(*) AS bxv,
+            list_reduce(list_sort(list(y)), (a, b) -> a + b) / count(*) AS byv
+          FROM bk GROUP BY 1, 2),
+        an AS (SELECT event_type, b,
+            lag(bxv) OVER w AS lbx, lag(byv) OVER w AS lby,
+            lead(bxv) OVER w AS nbx, lead(byv) OVER w AS nby
+          FROM av WINDOW w AS (PARTITION BY event_type ORDER BY b)),
+        pts AS (SELECT k.event_type, k.d, k.y, k.b, lbx, lby, nbx, nby,
+            max(k.b) OVER (PARTITION BY k.event_type) AS maxb,
+            abs((lbx - nbx) * (k.y - lby) - (lbx - k.d) * (nby - lby)) AS area
+          FROM bk k JOIN an ON k.event_type = an.event_type AND k.b = an.b),
+        pick AS (SELECT *, row_number() OVER (PARTITION BY event_type, b ORDER BY
+            CASE WHEN b = 0 THEN CAST(d AS DOUBLE)
+              WHEN b = maxb THEN d * -1.0
+              ELSE area * -1.0 END, d) AS rk FROM pts)
+        SELECT event_type, d AS day, round(y, 4) AS y
+        FROM pick WHERE rk = 1 ORDER BY event_type, day"""))
   )
 }

@@ -96,4 +96,90 @@ class StatsSpec extends SparkSpec {
     assert(bad.count() === 0)
     out.unpersist()
   }
+
+  test("stats_chi2: nonnegative statistic, dof = (R-1)(C-1), n equals |customer|") {
+    val r = SparkEntry.queries("stats_chi2")(spark, sfDir).head()
+    assert(r.getDouble(0) >= 0.0, "chi2 >= 0")
+    assert(r.getLong(1) === 16L, "5 segments x 5 regions -> dof 16")
+    val n = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(r.getLong(2) === n)
+  }
+
+  test("stats_ks_test: statistic in [0,1] and matches brute-force ECDF sup") {
+    val r = SparkEntry.queries("stats_ks_test")(spark, sfDir).head()
+    val ks = r.getDouble(0)
+    assert(ks >= 0.0 && ks <= 1.0)
+    // brute force on the collected column (fixture-sized only)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("n_chars"), col("lang")).collect()
+    val a = docs.filter(_.getString(1) == "en").map(_.getLong(0)).sorted
+    val b = docs.filter(_.getString(1) != "en").map(_.getLong(0)).sorted
+    val sup = (a ++ b).distinct.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.length - b.count(_ <= v).toDouble / b.length)
+    }.max
+    assert(math.abs(ks - sup) < 1e-6, s"got $ks, brute force $sup")
+    assert(r.getLong(1) === a.length && r.getLong(2) === b.length)
+  }
+
+  test("stats_gini: in [0,1) per group and matches brute-force formula") {
+    val out = SparkEntry.queries("stats_gini")(spark, sfDir).collect()
+    assert(out.length === 5)
+    out.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
+    // brute-force one group
+    val prio = out.head.getString(0)
+    val xs = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderpriority") === prio)
+      .select(round(col("o_totalprice") * 100).cast("long")).as[Long].collect().sorted
+    val n = xs.length.toDouble
+    val g = 2.0 * xs.zipWithIndex.map { case (x, i) => (i + 1).toDouble * x }.sum /
+      (n * xs.map(_.toDouble).sum) - (n + 1) / n
+    assert(math.abs(out.head.getDouble(2) - g) < 1e-4, s"got ${out.head.getDouble(2)}, brute $g")
+  }
+
+  test("profile_benford: 9 digits, observed and expected shares each sum to ~1") {
+    val out = SparkEntry.queries("profile_benford")(spark, sfDir).collect()
+    assert(out.map(_.getInt(0)).toSeq == (1 to 9))
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+  }
+
+  test("ts_interpolate_linear: known days pass through; interpolated values bounded by neighbors") {
+    val out = SparkEntry.queries("ts_interpolate_linear")(spark, sfDir).cache()
+    assert(out.filter(col("known").isNotNull && col("known") =!= col("interp")).count() === 0,
+      "wherever a day is known the fill equals it")
+    assert(out.filter(col("interp").isNull).count() === 0, "every spine day is filled")
+    // interpolated values never exceed the series' known min/max per type
+    val bounds = out.groupBy("event_type")
+      .agg(min("known").as("lo"), max("known").as("hi"))
+    val joined = out.join(bounds, "event_type")
+    assert(joined.filter(col("interp") < col("lo") - 1e-9 || col("interp") > col("hi") + 1e-9)
+      .count() === 0, "linear fill stays inside the known envelope")
+    out.unpersist()
+  }
+
+  test("ts_cusum_changepoint: one row per type, day in range, deviation nonnegative") {
+    val out = SparkEntry.queries("ts_cusum_changepoint")(spark, sfDir).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 31)
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("ts_downsample_lttb: one point per bucket; first and last day always kept") {
+    val out = SparkEntry.queries("ts_downsample_lttb")(spark, sfDir).cache()
+    val perBucket = out
+      .withColumn("b", floor((col("day") - 1) / 5.0))
+      .groupBy("event_type", "b").count()
+    assert(perBucket.filter(col("count") =!= 1).count() === 0, "exactly one survivor per bucket")
+    val daily = Tables.t(spark, sfDir, "events")
+      .groupBy(col("event_type"), dayofmonth(col("ts")).as("d"))
+      .agg(count(lit(1)))
+    val firstLast = daily.groupBy("event_type").agg(min("d").as("fd"), max("d").as("ld"))
+    val kept = out.groupBy("event_type").agg(min("day").as("kf"), max("day").as("kl"))
+    val bad = firstLast.join(kept, "event_type")
+      .filter(col("fd") =!= col("kf") || col("ld") =!= col("kl"))
+    assert(bad.count() === 0, "endpoint anchors preserved per series")
+    out.unpersist()
+  }
 }
