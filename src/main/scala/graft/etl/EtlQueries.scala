@@ -1,6 +1,7 @@
 package graft.etl
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reference-parity data-plane operators as declared queries: the
@@ -159,6 +160,43 @@ object EtlQueries {
           .orderBy("id")
       },
       Some("""SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
-        FROM customer ORDER BY id"""))
+        FROM customer ORDER BY id""")),
+
+    Q(
+      "etl_compaction_plan",
+      "Small-file compaction planning — the maintenance pass every " +
+        "partitioned lake needs: per (ship-year, month) partition, " +
+        "estimate bytes (row count × avg row width) and assign " +
+        "partitions to target-sized output bins by cumulative fill " +
+        "(bin = floor(bytes-before / 256 KiB)), so consecutive small " +
+        "partitions coalesce into one rewrite task and large ones " +
+        "split cleanly. The running sum is a window partitioned by " +
+        "year over ≤12 month rows — per-year parallel; at lake scale " +
+        "the unit is the file listing, same plan. Integer bytes end " +
+        "to end.",
+      (s, dir) => {
+        val w = Window.partitionBy("yr").orderBy("mon")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, dir, "lineitem")
+          .groupBy(year(col("l_shipdate")).as("yr"),
+            month(col("l_shipdate")).as("mon"))
+          .agg((count(lit(1)) * 96L).as("bytes"))
+          .withColumn("cb", sum("bytes").over(w) - col("bytes"))
+          .select(col("yr"), col("mon"), col("bytes"),
+            floor(col("cb") / 262144.0).cast("long").as("bin"))
+          .orderBy("yr", "mon")
+      },
+      Some("""WITH p AS (SELECT CAST(year(l_shipdate) AS INT) AS yr,
+            CAST(month(l_shipdate) AS INT) AS mon,
+            count(*) * 96 AS bytes
+          FROM lineitem GROUP BY 1, 2),
+        c AS (SELECT yr, mon, CAST(bytes AS BIGINT) AS bytes,
+            CAST(sum(bytes) OVER (PARTITION BY yr ORDER BY mon
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              - bytes AS cb
+          FROM p)
+        SELECT yr, mon, bytes,
+          CAST(floor(cb / 262144.0) AS BIGINT) AS bin
+        FROM c ORDER BY yr, mon"""))
   )
 }

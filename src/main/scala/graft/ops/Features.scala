@@ -351,6 +351,48 @@ object Features {
             CAST(ntile(10) OVER (PARTITION BY o_orderpriority
               ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
           FROM orders)
-        GROUP BY 1, 2 ORDER BY o_orderpriority, decile"""))
+        GROUP BY 1, 2 ORDER BY o_orderpriority, decile""")),
+
+    Q(
+      "feat_robust_scale",
+      "Robust (median/IQR) scaling summary per event type — the " +
+        "outlier-insensitive alternative to feat_standardize's " +
+        "mean/stddev, plus a Tukey-fence outlier count (value outside " +
+        "q1−1.5·IQR .. q3+1.5·IQR). Quartiles are Spark's exact " +
+        "interpolated `percentile` ≡ DuckDB's quantile_cont — same " +
+        "(n−1)·p interpolation rule, so the cuts agree bit-for-bit; " +
+        "the per-type stats are a tiny broadcast joined back for one " +
+        "counting pass. At 100 TB the exact percentile swaps for the " +
+        "in-repo KLL sketch with identical plumbing.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        val stats = e.groupBy("event_type").agg(
+          expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.5)").as("med"),
+          expr("percentile(value, 0.75)").as("q3"),
+          count(lit(1)).as("n"))
+        e.join(broadcast(stats), Seq("event_type"))
+          .withColumn("iqr", col("q3") - col("q1"))
+          .groupBy("event_type")
+          .agg(max("n").as("n"),
+            round(max("med"), 4).as("med"),
+            round(max("iqr"), 4).as("iqr"),
+            count(when(col("value") < col("q1") - col("iqr") * 1.5
+              || col("value") > col("q3") + col("iqr") * 1.5, 1)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH s AS (SELECT event_type,
+            quantile_cont(value, 0.25) AS q1,
+            quantile_cont(value, 0.5) AS med,
+            quantile_cont(value, 0.75) AS q3,
+            count(*) AS n
+          FROM events GROUP BY 1)
+        SELECT e.event_type, max(n) AS n,
+          round(max(med), 4) AS med,
+          round(max(q3 - q1), 4) AS iqr,
+          count(CASE WHEN e.value < q1 - 1.5 * (q3 - q1)
+            OR e.value > q3 + 1.5 * (q3 - q1) THEN 1 END) AS n_outliers
+        FROM events e JOIN s ON e.event_type = s.event_type
+        GROUP BY 1 ORDER BY e.event_type"""))
   )
 }

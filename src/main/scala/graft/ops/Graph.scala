@@ -523,7 +523,68 @@ object Graph {
           LEFT JOIN ic ON ic.community = nn.community
           CROSS JOIN tot
           ORDER BY nn.community"""
-      })
+      }),
+
+    Q(
+      "graph_clustering_coeff",
+      "Per-node local clustering coefficient — 2·triangles(v) / " +
+        "(deg(v)·(deg(v)−1)) over the canonical undirected trade " +
+        "graph: how tightly each node's neighborhood closes, the " +
+        "standard local-structure feature next to degree and " +
+        "PageRank. Reuses the node-keyed two-hop triangle join " +
+        "(triangleCounts) plus one degree aggregation over the " +
+        "exploded edge list; triangles and degrees are exact " +
+        "integers, the coefficient is a single final division. " +
+        "Degree-1 leaves report 0.0.",
+      (s, dir) => {
+        val und = tradeEdges(s, dir)
+          .filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).cast("long").as("a"),
+            greatest(col("src"), col("dst")).cast("long").as("b"))
+          .distinct()
+          .localCheckpoint(true)
+        val deg = und
+          .select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        deg.join(triangleCounts(und), Seq("node"), "left")
+          .select(col("node"), col("deg"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_tri"),
+            when(col("deg") < 2, lit(0.0))
+              .otherwise(round(
+                lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+                  / (col("deg").cast("double") * (col("deg") - 1)), 6))
+              .as("coeff"))
+          .orderBy("node")
+      },
+      Some("""WITH edges AS (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+            CAST(s.s_nationkey AS BIGINT) AS dst
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst),
+        deg AS (SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY 1),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        ntri AS (SELECT node, count(*) AS n_triangles FROM (
+            SELECT x AS node FROM tri UNION ALL
+            SELECT y FROM tri UNION ALL
+            SELECT z FROM tri)
+          GROUP BY 1)
+        SELECT deg.node, deg.deg,
+          coalesce(ntri.n_triangles, 0) AS n_tri,
+          CASE WHEN deg.deg < 2 THEN 0.0
+            ELSE round(2.0 * coalesce(ntri.n_triangles, 0)
+              / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1)), 6) END AS coeff
+        FROM deg LEFT JOIN ntri ON ntri.node = deg.node
+        ORDER BY deg.node"""))
   )
 
   /** Synchronous weighted label propagation over the trade graph:

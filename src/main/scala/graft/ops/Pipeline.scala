@@ -722,6 +722,109 @@ object Pipeline {
           CAST(GROUPING(lang) AS INT) AS g_lang
         FROM d CROSS JOIN tot
         GROUP BY ROLLUP(source, lang), tt
-        ORDER BY g_src, g_lang, source NULLS FIRST, lang NULLS FIRST"""))
+        ORDER BY g_src, g_lang, source NULLS FIRST, lang NULLS FIRST""")),
+
+    Q(
+      "pipeline_pref_pairs",
+      "Preference-pair construction (the DPO/RLHF data shape): within " +
+        "each (lang, source) bucket with at least two documents, pair " +
+        "the highest-scoring document (chosen) with the lowest " +
+        "(rejected) under a deterministic quality score — here " +
+        "unique-token ratio × log10 of length, the same class of " +
+        "heuristic text_quality_logistic trains on. Two partitioned " +
+        "rank windows over one scored scan, self-joined on the " +
+        "bucket; ties broken by doc_id, so pairing is total. Margin " +
+        "is the score gap. Scales as a per-bucket window + a " +
+        "bucket-keyed equi-join — no global structure.",
+      (s, dir) => {
+        val scored = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            (size(array_distinct(col("ws"))).cast("double") / size(col("ws"))
+              * log(10.0, size(col("ws")).cast("double"))).as("score"))
+        val wUp = Window.partitionBy("lang", "source")
+          .orderBy(col("score").desc, col("doc_id"))
+        val wDn = Window.partitionBy("lang", "source")
+          .orderBy(col("score").asc, col("doc_id").desc)
+        val ranked = scored
+          .withColumn("rbest", row_number().over(wUp))
+          .withColumn("rworst", row_number().over(wDn))
+        val best = ranked.filter(col("rbest") === 1)
+          .select(col("lang"), col("source"),
+            col("doc_id").as("chosen_id"), col("score").as("chosen_score"))
+        val worst = ranked.filter(col("rworst") === 1)
+          .select(col("lang"), col("source"),
+            col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+        best.join(worst, Seq("lang", "source"))
+          .filter(col("chosen_id") =!= col("rejected_id"))
+          .select(col("lang"), col("source"), col("chosen_id"), col("rejected_id"),
+            round(col("chosen_score") - col("rejected_score"), 6).as("margin"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH scored AS (SELECT doc_id, lang, source,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' '))
+              * log10(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS score
+          FROM documents),
+        rk AS (SELECT *,
+            row_number() OVER (PARTITION BY lang, source
+              ORDER BY score DESC, doc_id) AS rbest,
+            row_number() OVER (PARTITION BY lang, source
+              ORDER BY score ASC, doc_id DESC) AS rworst
+          FROM scored),
+        best AS (SELECT lang, source, doc_id AS chosen_id,
+            score AS chosen_score FROM rk WHERE rbest = 1),
+        worst AS (SELECT lang, source, doc_id AS rejected_id,
+            score AS rejected_score FROM rk WHERE rworst = 1)
+        SELECT lang, source, chosen_id, rejected_id,
+          round(chosen_score - rejected_score, 6) AS margin
+        FROM best JOIN worst USING (lang, source)
+        WHERE chosen_id != rejected_id
+        ORDER BY lang, source""")),
+
+    Q(
+      "pipeline_annotation_vote",
+      "Multi-labeler agreement audit: three deterministic heuristic " +
+        "quality labelers (length ≥ 300 chars; non-space alpha ratio " +
+        "≥ 0.8; mean word length ≥ 4) vote per document; per source " +
+        "the query reports the majority-good share and all three " +
+        "pairwise agreement rates — the inter-annotator-consistency " +
+        "check run before trusting any labeling pipeline, model- or " +
+        "human-generated. One scan, one hash aggregation; every vote " +
+        "is an integer comparison so agreement counts are exact.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            length(col("text")).as("len"),
+            length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("alpha"),
+            length(regexp_replace(col("text"), " ", "")).as("nospace"),
+            size(split(col("text"), " ")).as("nw"))
+          .select(col("source"),
+            (col("len") >= 300).cast("int").as("la"),
+            (col("alpha").cast("double") / col("nospace") >= 0.8).cast("int").as("lb"),
+            (col("nospace").cast("double") / col("nw") >= 4.0).cast("int").as("lc"))
+        d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg((col("la") + col("lb") + col("lc") >= 2).cast("int")), 4)
+              .as("majority_good"),
+            round(avg((col("la") === col("lb")).cast("int")), 4).as("agree_ab"),
+            round(avg((col("la") === col("lc")).cast("int")), 4).as("agree_ac"),
+            round(avg((col("lb") === col("lc")).cast("int")), 4).as("agree_bc"))
+          .orderBy("source")
+      },
+      Some("""WITH v AS (SELECT source,
+            CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS la,
+            CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / length(replace(text, ' ', '')) >= 0.8 THEN 1 ELSE 0 END AS lb,
+            CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 4.0 THEN 1 ELSE 0 END AS lc
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          round(avg(CASE WHEN la + lb + lc >= 2 THEN 1 ELSE 0 END), 4) AS majority_good,
+          round(avg(CASE WHEN la = lb THEN 1 ELSE 0 END), 4) AS agree_ab,
+          round(avg(CASE WHEN la = lc THEN 1 ELSE 0 END), 4) AS agree_ac,
+          round(avg(CASE WHEN lb = lc THEN 1 ELSE 0 END), 4) AS agree_bc
+        FROM v GROUP BY source ORDER BY source"""))
   )
 }

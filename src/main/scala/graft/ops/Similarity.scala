@@ -656,7 +656,57 @@ object Similarity {
             count(*) OVER (PARTITION BY cid) AS cnt
           FROM a)
         SELECT vec_id, cid, round(cos, 6) AS cos_sim, rk * 5 <= cnt AS pruned
-        FROM rk ORDER BY vec_id"""))
+        FROM rk ORDER BY vec_id""")),
+
+    Q(
+      "sim_hamming_topk",
+      "Binary-quantized retrieval: each 64-dim float vector collapses " +
+        "to its sign bits packed into two 32-bit words (16 bytes vs " +
+        "256 — the scan reads 16× less at 100 TB), candidates ranked " +
+        "by Hamming distance via bit_count(xor), exact-cosine re-rank " +
+        "of the top-30 to the final 10. The packing is an integer " +
+        "fold (acc·2 + bit — identical seed semantics to DuckDB's " +
+        "list_reduce), so signatures, distances, and the candidate " +
+        "cut are all integer-exact in both engines; floats appear " +
+        "only in the oracle-shared cosine re-rank.",
+      (s, dir) => {
+        def pack(lo: Int): Column =
+          aggregate(slice(col("embedding"), lo, 32), lit(0L),
+            (acc, x) => acc * 2 + when(x > 0f, 1L).otherwise(0L))
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            pack(1).as("h1"), pack(33).as("h2"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("h1").as("q1"), col("h2").as("q2"), col("embedding").as("qe"))
+        val cand = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("hamming",
+            bit_count(col("h1").bitwiseXOR(col("q1")))
+              + bit_count(col("h2").bitwiseXOR(col("q2"))))
+          .orderBy(col("hamming"), col("vec_id"))
+          .limit(30)
+        cand
+          .withColumn("cos_sim", round(VectorOps.cosine(col("embedding"), col("qe")), 6))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("hamming"), col("cos_sim"))
+      },
+      Some(s"""WITH sig AS (SELECT vec_id, embedding,
+          list_reduce(list_transform(list_slice(embedding, 1, 32),
+            x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+            (a, b) -> a * 2 + b) AS h1,
+          list_reduce(list_transform(list_slice(embedding, 33, 64),
+            x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+            (a, b) -> a * 2 + b) AS h2
+        FROM embeddings),
+        q AS (SELECT h1 AS q1, h2 AS q2, embedding AS qe FROM sig WHERE vec_id = 0),
+        cand AS (SELECT vec_id, embedding, qe,
+            CAST(bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) AS INT) AS hamming
+          FROM sig, q WHERE vec_id != 0
+          ORDER BY hamming, vec_id LIMIT 30)
+        SELECT vec_id, hamming,
+          round(${VectorOps.duckCosine("embedding", "qe")}, 6) AS cos_sim
+        FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
   )
 
   /** Deterministic distance-weighted, bucket-diversified seeding (the

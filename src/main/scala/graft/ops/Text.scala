@@ -1090,7 +1090,64 @@ object Text {
             list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx
           FROM terms GROUP BY 1, 2)
         SELECT doc_id, lang, n_tok, round(sx / n_tok, 6) AS log_ratio_per_token
-        FROM agg ORDER BY doc_id"""))
+        FROM agg ORDER BY doc_id""")),
+
+    Q(
+      "text_kn_bigram",
+      "Interpolated Kneser-Ney bigram probabilities (D = 0.75) — the " +
+        "smoothing every production n-gram LM uses, and the quality " +
+        "upgrade over raw-count bigram models whose unseen-pair " +
+        "probability is zero: P(w|prev) = max(c−D,0)/c(prev) + " +
+        "D·N₁₊(prev·)/c(prev) · N₁₊(·w)/|bigram types|, where the " +
+        "continuation counts N₁₊ are distinct-neighbor counts. One " +
+        "corpus tokenize pass feeds bigram counts; prefix and " +
+        "continuation tables are re-aggregations of that counted " +
+        "table (prefix totals = sums, distinct-neighbor counts = row " +
+        "counts — no second distinct pass); the type total is a " +
+        "1-row broadcast. Everything is integer until the final " +
+        "probability expression; top-20 by TakeOrderedAndProject.",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumnRenamed("col", "w")
+        val wn = Window.partitionBy("doc_id").orderBy("pos")
+        val pairs = tok
+          .withColumn("prev", lag(col("w"), 1).over(wn))
+          .filter(col("prev").isNotNull)
+          .select(col("prev"), col("w"))
+        val big = pairs.groupBy("prev", "w").agg(count(lit(1)).as("c12"))
+        val pre = big.groupBy("prev")
+          .agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
+        val cont = big.groupBy("w").agg(count(lit(1)).as("nc"))
+        val types = big.agg(count(lit(1)).as("tt"))
+        big.join(pre, Seq("prev"))
+          .join(cont, Seq("w"))
+          .crossJoin(broadcast(types))
+          .withColumn("p_kn",
+            greatest(col("c12") - 0.75, lit(0.0)) / col("c1")
+              + lit(0.75) * col("n1p") / col("c1") * (col("nc") / col("tt").cast("double")))
+          .orderBy(col("p_kn").desc, col("prev"), col("w"))
+          .limit(20)
+          .select(col("prev"), col("w"), col("c12"), round(col("p_kn"), 6).as("p_kn"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+            CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+          FROM documents),
+        pairs AS (
+          SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w
+          FROM tok QUALIFY prev IS NOT NULL),
+        big AS (SELECT prev, w, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        pre AS (SELECT prev, CAST(sum(c12) AS BIGINT) AS c1,
+            count(*) AS n1p FROM big GROUP BY 1),
+        cont AS (SELECT w, count(*) AS nc FROM big GROUP BY 1),
+        types AS (SELECT count(*) AS tt FROM big),
+        p AS (SELECT big.prev, big.w, c12,
+            greatest(c12 - 0.75, 0.0) / c1
+              + 0.75 * n1p / c1 * (nc / CAST(tt AS DOUBLE)) AS p_kn
+          FROM big JOIN pre USING (prev) JOIN cont USING (w), types)
+        SELECT prev, w, c12, round(p_kn, 6) AS p_kn
+        FROM p ORDER BY p_kn DESC, prev, w LIMIT 20"""))
   )
 
   /** Per-document unigram LM bits-per-token — (doc_id, n_tok,
