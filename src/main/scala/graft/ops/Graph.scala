@@ -584,8 +584,88 @@ object Graph {
             ELSE round(2.0 * coalesce(ntri.n_triangles, 0)
               / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1)), 6) END AS coeff
         FROM deg LEFT JOIN ntri ON ntri.node = deg.node
-        ORDER BY deg.node"""))
+        ORDER BY deg.node""")),
+
+    Q(
+      "graph_hits",
+      "HITS hubs-and-authorities (3 iterations, L1-normalized) over " +
+        "the weighted trade graph — the directed complement to " +
+        "PageRank: authorities collect weighted hub mass over " +
+        "in-edges, hubs collect authority mass over out-edges, each " +
+        "phase one co-partitioned equi-join + hash agg, edges " +
+        "localCheckpoint'ed once. Per-node neighbor sums and the " +
+        "per-round L1 norms are sorted folds (degree is bounded " +
+        "here; at web scale the fold swaps for a plain sum plus a " +
+        "coarser round), so every iterate is bit-stable and the " +
+        "DuckDB oracle replays the same 3 rounds as generated " +
+        "unrolled CTEs.",
+      (s, dir) => {
+        val nodes = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("id"))
+        val e = tradeEdges(s, dir)
+          .select(col("src"), col("dst"), col("w").cast("long").as("wl"))
+          .localCheckpoint(true)
+        def normalize(scored: DataFrame, outCol: String): DataFrame = {
+          val filled = nodes.join(scored, Seq("id"), "left")
+            .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
+          val t = filled.agg(Stats.sfold(col("s")).as("t"))
+          filled.crossJoin(broadcast(t))
+            .select(col("id"), (col("s") / col("t")).as(outCol))
+            .localCheckpoint(true)
+        }
+        var hub = nodes.select(col("id"), lit(1.0).as("hub"))
+        var auth = nodes.select(col("id"), lit(0.0).as("auth"))
+        for (_ <- 1 to 3) {
+          auth = normalize(
+            e.join(hub.select(col("id").as("src"), col("hub")), Seq("src"))
+              .groupBy(col("dst").as("id"))
+              .agg(Stats.sfold(col("wl") * col("hub")).as("s")), "auth")
+          hub = normalize(
+            e.join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
+              .groupBy(col("src").as("id"))
+              .agg(Stats.sfold(col("wl") * col("auth")).as("s")), "hub")
+        }
+        nodes.join(hub, Seq("id")).join(auth, Seq("id"))
+          .select(col("id"), round(col("hub"), 6).as("hub"),
+            round(col("auth"), 6).as("auth"))
+          .orderBy("id")
+      },
+      Some(hitsSql))
   )
+
+  /** The HITS iteration unrolled as generated CTEs (list_sort +
+    * list_reduce folds mirror the Spark sorted folds exactly). */
+  private def hitsSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""a$r AS (SELECT n.id, coalesce(x.s, 0.0) AS s FROM nodes n
+          LEFT JOIN (SELECT e.dst AS id,
+              list_reduce(list_sort(list(e.wl * h.hub)), (p, q) -> p + q) AS s
+            FROM e JOIN h${r - 1} h ON h.id = e.src GROUP BY 1) x USING (id)),
+        an$r AS (SELECT id, s / (SELECT list_reduce(list_sort(list(s)),
+            (p, q) -> p + q) FROM a$r) AS auth FROM a$r),
+        hh$r AS (SELECT n.id, coalesce(x.s, 0.0) AS s FROM nodes n
+          LEFT JOIN (SELECT e.src AS id,
+              list_reduce(list_sort(list(e.wl * a.auth)), (p, q) -> p + q) AS s
+            FROM e JOIN an$r a ON a.id = e.dst GROUP BY 1) x USING (id)),
+        h$r AS (SELECT id, s / (SELECT list_reduce(list_sort(list(s)),
+            (p, q) -> p + q) FROM hh$r) AS hub FROM hh$r)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+          CAST(s.s_nationkey AS BIGINT) AS dst,
+          CAST(count(*) AS BIGINT) AS wl
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+      h0 AS (SELECT id, 1.0 AS hub FROM nodes),
+      $rounds
+      SELECT n.id, round(h3.hub, 6) AS hub, round(an3.auth, 6) AS auth
+      FROM nodes n JOIN h3 USING (id) JOIN an3 USING (id)
+      ORDER BY n.id"""
+  }
 
   /** Synchronous weighted label propagation over the trade graph:
     * labels start as node ids; each round a node adopts the label with

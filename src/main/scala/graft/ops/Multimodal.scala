@@ -118,6 +118,80 @@ object Multimodal {
         CAST(64 + (strlen(text) * 31) % 353 AS INT) AS height,
         CAST(1 + strlen(text) % 25 AS INT) AS n_frames,
         CASE WHEN strlen(text) % 2 = 0 THEN 'fake/rgb' ELSE 'fake/yuv' END AS codec
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    Q(
+      "mm_phash_dedup",
+      "Perceptual-hash near-duplicate detection over media payloads — " +
+        "the image-dedup dataflow: decode to a tiny luminance grid " +
+        "(STUB: 64 bytes strided across the payload — locality-" +
+        "preserving, so near-identical payloads yield near-identical " +
+        "grids; a real thumbnail decoder drops in unchanged), " +
+        "average-hash it (bit = pixel·64 > sum, integer-exact mean " +
+        "threshold), pack sign bits into two 32-bit words, generate " +
+        "candidates by 8×8-bit band buckets (equi-join, never " +
+        "all-pairs), verify by Hamming ≤ 10. Identical banding/" +
+        "verify shape to dedup_simhash — this is that operator for " +
+        "the multimodal column, end-to-end integer and fully " +
+        "oracle-replayed.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        val px = d
+          .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("i"),
+            col("text"), col("len"))
+          .select(col("doc_id"), col("i"),
+            ascii(expr("substring(text, CAST(floor(i * len / 64.0) AS INT) + 1, 1)"))
+              .as("p"))
+        val sm = px.groupBy("doc_id").agg(sum("p").as("sp"))
+        val sig = px.join(sm, Seq("doc_id"))
+          .withColumn("bit", (col("p") * 64 > col("sp")).cast("long"))
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("i") < 32 && col("bit") === 1,
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).otherwise(0L)).as("h1"),
+            sum(when(col("i") >= 32 && col("bit") === 1,
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(i - 32 AS INT))")).otherwise(0L)).as("h2"))
+        val banded = sig
+          .select(col("doc_id"), col("h1"), col("h2"),
+            explode(sequence(lit(0), lit(7))).as("band"))
+          .withColumn("key", expr(
+            "CASE WHEN band < 4 THEN shiftright(h1, CAST(band * 8 AS INT)) & 255 " +
+              "ELSE shiftright(h2, CAST((band - 4) * 8 AS INT)) & 255 END"))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            (bit_count(col("a.h1").bitwiseXOR(col("b.h1")))
+              + bit_count(col("a.h2").bitwiseXOR(col("b.h2")))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 10)
+          .orderBy(col("hamming"), col("d1"), col("d2"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len
+          FROM documents WHERE doc_id < 200),
+        px AS (SELECT doc_id, i,
+            ascii(substr(text, CAST(floor(i * len / 64.0) AS INT) + 1, 1)) AS p
+          FROM d CROSS JOIN (SELECT CAST(unnest(range(64)) AS INT) AS i)),
+        sm AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS sp FROM px GROUP BY 1),
+        bits AS (SELECT px.doc_id, i,
+            CASE WHEN p * 64 > sp THEN 1 ELSE 0 END AS bit
+          FROM px JOIN sm USING (doc_id)),
+        sig AS (SELECT doc_id,
+            CAST(sum(CASE WHEN i < 32 AND bit = 1
+              THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END) AS BIGINT) AS h1,
+            CAST(sum(CASE WHEN i >= 32 AND bit = 1
+              THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INT) ELSE 0 END) AS BIGINT) AS h2
+          FROM bits GROUP BY 1),
+        banded AS (SELECT doc_id, h1, h2, band,
+            CASE WHEN band < 4 THEN (h1 >> CAST(band * 8 AS INT)) & 255
+              ELSE (h2 >> CAST((band - 4) * 8 AS INT)) & 255 END AS key
+          FROM sig CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS band)),
+        pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+            CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS INT) AS hamming
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT d1, d2, hamming FROM pairs WHERE hamming <= 10
+        ORDER BY hamming, d1, d2"""))
   )
 }

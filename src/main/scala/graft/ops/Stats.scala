@@ -26,6 +26,25 @@ object Stats {
   private[ops] def sfold(c: Column): Column =
     aggregate(sort_array(collect_list(c)), lit(0.0), (acc, x) => acc + x)
 
+  /** Exclusive per-bucket prefix offsets of two count columns — the
+    * scalable spine of a global cumulative sum: within-bucket running
+    * sums stay in a window PARTITIONED by bucket, and this helper turns
+    * the (tiny, one-row-per-bucket) totals into broadcast-joinable
+    * offsets via a single 1-row sorted-array prefix fold, so no
+    * unpartitioned window ever materializes (the Skew.globalRank trick
+    * generalized to prefix sums). Input: (bucketCol, aCol, bCol) totals
+    * per bucket; output: (bucketCol, oa, ob). */
+  private def bucketPrefixOffsets(
+      totals: org.apache.spark.sql.DataFrame,
+      bucketCol: String): org.apache.spark.sql.DataFrame =
+    totals
+      .agg(sort_array(collect_list(struct(col(bucketCol), col("sa"), col("sb")))).as("arr"))
+      .select(explode(expr(
+        s"transform(arr, (x, i) -> struct(x.$bucketCol AS $bucketCol, " +
+          "aggregate(slice(arr, 1, i), CAST(0 AS BIGINT), (acc, y) -> acc + y.sa) AS oa, " +
+          "aggregate(slice(arr, 1, i), CAST(0 AS BIGINT), (acc, y) -> acc + y.sb) AS ob))")).as("o"))
+      .select(col(s"o.$bucketCol").as(bucketCol), col("o.oa").as("oa"), col("o.ob").as("ob"))
+
   def defs: Seq[Q] = Seq(
 
     Q(
@@ -951,13 +970,8 @@ object Stats {
         val cum = bkt
           .withColumn("ia", sum("ca").over(wIn))
           .withColumn("ib", sum("cb").over(wIn))
-        val offs = bkt.groupBy("b").agg(sum("ca").as("sa"), sum("cb").as("sb"))
-          .agg(sort_array(collect_list(struct(col("b"), col("sa"), col("sb")))).as("arr"))
-          .select(explode(expr(
-            "transform(arr, (x, i) -> struct(x.b AS b, " +
-              "aggregate(slice(arr, 1, i), CAST(0 AS BIGINT), (acc, y) -> acc + y.sa) AS oa, " +
-              "aggregate(slice(arr, 1, i), CAST(0 AS BIGINT), (acc, y) -> acc + y.sb) AS ob))")).as("o"))
-          .select(col("o.b").as("b"), col("o.oa").as("oa"), col("o.ob").as("ob"))
+        val offs = bucketPrefixOffsets(
+          bkt.groupBy("b").agg(sum("ca").as("sa"), sum("cb").as("sb")), "b")
         val tot = vc.agg(sum("ca").as("na"), sum("cb").as("nb"))
         cum.join(broadcast(offs), Seq("b"))
           .crossJoin(broadcast(tot))
@@ -983,6 +997,182 @@ object Stats {
             / (CAST(max(na) AS DOUBLE) * max(nb)), 6) AS ks_stat,
           max(na) AS na, max(nb) AS nb
         FROM c, t""")),
+
+    Q(
+      "stats_mann_whitney",
+      "Mann–Whitney U rank-sum test between urgent and low-priority " +
+        "order values — the nonparametric did-the-distribution-shift " +
+        "test that pairs with stats_ks_test. Same scalable spine: " +
+        "per-value group counts, bucket-partitioned cumulative " +
+        "windows + broadcast prefix offsets (shared helper, no " +
+        "unpartitioned window). Tie handling is exact: rank sums are " +
+        "kept in doubled-integer form Σ ca·(2·below + ties + 1) and " +
+        "the tie-corrected variance uses Σ(t³−t), all in decimal " +
+        "until the final z — deterministic at any parallelism.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+            when(col("o_orderpriority") === "1-URGENT", lit("a")).otherwise(lit("b")).as("g"))
+        val vc = o.groupBy("v").agg(
+          count(when(col("g") === "a", 1)).as("ca"),
+          count(when(col("g") === "b", 1)).as("cb"))
+        val bkt = vc.withColumn("b", floor(col("v") / 1048576L).cast("long"))
+        val wIn = Window.partitionBy("b").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bkt
+          .withColumn("ia", sum("ca").over(wIn))
+          .withColumn("ib", sum("cb").over(wIn))
+        val offs = bucketPrefixOffsets(
+          bkt.groupBy("b").agg(sum("ca").as("sa"), sum("cb").as("sb")), "b")
+        val tot = vc.agg(sum("ca").as("na0"), sum("cb").as("nb0"))
+        val agg = cum.join(broadcast(offs), Seq("b"))
+          .withColumn("cl", col("oa") + col("ia") - col("ca")
+            + col("ob") + col("ib") - col("cb"))
+          .withColumn("ct", col("ca") + col("cb"))
+          .agg(
+            sum(col("ca").cast("decimal(38,0)")
+              * (col("cl") * 2 + col("ct") + 1)).as("rs2"),
+            sum(col("ct").cast("decimal(38,0)") * col("ct") * col("ct")
+              - col("ct")).as("tt"))
+        val u = (col("rs2") - col("na0").cast("decimal(38,0)") * (col("na0") + 1))
+          .cast("double") / 2.0
+        val nAll = col("na0") + col("nb0")
+        val mu = col("na0").cast("double") * col("nb0") / 2.0
+        val vr = col("na0").cast("double") * col("nb0") / 12.0 *
+          ((nAll + 1).cast("double") - col("tt").cast("double")
+            / (nAll.cast("double") * (nAll - 1)))
+        agg.crossJoin(broadcast(tot))
+          .select(round(u, 2).as("u_stat"),
+            round((u - mu) / sqrt(vr), 6).as("z_score"),
+            col("na0").as("na"), col("nb0").as("nb"))
+      },
+      Some("""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+            CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS g
+          FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        vc AS (SELECT v, count(*) FILTER (WHERE g = 'a') AS ca,
+            count(*) FILTER (WHERE g = 'b') AS cb FROM o GROUP BY 1),
+        c AS (SELECT v, ca, cb,
+            CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+            CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb FROM vc),
+        t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+            CAST(sum(cb) AS BIGINT) AS nb FROM vc),
+        terms AS (SELECT ca, cuma - ca + cumb - cb AS cl, ca + cb AS ct FROM c),
+        agg AS (SELECT
+            sum(CAST(ca AS HUGEINT) * (cl * 2 + ct + 1)) AS rs2,
+            sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS tt FROM terms)
+        SELECT
+          round(CAST(rs2 - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2.0, 2) AS u_stat,
+          round((CAST(rs2 - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2.0
+              - CAST(na AS DOUBLE) * nb / 2.0)
+            / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+              * (CAST(na + nb + 1 AS DOUBLE) - CAST(tt AS DOUBLE)
+                / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))), 6) AS z_score,
+          na, nb
+        FROM agg, t""")),
+
+    Q(
+      "ts_autocorr",
+      "Autocorrelation function of each event type's daily-mean " +
+        "series at lags 1–5 (seasonality/memory detection — the " +
+        "diagnostic behind ts_seasonality's fixed-period assumption): " +
+        "r_ℓ = Σ(x_t−μ)(x_{t+ℓ}−μ) / Σ(x_t−μ)². Lagged pairs via one " +
+        "lead window per lag over the per-type partition; every " +
+        "double sum (daily means, series mean, numerator, " +
+        "denominator) is a sorted fold over the calendar-bounded " +
+        "series, so the ACF is bit-stable at any parallelism.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("d"))
+          .agg((sfold(col("value")) / count(lit(1))).as("x"))
+        val mu = daily.groupBy("event_type")
+          .agg((sfold(col("x")) / count(lit(1))).as("mu"))
+        val dm = daily.join(broadcast(mu), Seq("event_type"))
+        val wSeq = Window.partitionBy("event_type").orderBy("d")
+        val den = dm
+          .groupBy("event_type")
+          .agg(sfold((col("x") - col("mu")) * (col("x") - col("mu"))).as("den"))
+        val lags = dm
+          .select(col("event_type"), col("d"), col("x"), col("mu"),
+            explode(sequence(lit(1), lit(5))).as("lag"))
+          .withColumn("dl", col("d") + col("lag"))
+        // calendar-shifted copy joined back on (type, day+lag) — an
+        // equi-join, so variable lags never need a non-constant window
+        // offset and gap days pair only with real calendar neighbors
+        val shifted = dm.select(col("event_type"), col("d").as("dl"),
+          col("x").as("xl"))
+        val num = lags.join(shifted, Seq("event_type", "dl"))
+          .groupBy("event_type", "lag")
+          .agg(sfold((col("x") - col("mu")) * (col("xl") - col("mu"))).as("num"))
+        num.join(broadcast(den), Seq("event_type"))
+          .select(col("event_type"), col("lag"),
+            round(col("num") / col("den"), 4).as("acf"))
+          .orderBy("event_type", "lag")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            list_reduce(list_sort(list(value)), (a, b) -> a + b) / count(*) AS x
+          FROM events GROUP BY 1, 2),
+        mu AS (SELECT event_type,
+            list_reduce(list_sort(list(x)), (a, b) -> a + b) / count(*) AS mu
+          FROM daily GROUP BY 1),
+        dm AS (SELECT daily.event_type, d, x, mu
+          FROM daily JOIN mu USING (event_type)),
+        den AS (SELECT event_type,
+            list_reduce(list_sort(list((x - mu) * (x - mu))), (a, b) -> a + b) AS den
+          FROM dm GROUP BY 1),
+        lagged AS (SELECT dm.event_type, d, x, mu, lag, d + lag AS dl
+          FROM dm CROSS JOIN (SELECT CAST(unnest(range(1, 6)) AS INT) AS lag)),
+        num AS (SELECT l.event_type, lag,
+            list_reduce(list_sort(list((l.x - l.mu) * (s.x - l.mu))),
+              (a, b) -> a + b) AS num
+          FROM lagged l JOIN dm s
+            ON s.event_type = l.event_type AND s.d = l.dl
+          GROUP BY 1, 2)
+        SELECT num.event_type, lag, round(num / den, 4) AS acf
+        FROM num JOIN den USING (event_type)
+        ORDER BY event_type, lag""")),
+
+    Q(
+      "profile_fd_violations",
+      "Approximate functional-dependency audit — does X determine Y, " +
+        "and how badly is it violated: for each candidate FD the " +
+        "query counts determinant values with more than one distinct " +
+        "dependent (one hash agg per FD; the countDistinct is exact, " +
+        "keyed on the determinant so it scales as a plain group-by). " +
+        "Candidates: part→supplier on lineitem (genuinely multi-" +
+        "valued) and customer→priority on orders (behavioral, " +
+        "partially violated). The schema-discovery pass a lakehouse " +
+        "catalog runs before declaring constraints.",
+      (s, dir) => {
+        def fd(df: org.apache.spark.sql.DataFrame,
+            name: String, lhs: String, rhs: String) =
+          df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("k"))
+            .agg(count(lit(1)).as("n_keys"),
+              count(when(col("k") > 1, 1)).as("n_violating"))
+            .select(lit(name).as("fd"), col("n_keys"), col("n_violating"),
+              round(col("n_violating").cast("double") / col("n_keys"), 6)
+                .as("violation_rate"))
+        fd(Tables.t(s, dir, "lineitem"), "l_partkey->l_suppkey",
+            "l_partkey", "l_suppkey")
+          .unionAll(fd(Tables.t(s, dir, "orders"), "o_custkey->o_orderpriority",
+            "o_custkey", "o_orderpriority"))
+          .orderBy("fd")
+      },
+      Some("""WITH a AS (SELECT l_partkey, count(DISTINCT l_suppkey) AS k
+          FROM lineitem GROUP BY 1),
+        b AS (SELECT o_custkey, count(DISTINCT o_orderpriority) AS k
+          FROM orders GROUP BY 1),
+        ra AS (SELECT 'l_partkey->l_suppkey' AS fd,
+            count(*) AS n_keys,
+            count(CASE WHEN k > 1 THEN 1 END) AS n_violating FROM a),
+        rb AS (SELECT 'o_custkey->o_orderpriority' AS fd,
+            count(*) AS n_keys,
+            count(CASE WHEN k > 1 THEN 1 END) AS n_violating FROM b)
+        SELECT fd, n_keys, n_violating,
+          round(CAST(n_violating AS DOUBLE) / n_keys, 6) AS violation_rate
+        FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+        ORDER BY fd""")),
 
     Q(
       "stats_gini",

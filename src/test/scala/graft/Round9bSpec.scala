@@ -69,6 +69,68 @@ class Round9bSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("stats_mann_whitney: U matches the brute-force tie-averaged rank sum") {
+    val r = SparkEntry.queries("stats_mann_whitney")(spark, sfDir).head()
+    val (u, na, nb) = (r.getDouble(0), r.getLong(2), r.getLong(3))
+    assert(u >= 0.0 && u <= na.toDouble * nb, "U in [0, na*nb]")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+        (col("o_orderpriority") === "1-URGENT").as("isA"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val sorted = o.sortBy(_._1)
+    // tie-averaged ranks
+    val ranks = scala.collection.mutable.Map[Long, Double]()
+    var idx = 0
+    for ((v, grp) <- sorted.groupBy(_._1).toSeq.sortBy(_._1)) {
+      val k = grp.length
+      ranks(v) = (idx + 1 + idx + k).toDouble / 2
+      idx += k
+    }
+    val rsA = o.filter(_._2).map(t => ranks(t._1)).sum
+    val nA = o.count(_._2)
+    val uBrute = rsA - nA.toDouble * (nA + 1) / 2
+    assert(math.abs(u - uBrute) < 1e-6, s"got $u, brute $uBrute")
+    assert(na === nA.toLong && nb === (o.length - nA).toLong)
+  }
+
+  test("ts_autocorr: 5 lags per type, lag-0 normalization implies bounded values") {
+    val out = SparkEntry.queries("ts_autocorr")(spark, sfDir).collect()
+    assert(out.length === 25, "5 event types x 5 lags")
+    assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.5),
+      "ACF magnitudes bounded (num over full-series denominator)")
+  }
+
+  test("profile_fd_violations: part->supplier genuinely multi-valued, rates in [0,1]") {
+    val out = SparkEntry.queries("profile_fd_violations")(spark, sfDir).collect()
+    assert(out.length === 2)
+    val bySrc = out.map(r => r.getString(0) -> r).toMap
+    assert(bySrc("l_partkey->l_suppkey").getLong(2) > 0, "TPC-H parts have multiple suppliers")
+    out.foreach { r =>
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1), "violating <= total keys")
+    }
+  }
+
+  test("mm_phash_dedup: nonempty, canonical pair order, Hamming within threshold") {
+    val out = SparkEntry.queries("mm_phash_dedup")(spark, sfDir).collect()
+    assert(out.nonEmpty, "fixture corpus has near-duplicate payloads")
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "d1 < d2 canonical order")
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 10)
+    }
+  }
+
+  test("graph_hits: scores nonnegative and L1-normalized per phase") {
+    val out = SparkEntry.queries("graph_hits")(spark, sfDir).collect()
+    assert(out.length === 25)
+    val (hubs, auths) = (out.map(_.getDouble(1)), out.map(_.getDouble(2)))
+    assert(hubs.forall(_ >= 0.0) && auths.forall(_ >= 0.0))
+    assert(math.abs(hubs.sum - 1.0) < 1e-3, s"hub mass ${hubs.sum}")
+    assert(math.abs(auths.sum - 1.0) < 1e-3, s"auth mass ${auths.sum}")
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
