@@ -706,7 +706,52 @@ object Similarity {
           ORDER BY hamming, vec_id LIMIT 30)
         SELECT vec_id, hamming,
           round(${VectorOps.duckCosine("embedding", "qe")}, 6) AS cos_sim
-        FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
+        FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 10""")),
+
+    Q(
+      "sim_nearest_centroid",
+      "Nearest-centroid classification eval — the confusion matrix of " +
+        "assigning every vector to its closest per-label centroid (the " +
+        "embedding-quality probe run after any training round): " +
+        "centroids from exact per-dimension sorted-fold means (bit-" +
+        "stable, then frozen to float32 in BOTH engines so the scoring " +
+        "inputs are identical), scored against the corpus through the " +
+        "codegen'd VecDot cosine with a 5-row broadcast — one corpus " +
+        "pass, no shuffle beyond the confusion-matrix aggregation. " +
+        "Argmax ties break by label, so the assignment is total.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val cents = e.select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos"))
+          .agg((Stats.sfold(col("col").cast("double")) / count(lit(1))).as("m"))
+          .groupBy("label")
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("a"))
+          .select(col("label").as("clabel"),
+            expr("transform(a, x -> CAST(x.m AS FLOAT))").as("cv"))
+        val wPick = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("clabel"))
+        e.crossJoin(broadcast(cents))
+          .withColumn("cos", VectorOps.cosine(col("embedding"), col("cv")))
+          .withColumn("rk", row_number().over(wPick))
+          .filter(col("rk") === 1)
+          .groupBy(col("label"), col("clabel").as("pred_label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "pred_label")
+      },
+      Some(s"""WITH px AS (SELECT label, CAST(i AS INT) - 1 AS pos,
+            CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) r(i)),
+        cm AS (SELECT label, pos,
+            list_reduce(list_sort(list(v)), (a, b) -> a + b) / count(*) AS m
+          FROM px GROUP BY 1, 2),
+        ce AS (SELECT label AS clabel,
+            list(CAST(m AS FLOAT) ORDER BY pos) AS cv FROM cm GROUP BY 1),
+        sc AS (SELECT e.vec_id, e.label, c.clabel,
+            ${VectorOps.duckCosine("e.embedding", "c.cv")} AS cos
+          FROM embeddings e CROSS JOIN ce c),
+        pick AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, clabel) AS rk FROM sc)
+        SELECT label, clabel AS pred_label, count(*) AS n
+        FROM pick WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** Deterministic distance-weighted, bucket-diversified seeding (the

@@ -1134,6 +1134,182 @@ object Stats {
         ORDER BY event_type, lag""")),
 
     Q(
+      "ts_rolling_regression",
+      "Rolling 7-day OLS trend per event type: the windowed " +
+        "least-squares slope of daily volume over day index — " +
+        "slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — with every sum " +
+        "taken over a 7-row sliding frame in EXACT integer cents and " +
+        "day units, so the regression arithmetic has no float " +
+        "accumulation at all: one window pass, four integer frame " +
+        "sums, one final division. The trend-detection feature a " +
+        "monitoring pipeline computes per series at any scale.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        val w = Window.partitionBy("event_type").orderBy("d")
+          .rowsBetween(-6, Window.currentRow)
+        daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("d")).over(w))
+          .withColumn("sy", sum(col("y")).over(w))
+          .withColumn("sxy", sum(col("d") * col("y")).over(w))
+          .withColumn("sxx", sum(col("d").cast("long") * col("d")).over(w))
+          .filter(col("n") === 7)
+          .select(col("event_type"), col("d").as("day"),
+            round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+              / (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
+              / 100.0, 6).as("slope"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, d,
+            count(*) OVER w AS n,
+            CAST(sum(d) OVER w AS BIGINT) AS sx,
+            CAST(sum(y) OVER w AS BIGINT) AS sy,
+            CAST(sum(d * y) OVER w AS BIGINT) AS sxy,
+            CAST(sum(CAST(d AS BIGINT) * d) OVER w AS BIGINT) AS sxx
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT event_type, d AS day,
+          round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            / 100.0, 6) AS slope
+        FROM r WHERE n = 7 ORDER BY event_type, day""")),
+
+    Q(
+      "stats_two_proportion_z",
+      "Two-proportion z-test (the A/B-test primitive): high-value-" +
+        "purchase conversion (a purchase over 150) between the even " +
+        "and odd user-id cohorts — " +
+        "x/n per cohort from one conditional aggregation, pooled " +
+        "rate, z = (p1−p2)/√(p̂(1−p̂)(1/n1+1/n2)). Counts are exact " +
+        "integers; the z expression is a fixed-shape float formula " +
+        "over four integers, so the statistic is deterministic at " +
+        "any parallelism and replayed term-for-term by the oracle.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .groupBy((col("user_id") % 2 === 0).as("cohort_even"))
+          .agg(countDistinct("user_id").as("n_users"),
+            countDistinct(when(col("event_type") === "purchase" && col("value") > 150,
+              col("user_id"))).as("n_converted"))
+        val wide = e.agg(
+          max(when(col("cohort_even"), col("n_users"))).as("n1"),
+          max(when(col("cohort_even"), col("n_converted"))).as("x1"),
+          max(when(!col("cohort_even"), col("n_users"))).as("n2"),
+          max(when(!col("cohort_even"), col("n_converted"))).as("x2"))
+        val p1 = col("x1").cast("double") / col("n1")
+        val p2 = col("x2").cast("double") / col("n2")
+        val pp = (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2"))
+        wide.select(
+          col("n1"), col("x1"), col("n2"), col("x2"),
+          round(p1, 6).as("rate_even"),
+          round(p2, 6).as("rate_odd"),
+          round((p1 - p2) / sqrt(pp * (lit(1.0) - pp)
+            * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6).as("z_score"))
+      },
+      Some("""WITH c AS (SELECT user_id % 2 = 0 AS cohort_even,
+            count(DISTINCT user_id) AS n_users,
+            count(DISTINCT CASE WHEN event_type = 'purchase'
+              AND value > 150 THEN user_id END) AS n_converted
+          FROM events GROUP BY 1),
+        wide AS (SELECT
+            CAST(max(CASE WHEN cohort_even THEN n_users END) AS BIGINT) AS n1,
+            CAST(max(CASE WHEN cohort_even THEN n_converted END) AS BIGINT) AS x1,
+            CAST(max(CASE WHEN NOT cohort_even THEN n_users END) AS BIGINT) AS n2,
+            CAST(max(CASE WHEN NOT cohort_even THEN n_converted END) AS BIGINT) AS x2
+          FROM c)
+        SELECT n1, x1, n2, x2,
+          round(CAST(x1 AS DOUBLE) / n1, 6) AS rate_even,
+          round(CAST(x2 AS DOUBLE) / n2, 6) AS rate_odd,
+          round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+            / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+              * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+              * (1.0 / n1 + 1.0 / n2)), 6) AS z_score
+        FROM wide""")),
+
+    Q(
+      "stats_welch_t",
+      "Welch's unequal-variance t-test on order values between the " +
+        "BUILDING and MACHINERY customer segments: means and sample " +
+        "variances from exact integer-cent power sums (Σx, Σx² in " +
+        "decimal — no float accumulation, any aggregation order), " +
+        "t = (m1−m2)/√(s1²/n1 + s2²/n2) plus the Welch–Satterthwaite " +
+        "degrees of freedom, both computed as fixed-shape float " +
+        "formulas over the exact sums. One broadcast-dim join, one " +
+        "hash aggregation.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val c = broadcast(Tables.t(s, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")))
+        val sums = o.join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("seg"), round(col("o_totalprice") * 100).cast("long").as("v"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast("decimal(38,0)")).as("s1"),
+            sum(col("v").cast("decimal(38,0)") * col("v")).as("s2"))
+          .agg(
+            max(when(col("seg") === "BUILDING", col("n"))).as("n1"),
+            max(when(col("seg") === "BUILDING", col("s1"))).as("sa1"),
+            max(when(col("seg") === "BUILDING", col("s2"))).as("sb1"),
+            max(when(col("seg") === "MACHINERY", col("n"))).as("n2"),
+            max(when(col("seg") === "MACHINERY", col("s1"))).as("sa2"),
+            max(when(col("seg") === "MACHINERY", col("s2"))).as("sb2"))
+        // sample variance from power sums: (Σx² − (Σx)²/n) / (n−1), in cents²
+        def m(sa: Column, n: Column) = sa.cast("double") / n
+        def vr(sb: Column, sa: Column, n: Column) =
+          (sb.cast("double") - sa.cast("double") * sa.cast("double") / n) /
+            (n.cast("double") - 1)
+        val v1 = vr(col("sb1"), col("sa1"), col("n1")) / col("n1")
+        val v2 = vr(col("sb2"), col("sa2"), col("n2")) / col("n2")
+        sums.select(col("n1"), col("n2"),
+          round(m(col("sa1"), col("n1")) / 100.0, 4).as("mean1"),
+          round(m(col("sa2"), col("n2")) / 100.0, 4).as("mean2"),
+          round((m(col("sa1"), col("n1")) - m(col("sa2"), col("n2")))
+            / sqrt(v1 + v2), 6).as("t_stat"),
+          round((v1 + v2) * (v1 + v2)
+            / (v1 * v1 / (col("n1").cast("double") - 1)
+              + v2 * v2 / (col("n2").cast("double") - 1)), 2).as("welch_df"))
+      },
+      Some("""WITH j AS (SELECT c_mktsegment AS seg,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(v AS HUGEINT)) AS s1,
+            sum(CAST(v AS HUGEINT) * v) AS s2
+          FROM j GROUP BY 1),
+        wide AS (SELECT
+            max(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+            max(CASE WHEN seg = 'BUILDING' THEN s1 END) AS sa1,
+            max(CASE WHEN seg = 'BUILDING' THEN s2 END) AS sb1,
+            max(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+            max(CASE WHEN seg = 'MACHINERY' THEN s1 END) AS sa2,
+            max(CASE WHEN seg = 'MACHINERY' THEN s2 END) AS sb2
+          FROM g),
+        f AS (SELECT n1, n2,
+            CAST(sa1 AS DOUBLE) / n1 AS m1, CAST(sa2 AS DOUBLE) / n2 AS m2,
+            (CAST(sb1 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE) / n1)
+              / (CAST(n1 AS DOUBLE) - 1) / n1 AS v1,
+            (CAST(sb2 AS DOUBLE) - CAST(sa2 AS DOUBLE) * CAST(sa2 AS DOUBLE) / n2)
+              / (CAST(n2 AS DOUBLE) - 1) / n2 AS v2
+          FROM wide)
+        SELECT n1, n2,
+          round(m1 / 100.0, 4) AS mean1,
+          round(m2 / 100.0, 4) AS mean2,
+          round((m1 - m2) / sqrt(v1 + v2), 6) AS t_stat,
+          round((v1 + v2) * (v1 + v2)
+            / (v1 * v1 / (CAST(n1 AS DOUBLE) - 1)
+              + v2 * v2 / (CAST(n2 AS DOUBLE) - 1)), 2) AS welch_df
+        FROM f""")),
+
+    Q(
       "profile_fd_violations",
       "Approximate functional-dependency audit — does X determine Y, " +
         "and how badly is it violated: for each candidate FD the " +

@@ -131,6 +131,50 @@ class Round9bSpec extends SparkSpec {
     assert(math.abs(auths.sum - 1.0) < 1e-3, s"auth mass ${auths.sum}")
   }
 
+  test("ts_rolling_regression: full 7-day windows only, finite slopes") {
+    val out = SparkEntry.queries("ts_rolling_regression")(spark, sfDir).collect()
+    assert(out.length === 120, "5 types x 24 complete windows (days 7..30)")
+    assert(out.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+    assert(out.forall(r => r.getInt(1) >= 7 && r.getInt(1) <= 30))
+  }
+
+  test("stats_two_proportion_z: cohorts partition the users, rates in (0,1)") {
+    val r = SparkEntry.queries("stats_two_proportion_z")(spark, sfDir).head()
+    val users = Tables.t(spark, sfDir, "events").select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(2) === users, "cohorts partition the user base")
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    for (i <- Seq(4, 5)) {
+      val p = r.getDouble(i)
+      assert(p > 0.0 && p < 1.0, s"conversion neither zero nor saturated ($p)")
+    }
+    assert(!r.getDouble(6).isNaN && !r.getDouble(6).isInfinite)
+  }
+
+  test("stats_welch_t: means match brute force, df between min(n)-1 and n1+n2-2") {
+    val r = SparkEntry.queries("stats_welch_t")(spark, sfDir).head()
+    val (n1, n2) = (r.getLong(0), r.getLong(1))
+    val df = r.getDouble(5)
+    assert(df >= math.min(n1, n2).toDouble - 1 && df <= (n1 + n2).toDouble - 2,
+      s"Welch-Satterthwaite df $df within its theoretical bounds")
+    val brute = Tables.t(spark, sfDir, "orders")
+      .join(Tables.t(spark, sfDir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .agg(avg(round(col("o_totalprice") * 100) / 100.0)).head().getDouble(0)
+    assert(math.abs(r.getDouble(2) - brute) < 0.02, s"mean1 ${r.getDouble(2)} vs $brute")
+  }
+
+  test("sim_nearest_centroid: assignments conserved and better than chance") {
+    val out = SparkEntry.queries("sim_nearest_centroid")(spark, sfDir).cache()
+    val total = out.agg(sum("n")).head().getLong(0)
+    assert(total === Tables.t(spark, sfDir, "embeddings").count(),
+      "every vector assigned exactly once")
+    val correct = out.filter(col("label") === col("pred_label"))
+      .agg(sum("n")).head().getLong(0)
+    assert(correct.toDouble / total > 0.25,
+      s"accuracy ${correct.toDouble / total} beats the 0.2 random baseline")
+    out.unpersist()
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
