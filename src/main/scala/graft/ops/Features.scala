@@ -393,6 +393,30 @@ object Features {
           count(CASE WHEN e.value < q1 - 1.5 * (q3 - q1)
             OR e.value > q3 + 1.5 * (q3 - q1) THEN 1 END) AS n_outliers
         FROM events e JOIN s ON e.event_type = s.event_type
-        GROUP BY 1 ORDER BY e.event_type"""))
+        GROUP BY 1 ORDER BY e.event_type""")),
+
+    Q(
+      "sample_systematic",
+      "Systematic (every k-th) sampling under a total order — the " +
+        "deterministic audit-sample pattern: rows are globally ranked " +
+        "by Skew.globalRank (range repartition + per-partition " +
+        "row_number + broadcast offsets — NO single-task window, the " +
+        "scalable spelling of row_number() OVER (ORDER BY ...)), then " +
+        "every 100th rank is kept. The oracle writes the same thing " +
+        "as the unpartitioned-window form DuckDB can afford — " +
+        "pinning that globalRank is bit-identical to the SQL-standard " +
+        "global row_number.",
+      (s, dir) => {
+        Skew.globalRank(Tables.t(s, dir, "orders"),
+            Seq(col("o_orderkey")), rankCol = "rank")
+          .filter(pmod(col("rank"), lit(100L)) === 1)
+          .select(col("o_orderkey"), col("rank"))
+          .orderBy("rank")
+      },
+      Some("""SELECT o_orderkey, rank FROM (
+          SELECT o_orderkey,
+            CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rank
+          FROM orders)
+        WHERE rank % 100 = 1 ORDER BY rank"""))
   )
 }

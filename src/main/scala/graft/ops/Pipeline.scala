@@ -825,6 +825,70 @@ object Pipeline {
           round(avg(CASE WHEN la = lb THEN 1 ELSE 0 END), 4) AS agree_ab,
           round(avg(CASE WHEN la = lc THEN 1 ELSE 0 END), 4) AS agree_ac,
           round(avg(CASE WHEN lb = lc THEN 1 ELSE 0 END), 4) AS agree_bc
-        FROM v GROUP BY source ORDER BY source"""))
+        FROM v GROUP BY source ORDER BY source""")),
+
+    Q(
+      "pipeline_dpo_prep",
+      "End-to-end preference-data preparation — the composed DPO " +
+        "pipeline: quality gate (length floor) → exact dedup " +
+        "(md5-content survivor, min-id) → per-language preference " +
+        "pair under the deterministic quality score → reproducible " +
+        "train/val split by portable content hash. Four operator " +
+        "families in one dataflow, each stage the scale-safe " +
+        "spelling (partitioned windows, content-hash keyed dedup, no " +
+        "global structure); every intermediate is integer/hash-" +
+        "deterministic so the whole pipeline replays in DuckDB.",
+      (s, dir) => {
+        import PortableHash.hexHash
+        val wD = Window.partitionBy("h").orderBy("doc_id")
+        val surv = Tables.t(s, dir, "documents")
+          .filter(col("n_chars") >= 150)
+          .withColumn("h", md5(col("text")))
+          .withColumn("rk", row_number().over(wD))
+          .filter(col("rk") === 1)
+        val scored = surv
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), col("lang"),
+            (size(array_distinct(col("ws"))).cast("double") / size(col("ws"))
+              * log(10.0, size(col("ws")).cast("double"))).as("score"))
+        val wUp = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+        val wDn = Window.partitionBy("lang").orderBy(col("score").asc, col("doc_id").desc)
+        val rk = scored
+          .withColumn("rb", row_number().over(wUp))
+          .withColumn("rw", row_number().over(wDn))
+        val best = rk.filter(col("rb") === 1)
+          .select(col("lang"), col("doc_id").as("chosen_id"), col("score").as("cs"))
+        val worst = rk.filter(col("rw") === 1)
+          .select(col("lang"), col("doc_id").as("rejected_id"), col("score").as("rs"))
+        best.join(worst, Seq("lang"))
+          .filter(col("chosen_id") =!= col("rejected_id"))
+          .select(col("lang"), col("chosen_id"), col("rejected_id"),
+            round(col("cs") - col("rs"), 6).as("margin"),
+            when(pmod(hexHash(concat(lit("dpo:"), col("chosen_id"))), lit(10L)) < 8,
+              "train").otherwise("val").as("split"))
+          .orderBy("lang")
+      },
+      Some("""WITH g AS (SELECT doc_id, lang, text FROM documents
+          WHERE n_chars >= 150),
+        s0 AS (SELECT doc_id, lang, text,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+          FROM g),
+        surv AS (SELECT doc_id, lang, text FROM s0 WHERE rk = 1),
+        sc AS (SELECT doc_id, lang,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' '))
+              * log10(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS score
+          FROM surv),
+        rk AS (SELECT *,
+            row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rb,
+            row_number() OVER (PARTITION BY lang ORDER BY score ASC, doc_id DESC) AS rw
+          FROM sc),
+        best AS (SELECT lang, doc_id AS chosen_id, score AS cs FROM rk WHERE rb = 1),
+        worst AS (SELECT lang, doc_id AS rejected_id, score AS rs FROM rk WHERE rw = 1)
+        SELECT lang, chosen_id, rejected_id, round(cs - rs, 6) AS margin,
+          CASE WHEN CAST(('0x' || substring(md5('dpo:' || CAST(chosen_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10 < 8 THEN 'train' ELSE 'val' END AS split
+        FROM best JOIN worst USING (lang)
+        WHERE chosen_id != rejected_id ORDER BY lang"""))
   )
 }

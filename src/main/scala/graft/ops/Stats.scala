@@ -1183,6 +1183,51 @@ object Stats {
         FROM r WHERE n = 7 ORDER BY event_type, day""")),
 
     Q(
+      "ts_rolling_median",
+      "Rolling 7-day median of daily volume per event type — the " +
+        "robust smoother (spikes don't drag it the way a moving mean " +
+        "moves). Daily totals are exact integer cents; the frame is " +
+        "collected and sorted per row (bounded at 7 elements — this " +
+        "is the rare case where collect-in-a-window is exactly " +
+        "right), the median read by explicit middle-element " +
+        "arithmetic identical to DuckDB's interpolation on the same " +
+        "sorted list. Partitioned window only.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        val w = Window.partitionBy("event_type").orderBy("d")
+          .rowsBetween(-6, Window.currentRow)
+        val n = size(col("arr"))
+        daily
+          .withColumn("arr", sort_array(collect_list(col("y")).over(w)))
+          .select(col("event_type"), col("d").as("day"),
+            round(
+              when(n % 2 === 1,
+                element_at(col("arr"), ((n + 1) / 2).cast("int")).cast("double"))
+                .otherwise((element_at(col("arr"), (n / 2).cast("int"))
+                  + element_at(col("arr"), (n / 2 + 1).cast("int"))) / 2.0)
+                / 100.0, 2).as("med"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, d,
+            list_sort(list(y) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+          FROM daily)
+        SELECT event_type, d AS day,
+          round((CASE WHEN len(arr) % 2 = 1
+              THEN CAST(arr[CAST((len(arr) + 1) / 2 AS INT)] AS DOUBLE)
+              ELSE (arr[CAST(len(arr) / 2 AS INT)]
+                + arr[CAST(len(arr) / 2 + 1 AS INT)]) / 2.0 END)
+            / 100.0, 2) AS med
+        FROM r ORDER BY event_type, day""")),
+
+    Q(
       "stats_two_proportion_z",
       "Two-proportion z-test (the A/B-test primitive): high-value-" +
         "purchase conversion (a purchase over 150) between the even " +

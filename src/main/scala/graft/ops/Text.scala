@@ -1147,7 +1147,56 @@ object Text {
               + 0.75 * n1p / c1 * (nc / CAST(tt AS DOUBLE)) AS p_kn
           FROM big JOIN pre USING (prev) JOIN cont USING (w), types)
         SELECT prev, w, c12, round(p_kn, 6) AS p_kn
-        FROM p ORDER BY p_kn DESC, prev, w LIMIT 20"""))
+        FROM p ORDER BY p_kn DESC, prev, w LIMIT 20""")),
+
+    Q(
+      "text_bpe_fertility",
+      "Tokenizer fertility by language — units per word and chars per " +
+        "unit after applying the fixed BPE merge table (same greedy " +
+        "fold as text_bpe_encode, reused rule-for-rule): the metric " +
+        "that decides whether a tokenizer is fair to a language " +
+        "(high fertility = more sequence length per word = higher " +
+        "compute cost for that language). Per-row array folds only, " +
+        "one hash aggregation to |languages| rows — integer counts, " +
+        "two final divisions.",
+      (s, dir) => {
+        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"))
+        val words = Tables.t(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .withColumn("units", filter(split(col("word"), ""), u => length(u) > 0))
+        val enc = merges.foldLeft(words) { case (df, (l, r)) =>
+          df.withColumn("units", TextFns.applyMerge(col("units"), l, r))
+        }
+        enc.groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(col("units")).cast("long")).as("n_units"),
+            sum(length(col("word")).cast("long")).as("n_chars"))
+          .select(col("lang"), col("n_words"), col("n_units"),
+            round(col("n_units").cast("double") / col("n_words"), 4).as("fertility"),
+            round(col("n_chars").cast("double") / col("n_units"), 4).as("chars_per_unit"))
+          .orderBy("lang")
+      },
+      Some {
+        val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"))
+        val folds = merges.zipWithIndex.map { case ((l, r), i) =>
+          s"""u${i + 1} AS (SELECT lang, word,
+             | ${TextFns.applyMergeSql("units", s"'$l'", s"'$r'")} AS units
+             | FROM u$i)""".stripMargin.replaceAll("\n", "")
+        }
+        s"""WITH w AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+          u0 AS (SELECT lang, word,
+            list_filter(string_split(word, ''), u -> len(u) > 0) AS units FROM w),
+          ${folds.mkString(", ")}
+          SELECT lang, count(*) AS n_words,
+            CAST(sum(len(units)) AS BIGINT) AS n_units,
+            round(CAST(sum(len(units)) AS BIGINT)
+              / CAST(count(*) AS DOUBLE), 4) AS fertility,
+            round(CAST(sum(length(word)) AS BIGINT)
+              / CAST(sum(len(units)) AS DOUBLE), 4) AS chars_per_unit
+          FROM u${merges.size} GROUP BY lang ORDER BY lang"""
+      })
   )
 
   /** Per-document unigram LM bits-per-token — (doc_id, n_tok,

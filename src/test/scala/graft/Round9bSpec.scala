@@ -175,6 +175,56 @@ class Round9bSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("sample_systematic: ranks form the exact arithmetic progression 1, 101, 201, ...") {
+    val out = SparkEntry.queries("sample_systematic")(spark, sfDir).collect()
+    val n = Tables.t(spark, sfDir, "orders").count()
+    assert(out.length === ((n - 1) / 100 + 1).toInt)
+    assert(out.map(_.getLong(1)).toSeq == out.indices.map(i => i * 100L + 1))
+    // keys themselves are in ascending order (rank follows the sort key)
+    val keys = out.map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("ts_rolling_median: robust to a spike the mean would follow") {
+    val out = SparkEntry.queries("ts_rolling_median")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("med") < 0).count() === 0)
+    // medians are bounded by the min/max daily totals per type
+    val daily = Tables.t(spark, sfDir, "events")
+      .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "d").agg((sum("c") / 100.0).as("y"))
+      .groupBy("event_type").agg(min("y").as("lo"), max("y").as("hi"))
+    val bad = out.join(daily, "event_type")
+      .filter(col("med") < col("lo") - 0.01 || col("med") > col("hi") + 0.01)
+    assert(bad.count() === 0)
+    out.unpersist()
+  }
+
+  test("text_bpe_fertility: fertility between 1 and max word length, merges reduce units") {
+    val out = SparkEntry.queries("text_bpe_fertility")(spark, sfDir).collect()
+    assert(out.length === 5, "one row per language")
+    out.foreach { r =>
+      val fert = r.getDouble(3)
+      assert(fert >= 1.0, "at least one unit per word")
+      assert(r.getDouble(4) > 1.0, "merges compress below one char per unit")
+      assert(r.getLong(2) >= r.getLong(1), "at least one unit per word (counts)")
+    }
+  }
+
+  test("pipeline_dpo_prep: one pair per language, gated, split reproducible") {
+    val out = SparkEntry.queries("pipeline_dpo_prep")(spark, sfDir).cache()
+    assert(out.count() === 5, "one preference pair per language bucket")
+    assert(out.filter(col("margin") <= 0).count() === 0)
+    assert(out.filter(!col("split").isin("train", "val")).count() === 0)
+    // chosen documents all passed the length gate
+    val gated = out.join(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").as("chosen_id"), col("n_chars")), "chosen_id")
+    assert(gated.filter(col("n_chars") < 150).count() === 0)
+    out.unpersist()
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
