@@ -391,6 +391,39 @@ object Analytics {
           CAST(m_score AS INT) AS m_score,
           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
             CAST(m_score AS VARCHAR) AS segment
-        FROM sc ORDER BY user_id"""))
+        FROM sc ORDER BY user_id""")),
+
+    Q(
+      "analytics_streaks",
+      "Longest consecutive-day purchase streak per user — the gaps-" +
+        "and-islands engagement metric: distinct active days, island " +
+        "key = day − row_number (consecutive days share it), longest " +
+        "island per user. Two partitioned windows + two hash aggs, " +
+        "all integer/date arithmetic — the same plan sweeps a billion " +
+        "users because everything is keyed on user_id.",
+      (s, dir) => {
+        val days = Tables.t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        days
+          .withColumn("grp", expr("date_sub(day, row_number() OVER " +
+            "(PARTITION BY user_id ORDER BY day))"))
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max("len").as("max_streak"), count(lit(1)).as("n_streaks"),
+            sum("len").as("active_days"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM events WHERE event_type = 'purchase'),
+        isl AS (SELECT user_id,
+            day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+              AS INT) AS grp
+          FROM days),
+        st AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+        SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks,
+          CAST(sum(len) AS BIGINT) AS active_days
+        FROM st GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -1041,6 +1041,35 @@ object Relational {
           CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist
         FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
         WHERE levenshtein(a.name, c.name) <= 4
-        ORDER BY name_a, name_b"""))
+        ORDER BY name_a, name_b""")),
+
+    Q(
+      "agg_to_map",
+      "Aggregation INTO a map column — per return flag, a " +
+        "linestatus→row-count map built from the key-sorted entry " +
+        "array (map_from_entries over sort_array, so entry order is " +
+        "total), emitted through the canonical to_json encoding the " +
+        "complex-type queries use: Spark's map JSON and a " +
+        "key-ordered string_agg construction in DuckDB produce the " +
+        "identical byte string for integer values. The " +
+        "dynamic-schema pivot shape (keys not known at plan time) " +
+        "that a fixed-column pivot can't express.",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("l_returnflag")
+          .agg(map_from_entries(
+            sort_array(collect_list(struct(col("l_linestatus"), col("n")))))
+            .as("m"))
+          .select(col("l_returnflag"), to_json(col("m")).as("status_counts"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag,
+          '{' || string_agg('"' || l_linestatus || '":' || CAST(n AS VARCHAR),
+            ',' ORDER BY l_linestatus) || '}' AS status_counts
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -1228,6 +1228,50 @@ object Stats {
         FROM r ORDER BY event_type, day""")),
 
     Q(
+      "ts_backtest_snaive",
+      "Forecast backtest — seasonal-naive (ŷ_d = y_{d−7}) vs naive " +
+        "(ŷ_d = y_{d−1}) per event type, scored by MAE over every day " +
+        "where both forecasts exist: the is-there-weekly-structure " +
+        "decision a forecasting pipeline makes before fitting " +
+        "anything. Daily totals and absolute errors are exact integer " +
+        "cents (order-free sums); lagged values come from calendar " +
+        "equi-joins, not row-offset windows, so gap days can never " +
+        "silently misalign the comparison.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        val j7 = daily.select(col("event_type"), (col("d") + 7).as("d"),
+          col("y").as("y7"))
+        val j1 = daily.select(col("event_type"), (col("d") + 1).as("d"),
+          col("y").as("y1"))
+        daily.join(j7, Seq("event_type", "d")).join(j1, Seq("event_type", "d"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(abs(col("y") - col("y7"))).as("e7"),
+            sum(abs(col("y") - col("y1"))).as("e1"))
+          .select(col("event_type"), col("n_days"),
+            round(col("e7").cast("double") / col("n_days") / 100.0, 2).as("mae_snaive"),
+            round(col("e1").cast("double") / col("n_days") / 100.0, 2).as("mae_naive"),
+            (col("e7") < col("e1")).as("weekly_structure"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        j AS (SELECT a.event_type, a.d, a.y, b.y AS y7, c.y AS y1
+          FROM daily a
+          JOIN daily b ON b.event_type = a.event_type AND b.d = a.d - 7
+          JOIN daily c ON c.event_type = a.event_type AND c.d = a.d - 1)
+        SELECT event_type, count(*) AS n_days,
+          round(CAST(sum(abs(y - y7)) AS DOUBLE) / count(*) / 100.0, 2) AS mae_snaive,
+          round(CAST(sum(abs(y - y1)) AS DOUBLE) / count(*) / 100.0, 2) AS mae_naive,
+          sum(abs(y - y7)) < sum(abs(y - y1)) AS weekly_structure
+        FROM j GROUP BY event_type ORDER BY event_type""")),
+
+    Q(
       "stats_two_proportion_z",
       "Two-proportion z-test (the A/B-test primitive): high-value-" +
         "purchase conversion (a purchase over 150) between the even " +

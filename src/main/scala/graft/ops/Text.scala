@@ -1196,7 +1196,68 @@ object Text {
             round(CAST(sum(length(word)) AS BIGINT)
               / CAST(sum(len(units)) AS DOUBLE), 4) AS chars_per_unit
           FROM u${merges.size} GROUP BY lang ORDER BY lang"""
-      })
+      }),
+
+    Q(
+      "text_vocab_divergence",
+      "Jensen–Shannon divergence between the English and non-English " +
+        "token distributions over a deterministic top-50 shared " +
+        "vocabulary (count-desc, token tie-break — the frozen-vocab " +
+        "trick from text_oov_rate, which also bounds the broadcast at " +
+        "any corpus size): the corpus-drift monitor for vocabulary " +
+        "shift between sources or snapshots. Probabilities are " +
+        "renormalized within the vocab from exact integer counts; " +
+        "the ≤50 divergence terms sum in one sorted fold. " +
+        "JS ∈ [0,1] in log2.",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(when(col("lang") === "en", lit("a")).otherwise(lit("b")).as("g"),
+            explode(split(col("text"), " ")).as("w"))
+          .groupBy("w")
+          .agg(count(when(col("g") === "a", 1)).as("ca"),
+            count(when(col("g") === "b", 1)).as("cb"))
+        val vocab = tok.withColumn("tot", col("ca") + col("cb"))
+          .orderBy(col("tot").desc, col("w")).limit(50)
+        val tot = vocab.agg(sum("ca").as("na"), sum("cb").as("nb"))
+        val terms = vocab.crossJoin(broadcast(tot))
+          .withColumn("pa", col("ca").cast("double") / col("na"))
+          .withColumn("pb", col("cb").cast("double") / col("nb"))
+          .withColumn("m", (col("pa") + col("pb")) / 2.0)
+          .withColumn("term",
+            when(col("pa") > 0, col("pa") * log2(col("pa") / col("m")) / 2.0).otherwise(0.0)
+              + when(col("pb") > 0, col("pb") * log2(col("pb") / col("m")) / 2.0).otherwise(0.0))
+        terms.agg(
+          round(Stats.sfold(col("term")), 6).as("js_divergence"),
+          count(lit(1)).as("n_vocab"),
+          max("na").as("na"), max("nb").as("nb"))
+      },
+      Some("""WITH tok AS (SELECT
+            CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS g,
+            unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        cnt AS (SELECT w,
+            count(*) FILTER (WHERE g = 'a') AS ca,
+            count(*) FILTER (WHERE g = 'b') AS cb
+          FROM tok GROUP BY 1),
+        vocab AS (SELECT w, ca, cb FROM cnt
+          ORDER BY ca + cb DESC, w LIMIT 50),
+        t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+            CAST(sum(cb) AS BIGINT) AS nb FROM vocab),
+        terms AS (SELECT
+            CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na)
+              * log2((CAST(ca AS DOUBLE) / na)
+                / (((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)) / 2.0)) / 2.0
+              ELSE 0.0 END
+            + CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb)
+              * log2((CAST(cb AS DOUBLE) / nb)
+                / (((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)) / 2.0)) / 2.0
+              ELSE 0.0 END AS term,
+            na, nb
+          FROM vocab, t)
+        SELECT round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6)
+            AS js_divergence,
+          count(*) AS n_vocab, max(na) AS na, max(nb) AS nb
+        FROM terms"""))
   )
 
   /** Per-document unigram LM bits-per-token — (doc_id, n_tok,

@@ -225,6 +225,54 @@ class Round9bSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("analytics_streaks: streak arithmetic conserved against distinct active days") {
+    val out = SparkEntry.queries("analytics_streaks")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("max_streak") > col("active_days")).count() === 0)
+    assert(out.filter(col("max_streak") < 1 || col("n_streaks") < 1).count() === 0)
+    val totalActive = out.agg(sum("active_days")).head().getLong(0)
+    val brute = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().count()
+    assert(totalActive === brute, "islands partition the distinct (user, day) set")
+    out.unpersist()
+  }
+
+  test("ts_backtest_snaive: MAEs nonnegative, day alignment leaves 23 scored days max") {
+    val out = SparkEntry.queries("ts_backtest_snaive")(spark, sfDir).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      assert(r.getLong(1) <= 23, "days 8..30 at most")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0)
+      if (math.abs(r.getDouble(2) - r.getDouble(3)) >= 0.011)
+        assert(r.getBoolean(4) === (r.getDouble(2) < r.getDouble(3)),
+          "winner flag consistent with clearly-separated rounded MAEs")
+    }
+  }
+
+  test("text_vocab_divergence: JS in [0,1] bits over exactly 50 vocab terms") {
+    val r = SparkEntry.queries("text_vocab_divergence")(spark, sfDir).head()
+    val js = r.getDouble(0)
+    assert(js >= 0.0 && js <= 1.0, s"JS divergence $js within its log2 bound")
+    assert(r.getLong(1) > 10 && r.getLong(1) <= 50,
+      "vocab capped at 50 (the fixture corpus has a bounded token set)")
+    assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+  }
+
+  test("agg_to_map: canonical JSON with keys sorted, counts conserved") {
+    val out = SparkEntry.queries("agg_to_map")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val total = out.map { r =>
+      val m = r.getString(1)
+      assert(m.startsWith("{") && m.endsWith("}"))
+      // keys appear in sorted order in the serialized form
+      val keys = """"([^"]+)":""".r.findAllMatchIn(m).map(_.group(1)).toSeq
+      assert(keys == keys.sorted, s"map keys ordered in $m")
+      """:(\d+)""".r.findAllMatchIn(m).map(_.group(1).toLong).sum
+    }.sum
+    assert(total === Tables.t(spark, sfDir, "lineitem").count())
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
