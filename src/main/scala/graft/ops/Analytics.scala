@@ -424,6 +424,110 @@ object Analytics {
         st AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
         SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks,
           CAST(sum(len) AS BIGINT) AS active_days
-        FROM st GROUP BY user_id ORDER BY user_id"""))
+        FROM st GROUP BY user_id ORDER BY user_id""")),
+
+    Q(
+      "analytics_market_basket",
+      "Association-rule mining over order baskets — support / " +
+        "confidence / lift for co-purchased part pairs (the " +
+        "recommender/affinity primitive): distinct (order, part) " +
+        "baskets, pair candidates by order-keyed self-join (never " +
+        "all-pairs — co-occurrence only), item supports re-aggregated " +
+        "and joined back by part key, basket total a 1-row broadcast. " +
+        "Counts are exact integers; confidence and lift are two final " +
+        "divisions; top-20 rules by lift via TakeOrderedAndProject. " +
+        "A support floor (≥ 2 baskets) prunes the singleton tail " +
+        "before the metric join — the same cut a production run " +
+        "makes, and the reason the pair table stays bounded.",
+      (s, dir) => {
+        val b = Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+          .distinct()
+        val nB = b.select("okey").distinct().agg(count(lit(1)).as("n_baskets"))
+        val item = b.groupBy(col("pkey")).agg(count(lit(1)).as("supp"))
+        val pairs = b.as("x").join(b.as("y"),
+            col("x.okey") === col("y.okey") && col("x.pkey") < col("y.pkey"))
+          .groupBy(col("x.pkey").as("p1"), col("y.pkey").as("p2"))
+          .agg(count(lit(1)).as("n_both"))
+          .filter(col("n_both") >= 2)
+        pairs
+          .join(item.select(col("pkey").as("p1"), col("supp").as("s1")), Seq("p1"))
+          .join(item.select(col("pkey").as("p2"), col("supp").as("s2")), Seq("p2"))
+          .crossJoin(broadcast(nB))
+          .select(col("p1"), col("p2"), col("n_both"), col("s1"), col("s2"),
+            round(col("n_both").cast("double") / col("s1"), 4).as("confidence"),
+            round(col("n_both").cast("double") * col("n_baskets")
+              / (col("s1").cast("double") * col("s2")), 4).as("lift"))
+          .orderBy(col("lift").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+          FROM lineitem),
+        nb AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_baskets FROM b),
+        item AS (SELECT pkey, count(*) AS supp FROM b GROUP BY 1),
+        pairs AS (SELECT x.pkey AS p1, y.pkey AS p2, count(*) AS n_both
+          FROM b x JOIN b y ON x.okey = y.okey AND x.pkey < y.pkey
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT p1, p2, n_both,
+          i1.supp AS s1, i2.supp AS s2,
+          round(CAST(n_both AS DOUBLE) / i1.supp, 4) AS confidence,
+          round(CAST(n_both AS DOUBLE) * n_baskets
+            / (CAST(i1.supp AS DOUBLE) * i2.supp), 4) AS lift
+        FROM pairs
+        JOIN item i1 ON i1.pkey = p1
+        JOIN item i2 ON i2.pkey = p2
+        CROSS JOIN nb
+        ORDER BY lift DESC, p1, p2 LIMIT 20""")),
+
+    Q(
+      "analytics_cohort_revenue",
+      "Cohort lifetime-value curve: users grouped by first-activity " +
+        "week, cumulative per-user purchase revenue tracked over " +
+        "weeks-since-signup — the LTV curve growth teams read. " +
+        "Cohort assignment is one min-aggregation; the cumulative sum " +
+        "runs in a window partitioned by cohort; revenue stays exact " +
+        "integer cents until the final per-user division.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("ts"),
+            weekofyear(col("ts")).as("wk"),
+            when(col("event_type") === "purchase",
+              round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+        val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        val weekly = e.join(broadcast(cohort), Seq("user_id"))
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("weeks_since"))
+          .agg(sum("cents").as("rev"), countDistinct("user_id").as("n_active"))
+        val sizes = cohort.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_size"))
+        val w = Window.partitionBy("cohort_wk").orderBy("weeks_since")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        weekly.join(broadcast(sizes), Seq("cohort_wk"))
+          .withColumn("cum_rev", sum("rev").over(w))
+          .select(col("cohort_wk"), col("weeks_since"), col("cohort_size"),
+            col("n_active"),
+            round(col("cum_rev").cast("double") / col("cohort_size") / 100.0, 2)
+              .as("cum_rev_per_user"))
+          .orderBy("cohort_wk", "weeks_since")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS INT) AS wk,
+            CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+          FROM events),
+        cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+        weekly AS (SELECT cohort_wk, e.wk - cohort_wk AS weeks_since,
+            CAST(sum(cents) AS BIGINT) AS rev,
+            count(DISTINCT e.user_id) AS n_active
+          FROM e JOIN cohort ON e.user_id = cohort.user_id
+          GROUP BY 1, 2),
+        sizes AS (SELECT cohort_wk, count(*) AS cohort_size
+          FROM cohort GROUP BY 1),
+        c AS (SELECT weekly.cohort_wk, weeks_since, cohort_size, n_active,
+            CAST(sum(rev) OVER (PARTITION BY weekly.cohort_wk ORDER BY weeks_since
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev
+          FROM weekly JOIN sizes ON weekly.cohort_wk = sizes.cohort_wk)
+        SELECT cohort_wk, weeks_since, cohort_size, n_active,
+          round(CAST(cum_rev AS DOUBLE) / cohort_size / 100.0, 2)
+            AS cum_rev_per_user
+        FROM c ORDER BY cohort_wk, weeks_since"""))
   )
 }

@@ -1228,6 +1228,57 @@ object Stats {
         FROM r ORDER BY event_type, day""")),
 
     Q(
+      "ts_theil_sen",
+      "Theil–Sen robust trend per event type — the median of all " +
+        "pairwise day-slopes (y_j−y_i)/(d_j−d_i): immune to the " +
+        "outlier days that drag OLS (ts_rolling_regression) around. " +
+        "Pairs come from a per-type self-join on the calendar-bounded " +
+        "daily series (≤ C(30,2) slopes per series — quadratic in " +
+        "SERIES LENGTH, which the calendar bounds, never in row " +
+        "count); slopes are exact-integer ratios evaluated once into " +
+        "doubles, the median read from the sorted slope array with " +
+        "the shared middle-element arithmetic.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") && col("a.d") < col("b.d"))
+          .select(col("a.event_type").as("event_type"),
+            ((col("b.y") - col("a.y")).cast("double")
+              / (col("b.d") - col("a.d"))).as("slope"))
+        val n = size(col("arr"))
+        pairs.groupBy("event_type")
+          .agg(sort_array(collect_list(col("slope"))).as("arr"))
+          .select(col("event_type"), n.as("n_pairs"),
+            round(
+              when(n % 2 === 1,
+                element_at(col("arr"), ((n + 1) / 2).cast("int")))
+                .otherwise((element_at(col("arr"), (n / 2).cast("int"))
+                  + element_at(col("arr"), (n / 2 + 1).cast("int"))) / 2.0)
+                / 100.0, 4).as("slope_per_day"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        pairs AS (SELECT a.event_type,
+            CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS slope
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d < b.d),
+        agg AS (SELECT event_type, list_sort(list(slope)) AS arr
+          FROM pairs GROUP BY 1)
+        SELECT event_type, CAST(len(arr) AS INT) AS n_pairs,
+          round((CASE WHEN len(arr) % 2 = 1
+              THEN arr[CAST((len(arr) + 1) / 2 AS INT)]
+              ELSE (arr[CAST(len(arr) / 2 AS INT)]
+                + arr[CAST(len(arr) / 2 + 1 AS INT)]) / 2.0 END)
+            / 100.0, 4) AS slope_per_day
+        FROM agg ORDER BY event_type""")),
+
+    Q(
       "ts_backtest_snaive",
       "Forecast backtest — seasonal-naive (ŷ_d = y_{d−7}) vs naive " +
         "(ŷ_d = y_{d−1}) per event type, scored by MAE over every day " +

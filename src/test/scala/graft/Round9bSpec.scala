@@ -273,6 +273,47 @@ class Round9bSpec extends SparkSpec {
     assert(total === Tables.t(spark, sfDir, "lineitem").count())
   }
 
+  test("analytics_market_basket: rule metrics internally consistent") {
+    val out = SparkEntry.queries("analytics_market_basket")(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "canonical pair order")
+      assert(r.getLong(2) >= 2, "support floor applied")
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(2) <= r.getLong(4),
+        "pair support bounded by item supports")
+      val conf = r.getDouble(5)
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(r.getDouble(6) > 0.0)
+    }
+    val lifts = out.map(_.getDouble(6)).toSeq
+    assert(lifts == lifts.sorted.reverse, "ranked by lift descending")
+  }
+
+  test("analytics_cohort_revenue: cumulative curve monotone per cohort") {
+    val out = SparkEntry.queries("analytics_cohort_revenue")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cohort_wk").orderBy("weeks_since")
+    val regress = out.withColumn("prev", lag("cum_rev_per_user", 1).over(w))
+      .filter(col("prev").isNotNull && col("cum_rev_per_user") < col("prev"))
+    assert(regress.count() === 0, "cumulative revenue never decreases")
+    assert(out.filter(col("n_active") > col("cohort_size")).count() === 0)
+    out.unpersist()
+  }
+
+  test("ts_theil_sen: pair counts C(n,2)-consistent and slope within pairwise extremes") {
+    val out = SparkEntry.queries("ts_theil_sen")(spark, sfDir).collect()
+    assert(out.length === 5)
+    val daysPerType = Tables.t(spark, sfDir, "events")
+      .groupBy(col("event_type"), dayofmonth(col("ts"))).count()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val n = daysPerType(r.getString(0))
+      assert(r.getInt(1) === (n * (n - 1) / 2).toInt, "all day pairs contribute")
+    }
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
