@@ -197,6 +197,59 @@ object EtlQueries {
           FROM p)
         SELECT yr, mon, bytes,
           CAST(floor(cb / 262144.0) AS BIGINT) AS bin
-        FROM c ORDER BY yr, mon"""))
+        FROM c ORDER BY yr, mon""")),
+
+    Q(
+      "etl_table_checksum",
+      "Order-free table checksums — the migration-audit primitive " +
+        "(did the copy preserve every row?): per table, row count " +
+        "plus the SUM of a portable per-row content hash (md5-hex " +
+        "read as an integer, reduced mod 1e9+7) over a canonical " +
+        "pipe-joined column encoding. Addition commutes, so the " +
+        "checksum is identical at any parallelism and partitioning — " +
+        "compare source and destination without sorting either. " +
+        "Integer/string columns only (float formatting is not a " +
+        "stable cross-engine encoding; money goes in as exact " +
+        "cents). At petabyte row counts the mod-sum widens to " +
+        "DECIMAL(38,0) — same plan.",
+      (s, dir) => {
+        import graft.ops.PortableHash.hexHash
+        def chk(name: String, df: org.apache.spark.sql.DataFrame,
+            enc: org.apache.spark.sql.Column) =
+          df.agg(count(lit(1)).as("n_rows"),
+            sum(pmod(hexHash(enc), lit(1000000007L))).as("checksum"))
+            .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+        val li = Tables.t(s, dir, "lineitem")
+        chk("customer", c, concat_ws("|", col("c_custkey"), col("c_name"),
+            col("c_mktsegment")))
+          .unionAll(chk("orders", o, concat_ws("|", col("o_orderkey"),
+            col("o_custkey"), col("o_orderpriority"),
+            round(col("o_totalprice") * 100).cast("long"))))
+          .unionAll(chk("lineitem", li, concat_ws("|", col("l_orderkey"),
+            col("l_partkey"), col("l_suppkey"), col("l_linenumber"))))
+          .orderBy("table_name")
+      },
+      Some(s"""WITH c AS (SELECT 'customer' AS table_name, count(*) AS n_rows,
+            CAST(sum(${graft.ops.PortableHash.hexHashSql(
+              "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment")}
+              % 1000000007) AS BIGINT) AS checksum
+          FROM customer),
+        o AS (SELECT 'orders', count(*),
+            CAST(sum(${graft.ops.PortableHash.hexHashSql(
+              "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || " +
+                "o_orderpriority || '|' || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)")}
+              % 1000000007) AS BIGINT)
+          FROM orders),
+        l AS (SELECT 'lineitem', count(*),
+            CAST(sum(${graft.ops.PortableHash.hexHashSql(
+              "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || " +
+                "CAST(l_suppkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")}
+              % 1000000007) AS BIGINT)
+          FROM lineitem)
+        SELECT * FROM (SELECT * FROM c UNION ALL SELECT * FROM o
+          UNION ALL SELECT * FROM l)
+        ORDER BY table_name"""))
   )
 }

@@ -419,6 +419,93 @@ object Dedup {
         ORDER BY jaccard DESC, d1, d2""")),
 
     Q(
+      "dedup_minhash_accuracy",
+      "MinHash estimator accuracy audit — for every LSH candidate " +
+        "pair, the signature-agreement estimate (matching " +
+        "permutations / 32) against the exact token Jaccard, with " +
+        "the absolute error: the eval that justifies trusting the " +
+        "approximate dedup path before running it over a corpus " +
+        "(E[est] = J, so systematic error here means a broken hash " +
+        "or banding bug). Same portable-hash dataflow as " +
+        "dedup_minhash_replay; agreement counts come from one " +
+        "(pair, permutation)-keyed join — 32 integer rows per " +
+        "pair — so estimate, truth, and error are all exact in both " +
+        "engines.",
+      (s, dir) => {
+        import PortableHash.hexHash
+        val toks = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tokens"))
+        val sigs = toks.select(col("doc_id"), explode(col("tokens")).as("token"))
+          .select(col("doc_id"), col("token"),
+            explode(sequence(lit(0), lit(31))).as("p"))
+          .select(col("doc_id"), col("p"),
+            hexHash(concat(col("p").cast("string"), lit(":"), col("token"))).as("h"))
+          .groupBy("doc_id", "p").agg(min("h").as("m"))
+        val banded = sigs
+          .groupBy(col("doc_id"), (col("p") / 4).cast("int").as("band"))
+          .agg(sort_array(collect_list(struct(col("p"), col("m")))).as("pm"))
+          .select(col("doc_id"), col("band"),
+            concat_ws(",", transform(col("pm"), x => x("m").cast("string"))).as("key"))
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        val agree = cand
+          .join(sigs.select(col("doc_id").as("d1"), col("p"), col("m").as("m1")), Seq("d1"))
+          .join(sigs.select(col("doc_id").as("d2"), col("p"), col("m").as("m2")),
+            Seq("d2", "p"))
+          .groupBy("d1", "d2")
+          .agg(count(when(col("m1") === col("m2"), 1)).as("n_agree"))
+        agree
+          .join(toks.select(col("doc_id").as("d1"), col("tokens").as("ta")), "d1")
+          .join(toks.select(col("doc_id").as("d2"), col("tokens").as("tb")), "d2")
+          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          .withColumn("exact", col("inter").cast("double")
+            / (size(col("ta")) + size(col("tb")) - col("inter")))
+          .select(col("d1"), col("d2"),
+            round(col("n_agree") / 32.0, 6).as("est_jaccard"),
+            round(col("exact"), 6).as("exact_jaccard"),
+            round(abs(col("n_agree") / 32.0 - col("exact")), 6).as("abs_err"))
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS tokens
+          FROM documents WHERE doc_id < 200),
+        ex AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+        hashed AS (
+          SELECT doc_id, p,
+            ${PortableHash.hexHashSql("CAST(p AS VARCHAR) || ':' || token")} AS h
+          FROM ex CROSS JOIN (SELECT unnest(range(32)) AS p)),
+        sigs AS (SELECT doc_id, p, min(h) AS m FROM hashed GROUP BY 1, 2),
+        banded AS (
+          SELECT s.doc_id, CAST(p // 4 AS INT) AS band,
+            string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS key
+          FROM sigs s GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        agree AS (
+          SELECT c.d1, c.d2, count(*) FILTER (WHERE sa.m = sb.m) AS n_agree
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.d1
+          JOIN sigs sb ON sb.doc_id = c.d2 AND sb.p = sa.p
+          GROUP BY 1, 2),
+        x AS (SELECT a.d1, a.d2, n_agree,
+            CAST(len(list_intersect(ta.tokens, tb.tokens)) AS DOUBLE) /
+              (len(ta.tokens) + len(tb.tokens)
+                - len(list_intersect(ta.tokens, tb.tokens))) AS exact
+          FROM agree a
+          JOIN toks ta ON ta.doc_id = a.d1
+          JOIN toks tb ON tb.doc_id = a.d2)
+        SELECT d1, d2,
+          round(n_agree / 32.0, 6) AS est_jaccard,
+          round(exact, 6) AS exact_jaccard,
+          round(abs(n_agree / 32.0 - exact), 6) AS abs_err
+        FROM x ORDER BY d1, d2""")),
+
+    Q(
       "dedup_simhash_portable",
       "The SimHash band/bucket/Hamming DATAFLOW under an engine-" +
         "portable hash, fully oracle-checked: 32-bit fingerprints from " +

@@ -314,6 +314,33 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_accuracy: estimator calibrated against exact Jaccard") {
+    val out = SparkEntry.queries("dedup_minhash_accuracy")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1).count() === 0)
+    assert(out.filter(col("abs_err") > 1).count() === 0)
+    val mae = out.agg(avg("abs_err")).head().getDouble(0)
+    assert(mae < 0.25, s"32-permutation MinHash MAE $mae within the expected band")
+    out.unpersist()
+  }
+
+  test("etl_table_checksum: row counts exact, checksum flips when a row is removed") {
+    val out = SparkEntry.queries("etl_table_checksum")(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("customer", "lineitem", "orders"))
+    val counts = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (t <- Seq("customer", "orders", "lineitem"))
+      assert(counts(t) === Tables.t(spark, sfDir, t).count(), s"$t row count")
+    assert(out.forall(_.getLong(2) > 0))
+    // sensitivity: dropping one customer row must change the checksum
+    import graft.ops.PortableHash.hexHash
+    val full = out.find(_.getString(0) == "customer").get.getLong(2)
+    val dropped = Tables.t(spark, sfDir, "customer")
+      .filter(col("c_custkey") =!= 1)
+      .agg(sum(pmod(hexHash(concat_ws("|", col("c_custkey"), col("c_name"),
+        col("c_mktsegment"))), lit(1000000007L)))).head().getLong(0)
+    assert(dropped !== full, "checksum detects a missing row")
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
