@@ -516,6 +516,41 @@ class ScaleSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(conf).size <= 2, conf.take(1500))
   }
 
+  test("round-9 continuation batch keeps its scale posture") {
+    // sim_hamming_topk: candidate cut + re-rank are both
+    // TakeOrderedAndProject against a broadcast query row — the corpus
+    // never shuffles
+    val ham = planOf("sim_hamming_topk")
+    assert(ham.contains("TakeOrderedAndProject"), ham.take(1500))
+    assert(!ham.contains("SortMergeJoin"), "corpus must not shuffle-join")
+    // ranked candidate cuts: top-k rules/bigrams via TakeOrderedAndProject
+    for (n <- Seq("analytics_market_basket", "text_kn_bigram"))
+      assert(planOf(n).contains("TakeOrderedAndProject"), s"$n global-sorts")
+    // stats_ks_test / stats_mann_whitney: the cumulative spine is a
+    // bucket-partitioned window + broadcast offsets — no sort-merge join
+    // anywhere, and the offsets ride a BroadcastExchange
+    for (n <- Seq("stats_ks_test", "stats_mann_whitney")) {
+      val p = planOf(n)
+      assert(!p.contains("SortMergeJoin"), s"$n shuffle-joins its offsets")
+      assert(p.contains("BroadcastExchange"), s"$n lost its broadcast spine")
+    }
+    // sample_systematic: the scalable global rank range-repartitions —
+    // a RangePartitioning exchange must appear, a global Window must not
+    // (the registry lint asserts the latter for every query)
+    assert(planOf("sample_systematic").contains("rangepartitioning"),
+      "globalRank lost its range exchange")
+    // sim_nearest_centroid: 5-row centroid table broadcast against the
+    // corpus — one scan, no corpus shuffle before the confusion agg
+    val nc = planOf("sim_nearest_centroid")
+    assert(nc.contains("BroadcastNestedLoopJoin") || nc.contains("BroadcastExchange"),
+      nc.take(1500))
+    // composed pipelines and band dedups stay cross-product-free
+    for (n <- Seq("pipeline_dpo_prep", "mm_phash_dedup",
+        "dedup_minhash_accuracy", "graph_hits", "graph_clustering_coeff",
+        "ts_theil_sen", "analytics_streaks", "etl_table_checksum"))
+      assert(!planOf(n).contains("CartesianProduct"), s"$n plans a cross product")
+  }
+
   test("query-execution listener captures write metrics (A15)") {
     val rec = Metrics.attach(spark)
     val out = tmpDir("graft-metrics")
