@@ -1491,6 +1491,84 @@ object Stats {
         ORDER BY fd""")),
 
     Q(
+      "profile_join_explosion",
+      "Join-blowup estimator — predict a self-join's output size from " +
+        "the key histogram BEFORE running it (Σ c·(c−1)/2 pairs over " +
+        "per-key counts): the planning diagnostic that decides " +
+        "between a straight join, salting, or a rethink, computed " +
+        "with one hash aggregation over the join column only. " +
+        "Reports the total predicted pairs, the hottest key's " +
+        "contribution, and its share — all exact integers except the " +
+        "final share division.",
+      (s, dir) => {
+        val cnt = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+          .withColumn("pairs", (col("c").cast("decimal(38,0)") * (col("c") - 1) / 2)
+            .cast("decimal(38,0)"))
+        val top = cnt.orderBy(col("pairs").desc, col("l_partkey")).limit(1)
+          .select(col("l_partkey").as("top_key"), col("pairs").as("top_pairs"))
+        val tot = cnt.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          sum("pairs").as("predicted_pairs"))
+        tot.crossJoin(broadcast(top))
+          .select(col("n_keys"), col("n_rows"),
+            col("predicted_pairs").cast("long").as("predicted_pairs"),
+            col("top_key"), col("top_pairs").cast("long").as("top_pairs"),
+            round(col("top_pairs").cast("double")
+              / col("predicted_pairs").cast("double"), 6).as("top_share"))
+      },
+      Some("""WITH cnt AS (SELECT l_partkey, count(*) AS c
+          FROM lineitem GROUP BY 1),
+        p AS (SELECT l_partkey, c,
+            CAST(CAST(c AS HUGEINT) * (c - 1) / 2 AS HUGEINT) AS pairs
+          FROM cnt),
+        top AS (SELECT l_partkey AS top_key, pairs AS top_pairs
+          FROM p ORDER BY pairs DESC, l_partkey LIMIT 1),
+        tot AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+            sum(pairs) AS predicted_pairs FROM p)
+        SELECT n_keys, n_rows,
+          CAST(predicted_pairs AS BIGINT) AS predicted_pairs,
+          top_key, CAST(top_pairs AS BIGINT) AS top_pairs,
+          round(CAST(top_pairs AS DOUBLE) / CAST(predicted_pairs AS DOUBLE), 6)
+            AS top_share
+        FROM tot CROSS JOIN top""")),
+
+    Q(
+      "window_running_distinct",
+      "Running count-distinct per key — how many distinct event types " +
+        "each user has touched as of every event, via the first-" +
+        "occurrence-flag trick: row_number over (user, type) marks " +
+        "the first sighting, a running sum over event time counts " +
+        "them — two partitioned windows, no set state, which is why " +
+        "it scales where a naive collect_set-per-frame cannot. The " +
+        "breadth-of-engagement signal at any point in time.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events").filter(col("user_id") < 40)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            Tables.epochUs(col("ts")).as("eus"))
+        val wFirst = Window.partitionBy("user_id", "event_type")
+          .orderBy("eus", "event_id")
+        val wRun = Window.partitionBy("user_id").orderBy("eus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("first_seen",
+            when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+          .withColumn("n_types_seen", sum("first_seen").over(wRun))
+          .select(col("event_id"), col("user_id"), col("n_types_seen"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+          FROM events WHERE user_id < 40),
+        f AS (SELECT event_id, user_id, eus,
+            CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+              ORDER BY eus, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+          FROM e)
+        SELECT event_id, user_id,
+          CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY eus, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS n_types_seen
+        FROM f ORDER BY event_id""")),
+
+    Q(
       "stats_gini",
       "Gini coefficient of order value per order priority (the " +
         "inequality/concentration measure for spend, token, or " +

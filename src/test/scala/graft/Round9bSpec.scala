@@ -341,6 +341,32 @@ class Round9bSpec extends SparkSpec {
     assert(dropped !== full, "checksum detects a missing row")
   }
 
+  test("profile_join_explosion: prediction equals the materialized self-join size") {
+    val r = SparkEntry.queries("profile_join_explosion")(spark, sfDir).head()
+    val li = Tables.t(spark, sfDir, "lineitem").select(col("l_partkey"))
+    val ordered = li.as("a").join(li.as("b"),
+      col("a.l_partkey") === col("b.l_partkey")).count()
+    val n = li.count()
+    // ordered pairs = Σc²; unordered distinct-row pairs = (Σc² − n)/2
+    assert(r.getLong(2) === (ordered - n) / 2,
+      s"predicted ${r.getLong(2)} vs joined ${(ordered - n) / 2}")
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+  }
+
+  test("window_running_distinct: monotone per user, ends at the exact distinct count") {
+    val out = SparkEntry.queries("window_running_distinct")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    val finals = out.join(
+        Tables.t(spark, sfDir, "events").filter(col("user_id") < 40)
+          .groupBy("user_id").agg(countDistinct("event_type").as("truth")),
+        "user_id")
+      .groupBy("user_id", "truth").agg(max("n_types_seen").as("got"))
+    assert(finals.filter(col("got") =!= col("truth")).count() === 0,
+      "running distinct converges to the exact count-distinct per user")
+    assert(out.filter(col("n_types_seen") < 1 || col("n_types_seen") > 5).count() === 0)
+    out.unpersist()
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
