@@ -250,6 +250,34 @@ object EtlQueries {
           FROM lineitem)
         SELECT * FROM (SELECT * FROM c UNION ALL SELECT * FROM o
           UNION ALL SELECT * FROM l)
-        ORDER BY table_name"""))
+        ORDER BY table_name""")),
+
+    Q(
+      "etl_surrogate_keys",
+      "Deterministic surrogate-key minting — UUID-shaped stable keys " +
+        "from a namespaced content hash (md5 of 'cust:'+natural key, " +
+        "formatted 8-4-4-4-12): the warehouse-dimension pattern that " +
+        "survives re-runs and backfills because the key is a pure " +
+        "function of the natural key, never a sequence. Pure per-row " +
+        "string work (embarrassingly parallel); the paired spec " +
+        "audits full-table collision-freedom.",
+      (s, dir) => {
+        val h = md5(concat(lit("cust:"), col("c_custkey")))
+        Tables.t(s, dir, "customer")
+          .filter(col("c_custkey") < 50)
+          .select(col("c_custkey"),
+            concat_ws("-",
+              substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+              substring(h, 17, 4), substring(h, 21, 12)).as("surrogate_key"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+          substring(md5('cust:' || CAST(c_custkey AS VARCHAR)), 1, 8) || '-' ||
+          substring(md5('cust:' || CAST(c_custkey AS VARCHAR)), 9, 4) || '-' ||
+          substring(md5('cust:' || CAST(c_custkey AS VARCHAR)), 13, 4) || '-' ||
+          substring(md5('cust:' || CAST(c_custkey AS VARCHAR)), 17, 4) || '-' ||
+          substring(md5('cust:' || CAST(c_custkey AS VARCHAR)), 21, 12)
+            AS surrogate_key
+        FROM customer WHERE c_custkey < 50 ORDER BY c_custkey"""))
   )
 }

@@ -630,7 +630,45 @@ object Graph {
             round(col("auth"), 6).as("auth"))
           .orderBy("id")
       },
-      Some(hitsSql))
+      Some(hitsSql)),
+
+    Q(
+      "graph_reciprocity",
+      "Edge reciprocity of the directed trade graph — what fraction " +
+        "of src→dst relationships are returned dst→src (the " +
+        "mutuality score that separates marketplaces from broadcast " +
+        "graphs): distinct directed edges self-joined on the " +
+        "reversed key (node-keyed equi-join), one counting " +
+        "aggregation. Exact integers, one final division.",
+      (s, dir) => {
+        val e = tradeEdges(s, dir)
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"))
+          .distinct()
+        val recip = e.as("a").join(e.as("b"),
+            col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+          .select(col("a.src"), col("a.dst"))
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+          .select(col("n_edges"), col("n_recip"),
+            round(col("n_recip").cast("double") / col("n_edges"), 6)
+              .as("reciprocity"))
+      },
+      Some("""WITH edges AS (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+            CAST(s.s_nationkey AS BIGINT) AS dst
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+        r AS (SELECT count(*) AS n_recip FROM e a
+          JOIN e b ON a.src = b.dst AND a.dst = b.src),
+        t AS (SELECT count(*) AS n_edges FROM e)
+        SELECT n_edges, n_recip,
+          round(CAST(n_recip AS DOUBLE) / n_edges, 6) AS reciprocity
+        FROM t CROSS JOIN r"""))
   )
 
   /** The HITS iteration unrolled as generated CTEs (list_sort +

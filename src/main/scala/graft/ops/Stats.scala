@@ -1228,6 +1228,60 @@ object Stats {
         FROM r ORDER BY event_type, day""")),
 
     Q(
+      "ts_interval_union",
+      "Union length of overlapping intervals per user — the coverage " +
+        "sweep behind uptime, session-coverage, and billing-overlap " +
+        "questions: each purchase opens an interval [ts, ts+value " +
+        "seconds]; a per-user sweep detects islands (start beyond the " +
+        "running max of prior ends opens a new one) and sums island " +
+        "extents. All integer microseconds — running max, island ids, " +
+        "and extents are exact — and every window is partitioned by " +
+        "user, so the sweep parallelizes per key.",
+      (s, dir) => {
+        val iv = Tables.t(s, dir, "events")
+          .filter(col("event_type") === "purchase" && col("user_id") < 60)
+          .select(col("user_id"), col("event_id"),
+            Tables.epochUs(col("ts")).as("s0"),
+            (Tables.epochUs(col("ts"))
+              + round(col("value") * 1000000).cast("long")).as("e0"))
+        val wOrd = Window.partitionBy("user_id").orderBy("s0", "event_id")
+        val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        iv
+          .withColumn("pmax", max("e0").over(wPrev))
+          .withColumn("flag",
+            when(col("pmax").isNull || col("s0") > col("pmax"), 1L).otherwise(0L))
+          .withColumn("island", sum("flag").over(wRun))
+          .groupBy("user_id", "island")
+          .agg(min("s0").as("is0"), max("e0").as("ie0"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            round((sum(col("ie0") - col("is0")) / 1000000.0), 2).as("covered_sec"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS s0,
+            epoch_us(CAST(ts AS TIMESTAMP))
+              + CAST(round(value * 1000000) AS BIGINT) AS e0
+          FROM events WHERE event_type = 'purchase' AND user_id < 60),
+        sw AS (SELECT user_id, event_id, s0, e0,
+            max(e0) OVER (PARTITION BY user_id ORDER BY s0, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM iv),
+        fl AS (SELECT user_id, event_id, s0, e0,
+            CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0 END AS flag
+          FROM sw),
+        isl AS (SELECT user_id, s0, e0,
+            sum(flag) OVER (PARTITION BY user_id ORDER BY s0, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM fl),
+        ext AS (SELECT user_id, island, min(s0) AS is0, max(e0) AS ie0
+          FROM isl GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_islands,
+          round(CAST(sum(ie0 - is0) AS BIGINT) / 1000000.0, 2) AS covered_sec
+        FROM ext GROUP BY user_id ORDER BY user_id""")),
+
+    Q(
       "ts_theil_sen",
       "Theil–Sen robust trend per event type — the median of all " +
         "pairwise day-slopes (y_j−y_i)/(d_j−d_i): immune to the " +

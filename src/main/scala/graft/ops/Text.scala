@@ -1257,7 +1257,49 @@ object Text {
         SELECT round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6)
             AS js_divergence,
           count(*) AS n_vocab, max(na) AS na, max(nb) AS nb
-        FROM terms"""))
+        FROM terms""")),
+
+    Q(
+      "text_cross_lingual_overlap",
+      "Pairwise vocabulary Jaccard between every language pair — the " +
+        "cross-lingual-contamination screen (shared tokens across " +
+        "supposedly-separate language slices signal leaked " +
+        "boilerplate or mislabeled documents). Per-language distinct " +
+        "vocabularies, intersections by a token-keyed self-join " +
+        "(never vocab×vocab), sizes re-aggregated and joined back — " +
+        "all exact integer set arithmetic.",
+      (s, dir) => {
+        val vocab = Tables.t(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .distinct()
+        val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("vs"))
+        val inter = vocab.as("a").join(vocab.as("b"),
+            col("a.w") === col("b.w") && col("a.lang") < col("b.lang"))
+          .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("lang").as("lang_a"), col("vs").as("sa")), Seq("lang_a"))
+          .join(sizes.select(col("lang").as("lang_b"), col("vs").as("sb")), Seq("lang_b"))
+          .select(col("lang_a"), col("lang_b"), col("inter"),
+            (col("sa") + col("sb") - col("inter")).as("union_size"),
+            round(col("inter").cast("double")
+              / (col("sa") + col("sb") - col("inter")), 6).as("jaccard"))
+          .orderBy("lang_a", "lang_b")
+      },
+      Some("""WITH vocab AS (SELECT DISTINCT lang,
+            unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        sizes AS (SELECT lang, count(*) AS vs FROM vocab GROUP BY 1),
+        inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS inter
+          FROM vocab a JOIN vocab b ON a.w = b.w AND a.lang < b.lang
+          GROUP BY 1, 2)
+        SELECT lang_a, lang_b, inter,
+          sa.vs + sb.vs - inter AS union_size,
+          round(CAST(inter AS DOUBLE) / (sa.vs + sb.vs - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.lang = lang_a
+        JOIN sizes sb ON sb.lang = lang_b
+        ORDER BY lang_a, lang_b"""))
   )
 
   /** Per-document unigram LM bits-per-token — (doc_id, n_tok,

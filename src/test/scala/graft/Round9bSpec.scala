@@ -367,6 +367,49 @@ class Round9bSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("etl_surrogate_keys: UUID shape and full-table collision freedom") {
+    val out = SparkEntry.queries("etl_surrogate_keys")(spark, sfDir).collect()
+    val shape = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+    out.foreach(r => assert(shape.matches(r.getString(1)), r.getString(1)))
+    // collision audit over the FULL table, not just the sampled output
+    val full = Tables.t(spark, sfDir, "customer")
+      .select(md5(concat(lit("cust:"), col("c_custkey"))).as("h"))
+    assert(full.distinct().count() === full.count(), "surrogate keys collide")
+  }
+
+  test("ts_interval_union: coverage bounded by span and by summed durations") {
+    val out = SparkEntry.queries("ts_interval_union")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    val iv = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase" && col("user_id") < 60)
+      .groupBy("user_id")
+      .agg((sum(round(col("value") * 1000000).cast("long")) / 1000000.0).as("sum_dur"),
+        ((max(Tables.epochUs(col("ts")) + round(col("value") * 1000000).cast("long"))
+          - min(Tables.epochUs(col("ts")))) / 1000000.0).as("span"))
+    val j = out.join(iv, "user_id")
+    assert(j.filter(col("covered_sec") > col("sum_dur") + 0.01).count() === 0,
+      "union cannot exceed the sum of interval lengths")
+    assert(j.filter(col("covered_sec") > col("span") + 0.01).count() === 0,
+      "union cannot exceed the first-start to last-end span")
+    out.unpersist()
+  }
+
+  test("text_cross_lingual_overlap: all 10 pairs, Jaccard in (0,1], symmetric-free") {
+    val out = SparkEntry.queries("text_cross_lingual_overlap")(spark, sfDir).collect()
+    assert(out.length === 10, "C(5,2) language pairs")
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+      assert(r.getLong(2) <= r.getLong(3), "intersection <= union")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("graph_reciprocity: fraction in [0,1] and consistent with its own counts") {
+    val r = SparkEntry.queries("graph_reciprocity")(spark, sfDir).head()
+    assert(r.getLong(1) <= r.getLong(0))
+    assert(math.abs(r.getDouble(2) - r.getLong(1).toDouble / r.getLong(0)) < 1e-6)
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
