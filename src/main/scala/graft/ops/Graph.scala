@@ -668,7 +668,83 @@ object Graph {
         t AS (SELECT count(*) AS n_edges FROM e)
         SELECT n_edges, n_recip,
           round(CAST(n_recip AS DOUBLE) / n_edges, 6) AS reciprocity
-        FROM t CROSS JOIN r"""))
+        FROM t CROSS JOIN r""")),
+
+    Q(
+      "graph_assortativity",
+      "Degree assortativity — the Pearson correlation of endpoint " +
+        "degrees across edges (do hubs trade with hubs?): degrees " +
+        "from one exploded count, attached to each edge end by a " +
+        "node-keyed join, and the correlation assembled from exact " +
+        "integer power sums (m·Σxy − ΣxΣy over cross-multiplied " +
+        "decimals) with a single final division — no float " +
+        "accumulation anywhere, so the statistic is deterministic at " +
+        "any parallelism.",
+      (s, dir) => {
+        // the raw trade graph is near-complete (regular ⇒ zero degree
+        // variance ⇒ undefined correlation); the strong-trade
+        // sparsifier (edges at or above the global mean weight, the
+        // graph_jaccard_neighbors cut) leaves the hub structure the
+        // statistic is about — and stays scale-relative
+        val all = tradeEdges(s, dir).filter(col("src") =!= col("dst"))
+        val cut = all.agg(avg("w").as("cut"))
+        val e = all.crossJoin(broadcast(cut))
+          .filter(col("w") >= col("cut"))
+          .select(col("src"), col("dst"))
+          .distinct()
+          .localCheckpoint(true)
+        val deg = e.select(explode(array(col("src"), col("dst"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val xy = e
+          .join(broadcast(deg.select(col("node").as("src"), col("deg").as("x"))), Seq("src"))
+          .join(broadcast(deg.select(col("node").as("dst"), col("deg").as("y"))), Seq("dst"))
+        val sums = xy.agg(count(lit(1)).as("m"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        val num = col("m").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val dx = col("m").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        val dy = col("m").cast("double") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")
+        sums.select(col("m").as("n_edges"),
+          round(num / sqrt(dx * dy), 6).as("assortativity"))
+      },
+      Some("""WITH edges AS (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+            CAST(s.s_nationkey AS BIGINT) AS dst,
+            CAST(count(*) AS DOUBLE) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        strong AS (SELECT src, dst FROM edges
+          WHERE src <> dst AND w >= (SELECT avg(w) FROM edges WHERE src <> dst)),
+        e AS (SELECT DISTINCT src, dst FROM strong),
+        deg AS (SELECT node, count(*) AS deg FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+          GROUP BY 1),
+        xy AS (SELECT dx.deg AS x, dy.deg AS y
+          FROM e JOIN deg dx ON dx.node = e.src
+          JOIN deg dy ON dy.node = e.dst),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(x AS HUGEINT) * x) AS sxx,
+            sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM xy)
+        SELECT m AS n_edges,
+          round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+            AS assortativity
+        FROM s"""))
   )
 
   /** The HITS iteration unrolled as generated CTEs (list_sort +

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
@@ -626,6 +627,75 @@ object Scalars {
         repeat('*', CAST(p_size % 5 + 1 AS INT)) AS stars,
         reverse(p_name) AS name_rev,
         translate(p_name, 'aeiou', 'AEIOU') AS name_tr
-        FROM part ORDER BY p_partkey"""))
+        FROM part ORDER BY p_partkey""")),
+
+    Q(
+      "scalar_binary_encode",
+      "Binary transport encodings — base64 and hex over the payload " +
+        "bytes with round-trip proof columns (decode(unbase64/unhex) " +
+        "recovers the original): the wire-format family every " +
+        "ingest/egress boundary needs. Pure per-row codegen'd " +
+        "expressions.",
+      (s, dir) => {
+        val bin = col("text").cast("binary")
+        // Spark's base64 is the MIME variant (76-char lines); strip the
+        // line breaks to the canonical single-line form DuckDB emits
+        Tables.t(s, dir, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"),
+            regexp_replace(base64(bin), "[\\r\\n]", "").as("b64"),
+            hex(bin).as("hx"),
+            (decode(unbase64(base64(bin)), "UTF-8") === col("text"))
+              .as("b64_roundtrip"),
+            (decode(unhex(hex(bin)), "UTF-8") === col("text"))
+              .as("hex_roundtrip"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          to_base64(CAST(text AS BLOB)) AS b64,
+          upper(to_hex(CAST(text AS BLOB))) AS hx,
+          CAST(from_base64(to_base64(CAST(text AS BLOB))) AS VARCHAR) = text
+            AS b64_roundtrip,
+          CAST(from_hex(to_hex(CAST(text AS BLOB))) AS VARCHAR) = text
+            AS hex_roundtrip
+        FROM documents WHERE doc_id < 50 ORDER BY doc_id""")),
+
+    Q(
+      "window_pareto_skyline",
+      "Pareto-frontier (skyline) extraction per group — the orders " +
+        "no other order in the group dominates on (price, quantity): " +
+        "sort each group by price desc, a row is on the frontier iff " +
+        "its quantity strictly exceeds the running max of all " +
+        "higher-priced rows. One partitioned window over exact " +
+        "integer cents/quantities — the multi-objective shortlist " +
+        "operator (best trade-offs, not a single ranking) that has " +
+        "no direct SQL builtin.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("grp"),
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+            round(col("l_quantity")).cast("long").as("qty"))
+        val w = Window.partitionBy("grp")
+          .orderBy(col("price_c").desc, col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        li.withColumn("qmax", max("qty").over(w))
+          .filter(col("qmax").isNull || col("qty") > col("qmax"))
+          .select(col("grp"), col("l_orderkey"), col("l_linenumber"),
+            round(col("price_c") / 100.0, 2).as("price"), col("qty"))
+          .orderBy(col("grp"), col("price").desc, col("l_orderkey"))
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS grp, l_orderkey, l_linenumber,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+            CAST(round(l_quantity) AS BIGINT) AS qty
+          FROM lineitem),
+        sky AS (SELECT *,
+            max(qty) OVER (PARTITION BY grp
+              ORDER BY price_c DESC, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS qmax
+          FROM li)
+        SELECT grp, l_orderkey, l_linenumber,
+          round(price_c / 100.0, 2) AS price, qty
+        FROM sky WHERE qmax IS NULL OR qty > qmax
+        ORDER BY grp, price DESC, l_orderkey"""))
   )
 }

@@ -410,6 +410,32 @@ class Round9bSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - r.getLong(1).toDouble / r.getLong(0)) < 1e-6)
   }
 
+  test("scalar_binary_encode: round-trips hold for every row") {
+    val out = SparkEntry.queries("scalar_binary_encode")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(!col("b64_roundtrip") || !col("hex_roundtrip")).count() === 0)
+    assert(out.filter(col("b64").rlike("[\\r\\n]")).count() === 0,
+      "canonical single-line base64")
+    out.unpersist()
+  }
+
+  test("window_pareto_skyline: no frontier point dominates another") {
+    val out = SparkEntry.queries("window_pareto_skyline")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byGrp = out.groupBy(_.getString(0))
+    for ((_, pts) <- byGrp; a <- pts; b <- pts if a != b) {
+      val dominated = a.getDouble(3) <= b.getDouble(3) && a.getLong(4) <= b.getLong(4) &&
+        (a.getDouble(3) < b.getDouble(3) || a.getLong(4) < b.getLong(4))
+      assert(!dominated, s"frontier point $a dominated by $b")
+    }
+  }
+
+  test("graph_assortativity: correlation within [-1, 1] on the sparsified graph") {
+    val r = SparkEntry.queries("graph_assortativity")(spark, sfDir).head()
+    assert(r.getLong(0) > 0)
+    assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
