@@ -278,6 +278,81 @@ object EtlQueries {
           substring(md5('cust:' || CAST(c_custkey AS VARCHAR)), 17, 4) || '-' ||
           substring(md5('cust:' || CAST(c_custkey AS VARCHAR)), 21, 12)
             AS surrogate_key
-        FROM customer WHERE c_custkey < 50 ORDER BY c_custkey"""))
+        FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""")),
+
+    Q(
+      "etl_quarantine_split",
+      "Dead-letter routing — classify every order against the " +
+        "ingest validation rules and report the quarantine " +
+        "breakdown (the first rule that fires wins, so rows route " +
+        "exactly once): nonpositive amount, unknown priority, " +
+        "outside the retention window, over the review threshold, or "
+        + "clean. One conditional " +
+        "projection + one hash aggregation; in the write path the " +
+        "same CASE becomes the partition column of a quarantine " +
+        "sink. Counts exact, shares one division each.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val rule = when(col("o_totalprice") <= 0, "nonpositive_amount")
+          .when(!col("o_orderpriority").rlike("^[1-5]-"), "unknown_priority")
+          .when(col("o_orderdate") < lit("1996-01-01").cast("date"),
+            "outside_retention")
+          .when(col("o_totalprice") > 400000, "review_amount")
+          .otherwise("clean")
+        val cnt = o.select(rule.as("route")).groupBy("route")
+          .agg(count(lit(1)).as("n"))
+        cnt.crossJoin(broadcast(cnt.agg(sum("n").as("total"))))
+          .select(col("route"), col("n"),
+            round(col("n").cast("double") / col("total"), 6).as("share"))
+          .orderBy("route")
+      },
+      Some("""WITH r AS (SELECT CASE
+            WHEN o_totalprice <= 0 THEN 'nonpositive_amount'
+            WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+              THEN 'unknown_priority'
+            WHEN CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+              THEN 'outside_retention'
+            WHEN o_totalprice > 400000 THEN 'review_amount'
+            ELSE 'clean' END AS route
+          FROM orders),
+        c AS (SELECT route, count(*) AS n FROM r GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT route, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+        FROM c CROSS JOIN t ORDER BY route""")),
+
+    Q(
+      "profile_candidate_keys",
+      "Candidate-key discovery — uniqueness ratio of proposed key " +
+        "column sets over the orders table (count distinct vs row " +
+        "count, is_key when they match): the profiling pass that " +
+        "finds the grain of an undocumented table, the complement " +
+        "of profile_fd_violations. One exact distinct-count " +
+        "aggregation per candidate, all integers until the ratio.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        def cand(name: String, cols: Seq[String]) = {
+          o.agg(count(lit(1)).as("n_rows"),
+            countDistinct(cols.head, cols.tail: _*).as("n_distinct"))
+            .select(lit(name).as("candidate"), col("n_rows"), col("n_distinct"),
+              round(col("n_distinct").cast("double") / col("n_rows"), 6)
+                .as("uniqueness"),
+              (col("n_distinct") === col("n_rows")).as("is_key"))
+        }
+        cand("o_orderkey", Seq("o_orderkey"))
+          .unionAll(cand("o_custkey", Seq("o_custkey")))
+          .unionAll(cand("o_custkey+o_orderdate", Seq("o_custkey", "o_orderdate")))
+          .orderBy("candidate")
+      },
+      Some("""WITH a AS (SELECT 'o_orderkey' AS candidate, count(*) AS n_rows,
+            count(DISTINCT o_orderkey) AS n_distinct FROM orders),
+        b AS (SELECT 'o_custkey', count(*),
+            count(DISTINCT o_custkey) FROM orders),
+        c AS (SELECT 'o_custkey+o_orderdate', count(*),
+            count(DISTINCT (o_custkey, o_orderdate)) FROM orders),
+        u AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)
+        SELECT candidate, n_rows, n_distinct,
+          round(CAST(n_distinct AS DOUBLE) / n_rows, 6) AS uniqueness,
+          n_distinct = n_rows AS is_key
+        FROM u ORDER BY candidate"""))
   )
 }

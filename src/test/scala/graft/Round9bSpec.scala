@@ -436,6 +436,21 @@ class Round9bSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
   }
 
+  test("etl_quarantine_split: routes partition the table, shares sum to 1") {
+    val out = SparkEntry.queries("etl_quarantine_split")(spark, sfDir).collect()
+    assert(out.length >= 2, "at least one rule fires on the fixture")
+    assert(out.map(_.getLong(1)).sum === Tables.t(spark, sfDir, "orders").count())
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+  }
+
+  test("profile_candidate_keys: primary key detected, foreign key rejected") {
+    val out = SparkEntry.queries("profile_candidate_keys")(spark, sfDir).collect()
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    assert(byName("o_orderkey").getBoolean(4), "o_orderkey is the grain")
+    assert(!byName("o_custkey").getBoolean(4), "o_custkey repeats")
+    out.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
