@@ -1578,7 +1578,7 @@ object Stats {
         top AS (SELECT l_partkey AS top_key, pairs AS top_pairs
           FROM p ORDER BY pairs DESC, l_partkey LIMIT 1),
         tot AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
-            sum(pairs) AS predicted_pairs FROM p)
+            CAST(sum(pairs) AS HUGEINT) AS predicted_pairs FROM p)
         SELECT n_keys, n_rows,
           CAST(predicted_pairs AS BIGINT) AS predicted_pairs,
           top_key, CAST(top_pairs AS BIGINT) AS top_pairs,
