@@ -528,6 +528,46 @@ object Analytics {
         SELECT cohort_wk, weeks_since, cohort_size, n_active,
           round(CAST(cum_rev AS DOUBLE) / cohort_size / 100.0, 2)
             AS cum_rev_per_user
-        FROM c ORDER BY cohort_wk, weeks_since"""))
+        FROM c ORDER BY cohort_wk, weeks_since""")),
+
+    Q(
+      "analytics_audience_overlap",
+      "Audience overlap between every event-type pair — how many " +
+        "users do BOTH, as count and Jaccard (the cross-feature " +
+        "adoption matrix growth teams segment by): distinct " +
+        "(user, type) audiences, intersections via a user-keyed " +
+        "self-join (co-occurrence only, never audiences×audiences), " +
+        "sizes re-aggregated and joined back. Exact set arithmetic.",
+      (s, dir) => {
+        val aud = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val sizes = aud.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val inter = aud.as("a").join(aud.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        inter
+          .join(sizes.select(col("event_type").as("type_a"), col("n").as("na")), Seq("type_a"))
+          .join(sizes.select(col("event_type").as("type_b"), col("n").as("nb")), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_both"),
+            round(col("n_both").cast("double")
+              / (col("na") + col("nb") - col("n_both")), 6).as("jaccard"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH aud AS (SELECT DISTINCT user_id, event_type FROM events),
+        sizes AS (SELECT event_type, count(*) AS n FROM aud GROUP BY 1),
+        inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+            count(*) AS n_both
+          FROM aud a JOIN aud b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, n_both,
+          round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.event_type = type_a
+        JOIN sizes sb ON sb.event_type = type_b
+        ORDER BY type_a, type_b"""))
   )
 }

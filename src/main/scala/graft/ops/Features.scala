@@ -417,6 +417,38 @@ object Features {
           SELECT o_orderkey,
             CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rank
           FROM orders)
-        WHERE rank % 100 = 1 ORDER BY rank"""))
+        WHERE rank % 100 = 1 ORDER BY rank""")),
+
+    Q(
+      "feat_rare_collapse",
+      "Rare-category collapse — sources with fewer documents than " +
+        "the support floor (2% of the corpus) fold into '__other__' " +
+        "before encoding, the long-tail hygiene step that keeps " +
+        "one-hot/target encoders from memorizing singletons: " +
+        "category counts in one agg, the keeper set broadcast back, " +
+        "final distribution re-aggregated. Integer counts, " +
+        "threshold exact (count·50 ≥ total avoids the float " +
+        "percentage entirely).",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val cnt = d.groupBy("source").agg(count(lit(1)).as("n"))
+        val tot = cnt.agg(sum("n").as("total"))
+        val mapped = d
+          .join(broadcast(cnt), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .select(when(col("n") * 50 >= col("total"), col("source"))
+            .otherwise("__other__").as("category"))
+        mapped.groupBy("category").agg(count(lit(1)).as("n_docs"))
+          .orderBy("category")
+      },
+      Some("""WITH cnt AS (SELECT source, count(*) AS n
+          FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt),
+        mapped AS (SELECT CASE WHEN n * 50 >= total THEN d.source
+            ELSE '__other__' END AS category
+          FROM documents d JOIN cnt ON d.source = cnt.source
+          CROSS JOIN t)
+        SELECT category, count(*) AS n_docs
+        FROM mapped GROUP BY 1 ORDER BY category"""))
   )
 }

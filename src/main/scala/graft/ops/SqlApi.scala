@@ -143,6 +143,49 @@ object SqlApi {
             approx_count_distinct(col("l_partkey")).as("approx_parts"))
           .orderBy("l_returnflag")
       },
-      None)
+      None),
+
+    Q(
+      "sql_pivot",
+      "SQL-syntax PIVOT clause (the spark.sql twin of the DataFrame " +
+        "agg_pivot): quantity totals per return flag fanned across " +
+        "the line-status columns in one Expand+aggregate pass. The " +
+        "oracle spells the same thing as portable conditional " +
+        "aggregation, so the clause's semantics — not just its " +
+        "parser — are pinned.",
+      (s, dir) => withViews(s, dir, "lineitem")(
+        """SELECT * FROM (
+             SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+           PIVOT (CAST(sum(l_quantity) AS BIGINT)
+             FOR l_linestatus IN ('F' AS f, 'O' AS o))
+           ORDER BY l_returnflag"""),
+      Some("""SELECT l_returnflag,
+          CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS BIGINT) AS f,
+          CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS BIGINT) AS o
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q(
+      "sql_unpivot",
+      "SQL-syntax UNPIVOT clause — wide-to-long without a UNION " +
+        "rescan per column (one generate pass): the three customer " +
+        "numeric facets melt into (facet, value) rows. Oracle as the " +
+        "portable UNION ALL spelling.",
+      (s, dir) => withViews(s, dir, "customer")(
+        """SELECT c_custkey, facet, CAST(round(v * 100) AS BIGINT) AS cents
+           FROM (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+                   CAST(c_nationkey AS DOUBLE) AS nationkey
+                 FROM customer)
+           UNPIVOT (v FOR facet IN (acctbal, nationkey))
+           WHERE c_custkey < 100
+           ORDER BY c_custkey, facet"""),
+      Some("""SELECT c_custkey, facet, CAST(round(v * 100) AS BIGINT) AS cents
+        FROM (
+          SELECT c_custkey, 'acctbal' AS facet, CAST(c_acctbal AS DOUBLE) AS v
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+          FROM customer)
+        WHERE c_custkey < 100
+        ORDER BY c_custkey, facet"""))
   )
 }

@@ -1282,6 +1282,65 @@ object Stats {
         FROM ext GROUP BY user_id ORDER BY user_id""")),
 
     Q(
+      "ts_bollinger_bands",
+      "Bollinger bands — 7-day rolling mean ± 2σ envelope with " +
+        "breach flags per event type: both moments come from exact " +
+        "integer frame sums (Σx, Σx² in cents over ROWS BETWEEN 6 " +
+        "PRECEDING), so the band edges are fixed-shape float " +
+        "formulas over exact integers — no running float state, " +
+        "deterministic at any parallelism. The volatility-envelope " +
+        "monitor for any metric stream.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        val w = Window.partitionBy("event_type").orderBy("d")
+          .rowsBetween(-6, Window.currentRow)
+        val n = col("n").cast("double")
+        val mean = col("sx").cast("double") / n
+        val variance = (col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double") / n) / n
+        daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum("y").over(w))
+          .withColumn("sxx", sum(col("y").cast("decimal(38,0)") * col("y")).over(w))
+          .filter(col("n") === 7)
+          .select(col("event_type"), col("d").as("day"),
+            round(col("y") / 100.0, 2).as("y"),
+            round(mean / 100.0, 2).as("mid"),
+            round((mean - sqrt(variance) * 2.0) / 100.0, 2).as("lower"),
+            round((mean + sqrt(variance) * 2.0) / 100.0, 2).as("upper"),
+            (col("y") > (mean + sqrt(variance) * 2.0)
+              || col("y") < (mean - sqrt(variance) * 2.0)).as("breach"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, d, y,
+            count(*) OVER w AS n,
+            CAST(sum(y) OVER w AS BIGINT) AS sx,
+            CAST(sum(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT) AS sxx
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        f AS (SELECT event_type, d, y,
+            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+            (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS variance
+          FROM r WHERE n = 7)
+        SELECT event_type, d AS day,
+          round(y / 100.0, 2) AS y,
+          round(mean / 100.0, 2) AS mid,
+          round((mean - sqrt(variance) * 2.0) / 100.0, 2) AS lower,
+          round((mean + sqrt(variance) * 2.0) / 100.0, 2) AS upper,
+          y > (mean + sqrt(variance) * 2.0)
+            OR y < (mean - sqrt(variance) * 2.0) AS breach
+        FROM f ORDER BY event_type, day""")),
+
+    Q(
       "ts_theil_sen",
       "Theil–Sen robust trend per event type — the median of all " +
         "pairwise day-slopes (y_j−y_i)/(d_j−d_i): immune to the " +

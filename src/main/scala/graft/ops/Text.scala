@@ -1299,7 +1299,60 @@ object Text {
         FROM inter
         JOIN sizes sa ON sa.lang = lang_a
         JOIN sizes sb ON sb.lang = lang_b
-        ORDER BY lang_a, lang_b"""))
+        ORDER BY lang_a, lang_b""")),
+
+    Q(
+      "text_pmi_bigrams",
+      "Pointwise mutual information of adjacent token pairs — the " +
+        "collocation detector (PMI finds 'machine learning', raw " +
+        "counts find 'of the'): log2(N·c(a,b) / (c(a)·c(b))) over the " +
+        "corpus bigram and unigram tables, with a count floor (≥ 5) " +
+        "so rare-pair noise can't top the list. One tokenize pass " +
+        "feeds both tables; integer counts until the single log; " +
+        "top-20 by PMI via TakeOrderedAndProject.",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumnRenamed("col", "w")
+        val wn = Window.partitionBy("doc_id").orderBy("pos")
+        val pairs = tok
+          .withColumn("prev", lag(col("w"), 1).over(wn))
+          .filter(col("prev").isNotNull)
+        val uni = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+        val big = pairs.groupBy("prev", "w").agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 5)
+        val nTot = pairs.agg(count(lit(1)).as("nb"))
+        big
+          .join(uni.select(col("w").as("prev"), col("cw").as("ca")), Seq("prev"))
+          .join(uni.select(col("w"), col("cw").as("cb")), Seq("w"))
+          .crossJoin(broadcast(nTot))
+          .withColumn("pmi",
+            log2(col("nb").cast("double") * col("cab")
+              / (col("ca").cast("double") * col("cb"))))
+          .orderBy(col("pmi").desc, col("prev"), col("w"))
+          .limit(20)
+          .select(col("prev"), col("w"), col("cab"), round(col("pmi"), 6).as("pmi"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+            CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+          FROM documents),
+        pairs AS (
+          SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w
+          FROM tok QUALIFY prev IS NOT NULL),
+        uni AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+        big AS (SELECT prev, w, count(*) AS cab FROM pairs GROUP BY 1, 2
+          HAVING count(*) >= 5),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM pairs),
+        p AS (SELECT big.prev, big.w, cab,
+            log2(CAST(nb AS DOUBLE) * cab
+              / (CAST(ua.cw AS DOUBLE) * ub.cw)) AS pmi
+          FROM big
+          JOIN uni ua ON ua.w = big.prev
+          JOIN uni ub ON ub.w = big.w
+          CROSS JOIN nt)
+        SELECT prev, w, cab, round(pmi, 6) AS pmi
+        FROM p ORDER BY pmi DESC, prev, w LIMIT 20"""))
   )
 
   /** Per-document unigram LM bits-per-token — (doc_id, n_tok,

@@ -451,6 +451,63 @@ class Round9bSpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("sql_pivot: wide totals equal the grouped longs") {
+    val out = SparkEntry.queries("sql_pivot")(spark, sfDir).collect()
+    val brute = Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").cast("long").as("q")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      val rf = r.getString(0)
+      assert(Option(r.get(1)).map(_.asInstanceOf[Long]) === brute.get((rf, "F")))
+      assert(Option(r.get(2)).map(_.asInstanceOf[Long]) === brute.get((rf, "O")))
+    }
+  }
+
+  test("sql_unpivot: two rows per input row, facets complete") {
+    val out = SparkEntry.queries("sql_unpivot")(spark, sfDir).cache()
+    val n = Tables.t(spark, sfDir, "customer").filter(col("c_custkey") < 100).count()
+    assert(out.count() === n * 2)
+    assert(out.select("facet").distinct().count() === 2)
+    out.unpersist()
+  }
+
+  test("analytics_audience_overlap: all pairs, intersection bounded by audiences") {
+    val out = SparkEntry.queries("analytics_audience_overlap")(spark, sfDir).collect()
+    assert(out.length === 10, "C(5,2) event-type pairs")
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("ts_bollinger_bands: band ordering holds and breaches match the envelope") {
+    val out = SparkEntry.queries("ts_bollinger_bands")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("lower") > col("mid") || col("mid") > col("upper")).count() === 0)
+    // a breach must sit outside the (rounded) envelope, with rounding slack
+    val bad = out.filter(col("breach")
+      && col("y") <= col("upper") + 0.011 && col("y") >= col("lower") - 0.011)
+    assert(bad.count() === 0, "breach flag consistent with the band edges")
+    out.unpersist()
+  }
+
+  test("text_pmi_bigrams: count floor respected, PMI sorted descending") {
+    val out = SparkEntry.queries("text_pmi_bigrams")(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall(_.getLong(2) >= 5))
+    val pmis = out.map(_.getDouble(3)).toSeq
+    assert(pmis == pmis.sorted.reverse)
+  }
+
+  test("feat_rare_collapse: kept categories all clear the floor, docs conserved") {
+    val out = SparkEntry.queries("feat_rare_collapse")(spark, sfDir).collect()
+    val total = Tables.t(spark, sfDir, "documents").count()
+    assert(out.map(_.getLong(1)).sum === total)
+    out.filter(_.getString(0) != "__other__")
+      .foreach(r => assert(r.getLong(1) * 50 >= total, s"${r.getString(0)} below floor"))
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
