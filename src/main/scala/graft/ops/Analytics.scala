@@ -568,6 +568,33 @@ object Analytics {
         FROM inter
         JOIN sizes sa ON sa.event_type = type_a
         JOIN sizes sb ON sb.event_type = type_b
-        ORDER BY type_a, type_b"""))
+        ORDER BY type_a, type_b""")),
+
+    Q(
+      "analytics_new_vs_returning",
+      "Daily new-vs-returning user split — the acquisition/retention " +
+        "decomposition on every growth dashboard: distinct active " +
+        "(user, day) pairs, each user's first-ever day from one min-" +
+        "aggregation joined back on the user key, daily conditional " +
+        "counts. All integer set arithmetic; the user-keyed join is " +
+        "the only shuffle beyond the final per-day rollup.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val first = e.groupBy("user_id").agg(min("day").as("fday"))
+        e.join(first, Seq("user_id"))
+          .groupBy("day")
+          .agg(count(when(col("day") === col("fday"), 1)).as("new_users"),
+            count(when(col("day") =!= col("fday"), 1)).as("returning_users"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM events),
+        f AS (SELECT user_id, min(day) AS fday FROM e GROUP BY 1)
+        SELECT day,
+          count(CASE WHEN day = fday THEN 1 END) AS new_users,
+          count(CASE WHEN day <> fday THEN 1 END) AS returning_users
+        FROM e JOIN f USING (user_id)
+        GROUP BY day ORDER BY day"""))
   )
 }

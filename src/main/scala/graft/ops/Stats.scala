@@ -1563,6 +1563,153 @@ object Stats {
         FROM f""")),
 
     Q(
+      "profile_referential_integrity",
+      "Referential-integrity audit across the star schema — orphaned " +
+        "foreign keys counted by LEFT ANTI joins (lineitem→orders, " +
+        "lineitem→part, orders→customer, customer→nation), plus each " +
+        "child's row count for the violation rate: the constraint " +
+        "check a lakehouse runs because parquet can't enforce FKs. " +
+        "Anti joins are key-hashed (broadcast for dimension parents); " +
+        "all counts exact.",
+      (s, dir) => {
+        def audit(name: String, child: org.apache.spark.sql.DataFrame,
+            parent: org.apache.spark.sql.DataFrame, ck: String, pk: String) = {
+          val orphans = child.join(parent.select(col(pk)),
+            col(ck) === col(pk), "left_anti")
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+            .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+              round(col("n_orphans").cast("double") / col("n_child"), 6)
+                .as("orphan_rate"))
+        }
+        val li = Tables.t(s, dir, "lineitem")
+        audit("lineitem->orders", li, Tables.t(s, dir, "orders"),
+            "l_orderkey", "o_orderkey")
+          .unionAll(audit("lineitem->part", li, Tables.t(s, dir, "part"),
+            "l_partkey", "p_partkey"))
+          .unionAll(audit("orders->customer", Tables.t(s, dir, "orders"),
+            Tables.t(s, dir, "customer"), "o_custkey", "c_custkey"))
+          .unionAll(audit("customer->nation", Tables.t(s, dir, "customer"),
+            Tables.t(s, dir, "nation"), "c_nationkey", "n_nationkey"))
+          .orderBy("fk")
+      },
+      Some("""WITH a AS (SELECT 'lineitem->orders' AS fk,
+            (SELECT count(*) FROM lineitem) AS n_child,
+            (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+              ON l.l_orderkey = o.o_orderkey) AS n_orphans),
+        b AS (SELECT 'lineitem->part',
+            (SELECT count(*) FROM lineitem),
+            (SELECT count(*) FROM lineitem l ANTI JOIN part p
+              ON l.l_partkey = p.p_partkey)),
+        c AS (SELECT 'orders->customer',
+            (SELECT count(*) FROM orders),
+            (SELECT count(*) FROM orders o ANTI JOIN customer c2
+              ON o.o_custkey = c2.c_custkey)),
+        d AS (SELECT 'customer->nation',
+            (SELECT count(*) FROM customer),
+            (SELECT count(*) FROM customer c2 ANTI JOIN nation n
+              ON c2.c_nationkey = n.n_nationkey)),
+        u AS (SELECT * FROM a UNION ALL SELECT * FROM b
+          UNION ALL SELECT * FROM c UNION ALL SELECT * FROM d)
+        SELECT fk, n_child, n_orphans,
+          round(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate
+        FROM u ORDER BY fk""")),
+
+    Q(
+      "stats_corr_matrix",
+      "Pairwise Pearson correlation matrix over the lineitem numeric " +
+        "columns (quantity, price, discount, tax) — the feature-" +
+        "redundancy screen before any modeling: every Σx, Σx², Σxy " +
+        "comes from ONE hash aggregation over exact integer " +
+        "fixed-point encodings (cents / basis points), correlations " +
+        "assembled as fixed-shape float formulas per pair. One scan, " +
+        "six pairs, zero float accumulation.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem").select(
+          round(col("l_quantity")).cast("long").as("q"),
+          round(col("l_extendedprice") * 100).cast("long").as("p"),
+          round(col("l_discount") * 100).cast("long").as("d"),
+          round(col("l_tax") * 100).cast("long").as("t"))
+        def d38(c: Column) = c.cast("decimal(38,0)")
+        val cols = Seq("q", "p", "d", "t")
+        val sums = li.agg(count(lit(1)).as("n"),
+          cols.flatMap(c => Seq(
+            sum(col(c)).as(s"s_$c"),
+            sum(d38(col(c)) * col(c)).as(s"ss_$c"))) ++
+            (for (a <- cols; b <- cols if a < b)
+              yield sum(d38(col(a)) * col(b)).as(s"sp_${a}_$b")): _*)
+        def corr(a: String, b: String): Column = {
+          val n = col("n").cast("double")
+          val num = n * col(s"sp_${a}_$b").cast("double") -
+            col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+          val da = n * col(s"ss_$a").cast("double") -
+            col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
+          val db = n * col(s"ss_$b").cast("double") -
+            col(s"s_$b").cast("double") * col(s"s_$b").cast("double")
+          round(num / sqrt(da * db), 6)
+        }
+        val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+        sums.select(
+          pairs.map { case (a, b) => corr(a, b).as(s"corr_${a}_$b") }: _*)
+      },
+      Some("""WITH li AS (SELECT
+            CAST(round(l_quantity) AS BIGINT) AS q,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+            CAST(round(l_discount * 100) AS BIGINT) AS d,
+            CAST(round(l_tax * 100) AS BIGINT) AS t
+          FROM lineitem),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(q) AS BIGINT) AS s_q, sum(CAST(q AS HUGEINT) * q) AS ss_q,
+            CAST(sum(p) AS BIGINT) AS s_p, sum(CAST(p AS HUGEINT) * p) AS ss_p,
+            CAST(sum(d) AS BIGINT) AS s_d, sum(CAST(d AS HUGEINT) * d) AS ss_d,
+            CAST(sum(t) AS BIGINT) AS s_t, sum(CAST(t AS HUGEINT) * t) AS ss_t,
+            sum(CAST(d AS HUGEINT) * p) AS sp_d_p,
+            sum(CAST(d AS HUGEINT) * q) AS sp_d_q,
+            sum(CAST(d AS HUGEINT) * t) AS sp_d_t,
+            sum(CAST(p AS HUGEINT) * q) AS sp_p_q,
+            sum(CAST(p AS HUGEINT) * t) AS sp_p_t,
+            sum(CAST(q AS HUGEINT) * t) AS sp_q_t
+          FROM li)
+        SELECT
+          round((CAST(n AS DOUBLE) * CAST(sp_d_p AS DOUBLE)
+              - CAST(s_d AS DOUBLE) * CAST(s_p AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE)
+                - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE)
+                - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))), 6) AS corr_d_p,
+          round((CAST(n AS DOUBLE) * CAST(sp_d_q AS DOUBLE)
+              - CAST(s_d AS DOUBLE) * CAST(s_q AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE)
+                - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE)
+                - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))), 6) AS corr_d_q,
+          round((CAST(n AS DOUBLE) * CAST(sp_d_t AS DOUBLE)
+              - CAST(s_d AS DOUBLE) * CAST(s_t AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE)
+                - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(ss_t AS DOUBLE)
+                - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 6) AS corr_d_t,
+          round((CAST(n AS DOUBLE) * CAST(sp_p_q AS DOUBLE)
+              - CAST(s_p AS DOUBLE) * CAST(s_q AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE)
+                - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE)
+                - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))), 6) AS corr_p_q,
+          round((CAST(n AS DOUBLE) * CAST(sp_p_t AS DOUBLE)
+              - CAST(s_p AS DOUBLE) * CAST(s_t AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE)
+                - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(ss_t AS DOUBLE)
+                - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 6) AS corr_p_t,
+          round((CAST(n AS DOUBLE) * CAST(sp_q_t AS DOUBLE)
+              - CAST(s_q AS DOUBLE) * CAST(s_t AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE)
+                - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(ss_t AS DOUBLE)
+                - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 6) AS corr_q_t
+        FROM s""")),
+
+    Q(
       "profile_fd_violations",
       "Approximate functional-dependency audit — does X determine Y, " +
         "and how badly is it violated: for each candidate FD the " +

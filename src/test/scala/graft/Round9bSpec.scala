@@ -508,6 +508,36 @@ class Round9bSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(1) * 50 >= total, s"${r.getString(0)} below floor"))
   }
 
+  test("profile_referential_integrity: fixture star schema is orphan-free") {
+    val out = SparkEntry.queries("profile_referential_integrity")(spark, sfDir).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getLong(2) === 0L, s"${r.getString(0)} has orphans in the fixture")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("stats_corr_matrix: values in [-1,1], price-quantity strongly positive") {
+    val r = SparkEntry.queries("stats_corr_matrix")(spark, sfDir).head()
+    (0 until 6).foreach(i => assert(math.abs(r.getDouble(i)) <= 1.0 + 1e-9))
+    // cross-check one pair against Spark's builtin corr on the same
+    // fixed-point encoding
+    val builtin = Tables.t(spark, sfDir, "lineitem")
+      .agg(corr(round(col("l_extendedprice") * 100),
+        round(col("l_quantity")))).head().getDouble(0)
+    assert(math.abs(r.getAs[Double]("corr_p_q") - builtin) < 1e-4,
+      s"power-sum corr ${r.getAs[Double]("corr_p_q")} vs builtin $builtin")
+  }
+
+  test("analytics_new_vs_returning: day-1 all new, user-days conserved") {
+    val out = SparkEntry.queries("analytics_new_vs_returning")(spark, sfDir).collect()
+    assert(out.head.getLong(2) === 0L, "nobody returns on the first day")
+    val totalDays = out.map(r => r.getLong(1) + r.getLong(2)).sum
+    val brute = Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(totalDays === brute, "new + returning partitions active user-days")
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
