@@ -506,6 +506,38 @@ object Dedup {
         FROM x ORDER BY d1, d2""")),
 
     Q(
+      "dedup_lsh_plan",
+      "LSH parameter planner — the S-curve P(candidate | J) = " +
+        "1−(1−Jʳ)ᵇ for every (bands, rows) factorization of the " +
+        "32-permutation signature across a Jaccard grid: the table " +
+        "an engineer reads to pick banding for a target similarity " +
+        "threshold BEFORE running dedup_minhash_lsh (b=8,r=4 — the " +
+        "in-repo default — crosses 50% near J≈0.6). Pure generated " +
+        "computation, no scan; the same closed form at any corpus " +
+        "size, which is the point: banding is planned analytically, " +
+        "validated empirically by dedup_minhash_accuracy.",
+      (s, dir) => {
+        val combos = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+        val df = s.createDataFrame(combos).toDF("b", "r")
+        df.select(col("b"), col("r"),
+            explode(sequence(lit(1), lit(9))).as("i"))
+          .withColumn("j", col("i") / 10.0)
+          .select(col("b"), col("r"), round(col("j"), 1).as("jaccard"),
+            round(lit(1.0) - pow(lit(1.0)
+              - pow(col("j"), col("r").cast("double")), col("b").cast("double")),
+              6).as("p_candidate"))
+          .orderBy("b", "jaccard")
+      },
+      Some("""WITH combos(b, r) AS (VALUES (32, 1), (16, 2), (8, 4),
+            (4, 8), (2, 16), (1, 32)),
+        grid AS (SELECT b, r, CAST(i AS INT) AS i
+          FROM combos CROSS JOIN (SELECT unnest(range(1, 10)) AS i))
+        SELECT b, r, round(i / 10.0, 1) AS jaccard,
+          round(1.0 - pow(1.0 - pow(i / 10.0, CAST(r AS DOUBLE)),
+            CAST(b AS DOUBLE)), 6) AS p_candidate
+        FROM grid ORDER BY b, jaccard""")),
+
+    Q(
       "dedup_simhash_portable",
       "The SimHash band/bucket/Hamming DATAFLOW under an engine-" +
         "portable hash, fully oracle-checked: 32-bit fingerprints from " +

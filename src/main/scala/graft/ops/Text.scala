@@ -1352,7 +1352,81 @@ object Text {
           JOIN uni ub ON ub.w = big.w
           CROSS JOIN nt)
         SELECT prev, w, cab, round(pmi, 6) AS pmi
-        FROM p ORDER BY pmi DESC, prev, w LIMIT 20"""))
+        FROM p ORDER BY pmi DESC, prev, w LIMIT 20""")),
+
+    Q(
+      "text_heaps_law",
+      "Vocabulary-growth curve (Heaps' law V = K·nᵝ) — distinct " +
+        "vocabulary at five corpus checkpoints (20%..100% of the " +
+        "doc-id range) plus the fitted log-log slope β: the " +
+        "projection that answers 'how much new vocabulary will 10× " +
+        "more corpus bring', which sizes tokenizers and OOV budgets. " +
+        "One tokenize pass feeds five conditional exact distincts in " +
+        "ONE aggregation; β is a 5-point OLS over log values with " +
+        "sorted-fold sums, so the whole fit is deterministic.",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val mx = tok.agg(max("doc_id").as("mx"))
+        val cp = tok.crossJoin(broadcast(mx))
+        val aggCols = (1 to 5).flatMap(i => Seq(
+          countDistinct(when(col("doc_id") * 5 <= col("mx") * i, col("w")))
+            .as(s"v$i"),
+          count(when(col("doc_id") * 5 <= col("mx") * i, 1)).as(s"n$i")))
+        val agg = cp.agg(aggCols.head, aggCols.tail: _*)
+        val pts = agg.select(explode(array(
+          (1 to 5).map(i => struct(lit(i).as("checkpoint"),
+            col(s"n$i").as("n_tokens"), col(s"v$i").as("vocab"))): _*)).as("p"))
+          .select(col("p.checkpoint"), col("p.n_tokens"), col("p.vocab"))
+          .withColumn("lx", log(col("n_tokens").cast("double")))
+          .withColumn("ly", log(col("vocab").cast("double")))
+        val fit = pts.agg(count(lit(1)).as("k"),
+          graft.ops.Stats.sfold(col("lx")).as("sx"),
+          graft.ops.Stats.sfold(col("ly")).as("sy"),
+          graft.ops.Stats.sfold(col("lx") * col("ly")).as("sxy"),
+          graft.ops.Stats.sfold(col("lx") * col("lx")).as("sxx"))
+          .select(round((col("k").cast("double") * col("sxy") - col("sx") * col("sy"))
+            / (col("k").cast("double") * col("sxx") - col("sx") * col("sx")), 4)
+            .as("heaps_beta"))
+        pts.crossJoin(broadcast(fit))
+          .select(col("checkpoint"), col("n_tokens"), col("vocab"), col("heaps_beta"))
+          .orderBy("checkpoint")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        mx AS (SELECT max(doc_id) AS mx FROM tok),
+        agg AS (SELECT
+            count(DISTINCT CASE WHEN doc_id * 5 <= mx * 1 THEN w END) AS v1,
+            CAST(count(CASE WHEN doc_id * 5 <= mx * 1 THEN 1 END) AS BIGINT) AS n1,
+            count(DISTINCT CASE WHEN doc_id * 5 <= mx * 2 THEN w END) AS v2,
+            CAST(count(CASE WHEN doc_id * 5 <= mx * 2 THEN 1 END) AS BIGINT) AS n2,
+            count(DISTINCT CASE WHEN doc_id * 5 <= mx * 3 THEN w END) AS v3,
+            CAST(count(CASE WHEN doc_id * 5 <= mx * 3 THEN 1 END) AS BIGINT) AS n3,
+            count(DISTINCT CASE WHEN doc_id * 5 <= mx * 4 THEN w END) AS v4,
+            CAST(count(CASE WHEN doc_id * 5 <= mx * 4 THEN 1 END) AS BIGINT) AS n4,
+            count(DISTINCT CASE WHEN doc_id * 5 <= mx * 5 THEN w END) AS v5,
+            CAST(count(CASE WHEN doc_id * 5 <= mx * 5 THEN 1 END) AS BIGINT) AS n5
+          FROM tok, mx),
+        pts AS (
+          SELECT 1 AS checkpoint, n1 AS n_tokens, v1 AS vocab FROM agg
+          UNION ALL SELECT 2, n2, v2 FROM agg
+          UNION ALL SELECT 3, n3, v3 FROM agg
+          UNION ALL SELECT 4, n4, v4 FROM agg
+          UNION ALL SELECT 5, n5, v5 FROM agg),
+        lg AS (SELECT checkpoint, n_tokens, vocab,
+            ln(CAST(n_tokens AS DOUBLE)) AS lx,
+            ln(CAST(vocab AS DOUBLE)) AS ly
+          FROM pts),
+        fit AS (SELECT CAST(count(*) AS BIGINT) AS k,
+            list_reduce(list_sort(list(lx)), (a, b) -> a + b) AS sx,
+            list_reduce(list_sort(list(ly)), (a, b) -> a + b) AS sy,
+            list_reduce(list_sort(list(lx * ly)), (a, b) -> a + b) AS sxy,
+            list_reduce(list_sort(list(lx * lx)), (a, b) -> a + b) AS sxx
+          FROM lg),
+        beta AS (SELECT round((CAST(k AS DOUBLE) * sxy - sx * sy)
+            / (CAST(k AS DOUBLE) * sxx - sx * sx), 4) AS heaps_beta FROM fit)
+        SELECT checkpoint, n_tokens, vocab, heaps_beta
+        FROM lg CROSS JOIN beta ORDER BY checkpoint"""))
   )
 
   /** Per-document unigram LM bits-per-token — (doc_id, n_tok,

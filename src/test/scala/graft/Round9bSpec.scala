@@ -538,6 +538,35 @@ class Round9bSpec extends SparkSpec {
     assert(totalDays === brute, "new + returning partitions active user-days")
   }
 
+  test("text_heaps_law: growth monotone, sublinear exponent in (0,1)") {
+    val out = SparkEntry.queries("text_heaps_law")(spark, sfDir).collect()
+    assert(out.length === 5)
+    val vocabs = out.map(_.getLong(2)).toSeq
+    val tokens = out.map(_.getLong(1)).toSeq
+    assert(vocabs == vocabs.sorted && tokens == tokens.sorted,
+      "vocabulary and token counts both grow with the corpus")
+    assert(vocabs.zip(tokens).forall { case (v, n) => v <= n })
+    val beta = out.head.getDouble(3)
+    assert(beta >= 0.0 && beta < 1.0, s"Heaps exponent $beta sublinear")
+    // strictly positive only when the vocabulary actually grew
+    // (the fixture token set is bounded and saturates early)
+    if (vocabs.distinct.length > 1) assert(beta > 0.0)
+  }
+
+  test("dedup_lsh_plan: S-curves monotone in J, ordered by banding aggressiveness") {
+    val out = SparkEntry.queries("dedup_lsh_plan")(spark, sfDir).collect()
+    assert(out.length === 54, "6 factorizations x 9 Jaccard grid points")
+    // within each (b, r), probability is nondecreasing in J
+    out.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case (_, rows) =>
+      val ps = rows.sortBy(_.getDouble(2)).map(_.getDouble(3)).toSeq
+      assert(ps == ps.sorted, "P(candidate) monotone in J")
+      ps.foreach(p => assert(p >= 0.0 && p <= 1.0))
+    }
+    // more bands = more aggressive at low J: b=32,r=1 dominates b=1,r=32 at J=0.5
+    val at = out.filter(_.getDouble(2) == 0.5).map(r => (r.getInt(0), r.getDouble(3))).toMap
+    assert(at(32) > at(8) && at(8) > at(1))
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
