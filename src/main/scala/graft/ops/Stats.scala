@@ -1282,6 +1282,31 @@ object Stats {
         FROM ext GROUP BY user_id ORDER BY user_id""")),
 
     Q(
+      "ts_hourly_profile",
+      "Hour-of-day load profile per event type — event counts and " +
+        "mean value across the 24-hour clock (the diurnal curve " +
+        "behind capacity planning and anomaly baselines; " +
+        "agg_hour_bitmap tracks presence, this tracks load). One " +
+        "hash aggregation to at most 24×|types| rows; means from " +
+        "exact integer cent sums with a single division.",
+      (s, dir) => {
+        Tables.t(s, dir, "events")
+          .select(col("event_type"), hour(col("ts")).as("h"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "h")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("cents").cast("double") / count(lit(1)) / 100.0, 2)
+              .as("mean_value"))
+          .orderBy("event_type", "h")
+      },
+      Some("""SELECT event_type,
+          CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
+          count(*) AS n_events,
+          round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+            / count(*) / 100.0, 2) AS mean_value
+        FROM events GROUP BY 1, 2 ORDER BY event_type, h""")),
+
+    Q(
       "ts_bollinger_bands",
       "Bollinger bands — 7-day rolling mean ± 2σ envelope with " +
         "breach flags per event type: both moments come from exact " +

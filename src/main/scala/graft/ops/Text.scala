@@ -1426,7 +1426,52 @@ object Text {
         beta AS (SELECT round((CAST(k AS DOUBLE) * sxy - sx * sy)
             / (CAST(k AS DOUBLE) * sxx - sx * sx), 4) AS heaps_beta FROM fit)
         SELECT checkpoint, n_tokens, vocab, heaps_beta
-        FROM lg CROSS JOIN beta ORDER BY checkpoint"""))
+        FROM lg CROSS JOIN beta ORDER BY checkpoint""")),
+
+    Q(
+      "text_case_profile",
+      "Character-class composition per source — upper/digit/" +
+        "whitespace/other shares from exact integer character counts " +
+        "(length of the class-stripped string, the same regex in " +
+        "both engines): the corpus-composition fingerprint that " +
+        "flags shouting boilerplate, number dumps, and " +
+        "whitespace-padded spam per source before any modeling. One " +
+        "scan, one hash aggregation, four final divisions.",
+      (s, dir) => {
+        def cls(re: String) =
+          length(col("text")) - length(regexp_replace(col("text"), re, ""))
+        val d = Tables.t(s, dir, "documents")
+          .select(col("source"),
+            length(col("text")).cast("long").as("n_chars"),
+            cls("[A-Z]").cast("long").as("n_upper"),
+            cls("[0-9]").cast("long").as("n_digit"),
+            cls("[ ]").cast("long").as("n_space"))
+        d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+            sum("n_upper").as("u"), sum("n_digit").as("g"), sum("n_space").as("sp"))
+          .select(col("source"), col("n_docs"),
+            round(col("u").cast("double") / col("chars"), 6).as("upper_share"),
+            round(col("g").cast("double") / col("chars"), 6).as("digit_share"),
+            round(col("sp").cast("double") / col("chars"), 6).as("space_share"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+              AS BIGINT) AS n_upper,
+            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digit,
+            CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
+              AS BIGINT) AS n_space
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          round(CAST(sum(n_upper) AS BIGINT) / CAST(sum(n_chars) AS DOUBLE), 6)
+            AS upper_share,
+          round(CAST(sum(n_digit) AS BIGINT) / CAST(sum(n_chars) AS DOUBLE), 6)
+            AS digit_share,
+          round(CAST(sum(n_space) AS BIGINT) / CAST(sum(n_chars) AS DOUBLE), 6)
+            AS space_share
+        FROM d GROUP BY source ORDER BY source"""))
   )
 
   /** Per-document unigram LM bits-per-token — (doc_id, n_tok,

@@ -567,6 +567,24 @@ class Round9bSpec extends SparkSpec {
     assert(at(32) > at(8) && at(8) > at(1))
   }
 
+  test("text_case_profile: shares in [0,1] and jointly below unity") {
+    val out = SparkEntry.queries("text_case_profile")(spark, sfDir).collect()
+    assert(out.length === 20, "one row per source")
+    out.foreach { r =>
+      val shares = Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      shares.foreach(x => assert(x >= 0.0 && x <= 1.0))
+      assert(shares.sum <= 1.0 + 1e-6, "disjoint character classes")
+    }
+  }
+
+  test("ts_hourly_profile: hour domain complete, counts conserved") {
+    val out = SparkEntry.queries("ts_hourly_profile")(spark, sfDir).cache()
+    assert(out.filter(col("h") < 0 || col("h") > 23).count() === 0)
+    val total = out.agg(sum("n_events")).head().getLong(0)
+    assert(total === Tables.t(spark, sfDir, "events").count())
+    out.unpersist()
+  }
+
   test("feat_robust_scale: IQR nonnegative and outliers a strict minority") {
     val out = SparkEntry.queries("feat_robust_scale")(spark, sfDir).collect()
     assert(out.length === 5)
