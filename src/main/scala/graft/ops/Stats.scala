@@ -2109,6 +2109,789 @@ object Stats {
               WHEN b = maxb THEN d * -1.0
               ELSE area * -1.0 END, d) AS rk FROM pts)
         SELECT event_type, d AS day, round(y, 4) AS y
-        FROM pick WHERE rk = 1 ORDER BY event_type, day"""))
+        FROM pick WHERE rk = 1 ORDER BY event_type, day""")),
+
+    Q(
+      "stats_spearman",
+      "Spearman rank correlation per event type between daily volume " +
+        "(event count) and daily load (cent-exact value sum) — the " +
+        "monotone-association test that survives the outliers Pearson " +
+        "chokes on. Average ranks with the tie-midpoint rule are kept " +
+        "in INTEGERS by doubling (2·rank + ties − 1); the correlation " +
+        "is then Pearson over those integer ranks, assembled from six " +
+        "exact integer power sums per type and evaluated into a " +
+        "double exactly once — no float accumulation anywhere. The " +
+        "ranking windows partition by event_type over a " +
+        "calendar-bounded series (≤31 rows per type), so no " +
+        "unpartitioned window and no unbounded per-group state.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d")
+          .agg(count(lit(1)).as("nv"), sum("cents").as("cv"))
+        // doubled average rank (integer): 2*min_rank + ties - 1
+        def drank(cn: String): Column =
+          (rank().over(Window.partitionBy("event_type").orderBy(col(cn))) * 2
+            + count(lit(1)).over(Window.partitionBy("event_type", cn)) - 1)
+        val ranked = daily
+          .withColumn("rx", drank("nv").cast("long"))
+          .withColumn("ry", drank("cv").cast("long"))
+        val n = col("n").cast("double")
+        val num = n * col("s12") - col("s1").cast("double") * col("s2")
+        val den = sqrt(n * col("s11") - col("s1").cast("double") * col("s1"))
+          .multiply(sqrt(n * col("s22") - col("s2").cast("double") * col("s2")))
+        ranked.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("rx").as("s1"), sum("ry").as("s2"),
+            sum(col("rx") * col("rx")).as("s11"),
+            sum(col("ry") * col("ry")).as("s22"),
+            sum(col("rx") * col("ry")).as("s12"))
+          .select(col("event_type"), col("n").as("n_days"),
+            round(num / den, 4).as("rho"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            count(*) AS nv,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cv
+          FROM events GROUP BY 1, 2),
+        rk AS (SELECT event_type, d, nv, cv,
+            CAST(rank() OVER (PARTITION BY event_type ORDER BY nv) * 2
+              + count(*) OVER (PARTITION BY event_type, nv) - 1 AS BIGINT) AS rx,
+            CAST(rank() OVER (PARTITION BY event_type ORDER BY cv) * 2
+              + count(*) OVER (PARTITION BY event_type, cv) - 1 AS BIGINT) AS ry
+          FROM daily),
+        ps AS (SELECT event_type, count(*) AS n,
+            sum(rx) AS s1, sum(ry) AS s2,
+            sum(rx * rx) AS s11, sum(ry * ry) AS s22,
+            sum(rx * ry) AS s12
+          FROM rk GROUP BY 1)
+        SELECT event_type, n AS n_days,
+          round((CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2)
+            / (sqrt(CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)
+               * sqrt(CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2)),
+            4) AS rho
+        FROM ps ORDER BY event_type""")),
+
+    Q(
+      "stats_anova",
+      "One-way ANOVA across event types on event value — the k-group " +
+        "generalization of the Welch/t pair tests already in the " +
+        "roster: between/within sums of squares from per-group exact " +
+        "cent sums (n, Σx, Σx² with the square sum in DECIMAL so " +
+        "100 TB of cents cannot overflow), F and effect size η² " +
+        "evaluated once in double. One map-side-combinable hash " +
+        "aggregation to k rows, then a k-row reduction whose only " +
+        "float summation (Σ s_g²/n_g) runs through the shared " +
+        "sorted-fold so partial-aggregation order can never wobble " +
+        "the last ulp.",
+      (s, dir) => {
+        val g = Tables.t(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("s"),
+            sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
+        val t = g.agg(
+          count(lit(1)).as("k"), sum("n").as("nn"), sum("s").as("st"),
+          sum("ss").as("sst"),
+          sfold(col("s").cast("double") * col("s") / col("n")).as("sg"))
+        val nD = col("nn").cast("double")
+        val ssb = col("sg") - col("st").cast("double") * col("st") / nD
+        val ssw = col("sst").cast("double") - col("sg")
+        val sstot = (col("sst").cast("double")
+          - col("st").cast("double") * col("st") / nD)
+        val f = (ssb / (col("k") - 1)) / (ssw / (col("nn") - col("k")))
+        t.select(col("k"), col("nn").as("n"),
+            round(f, 4).as("f_stat"), round(ssb / sstot, 6).as("eta_sq"))
+          .orderBy("k")
+      },
+      Some("""WITH g AS (SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+            CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+              * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS ss
+          FROM events GROUP BY 1),
+        t AS (SELECT count(*) AS k, sum(n) AS nn, sum(s) AS st,
+            sum(ss) AS sst,
+            list_reduce(list_sort(list(CAST(s AS DOUBLE) * s / n)),
+              (a, b) -> a + b) AS sg
+          FROM g)
+        SELECT k, CAST(nn AS BIGINT) AS n,
+          round(((sg - CAST(st AS DOUBLE) * st / nn) / (k - 1))
+            / ((CAST(sst AS DOUBLE) - sg) / (nn - k)), 4) AS f_stat,
+          round((sg - CAST(st AS DOUBLE) * st / nn)
+            / (CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / nn),
+            6) AS eta_sq
+        FROM t ORDER BY k""")),
+
+    Q(
+      "stats_cramers_v",
+      "Cramér's V association strength for the event-type × ISO-" +
+        "weekday contingency table — the bounded [0,1] companion to " +
+        "stats_chi2 that stays comparable across table shapes. Cell/" +
+        "margin counts are exact integers from one hash aggregation " +
+        "(≤ |types|·7 cells); expected counts and the χ² cell terms " +
+        "are fixed-shape float formulas summed through the sorted " +
+        "fold, so the only float accumulation is order-pinned. " +
+        "Margins ride back onto cells via broadcast-sized joins.",
+      (s, dir) => {
+        val cells = Tables.t(s, dir, "events")
+          .select(col("event_type"), (weekday(col("ts")) + 1).as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+        val rt = cells.groupBy("event_type").agg(sum("n").as("rn"))
+        val ct = cells.groupBy("dow").agg(sum("n").as("cn"))
+        val tot = cells.agg(sum("n").as("nn"),
+          countDistinct("event_type").as("r"), countDistinct("dow").as("c"))
+        val e = col("rn").cast("double") * col("cn") / col("nn")
+        val joined = cells
+          .join(broadcast(rt), "event_type")
+          .join(broadcast(ct), "dow")
+          .crossJoin(broadcast(tot))
+        joined
+          .select(col("r"), col("c"), col("nn"),
+            ((col("n") - e) * (col("n") - e) / e).as("term"))
+          .groupBy("r", "c", "nn")
+          .agg(sfold(col("term")).as("chi2"))
+          .select(((col("r") - 1) * (col("c") - 1)).as("dof"),
+            round(col("chi2"), 4).as("chi2"),
+            round(sqrt(col("chi2") / (col("nn")
+              * least(col("r") - 1, col("c") - 1))), 4).as("v"))
+          .orderBy("dof")
+      },
+      Some("""WITH cells AS (SELECT event_type,
+            CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+            count(*) AS n
+          FROM events GROUP BY 1, 2),
+        rt AS (SELECT event_type, sum(n) AS rn FROM cells GROUP BY 1),
+        ct AS (SELECT dow, sum(n) AS cn FROM cells GROUP BY 1),
+        tot AS (SELECT sum(n) AS nn, count(DISTINCT event_type) AS r,
+            count(DISTINCT dow) AS c FROM cells),
+        terms AS (SELECT tot.r, tot.c, tot.nn,
+            (cells.n - CAST(rt.rn AS DOUBLE) * ct.cn / tot.nn)
+              * (cells.n - CAST(rt.rn AS DOUBLE) * ct.cn / tot.nn)
+              / (CAST(rt.rn AS DOUBLE) * ct.cn / tot.nn) AS term
+          FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+            CROSS JOIN tot),
+        agg AS (SELECT r, c, nn,
+            list_reduce(list_sort(list(term)), (a, b) -> a + b) AS chi2
+          FROM terms GROUP BY 1, 2, 3)
+        SELECT (r - 1) * (c - 1) AS dof, round(chi2, 4) AS chi2,
+          round(sqrt(chi2 / (nn * least(r - 1, c - 1))), 4) AS v
+        FROM agg ORDER BY dof""")),
+
+    Q(
+      "stats_cohens_d",
+      "Cohen's d effect size between purchase and click event values " +
+        "— the practical-significance companion to stats_welch_t " +
+        "(a tiny p-value on 100 TB of rows says nothing about " +
+        "magnitude). Both groups reduce in ONE conditional hash " +
+        "aggregation (no second scan, no join): n/Σx/Σx² per arm in " +
+        "exact cents with DECIMAL square sums, pooled variance and d " +
+        "evaluated once in double.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+        def side(t: String, c: Column): Column =
+          sum(when(col("event_type") === t, c).otherwise(lit(0)))
+        val a = e.agg(
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n1"),
+          side("purchase", col("c")).as("s1"),
+          side("purchase", col("c").cast("decimal(38,0)") * col("c")).as("ss1"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n2"),
+          side("click", col("c")).as("s2"),
+          side("click", col("c").cast("decimal(38,0)") * col("c")).as("ss2"))
+        def v(n: Column, sc: Column, ss: Column): Column =
+          (ss.cast("double") - sc.cast("double") * sc / n) / (n - 1)
+        val n1 = col("n1"); val n2 = col("n2")
+        val sp2 = ((n1 - 1) * v(n1, col("s1"), col("ss1"))
+          + (n2 - 1) * v(n2, col("s2"), col("ss2"))) / (n1 + n2 - 2)
+        val d = (col("s1").cast("double") / n1 - col("s2").cast("double") / n2) /
+          sqrt(sp2)
+        a.select(n1, n2, round(d, 4).as("cohens_d")).orderBy("n1")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE event_type IN ('purchase', 'click')),
+        a AS (SELECT
+            sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+            sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS s1,
+            sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS ss1,
+            sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2,
+            sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS s2,
+            sum(CASE WHEN event_type = 'click'
+              THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS ss2
+          FROM e)
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+            / sqrt((
+              (n1 - 1) * ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                / (n1 - 1))
+              + (n2 - 1) * ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                / (n2 - 1))) / (n1 + n2 - 2)), 4) AS cohens_d
+        FROM a ORDER BY n1""")),
+
+    Q(
+      "stats_levene",
+      "Brown–Forsythe (median-centered Levene) test for variance " +
+        "homogeneity across event types — the gate before trusting " +
+        "pooled-variance tests like stats_anova. Per-group medians " +
+        "come from the weighted-median idiom: counts per DISTINCT " +
+        "cent value (bounded by the value domain, not row count), a " +
+        "cumulative window per type over those distinct values, " +
+        "smallest value reaching half. Absolute deviations from the " +
+        "broadcast medians stay integer cents; the F statistic on " +
+        "them reuses the exact-power-sum ANOVA spine.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+        val vc = e.groupBy("event_type", "c").agg(count(lit(1)).as("w"))
+        val cum = Window.partitionBy("event_type").orderBy("c")
+        val med = vc
+          .withColumn("cw", sum("w").over(cum))
+          .withColumn("tw", sum("w").over(Window.partitionBy("event_type")))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy("event_type").agg(min("c").as("med"))
+        val dev = e.join(broadcast(med), "event_type")
+          .select(col("event_type"), abs(col("c") - col("med")).as("z"))
+        val g = dev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("z").as("s"),
+            sum(col("z").cast("decimal(38,0)") * col("z")).as("ss"))
+        val t = g.agg(count(lit(1)).as("k"), sum("n").as("nn"),
+          sum("s").as("st"), sum("ss").as("sst"),
+          sfold(col("s").cast("double") * col("s") / col("n")).as("sg"))
+        val nD = col("nn").cast("double")
+        val ssb = col("sg") - col("st").cast("double") * col("st") / nD
+        val ssw = col("sst").cast("double") - col("sg")
+        val f = (ssb / (col("k") - 1)) / (ssw / (col("nn") - col("k")))
+        t.select(col("k"), col("nn").as("n"), round(f, 4).as("f_stat"))
+          .orderBy("k")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        vc AS (SELECT event_type, c, count(*) AS w FROM e GROUP BY 1, 2),
+        cm AS (SELECT event_type, c,
+            sum(w) OVER (PARTITION BY event_type ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+            sum(w) OVER (PARTITION BY event_type) AS tw
+          FROM vc),
+        med AS (SELECT event_type, min(c) AS med FROM cm
+          WHERE cw * 2 >= tw GROUP BY 1),
+        dev AS (SELECT e.event_type, abs(e.c - med.med) AS z
+          FROM e JOIN med USING (event_type)),
+        g AS (SELECT event_type, count(*) AS n, sum(z) AS s,
+            sum(CAST(z AS HUGEINT) * z) AS ss
+          FROM dev GROUP BY 1),
+        t AS (SELECT count(*) AS k, sum(n) AS nn, sum(s) AS st,
+            sum(ss) AS sst,
+            list_reduce(list_sort(list(CAST(s AS DOUBLE) * s / n)),
+              (a, b) -> a + b) AS sg
+          FROM g)
+        SELECT k, CAST(nn AS BIGINT) AS n,
+          round(((sg - CAST(st AS DOUBLE) * st / nn) / (k - 1))
+            / ((CAST(sst AS DOUBLE) - sg) / (nn - k)), 4) AS f_stat
+        FROM t ORDER BY k""")),
+
+    Q(
+      "stats_kendall",
+      "Kendall τ-b between per-nation customer count and per-nation " +
+        "mean order value — rank agreement over a DIMENSION-sized " +
+        "table (the pairwise stage is quadratic in |nation| ≈ 25, " +
+        "never in fact-row count; the fact scans reduce to one row " +
+        "per nation first). Mean-order ties are decided by exact " +
+        "cross-multiplication (s_a·n_b vs s_b·n_a in DECIMAL), so no " +
+        "float-equality wobble can flip a concordance; τ-b's tie " +
+        "corrections use the standard n0/n1/n2 pair counts.",
+      (s, dir) => {
+        val cust = Tables.t(s, dir, "customer")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("x"))
+        val ords = Tables.t(s, dir, "orders")
+          .join(Tables.t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("sy"),
+            count(lit(1)).as("ny"))
+        val na = cust.join(ords, "c_nationkey")
+        val p = na.as("a").join(broadcast(na.as("b")),
+          col("a.c_nationkey") < col("b.c_nationkey"))
+        val dx = col("a.x") - col("b.x")
+        val dy = (col("a.sy").cast("decimal(38,0)") * col("b.ny")
+          - col("b.sy").cast("decimal(38,0)") * col("a.ny"))
+        val cls = p.select(
+          when(dx === 0, lit("tx")).when(dy === 0, lit("ty"))
+            .when((dx > 0 && dy > 0) || (dx < 0 && dy < 0), lit("c"))
+            .otherwise(lit("d")).as("cl"))
+        val agg = cls.agg(
+          sum(when(col("cl") === "c", 1).otherwise(0)).as("cc"),
+          sum(when(col("cl") === "d", 1).otherwise(0)).as("dd"),
+          sum(when(col("cl") === "tx", 1).otherwise(0)).as("tx"),
+          sum(when(col("cl") === "ty", 1).otherwise(0)).as("ty"),
+          count(lit(1)).as("n0"))
+        val tau = (col("cc") - col("dd")).cast("double") /
+          sqrt((col("n0") - col("tx")).cast("double")
+            * (col("n0") - col("ty")))
+        agg.select(col("n0").as("n_pairs"), col("cc").as("concordant"),
+            col("dd").as("discordant"), round(tau, 4).as("tau_b"))
+          .orderBy("n_pairs")
+      },
+      Some("""WITH cust AS (SELECT c_nationkey, count(*) AS x
+          FROM customer GROUP BY 1),
+        ords AS (SELECT c_nationkey,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS sy,
+            count(*) AS ny
+          FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        na AS (SELECT cust.c_nationkey, x, sy, ny
+          FROM cust JOIN ords USING (c_nationkey)),
+        p AS (SELECT a.x - b.x AS dx,
+            CAST(a.sy AS HUGEINT) * b.ny - CAST(b.sy AS HUGEINT) * a.ny AS dy
+          FROM na a JOIN na b ON a.c_nationkey < b.c_nationkey),
+        cls AS (SELECT CASE WHEN dx = 0 THEN 'tx' WHEN dy = 0 THEN 'ty'
+            WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0) THEN 'c'
+            ELSE 'd' END AS cl FROM p),
+        agg AS (SELECT
+            sum(CASE WHEN cl = 'c' THEN 1 ELSE 0 END) AS cc,
+            sum(CASE WHEN cl = 'd' THEN 1 ELSE 0 END) AS dd,
+            sum(CASE WHEN cl = 'tx' THEN 1 ELSE 0 END) AS tx,
+            sum(CASE WHEN cl = 'ty' THEN 1 ELSE 0 END) AS ty,
+            count(*) AS n0
+          FROM cls)
+        SELECT n0 AS n_pairs, CAST(cc AS BIGINT) AS concordant,
+          CAST(dd AS BIGINT) AS discordant,
+          round(CAST(cc - dd AS DOUBLE)
+            / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty)), 4) AS tau_b
+        FROM agg ORDER BY n_pairs""")),
+
+    Q(
+      "ts_drawdown",
+      "Maximum drawdown per event type — the largest peak-to-trough " +
+        "drop of the cumulative daily value curve (the risk metric " +
+        "behind circuit-breakers and budget alarms). Cumulative sum " +
+        "and running peak are integer-cent windows PARTITIONED by " +
+        "event type over a calendar-bounded series; drawdown stays " +
+        "integer; the per-type argmax (earliest trough day wins " +
+        "ties) is a WindowGroupLimit-able row_number pick.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        val w = Window.partitionBy("event_type").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dd = daily
+          .withColumn("cum", sum("y").over(w))
+          .withColumn("peak", max("cum").over(w))
+          .withColumn("dd", col("peak") - col("cum"))
+        dd.withColumn("rk", row_number().over(
+            Window.partitionBy("event_type")
+              .orderBy(col("dd").desc, col("d"))))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("d").as("trough_day"),
+            round(col("dd") / 100.0, 2).as("max_drawdown"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        c0 AS (SELECT event_type, d, sum(y) OVER w AS cum
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        c AS (SELECT event_type, d, cum, max(cum) OVER w AS peak
+          FROM c0
+          WINDOW w AS (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        dd AS (SELECT event_type, d, peak - cum AS dd,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY peak - cum DESC, d) AS rk
+          FROM c)
+        SELECT event_type, d AS trough_day,
+          round(dd / 100.0, 2) AS max_drawdown
+        FROM dd WHERE rk = 1 ORDER BY event_type""")),
+
+    Q(
+      "ts_sma_crossover",
+      "Moving-average crossover signals per event type — the days " +
+        "where the 3-day SMA of daily value crosses the 7-day SMA " +
+        "(golden/death cross trading-desk idiom, here as a trend-" +
+        "shift detector for any metric stream). Both SMAs are exact " +
+        "integer frame sums; the crossing test compares 7·S3 with " +
+        "3·S7 — pure integer cross-multiplication, so no float " +
+        "threshold can wobble a signal. Full frames only (day ≥ 7).",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        val ord = Window.partitionBy("event_type").orderBy("d")
+        val s3 = sum("y").over(ord.rowsBetween(-2, Window.currentRow))
+        val s7 = sum("y").over(ord.rowsBetween(-6, Window.currentRow))
+        val n7 = count(lit(1)).over(ord.rowsBetween(-6, Window.currentRow))
+        val g = daily
+          .withColumn("s3", s3).withColumn("s7", s7).withColumn("n7", n7)
+          .filter(col("n7") === 7)
+          .withColumn("diff", col("s3") * 7 - col("s7") * 3)
+          .withColumn("pdiff", lag("diff", 1).over(ord))
+        g.filter(col("pdiff").isNotNull &&
+            ((col("diff") > 0 && col("pdiff") <= 0)
+              || (col("diff") < 0 && col("pdiff") >= 0)))
+          .select(col("event_type"), col("d").as("day"),
+            when(col("diff") > 0, lit("golden")).otherwise(lit("death"))
+              .as("signal"),
+            round(col("s3") / 3.0 / 100.0, 2).as("sma3"),
+            round(col("s7") / 7.0 / 100.0, 2).as("sma7"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, d,
+            sum(y) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s3,
+            sum(y) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+            count(*) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7
+          FROM daily),
+        f AS (SELECT event_type, d, s3, s7, s3 * 7 - s7 * 3 AS diff,
+            lag(s3 * 7 - s7 * 3) OVER (PARTITION BY event_type ORDER BY d)
+              AS pdiff
+          FROM m WHERE n7 = 7)
+        SELECT event_type, d AS day,
+          CASE WHEN diff > 0 THEN 'golden' ELSE 'death' END AS signal,
+          round(s3 / 3.0 / 100.0, 2) AS sma3,
+          round(s7 / 7.0 / 100.0, 2) AS sma7
+        FROM f
+        WHERE pdiff IS NOT NULL AND ((diff > 0 AND pdiff <= 0)
+          OR (diff < 0 AND pdiff >= 0))
+        ORDER BY event_type, day""")),
+
+    Q(
+      "ts_mad_outliers",
+      "Median-absolute-deviation outlier days per event type — the " +
+        "robust alternative to ts_anomaly_zscore's mean/σ gate (one " +
+        "fat-finger day inflates σ and hides itself; the MAD gate it " +
+        "cannot). Median and MAD come from sorted integer-cent " +
+        "arrays over the calendar-bounded daily series, kept DOUBLED " +
+        "(2·median, 4·MAD) so every comparison — |x−med| > 3·MAD ⇔ " +
+        "2·d2 > 3·mad4 — is exact integer arithmetic; the robust " +
+        "z-score is a fixed-shape float formula evaluated once per " +
+        "flagged day.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        def mid2(arr: Column): Column = {
+          val n = size(arr)
+          element_at(arr, floor((n + 1) / 2).cast("int"))
+            .plus(element_at(arr, (floor(n / 2) + 1).cast("int")))
+        }
+        val med = daily.groupBy("event_type")
+          .agg(sort_array(collect_list("y")).as("arr"))
+          .select(col("event_type"), mid2(col("arr")).as("m2"))
+        val dev = daily.join(broadcast(med), "event_type")
+          .withColumn("d2", abs(col("y") * 2 - col("m2")))
+        val mad = dev.groupBy("event_type")
+          .agg(sort_array(collect_list("d2")).as("arr"))
+          .select(col("event_type"), mid2(col("arr")).as("mad4"))
+        dev.join(broadcast(mad), "event_type")
+          .filter(col("d2") * 2 > col("mad4") * 3)
+          .select(col("event_type"), col("d").as("day"),
+            round(col("y") / 100.0, 2).as("y"),
+            round((col("d2") / 2.0) / (col("mad4") / 4.0 * 1.4826), 2)
+              .as("robust_z"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        med AS (SELECT event_type, list_sort(list(y)) AS arr
+          FROM daily GROUP BY 1),
+        m2 AS (SELECT event_type,
+            arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS m2
+          FROM med),
+        dev AS (SELECT daily.event_type, d, y, abs(y * 2 - m2) AS d2
+          FROM daily JOIN m2 USING (event_type)),
+        madl AS (SELECT event_type, list_sort(list(d2)) AS arr
+          FROM dev GROUP BY 1),
+        mad4 AS (SELECT event_type,
+            arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS mad4
+          FROM madl)
+        SELECT dev.event_type, d AS day, round(y / 100.0, 2) AS y,
+          round((d2 / 2.0) / (mad4 / 4.0 * 1.4826), 2) AS robust_z
+        FROM dev JOIN mad4 USING (event_type)
+        WHERE d2 * 2 > mad4 * 3
+        ORDER BY event_type, day""")),
+
+    Q(
+      "ts_peak_detect",
+      "Local-maximum days per event type — strict peaks of the daily " +
+        "value curve (y above BOTH neighbors; series boundaries " +
+        "excluded), the primitive under seasonality eyeballing and " +
+        "alert de-bouncing. One lag/lead window per type over the " +
+        "calendar-bounded series, integer-cent comparisons only.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        val w = Window.partitionBy("event_type").orderBy("d")
+        daily
+          .withColumn("py", lag("y", 1).over(w))
+          .withColumn("ny", lead("y", 1).over(w))
+          .filter(col("py").isNotNull && col("ny").isNotNull
+            && col("y") > col("py") && col("y") > col("ny"))
+          .select(col("event_type"), col("d").as("day"),
+            round(col("y") / 100.0, 2).as("y"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        n AS (SELECT event_type, d, y,
+            lag(y) OVER (PARTITION BY event_type ORDER BY d) AS py,
+            lead(y) OVER (PARTITION BY event_type ORDER BY d) AS ny
+          FROM daily)
+        SELECT event_type, d AS day, round(y / 100.0, 2) AS y
+        FROM n
+        WHERE py IS NOT NULL AND ny IS NOT NULL AND y > py AND y > ny
+        ORDER BY event_type, day""")),
+
+    Q(
+      "ts_value_runs",
+      "Run-length structure of above/below-median days per event " +
+        "type — longest winning/losing streaks and run count of the " +
+        "daily value curve vs the type's own median (the Wald–" +
+        "Wolfowitz-flavored randomness diagnostic: too few runs = " +
+        "trending, too many = oscillating). Median via the doubled " +
+        "sorted-middle (integer), membership by exact 2·y vs m2 " +
+        "comparison, runs by the gaps-and-islands flag+cumsum idiom " +
+        "in type-partitioned windows.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        def mid2(arr: Column): Column = {
+          val n = size(arr)
+          element_at(arr, floor((n + 1) / 2).cast("int"))
+            .plus(element_at(arr, (floor(n / 2) + 1).cast("int")))
+        }
+        val med = daily.groupBy("event_type")
+          .agg(sort_array(collect_list("y")).as("arr"))
+          .select(col("event_type"), mid2(col("arr")).as("m2"))
+        val w = Window.partitionBy("event_type").orderBy("d")
+        val lab = daily.join(broadcast(med), "event_type")
+          .withColumn("above", (col("y") * 2 > col("m2")).cast("int"))
+          .withColumn("flip",
+            when(lag("above", 1).over(w).isNull
+              || lag("above", 1).over(w) =!= col("above"), 1).otherwise(0))
+          .withColumn("run", sum("flip").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        lab.groupBy("event_type", "run", "above")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_runs"),
+            max(when(col("above") === 1, col("len")).otherwise(0))
+              .as("longest_above"),
+            max(when(col("above") === 0, col("len")).otherwise(0))
+              .as("longest_below"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        med AS (SELECT event_type, list_sort(list(y)) AS arr
+          FROM daily GROUP BY 1),
+        m2 AS (SELECT event_type,
+            arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS m2
+          FROM med),
+        lab AS (SELECT daily.event_type, d,
+            CASE WHEN y * 2 > m2 THEN 1 ELSE 0 END AS above
+          FROM daily JOIN m2 USING (event_type)),
+        fl AS (SELECT event_type, d, above,
+            CASE WHEN lag(above) OVER w IS NULL
+              OR lag(above) OVER w <> above THEN 1 ELSE 0 END AS flip
+          FROM lab WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        rn AS (SELECT event_type, d, above,
+            sum(flip) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM fl),
+        runs AS (SELECT event_type, run, above, count(*) AS len
+          FROM rn GROUP BY 1, 2, 3)
+        SELECT event_type, count(*) AS n_runs,
+          max(CASE WHEN above = 1 THEN len ELSE 0 END) AS longest_above,
+          max(CASE WHEN above = 0 THEN len ELSE 0 END) AS longest_below
+        FROM runs GROUP BY 1 ORDER BY event_type""")),
+
+    Q(
+      "ts_winsorize",
+      "Winsorized daily series per event type — clamp each day's " +
+        "value to the type's own [p05, p95] band (the standard " +
+        "robust pre-treatment before means/regressions meet fat " +
+        "tails). Exact order-statistic cutoffs from the sorted " +
+        "integer-cent array (ceil-rank indices over the calendar-" +
+        "bounded series — no interpolation, so both engines read " +
+        "the same element), broadcast back; clamping is " +
+        "greatest/least on integers.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        val cut = daily.groupBy("event_type")
+          .agg(sort_array(collect_list("y")).as("arr"), count(lit(1)).as("n"))
+          .select(col("event_type"),
+            element_at(col("arr"),
+              greatest(lit(1), ceil(col("n") * 0.05)).cast("int")).as("lo"),
+            element_at(col("arr"),
+              least(col("n"), ceil(col("n") * 0.95)).cast("int")).as("hi"))
+        daily.join(broadcast(cut), "event_type")
+          .select(col("event_type"), col("d").as("day"),
+            round(col("y") / 100.0, 2).as("y"),
+            round(greatest(col("lo"), least(col("hi"), col("y"))) / 100.0, 2)
+              .as("y_wins"),
+            (col("y") < col("lo") || col("y") > col("hi")).as("clamped"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        cut AS (SELECT event_type, list_sort(list(y)) AS arr, count(*) AS n
+          FROM daily GROUP BY 1),
+        c2 AS (SELECT event_type,
+            arr[CAST(greatest(1, ceil(n * 0.05)) AS INT)] AS lo,
+            arr[CAST(least(n, ceil(n * 0.95)) AS INT)] AS hi
+          FROM cut)
+        SELECT daily.event_type, d AS day, round(y / 100.0, 2) AS y,
+          round(greatest(lo, least(hi, y)) / 100.0, 2) AS y_wins,
+          y < lo OR y > hi AS clamped
+        FROM daily JOIN c2 USING (event_type)
+        ORDER BY event_type, day""")),
+
+    Q(
+      "ts_cross_corr",
+      "Lead–lag cross-correlation between the purchase and click " +
+        "hourly count series at lags −3…+3 hours — the does-X-drive-Y " +
+        "diagnostic (ad-spend→signup, deploy→error). Hour buckets by " +
+        "exact integer division of epoch-µs (no float floor at 10¹⁵ " +
+        "magnitudes); each lag is an equi-join of the two bucketed " +
+        "series on h = h′+lag (a broadcast-able handful of rows per " +
+        "series at any scale since the series length is calendar-" +
+        "bounded); Pearson per lag from exact integer power sums " +
+        "evaluated once.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        def series(t: String, hn: String, cn: String) = ev
+          .filter(col("event_type") === t)
+          .select(Tables.epochUs(col("ts")).as("us"))
+          .select(expr("us div 3600000000").as(hn))
+          .groupBy(hn).agg(count(lit(1)).as(cn))
+        val a = series("purchase", "h", "xa")
+        val b = series("click", "hb", "xb")
+        val lags = ev.sparkSession.range(-3, 4).select(col("id").as("lag"))
+        val joined = a.crossJoin(broadcast(lags))
+          .join(b, col("h") === col("lag") + col("hb")) // h_a = h_b + lag
+        val n = col("n").cast("double")
+        val num = n * col("s12") - col("s1").cast("double") * col("s2")
+        val den = sqrt(n * col("s11") - col("s1").cast("double") * col("s1"))
+          .multiply(sqrt(n * col("s22") - col("s2").cast("double") * col("s2")))
+        joined.groupBy("lag")
+          .agg(count(lit(1)).as("n"),
+            sum("xa").as("s1"), sum("xb").as("s2"),
+            sum(col("xa") * col("xa")).as("s11"),
+            sum(col("xb") * col("xb")).as("s22"),
+            sum(col("xa") * col("xb")).as("s12"))
+          .select(col("lag"), col("n").as("n_hours"),
+            round(num / den, 4).as("r"))
+          .orderBy("lag")
+      },
+      Some("""WITH a AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+              AS h, count(*) AS xa
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+              AS hb, count(*) AS xb
+          FROM events WHERE event_type = 'click' GROUP BY 1),
+        lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-3, 4)),
+        j AS (SELECT lag, xa, xb
+          FROM a CROSS JOIN lags JOIN b ON a.h = lags.lag + b.hb),
+        ps AS (SELECT lag, count(*) AS n, sum(xa) AS s1, sum(xb) AS s2,
+            sum(xa * xa) AS s11, sum(xb * xb) AS s22, sum(xa * xb) AS s12
+          FROM j GROUP BY 1)
+        SELECT lag, n AS n_hours,
+          round((CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2)
+            / (sqrt(CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)
+               * sqrt(CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2)),
+            4) AS r
+        FROM ps ORDER BY lag""")),
+
+    Q(
+      "ts_dow_seasonal",
+      "Detrended ISO-weekday seasonal indices per event type — fit " +
+        "the linear trend of the daily value series from exact " +
+        "integer power sums (the regr_* spine), then average the " +
+        "residuals by weekday. The only float summation (per-weekday " +
+        "residual mean over ≤5 values) runs through the sorted fold; " +
+        "the trend coefficients are evaluated once per type and ride " +
+        "a broadcast join back onto the days.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            (weekday(col("ts")) + 1).as("dow"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d", "dow").agg(sum("cents").as("y"))
+        val fit = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("d").as("sx"), sum("y").as("sy"),
+            sum(col("d") * col("d")).as("sxx"),
+            sum(col("d") * col("y")).as("sxy"))
+          .select(col("event_type"),
+            ((col("n") * col("sxy") - col("sx").cast("double") * col("sy"))
+              / (col("n") * col("sxx") - col("sx").cast("double") * col("sx")))
+              .as("slope"),
+            col("sy").cast("double").as("syd"), col("sx").cast("double").as("sxd"),
+            col("n").cast("double").as("nd"))
+          .select(col("event_type"), col("slope"),
+            ((col("syd") - col("slope") * col("sxd")) / col("nd"))
+              .as("intercept"))
+        daily.join(broadcast(fit), "event_type")
+          .withColumn("resid",
+            col("y") - (col("intercept") + col("slope") * col("d")))
+          .groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("n_days"),
+            round(sfold(col("resid")) / count(lit(1)) / 100.0, 2)
+              .as("seasonal"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2, 3),
+        fit0 AS (SELECT event_type, count(*) AS n, sum(d) AS sx,
+            sum(y) AS sy, sum(d * d) AS sxx, sum(d * y) AS sxy
+          FROM daily GROUP BY 1),
+        fit AS (SELECT event_type,
+            (n * sxy - CAST(sx AS DOUBLE) * sy)
+              / (n * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+            (CAST(sy AS DOUBLE) - ((n * sxy - CAST(sx AS DOUBLE) * sy)
+              / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n AS intercept
+          FROM fit0)
+        SELECT daily.event_type, dow, count(*) AS n_days,
+          round(list_reduce(list_sort(
+              list(y - (intercept + slope * d))), (a, b) -> a + b)
+            / count(*) / 100.0, 2) AS seasonal
+        FROM daily JOIN fit USING (event_type)
+        GROUP BY 1, 2 ORDER BY event_type, dow"""))
   )
 }
