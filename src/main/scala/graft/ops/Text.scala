@@ -1471,7 +1471,235 @@ object Text {
             AS digit_share,
           round(CAST(sum(n_space) AS BIGINT) / CAST(sum(n_chars) AS DOUBLE), 6)
             AS space_share
-        FROM d GROUP BY source ORDER BY source"""))
+        FROM d GROUP BY source ORDER BY source""")),
+
+    Q(
+      "text_llr_bigrams",
+      "Dunning log-likelihood-ratio collocations — the significance-" +
+        "backed companion to text_pmi_bigrams (PMI over-rewards rare " +
+        "pairs; LLR scores the full 2×2 contingency of bigram vs " +
+        "marginals, so high-frequency collocations rank honestly). " +
+        "All four cell counts are exact integers from one tokenize " +
+        "pass; each x·ln(x) term is a fixed-shape float evaluated " +
+        "once per candidate; top-20 by LLR via TakeOrderedAndProject " +
+        "with total tie-breaks.",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumnRenamed("col", "w")
+        val wn = Window.partitionBy("doc_id").orderBy("pos")
+        val pairs = tok
+          .withColumn("prev", lag(col("w"), 1).over(wn))
+          .filter(col("prev").isNotNull)
+          .select("prev", "w")
+        val big = pairs.groupBy("prev", "w").agg(count(lit(1)).as("k11"))
+          .filter(col("k11") >= 5)
+        val ca = pairs.groupBy("prev").agg(count(lit(1)).as("ca"))
+        val cb = pairs.groupBy("w").agg(count(lit(1)).as("cb"))
+        val nTot = pairs.agg(count(lit(1)).as("nn"))
+        def xlx(c: Column): Column =
+          when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(0.0)
+        val k11 = col("k11"); val k12 = col("ca") - col("k11")
+        val k21 = col("cb") - col("k11")
+        val k22 = col("nn") - col("ca") - col("cb") + col("k11")
+        val llr = (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+          - xlx(col("ca")) - xlx(col("nn") - col("ca"))
+          - xlx(col("cb")) - xlx(col("nn") - col("cb"))
+          + xlx(col("nn"))) * 2.0
+        big.join(ca, "prev").join(cb, "w")
+          .crossJoin(broadcast(nTot))
+          .withColumn("llr", llr)
+          .orderBy(col("llr").desc, col("prev"), col("w"))
+          .limit(20)
+          .select(col("prev"), col("w"), col("k11").as("n_pair"),
+            round(col("llr"), 4).as("llr"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+            CAST(generate_subscripts(string_split(text, ' '), 1) AS INT)
+              AS pos
+          FROM documents),
+        pairs AS (
+          SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w
+          FROM tok QUALIFY prev IS NOT NULL),
+        big AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS k11
+          FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+        ca AS (SELECT prev, CAST(count(*) AS BIGINT) AS ca
+          FROM pairs GROUP BY 1),
+        cb AS (SELECT w, CAST(count(*) AS BIGINT) AS cb
+          FROM pairs GROUP BY 1),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM pairs),
+        f AS (SELECT big.prev, big.w, k11, ca, cb, nn,
+            ca - k11 AS k12, cb - k11 AS k21, nn - ca - cb + k11 AS k22
+          FROM big JOIN ca USING (prev) JOIN cb USING (w) CROSS JOIN nt),
+        sc AS (SELECT prev, w, k11,
+            2.0 * ((CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE))
+                ELSE 0 END)
+              + (CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE))
+                ELSE 0 END)
+              + (CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE))
+                ELSE 0 END)
+              + (CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE))
+                ELSE 0 END)
+              - (CASE WHEN ca > 0 THEN ca * ln(CAST(ca AS DOUBLE))
+                ELSE 0 END)
+              - (CASE WHEN nn - ca > 0 THEN (nn - ca)
+                * ln(CAST(nn - ca AS DOUBLE)) ELSE 0 END)
+              - (CASE WHEN cb > 0 THEN cb * ln(CAST(cb AS DOUBLE))
+                ELSE 0 END)
+              - (CASE WHEN nn - cb > 0 THEN (nn - cb)
+                * ln(CAST(nn - cb AS DOUBLE)) ELSE 0 END)
+              + nn * ln(CAST(nn AS DOUBLE))) AS llr
+          FROM f)
+        SELECT prev, w, k11 AS n_pair, round(llr, 4) AS llr
+        FROM sc ORDER BY llr DESC, prev, w LIMIT 20""")),
+
+    Q(
+      "text_chi2_keywords",
+      "Class-discriminative vocabulary — χ² of token document-" +
+        "frequency against language over the presence/absence " +
+        "contingency (the fastText-era feature-selection primitive: " +
+        "which words identify a class). Document frequencies are " +
+        "exact integers from one distinct-token pass; the per-" +
+        "language χ² cell terms are fixed-shape floats summed " +
+        "through the sorted fold; top-15 tokens by χ² with total " +
+        "tie-breaks. A count floor (df ≥ 10) keeps rare-token noise " +
+        "out, mirroring the PMI/LLR floors.",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val dw = docs
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(split(col("text"), " "))).as("w"))
+        val df = dw.groupBy("lang", "w").agg(count(lit(1)).as("o"))
+        val nl = docs.groupBy("lang").agg(count(lit(1)).as("ndl"))
+        val nTot = docs.agg(count(lit(1)).as("nd"))
+        val dfw = df.groupBy("w").agg(sum("o").as("dfw"))
+          .filter(col("dfw") >= 10)
+        // complete the (lang × token) grid so absent cells score too
+        val grid = nl.crossJoin(dfw)
+          .join(df, Seq("lang", "w"), "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
+          .crossJoin(broadcast(nTot))
+        val e = col("ndl").cast("double") * col("dfw") / col("nd")
+        val ePrime = col("ndl").cast("double").minus(e)
+        val cell = ((col("o") - e) * (col("o") - e) / e)
+          .plus(((col("ndl") - col("o")) - ePrime)
+            * ((col("ndl") - col("o")) - ePrime) / ePrime)
+        grid
+          .select(col("w"), col("dfw"), cell.as("cell"))
+          .groupBy("w", "dfw")
+          .agg(Stats.sfold(col("cell")).as("chi2"))
+          .orderBy(col("chi2").desc, col("w"))
+          .limit(15)
+          .select(col("w"), col("dfw").as("df"), round(col("chi2"), 4).as("chi2"))
+      },
+      Some("""WITH dw AS (SELECT DISTINCT doc_id, lang,
+            unnest(list_distinct(string_split(text, ' '))) AS w
+          FROM documents),
+        df AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS o
+          FROM dw GROUP BY 1, 2),
+        nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS ndl
+          FROM documents GROUP BY 1),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        dfw AS (SELECT w, CAST(sum(o) AS BIGINT) AS dfw FROM df
+          GROUP BY 1 HAVING sum(o) >= 10),
+        grid AS (SELECT nl.lang, dfw.w, dfw.dfw, nl.ndl,
+            coalesce(df.o, 0) AS o, nt.nd
+          FROM nl CROSS JOIN dfw
+          LEFT JOIN df ON df.lang = nl.lang AND df.w = dfw.w
+          CROSS JOIN nt),
+        cells AS (SELECT w, dfw,
+            (o - CAST(ndl AS DOUBLE) * dfw / nd)
+              * (o - CAST(ndl AS DOUBLE) * dfw / nd)
+              / (CAST(ndl AS DOUBLE) * dfw / nd)
+            + ((ndl - o) - (CAST(ndl AS DOUBLE)
+                - CAST(ndl AS DOUBLE) * dfw / nd))
+              * ((ndl - o) - (CAST(ndl AS DOUBLE)
+                - CAST(ndl AS DOUBLE) * dfw / nd))
+              / (CAST(ndl AS DOUBLE) - CAST(ndl AS DOUBLE) * dfw / nd)
+              AS cell
+          FROM grid),
+        sc AS (SELECT w, dfw,
+            list_reduce(list_sort(list(cell)), (a, b) -> a + b) AS chi2
+          FROM cells GROUP BY 1, 2)
+        SELECT w, dfw AS df, round(chi2, 4) AS chi2
+        FROM sc ORDER BY chi2 DESC, w LIMIT 15""")),
+
+    Q(
+      "text_hapax_ratio",
+      "Hapax legomena share per source — the fraction of each " +
+        "source's vocabulary occurring exactly once (the lexical-" +
+        "richness / OCR-noise indicator: clean prose sits near " +
+        "Zipf's ~50%, templated spam far below, garbled text far " +
+        "above). One tokenize pass → per-(source, token) counts → " +
+        "per-source vocabulary and hapax counts; all integers until " +
+        "the final ratio.",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("vocab"),
+            sum(when(col("c") === 1, 1).otherwise(0)).as("hapax"))
+          .select(col("source"), col("vocab"), col("hapax"),
+            round(col("hapax").cast("double") / col("vocab"), 6)
+              .as("hapax_ratio"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (SELECT source,
+            unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        c AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2)
+        SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+          round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS hapax_ratio
+        FROM c GROUP BY source ORDER BY source""")),
+
+    Q(
+      "text_burstiness",
+      "Token burstiness — variance-to-mean ratio of per-document " +
+        "counts over the WHOLE corpus (zeros included): content " +
+        "words cluster in the few documents about their topic " +
+        "(VMR ≫ 1), function words spread Poisson-like (VMR ≈ 1). " +
+        "The classic IR term-weighting diagnostic. Σk and Σk² are " +
+        "exact integers over present docs only; the zero-count mass " +
+        "needs no rows — it enters through the corpus doc count " +
+        "riding a 1-row broadcast. Frequency floor ≥ 20; top-20 by " +
+        "VMR with total tie-breaks.",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val perDoc = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("k"))
+        val nTot = docs.agg(count(lit(1)).as("nd"))
+        val stats = perDoc.groupBy("w")
+          .agg(sum("k").as("sk"), sum(col("k") * col("k")).as("skk"))
+          .filter(col("sk") >= 20)
+          .crossJoin(broadcast(nTot))
+        val mean = col("sk").cast("double") / col("nd")
+        val vmr = (col("skk").cast("double") / col("nd") - mean * mean) / mean
+        stats
+          .withColumn("vmr", vmr)
+          .orderBy(col("vmr").desc, col("w"))
+          .limit(20)
+          .select(col("w"), col("sk").as("n_occ"), round(col("vmr"), 6).as("vmr"))
+      },
+      Some("""WITH perdoc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+          GROUP BY 1, 2),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        st AS (SELECT w, CAST(sum(k) AS BIGINT) AS sk,
+            CAST(sum(k * k) AS BIGINT) AS skk
+          FROM perdoc GROUP BY 1 HAVING sum(k) >= 20),
+        sc AS (SELECT w, sk,
+            (CAST(skk AS DOUBLE) / nd
+              - (CAST(sk AS DOUBLE) / nd) * (CAST(sk AS DOUBLE) / nd))
+              / (CAST(sk AS DOUBLE) / nd) AS vmr
+          FROM st CROSS JOIN nt)
+        SELECT w, sk AS n_occ, round(vmr, 6) AS vmr
+        FROM sc ORDER BY vmr DESC, w LIMIT 20"""))
   )
 
   /** Per-document unigram LM bits-per-token — (doc_id, n_tok,

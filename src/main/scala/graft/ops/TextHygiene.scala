@@ -323,6 +323,74 @@ object TextHygiene {
           round(z, 6) AS z,
           round(1.0 / (1.0 + exp(-z)), 4) AS score,
           z > 0 AS keep
-        FROM sc ORDER BY doc_id"""))
+        FROM sc ORDER BY doc_id""")),
+
+    Q(
+      "text_gopher_rules",
+      "Gopher-style quality rule battery (Rae et al. 2021's published " +
+        "heuristics, restated for this fixture's tokenization) — per-" +
+        "document pass/fail on four rules, rolled up to per-source " +
+        "pass rates: word count in [50, 100000]; mean word length in " +
+        "[3, 10]; ≥ 2 distinct stopwords present; no single token " +
+        "above 20% of the document (the dominance/repetition gate). " +
+        "Every threshold is evaluated in cross-multiplied integers " +
+        "(3·n ≤ Σlen ≤ 10·n, 5·max ≤ n), so no float can straddle a " +
+        "rule edge. One tokenize pass feeds all rules; the rollup is " +
+        "one hash aggregation per source.",
+      (s, dir) => {
+        val stop = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("w"))
+        val perTok = tok.groupBy("doc_id", "source", "w")
+          .agg(count(lit(1)).as("k"))
+        val d = perTok.groupBy("doc_id", "source")
+          .agg(sum("k").as("n"),
+            sum(length(col("w")) * col("k")).as("sl"),
+            max("k").as("maxk"),
+            sum(when(col("w").isin(stop: _*), 1).otherwise(0)).as("nstop"))
+        val flags = d
+          .withColumn("r_count", col("n") >= 50 && col("n") <= 100000)
+          .withColumn("r_meanlen",
+            col("sl") >= col("n") * 3 && col("sl") <= col("n") * 10)
+          .withColumn("r_stop", col("nstop") >= 2)
+          .withColumn("r_dom", col("maxk") * 5 <= col("n"))
+        flags.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("r_count").cast("int")).as("p_count"),
+            sum(col("r_meanlen").cast("int")).as("p_meanlen"),
+            sum(col("r_stop").cast("int")).as("p_stop"),
+            sum(col("r_dom").cast("int")).as("p_dom"),
+            sum((col("r_count") && col("r_meanlen") && col("r_stop")
+              && col("r_dom")).cast("int")).as("n_pass_all"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (SELECT doc_id, source,
+            unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        pertok AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS k
+          FROM tok GROUP BY 1, 2, 3),
+        d AS (SELECT doc_id, source, CAST(sum(k) AS BIGINT) AS n,
+            CAST(sum(length(w) * k) AS BIGINT) AS sl,
+            CAST(max(k) AS BIGINT) AS maxk,
+            CAST(sum(CASE WHEN w IN ('the','a','an','and','of','to',
+              'in','is') THEN 1 ELSE 0 END) AS BIGINT) AS nstop
+          FROM pertok GROUP BY 1, 2),
+        fl AS (SELECT source,
+            n >= 50 AND n <= 100000 AS r_count,
+            sl >= n * 3 AND sl <= n * 10 AS r_meanlen,
+            nstop >= 2 AS r_stop,
+            maxk * 5 <= n AS r_dom
+          FROM d)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN r_count THEN 1 ELSE 0 END) AS BIGINT)
+            AS p_count,
+          CAST(sum(CASE WHEN r_meanlen THEN 1 ELSE 0 END) AS BIGINT)
+            AS p_meanlen,
+          CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS p_stop,
+          CAST(sum(CASE WHEN r_dom THEN 1 ELSE 0 END) AS BIGINT) AS p_dom,
+          CAST(sum(CASE WHEN r_count AND r_meanlen AND r_stop AND r_dom
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+        FROM fl GROUP BY source ORDER BY source"""))
   )
 }
