@@ -353,6 +353,41 @@ object EtlQueries {
         SELECT candidate, n_rows, n_distinct,
           round(CAST(n_distinct AS DOUBLE) / n_rows, 6) AS uniqueness,
           n_distinct = n_rows AS is_key
-        FROM u ORDER BY candidate"""))
+        FROM u ORDER BY candidate""")),
+
+    Q(
+      "etl_incremental_watermark",
+      "High-watermark incremental extraction — the continuous-" +
+        "ingestion shape the reference's full-reload job lacks: the " +
+        "already-loaded store (here: events through day 19) yields " +
+        "its max timestamp as a 1-row broadcast watermark; the new " +
+        "batch is everything strictly beyond it, profiled per event " +
+        "type. Timestamps compare in epoch-µs integers end to end " +
+        "(the ns-column house rule), so the watermark predicate is " +
+        "exact and pushdown-eligible; no second scan of the store is " +
+        "ever needed at 100 TB — the watermark itself would persist " +
+        "in the ledger like dedup_incremental's fingerprint store.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            Tables.epochUs(col("ts")).as("us"))
+        val wm = ev.filter(col("d") <= 19).agg(max("us").as("wm"))
+        ev.crossJoin(broadcast(wm))
+          .filter(col("us") > col("wm"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_new"),
+            min("d").as("first_day"), max("d").as("last_day"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        wm AS (SELECT max(us) AS wm FROM ev WHERE d <= 19)
+        SELECT event_type, count(*) AS n_new,
+          min(d) AS first_day, max(d) AS last_day
+        FROM ev CROSS JOIN wm
+        WHERE us > wm
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

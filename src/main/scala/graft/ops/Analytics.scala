@@ -595,6 +595,52 @@ object Analytics {
           count(CASE WHEN day = fday THEN 1 END) AS new_users,
           count(CASE WHEN day <> fday THEN 1 END) AS returning_users
         FROM e JOIN f USING (user_id)
-        GROUP BY day ORDER BY day"""))
+        GROUP BY day ORDER BY day""")),
+
+    Q(
+      "analytics_churn",
+      "Week-over-week churn — for each calendar week of the event " +
+        "month, the fraction of that week's active users who do NOT " +
+        "appear in the following week (the complement of " +
+        "analytics_retention's cohort view, sliced by adjacent " +
+        "periods). Active user-weeks dedupe in one hash aggregation; " +
+        "the did-they-return probe is a LEFT join of user-weeks onto " +
+        "themselves shifted by one week — an equi-join on " +
+        "(user, week+1), hash-partitionable at any scale. The final " +
+        "week has no successor and is excluded.",
+      (s, dir) => {
+        val uw = Tables.t(s, dir, "events")
+          .select(col("user_id"),
+            floor((dayofmonth(col("ts")) - 1) / 7).cast("int").as("wk"))
+          .distinct()
+        val nxt = uw.select(col("user_id"), (col("wk") - 1).as("wk"),
+          lit(1).as("ret"))
+        val maxWk = uw.agg(max("wk").as("mw"))
+        uw.join(nxt, Seq("user_id", "wk"), "left")
+          .crossJoin(broadcast(maxWk))
+          .filter(col("wk") < col("mw"))
+          .groupBy("wk")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("ret").isNull, 1).otherwise(0)).as("n_churned"))
+          .select(col("wk").as("week"), col("n_active"), col("n_churned"),
+            round(col("n_churned").cast("double") / col("n_active"), 4)
+              .as("churn_rate"))
+          .orderBy("week")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+            CAST(floor((day(CAST(ts AS TIMESTAMP)) - 1) / 7) AS INT) AS wk
+          FROM events),
+        nxt AS (SELECT user_id, wk - 1 AS wk, 1 AS ret FROM uw),
+        mw AS (SELECT max(wk) AS mw FROM uw)
+        SELECT uw.wk AS week, count(*) AS n_active,
+          CAST(sum(CASE WHEN nxt.ret IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_churned,
+          round(CAST(sum(CASE WHEN nxt.ret IS NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*), 4) AS churn_rate
+        FROM uw
+        LEFT JOIN nxt ON uw.user_id = nxt.user_id AND uw.wk = nxt.wk
+        CROSS JOIN mw
+        WHERE uw.wk < mw.mw
+        GROUP BY uw.wk ORDER BY week"""))
   )
 }

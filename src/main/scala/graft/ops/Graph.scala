@@ -744,7 +744,80 @@ object Graph {
               * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
             AS assortativity
-        FROM s"""))
+        FROM s""")),
+
+    Q(
+      "graph_adamic_adar",
+      "Adamic–Adar link prediction over the strong-trade graph — " +
+        "common neighbors weighted by 1/ln(degree), so a shared hub " +
+        "contributes almost nothing while a shared rare neighbor is " +
+        "strong evidence (the refinement of graph_jaccard_neighbors " +
+        "that wins on hub-heavy graphs). Same one-adjacency-self-" +
+        "equi-join candidate stage (never all-pairs); the neighbor " +
+        "degree joins in on the shared-neighbor key; the per-pair " +
+        "1/ln(deg) summation runs through the sorted fold. " +
+        "Preferential-attachment du·dv rides along for comparison. " +
+        "A degree-1 node can never BE a common neighbor, so " +
+        "ln(deg) ≥ ln 2 and the division is total.",
+      (s, dir) => {
+        val e = tradeEdges(s, dir).filter(col("src") =!= col("dst"))
+          .localCheckpoint(true)
+        val aw = e.agg(avg(col("w")).as("aw"))
+        val strong = e.crossJoin(broadcast(aw)).filter(col("w") >= col("aw"))
+          .select(least(col("src"), col("dst")).cast("long").as("a"),
+            greatest(col("src"), col("dst")).cast("long").as("b"))
+          .distinct()
+        val adj = strong.select(col("a").as("node"), col("b").as("nbr"))
+          .union(strong.select(col("b").as("node"), col("a").as("nbr")))
+        val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+        val cand = adj.as("x")
+          .join(adj.as("y"),
+            col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+          .select(col("x.node").as("u"), col("y.node").as("v"),
+            col("x.nbr").as("z"))
+          .join(deg.select(col("node").as("z"), col("deg").as("dz")), "z")
+        val scored = cand.groupBy("u", "v")
+          .agg(count(lit(1)).as("common"),
+            graft.ops.Stats.sfold(lit(1.0) / log(col("dz").cast("double")))
+              .as("aa"))
+        scored
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .select(col("u"), col("v"), col("common"),
+            round(col("aa"), 4).as("adamic_adar"),
+            (col("du") * col("dv")).as("pref_attach"))
+          .orderBy(col("adamic_adar").desc, col("u"), col("v"))
+          .limit(30)
+      },
+      Some("""WITH edges AS (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+            CAST(s.s_nationkey AS BIGINT) AS dst,
+            CAST(count(*) AS DOUBLE) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        ne AS (SELECT * FROM edges WHERE src <> dst),
+        strong AS (SELECT DISTINCT least(src, dst) AS a,
+            greatest(src, dst) AS b
+          FROM ne WHERE w >= (SELECT avg(w) FROM ne)),
+        adj AS (SELECT a AS node, b AS nbr FROM strong
+          UNION ALL SELECT b, a FROM strong),
+        deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+        cand AS (SELECT x.node AS u, y.node AS v, x.nbr AS z
+          FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node),
+        sc AS (SELECT u, v, count(*) AS common,
+            list_reduce(list_sort(list(1.0 / ln(CAST(dz.deg AS DOUBLE)))),
+              (a, b) -> a + b) AS aa
+          FROM cand JOIN deg dz ON dz.node = cand.z
+          GROUP BY 1, 2)
+        SELECT u, v, common, round(aa, 4) AS adamic_adar,
+          du.deg * dv.deg AS pref_attach
+        FROM sc
+        JOIN deg du ON du.node = u
+        JOIN deg dv ON dv.node = v
+        ORDER BY adamic_adar DESC, u, v LIMIT 30"""))
   )
 
   /** The HITS iteration unrolled as generated CTEs (list_sort +

@@ -186,6 +186,52 @@ object SqlApi {
           SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
           FROM customer)
         WHERE c_custkey < 100
-        ORDER BY c_custkey, facet"""))
+        ORDER BY c_custkey, facet""")),
+
+    Q(
+      "sql_disjunctive_pricing",
+      "TPC-H Q19-shaped disjunctive pricing — revenue over an OR of " +
+        "three (brand/type, size-range, quantity-range) AND-branches " +
+        "across the lineitem⋈part join. The shape that stresses an " +
+        "optimizer's OR handling: the common p_partkey equi-key must " +
+        "still drive the join (part stays the broadcast build side) " +
+        "with the disjunction evaluated as a post-join filter, never " +
+        "a fallback to a nested loop. Revenue in exact integer " +
+        "cent·basis-point units (price-cents × (10000 − discount-bp)) " +
+        "— one BIGINT sum, one final division.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"),
+            (round(col("l_extendedprice") * 100).cast("long")
+              * (lit(10000) - round(col("l_discount") * 10000).cast("long")))
+              .as("rev_u"))
+        val p = broadcast(Tables.t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size")))
+        val branch =
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#17" && col("p_size").between(10, 30)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_type") === "ECONOMY" && col("p_size").between(20, 50)
+            && col("l_quantity").between(20, 36))
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .filter(branch)
+          .agg(count(lit(1)).as("n_items"),
+            round(sum("rev_u") / 1e6, 2).as("revenue"))
+          .orderBy("n_items")
+      },
+      Some("""SELECT count(*) AS n_items,
+          round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+            / 1e6, 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30
+            AND l_quantity BETWEEN 10 AND 20)
+          OR (p_type = 'ECONOMY' AND p_size BETWEEN 20 AND 50
+            AND l_quantity BETWEEN 20 AND 36)
+        ORDER BY n_items"""))
   )
 }

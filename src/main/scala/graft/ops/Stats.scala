@@ -2892,6 +2892,66 @@ object Stats {
               list(y - (intercept + slope * d))), (a, b) -> a + b)
             / count(*) / 100.0, 2) AS seasonal
         FROM daily JOIN fit USING (event_type)
-        GROUP BY 1, 2 ORDER BY event_type, dow"""))
+        GROUP BY 1, 2 ORDER BY event_type, dow""")),
+
+    Q(
+      "profile_sequence_gaps",
+      "Contiguous-run inventory of an expected-dense key sequence — " +
+        "the completeness audit for ingestion IDs (missing ranges = " +
+        "dropped batches). The fixture carves deterministic holes " +
+        "(every 977th key and the 7000–7049 block) to exercise the " +
+        "detector; the output is each contiguous present run " +
+        "(start/end/length), whose complement is the gap list. " +
+        "Scale path: the classic key−row_number drift trick, with " +
+        "the global row number from Skew.globalRank (range " +
+        "repartition + per-partition offsets — NO single-task " +
+        "window), then one hash aggregation per drift island.",
+      (s, dir) => {
+        val present = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"))
+          .filter(col("k") % 977 =!= 0
+            && !col("k").between(7000, 7049))
+        Skew.globalRank(present, Seq(col("k")), rankCol = "r")
+          .groupBy((col("k") - col("r")).as("drift"))
+          .agg(min("k").as("run_start"), max("k").as("run_end"),
+            count(lit(1)).as("run_len"))
+          .select("run_start", "run_end", "run_len")
+          .orderBy("run_start")
+      },
+      Some("""WITH present AS (SELECT o_orderkey AS k FROM orders
+          WHERE k % 977 <> 0 AND k NOT BETWEEN 7000 AND 7049),
+        r AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM present)
+        SELECT min(k) AS run_start, max(k) AS run_end,
+          count(*) AS run_len
+        FROM r GROUP BY k - rn ORDER BY run_start""")),
+
+    Q(
+      "profile_freshness",
+      "Per-stream freshness audit — each event type's last-seen " +
+        "timestamp lag behind the corpus high-watermark, in whole " +
+        "seconds (the is-my-upstream-stuck pager check). Per-type " +
+        "max and the global max are exact epoch-µs integers; the " +
+        "global watermark rides a 1-row broadcast; the lag division " +
+        "is integer µs→s. One aggregation each — no window, no sort " +
+        "beyond the |types|-row output.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_type"), Tables.epochUs(col("ts")).as("us"))
+        val perType = ev.groupBy("event_type").agg(max("us").as("last_us"))
+        val global = ev.agg(max("us").as("hw"))
+        perType.crossJoin(broadcast(global))
+          .select(col("event_type"),
+            expr("(hw - last_us) div 1000000").as("staleness_sec"),
+            expr("last_us div 86400000000").as("last_epoch_day"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        pt AS (SELECT event_type, max(us) AS last_us FROM ev GROUP BY 1),
+        g AS (SELECT max(us) AS hw FROM ev)
+        SELECT event_type,
+          (hw - last_us) // 1000000 AS staleness_sec,
+          last_us // 86400000000 AS last_epoch_day
+        FROM pt CROSS JOIN g ORDER BY event_type"""))
   )
 }
