@@ -641,6 +641,46 @@ object Analytics {
         LEFT JOIN nxt ON uw.user_id = nxt.user_id AND uw.wk = nxt.wk
         CROSS JOIN mw
         WHERE uw.wk < mw.mw
-        GROUP BY uw.wk ORDER BY week"""))
+        GROUP BY uw.wk ORDER BY week""")),
+
+    Q(
+      "analytics_lorenz",
+      "Revenue-concentration (Lorenz) deciles — each user-spend " +
+        "decile's share of total purchase value, the curve behind " +
+        "stats_gini's single number (decile 10 holding 40% of " +
+        "revenue is the whale-dependence readout). Per-user totals " +
+        "are exact cents; the decile assignment uses Skew." +
+        "globalNtile (range-repartitioned rank + broadcast offsets " +
+        "— bit-identical to the SQL ntile(10) the oracle runs, with " +
+        "NO single-task window); shares divide exact integer sums " +
+        "against a 1-row broadcast total.",
+      (s, dir) => {
+        val spend = Tables.t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val tot = spend.agg(sum("cents").as("tc"))
+        Skew.globalNtile(spend, Seq(col("cents"), col("user_id")), 10, "decile")
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_users"), sum("cents").as("dc"))
+          .crossJoin(broadcast(tot))
+          .select(col("decile"), col("n_users"),
+            round(col("dc") / 100.0, 2).as("revenue"),
+            round(col("dc").cast("double") / col("tc"), 4).as("share"))
+          .orderBy("decile")
+      },
+      Some("""WITH spend AS (SELECT user_id,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        t AS (SELECT CAST(sum(cents) AS BIGINT) AS tc FROM spend),
+        d AS (SELECT user_id, cents,
+            CAST(ntile(10) OVER (ORDER BY cents, user_id) AS BIGINT)
+              AS decile
+          FROM spend)
+        SELECT decile, count(*) AS n_users,
+          round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS revenue,
+          round(CAST(sum(cents) AS DOUBLE) / max(tc), 4) AS share
+        FROM d CROSS JOIN t
+        GROUP BY decile ORDER BY decile"""))
   )
 }

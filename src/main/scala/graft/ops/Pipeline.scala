@@ -889,6 +889,57 @@ object Pipeline {
           CASE WHEN CAST(('0x' || substring(md5('dpo:' || CAST(chosen_id AS VARCHAR)), 1, 8))
               AS BIGINT) % 10 < 8 THEN 'train' ELSE 'val' END AS split
         FROM best JOIN worst USING (lang)
-        WHERE chosen_id != rejected_id ORDER BY lang"""))
+        WHERE chosen_id != rejected_id ORDER BY lang""")),
+
+    Q(
+      "pipeline_quality_sweep",
+      "Quality-threshold ablation — corpus retention and mean doc " +
+        "length at five type/token-ratio gates (the sweep a curation " +
+        "team runs before committing a filter: how much data does " +
+        "each notch cost, and does it skew length?). The gate " +
+        "uniq/total ≥ t% is evaluated in cross-multiplied integers " +
+        "(100·distinct ≥ t·total), so no threshold can land on a " +
+        "float edge; ONE tokenize-free scan computes both counts per " +
+        "doc, the five thresholds explode from a literal array, and " +
+        "the rollup is one hash aggregation — the whole sweep costs " +
+        "one pass regardless of how many notches are probed.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("tot"),
+            size(array_distinct(split(col("text"), " "))).cast("long")
+              .as("uniq"))
+        val nTot = d.agg(count(lit(1)).as("nd"))
+        d.select(col("n_chars"), col("tot"), col("uniq"),
+            explode(array(lit(30), lit(40), lit(50), lit(60), lit(70)))
+              .as("threshold"))
+          .filter(col("uniq") * 100 >= col("threshold") * col("tot"))
+          .groupBy("threshold")
+          .agg(count(lit(1)).as("n_retained"),
+            sum("n_chars").as("sc"))
+          .crossJoin(broadcast(nTot))
+          .select(col("threshold"), col("n_retained"),
+            round(col("n_retained").cast("double") / col("nd"), 4)
+              .as("retained_frac"),
+            round(col("sc").cast("double") / col("n_retained"), 2)
+              .as("mean_chars"))
+          .orderBy("threshold")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS tot,
+            CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+              AS uniq
+          FROM documents),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+        x AS (SELECT n_chars, tot, uniq, unnest([30, 40, 50, 60, 70])
+            AS threshold
+          FROM d)
+        SELECT CAST(threshold AS INT) AS threshold,
+          count(*) AS n_retained,
+          round(CAST(count(*) AS DOUBLE) / max(nd), 4) AS retained_frac,
+          round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS mean_chars
+        FROM x CROSS JOIN nt
+        WHERE uniq * 100 >= threshold * tot
+        GROUP BY threshold ORDER BY threshold"""))
   )
 }

@@ -751,7 +751,101 @@ object Similarity {
         pick AS (SELECT *, row_number() OVER (PARTITION BY vec_id
             ORDER BY cos DESC, clabel) AS rk FROM sc)
         SELECT label, clabel AS pred_label, count(*) AS n
-        FROM pick WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM pick WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q(
+      "sim_ivf_balance",
+      "IVF index-health audit — the list-size balance of the " +
+        "inverted file under the oracle-checked assignment " +
+        "(sim_ivf_assign's deterministic first-8 centroid book): " +
+        "max/min list sizes, the imbalance factor k·max/n that " +
+        "bounds worst-case probe fan-out (a 1.0-imbalance index " +
+        "probes evenly; a hot list serializes queries exactly like " +
+        "a hot shuffle key), and the coefficient of variation. " +
+        "Assignment is the shuffle-free packed-centroid per-row " +
+        "fold; sizes reduce to k rows; every moment is an exact " +
+        "integer sum with the floats evaluated once at the end.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val packed = packCentroids(
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cid"),
+              col("embedding").as("ce")))
+        val sizes = e.crossJoin(broadcast(packed))
+          .select(nearestByCosine(col("embedding"), col("cs"))
+            .getField("c").getField("cid").as("cid"))
+          .groupBy("cid").agg(count(lit(1)).as("sz"))
+        val k = col("k").cast("double")
+        val n = col("n").cast("double")
+        val mean = n / k
+        val variance = col("ss").cast("double") / k - mean * mean
+        sizes.agg(count(lit(1)).as("k"), sum("sz").as("n"),
+            min("sz").as("min_list"), max("sz").as("max_list"),
+            sum(col("sz") * col("sz")).as("ss"))
+          .select(col("k"), col("n").as("n_vectors"),
+            col("min_list"), col("max_list"),
+            round(k * col("max_list") / n, 4).as("imbalance"),
+            round(sqrt(variance) / mean, 4).as("cv"))
+          .orderBy("k")
+      },
+      Some(s"""WITH cents AS (
+          SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < 8),
+        sc AS (
+          SELECT e.vec_id, c.cid,
+            ${VectorOps.duckCosine("e.embedding", "c.ce")} AS cos
+          FROM embeddings e CROSS JOIN cents c),
+        rk AS (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid)
+              AS rn
+          FROM sc),
+        sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz
+          FROM rk WHERE rn = 1 GROUP BY 1),
+        a AS (SELECT count(*) AS k, sum(sz) AS n, min(sz) AS min_list,
+            max(sz) AS max_list, sum(sz * sz) AS ss
+          FROM sz)
+        SELECT k, CAST(n AS BIGINT) AS n_vectors, min_list, max_list,
+          round(CAST(k AS DOUBLE) * max_list / n, 4) AS imbalance,
+          round(sqrt(CAST(ss AS DOUBLE) / k
+              - (CAST(n AS DOUBLE) / k) * (CAST(n AS DOUBLE) / k))
+            / (CAST(n AS DOUBLE) / k), 4) AS cv
+        FROM a ORDER BY k""")),
+
+    Q(
+      "sim_norm_stats",
+      "Embedding-norm audit per label — n, mean/min/max of ‖x‖² " +
+        "(the is-my-encoder-healthy check: collapsed classes and " +
+        "un-normalized batches show up as norm outliers before any " +
+        "similarity search does). The squared norm is the codegen'd " +
+        "VecDot sequential fold (bit-identical to the oracle's " +
+        "list_reduce), quantized to integer 10⁻⁶ units at the row — " +
+        "so the per-label moments are exact integer sums at any " +
+        "parallelism, one hash aggregation total.",
+      (s, dir) => {
+        Tables.t(s, dir, "embeddings")
+          .select(col("label"),
+            round(VectorOps.normSq(col("embedding")) * 1e6)
+              .cast("long").as("nu"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum("nu").as("s"),
+            min("nu").as("mn"), max("nu").as("mx"))
+          .select(col("label"), col("n"),
+            round(col("s").cast("double") / col("n") / 1e6, 4)
+              .as("mean_norm2"),
+            round(col("mn") / 1e6, 4).as("min_norm2"),
+            round(col("mx") / 1e6, 4).as("max_norm2"))
+          .orderBy("label")
+      },
+      Some(s"""WITH q AS (SELECT label,
+            CAST(round((${VectorOps.duckDot("embedding", "embedding")})
+              * 1e6) AS BIGINT) AS nu
+          FROM embeddings)
+        SELECT label, count(*) AS n,
+          round(CAST(sum(nu) AS DOUBLE) / count(*) / 1e6, 4) AS mean_norm2,
+          round(min(nu) / 1e6, 4) AS min_norm2,
+          round(max(nu) / 1e6, 4) AS max_norm2
+        FROM q GROUP BY label ORDER BY label"""))
   )
 
   /** Deterministic distance-weighted, bucket-diversified seeding (the

@@ -232,6 +232,64 @@ object SqlApi {
             AND l_quantity BETWEEN 10 AND 20)
           OR (p_type = 'ECONOMY' AND p_size BETWEEN 20 AND 50
             AND l_quantity BETWEEN 20 AND 36)
-        ORDER BY n_items"""))
+        ORDER BY n_items""")),
+
+    Q(
+      "sql_market_share",
+      "TPC-H Q8-shaped market share — NATION_0 suppliers' share of " +
+        "ASIA-customer revenue by order year: the two-level " +
+        "conditional-aggregation shape (total revenue and one " +
+        "nation's slice in the SAME pass — no second scan, no self-" +
+        "join) over the full 6-table star. Dimensions broadcast; " +
+        "revenue in exact integer cent·basis-point units; the share " +
+        "is one division per year row.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        val o = Tables.t(s, dir, "orders")
+        val c = Tables.t(s, dir, "customer")
+        val sup = broadcast(Tables.t(s, dir, "supplier"))
+        val n = broadcast(Tables.t(s, dir, "nation"))
+        val r = broadcast(Tables.t(s, dir, "region"))
+        val revU = (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(10000) - round(col("l_discount") * 10000).cast("long")))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n.select(col("n_nationkey").as("cnk"),
+            col("n_regionkey").as("crk")), col("c_nationkey") === col("cnk"))
+          .join(r, col("crk") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(n.select(col("n_nationkey").as("snk"),
+            col("n_name").as("sup_nation")), col("s_nationkey") === col("snk"))
+          .groupBy(year(col("o_orderdate")).as("order_year"))
+          .agg(sum(revU).as("tot"),
+            sum(when(col("sup_nation") === "NATION_0", revU)
+              .otherwise(lit(0L))).as("slice"))
+          .select(col("order_year"),
+            round(col("tot") / 1e6, 2).as("total_revenue"),
+            round(col("slice").cast("double") / col("tot"), 4)
+              .as("mkt_share"))
+          .orderBy("order_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+          round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+            / 1e6, 2) AS total_revenue,
+          round(CAST(sum(CASE WHEN sn.n_name = 'NATION_0'
+              THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+              ELSE 0 END) AS DOUBLE)
+            / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (10000 - CAST(round(l_discount * 10000) AS BIGINT))),
+            4) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1 ORDER BY order_year"""))
   )
 }
