@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -449,6 +450,80 @@ object Features {
           FROM documents d JOIN cnt ON d.source = cnt.source
           CROSS JOIN t)
         SELECT category, count(*) AS n_docs
-        FROM mapped GROUP BY 1 ORDER BY category"""))
+        FROM mapped GROUP BY 1 ORDER BY category""")),
+
+    Q(
+      "sketch_bloom",
+      "Bloom-filter membership sketch, fully oracle-replayed — build " +
+        "a 4096-bit / 3-hash Bloom filter over nation-0 customer " +
+        "keys with the engine-portable md5 hash (the countmin/" +
+        "SimHash witness idiom; the 100 TB hot path is Spark's " +
+        "native bloom_filter_agg / Join-side bloom pruning, already " +
+        "pinned by join_bloom_prefilter — THIS query is the " +
+        "correctness witness those native paths can't give). The " +
+        "bit set reduces to ≤4096 distinct rows and broadcasts to " +
+        "the probe side; a probe is positive iff all 3 of its bit " +
+        "positions hit, and the false-positive rate is measured " +
+        "exactly against ground truth in the same pass.",
+      (s, dir) => {
+        val m = 4096
+        val cust = Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        def pos(i: Int, key: Column): Column =
+          pmod(PortableHash.hexHash(
+            concat(lit(s"bl$i:"), key.cast("string"))), lit(m))
+        val members = cust.filter(col("c_nationkey") === 0)
+        val bits = (0 until 3).map(i =>
+            members.select(pos(i, col("c_custkey")).as("bit")))
+          .reduce(_ union _).distinct()
+        val probes = cust.select(col("c_custkey"), col("c_nationkey"),
+            explode(array((0 until 3).map(i =>
+              pos(i, col("c_custkey"))): _*)).as("bit"))
+        val hits = probes.join(broadcast(bits), "bit")
+          .groupBy("c_custkey", "c_nationkey")
+          .agg(count(lit(1)).as("nhit"))
+          .filter(col("nhit") === 3)
+        val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+        val tot = cust.agg(count(lit(1)).as("n_tested"),
+          sum(when(col("c_nationkey") === 0, 1).otherwise(0)).as("n_members"))
+        hits.agg(count(lit(1)).as("n_positive"),
+            sum(when(col("c_nationkey") =!= 0, 1).otherwise(0)).as("n_fp"))
+          .crossJoin(broadcast(nBits)).crossJoin(broadcast(tot))
+          .select(col("n_members"), col("n_bits_set"), col("n_tested"),
+            col("n_positive"), col("n_fp"),
+            round(col("n_fp").cast("double")
+              / (col("n_tested") - col("n_members")), 4).as("fp_rate"))
+          .orderBy("n_members")
+      },
+      Some(s"""WITH cust AS (SELECT c_custkey, c_nationkey FROM customer),
+        members AS (SELECT c_custkey FROM cust WHERE c_nationkey = 0),
+        bits AS (SELECT DISTINCT bit FROM (
+          SELECT ${PortableHash.hexHashSql("'bl0:' || CAST(c_custkey AS VARCHAR)")} % 4096 AS bit FROM members
+          UNION ALL
+          SELECT ${PortableHash.hexHashSql("'bl1:' || CAST(c_custkey AS VARCHAR)")} % 4096 FROM members
+          UNION ALL
+          SELECT ${PortableHash.hexHashSql("'bl2:' || CAST(c_custkey AS VARCHAR)")} % 4096 FROM members)),
+        probes AS (SELECT c_custkey, c_nationkey, unnest([
+            ${PortableHash.hexHashSql("'bl0:' || CAST(c_custkey AS VARCHAR)")} % 4096,
+            ${PortableHash.hexHashSql("'bl1:' || CAST(c_custkey AS VARCHAR)")} % 4096,
+            ${PortableHash.hexHashSql("'bl2:' || CAST(c_custkey AS VARCHAR)")} % 4096]) AS bit
+          FROM cust),
+        hits AS (SELECT c_custkey, c_nationkey
+          FROM probes JOIN bits USING (bit)
+          GROUP BY 1, 2 HAVING count(*) = 3),
+        nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_tested,
+            CAST(sum(CASE WHEN c_nationkey = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_members
+          FROM cust)
+        SELECT n_members, n_bits_set, n_tested,
+          CAST(count(*) AS BIGINT) AS n_positive,
+          CAST(sum(CASE WHEN c_nationkey <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fp,
+          round(CAST(sum(CASE WHEN c_nationkey <> 0 THEN 1 ELSE 0 END)
+            AS DOUBLE) / (n_tested - n_members), 4) AS fp_rate
+        FROM hits CROSS JOIN nb CROSS JOIN t
+        GROUP BY n_members, n_bits_set, n_tested
+        ORDER BY n_members"""))
   )
 }

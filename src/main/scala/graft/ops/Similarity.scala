@@ -845,7 +845,48 @@ object Similarity {
           round(CAST(sum(nu) AS DOUBLE) / count(*) / 1e6, 4) AS mean_norm2,
           round(min(nu) / 1e6, 4) AS min_norm2,
           round(max(nu) / 1e6, 4) AS max_norm2
-        FROM q GROUP BY label ORDER BY label"""))
+        FROM q GROUP BY label ORDER BY label""")),
+
+    Q(
+      "sim_query_batch",
+      "Batched top-k vector serving — ten query vectors answered in " +
+        "ONE corpus pass: the query block rides a broadcast (the " +
+        "online-serving shape: queries are always the small side), " +
+        "scoring is the codegen'd VecDot cosine in the scan, and the " +
+        "per-query top-5 is a row_number filter directly above its " +
+        "window — the WindowGroupLimit shape, so each partition " +
+        "keeps 5-row heaps per query instead of sorting candidates. " +
+        "Self-hits excluded. Amortizing the scan across the batch " +
+        "is THE throughput lever for brute-force serving at scale.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosine(col("embedding"), col("qe")).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("rk"), col("vec_id"),
+            round(col("cos"), 6).as("cos_sim"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+          FROM embeddings WHERE vec_id < 10),
+        sc AS (SELECT q.qid, e.vec_id,
+            ${VectorOps.duckCosine("e.embedding", "q.qe")} AS cos
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.qid),
+        rk AS (SELECT qid, vec_id, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+              AS rk
+          FROM sc)
+        SELECT qid, CAST(rk AS INT) AS rk, vec_id,
+          round(cos, 6) AS cos_sim
+        FROM rk WHERE rk <= 5 ORDER BY qid, rk"""))
   )
 
   /** Deterministic distance-weighted, bucket-diversified seeding (the

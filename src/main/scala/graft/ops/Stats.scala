@@ -2952,6 +2952,102 @@ object Stats {
         SELECT event_type,
           (hw - last_us) // 1000000 AS staleness_sec,
           last_us // 86400000000 AS last_epoch_day
-        FROM pt CROSS JOIN g ORDER BY event_type"""))
+        FROM pt CROSS JOIN g ORDER BY event_type""")),
+
+    Q(
+      "stats_jackknife",
+      "Jackknife standard error of the grand mean of per-nation " +
+        "order values — the resampling-free uncertainty estimate for " +
+        "a statistic over GROUPS (each leave-one-group-out replicate " +
+        "is closed-form, so the whole jackknife is three tiny " +
+        "aggregations over the 25-row group-mean table; nothing " +
+        "random, nothing iterative). Group means come from exact " +
+        "cent sums; every float summation over the group table runs " +
+        "through the sorted fold.",
+      (s, dir) => {
+        val g = Tables.t(s, dir, "orders")
+          .join(Tables.t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("sc"),
+            count(lit(1)).as("nc"))
+          .select(col("c_nationkey"),
+            (col("sc").cast("double") / col("nc")).as("m"))
+        val t1 = g.agg(count(lit(1)).as("n"), sfold(col("m")).as("sm"))
+        val loo = g.crossJoin(broadcast(t1))
+          .select(col("n"),
+            ((col("sm") - col("m")) / (col("n") - 1)).as("loo"))
+        val t2 = loo.groupBy("n")
+          .agg(sfold(col("loo")).as("sl"),
+            sfold(col("loo") * col("loo")).as("sll"))
+        val nD = col("n").cast("double")
+        val jkVar = (nD - 1) / nD * (col("sll") - col("sl") * col("sl") / nD)
+        t2.crossJoin(broadcast(t1.select(col("sm"))))
+          .select(col("n").as("n_groups"),
+            round(col("sm") / nD / 100.0, 2).as("grand_mean"),
+            round(sqrt(jkVar) / 100.0, 4).as("jk_se"))
+          .orderBy("n_groups")
+      },
+      Some("""WITH g AS (SELECT c_nationkey,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+              / count(*) AS m
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1),
+        t1 AS (SELECT count(*) AS n,
+            list_reduce(list_sort(list(m)), (a, b) -> a + b) AS sm
+          FROM g),
+        loo AS (SELECT n, (sm - m) / (n - 1) AS loo
+          FROM g CROSS JOIN t1),
+        t2 AS (SELECT n,
+            list_reduce(list_sort(list(loo)), (a, b) -> a + b) AS sl,
+            list_reduce(list_sort(list(loo * loo)), (a, b) -> a + b) AS sll
+          FROM loo GROUP BY n)
+        SELECT n AS n_groups,
+          round(sm / n / 100.0, 2) AS grand_mean,
+          round(sqrt((CAST(n AS DOUBLE) - 1) / n
+            * (sll - sl * sl / n)) / 100.0, 4) AS jk_se
+        FROM t2 CROSS JOIN (SELECT sm FROM t1) s
+        ORDER BY n_groups""")),
+
+    Q(
+      "profile_histogram",
+      "Exact equi-width histogram of order values — 20 bins between " +
+        "the observed min/max (the shape-of-the-column diagnostic " +
+        "feat_quantile_bins' equal-mass cut can't give). Bin " +
+        "assignment is pure integer arithmetic over cents — " +
+        "(x−min)·20 div (max−min+1) — so no value can straddle a " +
+        "float bin edge in either engine; min/max ride a 1-row " +
+        "broadcast; one hash aggregation to ≤20 rows. Empty bins " +
+        "are simply absent (their zero is implied), keeping the " +
+        "output proportional to occupied bins, not bin count.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+        val mm = o.agg(min("c").as("mn"), max("c").as("mx"),
+          count(lit(1)).as("n"))
+        val span = col("mx") - col("mn") + 1
+        o.crossJoin(broadcast(mm))
+          .select(Skew.idiv((col("c") - col("mn")) * 20, span).as("bin"),
+            col("mn"), col("mx"), col("n"))
+          .groupBy("bin", "mn", "mx", "n")
+          .agg(count(lit(1)).as("n_rows"))
+          .select(col("bin").cast("int").as("bin"),
+            round((col("mn") + col("bin") * (col("mx") - col("mn") + 1)
+              / 20.0) / 100.0, 2).as("bin_lo"),
+            col("n_rows"),
+            round(col("n_rows").cast("double") / col("n"), 4).as("share"))
+          .orderBy("bin")
+      },
+      Some("""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+            AS c FROM orders),
+        mm AS (SELECT min(c) AS mn, max(c) AS mx,
+            CAST(count(*) AS BIGINT) AS n FROM o),
+        b AS (SELECT ((c - mn) * 20) // (mx - mn + 1) AS bin, mn, mx, n
+          FROM o CROSS JOIN mm)
+        SELECT CAST(bin AS INT) AS bin,
+          round((mn + bin * (mx - mn + 1) / 20.0) / 100.0, 2) AS bin_lo,
+          count(*) AS n_rows,
+          round(CAST(count(*) AS DOUBLE) / max(n), 4) AS share
+        FROM b GROUP BY bin, mn, mx, n ORDER BY bin"""))
   )
 }
