@@ -940,6 +940,76 @@ object Pipeline {
           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS mean_chars
         FROM x CROSS JOIN nt
         WHERE uniq * 100 >= threshold * tot
-        GROUP BY threshold ORDER BY threshold"""))
+        GROUP BY threshold ORDER BY threshold""")),
+
+    Q(
+      "pipeline_pad_waste",
+      "Padding-waste audit for batch assembly — the fraction of " +
+        "compute burned on pad tokens when documents batch in hash " +
+        "order vs length-sorted order, at batch sizes 16 and 64 " +
+        "(the measurement that justifies length-bucketed batching: " +
+        "sorted batching typically cuts pad waste several-fold). " +
+        "Both orderings are total and deterministic — length-sorted " +
+        "by (len, doc_id), 'random' by the engine-portable md5 hash " +
+        "— and both get their global position from Skew.globalRank " +
+        "(range repartition + broadcast offsets, NO single-task " +
+        "window); waste per batch is max·n − Σlen in exact integers.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("len"))
+        def waste(ordered: org.apache.spark.sql.DataFrame, tag: String) = {
+          val withB = ordered.select(col("len"), col("r"),
+            explode(array(lit(16), lit(64))).as("bsz"))
+          withB
+            .select(col("len"), col("bsz"),
+              Skew.idiv(col("r") - 1, col("bsz").cast("long")).as("batch"))
+            .groupBy("bsz", "batch")
+            .agg(count(lit(1)).as("n"), max("len").as("mx"),
+              sum("len").as("sl"))
+            .groupBy("bsz")
+            .agg(count(lit(1)).as("n_batches"),
+              sum(col("mx") * col("n") - col("sl")).as("pad"),
+              sum("sl").as("tok"))
+            .select(lit(tag).as("strategy"), col("bsz"), col("n_batches"),
+              round(col("pad").cast("double") / col("tok"), 4)
+                .as("pad_ratio"))
+        }
+        val sorted = Skew.globalRank(d, Seq(col("len"), col("doc_id")),
+          rankCol = "r")
+        val hashed = Skew.globalRank(
+          d.withColumn("hk", PortableHash.hexHash(
+            concat(lit("pw:"), col("doc_id").cast("string")))),
+          Seq(col("hk"), col("doc_id")), rankCol = "r")
+        waste(sorted, "sorted").unionAll(waste(hashed, "hashed"))
+          .orderBy("strategy", "bsz")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+            CAST(('0x' || substring(md5('pw:' || CAST(doc_id AS VARCHAR)),
+              1, 8)) AS BIGINT) AS hk
+          FROM documents),
+        rs AS (SELECT len,
+            row_number() OVER (ORDER BY len, doc_id) AS r FROM d),
+        rh AS (SELECT len,
+            row_number() OVER (ORDER BY hk, doc_id) AS r FROM d),
+        xs AS (SELECT len, r, unnest([16, 64]) AS bsz FROM rs),
+        xh AS (SELECT len, r, unnest([16, 64]) AS bsz FROM rh),
+        bs AS (SELECT bsz, (r - 1) // bsz AS batch, count(*) AS n,
+            max(len) AS mx, sum(len) AS sl
+          FROM xs GROUP BY 1, 2),
+        bh AS (SELECT bsz, (r - 1) // bsz AS batch, count(*) AS n,
+            max(len) AS mx, sum(len) AS sl
+          FROM xh GROUP BY 1, 2),
+        ws AS (SELECT 'sorted' AS strategy, CAST(bsz AS INT) AS bsz,
+            count(*) AS n_batches,
+            round(CAST(sum(mx * n - sl) AS DOUBLE) / sum(sl), 4)
+              AS pad_ratio
+          FROM bs GROUP BY 1, 2),
+        wh AS (SELECT 'hashed', CAST(bsz AS INT), count(*),
+            round(CAST(sum(mx * n - sl) AS DOUBLE) / sum(sl), 4)
+          FROM bh GROUP BY 1, 2)
+        SELECT * FROM ws UNION ALL SELECT * FROM wh
+        ORDER BY strategy, bsz"""))
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The SQL entry point (`spark.sql`) as a first-class surface: the same
@@ -290,6 +291,61 @@ object SqlApi {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation sn ON s_nationkey = sn.n_nationkey
         WHERE r_name = 'ASIA'
-        GROUP BY 1 ORDER BY order_year"""))
+        GROUP BY 1 ORDER BY order_year""")),
+
+    Q(
+      "sql_rollup_share",
+      "Share-of-parent over a ROLLUP hierarchy — region→nation " +
+        "revenue where each nation row carries its share of the " +
+        "region subtotal, each region row its share of the grand " +
+        "total (the drill-down report shape: every level normalized " +
+        "against its parent in ONE pass — no self-join of the cube " +
+        "back onto itself). The window partitions by grouping_id + " +
+        "parent key, so each rollup level normalizes within its own " +
+        "stratum; revenue stays exact integer cents through the " +
+        "rollup AND the window; names coalesce to 'ALL' only after " +
+        "the shares are fixed.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val c = Tables.t(s, dir, "customer")
+        val n = broadcast(Tables.t(s, dir, "nation"))
+        val r = broadcast(Tables.t(s, dir, "region"))
+        val base = o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+            grouping_id().as("gid"))
+        val w = Window.partitionBy(col("gid"),
+          when(col("gid") === 0, col("r_name")).otherwise(lit("__top__")))
+        base
+          .withColumn("share",
+            round(col("cents").cast("double") / sum("cents").over(w), 4))
+          .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("gid").cast("int").as("lvl"),
+            round(col("cents") / 100.0, 2).as("revenue"), col("share"))
+          .orderBy("lvl", "region", "nation")
+      },
+      Some("""WITH base AS (SELECT r_name, n_name,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS cents,
+            CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP (r_name, n_name)),
+        sh AS (SELECT r_name, n_name, gid, cents,
+            round(CAST(cents AS DOUBLE) / sum(cents) OVER (
+              PARTITION BY gid,
+                CASE WHEN gid = 0 THEN r_name ELSE '__top__' END), 4)
+              AS share
+          FROM base)
+        SELECT coalesce(r_name, 'ALL') AS region,
+          coalesce(n_name, 'ALL') AS nation,
+          CAST(gid AS INT) AS lvl,
+          round(cents / 100.0, 2) AS revenue, share
+        FROM sh ORDER BY lvl, region, nation"""))
   )
 }

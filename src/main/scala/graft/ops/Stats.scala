@@ -3048,6 +3048,54 @@ object Stats {
           round((mn + bin * (mx - mn + 1) / 20.0) / 100.0, 2) AS bin_lo,
           count(*) AS n_rows,
           round(CAST(count(*) AS DOUBLE) / max(n), 4) AS share
-        FROM b GROUP BY bin, mn, mx, n ORDER BY bin"""))
+        FROM b GROUP BY bin, mn, mx, n ORDER BY bin""")),
+
+    Q(
+      "stats_sample_size",
+      "A/B sample-size calculator — the n-per-arm needed to detect a " +
+        "2% relative lift over the OBSERVED daily purchase-" +
+        "conversion baseline — purchase user-days over active " +
+        "user-days — at α=0.05 / 80% power (the experiment-design " +
+        "companion to stats_two_proportion_z: run it BEFORE the " +
+        "test; the minimum-detectable-effect framing is the standard " +
+        "one because the treatment rate is unknown by definition). " +
+        "The baseline comes from exact distinct-user counts in one " +
+        "pass; the closed-form (z_{α/2}+z_β)²·(p₁q₁+p₂q₂)/Δ² is a " +
+        "single float expression with the z constants as literals; " +
+        "ceil to whole users.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_type"), col("user_id"),
+            dayofmonth(col("ts")).as("d"))
+        val a = ev.agg(
+          countDistinct(struct(col("user_id"), col("d"))).as("nu"),
+          countDistinct(when(col("event_type") === "purchase",
+            struct(col("user_id"), col("d")))).as("np"))
+        val p1 = col("np").cast("double") / col("nu")
+        val p2 = p1 * lit(1.02)
+        val zsum = lit(1.959963985) + lit(0.8416212336)
+        val need = (zsum * zsum
+          * (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+          / ((p1 - p2) * (p1 - p2)))
+        a.select(round(p1, 4).as("p1"), round(p2, 4).as("p2"),
+            round(p1 - p2, 4).as("delta"),
+            ceil(need).cast("long").as("n_per_arm"))
+          .orderBy("p1")
+      },
+      Some("""WITH ev AS (SELECT event_type, user_id,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d FROM events),
+        a AS (SELECT count(DISTINCT (user_id, d)) AS nu,
+            count(DISTINCT CASE WHEN event_type = 'purchase'
+              THEN (user_id, d) END) AS np
+          FROM ev),
+        p AS (SELECT CAST(np AS DOUBLE) / nu AS p1,
+            CAST(np AS DOUBLE) / nu * 1.02 AS p2 FROM a)
+        SELECT round(p1, 4) AS p1, round(p2, 4) AS p2,
+          round(p1 - p2, 4) AS delta,
+          CAST(ceil((1.959963985 + 0.8416212336)
+            * (1.959963985 + 0.8416212336)
+            * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+            / ((p1 - p2) * (p1 - p2))) AS BIGINT) AS n_per_arm
+        FROM p ORDER BY p1"""))
   )
 }

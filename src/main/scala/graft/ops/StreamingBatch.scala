@@ -299,6 +299,47 @@ object StreamingBatch {
       Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n,
         count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS sum_val
         FROM events WHERE event_type = 'purchase'
-        GROUP BY 1 ORDER BY day"""))
+        GROUP BY 1 ORDER BY day""")),
+
+    Q(
+      "stream_dedup_batch_equiv",
+      "Batch-equivalent of bounded-state streaming dedup " +
+        "(dropDuplicatesWithinWatermark's semantics, oracle-checked " +
+        "the way the live streaming form can't be): keep the FIRST " +
+        "event per (user, type, hour) — the at-least-once-delivery " +
+        "repair every event pipeline runs — and report kept/dropped " +
+        "per type. Hour buckets by exact integer division of " +
+        "epoch-µs; first-wins by (ts, event_id) total order inside a " +
+        "key-partitioned window (state is one row per live key at " +
+        "scale, exactly what the watermark bounds in the streaming " +
+        "twin at streaming/StreamOps.scala).",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_type"), col("user_id"), col("event_id"),
+            Tables.epochUs(col("ts")).as("us"))
+          .withColumn("h", expr("us div 3600000000"))
+        val w = Window.partitionBy("user_id", "event_type", "h")
+          .orderBy("us", "event_id")
+        ev.withColumn("rk", row_number().over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("rk") === 1, 1).otherwise(0)).as("n_kept"),
+            sum(when(col("rk") > 1, 1).otherwise(0)).as("n_dropped"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, user_id, event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+            epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+          FROM events),
+        rk AS (SELECT event_type,
+            row_number() OVER (PARTITION BY user_id, event_type, h
+              ORDER BY us, event_id) AS rk
+          FROM ev)
+        SELECT event_type, count(*) AS n_events,
+          CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dropped
+        FROM rk GROUP BY event_type ORDER BY event_type"""))
   )
 }
