@@ -3096,6 +3096,62 @@ object Stats {
             * (1.959963985 + 0.8416212336)
             * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
             / ((p1 - p2) * (p1 - p2))) AS BIGINT) AS n_per_arm
-        FROM p ORDER BY p1"""))
+        FROM p ORDER BY p1""")),
+
+    Q(
+      "stats_qq",
+      "Q–Q points of purchase vs click event values — exact order-" +
+        "statistic quantiles at 5%…95% for both distributions, the " +
+        "diagnostic picture behind stats_ks_test's single number " +
+        "(WHERE the distributions diverge, not just whether). Exact " +
+        "quantiles via the bounded distinct-value spine: counts per " +
+        "distinct cent value, a cumulative window per type over " +
+        "distinct values (bounded by the value domain, never row " +
+        "count), and ceil-rank thresholds from a 19-row literal " +
+        "broadcast — the smallest value whose cumulative count " +
+        "reaches ⌈q·n/100⌉, all in integers.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+        val vc = e.groupBy("event_type", "c").agg(count(lit(1)).as("w"))
+        val cum = vc
+          .withColumn("cw", sum("w").over(
+            Window.partitionBy("event_type").orderBy("c")))
+          .withColumn("tw", sum("w").over(Window.partitionBy("event_type")))
+        val qs = e.sparkSession.range(1, 20)
+          .select((col("id") * 5).cast("int").as("q"))
+        val hit = cum.crossJoin(broadcast(qs))
+          .filter(col("cw") * 100 >= col("q") * col("tw"))
+          .groupBy("event_type", "q").agg(min("c").as("v"))
+        hit.groupBy("q")
+          .agg(
+            max(when(col("event_type") === "purchase", col("v"))).as("vp"),
+            max(when(col("event_type") === "click", col("v"))).as("vc"))
+          .select(col("q"), round(col("vp") / 100.0, 2).as("purchase_q"),
+            round(col("vc") / 100.0, 2).as("click_q"))
+          .orderBy("q")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE event_type IN ('purchase', 'click')),
+        vc AS (SELECT event_type, c, count(*) AS w FROM e GROUP BY 1, 2),
+        cum AS (SELECT event_type, c,
+            sum(w) OVER (PARTITION BY event_type ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+            sum(w) OVER (PARTITION BY event_type) AS tw
+          FROM vc),
+        qs AS (SELECT CAST(range * 5 AS INT) AS q FROM range(1, 20)),
+        hit AS (SELECT event_type, q, min(c) AS v
+          FROM cum CROSS JOIN qs
+          WHERE cw * 100 >= q * tw
+          GROUP BY 1, 2)
+        SELECT q,
+          round(max(CASE WHEN event_type = 'purchase' THEN v END)
+            / 100.0, 2) AS purchase_q,
+          round(max(CASE WHEN event_type = 'click' THEN v END)
+            / 100.0, 2) AS click_q
+        FROM hit GROUP BY q ORDER BY q"""))
   )
 }

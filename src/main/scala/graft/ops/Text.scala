@@ -1699,7 +1699,115 @@ object Text {
               / (CAST(sk AS DOUBLE) / nd) AS vmr
           FROM st CROSS JOIN nt)
         SELECT w, sk AS n_occ, round(vmr, 6) AS vmr
-        FROM sc ORDER BY vmr DESC, w LIMIT 20"""))
+        FROM sc ORDER BY vmr DESC, w LIMIT 20""")),
+
+    Q(
+      "text_lang_entropy",
+      "Language-mix entropy per source — Shannon H over each " +
+        "source's language shares (the corpus-diversity dial a " +
+        "multilingual data mix is tuned against: H=0 is monolingual, " +
+        "log2(k) is uniform). Counts are exact from one hash " +
+        "aggregation; the −Σp·log2(p) terms are fixed-shape floats " +
+        "summed through the sorted fold over ≤|langs| values.",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        val t = c.groupBy("source").agg(sum("n").as("tot"),
+          count(lit(1)).as("n_langs"))
+        val p = col("n").cast("double") / col("tot")
+        c.join(broadcast(t), "source")
+          .select(col("source"), col("n_langs"),
+            (p * log2(p) * -1.0).as("term"))
+          .groupBy("source", "n_langs")
+          .agg(graft.ops.Stats.sfold(col("term")).as("h"))
+          .select(col("source"), col("n_langs"), round(col("h"), 4)
+            .as("entropy_bits"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, lang, count(*) AS n
+          FROM documents GROUP BY 1, 2),
+        t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot,
+            count(*) AS n_langs FROM c GROUP BY 1),
+        terms AS (SELECT c.source, t.n_langs,
+            -(CAST(c.n AS DOUBLE) / t.tot)
+              * log2(CAST(c.n AS DOUBLE) / t.tot) AS term
+          FROM c JOIN t USING (source))
+        SELECT source, n_langs,
+          round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 4)
+            AS entropy_bits
+        FROM terms GROUP BY source, n_langs ORDER BY source""")),
+
+    Q(
+      "text_tfidf_pairs",
+      "Lexical near-duplicate pairs by tf-idf cosine in the RARE-" +
+        "token subspace — document pairs are candidates only if they " +
+        "share a token appearing in ≤10% of documents (rare-token " +
+        "blocking, scale-relative so the same query is meaningful at " +
+        "every SF: the classic sparse-similarity trick that turns " +
+        "all-pairs into an equi-join whose fan-out is bounded by " +
+        "df², exactly like the LSH bucket join), weights are " +
+        "tf·ln(N/df), and both the " +
+        "pair dot product and the per-doc norms fold in sorted " +
+        "order so no float summation depends on partitioning. " +
+        "Top-10 pairs by cosine. Complements dedup_embedding_cosine " +
+        "(semantic space) with the lexical-overlap space.",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val tok = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val nTot = docs.agg(count(lit(1)).as("nd"))
+        val df = tok.groupBy("w").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nTot))
+          .filter(col("df") >= 2 && col("df") * 10 <= col("nd"))
+          .select("w", "df")
+        val wt = tok.join(df, "w").crossJoin(broadcast(nTot))
+          .select(col("doc_id"), col("w"),
+            (col("tf").cast("double")
+              * log(col("nd").cast("double") / col("df"))).as("wt"))
+        val norms = wt.groupBy("doc_id")
+          .agg(sqrt(graft.ops.Stats.sfold(col("wt") * col("wt"))).as("nn"))
+        val dots = wt.as("a").join(wt.as("b"),
+            col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            (col("a.wt") * col("b.wt")).as("p"))
+          .groupBy("d1", "d2")
+          .agg(graft.ops.Stats.sfold(col("p")).as("dot"),
+            count(lit(1)).as("n_shared"))
+        dots
+          .join(norms.select(col("doc_id").as("d1"), col("nn").as("n1")), "d1")
+          .join(norms.select(col("doc_id").as("d2"), col("nn").as("n2")), "d2")
+          .select(col("d1"), col("d2"), col("n_shared"),
+            round(col("dot") / (col("n1") * col("n2")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("d1"), col("d2"))
+          .limit(10)
+      },
+      Some("""WITH tok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+          GROUP BY 1, 2),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        df AS (SELECT w, count(*) AS df FROM tok CROSS JOIN nt GROUP BY 1, nd
+          HAVING count(*) >= 2 AND count(*) * 10 <= nd),
+        wt AS (SELECT doc_id, tok.w,
+            CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / df.df) AS wt
+          FROM tok JOIN df ON tok.w = df.w CROSS JOIN nt),
+        norms AS (SELECT doc_id,
+            sqrt(list_reduce(list_sort(list(wt * wt)), (x, y) -> x + y))
+              AS nn
+          FROM wt GROUP BY 1),
+        dots AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+            list_reduce(list_sort(list(a.wt * b.wt)), (x, y) -> x + y)
+              AS dot,
+            count(*) AS n_shared
+          FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT d1, d2, n_shared,
+          round(dot / (na.nn * nb.nn), 6) AS cos
+        FROM dots
+        JOIN norms na ON na.doc_id = d1
+        JOIN norms nb ON nb.doc_id = d2
+        ORDER BY cos DESC, d1, d2 LIMIT 10"""))
   )
 
   /** Per-document unigram LM bits-per-token — (doc_id, n_tok,
