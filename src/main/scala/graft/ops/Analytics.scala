@@ -681,6 +681,59 @@ object Analytics {
           round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS revenue,
           round(CAST(sum(cents) AS DOUBLE) / max(tc), 4) AS share
         FROM d CROSS JOIN t
-        GROUP BY decile ORDER BY decile"""))
+        GROUP BY decile ORDER BY decile""")),
+
+    Q(
+      "analytics_inter_event_gaps",
+      "Inter-event gap histogram — the distribution of time between " +
+        "a user's consecutive events in decade buckets (<1 s, 1–10 s, " +
+        "10–100 s, 100–1000 s, ≥1000 s): THE diagnostic that " +
+        "justifies a session timeout (stream_session_gap's 30-minute " +
+        "gap should sit in the histogram's valley, not on a mode). " +
+        "One lag window per user on exact epoch-µs integers; bucket " +
+        "edges are integer thresholds; one hash aggregation to 5 " +
+        "rows.",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val gaps = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            Tables.epochUs(col("ts")).as("us"))
+          .withColumn("gap", col("us") - lag("us", 1).over(w))
+          .filter(col("gap").isNotNull)
+        val b = when(col("gap") < 1000000L, 0)
+          .when(col("gap") < 10000000L, 1)
+          .when(col("gap") < 100000000L, 2)
+          .when(col("gap") < 1000000000L, 3)
+          .otherwise(4)
+        val tot = gaps.agg(count(lit(1)).as("ng"))
+        gaps.select(b.as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_gaps"))
+          .crossJoin(broadcast(tot))
+          .select(col("bucket"),
+            element_at(array(lit("<1s"), lit("1-10s"), lit("10-100s"),
+              lit("100-1000s"), lit(">=1000s")), col("bucket") + 1)
+              .as("label"),
+            col("n_gaps"),
+            round(col("n_gaps").cast("double") / col("ng"), 4).as("share"))
+          .orderBy("bucket")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        g AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS gap
+          FROM ev QUALIFY gap IS NOT NULL),
+        b AS (SELECT CASE WHEN gap < 1000000 THEN 0
+            WHEN gap < 10000000 THEN 1
+            WHEN gap < 100000000 THEN 2
+            WHEN gap < 1000000000 THEN 3 ELSE 4 END AS bucket
+          FROM g),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM b)
+        SELECT bucket,
+          (['<1s', '1-10s', '10-100s', '100-1000s', '>=1000s'])[bucket + 1]
+            AS label,
+          count(*) AS n_gaps,
+          round(CAST(count(*) AS DOUBLE) / max(ng), 4) AS share
+        FROM b CROSS JOIN t
+        GROUP BY bucket ORDER BY bucket"""))
   )
 }

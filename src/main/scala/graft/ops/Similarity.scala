@@ -886,7 +886,50 @@ object Similarity {
           FROM sc)
         SELECT qid, CAST(rk AS INT) AS rk, vec_id,
           round(cos, 6) AS cos_sim
-        FROM rk WHERE rk <= 5 ORDER BY qid, rk"""))
+        FROM rk WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    Q(
+      "sim_centroid_sep",
+      "Class-separation matrix — pairwise Euclidean distance " +
+        "between label centroids (the embedding-space health check " +
+        "behind sim_nearest_centroid's confusion counts: classes " +
+        "whose centroids nearly coincide will confuse ANY nearest-" +
+        "centroid rule). Centroids reduce per (label, dim) and are " +
+        "QUANTIZED to 4 decimals before any distance math — the " +
+        "same rounding contract sim_vector_mean pins — so the " +
+        "pairwise stage works on exact fixed-point values; the " +
+        "64-term distance sums ride the sorted fold; the pair count " +
+        "is label², dimension-bounded.",
+      (s, dir) => {
+        val m = Tables.t(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), col("pos"),
+            col("col").cast("double").as("v"))
+          .groupBy("label", "pos")
+          .agg(round(sum("v") / count(lit(1)), 4).as("m"))
+        val p = m.as("a").join(m.as("b"),
+            col("a.pos") === col("b.pos")
+              && col("a.label") < col("b.label"))
+          .select(col("a.label").as("la"), col("b.label").as("lb"),
+            ((col("a.m") - col("b.m")) * (col("a.m") - col("b.m")))
+              .as("t"))
+        p.groupBy("la", "lb")
+          .agg(graft.ops.Stats.sfold(col("t")).as("d2"))
+          .select(col("la"), col("lb"), round(sqrt(col("d2")), 4).as("dist"))
+          .orderBy("la", "lb")
+      },
+      Some("""WITH x AS (SELECT label, CAST(i AS INT) - 1 AS pos,
+            CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          FROM embeddings, range(1, 65) r(i)),
+        m AS (SELECT label, pos, round(avg(v), 4) AS m
+          FROM x GROUP BY 1, 2),
+        p AS (SELECT a.label AS la, b.label AS lb,
+            (a.m - b.m) * (a.m - b.m) AS t
+          FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label)
+        SELECT la, lb,
+          round(sqrt(list_reduce(list_sort(list(t)), (x, y) -> x + y)), 4)
+            AS dist
+        FROM p GROUP BY 1, 2 ORDER BY la, lb"""))
   )
 
   /** Deterministic distance-weighted, bucket-diversified seeding (the

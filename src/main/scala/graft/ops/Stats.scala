@@ -3152,6 +3152,134 @@ object Stats {
             / 100.0, 2) AS purchase_q,
           round(max(CASE WHEN event_type = 'click' THEN v END)
             / 100.0, 2) AS click_q
-        FROM hit GROUP BY q ORDER BY q"""))
+        FROM hit GROUP BY q ORDER BY q""")),
+
+    Q(
+      "stats_mutual_info",
+      "Mutual information between event type and ISO weekday — the " +
+        "information-theoretic companion to stats_cramers_v on the " +
+        "same contingency table (bits shared between the two " +
+        "variables, plus normalized MI against the smaller marginal " +
+        "entropy). Cell and marginal counts are exact from one " +
+        "aggregation; every Σp·log₂ term is fixed-shape and summed " +
+        "through the sorted fold (≤ |types|·7 cells, ≤ max(|types|," +
+        "7) marginal terms).",
+      (s, dir) => {
+        val cells = Tables.t(s, dir, "events")
+          .select(col("event_type"), (weekday(col("ts")) + 1).as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+        val rt = cells.groupBy("event_type").agg(sum("n").as("rn"))
+        val ct = cells.groupBy("dow").agg(sum("n").as("cn"))
+        val tot = cells.agg(sum("n").as("nn"))
+        val pxy = col("n").cast("double") / col("nn")
+        val mi = cells
+          .join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+          .crossJoin(broadcast(tot))
+          .select((pxy * log2(pxy * col("nn") / col("rn") * col("nn")
+            / col("cn"))).as("term"))
+          .agg(sfold(col("term")).as("mi"))
+        def hOf(m: org.apache.spark.sql.DataFrame, cnt: String) = m
+          .crossJoin(broadcast(tot))
+          .select((col(cnt).cast("double") / col("nn")
+            * log2(col(cnt).cast("double") / col("nn")) * -1.0).as("t"))
+          .agg(sfold(col("t")).as(s"h_$cnt"))
+        mi.crossJoin(broadcast(hOf(rt, "rn"))).crossJoin(broadcast(hOf(ct, "cn")))
+          .select(round(col("mi"), 6).as("mi_bits"),
+            round(col("h_rn"), 4).as("h_type"),
+            round(col("h_cn"), 4).as("h_dow"),
+            round(col("mi") / least(col("h_rn"), col("h_cn")), 4).as("nmi"))
+          .orderBy("mi_bits")
+      },
+      Some("""WITH cells AS (SELECT event_type,
+            CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+            count(*) AS n
+          FROM events GROUP BY 1, 2),
+        rt AS (SELECT event_type, sum(n) AS rn FROM cells GROUP BY 1),
+        ct AS (SELECT dow, sum(n) AS cn FROM cells GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+        mi AS (SELECT list_reduce(list_sort(list(
+            (CAST(n AS DOUBLE) / nn)
+              * log2((CAST(n AS DOUBLE) / nn) * nn / rn * nn / cn))),
+            (a, b) -> a + b) AS mi
+          FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+            CROSS JOIN t),
+        hx AS (SELECT list_reduce(list_sort(list(
+            -(CAST(rn AS DOUBLE) / nn) * log2(CAST(rn AS DOUBLE) / nn))),
+            (a, b) -> a + b) AS h_type FROM rt CROSS JOIN t),
+        hy AS (SELECT list_reduce(list_sort(list(
+            -(CAST(cn AS DOUBLE) / nn) * log2(CAST(cn AS DOUBLE) / nn))),
+            (a, b) -> a + b) AS h_dow FROM ct CROSS JOIN t)
+        SELECT round(mi, 6) AS mi_bits, round(h_type, 4) AS h_type,
+          round(h_dow, 4) AS h_dow,
+          round(mi / least(h_type, h_dow), 4) AS nmi
+        FROM mi CROSS JOIN hx CROSS JOIN hy ORDER BY mi_bits""")),
+
+    Q(
+      "ts_mann_kendall",
+      "Mann–Kendall trend test per event type — S = Σ sign(y_j−y_i) " +
+        "over all day pairs of the daily value series, with the " +
+        "tie-corrected variance and the normal approximation z " +
+        "(the nonparametric is-there-a-trend gate that pairs with " +
+        "ts_theil_sen's how-steep answer). The pair stage is " +
+        "quadratic in SERIES LENGTH (calendar-bounded, like " +
+        "theil_sen), never row count; S and every tie count are " +
+        "exact integers; z is one float formula with the ±1.96 " +
+        "verdict thresholds on it.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        val sAgg = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type")
+              && col("a.d") < col("b.d"))
+          .groupBy(col("a.event_type").as("event_type"))
+          .agg(sum(signum(col("b.y") - col("a.y")).cast("long")).as("s"))
+        val ties = daily.groupBy("event_type", "y")
+          .agg(count(lit(1)).as("t"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("nv"), sum("t").as("n"),
+            sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tadj"))
+        val nD = col("n").cast("double")
+        val varS = (nD * (nD - 1) * (nD * 2 + 5) - col("tadj")) / 18.0
+        val z = when(col("s") > 0, (col("s") - 1) / sqrt(varS))
+          .when(col("s") < 0, (col("s") + 1) / sqrt(varS))
+          .otherwise(lit(0.0))
+        sAgg.join(ties, "event_type")
+          .select(col("event_type"), col("n").as("n_days"), col("s"),
+            round(z, 4).as("z"),
+            when(z > 1.96, lit("increasing"))
+              .when(z < -1.96, lit("decreasing"))
+              .otherwise(lit("none")).as("trend"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        sa AS (SELECT a.event_type,
+            CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d < b.d
+          GROUP BY 1),
+        ties AS (SELECT event_type, count(*) AS nv,
+            CAST(sum(t) AS BIGINT) AS n,
+            CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tadj
+          FROM (SELECT event_type, y, count(*) AS t FROM daily
+            GROUP BY 1, 2)
+          GROUP BY 1),
+        f AS (SELECT sa.event_type, n, s,
+            (CAST(n AS DOUBLE) * (n - 1) * (n * 2 + 5) - tadj) / 18.0
+              AS vars
+          FROM sa JOIN ties USING (event_type)),
+        zc AS (SELECT event_type, n, s,
+            CASE WHEN s > 0 THEN (s - 1) / sqrt(vars)
+              WHEN s < 0 THEN (s + 1) / sqrt(vars)
+              ELSE 0.0 END AS z
+          FROM f)
+        SELECT event_type, n AS n_days, s, round(z, 4) AS z,
+          CASE WHEN z > 1.96 THEN 'increasing'
+            WHEN z < -1.96 THEN 'decreasing' ELSE 'none' END AS trend
+        FROM zc ORDER BY event_type"""))
   )
 }

@@ -1807,7 +1807,49 @@ object Text {
         FROM dots
         JOIN norms na ON na.doc_id = d1
         JOIN norms nb ON nb.doc_id = d2
-        ORDER BY cos DESC, d1, d2 LIMIT 10"""))
+        ORDER BY cos DESC, d1, d2 LIMIT 10""")),
+
+    Q(
+      "sample_balanced",
+      "Class-balanced downsampling — every language keeps exactly " +
+        "min-class-size documents, chosen by deterministic hash " +
+        "order (the rebalancing step before training a classifier on " +
+        "skewed classes; sample_stratified keeps proportions, THIS " +
+        "equalizes them). The floor is a 1-row broadcast; the " +
+        "keep-set is a row_number per class over the engine-portable " +
+        "md5 race key, so the same documents win in any engine at " +
+        "any parallelism. Output: per-class before/after (after is " +
+        "constant by construction — that IS the property).",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            PortableHash.hexHash(
+              concat(lit("bal:"), col("doc_id").cast("string"))).as("hk"))
+        val m = d.groupBy("lang").agg(count(lit(1)).as("n"))
+          .agg(min("n").as("m"))
+        val w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+        d.withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(m))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_orig"),
+            sum(when(col("rk") <= col("m"), 1).otherwise(0)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+            CAST(('0x' || substring(md5('bal:' || CAST(doc_id AS VARCHAR)),
+              1, 8)) AS BIGINT) AS hk
+          FROM documents),
+        m AS (SELECT min(n) AS m FROM
+          (SELECT lang, count(*) AS n FROM d GROUP BY 1)),
+        rk AS (SELECT lang,
+            row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+              AS rk
+          FROM d)
+        SELECT lang, count(*) AS n_orig,
+          CAST(sum(CASE WHEN rk <= m THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept
+        FROM rk CROSS JOIN m
+        GROUP BY lang ORDER BY lang"""))
   )
 
   /** Per-document unigram LM bits-per-token — (doc_id, n_tok,
