@@ -817,7 +817,99 @@ object Graph {
         FROM sc
         JOIN deg du ON du.node = u
         JOIN deg dv ON dv.node = v
-        ORDER BY adamic_adar DESC, u, v LIMIT 30"""))
+        ORDER BY adamic_adar DESC, u, v LIMIT 30""")),
+
+    Q(
+      "graph_conductance",
+      "Conductance of a node partition over the trade graph — cut " +
+        "weight over the smaller side's volume, \u03c6(C) = cut(C)/" +
+        "min(vol(C), 2W\u2212vol(C)) per community: the is-this-a-real-" +
+        "cluster score that penalizes exactly what modularity can " +
+        "miss (a 'community' leaking most of its weight outward). " +
+        "The partition under test is the region hierarchy (the " +
+        "ground-truth candidate clustering; the same dataflow scores " +
+        "ANY labeling, including graph_label_prop's, which collapses " +
+        "to one community on this fixture). Communities tag both " +
+        "endpoints via broadcast dimension joins; cut and volume are " +
+        "BIGINT edge-weight sums; \u03c6 divides exact integers once.",
+      (s, dir) => {
+        val lab = broadcast(Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("id"),
+            col("n_regionkey").cast("long").as("lbl")))
+        val e = tradeEdges(s, dir)
+          .select(col("src"), col("dst"), col("w").cast("long").as("wl"))
+        val ls = lab.select(col("id").as("src"), col("lbl").as("slbl"))
+        val ld = lab.select(col("id").as("dst"), col("lbl").as("dlbl"))
+        val tagged = e.join(broadcast(ls), "src").join(broadcast(ld), "dst")
+          .localCheckpoint(true)
+        val outCut = tagged.filter(col("slbl") =!= col("dlbl"))
+          .groupBy(col("slbl").as("community")).agg(sum("wl").as("oc"))
+        val inCut = tagged.filter(col("slbl") =!= col("dlbl"))
+          .groupBy(col("dlbl").as("community")).agg(sum("wl").as("ic"))
+        val outW = tagged.groupBy(col("slbl").as("community"))
+          .agg(sum("wl").as("w_out"))
+        val inW = tagged.groupBy(col("dlbl").as("community"))
+          .agg(sum("wl").as("w_in"))
+        val nn = lab.groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_nodes"))
+        val tot = tagged.agg(sum("wl").as("tw"))
+        val cut = coalesce(col("oc"), lit(0L)) + coalesce(col("ic"), lit(0L))
+        val vol = coalesce(col("w_out"), lit(0L))
+          .plus(coalesce(col("w_in"), lit(0L)))
+        val minVol = least(vol, col("tw") * 2 - vol)
+        nn.join(outCut, Seq("community"), "left")
+          .join(inCut, Seq("community"), "left")
+          .join(outW, Seq("community"), "left")
+          .join(inW, Seq("community"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("community"), col("n_nodes"), cut.as("cut_w"),
+            vol.as("vol_w"),
+            when(minVol > 0,
+              round(cut.cast("double") / minVol, 6)).otherwise(lit(0.0))
+              .as("conductance"))
+          .orderBy("community")
+      },
+      Some("""WITH e AS MATERIALIZED (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+              CAST(s.s_nationkey AS BIGINT) AS dst,
+              CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+          lab AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+              CAST(n_regionkey AS BIGINT) AS lbl FROM nation),
+          tagged AS MATERIALIZED (SELECT e.w, ls.lbl AS slbl, ld.lbl AS dlbl
+            FROM e JOIN lab ls ON ls.id = e.src
+            JOIN lab ld ON ld.id = e.dst),
+          ocut AS (SELECT slbl AS community, CAST(sum(w) AS BIGINT) AS oc
+            FROM tagged WHERE slbl <> dlbl GROUP BY 1),
+          icut AS (SELECT dlbl AS community, CAST(sum(w) AS BIGINT) AS ic
+            FROM tagged WHERE slbl <> dlbl GROUP BY 1),
+          ow AS (SELECT slbl AS community, CAST(sum(w) AS BIGINT) AS w_out
+            FROM tagged GROUP BY 1),
+          iw AS (SELECT dlbl AS community, CAST(sum(w) AS BIGINT) AS w_in
+            FROM tagged GROUP BY 1),
+          nn AS (SELECT lbl AS community, count(*) AS n_nodes
+            FROM lab GROUP BY 1),
+          tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM tagged),
+          f AS (SELECT nn.community, nn.n_nodes,
+              coalesce(ocut.oc, 0) + coalesce(icut.ic, 0) AS cut_w,
+              coalesce(ow.w_out, 0) + coalesce(iw.w_in, 0) AS vol_w, tw
+            FROM nn
+            LEFT JOIN ocut ON ocut.community = nn.community
+            LEFT JOIN icut ON icut.community = nn.community
+            LEFT JOIN ow ON ow.community = nn.community
+            LEFT JOIN iw ON iw.community = nn.community
+            CROSS JOIN tot)
+          SELECT community, n_nodes, CAST(cut_w AS BIGINT) AS cut_w,
+            CAST(vol_w AS BIGINT) AS vol_w,
+            CASE WHEN least(vol_w, tw * 2 - vol_w) > 0
+              THEN round(CAST(cut_w AS DOUBLE)
+                / least(vol_w, tw * 2 - vol_w), 6)
+              ELSE 0.0 END AS conductance
+          FROM f ORDER BY community"""))
   )
 
   /** The HITS iteration unrolled as generated CTEs (list_sort +

@@ -3280,6 +3280,133 @@ object Stats {
         SELECT event_type, n AS n_days, s, round(z, 4) AS z,
           CASE WHEN z > 1.96 THEN 'increasing'
             WHEN z < -1.96 THEN 'decreasing' ELSE 'none' END AS trend
-        FROM zc ORDER BY event_type"""))
+        FROM zc ORDER BY event_type""")),
+
+    Q(
+      "ts_control_chart",
+      "Western-Electric control chart per event type — the four " +
+        "classic SPC rules over the daily value series against the " +
+        "in-control mean ± kσ zones (the alerting grammar between " +
+        "single-point z-scores and full changepoint detection): " +
+        "R1 a point beyond 3σ; R2 two of three consecutive beyond " +
+        "2σ same side; R3 four of five beyond 1σ same side; R4 " +
+        "eight consecutive on one side of the mean. Mean and σ come " +
+        "from exact integer power sums; each zone flag is one fixed-" +
+        "shape float comparison, and the rules are integer counts " +
+        "over small ROWS frames in type-partitioned windows. " +
+        "Emits the full chart — every day with its four rule flags " +
+        "(the fixture is statistically in control, so all-false " +
+        "flags ARE the finding; a violation day lights up its rule).",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        val st = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("y").as("sx"),
+            sum(col("y").cast("decimal(38,0)") * col("y")).as("sxx"))
+          .select(col("event_type"),
+            (col("sx").cast("double") / col("n")).as("mu"),
+            sqrt((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx") / col("n"))
+              / col("n")).as("sig"))
+        val z = daily.join(broadcast(st), "event_type")
+          .withColumn("up1", (col("y") > col("mu") + col("sig")).cast("int"))
+          .withColumn("dn1", (col("y") < col("mu") - col("sig")).cast("int"))
+          .withColumn("up2", (col("y") > col("mu") + col("sig") * 2).cast("int"))
+          .withColumn("dn2", (col("y") < col("mu") - col("sig") * 2).cast("int"))
+          .withColumn("up0", (col("y") > col("mu")).cast("int"))
+          .withColumn("dn0", (col("y") < col("mu")).cast("int"))
+        val ord = Window.partitionBy("event_type").orderBy("d")
+        def last(c: String, k: Int) =
+          sum(c).over(ord.rowsBetween(-(k - 1), Window.currentRow))
+        val flagged = z
+          .withColumn("r1", col("y") > col("mu") + col("sig") * 3
+            || col("y") < col("mu") - col("sig") * 3)
+          .withColumn("r2", last("up2", 3) >= 2 || last("dn2", 3) >= 2)
+          .withColumn("r3", last("up1", 5) >= 4 || last("dn1", 5) >= 4)
+          .withColumn("r4", last("up0", 8) >= 8 || last("dn0", 8) >= 8)
+        flagged
+          .select(col("event_type"), col("d").as("day"),
+            round(col("y") / 100.0, 2).as("y"),
+            col("r1"), col("r2"), col("r3"), col("r4"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        st AS (SELECT event_type,
+            CAST(sum(y) AS DOUBLE) / count(*) AS mu,
+            sqrt((CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)
+              - CAST(sum(y) AS DOUBLE) * sum(y) / count(*))
+              / count(*)) AS sig
+          FROM daily GROUP BY 1),
+        z AS (SELECT daily.event_type, d, y, mu, sig,
+            CASE WHEN y > mu + sig THEN 1 ELSE 0 END AS up1,
+            CASE WHEN y < mu - sig THEN 1 ELSE 0 END AS dn1,
+            CASE WHEN y > mu + sig * 2 THEN 1 ELSE 0 END AS up2,
+            CASE WHEN y < mu - sig * 2 THEN 1 ELSE 0 END AS dn2,
+            CASE WHEN y > mu THEN 1 ELSE 0 END AS up0,
+            CASE WHEN y < mu THEN 1 ELSE 0 END AS dn0
+          FROM daily JOIN st USING (event_type)),
+        fl AS (SELECT event_type, d, y,
+            y > mu + sig * 3 OR y < mu - sig * 3 AS r1,
+            sum(up2) OVER w3 >= 2 OR sum(dn2) OVER w3 >= 2 AS r2,
+            sum(up1) OVER w5 >= 4 OR sum(dn1) OVER w5 >= 4 AS r3,
+            sum(up0) OVER w8 >= 8 OR sum(dn0) OVER w8 >= 8 AS r4
+          FROM z
+          WINDOW w3 AS (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+            w5 AS (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+            w8 AS (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        SELECT event_type, d AS day, round(y / 100.0, 2) AS y,
+          r1, r2, r3, r4
+        FROM fl ORDER BY event_type, day""")),
+
+    Q(
+      "stats_wilson_ci",
+      "Wilson score intervals for each event type's traffic share — " +
+        "the binomial CI that stays honest near 0 and 1 where the " +
+        "naive ±z√(pq/n) collapses (the per-variant readout behind " +
+        "stats_two_proportion_z's comparison). Counts are exact from " +
+        "one aggregation; the Wilson bounds are fixed-shape float " +
+        "formulas with z=1.96 as a literal, evaluated once per type.",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "events")
+          .groupBy("event_type").agg(count(lit(1)).as("x"))
+        val t = c.agg(sum("x").as("n"))
+        val zc = lit(1.959963985)
+        val p = col("x").cast("double") / col("n")
+        val nD = col("n").cast("double")
+        val denom = lit(1.0) + zc * zc / nD
+        val center = p + zc * zc / (nD * 2)
+        val spread = zc * sqrt(p * (lit(1.0) - p) / nD
+          + zc * zc / (nD * nD * 4))
+        c.crossJoin(broadcast(t))
+          .select(col("event_type"), col("x"), col("n"),
+            round(p, 4).as("share"),
+            round((center - spread) / denom, 4).as("wilson_lo"),
+            round((center + spread) / denom, 4).as("wilson_hi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, count(*) AS x
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(x) AS BIGINT) AS n FROM c),
+        f AS (SELECT event_type, x, n,
+            CAST(x AS DOUBLE) / n AS p, CAST(n AS DOUBLE) AS nd
+          FROM c CROSS JOIN t)
+        SELECT event_type, x, n, round(p, 4) AS share,
+          round((p + 1.959963985 * 1.959963985 / (nd * 2)
+            - 1.959963985 * sqrt(p * (1.0 - p) / nd
+              + 1.959963985 * 1.959963985 / (nd * nd * 4)))
+            / (1.0 + 1.959963985 * 1.959963985 / nd), 4) AS wilson_lo,
+          round((p + 1.959963985 * 1.959963985 / (nd * 2)
+            + 1.959963985 * sqrt(p * (1.0 - p) / nd
+              + 1.959963985 * 1.959963985 / (nd * nd * 4)))
+            / (1.0 + 1.959963985 * 1.959963985 / nd), 4) AS wilson_hi
+        FROM f ORDER BY event_type"""))
   )
 }
