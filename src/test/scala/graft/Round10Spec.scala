@@ -179,4 +179,146 @@ class Round10Spec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Double]("max_drawdown") >= 0.0))
   }
+
+  test("sketch_bloom admits every member (no false negatives) and sets <= 3m bits") {
+    val r = run("sketch_bloom").head()
+    assert(r.getAs[Long]("n_positive") >= r.getAs[Long]("n_members"),
+      "a Bloom filter can never reject a member")
+    assert(r.getAs[Long]("n_bits_set") <= 3L * r.getAs[Long]("n_members"))
+    assert(r.getAs[Double]("fp_rate") >= 0.0 && r.getAs[Double]("fp_rate") < 1.0)
+  }
+
+  test("profile_histogram conserves rows and shares") {
+    val rows = run("profile_histogram").collect()
+    val n = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == n)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-2)
+  }
+
+  test("stream_dedup_batch_equiv conserves events; kept = distinct live keys") {
+    val rows = run("stream_dedup_batch_equiv").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped")
+        == r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_kept") >= 1)
+    }
+  }
+
+  test("sql_rollup_share: nation shares sum to 1 within each region; levels consistent") {
+    val rows = run("sql_rollup_share").collect()
+    val nation = rows.filter(_.getAs[Int]("lvl") == 0)
+    nation.groupBy(_.getAs[String]("region")).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("share")).sum - 1.0) < 1e-2)
+    }
+    val grand = rows.filter(_.getAs[Int]("lvl") == 3)
+    assert(grand.length == 1 && grand.head.getAs[Double]("share") == 1.0)
+  }
+
+  test("pipeline_pad_waste: length-sorted batching strictly beats hash order") {
+    val rows = run("pipeline_pad_waste").collect()
+      .map(r => (r.getAs[String]("strategy"), r.getAs[Int]("bsz"),
+        r.getAs[Double]("pad_ratio"))).toSeq
+    for (b <- Seq(16, 64)) {
+      val s0 = rows.find(r => r._1 == "sorted" && r._2 == b).get._3
+      val h0 = rows.find(r => r._1 == "hashed" && r._2 == b).get._3
+      assert(s0 < h0, s"sorted $s0 must waste less than hashed $h0 at B=$b")
+    }
+  }
+
+  test("stats_qq quantiles are monotone in q for both distributions") {
+    val rows = run("stats_qq").collect().sortBy(_.getAs[Int]("q"))
+    val p = rows.map(_.getAs[Double]("purchase_q"))
+    val c = rows.map(_.getAs[Double]("click_q"))
+    assert(p.zip(p.tail).forall { case (a, b) => a <= b })
+    assert(c.zip(c.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("stats_mutual_info: 0 <= MI <= min marginal entropy; NMI in [0,1]") {
+    val r = run("stats_mutual_info").head()
+    val (mi, hx, hy) = (r.getAs[Double]("mi_bits"),
+      r.getAs[Double]("h_type"), r.getAs[Double]("h_dow"))
+    assert(mi >= -1e-9 && mi <= math.min(hx, hy) + 1e-6)
+    val nmi = r.getAs[Double]("nmi")
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9)
+  }
+
+  test("ts_mann_kendall: |S| bounded by the pair count") {
+    run("ts_mann_kendall").collect().foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      assert(math.abs(r.getAs[Long]("s")) <= n * (n - 1) / 2)
+    }
+  }
+
+  test("sample_balanced equalizes every class at the min class size") {
+    val rows = run("sample_balanced").collect()
+    val kept = rows.map(_.getAs[Long]("n_kept")).distinct
+    assert(kept.length == 1, s"kept sizes must be identical: ${kept.mkString(",")}")
+    assert(kept.head == rows.map(_.getAs[Long]("n_orig")).min)
+  }
+
+  test("analytics_inter_event_gaps shares sum to 1; gaps conserve events minus users") {
+    val rows = run("analytics_inter_event_gaps").collect()
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-2)
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val expected = events.count() -
+      events.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == expected)
+  }
+
+  test("sim_centroid_sep: full upper-triangle matrix of non-negative distances") {
+    val rows = run("sim_centroid_sep").collect()
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("label").distinct().count()
+    assert(rows.length == labels * (labels - 1) / 2)
+    rows.foreach(r => assert(r.getAs[Double]("dist") >= 0.0))
+  }
+
+  test("graph_conductance: cut never exceeds volume; phi non-negative") {
+    run("graph_conductance").collect().foreach { r =>
+      assert(r.getAs[Long]("cut_w") <= r.getAs[Long]("vol_w"))
+      assert(r.getAs[Double]("conductance") >= 0.0)
+    }
+  }
+
+  test("stats_wilson_ci brackets the observed share inside [0,1]") {
+    run("stats_wilson_ci").collect().foreach { r =>
+      val (p, lo, hi) = (r.getAs[Double]("share"),
+        r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+      assert(lo <= p && p <= hi)
+      assert(lo >= 0.0 && hi <= 1.0)
+    }
+  }
+
+  test("ts_control_chart emits the full chart with boolean rule flags") {
+    val rows = run("ts_control_chart").collect()
+    val nDays = SparkEntry.queries("ts_hourly_profile")(spark, sfDir)
+    assert(rows.nonEmpty)
+    // R1 (beyond 3 sigma) implies R2's 2-sigma zone count is also breached
+    // eventually — weaker sanity: flags are well-typed and day-sorted per type
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val days = rs.map(_.getAs[Int]("day"))
+      assert(days.sameElements(days.sorted))
+    }
+  }
+
+  test("stats_sample_size demands more samples than the corpus can give at 2% MDE") {
+    val r = run("stats_sample_size").head()
+    assert(r.getAs[Long]("n_per_arm") > 0)
+    assert(r.getAs[Double]("p2") > r.getAs[Double]("p1"))
+  }
+
+  test("text_tfidf_pairs cosines are in (0, 1] and sorted") {
+    val cos = run("text_tfidf_pairs").collect().map(_.getAs[Double]("cos"))
+    assert(cos.nonEmpty)
+    assert(cos.forall(c => c > 0.0 && c <= 1.0 + 1e-9))
+    assert(cos.sameElements(cos.sorted.reverse))
+  }
+
+  test("text_lang_entropy bounded by log2 of language count") {
+    run("text_lang_entropy").collect().foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val k = r.getAs[Long]("n_langs")
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-6)
+    }
+  }
 }
