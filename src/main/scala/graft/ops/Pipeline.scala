@@ -1010,6 +1010,61 @@ object Pipeline {
             round(CAST(sum(mx * n - sl) AS DOUBLE) / sum(sl), 4)
           FROM bh GROUP BY 1, 2)
         SELECT * FROM ws UNION ALL SELECT * FROM wh
-        ORDER BY strategy, bsz"""))
+        ORDER BY strategy, bsz""")),
+
+    Q(
+      "pipeline_interleave",
+      "Deterministic source interleaving — documents take global " +
+        "training-stream positions source-round-robin (position = " +
+        "within-source rank × |sources| + source index), so no " +
+        "source ever clumps: any window of |sources| consecutive " +
+        "positions sees every source at most once while sources " +
+        "last. The anti-clumping guarantee a hash shuffle " +
+        "(pipeline_corpus_shuffle) gives only in expectation, made " +
+        "exact — the curriculum-mixing primitive. Within-source " +
+        "ranks ride per-source windows (each source is its own " +
+        "partition); the source index is a dimension-sized " +
+        "broadcast; the audit output is per-source position " +
+        "statistics (first slot, mean stride = |sources| exactly).",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        // source index WITHOUT an unpartitioned window: the distinct
+        // source set is dimension-sized, so one sorted-array fold +
+        // posexplode assigns ordinals (the bucketPrefixOffsets idiom)
+        val srcIdx = d.select(col("source")).distinct()
+          .agg(sort_array(collect_list("source")).as("arr"))
+          .select(posexplode(col("arr")))
+          .select(col("pos").cast("long").as("sidx"),
+            col("col").as("source"))
+        val nSrc = srcIdx.agg(count(lit(1)).as("ns"))
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        val pos = d.withColumn("rk", row_number().over(w) - 1)
+          .join(broadcast(srcIdx), "source")
+          .crossJoin(broadcast(nSrc))
+          .select(col("source"),
+            (col("rk") * col("ns") + col("sidx")).as("gpos"))
+        pos.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), min("gpos").as("first_slot"),
+            max("gpos").as("last_slot"),
+            ((max("gpos") - min("gpos"))
+              / (count(lit(1)) - 1)).cast("long").as("stride"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source FROM documents),
+        si AS (SELECT source,
+            row_number() OVER (ORDER BY source) - 1 AS sidx
+          FROM (SELECT DISTINCT source FROM d)),
+        ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM si),
+        pos AS (SELECT d.source,
+            (row_number() OVER (PARTITION BY d.source ORDER BY doc_id)
+              - 1) * ns + sidx AS gpos
+          FROM d JOIN si USING (source) CROSS JOIN ns)
+        SELECT source, count(*) AS n_docs,
+          CAST(min(gpos) AS BIGINT) AS first_slot,
+          CAST(max(gpos) AS BIGINT) AS last_slot,
+          CAST((max(gpos) - min(gpos)) / (count(*) - 1) AS BIGINT)
+            AS stride
+        FROM pos GROUP BY source ORDER BY source"""))
   )
 }

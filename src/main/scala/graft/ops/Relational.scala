@@ -1070,6 +1070,30 @@ object Relational {
         SELECT l_returnflag,
           '{' || string_agg('"' || l_linestatus || '":' || CAST(n AS VARCHAR),
             ',' ORDER BY l_linestatus) || '}' AS status_counts
-        FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q(
+      "agg_count_if",
+      "Predicate aggregates — count_if / every / some in one grouped " +
+        "pass (the SQL-standard FILTER sugar's function-form cousins; " +
+        "agg_filtered pins FILTER itself, agg_bool_bitwise the " +
+        "bit-typed forms). All map-side-combinable boolean/count " +
+        "buffers; nothing but the predicate evaluation touches the " +
+        "rows.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        li.groupBy("l_returnflag")
+          .agg(expr("count_if(l_discount > 0.05)").as("n_discounted"),
+            expr("every(l_quantity >= 1)").as("all_positive_qty"),
+            expr("some(l_tax > 0.07)").as("any_high_tax"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+          bool_and(l_quantity >= 1) AS all_positive_qty,
+          bool_or(l_tax > 0.07) AS any_high_tax,
+          count(*) AS n
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

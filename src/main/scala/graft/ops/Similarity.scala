@@ -929,7 +929,42 @@ object Similarity {
         SELECT la, lb,
           round(sqrt(list_reduce(list_sort(list(t)), (x, y) -> x + y)), 4)
             AS dist
-        FROM p GROUP BY 1, 2 ORDER BY la, lb"""))
+        FROM p GROUP BY 1, 2 ORDER BY la, lb""")),
+
+    Q(
+      "sim_range_count",
+      "Radius (range) search — for each of ten query vectors, how " +
+        "many corpus neighbors sit at cosine ≥ 0.8 (the density " +
+        "probe behind radius-based dedup thresholds and ANN recall " +
+        "targets; top-k asks 'who', range asks 'how crowded'). Same " +
+        "broadcast-query-block + codegen'd VecDot scan as " +
+        "sim_query_batch, but the reduction is a COUNT per query — " +
+        "no window at all, one hash aggregation, so the whole " +
+        "answer is scan + tiny shuffle at any scale. Cosine " +
+        "compares are the identical double formula in both engines.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"),
+            VectorOps.cosine(col("embedding"), col("qe")).as("cos"))
+          .groupBy("qid")
+          .agg(count(lit(1)).as("n_scored"),
+            sum(when(col("cos") >= 0.8, 1).otherwise(0)).as("n_within"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+          FROM embeddings WHERE vec_id < 10),
+        sc AS (SELECT q.qid,
+            ${VectorOps.duckCosine("e.embedding", "q.qe")} AS cos
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.qid)
+        SELECT qid, count(*) AS n_scored,
+          CAST(sum(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_within
+        FROM sc GROUP BY qid ORDER BY qid"""))
   )
 
   /** Deterministic distance-weighted, bucket-diversified seeding (the

@@ -3407,6 +3407,70 @@ object Stats {
             + 1.959963985 * sqrt(p * (1.0 - p) / nd
               + 1.959963985 * 1.959963985 / (nd * nd * 4)))
             / (1.0 + 1.959963985 * 1.959963985 / nd), 4) AS wilson_hi
-        FROM f ORDER BY event_type"""))
+        FROM f ORDER BY event_type""")),
+
+    Q(
+      "stats_pairwise_welch",
+      "All-pairs Welch tests with Bonferroni control — every pair of " +
+        "event types compared on mean value, flagged at the raw " +
+        "z≈1.96 threshold AND at the Bonferroni-adjusted 2.807 " +
+        "(α=0.05 over 10 comparisons) — the multiple-comparisons " +
+        "discipline stats_welch_t alone doesn't give (run 10 tests " +
+        "at raw α and ~40% of null batches flag something). Group " +
+        "moments are exact cent power sums reduced once; the pair " +
+        "stage is a broadcast self-join over |types| rows; t and " +
+        "the Welch–Satterthwaite df are fixed-shape floats per pair.",
+      (s, dir) => {
+        val g = Tables.t(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("sx"),
+            sum(col("c").cast("decimal(38,0)") * col("c")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            (col("sx").cast("double") / col("n")).as("m"),
+            ((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx") / col("n"))
+              / (col("n") - 1)).as("v"))
+        val p = g.as("a").join(broadcast(g.as("b")),
+          col("a.event_type") < col("b.event_type"))
+        val se2 = col("a.v") / col("a.n") + col("b.v") / col("b.n")
+        val t = (col("a.m") - col("b.m")) / sqrt(se2)
+        val df = se2 * se2 /
+          ((col("a.v") / col("a.n")) * (col("a.v") / col("a.n"))
+            / (col("a.n") - 1)
+            + (col("b.v") / col("b.n")) * (col("b.v") / col("b.n"))
+            / (col("b.n") - 1))
+        p.select(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"),
+            round((col("a.m") - col("b.m")) / 100.0, 2).as("mean_diff"),
+            round(t, 4).as("t"), round(df, 1).as("df"),
+            (abs(t) > 1.959963985).as("sig_raw"),
+            (abs(t) > 2.807033768).as("sig_bonferroni"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH g AS (SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+            CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+              * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sxx
+          FROM events GROUP BY 1),
+        m AS (SELECT event_type, n,
+            CAST(sx AS DOUBLE) / n AS m,
+            (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+              AS v
+          FROM g),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+            a.m AS ma, b.m AS mb,
+            a.v / a.n + b.v / b.n AS se2,
+            (a.v / a.n) * (a.v / a.n) / (a.n - 1)
+              + (b.v / b.n) * (b.v / b.n) / (b.n - 1) AS dfden
+          FROM m a JOIN m b ON a.event_type < b.event_type)
+        SELECT type_a, type_b,
+          round((ma - mb) / 100.0, 2) AS mean_diff,
+          round((ma - mb) / sqrt(se2), 4) AS t,
+          round(se2 * se2 / dfden, 1) AS df,
+          abs((ma - mb) / sqrt(se2)) > 1.959963985 AS sig_raw,
+          abs((ma - mb) / sqrt(se2)) > 2.807033768 AS sig_bonferroni
+        FROM p ORDER BY type_a, type_b"""))
   )
 }
