@@ -3471,6 +3471,130 @@ object Stats {
           round(se2 * se2 / dfden, 1) AS df,
           abs((ma - mb) / sqrt(se2)) > 1.959963985 AS sig_raw,
           abs((ma - mb) / sqrt(se2)) > 2.807033768 AS sig_bonferroni
-        FROM p ORDER BY type_a, type_b"""))
+        FROM p ORDER BY type_a, type_b""")),
+
+    Q(
+      "ts_missing_hours",
+      "Ingestion-outage detection in the TIME domain — for each " +
+        "event type, the expected hour grid (min→max epoch hour, " +
+        "generated with sequence(), never materialized from data) " +
+        "anti-joined against observed hours: count of silent hours " +
+        "and the LONGEST contiguous outage (islands over the missing " +
+        "set in a type-partitioned, calendar-bounded window). The " +
+        "time-domain twin of profile_sequence_gaps' key-domain " +
+        "audit; hour arithmetic is exact integer epoch-µs division.",
+      (s, dir) => {
+        val obs = Tables.t(s, dir, "events")
+          .select(col("event_type"), Tables.epochUs(col("ts")).as("us"))
+          .select(col("event_type"), expr("us div 3600000000").as("h"))
+          .distinct()
+        val span = obs.groupBy("event_type")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+        val grid = span.select(col("event_type"), col("h0"), col("h1"),
+            explode(sequence(col("h0"), col("h1"))).as("h"))
+        val missing = grid.join(obs, Seq("event_type", "h"), "left_anti")
+        val w = Window.partitionBy("event_type").orderBy("h")
+        val runs = missing
+          .withColumn("grp", col("h") - row_number().over(w))
+          .groupBy("event_type", "grp").agg(count(lit(1)).as("len"))
+        val stats = span
+          .select(col("event_type"), (col("h1") - col("h0") + 1).as("n_expected"))
+          .join(obs.groupBy("event_type").agg(count(lit(1)).as("n_present")),
+            "event_type")
+          .join(runs.groupBy("event_type")
+            .agg(count(lit(1)).as("n_outages"), max("len").as("longest_outage")),
+            Seq("event_type"), "left")
+        stats.select(col("event_type"), col("n_expected"), col("n_present"),
+            (col("n_expected") - col("n_present")).as("n_missing"),
+            coalesce(col("n_outages"), lit(0L)).as("n_outages"),
+            coalesce(col("longest_outage"), lit(0L)).as("longest_outage"))
+          .orderBy("event_type")
+      },
+      Some("""WITH obs AS (SELECT DISTINCT event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+          FROM events),
+        span AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+          FROM obs GROUP BY 1),
+        grid AS (SELECT event_type,
+            unnest(range(h0, h1 + 1)) AS h
+          FROM span),
+        miss AS (SELECT g.event_type, g.h
+          FROM grid g LEFT JOIN obs ON obs.event_type = g.event_type
+            AND obs.h = g.h
+          WHERE obs.h IS NULL),
+        runs0 AS (SELECT event_type,
+            h - row_number() OVER (PARTITION BY event_type ORDER BY h)
+              AS grp
+          FROM miss),
+        runs AS (SELECT event_type, grp, count(*) AS len
+          FROM runs0 GROUP BY 1, 2),
+        rl AS (SELECT event_type, count(*) AS n_outages,
+            max(len) AS longest_outage
+          FROM runs GROUP BY 1),
+        np AS (SELECT event_type, count(*) AS n_present FROM obs GROUP BY 1)
+        SELECT span.event_type,
+          CAST(h1 - h0 + 1 AS BIGINT) AS n_expected,
+          np.n_present,
+          CAST(h1 - h0 + 1 - np.n_present AS BIGINT) AS n_missing,
+          CAST(coalesce(rl.n_outages, 0) AS BIGINT) AS n_outages,
+          CAST(coalesce(rl.longest_outage, 0) AS BIGINT) AS longest_outage
+        FROM span
+        JOIN np USING (event_type)
+        LEFT JOIN rl USING (event_type)
+        ORDER BY event_type""")),
+
+    Q(
+      "profile_sort_locality",
+      "Physical-layout diagnostic — Spearman rank correlation " +
+        "between a table's storage order (o_orderkey) and a query " +
+        "column (o_orderdate): near 1.0 means date predicates prune " +
+        "row groups via zone maps for free; near 0 means " +
+        "etl_zorder_layout-style re-clustering pays for itself. Both " +
+        "global ranks come from Skew.globalRank (range repartition + " +
+        "broadcast offsets — NO single-task window anywhere); the " +
+        "correlation reduces six exact integer power sums, evaluated " +
+        "once. Ranks are tie-free by keyed tie-breaks, so Spearman " +
+        "needs no tie correction.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderdate").as("dt"))
+        val r1 = Skew.globalRank(o, Seq(col("k")), rankCol = "r1")
+        val r2 = Skew.globalRank(o, Seq(col("dt"), col("k")), rankCol = "r2")
+        val j = r1.select("k", "r1").join(r2.select("k", "r2"), "k")
+        val n = col("n").cast("double")
+        val num = n * col("s12") - col("s1").cast("double") * col("s2")
+        val den = sqrt(n * col("s11") - col("s1").cast("double") * col("s1"))
+          .multiply(sqrt(n * col("s22") - col("s2").cast("double") * col("s2")))
+        j.agg(count(lit(1)).as("n"),
+            sum("r1").as("s1"), sum("r2").as("s2"),
+            sum(col("r1").cast("decimal(38,0)") * col("r1")).as("s11"),
+            sum(col("r2").cast("decimal(38,0)") * col("r2")).as("s22"),
+            sum(col("r1").cast("decimal(38,0)") * col("r2")).as("s12"))
+          .select(col("n").cast("long").as("n_rows"),
+            round(num / den, 4).as("sort_locality"),
+            (num / den > 0.8).as("zone_map_friendly"))
+          .orderBy("n_rows")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_orderdate AS dt
+          FROM orders),
+        r AS (SELECT k,
+            CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS r1,
+            CAST(row_number() OVER (ORDER BY dt, k) AS BIGINT) AS r2
+          FROM o),
+        ps AS (SELECT count(*) AS n, sum(r1) AS s1, sum(r2) AS s2,
+            sum(CAST(r1 AS HUGEINT) * r1) AS s11,
+            sum(CAST(r2 AS HUGEINT) * r2) AS s22,
+            sum(CAST(r1 AS HUGEINT) * r2) AS s12
+          FROM r)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+          round((CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2)
+            / (sqrt(CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)
+               * sqrt(CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2)),
+            4) AS sort_locality,
+          (CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2)
+            / (sqrt(CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)
+               * sqrt(CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2))
+            > 0.8 AS zone_map_friendly
+        FROM ps ORDER BY n_rows"""))
   )
 }

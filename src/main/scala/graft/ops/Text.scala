@@ -1849,7 +1849,50 @@ object Text {
           CAST(sum(CASE WHEN rk <= m THEN 1 ELSE 0 END) AS BIGINT)
             AS n_kept
         FROM rk CROSS JOIN m
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    Q(
+      "text_topk_coverage",
+      "Vocabulary concentration — the share of total token mass " +
+        "covered by the top-10/25/50 tokens (the tokenizer-sizing " +
+        "curve between text_zipf_fit's exponent and text_heaps_law's " +
+        "growth: how small a vocab still covers the stream). The " +
+        "top-50 head comes from TakeOrderedAndProject (never a " +
+        "global sort of the vocabulary); its cumulative masses fold " +
+        "over one bounded sorted array; the total mass is a 1-row " +
+        "broadcast. All integer counts until the three final shares.",
+      (s, dir) => {
+        val cnt = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = cnt.agg(sum("c").as("tc"))
+        val top = cnt.orderBy(col("c").desc, col("w")).limit(50)
+          .agg(sort_array(collect_list(struct(
+            (col("c") * -1).as("nc"), col("w"))))
+            .as("arr"))
+        def mass(k: Int): Column =
+          expr(s"aggregate(slice(arr, 1, $k), CAST(0 AS BIGINT), " +
+            "(acc, x) -> acc - x.nc)")
+        top.crossJoin(broadcast(tot))
+          .select(explode(array(
+            struct(lit(10).as("k"), (mass(10).cast("double") / col("tc")).as("cov")),
+            struct(lit(25).as("k"), (mass(25).cast("double") / col("tc")).as("cov")),
+            struct(lit(50).as("k"), (mass(50).cast("double") / col("tc")).as("cov"))))
+            .as("s"))
+          .select(col("s.k").as("k"), round(col("s.cov"), 6).as("coverage"))
+          .orderBy("k")
+      },
+      Some("""WITH cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM cnt),
+        top AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk
+          FROM cnt ORDER BY c DESC, w LIMIT 50),
+        ks AS (SELECT unnest([10, 25, 50]) AS k)
+        SELECT CAST(k AS INT) AS k,
+          round(CAST((SELECT sum(c) FROM top WHERE rk <= k) AS DOUBLE)
+            / tc, 6) AS coverage
+        FROM ks CROSS JOIN tot ORDER BY k"""))
   )
 
   /** Per-document unigram LM bits-per-token — (doc_id, n_tok,
