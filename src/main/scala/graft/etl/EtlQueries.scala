@@ -388,6 +388,42 @@ object EtlQueries {
           min(d) AS first_day, max(d) AS last_day
         FROM ev CROSS JOIN wm
         WHERE us > wm
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    Q(
+      "etl_retention_sweep",
+      "Retention-policy impact audit — the dry-run every TTL/" +
+        "retention job needs before touching data: under a 20-day " +
+        "retention window (everything before day 11 expires), the " +
+        "per-type rows to delete, distinct users whose history is " +
+        "touched, and the share of each type's history lost. One " +
+        "conditional aggregation per type (no second scan, no " +
+        "join); day arithmetic is exact integers; at scale this is " +
+        "partition-pruned to the expiring date partitions.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_type"), col("user_id"),
+            dayofmonth(col("ts")).as("d"))
+        ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("d") < 11, 1).otherwise(0)).as("rows_to_delete"),
+            countDistinct(when(col("d") < 11, col("user_id")))
+              .as("users_affected"))
+          .select(col("event_type"), col("rows_to_delete"),
+            col("users_affected"),
+            round(col("rows_to_delete").cast("double") / col("n_rows"), 4)
+              .as("history_share"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, user_id,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d FROM events)
+        SELECT event_type,
+          CAST(sum(CASE WHEN d < 11 THEN 1 ELSE 0 END) AS BIGINT)
+            AS rows_to_delete,
+          count(DISTINCT CASE WHEN d < 11 THEN user_id END)
+            AS users_affected,
+          round(CAST(sum(CASE WHEN d < 11 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 4) AS history_share
+        FROM ev GROUP BY event_type ORDER BY event_type"""))
   )
 }

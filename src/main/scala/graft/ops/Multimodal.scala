@@ -192,6 +192,57 @@ object Multimodal {
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
         SELECT d1, d2, hamming FROM pairs WHERE hamming <= 10
-        ORDER BY hamming, d1, d2"""))
+        ORDER BY hamming, d1, d2""")),
+
+    Q(
+      "mm_shard_manifest",
+      "WebDataset-style shard manifest — binary payloads packed into " +
+        "~2 KB shards by byte-offset splitting in deterministic " +
+        "doc_id order (training loaders want equal-byte shards with " +
+        "a manifest of what landed where). The global byte prefix " +
+        "sum uses the globalRank pattern generalized to SUMS: range-" +
+        "repartition on the order key, a cumulative window " +
+        "PARTITIONED by the physical partition id, and per-partition " +
+        "byte offsets from one sorted-array fold broadcast back — " +
+        "NO single-task window, and the offsets are invariant to " +
+        "where the sampled range boundaries fall. Shard id is one " +
+        "integer division of the exact start offset.",
+      (s, dir) => {
+        val target = 2048L
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            length(col("text").cast("binary")).cast("long").as("bytes"))
+        val parted = d.repartitionByRange(32, col("doc_id"))
+          .withColumn("pid", spark_partition_id().cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("pid").orderBy("doc_id")
+        val local = parted.withColumn("lc", sum("bytes").over(w))
+        val offs = parted.groupBy("pid").agg(sum("bytes").as("pb"))
+          .agg(sort_array(collect_list(struct(col("pid"), col("pb"))))
+            .as("a"))
+          .select(explode(expr(
+            "transform(a, (x, i) -> struct(x.pid AS pid, " +
+              "aggregate(slice(a, 1, i), CAST(0 AS BIGINT), " +
+              "(acc, y) -> acc + y.pb) AS off))")).as("o"))
+          .select(col("o.pid").as("pid"), col("o.off").as("off"))
+        local.join(broadcast(offs), "pid")
+          .withColumn("start", col("off") + col("lc") - col("bytes"))
+          .withColumn("shard", Skew.idiv(col("start"), lit(target)))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_items"), sum("bytes").as("bytes"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("shard")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(strlen(text) AS BIGINT) AS bytes FROM documents),
+        c AS (SELECT doc_id, bytes,
+            sum(bytes) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - bytes AS start
+          FROM d)
+        SELECT CAST(start // 2048 AS BIGINT) AS shard, count(*) AS n_items,
+          CAST(sum(bytes) AS BIGINT) AS bytes,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1 ORDER BY shard"""))
   )
 }

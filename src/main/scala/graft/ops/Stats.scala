@@ -3595,6 +3595,51 @@ object Stats {
             / (sqrt(CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)
                * sqrt(CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2))
             > 0.8 AS zone_map_friendly
-        FROM ps ORDER BY n_rows"""))
+        FROM ps ORDER BY n_rows""")),
+
+    Q(
+      "profile_value_patterns",
+      "Value-pattern profiling (the Deequ/Great-Expectations shape " +
+        "inference): every string masked to its character-class " +
+        "skeleton (digits→9, letters→A, everything else verbatim), " +
+        "then a pattern histogram per column — one glance shows " +
+        "whether c_name really is 'Customer#000000000' everywhere " +
+        "and which rows broke the contract. Two regexp_replace " +
+        "passes per value (codegen'd), one hash aggregation; output " +
+        "is bounded by distinct PATTERNS, not values.",
+      (s, dir) => {
+        def mask(c: Column): Column =
+          regexp_replace(regexp_replace(c, "[0-9]", "9"), "[A-Za-z]", "A")
+        val c = Tables.t(s, dir, "customer")
+          .select(lit("c_name").as("col_name"),
+            mask(col("c_name")).as("pattern"))
+        val m = Tables.t(s, dir, "customer")
+          .select(lit("c_mktsegment").as("col_name"),
+            mask(col("c_mktsegment")).as("pattern"))
+        val e = Tables.t(s, dir, "events")
+          .select(lit("event_type").as("col_name"),
+            mask(col("event_type")).as("pattern"))
+        c.unionAll(m).unionAll(e)
+          .groupBy("col_name", "pattern").agg(count(lit(1)).as("n"))
+          .orderBy(col("col_name"), col("n").desc, col("pattern"))
+      },
+      Some("""WITH u AS (
+          SELECT 'c_name' AS col_name,
+            regexp_replace(regexp_replace(c_name, '[0-9]', '9', 'g'),
+              '[A-Za-z]', 'A', 'g') AS pattern
+          FROM customer
+          UNION ALL
+          SELECT 'c_mktsegment',
+            regexp_replace(regexp_replace(c_mktsegment, '[0-9]', '9', 'g'),
+              '[A-Za-z]', 'A', 'g')
+          FROM customer
+          UNION ALL
+          SELECT 'event_type',
+            regexp_replace(regexp_replace(event_type, '[0-9]', '9', 'g'),
+              '[A-Za-z]', 'A', 'g')
+          FROM events)
+        SELECT col_name, pattern, count(*) AS n
+        FROM u GROUP BY 1, 2
+        ORDER BY col_name, n DESC, pattern"""))
   )
 }
