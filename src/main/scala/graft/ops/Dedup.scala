@@ -710,7 +710,63 @@ object Dedup {
           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos),
             '') AS cleaned
-        FROM rk GROUP BY doc_id ORDER BY doc_id"""))
+        FROM rk GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q(
+      "dedup_source_overlap",
+      "Cross-SOURCE content overlap matrix — 3-gram shingle Jaccard " +
+        "between every pair of sources (the corpus-planning view " +
+        "over the same shingle space the per-document near-dup " +
+        "operators use: which feeds are republishing each other and " +
+        "in what direction, via containment). Distinct (source, " +
+        "shingle) pairs reduce first; intersections come from ONE " +
+        "self-equi-join on the shingle key (never all-pairs of " +
+        "documents); marginals broadcast back onto the " +
+        "|sources|²-bounded pair table; every ratio divides exact " +
+        "integers. Top-15 pairs by Jaccard.",
+      (s, dir) => {
+        val sh = Tables.t(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.ops.TextFns.wordGrams(
+              split(col("text"), " "), 3)).as("g"))
+          .distinct()
+        val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("s1"),
+            col("sz").as("za"))), "s1")
+          .join(broadcast(sizes.select(col("source").as("s2"),
+            col("sz").as("zb"))), "s2")
+          .select(col("s1"), col("s2"), col("i").as("n_shared"),
+            round(col("i").cast("double")
+              / (col("za") + col("zb") - col("i")), 6).as("jaccard"),
+            round(col("i").cast("double") / least(col("za"), col("zb")), 6)
+              .as("containment"))
+          .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+          .limit(15)
+      },
+      Some("""WITH tok AS (SELECT source, doc_id,
+            string_split(text, ' ') AS ws FROM documents),
+        sh AS (SELECT DISTINCT source,
+            ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+          FROM tok, range(1, 2000) r(i)
+          WHERE i + 2 <= len(ws)),
+        sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+          FROM sh GROUP BY 1),
+        inter AS (SELECT a.source AS s1, b.source AS s2,
+            CAST(count(*) AS BIGINT) AS i
+          FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT s1, s2, i AS n_shared,
+          round(CAST(i AS DOUBLE) / (za.sz + zb.sz - i), 6) AS jaccard,
+          round(CAST(i AS DOUBLE) / least(za.sz, zb.sz), 6) AS containment
+        FROM inter
+        JOIN sizes za ON za.source = s1
+        JOIN sizes zb ON zb.source = s2
+        ORDER BY jaccard DESC, s1, s2 LIMIT 15"""))
   )
 
   /** Chunk-level exact dedup with document reconstruction (the

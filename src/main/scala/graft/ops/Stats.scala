@@ -3640,6 +3640,159 @@ object Stats {
           FROM events)
         SELECT col_name, pattern, count(*) AS n
         FROM u GROUP BY 1, 2
-        ORDER BY col_name, n DESC, pattern"""))
+        ORDER BY col_name, n DESC, pattern""")),
+
+    Q(
+      "ts_ess",
+      "Effective sample size of each event type's daily series — " +
+        "n/(1+2Σρ_ℓ) over lags 1–5 (autocorrelated observations " +
+        "carry less information; EVERY confidence interval computed " +
+        "on a time series without this correction is too narrow). " +
+        "Reuses ts_autocorr's exact spine: sorted-fold daily means, " +
+        "lead windows per lag over the calendar-bounded per-type " +
+        "partition, sorted-fold numerators; the ESS division " +
+        "happens once, with the Σρ floored at 0 (the standard " +
+        "positive-sequence truncation).",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("d"))
+          .agg((sfold(col("value")) / count(lit(1))).as("x"))
+        val mu = daily.groupBy("event_type")
+          .agg((sfold(col("x")) / count(lit(1))).as("mu"),
+            count(lit(1)).as("n"))
+        val dm = daily.join(broadcast(mu), Seq("event_type"))
+        val wSeq = Window.partitionBy("event_type").orderBy("d")
+        val den = dm.groupBy("event_type")
+          .agg(sfold((col("x") - col("mu")) * (col("x") - col("mu")))
+            .as("den"))
+        val nums = (1 to 5).map { l =>
+          dm.withColumn("xl", lead("x", l).over(wSeq))
+            .filter(col("xl").isNotNull)
+            .groupBy("event_type")
+            .agg(sfold((col("x") - col("mu")) * (col("xl") - col("mu")))
+              .as(s"num$l"))
+        }
+        val joined = nums.foldLeft(den)((a, b) => a.join(b, "event_type"))
+          .join(mu.select("event_type", "n"), "event_type")
+        val rhoSum = (1 to 5).map(l => col(s"num$l") / col("den"))
+          .reduce(_ + _)
+        joined.select(col("event_type"), col("n").as("n_days"),
+            round(greatest(rhoSum, lit(0.0)), 4).as("rho_sum"),
+            round(col("n") / (lit(1.0) + greatest(rhoSum, lit(0.0)) * 2), 2)
+              .as("ess"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            list_reduce(list_sort(list(value)), (a, b) -> a + b)
+              / count(*) AS x
+          FROM events GROUP BY 1, 2),
+        mu AS (SELECT event_type,
+            list_reduce(list_sort(list(x)), (a, b) -> a + b) / count(*)
+              AS mu,
+            count(*) AS n
+          FROM daily GROUP BY 1),
+        dm AS (SELECT daily.event_type, d, x, mu, n
+          FROM daily JOIN mu USING (event_type)),
+        den AS (SELECT event_type,
+            list_reduce(list_sort(list((x - mu) * (x - mu))),
+              (a, b) -> a + b) AS den
+          FROM dm GROUP BY 1),
+        lagged AS (SELECT event_type, mu,
+            x, lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2,
+            lead(x, 3) OVER w AS x3, lead(x, 4) OVER w AS x4,
+            lead(x, 5) OVER w AS x5
+          FROM dm WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        nums AS (SELECT event_type,
+            list_reduce(list_sort(list((x - mu) * (x1 - mu))
+              FILTER (WHERE x1 IS NOT NULL)), (a, b) -> a + b) AS num1,
+            list_reduce(list_sort(list((x - mu) * (x2 - mu))
+              FILTER (WHERE x2 IS NOT NULL)), (a, b) -> a + b) AS num2,
+            list_reduce(list_sort(list((x - mu) * (x3 - mu))
+              FILTER (WHERE x3 IS NOT NULL)), (a, b) -> a + b) AS num3,
+            list_reduce(list_sort(list((x - mu) * (x4 - mu))
+              FILTER (WHERE x4 IS NOT NULL)), (a, b) -> a + b) AS num4,
+            list_reduce(list_sort(list((x - mu) * (x5 - mu))
+              FILTER (WHERE x5 IS NOT NULL)), (a, b) -> a + b) AS num5
+          FROM lagged GROUP BY 1)
+        SELECT mu.event_type, mu.n AS n_days,
+          round(greatest((num1 + num2 + num3 + num4 + num5) / den, 0.0),
+            4) AS rho_sum,
+          round(mu.n / (1.0 + greatest(
+            (num1 + num2 + num3 + num4 + num5) / den, 0.0) * 2), 2)
+            AS ess
+        FROM mu JOIN den USING (event_type) JOIN nums USING (event_type)
+        ORDER BY event_type""")),
+
+    Q(
+      "stats_tost",
+      "Equivalence test (TOST) — are click and view event values " +
+        "equivalent within a ±5% margin of the pooled mean? Two " +
+        "one-sided z-tests against the margins: equivalence is " +
+        "declared only when BOTH reject (min(t_lower, t_upper) > " +
+        "1.645) — the non-inferiority discipline that 'p > 0.05 so " +
+        "they're the same' gets wrong. Moments are exact cent power " +
+        "sums in one conditional pass; margins, SEs and both t's " +
+        "are fixed-shape floats evaluated once.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+        def side(t: String, c: Column): Column =
+          sum(when(col("event_type") === t, c).otherwise(lit(0)))
+        val a = e.agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n1"),
+          side("click", col("c")).as("s1"),
+          side("click", col("c").cast("decimal(38,0)") * col("c")).as("ss1"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("n2"),
+          side("view", col("c")).as("s2"),
+          side("view", col("c").cast("decimal(38,0)") * col("c")).as("ss2"))
+        def v(n: Column, sc: Column, ss: Column): Column =
+          (ss.cast("double") - sc.cast("double") * sc / n) / (n - 1)
+        val n1 = col("n1"); val n2 = col("n2")
+        val m1 = col("s1").cast("double") / n1
+        val m2 = col("s2").cast("double") / n2
+        val diff = m1 - m2
+        val margin = (col("s1") + col("s2")).cast("double")
+          ./(n1 + n2) * 0.05
+        val se = sqrt(v(n1, col("s1"), col("ss1")) / n1
+          + v(n2, col("s2"), col("ss2")) / n2)
+        val tLo = (diff + margin) / se
+        val tHi = (margin - diff) / se
+        a.select(round(diff / 100.0, 2).as("mean_diff"),
+            round(margin / 100.0, 2).as("margin"),
+            round(tLo, 4).as("t_lower"), round(tHi, 4).as("t_upper"),
+            (least(tLo, tHi) > 1.644853627).as("equivalent"))
+          .orderBy("margin")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE event_type IN ('click', 'view')),
+        a AS (SELECT
+            sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+            sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS s1,
+            sum(CASE WHEN event_type = 'click'
+              THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS ss1,
+            sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2,
+            sum(CASE WHEN event_type = 'view' THEN c ELSE 0 END) AS s2,
+            sum(CASE WHEN event_type = 'view'
+              THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS ss2
+          FROM e),
+        f AS (SELECT
+            CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS diff,
+            CAST(s1 + s2 AS DOUBLE) / (n1 + n2) * 0.05 AS margin,
+            sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                / (n1 - 1)) / n1
+              + ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                / (n2 - 1)) / n2) AS se
+          FROM a)
+        SELECT round(diff / 100.0, 2) AS mean_diff,
+          round(margin / 100.0, 2) AS margin,
+          round((diff + margin) / se, 4) AS t_lower,
+          round((margin - diff) / se, 4) AS t_upper,
+          least((diff + margin) / se, (margin - diff) / se)
+            > 1.644853627 AS equivalent
+        FROM f ORDER BY margin"""))
   )
 }
