@@ -996,18 +996,19 @@ object Pipeline {
         xs AS (SELECT len, r, unnest([16, 64]) AS bsz FROM rs),
         xh AS (SELECT len, r, unnest([16, 64]) AS bsz FROM rh),
         bs AS (SELECT bsz, (r - 1) // bsz AS batch, count(*) AS n,
-            max(len) AS mx, sum(len) AS sl
+            max(len) AS mx, CAST(sum(len) AS BIGINT) AS sl
           FROM xs GROUP BY 1, 2),
         bh AS (SELECT bsz, (r - 1) // bsz AS batch, count(*) AS n,
-            max(len) AS mx, sum(len) AS sl
+            max(len) AS mx, CAST(sum(len) AS BIGINT) AS sl
           FROM xh GROUP BY 1, 2),
         ws AS (SELECT 'sorted' AS strategy, CAST(bsz AS INT) AS bsz,
             count(*) AS n_batches,
-            round(CAST(sum(mx * n - sl) AS DOUBLE) / sum(sl), 4)
-              AS pad_ratio
+            round(CAST(sum(mx * n - sl) AS DOUBLE)
+              / CAST(sum(sl) AS BIGINT), 4) AS pad_ratio
           FROM bs GROUP BY 1, 2),
         wh AS (SELECT 'hashed', CAST(bsz AS INT), count(*),
-            round(CAST(sum(mx * n - sl) AS DOUBLE) / sum(sl), 4)
+            round(CAST(sum(mx * n - sl) AS DOUBLE)
+              / CAST(sum(sl) AS BIGINT), 4)
           FROM bh GROUP BY 1, 2)
         SELECT * FROM ws UNION ALL SELECT * FROM wh
         ORDER BY strategy, bsz""")),

@@ -802,7 +802,8 @@ object Similarity {
           FROM sc),
         sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz
           FROM rk WHERE rn = 1 GROUP BY 1),
-        a AS (SELECT count(*) AS k, sum(sz) AS n, min(sz) AS min_list,
+        a AS (SELECT count(*) AS k, CAST(sum(sz) AS BIGINT) AS n,
+            min(sz) AS min_list,
             max(sz) AS max_list, sum(sz * sz) AS ss
           FROM sz)
         SELECT k, CAST(n AS BIGINT) AS n_vectors, min_list, max_list,
@@ -895,18 +896,21 @@ object Similarity {
         "behind sim_nearest_centroid's confusion counts: classes " +
         "whose centroids nearly coincide will confuse ANY nearest-" +
         "centroid rule). Centroids reduce per (label, dim) and are " +
-        "QUANTIZED to 4 decimals before any distance math — the " +
-        "same rounding contract sim_vector_mean pins — so the " +
-        "pairwise stage works on exact fixed-point values; the " +
+        "QUANTIZED to 4 decimals before any distance math, and the " +
+        "per-dimension sums run over integer micro-units (each " +
+        "element rounds to 10\u207b\u2076 grid at the row), so the centroid " +
+        "means are EXACT integer ratios — no float accumulation " +
+        "anywhere; the pairwise stage works on fixed-point values; the " +
         "64-term distance sums ride the sorted fold; the pair count " +
         "is label², dimension-bounded.",
       (s, dir) => {
         val m = Tables.t(s, dir, "embeddings")
           .select(col("label"), posexplode(col("embedding")))
           .select(col("label"), col("pos"),
-            col("col").cast("double").as("v"))
+            round(col("col").cast("double") * 1e6).cast("long").as("vu"))
           .groupBy("label", "pos")
-          .agg(round(sum("v") / count(lit(1)), 4).as("m"))
+          .agg(round(sum("vu").cast("double") / count(lit(1)) / 1e6, 4)
+            .as("m"))
         val p = m.as("a").join(m.as("b"),
             col("a.pos") === col("b.pos")
               && col("a.label") < col("b.label"))
@@ -921,7 +925,9 @@ object Similarity {
       Some("""WITH x AS (SELECT label, CAST(i AS INT) - 1 AS pos,
             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
           FROM embeddings, range(1, 65) r(i)),
-        m AS (SELECT label, pos, round(avg(v), 4) AS m
+        m AS (SELECT label, pos,
+            round(CAST(CAST(sum(CAST(round(v * 1e6) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) / count(*) / 1e6, 4) AS m
           FROM x GROUP BY 1, 2),
         p AS (SELECT a.label AS la, b.label AS lb,
             (a.m - b.m) * (a.m - b.m) AS t

@@ -2163,7 +2163,7 @@ object Stats {
               + count(*) OVER (PARTITION BY event_type, cv) - 1 AS BIGINT) AS ry
           FROM daily),
         ps AS (SELECT event_type, count(*) AS n,
-            sum(rx) AS s1, sum(ry) AS s2,
+            CAST(sum(rx) AS BIGINT) AS s1, CAST(sum(ry) AS BIGINT) AS s2,
             sum(rx * rx) AS s11, sum(ry * ry) AS s22,
             sum(rx * ry) AS s12
           FROM rk GROUP BY 1)
@@ -2212,8 +2212,9 @@ object Stats {
             CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
               * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS ss
           FROM events GROUP BY 1),
-        t AS (SELECT count(*) AS k, sum(n) AS nn, sum(s) AS st,
-            sum(ss) AS sst,
+        t AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+            CAST(sum(s) AS BIGINT) AS st,
+            CAST(sum(ss) AS HUGEINT) AS sst,
             list_reduce(list_sort(list(CAST(s AS DOUBLE) * s / n)),
               (a, b) -> a + b) AS sg
           FROM g)
@@ -2263,9 +2264,12 @@ object Stats {
             CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
             count(*) AS n
           FROM events GROUP BY 1, 2),
-        rt AS (SELECT event_type, sum(n) AS rn FROM cells GROUP BY 1),
-        ct AS (SELECT dow, sum(n) AS cn FROM cells GROUP BY 1),
-        tot AS (SELECT sum(n) AS nn, count(DISTINCT event_type) AS r,
+        rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rn
+          FROM cells GROUP BY 1),
+        ct AS (SELECT dow, CAST(sum(n) AS BIGINT) AS cn
+          FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+            count(DISTINCT event_type) AS r,
             count(DISTINCT dow) AS c FROM cells),
         terms AS (SELECT tot.r, tot.c, tot.nn,
             (cells.n - CAST(rt.rn AS DOUBLE) * ct.cn / tot.nn)
@@ -2383,11 +2387,13 @@ object Stats {
           WHERE cw * 2 >= tw GROUP BY 1),
         dev AS (SELECT e.event_type, abs(e.c - med.med) AS z
           FROM e JOIN med USING (event_type)),
-        g AS (SELECT event_type, count(*) AS n, sum(z) AS s,
+        g AS (SELECT event_type, count(*) AS n,
+            CAST(sum(z) AS BIGINT) AS s,
             sum(CAST(z AS HUGEINT) * z) AS ss
           FROM dev GROUP BY 1),
-        t AS (SELECT count(*) AS k, sum(n) AS nn, sum(s) AS st,
-            sum(ss) AS sst,
+        t AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+            CAST(sum(s) AS BIGINT) AS st,
+            CAST(sum(ss) AS HUGEINT) AS sst,
             list_reduce(list_sort(list(CAST(s AS DOUBLE) * s / n)),
               (a, b) -> a + b) AS sg
           FROM g)
@@ -2826,7 +2832,8 @@ object Stats {
         lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-3, 4)),
         j AS (SELECT lag, xa, xb
           FROM a CROSS JOIN lags JOIN b ON a.h = lags.lag + b.hb),
-        ps AS (SELECT lag, count(*) AS n, sum(xa) AS s1, sum(xb) AS s2,
+        ps AS (SELECT lag, count(*) AS n,
+            CAST(sum(xa) AS BIGINT) AS s1, CAST(sum(xb) AS BIGINT) AS s2,
             sum(xa * xa) AS s11, sum(xb * xb) AS s22, sum(xa * xb) AS s12
           FROM j GROUP BY 1)
         SELECT lag, n AS n_hours,
@@ -2878,8 +2885,10 @@ object Stats {
             CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
           FROM events GROUP BY 1, 2, 3),
-        fit0 AS (SELECT event_type, count(*) AS n, sum(d) AS sx,
-            sum(y) AS sy, sum(d * d) AS sxx, sum(d * y) AS sxy
+        fit0 AS (SELECT event_type, count(*) AS n,
+            CAST(sum(d) AS BIGINT) AS sx,
+            CAST(sum(y) AS BIGINT) AS sy,
+            sum(d * d) AS sxx, sum(d * y) AS sxy
           FROM daily GROUP BY 1),
         fit AS (SELECT event_type,
             (n * sxy - CAST(sx AS DOUBLE) * sy)
@@ -3194,8 +3203,10 @@ object Stats {
             CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
             count(*) AS n
           FROM events GROUP BY 1, 2),
-        rt AS (SELECT event_type, sum(n) AS rn FROM cells GROUP BY 1),
-        ct AS (SELECT dow, sum(n) AS cn FROM cells GROUP BY 1),
+        rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rn
+          FROM cells GROUP BY 1),
+        ct AS (SELECT dow, CAST(sum(n) AS BIGINT) AS cn
+          FROM cells GROUP BY 1),
         t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
         mi AS (SELECT list_reduce(list_sort(list(
             (CAST(n AS DOUBLE) / nn)
@@ -3339,7 +3350,7 @@ object Stats {
         st AS (SELECT event_type,
             CAST(sum(y) AS DOUBLE) / count(*) AS mu,
             sqrt((CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)
-              - CAST(sum(y) AS DOUBLE) * sum(y) / count(*))
+              - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS BIGINT) / count(*))
               / count(*)) AS sig
           FROM daily GROUP BY 1),
         z AS (SELECT daily.event_type, d, y, mu, sig,
@@ -3581,7 +3592,8 @@ object Stats {
             CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS r1,
             CAST(row_number() OVER (ORDER BY dt, k) AS BIGINT) AS r2
           FROM o),
-        ps AS (SELECT count(*) AS n, sum(r1) AS s1, sum(r2) AS s2,
+        ps AS (SELECT count(*) AS n,
+            CAST(sum(r1) AS BIGINT) AS s1, CAST(sum(r2) AS BIGINT) AS s2,
             sum(CAST(r1 AS HUGEINT) * r1) AS s11,
             sum(CAST(r2 AS HUGEINT) * r2) AS s22,
             sum(CAST(r1 AS HUGEINT) * r2) AS s12

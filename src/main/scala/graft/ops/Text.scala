@@ -1602,7 +1602,7 @@ object Text {
           FROM documents GROUP BY 1),
         nt AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
         dfw AS (SELECT w, CAST(sum(o) AS BIGINT) AS dfw FROM df
-          GROUP BY 1 HAVING sum(o) >= 10),
+          GROUP BY 1 HAVING CAST(sum(o) AS BIGINT) >= 10),
         grid AS (SELECT nl.lang, dfw.w, dfw.dfw, nl.ndl,
             coalesce(df.o, 0) AS o, nt.nd
           FROM nl CROSS JOIN dfw
@@ -1692,7 +1692,7 @@ object Text {
         nt AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
         st AS (SELECT w, CAST(sum(k) AS BIGINT) AS sk,
             CAST(sum(k * k) AS BIGINT) AS skk
-          FROM perdoc GROUP BY 1 HAVING sum(k) >= 20),
+          FROM perdoc GROUP BY 1 HAVING CAST(sum(k) AS BIGINT) >= 20),
         sc AS (SELECT w, sk,
             (CAST(skk AS DOUBLE) / nd
               - (CAST(sk AS DOUBLE) / nd) * (CAST(sk AS DOUBLE) / nd))
@@ -1890,7 +1890,8 @@ object Text {
           FROM cnt ORDER BY c DESC, w LIMIT 50),
         ks AS (SELECT unnest([10, 25, 50]) AS k)
         SELECT CAST(k AS INT) AS k,
-          round(CAST((SELECT sum(c) FROM top WHERE rk <= k) AS DOUBLE)
+          round(CAST((SELECT CAST(sum(c) AS BIGINT) FROM top
+              WHERE rk <= k) AS DOUBLE)
             / tc, 6) AS coverage
         FROM ks CROSS JOIN tot ORDER BY k"""))
   )
