@@ -719,21 +719,34 @@ object Dedup {
         "over the same shingle space the per-document near-dup " +
         "operators use: which feeds are republishing each other and " +
         "in what direction, via containment). Distinct (source, " +
-        "shingle) pairs reduce first; intersections come from ONE " +
-        "self-equi-join on the shingle key (never all-pairs of " +
-        "documents); marginals broadcast back onto the " +
+        "shingle) pairs reduce first; then ONE groupBy collapses " +
+        "each shingle to its source SET \u2014 bounded by |sources|, a " +
+        "dimension \u2014 and the pair contributions explode from that " +
+        "bounded array AFTER the reduce (the r10 bench showed the " +
+        "self-join form shuffling the shingle table twice and " +
+        "paying hot-shingle fan-out inside the exchange; this form " +
+        "shuffles it once). Marginals broadcast back onto the " +
         "|sources|²-bounded pair table; every ratio divides exact " +
         "integers. Top-15 pairs by Jaccard.",
       (s, dir) => {
+        // one shingle pass feeds the marginals AND the intersections:
+        // without the checkpoint the three consuming subtrees each
+        // re-scan + re-shingle the corpus (3x the dominant cost)
         val sh = Tables.t(s, dir, "documents")
           .select(col("source"),
             explode(graft.ops.TextFns.wordGrams(
               split(col("text"), " "), 3)).as("g"))
           .distinct()
+          .localCheckpoint(true)
         val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
-        val inter = sh.as("a").join(sh.as("b"),
-            col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+          .localCheckpoint(true)
+        val inter = sh.groupBy("g")
+          .agg(sort_array(collect_set("source")).as("ss"))
+          .select(explode(expr(
+            "flatten(transform(ss, (x, i) -> " +
+              "transform(slice(ss, i + 2, size(ss)), " +
+              "y -> struct(x AS s1, y AS s2))))")).as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
           .agg(count(lit(1)).as("i"))
         inter
           .join(broadcast(sizes.select(col("source").as("s1"),
