@@ -779,7 +779,56 @@ object Dedup {
         FROM inter
         JOIN sizes za ON za.source = s1
         JOIN sizes zb ON zb.source = s2
-        ORDER BY jaccard DESC, s1, s2 LIMIT 15"""))
+        ORDER BY jaccard DESC, s1, s2 LIMIT 15""")),
+
+    Q(
+      "dedup_quality_survivor",
+      "Quality-aware dedup survivor — within each duplicate FAMILY " +
+        "(md5 of the first-8-token prefix: the head-fingerprint rule " +
+        "that groups template/boilerplate mirrors sharing an " +
+        "opening), keep the HIGHEST-quality " +
+        "copy (type/token ratio, ties to smaller doc_id) instead of " +
+        "dedup_exact_key's arbitrary-but-deterministic min-id rule: " +
+        "when a document exists in a clean feed and a boilerplate-" +
+        "injected mirror, the survivor choice decides corpus " +
+        "quality, not just corpus size. The quality key is an exact " +
+        "integer cross-ratio (uniq·10⁶ div total), so ranking never " +
+        "touches a float; one fingerprint window, map-side-light.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+              .cast("binary")).as("fp"),
+            Skew.idiv(
+              size(array_distinct(split(col("text"), " "))).cast("long")
+                * 1000000L,
+              size(split(col("text"), " ")).cast("long")).as("qual"))
+        val w = Window.partitionBy("fp")
+          .orderBy(col("qual").desc, col("doc_id"))
+        d.withColumn("rk", row_number().over(w))
+          .withColumn("csize", count(lit(1)).over(Window.partitionBy("fp")))
+          .filter(col("rk") === 1 && col("csize") > 1)
+          .select(col("fp"), col("csize").as("cluster_size"),
+            col("doc_id").as("survivor"),
+            round(col("qual") / 1e6, 4).as("survivor_quality"))
+          .orderBy("fp")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+            CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+              * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+              AS qual
+          FROM documents),
+        rk AS (SELECT fp, doc_id, qual,
+            row_number() OVER (PARTITION BY fp
+              ORDER BY qual DESC, doc_id) AS rk,
+            count(*) OVER (PARTITION BY fp) AS csize
+          FROM d)
+        SELECT fp, CAST(csize AS BIGINT) AS cluster_size,
+          doc_id AS survivor,
+          round(qual / 1e6, 4) AS survivor_quality
+        FROM rk WHERE rk = 1 AND csize > 1
+        ORDER BY fp"""))
   )
 
   /** Chunk-level exact dedup with document reconstruction (the

@@ -1066,6 +1066,61 @@ object Pipeline {
           CAST(max(gpos) AS BIGINT) AS last_slot,
           CAST((max(gpos) - min(gpos)) / (count(*) - 1) AS BIGINT)
             AS stride
-        FROM pos GROUP BY source ORDER BY source"""))
+        FROM pos GROUP BY source ORDER BY source""")),
+
+    Q(
+      "pipeline_leakage_audit",
+      "Train/eval leakage audit — duplicate FAMILIES (first-8-token " +
+        "head fingerprint, the dedup_quality_survivor key) that " +
+        "straddle pipeline_train_split's hash split: a near-" +
+        "duplicate of a training document sitting in val/test " +
+        "silently inflates every eval metric, and THIS is the check " +
+        "that catches it before training does. One fingerprint " +
+        "aggregation with conditional split flags (exact integer " +
+        "counts); the verdict row reports multi-doc families, " +
+        "leaked families, and each split-pair crossing count.",
+      (s, dir) => {
+        val h = substring(md5(concat(col("doc_id").cast("string"),
+          lit("|split")).cast("binary")), 1, 2)
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+              .cast("binary")).as("fp"),
+            when(h < "cc", "train").when(h < "e6", "val")
+              .otherwise("test").as("split"))
+        val fam = d.groupBy("fp")
+          .agg(count(lit(1)).as("n"),
+            max(when(col("split") === "train", 1).otherwise(0)).as("tr"),
+            max(when(col("split") === "val", 1).otherwise(0)).as("va"),
+            max(when(col("split") === "test", 1).otherwise(0)).as("te"))
+          .filter(col("n") > 1)
+        fam.agg(count(lit(1)).as("n_families"),
+            sum(when(col("tr") + col("va") + col("te") > 1, 1)
+              .otherwise(0)).as("n_leaked"),
+            sum(col("tr") * col("va")).as("train_val"),
+            sum(col("tr") * col("te")).as("train_test"),
+            sum(col("va") * col("te")).as("val_test"))
+          .orderBy("n_families")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+            CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '|split'),
+                1, 2) < 'cc' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR) || '|split'),
+                1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+          FROM documents),
+        fam AS (SELECT fp, count(*) AS n,
+            max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+            max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS va,
+            max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+          FROM d GROUP BY 1 HAVING count(*) > 1)
+        SELECT count(*) AS n_families,
+          CAST(sum(CASE WHEN tr + va + te > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaked,
+          CAST(sum(tr * va) AS BIGINT) AS train_val,
+          CAST(sum(tr * te) AS BIGINT) AS train_test,
+          CAST(sum(va * te) AS BIGINT) AS val_test
+        FROM fam ORDER BY n_families"""))
   )
 }

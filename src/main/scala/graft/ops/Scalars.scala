@@ -696,6 +696,58 @@ object Scalars {
         SELECT grp, l_orderkey, l_linenumber,
           round(price_c / 100.0, 2) AS price, qty
         FROM sky WHERE qmax IS NULL OR qty > qmax
-        ORDER BY grp, price DESC, l_orderkey"""))
+        ORDER BY grp, price DESC, l_orderkey""")),
+
+    Q(
+      "scalar_haversine",
+      "Great-circle (haversine) nearest-neighbor math — the geo " +
+        "scalar surface (radians/sin/cos/asin/sqrt composed into " +
+        "the standard 2R·asin(√…) formula) over deterministic " +
+        "synthetic coordinates derived from the nation key (the " +
+        "fixture carries no geo columns; the coordinates pin the " +
+        "MATH, the top-3-per-origin join shape pins the geo-knn " +
+        "plan: dimension-sized broadcast self-join, WindowGroupLimit " +
+        "rank, never an all-pairs shuffle at fact scale). Identical " +
+        "double formula in both engines, rounded once.",
+      (s, dir) => {
+        val n = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("id"),
+            (col("n_nationkey") * 6.0 - 72.0).as("lat"),
+            ((col("n_nationkey") * 53 % 360) - 180.0).as("lon"))
+        val p = n.as("a").join(broadcast(n.as("b")),
+          col("a.id") =!= col("b.id"))
+        val dphi = radians(col("b.lat") - col("a.lat")) / 2
+        val dlam = radians(col("b.lon") - col("a.lon")) / 2
+        val cc = cos(radians(col("a.lat"))) * cos(radians(col("b.lat")))
+        val h = (sin(dphi) * sin(dphi)) + (cc * sin(dlam) * sin(dlam))
+        val dist = asin(sqrt(h)) * 2 * 6371.0088
+        val ranked = p.select(col("a.id").as("origin"),
+            col("b.id").as("neighbor"), dist.as("d"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("origin").orderBy(col("d"), col("neighbor"))))
+          .filter(col("rk") <= 3)
+        ranked.select(col("origin"), col("rk"), col("neighbor"),
+            round(col("d"), 1).as("dist_km"))
+          .orderBy("origin", "rk")
+      },
+      Some("""WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+            n_nationkey * 6.0 - 72.0 AS lat,
+            (n_nationkey * 53 % 360) - 180.0 AS lon
+          FROM nation),
+        p AS (SELECT a.id AS origin, b.id AS neighbor,
+            2 * 6371.0088 * asin(sqrt(
+              sin(radians(b.lat - a.lat) / 2)
+                * sin(radians(b.lat - a.lat) / 2)
+              + cos(radians(a.lat)) * cos(radians(b.lat))
+                * sin(radians(b.lon - a.lon) / 2)
+                * sin(radians(b.lon - a.lon) / 2))) AS d
+          FROM n a JOIN n b ON a.id <> b.id),
+        rk AS (SELECT origin, neighbor, d,
+            row_number() OVER (PARTITION BY origin ORDER BY d, neighbor)
+              AS rk
+          FROM p)
+        SELECT origin, CAST(rk AS INT) AS rk, neighbor,
+          round(d, 1) AS dist_km
+        FROM rk WHERE rk <= 3 ORDER BY origin, rk"""))
   )
 }
