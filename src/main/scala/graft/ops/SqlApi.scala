@@ -346,6 +346,51 @@ object SqlApi {
           coalesce(n_name, 'ALL') AS nation,
           CAST(gid AS INT) AS lvl,
           round(cents / 100.0, 2) AS revenue, share
-        FROM sh ORDER BY lvl, region, nation"""))
+        FROM sh ORDER BY lvl, region, nation""")),
+
+    Q(
+      "sql_named_window",
+      "Named WINDOW clause \u2014 one window specification shared by " +
+        "rank, running total, and previous-row delta in the same " +
+        "SELECT (the ANSI surface that lets the optimizer compute " +
+        "ONE Sort+Window pass instead of three). Per-(nation, date) " +
+        "revenue is a unique key, so every shared-window function " +
+        "is deterministic; revenue stays exact integer cents; the " +
+        "IDENTICAL clause text runs verbatim as the DuckDB oracle.",
+      (s, dir) => withViews(s, dir, "orders", "customer")(
+        """SELECT c_nationkey,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(rank() OVER w AS INT) AS date_rank,
+             round(CAST(sum(rev) OVER w2 AS BIGINT) / 1e2, 2)
+               AS running_rev,
+             round(coalesce(rev - lag(rev) OVER w, 0) / 1e2, 2)
+               AS delta_prev
+           FROM (SELECT c_nationkey, o_orderdate,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS rev
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             WHERE c_nationkey < 3
+             GROUP BY c_nationkey, o_orderdate)
+           WINDOW w AS (PARTITION BY c_nationkey ORDER BY o_orderdate),
+             w2 AS (PARTITION BY c_nationkey ORDER BY o_orderdate
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ORDER BY c_nationkey, o_orderdate"""),
+      Some("""SELECT c_nationkey,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(rank() OVER w AS INT) AS date_rank,
+             round(CAST(sum(rev) OVER w2 AS BIGINT) / 1e2, 2)
+               AS running_rev,
+             round(coalesce(rev - lag(rev) OVER w, 0) / 1e2, 2)
+               AS delta_prev
+           FROM (SELECT c_nationkey, o_orderdate,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS rev
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             WHERE c_nationkey < 3
+             GROUP BY c_nationkey, o_orderdate)
+           WINDOW w AS (PARTITION BY c_nationkey ORDER BY o_orderdate),
+             w2 AS (PARTITION BY c_nationkey ORDER BY o_orderdate
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ORDER BY c_nationkey, o_orderdate"""))
   )
 }

@@ -3805,6 +3805,72 @@ object Stats {
           round((margin - diff) / se, 4) AS t_upper,
           least((diff + margin) / se, (margin - diff) / se)
             > 1.644853627 AS equivalent
-        FROM f ORDER BY margin"""))
+        FROM f ORDER BY margin""")),
+
+    Q(
+      "ts_peak_concurrency",
+      "Peak concurrent sessions \u2014 the classic +1/\u22121 boundary sweep " +
+        "over purchase 'sessions' (start = ts, end = ts + value " +
+        "seconds, the ts_interval_union construction): the maximum " +
+        "of the running boundary sum IS the peak concurrency, the " +
+        "number capacity planning actually needs. The running sum " +
+        "over the global boundary order reuses the mm_shard_manifest " +
+        "prefix-sum spine \u2014 range repartition on the boundary key, a " +
+        "window PARTITIONED by physical partition id, per-partition " +
+        "offsets from one sorted-array fold \u2014 NO single-task window; " +
+        "the argmax is TakeOrderedAndProject over the summed " +
+        "boundaries. Ends sort before starts at identical " +
+        "timestamps (delta ASC), the no-touch-overlap convention.",
+      (s, dir) => {
+        val iv = Tables.t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), Tables.epochUs(col("ts")).as("s0"),
+            (Tables.epochUs(col("ts"))
+              + (round(col("value") * 1000000)).cast("long")).as("e0"))
+        val bounds = iv.select(col("s0").as("t"), lit(1).as("delta"),
+            col("event_id"))
+          .unionAll(iv.select(col("e0").as("t"), lit(-1).as("delta"),
+            col("event_id")))
+        val parted = bounds.repartitionByRange(32,
+            col("t"), col("delta"), col("event_id"))
+          .withColumn("pid", spark_partition_id().cast("long"))
+        val w = Window.partitionBy("pid")
+          .orderBy("t", "delta", "event_id")
+        val local = parted.withColumn("lc", sum("delta").over(w))
+        val offs = parted.groupBy("pid").agg(sum("delta").as("pb"))
+          .agg(sort_array(collect_list(struct(col("pid"), col("pb"))))
+            .as("a"))
+          .select(explode(expr(
+            "transform(a, (x, i) -> struct(x.pid AS pid, " +
+              "aggregate(slice(a, 1, i), CAST(0 AS BIGINT), " +
+              "(acc, y) -> acc + y.pb) AS off))")).as("o"))
+          .select(col("o.pid").as("pid"), col("o.off").as("off"))
+        val cum = local.join(broadcast(offs), "pid")
+          .withColumn("conc", col("off") + col("lc"))
+        cum
+          .orderBy(col("conc").desc, col("t"), col("delta"),
+            col("event_id"))
+          .limit(1)
+          .select(col("conc").as("peak_concurrency"),
+            expr("t div 3600000000").as("peak_epoch_hour"))
+      },
+      Some("""WITH iv AS (SELECT event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS s0,
+            epoch_us(CAST(ts AS TIMESTAMP))
+              + CAST(round(value * 1000000) AS BIGINT) AS e0
+          FROM events WHERE event_type = 'purchase'),
+        b AS (SELECT s0 AS t, 1 AS delta, event_id FROM iv
+          UNION ALL SELECT e0, -1, event_id FROM iv),
+        c AS (SELECT t, delta, event_id,
+            sum(delta) OVER (ORDER BY t, delta, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+          FROM b),
+        rk AS (SELECT conc, t,
+            row_number() OVER (ORDER BY conc DESC, t, delta, event_id)
+              AS rk
+          FROM c)
+        SELECT CAST(conc AS BIGINT) AS peak_concurrency,
+          t // 3600000000 AS peak_epoch_hour
+        FROM rk WHERE rk = 1 ORDER BY peak_concurrency"""))
   )
 }
