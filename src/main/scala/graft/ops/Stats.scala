@@ -23,6 +23,40 @@ object Stats {
     * — the float-determinism idiom for small per-group summations whose
     * partial-aggregation order would otherwise wobble in the last ulp.
     * DuckDB twin: list_reduce(list_sort(list(x)), (a, b) -> a + b). */
+  /** Standard normal CDF via the Abramowitz–Stegun 26.2.17
+    * polynomial (|error| < 7.5e-8) — an engine-portable fixed-shape
+    * float formula (exp/sqrt/fma chains evaluate identically in Spark
+    * and DuckDB), giving deterministic p-values without either engine
+    * needing an erf builtin. Mirrored textually by [[normCdfSql]]. */
+  private[ops] def normCdf(x: Column): Column = {
+    val ax = abs(x)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * ax)
+    val poly = ((((lit(1.330274429) * t - lit(1.821255978)) * t
+      + lit(1.781477937)) * t - lit(0.356563782)) * t
+      + lit(0.319381530)) * t
+    val pdf = exp(ax * ax * -0.5) * lit(0.3989422804014327)
+    val upper = lit(1.0) - pdf * poly
+    when(x >= 0, upper).otherwise(lit(1.0) - upper)
+  }
+
+  /** DuckDB spelling of [[normCdf]] over the SQL expression `e` —
+    * the same association order, so the doubles match bit for bit. */
+  private[ops] def normCdfSql(e: String): String =
+    s"""(CASE WHEN ($e) >= 0
+        THEN 1.0 - exp(abs($e) * abs($e) * -0.5) * 0.3989422804014327
+          * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs($e)))
+            - 1.821255978) * (1.0 / (1.0 + 0.2316419 * abs($e)))
+            + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs($e)))
+            - 0.356563782) * (1.0 / (1.0 + 0.2316419 * abs($e)))
+            + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs($e))))
+        ELSE 1.0 - (1.0 - exp(abs($e) * abs($e) * -0.5) * 0.3989422804014327
+          * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs($e)))
+            - 1.821255978) * (1.0 / (1.0 + 0.2316419 * abs($e)))
+            + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs($e)))
+            - 0.356563782) * (1.0 / (1.0 + 0.2316419 * abs($e)))
+            + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs($e)))))
+        END)"""
+
   private[ops] def sfold(c: Column): Column =
     aggregate(sort_array(collect_list(c)), lit(0.0), (acc, x) => acc + x)
 
@@ -3871,6 +3905,130 @@ object Stats {
           FROM c)
         SELECT CAST(conc AS BIGINT) AS peak_concurrency,
           t // 3600000000 AS peak_epoch_hour
-        FROM rk WHERE rk = 1 ORDER BY peak_concurrency"""))
+        FROM rk WHERE rk = 1 ORDER BY peak_concurrency""")),
+
+    Q(
+      "stats_bh_fdr",
+      "Benjamini\u2013Hochberg FDR control over the all-pairs Welch " +
+        "family \u2014 the step-up procedure stats_pairwise_welch's fixed " +
+        "Bonferroni threshold approximates: p-values from the " +
+        "engine-portable Abramowitz\u2013Stegun normal CDF (a fixed-shape " +
+        "float polynomial \u2014 no erf builtin needed in either engine, " +
+        "doubles match bit for bit), ranks from a sorted-array fold " +
+        "over the 10-row bounded family (no unpartitioned window), " +
+        "and the largest rank with p \u2264 rank\u00b7\u03b1/m riding a 1-row " +
+        "broadcast back as the significance cut.",
+      (s, dir) => {
+        val g = Tables.t(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("sx"),
+            sum(col("c").cast("decimal(38,0)") * col("c")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            (col("sx").cast("double") / col("n")).as("m"),
+            ((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx") / col("n"))
+              / (col("n") - 1)).as("v"))
+        val pr = g.as("a").join(broadcast(g.as("b")),
+            col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("ta"),
+            col("b.event_type").as("tb"),
+            ((col("a.m") - col("b.m"))
+              / sqrt(col("a.v") / col("a.n") + col("b.v") / col("b.n")))
+              .as("t"))
+          .withColumn("pv", (lit(1.0) - normCdf(abs(col("t")))) * 2.0)
+        val ranked = pr
+          .agg(sort_array(collect_list(struct(col("pv"), col("ta"),
+            col("tb"), col("t")))).as("arr"))
+          .select(posexplode(col("arr")))
+          .select((col("pos") + 1).as("rank"), col("col.ta").as("type_a"),
+            col("col.tb").as("type_b"), col("col.t").as("t"),
+            col("col.pv").as("pv"))
+        val kmax = ranked
+          .agg(max(when(col("pv") * 200 <= col("rank"), col("rank")))
+            .as("kmax"))
+        ranked.crossJoin(broadcast(kmax))
+          .select(col("type_a"), col("type_b"), col("rank").cast("int")
+              .as("rank"),
+            round(col("t"), 4).as("t"), round(col("pv"), 6).as("p_value"),
+            coalesce(col("rank") <= col("kmax"), lit(false)).as("sig_bh"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH g AS (SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+            CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+              * CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS sxx
+          FROM events GROUP BY 1),
+        m AS (SELECT event_type, n, CAST(sx AS DOUBLE) / n AS m,
+            (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+              AS v
+          FROM g),
+        pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+            (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t
+          FROM m a JOIN m b ON a.event_type < b.event_type),
+        pv AS (SELECT ta, tb, t,
+            (1.0 - ${normCdfSql("abs(t)")}) * 2.0 AS pv
+          FROM pr),
+        rk AS (SELECT ta, tb, t, pv,
+            row_number() OVER (ORDER BY pv, ta, tb) AS rank
+          FROM pv),
+        km AS (SELECT max(CASE WHEN pv * 200 <= rank THEN rank END)
+            AS kmax
+          FROM rk)
+        SELECT ta AS type_a, tb AS type_b, CAST(rank AS INT) AS rank,
+          round(t, 4) AS t, round(pv, 6) AS p_value,
+          coalesce(rank <= kmax, false) AS sig_bh
+        FROM rk CROSS JOIN km ORDER BY rank""")),
+
+    Q(
+      "stats_power_curve",
+      "Statistical power vs sample size \u2014 for the observed daily-" +
+        "conversion baseline and the 2% relative lift " +
+        "stats_sample_size targets, the detection probability at " +
+        "n \u2208 {10k, 50k, 100k, 500k} per arm: power = " +
+        "\u03a6(\u221an\u00b7\u0394/\u221a(p\u2081q\u2081+p\u2082q\u2082) \u2212 z_{\u03b1/2}) on the same portable " +
+        "normal-CDF polynomial as stats_bh_fdr. One distinct-count " +
+        "pass; the n grid explodes from a literal array; every " +
+        "float is a fixed-shape formula evaluated once per row.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_type"), col("user_id"),
+            dayofmonth(col("ts")).as("d"))
+        val a = ev.agg(
+          countDistinct(struct(col("user_id"), col("d"))).as("nu"),
+          countDistinct(when(col("event_type") === "purchase",
+            struct(col("user_id"), col("d")))).as("np"))
+        val p1 = col("np").cast("double") / col("nu")
+        val p2 = p1 * lit(1.02)
+        val sig = sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+        val base = a.select(p1.as("p1"), p2.as("p2"), sig.as("sig"))
+          .select(col("p1"), col("p2"), col("sig"),
+            explode(array(lit(10000), lit(50000), lit(100000),
+              lit(500000))).as("n"))
+        val z = (sqrt(col("n").cast("double")) * (col("p2") - col("p1"))
+          / col("sig")) - lit(1.959963985)
+        base.select(col("n"), round(col("p1"), 4).as("baseline"),
+            round(normCdf(z), 4).as("power"))
+          .orderBy("n")
+      },
+      Some(s"""WITH ev AS (SELECT event_type, user_id,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d FROM events),
+        a AS (SELECT count(DISTINCT (user_id, d)) AS nu,
+            count(DISTINCT CASE WHEN event_type = 'purchase'
+              THEN (user_id, d) END) AS np
+          FROM ev),
+        b AS (SELECT CAST(np AS DOUBLE) / nu AS p1,
+            CAST(np AS DOUBLE) / nu * 1.02 AS p2 FROM a),
+        c AS (SELECT p1, p2,
+            sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS sig,
+            unnest([10000, 50000, 100000, 500000]) AS n
+          FROM b),
+        zc AS (SELECT n, p1,
+            sqrt(CAST(n AS DOUBLE)) * (p2 - p1) / sig - 1.959963985 AS z
+          FROM c)
+        SELECT CAST(n AS INT) AS n, round(p1, 4) AS baseline,
+          round(${normCdfSql("z")}, 4) AS power
+        FROM zc ORDER BY n"""))
   )
 }
