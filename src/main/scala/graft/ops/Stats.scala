@@ -4029,6 +4029,137 @@ object Stats {
           FROM c)
         SELECT CAST(n AS INT) AS n, round(p1, 4) AS baseline,
           round(${normCdfSql("z")}, 4) AS power
-        FROM zc ORDER BY n"""))
+        FROM zc ORDER BY n""")),
+
+    Q(
+      "stats_median_ci",
+      "Distribution-free confidence interval for the median \u2014 the " +
+        "binomial order-statistic bracket (ranks (n \u00b1 z\u221an)/2 of the " +
+        "sorted sample contain the true median with ~95% coverage, " +
+        "NO normality assumption \u2014 the robust companion to the " +
+        "mean-based intervals everywhere else in the stats family). " +
+        "Per event type over the calendar-bounded daily series: " +
+        "sorted integer-cent arrays, rank arithmetic in identical " +
+        "float floor/ceil in both engines, doubled-middle median.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d").agg(sum("cents").as("y"))
+        val zc = lit(1.959963985)
+        val agg = daily.groupBy("event_type")
+          .agg(sort_array(collect_list("y")).as("arr"),
+            count(lit(1)).as("n"))
+        val nD = col("n").cast("double")
+        val loR = greatest(lit(1),
+          floor((nD - zc * sqrt(nD)) / 2).cast("int"))
+        val hiR = least(col("n").cast("int"),
+          (ceil((nD + zc * sqrt(nD)) / 2) + 1).cast("int"))
+        val m2 = element_at(col("arr"), floor((col("n") + 1) / 2).cast("int"))
+          .plus(element_at(col("arr"), (floor(col("n") / 2) + 1).cast("int")))
+        agg.select(col("event_type"), col("n").as("n_days"),
+            round(m2 / 2.0 / 100.0, 2).as("median"),
+            round(element_at(col("arr"), loR) / 100.0, 2).as("ci_lo"),
+            round(element_at(col("arr"), hiR) / 100.0, 2).as("ci_hi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, list_sort(list(y)) AS arr,
+            count(*) AS n
+          FROM daily GROUP BY 1),
+        r AS (SELECT event_type, arr, n, CAST(n AS DOUBLE) AS nd
+          FROM a)
+        SELECT event_type, n AS n_days,
+          round((arr[(n + 1) // 2] + arr[n // 2 + 1]) / 2.0 / 100.0, 2)
+            AS median,
+          round(arr[CAST(greatest(1,
+            floor((nd - 1.959963985 * sqrt(nd)) / 2)) AS INT)]
+            / 100.0, 2) AS ci_lo,
+          round(arr[CAST(least(CAST(n AS INT),
+            ceil((nd + 1.959963985 * sqrt(nd)) / 2) + 1) AS INT)]
+            / 100.0, 2) AS ci_hi
+        FROM r ORDER BY event_type""")),
+
+    Q(
+      "ts_seasonal_strength",
+      "Seasonal-strength score per event type \u2014 the share of " +
+        "detrended variance explained by the ISO-weekday pattern, " +
+        "max(0, 1 \u2212 Var(deseasonalized)/Var(detrended)) (the STL-" +
+        "style F_s statistic that says whether ts_dow_seasonal's " +
+        "indices are signal or noise). Reuses the exact-power-sum " +
+        "linear fit; residuals, weekday means, and both variances " +
+        "run through sorted folds over the calendar-bounded series " +
+        "\u2014 bit-stable at any parallelism.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .select(col("event_type"), dayofmonth(col("ts")).as("d"),
+            (weekday(col("ts")) + 1).as("dow"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("event_type", "d", "dow").agg(sum("cents").as("y"))
+        val fit = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("d").as("sx"), sum("y").as("sy"),
+            sum(col("d") * col("d")).as("sxx"),
+            sum(col("d") * col("y")).as("sxy"))
+          .select(col("event_type"),
+            ((col("n") * col("sxy") - col("sx").cast("double") * col("sy"))
+              / (col("n") * col("sxx")
+                - col("sx").cast("double") * col("sx"))).as("slope"),
+            col("sy").cast("double").as("syd"),
+            col("sx").cast("double").as("sxd"),
+            col("n").cast("double").as("nd"))
+          .select(col("event_type"), col("slope"),
+            ((col("syd") - col("slope") * col("sxd")) / col("nd"))
+              .as("icept"))
+        val resid = daily.join(broadcast(fit), "event_type")
+          .withColumn("r",
+            col("y") - (col("icept") + col("slope") * col("d")))
+        val seas = resid.groupBy("event_type", "dow")
+          .agg((sfold(col("r")) / count(lit(1))).as("sdow"))
+        val e = resid.join(broadcast(seas), Seq("event_type", "dow"))
+          .withColumn("e", col("r") - col("sdow"))
+        val vr = e.groupBy("event_type")
+          .agg(sfold(col("r") * col("r")).as("ssr"),
+            sfold(col("e") * col("e")).as("sse"),
+            count(lit(1)).as("n"))
+        vr.select(col("event_type"), col("n").as("n_days"),
+            round(greatest(lit(0.0),
+              lit(1.0) - col("sse") / col("ssr")), 4).as("seasonal_strength"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+            CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2, 3),
+        fit0 AS (SELECT event_type, count(*) AS n,
+            CAST(sum(d) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            sum(d * d) AS sxx, sum(d * y) AS sxy
+          FROM daily GROUP BY 1),
+        fit AS (SELECT event_type,
+            (n * sxy - CAST(sx AS DOUBLE) * sy)
+              / (n * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+            (CAST(sy AS DOUBLE) - ((n * sxy - CAST(sx AS DOUBLE) * sy)
+              / (n * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n AS icept
+          FROM fit0),
+        resid AS (SELECT daily.event_type, d, dow,
+            y - (icept + slope * d) AS r
+          FROM daily JOIN fit USING (event_type)),
+        seas AS (SELECT event_type, dow,
+            list_reduce(list_sort(list(r)), (a, b) -> a + b) / count(*)
+              AS sdow
+          FROM resid GROUP BY 1, 2),
+        e AS (SELECT resid.event_type, r, r - sdow AS e
+          FROM resid JOIN seas USING (event_type, dow)),
+        vr AS (SELECT event_type,
+            list_reduce(list_sort(list(r * r)), (a, b) -> a + b) AS ssr,
+            list_reduce(list_sort(list(e * e)), (a, b) -> a + b) AS sse,
+            count(*) AS n
+          FROM e GROUP BY 1)
+        SELECT event_type, n AS n_days,
+          round(greatest(0.0, 1.0 - sse / ssr), 4) AS seasonal_strength
+        FROM vr ORDER BY event_type"""))
   )
 }

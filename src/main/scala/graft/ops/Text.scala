@@ -1893,7 +1893,78 @@ object Text {
           round(CAST((SELECT CAST(sum(c) AS BIGINT) FROM top
               WHERE rk <= k) AS DOUBLE)
             / tc, 6) AS coverage
-        FROM ks CROSS JOIN tot ORDER BY k"""))
+        FROM ks CROSS JOIN tot ORDER BY k""")),
+
+    Q(
+      "text_cond_entropy",
+      "Conditional word entropy H(w|prev) = H(bigram) \u2212 H(prev-" +
+        "marginal) \u2014 the bits a first-order word LM still needs " +
+        "after seeing one token of context (the corpus-level " +
+        "compressibility/memorization dial; its gap below the " +
+        "unigram entropy is exactly text_pmi_bigrams' average " +
+        "mutual information). All three entropies reduce exact " +
+        "integer counts through sorted folds; one tokenize pass " +
+        "feeds every table; perplexity = 2^H rides along.",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .withColumnRenamed("col", "w")
+        val wn = Window.partitionBy("doc_id").orderBy("pos")
+        val pairs = tok
+          .withColumn("prev", lag(col("w"), 1).over(wn))
+          .filter(col("prev").isNotNull)
+          .select("prev", "w")
+        def ent(df: org.apache.spark.sql.DataFrame,
+            keys: Seq[String], outName: String) = {
+          val c = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+          val t = c.agg(sum("c").as("tc"))
+          val pcol = col("c").cast("double") / col("tc")
+          c.crossJoin(broadcast(t))
+            .select((pcol * log2(pcol) * -1.0).as("term"))
+            .agg(graft.ops.Stats.sfold(col("term")).as(outName))
+        }
+        val h2 = ent(pairs, Seq("prev", "w"), "h2")
+        val hp = ent(pairs.select("prev"), Seq("prev"), "hp")
+        val h1 = ent(tok.select("w"), Seq("w"), "h1")
+        h2.crossJoin(broadcast(hp)).crossJoin(broadcast(h1))
+          .select(round(col("h1"), 4).as("h_unigram"),
+            round(col("h2"), 4).as("h_bigram"),
+            round(col("h2") - col("hp"), 4).as("h_cond"),
+            round(pow(lit(2.0), col("h2") - col("hp")), 2)
+              .as("perplexity"))
+          .orderBy("h_unigram")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+            CAST(generate_subscripts(string_split(text, ' '), 1) AS INT)
+              AS pos
+          FROM documents),
+        pairs AS (
+          SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w
+          FROM tok QUALIFY prev IS NOT NULL),
+        c2 AS (SELECT prev, w, count(*) AS c FROM pairs GROUP BY 1, 2),
+        t2 AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM c2),
+        h2 AS (SELECT list_reduce(list_sort(list(
+            -(CAST(c AS DOUBLE) / tc) * log2(CAST(c AS DOUBLE) / tc))),
+            (a, b) -> a + b) AS h2
+          FROM c2 CROSS JOIN t2),
+        cp AS (SELECT prev, count(*) AS c FROM pairs GROUP BY 1),
+        tp AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM cp),
+        hp AS (SELECT list_reduce(list_sort(list(
+            -(CAST(c AS DOUBLE) / tc) * log2(CAST(c AS DOUBLE) / tc))),
+            (a, b) -> a + b) AS hp
+          FROM cp CROSS JOIN tp),
+        c1 AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        t1 AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM c1),
+        h1 AS (SELECT list_reduce(list_sort(list(
+            -(CAST(c AS DOUBLE) / tc) * log2(CAST(c AS DOUBLE) / tc))),
+            (a, b) -> a + b) AS h1
+          FROM c1 CROSS JOIN t1)
+        SELECT round(h1, 4) AS h_unigram, round(h2, 4) AS h_bigram,
+          round(h2 - hp, 4) AS h_cond,
+          round(pow(2.0, h2 - hp), 2) AS perplexity
+        FROM h2 CROSS JOIN hp CROSS JOIN h1
+        ORDER BY h_unigram"""))
   )
 
   /** Per-document unigram LM bits-per-token — (doc_id, n_tok,
