@@ -321,4 +321,125 @@ class Round10Spec extends SparkSpec {
       assert(h >= -1e-9 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-6)
     }
   }
+
+  test("scalar_haversine: three neighbors per origin, positive sorted distances") {
+    val rows = run("scalar_haversine").collect()
+    assert(rows.length == 25 * 3)
+    rows.groupBy(_.getAs[Long]("origin")).foreach { case (_, rs) =>
+      val ds = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("dist_km"))
+      assert(ds.forall(d => d > 0.0 && d <= 20037.6),
+        "distances inside the antipodal bound")
+      assert(ds.sameElements(ds.sorted), "rank must follow distance")
+    }
+  }
+
+  test("pipeline_leakage_audit: leaked families bounded by multi-doc families") {
+    val r = run("pipeline_leakage_audit").head()
+    val (fam, leak) = (r.getAs[Long]("n_families"), r.getAs[Long]("n_leaked"))
+    assert(leak <= fam)
+    val crossings = Seq("train_val", "train_test", "val_test")
+      .map(r.getAs[Long])
+    assert(crossings.forall(_ <= fam))
+    assert(leak <= crossings.sum, "every leaked family has >= 1 crossing")
+  }
+
+  test("dedup_quality_survivor: families have >= 2 members; survivor quality in (0,1]") {
+    val rows = run("dedup_quality_survivor").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 2)
+      val q = r.getAs[Double]("survivor_quality")
+      assert(q > 0.0 && q <= 1.0 + 1e-9)
+    }
+  }
+
+  test("ts_peak_concurrency: peak positive and bounded by interval count") {
+    val r = run("ts_peak_concurrency").head()
+    val peak = r.getAs[Long]("peak_concurrency")
+    val n = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(peak >= 1 && peak <= n)
+  }
+
+  test("stats_bh_fdr: p-values sorted by rank; BH cut is downward closed") {
+    val rows = run("stats_bh_fdr").collect().sortBy(_.getAs[Int]("rank"))
+    assert(rows.length == 10)
+    val ps = rows.map(_.getAs[Double]("p_value"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b + 1e-12 })
+    // significance is a prefix of the ranking (step-up property)
+    val sig = rows.map(_.getAs[Boolean]("sig_bh"))
+    assert(!sig.zip(sig.tail).exists { case (lo, hi) => !lo && hi },
+      "a non-significant rank can never precede a significant one")
+  }
+
+  test("stats_power_curve: power increases with n and exceeds alpha/2 tail") {
+    val rows = run("stats_power_curve").collect().sortBy(_.getAs[Int]("n"))
+    val pw = rows.map(_.getAs[Double]("power"))
+    assert(pw.zip(pw.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"power must be monotone in n: ${pw.mkString(",")}")
+    assert(pw.forall(p => p >= 0.0 && p <= 1.0))
+  }
+
+  test("stats_median_ci brackets the median per type") {
+    run("stats_median_ci").collect().foreach { r =>
+      val (m, lo, hi) = (r.getAs[Double]("median"),
+        r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= m && m <= hi, s"CI [$lo,$hi] must bracket median $m")
+    }
+  }
+
+  test("ts_seasonal_strength stays in [0,1]") {
+    run("ts_seasonal_strength").collect().foreach { r =>
+      val f = r.getAs[Double]("seasonal_strength")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("text_cond_entropy: context can only reduce entropy; perplexity consistent") {
+    val r = run("text_cond_entropy").head()
+    val (h1, h2, hc) = (r.getAs[Double]("h_unigram"),
+      r.getAs[Double]("h_bigram"), r.getAs[Double]("h_cond"))
+    assert(hc <= h1 + 1e-6, "conditioning can never increase entropy")
+    assert(h2 <= h1 * 2 + 1e-6, "joint entropy bounded by twice the marginal")
+    assert(hc >= -1e-9)
+    val ppl = r.getAs[Double]("perplexity")
+    assert(math.abs(ppl - math.pow(2.0, hc)) < 0.01 * ppl + 0.01)
+  }
+
+  test("sql_named_window: running revenue is per-nation monotone") {
+    val rows = run("sql_named_window").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("c_nationkey")).foreach { case (_, rs) =>
+      val run0 = rs.map(_.getAs[Double]("running_rev"))
+      assert(run0.zip(run0.tail).forall { case (a, b) => a <= b + 1e-6 })
+    }
+  }
+
+  test("dedup_source_overlap: jaccard <= containment <= 1") {
+    run("dedup_source_overlap").collect().foreach { r =>
+      val (j, c) = (r.getAs[Double]("jaccard"), r.getAs[Double]("containment"))
+      assert(j > 0.0 && j <= c + 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("ts_ess: effective sample size never exceeds n") {
+    run("ts_ess").collect().foreach { r =>
+      assert(r.getAs[Double]("ess") <= r.getAs[Long]("n_days") + 1e-6)
+      assert(r.getAs[Double]("ess") > 0.0)
+    }
+  }
+
+  test("mm_shard_manifest: shards conserve bytes and respect doc order") {
+    val rows = run("mm_shard_manifest").collect()
+      .sortBy(_.getAs[Long]("shard"))
+    val total = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(sum(length(col("text")))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("bytes")).sum == total)
+    // consecutive shards cover disjoint, increasing doc ranges
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_doc") <= b.getAs[Long]("first_doc"))
+      case _ =>
+    }
+  }
 }
