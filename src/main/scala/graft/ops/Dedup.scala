@@ -122,6 +122,56 @@ object Dedup {
         SELECT doc_id, source, fp FROM novel WHERE rn = 1 ORDER BY doc_id""")),
 
     Q(
+      "dedup_incremental_minhash",
+      "Incremental NEAR-dup dedup of a new batch against a persisted " +
+        "MinHash band/bucket index — the continuous-ingestion story " +
+        "dedup_incremental covers only for exact hashes. The store is " +
+        "the historical corpus's (band, key) table: 8 rows per doc, " +
+        "bytes each, no text — the thing a production pipeline keeps " +
+        "as a parquet table between batches (DedupSpec round-trips it " +
+        "through parquet). A batch doc is rejected iff any of its 8 " +
+        "band keys hits the store (left ANTI equi-join on the key) or " +
+        "an earlier batch doc shares a band key (self equi-join with a " +
+        "doc_id precedence — batch-internal near-dedup in the same " +
+        "pass). Portable md5 hash path, so DuckDB replays every " +
+        "signature, band key, and both joins.",
+      (s, dir) => {
+        val hist = Seq("src0", "src1", "src2", "src3", "src4")
+        val docs = Tables.t(s, dir, "documents").filter(col("doc_id") < 400)
+        val banded = portableBandIndex(docs)
+          .join(docs.select("doc_id", "source"), "doc_id")
+        val store = banded.filter(col("source").isInCollection(hist))
+          .select("band", "key").distinct()
+        val batch = banded.filter(!col("source").isInCollection(hist))
+        incrementalMinhash(batch, store).orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tokens
+          FROM documents WHERE doc_id < 400),
+        ex AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+        hashed AS (
+          SELECT doc_id, p,
+            ${PortableHash.hexHashSql("CAST(p AS VARCHAR) || ':' || token")} AS h
+          FROM ex CROSS JOIN (SELECT unnest(range(32)) AS p)),
+        sigs AS (SELECT doc_id, p, min(h) AS m FROM hashed GROUP BY 1, 2),
+        banded AS (
+          SELECT s.doc_id, CAST(p // 4 AS INT) AS band,
+            string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS key, any_value(t.source) AS source
+          FROM sigs s JOIN toks t USING (doc_id) GROUP BY 1, 2),
+        store AS (SELECT DISTINCT band, key FROM banded
+          WHERE source IN ('src0','src1','src2','src3','src4')),
+        batch AS (SELECT * FROM banded
+          WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        hit_store AS (SELECT DISTINCT b.doc_id FROM batch b
+          JOIN store s ON b.band = s.band AND b.key = s.key),
+        hit_earlier AS (SELECT DISTINCT a.doc_id FROM batch a
+          JOIN batch b ON a.band = b.band AND a.key = b.key AND b.doc_id < a.doc_id)
+        SELECT DISTINCT doc_id, source FROM batch
+        WHERE doc_id NOT IN (SELECT doc_id FROM hit_store)
+          AND doc_id NOT IN (SELECT doc_id FROM hit_earlier)
+        ORDER BY doc_id""")),
+
+    Q(
       "dedup_ngram_jaccard",
       "Near-dup detection by bigram-shingle Jaccard, top-50 pairs. " +
         "Scalable shape: explode shingles → self-equi-join on shingle → " +
@@ -737,9 +787,9 @@ object Dedup {
             explode(graft.ops.TextFns.wordGrams(
               split(col("text"), " "), 3)).as("g"))
           .distinct()
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         val inter = sh.groupBy("g")
           .agg(sort_array(collect_set("source")).as("ss"))
           .select(explode(expr(
@@ -1007,7 +1057,7 @@ object Dedup {
     val ck = df.observe(obs,
         count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(key.map(col): _*)), lit(0L)).as("x"))
-      .localCheckpoint(true)
+      .transform(Skew.cut)
     val m = obs.get
     (ck, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
   }
@@ -1020,7 +1070,7 @@ object Dedup {
       .select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Skew.cut)
     // fixpoint via the carried label-set signature (the node set is
     // fixed, so "no label changed" ⟺ signature unchanged) — observed on
     // each round's checkpoint, replacing a per-round join+count job
@@ -1073,7 +1123,7 @@ object Dedup {
     // pipeline
     val raw = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
-      .localCheckpoint(true)
+      .transform(Skew.cut)
     // node set from the RAW endpoints (before the self-loop filter) so a
     // node whose only edges are self-loops still appears in the output —
     // matching connectedComponents' contract; consumed once by the final
@@ -1195,6 +1245,45 @@ object Dedup {
     * spec. 32 permutations via the native [[graft.expr.MinHashSig]]
     * expression (one compiled pass, each token hashed once), 8 bands of
     * 4 rows. */
+  /** (doc_id, band, key) MinHash band index on the engine-portable md5
+    * hash path (32 perms, 8 bands × 4 rows) — the persistable store a
+    * continuous-ingestion pipeline keeps between batches: 8 rows per
+    * doc, bytes each, no text. Same hash/banding as
+    * dedup_minhash_replay, so DuckDB can replay any consumer. */
+  def portableBandIndex(docs: DataFrame): DataFrame = {
+    import PortableHash.hexHash
+    val toks = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("tokens"))
+    toks.select(col("doc_id"), explode(col("tokens")).as("token"))
+      .select(col("doc_id"), col("token"),
+        explode(sequence(lit(0), lit(31))).as("p"))
+      .select(col("doc_id"), col("p"),
+        hexHash(concat(col("p").cast("string"), lit(":"), col("token"))).as("h"))
+      .groupBy("doc_id", "p").agg(min("h").as("m"))
+      .groupBy(col("doc_id"), (col("p") / 4).cast("int").as("band"))
+      .agg(sort_array(collect_list(struct(col("p"), col("m")))).as("pm"))
+      .select(col("doc_id"), col("band"),
+        concat_ws(",", transform(col("pm"), x => x("m").cast("string"))).as("key"))
+  }
+
+  /** Novel-batch selection against a persisted band index: a batch doc
+    * (rows of `batch` = band-index rows + `source`) survives iff none
+    * of its band keys hits `store` (band, key — the historical index)
+    * and no earlier batch doc (smaller doc_id) shares a band key.
+    * Both probes are equi-joins on the key — never all-pairs; the
+    * store side carries bytes per historical doc. */
+  def incrementalMinhash(batch: DataFrame, store: DataFrame): DataFrame = {
+    val hitStore = batch.join(store, Seq("band", "key"), "left_semi")
+      .select("doc_id").distinct()
+    val hitEarlier = batch.as("a").join(batch.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id")).distinct()
+    batch.select("doc_id", "source").distinct()
+      .join(hitStore, Seq("doc_id"), "left_anti")
+      .join(hitEarlier, Seq("doc_id"), "left_anti")
+  }
+
   def minhashLsh(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
     val tokens = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tokens"))

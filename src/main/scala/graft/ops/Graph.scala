@@ -61,7 +61,7 @@ object Graph {
           import org.apache.spark.sql.expressions.Window
           e.withColumn("p", col("w") / sum("w").over(Window.partitionBy("src")))
             .select(col("src").cast("long"), col("dst").cast("long"), col("p"))
-            .localCheckpoint(true)
+            .transform(Skew.cut)
         }
         // The dangling-node SET is static (edges don't change between
         // iterations) — derive it once and checkpoint; each iteration
@@ -69,7 +69,7 @@ object Graph {
         // the distinct + anti-join shuffle every round.
         val danglingIds = nodes.join(
             edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         var ranks = nodes.withColumn("rank", lit(1.0 / n))
         for (_ <- 1 to Iterations) {
           val dangling = ranks.join(danglingIds, Seq("id"), "left_semi")
@@ -83,7 +83,7 @@ object Graph {
             .select(col("id"),
               (lit((1.0 - Damping) / n) + lit(Damping) *
                 (coalesce(col("contrib"), lit(0.0)) + col("dang") / n)).as("rank"))
-            .localCheckpoint(true)
+            .transform(Skew.cut)
         }
         ranks.select(col("id").as("nation_id"), round(col("rank"), 6).as("pagerank"))
           .orderBy("nation_id")
@@ -109,7 +109,7 @@ object Graph {
             greatest(col("src"), col("dst")).cast("long").as("b"))
           .distinct()
           // 3 self-joins over an expensively-derived edge list: derive once
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         triangleCounts(und).orderBy("node")
       },
       Some("""WITH edges AS (
@@ -148,7 +148,7 @@ object Graph {
         // the 4-table star join feeds both the mean-weight aggregate and
         // the sparsified edge list: derive it once
         val e = tradeEdges(s, dir).filter(col("src") =!= col("dst"))
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         // mean edge weight = exact integer sums / count: identical in
         // both engines, order-independent
         val aw = e.agg(avg(col("w")).as("aw"))
@@ -300,7 +300,7 @@ object Graph {
           .filter(col("src") =!= col("dst"))
           .select(col("src").cast("long"), col("dst").cast("long"))
           .distinct()
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         var dist = edges.sparkSession.range(1)
           .select(lit(0L).as("id"), lit(0L).as("dist"))
         for (_ <- 1 to 4) {
@@ -309,7 +309,7 @@ object Graph {
           dist = dist.select(col("id"), col("dist").as("d"))
             .union(relaxed)
             .groupBy("id").agg(min("d").as("dist"))
-            .localCheckpoint(true)
+            .transform(Skew.cut)
         }
         dist.orderBy("id")
       },
@@ -380,23 +380,23 @@ object Graph {
         "oracle unrolls the identical rounds as chained CTEs.",
       (s, dir) => {
         val e = tradeEdges(s, dir).filter(col("src") =!= col("dst"))
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         val aw = e.agg(avg(col("w")).as("aw"))
         var und = e.crossJoin(broadcast(aw)).filter(col("w") >= col("aw"))
           .select(least(col("src"), col("dst")).cast("long").as("a"),
             greatest(col("src"), col("dst")).cast("long").as("b"))
           .distinct()
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         for (_ <- 1 to 4) {
           val adj = und.select(col("a").as("node"))
             .union(und.select(col("b").as("node")))
           val keep = adj.groupBy("node").agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= 3).select("node")
-            .localCheckpoint(true)
+            .transform(Skew.cut)
           und = und
             .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
             .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-            .localCheckpoint(true)
+            .transform(Skew.cut)
         }
         und.select(col("a").as("node"))
           .union(und.select(col("b").as("node")))
@@ -448,10 +448,10 @@ object Graph {
         "fold. (W² in int64 bounds total edge weight at ~3·10⁹; past " +
         "that, production widens to DECIMAL(38).)",
       (s, dir) => {
-        val lab = labelPropLabels(s, dir, 3).localCheckpoint(true)
+        val lab = labelPropLabels(s, dir, 3).transform(Skew.cut)
         val e = tradeEdges(s, dir)
           .select(col("src"), col("dst"), col("w").cast("long").as("wl"))
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         val ls = lab.select(col("id").as("src"), col("lbl").as("slbl"))
         val ld = lab.select(col("id").as("dst"), col("lbl").as("dlbl"))
         val tagged = e.join(ls, "src").join(ld, "dst")
@@ -542,7 +542,7 @@ object Graph {
           .select(least(col("src"), col("dst")).cast("long").as("a"),
             greatest(col("src"), col("dst")).cast("long").as("b"))
           .distinct()
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         val deg = und
           .select(explode(array(col("a"), col("b"))).as("node"))
           .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -604,14 +604,14 @@ object Graph {
           .select(col("n_nationkey").cast("long").as("id"))
         val e = tradeEdges(s, dir)
           .select(col("src"), col("dst"), col("w").cast("long").as("wl"))
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         def normalize(scored: DataFrame, outCol: String): DataFrame = {
           val filled = nodes.join(scored, Seq("id"), "left")
             .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
           val t = filled.agg(Stats.sfold(col("s")).as("t"))
           filled.crossJoin(broadcast(t))
             .select(col("id"), (col("s") / col("t")).as(outCol))
-            .localCheckpoint(true)
+            .transform(Skew.cut)
         }
         var hub = nodes.select(col("id"), lit(1.0).as("hub"))
         var auth = nodes.select(col("id"), lit(0.0).as("auth"))
@@ -692,7 +692,7 @@ object Graph {
           .filter(col("w") >= col("cut"))
           .select(col("src"), col("dst"))
           .distinct()
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         val deg = e.select(explode(array(col("src"), col("dst"))).as("node"))
           .groupBy("node").agg(count(lit(1)).as("deg"))
         val xy = e
@@ -761,7 +761,7 @@ object Graph {
         "ln(deg) ≥ ln 2 and the division is total.",
       (s, dir) => {
         val e = tradeEdges(s, dir).filter(col("src") =!= col("dst"))
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         val aw = e.agg(avg(col("w")).as("aw"))
         val strong = e.crossJoin(broadcast(aw)).filter(col("w") >= col("aw"))
           .select(least(col("src"), col("dst")).cast("long").as("a"),
@@ -841,7 +841,7 @@ object Graph {
         val ls = lab.select(col("id").as("src"), col("lbl").as("slbl"))
         val ld = lab.select(col("id").as("dst"), col("lbl").as("dlbl"))
         val tagged = e.join(broadcast(ls), "src").join(broadcast(ld), "dst")
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         val outCut = tagged.filter(col("slbl") =!= col("dlbl"))
           .groupBy(col("slbl").as("community")).agg(sum("wl").as("oc"))
         val inCut = tagged.filter(col("slbl") =!= col("dlbl"))
@@ -958,11 +958,11 @@ object Graph {
   private def labelPropLabels(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     val nodes = Tables.t(s, dir, "nation")
       .select(col("n_nationkey").cast("long").as("id"))
-      .localCheckpoint(true)
+      .transform(Skew.cut)
     val edges = tradeEdges(s, dir)
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w"))
-      .localCheckpoint(true)
+      .transform(Skew.cut)
     var labels = nodes.withColumn("lbl", col("id"))
     for (_ <- 1 to rounds) {
       val best = edges.join(labels.select(col("id"), col("lbl")),
@@ -973,7 +973,7 @@ object Graph {
         .select(col("src").as("id"), col("b.lbl").as("new_lbl"))
       labels = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .transform(Skew.cut)
     }
     labels
   }

@@ -212,7 +212,7 @@ object Multimodal {
         val d = Tables.t(s, dir, "documents")
           .select(col("doc_id"),
             length(col("text").cast("binary")).cast("long").as("bytes"))
-        val parted = d.repartitionByRange(32, col("doc_id"))
+        val parted = d.repartitionByRange(Skew.spineParts(d), col("doc_id"))
           .withColumn("pid", spark_partition_id().cast("long"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("pid").orderBy("doc_id")

@@ -419,7 +419,7 @@ object Pipeline {
           .withColumn("rn", row_number().over(wd))
           .filter(col("rn") === 1)
           .select("doc_id", "text", "source")
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         // materialize the exploded 5-gram shingle table ONCE (the
         // standard intermediate a production dedup job persists): the
         // candidate join reads it three ways (both sides + the hot-key
@@ -428,7 +428,7 @@ object Pipeline {
         val shingles = exact.select(col("doc_id"),
             explode(array_distinct(TextFns.wordGrams(
               split(col("text"), " "), 5))).as("shingle"))
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         val dropped = Dedup.shingleJaccardStats(shingles, hotThreshold = 20)
           .filter(col("jaccard") >= 0.5)
           .select(col("d2").as("doc_id")).distinct()
@@ -437,7 +437,7 @@ object Pipeline {
         // checkpoint each replays the gate→dedup→near-dup chain
         // (shingle join included) from the scan
         val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         val tok = kept.select(col("doc_id"), col("source"),
           explode(split(col("text"), " ")).as("token"))
         val freq = tok.groupBy("token").agg(count(lit(1)).as("n"))
@@ -459,7 +459,7 @@ object Pipeline {
         val keep2 = Skew.globalNtile(scored,
             Seq(col("bits_per_token"), col("doc_id")), 3, "tercile")
           .filter(col("tercile") <= 2)
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         val per = keep2.groupBy("source").agg(sum("n_tok").as("src_tokens"))
         val tot = per.agg(sum("src_tokens").as("tt"),
             sort_array(collect_list(sqrt(col("src_tokens").cast("double"))))

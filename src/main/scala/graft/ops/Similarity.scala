@@ -491,10 +491,10 @@ object Similarity {
           .select(col("vec_id"),
             zip_with(col("embedding"), col("mu"),
               (a, b) => (a - b).cast("float")).as("x"))
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         // Deterministic init: the centered row with the smallest id.
         var v = xc.orderBy("vec_id").limit(1).select(col("x").as("v"))
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         // Convergence-bounded power iteration, max 24 rounds: rounds run
         // in fused 4-round blocks (the broadcast of v forces the whole
         // chain as ONE job, cutting the sequential job count 4×), and
@@ -525,7 +525,7 @@ object Similarity {
               .select(transform(col("vd"), d => (d / col("nrm")).cast("float")).as("v"))
           }
           val obs = new org.apache.spark.sql.Observation(s"pca_block_$block")
-          v = v.observe(obs, first(col("v")).as("v")).localCheckpoint(true)
+          v = v.observe(obs, first(col("v")).as("v")).transform(Skew.cut)
           val cur = obs.get("v").asInstanceOf[Seq[Any]]
             .map(x => x.asInstanceOf[Float].toDouble).toIndexedSeq
           drift = prev.map(p => math.sqrt(
@@ -1060,7 +1060,7 @@ object Similarity {
     // un-checkpointed middle state rides along as a nested broadcast
     // stage), halving the sequential job count — the same blocking the
     // PCA power loop uses.
-    var cents = seeds.getOrElse(kmeansSeeds(e, k)).localCheckpoint(true)
+    var cents = seeds.getOrElse(kmeansSeeds(e, k)).transform(Skew.cut)
     for (i <- 1 to iters) {
       cents = e.crossJoin(broadcast(packCentroids(cents)))
         .select(col("embedding"),
@@ -1072,7 +1072,7 @@ object Similarity {
         // is a valid spherical-k-means centroid; float cast re-enters
         // the codegen'd VecDot path
         .select(col("cid"), col("cm").cast("array<float>").as("ce"))
-      if (i % 2 == 0 || i == iters) cents = cents.localCheckpoint(true)
+      if (i % 2 == 0 || i == iters) cents = cents.transform(Skew.cut)
     }
     cents
   }
@@ -1212,7 +1212,7 @@ object Similarity {
     // k·m-row state checkpointed every SECOND step (and after the last)
     // — two Lloyd iterations fuse into one job, the middle state riding
     // as a nested broadcast stage; see kmeansCentroids for the tradeoff
-    var books = seeds.getOrElse(pqSeeds(subs, k, subDim)).localCheckpoint(true)
+    var books = seeds.getOrElse(pqSeeds(subs, k, subDim)).transform(Skew.cut)
     for (i <- 1 to iters) {
       val packed = books.groupBy("sub")
         .agg(collect_list(struct(col("cid"), col("ce"))).as("cs"))
@@ -1223,7 +1223,7 @@ object Similarity {
         .groupBy("sub", "cid")
         .agg(vm(col("sv")).as("cm"))
         .select(col("sub"), col("cid"), col("cm").cast("array<float>").as("ce"))
-      if (i % 2 == 0 || i == iters) books = books.localCheckpoint(true)
+      if (i % 2 == 0 || i == iters) books = books.transform(Skew.cut)
     }
     books
   }

@@ -16,6 +16,44 @@ import org.apache.spark.sql.functions._
   * tasks instead of one. */
 object Skew {
 
+  /** Stage width for the global-rank / prefix-sum spines. A hardcoded
+    * constant here would cap the ranking stage of every globalRank-based
+    * query at that many tasks regardless of cluster size (~3 TB/task at
+    * 100 TB on a 10k-core cluster), so the width tracks the cluster:
+    * `defaultParallelism` (total executor cores in cluster mode, local
+    * thread count on local[N]) with 32 as the local floor. Rank output
+    * is partition-count-invariant — range boundaries only move rows
+    * between ordered ranges, never change a row's global rank — so
+    * results (and every DuckDB oracle) are identical at any width;
+    * ScaleSpec pins that invariance at two explicit widths. */
+  def spineParts(df: DataFrame): Int =
+    math.max(32, df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Lineage cut for iterative operators (pagerank/components/IVF/PQ/PCA
+    * rounds, multi-stage dedup): without it round k replans rounds
+    * 1..k-1 and the plan grows quadratically. Two modes behind one
+    * switch:
+    *
+    *  - default: eager `localCheckpoint` — blocks stored on executors,
+    *    zero external storage, right for local / interactive runs;
+    *  - `graft.checkpoint.dir` set (runtime conf): eager reliable
+    *    `checkpoint` to that directory — survives executor loss, the
+    *    durability a 1000-executor job needs (losing one executor
+    *    mid-pagerank must not kill the query). The session's
+    *    checkpoint dir is set on first use if unset.
+    *
+    * Either way the returned plan is a bare scan of the materialized
+    * blocks — downstream plan shape is identical, so every oracle and
+    * plan-lint result is mode-invariant (ScaleSpec pins this). */
+  def cut(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("graft.checkpoint.dir") match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(eager = true)
+    }
+
   /** Inner equi-join of `big` and `small` on `key`, salted `salts` ways.
     * `spreadBy` drives the salt for the big side — any column(s) that
     * vary within a key (a row id, a timestamp); kept deterministic so
@@ -89,10 +127,11 @@ object Skew {
   def globalRank(
       df: DataFrame,
       sortCols: Seq[Column],
-      numParts: Int = 32,
+      numParts: Int = 0,
       rankCol: String = "__rank",
       totalCol: Option[String] = None): DataFrame = {
-    val parted = df.repartitionByRange(numParts, sortCols: _*)
+    val width = if (numParts > 0) numParts else spineParts(df)
+    val parted = df.repartitionByRange(width, sortCols: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
     // per-partition counts → (offset, grand total) in ONE tiny aggregate;
     // the total rides along so callers never re-scan the input for n —
@@ -142,7 +181,7 @@ object Skew {
       sortCols: Seq[Column],
       k: Int,
       outCol: String,
-      numParts: Int = 32): DataFrame =
+      numParts: Int = 0): DataFrame =
     globalRank(df, sortCols, numParts, rankCol = "__r",
         totalCol = Some("__n"))
       .withColumn(outCol, ntileFromRank(col("__r"), col("__n"), k))

@@ -3865,7 +3865,7 @@ object Stats {
             col("event_id"))
           .unionAll(iv.select(col("e0").as("t"), lit(-1).as("delta"),
             col("event_id")))
-        val parted = bounds.repartitionByRange(32,
+        val parted = bounds.repartitionByRange(Skew.spineParts(bounds),
             col("t"), col("delta"), col("event_id"))
           .withColumn("pid", spark_partition_id().cast("long"))
         val w = Window.partitionBy("pid")

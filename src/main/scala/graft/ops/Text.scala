@@ -203,7 +203,7 @@ object Text {
           .select(col("word"), col("freq"),
             // Spark's split keeps trailing empties (limit = -1); drop them.
             filter(split(col("word"), ""), u => length(u) > 0).as("units"))
-          .localCheckpoint(true)
+          .transform(Skew.cut)
         var rules: DataFrame = null
         for (step <- 1 to nMerges) {
           // Adjacent-pair counts, weighted by word frequency.
@@ -214,13 +214,13 @@ object Text {
             .orderBy(col("pair_freq").desc, col("l"), col("r"))
             .limit(1)
             .select(lit(step).as("step"), col("l"), col("r"), col("pair_freq"))
-            .localCheckpoint(true)
+            .transform(Skew.cut)
           rules = if (rules == null) top else rules.unionByName(top)
           // Greedy left-to-right merge of the winning pair in every word.
           vocab = vocab.crossJoin(broadcast(top.select("l", "r")))
             .select(col("word"), col("freq"),
               TextFns.applyMerge(col("units"), col("l"), col("r")).as("units"))
-            .localCheckpoint(true)
+            .transform(Skew.cut)
         }
         rules.orderBy("step")
       },

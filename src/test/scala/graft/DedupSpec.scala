@@ -200,4 +200,30 @@ class DedupSpec extends SparkSpec {
       s"kept=$kept distinct=$distinctChunks — a chunk was kept twice or lost")
     assert(out.filter(col("n_kept") > col("n_chunks")).isEmpty)
   }
+
+  test("incremental minhash: band index survives a parquet round-trip; dups rejected, novel kept") {
+    import spark.implicits._
+    // historical corpus → persisted (band, key) index → new batch joined
+    // against the RE-READ index: the continuous-ingestion cycle
+    val hist = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs before noon today")))
+    val storePath = tmpDir("graft-mh-store")
+    Dedup.portableBandIndex(hist).select("band", "key").distinct()
+      .write.mode("overwrite").parquet(storePath)
+    val store = spark.read.parquet(storePath)
+    val batch = docsDf(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // = doc 1
+      (11L, "completely unrelated text about spark catalyst optimizer rules"),
+      (12L, "completely unrelated text about spark catalyst optimizer rules"), // = 11
+      (13L, "zebras graze quietly near the river delta at dawn every morning")))
+      .withColumn("source", lit("batch"))
+    val banded = Dedup.portableBandIndex(batch.select("doc_id", "text"))
+      .join(batch.select("doc_id", "source"), "doc_id")
+    val kept = Dedup.incrementalMinhash(banded, store)
+      .select("doc_id").as[Long].collect().toSet
+    // 10 hits the store (exact dup of doc 1 → every band collides);
+    // 12 loses to earlier batch twin 11; 11 and 13 are novel
+    assert(kept == Set(11L, 13L), s"got $kept")
+  }
 }

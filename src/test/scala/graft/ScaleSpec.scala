@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.Metrics
-import graft.ops.Skew
+import graft.ops.{Dedup, Skew}
 import org.apache.spark.sql.functions._
 
 /** Scale-posture checks the judge can't see from query results: filters
@@ -256,6 +256,51 @@ class ScaleSpec extends SparkSpec {
     assert(qe.sparkPlan.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     }.isEmpty, "globalNtile must not plan an unpartitioned window")
+  }
+
+  test("globalRank output is invariant to the spine width; default tracks the cluster") {
+    import spark.implicits._
+    // the rank-stage width must scale with the cluster (a hardcoded 32
+    // would cap every ranking stage at 32 tasks on a 10k-core cluster),
+    // and ranks must be identical at ANY width: range boundaries only
+    // move rows between ordered ranges, never change a row's global rank
+    assert(Skew.spineParts(spark.range(1).toDF()) ==
+      math.max(32, spark.sparkContext.defaultParallelism))
+    val df = (1 to 1000).map(i => ((i * 7919) % 1000L, i.toLong)).toDF("v", "id")
+    def ranks(w: Int): Map[Long, Long] =
+      Skew.globalRank(df, Seq(col("v"), col("id")), numParts = w)
+        .select("id", "__rank").as[(Long, Long)].collect().toMap
+    val narrow = ranks(3)
+    val wide = ranks(41)
+    val auto = Skew.globalRank(df, Seq(col("v"), col("id")))
+      .select("id", "__rank").as[(Long, Long)].collect().toMap
+    assert(narrow == wide, "rank changed with spine width")
+    assert(auto == wide, "default-width rank diverged")
+  }
+
+  test("Skew.cut switches to reliable checkpoint when graft.checkpoint.dir is set") {
+    import spark.implicits._
+    // default mode: executor-local blocks, no external storage
+    val local = Skew.cut(spark.range(10).toDF())
+    assert(local.count() == 10)
+    // durable mode: same results, blocks written under the configured dir
+    // (the fault-tolerance posture a 1000-executor run needs — losing an
+    // executor mid-iteration must not kill the query)
+    val dir = tmpDir("graft-ckpt")
+    spark.conf.set("graft.checkpoint.dir", dir)
+    try {
+      val durable = Skew.cut((1 to 10).map(i => (i.toLong, i * 2L)).toDF("a", "b"))
+      assert(durable.as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+        (1 to 10).map(i => (i.toLong, i * 2L)))
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable checkpoint wrote nothing under graft.checkpoint.dir")
+      // an iterative operator runs identically in durable mode
+      val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+      val comps = Dedup.connectedComponents(edges)
+        .select("node", "component").as[(Long, Long)].collect().toMap
+      assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    } finally spark.conf.unset("graft.checkpoint.dir")
   }
 
   test("salted join equals plain join and spreads the hot key") {
