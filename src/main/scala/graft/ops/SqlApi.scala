@@ -391,6 +391,135 @@ object SqlApi {
            WINDOW w AS (PARTITION BY c_nationkey ORDER BY o_orderdate),
              w2 AS (PARTITION BY c_nationkey ORDER BY o_orderdate
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           ORDER BY c_nationkey, o_orderdate"""))
+           ORDER BY c_nationkey, o_orderdate""")),
+
+    Q(
+      "sql_shipping_priority",
+      "TPC-H Q3 (shipping priority): segment-filtered customer × " +
+        "date-bracketed orders × lineitem, revenue per open order, " +
+        "top 10 — the canonical 3-way join + top-k plan-audit shape. " +
+        "Both date filters push to their scans, both dims broadcast, " +
+        "and the LIMIT plans as TakeOrderedAndProject (per-partition " +
+        "heaps), never a global sort. Revenue in exact cents so the " +
+        "sum is order-independent and bit-identical across engines.",
+      (s, dir) => withViews(s, dir, "customer", "orders", "lineitem")(
+        """SELECT l_orderkey,
+             round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) / 1e2, 2) AS revenue,
+             o_orderdate, o_orderpriority
+           FROM customer
+           JOIN orders   ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < DATE '1998-03-15'
+             AND l_shipdate > DATE '1998-03-15'
+           GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           ORDER BY revenue DESC, o_orderdate, l_orderkey
+           LIMIT 10"""),
+      Some("""SELECT l_orderkey,
+          round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+            AS BIGINT)) AS BIGINT) / 1e2, 2) AS revenue,
+          o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1998-03-15'
+          AND l_shipdate > DATE '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10""")),
+
+    Q(
+      "sql_local_supplier_volume",
+      "TPC-H Q5 (local-supplier volume): the 6-way join whose " +
+        "supplier⋈customer nation equality CLOSES A CYCLE in the join " +
+        "graph — the join-order stress sql_revenue_by_nation's pure " +
+        "star shape can't exercise. Catalyst must pick an order where " +
+        "the cycle edge becomes a cheap residual on an already-joined " +
+        "pair, with nation/region/supplier broadcast; revenue in exact " +
+        "cents for engine-portable sums.",
+      (s, dir) => withViews(s, dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region")(
+        """SELECT n_name,
+             round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) / 1e2, 2) AS revenue
+           FROM customer
+           JOIN orders   ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           JOIN nation   ON s_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'
+             AND o_orderdate >= DATE '1996-01-01'
+             AND o_orderdate < DATE '1998-01-01'
+           GROUP BY n_name
+           ORDER BY revenue DESC, n_name"""),
+      Some("""SELECT n_name,
+          round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+            AS BIGINT)) AS BIGINT) / 1e2, 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")),
+
+    Q(
+      "sql_waiting_suppliers",
+      "TPC-H Q21 shape (waiting suppliers): the semi + anti DOUBLE " +
+        "correlation on the same fact table — suppliers in ASIA whose " +
+        "returned ('R') lineitem sits in a finished multi-supplier " +
+        "order where EXISTS another supplier's line but NOT EXISTS " +
+        "another supplier's returned line. (The fixtures carry no " +
+        "commit/receipt dates, so l_returnflag = 'R' stands in for the " +
+        "late-delivery predicate; the decorrelation stress — one " +
+        "LeftSemi plus one LeftAnti against self-correlated lineitem — " +
+        "is the point.) Top 20 blocked suppliers by wait count.",
+      (s, dir) => withViews(s, dir,
+        "supplier", "lineitem", "orders", "nation", "region")(
+        """SELECT s_name, count(*) AS numwait
+           FROM supplier
+           JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+           JOIN orders   ON o_orderkey = l1.l_orderkey
+           JOIN nation   ON s_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+           WHERE o_orderstatus = 'F'
+             AND l1.l_returnflag = 'R'
+             AND r_name = 'ASIA'
+             AND EXISTS (SELECT 1 FROM lineitem l2
+               WHERE l2.l_orderkey = l1.l_orderkey
+                 AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM lineitem l3
+               WHERE l3.l_orderkey = l1.l_orderkey
+                 AND l3.l_suppkey <> l1.l_suppkey
+                 AND l3.l_returnflag = 'R')
+           GROUP BY s_name
+           ORDER BY numwait DESC, s_name
+           LIMIT 20"""),
+      Some("""SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders   ON o_orderkey = l1.l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND r_name = 'ASIA'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20"""))
   )
 }

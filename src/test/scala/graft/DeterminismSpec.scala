@@ -110,6 +110,49 @@ class DeterminismSpec extends SparkSpec {
         "use a sorted fold (sort_array+aggregate ≡ list_sort+list_reduce) or coarser rounding")
   }
 
+  test("plan lint: collect_list aggregates only over bounded inputs") {
+    // The sorted-fold determinism pattern (sfold = aggregate over
+    // sort_array(collect_list(...))) materializes each group as an
+    // in-memory array — safe over bounded groups (per-doc tokens,
+    // per-dimension stats, per-partition totals), an OOM at 100 TB if a
+    // future operator ever points it at an unbounded one. Structural
+    // floor: a GLOBAL collect_list (no grouping) must sit above another
+    // aggregate or a limit, so its input row count is bounded by a
+    // group-key cardinality (the numPartitions-row prefix-sum spines,
+    // 1-row packed broadcasts) rather than the corpus. Grouped collects
+    // are per-group bounded by their key (doc_id / dimension) — the
+    // audit VERDICT r10 walked; new global collects over raw scans fail
+    // here.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, LogicalPlan}
+    // Audited exceptions: these pack the ≤K-row IVF/prune centroid book,
+    // selected by a key-range filter (vec_id < K on a unique key) the
+    // structural check can't prove bounded. Exact set — a new query
+    // landing here must be audited and listed, not silently accepted.
+    val auditedBoundedCollects = Set(
+      "sim_ann_ivf", "sim_ivf_assign", "sim_cluster_prune", "sim_ivf_balance")
+    def hasBoundedSource(p: LogicalPlan): Boolean =
+      p.isInstanceOf[Aggregate] || p.isInstanceOf[GlobalLimit] ||
+        p.isInstanceOf[Deduplicate] || p.children.exists(hasBoundedSource)
+    def collectsList(a: Aggregate): Boolean =
+      a.aggregateExpressions.exists(_.exists {
+        case ae: AggregateExpression => ae.aggregateFunction.isInstanceOf[CollectList]
+        case _ => false
+      })
+    val offenders = SparkEntry.all
+      .filterNot(q => auditedBoundedCollects.contains(q.name))
+      .flatMap { q =>
+        val plan = q.fn(spark, sfDir).queryExecution.analyzed
+        val bad = plan.collect {
+          case a: Aggregate if a.groupingExpressions.isEmpty && collectsList(a) &&
+            !a.children.exists(hasBoundedSource) => a
+        }
+        if (bad.nonEmpty) Seq(q.name) else Nil
+      }.distinct
+    assert(offenders.isEmpty,
+      s"global collect_list over an unbounded input in: ${offenders.mkString(", ")} — " +
+        "aggregate/limit the input first (prefix-sum spine, packed broadcast) or group by a bounded key")
+  }
+
   /** Identifiers known to be DOUBLE in the test tables / oracle CTEs —
     * DuckDB sum(DOUBLE) stays DOUBLE, no widening. */
   private val doubleSumIdents = Set(

@@ -278,6 +278,24 @@ class ScaleSpec extends SparkSpec {
     assert(auto == wide, "default-width rank diverged")
   }
 
+  test("TPC-H Q3/Q5/Q21 shapes: broadcast dims, top-k heaps, decorrelated semi/anti") {
+    // Q3: 3-way join + top-k — dims broadcast at this SF, LIMIT plans as
+    // TakeOrderedAndProject (per-partition heaps), never a global sort
+    val q3 = planOf("sql_shipping_priority")
+    assert(q3.contains("BroadcastHashJoin") && q3.contains("TakeOrderedAndProject"))
+    assert(!q3.contains("CartesianProduct"))
+    // Q5: the supplier⋈customer nation cycle must fold into hash joins —
+    // a bad join order here degenerates to a cross product
+    val q5 = planOf("sql_local_supplier_volume")
+    assert(q5.contains("BroadcastHashJoin"))
+    assert(!q5.contains("CartesianProduct") && !q5.contains("NestedLoop"))
+    // Q21: EXISTS/NOT EXISTS decorrelate to one LeftSemi + one LeftAnti
+    // equi-join on l_orderkey — never a per-row subquery or nested loop
+    val q21 = planOf("sql_waiting_suppliers")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"))
+    assert(!q21.contains("NestedLoop") && !q21.contains("CartesianProduct"))
+  }
+
   test("Skew.cut switches to reliable checkpoint when graft.checkpoint.dir is set") {
     import spark.implicits._
     // default mode: executor-local blocks, no external storage
