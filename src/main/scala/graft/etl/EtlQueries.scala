@@ -15,6 +15,42 @@ object EtlQueries {
 
   def defs: Seq[Q] = Seq(
     Q(
+      "etl_orc_sink_roundtrip",
+      "End-to-end exercise of a SECOND sink format (A12 generalized " +
+        "beyond parquet): orders flow through a partitioned zstd ORC " +
+        "sink (partitionBy order year — the same layout the parquet " +
+        "exporter routes) into a per-fixture temp dir, and the RESULT " +
+        "is an aggregation over what the sink persisted, read back " +
+        "through the ORC source with its partition column recovered " +
+        "from directory names. The oracle computes the same aggregate " +
+        "straight from the parquet source table, so any row, value, " +
+        "or partition-key corruption through the write/layout/read " +
+        "path is a hash mismatch. Money sums in exact cents (ORC " +
+        "round-trips doubles bit-exactly; the cents cast keeps the " +
+        "SUM order-independent).",
+      (s, dir) => {
+        val out = new java.io.File(
+          new java.io.File(System.getProperty("java.io.tmpdir"), "graft_orc_sink"),
+          Integer.toHexString(dir.hashCode)).getPath
+        Tables.t(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+          .write.mode("overwrite").option("compression", "zstd")
+          .partitionBy("o_year").orc(out)
+        s.read.orc(out)
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"),
+            countDistinct(col("o_custkey")).as("n_custs"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total,
+          count(DISTINCT o_custkey) AS n_custs
+        FROM orders GROUP BY 1 ORDER BY o_year""")),
+
+    Q(
       "etl_backfill_plan",
       "Backfill/completeness audit over the partition grid: for each " +
         "nation, how many of the calendar months between the global " +

@@ -172,6 +172,44 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState survives a kill-and-restart from checkpoint exactly-once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the failure mode a real pipeline meets weekly: the driver dies
+    // mid-stream and the query restarts from its checkpoint — RocksDB
+    // state (running totals) must be recovered, committed batches must
+    // not re-emit, and the next batch must fold into the OLD state
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cp = tmpDir("graft-tws-cp")
+      val in = MemoryStream[Event]
+      def start(sink: java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]) =
+        StreamOps.runningTotals(spark, in.toDS())
+          .writeStream.option("checkpointLocation", cp).outputMode("update")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[StreamOps.UserTotals], _: Long) =>
+              batch.collect().foreach(t => sink.add((t.user_id, t.n_events, t.total_value)))
+          }.start()
+      val run1 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+      val q1 = start(run1)
+      in.addData(Event(1, ts(0), 1, "view", 1.5), Event(2, ts(1), 1, "view", 2.5))
+      q1.processAllAvailable()
+      q1.stop() // kill
+      assert(run1.contains((1L, 2L, 4.0)), s"pre-kill totals wrong: $run1")
+      val run2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+      val q2 = start(run2)
+      in.addData(Event(3, ts(2), 1, "view", 4.0))
+      q2.processAllAvailable()
+      q2.stop()
+      val resumed = run2.toArray(Array.empty[(Long, Long, Double)]).toSeq
+      assert(resumed.contains((1L, 3L, 8.0)),
+        s"restart lost the pre-kill RocksDB state: $resumed")
+      assert(resumed.size == 1,
+        s"restart re-emitted committed batches (not exactly-once): $resumed")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState event-time timers close idle sessions") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
