@@ -29,6 +29,36 @@ object Features {
   def defs: Seq[Q] = Seq(
 
     Q(
+      "feat_rank_uniform",
+      "Quantile (rank-uniform) feature transform: each part's retail " +
+        "price mapped to (rank − 1)/(n − 1) ∈ [0, 1] under the total " +
+        "order (price, partkey) — the outlier-immune alternative to " +
+        "min-max scaling (feat_standardize) whose output distribution " +
+        "is uniform by construction. Rides Skew.globalRank: range " +
+        "exchange + partition-local window + broadcast prefix " +
+        "offsets, with n carried on the same pass — no unpartitioned " +
+        "window, no second scan for the count, stage width tracking " +
+        "the cluster.",
+      (s, dir) => {
+        val p = Tables.t(s, dir, "part")
+          .select(col("p_partkey"), col("p_retailprice"))
+        Skew.globalRank(p, Seq(col("p_retailprice"), col("p_partkey")),
+            rankCol = "rk", totalCol = Some("n"))
+          .select(col("p_partkey"), col("p_retailprice"),
+            round((col("rk") - 1).cast("double")
+              / (col("n") - 1).cast("double"), 6).as("u"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH r AS (
+          SELECT p_partkey, p_retailprice,
+            row_number() OVER (ORDER BY p_retailprice, p_partkey) AS rk,
+            count(*) OVER () AS n
+          FROM part)
+        SELECT p_partkey, p_retailprice,
+          round(CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS u
+        FROM r ORDER BY p_partkey""")),
+
+    Q(
       "feat_standardize",
       "Per-brand z-score + global min-max scaling of part retail price. " +
         "Group stats computed as a 25-row aggregate and broadcast-joined " +

@@ -336,6 +336,80 @@ object Graph {
       }),
 
     Q(
+      "graph_harmonic_centrality",
+      "Harmonic centrality over the directed trade graph: h(v) = " +
+        "Σ 1/d(u, v) over all nodes u reaching v within 4 hops — the " +
+        "centrality that stays finite on disconnected graphs where " +
+        "classic closeness degenerates. Multi-source BFS as the same " +
+        "unrolled min-distance relaxation graph_shortest_path runs " +
+        "from one source, keyed (origin, node) — per round one " +
+        "node-keyed equi-join + map-side-combinable MIN, the " +
+        "bulk-synchronous shape that batches any number of sources " +
+        "at scale. The harmonic sum folds per-distance COUNTS in a " +
+        "fixed 4-term expression (c1 + c2/2 + c3/3 + c4/4) from " +
+        "exact integers — no float-order sensitivity.",
+      (s, dir) => {
+        val edges = tradeEdges(s, dir)
+          .filter(col("src") =!= col("dst"))
+          .select(col("src").cast("long"), col("dst").cast("long"))
+          .distinct()
+          .transform(Skew.cut)
+        val nodes = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id"))).distinct()
+        var dist = nodes.select(col("id").as("o"), col("id"), lit(0L).as("dist"))
+        for (_ <- 1 to 4) {
+          val relaxed = dist.join(edges, dist("id") === edges("src"))
+            .select(col("o"), col("dst").as("id"), (col("dist") + 1).as("d"))
+          dist = dist.select(col("o"), col("id"), col("dist").as("d"))
+            .union(relaxed)
+            .groupBy("o", "id").agg(min("d").as("dist"))
+            .transform(Skew.cut)
+        }
+        dist.filter(col("o") =!= col("id"))
+          .groupBy("id").agg(
+            count(lit(1)).as("n_reach"),
+            count(when(col("dist") === 1, 1)).as("c1"),
+            count(when(col("dist") === 2, 1)).as("c2"),
+            count(when(col("dist") === 3, 1)).as("c3"),
+            count(when(col("dist") === 4, 1)).as("c4"))
+          .select(col("id"), col("n_reach"),
+            round(col("c1").cast("double")
+              + col("c2").cast("double") / 2.0
+              + col("c3").cast("double") / 3.0
+              + col("c4").cast("double") / 4.0, 6).as("harmonic"))
+          .orderBy("id")
+      },
+      Some {
+        val rounds = (1 to 4).map { k =>
+          s"""d$k AS (SELECT o, id, min(d) AS dist FROM (
+              SELECT o, id, dist AS d FROM d${k - 1}
+              UNION ALL
+              SELECT p.o, e.dst AS id, p.dist + 1 AS d
+              FROM d${k - 1} p JOIN e ON e.src = p.id) GROUP BY o, id)"""
+        }.mkString(",\n")
+        s"""WITH te AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+              CAST(s.s_nationkey AS BIGINT) AS dst
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+          e AS (SELECT DISTINCT src, dst FROM te WHERE src <> dst),
+          n AS (SELECT DISTINCT id FROM
+            (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+          d0 AS (SELECT id AS o, id, CAST(0 AS BIGINT) AS dist FROM n),
+          $rounds
+          SELECT id, count(*) AS n_reach,
+            round(CAST(count(*) FILTER (WHERE dist = 1) AS DOUBLE)
+              + CAST(count(*) FILTER (WHERE dist = 2) AS DOUBLE) / 2.0
+              + CAST(count(*) FILTER (WHERE dist = 3) AS DOUBLE) / 3.0
+              + CAST(count(*) FILTER (WHERE dist = 4) AS DOUBLE) / 4.0, 6)
+              AS harmonic
+          FROM d4 WHERE o <> id GROUP BY id ORDER BY id"""
+      }),
+
+    Q(
       "graph_copurchase",
       "Item co-occurrence graph (co-purchase): part pairs appearing in " +
         "the same order, counted across orders — the association edge " +

@@ -520,6 +520,48 @@ object SqlApi {
               AND l3.l_returnflag = 'R')
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    Q(
+      "sql_min_cost_supplier",
+      "TPC-H Q2 shape (minimum-cost supplier): a correlated scalar " +
+        "subquery WITH AN AGGREGATE in the WHERE clause — for each " +
+        "small part, keep only the supplier(s) whose unit cost equals " +
+        "the per-part minimum. Catalyst decorrelates the MIN subquery " +
+        "into a per-part aggregate joined back on the correlation key " +
+        "(one extra hash agg + equi-join, never a per-row re-scan); " +
+        "unit costs are rounded to integer cents before the MIN so " +
+        "the equality predicate is exact in both engines. Ties keep " +
+        "every minimal supplier, made deterministic by the total " +
+        "ORDER BY.",
+      (s, dir) => withViews(s, dir, "lineitem", "part", "supplier")(
+        """WITH ps AS (
+             SELECT l_partkey, l_suppkey,
+               CAST(min(CAST(round(l_extendedprice * 100 / l_quantity)
+                 AS BIGINT)) AS BIGINT) AS cost_c
+             FROM lineitem GROUP BY 1, 2)
+           SELECT p_partkey, p_name, s_suppkey, s_name,
+             round(cost_c / 1e2, 2) AS unit_cost
+           FROM ps
+           JOIN part     ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           WHERE p_size <= 3
+             AND cost_c = (SELECT min(cost_c) FROM ps ps2
+                           WHERE ps2.l_partkey = ps.l_partkey)
+           ORDER BY p_partkey, s_suppkey"""),
+      Some("""WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+            CAST(min(CAST(round(l_extendedprice * 100 / l_quantity)
+              AS BIGINT)) AS BIGINT) AS cost_c
+          FROM lineitem GROUP BY 1, 2)
+        SELECT p_partkey, p_name, s_suppkey, s_name,
+          round(cost_c / 1e2, 2) AS unit_cost
+        FROM ps
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE p_size <= 3
+          AND cost_c = (SELECT min(cost_c) FROM ps ps2
+                        WHERE ps2.l_partkey = ps.l_partkey)
+        ORDER BY p_partkey, s_suppkey"""))
   )
 }

@@ -82,6 +82,213 @@ object Stats {
   def defs: Seq[Q] = Seq(
 
     Q(
+      "stats_kruskal_wallis",
+      "Kruskal–Wallis H test across the five event types' purchase " +
+        "values — the k-sample generalization of stats_mann_whitney " +
+        "(one-way ANOVA on ranks, no normality assumption). Same " +
+        "scalable rank spine: per-value counts, bucket-partitioned " +
+        "cumulative windows + broadcast prefix offsets, mid-ranks in " +
+        "doubled-integer form c·(2·below + ties + 1) so every rank " +
+        "sum is exact decimal; the per-group R²/n terms fold in group " +
+        "order (bounded k), and the tie correction Σ(t³−t)/(N³−N) is " +
+        "exact integer arithmetic until the final division.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select(round(col("value") * 100).cast("long").as("v"),
+            col("event_type").as("g"))
+        val vc = ev.groupBy("v", "g").agg(count(lit(1)).as("c"))
+        val tv = vc.groupBy("v").agg(sum("c").as("t"))
+        val bkt = tv.withColumn("b", floor(col("v") / 1048576L).cast("long"))
+        val wIn = Window.partitionBy("b").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bkt.withColumn("it", sum("t").over(wIn))
+        val offs = bucketPrefixOffsets(
+          bkt.groupBy("b").agg(sum("t").as("sa"), sum("t").as("sb")), "b")
+        val ranked = cum.join(broadcast(offs), Seq("b"))
+          .select(col("v"), col("t"), (col("oa") + col("it") - col("t")).as("below"))
+        val grp = vc.join(ranked, Seq("v"))
+          .groupBy("g").agg(
+            sum(col("c").cast("decimal(38,0)")
+              * (col("below") * 2 + col("t") + 1)).as("r2"),
+            sum("c").as("n"))
+        val ties = ranked.agg(
+          sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t")).as("tt"),
+          sum("t").as("nn"))
+        val sTerm = grp.agg(aggregate(
+            sort_array(collect_list(struct(col("g"),
+              ((col("r2") * col("r2")).cast("double")
+                / col("n").cast("double")).as("d")))),
+            lit(0.0), (acc, x) => acc + x.getField("d")).as("ss"),
+          count(lit(1)).as("k"))
+        sTerm.crossJoin(broadcast(ties))
+          .select(
+            col("nn").as("n"), col("k"),
+            round(lit(3.0) / (col("nn").cast("double") * (col("nn") + 1))
+              * col("ss") - lit(3.0) * (col("nn").cast("double") + 1), 6).as("h_stat"),
+            round((lit(3.0) / (col("nn").cast("double") * (col("nn") + 1))
+              * col("ss") - lit(3.0) * (col("nn").cast("double") + 1))
+              / (lit(1.0) - col("tt").cast("double")
+                / (col("nn").cast("double") * col("nn") * col("nn") - col("nn"))),
+              6).as("h_corrected"))
+      },
+      Some("""WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+            event_type AS g FROM events),
+        vc AS (SELECT v, g, count(*) AS c FROM ev GROUP BY 1, 2),
+        tv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM vc GROUP BY v),
+        rk AS (SELECT v, t,
+            CAST(sum(t) OVER (ORDER BY v) AS BIGINT) - t AS below FROM tv),
+        grp AS (SELECT g,
+            sum(CAST(c AS HUGEINT) * (below * 2 + t + 1)) AS r2,
+            CAST(sum(c) AS BIGINT) AS n
+          FROM vc JOIN rk USING (v) GROUP BY g),
+        ties AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tt,
+            CAST(sum(t) AS BIGINT) AS nn FROM rk),
+        s AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(CAST(r2 * r2 AS DOUBLE) / n ORDER BY g)),
+            (a, b) -> a + b) AS ss, count(*) AS k FROM grp)
+        SELECT nn AS n, k,
+          round(3.0 / (CAST(nn AS DOUBLE) * (nn + 1)) * ss
+            - 3.0 * (CAST(nn AS DOUBLE) + 1), 6) AS h_stat,
+          round((3.0 / (CAST(nn AS DOUBLE) * (nn + 1)) * ss
+              - 3.0 * (CAST(nn AS DOUBLE) + 1))
+            / (1.0 - CAST(tt AS DOUBLE)
+              / (CAST(nn AS DOUBLE) * nn * nn - nn)), 6) AS h_corrected
+        FROM s, ties""")),
+
+    Q(
+      "ts_stl_lite",
+      "STL-style seasonal/trend decomposition of the daily revenue " +
+        "series per event type: trend = centered 7-day moving average " +
+        "(full windows only), seasonal = per-day-of-week mean of the " +
+        "detrended series, residual = remainder. All intermediate " +
+        "state is exact integers — the trend rides as the 7-day SUM " +
+        "of cents, the detrended series as 7·y − trend7 — so the only " +
+        "float ops are the final divisions, identical in both " +
+        "engines. Day-of-week is epoch-day mod 7 (engine-portable; " +
+        "no locale-dependent dayofweek). Windows partition by event " +
+        "type, seasonal means are a 35-row broadcast: nothing " +
+        "unpartitioned, nothing corpus-sized on the driver.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("event_type").as("g"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        val w = Window.partitionBy("g").orderBy("day").rowsBetween(-3, 3)
+        val tr = daily
+          .withColumn("t7", sum("y").over(w))
+          .withColumn("c7", count(lit(1)).over(w))
+          .filter(col("c7") === 7)
+          .withColumn("dow",
+            pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)))
+          .withColumn("detr7", col("y") * 7 - col("t7"))
+        val seas = tr.groupBy("g", "dow")
+          .agg(sum("detr7").as("s7"), count(lit(1)).as("sc"))
+        tr.join(broadcast(seas), Seq("g", "dow"))
+          .select(col("g").as("event_type"), col("day"),
+            round(col("y").cast("double") / 100.0, 2).as("y_val"),
+            round(col("t7").cast("double") / 700.0, 6).as("trend"),
+            round(col("s7").cast("double")
+              / (lit(700.0) * col("sc").cast("double")), 6).as("seasonal"),
+            round(col("y").cast("double") / 100.0
+              - col("t7").cast("double") / 700.0
+              - col("s7").cast("double")
+                / (lit(700.0) * col("sc").cast("double")), 6).as("resid"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        tr AS (
+          SELECT g, day, y,
+            CAST(sum(y) OVER w AS BIGINT) AS t7,
+            count(*) OVER w AS c7,
+            datediff('day', DATE '1970-01-01', day) % 7 AS dow
+          FROM daily
+          WINDOW w AS (PARTITION BY g ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        full7 AS (SELECT *, y * 7 - t7 AS detr7 FROM tr WHERE c7 = 7),
+        seas AS (SELECT g, dow, CAST(sum(detr7) AS BIGINT) AS s7,
+            CAST(count(*) AS BIGINT) AS sc
+          FROM full7 GROUP BY 1, 2)
+        SELECT f.g AS event_type, f.day,
+          round(CAST(f.y AS DOUBLE) / 100.0, 2) AS y_val,
+          round(CAST(f.t7 AS DOUBLE) / 700.0, 6) AS trend,
+          round(CAST(s.s7 AS DOUBLE) / (700.0 * CAST(s.sc AS DOUBLE)), 6)
+            AS seasonal,
+          round(CAST(f.y AS DOUBLE) / 100.0
+            - CAST(f.t7 AS DOUBLE) / 700.0
+            - CAST(s.s7 AS DOUBLE) / (700.0 * CAST(s.sc AS DOUBLE)), 6)
+            AS resid
+        FROM full7 f JOIN seas s ON f.g = s.g AND f.dow = s.dow
+        ORDER BY event_type, day""")),
+
+    Q(
+      "ts_holt_linear",
+      "Holt double-exponential smoothing (α=0.3, β=0.1) of each event " +
+        "type's daily revenue series, with a 7-day-ahead forecast — " +
+        "the trend-aware successor to ts_ewma's level-only smoothing. " +
+        "The recurrence is genuinely sequential, so it runs as ONE " +
+        "sorted fold per series over (level, trend) struct state — " +
+        "series are calendar-bounded (the sfold contract), state is " +
+        "two doubles, and the fold replays in DuckDB element for " +
+        "element. Oracle-side traps discovered here: DuckDB 1.0 " +
+        "list_reduce updates STRUCT accumulators field-by-field in " +
+        "place (a later field reads the new level), so the oracle's " +
+        "state is a 2-list which evaluates against the old state like " +
+        "Spark does; and every literal is CAST to DOUBLE because " +
+        "DuckDB bare decimals would switch the arithmetic to DECIMAL. " +
+        "Inputs ride as exact integer cents so both engines fold " +
+        "identical doubles.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("event_type").as("g"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        val folded = daily.groupBy("g").agg(
+          count(lit(1)).as("n_days"),
+          aggregate(
+            transform(sort_array(collect_list(struct(col("day"), col("y")))),
+              e => struct(e.getField("y").cast("double").as("l"),
+                lit(0.0).as("b"), lit(-1L).as("i"))),
+            struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(0L).as("i")),
+            (acc, e) => when(acc.getField("i") === 0,
+                struct(e.getField("l").as("l"), lit(0.0).as("b"), lit(1L).as("i")))
+              .otherwise(struct(
+                (lit(0.3) * e.getField("l")
+                  + lit(0.7) * (acc.getField("l") + acc.getField("b"))).as("l"),
+                (lit(0.1) * ((lit(0.3) * e.getField("l")
+                    + lit(0.7) * (acc.getField("l") + acc.getField("b")))
+                  - acc.getField("l"))
+                  + lit(0.9) * acc.getField("b")).as("b"),
+                (acc.getField("i") + 1).as("i")))).as("st"))
+        folded.select(col("g").as("event_type"), col("n_days"),
+            round(col("st.l") / 100.0, 6).as("level"),
+            round(col("st.b") / 100.0, 6).as("trend"),
+            round((col("st.l") + lit(7.0) * col("st.b")) / 100.0, 6)
+              .as("forecast_7d"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        folded AS (
+          SELECT g, count(*) AS n_days,
+            list_reduce(list([CAST(y AS DOUBLE), CAST(0 AS DOUBLE)]
+                ORDER BY day),
+              (acc, e) -> [
+                CAST(0.3 AS DOUBLE) * e[1]
+                  + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]),
+                CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * e[1]
+                    + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+                  + CAST(0.9 AS DOUBLE) * acc[2]]) AS st
+          FROM daily GROUP BY g)
+        SELECT g AS event_type, n_days,
+          round(st[1] / 100.0, 6) AS level,
+          round(st[2] / 100.0, 6) AS trend,
+          round((st[1] + CAST(7 AS DOUBLE) * st[2]) / 100.0, 6) AS forecast_7d
+        FROM folded ORDER BY event_type""")),
+
+    Q(
       "agg_weighted_median",
       "Exact weighted median per group (price weighted by quantity): " +
         "pre-aggregate to (group, value) with summed weights — a " +

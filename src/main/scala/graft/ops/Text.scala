@@ -22,6 +22,157 @@ object Text {
   def defs: Seq[Q] = Seq(
 
     Q(
+      "text_readability",
+      "Readability profile per language: Flesch reading ease and " +
+        "Gunning-fog-style complex-word rate from corpus totals. " +
+        "Syllables are vowel-group counts ([aeiouy]+ runs — the " +
+        "standard deterministic heuristic), complex words have ≥3 " +
+        "groups, and sentences fall back to ceil(words/15) per doc " +
+        "when the text carries no sentence punctuation (this corpus " +
+        "does not — the [.!?]+ count is taken when present). All " +
+        "per-doc counts are exact integers summed per language, so " +
+        "the formula evaluates once per group from integer totals — " +
+        "no float folds, deterministic at any parallelism; the whole " +
+        "pass is one scan with per-row regexes inside codegen.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("w"),
+            size(expr("regexp_extract_all(text, '[aeiouy]+', 0)"))
+              .cast("long").as("y"),
+            size(filter(split(col("text"), " "),
+              t => size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))) >= 3))
+              .cast("long").as("cw"),
+            size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+              .cast("long").as("pg"))
+          .withColumn("sen",
+            when(col("pg") > 0, col("pg"))
+              .otherwise(ceil(col("w").cast("double") / 15.0).cast("long")))
+        d.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("w").as("words"), sum("sen").as("sentences"),
+            sum("y").as("syllables"), sum("cw").as("complex_words"))
+          .select(col("lang"), col("n_docs"), col("words"),
+            col("sentences"), col("syllables"), col("complex_words"),
+            round(lit(206.835)
+              - lit(1.015) * col("words").cast("double") / col("sentences").cast("double")
+              - lit(84.6) * col("syllables").cast("double") / col("words").cast("double"),
+              4).as("flesch"),
+            round(lit(0.4) * (col("words").cast("double") / col("sentences").cast("double")
+              + lit(100.0) * col("complex_words").cast("double") / col("words").cast("double")),
+              4).as("fog"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (
+          SELECT lang,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+            CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS y,
+            CAST(len(list_filter(string_split(text, ' '),
+              t -> len(regexp_extract_all(t, '[aeiouy]+')) >= 3)) AS BIGINT) AS cw,
+            CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS pg
+          FROM documents),
+        s AS (SELECT *, CASE WHEN pg > 0 THEN pg
+            ELSE CAST(ceil(CAST(w AS DOUBLE) / 15.0) AS BIGINT) END AS sen FROM d)
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(w) AS BIGINT) AS words,
+          CAST(sum(sen) AS BIGINT) AS sentences,
+          CAST(sum(y) AS BIGINT) AS syllables,
+          CAST(sum(cw) AS BIGINT) AS complex_words,
+          round(206.835
+            - 1.015 * CAST(sum(w) AS DOUBLE) / CAST(sum(sen) AS DOUBLE)
+            - 84.6 * CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 4) AS flesch,
+          round(0.4 * (CAST(sum(w) AS DOUBLE) / CAST(sum(sen) AS DOUBLE)
+            + 100.0 * CAST(sum(cw) AS DOUBLE) / CAST(sum(w) AS DOUBLE)), 4) AS fog
+        FROM s GROUP BY lang ORDER BY lang""")),
+
+    Q(
+      "text_rake_keywords",
+      "RAKE keyword extraction (Rose et al.): candidate phrases are " +
+        "maximal stopword-free token runs, each word scored " +
+        "degree/frequency over the phrase co-occurrence graph, each " +
+        "phrase scored by the sum of its word scores — corpus top 15. " +
+        "The stopword set is the frozen top-5 corpus tokens (count " +
+        "desc, token tie-break — the bounded-broadcast trick from " +
+        "text_oov_rate, O(K) at any corpus size). Phrase segmentation " +
+        "is relational, not regex: a running stopword count inside a " +
+        "doc-partitioned window is the phrase id, so the whole " +
+        "pipeline is explode → window → three hash aggs, and the " +
+        "per-phrase score folds (token-sorted) over exact " +
+        "integer-ratio word scores — deterministic end to end.",
+      (s, dir) => {
+        val toks = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        val stop = toks.groupBy("token").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("token")).limit(5)
+          .select(col("token").as("stoken"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val flagged = toks
+          .join(broadcast(stop), toks("token") === stop("stoken"), "left")
+          .withColumn("pid",
+            sum(when(col("stoken").isNotNull, 1).otherwise(0)).over(w))
+          .filter(col("stoken").isNull)
+          .select("doc_id", "pid", "pos", "token")
+        val phrases = flagged.groupBy("doc_id", "pid")
+          .agg(array_join(transform(
+              sort_array(collect_list(struct(col("pos"), col("token")))),
+              e => e.getField("token")), " ").as("phrase"),
+            count(lit(1)).as("plen"))
+        val wordStats = flagged.join(phrases, Seq("doc_id", "pid"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        flagged.join(phrases, Seq("doc_id", "pid"))
+          .join(wordStats, Seq("token"))
+          .groupBy("doc_id", "pid", "phrase")
+          .agg(aggregate(
+            sort_array(collect_list(struct(col("token"),
+              (col("deg").cast("double") / col("freq").cast("double")).as("sw")))),
+            lit(0.0), (a, x) => a + x.getField("sw")).as("sc"))
+          .groupBy("phrase")
+          .agg(count(lit(1)).as("n_occur"), round(min("sc"), 6).as("score"))
+          .orderBy(col("score").desc, col("phrase"))
+          .limit(15)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, u.pos, u.token FROM (
+            SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+              (t, i) -> struct_pack(pos := i, token := t))) AS u
+            FROM documents)),
+        stop AS (SELECT token AS stoken FROM toks
+          GROUP BY 1 ORDER BY count(*) DESC, token LIMIT 5),
+        flagged AS (
+          SELECT doc_id, pos, token,
+            CAST(sum(CASE WHEN token IN (SELECT stoken FROM stop)
+              THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pid,
+            token IN (SELECT stoken FROM stop) AS is_stop
+          FROM toks),
+        members AS (SELECT doc_id, pid, pos, token FROM flagged WHERE NOT is_stop),
+        phrases AS (
+          SELECT doc_id, pid,
+            string_agg(token, ' ' ORDER BY pos) AS phrase,
+            CAST(count(*) AS BIGINT) AS plen
+          FROM members GROUP BY 1, 2),
+        word_stats AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS freq,
+            CAST(sum(plen) AS BIGINT) AS deg
+          FROM members JOIN phrases USING (doc_id, pid) GROUP BY token),
+        scored AS (
+          SELECT m.doc_id, m.pid, p.phrase,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE)
+                ORDER BY m.token)),
+              (a, b) -> a + b) AS sc
+          FROM members m
+          JOIN phrases p USING (doc_id, pid)
+          JOIN word_stats ws ON ws.token = m.token
+          GROUP BY 1, 2, 3)
+        SELECT phrase, count(*) AS n_occur, round(min(sc), 6) AS score
+        FROM scored GROUP BY phrase
+        ORDER BY score DESC, phrase LIMIT 15""")),
+
+    Q(
       "text_token_counts",
       "Corpus token frequencies, top 30 (count desc, token tie-break).",
       (s, dir) => {
