@@ -16,6 +16,84 @@ object Similarity {
   def defs: Seq[Q] = Seq(
 
     Q(
+      "sim_mmr_rerank",
+      "Maximal-marginal-relevance diversification: the top-20 cosine " +
+        "candidates for query vec 0 are greedily re-ranked so each of " +
+        "the 5 picks maximizes 0.7·relevance − 0.3·max-similarity-to-" +
+        "already-picked — the result-diversification pass retrieval " +
+        "stacks run after ANN. The greedy is UNROLLED into 5 " +
+        "relational rounds (the graph_shortest_path trick): each " +
+        "round is a left-anti against the picked set, a max-sim " +
+        "equi-join over the bounded 20×20 similarity table, and a " +
+        "TakeOrderedAndProject argmax — no driver loop over data, no " +
+        "fold state, and the 400-row sim table rides one broadcast. " +
+        "Cosines replay in DuckDB via the same sequential fold, so " +
+        "every greedy comparison is over identical doubles.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val cands = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .withColumn("rel", VectorOps.cosine(col("embedding"), col("qe")))
+          .orderBy(col("rel").desc, col("vec_id")).limit(20)
+          .select(col("vec_id").as("id"), col("embedding").as("emb"), col("rel"))
+          .transform(Skew.cut)
+        val sims = cands.as("x").join(cands.as("y"), col("x.id") =!= col("y.id"))
+          .select(col("x.id").as("i"), col("y.id").as("j"),
+            VectorOps.cosine(col("x.emb"), col("y.emb")).as("sim"))
+          .transform(Skew.cut)
+        var sel = cands.orderBy(col("rel").desc, col("id")).limit(1)
+          .select(lit(1).as("rank"), col("id"), col("rel"),
+            (lit(0.7) * col("rel")).as("score"))
+        for (r <- 2 to 5) {
+          val selIds = sel.select(col("id").as("sid"))
+          val ms = sims.join(broadcast(selIds), col("j") === col("sid"))
+            .groupBy("i").agg(max("sim").as("msim"))
+          val pick = cands
+            .join(broadcast(selIds), cands("id") === selIds("sid"), "left_anti")
+            .join(broadcast(ms), cands("id") === ms("i"), "left")
+            .withColumn("score",
+              lit(0.7) * col("rel") - lit(0.3) * coalesce(col("msim"), lit(0.0)))
+            .orderBy(col("score").desc, col("id")).limit(1)
+            .select(lit(r).as("rank"), col("id"), col("rel"), col("score"))
+          sel = sel.unionByName(pick)
+        }
+        sel.select(col("rank"), col("id").as("vec_id"),
+            round(col("rel"), 6).as("rel"), round(col("score"), 6).as("mmr_score"))
+          .orderBy("rank")
+      },
+      Some {
+        val rounds = (2 to 5).map { r =>
+          val prevSel = (1 until r).map(k => s"SELECT id FROM p$k").mkString(" UNION ALL ")
+          s"""p$r AS (SELECT $r AS rank, c.id, c.rel,
+              CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE)
+                * coalesce(m.msim, CAST(0 AS DOUBLE)) AS score
+            FROM cands c
+            LEFT JOIN (SELECT i, max(sim) AS msim FROM sims
+              WHERE j IN ($prevSel) GROUP BY i) m ON m.i = c.id
+            WHERE c.id NOT IN ($prevSel)
+            ORDER BY score DESC, c.id LIMIT 1)"""
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          cands AS (SELECT vec_id AS id, embedding AS emb,
+              ${VectorOps.duckCosine("embedding", "qe")} AS rel
+            FROM embeddings, q WHERE vec_id != 0
+            ORDER BY rel DESC, vec_id LIMIT 20),
+          sims AS (SELECT x.id AS i, y.id AS j,
+              ${VectorOps.duckCosine("x.emb", "y.emb")} AS sim
+            FROM cands x JOIN cands y ON x.id != y.id),
+          p1 AS (SELECT 1 AS rank, id, rel,
+              CAST(0.7 AS DOUBLE) * rel AS score
+            FROM cands ORDER BY rel DESC, id LIMIT 1),
+          $rounds
+          SELECT rank, id AS vec_id, round(rel, 6) AS rel,
+            round(score, 6) AS mmr_score
+          FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+            UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+            UNION ALL SELECT * FROM p5)
+          ORDER BY rank"""
+      }),
+
+    Q(
       "sim_prefix_rerank",
       "Two-stage retrieval with a truncated-dimension coarse pass " +
         "(the Matryoshka-embedding serving pattern): stage 1 scores " +

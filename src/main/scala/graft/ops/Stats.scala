@@ -289,6 +289,120 @@ object Stats {
         FROM folded ORDER BY event_type""")),
 
     Q(
+      "stats_fisher_exact",
+      "Fisher's exact test (two-sided) on the English × src0 " +
+        "contingency table of the document corpus — the small-cell " +
+        "test chi² can't honestly run. Everything derives from the " +
+        "four counts of ONE aggregate scan: log-factorials are " +
+        "ascending sequential folds over sequence(1, m) (identical " +
+        "fold order in DuckDB, so bit-identical doubles — no lgamma, " +
+        "which the two engines implement differently), the " +
+        "hypergeometric tail walks k via the log-space recurrence " +
+        "P(k+1)/P(k) = (r1−k)(c1−k)/((k+1)(n2+k+1)) in one bounded " +
+        "fold (≤ min(r1,c1) steps), and the two-sided rule sums " +
+        "every table with P(k) ≤ P(obs)·(1+1e-7). The fold state is " +
+        "a 2-list on the oracle side (DuckDB struct-accumulator " +
+        "in-place bug, see ts_holt_linear). O(n) work on one row — " +
+        "margins at 100 TB still produce a one-row test.",
+      (s, dir) => {
+        def lf(m: Column): Column = when(m > 0,
+          aggregate(sequence(lit(1L), m.cast("long")), lit(0.0),
+            (acc, i) => acc + log(i.cast("double")))).otherwise(lit(0.0))
+        def lnC(m: Column, j: Column): Column = lf(m) - lf(j) - lf(m - j)
+        val eps = lit(1e-7)
+        val cells = Tables.t(s, dir, "documents").agg(
+          count(lit(1)).as("n"),
+          count(when(col("lang") === "en", 1)).as("r1"),
+          count(when(col("source") === "src0", 1)).as("c1"),
+          count(when(col("lang") === "en" && col("source") === "src0", 1)).as("a"))
+        val b = cells
+          .withColumn("kmin", greatest(lit(0L), col("r1") + col("c1") - col("n")))
+          .withColumn("kmax", least(col("r1"), col("c1")))
+          .withColumn("n2", col("n") - col("r1") - col("c1"))
+          .withColumn("lpa", lnC(col("c1"), col("a"))
+            + lnC(col("n") - col("c1"), col("r1") - col("a"))
+            - lnC(col("n"), col("r1")))
+          .withColumn("lpmin", lnC(col("c1"), col("kmin"))
+            + lnC(col("n") - col("c1"), col("r1") - col("kmin"))
+            - lnC(col("n"), col("r1")))
+        val folded = b.withColumn("st", aggregate(
+          when(col("kmax") > col("kmin"),
+            sequence(col("kmin") + 1, col("kmax")))
+            .otherwise(expr("CAST(array() AS array<bigint>)")),
+          array(col("lpmin"),
+            when(col("lpmin") <= col("lpa") + eps, exp(col("lpmin")))
+              .otherwise(lit(0.0))),
+          (acc, k) => {
+            val lp = element_at(acc, 1)
+              .plus(log(((col("r1") - (k - 1)) * (col("c1") - (k - 1))).cast("double")))
+              .minus(log((k * (col("n2") + k)).cast("double")))
+            array(lp, element_at(acc, 2)
+              + when(lp <= col("lpa") + eps, exp(lp)).otherwise(lit(0.0)))
+          }))
+        folded.select(col("a"), col("r1"), col("c1"), col("n"),
+          round(least(element_at(col("st"), 2), lit(1.0)), 6).as("p_two_sided"),
+          when((col("r1") - col("a")) * (col("c1") - col("a")) === 0, lit(null).cast("double"))
+            .otherwise(round((col("a") * (col("n2") + col("a"))).cast("double")
+              / ((col("r1") - col("a")) * (col("c1") - col("a"))).cast("double"), 6))
+            .as("odds_ratio"))
+      },
+      Some {
+        def dlf(m: String) =
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+            s"list_transform(range(1, ($m) + 1), i -> ln(CAST(i AS DOUBLE)))), " +
+            "(x, y) -> x + y)"
+        def dlnC(m: String, j: String) =
+          s"(${dlf(m)} - ${dlf(j)} - ${dlf(s"($m) - ($j)")})"
+        s"""WITH cells AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS r1,
+            CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c1,
+            CAST(count(*) FILTER (WHERE lang = 'en' AND source = 'src0')
+              AS BIGINT) AS a
+          FROM documents),
+        b AS (SELECT *,
+            greatest(CAST(0 AS BIGINT), r1 + c1 - n) AS kmin,
+            least(r1, c1) AS kmax, n - r1 - c1 AS n2,
+            ${dlnC("c1", "a")} + ${dlnC("n - c1", "r1 - a")}
+              - ${dlnC("n", "r1")} AS lpa
+          FROM cells),
+        b2 AS (SELECT *,
+            ${dlnC("c1", "kmin")} + ${dlnC("n - c1", "r1 - kmin")}
+              - ${dlnC("n", "r1")} AS lpmin
+          FROM b),
+        folded AS (SELECT *,
+            list_reduce(list_prepend(
+              [lpmin, CASE WHEN lpmin <= lpa + 1e-7
+                THEN exp(lpmin) ELSE CAST(0 AS DOUBLE) END],
+              list_transform(range(kmin + 1, kmax + 1),
+                k -> [CAST(k AS DOUBLE), CAST(0 AS DOUBLE)])),
+              (acc, e) -> [
+                acc[1] + ln(CAST((r1 - (CAST(e[1] AS BIGINT) - 1))
+                    * (c1 - (CAST(e[1] AS BIGINT) - 1)) AS DOUBLE))
+                  - ln(CAST(CAST(e[1] AS BIGINT)
+                    * (n2 + CAST(e[1] AS BIGINT)) AS DOUBLE)),
+                acc[2] + CASE WHEN acc[1]
+                    + ln(CAST((r1 - (CAST(e[1] AS BIGINT) - 1))
+                      * (c1 - (CAST(e[1] AS BIGINT) - 1)) AS DOUBLE))
+                    - ln(CAST(CAST(e[1] AS BIGINT)
+                      * (n2 + CAST(e[1] AS BIGINT)) AS DOUBLE))
+                    <= lpa + 1e-7
+                  THEN exp(acc[1]
+                    + ln(CAST((r1 - (CAST(e[1] AS BIGINT) - 1))
+                      * (c1 - (CAST(e[1] AS BIGINT) - 1)) AS DOUBLE))
+                    - ln(CAST(CAST(e[1] AS BIGINT)
+                      * (n2 + CAST(e[1] AS BIGINT)) AS DOUBLE)))
+                  ELSE CAST(0 AS DOUBLE) END]) AS st
+          FROM b2)
+        SELECT a, r1, c1, n,
+          round(least(st[2], CAST(1 AS DOUBLE)), 6) AS p_two_sided,
+          CASE WHEN (r1 - a) * (c1 - a) = 0 THEN NULL
+            ELSE round(CAST(a * (n2 + a) AS DOUBLE)
+              / CAST((r1 - a) * (c1 - a) AS DOUBLE), 6) END AS odds_ratio
+        FROM folded"""
+      }),
+
+    Q(
       "agg_weighted_median",
       "Exact weighted median per group (price weighted by quantity): " +
         "pre-aggregate to (group, value) with summed weights — a " +
