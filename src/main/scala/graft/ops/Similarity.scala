@@ -94,6 +94,63 @@ object Similarity {
       }),
 
     Q(
+      "sim_triplet_mining",
+      "Triplet mining for metric learning: for each of 10 anchors, " +
+        "the nearest SAME-label vector (positive) and the hardest " +
+        "DIFFERENT-label vector (negative), with the triplet margin " +
+        "cos_pos − cos_neg — the (a, p, n) batches a contrastive " +
+        "trainer consumes, completing sim_hard_negatives with the " +
+        "positive side. Two label-predicated broadcast joins, each " +
+        "ranked rank-1 inside WindowGroupLimit, stitched on the " +
+        "anchor key; at corpus scale the candidate sides come " +
+        "pre-bucketed from ANN, same dataflow.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val anchors = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qe"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        def rank1(joinCond: Column, outId: String, outCos: String) =
+          e.join(broadcast(anchors), joinCond)
+            .withColumn("cos", VectorOps.cosine(col("embedding"), col("qe")))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(col("qid"), col("vec_id").as(outId),
+              col("cos").as(outCos))
+        val pos = rank1(col("label") === col("qlabel")
+          && col("vec_id") =!= col("qid"), "pos_id", "cos_pos")
+        val neg = rank1(col("label") =!= col("qlabel"), "neg_id", "cos_neg")
+        pos.join(neg, "qid")
+          .select(col("qid").as("anchor"), col("pos_id"), col("neg_id"),
+            round(col("cos_pos"), 6).as("cos_pos"),
+            round(col("cos_neg"), 6).as("cos_neg"),
+            round(col("cos_pos") - col("cos_neg"), 6).as("margin"))
+          .orderBy("anchor")
+      },
+      Some(s"""WITH anchors AS (SELECT vec_id AS qid, label AS qlabel,
+            embedding AS qe FROM embeddings WHERE vec_id < 10),
+        pos AS (SELECT qid, vec_id AS pos_id, cos AS cos_pos FROM (
+          SELECT a.qid, e.vec_id,
+            ${VectorOps.duckCosine("e.embedding", "a.qe")} AS cos,
+            row_number() OVER (PARTITION BY a.qid
+              ORDER BY ${VectorOps.duckCosine("e.embedding", "a.qe")} DESC,
+                e.vec_id) AS rk
+          FROM embeddings e JOIN anchors a
+            ON e.label = a.qlabel AND e.vec_id != a.qid) WHERE rk = 1),
+        neg AS (SELECT qid, vec_id AS neg_id, cos AS cos_neg FROM (
+          SELECT a.qid, e.vec_id,
+            ${VectorOps.duckCosine("e.embedding", "a.qe")} AS cos,
+            row_number() OVER (PARTITION BY a.qid
+              ORDER BY ${VectorOps.duckCosine("e.embedding", "a.qe")} DESC,
+                e.vec_id) AS rk
+          FROM embeddings e JOIN anchors a
+            ON e.label != a.qlabel) WHERE rk = 1)
+        SELECT qid AS anchor, pos_id, neg_id,
+          round(cos_pos, 6) AS cos_pos, round(cos_neg, 6) AS cos_neg,
+          round(cos_pos - cos_neg, 6) AS margin
+        FROM pos JOIN neg USING (qid) ORDER BY anchor""")),
+
+    Q(
       "sim_prefix_rerank",
       "Two-stage retrieval with a truncated-dimension coarse pass " +
         "(the Matryoshka-embedding serving pattern): stage 1 scores " +

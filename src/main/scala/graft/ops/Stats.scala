@@ -403,6 +403,137 @@ object Stats {
       }),
 
     Q(
+      "stats_runs_test",
+      "Wald–Wolfowitz runs test on the SIGNS of day-over-day revenue " +
+        "changes per event type — is the series' up/down pattern " +
+        "random, or does it trend/oscillate? (the independence check " +
+        "to run before trusting ts_holt_linear's smoothing). Signs " +
+        "come from an exact integer lag diff (zeros dropped), runs " +
+        "are counted as sign-change boundaries in a second lag pass, " +
+        "and the z-score is the closed form over the three integer " +
+        "counts — the only doubles are the final μ/σ arithmetic, " +
+        "identical in both engines. Two key-partitioned windows, " +
+        "one hash agg.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("event_type").as("g"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        val w = Window.partitionBy("g").orderBy("day")
+        val signs = daily
+          .withColumn("d", col("y") - lag("y", 1).over(w))
+          .filter(col("d").isNotNull && col("d") =!= 0)
+          .withColumn("s", when(col("d") > 0, 1).otherwise(-1))
+        val runs = signs
+          .withColumn("prev", lag("s", 1).over(w))
+          .withColumn("nr",
+            when(col("prev").isNull || col("prev") =!= col("s"), 1).otherwise(0))
+          .groupBy("g").agg(
+            sum(when(col("s") === 1, 1).otherwise(0)).as("n1"),
+            sum(when(col("s") === -1, 1).otherwise(0)).as("n2"),
+            sum("nr").as("runs"))
+        val n1 = col("n1").cast("double")
+        val n2 = col("n2").cast("double")
+        val nn = n1 + n2
+        val mu = lit(2.0) * n1 * n2 / nn + lit(1.0)
+        val v = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn))
+          .divide(nn * nn * (nn - lit(1.0)))
+        runs.select(col("g").as("event_type"), col("n1"), col("n2"), col("runs"),
+            round((col("runs").cast("double") - mu) / sqrt(v), 6).as("z_score"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        diffs AS (
+          SELECT g, day, y - lag(y) OVER (PARTITION BY g ORDER BY day) AS d
+          FROM daily),
+        signs AS (
+          SELECT g, day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+          FROM diffs WHERE d IS NOT NULL AND d != 0),
+        marked AS (
+          SELECT g, s,
+            lag(s) OVER (PARTITION BY g ORDER BY day) AS prev
+          FROM signs),
+        agg AS (
+          SELECT g,
+            CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN prev IS NULL OR prev != s THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs
+          FROM marked GROUP BY g)
+        SELECT g AS event_type, n1, n2, runs,
+          round((CAST(runs AS DOUBLE)
+            - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+            / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+              / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))),
+            6) AS z_score
+        FROM agg ORDER BY event_type""")),
+
+    Q(
+      "stats_cochran_armitage",
+      "Cochran–Armitage trend test: does the share of FINISHED " +
+        "orders trend monotonically across the five order priorities " +
+        "(scored 1..5)? The ordered-category companion to stats_chi2 " +
+        "— chi² only detects association, this detects DIRECTION. " +
+        "The statistic is assembled from five per-category integer " +
+        "pairs (n_i, successes a_i): Σ s·a, Σ s·n, Σ s²·n and the " +
+        "margins stay exact integers; the z and the portable-" +
+        "polynomial normal p-value are the only float steps, " +
+        "bit-identical in both engines. One hash agg over the " +
+        "orders scan + a 5-row fold.",
+      (s, dir) => {
+        val grp = Tables.t(s, dir, "orders")
+          .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("sc"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("f"))
+          .groupBy("sc").agg(count(lit(1)).as("ni"), sum("f").as("ai"))
+        val tot = grp.agg(
+          sum("ni").as("n"), sum("ai").as("r1"),
+          sum(col("sc") * col("ai")).as("sa"),
+          sum(col("sc") * col("ni")).as("sn"),
+          sum(col("sc") * col("sc") * col("ni")).as("ssn"))
+        val nD = col("n").cast("double")
+        val p = col("r1").cast("double") / nD
+        val num = col("sa").cast("double") - p * col("sn").cast("double")
+        val den = sqrt(p * (lit(1.0) - p)
+          * (col("ssn").cast("double")
+            - col("sn").cast("double") * col("sn").cast("double") / nD))
+        tot.select(col("n"), col("r1"),
+            round(num / den, 6).as("z_trend"),
+            round((lit(1.0) - normCdf(abs(num / den))) * 2.0, 6).as("p_value"))
+      },
+      Some(s"""WITH grp AS (
+          SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+            CAST(count(*) AS BIGINT) AS ni,
+            CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ai
+          FROM orders GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ai) AS BIGINT) AS r1,
+            CAST(sum(sc * ai) AS BIGINT) AS sa,
+            CAST(sum(sc * ni) AS BIGINT) AS sn,
+            CAST(sum(sc * sc * ni) AS BIGINT) AS ssn
+          FROM grp),
+        z AS (
+          SELECT n, r1,
+            (CAST(sa AS DOUBLE) - (CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * CAST(sn AS DOUBLE))
+            / sqrt((CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (1.0 - CAST(r1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(ssn AS DOUBLE)
+                - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                  / CAST(n AS DOUBLE))) AS zt
+          FROM tot)
+        SELECT n, r1, round(zt, 6) AS z_trend,
+          round((1.0 - ${normCdfSql("abs(zt)")}) * 2.0, 6) AS p_value
+        FROM z""")),
+
+    Q(
       "agg_weighted_median",
       "Exact weighted median per group (price weighted by quantity): " +
         "pre-aggregate to (group, value) with summed weights — a " +

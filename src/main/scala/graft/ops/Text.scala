@@ -173,6 +173,53 @@ object Text {
         ORDER BY score DESC, phrase LIMIT 15""")),
 
     Q(
+      "text_msttr",
+      "Mean segmental type-token ratio per language (MSTTR-25): " +
+        "tokens are cut into non-overlapping 25-token segments, TTR " +
+        "= distinct/25 per full segment, and the language score is " +
+        "the segment-weighted mean — the length-robust lexical-" +
+        "diversity measure (raw TTR shrinks with doc length, which " +
+        "is why it can't compare corpora). Everything is integer " +
+        "counts (segment distinct sums over 25-token groups) until " +
+        "ONE final division — deterministic at any parallelism, one " +
+        "explode + two hash aggs.",
+      (s, dir) => {
+        val segs = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+          .withColumn("seg", Skew.idiv(col("pos").cast("long"), lit(25L)))
+          .groupBy("doc_id", "lang", "seg")
+          .agg(count(lit(1)).as("n_tok"), countDistinct("token").as("n_types"))
+          .filter(col("n_tok") === 25)
+        segs.groupBy("lang")
+          .agg(count(lit(1)).as("n_segments"),
+            countDistinct("doc_id").as("n_docs"),
+            sum("n_types").as("tt"))
+          .select(col("lang"), col("n_docs"), col("n_segments"),
+            round(col("tt").cast("double")
+              / (lit(25.0) * col("n_segments").cast("double")), 6).as("msttr"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, lang, u.pos, u.token FROM (
+            SELECT doc_id, lang,
+              unnest(list_transform(string_split(text, ' '),
+                (t, i) -> struct_pack(pos := i, token := t))) AS u
+            FROM documents)),
+        segs AS (
+          SELECT doc_id, lang, (pos - 1) // 25 AS seg,
+            count(*) AS n_tok,
+            CAST(count(DISTINCT token) AS BIGINT) AS n_types
+          FROM toks GROUP BY 1, 2, 3),
+        full_segs AS (SELECT * FROM segs WHERE n_tok = 25)
+        SELECT lang,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          count(*) AS n_segments,
+          round(CAST(sum(n_types) AS DOUBLE)
+            / (25.0 * CAST(count(*) AS DOUBLE)), 6) AS msttr
+        FROM full_segs GROUP BY lang ORDER BY lang""")),
+
+    Q(
       "text_token_counts",
       "Corpus token frequencies, top 30 (count desc, token tie-break).",
       (s, dir) => {
