@@ -534,6 +534,109 @@ object Stats {
         FROM z""")),
 
     Q(
+      "stats_bayes_ab",
+      "Exact Bayesian A/B test: P(conversion_A > conversion_B) under " +
+        "independent Beta(1+s, 1+n−s) posteriors, for finished-order " +
+        "rates of URGENT vs LOW priority — via the closed-form sum " +
+        "P(B>A) = Σᵢ B(αA+i, βA+βB)/((βB+i)·B(1+i, βB)·B(αA, βA)) " +
+        "(complemented; the posteriors are continuous) computed " +
+        "WITHOUT lgamma (engine-divergent): all four i-varying " +
+        "log-gammas advance by ln(x+i) inside one bounded fold " +
+        "(αB steps) whose state is a 5-list of doubles, seeded by " +
+        "ascending log-factorial folds — every float op identical in " +
+        "both engines (see ts_holt_linear for why the oracle state " +
+        "is a list, not a struct). Margins come from one aggregate " +
+        "scan; the test itself is O(αB) work on a single row.",
+      (s, dir) => {
+        def lfS(m: Column): Column = when(m > 0,
+          aggregate(sequence(lit(1L), m.cast("long")), lit(0.0),
+            (acc, i) => acc + log(i.cast("double")))).otherwise(lit(0.0))
+        val cells = Tables.t(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .agg(
+            count(when(col("o_orderpriority") === "1-URGENT", 1)).as("na"),
+            count(when(col("o_orderpriority") === "1-URGENT"
+              && col("o_orderstatus") === "F", 1)).as("sa"),
+            count(when(col("o_orderpriority") === "5-LOW", 1)).as("nb"),
+            count(when(col("o_orderpriority") === "5-LOW"
+              && col("o_orderstatus") === "F", 1)).as("sb"))
+        val b = cells
+          .withColumn("aa", col("sa") + 1).withColumn("ba", col("na") - col("sa") + 1)
+          .withColumn("ab", col("sb") + 1).withColumn("bb", col("nb") - col("sb") + 1)
+        val withC = b.withColumn("cc",
+          lfS(col("ba") + col("bb") - 1) - lfS(col("bb") - 1)
+            - (lfS(col("aa") - 1) + lfS(col("ba") - 1)
+              - lfS(col("aa") + col("ba") - 1)))
+        val folded = withC.withColumn("st", aggregate(
+          sequence(lit(0L), col("ab") - 1),
+          array(
+            lfS(col("aa") - 1),
+            lfS(col("aa") + col("ba") + col("bb") - 1),
+            lit(0.0),
+            lfS(col("bb")),
+            lit(0.0)),
+          (acc, i) => array(
+            element_at(acc, 1) + log((col("aa") + i).cast("double")),
+            element_at(acc, 2) + log((col("aa") + col("ba") + col("bb") + i).cast("double")),
+            element_at(acc, 3) + log((lit(1L) + i).cast("double")),
+            element_at(acc, 4) + log((lit(1L) + col("bb") + i).cast("double")),
+            element_at(acc, 5) + exp(
+              element_at(acc, 1) - element_at(acc, 2) - element_at(acc, 3)
+                + element_at(acc, 4) + col("cc")
+                - log((col("bb") + i).cast("double"))))))
+        folded.select(col("na"), col("sa"), col("nb"), col("sb"),
+          round(col("sa").cast("double") / col("na").cast("double"), 6).as("rate_a"),
+          round(col("sb").cast("double") / col("nb").cast("double"), 6).as("rate_b"),
+          round(greatest(lit(1.0) - least(element_at(col("st"), 5), lit(1.0)),
+            lit(0.0)), 6).as("p_a_gt_b"))
+      },
+      Some {
+        def dlf(m: String) =
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+            s"list_transform(range(1, ($m) + 1), i -> ln(CAST(i AS DOUBLE)))), " +
+            "(x, y) -> x + y)"
+        s"""WITH cells AS (
+          SELECT
+            CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+              AS BIGINT) AS na,
+            CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+              AND o_orderstatus = 'F') AS BIGINT) AS sa,
+            CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW')
+              AS BIGINT) AS nb,
+            CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW'
+              AND o_orderstatus = 'F') AS BIGINT) AS sb
+          FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        b AS (SELECT *, sa + 1 AS aa, na - sa + 1 AS ba,
+            sb + 1 AS ab, nb - sb + 1 AS bb FROM cells),
+        c AS (SELECT *,
+            ${dlf("ba + bb - 1")} - ${dlf("bb - 1")}
+              - (${dlf("aa - 1")} + ${dlf("ba - 1")}
+                - ${dlf("aa + ba - 1")}) AS cc
+          FROM b),
+        folded AS (SELECT *,
+            list_reduce(list_prepend(
+              [${dlf("aa - 1")}, ${dlf("aa + ba + bb - 1")},
+               CAST(0 AS DOUBLE), ${dlf("bb")}, CAST(0 AS DOUBLE)],
+              list_transform(range(0, ab),
+                k -> [CAST(k AS DOUBLE), CAST(0 AS DOUBLE),
+                  CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+              (acc, e) -> [
+                acc[1] + ln(CAST(aa + CAST(e[1] AS BIGINT) AS DOUBLE)),
+                acc[2] + ln(CAST(aa + ba + bb + CAST(e[1] AS BIGINT) AS DOUBLE)),
+                acc[3] + ln(CAST(1 + CAST(e[1] AS BIGINT) AS DOUBLE)),
+                acc[4] + ln(CAST(1 + bb + CAST(e[1] AS BIGINT) AS DOUBLE)),
+                acc[5] + exp(acc[1] - acc[2] - acc[3] + acc[4] + cc
+                  - ln(CAST(bb + CAST(e[1] AS BIGINT) AS DOUBLE)))]) AS st
+          FROM c)
+        SELECT na, sa, nb, sb,
+          round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6) AS rate_a,
+          round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS rate_b,
+          round(greatest(1.0 - least(st[5], CAST(1 AS DOUBLE)),
+            CAST(0 AS DOUBLE)), 6) AS p_a_gt_b
+        FROM folded"""
+      }),
+
+    Q(
       "agg_weighted_median",
       "Exact weighted median per group (price weighted by quantity): " +
         "pre-aggregate to (group, value) with summed weights — a " +
