@@ -924,24 +924,7 @@ object Dedup {
     * the codegen'd VecDot ones). Shared by the dedup_embedding_lsh and
     * pipeline_semantic_dedup oracles. */
   def embeddingLshScoredCtes: String = {
-    val rng = new scala.util.Random(7)
-    val planes = Seq.fill(16)(Seq.fill(64)(rng.nextGaussian().toFloat))
-    def planeLit(p: Seq[Float]) =
-      "[" + p.map(_.toDouble.toString).mkString(", ") + "]"
-    def bit(p: Seq[Float]) =
-      s"""(CASE WHEN (list_reduce(list_transform(range(1, 65),
-         | i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (${planeLit(p)})[CAST(i AS INT)]),
-         | (x, y) -> x + y)) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
-        .stripMargin.replaceAll("\n", "")
-    val buckets = (0 until 4).map { bn =>
-      planes.slice(bn * 4, bn * 4 + 4).map(bit)
-        .reduce((acc, b) => s"(($acc) * 2 + $b)") + s" AS bucket_$bn"
-    }
-    val bandSelects = (0 until 4).map(bn =>
-      s"SELECT vec_id, embedding, $bn AS band, bucket_$bn AS bucket FROM sig")
-    s"""sig AS (
-        SELECT vec_id, embedding, ${buckets.mkString(", ")} FROM embeddings),
-      banded AS (${bandSelects.mkString(" UNION ALL ")}),
+    s"""$hyperplaneBandedCtes,
       cand AS (
         SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,
           a.embedding AS ea, b.embedding AS eb
@@ -1199,14 +1182,23 @@ object Dedup {
     * P(bit agree) = 1 − θ/π per hyperplane (the SimHash bound). The
     * scale path: buckets shrink the pair space from O(N²) to
     * O(Σ bucket²). Returns (v1 < v2, cos) with cos unrounded. */
-  def embeddingLshScored(e: DataFrame): DataFrame = {
+  /** The 16 fixed-seed hyperplanes behind every hyperplane-LSH
+    * consumer — one seed so the Spark literals and the oracle's
+    * regenerated double literals always agree. */
+  private[ops] def lshPlanes: Seq[Seq[Float]] = {
+    val rng = new scala.util.Random(7)
+    Seq.fill(16)(Seq.fill(64)(rng.nextGaussian().toFloat))
+  }
+
+  /** (vec_id, embedding, band, bucket) hyperplane-LSH banding: 4 bands
+    * × 4 signed projections, each projection one codegen'd VecDot
+    * against a plane literal (unrolled — a HOF lambda over a planes
+    * array would interpret per element). Shared by
+    * [[embeddingLshScored]] and the multi-probe query. */
+  private[ops] def hyperplaneBanded(e: DataFrame): DataFrame = {
     val bandsN = 4
     val bitsPerBand = 4
-    val rng = new scala.util.Random(7)
-    // 16 hyperplanes as float-array literals; each signed projection is
-    // one codegen'd VecDot against the literal (unrolled — a HOF lambda
-    // over a planes array would interpret per element)
-    val planes = Seq.fill(bandsN * bitsPerBand)(Seq.fill(64)(rng.nextGaussian().toFloat))
+    val planes = lshPlanes
     val bitCols = planes.map(p =>
       when(graft.expr.VecDot.vecDot(col("embedding"), typedlit(p)) >= 0, 1L).otherwise(0L))
     val bucketCols = (0 until bandsN).map { bn =>
@@ -1214,10 +1206,36 @@ object Dedup {
         .reduce((acc, b) => acc * 2 + b).as(s"bucket_$bn")
     }
     val sig = e.select(Seq(col("vec_id"), col("embedding")) ++ bucketCols: _*)
-    val banded = sig.select(col("vec_id"), col("embedding"),
+    sig.select(col("vec_id"), col("embedding"),
         explode(array((0 until bandsN).map(bn =>
           struct(lit(bn).as("band"), col(s"bucket_$bn").as("bucket"))): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** DuckDB CTE block ending in `banded(vec_id, embedding, band,
+    * bucket)` — the oracle twin of [[hyperplaneBanded]]. */
+  private[ops] def hyperplaneBandedCtes: String = {
+    val planes = lshPlanes
+    def planeLit(p: Seq[Float]) =
+      "[" + p.map(_.toDouble.toString).mkString(", ") + "]"
+    def bit(p: Seq[Float]) =
+      s"""(CASE WHEN (list_reduce(list_transform(range(1, 65),
+         | i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (${planeLit(p)})[CAST(i AS INT)]),
+         | (x, y) -> x + y)) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+        .stripMargin.replaceAll("\n", "")
+    val buckets = (0 until 4).map { bn =>
+      planes.slice(bn * 4, bn * 4 + 4).map(bit)
+        .reduce((acc, b) => s"(($acc) * 2 + $b)") + s" AS bucket_$bn"
+    }
+    val bandSelects = (0 until 4).map(bn =>
+      s"SELECT vec_id, embedding, $bn AS band, bucket_$bn AS bucket FROM sig")
+    s"""sig AS (
+        SELECT vec_id, embedding, ${buckets.mkString(", ")} FROM embeddings),
+      banded AS (${bandSelects.mkString(" UNION ALL ")})"""
+  }
+
+  def embeddingLshScored(e: DataFrame): DataFrame = {
+    val banded = hyperplaneBanded(e)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

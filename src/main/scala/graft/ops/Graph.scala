@@ -410,6 +410,65 @@ object Graph {
       }),
 
     Q(
+      "graph_katz",
+      "Katz centrality (α=0.1, 4 iterations, β=1) over the directed " +
+        "trade graph — the damped-path-count centrality that, unlike " +
+        "pagerank, rewards raw reachability without normalizing by " +
+        "out-degree. The float recurrence x' = αAᵀx + 1 is rescaled " +
+        "to EXACT INTEGERS: carrying X_r = 10^r·x_r turns each round " +
+        "into 'in-neighbor integer sum + 10^r' (α=1/10 absorbed into " +
+        "the scale), so every round is one node-keyed equi-join + " +
+        "map-side-combinable integer SUM with zero float-order " +
+        "sensitivity; the single division by 10⁴ happens at output. " +
+        "Same bulk-synchronous shape as pagerank, oracle-replayed as " +
+        "chained CTEs.",
+      (s, dir) => {
+        val edges = tradeEdges(s, dir)
+          .filter(col("src") =!= col("dst"))
+          .select(col("src").cast("long"), col("dst").cast("long"))
+          .distinct()
+          .transform(Skew.cut)
+        val nodes = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id"))).distinct()
+        var x = nodes.select(col("id"), lit(1L).as("x"))
+        for (r <- 1 to 4) {
+          val contrib = x.join(edges, x("id") === edges("src"))
+            .groupBy(col("dst").as("id")).agg(sum("x").as("cx"))
+          x = nodes.join(contrib, Seq("id"), "left")
+            .select(col("id"),
+              (coalesce(col("cx"), lit(0L))
+                + lit(math.pow(10, r).toLong)).as("x"))
+            .transform(Skew.cut)
+        }
+        x.select(col("id"), round(col("x").cast("double") / 1e4, 6).as("katz"))
+          .orderBy("id")
+      },
+      Some {
+        val rounds = (1 to 4).map { k =>
+          s"""x$k AS (SELECT n.id,
+              coalesce((SELECT CAST(sum(p.x) AS BIGINT) FROM x${k - 1} p
+                JOIN e ON e.src = p.id WHERE e.dst = n.id), 0)
+              + ${math.pow(10, k).toLong} AS x
+            FROM n)"""
+        }.mkString(",\n")
+        s"""WITH te AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+              CAST(s.s_nationkey AS BIGINT) AS dst
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+          e AS (SELECT DISTINCT src, dst FROM te WHERE src <> dst),
+          n AS (SELECT DISTINCT id FROM
+            (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+          x0 AS (SELECT id, CAST(1 AS BIGINT) AS x FROM n),
+          $rounds
+          SELECT id, round(CAST(x AS DOUBLE) / 1e4, 6) AS katz
+          FROM x4 ORDER BY id"""
+      }),
+
+    Q(
       "graph_copurchase",
       "Item co-occurrence graph (co-purchase): part pairs appearing in " +
         "the same order, counted across orders — the association edge " +

@@ -151,6 +151,65 @@ object Similarity {
         FROM pos JOIN neg USING (qid) ORDER BY anchor""")),
 
     Q(
+      "sim_multiprobe_lsh",
+      "Multi-probe hyperplane LSH: each of 5 query vectors probes its " +
+        "own band bucket PLUS the four Hamming-1 neighbor buckets per " +
+        "band (one sign-bit flip each) — the recall lever that avoids " +
+        "adding more hash tables (Lv et al.): a near neighbor that " +
+        "fell one bit away in every band is still found. 20 probe " +
+        "keys per query explode from the signature (no re-hash), " +
+        "candidates come from the same (band, bucket) equi-join as " +
+        "dedup_embedding_lsh, dedupe on ids via max(cos) of " +
+        "bit-identical scores, top-3 per query under " +
+        "WindowGroupLimit. Fixed-seed planes → the oracle replays " +
+        "every projection, flip, probe, and score.",
+      (s, dir) => {
+        val banded = Dedup.hyperplaneBanded(Tables.t(s, dir, "embeddings"))
+        val probes = banded.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("band"),
+            explode(array(col("bucket"), col("bucket").bitwiseXOR(1),
+              col("bucket").bitwiseXOR(2), col("bucket").bitwiseXOR(4),
+              col("bucket").bitwiseXOR(8))).as("bucket"))
+        val scored = probes.join(banded, Seq("band", "bucket"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            VectorOps.cosine(col("embedding"), col("qe")).as("cos"))
+          .groupBy("qid", "vec_id").agg(max("cos").as("cos"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        val wc = Window.partitionBy("qid")
+        scored
+          .withColumn("n_cand", count(lit(1)).over(wc))
+          .withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk"), col("vec_id"),
+            round(col("cos"), 6).as("cos_sim"), col("n_cand"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH ${Dedup.hyperplaneBandedCtes},
+        probes AS (
+          SELECT b.vec_id AS qid, b.embedding AS qe, b.band,
+            unnest([b.bucket, xor(b.bucket, 1), xor(b.bucket, 2),
+              xor(b.bucket, 4), xor(b.bucket, 8)]) AS bucket
+          FROM banded b WHERE b.vec_id < 5),
+        scored AS (
+          SELECT qid, vec_id, max(cos) AS cos FROM (
+            SELECT p.qid, c.vec_id,
+              ${VectorOps.duckCosine("c.embedding", "p.qe")} AS cos
+            FROM probes p JOIN banded c
+              ON c.band = p.band AND c.bucket = p.bucket
+            WHERE c.vec_id != p.qid)
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT qid, vec_id, cos,
+            CAST(count(*) OVER (PARTITION BY qid) AS BIGINT) AS n_cand,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY cos DESC, vec_id) AS INT) AS rk
+          FROM scored)
+        SELECT qid, rk, vec_id, round(cos, 6) AS cos_sim, n_cand
+        FROM ranked WHERE rk <= 3 ORDER BY qid, rk""")),
+
+    Q(
       "sim_prefix_rerank",
       "Two-stage retrieval with a truncated-dimension coarse pass " +
         "(the Matryoshka-embedding serving pattern): stage 1 scores " +

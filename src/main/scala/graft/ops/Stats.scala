@@ -637,6 +637,191 @@ object Stats {
       }),
 
     Q(
+      "analytics_diff_in_diff",
+      "Difference-in-differences: the causal-inference workhorse for " +
+        "a rollout without randomization — treatment cohort (even " +
+        "user ids) vs control, purchase values before vs after a " +
+        "cutoff date; DiD = (T_post − T_pre) − (C_post − C_pre) with " +
+        "a Welch-style SE from the four cells' variances. Each cell " +
+        "reduces to three exact integer sums (n, Σcents, Σcents²) in " +
+        "ONE map-side-combinable aggregate over the events scan; " +
+        "mean/variance/SE/t are closed-form single divisions on the " +
+        "1-row result — deterministic at any parallelism and the " +
+        "same plan at 100 TB.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(
+            (col("user_id") % 2 === 0).as("treat"),
+            (col("ts") >= lit("2024-01-16").cast("timestamp")).as("post"),
+            round(col("value") * 100).cast("long").as("v"))
+        def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+          count(when(col("treat") === t && col("post") === p, 1)).as(s"n_$suffix"),
+          sum(when(col("treat") === t && col("post") === p, col("v"))
+            .otherwise(0L)).as(s"s_$suffix"),
+          sum(when(col("treat") === t && col("post") === p, col("v") * col("v"))
+            .otherwise(0L)).as(s"ss_$suffix"))
+        val aggs = cell(true, false, "tpre") ++ cell(true, true, "tpost") ++
+          cell(false, false, "cpre") ++ cell(false, true, "cpost")
+        val cells = ev.agg(aggs.head, aggs.tail: _*)
+        def m(sfx: String) = col(s"s_$sfx").cast("double") / col(s"n_$sfx").cast("double") / 100.0
+        def va(sfx: String) =
+          (col(s"ss_$sfx").cast("double")
+            - col(s"s_$sfx").cast("double") * col(s"s_$sfx").cast("double")
+              / col(s"n_$sfx").cast("double"))
+            .divide((col(s"n_$sfx") - 1).cast("double")) / 10000.0
+        def se2(sfx: String) = va(sfx) / col(s"n_$sfx").cast("double")
+        val did = (m("tpost") - m("tpre")) - (m("cpost") - m("cpre"))
+        val se = sqrt(se2("tpost") + se2("tpre") + se2("cpost") + se2("cpre"))
+        cells.select(
+          col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+          round(m("tpre"), 6).as("mean_t_pre"), round(m("tpost"), 6).as("mean_t_post"),
+          round(m("cpre"), 6).as("mean_c_pre"), round(m("cpost"), 6).as("mean_c_post"),
+          round(did, 6).as("did_estimate"),
+          round(did / se, 6).as("t_stat"))
+      },
+      Some("""WITH ev AS (
+          SELECT (user_id % 2 = 0) AS treat,
+            (ts >= TIMESTAMP '2024-01-16') AS post,
+            CAST(round(value * 100) AS BIGINT) AS v
+          FROM events WHERE event_type = 'purchase'),
+        cells AS (SELECT
+            CAST(count(*) FILTER (WHERE treat AND NOT post) AS BIGINT) AS n_tpre,
+            CAST(sum(CASE WHEN treat AND NOT post THEN v ELSE 0 END) AS BIGINT) AS s_tpre,
+            CAST(sum(CASE WHEN treat AND NOT post THEN v * v ELSE 0 END) AS BIGINT) AS ss_tpre,
+            CAST(count(*) FILTER (WHERE treat AND post) AS BIGINT) AS n_tpost,
+            CAST(sum(CASE WHEN treat AND post THEN v ELSE 0 END) AS BIGINT) AS s_tpost,
+            CAST(sum(CASE WHEN treat AND post THEN v * v ELSE 0 END) AS BIGINT) AS ss_tpost,
+            CAST(count(*) FILTER (WHERE NOT treat AND NOT post) AS BIGINT) AS n_cpre,
+            CAST(sum(CASE WHEN NOT treat AND NOT post THEN v ELSE 0 END) AS BIGINT) AS s_cpre,
+            CAST(sum(CASE WHEN NOT treat AND NOT post THEN v * v ELSE 0 END) AS BIGINT) AS ss_cpre,
+            CAST(count(*) FILTER (WHERE NOT treat AND post) AS BIGINT) AS n_cpost,
+            CAST(sum(CASE WHEN NOT treat AND post THEN v ELSE 0 END) AS BIGINT) AS s_cpost,
+            CAST(sum(CASE WHEN NOT treat AND post THEN v * v ELSE 0 END) AS BIGINT) AS ss_cpost
+          FROM ev)
+        SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+          round(CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE) / 100.0, 6) AS mean_t_pre,
+          round(CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE) / 100.0, 6) AS mean_t_post,
+          round(CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE) / 100.0, 6) AS mean_c_pre,
+          round(CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE) / 100.0, 6) AS mean_c_post,
+          round((CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE) / 100.0
+              - CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE) / 100.0)
+            - (CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE) / 100.0
+              - CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE) / 100.0), 6)
+            AS did_estimate,
+          round(((CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE) / 100.0
+              - CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE) / 100.0)
+            - (CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE) / 100.0
+              - CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE) / 100.0))
+            / sqrt(
+              ((CAST(ss_tpost AS DOUBLE) - CAST(s_tpost AS DOUBLE) * CAST(s_tpost AS DOUBLE)
+                / CAST(n_tpost AS DOUBLE)) / CAST(n_tpost - 1 AS DOUBLE) / 10000.0) / CAST(n_tpost AS DOUBLE)
+              + ((CAST(ss_tpre AS DOUBLE) - CAST(s_tpre AS DOUBLE) * CAST(s_tpre AS DOUBLE)
+                / CAST(n_tpre AS DOUBLE)) / CAST(n_tpre - 1 AS DOUBLE) / 10000.0) / CAST(n_tpre AS DOUBLE)
+              + ((CAST(ss_cpost AS DOUBLE) - CAST(s_cpost AS DOUBLE) * CAST(s_cpost AS DOUBLE)
+                / CAST(n_cpost AS DOUBLE)) / CAST(n_cpost - 1 AS DOUBLE) / 10000.0) / CAST(n_cpost AS DOUBLE)
+              + ((CAST(ss_cpre AS DOUBLE) - CAST(s_cpre AS DOUBLE) * CAST(s_cpre AS DOUBLE)
+                / CAST(n_cpre AS DOUBLE)) / CAST(n_cpre - 1 AS DOUBLE) / 10000.0) / CAST(n_cpre AS DOUBLE)),
+            6) AS t_stat
+        FROM cells""")),
+
+    Q(
+      "ts_sax_symbols",
+      "SAX symbolization (PAA-7 + 4-letter Gaussian-breakpoint " +
+        "alphabet) of each event type's daily revenue series — the " +
+        "discretization behind time-series indexing, motif search, " +
+        "and anomaly grammars at scale (a 2500-day series becomes a " +
+        "~360-char string with cheap Hamming-style comparison). " +
+        "z-normalization parameters come from the series' exact " +
+        "integer (n, Σ, Σ²); each PAA segment value derives from the " +
+        "exact 7-day cent sum, so the only doubles are the final " +
+        "(paa − μ)/σ per segment, identical in both engines; symbols " +
+        "cut at the N(0,1) quartile breakpoints ±0.6745. Output is " +
+        "the per-series SAX string plus symbol histogram.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("event_type").as("g"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        val w = Window.partitionBy("g").orderBy("day")
+        val idx = daily.withColumn("i", row_number().over(w) - 1)
+          .withColumn("seg", Skew.idiv(col("i").cast("long"), lit(7L)))
+        val stats7 = idx.groupBy("g").agg(
+          count(lit(1)).as("n"), sum("y").as("sy"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        val segs = idx.groupBy("g", "seg")
+          .agg(count(lit(1)).as("cnt"), sum("y").as("t7"))
+          .filter(col("cnt") === 7)
+        val mu = col("sy").cast("double") / col("n").cast("double")
+        val sd = sqrt((col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double")
+            / col("n").cast("double"))
+          .divide((col("n") - 1).cast("double")))
+        val paa = (col("t7").cast("double") / 7.0 - mu) / sd
+        val sym = when(paa < -0.6745, lit("a"))
+          .when(paa < 0.0, lit("b"))
+          .when(paa < 0.6745, lit("c")).otherwise(lit("d"))
+        segs.join(broadcast(stats7), Seq("g"))
+          .select(col("g"), col("seg"), sym.as("sym"))
+          .groupBy("g").agg(
+            count(lit(1)).as("n_segments"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("seg"), col("sym")))),
+              e => e.getField("sym")), "").as("sax"),
+            count(when(col("sym") === "a", 1)).as("n_a"),
+            count(when(col("sym") === "b", 1)).as("n_b"),
+            count(when(col("sym") === "c", 1)).as("n_c"),
+            count(when(col("sym") === "d", 1)).as("n_d"))
+          .withColumnRenamed("g", "event_type")
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT g, y,
+            (row_number() OVER (PARTITION BY g ORDER BY day) - 1) // 7 AS seg
+          FROM daily),
+        stats7 AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(y) AS BIGINT) AS sy,
+            sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM idx GROUP BY g),
+        segs AS (
+          SELECT g, seg, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS t7
+          FROM idx GROUP BY 1, 2),
+        syms AS (
+          SELECT s.g, s.seg,
+            CASE
+              WHEN (CAST(s.t7 AS DOUBLE) / 7.0
+                  - CAST(st.sy AS DOUBLE) / CAST(st.n AS DOUBLE))
+                / sqrt((CAST(st.syy AS DOUBLE)
+                  - CAST(st.sy AS DOUBLE) * CAST(st.sy AS DOUBLE)
+                    / CAST(st.n AS DOUBLE)) / CAST(st.n - 1 AS DOUBLE))
+                < -0.6745 THEN 'a'
+              WHEN (CAST(s.t7 AS DOUBLE) / 7.0
+                  - CAST(st.sy AS DOUBLE) / CAST(st.n AS DOUBLE))
+                / sqrt((CAST(st.syy AS DOUBLE)
+                  - CAST(st.sy AS DOUBLE) * CAST(st.sy AS DOUBLE)
+                    / CAST(st.n AS DOUBLE)) / CAST(st.n - 1 AS DOUBLE))
+                < 0.0 THEN 'b'
+              WHEN (CAST(s.t7 AS DOUBLE) / 7.0
+                  - CAST(st.sy AS DOUBLE) / CAST(st.n AS DOUBLE))
+                / sqrt((CAST(st.syy AS DOUBLE)
+                  - CAST(st.sy AS DOUBLE) * CAST(st.sy AS DOUBLE)
+                    / CAST(st.n AS DOUBLE)) / CAST(st.n - 1 AS DOUBLE))
+                < 0.6745 THEN 'c'
+              ELSE 'd' END AS sym
+          FROM segs s JOIN stats7 st USING (g) WHERE s.cnt = 7)
+        SELECT g AS event_type, count(*) AS n_segments,
+          string_agg(sym, '' ORDER BY seg) AS sax,
+          CAST(count(*) FILTER (WHERE sym = 'a') AS BIGINT) AS n_a,
+          CAST(count(*) FILTER (WHERE sym = 'b') AS BIGINT) AS n_b,
+          CAST(count(*) FILTER (WHERE sym = 'c') AS BIGINT) AS n_c,
+          CAST(count(*) FILTER (WHERE sym = 'd') AS BIGINT) AS n_d
+        FROM syms GROUP BY g ORDER BY event_type""")),
+
+    Q(
       "agg_weighted_median",
       "Exact weighted median per group (price weighted by quantity): " +
         "pre-aggregate to (group, value) with summed weights — a " +

@@ -220,6 +220,76 @@ object Text {
         FROM full_segs GROUP BY lang ORDER BY lang""")),
 
     Q(
+      "text_heldout_perplexity",
+      "Held-out perplexity: an add-1-smoothed unigram LM is TRAINED " +
+        "on sources src0–src4 and EVALUATED on the remaining sources " +
+        "per language — the train/eval split text_unigram_logprob's " +
+        "in-corpus scoring doesn't have, and the number that actually " +
+        "ranks data sources for LM training (in-corpus perplexity " +
+        "rewards memorization). Unseen eval tokens get the smoothing " +
+        "floor 1/(N+V); the per-language bit sum folds over the " +
+        "(lang, token) count table sorted by token — integer counts " +
+        "everywhere except the per-type bit weights, deterministic " +
+        "at any parallelism. Train vocab is a bounded broadcast.",
+      (s, dir) => {
+        val hist = Seq("src0", "src1", "src2", "src3", "src4")
+        val toks = Tables.t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            explode(split(col("text"), " ")).as("w"))
+        val train = toks.filter(col("source").isInCollection(hist))
+        val vocab = train.groupBy("w").agg(count(lit(1)).as("nw"))
+        val stats = vocab.agg(sum("nw").as("nn"), count(lit(1)).as("v"))
+        val evalCounts = toks.filter(!col("source").isInCollection(hist))
+          .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+          .join(broadcast(vocab), Seq("w"), "left")
+          .crossJoin(broadcast(stats))
+          .select(col("lang"), col("w"), col("c"), col("nw"),
+            (col("c").cast("double") * -log2(
+              (coalesce(col("nw"), lit(0L)) + 1).cast("double")
+                / (col("nn") + col("v") + 1).cast("double"))).as("x"),
+            when(col("nw").isNull, col("c")).otherwise(0L).as("oov"))
+        evalCounts.groupBy("lang")
+          .agg(sum("c").as("n_tokens"), sum("oov").as("n_oov"),
+            aggregate(sort_array(collect_list(struct(col("w"), col("x")))),
+              lit(0.0), (a, e) => a + e.getField("x")).as("bits"))
+          .select(col("lang"), col("n_tokens"),
+            round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+              .as("oov_rate"),
+            round(pow(lit(2.0), col("bits") / col("n_tokens").cast("double")), 4)
+              .as("perplexity"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+          SELECT lang, source, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS nw FROM toks
+          WHERE source IN ('src0','src1','src2','src3','src4') GROUP BY w),
+        stats AS (SELECT CAST(sum(nw) AS BIGINT) AS nn,
+            CAST(count(*) AS BIGINT) AS v FROM vocab),
+        ec AS (
+          SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM toks
+          WHERE source NOT IN ('src0','src1','src2','src3','src4')
+          GROUP BY 1, 2),
+        terms AS (
+          SELECT ec.lang, ec.w, ec.c,
+            CAST(ec.c AS DOUBLE) * -log2(
+              CAST(coalesce(v2.nw, 0) + 1 AS DOUBLE)
+                / CAST(s.nn + s.v + 1 AS DOUBLE)) AS x,
+            CASE WHEN v2.nw IS NULL THEN ec.c ELSE 0 END AS oov
+          FROM ec LEFT JOIN vocab v2 ON ec.w = v2.w, stats s),
+        agg AS (
+          SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+            CAST(sum(oov) AS BIGINT) AS n_oov,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(x ORDER BY w)), (a, b) -> a + b) AS bits
+          FROM terms GROUP BY lang)
+        SELECT lang, n_tokens,
+          round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS oov_rate,
+          round(pow(CAST(2 AS DOUBLE), bits / CAST(n_tokens AS DOUBLE)), 4)
+            AS perplexity
+        FROM agg ORDER BY lang""")),
+
+    Q(
       "text_token_counts",
       "Corpus token frequencies, top 30 (count desc, token tie-break).",
       (s, dir) => {
