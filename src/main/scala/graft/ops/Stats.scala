@@ -822,6 +822,253 @@ object Stats {
         FROM syms GROUP BY g ORDER BY event_type""")),
 
     Q(
+      "analytics_survival_km",
+      "Kaplan–Meier survival curve over user lifetimes (distinct " +
+        "active days; users active on the corpus' final day are " +
+        "right-censored) — churn analysis done properly, where naive " +
+        "retention curves mishandle still-active users. The entire " +
+        "estimator runs inside ONE packed row: per-duration " +
+        "(t, deaths, at-risk-leavers) is a bounded calendar-sized " +
+        "table, sorted into an array, and each S(t) is a prefix fold " +
+        "carrying (leavers-so-far, running product) — no " +
+        "unpartitioned window (the threshold-sweep idiom), identical " +
+        "float sequence in DuckDB's list_reduce (2-list state, see " +
+        "ts_holt_linear).",
+      (s, dir) => {
+        val users = Tables.t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(countDistinct(to_date(col("ts"))).as("t"),
+            to_date(max(col("ts"))).as("d1"))
+        val maxDay = Tables.t(s, dir, "events")
+          .agg(to_date(max(col("ts"))).as("dmax"))
+        val durs = users.crossJoin(broadcast(maxDay))
+          .select(col("t"), (col("d1") === col("dmax")).as("cens"))
+        val byT = durs.groupBy("t").agg(
+          count(when(!col("cens"), 1)).as("d"),
+          count(lit(1)).as("c"))
+        val packed = byT.agg(
+          sort_array(collect_list(struct(col("t"), col("d"), col("c")))).as("a"),
+          sum("c").as("total"))
+        packed.select(explode(expr(
+            """transform(a, (x, i) -> named_struct(
+              't', x.t, 'd', x.d,
+              'n_risk', total - aggregate(slice(a, 1, i), CAST(0 AS BIGINT),
+                (acc, y) -> acc + y.c),
+              's', aggregate(slice(a, 1, i + 1),
+                named_struct('rc', CAST(0 AS BIGINT), 'pr', CAST(1.0 AS DOUBLE)),
+                (acc, y) -> named_struct('rc', acc.rc + y.c,
+                  'pr', acc.pr * (CAST(1.0 AS DOUBLE)
+                    - CAST(y.d AS DOUBLE) / CAST(total - acc.rc AS DOUBLE))),
+                st -> st.pr)))""")).as("r"))
+          .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+            col("r.d").as("deaths"), round(col("r.s"), 6).as("s_km"))
+          .filter(col("deaths") > 0)
+          .orderBy("t")
+      },
+      Some("""WITH users AS (
+          SELECT user_id,
+            CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS t,
+            CAST(max(ts) AS DATE) AS d1
+          FROM events GROUP BY 1),
+        mx AS (SELECT CAST(max(ts) AS DATE) AS dmax FROM events),
+        durs AS (
+          SELECT t, (d1 = dmax) AS cens
+          FROM users, mx),
+        by_t AS (
+          SELECT t, CAST(count(*) FILTER (WHERE NOT cens) AS BIGINT) AS d,
+            CAST(count(*) AS BIGINT) AS c
+          FROM durs GROUP BY t),
+        packed AS (
+          SELECT list(struct_pack(t := t, d := d, c := c) ORDER BY t) AS a,
+            CAST(sum(c) AS BIGINT) AS total
+          FROM by_t),
+        rows_out AS (
+          SELECT unnest(list_transform(a, (x, i) -> struct_pack(
+            t := x.t, d := x.d,
+            n_risk := total - CAST(list_reduce(
+              list_prepend(CAST(0 AS DOUBLE),
+                list_transform(a[1:i-1], y -> CAST(y.c AS DOUBLE))),
+              (p, q) -> p + q) AS BIGINT),
+            s := list_reduce(
+              list_prepend([CAST(0 AS DOUBLE), CAST(1.0 AS DOUBLE)],
+                list_transform(a[1:i],
+                  y -> [CAST(y.c AS DOUBLE), CAST(y.d AS DOUBLE)])),
+              (acc, e) -> [acc[1] + e[1],
+                acc[2] * (CAST(1.0 AS DOUBLE)
+                  - e[2] / (CAST(total AS DOUBLE) - acc[1]))])[2]))) AS r
+          FROM packed)
+        SELECT r.t AS t, r.n_risk AS n_risk, r.d AS deaths,
+          round(r.s, 6) AS s_km
+        FROM rows_out WHERE r.d > 0 ORDER BY t""")),
+
+    Q(
+      "analytics_cuped",
+      "CUPED variance reduction (Deng et al.): the post-period " +
+        "purchase metric adjusted by each user's PRE-period metric as " +
+        "control variate — the standard trick that shrinks A/B " +
+        "confidence intervals by the pre/post correlation ρ² without " +
+        "touching the estimate's expectation. θ = cov(X,Y)/var(X) " +
+        "pooled, adjusted lift = (Ȳt − θX̄t) − (Ȳc − θX̄c) (the μx " +
+        "terms cancel). Every moment (n, Σx, Σy, Σxy, Σx², Σy² per " +
+        "arm) is an exact integer from ONE hash agg over per-user " +
+        "integer totals; θ, lifts, and the variance-reduction share " +
+        "are closed-form single divisions — deterministic and " +
+        "scan-shaped at any scale.",
+      (s, dir) => {
+        val cutoff = lit("2024-01-16").cast("timestamp")
+        val perUser = Tables.t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(
+            sum(when(col("ts") < cutoff, round(col("value") * 100).cast("long"))
+              .otherwise(0L)).as("x"),
+            sum(when(col("ts") >= cutoff, round(col("value") * 100).cast("long"))
+              .otherwise(0L)).as("y"))
+          .withColumn("treat", col("user_id") % 2 === 0)
+        val m = perUser.agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+          count(when(col("treat"), 1)).as("nt"),
+          sum(when(col("treat"), col("x")).otherwise(0L)).as("sxt"),
+          sum(when(col("treat"), col("y")).otherwise(0L)).as("syt"))
+        def d(c: Column) = c.cast("double")
+        val covxy = d(col("sxy")) - d(col("sx")) * d(col("sy")) / d(col("n"))
+        val varx = d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n"))
+        val vary = d(col("syy")) - d(col("sy")) * d(col("sy")) / d(col("n"))
+        val theta = covxy / varx
+        val nc = col("n") - col("nt")
+        val sxc = col("sx") - col("sxt")
+        val syc = col("sy") - col("syt")
+        val rawDiff = (d(col("syt")) / d(col("nt")) - d(syc) / d(nc)) / 100.0
+        val cupedDiff = ((d(col("syt")) / d(col("nt"))
+          - theta * d(col("sxt")) / d(col("nt")))
+          - (d(syc) / d(nc) - theta * d(sxc) / d(nc))) / 100.0
+        m.select(col("nt"), nc.as("n_c"),
+          round(theta, 6).as("theta"),
+          round(rawDiff, 6).as("raw_diff"),
+          round(cupedDiff, 6).as("cuped_diff"),
+          round(covxy * covxy / (varx * vary), 6).as("var_reduction"))
+      },
+      Some("""WITH pu AS (
+          SELECT user_id,
+            CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+            CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+            (user_id % 2 = 0) AS treat
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        m AS (SELECT
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(x AS HUGEINT) * x) AS sxx,
+            sum(CAST(y AS HUGEINT) * y) AS syy,
+            CAST(count(*) FILTER (WHERE treat) AS BIGINT) AS nt,
+            CAST(sum(CASE WHEN treat THEN x ELSE 0 END) AS BIGINT) AS sxt,
+            CAST(sum(CASE WHEN treat THEN y ELSE 0 END) AS BIGINT) AS syt
+          FROM pu)
+        SELECT nt, n - nt AS n_c,
+          round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)),
+            6) AS theta,
+          round((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+            - CAST(sy - syt AS DOUBLE) / CAST(n - nt AS DOUBLE)) / 100.0, 6) AS raw_diff,
+          round(((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+              - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                * CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE))
+            - (CAST(sy - syt AS DOUBLE) / CAST(n - nt AS DOUBLE)
+              - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                * CAST(sx - sxt AS DOUBLE) / CAST(n - nt AS DOUBLE))) / 100.0, 6)
+            AS cuped_diff,
+          round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))),
+            6) AS var_reduction
+        FROM m""")),
+
+    Q(
+      "stats_mcnemar",
+      "McNemar's paired test: did individual users' HIGH-VALUE " +
+        "(≥$150) purchasing flip between the pre and post halves of " +
+        "the window? Paired pre/post conversion flags per user; only the DISCORDANT " +
+        "cells b (pre-only) and c (post-only) matter. Reports the " +
+        "χ² = (b−c)²/(b+c) approximation AND the exact two-sided " +
+        "binomial p — Σ C(n,k)/2ⁿ over the lighter tail, doubled — " +
+        "via the same log-space incremental fold as " +
+        "stats_fisher_exact (no lgamma, identical doubles both " +
+        "engines). One hash agg + an O(min(b,c)) one-row fold.",
+      (s, dir) => {
+        val cutoff = lit("2024-01-16").cast("timestamp")
+        val flags = Tables.t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(
+            max(when(col("ts") < cutoff && col("value") >= 150, 1L)
+              .otherwise(0L)).as("pre"),
+            max(when(col("ts") >= cutoff && col("value") >= 150, 1L)
+              .otherwise(0L)).as("post"))
+        val cells = flags.agg(
+          count(when(col("pre") === 1 && col("post") === 0, 1)).as("b"),
+          count(when(col("pre") === 0 && col("post") === 1, 1)).as("c"))
+        val b2 = cells
+          .withColumn("nn", col("b") + col("c"))
+          .withColumn("kmin", least(col("b"), col("c")))
+        // p0 = 2^-n in log space; p_{k+1} = p_k + ln(n-k) - ln(k+1);
+        // sum terms k = 0..kmin, double, clamp at 1
+        val folded = b2.withColumn("st", aggregate(
+          when(col("kmin") > 0, sequence(lit(1L), col("kmin")))
+            .otherwise(expr("CAST(array() AS array<bigint>)")),
+          array(-col("nn").cast("double") * log(lit(2.0)),
+            exp(-col("nn").cast("double") * log(lit(2.0)))),
+          (acc, k) => {
+            val lp = element_at(acc, 1)
+              .plus(log((col("nn") - k + 1).cast("double")))
+              .minus(log(k.cast("double")))
+            array(lp, element_at(acc, 2) + exp(lp))
+          }))
+        folded.select(col("b"), col("c"),
+          round((col("b") - col("c")).cast("double")
+            * (col("b") - col("c")).cast("double")
+            / col("nn").cast("double"), 6).as("chi2"),
+          round(least(element_at(col("st"), 2) * 2.0, lit(1.0)), 6)
+            .as("p_exact"))
+      },
+      Some("""WITH flags AS (
+          SELECT user_id,
+            max(CASE WHEN ts < TIMESTAMP '2024-01-16' AND value >= 150
+              THEN 1 ELSE 0 END) AS pre,
+            max(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND value >= 150
+              THEN 1 ELSE 0 END) AS post
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        cells AS (SELECT
+            CAST(count(*) FILTER (WHERE pre = 1 AND post = 0) AS BIGINT) AS b,
+            CAST(count(*) FILTER (WHERE pre = 0 AND post = 1) AS BIGINT) AS c
+          FROM flags),
+        b2 AS (SELECT *, b + c AS nn, least(b, c) AS kmin FROM cells),
+        folded AS (SELECT *,
+            list_reduce(list_prepend(
+              [-CAST(nn AS DOUBLE) * ln(CAST(2 AS DOUBLE)),
+               exp(-CAST(nn AS DOUBLE) * ln(CAST(2 AS DOUBLE)))],
+              list_transform(range(1, kmin + 1),
+                k -> [CAST(k AS DOUBLE), CAST(0 AS DOUBLE)])),
+              (acc, e) -> [
+                acc[1] + ln(CAST(nn - CAST(e[1] AS BIGINT) + 1 AS DOUBLE))
+                  - ln(CAST(CAST(e[1] AS BIGINT) AS DOUBLE)),
+                acc[2] + exp(acc[1]
+                  + ln(CAST(nn - CAST(e[1] AS BIGINT) + 1 AS DOUBLE))
+                  - ln(CAST(CAST(e[1] AS BIGINT) AS DOUBLE)))]) AS st
+          FROM b2)
+        SELECT b, c,
+          round(CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+            / CAST(nn AS DOUBLE), 6) AS chi2,
+          round(least(st[2] * 2.0, CAST(1 AS DOUBLE)), 6) AS p_exact
+        FROM folded""")),
+
+    Q(
       "agg_weighted_median",
       "Exact weighted median per group (price weighted by quantity): " +
         "pre-aggregate to (group, value) with summed weights — a " +
