@@ -59,6 +59,80 @@ object Features {
         FROM r ORDER BY p_partkey""")),
 
     Q(
+      "feat_iv_summary",
+      "Information value of candidate features against the " +
+        "finished-order target — the feature-selection screen a " +
+        "credit/churn modeler runs before training (IV < 0.02 " +
+        "useless, > 0.3 strong): IV = Σ_bins (p_good − p_bad)·WoE " +
+        "with 0.5 Laplace smoothing so empty cells stay finite. Two " +
+        "features (priority category, fixed price bands) profiled in " +
+        "one union; counts are exact integers from two hash aggs, " +
+        "the per-feature sum folds over ≤5 bins sorted by bin label. " +
+        "Completes feat_woe_encode (per-bin WoE) with the per-" +
+        "feature ranking number.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .withColumn("target", (col("o_orderstatus") === "F").cast("int"))
+        def binned(feat: Column, name: String) = o
+          .select(lit(name).as("feature"), feat.as("bin"), col("target"))
+        val bins = binned(col("o_orderpriority"), "priority")
+          .unionByName(binned(
+            when(col("o_totalprice") < 100000, "p0_lo")
+              .when(col("o_totalprice") < 200000, "p1_mid")
+              .when(col("o_totalprice") < 300000, "p2_hi")
+              .otherwise("p3_top"), "price_band"))
+        val cells = bins.groupBy("feature", "bin").agg(
+          sum("target").cast("long").as("g"),
+          (count(lit(1)) - sum("target")).cast("long").as("b"))
+        val tots = cells.groupBy("feature").agg(
+          sum("g").as("gt"), sum("b").as("bt"))
+        val woe = cells.join(tots, "feature")
+          .withColumn("pg",
+            (col("g").cast("double") + 0.5) / (col("gt").cast("double") + 0.5))
+          .withColumn("pb",
+            (col("b").cast("double") + 0.5) / (col("bt").cast("double") + 0.5))
+          .withColumn("term", (col("pg") - col("pb")) * log(col("pg") / col("pb")))
+        woe.groupBy("feature").agg(
+            count(lit(1)).as("n_bins"),
+            aggregate(sort_array(collect_list(struct(col("bin"), col("term")))),
+              lit(0.0), (a, e) => a + e.getField("term")).as("iv"))
+          .select(col("feature"), col("n_bins"), round(col("iv"), 6).as("iv"))
+          .orderBy("feature")
+      },
+      Some("""WITH o AS (
+          SELECT o_orderpriority, o_totalprice,
+            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target
+          FROM orders),
+        bins AS (
+          SELECT 'priority' AS feature, o_orderpriority AS bin, target FROM o
+          UNION ALL
+          SELECT 'price_band' AS feature,
+            CASE WHEN o_totalprice < 100000 THEN 'p0_lo'
+              WHEN o_totalprice < 200000 THEN 'p1_mid'
+              WHEN o_totalprice < 300000 THEN 'p2_hi'
+              ELSE 'p3_top' END AS bin, target
+          FROM o),
+        cells AS (
+          SELECT feature, bin, CAST(sum(target) AS BIGINT) AS g,
+            CAST(count(*) - sum(target) AS BIGINT) AS b
+          FROM bins GROUP BY 1, 2),
+        tots AS (SELECT feature, CAST(sum(g) AS BIGINT) AS gt,
+            CAST(sum(b) AS BIGINT) AS bt
+          FROM cells GROUP BY 1),
+        woe AS (
+          SELECT c.feature, c.bin,
+            ((CAST(c.g AS DOUBLE) + 0.5) / (CAST(t.gt AS DOUBLE) + 0.5)
+              - (CAST(c.b AS DOUBLE) + 0.5) / (CAST(t.bt AS DOUBLE) + 0.5))
+            * ln(((CAST(c.g AS DOUBLE) + 0.5) / (CAST(t.gt AS DOUBLE) + 0.5))
+              / ((CAST(c.b AS DOUBLE) + 0.5) / (CAST(t.bt AS DOUBLE) + 0.5)))
+              AS term
+          FROM cells c JOIN tots t USING (feature))
+        SELECT feature, count(*) AS n_bins,
+          round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(term ORDER BY bin)), (a, b) -> a + b), 6) AS iv
+        FROM woe GROUP BY feature ORDER BY feature""")),
+
+    Q(
       "feat_standardize",
       "Per-brand z-score + global min-max scaling of part retail price. " +
         "Group stats computed as a 25-row aggregate and broadcast-joined " +

@@ -1069,6 +1069,77 @@ object Stats {
         FROM folded""")),
 
     Q(
+      "ts_permutation_entropy",
+      "Order-3 permutation entropy of each event type's daily revenue " +
+        "series — the model-free complexity measure (Bandt–Pompe) " +
+        "that separates trending, oscillating, and noisy series " +
+        "where variance can't. Consecutive triples classify into one " +
+        "of 6 ordinal patterns via three stable comparisons (ties " +
+        "break to the earlier index), counted as integers; the " +
+        "entropy is a ≤6-term sorted fold over exact count ratios, " +
+        "normalized by ln 6. Two lead() windows partitioned by " +
+        "series key + one hash agg — scan-shaped at any scale.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("event_type").as("g"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        val w = Window.partitionBy("g").orderBy("day")
+        val pats = daily
+          .withColumn("y2", lead("y", 1).over(w))
+          .withColumn("y3", lead("y", 2).over(w))
+          .filter(col("y3").isNotNull)
+          .withColumn("pat",
+            when(col("y") <= col("y2"), 4).otherwise(0)
+              + when(col("y") <= col("y3"), 2).otherwise(0)
+              + when(col("y2") <= col("y3"), 1).otherwise(0))
+        val counts = pats.groupBy("g", "pat").agg(count(lit(1)).as("c"))
+          .withColumn("n", sum("c").over(Window.partitionBy("g")))
+          .withColumn("term",
+            -(col("c").cast("double") / col("n").cast("double"))
+              * log(col("c").cast("double") / col("n").cast("double")))
+        counts.groupBy("g").agg(
+            count(lit(1)).as("n_patterns"), max("n").as("n"),
+            aggregate(
+              sort_array(collect_list(struct(col("pat"), col("term")))),
+              lit(0.0), (a, e) => a + e.getField("term")).as("h"))
+          .select(col("g").as("event_type"), col("n_patterns"), col("n"),
+            round(col("h") / log(lit(6.0)), 6).as("pe_norm"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        tri AS (
+          SELECT g, y,
+            lead(y, 1) OVER (PARTITION BY g ORDER BY day) AS y2,
+            lead(y, 2) OVER (PARTITION BY g ORDER BY day) AS y3
+          FROM daily),
+        pats AS (
+          SELECT g,
+            (CASE WHEN y <= y2 THEN 4 ELSE 0 END
+              + CASE WHEN y <= y3 THEN 2 ELSE 0 END
+              + CASE WHEN y2 <= y3 THEN 1 ELSE 0 END) AS pat
+          FROM tri WHERE y3 IS NOT NULL),
+        counts AS (SELECT g, pat, CAST(count(*) AS BIGINT) AS c
+          FROM pats GROUP BY 1, 2),
+        terms AS (
+          SELECT g, pat, c,
+            CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+            -(CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY g) AS DOUBLE))
+              * ln(CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY g) AS DOUBLE))
+              AS term
+          FROM counts),
+        agg AS (
+          SELECT g, count(*) AS n_patterns, max(n) AS n,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(term ORDER BY pat)), (a, b) -> a + b) AS h
+          FROM terms GROUP BY g)
+        SELECT g AS event_type, n_patterns, n,
+          round(h / ln(CAST(6 AS DOUBLE)), 6) AS pe_norm
+        FROM agg ORDER BY event_type""")),
+
+    Q(
       "agg_weighted_median",
       "Exact weighted median per group (price weighted by quantity): " +
         "pre-aggregate to (group, value) with summed weights — a " +
