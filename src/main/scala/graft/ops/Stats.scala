@@ -1140,6 +1140,204 @@ object Stats {
         FROM agg ORDER BY event_type""")),
 
     Q(
+      "ts_pacf",
+      "Partial autocorrelation (lags 1–5) of each event type's daily " +
+        "revenue series via Durbin–Levinson — the AR-order " +
+        "diagnostic ts_autocorr's raw ACF can't give (ACF of an " +
+        "AR(1) decays forever; PACF cuts off). Autocovariances " +
+        "assemble from EXACT integer lag-product sums (Σy·y₊ₖ in " +
+        "decimal, head/tail sums, n) in one 5-lead window pass + one " +
+        "hash agg; the D–L recursion is unrolled into closed-form " +
+        "column arithmetic over ρ₁..ρ₅ with the identical expression " +
+        "tree in both engines — every float op sequence matches, so " +
+        "the oracle is bit-exact.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("event_type").as("g"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        val w = Window.partitionBy("g").orderBy("day")
+        val withLeads = (1 to 5).foldLeft(daily) { (d, k) =>
+          d.withColumn(s"y$k", lead("y", k).over(w))
+        }
+        val aggs = Seq(
+          count(lit(1)).as("n"), sum("y").as("s"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("p0")) ++
+          (1 to 5).flatMap { k => Seq(
+            sum(when(col(s"y$k").isNotNull,
+              col("y").cast("decimal(38,0)") * col(s"y$k")).otherwise(lit(0)))
+              .as(s"p$k"),
+            sum(when(col(s"y$k").isNotNull, col("y")).otherwise(0L)).as(s"h$k"),
+            sum(when(col(s"y$k").isNotNull, col(s"y$k")).otherwise(0L)).as(s"t$k"),
+            count(when(col(s"y$k").isNotNull, 1)).as(s"n$k"))
+          }
+        val m = withLeads.groupBy("g").agg(aggs.head, aggs.tail: _*)
+        def d(c: Column) = c.cast("double")
+        val mu = d(col("s")) / d(col("n"))
+        val c0 = d(col("p0")) - d(col("s")) * d(col("s")) / d(col("n"))
+        def rho(k: Int): Column =
+          (d(col(s"p$k")) - mu * (d(col(s"h$k")) + d(col(s"t$k")))
+            + d(col(s"n$k")) * mu * mu) / c0
+        // Durbin-Levinson over NAMED intermediate columns (f{m}_{j}),
+        // one withColumn per assignment, mirrored 1:1 by the oracle's
+        // CTE chain so every float op sequence matches
+        var df = (1 to 5).foldLeft(m)((acc, k) => acc.withColumn(s"r$k", rho(k)))
+        df = df.withColumn("f1_1", col("r1"))
+        for (m2 <- 2 to 5) {
+          val num = col(s"r$m2") - (1 until m2).map(j =>
+            col(s"f${m2 - 1}_$j") * col(s"r${m2 - j}")).reduce(_ + _)
+          val den = lit(1.0) - (1 until m2).map(j =>
+            col(s"f${m2 - 1}_$j") * col(s"r$j")).reduce(_ + _)
+          df = df.withColumn(s"f${m2}_$m2", num / den)
+          for (j <- 1 until m2)
+            df = df.withColumn(s"f${m2}_$j",
+              col(s"f${m2 - 1}_$j") - col(s"f${m2}_$m2") * col(s"f${m2 - 1}_${m2 - j}"))
+        }
+        df.select(col("g").as("event_type"),
+            round(col("f1_1"), 6).as("pacf_1"), round(col("f2_2"), 6).as("pacf_2"),
+            round(col("f3_3"), 6).as("pacf_3"), round(col("f4_4"), 6).as("pacf_4"),
+            round(col("f5_5"), 6).as("pacf_5"))
+          .orderBy("event_type")
+      },
+      Some {
+        def d(c: String) = s"CAST($c AS DOUBLE)"
+        val mu = s"(${d("s")} / ${d("n")})"
+        val c0 = s"(${d("p0")} - ${d("s")} * ${d("s")} / ${d("n")})"
+        def rho(k: Int) =
+          s"((${d(s"p$k")} - $mu * (${d(s"h$k")} + ${d(s"t$k")})" +
+            s" + ${d(s"n$k")} * $mu * $mu) / $c0)"
+        val rhoCols = (1 to 5).map(k => s"${rho(k)} AS r$k").mkString(", ")
+        val lvls = new scala.collection.mutable.ArrayBuffer[String]
+        lvls += "lvl1 AS (SELECT *, r1 AS f1_1 FROM acf)"
+        var prev = "lvl1"
+        for (m2 <- 2 to 5) {
+          val num = s"r$m2 - (${(1 until m2).map(j =>
+            s"f${m2 - 1}_$j * r${m2 - j}").mkString(" + ")})"
+          val den = s"1.0 - (${(1 until m2).map(j =>
+            s"f${m2 - 1}_$j * r$j").mkString(" + ")})"
+          lvls += s"lvl${m2}a AS (SELECT *, ($num) / ($den) AS f${m2}_$m2 FROM $prev)"
+          prev = s"lvl${m2}a"
+          if (m2 < 5) {
+            val cols = (1 until m2).map(j =>
+              s"f${m2 - 1}_$j - f${m2}_$m2 * f${m2 - 1}_${m2 - j} AS f${m2}_$j").mkString(", ")
+            lvls += s"lvl${m2}b AS (SELECT *, $cols FROM $prev)"
+            prev = s"lvl${m2}b"
+          }
+        }
+        val lagSums = (1 to 5).map { k =>
+          s"""sum(CASE WHEN y$k IS NOT NULL THEN CAST(y AS HUGEINT) * y$k
+              ELSE 0 END) AS p$k,
+            CAST(sum(CASE WHEN y$k IS NOT NULL THEN y ELSE 0 END) AS BIGINT) AS h$k,
+            CAST(sum(CASE WHEN y$k IS NOT NULL THEN y$k ELSE 0 END) AS BIGINT) AS t$k,
+            CAST(count(CASE WHEN y$k IS NOT NULL THEN 1 END) AS BIGINT) AS n$k"""
+        }.mkString(",\n")
+        val leads = (1 to 5).map(k =>
+          s"lead(y, $k) OVER (PARTITION BY g ORDER BY day) AS y$k").mkString(", ")
+        s"""WITH daily AS (
+          SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        led AS (SELECT g, y, $leads FROM daily),
+        m AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+            sum(CAST(y AS HUGEINT) * y) AS p0,
+            $lagSums
+          FROM led GROUP BY g),
+        acf AS (SELECT *, $rhoCols FROM m),
+        ${lvls.mkString(",\n")}
+        SELECT g AS event_type,
+          round(f1_1, 6) AS pacf_1, round(f2_2, 6) AS pacf_2,
+          round(f3_3, 6) AS pacf_3, round(f4_4, 6) AS pacf_4,
+          round(f5_5, 6) AS pacf_5
+        FROM $prev ORDER BY event_type"""
+      }),
+
+    Q(
+      "analytics_shapley_attribution",
+      "Exact Shapley-value marketing attribution over the four " +
+        "pre-purchase touchpoint channels — the game-theoretic credit " +
+        "split (unlike last-touch, order-free and efficient: the four " +
+        "values sum to exactly the explained conversions). Coalition " +
+        "value v(S) = conversions whose touched-channel set ⊆ S, " +
+        "from a 16-mask × 16-subset bounded grid; Shapley weights " +
+        "|S|!(3−|S|)!/4! ride as INTEGER numerators (×24), so " +
+        "φ·24 = Σ w·(v(S∪i) − v(S)) is exact integer arithmetic with " +
+        "one final division. Everything past the per-user mask " +
+        "aggregate is dimension-sized.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val firstP = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("ts").as("pts"))
+        val masks0 = ev.join(firstP, "user_id")
+          .filter(col("ts") < col("pts"))
+          .groupBy("user_id").agg(
+            (max(when(col("event_type") === "view", 1).otherwise(0))
+              + max(when(col("event_type") === "click", 2).otherwise(0))
+              + max(when(col("event_type") === "signup", 4).otherwise(0))
+              + max(when(col("event_type") === "error", 8).otherwise(0))).as("m"))
+        val masks = firstP.join(masks0, Seq("user_id"), "left")
+          .select(coalesce(col("m"), lit(0)).as("m"))
+          .groupBy("m").agg(count(lit(1)).as("c"))
+        val subsets = s.range(16).select(col("id").cast("int").as("ss"))
+        val v = subsets.join(masks,
+            masks("m").bitwiseAND(lit(15).bitwiseXOR(subsets("ss"))) === 0, "left")
+          .groupBy("ss").agg(coalesce(sum("c"), lit(0L)).as("v"))
+        val channels = Seq("view" -> 1, "click" -> 2, "signup" -> 4, "error" -> 8)
+          .map { case (name, bit) =>
+            s.range(1).select(lit(name).as("channel"), lit(bit).as("bit"))
+          }.reduce(_.unionByName(_))
+        val grid = channels.crossJoin(subsets)
+          .filter(col("ss").bitwiseAND(col("bit")) === 0)
+          .withColumn("w24",
+            when(expr("bit_count(ss)") === 0, 6L)
+              .when(expr("bit_count(ss)") === 1, 2L)
+              .when(expr("bit_count(ss)") === 2, 2L).otherwise(6L))
+        grid
+          .join(v.select(col("ss"), col("v").as("vs")), "ss")
+          .join(v.select((col("ss")).as("ssi"), col("v").as("vsi")),
+            col("ssi") === col("ss") + col("bit"))
+          .groupBy("channel")
+          .agg(sum(col("w24") * (col("vsi") - col("vs"))).as("phi24"))
+          .select(col("channel"),
+            round(col("phi24").cast("double") / 24.0, 6).as("shapley"))
+          .orderBy("channel")
+      },
+      Some("""WITH firstp AS (
+          SELECT user_id, min(ts) AS pts FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+        masks0 AS (
+          SELECT e.user_id,
+            max(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+              + max(CASE WHEN e.event_type = 'click' THEN 2 ELSE 0 END)
+              + max(CASE WHEN e.event_type = 'signup' THEN 4 ELSE 0 END)
+              + max(CASE WHEN e.event_type = 'error' THEN 8 ELSE 0 END) AS m
+          FROM events e JOIN firstp f USING (user_id)
+          WHERE e.ts < f.pts GROUP BY 1),
+        masks AS (
+          SELECT coalesce(m0.m, 0) AS m, CAST(count(*) AS BIGINT) AS c
+          FROM firstp f LEFT JOIN masks0 m0 USING (user_id) GROUP BY 1),
+        subsets AS (SELECT CAST(unnest(range(16)) AS INT) AS ss),
+        v AS (
+          SELECT ss, CAST(coalesce(sum(c), 0) AS BIGINT) AS v
+          FROM subsets LEFT JOIN masks ON (m & xor(15, ss)) = 0
+          GROUP BY ss),
+        channels AS (
+          SELECT 'view' AS channel, 1 AS bit UNION ALL
+          SELECT 'click', 2 UNION ALL
+          SELECT 'signup', 4 UNION ALL
+          SELECT 'error', 8),
+        grid AS (
+          SELECT channel, bit, ss,
+            CASE bit_count(ss) WHEN 0 THEN 6 WHEN 1 THEN 2
+              WHEN 2 THEN 2 ELSE 6 END AS w24
+          FROM channels, subsets WHERE (ss & bit) = 0)
+        SELECT channel,
+          round(CAST(sum(w24 * (vsi.v - vs.v)) AS DOUBLE) / 24.0, 6) AS shapley
+        FROM grid
+        JOIN v vs ON vs.ss = grid.ss
+        JOIN v vsi ON vsi.ss = grid.ss + grid.bit
+        GROUP BY channel ORDER BY channel""")),
+
+    Q(
       "agg_weighted_median",
       "Exact weighted median per group (price weighted by quantity): " +
         "pre-aggregate to (group, value) with summed weights — a " +

@@ -166,6 +166,31 @@ class Round11Spec extends SparkSpec {
     assert(kept.forall(_ < 400))
   }
 
+  test("shapley attribution is efficient: channel values sum to explained conversions") {
+    import spark.implicits._
+    val phis = run("analytics_shapley_attribution")
+      .select("shapley").as[Double].collect()
+    assert(phis.length == 4)
+    // v(full) − v(empty): converters with ≥1 pre-purchase touch
+    val ev = Tables.t(spark, sfDir, "events")
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("pts"))
+    val touched = ev.join(firstP, "user_id")
+      .filter(col("ts") < col("pts") && col("event_type") =!= "purchase")
+      .select("user_id").distinct().count()
+    assert(math.abs(phis.sum - touched.toDouble) < 1e-4,
+      s"sum=${phis.sum} explained=$touched")
+  }
+
+  test("pacf lag 1 equals the lag-1 autocorrelation; all pacf in [-1, 1]") {
+    run("ts_pacf").collect().foreach { r =>
+      (1 to 5).foreach { k =>
+        val v = r.getAs[Double](s"pacf_$k")
+        assert(v >= -1.0 && v <= 1.0, s"pacf_$k=$v out of range")
+      }
+    }
+  }
+
   test("TPC-H additions return plausible shapes at sf0.001") {
     assert(run("sql_shipping_priority").count() <= 10)
     assert(run("sql_local_supplier_volume").count() <= 25)
