@@ -210,6 +210,80 @@ object Similarity {
         FROM ranked WHERE rk <= 3 ORDER BY qid, rk""")),
 
     Q(
+      "sim_sq8_rerank",
+      "Scalar-quantization (int8) retrieval with exact rerank — the " +
+        "FAISS-SQ8 shape: per-dimension [min, max] over the corpus " +
+        "(a 64-row aggregate packed into ONE broadcast row), each " +
+        "float mapped to round(255·(x−lo)/(hi−lo)), candidates " +
+        "ranked by the dot product of DEQUANTIZED codes (4× smaller " +
+        "scan at serving time), top-20 reranked by exact cosine for " +
+        "the final 10. Quantization, dequantization, and both score " +
+        "folds replay in DuckDB over identical doubles — the " +
+        "compression error itself is oracle-checked, not just the " +
+        "pipeline.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val dimStats = e
+          .select(posexplode(col("embedding")).as(Seq("d", "x")))
+          .groupBy("d").agg(min(col("x").cast("double")).as("lo"),
+            max(col("x").cast("double")).as("hi"))
+          .agg(sort_array(collect_list(struct(col("d"), col("lo"), col("hi"))))
+            .as("st"))
+        val withQ = e.crossJoin(broadcast(dimStats))
+          .withColumn("dq", expr(
+            """transform(embedding, (x, i) ->
+              st[i].lo + CASE WHEN st[i].hi = st[i].lo THEN CAST(0.0 AS DOUBLE)
+                ELSE round(255.0 * (CAST(x AS DOUBLE) - st[i].lo)
+                  / (st[i].hi - st[i].lo))
+                  * (st[i].hi - st[i].lo) / 255.0 END)"""))
+          .select(col("vec_id"), col("embedding"), col("dq"))
+        val q = withQ.filter(col("vec_id") === 0)
+          .select(col("dq").as("qdq"), col("embedding").as("qe"))
+        val approx = withQ.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("adot", expr(
+            """aggregate(zip_with(dq, qdq, (a, b) -> a * b),
+              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""))
+          .orderBy(col("adot").desc, col("vec_id")).limit(20)
+        approx
+          .withColumn("cos", VectorOps.cosine(col("embedding"), col("qe")))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+          .select(col("vec_id"), round(col("adot"), 4).as("approx_dot"),
+            round(col("cos"), 6).as("cos_sim"))
+      },
+      Some(s"""WITH ds AS (
+          SELECT u.d AS d, min(CAST(u.x AS DOUBLE)) AS lo,
+            max(CAST(u.x AS DOUBLE)) AS hi
+          FROM (SELECT unnest(list_transform(embedding,
+              (x, i) -> struct_pack(d := i, x := x))) AS u
+            FROM embeddings)
+          GROUP BY u.d),
+        st AS (SELECT list(struct_pack(d := d, lo := lo, hi := hi)
+            ORDER BY d) AS st FROM ds),
+        withq AS (
+          SELECT vec_id, embedding,
+            list_transform(embedding, (x, i) ->
+              st[i].lo + CASE WHEN st[i].hi = st[i].lo THEN CAST(0.0 AS DOUBLE)
+                ELSE round(255.0 * (CAST(x AS DOUBLE) - st[i].lo)
+                  / (st[i].hi - st[i].lo))
+                  * (st[i].hi - st[i].lo) / 255.0 END) AS dq
+          FROM embeddings, st),
+        q AS (SELECT dq AS qdq, embedding AS qe FROM withq WHERE vec_id = 0),
+        approx AS (
+          SELECT w.vec_id, w.embedding, q.qe,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, 65),
+                i -> w.dq[CAST(i AS INT)] * q.qdq[CAST(i AS INT)])),
+              (acc, v) -> acc + v) AS adot
+          FROM withq w, q WHERE w.vec_id != 0
+          ORDER BY adot DESC, w.vec_id LIMIT 20)
+        SELECT vec_id, round(adot, 4) AS approx_dot,
+          round(${VectorOps.duckCosine("embedding", "qe")}, 6) AS cos_sim
+        FROM approx
+        ORDER BY ${VectorOps.duckCosine("embedding", "qe")} DESC, vec_id
+        LIMIT 10""")),
+
+    Q(
       "sim_prefix_rerank",
       "Two-stage retrieval with a truncated-dimension coarse pass " +
         "(the Matryoshka-embedding serving pattern): stage 1 scores " +

@@ -1338,6 +1338,80 @@ object Stats {
         GROUP BY channel ORDER BY channel""")),
 
     Q(
+      "ts_matrix_profile",
+      "Matrix profile (window 7, exclusion zone ±3) of each event " +
+        "type's daily revenue series: for every subsequence, the " +
+        "squared euclidean distance to its nearest non-trivial " +
+        "neighbor — the motif/discord primitive behind time-series " +
+        "anomaly mining. Distances stay EXACT INTEGERS (cents²): " +
+        "window pairs expand through a 7-offset grid joined back to " +
+        "the series twice on (key, position), so d(i,j) is one " +
+        "map-side-combinable integer SUM and the per-window argmin " +
+        "is a (d, j)-lexicographic MIN — no floats anywhere, no " +
+        "window-vector materialization. Join-shaped at any series " +
+        "count; a discord is the row with the largest nn_dist2.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("event_type").as("g"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        val w = Window.partitionBy("g").orderBy("day")
+        val series = daily.withColumn("i", (row_number().over(w) - 1).cast("long"))
+          .select("g", "i", "y")
+          .transform(Skew.cut)
+        val nPos = series.groupBy("g").agg((max("i") - 5).as("np"))
+        val positions = series.join(nPos, "g").filter(col("i") < col("np"))
+          .select(col("g"), col("i"))
+        val pairs = positions.as("a")
+          .join(positions.select(col("g"), col("i").as("j")), Seq("g"))
+          .filter(abs(col("i") - col("j")) >= 4)
+        val grid = pairs.select(col("g"), col("i"), col("j"),
+          explode(sequence(lit(0L), lit(6L))).as("k"))
+        val dists = grid
+          .join(series.select(col("g").as("g1"), col("i").as("pi"), col("y").as("ya")),
+            col("g") === col("g1") && col("i") + col("k") === col("pi"))
+          .join(series.select(col("g").as("g2"), col("i").as("pj"), col("y").as("yb")),
+            col("g") === col("g2") && col("j") + col("k") === col("pj"))
+          .groupBy("g", "i", "j")
+          .agg(sum((col("ya") - col("yb")) * (col("ya") - col("yb"))).as("d2"))
+        dists.groupBy("g", "i")
+          .agg(min(struct(col("d2"), col("j"))).as("nn"))
+          .select(col("g").as("event_type"), col("i").as("pos"),
+            col("nn.j").as("nn_pos"), col("nn.d2").as("nn_dist2"))
+          .orderBy("event_type", "pos")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type AS g, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        series AS (
+          SELECT g,
+            CAST(row_number() OVER (PARTITION BY g ORDER BY day) - 1
+              AS BIGINT) AS i, y
+          FROM daily),
+        np AS (SELECT g, max(i) - 5 AS np FROM series GROUP BY g),
+        positions AS (
+          SELECT s.g, s.i FROM series s JOIN np USING (g) WHERE s.i < np.np),
+        pairs AS (
+          SELECT a.g, a.i, b.i AS j
+          FROM positions a JOIN positions b ON a.g = b.g
+          WHERE abs(a.i - b.i) >= 4),
+        grid AS (
+          SELECT g, i, j, unnest(range(0, 7)) AS k FROM pairs),
+        dists AS (
+          SELECT gr.g, gr.i, gr.j,
+            CAST(sum((sa.y - sb.y) * (sa.y - sb.y)) AS BIGINT) AS d2
+          FROM grid gr
+          JOIN series sa ON sa.g = gr.g AND sa.i = gr.i + gr.k
+          JOIN series sb ON sb.g = gr.g AND sb.i = gr.j + gr.k
+          GROUP BY 1, 2, 3),
+        nn AS (
+          SELECT g, i, j, d2,
+            row_number() OVER (PARTITION BY g, i ORDER BY d2, j) AS rk
+          FROM dists)
+        SELECT g AS event_type, i AS pos, j AS nn_pos, d2 AS nn_dist2
+        FROM nn WHERE rk = 1 ORDER BY event_type, pos""")),
+
+    Q(
       "agg_weighted_median",
       "Exact weighted median per group (price weighted by quantity): " +
         "pre-aggregate to (group, value) with summed weights — a " +
