@@ -469,6 +469,59 @@ object Graph {
       }),
 
     Q(
+      "graph_sssp_weighted",
+      "WEIGHTED single-source shortest path from nation 0: edge cost " +
+        "= 1000000 div trade-volume + 1 (high-volume lanes are " +
+        "cheap), so the route structure differs from hop-count BFS — " +
+        "the min-plus Bellman-Ford generalization of " +
+        "graph_shortest_path, 5 relaxation rounds of one edge " +
+        "equi-join + map-side-combinable MIN each. Costs are exact " +
+        "integers end to end (no float path sums to drift); extra " +
+        "rounds past convergence are no-ops. The oracle replays the " +
+        "identical rounds as chained CTEs.",
+      (s, dir) => {
+        val edges = tradeEdges(s, dir)
+          .filter(col("src") =!= col("dst"))
+          .select(col("src").cast("long"), col("dst").cast("long"),
+            (Skew.idiv(lit(1000000L), col("w").cast("long")) + 1).as("w"))
+          .transform(Skew.cut)
+        var dist = edges.sparkSession.range(1)
+          .select(lit(0L).as("id"), lit(0L).as("dist"))
+        for (_ <- 1 to 5) {
+          val relaxed = dist.join(edges, dist("id") === edges("src"))
+            .select(col("dst").as("id"), (col("dist") + col("w")).as("d"))
+          dist = dist.select(col("id"), col("dist").as("d"))
+            .union(relaxed)
+            .groupBy("id").agg(min("d").as("dist"))
+            .transform(Skew.cut)
+        }
+        dist.orderBy("id")
+      },
+      Some {
+        val rounds = (1 to 5).map { k =>
+          s"""d$k AS (SELECT id, min(d) AS dist FROM (
+              SELECT id, dist AS d FROM d${k - 1}
+              UNION ALL
+              SELECT e.dst AS id, p.dist + e.w AS d
+              FROM d${k - 1} p JOIN e ON e.src = p.id) GROUP BY id)"""
+        }.mkString(",\n")
+        s"""WITH te AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+              CAST(s.s_nationkey AS BIGINT) AS dst,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2),
+          e AS (SELECT src, dst, 1000000 // cnt + 1 AS w
+            FROM te WHERE src <> dst),
+          d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+          $rounds
+          SELECT id, dist FROM d5 ORDER BY id"""
+      }),
+
+    Q(
       "graph_copurchase",
       "Item co-occurrence graph (co-purchase): part pairs appearing in " +
         "the same order, counted across orders — the association edge " +

@@ -1412,6 +1412,67 @@ object Stats {
         FROM nn WHERE rk = 1 ORDER BY event_type, pos""")),
 
     Q(
+      "profile_entropy_per_column",
+      "Shannon entropy profile of every low-cardinality categorical " +
+        "column across four tables — the single number that flags a " +
+        "near-constant column (entropy ≈ 0: drop it) or a " +
+        "uniformly-spread key (entropy ≈ ln k: join-skew-safe) " +
+        "before any modeling. Each column is one hash agg to " +
+        "(value, count); entropies fold over value-sorted exact " +
+        "count ratios, normalized by ln(distinct). A union of five " +
+        "bounded profiles — at 100 TB each leg is still one " +
+        "map-side-combinable pass.",
+      (s, dir) => {
+        def leg(df: org.apache.spark.sql.DataFrame, c: String, label: String) = {
+          val counts = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+            .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+          counts
+            .withColumn("term",
+              -(col("cnt").cast("double") / col("n").cast("double"))
+                * log(col("cnt").cast("double") / col("n").cast("double")))
+            .groupBy(lit(label).as("column_name"))
+            .agg(count(lit(1)).as("n_distinct"), max("n").as("n_rows"),
+              aggregate(sort_array(collect_list(struct(col("v"), col("term")))),
+                lit(0.0), (a, e) => a + e.getField("term")).as("h"))
+        }
+        val docs = Tables.t(s, dir, "documents")
+        val legs = Seq(
+          leg(docs, "lang", "documents.lang"),
+          leg(docs, "source", "documents.source"),
+          leg(Tables.t(s, dir, "events"), "event_type", "events.event_type"),
+          leg(Tables.t(s, dir, "orders"), "o_orderpriority", "orders.o_orderpriority"),
+          leg(Tables.t(s, dir, "orders"), "o_orderstatus", "orders.o_orderstatus"))
+        legs.reduce(_.unionByName(_))
+          .select(col("column_name"), col("n_distinct"), col("n_rows"),
+            round(col("h"), 6).as("entropy"),
+            round(col("h") / log(col("n_distinct").cast("double")), 6)
+              .as("norm_entropy"))
+          .orderBy("column_name")
+      },
+      Some {
+        def leg(table: String, c: String, label: String) =
+          s"""SELECT '$label' AS column_name, count(*) AS n_distinct,
+            max(n) AS n_rows,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(-(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY v)),
+              (a, b) -> a + b) AS h
+          FROM (SELECT $c AS v, CAST(count(*) AS BIGINT) AS cnt,
+              CAST(sum(count(*)) OVER () AS BIGINT) AS n
+            FROM $table GROUP BY 1)"""
+        s"""WITH legs AS (
+          ${Seq(leg("documents", "lang", "documents.lang"),
+            leg("documents", "source", "documents.source"),
+            leg("events", "event_type", "events.event_type"),
+            leg("orders", "o_orderpriority", "orders.o_orderpriority"),
+            leg("orders", "o_orderstatus", "orders.o_orderstatus"))
+            .mkString("\nUNION ALL\n")})
+        SELECT column_name, n_distinct, n_rows, round(h, 6) AS entropy,
+          round(h / ln(CAST(n_distinct AS DOUBLE)), 6) AS norm_entropy
+        FROM legs ORDER BY column_name"""
+      }),
+
+    Q(
       "agg_weighted_median",
       "Exact weighted median per group (price weighted by quantity): " +
         "pre-aggregate to (group, value) with summed weights — a " +

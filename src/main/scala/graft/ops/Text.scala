@@ -290,6 +290,91 @@ object Text {
         FROM agg ORDER BY lang""")),
 
     Q(
+      "pipeline_mlm_masking",
+      "Masked-LM training-data preparation (BERT 80/10/10): 15% of " +
+        "token positions are selected by the engine-portable md5 " +
+        "hash of (doc_id:pos) — of those, 80% become [MASK], 10% a " +
+        "hash-selected replacement from the frozen top-32 vocabulary " +
+        "(bounded broadcast), 10% stay — with the (pos, original) " +
+        "label stream emitted alongside. Zero RNG: every masking " +
+        "decision replays hash-for-hash in DuckDB, which is exactly " +
+        "what a reproducible data pipeline wants (re-runs produce " +
+        "byte-identical corpora). One tokenize pass, doc-bounded " +
+        "reassembly folds.",
+      (s, dir) => {
+        import PortableHash.hexHash
+        val toks = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        // ordinal assignment via the bounded sorted-fold idiom, not an
+        // unpartitioned window (the 32-row frame still plans WindowExec)
+        val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("token")).limit(32)
+          .agg(sort_array(collect_list(struct((-col("c")).as("nc"), col("token"))))
+            .as("arr"))
+          .select(posexplode(col("arr")).as(Seq("vidx", "s")))
+          .select(col("vidx").cast("long").as("vidx"), col("s.token").as("vtoken"))
+        val hashed = toks
+          .withColumn("h", hexHash(concat(col("doc_id"), lit(":"), col("pos"))))
+          .withColumn("masked", pmod(col("h"), lit(100L)) < 15)
+          .withColumn("mode", pmod(Skew.idiv(col("h"), lit(100L)), lit(10L)))
+          .withColumn("vidx",
+            when(col("masked") && col("mode") === 8,
+              pmod(Skew.idiv(col("h"), lit(1000L)), lit(32L))))
+        val out = hashed.join(broadcast(vocab), Seq("vidx"), "left")
+          .withColumn("otok",
+            when(!col("masked"), col("token"))
+              .when(col("mode") <= 7, lit("[MASK]"))
+              .when(col("mode") === 8, col("vtoken"))
+              .otherwise(col("token")))
+        out.groupBy("doc_id").agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("pos"), col("otok")))),
+              e => e.getField("otok")), " ").as("masked_text"),
+            array_join(transform(
+              sort_array(collect_list(when(col("masked"),
+                struct(col("pos"), col("token"))))),
+              e => concat(e.getField("pos").cast("string"), lit(":"),
+                e.getField("token"))), " ").as("labels"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, u.pos - 1 AS pos, u.token FROM (
+            SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+              (t, i) -> struct_pack(pos := i, token := t))) AS u
+            FROM documents WHERE doc_id < 200)),
+        vocab AS (
+          SELECT token AS vtoken,
+            CAST(row_number() OVER (ORDER BY count(*) DESC, token) - 1
+              AS BIGINT) AS vidx
+          FROM toks GROUP BY token ORDER BY count(*) DESC, token LIMIT 32),
+        hashed AS (
+          SELECT doc_id, pos, token,
+            ${PortableHash.hexHashSql("CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")} AS h
+          FROM toks),
+        flags AS (
+          SELECT *, (h % 100 < 15) AS masked, ((h // 100) % 10) AS mode,
+            CASE WHEN (h % 100 < 15) AND ((h // 100) % 10) = 8
+              THEN ((h // 1000) % 32) END AS vidx
+          FROM hashed),
+        out AS (
+          SELECT f.doc_id, f.pos, f.token, f.masked,
+            CASE WHEN NOT f.masked THEN f.token
+              WHEN f.mode <= 7 THEN '[MASK]'
+              WHEN f.mode = 8 THEN v.vtoken
+              ELSE f.token END AS otok
+          FROM flags f LEFT JOIN vocab v ON f.vidx = v.vidx)
+        SELECT doc_id, count(*) AS n_tokens,
+          CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+          string_agg(otok, ' ' ORDER BY pos) AS masked_text,
+          coalesce(string_agg(CASE WHEN masked
+            THEN CAST(pos AS VARCHAR) || ':' || token END, ' ' ORDER BY pos),
+            '') AS labels
+        FROM out GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q(
       "text_token_counts",
       "Corpus token frequencies, top 30 (count desc, token tie-break).",
       (s, dir) => {
