@@ -1473,6 +1473,82 @@ object Stats {
       }),
 
     Q(
+      "analytics_touch_model_compare",
+      "First-touch vs last-touch vs linear attribution side by side " +
+        "per channel — the heuristic models practitioners actually " +
+        "run, set against analytics_shapley_attribution's " +
+        "game-theoretic split to expose how position-biased each is. " +
+        "First/last = min/max-timestamp pre-purchase event per " +
+        "converter ((ts, event_id)-lexicographic MIN for exact " +
+        "tie-breaks); linear credit = exact per-user rationals " +
+        "(1/touches) summed in cents-free integer form via a " +
+        "common-denominator trick over ≤4 channels. One events scan, " +
+        "three dimension-sized aggregates.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+        val firstP = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("ts").as("pts"))
+        val pre = ev.join(firstP, "user_id")
+          .filter(col("ts") < col("pts") && col("event_type") =!= "purchase")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val ft = pre.groupBy("user_id")
+          .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"),
+            max(struct(col("ts"), col("event_id"), col("event_type"))).as("l"))
+        val firstCounts = ft.groupBy(col("f.event_type").as("channel"))
+          .agg(count(lit(1)).as("first_touch"))
+        val lastCounts = ft.groupBy(col("l.event_type").as("channel"))
+          .agg(count(lit(1)).as("last_touch"))
+        // linear: each converter splits 1 across its DISTINCT channels;
+        // 12 = lcm(1..4) keeps the credit integral: credit12 = 12/k
+        val touches = pre.select("user_id", "event_type").distinct()
+        val k = touches.groupBy("user_id").agg(count(lit(1)).as("k"))
+        val linear = touches.join(k, "user_id")
+          .groupBy(col("event_type").as("channel"))
+          .agg(sum(Skew.idiv(lit(12L), col("k"))).as("linear12"))
+        firstCounts.join(lastCounts, Seq("channel"), "full_outer")
+          .join(linear, Seq("channel"), "full_outer")
+          .select(col("channel"),
+            coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+            coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+            round(coalesce(col("linear12"), lit(0L)).cast("double") / 12.0, 6)
+              .as("linear"))
+          .orderBy("channel")
+      },
+      Some("""WITH firstp AS (
+          SELECT user_id, min(ts) AS pts FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+        pre AS (
+          SELECT e.user_id, e.event_type, e.ts, e.event_id
+          FROM events e JOIN firstp f USING (user_id)
+          WHERE e.ts < f.pts AND e.event_type != 'purchase'),
+        ft AS (
+          SELECT user_id,
+            min(struct_pack(ts := ts, event_id := event_id,
+              event_type := event_type)) AS f,
+            max(struct_pack(ts := ts, event_id := event_id,
+              event_type := event_type)) AS l
+          FROM pre GROUP BY user_id),
+        fc AS (SELECT f.event_type AS channel,
+            CAST(count(*) AS BIGINT) AS first_touch FROM ft GROUP BY 1),
+        lc AS (SELECT l.event_type AS channel,
+            CAST(count(*) AS BIGINT) AS last_touch FROM ft GROUP BY 1),
+        touches AS (SELECT DISTINCT user_id, event_type FROM pre),
+        kk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS k
+          FROM touches GROUP BY 1),
+        lin AS (
+          SELECT t.event_type AS channel,
+            CAST(sum(12 // k) AS BIGINT) AS linear12
+          FROM touches t JOIN kk USING (user_id) GROUP BY 1)
+        SELECT channel,
+          coalesce(first_touch, 0) AS first_touch,
+          coalesce(last_touch, 0) AS last_touch,
+          round(CAST(coalesce(linear12, 0) AS DOUBLE) / 12.0, 6) AS linear
+        FROM fc
+        FULL OUTER JOIN lc USING (channel)
+        FULL OUTER JOIN lin USING (channel)
+        ORDER BY channel""")),
+
+    Q(
       "agg_weighted_median",
       "Exact weighted median per group (price weighted by quantity): " +
         "pre-aggregate to (group, value) with summed weights — a " +

@@ -375,6 +375,155 @@ object Text {
         FROM out GROUP BY doc_id ORDER BY doc_id""")),
 
     Q(
+      "pipeline_span_corruption",
+      "T5-style span corruption: hash-marked token positions " +
+        "coalesce into maximal contiguous spans (gap-island " +
+        "detection in a doc-partitioned window), each span is " +
+        "replaced by a numbered sentinel <extra_id_k> in the input " +
+        "while the target emits sentinel + original span — the " +
+        "seq2seq denoising objective's data prep, deterministic " +
+        "end-to-end on the portable md5 hash (like " +
+        "pipeline_mlm_masking, re-runs and the oracle replay " +
+        "byte-identically). Sentinel numbering is a doc-bounded " +
+        "window rank; input/target reassembly is the usual " +
+        "doc-bounded sorted fold.",
+      (s, dir) => {
+        import PortableHash.hexHash
+        val toks = Tables.t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+          .withColumn("marked",
+            pmod(hexHash(concat(col("doc_id"), lit(":"), col("pos"))),
+              lit(100L)) < 15)
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val flagged = toks
+          .withColumn("pm", lag("marked", 1, false).over(w))
+          .withColumn("st",
+            when(col("marked") && !col("pm"), 1).otherwise(0))
+          .withColumn("sid", sum("st").over(
+            Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val spans = flagged.filter(col("marked"))
+          .groupBy("doc_id", "sid")
+          .agg(min("pos").as("span_start"), count(lit(1)).as("len"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("pos"), col("token")))),
+              e => e.getField("token")), " ").as("span_text"))
+          .withColumn("k", row_number().over(
+            Window.partitionBy("doc_id").orderBy("span_start")) - 1)
+        val inputPieces = flagged.filter(!col("marked"))
+          .select(col("doc_id"), col("pos"), col("token").as("piece"))
+          .unionByName(spans.select(col("doc_id"),
+            col("span_start").as("pos"),
+            concat(lit("<extra_id_"), col("k"), lit(">")).as("piece")))
+        val inputs = inputPieces.groupBy("doc_id")
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("piece")))),
+            e => e.getField("piece")), " ").as("input_text"))
+        val targets = spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"), sum("len").as("n_masked"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("k"),
+                concat(lit("<extra_id_"), col("k"), lit("> "),
+                  col("span_text")).as("tp")))),
+              e => e.getField("tp")), " ").as("target_text"))
+        inputs.join(targets, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("input_text"),
+            coalesce(col("target_text"), lit("")).as("target_text"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, u.pos - 1 AS pos, u.token,
+            (${PortableHash.hexHashSql(
+              "CAST(doc_id AS VARCHAR) || ':' || CAST(u.pos - 1 AS VARCHAR)")}
+              % 100 < 15) AS marked
+          FROM (
+            SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+              (t, i) -> struct_pack(pos := i, token := t))) AS u
+            FROM documents WHERE doc_id < 200)),
+        lagged AS (
+          SELECT *, coalesce(
+            lag(marked) OVER (PARTITION BY doc_id ORDER BY pos), false) AS pm
+          FROM toks),
+        flagged AS (
+          SELECT *,
+            CAST(sum(CASE WHEN marked AND NOT pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS sid
+          FROM lagged),
+        spans AS (
+          SELECT doc_id, sid, min(pos) AS span_start,
+            CAST(count(*) AS BIGINT) AS len,
+            string_agg(token, ' ' ORDER BY pos) AS span_text
+          FROM flagged WHERE marked GROUP BY 1, 2),
+        spans_k AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY span_start) - 1 AS k
+          FROM spans),
+        input_pieces AS (
+          SELECT doc_id, pos, token AS piece FROM flagged WHERE NOT marked
+          UNION ALL
+          SELECT doc_id, span_start AS pos,
+            '<extra_id_' || CAST(k AS VARCHAR) || '>' AS piece
+          FROM spans_k),
+        inputs AS (
+          SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text
+          FROM input_pieces GROUP BY doc_id),
+        targets AS (
+          SELECT doc_id, count(*) AS n_spans, CAST(sum(len) AS BIGINT) AS n_masked,
+            string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> ' || span_text,
+              ' ' ORDER BY k) AS target_text
+          FROM spans_k GROUP BY doc_id)
+        SELECT i.doc_id, i.input_text,
+          coalesce(t.target_text, '') AS target_text,
+          coalesce(t.n_spans, 0) AS n_spans,
+          coalesce(t.n_masked, 0) AS n_masked
+        FROM inputs i LEFT JOIN targets t USING (doc_id)
+        ORDER BY doc_id""")),
+
+    Q(
+      "pipeline_sft_formatting",
+      "Supervised-fine-tuning example formatting: each document " +
+        "becomes a chat-template string (<|user|> head <|assistant|> " +
+        "tail) with the LOSS-MASK boundary carried as exact token " +
+        "offsets — the assistant span is what the trainer computes " +
+        "loss on, and an off-by-one here silently trains on the " +
+        "prompt, so the boundary is first-class oracle-checked " +
+        "output. Pure per-row array slicing in one scan; short docs " +
+        "(≤ prompt length) are routed out as rejected rows with a " +
+        "reason, the manifest shape a real SFT pipeline emits.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("n", size(col("w")).cast("long"))
+        d.select(col("doc_id"), col("n").as("n_tokens"),
+            when(col("n") > 10,
+              concat(lit("<|user|> "),
+                array_join(slice(col("w"), 1, 10), " "),
+                lit(" <|assistant|> "),
+                array_join(slice(col("w"), 11, 1000000), " ")))
+              .as("formatted"),
+            when(col("n") > 10, lit(10L)).as("prompt_tokens"),
+            when(col("n") > 10, col("n") - 10).as("loss_tokens"),
+            when(col("n") <= 10, lit("too_short")).as("reject_reason"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents WHERE doc_id < 300)
+        SELECT doc_id, n AS n_tokens,
+          CASE WHEN n > 10 THEN
+            '<|user|> ' || array_to_string(w[1:10], ' ')
+              || ' <|assistant|> ' || array_to_string(w[11:], ' ')
+          END AS formatted,
+          CASE WHEN n > 10 THEN CAST(10 AS BIGINT) END AS prompt_tokens,
+          CASE WHEN n > 10 THEN n - 10 END AS loss_tokens,
+          CASE WHEN n <= 10 THEN 'too_short' END AS reject_reason
+        FROM d ORDER BY doc_id""")),
+
+    Q(
       "text_token_counts",
       "Corpus token frequencies, top 30 (count desc, token tie-break).",
       (s, dir) => {
