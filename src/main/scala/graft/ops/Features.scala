@@ -114,7 +114,7 @@ object Features {
           FROM o),
         cells AS (
           SELECT feature, bin, CAST(sum(target) AS BIGINT) AS g,
-            CAST(count(*) - sum(target) AS BIGINT) AS b
+            CAST(count(*) AS BIGINT) - CAST(sum(target) AS BIGINT) AS b
           FROM bins GROUP BY 1, 2),
         tots AS (SELECT feature, CAST(sum(g) AS BIGINT) AS gt,
             CAST(sum(b) AS BIGINT) AS bt

@@ -1317,7 +1317,7 @@ object Stats {
           FROM firstp f LEFT JOIN masks0 m0 USING (user_id) GROUP BY 1),
         subsets AS (SELECT CAST(unnest(range(16)) AS INT) AS ss),
         v AS (
-          SELECT ss, CAST(coalesce(sum(c), 0) AS BIGINT) AS v
+          SELECT ss, coalesce(CAST(sum(c) AS BIGINT), 0) AS v
           FROM subsets LEFT JOIN masks ON (m & xor(15, ss)) = 0
           GROUP BY ss),
         channels AS (
