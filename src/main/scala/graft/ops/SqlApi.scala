@@ -562,6 +562,235 @@ object SqlApi {
         WHERE p_size <= 3
           AND cost_c = (SELECT min(cost_c) FROM ps ps2
                         WHERE ps2.l_partkey = ps.l_partkey)
-        ORDER BY p_partkey, s_suppkey"""))
+        ORDER BY p_partkey, s_suppkey""")),
+
+    Q(
+      "sql_volume_shipping",
+      "TPC-H Q7 shape (volume shipping): bilateral trade volume " +
+        "between two nations by ship year — the SAME dimension table " +
+        "(nation) joined TWICE under different aliases with a " +
+        "disjunctive cross-alias predicate. The plan stress Q5's " +
+        "single-alias cycle can't exercise: Catalyst must keep the two " +
+        "broadcast copies distinct and evaluate the (n1=A AND n2=B) OR " +
+        "(n1=B AND n2=A) residual after both joins. Revenue in exact " +
+        "cents; ship year cast to INT on both engines.",
+      (s, dir) => withViews(s, dir,
+        "supplier", "lineitem", "orders", "customer", "nation")(
+        """SELECT supp_nation, cust_nation, yr,
+             round(CAST(sum(cents) AS BIGINT) / 1e2, 2) AS revenue,
+             count(*) AS n_lines
+           FROM (
+             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS yr,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT) AS cents
+             FROM supplier
+             JOIN lineitem  ON s_suppkey = l_suppkey
+             JOIN orders    ON o_orderkey = l_orderkey
+             JOIN customer  ON c_custkey = o_custkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+               AND l_shipdate >= DATE '1996-01-01'
+               AND l_shipdate <  DATE '1999-01-01')
+           GROUP BY supp_nation, cust_nation, yr
+           ORDER BY supp_nation, cust_nation, yr"""),
+      Some("""SELECT supp_nation, cust_nation, yr,
+          round(CAST(sum(cents) AS BIGINT) / 1e2, 2) AS revenue,
+          count(*) AS n_lines
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            CAST(year(l_shipdate) AS INT) AS yr,
+            CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT) AS cents
+          FROM supplier
+          JOIN lineitem  ON s_suppkey = l_suppkey
+          JOIN orders    ON o_orderkey = l_orderkey
+          JOIN customer  ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate <  DATE '1999-01-01')
+        GROUP BY supp_nation, cust_nation, yr
+        ORDER BY supp_nation, cust_nation, yr""")),
+
+    Q(
+      "sql_product_profit",
+      "TPC-H Q9 shape (product-type profit): per-nation per-year " +
+        "profit over parts of one type, profit = revenue minus a cost " +
+        "model (80% of retail price × quantity; the fixtures carry no " +
+        "partsupp supplycost). The Q9 plan stress: the part filter must " +
+        "push below the 5-way join and prune lineitem via the join, " +
+        "and the two profit terms are each exact-cents BIGINTs so the " +
+        "subtraction and sum are order-independent on both engines.",
+      (s, dir) => withViews(s, dir,
+        "lineitem", "part", "supplier", "orders", "nation")(
+        """SELECT n_name AS nation, yr,
+             round(CAST(sum(rev_c - cost_c) AS BIGINT) / 1e2, 2)
+               AS profit
+           FROM (
+             SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT) AS rev_c,
+               CAST(round(p_retailprice * 0.8 * l_quantity * 100)
+                 AS BIGINT) AS cost_c
+             FROM lineitem
+             JOIN part     ON p_partkey = l_partkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN orders   ON o_orderkey = l_orderkey
+             JOIN nation   ON s_nationkey = n_nationkey
+             WHERE p_type = 'PROMO')
+           GROUP BY n_name, yr
+           ORDER BY nation, yr"""),
+      Some("""SELECT n_name AS nation, yr,
+          round(CAST(sum(rev_c - cost_c) AS BIGINT) / 1e2, 2) AS profit
+        FROM (
+          SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+            CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT) AS rev_c,
+            CAST(round(p_retailprice * 0.8 * l_quantity * 100)
+              AS BIGINT) AS cost_c
+          FROM lineitem
+          JOIN part     ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE p_type = 'PROMO')
+        GROUP BY n_name, yr
+        ORDER BY nation, yr""")),
+
+    Q(
+      "sql_customer_distribution",
+      "TPC-H Q13 (customer distribution): how many customers placed " +
+        "exactly k non-urgent orders, INCLUDING the zero-order " +
+        "customers — the left outer join with a filter INSIDE the ON " +
+        "clause (not WHERE, which would turn it inner) followed by a " +
+        "double aggregation: count per customer, then histogram of " +
+        "those counts. The canonical outer-join-semantics audit shape.",
+      (s, dir) => withViews(s, dir, "customer", "orders")(
+        """SELECT c_count, count(*) AS custdist
+           FROM (
+             SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer
+             LEFT JOIN orders ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+             GROUP BY c_custkey)
+           GROUP BY c_count
+           ORDER BY custdist DESC, c_count DESC"""),
+      Some("""SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    Q(
+      "sql_small_quantity_revenue",
+      "TPC-H Q17 shape (small-quantity revenue): revenue from " +
+        "lineitems of one brand whose quantity sits below half the " +
+        "part's average quantity — the correlated AVG subquery " +
+        "Catalyst decorrelates into a per-part aggregate joined back " +
+        "on the correlation key (one hash agg + equi-join, never a " +
+        "per-row rescan). Quantities are integral doubles, so the " +
+        "average is an exact small-rational and the strict < at the " +
+        "boundary is engine-portable; revenue summed in exact cents.",
+      (s, dir) => withViews(s, dir, "lineitem", "part")(
+        """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100)
+               AS BIGINT)) AS BIGINT) / 1e2, 2) AS total_rev,
+             count(*) AS n_lines
+           FROM lineitem
+           JOIN part ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#12'
+             AND l_quantity < (
+               SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+               WHERE l2.l_partkey = p_partkey)"""),
+      Some("""SELECT round(CAST(sum(CAST(round(l_extendedprice * 100)
+            AS BIGINT)) AS BIGINT) / 1e2, 2) AS total_rev,
+          count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#12'
+          AND l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey)""")),
+
+    Q(
+      "sql_large_orders",
+      "TPC-H Q18 (large-quantity orders): customers whose order " +
+        "aggregates more than 150 units — GROUP BY + HAVING in a " +
+        "derived table, joined back to orders and customer, top 20 by " +
+        "price. The plan point: the HAVING prunes the fact table " +
+        "BEFORE the dimension joins (aggregate-then-join, not " +
+        "join-then-aggregate), and the LIMIT rides " +
+        "TakeOrderedAndProject. Integral quantities keep the HAVING " +
+        "boundary exact on both engines.",
+      (s, dir) => withViews(s, dir, "customer", "orders", "lineitem")(
+        """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+             round(o_totalprice, 2) AS totalprice,
+             CAST(qty AS BIGINT) AS total_qty
+           FROM (
+             SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING sum(l_quantity) > 150) big
+           JOIN orders   ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           ORDER BY totalprice DESC, o_orderkey
+           LIMIT 20"""),
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+          round(o_totalprice, 2) AS totalprice,
+          CAST(qty AS BIGINT) AS total_qty
+        FROM (
+          SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 150) big
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY totalprice DESC, o_orderkey
+        LIMIT 20""")),
+
+    Q(
+      "sql_sales_opportunity",
+      "TPC-H Q22 shape (global sales opportunity): customers with " +
+        "above-average balances and no recent orders (lapsed since 1999), bucketed by nation " +
+        "group — an UNCORRELATED scalar aggregate subquery (computed " +
+        "once, broadcast as a 1-row filter input) plus a NOT EXISTS " +
+        "anti-join against the fact table. Balances are compared and " +
+        "summed as exact cents so the above-average cut is " +
+        "engine-portable at the boundary.",
+      (s, dir) => withViews(s, dir, "customer", "orders")(
+        """WITH bal AS (
+             SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+             FROM customer)
+           SELECT CAST(c_nationkey % 5 AS INT) AS cntry_grp,
+             count(*) AS numcust,
+             round(CAST(sum(bal_c) AS BIGINT) / 1e2, 2) AS totacctbal
+           FROM bal
+           WHERE bal_c > (SELECT avg(bal_c) FROM bal WHERE bal_c > 0)
+             AND NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey
+                               AND o_orderdate >= DATE '1999-01-01')
+           GROUP BY CAST(c_nationkey % 5 AS INT)
+           ORDER BY cntry_grp"""),
+      Some("""WITH bal AS (
+          SELECT c_custkey, c_nationkey,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM customer)
+        SELECT CAST(c_nationkey % 5 AS INT) AS cntry_grp,
+          count(*) AS numcust,
+          round(CAST(sum(bal_c) AS BIGINT) / 1e2, 2) AS totacctbal
+        FROM bal
+        WHERE bal_c > (SELECT avg(bal_c) FROM bal WHERE bal_c > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= DATE '1999-01-01')
+        GROUP BY CAST(c_nationkey % 5 AS INT)
+        ORDER BY cntry_grp"""))
   )
 }

@@ -5627,6 +5627,185 @@ object Stats {
           FROM e GROUP BY 1)
         SELECT event_type, n AS n_days,
           round(greatest(0.0, 1.0 - sse / ssr), 4) AS seasonal_strength
-        FROM vr ORDER BY event_type"""))
+        FROM vr ORDER BY event_type""")),
+
+    Q(
+      "stats_cohens_kappa",
+      "Cohen's kappa between two deterministic labelers (char-count " +
+        "floor vs alphabetic-ratio floor) per source — the chance-" +
+        "corrected inter-annotator agreement a labeling pipeline " +
+        "reports instead of raw percent agreement (two raters who " +
+        "both say 'good' 95% of the time agree 90.5% by luck alone). " +
+        "One scan, one hash aggregation; every cell of the 2×2 " +
+        "confusion table is an exact integer count, kappa = " +
+        "(po−pe)/(1−pe) is float math AFTER aggregation, so the " +
+        "result is bit-identical across engines and partitionings.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("source"),
+            (col("n_chars") >= 300).cast("int").as("ra"),
+            (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+              length(regexp_replace(col("text"), " ", "")) >= 0.8).cast("int").as("rb"))
+        d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("ra") === 1 && col("rb") === 1).cast("long")).as("n11"),
+            sum((col("ra") === 0 && col("rb") === 0).cast("long")).as("n00"),
+            sum(col("ra").cast("long")).as("a1"),
+            sum(col("rb").cast("long")).as("b1"))
+          .select(col("source"), col("n_docs"),
+            round((col("n11") + col("n00")).cast("double") / col("n_docs"), 4).as("po"),
+            round((col("a1") * col("b1") +
+              (col("n_docs") - col("a1")) * (col("n_docs") - col("b1"))).cast("double") /
+              (col("n_docs") * col("n_docs")), 4).as("pe"),
+            round(
+              when(lit(1.0) - (col("a1") * col("b1") +
+                  (col("n_docs") - col("a1")) * (col("n_docs") - col("b1"))).cast("double") /
+                  (col("n_docs") * col("n_docs")) === 0.0, lit(0.0))
+                .otherwise(
+                  ((col("n11") + col("n00")).cast("double") / col("n_docs") -
+                    (col("a1") * col("b1") +
+                      (col("n_docs") - col("a1")) * (col("n_docs") - col("b1"))).cast("double") /
+                      (col("n_docs") * col("n_docs"))) /
+                  (lit(1.0) - (col("a1") * col("b1") +
+                    (col("n_docs") - col("a1")) * (col("n_docs") - col("b1"))).cast("double") /
+                    (col("n_docs") * col("n_docs")))), 4).as("kappa"))
+          .orderBy("source")
+      },
+      Some("""WITH v AS (SELECT source,
+            CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+            CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / length(replace(text, ' ', '')) >= 0.8 THEN 1 ELSE 0 END AS rb
+          FROM documents),
+        c AS (SELECT source, count(*) AS n_docs,
+            CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+            CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+            CAST(sum(ra) AS BIGINT) AS a1, CAST(sum(rb) AS BIGINT) AS b1
+          FROM v GROUP BY 1)
+        SELECT source, n_docs,
+          round(CAST(n11 + n00 AS DOUBLE) / n_docs, 4) AS po,
+          round(CAST(a1 * b1 + (n_docs - a1) * (n_docs - b1) AS DOUBLE)
+            / (n_docs * n_docs), 4) AS pe,
+          round(CASE WHEN 1.0 - CAST(a1 * b1 + (n_docs - a1) * (n_docs - b1) AS DOUBLE)
+              / (n_docs * n_docs) = 0.0 THEN 0.0
+            ELSE (CAST(n11 + n00 AS DOUBLE) / n_docs
+                - CAST(a1 * b1 + (n_docs - a1) * (n_docs - b1) AS DOUBLE)
+                  / (n_docs * n_docs))
+              / (1.0 - CAST(a1 * b1 + (n_docs - a1) * (n_docs - b1) AS DOUBLE)
+                  / (n_docs * n_docs)) END, 4) AS kappa
+        FROM c ORDER BY source""")),
+
+    Q(
+      "stats_fleiss_kappa",
+      "Fleiss' kappa across THREE deterministic labelers (char floor, " +
+        "alpha ratio, mean word length) over the whole corpus — the " +
+        "multi-rater generalization Cohen's pairwise kappa can't " +
+        "express, the standard agreement gate before pooling crowd or " +
+        "model annotations into training labels. Per item the " +
+        "agreement numerator n1²+n0²−3 is a small integer (6 when " +
+        "unanimous, 2 when split), so the corpus aggregate is one " +
+        "exact integer sum; P̄, Pe and kappa are float divisions after " +
+        "the aggregation — bit-identical across engines.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            ((col("n_chars") >= 300).cast("int") +
+              (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+                length(regexp_replace(col("text"), " ", "")) >= 0.8).cast("int") +
+              (length(regexp_replace(col("text"), " ", "")).cast("double") /
+                size(split(col("text"), " ")) >= 4.0).cast("int")).as("n1"))
+        d.agg(count(lit(1)).as("n_items"),
+            sum((col("n1") * col("n1") + (lit(3) - col("n1")) * (lit(3) - col("n1")) -
+              lit(3)).cast("long")).as("num"),
+            sum(col("n1").cast("long")).as("s1"))
+          .select(col("n_items"),
+            round(col("num").cast("double") / (col("n_items") * 6), 6).as("p_bar"),
+            round(pow(col("s1").cast("double") / (col("n_items") * 3), 2) +
+              pow(lit(1.0) - col("s1").cast("double") / (col("n_items") * 3), 2), 6)
+              .as("p_e"),
+            round((col("num").cast("double") / (col("n_items") * 6) -
+              (pow(col("s1").cast("double") / (col("n_items") * 3), 2) +
+                pow(lit(1.0) - col("s1").cast("double") / (col("n_items") * 3), 2))) /
+              (lit(1.0) -
+                (pow(col("s1").cast("double") / (col("n_items") * 3), 2) +
+                  pow(lit(1.0) - col("s1").cast("double") / (col("n_items") * 3), 2))), 6)
+              .as("kappa"))
+      },
+      Some("""WITH v AS (SELECT
+            (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+             + CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(replace(text, ' ', '')) >= 0.8 THEN 1 ELSE 0 END
+             + CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) >= 4.0 THEN 1 ELSE 0 END) AS n1
+          FROM documents),
+        c AS (SELECT count(*) AS n_items,
+            CAST(sum(n1 * n1 + (3 - n1) * (3 - n1) - 3) AS BIGINT) AS num,
+            CAST(sum(n1) AS BIGINT) AS s1
+          FROM v)
+        SELECT n_items,
+          round(CAST(num AS DOUBLE) / (n_items * 6), 6) AS p_bar,
+          round(pow(CAST(s1 AS DOUBLE) / (n_items * 3), 2)
+            + pow(1.0 - CAST(s1 AS DOUBLE) / (n_items * 3), 2), 6) AS p_e,
+          round((CAST(num AS DOUBLE) / (n_items * 6)
+              - (pow(CAST(s1 AS DOUBLE) / (n_items * 3), 2)
+                + pow(1.0 - CAST(s1 AS DOUBLE) / (n_items * 3), 2)))
+            / (1.0 - (pow(CAST(s1 AS DOUBLE) / (n_items * 3), 2)
+                + pow(1.0 - CAST(s1 AS DOUBLE) / (n_items * 3), 2))), 6) AS kappa
+        FROM c""")),
+
+    Q(
+      "stats_calibration_ece",
+      "Reliability diagram + expected calibration error of a " +
+        "deterministic quality scorer: a fixed logistic over the char " +
+        "count plays the classifier, the alphabetic-ratio gate plays " +
+        "ground truth, scores bucket into 10 confidence bins " +
+        "(midpoint convention, so per-bin confidence is exact, not a " +
+        "float average — the binned-ECE estimator every model-quality " +
+        "dashboard uses). Per-bin counts are exact integers from one " +
+        "hash aggregation; the 10-row ECE weighted sum rides a sorted " +
+        "fold, so the headline number is bit-identical across engines " +
+        "and never touches an unsorted float aggregation.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(
+            (lit(1.0) / (lit(1.0) +
+              exp((lit(300.0) - col("n_chars")) / 120.0))).as("score"),
+            (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+              length(regexp_replace(col("text"), " ", "")) >= 0.75).cast("int").as("y"))
+          .select(least(floor(col("score") * 10).cast("int"), lit(9)).as("bin"), col("y"))
+        val bins = d.groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("y").cast("long")).as("n_pos"))
+          .select(col("bin"), col("n_docs"), col("n_pos"),
+            ((col("bin") + lit(0.5)) / 10.0).as("conf"),
+            (col("n_pos").cast("double") / col("n_docs")).as("acc"))
+          .withColumn("gap", abs(col("acc") - col("conf")))
+        val tot = bins
+          .agg(sfold(col("n_docs") * col("gap")).as("wgap"),
+            sum(col("n_docs")).as("n"))
+          .select(round(col("wgap") / col("n"), 6).as("ece"))
+        bins.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n_docs"), col("n_pos"),
+            round(col("conf"), 2).as("conf"), round(col("acc"), 4).as("acc"),
+            round(col("gap"), 4).as("gap"), col("ece"))
+          .orderBy("bin")
+      },
+      Some("""WITH d AS (SELECT
+            CAST(least(floor((1.0 / (1.0 + exp((300.0 - n_chars) / 120.0))) * 10),
+              9) AS INT) AS bin,
+            CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              / length(replace(text, ' ', '')) >= 0.75 THEN 1 ELSE 0 END AS y
+          FROM documents),
+        bins AS (SELECT bin, count(*) AS n_docs,
+            CAST(sum(y) AS BIGINT) AS n_pos,
+            (bin + 0.5) / 10.0 AS conf,
+            CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE) AS acc
+          FROM d GROUP BY bin),
+        g AS (SELECT *, abs(acc - conf) AS gap FROM bins),
+        tot AS (SELECT
+            round(list_reduce(list_sort(list(n_docs * gap)), (a, b) -> a + b)
+              / CAST(sum(n_docs) AS DOUBLE), 6) AS ece
+          FROM g)
+        SELECT bin, n_docs, n_pos, round(conf, 2) AS conf,
+          round(acc, 4) AS acc, round(gap, 4) AS gap, ece
+        FROM g CROSS JOIN tot ORDER BY bin"""))
   )
 }
