@@ -628,6 +628,51 @@ object Features {
             AS DOUBLE) / (n_tested - n_members), 4) AS fp_rate
         FROM hits CROSS JOIN nb CROSS JOIN t
         GROUP BY n_members, n_bits_set, n_tested
-        ORDER BY n_members"""))
+        ORDER BY n_members""")),
+
+    Q(
+      "sketch_kmv",
+      "K-minimum-values distinct sketch, fully oracle-replayed: hash " +
+        "every event's user id with the engine-portable md5 hash, " +
+        "keep the 64 smallest distinct hash values, and estimate the " +
+        "user cardinality as (k−1)/frac(h_k) — the mergeable distinct " +
+        "sketch whose state is 64 longs no matter how many billions " +
+        "of rows flow through (the deterministic correctness witness " +
+        "beside the native HLL of agg_approx_distinct, exactly like " +
+        "sketch_bloom witnesses the native bloom path). The k-smallest " +
+        "selection plans as TakeOrderedAndProject over per-partition " +
+        "heaps — never a global sort — and the exact count rides the " +
+        "same pass for the measured relative error.",
+      (s, dir) => {
+        val m = 4294967296L // 2^32: the portable hash's value space
+        val hashes = Tables.t(s, dir, "events")
+          .select(col("user_id")).distinct()
+          .select(PortableHash.hexHash(
+            concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+          .distinct()
+        val kmin = hashes.orderBy("h").limit(64)
+        val exact = Tables.t(s, dir, "events")
+          .agg(count_distinct(col("user_id")).as("exact_users"))
+        kmin.agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
+          .crossJoin(broadcast(exact))
+          .select(col("k"), col("hk"), col("exact_users"),
+            round((col("k") - 1).cast("double") * m / col("hk"), 2).as("est_users"),
+            round(abs((col("k") - 1).cast("double") * m / col("hk") -
+              col("exact_users")) / col("exact_users") * 100, 2).as("err_pct"))
+          .orderBy("k")
+      },
+      Some(s"""WITH hashes AS (
+          SELECT DISTINCT ${PortableHash.hexHashSql("'kmv:' || CAST(user_id AS VARCHAR)")} AS h
+          FROM (SELECT DISTINCT user_id FROM events)),
+        kmin AS (SELECT h FROM hashes ORDER BY h LIMIT 64),
+        ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+          FROM events)
+        SELECT CAST(count(*) AS BIGINT) AS k, max(h) AS hk, exact_users,
+          round(CAST(count(*) - 1 AS DOUBLE) * 4294967296 / max(h), 2)
+            AS est_users,
+          round(abs(CAST(count(*) - 1 AS DOUBLE) * 4294967296 / max(h)
+            - exact_users) / exact_users * 100, 2) AS err_pct
+        FROM kmin CROSS JOIN ex
+        GROUP BY exact_users ORDER BY k"""))
   )
 }

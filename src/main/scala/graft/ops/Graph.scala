@@ -1095,7 +1095,60 @@ object Graph {
               THEN round(CAST(cut_w AS DOUBLE)
                 / least(vol_w, tw * 2 - vol_w), 6)
               ELSE 0.0 END AS conductance
-          FROM f ORDER BY community"""))
+          FROM f ORDER BY community""")),
+
+    Q(
+      "graph_ppr",
+      s"Personalized PageRank (d=$Damping, $Iterations iterations) " +
+        "from a seed set — the nations of region 0 — over the trade " +
+        "graph: the random surfer teleports back to the SEEDS (not " +
+        "uniformly), so rank measures proximity to the seed " +
+        "neighborhood. This is the recommendation / related-entity " +
+        "primitive global PageRank can't express. Same distributed " +
+        "shape as graph_pagerank: ranks ⋈ out-normalized edges per " +
+        "iteration, dangling mass as a 1-row broadcast redirected to " +
+        "the teleport vector; the seed indicator rides the node list, " +
+        "never a driver-side set. Oracle unrolls the same damped " +
+        "seeded power iteration as chained CTEs.",
+      (s, dir) => {
+        val nodes = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("id"),
+            (col("n_regionkey") === 0).cast("int").as("is_seed"))
+        val nSeeds = nodes.agg(sum(col("is_seed").cast("long")).as("ns"))
+        val edges = {
+          val e = tradeEdges(s, dir)
+          import org.apache.spark.sql.expressions.Window
+          e.withColumn("p", col("w") / sum("w").over(Window.partitionBy("src")))
+            .select(col("src").cast("long"), col("dst").cast("long"), col("p"))
+            .transform(Skew.cut)
+        }
+        val danglingIds = nodes.select("id").join(
+            edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+          .transform(Skew.cut)
+        var ranks = nodes.crossJoin(broadcast(nSeeds))
+          .select(col("id"), col("is_seed"),
+            (col("is_seed").cast("double") / col("ns")).as("rank"))
+        for (_ <- 1 to Iterations) {
+          val dangling = ranks.join(danglingIds, Seq("id"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
+          val contribs = ranks.join(edges, ranks("id") === edges("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("rank") * col("p")).as("contrib"))
+          ranks = nodes
+            .join(contribs, Seq("id"), "left")
+            .crossJoin(broadcast(dangling))
+            .crossJoin(broadcast(nSeeds))
+            .select(col("id"), col("is_seed"),
+              ((lit(1.0 - Damping) + lit(Damping) * col("dang")) *
+                (col("is_seed").cast("double") / col("ns")) +
+                lit(Damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+            .transform(Skew.cut)
+        }
+        ranks.select(col("id").as("nation_id"), col("is_seed"),
+            round(col("rank"), 6).as("ppr"))
+          .orderBy("nation_id")
+      },
+      Some(pprSql))
   )
 
   /** The HITS iteration unrolled as generated CTEs (list_sort +
@@ -1212,5 +1265,47 @@ object Graph {
       $steps
       SELECT id AS nation_id, round(rank, 6) AS pagerank FROM r$Iterations
       ORDER BY nation_id"""
+  }
+
+  /** Personalized-PageRank oracle: the same unrolled-CTE power
+    * iteration as [[pagerankSql]], with the uniform teleport replaced
+    * by the seed indicator / |seeds| and the dangling mass redirected
+    * to the teleport vector. */
+  private def pprSql: String = {
+    val steps = (1 to Iterations).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+        SELECT nodes.id, nodes.is_seed,
+          (${1.0 - Damping} + $Damping * (
+            SELECT coalesce(sum(r.rank), 0) FROM $prev r
+            WHERE NOT EXISTS (SELECT 1 FROM norm e WHERE e.src = r.id)))
+          * (CAST(nodes.is_seed AS DOUBLE)
+             / (SELECT CAST(sum(is_seed) AS BIGINT) FROM nodes))
+          + $Damping * coalesce(c.contrib, 0) AS rank
+        FROM nodes LEFT JOIN (
+          SELECT e.dst AS id, sum(r.rank * e.p) AS contrib
+          FROM $prev r JOIN norm e ON e.src = r.id GROUP BY 1) c
+        USING (id))"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+          CAST(s.s_nationkey AS BIGINT) AS dst,
+          CAST(count(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      norm AS (
+        SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges),
+      nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+        CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS is_seed FROM nation),
+      r0 AS (SELECT id, is_seed,
+        CAST(is_seed AS DOUBLE)
+          / (SELECT CAST(sum(is_seed) AS BIGINT) FROM nodes) AS rank
+        FROM nodes),
+      $steps
+      SELECT id AS nation_id, is_seed, round(rank, 6) AS ppr
+      FROM r$Iterations ORDER BY nation_id"""
   }
 }

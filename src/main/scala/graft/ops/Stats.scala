@@ -5806,6 +5806,165 @@ object Stats {
           FROM g)
         SELECT bin, n_docs, n_pos, round(conf, 2) AS conf,
           round(acc, 4) AS acc, round(gap, 4) AS gap, ece
-        FROM g CROSS JOIN tot ORDER BY bin"""))
+        FROM g CROSS JOIN tot ORDER BY bin""")),
+
+    Q(
+      "ts_periodogram",
+      "Discrete-Fourier periodogram of the daily event-count series " +
+        "per event type at harmonics k=1..8 — the spectral-density " +
+        "screen for hidden cycles (weekly seasonality shows as power " +
+        "at k ≈ n_days/7) that complements the autocorrelation view " +
+        "(ts_autocorr finds lags, the periodogram finds frequencies). " +
+        "The scan aggregates to calendar-bounded daily rows first, so " +
+        "the trig stage touches ≤ |days|×8 rows regardless of corpus " +
+        "size; every float sum (a_k, b_k, the variance normalizer) " +
+        "rides a sorted fold over that bounded group — bit-identical " +
+        "across engines and partitionings.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts").cast("timestamp")).as("d"))
+          .agg(count(lit(1)).as("y"))
+        val base = daily.groupBy("event_type")
+          .agg(min(col("d")).as("d0"), count(lit(1)).as("n"),
+            sum(col("y")).as("sy"))
+        val dev = daily.join(base, "event_type")
+          .select(col("event_type"), col("n"),
+            datediff(col("d"), col("d0")).as("t"),
+            (col("y") - col("sy") / col("n")).as("dev"))
+        val terms = dev
+          .crossJoin(broadcast(
+            s.range(1, 9).select(col("id").cast("int").as("k"))))
+          .select(col("event_type"), col("k"), col("n"), col("dev"),
+            (col("dev") * cos(lit(6.283185307179586) * col("k") * col("t") / col("n"))).as("c"),
+            (col("dev") * sin(lit(6.283185307179586) * col("k") * col("t") / col("n"))).as("s"))
+        terms.groupBy(col("event_type"), col("k"))
+          .agg(max(col("n")).as("n"), sfold(col("c")).as("a"),
+            sfold(col("s")).as("b"), sfold(col("dev") * col("dev")).as("ss"))
+          .select(col("event_type"), col("k"), col("n").as("n_days"),
+            round((col("a") * col("a") + col("b") * col("b")) / col("n"), 4).as("power"),
+            round((col("a") * col("a") + col("b") * col("b")) / col("ss"), 6).as("var_frac"))
+          .orderBy("event_type", "k")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+            count(*) AS y
+          FROM events GROUP BY 1, 2),
+        base AS (SELECT event_type, min(d) AS d0, count(*) AS n,
+            CAST(sum(y) AS BIGINT) AS sy
+          FROM daily GROUP BY 1),
+        dev AS (SELECT daily.event_type, n,
+            CAST(date_diff('day', d0, d) AS INT) AS t,
+            y - sy / n AS dev
+          FROM daily JOIN base USING (event_type)),
+        terms AS (SELECT event_type, CAST(ks.k AS INT) AS k, n, dev,
+            dev * cos(CAST(6.283185307179586 AS DOUBLE) * CAST(ks.k AS INT) * t / n) AS c,
+            dev * sin(CAST(6.283185307179586 AS DOUBLE) * CAST(ks.k AS INT) * t / n) AS s
+          FROM dev CROSS JOIN (SELECT unnest(range(1, 9)) AS k) ks),
+        agg AS (SELECT event_type, k, max(n) AS n,
+            list_reduce(list_sort(list(c)), (x, y) -> x + y) AS a,
+            list_reduce(list_sort(list(s)), (x, y) -> x + y) AS b,
+            list_reduce(list_sort(list(dev * dev)), (x, y) -> x + y) AS ss
+          FROM terms GROUP BY 1, 2)
+        SELECT event_type, k, n AS n_days,
+          round((a * a + b * b) / n, 4) AS power,
+          round((a * a + b * b) / ss, 6) AS var_frac
+        FROM agg ORDER BY event_type, k""")),
+
+    Q(
+      "ts_hurst",
+      "Hurst exponent of the hourly event-count series by rescaled-" +
+        "range (R/S) analysis over block sizes 8/16/32/64 — the " +
+        "long-memory diagnostic (H≈0.5 random walk, H>0.5 trending, " +
+        "H<0.5 mean-reverting) a capacity-planning pipeline runs on " +
+        "its load series. Days are indexed positionally on the " +
+        "scalable rank spine (the daily series has calendar gaps that " +
+        "would starve wide blocks); blocks are calendar-bounded; the " +
+        "in-block " +
+        "cumulative deviation rides an ORDER BY t running window " +
+        "(sequential, so both engines add in the same order), the " +
+        "per-block and per-size reductions ride sorted folds, and the " +
+        "final log-log slope is a closed-form 4-point regression — " +
+        "no unsorted float aggregation anywhere.",
+      (s, dir) => {
+        val hourly = Tables.t(s, dir, "events")
+          .groupBy(date_trunc("HOUR", col("ts").cast("timestamp")).as("d"))
+          .agg(count(lit(1)).as("y"))
+        // positional hour index (not calendar arithmetic): the series
+        // has gaps, and a gapped block would never reach its full
+        // width — rank the hours on the scalable rank spine instead
+        val t = Skew.globalRank(hourly, Seq(col("d")), rankCol = "__rank")
+          .select((col("__rank") - 1).cast("int").as("t"), col("y"))
+        val sized = t.crossJoin(broadcast(
+            s.range(3, 7).select(pow(lit(2.0), col("id")).cast("int").as("w"))))
+          .select(col("w"), floor(col("t") / col("w")).cast("long").as("blk"),
+            col("t"), col("y"))
+        val withStats = sized
+          .withColumn("nb", count(lit(1)).over(Window.partitionBy("w", "blk")))
+          .filter(col("nb") === col("w"))
+          .withColumn("mean",
+            sum(col("y")).over(Window.partitionBy("w", "blk")).cast("double") / col("w"))
+          .withColumn("dev", col("y") - col("mean"))
+          .withColumn("cum", sum(col("dev")).over(
+            Window.partitionBy("w", "blk").orderBy("t")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val rs = withStats.groupBy("w", "blk")
+          .agg(max(col("cum")).as("mx"), min(col("cum")).as("mn"),
+            sfold(col("dev") * col("dev")).as("ssd"))
+          .filter(col("ssd") > 0)
+          .select(col("w"),
+            ((col("mx") - col("mn")) / sqrt(col("ssd") / col("w"))).as("rs"))
+        val perW = rs.groupBy("w")
+          .agg(count(lit(1)).as("n_blocks"), sfold(col("rs")).as("srs"))
+          .select(col("w"), col("n_blocks"),
+            (col("srs") / col("n_blocks")).as("mean_rs"))
+        val fit = perW
+          .agg(count(lit(1)).as("np"),
+            sfold(log(col("w").cast("double"))).as("sx"),
+            sfold(log(col("mean_rs"))).as("sy"),
+            sfold(log(col("w").cast("double")) * log(col("w").cast("double"))).as("sxx"),
+            sfold(log(col("w").cast("double")) * log(col("mean_rs"))).as("sxy"))
+          .select(round((col("np") * col("sxy") - col("sx") * col("sy")) /
+            (col("np") * col("sxx") - col("sx") * col("sx")), 4).as("hurst"))
+        perW.crossJoin(broadcast(fit))
+          .select(col("w"), col("n_blocks"), round(col("mean_rs"), 4).as("mean_rs"),
+            col("hurst"))
+          .orderBy("w")
+      },
+      Some("""WITH hourly AS (
+          SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS d, count(*) AS y
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS INT) AS t, y
+          FROM hourly),
+        sized AS (SELECT CAST(ws.w AS INT) AS w, t // CAST(ws.w AS INT) AS blk, t, y
+          FROM t CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS w) ws),
+        ws AS (SELECT w, blk, t, y,
+            count(*) OVER (PARTITION BY w, blk) AS nb,
+            CAST(CAST(sum(y) OVER (PARTITION BY w, blk) AS BIGINT) AS DOUBLE) / w
+              AS mean
+          FROM sized),
+        cums AS (SELECT w, blk, y - mean AS dev,
+            sum(y - mean) OVER (PARTITION BY w, blk ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM ws WHERE nb = w),
+        rs AS (SELECT w,
+            (max(cum) - min(cum))
+              / sqrt(list_reduce(list_sort(list(dev * dev)), (a, b) -> a + b) / w)
+              AS rs
+          FROM cums GROUP BY w, blk
+          HAVING list_reduce(list_sort(list(dev * dev)), (a, b) -> a + b) > 0),
+        perw AS (SELECT w, count(*) AS n_blocks,
+            list_reduce(list_sort(list(rs)), (a, b) -> a + b) / count(*) AS mean_rs
+          FROM rs GROUP BY w),
+        fit AS (SELECT
+            round((count(*) * list_reduce(list_sort(list(ln(CAST(w AS DOUBLE)) * ln(mean_rs))), (a, b) -> a + b)
+                - list_reduce(list_sort(list(ln(CAST(w AS DOUBLE)))), (a, b) -> a + b)
+                  * list_reduce(list_sort(list(ln(mean_rs))), (a, b) -> a + b))
+              / (count(*) * list_reduce(list_sort(list(ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE)))), (a, b) -> a + b)
+                - list_reduce(list_sort(list(ln(CAST(w AS DOUBLE)))), (a, b) -> a + b)
+                  * list_reduce(list_sort(list(ln(CAST(w AS DOUBLE)))), (a, b) -> a + b)), 4)
+              AS hurst
+          FROM perw)
+        SELECT w, n_blocks, round(mean_rs, 4) AS mean_rs, hurst
+        FROM perw CROSS JOIN fit ORDER BY w"""))
   )
 }
