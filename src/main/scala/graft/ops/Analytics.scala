@@ -734,6 +734,181 @@ object Analytics {
           count(*) AS n_gaps,
           round(CAST(count(*) AS DOUBLE) / max(ng), 4) AS share
         FROM b CROSS JOIN t
-        GROUP BY bucket ORDER BY bucket"""))
+        GROUP BY bucket ORDER BY bucket""")),
+
+    Q(
+      "analytics_markov_attribution",
+      s"Markov-chain (removal-effect) attribution — the data-driven " +
+        "alternative to the heuristic first/last-touch models of " +
+        "analytics_touch_model_compare and the Shapley game of " +
+        "analytics_shapley_attribution: user journeys up to the first " +
+        "purchase become a start→channels→{conv,null} transition " +
+        "matrix; each channel's credit is how much the start→conv " +
+        s"absorption probability (a fixed $MarkovIterations-step " +
+        "truncated power iteration — both engines run the identical " +
+        "trajectory) drops when that channel's inbound edges are " +
+        "redirected to the drop state. All five scenarios (base + 4 " +
+        "removals) ride ONE tagged frame, so each iteration is a " +
+        "single join+aggregate over a |scenarios|·|states|²-bounded " +
+        "table — transition probabilities are exact count ratios and " +
+        "every per-state reduction is a sorted fold, so the whole " +
+        "trajectory replays bit-identically in DuckDB.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select(col("user_id"), Tables.epochUs(col("ts")).as("tu"),
+            col("event_id"),
+            when(col("event_type") === "purchase", lit("conv"))
+              .otherwise(col("event_type")).as("state"))
+        val wP = Window.partitionBy("user_id").orderBy("tu", "event_id")
+        val fp = ev.filter(col("state") === "conv")
+          .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
+          .select(col("user_id"), col("tu").as("fu"), col("event_id").as("fid"))
+        val kept = ev.join(fp, Seq("user_id"), "left")
+          .filter(col("fu").isNull || col("tu") < col("fu") ||
+            (col("tu") === col("fu") && col("event_id") <= col("fid")))
+        val transitions = kept
+          .withColumn("prev", lag(col("state"), 1, "start").over(wP))
+          .select(col("prev").as("src"), col("state").as("dst"))
+        val terminal = kept.filter(col("fu").isNull)
+          .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+            .orderBy(col("tu").desc, col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("state").as("src"), lit("null").as("dst"))
+        val counts = transitions.union(terminal)
+          .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+          .transform(Skew.cut)
+        val scTags = ("base" +: MarkovChannels).map(lit)
+        val remapped = counts
+          .select(explode(array(scTags: _*)).as("sc"),
+            col("src"), col("dst"), col("c"))
+          .filter(col("sc") === "base" || col("src") =!= col("sc"))
+          .select(col("sc"), col("src"),
+            when(col("sc") =!= "base" && col("dst") === col("sc"), lit("null"))
+              .otherwise(col("dst")).as("dst"),
+            col("c"))
+          .groupBy("sc", "src", "dst").agg(sum(col("c")).as("c"))
+        val tots = remapped.groupBy("sc", "src").agg(sum(col("c")).as("tot"))
+        val probs = remapped.join(tots, Seq("sc", "src"))
+          .select(col("sc"), col("src"), col("dst"), (col("c") / col("tot")).as("p"))
+          .transform(Skew.cut)
+        val allStates = Seq("start", "view", "click", "signup", "error", "conv", "null")
+        val states = probs.select("sc").distinct()
+          .select(col("sc"), explode(array(allStates.map(lit): _*)).as("st"))
+          .filter(col("sc") === "base" || col("st") =!= col("sc"))
+          .transform(Skew.cut)
+        var v = states.withColumn("v", (col("st") === "conv").cast("double"))
+        for (_ <- 1 to MarkovIterations) {
+          val terms = probs
+            .join(v.select(col("sc"), col("st").as("dst"), col("v")), Seq("sc", "dst"))
+            .groupBy(col("sc"), col("src").as("st"))
+            .agg(Stats.sfold(col("p") * col("v")).as("sv"))
+          v = states.join(terms, Seq("sc", "st"), "left")
+            .select(col("sc"), col("st"),
+              when(col("st") === "conv", lit(1.0))
+                .when(col("st") === "null", lit(0.0))
+                .otherwise(coalesce(col("sv"), lit(0.0))).as("v"))
+            .transform(Skew.cut)
+        }
+        val vstart = v.filter(col("st") === "start").select(col("sc"), col("v"))
+        val base = vstart.filter(col("sc") === "base").select(col("v").as("vb"))
+        val rem = vstart.filter(col("sc") =!= "base")
+          .crossJoin(broadcast(base))
+          .select(col("sc").as("channel"), col("vb"), col("v").as("vc"),
+            ((col("vb") - col("v")) / col("vb")).as("re"))
+        val sre = rem.agg(Stats.sfold(col("re")).as("sre"))
+        rem.crossJoin(broadcast(sre))
+          .select(col("channel"), round(col("vb"), 6).as("conv_base"),
+            round(col("vc"), 6).as("conv_removed"),
+            round(col("re"), 6).as("removal_effect"),
+            round(when(col("sre") =!= 0, col("re") / col("sre"))
+              .otherwise(lit(0.0)), 6).as("attribution_share"))
+          .orderBy("channel")
+      },
+      Some(markovSql))
   )
+
+  private val MarkovIterations = 20
+  private val MarkovChannels = Seq("view", "click", "signup", "error")
+
+  /** Unrolled truncated-power-iteration oracle for
+    * [[analytics_markov_attribution]]: the identical journey → counts
+    * → tagged-scenario remap → K absorption steps, one MATERIALIZED
+    * CTE per iteration (DuckDB inlines plain CTEs per reference — the
+    * chain would otherwise re-expand the whole upstream per step). */
+  private def markovSql: String = {
+    val steps = (1 to MarkovIterations).map { k =>
+      val prev = s"v${k - 1}"
+      s"""v$k AS MATERIALIZED (
+        SELECT st.sc, st.st,
+          CASE WHEN st.st = 'conv' THEN 1.0
+            WHEN st.st = 'null' THEN 0.0
+            ELSE coalesce(t.sv, 0.0) END AS v
+        FROM states st LEFT JOIN (
+          SELECT p.sc, p.src AS st,
+            list_reduce(list_sort(list(p.p * pv.v)), (x, y) -> x + y) AS sv
+          FROM probs p JOIN $prev pv ON pv.sc = p.sc AND pv.st = p.dst
+          GROUP BY 1, 2) t
+        ON t.sc = st.sc AND t.st = st.st)"""
+    }.mkString(",\n")
+    s"""WITH ev AS MATERIALIZED (SELECT user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS tu, event_id,
+          CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END
+            AS state
+        FROM events),
+      fp AS MATERIALIZED (SELECT user_id, tu AS fu, event_id AS fid
+        FROM (SELECT user_id, tu, event_id, row_number()
+            OVER (PARTITION BY user_id ORDER BY tu, event_id) AS rn
+          FROM ev WHERE state = 'conv')
+        WHERE rn = 1),
+      kept AS MATERIALIZED (SELECT e.user_id, e.tu, e.event_id, e.state, f.fu
+        FROM ev e LEFT JOIN fp f USING (user_id)
+        WHERE f.fu IS NULL OR e.tu < f.fu
+          OR (e.tu = f.fu AND e.event_id <= f.fid)),
+      trans AS (SELECT
+          lag(state, 1, 'start') OVER (PARTITION BY user_id
+            ORDER BY tu, event_id) AS src,
+          state AS dst
+        FROM kept),
+      term AS (SELECT state AS src, 'null' AS dst
+        FROM (SELECT state, row_number() OVER (PARTITION BY user_id
+            ORDER BY tu DESC, event_id DESC) AS rn
+          FROM kept WHERE fu IS NULL)
+        WHERE rn = 1),
+      counts AS MATERIALIZED (SELECT src, dst, count(*) AS c
+        FROM (SELECT src, dst FROM trans UNION ALL SELECT src, dst FROM term)
+        GROUP BY 1, 2),
+      scen AS (SELECT unnest(['base', 'view', 'click', 'signup', 'error'])
+        AS sc),
+      remapped AS MATERIALIZED (SELECT sc, src,
+          CASE WHEN sc <> 'base' AND dst = sc THEN 'null' ELSE dst END AS dst,
+          CAST(sum(cc) AS BIGINT) AS c
+        FROM (SELECT s.sc, c.src, c.dst, c.c AS cc
+          FROM counts c CROSS JOIN scen s
+          WHERE s.sc = 'base' OR c.src <> s.sc)
+        GROUP BY 1, 2, 3),
+      tots AS (SELECT sc, src, CAST(sum(c) AS BIGINT) AS tot
+        FROM remapped GROUP BY 1, 2),
+      probs AS MATERIALIZED (SELECT r.sc, r.src, r.dst, r.c / t.tot AS p
+        FROM remapped r JOIN tots t ON t.sc = r.sc AND t.src = r.src),
+      states AS MATERIALIZED (SELECT s.sc, u.st
+        FROM scen s CROSS JOIN (SELECT unnest(
+          ['start', 'view', 'click', 'signup', 'error', 'conv', 'null'])
+          AS st) u
+        WHERE s.sc = 'base' OR u.st <> s.sc),
+      v0 AS MATERIALIZED (SELECT sc, st,
+        CASE WHEN st = 'conv' THEN 1.0 ELSE 0.0 END AS v FROM states),
+      $steps,
+      vstart AS (SELECT sc, v FROM v$MarkovIterations WHERE st = 'start'),
+      vb AS (SELECT v AS vb FROM vstart WHERE sc = 'base'),
+      rem AS MATERIALIZED (SELECT sc AS channel, vb, v AS vc,
+          (vb - v) / vb AS re
+        FROM vstart CROSS JOIN vb WHERE sc <> 'base'),
+      sre AS (SELECT list_reduce(list_sort(list(re)), (x, y) -> x + y)
+        AS sre FROM rem)
+      SELECT channel, round(vb, 6) AS conv_base, round(vc, 6) AS conv_removed,
+        round(re, 6) AS removal_effect,
+        round(CASE WHEN sre <> 0 THEN re / sre ELSE 0.0 END, 6)
+          AS attribution_share
+      FROM rem CROSS JOIN sre ORDER BY channel"""
+  }
 }

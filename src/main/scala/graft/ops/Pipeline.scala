@@ -1121,6 +1121,190 @@ object Pipeline {
           CAST(sum(tr * va) AS BIGINT) AS train_val,
           CAST(sum(tr * te) AS BIGINT) AS train_test,
           CAST(sum(va * te) AS BIGINT) AS val_test
-        FROM fam ORDER BY n_families"""))
+        FROM fam ORDER BY n_families""")),
+
+    Q(
+      "pipeline_bradley_terry",
+      s"Bradley–Terry preference strengths over the corpus sources — " +
+        "the pairwise-comparison model reward-model and eval " +
+        "pipelines fit to turn noisy A-vs-B preference votes into a " +
+        "global ranking. Contests: per language, the source with the " +
+        "larger total character volume beats each rival (5 contests " +
+        s"per pair, no ties on volume); $BtIterations MM iterations " +
+        "(Hunter 2004: s_i ← W_i / Σ_j n_ij/(s_i+s_j), renormalized " +
+        "to mean 1) converge on the fixture. The win matrix is " +
+        "|sources|²-bounded, every per-player reduction is a sorted " +
+        "fold over ≤|sources| terms, the normalizer is a 1-row " +
+        "broadcast — each iteration shuffles a 400-row frame, never " +
+        "the corpus. Oracle unrolls the identical MM trajectory as " +
+        "chained CTEs.",
+      (s, dir) => {
+        val cnt = Tables.t(s, dir, "documents")
+          .groupBy("lang", "source")
+          .agg(sum(col("n_chars")).as("vol"))
+        val a = cnt.select(col("lang"), col("source").as("i"), col("vol").as("va"))
+        val b = cnt.select(col("lang"), col("source").as("j"), col("vol").as("vb"))
+        val pairs = a.join(b, Seq("lang"))
+          .filter(col("i") =!= col("j"))
+          .groupBy("i", "j")
+          .agg(sum((col("va") > col("vb")).cast("long")).as("w"))
+        val games = pairs.alias("p")
+          .join(pairs.alias("q"),
+            col("p.i") === col("q.j") && col("p.j") === col("q.i"))
+          .select(col("p.i").as("i"), col("p.j").as("j"),
+            (col("p.w") + col("q.w")).as("n"))
+          .filter(col("n") > 0)
+          .transform(Skew.cut)
+        val wins = pairs.groupBy(col("i").as("src"))
+          .agg(sum(col("w")).as("wi"))
+          .transform(Skew.cut)
+        val nPlayers = wins.agg(count(lit(1)).as("np"))
+        var strengths = wins.select(col("src"), lit(1.0).as("s"))
+        for (_ <- 1 to BtIterations) {
+          val si = strengths.select(col("src").as("i"), col("s").as("si"))
+          val sj = strengths.select(col("src").as("j"), col("s").as("sj"))
+          val denom = games.join(si, Seq("i")).join(sj, Seq("j"))
+            .groupBy(col("i").as("src"))
+            .agg(Stats.sfold(col("n") / (col("si") + col("sj"))).as("den"))
+          val raw = wins.join(denom, Seq("src"))
+            .select(col("src"),
+              when(col("den") > 0, col("wi") / col("den")).otherwise(lit(0.0)).as("sr"))
+          val tot = raw.agg(Stats.sfold(col("sr")).as("tot"))
+          // the plan references `strengths` twice per round (s_i and s_j
+          // sides) — without a cut the lineage doubles every iteration
+          strengths = raw.crossJoin(broadcast(tot)).crossJoin(broadcast(nPlayers))
+            .select(col("src"), (col("sr") * col("np") / col("tot")).as("s"))
+            .transform(Skew.cut)
+        }
+        strengths.join(wins, Seq("src"))
+          .join(games.groupBy(col("i").as("src")).agg(sum(col("n")).as("gi")), Seq("src"))
+          .select(col("src").as("source"), col("wi").as("wins"),
+            col("gi").as("games"), round(col("s"), 6).as("strength"))
+          .orderBy(col("strength").desc, col("source"))
+      },
+      Some(bradleyTerrySql)),
+
+    Q(
+      "pipeline_elo_sources",
+      "Sequential Elo ratings over the same per-language source " +
+        "contests, replayed in deterministic contest order (lang, " +
+        "winner, loser) — the online counterpart to the batch " +
+        "Bradley–Terry fit: each contest moves the two players by " +
+        "K·(1 − expected), so early results matter less than the " +
+        "final MM fit but the ranking converges to the same order " +
+        "when one source dominates. The contest list is " +
+        "|sources|²·|langs|-bounded; the sequential fold runs inside " +
+        "ONE ordered higher-order aggregate over that bounded list " +
+        "(never a driver loop), and DuckDB replays the identical " +
+        "fold with list_reduce over the same ordering.",
+      (s, dir) => {
+        val cnt = Tables.t(s, dir, "documents")
+          .groupBy("lang", "source")
+          .agg(sum(col("n_chars")).as("vol"))
+        val a = cnt.select(col("lang"), col("source").as("wi"), col("vol").as("va"))
+        val b = cnt.select(col("lang"), col("source").as("lo"), col("vol").as("vb"))
+        val contests = a.join(b, Seq("lang"))
+          .filter(col("va") > col("vb"))
+          .select(col("lang"), col("wi"), col("lo"))
+        // one ordered fold over the bounded contest list: state is the
+        // rating map, each step an Elo update — expressed as an
+        // aggregate() over the sorted contest array so the sequential
+        // semantics stay inside the engine (no collect, no driver state)
+        val folded = contests
+          .agg(sort_array(collect_list(struct(col("lang"), col("wi"), col("lo")))).as("cs"))
+          .select(explode(expr(
+            """aggregate(
+                 cs,
+                 map_from_arrays(
+                   array_distinct(flatten(transform(cs, c -> array(c.wi, c.lo)))),
+                   transform(array_distinct(flatten(transform(cs, c -> array(c.wi, c.lo)))),
+                     x -> CAST(1000.0 AS DOUBLE))),
+                 (r, c) -> map_zip_with(r,
+                   map_from_arrays(array(c.wi, c.lo), array(
+                     32.0 * (1.0 - 1.0 / (1.0 + power(10.0, (element_at(r, c.lo) - element_at(r, c.wi)) / 400.0))),
+                     -32.0 * (1.0 - 1.0 / (1.0 + power(10.0, (element_at(r, c.lo) - element_at(r, c.wi)) / 400.0))))),
+                   (k, v, d) -> v + coalesce(d, CAST(0.0 AS DOUBLE))),
+                 r -> map_entries(r))""")).as("e"))
+          .select(col("e.key").as("source"), round(col("e.value"), 4).as("elo"))
+        folded.orderBy(col("elo").desc, col("source"))
+      },
+      Some("""WITH RECURSIVE cnt AS (SELECT lang, source,
+            CAST(sum(n_chars) AS BIGINT) AS vol
+          FROM documents GROUP BY 1, 2),
+        contests AS (SELECT
+            row_number() OVER (ORDER BY lang, wi, lo) AS seq, wi, lo
+          FROM (SELECT a.lang, a.source AS wi, b.source AS lo
+            FROM cnt a JOIN cnt b ON a.lang = b.lang AND a.vol > b.vol)),
+        m AS (SELECT count(*) AS mx FROM contests),
+        ps AS (SELECT list(source ORDER BY source) AS players
+          FROM (SELECT DISTINCT source FROM documents)),
+        st AS (
+          SELECT 0 AS it, players,
+            list_transform(players, x -> CAST(1000.0 AS DOUBLE)) AS ratings
+          FROM ps
+          UNION ALL
+          SELECT s.it + 1, s.players,
+            list_transform(list_zip(s.players, s.ratings),
+              x -> CASE WHEN x[1] = c.wi
+                  THEN x[2] + 32.0 * (1.0 - 1.0 / (1.0 + pow(10.0,
+                    (s.ratings[list_position(s.players, c.lo)]
+                     - s.ratings[list_position(s.players, c.wi)]) / 400.0)))
+                WHEN x[1] = c.lo
+                  THEN x[2] - 32.0 * (1.0 - 1.0 / (1.0 + pow(10.0,
+                    (s.ratings[list_position(s.players, c.lo)]
+                     - s.ratings[list_position(s.players, c.wi)]) / 400.0)))
+                ELSE x[2] END)
+          FROM st s JOIN contests c ON c.seq = s.it + 1)
+        SELECT t.u[1] AS source, round(t.u[2], 4) AS elo
+        FROM (SELECT * FROM st, m WHERE it = mx) f,
+          unnest(list_zip(f.players, f.ratings)) t(u)
+        ORDER BY elo DESC, source"""))
   )
+
+  private val BtIterations = 10
+
+  /** Unrolled MM-iteration oracle for [[pipeline_bradley_terry]]:
+    * the same win matrix, the same sorted-fold denominators, the same
+    * mean-1 renormalization, one CTE pair per iteration. */
+  private def bradleyTerrySql: String = {
+    val steps = (1 to BtIterations).map { k =>
+      val prev = s"s${k - 1}"
+      s"""d$k AS MATERIALIZED (SELECT g.i AS src,
+          list_reduce(list_sort(list(g.n / (a.s + b.s))), (x, y) -> x + y)
+            AS den
+        FROM games g JOIN $prev a ON a.src = g.i
+        JOIN $prev b ON b.src = g.j GROUP BY 1),
+      r$k AS MATERIALIZED (SELECT w.src,
+          CASE WHEN den > 0 THEN wi / den ELSE 0.0 END AS sr
+        FROM wins w JOIN d$k USING (src)),
+      t$k AS MATERIALIZED (SELECT
+          list_reduce(list_sort(list(sr)), (x, y) -> x + y) AS tot
+        FROM r$k),
+      s$k AS MATERIALIZED (SELECT src, sr * np / tot AS s
+        FROM r$k CROSS JOIN t$k CROSS JOIN nplayers)"""
+    }.mkString(",\n")
+    s"""WITH cnt AS MATERIALIZED (SELECT lang, source,
+          CAST(sum(n_chars) AS BIGINT) AS vol
+        FROM documents GROUP BY 1, 2),
+      pairs AS MATERIALIZED (SELECT a.source AS i, b.source AS j,
+          CAST(sum(CASE WHEN a.vol > b.vol THEN 1 ELSE 0 END) AS BIGINT)
+            AS w
+        FROM cnt a JOIN cnt b
+          ON a.lang = b.lang AND a.source <> b.source
+        GROUP BY 1, 2),
+      games AS MATERIALIZED (SELECT p.i, p.j, p.w + q.w AS n
+        FROM pairs p JOIN pairs q ON q.i = p.j AND q.j = p.i
+        WHERE p.w + q.w > 0),
+      wins AS MATERIALIZED (SELECT i AS src, CAST(sum(w) AS BIGINT) AS wi
+        FROM pairs GROUP BY 1),
+      nplayers AS (SELECT CAST(count(*) AS BIGINT) AS np FROM wins),
+      s0 AS MATERIALIZED (SELECT src, 1.0 AS s FROM wins),
+      $steps
+      SELECT w.src AS source, w.wi AS wins,
+        (SELECT CAST(sum(g.n) AS BIGINT) FROM games g WHERE g.i = w.src)
+          AS games,
+        round(f.s, 6) AS strength
+      FROM wins w JOIN s$BtIterations f ON f.src = w.src
+      ORDER BY strength DESC, source"""
+  }
 }
