@@ -673,6 +673,179 @@ object Features {
           round(abs(CAST(count(*) - 1 AS DOUBLE) * 4294967296 / max(h)
             - exact_users) / exact_users * 100, 2) AS err_pct
         FROM kmin CROSS JOIN ex
-        GROUP BY exact_users ORDER BY k"""))
+        GROUP BY exact_users ORDER BY k""")),
+
+    Q(
+      "feat_vif",
+      "Variance-inflation factors for the per-customer feature triple " +
+        "(account balance, order count, total spend) — the " +
+        "multicollinearity screen run before any linear model: " +
+        "VIF_x = 1/(1−R²) where R² regresses x on the other two, " +
+        "closed-form from the pairwise correlations (R²_x|yz = " +
+        "(r_xy² + r_xz² − 2·r_xy·r_xz·r_yz)/(1 − r_yz²)). Every Σx, " +
+        "Σx², Σxy is an exact integer moment in cents (decimal(38) " +
+        "against ANSI overflow — the stats_corr_matrix idiom), so the " +
+        "correlations and VIFs are bit-identical float formulas over " +
+        "exact sums. One join + two hash aggregations total.",
+      (s, dir) => {
+        val per = Tables.t(s, dir, "customer")
+          .join(Tables.t(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"),
+            round(col("c_acctbal") * 100).cast("long").as("a"))
+          .agg(count(col("o_orderkey")).as("o"),
+            coalesce(sum(round(col("o_totalprice") * 100).cast("long")), lit(0L))
+              .as("sp"))
+        def d38(c: Column) = c.cast("decimal(38,0)")
+        val cols = Seq("a", "o", "sp")
+        val sums = per.agg(count(lit(1)).as("n"),
+          cols.flatMap(c => Seq(
+            sum(col(c)).as(s"s_$c"),
+            sum(d38(col(c)) * col(c)).as(s"ss_$c"))) ++
+            (for (x <- cols; y <- cols if cols.indexOf(x) < cols.indexOf(y))
+              yield sum(d38(col(x)) * col(y)).as(s"sp_${x}_$y")): _*)
+        def r(x: String, y: String): Column = {
+          val (a, b) = if (cols.indexOf(x) < cols.indexOf(y)) (x, y) else (y, x)
+          val n = col("n").cast("double")
+          val num = n * col(s"sp_${a}_$b").cast("double") -
+            col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+          val da = n * col(s"ss_$a").cast("double") -
+            col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
+          val db = n * col(s"ss_$b").cast("double") -
+            col(s"s_$b").cast("double") * col(s"s_$b").cast("double")
+          num / sqrt(da * db)
+        }
+        def r2(x: String, y: String, z: String): Column = {
+          val (rxy, rxz, ryz) = (r(x, y), r(x, z), r(y, z))
+          (rxy * rxy + rxz * rxz - lit(2.0) * rxy * rxz * ryz) /
+            (lit(1.0) - ryz * ryz)
+        }
+        val named = Map("a" -> "acctbal", "o" -> "order_count", "sp" -> "spend")
+        val rows = cols.map { x =>
+          val others = cols.filterNot(_ == x)
+          struct(lit(named(x)).as("feature"),
+            round(r2(x, others(0), others(1)), 6).as("r2"),
+            round(lit(1.0) / (lit(1.0) - r2(x, others(0), others(1))), 6)
+              .as("vif"))
+        }
+        sums.select(explode(array(rows: _*)).as("f"))
+          .select(col("f.feature").as("feature"), col("f.r2").as("r2"),
+            col("f.vif").as("vif"))
+          .orderBy("feature")
+      },
+      Some("""WITH per AS (SELECT c.c_custkey,
+            CAST(round(c.c_acctbal * 100) AS BIGINT) AS a,
+            CAST(count(o.o_orderkey) AS BIGINT) AS o,
+            CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+              AS BIGINT) AS sp
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY 1, 2),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(a) AS BIGINT) AS s_a, sum(CAST(a AS HUGEINT) * a) AS ss_a,
+            CAST(sum(o) AS BIGINT) AS s_o, sum(CAST(o AS HUGEINT) * o) AS ss_o,
+            CAST(sum(sp) AS BIGINT) AS s_sp,
+            sum(CAST(sp AS HUGEINT) * sp) AS ss_sp,
+            sum(CAST(a AS HUGEINT) * o) AS sp_a_o,
+            sum(CAST(a AS HUGEINT) * sp) AS sp_a_sp,
+            sum(CAST(o AS HUGEINT) * sp) AS sp_o_sp
+          FROM per),
+        rr AS (SELECT
+            (CAST(n AS DOUBLE) * CAST(sp_a_o AS DOUBLE)
+              - CAST(s_a AS DOUBLE) * CAST(s_o AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(ss_a AS DOUBLE)
+                - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(ss_o AS DOUBLE)
+                - CAST(s_o AS DOUBLE) * CAST(s_o AS DOUBLE))) AS r_ao,
+            (CAST(n AS DOUBLE) * CAST(sp_a_sp AS DOUBLE)
+              - CAST(s_a AS DOUBLE) * CAST(s_sp AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(ss_a AS DOUBLE)
+                - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(ss_sp AS DOUBLE)
+                - CAST(s_sp AS DOUBLE) * CAST(s_sp AS DOUBLE))) AS r_asp,
+            (CAST(n AS DOUBLE) * CAST(sp_o_sp AS DOUBLE)
+              - CAST(s_o AS DOUBLE) * CAST(s_sp AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(ss_o AS DOUBLE)
+                - CAST(s_o AS DOUBLE) * CAST(s_o AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(ss_sp AS DOUBLE)
+                - CAST(s_sp AS DOUBLE) * CAST(s_sp AS DOUBLE))) AS r_osp
+          FROM s),
+        v AS (SELECT * FROM (
+          SELECT 'acctbal' AS feature,
+            (r_ao * r_ao + r_asp * r_asp - 2.0 * r_ao * r_asp * r_osp)
+              / (1.0 - r_osp * r_osp) AS r2 FROM rr
+          UNION ALL
+          SELECT 'order_count',
+            (r_ao * r_ao + r_osp * r_osp - 2.0 * r_ao * r_osp * r_asp)
+              / (1.0 - r_asp * r_asp) FROM rr
+          UNION ALL
+          SELECT 'spend',
+            (r_asp * r_asp + r_osp * r_osp - 2.0 * r_asp * r_osp * r_ao)
+              / (1.0 - r_ao * r_ao) FROM rr))
+        SELECT feature, round(r2, 6) AS r2,
+          round(1.0 / (1.0 - r2), 6) AS vif
+        FROM v ORDER BY feature""")),
+
+    Q(
+      "feat_yeo_johnson",
+      "Yeo–Johnson power-transform profile over the (negative-valued) " +
+        "customer balances: the per-λ Gaussianizing log-likelihood " +
+        "−n/2·ln(σ²_z) + (λ−1)·Σ sgn(x)·ln(|x|+1) across a fixed 7-" +
+        "point λ grid — how a feature pipeline picks the variance-" +
+        "stabilizing transform when the feature has both signs (where " +
+        "plain Box–Cox is undefined). One fan-out to |grid| tagged " +
+        "rows per input and one hash aggregation; the per-λ sums are " +
+        "plain float aggregations rounded at the audited " +
+        "coarse-noise margin (per-row magnitudes O(10), reorder noise " +
+        "~1e-12 against a 1e-4 grid — the agg_q1 audit class).",
+      (s, dir) => {
+        val grid = Seq(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0)
+        val x = Tables.t(s, dir, "customer")
+          .select((col("c_acctbal") / 1000.0).as("x"))
+          .crossJoin(broadcast(
+            s.createDataset(grid)(org.apache.spark.sql.Encoders.scalaDouble)
+              .toDF("lam")))
+        val z = when(col("x") >= 0,
+            when(col("lam") === 0.0, log(col("x") + 1))
+              .otherwise((pow(col("x") + 1, col("lam")) - 1) / col("lam")))
+          .otherwise(
+            when(col("lam") === 2.0, -log(-col("x") + 1))
+              .otherwise(-(pow(-col("x") + 1, lit(2.0) - col("lam")) - 1) /
+                (lit(2.0) - col("lam"))))
+        val sgnlog = when(col("x") >= 0, log(col("x") + 1))
+          .otherwise(-log(-col("x") + 1))
+        val agg = x.select(col("lam"), z.as("z"), sgnlog.as("sl"))
+          .groupBy("lam")
+          .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"),
+            sum(col("z") * col("z")).as("szz"), sum(col("sl")).as("ssl"))
+        agg.select(col("lam"),
+            ((col("szz") - col("sz") * col("sz") / col("n")) / col("n")).as("varz"),
+            col("n"), col("ssl"))
+          .select(col("lam"),
+            round(lit(-0.5) * log(col("varz")) +
+              (col("lam") - 1) * col("ssl") / col("n"), 4).as("ll_per_row"),
+            round(col("varz"), 4).as("var_z"))
+          .orderBy("lam")
+      },
+      Some("""WITH g AS (SELECT CAST(lam AS DOUBLE) AS lam FROM (
+            SELECT unnest([-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0]) AS lam)),
+        x AS (SELECT c_acctbal / 1000.0 AS x, lam FROM customer CROSS JOIN g),
+        t AS (SELECT lam,
+            CASE WHEN x >= 0 THEN
+                CASE WHEN lam = 0.0 THEN ln(x + 1)
+                  ELSE (pow(x + 1, lam) - 1) / lam END
+              ELSE
+                CASE WHEN lam = 2.0 THEN -ln(-x + 1)
+                  ELSE -(pow(-x + 1, 2.0 - lam) - 1) / (2.0 - lam) END
+              END AS z,
+            CASE WHEN x >= 0 THEN ln(x + 1) ELSE -ln(-x + 1) END AS sl
+          FROM x),
+        a AS (SELECT lam, count(*) AS n, sum(z) AS sz, sum(z * z) AS szz,
+            sum(sl) AS ssl
+          FROM t GROUP BY 1),
+        v AS (SELECT lam, (szz - sz * sz / n) / n AS varz, n, ssl FROM a)
+        SELECT lam,
+          round(-0.5 * ln(varz) + (lam - 1) * ssl / n, 4) AS ll_per_row,
+          round(varz, 4) AS var_z
+        FROM v ORDER BY lam"""))
   )
 }

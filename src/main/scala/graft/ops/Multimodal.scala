@@ -243,6 +243,112 @@ object Multimodal {
         SELECT CAST(start // 2048 AS BIGINT) AS shard, count(*) AS n_items,
           CAST(sum(bytes) AS BIGINT) AS bytes,
           min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        FROM c GROUP BY 1 ORDER BY shard"""))
+        FROM c GROUP BY 1 ORDER BY shard""")),
+
+    Q(
+      "mm_aspect_bucket",
+      "Aspect-ratio bucketing over the (stub-)decoded image metadata — " +
+        "the batching prep every resolution-aware vision/diffusion " +
+        "trainer runs: images group into the nearest of five canonical " +
+        "aspect buckets (each with a fixed target resolution) so a " +
+        "training batch never mixes shapes, and the report measures " +
+        "how much distortion the bucket assignment costs (mean " +
+        "relative aspect error = crop/pad waste). Nearest-bucket " +
+        "assignment is a per-row argmin over a 5-literal ladder in " +
+        "log-aspect space — pure codegen'd scalar math, no shuffle " +
+        "before the 5-row aggregation; a real decoder would only " +
+        "replace the width/height stub.",
+      (s, dir) => {
+        val ladder = "array(0.5D, 0.75D, 1.0D, 4.0D/3.0D, 2.0D)"
+        val tw = Seq(512, 640, 768, 896, 1024)
+        val th = Seq(1024, 853, 768, 672, 512)
+        val m = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), length(col("text").cast("binary")).as("len"))
+          .select(col("doc_id"),
+            (lit(64) + col("len") % 577).as("w"),
+            (lit(64) + (col("len") * 31) % 353).as("h"))
+          .withColumn("aspect", col("w").cast("double") / col("h"))
+          .withColumn("idx", expr(
+            s"CAST(array_position(transform($ladder, b -> abs(ln(aspect) - ln(b))), " +
+              s"array_min(transform($ladder, b -> abs(ln(aspect) - ln(b))))) AS INT)"))
+          .withColumn("bucket_aspect", expr(s"element_at($ladder, idx)"))
+        m.groupBy("idx", "bucket_aspect")
+          .agg(count(lit(1)).as("n_images"),
+            round(avg(col("aspect")), 3).as("mean_aspect"),
+            round(avg(abs(col("aspect") - col("bucket_aspect")) / col("bucket_aspect")), 3)
+              .as("mean_waste"))
+          .select(col("idx").as("bucket"),
+            round(col("bucket_aspect"), 4).as("bucket_aspect"),
+            element_at(typedlit(tw), col("idx")).as("target_w"),
+            element_at(typedlit(th), col("idx")).as("target_h"),
+            col("n_images"), col("mean_aspect"), col("mean_waste"))
+          .orderBy("bucket")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+            64 + strlen(text) % 577 AS w,
+            64 + (strlen(text) * 31) % 353 AS h
+          FROM documents),
+        a AS (SELECT doc_id, CAST(w AS DOUBLE) / h AS aspect FROM m),
+        lad AS (SELECT [0.5, 0.75, 1.0, 4.0/3.0, 2.0] AS ladder,
+          [512, 640, 768, 896, 1024] AS tw, [1024, 853, 768, 672, 512] AS th),
+        assigned AS (SELECT doc_id, aspect,
+            CAST(list_position(
+              list_transform(ladder, b -> abs(ln(aspect) - ln(b))),
+              list_min(list_transform(ladder, b -> abs(ln(aspect) - ln(b)))))
+              AS INT) AS idx,
+            ladder, tw, th
+          FROM a CROSS JOIN lad)
+        SELECT idx AS bucket,
+          round(ladder[idx], 4) AS bucket_aspect,
+          CAST(tw[idx] AS INT) AS target_w, CAST(th[idx] AS INT) AS target_h,
+          count(*) AS n_images,
+          round(avg(aspect), 3) AS mean_aspect,
+          round(avg(abs(aspect - ladder[idx]) / ladder[idx]), 3) AS mean_waste
+        FROM assigned
+        GROUP BY idx, ladder[idx], tw[idx], th[idx]
+        ORDER BY bucket""")),
+
+    Q(
+      "mm_modality_mix",
+      "Modality/codec mix report over the (stub-)decoded corpus: per " +
+        "source, how many items decode as single-frame images vs " +
+        "multi-frame video, under which codec, carrying how many " +
+        "payload bytes and what share of the source's storage — the " +
+        "capacity-planning breakdown a multimodal data platform " +
+        "publishes per ingest source. One scan, exact integer " +
+        "byte/count aggregation, the per-source totals ride a second " +
+        "tiny aggregation joined back (map-side combinable " +
+        "throughout); only the stub decode separates this from the " +
+        "production job.",
+      (s, dir) => {
+        val m = Tables.t(s, dir, "documents")
+          .select(col("source"), length(col("text").cast("binary")).as("len"))
+          .select(col("source"), col("len"),
+            when(col("len") % 25 === 0, lit("image")).otherwise(lit("video")).as("modality"),
+            when(col("len") % 2 === 0, lit("fake/rgb")).otherwise(lit("fake/yuv")).as("codec"))
+        val cells = m.groupBy("source", "modality", "codec")
+          .agg(count(lit(1)).as("n_items"), sum(col("len").cast("long")).as("bytes"))
+        val tots = cells.groupBy("source").agg(sum(col("bytes")).as("tb"))
+        cells.join(tots, Seq("source"))
+          .select(col("source"), col("modality"), col("codec"),
+            col("n_items"), col("bytes"),
+            round(col("bytes").cast("double") / col("tb"), 4).as("byte_share"))
+          .orderBy("source", "modality", "codec")
+      },
+      Some("""WITH m AS (SELECT source, strlen(text) AS len,
+            CASE WHEN strlen(text) % 25 = 0 THEN 'image' ELSE 'video' END
+              AS modality,
+            CASE WHEN strlen(text) % 2 = 0 THEN 'fake/rgb' ELSE 'fake/yuv' END
+              AS codec
+          FROM documents),
+        cells AS (SELECT source, modality, codec, count(*) AS n_items,
+            CAST(sum(len) AS BIGINT) AS bytes
+          FROM m GROUP BY 1, 2, 3),
+        tots AS (SELECT source, CAST(sum(bytes) AS BIGINT) AS tb
+          FROM cells GROUP BY 1)
+        SELECT source, modality, codec, n_items, bytes,
+          round(CAST(bytes AS DOUBLE) / tb, 4) AS byte_share
+        FROM cells JOIN tots USING (source)
+        ORDER BY source, modality, codec"""))
   )
 }
