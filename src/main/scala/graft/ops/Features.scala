@@ -846,6 +846,99 @@ object Features {
         SELECT lam,
           round(-0.5 * ln(varz) + (lam - 1) * ssl / n, 4) AS ll_per_row,
           round(varz, 4) AS var_z
-        FROM v ORDER BY lam"""))
+        FROM v ORDER BY lam""")),
+
+    Q(
+      "sketch_hll_portable",
+      "HyperLogLog on the engine-portable md5 hash, fully " +
+        "oracle-replayed: 64 registers, bucket = low 6 hash bits, " +
+        "register = leading-zero rank of the remaining 26 bits via a " +
+        "generated exact-integer threshold CASE (no float log2 — both " +
+        "engines run the identical comparison ladder), the standard " +
+        "alpha·m²/Σ2^(−M) estimator with the linear-counting " +
+        "small-range correction. The deterministic correctness " +
+        "witness beside the native HLL++ of agg_approx_distinct / " +
+        "agg_hll_sketch (rows-only there — randomized sketch " +
+        "internals), completing the sketch-witness family " +
+        "(bloom/count-min/KMV): register state is 64 small ints no " +
+        "matter the corpus, mergeable by max.",
+      (s, dir) => {
+        val m = 64
+        // exact leading-zero rank of the 26-bit remainder: rho = 1 for a
+        // set top bit, …, 27 for an all-zero remainder
+        val rhoCase = "CASE " + (1 to 26).map(r =>
+          s"WHEN rem >= ${1L << (26 - r)} THEN $r").mkString(" ") +
+          " ELSE 27 END"
+        val hashes = Tables.t(s, dir, "events")
+          .select(col("user_id")).distinct()
+          .select(graft.ops.PortableHash.hexHash(
+            concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+          .distinct()
+          .select((col("h") % m).as("bucket"),
+            ((col("h") - col("h") % m) / m).cast("long").as("rem"))
+          .select(col("bucket"), expr(rhoCase).as("rho"))
+        val regs = s.range(0, m).select(col("id").as("bucket"))
+          .join(hashes.groupBy("bucket").agg(max(col("rho")).as("mr")),
+            Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("mr"), lit(0)).as("reg"))
+        val est = regs.agg(
+            Stats.sfold(pow(lit(2.0), -col("reg"))).as("z"),
+            sum((col("reg") === 0).cast("long")).as("v"))
+          .select(
+            ((lit(0.7213) / (lit(1.0) + lit(1.079) / m)) * m * m / col("z")).as("raw"),
+            col("v"))
+          .select(col("raw"), col("v"),
+            when(col("raw") <= 2.5 * m && col("v") > 0,
+              lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+              .otherwise(col("raw")).as("est"))
+        val exact = Tables.t(s, dir, "events")
+          .agg(count_distinct(col("user_id")).as("exact_users"))
+        est.crossJoin(broadcast(exact))
+          .select(lit(m).as("m"), col("v").as("n_zero_regs"),
+            round(col("raw"), 2).as("raw_est"),
+            round(col("est"), 2).as("est_users"), col("exact_users"),
+            round(abs(col("est") - col("exact_users")) / col("exact_users")
+              * 100, 2).as("err_pct"))
+          .orderBy("m")
+      },
+      Some {
+        val m = 64
+        val rhoCase = "CASE " + (1 to 26).map(r =>
+          s"WHEN rem >= ${1L << (26 - r)} THEN $r").mkString(" ") +
+          " ELSE 27 END"
+        s"""WITH hashes AS (
+            SELECT DISTINCT ${PortableHash.hexHashSql("'hll:' || CAST(user_id AS VARCHAR)")} AS h
+            FROM (SELECT DISTINCT user_id FROM events)),
+          parts AS (SELECT h % $m AS bucket,
+              CAST((h - h % $m) // $m AS BIGINT) AS rem
+            FROM hashes),
+          rho AS (SELECT bucket, $rhoCase AS rho FROM parts),
+          regs AS (SELECT b.bucket,
+              CAST(coalesce(max(r.rho), 0) AS INT) AS reg
+            FROM (SELECT unnest(range(0, $m)) AS bucket) b
+            LEFT JOIN rho r ON r.bucket = b.bucket
+            GROUP BY b.bucket),
+          est0 AS (SELECT
+              list_reduce(list_sort(list(pow(2.0, -reg))), (x, y) -> x + y)
+                AS z,
+              CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+            FROM regs),
+          est1 AS (SELECT
+              (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / $m))
+                * $m * $m / z AS raw, v
+            FROM est0),
+          est AS (SELECT raw, v,
+              CASE WHEN raw <= 2.5 * $m AND v > 0
+                THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / v)
+                ELSE raw END AS est
+            FROM est1),
+          ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+              AS exact_users FROM events)
+          SELECT CAST($m AS INT) AS m, v AS n_zero_regs,
+            round(raw, 2) AS raw_est, round(est, 2) AS est_users,
+            exact_users,
+            round(abs(est - exact_users) / exact_users * 100, 2) AS err_pct
+          FROM est CROSS JOIN ex ORDER BY m"""
+      })
   )
 }

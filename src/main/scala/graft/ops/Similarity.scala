@@ -1238,8 +1238,84 @@ object Similarity {
         SELECT qid, count(*) AS n_scored,
           CAST(sum(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_within
-        FROM sc GROUP BY qid ORDER BY qid"""))
+        FROM sc GROUP BY qid ORDER BY qid""")),
+
+    Q(
+      "sim_kcenter_coreset",
+      s"Greedy farthest-first k-center coreset (k=$KcK) over the " +
+        "embedding corpus — the diversity-selection primitive behind " +
+        "coreset distillation and eval-set curation: start from the " +
+        "lowest-id vector, then repeatedly admit the point FARTHEST " +
+        "(max-min cosine distance) from everything selected so far. " +
+        "Each round is one broadcast of the last center + a codegen'd " +
+        "running-min update + a 1-row TakeOrdered argmax — O(k·N) " +
+        "total with no pairwise materialization, the classic 2-approx " +
+        "of the optimal k-center cover. sel_dist is the coverage " +
+        "radius at admission (non-increasing by the greedy invariant, " +
+        "pinned in Round11Spec); the oracle unrolls the identical " +
+        "trajectory as MATERIALIZED CTE pairs.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        var cur = e.orderBy("vec_id").limit(1)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            lit(null).cast("double").as("rad"))
+        var selected = cur.select(col("cid"), lit(1).as("step"), col("rad"))
+        var state = e.crossJoin(broadcast(cur.select(col("ce"))))
+          .select(col("vec_id"), col("embedding"),
+            (lit(1.0) - VectorOps.cosine(col("embedding"), col("ce"))).as("mind"))
+          .transform(Skew.cut)
+        for (i <- 2 to KcK) {
+          val nc = state.orderBy(col("mind").desc, col("vec_id")).limit(1)
+            .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+              col("mind").as("rad"))
+          selected = selected.union(nc.select(col("cid"), lit(i).as("step"), col("rad")))
+          state = state.crossJoin(broadcast(nc.select(col("ce"))))
+            .select(col("vec_id"), col("embedding"),
+              least(col("mind"),
+                lit(1.0) - VectorOps.cosine(col("embedding"), col("ce"))).as("mind"))
+            .transform(Skew.cut)
+        }
+        selected
+          .select(col("step"), col("cid").as("vec_id"),
+            round(col("rad"), 6).as("sel_dist"))
+          .orderBy("step")
+      },
+      Some(kcenterSql))
   )
+
+  private val KcK = 8
+
+  /** Unrolled greedy k-center oracle for [[sim_kcenter_coreset]]: one
+    * (center, minds) MATERIALIZED CTE pair per round — the identical
+    * argmax/update trajectory, same fold-order cosine. */
+  private def kcenterSql: String = {
+    val cos = VectorOps.duckCosine("m.embedding", "c.ce")
+    val cos0 = VectorOps.duckCosine("e.embedding", "c.ce")
+    val steps = (2 to KcK).map { i =>
+      val prev = s"m${i - 1}"
+      s"""c$i AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce,
+          mind AS rad
+        FROM $prev ORDER BY mind DESC, vec_id LIMIT 1),
+      m$i AS MATERIALIZED (SELECT m.vec_id, m.embedding,
+          least(m.mind, 1.0 - $cos) AS mind
+        FROM $prev m CROSS JOIN c$i c)"""
+    }.mkString(",\n")
+    val rows = (2 to KcK).map { i =>
+      s"UNION ALL SELECT $i, cid, round(rad, 6) FROM c$i"
+    }.mkString("\n")
+    s"""WITH c1 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce,
+          CAST(NULL AS DOUBLE) AS rad
+        FROM embeddings ORDER BY vec_id LIMIT 1),
+      m1 AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+          1.0 - $cos0 AS mind
+        FROM embeddings e CROSS JOIN c1 c),
+      $steps
+      SELECT CAST(1 AS INT) AS step, cid AS vec_id,
+        round(rad, 6) AS sel_dist FROM c1
+      $rows
+      ORDER BY step"""
+  }
 
   /** Deterministic distance-weighted, bucket-diversified seeding (the
     * one-pass spirit of k-means‖/scalable k-means++): seed 0 is the

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants + conservation laws for the second round-11
+  * operator batch (TPC-H Q7/Q9/Q13/Q17/Q18/Q22 shapes, agreement/
+  * calibration stats, personalized PageRank, spectral + long-memory
+  * time series, portable sketches, preference models, Markov
+  * attribution, multimodal bucketing, VIF/power-transform features,
+  * k-center coreset). The DuckDB oracle checks value equality; these
+  * pin the properties the oracle can't see — bounds, mass
+  * conservation, monotonicity, zero-sum laws. */
+class Round11bSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("cohen's kappa: bounded in [-1,1], po/pe are proper probabilities") {
+    run("stats_cohens_kappa").collect().foreach { r =>
+      assert(r.getAs[Double]("po") >= 0.0 && r.getAs[Double]("po") <= 1.0)
+      assert(r.getAs[Double]("pe") > 0.0 && r.getAs[Double]("pe") <= 1.0)
+      val k = r.getAs[Double]("kappa")
+      assert(k >= -1.0 - 1e-9 && k <= 1.0 + 1e-9)
+    }
+  }
+
+  test("fleiss kappa: bounded, P-bar is a proper probability above 1/2 floor") {
+    val r = run("stats_fleiss_kappa").head()
+    val pb = r.getAs[Double]("p_bar")
+    // with 3 raters, per-item agreement is at least 1/3 (two must agree)
+    assert(pb >= 1.0 / 3.0 - 1e-9 && pb <= 1.0)
+    val k = r.getAs[Double]("kappa")
+    assert(k >= -1.0 - 1e-9 && k <= 1.0 + 1e-9)
+  }
+
+  test("calibration: ECE is the count-weighted mean gap, all bounded") {
+    val rows = run("stats_calibration_ece").collect()
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val manual = rows.map(r =>
+      r.getAs[Long]("n_docs") * math.abs(
+        r.getAs[Double]("acc") - r.getAs[Double]("conf"))).sum / n
+    val ece = rows.head.getAs[Double]("ece")
+    assert(math.abs(ece - manual) < 1e-3, s"ece=$ece manual=$manual")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("acc") >= 0.0 && r.getAs[Double]("acc") <= 1.0)
+      assert(r.getAs[Double]("gap") >= -1e-9)
+    }
+  }
+
+  test("customer distribution (Q13): histogram covers every customer exactly once") {
+    val total = run("sql_customer_distribution")
+      .agg(sum("custdist")).head().getLong(0)
+    val nCust = Tables.t(spark, sfDir, "customer").count()
+    assert(total == nCust, s"histogram mass $total != customers $nCust")
+  }
+
+  test("large orders (Q18): every row exceeds the HAVING threshold") {
+    run("sql_large_orders").collect().foreach { r =>
+      assert(r.getAs[Long]("total_qty") > 150)
+    }
+  }
+
+  test("volume shipping (Q7): only the two nations appear, both directions") {
+    val rows = run("sql_volume_shipping").collect()
+    val nations = rows.map(r => (r.getAs[String]("supp_nation"),
+      r.getAs[String]("cust_nation"))).toSet
+    assert(nations.subsetOf(Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))))
+    rows.foreach(r => assert(r.getAs[Double]("revenue") > 0.0))
+  }
+
+  test("personalized pagerank: probability mass conserved, seeds hold teleport floor") {
+    val rows = run("graph_ppr").collect()
+    val total = rows.map(_.getAs[Double]("ppr")).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"mass=$total")
+    val seedMin = rows.filter(_.getAs[Int]("is_seed") == 1)
+      .map(_.getAs[Double]("ppr")).min
+    val nSeeds = rows.count(_.getAs[Int]("is_seed") == 1)
+    // every seed keeps at least the undamped teleport share
+    assert(seedMin >= (1.0 - 0.85) / nSeeds - 1e-9)
+  }
+
+  test("periodogram: power non-negative, variance fractions bounded") {
+    run("ts_periodogram").collect().foreach { r =>
+      assert(r.getAs[Double]("power") >= -1e-9)
+      val vf = r.getAs[Double]("var_frac")
+      // harmonics over a gapped calendar index are not orthogonal, so a
+      // single harmonic's share can exceed 1 on a short series — bound
+      // loosely, the oracle pins the exact values
+      assert(vf >= -1e-9 && vf <= 5.0, s"var_frac=$vf")
+    }
+  }
+
+  test("hurst: all four block sizes present, estimate finite, blocks shrink with width") {
+    val rows = run("ts_hurst").collect().sortBy(_.getAs[Int]("w"))
+    assert(rows.map(_.getAs[Int]("w")).toSeq == Seq(8, 16, 32, 64))
+    val h = rows.head.getAs[Double]("hurst")
+    assert(!h.isNaN && h > -1.0 && h < 2.0, s"hurst=$h")
+    val blocks = rows.map(_.getAs[Long]("n_blocks"))
+    assert(blocks.zip(blocks.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getAs[Double]("mean_rs") > 0.0))
+  }
+
+  test("KMV sketch: k caps at 64, saturated sketch estimates within 50%") {
+    val r = run("sketch_kmv").head()
+    val (k, exact) = (r.getAs[Long]("k"), r.getAs[Long]("exact_users"))
+    assert(k == math.min(64L, exact))
+    assert(r.getAs[Double]("est_users") > 0.0)
+    if (k == 64) assert(r.getAs[Double]("err_pct") < 50.0)
+  }
+
+  test("portable HLL: 64 registers, estimate within 40% of exact") {
+    val r = run("sketch_hll_portable").head()
+    assert(r.getAs[Int]("m") == 64)
+    assert(r.getAs[Double]("err_pct") < 40.0,
+      s"err=${r.getAs[Double]("err_pct")}%")
+  }
+
+  test("bradley-terry: strengths positive with mean exactly 1 by renormalization") {
+    val rows = run("pipeline_bradley_terry").collect()
+    rows.foreach(r => assert(r.getAs[Double]("strength") >= 0.0))
+    val mean = rows.map(_.getAs[Double]("strength")).sum / rows.length
+    assert(math.abs(mean - 1.0) < 1e-4, s"mean=$mean")
+  }
+
+  test("elo: zero-sum updates preserve the 1000 mean exactly") {
+    val rows = run("pipeline_elo_sources").collect()
+    val mean = rows.map(_.getAs[Double]("elo")).sum / rows.length
+    // each contest moves winner and loser by exactly +/-d; the mean is
+    // preserved up to float drift across ~10^3 sequential updates
+    assert(math.abs(mean - 1000.0) < 1e-3, s"mean=$mean")
+    assert(rows.length == 20)
+  }
+
+  test("markov attribution: absorption probs are probabilities, shares sum to 1") {
+    val rows = run("analytics_markov_attribution").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("conv_base") >= 0.0 && r.getAs[Double]("conv_base") <= 1.0)
+      assert(r.getAs[Double]("conv_removed") >= 0.0 &&
+        r.getAs[Double]("conv_removed") <= 1.0)
+    }
+    val shares = rows.map(_.getAs[Double]("attribution_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"share sum=$shares")
+  }
+
+  test("VIF: at least 1 by construction, R2 below 1") {
+    run("feat_vif").collect().foreach { r =>
+      assert(r.getAs[Double]("vif") >= 1.0 - 1e-6)
+      assert(r.getAs[Double]("r2") < 1.0)
+    }
+  }
+
+  test("yeo-johnson: 7 grid points, transformed variance positive, identity at lambda=1") {
+    val rows = run("feat_yeo_johnson").collect()
+    assert(rows.length == 7)
+    rows.foreach(r => assert(r.getAs[Double]("var_z") > 0.0))
+    // lambda=1 is the identity shift: var_z must equal the raw variance
+    // of x (scaled balances), a sanity anchor the other grid points
+    // move away from
+    val raw = Tables.t(spark, sfDir, "customer")
+      .select((col("c_acctbal") / 1000.0).as("x"))
+      .agg(round(var_pop(col("x")), 4)).head().getDouble(0)
+    val v1 = rows.find(_.getAs[Double]("lam") == 1.0).get.getAs[Double]("var_z")
+    assert(math.abs(v1 - raw) < 1e-3, s"var at lam=1 $v1 vs raw $raw")
+  }
+
+  test("k-center coreset: greedy radius non-increasing, centers distinct") {
+    val rows = run("sim_kcenter_coreset").collect().sortBy(_.getAs[Int]("step"))
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 8)
+    val dists = rows.tail.map(_.getAs[Double]("sel_dist"))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"greedy radii not monotone: ${dists.mkString(",")}")
+  }
+
+  test("aspect buckets: partition the corpus, waste non-negative") {
+    val rows = run("mm_aspect_bucket").collect()
+    val n = rows.map(_.getAs[Long]("n_images")).sum
+    val nDocs = Tables.t(spark, sfDir, "documents").count()
+    assert(n == nDocs, s"bucketed $n != docs $nDocs")
+    rows.foreach(r => assert(r.getAs[Double]("mean_waste") >= 0.0))
+  }
+
+  test("modality mix: byte shares sum to 1 per source") {
+    run("mm_modality_mix").collect()
+      .groupBy(_.getAs[String]("source"))
+      .foreach { case (src, rs) =>
+        val tot = rs.map(_.getAs[Double]("byte_share")).sum
+        assert(math.abs(tot - 1.0) < 0.01, s"$src share sum=$tot")
+      }
+  }
+}
