@@ -791,6 +791,199 @@ object SqlApi {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= DATE '1999-01-01')
         GROUP BY CAST(c_nationkey % 5 AS INT)
-        ORDER BY cntry_grp"""))
+        ORDER BY cntry_grp""")),
+
+    Q(
+      "sql_priority_waiting",
+      "TPC-H Q4 shape (order-priority checking): orders in a date " +
+        "bracket counted per priority when EXISTS a lineitem shipped " +
+        "more than 60 days after the order date (the fixtures carry " +
+        "no commit date — ship lateness stands in). The Q4 plan " +
+        "stress: a correlated EXISTS whose predicate references BOTH " +
+        "tables' columns, decorrelated into one LeftSemi with a " +
+        "non-equi residual; the date bracket pushes to the orders " +
+        "scan.",
+      (s, dir) => withViews(s, dir, "orders", "lineitem")(
+        """SELECT o_orderpriority, count(*) AS order_count
+           FROM orders
+           WHERE o_orderdate >= DATE '1996-01-01'
+             AND o_orderdate < DATE '1997-01-01'
+             AND EXISTS (SELECT 1 FROM lineitem
+               WHERE l_orderkey = o_orderkey
+                 AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority"""),
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    Q(
+      "sql_forecast_revenue",
+      "TPC-H Q6 (forecasting revenue change): the pure scan-filter-" +
+        "aggregate — one year of shipments in a discount band below a " +
+        "quantity ceiling, summing price×discount in exact cents. The " +
+        "plan-audit floor: every predicate must reach PushedFilters " +
+        "on the parquet scan, the aggregate is map-side combinable, " +
+        "and nothing shuffles but one 1-row partial-merge.",
+      (s, dir) => withViews(s, dir, "lineitem")(
+        """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount
+               * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS revenue_delta,
+             count(*) AS n_lines
+           FROM lineitem
+           WHERE l_shipdate >= DATE '1996-01-01'
+             AND l_shipdate < DATE '1997-01-01'
+             AND l_discount BETWEEN 0.05 AND 0.07
+             AND l_quantity < 24"""),
+      Some("""SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount
+            * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS revenue_delta,
+          count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")),
+
+    Q(
+      "sql_returned_items",
+      "TPC-H Q10 (returned-item reporting): top-20 customers by " +
+        "revenue lost to returns in a half-year window — the 4-way " +
+        "join with a HIGH-cardinality grouping key (customer, not " +
+        "nation), so the aggregation shuffle carries real width and " +
+        "the top-k must ride TakeOrderedAndProject above it. Nation " +
+        "broadcasts; revenue in exact cents.",
+      (s, dir) => withViews(s, dir,
+        "customer", "orders", "lineitem", "nation")(
+        """SELECT c_custkey, c_name,
+             round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+               * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS revenue,
+             n_name
+           FROM customer
+           JOIN orders   ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN nation   ON c_nationkey = n_nationkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= DATE '1996-01-01'
+             AND o_orderdate < DATE '1996-07-01'
+           GROUP BY c_custkey, c_name, n_name
+           ORDER BY revenue DESC, c_custkey
+           LIMIT 20"""),
+      Some("""SELECT c_custkey, c_name,
+          round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+            * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS revenue,
+          n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-07-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")),
+
+    Q(
+      "sql_shipping_delay_profile",
+      "TPC-H Q12 shape (shipping-mode priority profile): per line " +
+        "status (standing in for ship mode — the fixtures carry " +
+        "none), how many severely-late lines (shipped >30 days after " +
+        "order) belong to high- vs low-priority orders — the " +
+        "conditional-aggregation-after-join shape with a non-equi " +
+        "date residual on the join output.",
+      (s, dir) => withViews(s, dir, "orders", "lineitem")(
+        """SELECT l_linestatus,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+           FROM orders
+           JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+           GROUP BY l_linestatus
+           ORDER BY l_linestatus"""),
+      Some("""SELECT l_linestatus,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")),
+
+    Q(
+      "sql_promo_revenue",
+      "TPC-H Q14 (promotion effect): the share of one month's " +
+        "revenue that came from promo-type parts — a conditional " +
+        "numerator over the same aggregated rows as the denominator, " +
+        "in ONE pass (never two scans). Both sums are exact-cent " +
+        "BIGINTs; the percentage is a single float division at the " +
+        "end.",
+      (s, dir) => withViews(s, dir, "lineitem", "part")(
+        """SELECT round(CAST(100.0 AS DOUBLE)
+               * CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+                 AS BIGINT)
+               / CAST(sum(cents) AS BIGINT), 4) AS promo_revenue_pct,
+             count(*) AS n_lines
+           FROM (SELECT p_type,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT) AS cents
+             FROM lineitem JOIN part ON p_partkey = l_partkey
+             WHERE l_shipdate >= DATE '1996-09-01'
+               AND l_shipdate < DATE '1996-10-01')"""),
+      Some("""SELECT round(CAST(100.0 AS DOUBLE)
+            * CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+              AS BIGINT)
+            / CAST(sum(cents) AS BIGINT), 4) AS promo_revenue_pct,
+          count(*) AS n_lines
+        FROM (SELECT p_type,
+            CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT) AS cents
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE l_shipdate >= DATE '1996-09-01'
+            AND l_shipdate < DATE '1996-10-01')""")),
+
+    Q(
+      "sql_top_supplier",
+      "TPC-H Q15 (top supplier): the supplier(s) whose quarterly " +
+        "revenue equals the global maximum — the view + uncorrelated " +
+        "MAX-subquery shape where the same derived aggregate is " +
+        "consumed twice (join input and scalar filter); Catalyst " +
+        "reuses the exchange instead of recomputing the view. Ties " +
+        "keep every maximal supplier, deterministic under the key " +
+        "ORDER BY; revenue in exact cents so the max-equality is " +
+        "engine-portable.",
+      (s, dir) => withViews(s, dir, "lineitem", "supplier")(
+        """WITH rev AS (
+             SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                 * 100) AS BIGINT)) AS BIGINT) AS total_c
+             FROM lineitem
+             WHERE l_shipdate >= DATE '1996-01-01'
+               AND l_shipdate < DATE '1996-04-01'
+             GROUP BY l_suppkey)
+           SELECT s_suppkey, s_name, round(total_c / 1e2, 2) AS total_revenue
+           FROM supplier JOIN rev ON s_suppkey = supplier_no
+           WHERE total_c = (SELECT max(total_c) FROM rev)
+           ORDER BY s_suppkey"""),
+      Some("""WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+              * 100) AS BIGINT)) AS BIGINT) AS total_c
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, round(total_c / 1e2, 2) AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = supplier_no
+        WHERE total_c = (SELECT max(total_c) FROM rev)
+        ORDER BY s_suppkey"""))
   )
 }

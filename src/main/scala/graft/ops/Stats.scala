@@ -5965,6 +5965,134 @@ object Stats {
               AS hurst
           FROM perw)
         SELECT w, n_blocks, round(mean_rs, 4) AS mean_rs, hurst
-        FROM perw CROSS JOIN fit ORDER BY w"""))
+        FROM perw CROSS JOIN fit ORDER BY w""")),
+
+    Q(
+      "stats_hodges_lehmann",
+      "Hodges–Lehmann shift estimator between the view and click " +
+        "daily-count series: the median of all cross-pair differences " +
+        "— the robust location-shift measure behind the Mann-Whitney " +
+        "test (stats_mann_whitney reports the rank p-value; this " +
+        "reports the SIZE of the shift, which the test alone can't). " +
+        "Both inputs aggregate to calendar-bounded daily rows before " +
+        "the |days|² pair fan-out, differences are exact integers, " +
+        "and the median reads two positions of one sorted array — " +
+        "no float accumulation anywhere.",
+      (s, dir) => {
+        def daily(t: String) = Tables.t(s, dir, "events")
+          .filter(col("event_type") === t)
+          .groupBy(to_date(col("ts").cast("timestamp")).as("d"))
+          .agg(count(lit(1)).as("y"))
+        val x = daily("view").select(col("y").as("x"))
+        val yv = daily("click").select(col("y").as("y"))
+        val diffs = x.crossJoin(yv).select((col("x") - col("y")).as("diff"))
+        diffs.agg(count(lit(1)).as("n_pairs"),
+            sort_array(collect_list(col("diff"))).as("sd"),
+            sum(col("diff")).as("sdiff"))
+          .select(col("n_pairs"),
+            (when(col("n_pairs") % 2 === 1,
+              element_at(col("sd"), ((col("n_pairs") + 1) / 2).cast("int"))
+                .cast("double"))
+              .otherwise((element_at(col("sd"), (col("n_pairs") / 2).cast("int")) +
+                element_at(col("sd"), (col("n_pairs") / 2 + 1).cast("int")))
+                .cast("double") / 2.0)).as("hl_shift"),
+            round(col("sdiff").cast("double") / col("n_pairs"), 4)
+              .as("mean_shift"))
+          .orderBy("n_pairs")
+      },
+      Some("""WITH dv AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+            count(*) AS y
+          FROM events WHERE event_type = 'view' GROUP BY 1),
+        dc AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+            count(*) AS y
+          FROM events WHERE event_type = 'click' GROUP BY 1),
+        diffs AS (SELECT CAST(a.y - b.y AS BIGINT) AS diff
+          FROM dv a CROSS JOIN dc b),
+        agg AS (SELECT count(*) AS n_pairs,
+            list_sort(list(diff)) AS sd,
+            CAST(sum(diff) AS BIGINT) AS sdiff
+          FROM diffs)
+        SELECT n_pairs,
+          CASE WHEN n_pairs % 2 = 1
+            THEN CAST(sd[CAST((n_pairs + 1) // 2 AS INT)] AS DOUBLE)
+            ELSE CAST(sd[CAST(n_pairs // 2 AS INT)]
+              + sd[CAST(n_pairs // 2 + 1 AS INT)] AS DOUBLE) / 2.0 END
+            AS hl_shift,
+          round(CAST(sdiff AS DOUBLE) / n_pairs, 4) AS mean_shift
+        FROM agg ORDER BY n_pairs""")),
+
+    Q(
+      "stats_durbin_watson",
+      "Durbin–Watson serial-correlation statistic on the residuals of " +
+        "each event type's daily linear trend — the autocorrelated-" +
+        "errors diagnostic that tells a forecaster whether an OLS " +
+        "trend's standard errors can be believed (DW≈2 independent, " +
+        "→0 positive, →4 negative serial correlation). The trend fit " +
+        "is closed-form from exact integer moments; residual terms " +
+        "ride sorted folds over the calendar-bounded daily rows; the " +
+        "lag difference runs in one ordered window per type.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts").cast("timestamp")).as("d"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("t", datediff(col("d"), lit("2024-01-01").cast("date")))
+        val fit = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("t").cast("long")).as("sx"),
+            sum(col("y")).as("sy"), sum((col("t") * col("t")).cast("long")).as("sxx"),
+            sum((col("t") * col("y")).cast("long")).as("sxy"))
+          .select(col("event_type"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+            col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"))
+          .select(col("event_type"), col("slope"),
+            ((col("sy").cast("double") - col("slope") * col("sx")) / col("n"))
+              .as("icept"))
+        val resid = daily.join(fit, "event_type")
+          .select(col("event_type"), col("t"),
+            (col("y") - (col("icept") + col("slope") * col("t"))).as("e"))
+        val lagged = resid.withColumn("ep",
+          lag(col("e"), 1).over(Window.partitionBy("event_type").orderBy("t")))
+        lagged.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sfold(when(col("ep").isNotNull,
+              (col("e") - col("ep")) * (col("e") - col("ep"))).otherwise(lit(0.0)))
+              .as("num"),
+            sfold(col("e") * col("e")).as("den"))
+          .select(col("event_type"), col("n_days"),
+            round(col("num") / col("den"), 4).as("dw"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, count(*) AS y
+          FROM events GROUP BY 1, 2),
+        td AS (SELECT event_type,
+            CAST(date_diff('day', DATE '2024-01-01', d) AS INT) AS t, y
+          FROM daily),
+        fit0 AS (SELECT event_type, count(*) AS n,
+            CAST(sum(t) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(t * t) AS BIGINT) AS sxx,
+            CAST(sum(t * y) AS BIGINT) AS sxy
+          FROM td GROUP BY 1),
+        fit AS (SELECT event_type,
+            CAST(n * sxy - sx * sy AS DOUBLE)
+              / (n * sxx - sx * sx) AS slope,
+            n, sx, sy
+          FROM fit0),
+        f2 AS (SELECT event_type, slope,
+            (CAST(sy AS DOUBLE) - slope * sx) / n AS icept
+          FROM fit),
+        resid AS (SELECT td.event_type, t,
+            y - (icept + slope * t) AS e
+          FROM td JOIN f2 USING (event_type)),
+        lagged AS (SELECT event_type, e,
+            lag(e) OVER (PARTITION BY event_type ORDER BY t) AS ep
+          FROM resid)
+        SELECT event_type, count(*) AS n_days,
+          round(list_reduce(list_sort(list(
+              CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
+                ELSE 0.0 END)), (a, b) -> a + b)
+            / list_reduce(list_sort(list(e * e)), (a, b) -> a + b), 4)
+            AS dw
+        FROM lagged GROUP BY event_type ORDER BY event_type"""))
   )
 }
