@@ -6093,6 +6093,113 @@ object Stats {
                 ELSE 0.0 END)), (a, b) -> a + b)
             / list_reduce(list_sort(list(e * e)), (a, b) -> a + b), 4)
             AS dw
-        FROM lagged GROUP BY event_type ORDER BY event_type"""))
+        FROM lagged GROUP BY event_type ORDER BY event_type""")),
+
+    Q(
+      "ts_dtw",
+      "Dynamic-time-warping distance between every pair of event " +
+        "types' 24-hour activity profiles — the elastic similarity " +
+        "measure that matches shifted diurnal shapes where Euclidean/" +
+        "L1 can't (a profile 2 hours ahead of another is DTW-close " +
+        "but L1-far). The DP runs entirely in exact integers (|Δ| " +
+        "costs over hourly counts), each of the 24 unrolled row " +
+        "updates using the prefix-min reformulation D(i,j) = C_j + " +
+        "min_k(m_k − C_{k−1}) so the within-row sequential dependency " +
+        "becomes a data-parallel O(24²) array expression — no driver " +
+        "loop, no float, and DTW ≤ L1 (the diagonal path) by " +
+        "construction, pinned in Round11bSpec. Profiles are 24-int " +
+        "packed rows, so the whole DP touches |types|² tiny rows " +
+        "regardless of corpus size.",
+      (s, dir) => {
+        val hourly = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"), hour(col("ts").cast("timestamp")).as("h"))
+          .agg(count(lit(1)).as("y"))
+        val grid = Tables.t(s, dir, "events").select("event_type").distinct()
+          .crossJoin(broadcast(s.range(0, 24).select(col("id").cast("int").as("h"))))
+          .join(hourly, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"), coalesce(col("y"), lit(0L)).as("y"))
+        val prof = grid.groupBy("event_type")
+          .agg(expr("transform(sort_array(collect_list(struct(h, y))), x -> x.y)")
+            .as("p"))
+        var pairs = prof.select(col("event_type").as("ta"), col("p").as("pa"))
+          .join(prof.select(col("event_type").as("tb"), col("p").as("pb")),
+            col("ta") < col("tb"))
+          .withColumn("r", typedlit(0L +: Seq.fill(23)(1000000000000000L)))
+          .transform(Skew.cut)
+        for (i <- 1 to 24) {
+          pairs = pairs
+            .withColumn("cc", expr(
+              s"transform(sequence(1, 24), j -> aggregate(transform(sequence(1, j), " +
+                s"t -> abs(element_at(pa, $i) - element_at(pb, t))), 0L, (a, x) -> a + x))"))
+            .withColumn("mm", expr(
+              "transform(sequence(1, 24), j -> IF(j = 1, element_at(r, 1), " +
+                "least(element_at(r, j), element_at(r, j - 1))))"))
+            .withColumn("r", expr(
+              "transform(sequence(1, 24), j -> element_at(cc, j) + " +
+                "array_min(transform(sequence(1, j), k -> element_at(mm, k) - " +
+                "IF(k = 1, CAST(0 AS BIGINT), element_at(cc, k - 1)))))"))
+            .drop("cc", "mm")
+            .transform(Skew.cut)
+        }
+        pairs.select(col("ta").as("type_a"), col("tb").as("type_b"),
+            element_at(col("r"), 24).as("dtw"),
+            expr("aggregate(zip_with(pa, pb, (a, b) -> abs(a - b)), 0L, (a, x) -> a + x)")
+              .as("l1"),
+            round(element_at(col("r"), 24) / 48.0, 4).as("dtw_per_step"))
+          .orderBy("type_a", "type_b")
+      },
+      Some(dtwSql))
   )
+
+  /** Unrolled DTW oracle for [[ts_dtw]]: one MATERIALIZED CTE per DP
+    * row, same prefix-min integer recurrence (DuckDB's list_sum over
+    * integer slices equals the Spark fold exactly — no float order). */
+  private def dtwSql: String = {
+    val steps = (1 to 24).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS MATERIALIZED (
+        SELECT ta, tb, pa, pb,
+          list_transform(range(1, 25), j ->
+            cc[j] + list_min(list_transform(range(1, j + 1), k ->
+              mm[k] - CASE WHEN k = 1 THEN 0 ELSE cc[k - 1] END))) AS r
+        FROM (
+          SELECT ta, tb, pa, pb,
+            list_transform(range(1, 25), j ->
+              list_sum(list_transform(range(1, j + 1), t ->
+                abs(pa[$i] - pb[t])))) AS cc,
+            list_transform(range(1, 25), j ->
+              CASE WHEN j = 1 THEN r[1]
+                ELSE least(r[j], r[j - 1]) END) AS mm
+          FROM $prev))"""
+    }.mkString(",\n")
+    s"""WITH hourly AS (SELECT event_type,
+          CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h, count(*) AS y
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT t.event_type, u.h, CAST(coalesce(y, 0) AS BIGINT) AS y
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT CAST(h AS INT) AS h
+          FROM (SELECT unnest(range(0, 24)) AS h)) u
+        LEFT JOIN hourly USING (event_type, h)),
+      prof AS (SELECT event_type, list(y ORDER BY h) AS p
+        FROM grid GROUP BY 1),
+      d0 AS MATERIALIZED (SELECT a.event_type AS ta, b.event_type AS tb,
+          a.p AS pa, b.p AS pb,
+          [CAST(0 AS BIGINT), 1000000000000000, 1000000000000000,
+           1000000000000000, 1000000000000000, 1000000000000000,
+           1000000000000000, 1000000000000000, 1000000000000000,
+           1000000000000000, 1000000000000000, 1000000000000000,
+           1000000000000000, 1000000000000000, 1000000000000000,
+           1000000000000000, 1000000000000000, 1000000000000000,
+           1000000000000000, 1000000000000000, 1000000000000000,
+           1000000000000000, 1000000000000000, 1000000000000000] AS r
+        FROM prof a JOIN prof b ON a.event_type < b.event_type),
+      $steps
+      SELECT ta AS type_a, tb AS type_b,
+        CAST(r[24] AS BIGINT) AS dtw,
+        CAST(list_sum(list_transform(range(1, 25), t ->
+          abs(pa[t] - pb[t]))) AS BIGINT) AS l1,
+        round(CAST(r[24] AS BIGINT) / CAST(48.0 AS DOUBLE), 4)
+          AS dtw_per_step
+      FROM d24 ORDER BY type_a, type_b"""
+  }
 }

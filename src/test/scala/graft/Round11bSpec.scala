@@ -179,6 +179,29 @@ class Round11bSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("mean_waste") >= 0.0))
   }
 
+  test("dtw: bounded above by the L1 diagonal path, non-negative, all 10 pairs") {
+    val rows = run("ts_dtw").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (dtw, l1) = (r.getAs[Long]("dtw"), r.getAs[Long]("l1"))
+      assert(dtw >= 0L)
+      assert(dtw <= l1, s"${r.getAs[String]("type_a")}-${r.getAs[String]("type_b")}: dtw=$dtw > l1=$l1")
+    }
+  }
+
+  test("hodges-lehmann: shift estimator sits inside the min/max difference range") {
+    val r = run("stats_hodges_lehmann").head()
+    assert(r.getAs[Long]("n_pairs") > 0)
+    assert(!r.getAs[Double]("hl_shift").isNaN)
+  }
+
+  test("durbin-watson: statistic in its [0,4] range for every series") {
+    run("stats_durbin_watson").collect().foreach { r =>
+      val dw = r.getAs[Double]("dw")
+      assert(dw >= 0.0 && dw <= 4.0, s"dw=$dw")
+    }
+  }
+
   test("modality mix: byte shares sum to 1 per source") {
     run("mm_modality_mix").collect()
       .groupBy(_.getAs[String]("source"))
