@@ -6148,7 +6148,240 @@ object Stats {
             round(element_at(col("r"), 24) / 48.0, 4).as("dtw_per_step"))
           .orderBy("type_a", "type_b")
       },
-      Some(dtwSql))
+      Some(dtwSql)),
+
+    Q(
+      "ts_changepoint_binseg",
+      "Binary-segmentation changepoint detection (depth 2) on the " +
+        "daily event-count series: find the split minimizing total " +
+        "within-segment SSE, then re-split each half — the top-down " +
+        "complement to ts_cusum_changepoint's single-shift statistic, " +
+        "recovering up to three level/shift breaks. The series packs " +
+        "into ONE calendar-bounded array row; integer prefix sums " +
+        "make every candidate's SSE a closed-form expression, so the " +
+        "whole search is O(n²) array math with no window, no " +
+        "iteration, and no float accumulation (SSE = S2 − S1²/len " +
+        "over exact longs). Ties break to the earliest split in both " +
+        "engines by list_position semantics.",
+      (s, dir) => {
+        // dialect-paired expression fragments (Spark spelling)
+        def sse(a: String, b: String): String =
+          s"((element_at(p2, CAST($b AS INT)) - IF(($a) = 0, 0L, element_at(p2, CAST($a AS INT)))) - " +
+            s"CAST((element_at(p1, CAST($b AS INT)) - IF(($a) = 0, 0L, element_at(p1, CAST($a AS INT)))) AS DOUBLE) * " +
+            s"(element_at(p1, CAST($b AS INT)) - IF(($a) = 0, 0L, element_at(p1, CAST($a AS INT)))) / (($b) - ($a)))"
+        def costs(a: String, b: String): String =
+          s"transform(sequence(($a) + 1, ($b) - 1), s -> ${sse(a, "s")} + ${sse("s", b)})"
+        def split(a: String, b: String): String =
+          s"($a) + array_position(${costs(a, b)}, array_min(${costs(a, b)}))"
+        def drop(a: String, b: String): String =
+          s"(${sse(a, b)} - array_min(${costs(a, b)}))"
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(to_date(col("ts").cast("timestamp")).as("d"))
+          .agg(count(lit(1)).as("y"))
+        val packed = daily
+          .agg(expr("transform(sort_array(collect_list(struct(d, y))), x -> x.y)")
+            .as("ys"))
+          .withColumn("n", size(col("ys")).cast("long"))
+          .withColumn("p1", expr(
+            "transform(sequence(1, CAST(n AS INT)), i -> " +
+              "aggregate(slice(ys, 1, i), 0L, (a, x) -> a + x))"))
+          .withColumn("p2", expr(
+            "transform(sequence(1, CAST(n AS INT)), i -> " +
+              "aggregate(slice(ys, 1, i), 0L, (a, x) -> a + x * x))"))
+          .withColumn("s1", expr(split("0L", "n")))
+          .withColumn("d1", expr(drop("0L", "n")))
+          .withColumn("s2a", expr(s"IF(s1 >= 4, ${split("0L", "s1")}, NULL)"))
+          .withColumn("d2a", expr(s"IF(s1 >= 4, ${drop("0L", "s1")}, NULL)"))
+          .withColumn("s2b", expr(s"IF(n - s1 >= 4, ${split("s1", "n")}, NULL)"))
+          .withColumn("d2b", expr(s"IF(n - s1 >= 4, ${drop("s1", "n")}, NULL)"))
+        packed.select(explode(expr(
+            """filter(array(
+                 struct(1 AS level, 0L AS seg_lo, n AS seg_hi, s1 AS split_t, d1 AS sse_drop),
+                 struct(2 AS level, 0L AS seg_lo, s1 AS seg_hi, s2a AS split_t, d2a AS sse_drop),
+                 struct(2 AS level, s1 AS seg_lo, n AS seg_hi, s2b AS split_t, d2b AS sse_drop)),
+               x -> x.split_t IS NOT NULL)""")).as("c"))
+          .select(col("c.level"), col("c.seg_lo"), col("c.seg_hi"),
+            col("c.split_t"), round(col("c.sse_drop"), 4).as("sse_drop"))
+          .orderBy("level", "seg_lo")
+      },
+      Some {
+        def sse(a: String, b: String): String =
+          s"((p2[CAST($b AS INT)] - CASE WHEN ($a) = 0 THEN 0 ELSE p2[CAST($a AS INT)] END) - " +
+            s"CAST((p1[CAST($b AS INT)] - CASE WHEN ($a) = 0 THEN 0 ELSE p1[CAST($a AS INT)] END) AS DOUBLE) * " +
+            s"(p1[CAST($b AS INT)] - CASE WHEN ($a) = 0 THEN 0 ELSE p1[CAST($a AS INT)] END) / (($b) - ($a)))"
+        def costs(a: String, b: String): String =
+          s"list_transform(range(($a) + 1, $b), s -> ${sse(a, "s")} + ${sse("s", b)})"
+        def split(a: String, b: String): String =
+          s"($a) + list_position(${costs(a, b)}, list_min(${costs(a, b)}))"
+        def drop(a: String, b: String): String =
+          s"(${sse(a, b)} - list_min(${costs(a, b)}))"
+        s"""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+              count(*) AS y
+            FROM events GROUP BY 1),
+          packed AS (SELECT list(y ORDER BY d) AS ys,
+              CAST(count(*) AS BIGINT) AS n
+            FROM daily),
+          pref AS MATERIALIZED (SELECT ys, n,
+              list_transform(range(1, CAST(n + 1 AS BIGINT)), i ->
+                CAST(list_sum(ys[1:CAST(i AS INT)]) AS BIGINT)) AS p1,
+              list_transform(range(1, CAST(n + 1 AS BIGINT)), i ->
+                CAST(list_sum(list_transform(ys[1:CAST(i AS INT)],
+                  x -> x * x)) AS BIGINT)) AS p2
+            FROM packed),
+          lvl AS MATERIALIZED (SELECT n, p1, p2,
+              ${split("0", "n")} AS s1, ${drop("0", "n")} AS d1
+            FROM pref),
+          lvl2 AS MATERIALIZED (SELECT n, s1, d1,
+              CASE WHEN s1 >= 4 THEN ${split("0", "s1")} END AS s2a,
+              CASE WHEN s1 >= 4 THEN ${drop("0", "s1")} END AS d2a,
+              CASE WHEN n - s1 >= 4 THEN ${split("s1", "n")} END AS s2b,
+              CASE WHEN n - s1 >= 4 THEN ${drop("s1", "n")} END AS d2b
+            FROM lvl),
+          rows_ AS (
+            SELECT 1 AS level, CAST(0 AS BIGINT) AS seg_lo, n AS seg_hi,
+              s1 AS split_t, d1 AS sse_drop FROM lvl2
+            UNION ALL
+            SELECT 2, CAST(0 AS BIGINT), s1, s2a, d2a FROM lvl2
+              WHERE s2a IS NOT NULL
+            UNION ALL
+            SELECT 2, s1, n, s2b, d2b FROM lvl2 WHERE s2b IS NOT NULL)
+          SELECT CAST(level AS INT) AS level, seg_lo,
+            CAST(seg_hi AS BIGINT) AS seg_hi,
+            CAST(split_t AS BIGINT) AS split_t,
+            round(sse_drop, 4) AS sse_drop
+          FROM rows_ ORDER BY level, seg_lo"""
+      }),
+
+    Q(
+      "stats_friedman",
+      "Friedman test across the five event types blocked by day — " +
+        "the repeated-measures nonparametric ANOVA that completes " +
+        "the k-sample family (Kruskal–Wallis assumes independent " +
+        "groups; Friedman ranks WITHIN each day, removing the " +
+        "day-level volume effect). Ranks use midrank ties via " +
+        "rank() + (ties−1)/2, every rank is an exact .5-rational, " +
+        "the tie-corrected χ²_F is a closed-form ratio of exact " +
+        "sums, and the p-value rides the Wilson–Hilferty cube-root " +
+        "normal approximation through the shared engine-portable " +
+        "normal-CDF polynomial.",
+      (s, dir) => {
+        val k = 5.0
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(to_date(col("ts").cast("timestamp")).as("d"), col("event_type"))
+          .agg(count(lit(1)).as("y"))
+        val wD = Window.partitionBy("d").orderBy("y")
+        val wT = Window.partitionBy("d", "y")
+        val ranked = daily
+          .withColumn("rk", rank().over(wD) +
+            (count(lit(1)).over(wT) - 1).cast("double") / 2.0)
+        val perType = ranked.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sfold(col("rk")).as("rj"))
+        val blocks = ranked.agg(count(lit(1)).as("nk"),
+          sfold(col("rk") * col("rk")).as("srr"))
+        val stat = perType
+          .crossJoin(broadcast(blocks))
+          .agg(max(col("n")).as("n"), max(col("nk")).as("nk"),
+            max(col("srr")).as("srr"),
+            sfold((col("rj") - col("n") * (k + 1) / 2.0) *
+              (col("rj") - col("n") * (k + 1) / 2.0)).as("sdev"))
+          .select(col("n"),
+            (lit(k - 1) * col("sdev") /
+              (col("srr") - col("n") * k * (k + 1) * (k + 1) / 4.0)).as("chi2"))
+        val d = k - 1
+        stat.select(col("n").as("n_blocks"), round(col("chi2"), 4).as("chi2_f"),
+            round(lit(1.0) - normCdf(
+              (pow(col("chi2") / d, 1.0 / 3.0) - (lit(1.0) - 2.0 / (9 * d))) *
+                sqrt(lit(9 * d / 2.0))), 6).as("p_approx"))
+          .orderBy("n_blocks")
+      },
+      Some(s"""WITH daily AS (SELECT
+            CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type,
+            count(*) AS y
+          FROM events GROUP BY 1, 2),
+        ranked AS (SELECT event_type,
+            rank() OVER (PARTITION BY d ORDER BY y)
+              + CAST(count(*) OVER (PARTITION BY d, y) - 1 AS DOUBLE) / 2.0
+              AS rk
+          FROM daily),
+        pertype AS (SELECT event_type, count(*) AS n,
+            list_reduce(list_sort(list(rk)), (a, b) -> a + b) AS rj
+          FROM ranked GROUP BY 1),
+        blocks AS (SELECT count(*) AS nk,
+            list_reduce(list_sort(list(rk * rk)), (a, b) -> a + b) AS srr
+          FROM ranked),
+        stat AS (SELECT max(n) AS n, max(srr) AS srr,
+            list_reduce(list_sort(list(
+              (rj - n * 6.0 / 2.0) * (rj - n * 6.0 / 2.0))),
+              (a, b) -> a + b) AS sdev
+          FROM pertype CROSS JOIN blocks),
+        s2 AS (SELECT n,
+            4.0 * sdev / (srr - n * 5.0 * 6.0 * 6.0 / 4.0) AS chi2
+          FROM stat)
+        SELECT n AS n_blocks, round(chi2, 4) AS chi2_f,
+          round(1.0 - ${normCdfSql(
+            "(pow(chi2 / 4.0, CAST(1.0 AS DOUBLE) / 3.0) - " +
+              "(1.0 - CAST(2.0 AS DOUBLE) / 36.0)) * sqrt(CAST(18.0 AS DOUBLE))")},
+            6) AS p_approx
+        FROM s2 ORDER BY n_blocks""")),
+
+    Q(
+      "pipeline_reward_normalize",
+      "Group-relative reward normalization (the GRPO/RLOO advantage " +
+        "prep): within each language group, a document's advantage is " +
+        "its reward standardized against the GROUP's mean and std — " +
+        "the per-prompt baseline trick that replaces a learned value " +
+        "model. Rewards are exact integers (char counts), so group " +
+        "mean/std come from one integer-moment aggregation (no float " +
+        "accumulation), and the top/bottom advantage docs per group " +
+        "surface through partitioned rank windows — every piece " +
+        "shuffles on the group key only.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars").as("r"))
+        val g = d.groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+            sum(col("r") * col("r")).as("srr"))
+          .select(col("lang"), col("n"),
+            (col("sr").cast("double") / col("n")).as("mu"),
+            sqrt((col("srr").cast("double") -
+              col("sr").cast("double") * col("sr") / col("n")) / col("n"))
+              .as("sd"))
+        val adv = d.join(g, "lang")
+          .select(col("lang"), col("doc_id"), col("r"), col("n"),
+            ((col("r") - col("mu")) / col("sd")).as("adv"))
+        val wUp = Window.partitionBy("lang").orderBy(col("adv").desc, col("doc_id"))
+        val wDn = Window.partitionBy("lang").orderBy(col("adv").asc, col("doc_id"))
+        adv
+          .withColumn("rb", row_number().over(wUp))
+          .withColumn("rw", row_number().over(wDn))
+          .filter(col("rb") <= 2 || col("rw") <= 2)
+          .select(col("lang"), col("doc_id"), col("r").as("reward"),
+            col("n").as("group_n"), round(col("adv"), 4).as("advantage"),
+            when(col("rb") <= 2, lit("top")).otherwise(lit("bottom")).as("tail"))
+          .orderBy(col("lang"), col("advantage").desc, col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT lang, doc_id, n_chars AS r FROM documents),
+        g AS (SELECT lang, count(*) AS n, CAST(sum(r) AS BIGINT) AS sr,
+            CAST(sum(r * r) AS BIGINT) AS srr
+          FROM d GROUP BY 1),
+        m AS (SELECT lang, n, CAST(sr AS DOUBLE) / n AS mu,
+            sqrt((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n) / n)
+              AS sd
+          FROM g),
+        adv AS (SELECT d.lang, doc_id, r, n,
+            (r - mu) / sd AS adv
+          FROM d JOIN m USING (lang)),
+        rk AS (SELECT lang, doc_id, r, n, adv,
+            row_number() OVER (PARTITION BY lang ORDER BY adv DESC, doc_id)
+              AS rb,
+            row_number() OVER (PARTITION BY lang ORDER BY adv ASC, doc_id)
+              AS rw
+          FROM adv)
+        SELECT lang, doc_id, r AS reward, n AS group_n,
+          round(adv, 4) AS advantage,
+          CASE WHEN rb <= 2 THEN 'top' ELSE 'bottom' END AS tail
+        FROM rk WHERE rb <= 2 OR rw <= 2
+        ORDER BY lang, advantage DESC, doc_id"""))
   )
 
   /** Unrolled DTW oracle for [[ts_dtw]]: one MATERIALIZED CTE per DP

@@ -2466,8 +2466,122 @@ object Text {
           round(h2 - hp, 4) AS h_cond,
           round(pow(2.0, h2 - hp), 2) AS perplexity
         FROM h2 CROSS JOIN hp CROSS JOIN h1
-        ORDER BY h_unigram"""))
+        ORDER BY h_unigram""")),
+
+    Q(
+      "text_textrank_keywords",
+      s"TextRank keyword extraction — PageRank ($TrIterations " +
+        "damped iterations) over the adjacency co-occurrence graph of " +
+        "the frozen top-$TrVocab vocabulary (count-desc, token " +
+        "tie-break — the text_oov_rate trick that bounds the graph at " +
+        "any corpus size): the graph-centrality alternative to the " +
+        "frequency heuristics of text_rake_keywords / " +
+        "text_chi2_keywords, surfacing words that sit on many " +
+        "co-occurrence paths rather than merely occurring often. " +
+        "Edges are adjacent-token pairs with both ends in vocab " +
+        "(weight = pair count, symmetrized); each iteration is one " +
+        "co-partitioned join + per-node sorted fold (≤|vocab| terms, " +
+        "bit-deterministic); the oracle unrolls the identical " +
+        "weighted power iteration. Top-20 by final score.",
+      (s, dir) => {
+        val toks = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val vocab = toks.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("w")).limit(TrVocab)
+          .select("w")
+        val pairsRaw = toks.filter(size(col("ws")) >= 2).select(explode(expr(
+            "transform(sequence(1, size(ws) - 1), i -> " +
+              "struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .filter(col("a") =!= col("b"))
+        val und = pairsRaw
+          .join(broadcast(vocab.select(col("w").as("a"))), Seq("a"), "left_semi")
+          .join(broadcast(vocab.select(col("w").as("b"))), Seq("b"), "left_semi")
+          .select(least(col("a"), col("b")).as("x"),
+            greatest(col("a"), col("b")).as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("wt"))
+        val edges = und.select(col("x").as("src"), col("y").as("dst"), col("wt"))
+          .union(und.select(col("y").as("src"), col("x").as("dst"), col("wt")))
+        val outw = edges.groupBy("src").agg(sum(col("wt")).as("ow"))
+        val norm = edges.join(outw, "src")
+          .select(col("src"), col("dst"), (col("wt").cast("double") / col("ow")).as("p"))
+          .transform(Skew.cut)
+        val nodes = norm.select(col("src").as("word")).distinct()
+          .transform(Skew.cut)
+        val nN = nodes.agg(count(lit(1)).as("nn"))
+        var ranks = nodes.crossJoin(broadcast(nN))
+          .select(col("word"), (lit(1.0) / col("nn")).as("score"))
+        for (_ <- 1 to TrIterations) {
+          val contrib = ranks.join(norm, ranks("word") === norm("src"))
+            .groupBy(col("dst").as("word"))
+            .agg(Stats.sfold(col("score") * col("p")).as("cs"))
+          ranks = nodes.join(contrib, Seq("word"), "left")
+            .crossJoin(broadcast(nN))
+            .select(col("word"),
+              (lit(0.15) / col("nn") +
+                lit(0.85) * coalesce(col("cs"), lit(0.0))).as("score"))
+            .transform(Skew.cut)
+        }
+        ranks.orderBy(col("score").desc, col("word")).limit(20)
+          .select(col("word"), round(col("score"), 6).as("textrank"))
+      },
+      Some(textrankSql))
   )
+
+  private val TrIterations = 5
+  private val TrVocab = 100
+
+  /** Unrolled weighted-PageRank oracle for [[text_textrank_keywords]]:
+    * same frozen vocab, same symmetrized adjacency edges, same damped
+    * iteration with sorted-fold contributions. */
+  private def textrankSql: String = {
+    val steps = (1 to TrIterations).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+        SELECT n.word,
+          CAST(0.15 AS DOUBLE) / (SELECT nn FROM nn)
+            + 0.85 * coalesce(c.cs, 0.0) AS score
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS word,
+            list_reduce(list_sort(list(r.score * e.p)), (x, y) -> x + y)
+              AS cs
+          FROM $prev r JOIN norm e ON e.src = r.word GROUP BY 1) c
+        USING (word))"""
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents),
+      vocab AS MATERIALIZED (SELECT w FROM (
+          SELECT w, row_number() OVER (
+            ORDER BY CAST(sum(c) AS BIGINT) DESC, w) AS rk
+          FROM (SELECT unnest(ws) AS w, 1 AS c FROM toks) GROUP BY w)
+        WHERE rk <= $TrVocab),
+      pairs AS (SELECT u.p.a AS a, u.p.b AS b
+        FROM toks, unnest(list_transform(range(1, len(ws)), i ->
+          struct_pack(a := ws[CAST(i AS INT)],
+            b := ws[CAST(i + 1 AS INT)]))) u(p)
+        WHERE u.p.a <> u.p.b),
+      und AS MATERIALIZED (SELECT least(a, b) AS x, greatest(a, b) AS y,
+          count(*) AS wt
+        FROM pairs
+        WHERE a IN (SELECT w FROM vocab) AND b IN (SELECT w FROM vocab)
+        GROUP BY 1, 2),
+      edges AS (SELECT x AS src, y AS dst, wt FROM und
+        UNION ALL SELECT y, x, wt FROM und),
+      outw AS (SELECT src, CAST(sum(wt) AS BIGINT) AS ow
+        FROM edges GROUP BY 1),
+      norm AS MATERIALIZED (SELECT e.src, e.dst,
+          CAST(e.wt AS DOUBLE) / o.ow AS p
+        FROM edges e JOIN outw o USING (src)),
+      nodes AS MATERIALIZED (SELECT DISTINCT src AS word FROM norm),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+      r0 AS (SELECT word,
+        CAST(1.0 AS DOUBLE) / (SELECT nn FROM nn) AS score FROM nodes),
+      $steps
+      SELECT word, round(score, 6) AS textrank
+      FROM r$TrIterations
+      ORDER BY score DESC, word LIMIT 20"""
+  }
 
   /** Per-document unigram LM bits-per-token — (doc_id, n_tok,
     * bits_per_token), unordered. The dataflow behind
