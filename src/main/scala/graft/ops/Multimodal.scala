@@ -212,8 +212,13 @@ object Multimodal {
         val d = Tables.t(s, dir, "documents")
           .select(col("doc_id"),
             length(col("text").cast("binary")).cast("long").as("bytes"))
-        val parted = d.repartitionByRange(Skew.spineParts(d), col("doc_id"))
-          .withColumn("pid", spark_partition_id().cast("long"))
+        // cut = correctness: range boundaries are re-sampled per
+        // execution, and `local` + `offs` both consume this exchange —
+        // see the Skew.globalRank comment (the same race corrupts the
+        // prefix sums if the two materializations diverge)
+        val parted = Skew.cut(
+          d.repartitionByRange(Skew.spineParts(d), col("doc_id"))
+            .withColumn("pid", spark_partition_id().cast("long")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("pid").orderBy("doc_id")
         val local = parted.withColumn("lc", sum("bytes").over(w))

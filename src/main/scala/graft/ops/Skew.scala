@@ -123,7 +123,9 @@ object Skew {
     * parallel; the only driver-sized state is the numPartitions-row
     * offset table. The result is deterministic for a total sort key
     * even though the range boundaries are sampled: boundaries only move
-    * rows between ordered ranges, never change any row's global rank. */
+    * rows between ordered ranges, never change any row's global rank —
+    * PROVIDED offsets and local ranks see the SAME boundaries, which
+    * the cut below guarantees (see comment). */
   def globalRank(
       df: DataFrame,
       sortCols: Seq[Column],
@@ -131,12 +133,22 @@ object Skew {
       rankCol: String = "__rank",
       totalCol: Option[String] = None): DataFrame = {
     val width = if (numParts > 0) numParts else spineParts(df)
-    val parted = df.repartitionByRange(width, sortCols: _*)
-      .withColumn("__pid", spark_partition_id().cast("long"))
+    // The cut is LOAD-BEARING for correctness, not an optimization:
+    // RangePartitioning samples fresh boundaries on every execution
+    // (observed: the same plan yields different per-partition counts
+    // across runs), and the offsets subtree + the ranked subtree both
+    // consume this exchange. Exchange/stage reuse usually dedupes them,
+    // but under concurrent query execution the two materializations can
+    // race, each sampling DIFFERENT boundaries — local ranks then pair
+    // with offsets from a different partitioning and the "global rank"
+    // silently gains duplicates and gaps (caught by
+    // stream_watermark_progression's uneven batches). Materializing the
+    // partitioned frame once makes both subtrees read the same blocks,
+    // restoring the determinism argument above unconditionally.
+    val parted = cut(df.repartitionByRange(width, sortCols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long")))
     // per-partition counts → (offset, grand total) in ONE tiny aggregate;
-    // the total rides along so callers never re-scan the input for n —
-    // both subtrees below hang off the SAME range exchange (ReuseExchange
-    // dedupes it), so the upstream dataflow is computed once
+    // the total rides along so callers never re-scan the input for n
     val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__pc"))
       .agg(sort_array(collect_list(struct(col("__pid"), col("__pc")))).as("a"))
       .select(explode(expr(

@@ -5332,9 +5332,12 @@ object Stats {
             col("event_id"))
           .unionAll(iv.select(col("e0").as("t"), lit(-1).as("delta"),
             col("event_id")))
-        val parted = bounds.repartitionByRange(Skew.spineParts(bounds),
-            col("t"), col("delta"), col("event_id"))
-          .withColumn("pid", spark_partition_id().cast("long"))
+        // cut = correctness: see Skew.globalRank — boundaries re-sample
+        // per execution and both subtrees consume this exchange
+        val parted = Skew.cut(
+          bounds.repartitionByRange(Skew.spineParts(bounds),
+              col("t"), col("delta"), col("event_id"))
+            .withColumn("pid", spark_partition_id().cast("long")))
         val w = Window.partitionBy("pid")
           .orderBy("t", "delta", "event_id")
         val local = parted.withColumn("lc", sum("delta").over(w))
@@ -6381,7 +6384,73 @@ object Stats {
           round(adv, 4) AS advantage,
           CASE WHEN rb <= 2 THEN 'top' ELSE 'bottom' END AS tail
         FROM rk WHERE rb <= 2 OR rw <= 2
-        ORDER BY lang, advantage DESC, doc_id"""))
+        ORDER BY lang, advantage DESC, doc_id""")),
+
+    Q(
+      "stats_cronbach_alpha",
+      "Cronbach's alpha over the four lineitem numeric columns as a " +
+        "4-item scale (quantity, price, discount, tax in exact " +
+        "fixed-point units) — the internal-consistency coefficient " +
+        "survey and labeling pipelines report before averaging item " +
+        "scores into one construct: α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total). " +
+        "Every item and total variance comes from ONE hash " +
+        "aggregation of exact decimal(38) integer moments (the " +
+        "stats_corr_matrix idiom), so α is a fixed-shape float " +
+        "formula over exact sums — bit-identical across engines.",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem").select(
+          round(col("l_quantity")).cast("long").as("q"),
+          round(col("l_extendedprice") * 100).cast("long").as("p"),
+          round(col("l_discount") * 100).cast("long").as("d"),
+          round(col("l_tax") * 100).cast("long").as("t"))
+          .withColumn("tot", col("q") + col("p") + col("d") + col("t"))
+        def d38(c: Column) = c.cast("decimal(38,0)")
+        val cols = Seq("q", "p", "d", "t", "tot")
+        val sums = li.agg(count(lit(1)).as("n"),
+          cols.flatMap(c => Seq(
+            sum(col(c)).as(s"s_$c"),
+            sum(d38(col(c)) * col(c)).as(s"ss_$c"))): _*)
+        def variance(c: String): Column =
+          (col(s"ss_$c").cast("double") -
+            col(s"s_$c").cast("double") * col(s"s_$c") / col("n")) / col("n")
+        val sumItemVar = Seq("q", "p", "d", "t").map(variance)
+          .reduce(_ + _)
+        sums.select(col("n").as("n_rows"), lit(4).as("k_items"),
+            round(lit(4.0 / 3.0) * (lit(1.0) - sumItemVar / variance("tot")), 6)
+              .as("alpha"),
+            round(sumItemVar, 2).as("sum_item_var"),
+            round(variance("tot"), 2).as("total_var"))
+          .orderBy("n_rows")
+      },
+      Some("""WITH li AS (SELECT
+            CAST(round(l_quantity) AS BIGINT) AS q,
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+            CAST(round(l_discount * 100) AS BIGINT) AS d,
+            CAST(round(l_tax * 100) AS BIGINT) AS t
+          FROM lineitem),
+        li2 AS (SELECT *, q + p + d + t AS tot FROM li),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(q) AS BIGINT) AS s_q, sum(CAST(q AS HUGEINT) * q) AS ss_q,
+            CAST(sum(p) AS BIGINT) AS s_p, sum(CAST(p AS HUGEINT) * p) AS ss_p,
+            CAST(sum(d) AS BIGINT) AS s_d, sum(CAST(d AS HUGEINT) * d) AS ss_d,
+            CAST(sum(t) AS BIGINT) AS s_t, sum(CAST(t AS HUGEINT) * t) AS ss_t,
+            CAST(sum(tot) AS BIGINT) AS s_tot,
+            sum(CAST(tot AS HUGEINT) * tot) AS ss_tot
+          FROM li2),
+        v AS (SELECT n,
+            (CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * s_q / n) / n AS vq,
+            (CAST(ss_p AS DOUBLE) - CAST(s_p AS DOUBLE) * s_p / n) / n AS vp,
+            (CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * s_d / n) / n AS vd,
+            (CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * s_t / n) / n AS vt,
+            (CAST(ss_tot AS DOUBLE) - CAST(s_tot AS DOUBLE) * s_tot / n) / n
+              AS vtot
+          FROM s)
+        SELECT n AS n_rows, CAST(4 AS INT) AS k_items,
+          round(CAST(4.0 AS DOUBLE) / 3.0
+            * (1.0 - (vq + vp + vd + vt) / vtot), 6) AS alpha,
+          round(vq + vp + vd + vt, 2) AS sum_item_var,
+          round(vtot, 2) AS total_var
+        FROM v ORDER BY n_rows"""))
   )
 
   /** Unrolled DTW oracle for [[ts_dtw]]: one MATERIALIZED CTE per DP

@@ -340,6 +340,86 @@ object StreamingBatch {
             AS n_kept,
           CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_dropped
-        FROM rk GROUP BY event_type ORDER BY event_type"""))
+        FROM rk GROUP BY event_type ORDER BY event_type""")),
+
+    Q(
+      "stream_watermark_progression",
+      "Global-watermark advance simulated over processing batches — " +
+        "the runtime view that complements stream_lateness_profile's " +
+        "per-event histogram: events arrive in (event time + " +
+        "deterministic 0-10 min transport delay) order, group into " +
+        "2000-event micro-batches on the scalable rank spine, and " +
+        "each batch's watermark is the previous batches' max event " +
+        "time minus a 5-min delay — exactly Structured Streaming's " +
+        "global watermark rule. Per batch: how many arrivals fall " +
+        "BEHIND the current watermark (what a stateful operator " +
+        "would drop). The batch table is |events|/2000 rows; the " +
+        "prefix max rides a packed sorted-array fold (no " +
+        "unpartitioned window in the Spark plan — the oracle may use " +
+        "one, DuckDB has no such constraint); all comparisons are " +
+        "exact integer µs.",
+      (s, dir) => {
+        val wmDelay = 300000000L // 5 min in µs
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_id"), Tables.epochUs(col("ts")).as("us"))
+          .withColumn("arr", col("us") +
+            pmod(PortableHash.hexHash(
+              concat(lit("wmk:"), col("event_id").cast("string"))),
+              lit(600000000L)))
+        val ranked = Skew.globalRank(ev, Seq(col("arr"), col("event_id")),
+            rankCol = "rk")
+          .withColumn("batch", Skew.idiv(col("rk") - 1, lit(2000L)))
+          .transform(Skew.cut)
+        val pb = ranked.groupBy("batch")
+          .agg(count(lit(1)).as("n_events"), max(col("us")).as("mx"))
+        val wm = pb
+          .agg(sort_array(collect_list(struct(col("batch"), col("mx"),
+            col("n_events")))).as("a"))
+          .select(explode(expr(
+            s"""transform(a, (x, i) -> struct(
+                 x.batch AS batch, x.n_events AS n_events,
+                 IF(i = 0, CAST(NULL AS BIGINT),
+                   aggregate(slice(a, 1, i), 0L,
+                     (acc, y) -> greatest(acc, y.mx)) - $wmDelay) AS wm))"""))
+            .as("r"))
+          .select(col("r.batch").as("batch"), col("r.n_events").as("n_events"),
+            col("r.wm").as("wm"))
+        ranked.join(broadcast(wm), Seq("batch"))
+          .groupBy(col("batch"), col("n_events"), col("wm"))
+          .agg(sum((col("us") < col("wm")).cast("long")).as("n_late"))
+          .select(col("batch"), col("n_events"), col("wm").as("watermark_us"),
+            coalesce(col("n_late"), lit(0L)).as("n_late"),
+            round(coalesce(col("n_late"), lit(0L)).cast("double") /
+              col("n_events"), 4).as("late_rate"))
+          .orderBy("batch")
+      },
+      Some(s"""WITH e AS (SELECT event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        a AS (SELECT event_id, us,
+            us + ${PortableHash.hexHashSql("'wmk:' || CAST(event_id AS VARCHAR)")}
+              % 600000000 AS arr
+          FROM e),
+        ranked AS (SELECT us,
+            (row_number() OVER (ORDER BY arr, event_id) - 1) // 2000
+              AS batch
+          FROM a),
+        pb AS (SELECT batch, count(*) AS n_events,
+            CAST(max(us) AS BIGINT) AS mx
+          FROM ranked GROUP BY 1),
+        wm AS (SELECT batch, n_events,
+            CAST(max(mx) OVER (ORDER BY batch
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              - 300000000 AS BIGINT) AS wm
+          FROM pb),
+        late AS (SELECT r.batch,
+            CAST(sum(CASE WHEN r.us < w.wm THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_late
+          FROM ranked r JOIN wm w USING (batch) GROUP BY 1)
+        SELECT w.batch, w.n_events, w.wm AS watermark_us,
+          coalesce(l.n_late, 0) AS n_late,
+          round(CAST(coalesce(l.n_late, 0) AS DOUBLE) / w.n_events, 4)
+            AS late_rate
+        FROM wm w JOIN late l USING (batch)
+        ORDER BY w.batch"""))
   )
 }
