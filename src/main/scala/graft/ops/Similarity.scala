@@ -1281,7 +1281,63 @@ object Similarity {
             round(col("rad"), 6).as("sel_dist"))
           .orderBy("step")
       },
-      Some(kcenterSql))
+      Some(kcenterSql)),
+
+    Q(
+      "sim_silhouette",
+      "Simplified silhouette score per IVF cluster — the clustering-" +
+        "quality gate that closes the IVF eval loop (sim_ivf_balance " +
+        "audits SIZES, sim_centroid_sep audits the codebook, this " +
+        "audits the ASSIGNMENT): per vector a = cosine distance to " +
+        "its own centroid, b = distance to the nearest other " +
+        "centroid, s = (b−a)/max(a,b) ∈ [−1,1]. Uses the same " +
+        "deterministic first-8 centroid book as sim_ivf_assign so " +
+        "DuckDB replays every distance; the per-vector work is one " +
+        "broadcast × 8 ranked distances (never pairwise between " +
+        "vectors), per-cluster means round at the coarse scale.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+        val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+        val ranked = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            col("cid"), VectorOps.cosine(col("embedding"), col("ce")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+        val per = ranked.groupBy("vec_id")
+          .agg(max(when(col("rn") === 1, col("cid"))).as("cid"),
+            max(when(col("rn") === 1, lit(1.0) - col("cos"))).as("a"),
+            max(when(col("rn") === 2, lit(1.0) - col("cos"))).as("b"))
+          .withColumn("sil", (col("b") - col("a")) / greatest(col("a"), col("b")))
+        per.groupBy("cid")
+          .agg(count(lit(1)).as("n_vectors"),
+            round(avg(col("sil")), 3).as("mean_silhouette"),
+            round(avg(col("a")), 3).as("mean_intra"),
+            round(avg(col("b")), 3).as("mean_nearest_other"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH cents AS (
+          SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < 8),
+        sc AS (SELECT e.vec_id, c.cid,
+            ${VectorOps.duckCosine("e.embedding", "c.ce")} AS cos
+          FROM embeddings e CROSS JOIN cents c),
+        rk AS (SELECT vec_id, cid, cos,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid)
+              AS rn
+          FROM sc),
+        per AS (SELECT vec_id,
+            max(CASE WHEN rn = 1 THEN cid END) AS cid,
+            max(CASE WHEN rn = 1 THEN 1.0 - cos END) AS a,
+            max(CASE WHEN rn = 2 THEN 1.0 - cos END) AS b
+          FROM rk WHERE rn <= 2 GROUP BY 1),
+        sil AS (SELECT cid, (b - a) / greatest(a, b) AS sil, a, b FROM per)
+        SELECT cid, count(*) AS n_vectors,
+          round(avg(sil), 3) AS mean_silhouette,
+          round(avg(a), 3) AS mean_intra,
+          round(avg(b), 3) AS mean_nearest_other
+        FROM sil GROUP BY cid ORDER BY cid"""))
   )
 
   private val KcK = 8

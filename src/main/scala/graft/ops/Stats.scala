@@ -6450,7 +6450,70 @@ object Stats {
             * (1.0 - (vq + vp + vd + vt) / vtot), 6) AS alpha,
           round(vq + vp + vd + vt, 2) AS sum_item_var,
           round(vtot, 2) AS total_var
-        FROM v ORDER BY n_rows"""))
+        FROM v ORDER BY n_rows""")),
+
+    Q(
+      "stats_sprt_monitor",
+      "Sequential probability-ratio test (Wald SPRT) monitor over the " +
+        "daily purchase-conversion series: cumulative trials and " +
+        "conversions per day feed the running log-likelihood ratio " +
+        "for H1: p=0.07 vs H0: p=0.05, with ±ln(19) decision bounds " +
+        "(α=β=0.05) — the always-valid alternative to the fixed-" +
+        "horizon tests (stats_two_proportion_z, stats_power_curve) " +
+        "that an experimentation platform polls daily. Daily cells " +
+        "are exact integers; the cumulative pass rides a packed " +
+        "sorted-array prefix fold (no unpartitioned window in the " +
+        "Spark plan); both log terms are computed in-engine so the " +
+        "doubles match bit for bit.",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(to_date(col("ts").cast("timestamp")).as("d"))
+          .agg(count_distinct(col("user_id")).as("n"),
+            count_distinct(when(col("event_type") === "purchase",
+              col("user_id"))).as("c"))
+        val packed = daily
+          .agg(sort_array(collect_list(struct(col("d"), col("n"), col("c")))).as("a"))
+          .select(explode(expr(
+            """transform(a, (x, i) -> struct(
+                 x.d AS d,
+                 aggregate(slice(a, 1, i + 1), 0L, (s, e) -> s + e.n) AS cn,
+                 aggregate(slice(a, 1, i + 1), 0L, (s, e) -> s + e.c) AS cc))"""))
+            .as("r"))
+          .select(col("r.d").as("d"), col("r.cn").as("cum_trials"),
+            col("r.cc").as("cum_conv"))
+        val llr = packed.withColumn("llr",
+          col("cum_conv") * log(lit(0.07) / lit(0.05)) +
+            (col("cum_trials") - col("cum_conv")) *
+              log(lit(0.93) / lit(0.95)))
+        llr.select(col("d").as("day"), col("cum_trials"), col("cum_conv"),
+            round(col("llr"), 4).as("llr"),
+            when(col("llr") >= log(lit(19.0)), lit("accept_h1"))
+              .when(col("llr") <= -log(lit(19.0)), lit("accept_h0"))
+              .otherwise(lit("continue")).as("decision"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT
+            CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+            CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+              THEN user_id END) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        cum AS (SELECT d,
+            CAST(sum(n) OVER w AS BIGINT) AS cum_trials,
+            CAST(sum(c) OVER w AS BIGINT) AS cum_conv
+          FROM daily
+          WINDOW w AS (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        llr AS (SELECT d, cum_trials, cum_conv,
+            cum_conv * ln(CAST(0.07 AS DOUBLE) / 0.05)
+              + (cum_trials - cum_conv) * ln(CAST(0.93 AS DOUBLE) / 0.95)
+              AS llr
+          FROM cum)
+        SELECT d AS day, cum_trials, cum_conv, round(llr, 4) AS llr,
+          CASE WHEN llr >= ln(CAST(19.0 AS DOUBLE)) THEN 'accept_h1'
+            WHEN llr <= -ln(CAST(19.0 AS DOUBLE)) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+        FROM llr ORDER BY day"""))
   )
 
   /** Unrolled DTW oracle for [[ts_dtw]]: one MATERIALIZED CTE per DP
