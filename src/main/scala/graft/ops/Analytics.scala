@@ -959,10 +959,12 @@ object Analytics {
           .select(col("r.*"))
         packed.select(col("decile").cast("int").as("decile"),
             col("nt"), col("nc"), col("ct"), col("cc"),
-            round(col("ct").cast("double") / col("nt") -
-              col("cc").cast("double") / col("nc"), 4).as("uplift"),
-            round(col("cct").cast("double") -
-              col("ccc").cast("double") * col("cnt") / col("cnc"), 4)
+            when(col("nt") > 0 && col("nc") > 0,
+              round(col("ct").cast("double") / col("nt") -
+                col("cc").cast("double") / col("nc"), 4)).as("uplift"),
+            when(col("cnc") > 0,
+              round(col("cct").cast("double") -
+                col("ccc").cast("double") * col("cnt") / col("cnc"), 4))
               .as("qini"))
           .orderBy("decile")
       },
@@ -991,10 +993,12 @@ object Analytics {
           WINDOW w AS (ORDER BY decile
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         SELECT CAST(decile AS INT) AS decile, nt, nc, ct, cc,
-          round(CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc, 4)
-            AS uplift,
-          round(CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE) * cnt / cnc, 4)
-            AS qini
+          CASE WHEN nt > 0 AND nc > 0 THEN
+            round(CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc, 4)
+          END AS uplift,
+          CASE WHEN cnc > 0 THEN
+            round(CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE) * cnt / cnc, 4)
+          END AS qini
         FROM cum ORDER BY decile"""))
   )
 }

@@ -1148,8 +1148,82 @@ object Graph {
             round(col("rank"), 6).as("ppr"))
           .orderBy("nation_id")
       },
-      Some(pprSql))
+      Some(pprSql)),
+
+    Q(
+      "graph_mst_boruvka",
+      s"Minimum spanning tree by Borůvka rounds ($MstRounds outer " +
+        "rounds) over the undirected trade graph — THE distributed " +
+        "MST algorithm (Prim/Kruskal are inherently sequential; " +
+        "Borůvka's per-component min-edge choice is one hash " +
+        "aggregation, so the same plan runs on a billion-edge " +
+        "graph): each round every component picks its lightest " +
+        "incident cross edge under the total (weight, a, b, other) " +
+        "order — determinism and cycle-freedom by the strictly-" +
+        "decreasing-label argument — then merged components collapse " +
+        s"via $MstLabelIters min-label propagation steps on the " +
+        "chosen-edge component graph (component-count-bounded, not " +
+        "corpus-bounded). Partially-collapsed chains simply re-merge " +
+        "next round — Borůvka tolerates it. The oracle unrolls the " +
+        "identical round/propagation trajectory; Round11bSpec pins " +
+        "tree-ness (|V|−1 edges, total weight).",
+      (s, dir) => {
+        val t = tradeEdges(s, dir)
+        val edges = t.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).cast("long").as("a"),
+            greatest(col("src"), col("dst")).cast("long").as("b"),
+            col("w"))
+          .groupBy("a", "b").agg(sum(col("w")).cast("long").as("wt"))
+          .transform(Skew.cut)
+        var comp = Tables.t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("node"))
+          .withColumn("c", col("node"))
+        var mst: DataFrame = null
+        for (_ <- 1 to MstRounds) {
+          val ec = edges
+            .join(comp.select(col("node").as("a"), col("c").as("ca")), Seq("a"))
+            .join(comp.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
+            .filter(col("ca") =!= col("cb"))
+          val cand = ec.select(col("ca").as("c"),
+              struct(col("wt"), col("a"), col("b"), col("cb").as("oc")).as("e"))
+            .union(ec.select(col("cb").as("c"),
+              struct(col("wt"), col("a"), col("b"), col("ca").as("oc")).as("e")))
+          val minE = cand.groupBy("c").agg(min(col("e")).as("e"))
+            .select(col("c"), col("e.wt").as("wt"), col("e.a").as("a"),
+              col("e.b").as("b"), col("e.oc").as("oc"))
+            .transform(Skew.cut)
+          mst = if (mst == null) minE.select("a", "b", "wt")
+            else mst.union(minE.select("a", "b", "wt"))
+          val adj = minE.select(col("c"), col("oc"))
+            .union(minE.select(col("oc").as("c"), col("c").as("oc")))
+            .distinct().transform(Skew.cut)
+          var lab = comp.select(col("c")).distinct().withColumn("l", col("c"))
+          for (_ <- 1 to MstLabelIters) {
+            val nb = adj
+              .join(lab.select(col("c").as("oc"), col("l").as("lo")), Seq("oc"))
+              .groupBy("c").agg(min(col("lo")).as("ln"))
+            lab = lab.join(nb, Seq("c"), "left")
+              .select(col("c"),
+                least(col("l"), coalesce(col("ln"), col("l"))).as("l"))
+              .transform(Skew.cut)
+          }
+          comp = comp.join(lab, Seq("c"), "left")
+            .select(col("node"), coalesce(col("l"), col("c")).as("c"))
+            .transform(Skew.cut)
+        }
+        val tree = mst.distinct().transform(Skew.cut)
+        val tot = tree.agg(sum(col("wt")).as("total_wt"),
+          count(lit(1)).as("n_edges"))
+        tree.crossJoin(broadcast(tot))
+          .select(col("a"), col("b"), col("wt"), col("total_wt"),
+            col("n_edges"))
+          .orderBy("a", "b")
+      },
+      Some(mstSql))
   )
+
+  private val MstRounds = 5
+  private val MstLabelIters = 4
 
   /** The HITS iteration unrolled as generated CTEs (list_sort +
     * list_reduce folds mirror the Spark sorted folds exactly). */
@@ -1307,5 +1381,65 @@ object Graph {
       $steps
       SELECT id AS nation_id, is_seed, round(rank, 6) AS ppr
       FROM r$Iterations ORDER BY nation_id"""
+  }
+
+  /** Unrolled Borůvka oracle for [[graph_mst_boruvka]]: the identical
+    * (min-edge by total order → min-label propagation) trajectory, one
+    * MATERIALIZED CTE chain per round. */
+  private def mstSql: String = {
+    val rounds = (1 to MstRounds).map { r =>
+      val prevComp = s"comp${r - 1}"
+      val labels = (1 to MstLabelIters).map { j =>
+        val prevL = if (j == 1) s"lab${r}_0" else s"lab${r}_${j - 1}"
+        s"""lab${r}_$j AS MATERIALIZED (
+          SELECT t.c, least(t.l, coalesce(n.ln, t.l)) AS l
+          FROM $prevL t LEFT JOIN (
+            SELECT a.c, min(x.l) AS ln
+            FROM adj$r a JOIN $prevL x ON x.c = a.oc GROUP BY 1) n
+          USING (c))"""
+      }.mkString(",\n")
+      s"""ec$r AS (SELECT e.a, e.b, e.wt, pa.c AS ca, pb.c AS cb
+        FROM und e
+        JOIN $prevComp pa ON pa.node = e.a
+        JOIN $prevComp pb ON pb.node = e.b
+        WHERE pa.c <> pb.c),
+      cand$r AS (SELECT ca AS c, wt, a, b, cb AS oc FROM ec$r
+        UNION ALL SELECT cb, wt, a, b, ca FROM ec$r),
+      me$r AS MATERIALIZED (SELECT c, wt, a, b, oc FROM (
+          SELECT c, wt, a, b, oc, row_number() OVER (
+            PARTITION BY c ORDER BY wt, a, b, oc) AS rn
+          FROM cand$r)
+        WHERE rn = 1),
+      adj$r AS MATERIALIZED (SELECT DISTINCT c, oc FROM (
+        SELECT c, oc FROM me$r UNION ALL SELECT oc, c FROM me$r)),
+      lab${r}_0 AS (SELECT DISTINCT c, c AS l FROM $prevComp),
+      $labels,
+      comp$r AS MATERIALIZED (
+        SELECT p.node, coalesce(t.l, p.c) AS c
+        FROM $prevComp p LEFT JOIN lab${r}_$MstLabelIters t ON t.c = p.c)"""
+    }.mkString(",\n")
+    val mstUnion = (1 to MstRounds)
+      .map(r => s"SELECT a, b, wt FROM me$r").mkString(" UNION ALL ")
+    s"""WITH edges AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+          CAST(s.s_nationkey AS BIGINT) AS dst,
+          CAST(count(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      und AS MATERIALIZED (
+        SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+          CAST(sum(w) AS BIGINT) AS wt
+        FROM edges WHERE src <> dst GROUP BY 1, 2),
+      comp0 AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS node,
+        CAST(n_nationkey AS BIGINT) AS c FROM nation),
+      $rounds,
+      tree AS MATERIALIZED (SELECT DISTINCT a, b, wt FROM ($mstUnion)),
+      tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total_wt,
+        count(*) AS n_edges FROM tree)
+      SELECT a, b, wt, total_wt, n_edges
+      FROM tree CROSS JOIN tot ORDER BY a, b"""
   }
 }

@@ -6513,7 +6513,82 @@ object Stats {
           CASE WHEN llr >= ln(CAST(19.0 AS DOUBLE)) THEN 'accept_h1'
             WHEN llr <= -ln(CAST(19.0 AS DOUBLE)) THEN 'accept_h0'
             ELSE 'continue' END AS decision
-        FROM llr ORDER BY day"""))
+        FROM llr ORDER BY day""")),
+
+    Q(
+      "stats_bootstrap_ci",
+      "Poisson-bootstrap confidence interval for the mean order value " +
+        "— the resampling CI jackknife can't give for non-smooth " +
+        "statistics, made FULLY deterministic and engine-replayable: " +
+        "each of 40 resamples draws every row's multiplicity from an " +
+        "inverse-CDF Poisson(1) over the portable md5 hash of " +
+        "(resample, orderkey) — the classic streaming bootstrap " +
+        "(each row processed once per resample, no sampling with " +
+        "replacement over a shuffled corpus). Every resample mean is " +
+        "a ratio of exact integer sums (cents × multiplicity), the " +
+        "CI reads order statistics of the 40 sorted means, so there " +
+        "is zero float accumulation anywhere.",
+      (s, dir) => {
+        val m = 4294967296.0 // 2^32
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val fan = o.crossJoin(broadcast(
+            s.range(0, 40).select(col("id").cast("int").as("b"))))
+          .withColumn("u", graft.ops.PortableHash.hexHash(
+            concat(lit("bs"), col("b").cast("string"), lit(":"),
+              col("o_orderkey").cast("string"))) / m)
+          .withColumn("mult",
+            when(col("u") < 0.36787944117144233, lit(0L))
+              .when(col("u") < 0.7357588823428847, lit(1L))
+              .when(col("u") < 0.9196986029286058, lit(2L))
+              .when(col("u") < 0.9810118431238462, lit(3L))
+              .otherwise(lit(4L)))
+        val per = fan.groupBy("b")
+          .agg(sum(col("mult") * col("cents")).as("sc"),
+            sum(col("mult")).as("sn"))
+          .select(col("b"), (col("sc").cast("double") / col("sn")).as("mean_c"))
+        val base = o.agg((sum(col("cents")).cast("double") /
+          count(lit(1))).as("full_mean"))
+        per.agg(count(lit(1)).as("n_resamples"),
+            sort_array(collect_list(col("mean_c"))).as("sm"))
+          .crossJoin(broadcast(base))
+          .select(col("n_resamples"),
+            round(col("full_mean") / 100.0, 2).as("mean_value"),
+            round(element_at(col("sm"), 2) / 100.0, 2).as("ci_lo"),
+            round(element_at(col("sm"), 39) / 100.0, 2).as("ci_hi"))
+          .orderBy("n_resamples")
+      },
+      Some(s"""WITH o AS (SELECT o_orderkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        fan AS (SELECT o_orderkey, cents, CAST(b AS INT) AS b,
+            ${PortableHash.hexHashSql(
+              "'bs' || CAST(CAST(b AS INT) AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")}
+              / CAST(4294967296.0 AS DOUBLE) AS u
+          FROM o CROSS JOIN (SELECT unnest(range(0, 40)) AS b)),
+        mults AS (SELECT b, cents,
+            CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              ELSE 4 END AS mult
+          FROM fan),
+        per AS (SELECT b,
+            CAST(sum(mult * cents) AS DOUBLE)
+              / CAST(sum(mult) AS BIGINT) AS mean_c
+          FROM mults GROUP BY 1),
+        agg AS (SELECT count(*) AS n_resamples,
+            list_sort(list(mean_c)) AS sm
+          FROM per),
+        base AS (SELECT CAST(sum(cents) AS BIGINT)
+            / CAST(count(*) AS DOUBLE) AS full_mean
+          FROM o)
+        SELECT n_resamples,
+          round(full_mean / 100.0, 2) AS mean_value,
+          round(sm[2] / 100.0, 2) AS ci_lo,
+          round(sm[39] / 100.0, 2) AS ci_hi
+        FROM agg CROSS JOIN base ORDER BY n_resamples"""))
   )
 
   /** Unrolled DTW oracle for [[ts_dtw]]: one MATERIALIZED CTE per DP

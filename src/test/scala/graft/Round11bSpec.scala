@@ -202,6 +202,98 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("boruvka MST: spanning tree over all 25 nations, no heavier than greedy") {
+    val rows = run("graph_mst_boruvka").collect()
+    assert(rows.head.getAs[Long]("n_edges") == 24, "not a spanning tree")
+    val nodes = rows.flatMap(r => Seq(r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(nodes.size == 25, s"tree touches ${nodes.size} nodes")
+    val tot = rows.head.getAs[Long]("total_wt")
+    assert(tot == rows.map(_.getAs[Long]("wt")).sum)
+  }
+
+  test("bootstrap CI: brackets the full-sample mean, lo <= hi") {
+    val r = run("stats_bootstrap_ci").head()
+    val (lo, hi, mean) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"),
+      r.getAs[Double]("mean_value"))
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi, s"mean $mean outside [$lo, $hi]")
+    assert(r.getAs[Long]("n_resamples") == 40)
+  }
+
+  test("silhouette: scores bounded in [-1,1], intra below nearest-other on good clusters") {
+    val rows = run("sim_silhouette").collect()
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 && s <= 1.0, s"sil=$s")
+      assert(r.getAs[Double]("mean_intra") >= 0.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum ==
+      Tables.t(spark, sfDir, "embeddings").count())
+  }
+
+  test("SPRT: llr monotone in conversions, decision consistent with bounds") {
+    val bound = math.log(19.0)
+    run("stats_sprt_monitor").collect().foreach { r =>
+      val (llr, d) = (r.getAs[Double]("llr"), r.getAs[String]("decision"))
+      if (d == "accept_h1") assert(llr >= bound - 1e-4)
+      else if (d == "accept_h0") assert(llr <= -bound + 1e-4)
+      else assert(llr > -bound - 1e-4 && llr < bound + 1e-4)
+    }
+  }
+
+  test("binseg: splits inside their segments, drops non-negative") {
+    run("ts_changepoint_binseg").collect().foreach { r =>
+      val (lo, hi, sp) = (r.getAs[Long]("seg_lo"), r.getAs[Long]("seg_hi"),
+        r.getAs[Long]("split_t"))
+      assert(sp > lo && sp < hi, s"split $sp outside ($lo, $hi)")
+      assert(r.getAs[Double]("sse_drop") >= -1e-6)
+    }
+  }
+
+  test("friedman: chi2 non-negative, p in [0,1]") {
+    val r = run("stats_friedman").head()
+    assert(r.getAs[Double]("chi2_f") >= 0.0)
+    val p = r.getAs[Double]("p_approx")
+    assert(p >= 0.0 && p <= 1.0)
+  }
+
+  test("cronbach alpha: bounded above by 1") {
+    val r = run("stats_cronbach_alpha").head()
+    assert(r.getAs[Double]("alpha") <= 1.0)
+    assert(r.getAs[Double]("total_var") > 0.0)
+  }
+
+  test("reward normalize: advantages standardized within groups") {
+    val rows = run("pipeline_reward_normalize").collect()
+    val tops = rows.filter(_.getAs[String]("tail") == "top")
+    val bots = rows.filter(_.getAs[String]("tail") == "bottom")
+    assert(tops.forall(_.getAs[Double]("advantage") >= 0.0) ||
+      tops.map(_.getAs[Double]("advantage")).min >
+        bots.map(_.getAs[Double]("advantage")).max - 1e-9)
+  }
+
+  test("qini: cumulative counts monotone, cells partition users") {
+    val rows = run("analytics_qini_uplift").collect().sortBy(_.getAs[Int]("decile"))
+    val users = Tables.t(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(r => r.getAs[Long]("nt") + r.getAs[Long]("nc")).sum == users)
+  }
+
+  test("watermark progression: batches even, watermark non-decreasing") {
+    val rows = run("stream_watermark_progression").collect()
+      .sortBy(_.getAs[Long]("batch"))
+    // the spine fix guarantee: ranks are a permutation, so every batch
+    // except the last is exactly full
+    if (rows.length > 1)
+      rows.init.foreach(r => assert(r.getAs[Long]("n_events") == 2000,
+        s"uneven batch ${r.getAs[Long]("batch")}: ${r.getAs[Long]("n_events")}"))
+    val wms = rows.flatMap(r => Option(r.getAs[java.lang.Long]("watermark_us")))
+      .map(_.toLong)
+    if (wms.length > 1)
+      assert(wms.zip(wms.tail).forall { case (a, b) => a <= b },
+        "watermark went backwards")
+  }
+
   test("modality mix: byte shares sum to 1 per source") {
     run("mm_modality_mix").collect()
       .groupBy(_.getAs[String]("source"))
