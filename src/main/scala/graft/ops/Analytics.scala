@@ -797,17 +797,20 @@ object Analytics {
           .filter(col("sc") === "base" || col("st") =!= col("sc"))
           .transform(Skew.cut)
         var v = states.withColumn("v", (col("st") === "conv").cast("double"))
-        for (_ <- 1 to MarkovIterations) {
+        for (i <- 1 to MarkovIterations) {
           val terms = probs
             .join(v.select(col("sc"), col("st").as("dst"), col("v")), Seq("sc", "dst"))
             .groupBy(col("sc"), col("src").as("st"))
             .agg(Stats.sfold(col("p") * col("v")).as("sv"))
+          // v is referenced ONCE per iteration (linear chain): the
+          // groupBy exchange already bounds plan collapse, so a real
+          // checkpoint is only needed occasionally to cap plan depth
           v = states.join(terms, Seq("sc", "st"), "left")
             .select(col("sc"), col("st"),
               when(col("st") === "conv", lit(1.0))
                 .when(col("st") === "null", lit(0.0))
                 .otherwise(coalesce(col("sv"), lit(0.0))).as("v"))
-            .transform(Skew.cut)
+          if (i % 5 == 0) v = v.transform(Skew.cut)
         }
         val vstart = v.filter(col("st") === "start").select(col("sc"), col("v"))
         val base = vstart.filter(col("sc") === "base").select(col("v").as("vb"))

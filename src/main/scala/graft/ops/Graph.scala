@@ -1198,14 +1198,14 @@ object Graph {
             .union(minE.select(col("oc").as("c"), col("c").as("oc")))
             .distinct().transform(Skew.cut)
           var lab = comp.select(col("c")).distinct().withColumn("l", col("c"))
-          for (_ <- 1 to MstLabelIters) {
+          for (j <- 1 to MstLabelIters) {
             val nb = adj
               .join(lab.select(col("c").as("oc"), col("l").as("lo")), Seq("oc"))
               .groupBy("c").agg(min(col("lo")).as("ln"))
             lab = lab.join(nb, Seq("c"), "left")
               .select(col("c"),
                 least(col("l"), coalesce(col("ln"), col("l"))).as("l"))
-              .transform(Skew.cut)
+            if (j % 2 == 0) lab = lab.transform(Skew.cut)
           }
           comp = comp.join(lab, Seq("c"), "left")
             .select(col("node"), coalesce(col("l"), col("c")).as("c"))

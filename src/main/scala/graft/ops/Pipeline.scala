@@ -1160,7 +1160,7 @@ object Pipeline {
           .transform(Skew.cut)
         val nPlayers = wins.agg(count(lit(1)).as("np"))
         var strengths = wins.select(col("src"), lit(1.0).as("s"))
-        for (_ <- 1 to BtIterations) {
+        for (i <- 1 to BtIterations) {
           val si = strengths.select(col("src").as("i"), col("s").as("si"))
           val sj = strengths.select(col("src").as("j"), col("s").as("sj"))
           val denom = games.join(si, Seq("i")).join(sj, Seq("j"))
@@ -1171,10 +1171,11 @@ object Pipeline {
               when(col("den") > 0, col("wi") / col("den")).otherwise(lit(0.0)).as("sr"))
           val tot = raw.agg(Stats.sfold(col("sr")).as("tot"))
           // the plan references `strengths` twice per round (s_i and s_j
-          // sides) — without a cut the lineage doubles every iteration
+          // sides) — cut every second iteration so the lineage grows at
+          // most 4x between cuts instead of doubling ten times
           strengths = raw.crossJoin(broadcast(tot)).crossJoin(broadcast(nPlayers))
             .select(col("src"), (col("sr") * col("np") / col("tot")).as("s"))
-            .transform(Skew.cut)
+          if (i % 2 == 0) strengths = strengths.transform(Skew.cut)
         }
         strengths.join(wins, Seq("src"))
           .join(games.groupBy(col("i").as("src")).agg(sum(col("n")).as("gi")), Seq("src"))

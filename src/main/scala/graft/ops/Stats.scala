@@ -6142,7 +6142,11 @@ object Stats {
                 "array_min(transform(sequence(1, j), k -> element_at(mm, k) - " +
                 "IF(k = 1, CAST(0 AS BIGINT), element_at(cc, k - 1)))))"))
             .drop("cc", "mm")
-            .transform(Skew.cut)
+            // each row references the previous row once (a LINEAR chain),
+            // so an exchange barrier is enough to stop CollapseProject
+            // from inlining 24 levels of array expressions — one job,
+            // no per-step checkpoint
+            .repartition(col("ta"))
         }
         pairs.select(col("ta").as("type_a"), col("tb").as("type_b"),
             element_at(col("r"), 24).as("dtw"),
