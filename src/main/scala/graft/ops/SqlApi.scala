@@ -590,8 +590,8 @@ object SqlApi {
              JOIN customer  ON c_custkey = o_custkey
              JOIN nation n1 ON s_nationkey = n1.n_nationkey
              JOIN nation n2 ON c_nationkey = n2.n_nationkey
-             WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+                 OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
                AND l_shipdate >= DATE '1996-01-01'
                AND l_shipdate <  DATE '1999-01-01')
            GROUP BY supp_nation, cust_nation, yr
@@ -610,8 +610,8 @@ object SqlApi {
           JOIN customer  ON c_custkey = o_custkey
           JOIN nation n1 ON s_nationkey = n1.n_nationkey
           JOIN nation n2 ON c_nationkey = n2.n_nationkey
-          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+              OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
             AND l_shipdate >= DATE '1996-01-01'
             AND l_shipdate <  DATE '1999-01-01')
         GROUP BY supp_nation, cust_nation, yr

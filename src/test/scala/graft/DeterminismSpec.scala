@@ -158,7 +158,9 @@ class DeterminismSpec extends SparkSpec {
   private val doubleSumIdents = Set(
     "l_quantity", "l_extendedprice", "o_totalprice", "c_acctbal", "value",
     // ts_seasonality's per-hour sum-of-value CTE column (DOUBLE)
-    "sv")
+    "sv",
+    // feat_yeo_johnson's transformed value and signed-log columns (DOUBLE)
+    "z", "sl")
 
   /** Bare-identifier sum(...) not wrapped in CAST and not a window sum.
     * DuckDB widens sum(BIGINT/INT) to HUGEINT while Spark emits BIGINT,

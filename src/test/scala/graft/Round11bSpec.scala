@@ -63,7 +63,7 @@ class Round11bSpec extends SparkSpec {
     val rows = run("sql_volume_shipping").collect()
     val nations = rows.map(r => (r.getAs[String]("supp_nation"),
       r.getAs[String]("cust_nation"))).toSet
-    assert(nations.subsetOf(Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))))
+    assert(nations.subsetOf(Set(("NATION_18", "NATION_19"), ("NATION_19", "NATION_18"))))
     rows.foreach(r => assert(r.getAs[Double]("revenue") > 0.0))
   }
 
