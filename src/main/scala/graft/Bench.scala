@@ -83,7 +83,10 @@ object Bench {
     "text_tfidf", "text_bm25_search", "stream_session_gap",
     "etl_date_filter_derive", "graph_pagerank",
     "pipeline_canonical_dedup", "pipeline_semantic_dedup", "sim_pca_power",
-    "pipeline_pretrain", "dedup_chunk_exact", "text_hybrid_rrf")
+    "pipeline_pretrain", "dedup_chunk_exact", "text_hybrid_rrf",
+    // round-11 iterative heavies, surfaced for regression tracking
+    "graph_mst_boruvka", "pipeline_bradley_terry",
+    "analytics_markov_attribution", "ts_dtw")
 
   /** Final stdout line: complete JSON, bounded size (tail-capture-safe). */
   def machineLine(results: Map[String, Double], total: Double,
