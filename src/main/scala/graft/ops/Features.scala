@@ -939,6 +939,64 @@ object Features {
             exact_users,
             round(abs(est - exact_users) / exact_users * 100, 2) AS err_pct
           FROM est CROSS JOIN ex ORDER BY m"""
-      })
+      }),
+
+    Q(
+      "sample_negative_downsample",
+      "Negative downsampling with importance-correction weights — the " +
+        "class-imbalance prep every CTR/conversion trainer runs: keep " +
+        "every positive (purchase) event, keep negatives at 10% by " +
+        "the portable hash, and attach weight 1/rate to survivors so " +
+        "downstream statistics stay unbiased. The report proves the " +
+        "correction ON the data: the naive sampled base rate is ~10× " +
+        "inflated, the weighted rate matches the full-data rate from " +
+        "exact integer sums (weights are exact integers — no float " +
+        "accumulation). One scan, one pushable hash predicate, one " +
+        "aggregation.",
+      (s, dir) => {
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_id"),
+            (col("event_type") === "purchase").cast("long").as("y"))
+          .withColumn("keep",
+            (col("y") === 1) ||
+              PortableHash.hexHash(concat(lit("nds:"),
+                col("event_id").cast("string"))) % 100 < 10)
+          .withColumn("w", when(col("y") === 1, lit(1L)).otherwise(lit(10L)))
+        val full = ev.agg(count(lit(1)).as("n_orig"),
+          sum(col("y")).as("n_pos"))
+        val kept = ev.filter(col("keep"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("w") * col("y")).as("wy"), sum(col("w")).as("wsum"),
+            sum(col("y")).as("kept_pos"))
+        kept.crossJoin(broadcast(full))
+          .select(col("n_orig"), col("n_kept"), col("n_pos"),
+            round(col("n_pos").cast("double") / col("n_orig"), 6)
+              .as("rate_true"),
+            round(col("kept_pos").cast("double") / col("n_kept"), 6)
+              .as("rate_naive"),
+            round(col("wy").cast("double") / col("wsum"), 6)
+              .as("rate_corrected"))
+          .orderBy("n_orig")
+      },
+      Some(s"""WITH ev AS (SELECT event_id,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+            CASE WHEN event_type = 'purchase' THEN 1
+              WHEN ${PortableHash.hexHashSql(
+                "'nds:' || CAST(event_id AS VARCHAR)")} % 100 < 10 THEN 1
+              ELSE 0 END AS keep,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 10 END AS w
+          FROM events),
+        full_ AS (SELECT count(*) AS n_orig, CAST(sum(y) AS BIGINT) AS n_pos
+          FROM ev),
+        kept AS (SELECT count(*) AS n_kept,
+            CAST(sum(w * y) AS BIGINT) AS wy,
+            CAST(sum(w) AS BIGINT) AS wsum,
+            CAST(sum(y) AS BIGINT) AS kept_pos
+          FROM ev WHERE keep = 1)
+        SELECT n_orig, n_kept, n_pos,
+          round(CAST(n_pos AS DOUBLE) / n_orig, 6) AS rate_true,
+          round(CAST(kept_pos AS DOUBLE) / n_kept, 6) AS rate_naive,
+          round(CAST(wy AS DOUBLE) / wsum, 6) AS rate_corrected
+        FROM kept CROSS JOIN full_ ORDER BY n_orig"""))
   )
 }

@@ -6592,7 +6592,90 @@ object Stats {
           round(full_mean / 100.0, 2) AS mean_value,
           round(sm[2] / 100.0, 2) AS ci_lo,
           round(sm[39] / 100.0, 2) AS ci_hi
-        FROM agg CROSS JOIN base ORDER BY n_resamples"""))
+        FROM agg CROSS JOIN base ORDER BY n_resamples""")),
+
+    Q(
+      "stats_ljung_box",
+      "Ljung–Box portmanteau test on each event type's daily-count " +
+        "series: Q = n(n+2)·Σ_{k≤6} r_k²/(n−k) — the MULTI-lag " +
+        "whiteness test that complements stats_durbin_watson's lag-1 " +
+        "view (a series can pass DW and still fail Ljung–Box on a " +
+        "weekly echo). Autocorrelations reuse the calendar-equi-join " +
+        "lag shape of ts_autocorr with every double sum on a sorted " +
+        "fold; the χ²(6) p-value rides the Wilson–Hilferty cube-root " +
+        "normal approximation through the shared portable CDF " +
+        "polynomial.",
+      (s, dir) => {
+        val m = 6
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(col("event_type"), dayofmonth(col("ts").cast("timestamp")).as("d"))
+          .agg(count(lit(1)).as("y"))
+        val mu = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("y")).cast("double") / count(lit(1))).as("mu"))
+        val dm = daily.join(broadcast(mu), Seq("event_type"))
+        val den = dm.groupBy("event_type")
+          .agg(sfold((col("y") - col("mu")) * (col("y") - col("mu"))).as("den"))
+        val lags = dm
+          .select(col("event_type"), col("d"), col("y"), col("mu"),
+            explode(sequence(lit(1), lit(m))).as("lag"))
+          .withColumn("dl", col("d") + col("lag"))
+        val shifted = dm.select(col("event_type"), col("d").as("dl"),
+          col("y").as("yl"))
+        val rk = lags.join(shifted, Seq("event_type", "dl"))
+          .groupBy("event_type", "lag")
+          .agg(sfold((col("y") - col("mu")) * (col("yl") - col("mu"))).as("num"))
+          .join(broadcast(den), Seq("event_type"))
+          .join(broadcast(mu.select(col("event_type"), col("n"))), Seq("event_type"))
+          .select(col("event_type"), col("lag"), col("n"),
+            (col("num") / col("den")).as("r"))
+        val q = rk.groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            sfold(col("r") * col("r") / (col("n") - col("lag"))).as("srq"))
+          .select(col("event_type"), col("n").as("n_days"),
+            (col("n") * (col("n") + 2) * col("srq")).as("q"))
+        val d = m.toDouble
+        q.select(col("event_type"), col("n_days"), round(col("q"), 4).as("q_stat"),
+            round(lit(1.0) - normCdf(
+              (pow(col("q") / d, 1.0 / 3.0) - (lit(1.0) - 2.0 / (9 * d))) *
+                sqrt(lit(9 * d / 2.0))), 6).as("p_approx"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH daily AS (SELECT event_type,
+            CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d, count(*) AS y
+          FROM events GROUP BY 1, 2),
+        mu AS (SELECT event_type, count(*) AS n,
+            CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE) AS mu
+          FROM daily GROUP BY 1),
+        dm AS (SELECT daily.event_type, d, y, mu FROM daily
+          JOIN mu USING (event_type)),
+        den AS (SELECT event_type,
+            list_reduce(list_sort(list((y - mu) * (y - mu))), (a, b) -> a + b)
+              AS den
+          FROM dm GROUP BY 1),
+        lags AS (SELECT event_type, d, y, mu, CAST(ks.lag AS INT) AS lag,
+            d + CAST(ks.lag AS INT) AS dl
+          FROM dm CROSS JOIN (SELECT unnest(range(1, 7)) AS lag) ks),
+        rk AS (SELECT l.event_type, l.lag, mu2.n,
+            list_reduce(list_sort(list((l.y - l.mu) * (s.y - l.mu))),
+              (a, b) -> a + b) / max(den.den) AS r
+          FROM lags l
+          JOIN dm s ON s.event_type = l.event_type AND s.d = l.dl
+          JOIN den ON den.event_type = l.event_type
+          JOIN mu mu2 ON mu2.event_type = l.event_type
+          GROUP BY 1, 2, 3),
+        q AS (SELECT event_type, max(n) AS n,
+            list_reduce(list_sort(list(r * r / (n - lag))), (a, b) -> a + b)
+              AS srq
+          FROM rk GROUP BY 1),
+        q2 AS (SELECT event_type, n AS n_days,
+            n * (n + 2) * srq AS q FROM q)
+        SELECT event_type, n_days, round(q, 4) AS q_stat,
+          round(1.0 - ${normCdfSql(
+            "(pow(q / 6.0, CAST(1.0 AS DOUBLE) / 3.0) - " +
+              "(1.0 - CAST(2.0 AS DOUBLE) / 54.0)) * sqrt(CAST(27.0 AS DOUBLE))")},
+            6) AS p_approx
+        FROM q2 ORDER BY event_type"""))
   )
 
   /** Unrolled DTW oracle for [[ts_dtw]]: one MATERIALIZED CTE per DP
