@@ -6675,7 +6675,74 @@ object Stats {
             "(pow(q / 6.0, CAST(1.0 AS DOUBLE) / 3.0) - " +
               "(1.0 - CAST(2.0 AS DOUBLE) / 54.0)) * sqrt(CAST(27.0 AS DOUBLE))")},
             6) AS p_approx
-        FROM q2 ORDER BY event_type"""))
+        FROM q2 ORDER BY event_type""")),
+
+    Q(
+      "stats_page_trend",
+      "Page's L test for an ORDERED alternative across the five event " +
+        "types blocked by day — where Friedman only asks 'do the " +
+        "treatments differ', Page asks 'do they differ IN THIS " +
+        "order' (hypothesis: alphabetical type order), which is the " +
+        "right test for dose-response or severity-graded comparisons. " +
+        "Reuses the midrank day-ranking of stats_friedman; L = " +
+        "Σ_j c_j·R_j over exact .5-rational rank sums, the normal " +
+        "approximation z = (L−μ_L)/σ_L uses closed-form integer " +
+        "moments, and the one-sided p rides the shared portable " +
+        "normal CDF.",
+      (s, dir) => {
+        val k = 5.0
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(to_date(col("ts").cast("timestamp")).as("d"), col("event_type"))
+          .agg(count(lit(1)).as("y"))
+        val wD = Window.partitionBy("d").orderBy("y")
+        val wT = Window.partitionBy("d", "y")
+        val ranked = daily
+          .withColumn("rk", rank().over(wD) +
+            (count(lit(1)).over(wT) - 1).cast("double") / 2.0)
+        val perType = ranked.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sfold(col("rk")).as("rj"))
+        // hypothesized order = alphabetical type order: c_j = 1..k
+        val withC = perType
+          .withColumn("cj", row_number().over(
+            Window.partitionBy(lit(1)).orderBy("event_type")).cast("double"))
+        val l = withC.groupBy(lit(1).as("g"))
+          .agg(max(col("n")).as("b"), sfold(col("cj") * col("rj")).as("l"))
+        l.select(col("b").as("n_blocks"), round(col("l"), 1).as("page_l"),
+            round((col("l") - col("b") * k * (k + 1) * (k + 1) / 4.0) /
+              sqrt(col("b") * k * k * (k + 1) * (k * k - 1) / 144.0), 4)
+              .as("z_score"),
+            round(lit(1.0) - normCdf(
+              (col("l") - col("b") * k * (k + 1) * (k + 1) / 4.0) /
+                sqrt(col("b") * k * k * (k + 1) * (k * k - 1) / 144.0)), 6)
+              .as("p_one_sided"))
+          .orderBy("n_blocks")
+      },
+      Some(s"""WITH daily AS (SELECT
+            CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type,
+            count(*) AS y
+          FROM events GROUP BY 1, 2),
+        ranked AS (SELECT event_type,
+            rank() OVER (PARTITION BY d ORDER BY y)
+              + CAST(count(*) OVER (PARTITION BY d, y) - 1 AS DOUBLE) / 2.0
+              AS rk
+          FROM daily),
+        pertype AS (SELECT event_type, count(*) AS n,
+            list_reduce(list_sort(list(rk)), (a, b) -> a + b) AS rj
+          FROM ranked GROUP BY 1),
+        withc AS (SELECT event_type, n, rj,
+            CAST(row_number() OVER (ORDER BY event_type) AS DOUBLE) AS cj
+          FROM pertype),
+        l AS (SELECT max(n) AS b,
+            list_reduce(list_sort(list(cj * rj)), (a, b) -> a + b) AS l
+          FROM withc),
+        z AS (SELECT b, l,
+            (l - b * 5.0 * 6.0 * 6.0 / 4.0)
+              / sqrt(b * 5.0 * 5.0 * 6.0 * (5.0 * 5.0 - 1) / 144.0) AS z
+          FROM l)
+        SELECT b AS n_blocks, round(l, 1) AS page_l,
+          round(z, 4) AS z_score,
+          round(1.0 - ${normCdfSql("z")}, 6) AS p_one_sided
+        FROM z ORDER BY n_blocks"""))
   )
 
   /** Unrolled DTW oracle for [[ts_dtw]]: one MATERIALIZED CTE per DP

@@ -294,6 +294,34 @@ class Round11bSpec extends SparkSpec {
         "watermark went backwards")
   }
 
+  test("ljung-box: Q non-negative, p in [0,1], five series") {
+    val rows = run("stats_ljung_box").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("q_stat") >= 0.0)
+      val p = r.getAs[Double]("p_approx")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
+  test("negative downsample: weighted rate recovers the true base rate") {
+    val r = run("sample_negative_downsample").head()
+    val (t, n, c) = (r.getAs[Double]("rate_true"), r.getAs[Double]("rate_naive"),
+      r.getAs[Double]("rate_corrected"))
+    assert(n > t, "naive rate should be inflated by downsampling")
+    // corrected estimator is unbiased; on a finite sample it lands
+    // within a few relative percent of the truth
+    assert(math.abs(c - t) / t < 0.25, s"corrected $c vs true $t")
+    assert(r.getAs[Long]("n_kept") < r.getAs[Long]("n_orig"))
+  }
+
+  test("page trend: L consistent with z, p in [0,1]") {
+    val r = run("stats_page_trend").head()
+    assert(r.getAs[Double]("page_l") > 0.0)
+    val p = r.getAs[Double]("p_one_sided")
+    assert(p >= 0.0 && p <= 1.0)
+  }
+
   test("modality mix: byte shares sum to 1 per source") {
     run("mm_modality_mix").collect()
       .groupBy(_.getAs[String]("source"))
