@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   * side effect, not a DataFrame-returning query. */
 object EtlQueries {
 
+  /** Scratch root for the sink round-trip queries. Each invocation
+    * writes to its OWN fresh subdirectory (a fixed path keyed on the
+    * fixture dir would let two concurrent invocations of the same query
+    * race a mode-overwrite against an in-flight read — the Verify
+    * harness runs queries on a thread pool), and one JVM-exit hook
+    * reclaims the whole root, so repeated runs don't accumulate. */
+  private lazy val sinkScratchRoot: java.io.File = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_orc_sink")
+    root.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+    }))
+    root
+  }
+
+  private def freshSinkDir(): String =
+    new java.io.File(sinkScratchRoot,
+      java.util.UUID.randomUUID().toString).getPath
+
   def defs: Seq[Q] = Seq(
     Q(
       "etl_orc_sink_roundtrip",
@@ -29,9 +54,7 @@ object EtlQueries {
         "round-trips doubles bit-exactly; the cents cast keeps the " +
         "SUM order-independent).",
       (s, dir) => {
-        val out = new java.io.File(
-          new java.io.File(System.getProperty("java.io.tmpdir"), "graft_orc_sink"),
-          Integer.toHexString(dir.hashCode)).getPath
+        val out = freshSinkDir()
         Tables.t(s, dir, "orders")
           .withColumn("o_year", year(col("o_orderdate")).cast("int"))
           .write.mode("overwrite").option("compression", "zstd")

@@ -952,7 +952,7 @@ object Dedup {
       docs: DataFrame,
       topK: Int = 50,
       hotThreshold: Long = 1000000L,
-      salts: Int = 8): DataFrame =
+      salts: Int = 0): DataFrame =
     ngramJaccardStats(docs, hotThreshold, salts)
       .select("d1", "d2", "inter", "un", "jaccard")
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
@@ -964,7 +964,7 @@ object Dedup {
   def ngramJaccardStats(
       docs: DataFrame,
       hotThreshold: Long = 1000000L,
-      salts: Int = 8,
+      salts: Int = 0,
       width: Int = 2): DataFrame = {
     // width governs the join's fan-out: Σ_shingle df² pairs. Wider
     // shingles (5 is the production near-dup norm) make shingles rarer,
@@ -996,7 +996,7 @@ object Dedup {
   def shingleJaccardStats(
       ex: DataFrame,
       hotThreshold: Long = 1000000L,
-      salts: Int = 8): DataFrame = {
+      salts: Int = 0): DataFrame = {
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = ex.select(col("shingle"), col("doc_id").as("da"))
     val b = ex.select(col("shingle"), col("doc_id").as("db"))

@@ -1210,16 +1210,21 @@ object Pipeline {
         // one ordered fold over the bounded contest list: state is the
         // rating map, each step an Elo update — expressed as an
         // aggregate() over the sorted contest array so the sequential
-        // semantics stay inside the engine (no collect, no driver state)
+        // semantics stay inside the engine (no collect, no driver state).
+        // The player list seeds from ALL distinct document sources (a
+        // 1-row broadcast), exactly like the oracle's ps CTE — a source
+        // whose volume ties every rival plays no contest but still
+        // appears at its initial 1000 rating.
+        val players = Tables.t(s, dir, "documents").select("source").distinct()
+          .agg(sort_array(collect_list(col("source"))).as("ps"))
         val folded = contests
           .agg(sort_array(collect_list(struct(col("lang"), col("wi"), col("lo")))).as("cs"))
+          .crossJoin(broadcast(players))
           .select(explode(expr(
             """aggregate(
                  cs,
-                 map_from_arrays(
-                   array_distinct(flatten(transform(cs, c -> array(c.wi, c.lo)))),
-                   transform(array_distinct(flatten(transform(cs, c -> array(c.wi, c.lo)))),
-                     x -> CAST(1000.0 AS DOUBLE))),
+                 map_from_arrays(ps,
+                   transform(ps, x -> CAST(1000.0 AS DOUBLE))),
                  (r, c) -> map_zip_with(r,
                    map_from_arrays(array(c.wi, c.lo), array(
                      32.0 * (1.0 - 1.0 / (1.0 + power(10.0, (element_at(r, c.lo) - element_at(r, c.wi)) / 400.0))),

@@ -44,7 +44,20 @@ object Skew {
     *
     * Either way the returned plan is a bare scan of the materialized
     * blocks — downstream plan shape is identical, so every oracle and
-    * plan-lint result is mode-invariant (ScaleSpec pins this). */
+    * plan-lint result is mode-invariant (ScaleSpec pins this).
+    *
+    * Checkpoint hygiene: a SparkContext-level checkpoint dir that was
+    * already set (by the operator of the cluster) is respected, never
+    * overridden — `graft.checkpoint.dir` only seeds it when unset. With
+    * ~75 iterative cut sites each materializing multiple rounds, a long
+    * reliable-mode run accumulates RDD checkpoint data under that dir;
+    * deploys should either start the session with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (the
+    * ContextCleaner then deletes each round's files once its RDD is
+    * garbage-collected — a context-build-time conf, which this repo's
+    * Bench/Verify/Explain mains all set) or point the dir at storage
+    * with a TTL/lifecycle rule. Local default mode has neither
+    * concern: localCheckpoint blocks die with the executors. */
   def cut(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("graft.checkpoint.dir") match {
       case Some(dir) if dir.nonEmpty =>
@@ -54,18 +67,34 @@ object Skew {
       case _ => df.localCheckpoint(eager = true)
     }
 
-  /** Inner equi-join of `big` and `small` on `key`, salted `salts` ways.
-    * `spreadBy` drives the salt for the big side — any column(s) that
-    * vary within a key (a row id, a timestamp); kept deterministic so
-    * results are reproducible. */
+  /** Salt fan-out when the caller passes `salts = 0` (the default): a
+    * fixed constant caps a hot key at that many tasks no matter how wide
+    * the cluster is (8 tasks for a 10⁶×-median shingle on a 10k-core
+    * cluster would still funnel), so the default tracks
+    * `defaultParallelism` — every task slot can take a slice of the hot
+    * key — with 8 as the floor so toy-local runs still demonstrably
+    * spread. Results are salt-count-invariant by construction (the join
+    * key set is unchanged; salts only route rows), pinned by ScaleSpec
+    * at two explicit widths, so tuning the fan-out can never change an
+    * oracle. Replication cost guard: only [[saltedJoinHot]] replicates
+    * per-salt, and only for the (few) hot keys, so a wider fan-out
+    * costs O(hotKeys × salts) tiny rows, not a full small-side copy. */
+  def adaptiveSalts(df: DataFrame): Int =
+    math.max(8, df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Inner equi-join of `big` and `small` on `key`, salted `salts` ways
+    * (0 → [[adaptiveSalts]]). `spreadBy` drives the salt for the big
+    * side — any column(s) that vary within a key (a row id, a
+    * timestamp); kept deterministic so results are reproducible. */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
       key: String,
       spreadBy: Column,
-      salts: Int = 8): DataFrame = {
-    val b = big.withColumn("__salt", pmod(xxhash64(spreadBy), lit(salts.toLong)))
-    val s = small.withColumn("__salt", explode(typedlit((0L until salts.toLong).toSeq)))
+      salts: Int = 0): DataFrame = {
+    val n = if (salts > 0) salts else adaptiveSalts(big)
+    val b = big.withColumn("__salt", pmod(xxhash64(spreadBy), lit(n.toLong)))
+    val s = small.withColumn("__salt", explode(typedlit((0L until n.toLong).toSeq)))
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
 
@@ -85,18 +114,19 @@ object Skew {
       small: DataFrame,
       key: String,
       spreadBy: Column,
-      salts: Int = 8,
+      salts: Int = 0,
       hotThreshold: Long = 1000000L): DataFrame = {
+    val n = if (salts > 0) salts else adaptiveSalts(big)
     val hot = big.groupBy(key).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > hotThreshold)
       .select(col(key), lit(true).as("__hot"))
     val b = big.join(broadcast(hot), Seq(key), "left")
       .withColumn("__salt",
-        when(col("__hot"), pmod(xxhash64(spreadBy), lit(salts.toLong))).otherwise(0L))
+        when(col("__hot"), pmod(xxhash64(spreadBy), lit(n.toLong))).otherwise(0L))
       .drop("__hot")
     val s = small.join(broadcast(hot), Seq(key), "left")
       .withColumn("__salt",
-        explode(when(col("__hot"), typedlit((0L until salts.toLong).toSeq))
+        explode(when(col("__hot"), typedlit((0L until n.toLong).toSeq))
           .otherwise(typedlit(Seq(0L)))))
       .drop("__hot")
     b.join(s, Seq(key, "__salt")).drop("__salt")

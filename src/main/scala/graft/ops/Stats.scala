@@ -6105,8 +6105,10 @@ object Stats {
         "measure that matches shifted diurnal shapes where Euclidean/" +
         "L1 can't (a profile 2 hours ahead of another is DTW-close " +
         "but L1-far). The DP runs entirely in exact integers (|Δ| " +
-        "costs over hourly counts), each of the 24 unrolled row " +
-        "updates using the prefix-min reformulation D(i,j) = C_j + " +
+        "costs over hourly counts): row 1 is seeded directly as its " +
+        "prefix-cost array D(1,j) = C_j (so the zero origin is " +
+        "reachable only at k = 1), then each of the 23 unrolled row " +
+        "updates uses the prefix-min reformulation D(i,j) = C_j + " +
         "min_k(m_k − C_{k−1}) so the within-row sequential dependency " +
         "becomes a data-parallel O(24²) array expression — no driver " +
         "loop, no float, and DTW ≤ L1 (the diagonal path) by " +
@@ -6124,12 +6126,19 @@ object Stats {
         val prof = grid.groupBy("event_type")
           .agg(expr("transform(sort_array(collect_list(struct(h, y))), x -> x.y)")
             .as("p"))
+        // row 1 of the DP is its own prefix-cost array D(1,j) = C_j —
+        // seeding it directly (instead of a [0, BIG, ...] sentinel row)
+        // keeps the zero origin reachable ONLY at k = 1, so no path can
+        // enter row 1 past column 1 with a -C_{k-1} credit and skip the
+        // first-cell cost
         var pairs = prof.select(col("event_type").as("ta"), col("p").as("pa"))
           .join(prof.select(col("event_type").as("tb"), col("p").as("pb")),
             col("ta") < col("tb"))
-          .withColumn("r", typedlit(0L +: Seq.fill(23)(1000000000000000L)))
+          .withColumn("r", expr(
+            "transform(sequence(1, 24), j -> aggregate(transform(sequence(1, j), " +
+              "t -> abs(element_at(pa, 1) - element_at(pb, t))), 0L, (a, x) -> a + x))"))
           .transform(Skew.cut)
-        for (i <- 1 to 24) {
+        for (i <- 2 to 24) {
           pairs = pairs
             .withColumn("cc", expr(
               s"transform(sequence(1, 24), j -> aggregate(transform(sequence(1, j), " +
@@ -6756,7 +6765,7 @@ object Stats {
     * row, same prefix-min integer recurrence (DuckDB's list_sum over
     * integer slices equals the Spark fold exactly — no float order). */
   private def dtwSql: String = {
-    val steps = (1 to 24).map { i =>
+    val steps = (2 to 24).map { i =>
       val prev = s"d${i - 1}"
       s"""d$i AS MATERIALIZED (
         SELECT ta, tb, pa, pb,
@@ -6783,16 +6792,11 @@ object Stats {
         LEFT JOIN hourly USING (event_type, h)),
       prof AS (SELECT event_type, list(y ORDER BY h) AS p
         FROM grid GROUP BY 1),
-      d0 AS MATERIALIZED (SELECT a.event_type AS ta, b.event_type AS tb,
+      d1 AS MATERIALIZED (SELECT a.event_type AS ta, b.event_type AS tb,
           a.p AS pa, b.p AS pb,
-          [CAST(0 AS BIGINT), 1000000000000000, 1000000000000000,
-           1000000000000000, 1000000000000000, 1000000000000000,
-           1000000000000000, 1000000000000000, 1000000000000000,
-           1000000000000000, 1000000000000000, 1000000000000000,
-           1000000000000000, 1000000000000000, 1000000000000000,
-           1000000000000000, 1000000000000000, 1000000000000000,
-           1000000000000000, 1000000000000000, 1000000000000000,
-           1000000000000000, 1000000000000000, 1000000000000000] AS r
+          list_transform(range(1, 25), j ->
+            CAST(list_sum(list_transform(range(1, j + 1), t ->
+              abs(a.p[1] - b.p[t]))) AS BIGINT)) AS r
         FROM prof a JOIN prof b ON a.event_type < b.event_type),
       $steps
       SELECT ta AS type_a, tb AS type_b,

@@ -338,6 +338,32 @@ class ScaleSpec extends SparkSpec {
     assert(nSalts == 8)
   }
 
+  test("salt fan-out is adaptive by default and result-invariant across widths") {
+    import spark.implicits._
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toLong)).toDF("k", "row_id")
+    val small = Seq((1L, "hot"), (950L, "cold")).toDF("k", "label")
+    // the default tracks the cluster: max(8, defaultParallelism) — a
+    // hot key spreads over every task slot, never a fixed-8 funnel
+    assert(Skew.adaptiveSalts(big) ==
+      math.max(8, spark.sparkContext.defaultParallelism))
+    // two explicit widths (one below, one above defaultParallelism)
+    // produce identical results: salts route rows, never change them
+    def run(n: Int) = Skew.saltedJoinHot(big, small, "k",
+        spreadBy = col("row_id"), salts = n, hotThreshold = 100L)
+      .select("k", "row_id", "label").orderBy("k", "row_id").collect().toSeq
+    val r8 = run(8)
+    val r64 = run(64)
+    val plain = big.join(small, "k").select("k", "row_id", "label")
+      .orderBy("k", "row_id").collect().toSeq
+    assert(r8 == plain, "salts=8 diverged from plain join")
+    assert(r64 == plain, "salts=64 diverged from plain join")
+    // wider fan-out really spreads wider: distinct salts on the hot key
+    val spread64 = big.filter(col("k") === 1)
+      .select(pmod(xxhash64(col("row_id")), lit(64L)).as("s"))
+      .distinct().count()
+    assert(spread64 > 8, s"64-way salting spread only $spread64 ways")
+  }
+
   test("declared band-join query plans as a bucketed equi-join, not a nested loop") {
     // BandJoinRule is installed by the declared query itself; at any
     // realistic |R| a nested loop would be the 100 TB failure mode
