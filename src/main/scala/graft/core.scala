@@ -46,3 +46,33 @@ object Tables {
   def epochUs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     unix_micros(c.cast("timestamp"))
 }
+
+/** Per-invocation scratch directories for store-and-reload queries
+  * (persisted sink round-trips, ANN index artifacts, dedup band
+  * stores). Every invocation gets its OWN fresh subdirectory — a fixed
+  * path would let two concurrent invocations of the same query race a
+  * mode-overwrite against an in-flight read (the Verify harness runs
+  * queries on a thread pool) — and one JVM-exit hook reclaims the whole
+  * root so repeated runs don't accumulate. At cluster scale the same
+  * artifacts live at durable catalog-managed paths with a lifecycle
+  * rule; the dataflow on either side of the store is identical. */
+object Scratch {
+  private lazy val root: java.io.File = {
+    val r = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_scratch")
+    r.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(r)
+    }))
+    r
+  }
+
+  /** A fresh, not-yet-created scratch path unique to this call. */
+  def dir(): String =
+    new java.io.File(root, java.util.UUID.randomUUID().toString).getPath
+}

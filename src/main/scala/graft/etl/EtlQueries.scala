@@ -13,32 +13,63 @@ import org.apache.spark.sql.functions._
   * side effect, not a DataFrame-returning query. */
 object EtlQueries {
 
-  /** Scratch root for the sink round-trip queries. Each invocation
-    * writes to its OWN fresh subdirectory (a fixed path keyed on the
-    * fixture dir would let two concurrent invocations of the same query
-    * race a mode-overwrite against an in-flight read — the Verify
-    * harness runs queries on a thread pool), and one JVM-exit hook
-    * reclaims the whole root, so repeated runs don't accumulate. */
-  private lazy val sinkScratchRoot: java.io.File = {
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_orc_sink")
-    root.mkdirs()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(root)
-    }))
-    root
-  }
-
-  private def freshSinkDir(): String =
-    new java.io.File(sinkScratchRoot,
-      java.util.UUID.randomUUID().toString).getPath
-
   def defs: Seq[Q] = Seq(
+    Q(
+      "etl_connector_pushdown",
+      "The reference's defining behavior exercised through a REAL " +
+        "DataSource V2 connector boundary (graft.sources.DocStoreSource " +
+        "— the in-repo stand-in for the Mongo connector's scan " +
+        "contract): orders are read via `format(\"docstore\")`, the " +
+        "inclusive date range (reference main.py:288-299, $gte/$lte) " +
+        "and the 3-column projection cross SupportsPushDownFilters / " +
+        "SupportsPushDownRequiredColumns into the connector, and the " +
+        "\"server\" (parquet row-group stats + exact record-level " +
+        "FilterApi predicates) drops out-of-range rows before they " +
+        "reach Spark — the plan has NO post-scan Filter node at all " +
+        "(DocStoreSpec pins pushed-filter content, pruned schema, and " +
+        "the absence of a residual Filter). Result: per-status order " +
+        "counts and exact-cents totals inside the range.",
+      (s, dir) => {
+        val o = graft.sources.DocStoreTableSource(dir).read(s, "orders")
+        o.filter(col("o_orderdate") >= lit("1996-01-01 00:00:00") &&
+            col("o_orderdate") <= lit("1997-06-30 23:59:59"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59'
+        GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    Q(
+      "etl_connector_projection",
+      "Column pruning + IN-list pushdown through the same DSv2 " +
+        "connector: documents read via `format(\"docstore\")` with a " +
+        "3-language IN filter; the connector receives the In filter " +
+        "(evaluated server-side as an OR-of-equals over the binary " +
+        "column) and a 2-column projection — the reader materializes " +
+        "ONLY lang and n_chars from the store, the Mongo-projection " +
+        "analogue. Aggregate: per-language doc count and exact " +
+        "character volume.",
+      (s, dir) => {
+        val d = graft.sources.DocStoreTableSource(dir).read(s, "documents")
+        d.filter(col("lang").isin("en", "de", "fr"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr')
+        GROUP BY 1 ORDER BY lang""")),
+
     Q(
       "etl_orc_sink_roundtrip",
       "End-to-end exercise of a SECOND sink format (A12 generalized " +
@@ -54,7 +85,7 @@ object EtlQueries {
         "round-trips doubles bit-exactly; the cents cast keeps the " +
         "SUM order-independent).",
       (s, dir) => {
-        val out = freshSinkDir()
+        val out = graft.Scratch.dir()
         Tables.t(s, dir, "orders")
           .withColumn("o_year", year(col("o_orderdate")).cast("int"))
           .write.mode("overwrite").option("compression", "zstd")

@@ -725,6 +725,63 @@ object Dedup {
       Some(embeddingLshOracle)),
 
     Q(
+      "dedup_incremental_embedding",
+      "Incremental SEMANTIC dedup of a new embedding batch against a " +
+        "PERSISTED hyperplane-LSH bucket store — the embedding-space " +
+        "completion of the incremental family (dedup_incremental: " +
+        "exact fingerprints; dedup_incremental_minhash: token " +
+        "shingles; this: dense vectors). The historical 80% " +
+        "(vec_id % 10 < 8) is banded once (4 bands × 4 signed fixed-" +
+        "seed projections) and written as the parquet store a " +
+        "continuous-ingestion pipeline keeps between batches; the new " +
+        "20% batch is banded, candidates come from a (band, bucket) " +
+        "equi-join against the LOADED store, and a candidate is " +
+        "rejected only after EXACT-cosine verification (≥ 0.4, the " +
+        "dedup_embedding_cosine threshold) against the colliding " +
+        "store vector — or an earlier batch vector (batch-internal " +
+        "near-dedup in the same pass, doc-id precedence). Ingest cost " +
+        "is O(batch × bucket density), zero re-banding of history; " +
+        "precision is exact because every rejection is verified.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val store = graft.Scratch.dir()
+        hyperplaneBanded(e.filter(pmod(col("vec_id"), lit(10)) < 8))
+          .write.mode("overwrite").parquet(store)
+        val hist = s.read.parquet(store)
+        val batch = hyperplaneBanded(
+          e.filter(pmod(col("vec_id"), lit(10)) >= 8))
+        val hitStore = batch.as("b")
+          .join(hist.as("h"), col("b.band") === col("h.band") &&
+            col("b.bucket") === col("h.bucket"))
+          .filter(VectorOps.cosine(col("b.embedding"), col("h.embedding")) >= 0.4)
+          .select(col("b.vec_id").as("vec_id")).distinct()
+        val hitEarlier = batch.as("a")
+          .join(batch.as("b2"), col("a.band") === col("b2.band") &&
+            col("a.bucket") === col("b2.bucket") &&
+            col("b2.vec_id") < col("a.vec_id"))
+          .filter(VectorOps.cosine(col("a.embedding"), col("b2.embedding")) >= 0.4)
+          .select(col("a.vec_id").as("vec_id")).distinct()
+        batch.select("vec_id").distinct()
+          .join(hitStore, Seq("vec_id"), "left_anti")
+          .join(hitEarlier, Seq("vec_id"), "left_anti")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $hyperplaneBandedCtes,
+        store AS (SELECT * FROM banded WHERE vec_id % 10 < 8),
+        batch AS (SELECT * FROM banded WHERE vec_id % 10 >= 8),
+        hit_store AS (SELECT DISTINCT b.vec_id FROM batch b
+          JOIN store h ON b.band = h.band AND b.bucket = h.bucket
+          WHERE ${VectorOps.duckCosine("b.embedding", "h.embedding")} >= 0.4),
+        hit_earlier AS (SELECT DISTINCT a.vec_id FROM batch a
+          JOIN batch b2 ON a.band = b2.band AND a.bucket = b2.bucket
+            AND b2.vec_id < a.vec_id
+          WHERE ${VectorOps.duckCosine("a.embedding", "b2.embedding")} >= 0.4)
+        SELECT DISTINCT vec_id FROM batch
+        WHERE vec_id NOT IN (SELECT vec_id FROM hit_store)
+          AND vec_id NOT IN (SELECT vec_id FROM hit_earlier)
+        ORDER BY vec_id""")),
+
+    Q(
       "dedup_chunk_exact",
       "Paragraph-level exact dedup WITH document reconstruction — the " +
         "CCNet/RefinedWeb shape where duplicated passages are stripped " +

@@ -666,6 +666,130 @@ object Similarity {
         FROM rk WHERE rn = 1 ORDER BY vec_id""")),
 
     Q(
+      "sim_index_serve",
+      "Persisted-index SERVING — the train-once/serve-many lifecycle a " +
+        "production ANN deployment runs, where sim_ann_ivf rebuilds " +
+        "its index per query: the centroid book (deterministic " +
+        "first-8-vectors book, so DuckDB replays everything) is " +
+        "written ONCE as a parquet artifact, and the serving path " +
+        "reads the PERSISTED book — corpus assignment, per-query " +
+        "2-probe selection, and in-bucket exact-cosine top-3 all hang " +
+        "off the loaded artifact, never the build lineage (SimSpec " +
+        "pins serve-twice equality off one store). At 100 TB the " +
+        "store is the catalog-managed index table; probes broadcast " +
+        "the k-row book, assignment is the shuffle-free packed-" +
+        "centroid fold, candidates come from a broadcast semi-join " +
+        "on cid — one corpus scan per serve batch.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val idx = graft.Scratch.dir()
+        // BUILD once: the book is the persisted index artifact
+        e.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+          .write.mode("overwrite").parquet(idx)
+        // SERVE: everything below reads the persisted artifact
+        val book = s.read.parquet(idx)
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val wp = Window.partitionBy("qid").orderBy(col("qcos").desc, col("cid"))
+        val probes = queries.crossJoin(broadcast(book))
+          .withColumn("qcos", VectorOps.cosine(col("ce"), col("qe")))
+          .withColumn("rn", row_number().over(wp))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("cid"))
+        val assigned = e.crossJoin(broadcast(packCentroids(book)))
+          .select(col("vec_id"), col("embedding"),
+            nearestByCosine(col("embedding"), col("cs"))
+              .getField("c").getField("cid").as("cid"))
+        val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        assigned.join(broadcast(probes), "cid")
+          .join(broadcast(queries), "qid")
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos", VectorOps.cosine(col("embedding"), col("qe")))
+          .withColumn("rank", row_number().over(wr).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vec_id"),
+            round(col("cos"), 6).as("cos_sim"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cents AS (
+          SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < 8),
+        queries AS (SELECT vec_id AS qid, embedding AS qe
+          FROM embeddings WHERE vec_id < 5),
+        probes AS (
+          SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${VectorOps.duckCosine("c.ce", "q.qe")} DESC, c.cid) AS rn
+            FROM queries q CROSS JOIN cents c)
+          WHERE rn <= 2),
+        assigned AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${VectorOps.duckCosine("e.embedding", "c.ce")} DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1),
+        cands AS (
+          SELECT q.qid, a.vec_id,
+            ${VectorOps.duckCosine("a.embedding", "q.qe")} AS cos
+          FROM probes p
+          JOIN assigned a ON a.cid = p.cid
+          JOIN queries q ON q.qid = p.qid
+          WHERE a.vec_id <> q.qid),
+        ranked AS (
+          SELECT qid, vec_id, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          FROM cands)
+        SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    Q(
+      "sim_index_incremental",
+      "Persisted-index INCREMENTAL ingestion — the second half of the " +
+        "lifecycle: a NEW embedding batch (vec_id % 10 ∈ {8,9}, the " +
+        "continuous-ingestion 20%) is assigned to the centroids loaded " +
+        "from the SAME parquet artifact sim_index_serve persists, " +
+        "WITHOUT retraining — the embedding-space mirror of " +
+        "dedup_incremental_minhash's persisted band store. Assignment " +
+        "is the per-row packed-centroid fold over the broadcast book " +
+        "(exact double cosine, (cos DESC, cid) tie-breaks — the same " +
+        "rank-1 argmax the oracle replays), so ingesting a batch " +
+        "costs one scan of the BATCH, zero touches of the historical " +
+        "corpus.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val idx = graft.Scratch.dir()
+        e.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+          .write.mode("overwrite").parquet(idx)
+        val book = s.read.parquet(idx)
+        val batch = e.filter(pmod(col("vec_id"), lit(10)) >= 8)
+        batch.crossJoin(broadcast(packCentroids(book)))
+          .select(col("vec_id"),
+            nearestByCosine(col("embedding"), col("cs")).as("best"))
+          .select(col("vec_id"),
+            col("best.c.cid").as("cid"),
+            round(col("best.d"), 6).as("cos_sim"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cents AS (
+          SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < 8),
+        sc AS (
+          SELECT e.vec_id, c.cid,
+            ${VectorOps.duckCosine("e.embedding", "c.ce")} AS cos
+          FROM embeddings e CROSS JOIN cents c
+          WHERE e.vec_id % 10 >= 8),
+        rk AS (
+          SELECT vec_id, cid, cos,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM sc)
+        SELECT vec_id, cid, round(cos, 6) AS cos_sim
+        FROM rk WHERE rn = 1 ORDER BY vec_id""")),
+
+    Q(
       "sim_ann_pq",
       "Product-quantization ANN: the 64-dim space is split into 4 " +
         "subspaces of 16 dims; each subspace gets a 16-codeword L2 " +

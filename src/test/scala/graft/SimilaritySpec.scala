@@ -205,4 +205,63 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     assert(counts === Seq(2L), s"pqSeeds per-sub counts: $counts")
   }
+
+  test("persisted index: train once, serve twice — identical results off one store") {
+    // the lifecycle the declared queries exercise end-to-end per
+    // invocation; here the store is built ONCE and two independent
+    // serve passes read the same artifact
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val idx = tmpDir("sim_index_store")
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+      .write.mode("overwrite").parquet(idx)
+    val a = SparkEntry.queries("sim_index_serve")(spark, sfDir)
+      .collect().toSeq
+    val b = SparkEntry.queries("sim_index_serve")(spark, sfDir)
+      .collect().toSeq
+    assert(a == b, "two serve passes diverged")
+    assert(a.nonEmpty)
+    // the persisted book round-trips bit-exactly (float arrays intact)
+    val back = spark.read.parquet(idx).orderBy("cid").collect().toSeq
+    val direct = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+      .orderBy("cid").collect().toSeq
+    assert(back == direct, "index artifact round-trip drifted")
+  }
+
+  test("incremental assignment agrees with full assignment on the batch slice") {
+    // ingesting the new batch against the persisted book yields exactly
+    // the rows a full-corpus assignment would give for those ids —
+    // incremental serving changes cost, never answers
+    val full = SparkEntry.queries("sim_ivf_assign")(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(10)) >= 8)
+      .collect().toSeq
+    val inc = SparkEntry.queries("sim_index_incremental")(spark, sfDir)
+      .collect().toSeq
+    assert(inc == full, s"incremental=${inc.take(3)} full=${full.take(3)}")
+  }
+
+  test("incremental embedding dedup: survivors are exactly the unmatched batch ids") {
+    val out = SparkEntry.queries("dedup_incremental_embedding")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val batchIds = e.filter(pmod(col("vec_id"), lit(10)) >= 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.subsetOf(batchIds), "a survivor is not a batch member")
+    // every non-survivor really has a verified near-dup partner
+    // (exact cosine >= 0.4) somewhere in history or earlier batch
+    val rejected = batchIds -- out
+    if (rejected.nonEmpty) {
+      val probe = e.filter(col("vec_id").isInCollection(rejected))
+        .select(col("vec_id").as("rv"), col("embedding").as("re"))
+      val others = e.select(col("vec_id").as("ov"), col("embedding").as("oe"))
+      val verified = probe.join(others,
+          col("ov") =!= col("rv") &&
+          (pmod(col("ov"), lit(10)) < 8 || col("ov") < col("rv")))
+        .filter(graft.expr.VectorOps.cosine(col("re"), col("oe")) >= 0.4)
+        .select("rv").distinct().collect().map(_.getLong(0)).toSet
+      assert(rejected.subsetOf(verified),
+        s"unverified rejections: ${(rejected -- verified).take(5)}")
+    }
+  }
 }
