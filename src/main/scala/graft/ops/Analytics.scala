@@ -748,11 +748,15 @@ object Analytics {
         "truncated power iteration — both engines run the identical " +
         "trajectory) drops when that channel's inbound edges are " +
         "redirected to the drop state. All five scenarios (base + 4 " +
-        "removals) ride ONE tagged frame, so each iteration is a " +
-        "single join+aggregate over a |scenarios|·|states|²-bounded " +
-        "table — transition probabilities are exact count ratios and " +
-        "every per-state reduction is a sorted fold, so the whole " +
-        "trajectory replays bit-identically in DuckDB.",
+        "removals) ride ONE tagged frame, and the whole K-step value " +
+        "iteration runs as ONE packed fold per scenario row (the " +
+        "transition list is |scenarios|·|states|²-bounded — a " +
+        "dimension, so packing it is scale-correct), one job with " +
+        "zero per-step exchanges — transition probabilities are " +
+        "exact count ratios and every per-state reduction " +
+        "array_sorts its terms (Stats.sfold's exact summation " +
+        "order), so the whole trajectory replays bit-identically " +
+        "in DuckDB.",
       (s, dir) => {
         val ev = Tables.t(s, dir, "events")
           .select(col("user_id"), Tables.epochUs(col("ts")).as("tu"),
@@ -795,24 +799,35 @@ object Analytics {
         val states = probs.select("sc").distinct()
           .select(col("sc"), explode(array(allStates.map(lit): _*)).as("st"))
           .filter(col("sc") === "base" || col("st") =!= col("sc"))
-          .transform(Skew.cut)
-        var v = states.withColumn("v", (col("st") === "conv").cast("double"))
-        for (i <- 1 to MarkovIterations) {
-          val terms = probs
-            .join(v.select(col("sc"), col("st").as("dst"), col("v")), Seq("sc", "dst"))
-            .groupBy(col("sc"), col("src").as("st"))
-            .agg(Stats.sfold(col("p") * col("v")).as("sv"))
-          // v is referenced ONCE per iteration (linear chain): the
-          // groupBy exchange already bounds plan collapse, so a real
-          // checkpoint is only needed occasionally to cap plan depth
-          v = states.join(terms, Seq("sc", "st"), "left")
-            .select(col("sc"), col("st"),
-              when(col("st") === "conv", lit(1.0))
-                .when(col("st") === "null", lit(0.0))
-                .otherwise(coalesce(col("sv"), lit(0.0))).as("v"))
-          if (i % 5 == 0) v = v.transform(Skew.cut)
-        }
-        val vstart = v.filter(col("st") === "start").select(col("sc"), col("v"))
+        // The whole K-step absorption runs as ONE packed fold per
+        // scenario row: each scenario's transition list (≤ |states|²
+        // rows — dimension-bounded, never corpus-bounded) and state
+        // spine pack into arrays, and the 20 value-iteration steps are
+        // an aggregate() over sequence(1, K) — one job, zero
+        // per-iteration exchanges or checkpoints, where the loop form
+        // paid 2 exchanges × K steps plus periodic eager cuts. The
+        // trajectory is BIT-identical to the loop (and to the oracle's
+        // unrolled CTEs): each state's incoming terms p·v[dst] are
+        // array_sort'ed before the left fold — exactly Stats.sfold's
+        // sort_array(collect_list(...)) summation order.
+        val packed = states.groupBy("sc")
+          .agg(sort_array(collect_list(col("st"))).as("sts"))
+          .join(probs.groupBy("sc")
+            .agg(collect_list(struct(col("src"), col("dst"), col("p"))).as("edges")),
+            Seq("sc"))
+        val vFinal = packed.select(col("sc"), col("sts"), expr(
+          s"""aggregate(sequence(1, $MarkovIterations),
+               transform(sts, st -> IF(st = 'conv',
+                 CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))),
+               (v, i) -> transform(sts, st ->
+                 CASE WHEN st = 'conv' THEN CAST(1.0 AS DOUBLE)
+                      WHEN st = 'null' THEN CAST(0.0 AS DOUBLE)
+                      ELSE aggregate(
+                        array_sort(transform(filter(edges, e -> e.src = st),
+                          e -> e.p * element_at(v, CAST(array_position(sts, e.dst) AS INT)))),
+                        CAST(0.0 AS DOUBLE), (a, x) -> a + x) END))""").as("v"))
+        val vstart = vFinal.select(col("sc"),
+          expr("element_at(v, CAST(array_position(sts, 'start') AS INT))").as("v"))
         val base = vstart.filter(col("sc") === "base").select(col("v").as("vb"))
         val rem = vstart.filter(col("sc") =!= "base")
           .crossJoin(broadcast(base))

@@ -1194,18 +1194,22 @@ object Graph {
             .transform(Skew.cut)
           mst = if (mst == null) minE.select("a", "b", "wt")
             else mst.union(minE.select("a", "b", "wt"))
+          // the label sub-loop runs entirely LAZY off the checkpointed
+          // adj scan: min-label is integer math, so the result is
+          // cut-cadence-invariant, and each round materializes three
+          // frames (minE, adj, comp) instead of ~6 — the 4 propagation
+          // steps ride one lazy plan
           val adj = minE.select(col("c"), col("oc"))
             .union(minE.select(col("oc").as("c"), col("c").as("oc")))
             .distinct().transform(Skew.cut)
           var lab = comp.select(col("c")).distinct().withColumn("l", col("c"))
-          for (j <- 1 to MstLabelIters) {
+          for (_ <- 1 to MstLabelIters) {
             val nb = adj
               .join(lab.select(col("c").as("oc"), col("l").as("lo")), Seq("oc"))
               .groupBy("c").agg(min(col("lo")).as("ln"))
             lab = lab.join(nb, Seq("c"), "left")
               .select(col("c"),
                 least(col("l"), coalesce(col("ln"), col("l"))).as("l"))
-            if (j % 2 == 0) lab = lab.transform(Skew.cut)
           }
           comp = comp.join(lab, Seq("c"), "left")
             .select(col("node"), coalesce(col("l"), col("c")).as("c"))

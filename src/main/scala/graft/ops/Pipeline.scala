@@ -1154,33 +1154,59 @@ object Pipeline {
           .select(col("p.i").as("i"), col("p.j").as("j"),
             (col("p.w") + col("q.w")).as("n"))
           .filter(col("n") > 0)
-          .transform(Skew.cut)
         val wins = pairs.groupBy(col("i").as("src"))
           .agg(sum(col("w")).as("wi"))
-          .transform(Skew.cut)
         val nPlayers = wins.agg(count(lit(1)).as("np"))
-        var strengths = wins.select(col("src"), lit(1.0).as("s"))
-        for (i <- 1 to BtIterations) {
-          val si = strengths.select(col("src").as("i"), col("s").as("si"))
-          val sj = strengths.select(col("src").as("j"), col("s").as("sj"))
-          val denom = games.join(si, Seq("i")).join(sj, Seq("j"))
-            .groupBy(col("i").as("src"))
-            .agg(Stats.sfold(col("n") / (col("si") + col("sj"))).as("den"))
-          val raw = wins.join(denom, Seq("src"))
-            .select(col("src"),
-              when(col("den") > 0, col("wi") / col("den")).otherwise(lit(0.0)).as("sr"))
-          val tot = raw.agg(Stats.sfold(col("sr")).as("tot"))
-          // the plan references `strengths` twice per round (s_i and s_j
-          // sides) — cut every second iteration so the lineage grows at
-          // most 4x between cuts instead of doubling ten times
-          strengths = raw.crossJoin(broadcast(tot)).crossJoin(broadcast(nPlayers))
-            .select(col("src"), (col("sr") * col("np") / col("tot")).as("s"))
-          if (i % 2 == 0) strengths = strengths.transform(Skew.cut)
-        }
-        strengths.join(wins, Seq("src"))
-          .join(games.groupBy(col("i").as("src")).agg(sum(col("n")).as("gi")), Seq("src"))
-          .select(col("src").as("source"), col("wi").as("wins"),
-            col("gi").as("games"), round(col("s"), 6).as("strength"))
+        // The whole MM trajectory runs as ONE packed fold: the win
+        // matrix is |sources|²-bounded (a dimension), so it packs into
+        // a single row and the 10 iterations are an aggregate() over
+        // sequence(1, K) — one job, zero per-iteration exchanges or
+        // eager cuts, where the loop form paid 3 joins + 2 aggregates
+        // per MM step. Bit-identical to the loop (and the unrolled
+        // MATERIALIZED-CTE oracle): the iterate covers exactly the
+        // game-participant set P (the loop's wins ⋈ denom inner join
+        // restricts to P after step 1, with gameless sources' initial
+        // 1.0 never referenced), every denominator and the normalizer
+        // array_sort their terms — Stats.sfold's exact summation
+        // order — and the normalizer multiplies by the FULL wins count
+        // np before dividing, exactly as the loop does.
+        val packed = wins.agg(
+            sort_array(collect_list(struct(col("src"), col("wi")))).as("ws"))
+          .crossJoin(broadcast(games.agg(
+            collect_list(struct(col("i"), col("j"), col("n"))).as("gs"))))
+          .crossJoin(broadcast(nPlayers))
+          .withColumn("ps", expr(
+            "array_sort(array_distinct(transform(gs, g -> g.i)))"))
+          .withColumn("wv", expr(
+            "transform(ps, pl -> filter(ws, w -> w.src = pl)[0].wi)"))
+        def den(pl: String, k: String) =
+          s"""aggregate(array_sort(transform(filter(gs, g -> g.i = $pl),
+                g -> g.n / (element_at(s, $k + 1) +
+                  element_at(s, CAST(array_position(ps, g.j) AS INT))))),
+              CAST(0.0 AS DOUBLE), (a, x) -> a + x)"""
+        val sFinal = packed.withColumn("sf", expr(
+          s"""aggregate(sequence(1, $BtIterations),
+               transform(ps, pl -> CAST(1.0 AS DOUBLE)),
+               (s, it) -> transform(
+                 transform(ps, (pl, k) ->
+                   IF(${den("pl", "k")} > 0,
+                     element_at(wv, k + 1) / ${den("pl", "k")},
+                     CAST(0.0 AS DOUBLE))),
+                 sr -> sr * np / aggregate(
+                   array_sort(transform(ps, (pl, k) ->
+                     IF(${den("pl", "k")} > 0,
+                       element_at(wv, k + 1) / ${den("pl", "k")},
+                       CAST(0.0 AS DOUBLE)))),
+                   CAST(0.0 AS DOUBLE), (a, x) -> a + x)))""").as("sf"))
+        sFinal.select(explode(expr(
+            """transform(ps, (pl, k) -> struct(
+                 pl AS source,
+                 element_at(wv, k + 1) AS wins,
+                 aggregate(filter(gs, g -> g.i = pl), CAST(0 AS BIGINT),
+                   (a, g) -> a + g.n) AS games,
+                 round(element_at(sf, k + 1), 6) AS strength))""")).as("r"))
+          .select(col("r.source"), col("r.wins"), col("r.games"),
+            col("r.strength"))
           .orderBy(col("strength").desc, col("source"))
       },
       Some(bradleyTerrySql)),

@@ -434,4 +434,46 @@ class StreamingSpec extends SparkSpec {
     val r3 = q(spark, dir).collect()
     assert(r3.length == 2, s"regenerated fixture must produce a fresh sink: ${r3.toSeq}")
   }
+
+  test("AvailableNow backfill writes the same partitioned output as the batch A12 sink") {
+    // the reference's job is incremental export; this pins that the
+    // streaming sink in batch-backfill mode (Trigger.AvailableNow over
+    // the orders fixture, same A4-A7 transform, same partitionBy) lands
+    // CONTENT-identical rows under the IDENTICAL hive partition layout
+    // as the batch exporter — so a deployment can switch the A12 sink
+    // between batch and streaming ingestion without a migration
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.etl.{Export, ExportConfig}
+    val batchOut = tmpDir("bf_batch")
+    val streamBase = tmpDir("bf_stream")
+    val (streamOut, cp) = (s"$streamBase/out", s"$streamBase/cp")
+    val cfg = ExportConfig(
+      inputDir = sfDir, outputDir = batchOut,
+      startDate = Some("1996-01-01"), endDate = Some("1997-12-31"),
+      dateColumns = Map("orders" -> Some("o_orderdate")))
+    assert(Export.run(spark, cfg).forall(_.isRight))
+    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet").parquet(sfDir)
+    val q = Export.transform(stream, Some("o_orderdate"),
+        Some("1996-01-01"), Some("1997-12-31"))
+      .writeStream.format("parquet")
+      .partitionBy("part_year")
+      .option("path", streamOut).option("checkpointLocation", cp)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // identical hive layout...
+    def partDirs(root: String) =
+      new java.io.File(root).listFiles().filter(_.isDirectory)
+        .map(_.getName).filterNot(_ == "_spark_metadata").toSet
+    assert(partDirs(s"$batchOut/orders") == partDirs(streamOut),
+      s"${partDirs(s"$batchOut/orders")} vs ${partDirs(streamOut)}")
+    // ...and identical content, row for row, partition value included
+    val a = spark.read.parquet(s"$batchOut/orders")
+      .orderBy("o_orderkey").collect().toSeq
+    val b = spark.read.parquet(streamOut)
+      .selectExpr(a.head.schema.fieldNames.map(n => s"`$n`"): _*)
+      .orderBy("o_orderkey").collect().toSeq
+    assert(a == b, s"backfill diverged: batch=${a.take(1)} stream=${b.take(1)}")
+  }
 }
