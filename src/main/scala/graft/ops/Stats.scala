@@ -2573,6 +2573,338 @@ object Stats {
         FROM agg, t""")),
 
     Q(
+      "stats_cliffs_delta",
+      "Cliff's delta nonparametric effect size between English and " +
+        "French document lengths — the magnitude companion to " +
+        "stats_mann_whitney's significance: \u03b4 = (#(a>b) \u2212 " +
+        "#(a<b)) / (n_a\u00b7n_b), read off the SAME scalable " +
+        "rank spine (per-value group counts, bucket-partitioned " +
+        "cumulative windows + broadcast prefix offsets — no " +
+        "unpartitioned window, no O(n\u00b2) pair join): for each " +
+        "distinct value, B's count there multiplies A's exact " +
+        "below/above cumulative counts. Everything is integer until " +
+        "the single final division; the conventional " +
+        "negligible/small/medium/large label rides along.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .filter(col("lang").isin("en", "fr"))
+          .select(col("n_chars").as("v"),
+            when(col("lang") === "en", lit("a")).otherwise(lit("b")).as("g"))
+        val vc = d.groupBy("v").agg(
+          count(when(col("g") === "a", 1)).as("ca"),
+          count(when(col("g") === "b", 1)).as("cb"))
+        val bkt = vc.withColumn("b", floor(col("v") / 1024L).cast("long"))
+        val wIn = Window.partitionBy("b").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bkt.withColumn("ia", sum("ca").over(wIn))
+        val offs = bucketPrefixOffsets(
+          bkt.groupBy("b").agg(sum("ca").as("sa"), sum("cb").as("sb")), "b")
+        val tot = vc.agg(sum("ca").as("na0"), sum("cb").as("nb0"))
+        val agg = cum.join(broadcast(offs), Seq("b"))
+          .crossJoin(broadcast(tot))
+          .withColumn("belowA", col("oa") + col("ia") - col("ca"))
+          .withColumn("aboveA", col("na0") - col("oa") - col("ia"))
+          .agg(
+            sum(col("cb").cast("decimal(38,0)") * col("aboveA")).as("gt"),
+            sum(col("cb").cast("decimal(38,0)") * col("belowA")).as("lt"),
+            sum(col("cb").cast("decimal(38,0)") * col("ca")).as("eq"))
+        val delta = (col("gt") - col("lt")).cast("double") /
+          (col("na0").cast("double") * col("nb0"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("na0").as("na"), col("nb0").as("nb"),
+            col("gt").cast("long").as("n_gt"),
+            col("lt").cast("long").as("n_lt"),
+            col("eq").cast("long").as("n_ties"),
+            round(delta, 6).as("cliffs_delta"),
+            when(abs(delta) < 0.147, "negligible")
+              .when(abs(delta) < 0.33, "small")
+              .when(abs(delta) < 0.474, "medium")
+              .otherwise("large").as("magnitude"))
+      },
+      Some("""WITH d AS (SELECT n_chars AS v,
+            CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS g
+          FROM documents WHERE lang IN ('en', 'fr')),
+        vc AS (SELECT v, count(*) FILTER (WHERE g = 'a') AS ca,
+            count(*) FILTER (WHERE g = 'b') AS cb FROM d GROUP BY 1),
+        c AS (SELECT v, ca, cb,
+            CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma FROM vc),
+        t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+            CAST(sum(cb) AS BIGINT) AS nb FROM vc),
+        agg AS (SELECT
+            sum(CAST(cb AS HUGEINT) * (na - cuma)) AS gt,
+            sum(CAST(cb AS HUGEINT) * (cuma - ca)) AS lt,
+            sum(CAST(cb AS HUGEINT) * ca) AS eq
+          FROM c, t)
+        SELECT na, nb,
+          CAST(gt AS BIGINT) AS n_gt, CAST(lt AS BIGINT) AS n_lt,
+          CAST(eq AS BIGINT) AS n_ties,
+          round(CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)
+            AS cliffs_delta,
+          CASE WHEN abs(CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * nb)) < 0.147
+              THEN 'negligible'
+            WHEN abs(CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * nb)) < 0.33
+              THEN 'small'
+            WHEN abs(CAST(gt - lt AS DOUBLE) / (CAST(na AS DOUBLE) * nb)) < 0.474
+              THEN 'medium'
+            ELSE 'large' END AS magnitude
+        FROM agg, t""")),
+
+    Q(
+      "stats_anderson_darling",
+      "Anderson\u2013Darling normality test of order values per " +
+        "market segment — the tail-sensitive upgrade to " +
+        "stats_ks_test's uniform-band statistic. The classic " +
+        "rank-paired form \u03a3(2i\u22121)[ln\u03a6(z_(i)) + " +
+        "ln(1\u2212\u03a6(z_(n+1\u2212i)))] is re-indexed so each " +
+        "row contributes (2i\u22121)\u00b7ln\u03a6(z_i) + " +
+        "(2n\u22122i+1)\u00b7ln(1\u2212\u03a6(z_i)) — NO " +
+        "self-join pairing row i with row n+1\u2212i; ranks come " +
+        "from a segment-partitioned window, moments from exact " +
+        "integer-cent power sums, \u03a6 is the engine-portable " +
+        "polynomial, and the per-segment reduction is a sorted " +
+        "fold — bit-identical in DuckDB at any parallelism.",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .join(broadcast(Tables.t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("seg"), col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("c"))
+        val mom = o.groupBy("seg").agg(
+          count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("s1"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
+        val w = Window.partitionBy("seg").orderBy(col("c"), col("o_orderkey"))
+        val terms = o
+          .withColumn("i", row_number().over(w).cast("long"))
+          .join(broadcast(mom), Seq("seg"))
+          .withColumn("mu", col("s1").cast("double") / col("n"))
+          .withColumn("sd", sqrt(
+            (col("s2").cast("double") - col("s1").cast("double")
+              * col("s1").cast("double") / col("n"))
+              / (col("n").cast("double") - 1)))
+          .withColumn("phi", normCdf((col("c").cast("double") - col("mu")) / col("sd")))
+          .withColumn("term",
+            (col("i") * 2 - 1).cast("double")
+                * log(greatest(col("phi"), lit(1e-300))) +
+              (col("n") * 2 - col("i") * 2 + 1).cast("double")
+                * log(greatest(lit(1.0) - col("phi"), lit(1e-300))))
+        terms.groupBy("seg", "n")
+          .agg(sfold(col("term")).as("s"))
+          .select(col("seg"), col("n"),
+            round(-col("n").cast("double") - col("s") / col("n"), 6).as("a2"),
+            round((-col("n").cast("double") - col("s") / col("n"))
+              * (lit(1.0) + lit(0.75) / col("n")
+                + lit(2.25) / (col("n").cast("double") * col("n"))), 6)
+              .as("a2_star"))
+          .orderBy("seg")
+      },
+      Some(s"""WITH o AS (SELECT c_mktsegment AS seg, o_orderkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        mom AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(c AS HUGEINT)) AS s1,
+            sum(CAST(c AS HUGEINT) * c) AS s2
+          FROM o GROUP BY 1),
+        rk AS (SELECT seg, c,
+            CAST(row_number() OVER (PARTITION BY seg ORDER BY c, o_orderkey) AS BIGINT) AS i
+          FROM o),
+        z AS (SELECT rk.seg, n,
+            (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+              / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                  * CAST(s1 AS DOUBLE) / n) / (CAST(n AS DOUBLE) - 1)) AS zz,
+            i
+          FROM rk JOIN mom ON rk.seg = mom.seg),
+        terms AS (SELECT seg, n,
+            CAST(i * 2 - 1 AS DOUBLE)
+                * ln(greatest(${normCdfSql("zz")}, 1e-300)) +
+              CAST(n * 2 - i * 2 + 1 AS DOUBLE)
+                * ln(greatest(1.0 - ${normCdfSql("zz")}, 1e-300)) AS term
+          FROM z),
+        agg AS (SELECT seg, n,
+            list_reduce(list_sort(list(term)), (a, b) -> a + b) AS s
+          FROM terms GROUP BY 1, 2)
+        SELECT seg, n,
+          round(-CAST(n AS DOUBLE) - s / n, 6) AS a2,
+          round((-CAST(n AS DOUBLE) - s / n)
+            * (1.0 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n)), 6) AS a2_star
+        FROM agg ORDER BY seg""")),
+
+    Q(
+      "stats_brier_decomposition",
+      "Murphy decomposition of the Brier score for a length-based " +
+        "is-this-English classifier (p = \u03c3((n_chars\u2212\u03bc)/" +
+        "\u03c3_x), the same z-scored logistic shape " +
+        "text_quality_logistic fits): Brier = reliability \u2212 " +
+        "resolution + uncertainty + within-bin variance, over 10 " +
+        "fixed-width probability bins. Moments come from exact " +
+        "integer character sums; every float mean (per-bin p\u0304, " +
+        "the Brier sum, both decomposition sums) is a sorted fold; " +
+        "outcome rates are exact integer ratios — the whole " +
+        "decomposition replays bit-identically in DuckDB. The " +
+        "calibration companion to stats_calibration_ece, adding the " +
+        "resolution/uncertainty split ECE can't see.",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("n_chars").cast("long").as("x"),
+            (col("lang") === "en").cast("long").as("y"))
+        val mom = d.agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("s1"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("s2"),
+          sum(col("y")).as("sy"))
+        val scored = d.crossJoin(broadcast(mom))
+          .withColumn("mu", col("s1").cast("double") / col("n"))
+          .withColumn("sd", sqrt(
+            (col("s2").cast("double") - col("s1").cast("double")
+              * col("s1").cast("double") / col("n"))
+              / (col("n").cast("double") - 1)))
+          .withColumn("p", lit(1.0) /
+            (lit(1.0) + exp((col("mu") - col("x")) / col("sd"))))
+          .withColumn("k", least(floor(col("p") * 10), lit(9L)))
+        val bins = scored.groupBy("k").agg(
+          count(lit(1)).as("nk"),
+          (sfold(col("p")) / count(lit(1))).as("pbar"),
+          sum(col("y")).as("syk"))
+        val brier = scored.agg(
+          (sfold((col("p") - col("y")) * (col("p") - col("y")))
+            / first(col("n"))).as("brier"))
+        val decomp = bins.crossJoin(broadcast(mom))
+          .withColumn("ybar_k", col("syk").cast("double") / col("nk"))
+          .withColumn("ybar", col("sy").cast("double") / col("n"))
+          .agg(
+            (sfold(col("nk") * (col("pbar") - col("ybar_k"))
+              * (col("pbar") - col("ybar_k"))) / first(col("n"))).as("reliability"),
+            (sfold(col("nk") * (col("ybar_k") - col("ybar"))
+              * (col("ybar_k") - col("ybar"))) / first(col("n"))).as("resolution"),
+            first(col("ybar") * (lit(1.0) - col("ybar"))).as("uncertainty"))
+        brier.crossJoin(broadcast(decomp)).crossJoin(broadcast(mom))
+          .select(col("n"),
+            round(col("brier"), 6).as("brier"),
+            round(col("reliability"), 6).as("reliability"),
+            round(col("resolution"), 6).as("resolution"),
+            round(col("uncertainty"), 6).as("uncertainty"),
+            round(col("brier") - (col("reliability") - col("resolution")
+              + col("uncertainty")), 6).as("within_bin_var"))
+      },
+      Some("""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(x AS HUGEINT)) AS s1,
+            sum(CAST(x AS HUGEINT) * x) AS s2,
+            CAST(sum(y) AS BIGINT) AS sy
+          FROM d),
+        scored AS (SELECT x, y,
+            1.0 / (1.0 + exp(((CAST(s1 AS DOUBLE) / n) - x)
+              / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                  * CAST(s1 AS DOUBLE) / n) / (CAST(n AS DOUBLE) - 1)))) AS p
+          FROM d, mom),
+        binned AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS k, p, y
+          FROM scored),
+        bins AS (SELECT k, CAST(count(*) AS BIGINT) AS nk,
+            list_reduce(list_sort(list(p)), (a, b) -> a + b) / count(*) AS pbar,
+            CAST(sum(y) AS BIGINT) AS syk
+          FROM binned GROUP BY 1),
+        brier AS (SELECT
+            list_reduce(list_sort(list((p - y) * (p - y))), (a, b) -> a + b)
+              / (SELECT n FROM mom) AS brier
+          FROM scored),
+        decomp AS (SELECT
+            list_reduce(list_sort(list(nk * (pbar - CAST(syk AS DOUBLE) / nk)
+              * (pbar - CAST(syk AS DOUBLE) / nk))), (a, b) -> a + b)
+              / (SELECT n FROM mom) AS reliability,
+            list_reduce(list_sort(list(nk * (CAST(syk AS DOUBLE) / nk
+                - CAST(sy AS DOUBLE) / n)
+              * (CAST(syk AS DOUBLE) / nk - CAST(sy AS DOUBLE) / n))),
+              (a, b) -> a + b) / (SELECT n FROM mom) AS resolution,
+            any_value(CAST(sy AS DOUBLE) / n
+              * (1.0 - CAST(sy AS DOUBLE) / n)) AS uncertainty
+          FROM bins, mom)
+        SELECT n, round(brier, 6) AS brier,
+          round(reliability, 6) AS reliability,
+          round(resolution, 6) AS resolution,
+          round(uncertainty, 6) AS uncertainty,
+          round(brier - (reliability - resolution + uncertainty), 6)
+            AS within_bin_var
+        FROM brier, decomp, mom""")),
+
+    Q(
+      "stats_permutation_test",
+      "Paired sign-flip permutation test on the daily purchase\u2212" +
+        "click mean-value gap: the exact-replay alternative to " +
+        "stats_welch_t's normality assumption. The day series packs " +
+        "into ONE row (calendar-bounded); the observed statistic and " +
+        "all 200 sign-flipped replicates are sorted folds inside a " +
+        "single expression, with each day's sign drawn from the " +
+        "engine-portable md5 hash of (replicate, date) — so DuckDB " +
+        "replays every one of the 200 permutation sums bit for bit " +
+        "and the p-value (add-one convention) is exact, not " +
+        "seeded-RNG rows-only. At scale the daily reduction is the " +
+        "only corpus pass; the permutation sweep touches a " +
+        "days-long array 200 times.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(to_date(col("ts").cast("timestamp")).as("d"),
+            col("event_type").as("t"), col("value"))
+        val daily = e.groupBy("d", "t")
+          .agg((sfold(col("value")) / count(lit(1))).as("m"))
+        val diffs = daily.filter(col("t") === "purchase")
+          .select(col("d"), col("m").as("mp"))
+          .join(daily.filter(col("t") === "click")
+            .select(col("d"), col("m").as("mc")), Seq("d"))
+          .select(col("d"), (col("mp") - col("mc")).as("diff"))
+        val tFold = "aggregate(array_sort(transform(ds, x -> x.diff)), " +
+          "CAST(0.0 AS DOUBLE), (a, y) -> a + y)"
+        val permFold = "aggregate(array_sort(transform(ds, x -> " +
+          "IF(pmod(CAST(conv(substring(md5(concat('perm:', " +
+          "CAST(b AS STRING), ':', CAST(x.d AS STRING))), 1, 8), 16, 10) " +
+          "AS BIGINT), 2) = 0, x.diff, -x.diff))), " +
+          "CAST(0.0 AS DOUBLE), (a, y) -> a + y)"
+        diffs
+          .agg(sort_array(collect_list(struct(col("d"), col("diff")))).as("ds"))
+          .select(
+            size(col("ds")).cast("long").as("n_days"),
+            expr(s"round($tFold, 6)").as("t_obs"),
+            expr(s"""size(filter(transform(sequence(1, 200), b -> $permFold),
+              sb -> abs(sb) >= abs($tFold)))""").cast("long").as("n_extreme"),
+            expr(s"""round((1.0D + size(filter(
+                transform(sequence(1, 200), b -> $permFold),
+                sb -> abs(sb) >= abs($tFold)))) / 201.0D, 6)""").as("p_value"))
+      },
+      Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+            event_type AS t, value
+          FROM events WHERE event_type IN ('purchase', 'click')),
+        daily AS (SELECT d, t,
+            list_reduce(list_sort(list(value)), (a, b) -> a + b) / count(*) AS m
+          FROM e GROUP BY 1, 2),
+        diffs AS (SELECT p.d, p.m - c.m AS diff
+          FROM (SELECT d, m FROM daily WHERE t = 'purchase') p
+          JOIN (SELECT d, m FROM daily WHERE t = 'click') c USING (d)),
+        pk AS (SELECT list(struct_pack(d := d, diff := diff) ORDER BY d) AS ds
+          FROM diffs),
+        obs AS (SELECT ds,
+            list_reduce(list_sort(list_transform(ds, x -> x.diff)),
+              (a, b) -> a + b) AS t_obs
+          FROM pk),
+        perms AS (SELECT t_obs,
+            list_transform(range(1, 201), b ->
+              list_reduce(list_sort(list_transform(ds, x ->
+                CASE WHEN ${PortableHash.hexHashSql(
+                  "'perm:' || CAST(b AS VARCHAR) || ':' || CAST(x.d AS VARCHAR)")}
+                    % 2 = 0 THEN x.diff ELSE -x.diff END)),
+                (a, y) -> a + y)) AS sbs
+          FROM obs),
+        cnt AS (SELECT t_obs,
+            len(list_filter(sbs, sb -> abs(sb) >= abs(t_obs))) AS n_extreme
+          FROM perms)
+        SELECT (SELECT count(*) FROM diffs) AS n_days,
+          round(t_obs, 6) AS t_obs,
+          CAST(n_extreme AS BIGINT) AS n_extreme,
+          round((1.0 + n_extreme) / 201.0, 6) AS p_value
+        FROM cnt""")),
+
+    Q(
       "ts_autocorr",
       "Autocorrelation function of each event type's daily-mean " +
         "series at lags 1–5 (seasonality/memory detection — the " +
