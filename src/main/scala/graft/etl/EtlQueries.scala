@@ -71,6 +71,124 @@ object EtlQueries {
         GROUP BY 1 ORDER BY lang""")),
 
     Q(
+      "etl_connector_nested",
+      "NESTED columns through the DSv2 connector boundary — the " +
+        "reference's data model is nested Mongo documents passed " +
+        "through whole (main.py:129; subdocuments/arrays → Arrow " +
+        "struct/list): embeddings' array<float> column is read via " +
+        "`format(\"docstore\")` (standard 3-level parquet LIST groups " +
+        "→ InternalRow arrays inside the connector), then aggregated " +
+        "per label with order-independent exact stats (count, min/max " +
+        "of the first component, min/max dimension) so any element " +
+        "loss, reorder, or null corruption through the nested read " +
+        "path is a hash mismatch. DocStoreSpec additionally pins " +
+        "nested-pruned projections and residual filters over nested " +
+        "paths.",
+      (s, dir) => {
+        val e = graft.sources.DocStoreTableSource(dir).read(s, "embeddings")
+        e.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            round(min(element_at(col("embedding"), 1)).cast("double"), 6).as("min_e0"),
+            round(max(element_at(col("embedding"), 1)).cast("double"), 6).as("max_e0"),
+            min(size(col("embedding"))).as("min_dim"),
+            max(size(col("embedding"))).as("max_dim"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, count(*) AS n_vecs,
+          round(CAST(min(embedding[1]) AS DOUBLE), 6) AS min_e0,
+          round(CAST(max(embedding[1]) AS DOUBLE), 6) AS max_e0,
+          CAST(min(len(embedding)) AS INT) AS min_dim,
+          CAST(max(len(embedding)) AS INT) AS max_dim
+        FROM embeddings GROUP BY 1 ORDER BY label""")),
+
+    Q(
+      "etl_connector_count",
+      "Aggregate pushdown through the connector (A13's count the way " +
+        "a real document store answers countDocuments): the ungrouped " +
+        "count/min/max cross SupportsPushDownAggregates and are " +
+        "answered from row-group FOOTER STATISTICS — row counts, " +
+        "min/max live in the metadata, so the scan reads ZERO data " +
+        "pages (DocStoreSpec pins the metadata-only read schema and " +
+        "the PushedAggregation marker). At 100 TB this is the " +
+        "difference between a free catalog lookup and a full store " +
+        "scan. Timestamps compare as epoch µs so both engines hash " +
+        "identically.",
+      (s, dir) => {
+        val o = graft.sources.DocStoreTableSource(dir).read(s, "orders")
+        o.agg(count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .select(col("n"), col("min_key"), col("max_key"))
+      },
+      Some("""SELECT count(*) AS n, min(o_orderkey) AS min_key,
+          max(o_orderkey) AS max_key FROM orders""")),
+
+    Q(
+      "etl_connector_join",
+      "Cost-based join planning ACROSS the connector boundary: both " +
+        "orders and customer are read via `format(\"docstore\")` with " +
+        "NO broadcast hint — the connector's SupportsReportStatistics " +
+        "(row counts + projected-column uncompressed bytes straight " +
+        "from parquet footers) tells Catalyst the pruned customer " +
+        "side is small, and JoinSelection picks BroadcastHashJoin on " +
+        "its own (DocStoreSpec pins the plan). Without footer stats a " +
+        "DSv2 scan reports the conf-default infinite size and this " +
+        "join would shuffle BOTH sides — the 100 TB failure mode for " +
+        "every connector-read dimension table. Result: per-segment " +
+        "order counts and exact-cents totals.",
+      (s, dir) => {
+        val src = graft.sources.DocStoreTableSource(dir)
+        val o = src.read(s, "orders").select("o_custkey", "o_totalprice")
+        val c = src.read(s, "customer").select("c_custkey", "c_mktsegment")
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("segment")
+      },
+      Some("""SELECT c_mktsegment AS segment, count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY segment""")),
+
+    Q(
+      "etl_connector_sink",
+      "The full ETL round trip through the DSv2 boundary (A12 joined " +
+        "up with A4/A5): orders flow through the connector's " +
+        "STAGED-COMMIT partitioned zstd parquet sink (tasks write " +
+        "under _staging-<queryId>, only the job commit publishes — a " +
+        "failed job leaves the store untouched), routed into Hive " +
+        "o_year=<YYYY> directories exactly like the reference's " +
+        "year=<YYYY> layout (main.py:92-100), then read BACK through " +
+        "the same connector with the partition column recovered from " +
+        "directory names, and aggregated per year. The oracle computes " +
+        "the same aggregate straight from the source table, so any " +
+        "row, value, or partition-routing corruption through the " +
+        "write/commit/list/read path is a hash mismatch.",
+      (s, dir) => {
+        val store = graft.Scratch.once(s"etl_docstore_sink:$dir") { p =>
+          Tables.t(s, dir, "orders")
+            .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
+            .write.format("docstore").option("path", p)
+            .option("partitionBy", "o_year").mode("overwrite").save()
+        }
+        s.read.format("docstore").option("path", store).load()
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"),
+            countDistinct(col("o_custkey")).as("n_custs"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total,
+          count(DISTINCT o_custkey) AS n_custs
+        FROM orders GROUP BY 1 ORDER BY o_year""")),
+
+    Q(
       "etl_orc_sink_roundtrip",
       "End-to-end exercise of a SECOND sink format (A12 generalized " +
         "beyond parquet): orders flow through a partitioned zstd ORC " +
@@ -85,11 +203,12 @@ object EtlQueries {
         "round-trips doubles bit-exactly; the cents cast keeps the " +
         "SUM order-independent).",
       (s, dir) => {
-        val out = graft.Scratch.dir()
-        Tables.t(s, dir, "orders")
-          .withColumn("o_year", year(col("o_orderdate")).cast("int"))
-          .write.mode("overwrite").option("compression", "zstd")
-          .partitionBy("o_year").orc(out)
+        val out = graft.Scratch.once(s"etl_orc_sink:$dir") { p =>
+          Tables.t(s, dir, "orders")
+            .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+            .write.mode("overwrite").option("compression", "zstd")
+            .partitionBy("o_year").orc(p)
+        }
         s.read.orc(out)
           .groupBy(col("o_year").cast("int").as("o_year"))
           .agg(count(lit(1)).as("n_orders"),

@@ -744,30 +744,62 @@ object Dedup {
         "precision is exact because every rejection is verified.",
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
-        val store = graft.Scratch.dir()
-        hyperplaneBanded(e.filter(pmod(col("vec_id"), lit(10)) < 8))
-          .write.mode("overwrite").parquet(store)
+        val store = graft.Scratch.once(s"dedup_band_store:$dir") { p =>
+          hyperplaneBanded(e.filter(pmod(col("vec_id"), lit(10)) < 8))
+            .write.mode("overwrite").parquet(p)
+        }
         val hist = s.read.parquet(store)
         val batch = hyperplaneBanded(
           e.filter(pmod(col("vec_id"), lit(10)) >= 8))
-        val hitStore = batch.as("b")
-          .join(hist.as("h"), col("b.band") === col("h.band") &&
-            col("b.bucket") === col("h.bucket"))
-          .filter(VectorOps.cosine(col("b.embedding"), col("h.embedding")) >= 0.4)
-          .select(col("b.vec_id").as("vec_id")).distinct()
-        val hitEarlier = batch.as("a")
-          .join(batch.as("b2"), col("a.band") === col("b2.band") &&
-            col("a.bucket") === col("b2.bucket") &&
-            col("b2.vec_id") < col("a.vec_id"))
-          .filter(VectorOps.cosine(col("a.embedding"), col("b2.embedding")) >= 0.4)
-          .select(col("a.vec_id").as("vec_id")).distinct()
-        batch.select("vec_id").distinct()
-          .join(hitStore, Seq("vec_id"), "left_anti")
-          .join(hitEarlier, Seq("vec_id"), "left_anti")
-          .orderBy("vec_id")
+        incrementalEmbeddingServe(hist, batch)
       },
       Some(s"""WITH $hyperplaneBandedCtes,
         store AS (SELECT * FROM banded WHERE vec_id % 10 < 8),
+        batch AS (SELECT * FROM banded WHERE vec_id % 10 >= 8),
+        hit_store AS (SELECT DISTINCT b.vec_id FROM batch b
+          JOIN store h ON b.band = h.band AND b.bucket = h.bucket
+          WHERE ${VectorOps.duckCosine("b.embedding", "h.embedding")} >= 0.4),
+        hit_earlier AS (SELECT DISTINCT a.vec_id FROM batch a
+          JOIN batch b2 ON a.band = b2.band AND a.bucket = b2.bucket
+            AND b2.vec_id < a.vec_id
+          WHERE ${VectorOps.duckCosine("a.embedding", "b2.embedding")} >= 0.4)
+        SELECT DISTINCT vec_id FROM batch
+        WHERE vec_id NOT IN (SELECT vec_id FROM hit_store)
+          AND vec_id NOT IN (SELECT vec_id FROM hit_earlier)
+        ORDER BY vec_id""")),
+
+    Q(
+      "dedup_incremental_tombstone",
+      "TOMBSTONE handling in the persisted band store — the " +
+        "delete/compaction path dedup_incremental_embedding lacks " +
+        "(its store only ever grows): a deletion batch (vec_id ≡ 4 " +
+        "mod 10 — the right-to-be-forgotten slice of history) is " +
+        "applied to the LOADED store as an anti-join before serving, " +
+        "so a new vector whose only collision was a deleted vector " +
+        "is correctly ADMITTED — exactly what a compaction that " +
+        "physically rewrote the store would produce (banding is " +
+        "per-row, so filter-after-band ≡ band-after-filter; " +
+        "DedupSpec pins serve-after-delete equality with a fresh " +
+        "build on the filtered history). Ingest cost is unchanged — " +
+        "O(batch × bucket density) — plus one broadcast-able " +
+        "tombstone-id anti-join; history is never re-banded.",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val store = graft.Scratch.once(s"dedup_band_store:$dir") { p =>
+          hyperplaneBanded(e.filter(pmod(col("vec_id"), lit(10)) < 8))
+            .write.mode("overwrite").parquet(p)
+        }
+        val tombstones = e.filter(pmod(col("vec_id"), lit(10)) === 4)
+          .select(col("vec_id"))
+        val hist = s.read.parquet(store)
+          .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+        val batch = hyperplaneBanded(
+          e.filter(pmod(col("vec_id"), lit(10)) >= 8))
+        incrementalEmbeddingServe(hist, batch)
+      },
+      Some(s"""WITH $hyperplaneBandedCtes,
+        store AS (SELECT * FROM banded
+          WHERE vec_id % 10 < 8 AND vec_id % 10 != 4),
         batch AS (SELECT * FROM banded WHERE vec_id % 10 >= 8),
         hit_store AS (SELECT DISTINCT b.vec_id FROM batch b
           JOIN store h ON b.band = h.band AND b.bucket = h.bucket
@@ -1252,7 +1284,7 @@ object Dedup {
     * against a plane literal (unrolled — a HOF lambda over a planes
     * array would interpret per element). Shared by
     * [[embeddingLshScored]] and the multi-probe query. */
-  private[ops] def hyperplaneBanded(e: DataFrame): DataFrame = {
+  private[graft] def hyperplaneBanded(e: DataFrame): DataFrame = {
     val bandsN = 4
     val bitsPerBand = 4
     val planes = lshPlanes
@@ -1267,6 +1299,34 @@ object Dedup {
         explode(array((0 until bandsN).map(bn =>
           struct(lit(bn).as("band"), col(s"bucket_$bn").as("bucket"))): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** Serve a banded NEW batch against a banded history store: a batch
+    * vector is rejected iff an exact-cosine-verified (≥ `thr`)
+    * collision exists in the store or in an earlier batch vector
+    * (doc-id precedence); survivors come back ordered. Shared by
+    * dedup_incremental_embedding (grow-only store) and
+    * dedup_incremental_tombstone (store minus a deletion batch) — and
+    * by DedupSpec's serve-after-delete-vs-fresh-build equality pin. */
+  private[graft] def incrementalEmbeddingServe(
+      hist: DataFrame,
+      batch: DataFrame,
+      thr: Double = 0.4): DataFrame = {
+    val hitStore = batch.as("b")
+      .join(hist.as("h"), col("b.band") === col("h.band") &&
+        col("b.bucket") === col("h.bucket"))
+      .filter(VectorOps.cosine(col("b.embedding"), col("h.embedding")) >= thr)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    val hitEarlier = batch.as("a")
+      .join(batch.as("b2"), col("a.band") === col("b2.band") &&
+        col("a.bucket") === col("b2.bucket") &&
+        col("b2.vec_id") < col("a.vec_id"))
+      .filter(VectorOps.cosine(col("a.embedding"), col("b2.embedding")) >= thr)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    batch.select("vec_id").distinct()
+      .join(hitStore, Seq("vec_id"), "left_anti")
+      .join(hitEarlier, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
   }
 
   /** DuckDB CTE block ending in `banded(vec_id, embedding, band,

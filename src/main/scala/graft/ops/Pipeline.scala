@@ -1023,8 +1023,9 @@ object Pipeline {
         "last. The anti-clumping guarantee a hash shuffle " +
         "(pipeline_corpus_shuffle) gives only in expectation, made " +
         "exact — the curriculum-mixing primitive. Within-source " +
-        "ranks ride per-source windows (each source is its own " +
-        "partition); the source index is a dimension-sized " +
+        "ranks ride [[Skew.groupedRank]] (range-partitioned per-group " +
+        "rank + broadcast offsets, not a 20-way source window); the " +
+        "source index is a dimension-sized " +
         "broadcast; the audit output is per-source position " +
         "statistics (first slot, mean stride = |sources| exactly).",
       (s, dir) => {
@@ -1039,8 +1040,9 @@ object Pipeline {
           .select(col("pos").cast("long").as("sidx"),
             col("col").as("source"))
         val nSrc = srcIdx.agg(count(lit(1)).as("ns"))
-        val w = Window.partitionBy("source").orderBy("doc_id")
-        val pos = d.withColumn("rk", row_number().over(w) - 1)
+        val pos = Skew.groupedRank(d, Seq("source"), Seq(col("doc_id")),
+            rankCol = "__gr")
+          .withColumn("rk", col("__gr") - 1).drop("__gr")
           .join(broadcast(srcIdx), "source")
           .crossJoin(broadcast(nSrc))
           .select(col("source"),

@@ -723,14 +723,21 @@ object Relational {
       "window_distribution",
       "Distribution window functions: percent_rank and cume_dist per " +
         "market segment (exact rational values — identical operands both " +
-        "engines, no rounding needed).",
+        "engines, no rounding needed). Ranks ride [[Skew.groupedRank]] " +
+        "(range-partitioned per-group rank + broadcast offsets + the " +
+        "per-group total) instead of a window partitioned by the " +
+        "5-value segment — the order includes the unique key, so " +
+        "rank = row_number and pr = (r−1)/(n−1), cd = r/n are the " +
+        "same divisions percent_rank/cume_dist evaluate.",
       (s, dir) => {
         val c = Tables.t(s, dir, "customer")
-        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
-        c.select(
+        Skew.groupedRank(c, Seq("c_mktsegment"),
+            Seq(col("c_acctbal"), col("c_custkey")),
+            rankCol = "__r", totalCol = Some("__n"))
+          .select(
             col("c_custkey"), col("c_mktsegment"),
-            percent_rank().over(w).as("pr"),
-            cume_dist().over(w).as("cd"))
+            ((col("__r") - 1).cast("double") / (col("__n") - 1).cast("double")).as("pr"),
+            (col("__r").cast("double") / col("__n").cast("double")).as("cd"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_mktsegment,

@@ -665,20 +665,22 @@ object Scalars {
         "no other order in the group dominates on (price, quantity): " +
         "sort each group by price desc, a row is on the frontier iff " +
         "its quantity strictly exceeds the running max of all " +
-        "higher-priced rows. One partitioned window over exact " +
-        "integer cents/quantities — the multi-objective shortlist " +
-        "operator (best trade-offs, not a single ranking) that has " +
-        "no direct SQL builtin.",
+        "higher-priced rows. The running max rides " +
+        "[[Skew.groupedPrefixMax]] (range-partitioned per-group " +
+        "exclusive prefix max + broadcast offsets) instead of a " +
+        "window partitioned by the 3-value returnflag — exact " +
+        "integer cents/quantities either way. The multi-objective " +
+        "shortlist operator (best trade-offs, not a single ranking) " +
+        "that has no direct SQL builtin.",
       (s, dir) => {
         val li = Tables.t(s, dir, "lineitem")
           .select(col("l_returnflag").as("grp"),
             col("l_orderkey"), col("l_linenumber"),
             round(col("l_extendedprice") * 100).cast("long").as("price_c"),
             round(col("l_quantity")).cast("long").as("qty"))
-        val w = Window.partitionBy("grp")
-          .orderBy(col("price_c").desc, col("l_orderkey"), col("l_linenumber"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        li.withColumn("qmax", max("qty").over(w))
+        Skew.groupedPrefixMax(li, Seq("grp"),
+            Seq(col("price_c").desc, col("l_orderkey"), col("l_linenumber")),
+            "qty", outCol = "qmax")
           .filter(col("qmax").isNull || col("qty") > col("qmax"))
           .select(col("grp"), col("l_orderkey"), col("l_linenumber"),
             round(col("price_c") / 100.0, 2).as("price"), col("qty"))

@@ -682,11 +682,12 @@ object Similarity {
         "on cid — one corpus scan per serve batch.",
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
-        val idx = graft.Scratch.dir()
-        // BUILD once: the book is the persisted index artifact
-        e.filter(col("vec_id") < 8)
-          .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
-          .write.mode("overwrite").parquet(idx)
+        // BUILD once per process: the book is the persisted index artifact
+        val idx = graft.Scratch.once(s"sim_index_book:$dir") { p =>
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+            .write.mode("overwrite").parquet(p)
+        }
         // SERVE: everything below reads the persisted artifact
         val book = s.read.parquet(idx)
         val queries = e.filter(col("vec_id") < 5)
@@ -760,10 +761,12 @@ object Similarity {
         "corpus.",
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
-        val idx = graft.Scratch.dir()
-        e.filter(col("vec_id") < 8)
-          .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
-          .write.mode("overwrite").parquet(idx)
+        // the SAME artifact sim_index_serve persists (shared memo key)
+        val idx = graft.Scratch.once(s"sim_index_book:$dir") { p =>
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+            .write.mode("overwrite").parquet(p)
+        }
         val book = s.read.parquet(idx)
         val batch = e.filter(pmod(col("vec_id"), lit(10)) >= 8)
         batch.crossJoin(broadcast(packCentroids(book)))
@@ -788,6 +791,102 @@ object Similarity {
           FROM sc)
         SELECT vec_id, cid, round(cos, 6) AS cos_sim
         FROM rk WHERE rn = 1 ORDER BY vec_id""")),
+
+    Q(
+      "sim_index_rebuild_plan",
+      "Index MAINTENANCE decision — the third act of the persisted-" +
+        "index lifecycle (train → serve → decide rebuild vs keep): " +
+        "the corpus is assigned against the PERSISTED centroid book " +
+        "(same parquet artifact sim_index_serve writes), and each " +
+        "list's health is scored by (a) centroid drift — cosine " +
+        "between the stored centroid and its current members' mean " +
+        "(scale-invariant, so per-dimension member SUMS suffice; " +
+        "8×64 cells, every float sum a sorted fold) — and (b) " +
+        "imbalance k·size/n, the probe-fan-out bound sim_ivf_balance " +
+        "monitors. Verdict per list: drift below 0.98 → 'retrain', " +
+        "fan-out above 2× even → 'split', else 'keep' — the plan a " +
+        "production pipeline turns into rebuild jobs instead of " +
+        "blindly retraining the whole 100 TB index. One corpus scan " +
+        "(shuffle-free packed-centroid fold), k-row everything after.",
+      (s, dir) => {
+        def foldSum(c: Column): Column =
+          aggregate(sort_array(collect_list(c)), lit(0.0), (a, x) => a + x)
+        val e = Tables.t(s, dir, "embeddings")
+        val idx = graft.Scratch.once(s"sim_index_book:$dir") { p =>
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+            .write.mode("overwrite").parquet(p)
+        }
+        val book = s.read.parquet(idx)
+        val assigned = e.crossJoin(broadcast(packCentroids(book)))
+          .select(col("vec_id"), col("embedding"),
+            nearestByCosine(col("embedding"), col("cs"))
+              .getField("c").getField("cid").as("cid"))
+        val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("sz"))
+        val tot = sizes.agg(sum("sz").as("n"), count(lit(1)).as("k"))
+        val cells = assigned
+          .select(col("cid"), posexplode(col("embedding")))
+          .select(col("cid"), col("pos"), col("col").cast("double").as("v"))
+          .groupBy("cid", "pos").agg(foldSum(col("v")).as("mv"))
+        val bookCells = book
+          .select(col("cid"), posexplode(col("ce")))
+          .select(col("cid"), col("pos"), col("col").cast("double").as("cv"))
+        val drift = cells.join(bookCells, Seq("cid", "pos"))
+          .groupBy("cid")
+          .agg(foldSum(col("mv") * col("cv")).as("dot"),
+            foldSum(col("mv") * col("mv")).as("nm"),
+            foldSum(col("cv") * col("cv")).as("nc"))
+          .select(col("cid"),
+            (col("dot") / (sqrt(col("nm")) * sqrt(col("nc")))).as("ccos"))
+        sizes.join(drift, Seq("cid")).crossJoin(broadcast(tot))
+          .withColumn("fanout",
+            col("k").cast("double") * col("sz") / col("n").cast("double"))
+          .select(col("cid"), col("sz").as("list_size"),
+            round(col("ccos"), 4).as("centroid_cos"),
+            round(col("fanout"), 4).as("imbalance"),
+            when(col("ccos") < 0.98, "retrain")
+              .when(col("fanout") > 2.0, "split")
+              .otherwise("keep").as("action"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH cents AS (
+          SELECT CAST(vec_id AS INT) AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id < 8),
+        sc AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+            ${VectorOps.duckCosine("e.embedding", "c.ce")} AS cos
+          FROM embeddings e CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT vec_id, embedding, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM sc)
+          WHERE rn = 1),
+        sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz
+          FROM assigned GROUP BY 1),
+        tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n, count(*) AS k FROM sizes),
+        cells AS (SELECT cid, i - 1 AS pos,
+            list_reduce(list_sort(list(CAST(embedding[CAST(i AS INT)] AS DOUBLE))),
+              (a, b) -> a + b) AS mv
+          FROM assigned, unnest(range(1, 65)) AS t(i)
+          GROUP BY 1, 2),
+        bk AS (SELECT cid, i - 1 AS pos,
+            CAST(ce[CAST(i AS INT)] AS DOUBLE) AS cv
+          FROM cents, unnest(range(1, 65)) AS t(i)),
+        drift AS (SELECT cells.cid,
+            list_reduce(list_sort(list(mv * cv)), (a, b) -> a + b) /
+              (sqrt(list_reduce(list_sort(list(mv * mv)), (a, b) -> a + b)) *
+               sqrt(list_reduce(list_sort(list(cv * cv)), (a, b) -> a + b))) AS ccos
+          FROM cells JOIN bk ON cells.cid = bk.cid AND cells.pos = bk.pos
+          GROUP BY 1)
+        SELECT sizes.cid AS cid, sz AS list_size,
+          round(ccos, 4) AS centroid_cos,
+          round(CAST(k AS DOUBLE) * sz / n, 4) AS imbalance,
+          CASE WHEN ccos < 0.98 THEN 'retrain'
+            WHEN CAST(k AS DOUBLE) * sz / n > 2.0 THEN 'split'
+            ELSE 'keep' END AS action
+        FROM sizes JOIN drift ON sizes.cid = drift.cid, tot
+        ORDER BY 1""")),
 
     Q(
       "sim_ann_pq",

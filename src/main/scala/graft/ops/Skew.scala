@@ -67,32 +67,38 @@ object Skew {
       case _ => df.localCheckpoint(eager = true)
     }
 
-  /** Salt fan-out when the caller passes `salts = 0` (the default): a
-    * fixed constant caps a hot key at that many tasks no matter how wide
-    * the cluster is (8 tasks for a 10⁶×-median shingle on a 10k-core
-    * cluster would still funnel), so the default tracks
-    * `defaultParallelism` — every task slot can take a slice of the hot
-    * key — with 8 as the floor so toy-local runs still demonstrably
-    * spread. Results are salt-count-invariant by construction (the join
-    * key set is unchanged; salts only route rows), pinned by ScaleSpec
-    * at two explicit widths, so tuning the fan-out can never change an
-    * oracle. Replication cost guard: only [[saltedJoinHot]] replicates
-    * per-salt, and only for the (few) hot keys, so a wider fan-out
-    * costs O(hotKeys × salts) tiny rows, not a full small-side copy. */
+  /** CEILING on [[saltedJoinHot]]'s per-key salt fan-out when the caller
+    * passes `salts = 0` (the default): a hot key never spreads wider
+    * than the cluster has task slots (`defaultParallelism`; floor 8 so
+    * toy-local runs still demonstrably spread). The ACTUAL width of each
+    * hot key is derived from its observed skew — see [[saltedJoinHot]] —
+    * so a barely-hot key at ~threshold df replicates ~8 ways while a
+    * 10⁶×-threshold monster takes the full cluster. Results are
+    * salt-count-invariant by construction (the join key set is
+    * unchanged; salts only route rows), pinned by ScaleSpec at two
+    * explicit widths, so tuning the fan-out can never change an oracle. */
   def adaptiveSalts(df: DataFrame): Int =
     math.max(8, df.sparkSession.sparkContext.defaultParallelism)
 
-  /** Inner equi-join of `big` and `small` on `key`, salted `salts` ways
-    * (0 → [[adaptiveSalts]]). `spreadBy` drives the salt for the big
-    * side — any column(s) that vary within a key (a row id, a
-    * timestamp); kept deterministic so results are reproducible. */
+  /** Inner equi-join of `big` and `small` on `key`, salted `salts` ways.
+    * `spreadBy` drives the salt for the big side — any column(s) that
+    * vary within a key (a row id, a timestamp); kept deterministic so
+    * results are reproducible.
+    *
+    * BLANKET salting: replicates the ENTIRE small side `salts`×, so the
+    * default is a small constant — NOT cluster width; an adaptive
+    * default here would copy the whole small side `defaultParallelism`
+    * times (10,000× on a 10k-core cluster). Prefer [[saltedJoinHot]],
+    * which replicates only the measured-hot keys and right-sizes each
+    * key's fan-out; use this form only when every key is known hot and
+    * the small side is tiny. */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
       key: String,
       spreadBy: Column,
-      salts: Int = 0): DataFrame = {
-    val n = if (salts > 0) salts else adaptiveSalts(big)
+      salts: Int = 8): DataFrame = {
+    val n = math.max(1, salts)
     val b = big.withColumn("__salt", pmod(xxhash64(spreadBy), lit(n.toLong)))
     val s = small.withColumn("__salt", explode(typedlit((0L until n.toLong).toSeq)))
     b.join(s, Seq(key, "__salt")).drop("__salt")
@@ -101,14 +107,25 @@ object Skew {
   /** Hot-key-only salting: blanket salting replicates the whole small
     * side `salts`×, but in the power-law reality only a handful of keys
     * are hot. Single-pass formulation: each side gets a broadcast
-    * hot-key flag; the big side salts hot rows (cold rows take salt 0),
-    * the small side replicates ONLY hot rows across all salts (cold
-    * rows take the one-element salt list) — then one equi-join on
-    * (key, salt). No semi/anti split, no union, each input read once.
-    * The hot-key set is exact (one aggregated pass over the big side's
-    * keys, map-side combined, broadcast back); at extreme scale the
-    * same set can come from a sample instead. Results are identical to
-    * `big.join(small, key)` for any threshold. */
+    * hot-key fan-out; the big side salts hot rows (cold rows take salt
+    * 0), the small side replicates ONLY hot rows across that key's
+    * salts (cold rows take the one-element salt list) — then one
+    * equi-join on (key, salt). No semi/anti split, no union, each input
+    * read once. The hot-key set is exact (one aggregated pass over the
+    * big side's keys, map-side combined, broadcast back); at extreme
+    * scale the same set can come from a sample instead.
+    *
+    * Per-key fan-out ∝ observed skew: each hot key spreads
+    * `clamp(df / hotThreshold, 8, salts|adaptiveSalts)` ways, computed
+    * from the same `__df` histogram that detects hotness — zero extra
+    * passes. A df-23 key at threshold 20 gets the 8-way floor (its
+    * replication cost stays ~8 rows); a key a million times over
+    * threshold takes every task slot. Replication cost is therefore
+    * O(Σ_hot min(df_k/threshold, cluster)) tiny rows — proportional to
+    * the skew actually present, never a flat cluster-width copy.
+    * Results are identical to `big.join(small, key)` for any threshold
+    * and any width (salts route rows, never change them; ScaleSpec pins
+    * this at two explicit widths). */
   def saltedJoinHot(
       big: DataFrame,
       small: DataFrame,
@@ -116,19 +133,22 @@ object Skew {
       spreadBy: Column,
       salts: Int = 0,
       hotThreshold: Long = 1000000L): DataFrame = {
-    val n = if (salts > 0) salts else adaptiveSalts(big)
+    val nMax = (if (salts > 0) salts else adaptiveSalts(big)).toLong
     val hot = big.groupBy(key).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > hotThreshold)
-      .select(col(key), lit(true).as("__hot"))
+      .select(col(key),
+        least(greatest(idiv(col("__df"), lit(hotThreshold)), lit(8L)),
+          lit(nMax)).as("__n"))
     val b = big.join(broadcast(hot), Seq(key), "left")
       .withColumn("__salt",
-        when(col("__hot"), pmod(xxhash64(spreadBy), lit(n.toLong))).otherwise(0L))
-      .drop("__hot")
+        when(col("__n").isNotNull, pmod(xxhash64(spreadBy), col("__n")))
+          .otherwise(0L))
+      .drop("__n")
     val s = small.join(broadcast(hot), Seq(key), "left")
       .withColumn("__salt",
-        explode(when(col("__hot"), typedlit((0L until n.toLong).toSeq))
+        explode(when(col("__n").isNotNull, sequence(lit(0L), col("__n") - 1))
           .otherwise(typedlit(Seq(0L)))))
-      .drop("__hot")
+      .drop("__n")
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
 
@@ -199,6 +219,139 @@ object Skew {
       case Some(t) => ranked.withColumnRenamed("__n", t)
       case None => ranked.drop("__n")
     }
+  }
+
+  /** PER-GROUP row_number at cluster width — the grouped twin of
+    * [[globalRank]] for windows partitioned by a BOUNDED-cardinality
+    * dimension (language, segment, source), where a plain
+    * `Window.partitionBy(dim)` caps the ranking stage at |dim| tasks
+    * (1/5th of the fact table on one task for a 5-value segment at
+    * 100 TB). Shape: range-repartition on (grpCols ++ sortCols) — each
+    * group's rows occupy a contiguous, sorted run of partitions — rank
+    * locally per (partition, group) cell, then add broadcast
+    * per-(group, partition) prefix offsets. The offsets frame has one
+    * row per (group × partitions-it-touches) ≤ groups + width — tiny
+    * at any scale. `totalCol` optionally rides the per-GROUP total
+    * along (for percent_rank / cume_dist / ntile denominators).
+    * Output is bit-identical to `row_number().over(Window.partitionBy
+    * (grp).orderBy(sort))` for any total (tie-broken) sort order —
+    * same argument as [[globalRank]], applied within each group; the
+    * same load-bearing [[cut]] prevents the two consumers of the
+    * range exchange from sampling different boundaries. */
+  def groupedRank(
+      df: DataFrame,
+      grpCols: Seq[String],
+      sortCols: Seq[Column],
+      numParts: Int = 0,
+      rankCol: String = "__rank",
+      totalCol: Option[String] = None): DataFrame = {
+    val width = if (numParts > 0) numParts else spineParts(df)
+    val keys = grpCols.map(col) ++ sortCols
+    val parted = cut(df.repartitionByRange(width, keys: _*)
+      .withColumn("__pid", spark_partition_id().cast("long")))
+    val counts = parted
+      .groupBy((grpCols :+ "__pid").map(col): _*)
+      .agg(count(lit(1)).as("__pc"))
+    val offsets = counts.groupBy(grpCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__pid"), col("__pc")))).as("a"))
+      .select(grpCols.map(col) ++ Seq(
+        explode(expr(
+          "transform(a, (x, i) -> struct(x.__pid AS __pid, " +
+            "aggregate(slice(a, 1, i), CAST(0 AS BIGINT), " +
+            "(acc, y) -> acc + y.__pc) AS __off))")).as("o"),
+        expr("aggregate(a, CAST(0 AS BIGINT), (acc, y) -> acc + y.__pc)")
+          .as("__n")): _*)
+      .select(grpCols.map(col) ++ Seq(col("o.__pid").as("__pid"),
+        col("o.__off").as("__off"), col("__n")): _*)
+    val w = Window.partitionBy((grpCols :+ "__pid").map(col): _*)
+      .orderBy(sortCols: _*)
+    val ranked = parted
+      .withColumn("__lr", row_number().over(w))
+      .join(broadcast(offsets), grpCols :+ "__pid")
+      .withColumn(rankCol, col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__off")
+    totalCol match {
+      case Some(t) => ranked.withColumnRenamed("__n", t)
+      case None => ranked.drop("__n")
+    }
+  }
+
+  /** Per-group INCLUSIVE running sum of a long column at cluster
+    * width — the cumulative-sum twin of [[groupedRank]]: same range
+    * partitioning, per-(group, partition) cell SUMS become the
+    * broadcast prefix offsets, the local window does the in-cell
+    * cumsum. Bit-identical to `sum(v).over(Window.partitionBy(grp)
+    * .orderBy(sort).rowsBetween(unboundedPreceding, currentRow))` for
+    * any tie-broken sort (integer addition is associative — no float
+    * caveat; the column must be integral). */
+  def groupedRunningSum(
+      df: DataFrame,
+      grpCols: Seq[String],
+      sortCols: Seq[Column],
+      valueCol: String,
+      numParts: Int = 0,
+      outCol: String = "__cum"): DataFrame = {
+    val width = if (numParts > 0) numParts else spineParts(df)
+    val parted = cut(df.repartitionByRange(width, grpCols.map(col) ++ sortCols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long")))
+    val cells = parted
+      .groupBy((grpCols :+ "__pid").map(col): _*)
+      .agg(sum(col(valueCol)).as("__pc"))
+    val offsets = cells.groupBy(grpCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__pid"), col("__pc")))).as("a"))
+      .select(grpCols.map(col) :+ explode(expr(
+        "transform(a, (x, i) -> struct(x.__pid AS __pid, " +
+          "aggregate(slice(a, 1, i), CAST(0 AS BIGINT), " +
+          "(acc, y) -> acc + y.__pc) AS __off))")).as("o"): _*)
+      .select(grpCols.map(col) ++ Seq(col("o.__pid").as("__pid"),
+        col("o.__off").as("__off")): _*)
+    val w = Window.partitionBy((grpCols :+ "__pid").map(col): _*)
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("__lc", sum(col(valueCol)).over(w))
+      .join(broadcast(offsets), grpCols :+ "__pid")
+      .withColumn(outCol, col("__off") + col("__lc"))
+      .drop("__pid", "__lc", "__off")
+  }
+
+  /** Per-group EXCLUSIVE running max of a long column at cluster
+    * width (max over all STRICTLY PRECEDING rows in the group's sort
+    * order; NULL on each group's first row) — the skyline/frontier
+    * primitive. Same spine: per-(group, partition) cell maxes prefix-
+    * combine (strictly-earlier partitions only) into broadcast
+    * offsets; the local window takes `rowsBetween(unboundedPreceding,
+    * -1)`; `greatest` merges the two (null-skipping, so the result is
+    * NULL exactly when no predecessor exists). */
+  def groupedPrefixMax(
+      df: DataFrame,
+      grpCols: Seq[String],
+      sortCols: Seq[Column],
+      valueCol: String,
+      numParts: Int = 0,
+      outCol: String = "__pmax"): DataFrame = {
+    val width = if (numParts > 0) numParts else spineParts(df)
+    val parted = cut(df.repartitionByRange(width, grpCols.map(col) ++ sortCols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long")))
+    val cells = parted
+      .groupBy((grpCols :+ "__pid").map(col): _*)
+      .agg(max(col(valueCol)).as("__pm"))
+    val offsets = cells.groupBy(grpCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__pid"), col("__pm")))).as("a"))
+      .select(grpCols.map(col) :+ explode(expr(
+        "transform(a, (x, i) -> struct(x.__pid AS __pid, " +
+          "aggregate(slice(a, 1, i), CAST(NULL AS BIGINT), " +
+          "(acc, y) -> greatest(acc, y.__pm)) AS __off))")).as("o"): _*)
+      .select(grpCols.map(col) ++ Seq(col("o.__pid").as("__pid"),
+        col("o.__off").as("__off")): _*)
+    val w = Window.partitionBy((grpCols :+ "__pid").map(col): _*)
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("__lm", max(col(valueCol)).over(w))
+      .join(broadcast(offsets), grpCols :+ "__pid")
+      .withColumn(outCol, greatest(col("__off"), col("__lm")))
+      .drop("__pid", "__lm", "__off")
   }
 
   /** ntile(k) reconstructed from a global rank: SQL-standard semantics

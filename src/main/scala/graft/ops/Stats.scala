@@ -2651,33 +2651,56 @@ object Stats {
 
     Q(
       "stats_anderson_darling",
-      "Anderson\u2013Darling normality test of order values per " +
+      "Anderson–Darling normality test of order values per " +
         "market segment — the tail-sensitive upgrade to " +
-        "stats_ks_test's uniform-band statistic. The classic " +
-        "rank-paired form \u03a3(2i\u22121)[ln\u03a6(z_(i)) + " +
-        "ln(1\u2212\u03a6(z_(n+1\u2212i)))] is re-indexed so each " +
-        "row contributes (2i\u22121)\u00b7ln\u03a6(z_i) + " +
-        "(2n\u22122i+1)\u00b7ln(1\u2212\u03a6(z_i)) — NO " +
-        "self-join pairing row i with row n+1\u2212i; ranks come " +
-        "from a segment-partitioned window, moments from exact " +
-        "integer-cent power sums, \u03a6 is the engine-portable " +
-        "polynomial, and the per-segment reduction is a sorted " +
-        "fold — bit-identical in DuckDB at any parallelism.",
+        "stats_ks_test's uniform-band statistic, on the SAME " +
+        "bucketed rank spine as stats_cliffs_delta (per-value " +
+        "counts, bucket-partitioned cumulative windows + broadcast " +
+        "per-segment prefix offsets) — NOT a window partitioned by " +
+        "the 5-value segment column, which at 100× would sort " +
+        "a fifth of orders⋈customer on one task. The classic " +
+        "rank form Σ(2i−1)·lnΦ(z_i) + " +
+        "(2n−2i+1)·ln(1−Φ(z_i)) regroups " +
+        "exactly over tied values: a run of k ties starting above " +
+        "a strictly-smaller rows contributes weights " +
+        "w₁ = k(2a+k) and w₂ = k(2n−2a−k) " +
+        "(Σ of the per-row coefficients in closed form), so " +
+        "each DISTINCT value is one row of the spine. Moments come " +
+        "from exact integer-cent power sums, Φ is the engine-" +
+        "portable polynomial, and the per-segment reduction is a " +
+        "sorted fold — bit-identical in DuckDB at any parallelism.",
       (s, dir) => {
         val o = Tables.t(s, dir, "orders")
           .join(broadcast(Tables.t(s, dir, "customer")
             .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
             col("o_custkey") === col("c_custkey"))
-          .select(col("seg"), col("o_orderkey"),
+          .select(col("seg"),
             round(col("o_totalprice") * 100).cast("long").as("c"))
         val mom = o.groupBy("seg").agg(
           count(lit(1)).as("n"),
           sum(col("c").cast("decimal(38,0)")).as("s1"),
           sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
-        val w = Window.partitionBy("seg").orderBy(col("c"), col("o_orderkey"))
-        val terms = o
-          .withColumn("i", row_number().over(w).cast("long"))
+        // value spine: one row per distinct (seg, cents); buckets are
+        // value-range-bounded (~width/2^18), so every window partition
+        // is (seg, bucket) — thousands of tasks at any data scale
+        val vc = o.groupBy("seg", "c").agg(count(lit(1)).as("k"))
+        val bkt = vc.withColumn("b", floor(col("c") / 262144L).cast("long"))
+        val wIn = Window.partitionBy("seg", "b").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bkt.withColumn("ik", sum("k").over(wIn))
+        // per-(seg, bucket) totals -> prefix offsets within each segment
+        // (bounded rows: segments x buckets), broadcast back
+        val offs = bkt.groupBy("seg", "b").agg(sum("k").as("sk"))
+          .groupBy("seg")
+          .agg(sort_array(collect_list(struct(col("b"), col("sk")))).as("arr"))
+          .select(col("seg"), explode(expr(
+            "transform(arr, (x, i) -> struct(x.b AS b, " +
+              "aggregate(slice(arr, 1, i), CAST(0 AS BIGINT), " +
+              "(acc, y) -> acc + y.sk) AS off))")).as("o"))
+          .select(col("seg"), col("o.b").as("b"), col("o.off").as("off"))
+        val terms = cum.join(broadcast(offs), Seq("seg", "b"))
           .join(broadcast(mom), Seq("seg"))
+          .withColumn("a", col("off") + col("ik") - col("k"))
           .withColumn("mu", col("s1").cast("double") / col("n"))
           .withColumn("sd", sqrt(
             (col("s2").cast("double") - col("s1").cast("double")
@@ -2685,9 +2708,12 @@ object Stats {
               / (col("n").cast("double") - 1)))
           .withColumn("phi", normCdf((col("c").cast("double") - col("mu")) / col("sd")))
           .withColumn("term",
-            (col("i") * 2 - 1).cast("double")
+            col("k").cast("double")
+                * (col("a").cast("double") * 2 + col("k").cast("double"))
                 * log(greatest(col("phi"), lit(1e-300))) +
-              (col("n") * 2 - col("i") * 2 + 1).cast("double")
+              col("k").cast("double")
+                * (col("n").cast("double") * 2
+                  - col("a").cast("double") * 2 - col("k").cast("double"))
                 * log(greatest(lit(1.0) - col("phi"), lit(1e-300))))
         terms.groupBy("seg", "n")
           .agg(sfold(col("term")).as("s"))
@@ -2699,26 +2725,30 @@ object Stats {
               .as("a2_star"))
           .orderBy("seg")
       },
-      Some(s"""WITH o AS (SELECT c_mktsegment AS seg, o_orderkey,
+      Some(s"""WITH o AS (SELECT c_mktsegment AS seg,
             CAST(round(o_totalprice * 100) AS BIGINT) AS c
           FROM orders JOIN customer ON o_custkey = c_custkey),
         mom AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
             sum(CAST(c AS HUGEINT)) AS s1,
             sum(CAST(c AS HUGEINT) * c) AS s2
           FROM o GROUP BY 1),
-        rk AS (SELECT seg, c,
-            CAST(row_number() OVER (PARTITION BY seg ORDER BY c, o_orderkey) AS BIGINT) AS i
-          FROM o),
-        z AS (SELECT rk.seg, n,
+        vc AS (SELECT seg, c, CAST(count(*) AS BIGINT) AS k
+          FROM o GROUP BY 1, 2),
+        cum AS (SELECT seg, c, k,
+            CAST(sum(k) OVER (PARTITION BY seg ORDER BY c) AS BIGINT) AS ik
+          FROM vc),
+        z AS (SELECT cum.seg, n, k, ik - k AS a,
             (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
-                  * CAST(s1 AS DOUBLE) / n) / (CAST(n AS DOUBLE) - 1)) AS zz,
-            i
-          FROM rk JOIN mom ON rk.seg = mom.seg),
+                  * CAST(s1 AS DOUBLE) / n) / (CAST(n AS DOUBLE) - 1)) AS zz
+          FROM cum JOIN mom ON cum.seg = mom.seg),
         terms AS (SELECT seg, n,
-            CAST(i * 2 - 1 AS DOUBLE)
+            CAST(k AS DOUBLE)
+                * (CAST(a AS DOUBLE) * 2 + CAST(k AS DOUBLE))
                 * ln(greatest(${normCdfSql("zz")}, 1e-300)) +
-              CAST(n * 2 - i * 2 + 1 AS DOUBLE)
+              CAST(k AS DOUBLE)
+                * (CAST(n AS DOUBLE) * 2
+                  - CAST(a AS DOUBLE) * 2 - CAST(k AS DOUBLE))
                 * ln(greatest(1.0 - ${normCdfSql("zz")}, 1e-300)) AS term
           FROM z),
         agg AS (SELECT seg, n,

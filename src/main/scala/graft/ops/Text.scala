@@ -1101,17 +1101,19 @@ object Text {
       "Token-budget batch packing (500 tokens, per source): running " +
         "token cumsum over a per-source window, batch id = prefix-start " +
         "div budget — the deterministic streaming approximation of bin " +
-        "packing every pretraining data loader uses. Partitioned by " +
-        "source so the packing parallelizes (a global pack would be one " +
-        "task; at scale the partition key is the shard).",
+        "packing every pretraining data loader uses. The per-source " +
+        "cumsum rides [[Skew.groupedRunningSum]] (range-partitioned " +
+        "per-group prefix sums + broadcast offsets), so a 20-value " +
+        "source dimension never caps the packing at 20 tasks — at " +
+        "scale the spine width IS the cluster.",
       (s, dir) => {
         val d = Tables.t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            size(split(col("text"), " ")).as("n_tokens"))
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        d.withColumn("cum", sum(col("n_tokens")).over(w))
-          .select(col("doc_id"), col("source"), col("n_tokens"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Skew.groupedRunningSum(d, Seq("source"), Seq(col("doc_id")),
+            "n_tokens", outCol = "cum")
+          .select(col("doc_id"), col("source"),
+            col("n_tokens").cast("int").as("n_tokens"),
             floor((col("cum") - col("n_tokens")) / 500).cast("int").as("batch_id"))
           .orderBy("doc_id")
       },
@@ -2318,8 +2320,10 @@ object Text {
         "order (the rebalancing step before training a classifier on " +
         "skewed classes; sample_stratified keeps proportions, THIS " +
         "equalizes them). The floor is a 1-row broadcast; the " +
-        "keep-set is a row_number per class over the engine-portable " +
-        "md5 race key, so the same documents win in any engine at " +
+        "keep-set is a per-class rank over the engine-portable md5 " +
+        "race key — ridden on [[Skew.groupedRank]] (range-partitioned " +
+        "per-group rank + broadcast offsets, not a 5-way class " +
+        "window) — so the same documents win in any engine at " +
         "any parallelism. Output: per-class before/after (after is " +
         "constant by construction — that IS the property).",
       (s, dir) => {
@@ -2329,8 +2333,8 @@ object Text {
               concat(lit("bal:"), col("doc_id").cast("string"))).as("hk"))
         val m = d.groupBy("lang").agg(count(lit(1)).as("n"))
           .agg(min("n").as("m"))
-        val w = Window.partitionBy("lang").orderBy("hk", "doc_id")
-        d.withColumn("rk", row_number().over(w))
+        Skew.groupedRank(d, Seq("lang"), Seq(col("hk"), col("doc_id")),
+            rankCol = "rk")
           .crossJoin(broadcast(m))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_orig"),

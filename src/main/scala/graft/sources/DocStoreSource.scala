@@ -2,39 +2,47 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
 import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate, Operators}
-import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
-import org.apache.parquet.hadoop.example.GroupReadSupport
-import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.{BlockMetaData, CompressionCodecName}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.io.api.Binary
-import org.apache.parquet.schema.{MessageType, PrimitiveType, Type}
-import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation, TimeUnit}
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types => PTypes}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, ListLogicalTypeAnnotation, MapLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation, TimeUnit}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, SpecializedGetters}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `docstore` — an in-repo DataSource V2 connector with the scan
-  * contract of a document-store connector (the reference's production
-  * read path is the MongoDB Spark connector; reference
+/** `docstore` — an in-repo DataSource V2 connector with the scan AND
+  * sink contract of a document-store connector (the reference's
+  * production read path is the MongoDB Spark connector; reference
   * main.py:288-299 ships the per-collection date range to the server
   * as `$gte`/`$lte` so mongod — not the client — drops out-of-range
-  * documents). This source exercises that exact contract against the
-  * harness fixtures without a network:
+  * documents; main.py:102-234 is the partitioned zstd parquet sink).
+  * This source exercises those contracts against the harness fixtures
+  * without a network:
   *
   *  - [[SupportsPushDownFilters]]: comparison/IN/IsNotNull predicates
   *    on flat columns cross the connector boundary and are evaluated
@@ -42,27 +50,58 @@ import org.apache.spark.unsafe.types.UTF8String
   *    record-level filtering via `FilterApi`), never re-checked by
   *    Spark — `pushFilters` returns only genuinely unsupported
   *    predicates as residual, so a fully-pushed query plans with NO
-  *    post-scan Filter node (ScaleSpec pins this).
-  *  - [[SupportsPushDownRequiredColumns]]: the projected column set is
-  *    handed to the reader, which materializes ONLY those parquet
-  *    columns (plus any filter-only columns, which are read for
-  *    evaluation but never returned) — the document-store analogue of
-  *    a Mongo projection document.
+  *    post-scan Filter node (ScaleSpec pins this). Equality/IN
+  *    predicates on PARTITION columns (recovered from `k=v` directory
+  *    segments, Hive layout) are also pushed and applied at PLANNING
+  *    time: out-of-range partitions are never even listed as splits —
+  *    the 100 TB partition-pruning path.
+  *  - [[SupportsPushDownRequiredColumns]]: the projected column set —
+  *    including NESTED struct subfields — is handed to the reader,
+  *    which materializes ONLY those parquet columns (plus any
+  *    filter-only columns, which are read for evaluation but never
+  *    returned) — the document-store analogue of a Mongo projection
+  *    document.
+  *  - [[SupportsPushDownAggregates]]: ungrouped count(*) / count(col)
+  *    / min / max are answered from row-group FOOTER STATISTICS —
+  *    row counts, null counts and min/max live in the metadata, so a
+  *    bare COUNT over a 100 TB store reads zero data pages (the way a
+  *    real document store answers `countDocuments`). Pushed only when
+  *    exactness is provable: no data filters (they invalidate
+  *    row-group counts; planning-time partition filters are fine, the
+  *    pruning is file-granular), no float/double min/max (NaN makes
+  *    writer stats unreliable), no binary min/max (writers truncate
+  *    long binary stats), and every row group of every file must
+  *    actually carry the needed statistics — else the aggregate stays
+  *    in Spark.
   *  - Splits: one [[InputPartition]] per parquet row group per file
   *    (a directory of files fans out across files AND row groups), so
   *    a 1000-executor cluster reads a 100 TB store with one task per
   *    row group — the same shape the Mongo connector produces with
   *    its SamplePartitioner.
+  *  - [[SupportsWrite]]: a STAGED-COMMIT batch sink (reference A12
+  *    through the same boundary A4/A5 cross) — tasks write zstd
+  *    parquet into a per-query `_staging-<queryId>` directory
+  *    (optionally routed into Hive `k=v` partition subdirectories via
+  *    the `partitionBy` option), and only the driver-side job COMMIT
+  *    moves files into the store; a failed or aborted job leaves the
+  *    store untouched and its staging is deleted. Truncate-on-commit
+  *    gives mode("overwrite") the same guarantee. The table declares
+  *    ACCEPT_ANY_SCHEMA — document stores are schemaless; the writing
+  *    query brings the schema, and a fresh (empty) store infers an
+  *    empty one.
   *
-  * Scope: flat (non-nested) columns of the fixture types — BOOLEAN,
-  * INT32 (plain/DATE), INT64 (plain/TIMESTAMP micros/millis/nanos),
-  * FLOAT, DOUBLE, BINARY (UTF8 string / plain). TIMESTAMP columns are
+  * Column types: BOOLEAN, INT32 (plain/DATE), INT64 (plain/TIMESTAMP
+  * micros/millis/nanos), FLOAT, DOUBLE, BINARY (UTF8 string / plain),
+  * plus NESTED structs, LIST arrays (standard 3-level and legacy
+  * 2-level repeated) and MAPs, recursively — the reference's data
+  * model is nested Mongo documents passed through whole (main.py:129;
+  * subdocuments/arrays → struct/list). TIMESTAMP columns are
   * normalized to Spark's native µs at the reader (NANOS divides,
   * MILLIS multiplies — integer arithmetic, no float), so downstream
   * operators see one timestamp currency no matter what the store
-  * holds, mirroring [[ParquetDirSource]]'s contract. Nested fields
-  * are rejected at schema inference — the ETL layer flattens first
-  * (reference A6). */
+  * holds, mirroring [[ParquetDirSource]]'s contract. Filters on
+  * nested paths stay residual (Spark re-evaluates them post-scan);
+  * only flat-column predicates are pushed. */
 class DocStoreSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "docstore"
@@ -70,9 +109,25 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = DocStore.listFiles(DocStore.pathOf(options))
-    require(files.nonEmpty, s"docstore: no parquet files under ${DocStore.pathOf(options)}")
-    DocStore.toStructType(DocStore.fileSchema(files.head))
+    val path = DocStore.pathOf(options)
+    val listing = DocStore.listFilesWithPartitions(path)
+    if (listing.isEmpty) new StructType() // fresh write target: the writing query brings the schema (ACCEPT_ANY_SCHEMA)
+    else {
+      // one footer per file — the same O(files) metadata pass split
+      // planning does. Schema drift across store files is an ERROR up
+      // front, not a silent misprojection through the first file's
+      // schema.
+      val first = DocStore.fileSchema(listing.head._1)
+      listing.tail.foreach { case (f, _) =>
+        val s = DocStore.fileSchema(f)
+        require(s == first,
+          s"docstore: schema drift across store files — $f has\n$s\nbut ${listing.head._1} has\n$first")
+      }
+      val partFields = listing.head._2.map { case (k, _) =>
+        StructField(k, StringType, nullable = true)
+      }
+      StructType(DocStore.toStructType(first).fields.toSeq ++ partFields)
+    }
   }
 
   override def getTable(
@@ -83,34 +138,50 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
 }
 
 case class DocStoreTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"docstore($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(path, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new DocStoreWriteBuilder(path, info)
 }
 
 /** Receives Spark's pushdown calls. `pushFilters` partitions the
   * predicate set into server-evaluable (kept, returned by
-  * `pushedFilters`, applied exactly by the reader) and residual
-  * (returned to Spark for post-scan evaluation). `pruneColumns`
-  * records the projection. */
+  * `pushedFilters`, applied exactly by the reader or — for partition
+  * columns — by planning-time split pruning) and residual (returned to
+  * Spark for post-scan evaluation). `pruneColumns` records the
+  * (possibly nested-pruned) projection. `pushAggregation` swaps the
+  * scan for a metadata-only statistics scan when exactness is
+  * provable. */
 class DocStoreScanBuilder(path: String, tableSchema: StructType)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var aggSpecs: Option[(Seq[DocStore.AggSpec], StructType)] = None
+
+  // one dir walk, cached for the builder's lifetime
+  private lazy val listing = DocStore.listFilesWithPartitions(path)
+  private lazy val partCols: Set[String] =
+    listing.headOption.map(_._2.map(_._1).toSet).getOrElse(Set.empty)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // a filter is pushable only if the server can evaluate it EXACTLY
     // (same null semantics, same comparison order) — anything else
     // stays Spark-side; never push "approximately"
     val (ok, residual) =
-      filters.partition(f => DocStore.pushable(f, tableSchema))
+      filters.partition(f => DocStore.pushable(f, tableSchema, partCols))
     pushed = ok
     residual
   }
@@ -118,24 +189,136 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // with an aggregate pushed the scan's output IS the agg schema;
+    // the prune call (if any) refers to synthetic agg columns
+    if (aggSpecs.isEmpty) required = requiredSchema
 
-  override def build(): Scan = DocStoreScan(path, tableSchema, required, pushed)
+  /** Partial aggregate pushdown from row-group footer statistics. The
+    * scan emits one pre-aggregated row per file; Spark runs the final
+    * merge (sum of counts, min of mins, max of maxes). Refused unless
+    * every value is provably exact — see the class doc. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions.nonEmpty) return false
+    // data filters invalidate row-group counts; partition filters are
+    // applied at file granularity BEFORE footers are read, so they
+    // compose with statistics exactly
+    if (pushed.exists(f => !DocStore.isPartitionFilter(f, partCols))) return false
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(DocStore.CountStarSpec)
+      case c: Count if !c.isDistinct =>
+        DocStore.flatRef(c.column).filter(statTypeOk(_, needOrder = false))
+          .map(DocStore.CountColSpec)
+      case m: Min =>
+        DocStore.flatRef(m.column).filter(statTypeOk(_, needOrder = true))
+          .map(DocStore.MinSpec)
+      case m: Max =>
+        DocStore.flatRef(m.column).filter(statTypeOk(_, needOrder = true))
+          .map(DocStore.MaxSpec)
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    val flat = specs.flatten
+    val statCols = flat.collect {
+      case DocStore.CountColSpec(c) => c
+      case DocStore.MinSpec(c) => c
+      case DocStore.MaxSpec(c) => c
+    }.distinct
+    val nullCols = flat.collect { case DocStore.CountColSpec(c) => c }.toSet
+    // every row group of every (partition-surviving) file must carry
+    // the needed statistics, or the whole aggregate stays in Spark
+    val files = DocStore.pruneListing(listing, pushed).map(_._1)
+    val ok = files.forall { f =>
+      DocStore.footerBlocks(f).forall { b =>
+        statCols.forall { c =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c).exists { m =>
+            val st = m.getStatistics
+            st != null && !st.isEmpty && (!nullCols(c) || st.isNumNullsSet)
+          }
+        }
+      }
+    }
+    if (!ok) return false
+    val fields = flat.map {
+      case DocStore.CountStarSpec => StructField("count(*)", LongType, nullable = false)
+      case DocStore.CountColSpec(c) => StructField(s"count($c)", LongType, nullable = false)
+      case DocStore.MinSpec(c) => StructField(s"min($c)", tableSchema(c).dataType, nullable = true)
+      case DocStore.MaxSpec(c) => StructField(s"max($c)", tableSchema(c).dataType, nullable = true)
+    }
+    aggSpecs = Some((flat, StructType(fields)))
+    true
+  }
+
+  /** min/max need a stats order that matches Spark's: exact for the
+    * integer-backed types (INT32/INT64, date, timestamp); NOT for
+    * float/double (NaN breaks writer stats) or strings (writers
+    * truncate long binary stats). count(col) only needs null counts,
+    * so any flat supported type qualifies. */
+  private def statTypeOk(c: String, needOrder: Boolean): Boolean =
+    !partCols(c) && tableSchema.fieldNames.contains(c) &&
+      (tableSchema(c).dataType match {
+        case IntegerType | LongType | DateType | TimestampType | TimestampNTZType => true
+        case BooleanType | FloatType | DoubleType | StringType | BinaryType => !needOrder
+        case _ => false
+      })
+
+  override def build(): Scan = aggSpecs match {
+    case Some((specs, schema)) => DocStoreAggScan(path, schema, specs, pushed)
+    case None => DocStoreScan(path, tableSchema, required, pushed)
+  }
 }
 
 /** The scan: fixed (path, projection, pushed predicates). Split
   * planning reads each file's footer once on the driver — the same
   * O(files) metadata pass every parquet-backed connector does — and
-  * emits one partition per row group. */
+  * emits one partition per row group. Partition-column predicates
+  * prune whole files here, before any footer is read. */
 case class DocStoreScan(
     path: String,
     tableSchema: StructType,
     required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter]) extends Scan with Batch with SupportsReportStatistics {
+
+  @transient private lazy val listing = DocStore.listFilesWithPartitions(path)
+  @transient private lazy val partCols: Set[String] =
+    listing.headOption.map(_._2.map(_._1).toSet).getOrElse(Set.empty)
+  @transient private lazy val dataFilters =
+    pushed.filterNot(f => DocStore.isPartitionFilter(f, partCols))
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** Footer-derived estimates so Catalyst's cost decisions work across
+    * the connector boundary: without them a DSv2 scan reports the
+    * conf-default "infinite" size and a connector-read dimension table
+    * never broadcasts — at 100 TB that's a full shuffle of the fact
+    * side where a BroadcastHashJoin was free. Rows = Σ row-group
+    * counts after PLANNING-TIME partition pruning; bytes = Σ the
+    * PROJECTED columns' uncompressed chunk sizes (so pruning columns
+    * shrinks the estimate exactly as it shrinks the read). Data-filter
+    * selectivity is unknown here, so estimates are the exact
+    * post-partition-pruning upper bound — conservative, never
+    * broadcast-happy. */
+  override def estimateStatistics(): Statistics = {
+    val files = DocStore.pruneListing(listing, pushed).map(_._1)
+    var rows = 0L
+    var bytes = 0L
+    val wanted = required.fieldNames.filterNot(partCols).toSet
+    files.foreach { f =>
+      DocStore.footerBlocks(f).foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala.foreach { c =>
+          if (wanted.isEmpty || wanted.contains(c.getPath.toDotString.split("\\.")(0)))
+            bytes += c.getTotalUncompressedSize
+        }
+      }
+    }
+    val (r, s) = (rows, math.max(bytes, 1L))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(s)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(r)
+    }
+  }
 
   override def description(): String =
     s"DocStoreScan path=$path, " +
@@ -144,30 +327,31 @@ case class DocStoreScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = ArrayBuffer.empty[InputPartition]
-    DocStore.listFiles(path).foreach { f =>
+    DocStore.pruneListing(listing, pushed).foreach { case (f, pv) =>
       DocStore.blocksOf(f).foreach { case (start, len) =>
-        parts += DocStorePartition(f, start, len)
+        parts += DocStorePartition(f, start, len, pv)
       }
     }
     parts.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // the reader materializes required ∪ filter-only columns; the
-    // projection string preserves the FILE's physical types so the
-    // server-side predicate conversion is type-exact
-    val filterCols = pushed.flatMap(_.references).distinct
-      .filterNot(c => required.fieldNames.contains(c))
-    DocStoreReaderFactory(
-      required.fields.map(_.name) ++ filterCols,
-      required,
-      tableSchema,
-      pushed)
+    // the reader materializes (required data columns) ∪ (filter-only
+    // data columns); partition columns come from the split's directory
+    // values, filter-only columns are read for evaluation but never
+    // returned
+    val requiredData = required.fields.map(_.name).filterNot(partCols)
+    val filterCols = dataFilters.flatMap(_.references).distinct
+      .filterNot(c => requiredData.contains(c))
+    DocStoreReaderFactory(requiredData ++ filterCols, required, tableSchema, dataFilters)
   }
 }
 
-case class DocStorePartition(file: String, start: Long, length: Long)
-    extends InputPartition
+case class DocStorePartition(
+    file: String,
+    start: Long,
+    length: Long,
+    partValues: Seq[(String, String)]) extends InputPartition
 
 case class DocStoreReaderFactory(
     projectCols: Array[String],
@@ -180,11 +364,12 @@ case class DocStoreReaderFactory(
 }
 
 /** Executor-side reader for one row group: opens the file with the
-  * projected schema and the converted predicate, then converts each
-  * materialized Group to an InternalRow. The byte range selects
-  * exactly this partition's row group (parquet assigns a row group to
-  * the range containing its midpoint), so two partitions never read
-  * the same row twice. */
+  * (nested-pruned) projected schema and the converted predicate, then
+  * converts each materialized Group to an InternalRow. The byte range
+  * selects exactly this partition's row group (parquet assigns a row
+  * group to the range containing its midpoint), so two partitions
+  * never read the same row twice. Partition-column values are emitted
+  * as split-constant strings recovered from the directory layout. */
 class DocStoreReader(
     part: DocStorePartition,
     projectCols: Array[String],
@@ -194,17 +379,24 @@ class DocStoreReader(
 
   private val conf = new Configuration()
   private val fileSchema = DocStore.fileSchema(part.file)
+  private val partVals = part.partValues.toMap
+  private val projSet = projectCols.toSet
 
   // projection in required-column order (filter-only columns appended),
-  // carrying the file's own physical types
+  // carrying the file's own physical types, nested-pruned to the
+  // required struct subfields
   private val projSchema: MessageType = {
+    val dtByName = required.fields.map(f => f.name -> f.dataType).toMap
     val kept =
       if (projectCols.isEmpty)
         // COUNT(*)-style scans prune to zero columns; parquet needs at
         // least one column to drive row materialization — read the
         // narrowest and emit empty rows
         Seq(DocStore.narrowest(fileSchema))
-      else projectCols.toSeq.map(c => fileSchema.getType(Seq(c): _*))
+      else projectCols.toSeq.map { c =>
+        val ft = fileSchema.getType(Seq(c): _*)
+        dtByName.get(c).map(dt => DocStore.projectType(ft, dt)).getOrElse(ft)
+      }
     new MessageType(fileSchema.getName, kept.asJava)
   }
 
@@ -221,10 +413,26 @@ class DocStoreReader(
     }
   }
 
-  // one converter per output column, bound to the projected position
-  private val converters: Array[Group => Any] =
-    required.fields.zipWithIndex.map { case (f, i) =>
-      DocStore.converter(projSchema.getType(i).asPrimitiveType(), i)
+  // per output column: either a converter bound to its projected
+  // position, or a split-constant partition value (projPos -1)
+  private val projPos: Array[Int] = {
+    var j = -1
+    required.fields.map { f =>
+      if (projSet.contains(f.name)) { j += 1; j } else -1
+    }
+  }
+  private val convs: Array[Group => Any] =
+    required.fields.zipWithIndex.map { case (f, k) =>
+      val j = projPos(k)
+      if (j < 0) null
+      else DocStore.converter(projSchema.getType(j), f.dataType, j)
+    }
+  private val consts: Array[Any] =
+    required.fields.map { f =>
+      partVals.get(f.name) match {
+        case Some(DocStore.HiveDefaultPartition) | None => null
+        case Some(v) => UTF8String.fromString(v)
+      }
     }
 
   private var current: Group = _
@@ -236,12 +444,14 @@ class DocStoreReader(
 
   override def get(): InternalRow = {
     val row = new GenericInternalRow(required.length)
-    var i = 0
-    while (i < converters.length) {
-      row.update(i,
-        if (current.getFieldRepetitionCount(i) == 0) null
-        else converters(i)(current))
-      i += 1
+    var k = 0
+    while (k < required.length) {
+      val j = projPos(k)
+      row.update(k,
+        if (j < 0) consts(k)
+        else if (current.getFieldRepetitionCount(j) == 0) null
+        else convs(k)(current))
+      k += 1
     }
     row
   }
@@ -249,8 +459,287 @@ class DocStoreReader(
   override def close(): Unit = reader.close()
 }
 
+// ---------------------------------------------------------------------------
+// Aggregate pushdown: metadata-only scan
+// ---------------------------------------------------------------------------
+
+/** Statistics scan for pushed count/min/max: one partition per file,
+  * each emitting ONE pre-aggregated row combined from that file's
+  * row-group footers — zero data pages are read. An empty store plans
+  * one synthetic partition so count(*) still yields 0 (a no-row scan
+  * would make Spark's final sum-of-counts NULL). */
+case class DocStoreAggScan(
+    path: String,
+    aggSchema: StructType,
+    specs: Seq[DocStore.AggSpec],
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"DocStoreAggScan path=$path, " +
+      s"PushedAggregation: [${specs.map(_.name).mkString(", ")}], " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = DocStore
+      .pruneListing(DocStore.listFilesWithPartitions(path), pushed)
+      .map(_._1)
+    if (files.isEmpty) Array(DocStoreAggPartition(None))
+    else files.map(f => DocStoreAggPartition(Some(f))).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    DocStoreAggReaderFactory(specs)
+}
+
+case class DocStoreAggPartition(file: Option[String]) extends InputPartition
+
+case class DocStoreAggReaderFactory(specs: Seq[DocStore.AggSpec])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new DocStoreAggReader(partition.asInstanceOf[DocStoreAggPartition], specs)
+}
+
+class DocStoreAggReader(part: DocStoreAggPartition, specs: Seq[DocStore.AggSpec])
+    extends PartitionReader[InternalRow] {
+
+  private var emitted = false
+
+  override def next(): Boolean = !emitted && { emitted = true; true }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(specs.length)
+    part.file match {
+      case None =>
+        // empty store: exact zero counts, null extrema
+        specs.zipWithIndex.foreach {
+          case (DocStore.CountStarSpec, i) => row.update(i, 0L)
+          case (DocStore.CountColSpec(_), i) => row.update(i, 0L)
+          case (_, i) => row.update(i, null)
+        }
+      case Some(f) =>
+        val blocks = DocStore.footerBlocks(f)
+        val schema = DocStore.fileSchema(f)
+        specs.zipWithIndex.foreach {
+          case (DocStore.CountStarSpec, i) =>
+            row.update(i, blocks.map(_.getRowCount).sum)
+          case (DocStore.CountColSpec(c), i) =>
+            row.update(i, blocks.map { b =>
+              b.getRowCount - statsOf(b, c).getNumNulls
+            }.sum)
+          case (DocStore.MinSpec(c), i) =>
+            row.update(i, extremum(blocks, schema, c, isMin = true))
+          case (DocStore.MaxSpec(c), i) =>
+            row.update(i, extremum(blocks, schema, c, isMin = false))
+        }
+    }
+    row
+  }
+
+  private def statsOf(b: BlockMetaData, c: String) =
+    b.getColumns.asScala.find(_.getPath.toDotString == c).get.getStatistics
+
+  /** Combine a column's per-row-group min/max into one value in
+    * Spark's internal representation. Row groups whose stats carry no
+    * non-null value contribute nothing; an all-null column yields
+    * null (Spark's min/max ignore nulls). Timestamp units normalize
+    * to µs — min/max commute with a monotone unit change. */
+  private def extremum(
+      blocks: Seq[BlockMetaData],
+      schema: MessageType,
+      c: String,
+      isMin: Boolean): Any = {
+    val p = schema.getType(Seq(c): _*).asPrimitiveType()
+    val vals: Seq[Long] = blocks.flatMap { b =>
+      statsOf(b, c) match {
+        case s: IntStatistics if s.hasNonNullValue =>
+          Some((if (isMin) s.getMin else s.getMax).toLong)
+        case s: LongStatistics if s.hasNonNullValue =>
+          Some(if (isMin) s.getMin else s.getMax)
+        case _ => None
+      }
+    }
+    if (vals.isEmpty) null
+    else {
+      val v = if (isMin) vals.min else vals.max
+      p.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 => v.toInt
+        case _ => p.getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+            case TimeUnit.NANOS => Math.floorDiv(v, 1000L)
+            case TimeUnit.MILLIS => Math.multiplyExact(v, 1000L)
+            case _ => v
+          }
+          case _ => v
+        }
+      }
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------------------
+// Write path: staged-commit partitioned zstd parquet sink
+// ---------------------------------------------------------------------------
+
+/** Builds the batch write. `truncate()` (mode("overwrite")) defers the
+  * delete to job COMMIT: a failed overwrite leaves the store's old
+  * contents fully intact. */
+class DocStoreWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      DocStoreBatchWrite(path, info.schema(),
+        DocStore.partitionByOf(info.options()), info.queryId(), truncateFirst)
+    override def description(): String = s"DocStoreWrite path=$path"
+  }
+}
+
+/** Driver-side commit protocol. Tasks write only under
+  * `<path>/_staging-<queryId>` (underscore-prefixed → invisible to
+  * every reader's listing); commit atomically-enough publishes by
+  * renaming staged files into the store (one rename per file, no data
+  * copy on any sane filesystem), deleting pre-existing data first when
+  * truncating. Abort deletes the staging tree and the store is
+  * untouched. Concurrent writers stage under different queryIds and
+  * never collide. */
+case class DocStoreBatchWrite(
+    path: String,
+    schema: StructType,
+    partitionBy: Seq[String],
+    queryId: String,
+    truncateFirst: Boolean) extends BatchWrite {
+
+  private def staging = s"$path/_staging-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    DocStoreWriterFactory(staging, schema, partitionBy)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    if (truncateFirst) {
+      fs.listStatus(root).foreach { s =>
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (s.isFile && n.endsWith(".parquet")) fs.delete(s.getPath, false)
+          else if (s.isDirectory && n.contains("=")) fs.delete(s.getPath, true)
+        }
+      }
+    }
+    val stagingPath = new Path(staging)
+    messages.foreach {
+      case DocStoreCommitMessage(rels) => rels.foreach { rel =>
+        val dst = new Path(root, rel)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(new Path(stagingPath, rel), dst),
+          s"docstore: commit rename failed for $rel")
+      }
+      case _ =>
+    }
+    fs.delete(stagingPath, true): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val stagingPath = new Path(staging)
+    stagingPath.getFileSystem(new Configuration()).delete(stagingPath, true): Unit
+  }
+}
+
+case class DocStoreCommitMessage(relPaths: Seq[String]) extends WriterCommitMessage
+
+case class DocStoreWriterFactory(
+    staging: String,
+    schema: StructType,
+    partitionBy: Seq[String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DocStoreDataWriter(staging, schema, partitionBy, partitionId, taskId)
+}
+
+/** Task-side writer: routes rows to one open parquet writer per
+  * partition value (Hive `k=v` subdirectories under staging), strips
+  * partition columns from the written data — they live in the path,
+  * exactly like Spark's own sink — and reports its staged files
+  * relative to the staging root so the driver can publish them. */
+class DocStoreDataWriter(
+    staging: String,
+    schema: StructType,
+    partitionBy: Seq[String],
+    partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val conf = new Configuration()
+  private val partIdx: Seq[(String, Int, DataType)] = partitionBy.map { c =>
+    val i = schema.fieldIndex(c)
+    (c, i, schema.fields(i).dataType)
+  }
+  private val dataFields: Seq[(Int, StructField)] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if !partitionBy.contains(f.name) => (i, f)
+    }.toSeq
+  private val msgType = DocStore.toMessageType(
+    StructType(dataFields.map(_._2)))
+  private val factory = new SimpleGroupFactory(msgType)
+
+  private val writers = mutable.LinkedHashMap.empty[String, ParquetWriter[Group]]
+  private val files = ArrayBuffer.empty[String]
+
+  private def writerFor(relDir: String): ParquetWriter[Group] =
+    writers.getOrElseUpdate(relDir, {
+      val rel = (if (relDir.isEmpty) "" else relDir + "/") +
+        f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.parquet"
+      files += rel
+      ExampleParquetWriter
+        .builder(HadoopOutputFile.fromPath(new Path(s"$staging/$rel"), conf))
+        .withType(msgType)
+        .withConf(conf)
+        .withCompressionCodec(CompressionCodecName.ZSTD)
+        .build()
+    })
+
+  override def write(row: InternalRow): Unit = {
+    val relDir = partIdx.map { case (c, i, dt) =>
+      s"$c=${DocStore.partitionValueString(row, i, dt)}"
+    }.mkString("/")
+    val g = factory.newGroup()
+    var j = 0
+    while (j < dataFields.length) {
+      val (i, f) = dataFields(j)
+      if (!row.isNullAt(i)) DocStore.addValue(g, j, f.dataType, row, i)
+      j += 1
+    }
+    writerFor(relDir).write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    DocStoreCommitMessage(files.toSeq)
+  }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = writers.values.foreach(_.close())
+}
+
+// ---------------------------------------------------------------------------
+// Shared schema / predicate / conversion machinery
+// ---------------------------------------------------------------------------
+
 /** Shared schema/predicate machinery for the docstore connector. */
 object DocStore {
+
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -258,20 +747,71 @@ object DocStore {
     p
   }
 
-  /** `path` is one parquet file or a directory of them (non-recursive,
-    * `_`-prefixed metadata files skipped) — resolved through the Hadoop
-    * FileSystem API so any supported filesystem works. */
-  def listFiles(path: String): Seq[String] = {
+  def partitionByOf(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("partitionBy")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** Data files under `path` with partition values parsed from Hive
+    * `k=v` directory segments, resolved through the Hadoop FileSystem
+    * API so any supported filesystem works. `_`/`.`-prefixed names
+    * (staging, markers) are invisible. A missing path is an empty
+    * store, not an error — it's a valid write target. */
+  def listFilesWithPartitions(path: String): Seq[(String, Seq[(String, String)])] = {
     val conf = new Configuration()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val st = fs.getFileStatus(p)
-    if (st.isDirectory)
-      fs.listStatus(p).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-          !s.getPath.getName.startsWith("_"))
-        .map(_.getPath.toString).sorted
-    else Seq(path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty
+    val st = fs.getFileStatus(root)
+    if (!st.isDirectory) return Seq((path, Nil))
+    def walk(dir: Path, pv: Seq[(String, String)]): Seq[(String, Seq[(String, String)])] =
+      fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (s.isDirectory) {
+          val kv = n.split("=", 2)
+          if (kv.length == 2) walk(s.getPath, pv :+ (kv(0) -> kv(1)))
+          else walk(s.getPath, pv)
+        } else if (s.isFile && n.endsWith(".parquet")) Seq((s.getPath.toString, pv))
+        else Nil
+      }
+    walk(root, Nil)
+  }
+
+  def listFiles(path: String): Seq[String] =
+    listFilesWithPartitions(path).map(_._1)
+
+  /** Planning-time partition pruning: drop files whose directory
+    * values cannot satisfy the pushed partition predicates. Data
+    * filters are ignored here (the reader applies them exactly). */
+  def pruneListing(
+      listing: Seq[(String, Seq[(String, String)])],
+      pushed: Array[Filter]): Seq[(String, Seq[(String, String)])] = {
+    val partCols = listing.headOption.map(_._2.map(_._1).toSet).getOrElse(Set.empty)
+    val partFilters = pushed.filter(f => isPartitionFilter(f, partCols))
+    if (partFilters.isEmpty) listing
+    else listing.filter { case (_, pv) =>
+      val m = pv.toMap
+      partFilters.forall(f => partKeeps(m, f))
+    }
+  }
+
+  def isPartitionFilter(f: Filter, partCols: Set[String]): Boolean =
+    f.references.nonEmpty && f.references.forall(partCols.contains)
+
+  private def partKeeps(pv: Map[String, String], f: Filter): Boolean = f match {
+    case EqualTo(c, v) => pv.get(c).contains(partLit(v))
+    case In(c, vs) => vs.exists(v => pv.get(c).contains(partLit(v)))
+    case IsNotNull(c) => pv.get(c).exists(_ != HiveDefaultPartition)
+    case And(l, r) => partKeeps(pv, l) && partKeeps(pv, r)
+    case Or(l, r) => partKeeps(pv, l) || partKeeps(pv, r)
+    case _ => true
+  }
+
+  private def partLit(v: Any): String = v match {
+    case u: UTF8String => u.toString
+    case d: java.sql.Date => d.toLocalDate.toString
+    case d: java.time.LocalDate => d.toString
+    case other => String.valueOf(other)
   }
 
   def fileSchema(file: String): MessageType = {
@@ -283,16 +823,21 @@ object DocStore {
   /** (startingPos, compressedSize) of each row group — the split
     * boundaries; each partition's byte range contains exactly its own
     * block's midpoint. */
-  def blocksOf(file: String): Seq[(Long, Long)] = {
+  def blocksOf(file: String): Seq[(Long, Long)] =
+    footerBlocks(file).map(b => (b.getStartingPos, b.getCompressedSize))
+
+  /** Full row-group metadata (counts + column statistics) — what the
+    * aggregate-pushdown scan answers queries from. */
+  def footerBlocks(file: String): Seq[BlockMetaData] = {
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), new Configuration()))
-    try r.getFooter.getBlocks.asScala.toSeq
-      .map(b => (b.getStartingPos, b.getCompressedSize))
-    finally r.close()
+    try r.getFooter.getBlocks.asScala.toSeq finally r.close()
   }
 
   /** Narrowest primitive column of a file schema — the cheapest column
-    * to drive row counts when the projection is empty. */
+    * to drive row counts when the projection is empty. (A schema with
+    * ONLY nested columns falls back to its first field — correct,
+    * just not cheap; such stores are rare.) */
   def narrowest(schema: MessageType): Type = {
     def width(t: Type): Int = t.asPrimitiveType().getPrimitiveTypeName match {
       case PrimitiveTypeName.BOOLEAN => 1
@@ -300,19 +845,67 @@ object DocStore {
       case PrimitiveTypeName.INT64 | PrimitiveTypeName.DOUBLE => 8
       case _ => 16
     }
-    schema.getFields.asScala.filter(_.isPrimitive).minBy(width)
+    val prims = schema.getFields.asScala.filter(_.isPrimitive)
+    if (prims.isEmpty) schema.getFields.asScala.head else prims.minBy(width)
   }
 
-  /** MessageType → StructType for the supported flat-primitive subset;
-    * nested/repeated fields are an error (the connector's documented
-    * contract — flatten upstream, reference A6). */
+  // ---- parquet schema → Spark schema (recursive) ----
+
+  /** File-source nullability contract: like Spark's own readers, every
+    * field read from files is reported nullable (files come and go; a
+    * REQUIRED column in today's files proves nothing about tomorrow's),
+    * recursively through structs/arrays/maps. */
   def toStructType(schema: MessageType): StructType =
-    StructType(schema.getFields.asScala.toSeq.map { t =>
-      require(t.isPrimitive && !t.isRepetition(Type.Repetition.REPEATED),
-        s"docstore: unsupported nested/repeated field ${t.getName}")
-      StructField(t.getName, catalystType(t.asPrimitiveType()),
-        nullable = !t.isRepetition(Type.Repetition.REQUIRED))
-    })
+    nullify(StructType(structFields(schema))).asInstanceOf[StructType]
+
+  private def nullify(dt: DataType): DataType = dt match {
+    case st: StructType =>
+      StructType(st.fields.map(f =>
+        f.copy(dataType = nullify(f.dataType), nullable = true)))
+    case at: ArrayType => ArrayType(nullify(at.elementType), containsNull = true)
+    case mt: MapType =>
+      MapType(nullify(mt.keyType), nullify(mt.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private def structFields(g: GroupType): Seq[StructField] =
+    g.getFields.asScala.toSeq.map { t =>
+      StructField(t.getName, sparkType(t),
+        nullable = !t.isRepetition(Type.Repetition.REQUIRED) &&
+          !t.isRepetition(Type.Repetition.REPEATED))
+    }
+
+  /** Parquet type → Catalyst type: primitives as before; LIST groups
+    * (standard 3-level `group (LIST) { repeated group { element } }`
+    * and 2-level `group (LIST) { repeated element }`), MAP groups,
+    * legacy bare repeated fields, and plain groups as structs —
+    * recursively, matching Spark's own parquet schema converter on
+    * the fixture shapes. */
+  private def sparkType(t: Type): DataType = t match {
+    case p: PrimitiveType =>
+      val base = catalystType(p)
+      if (p.isRepetition(Type.Repetition.REPEATED)) ArrayType(base, containsNull = false)
+      else base
+    case g: GroupType => g.getLogicalTypeAnnotation match {
+      case _: ListLogicalTypeAnnotation =>
+        g.getType(0) match {
+          case rg: GroupType if rg.isRepetition(Type.Repetition.REPEATED) && rg.getFieldCount == 1 =>
+            val e = rg.getType(0)
+            ArrayType(sparkType(e), containsNull = !e.isRepetition(Type.Repetition.REQUIRED))
+          case e: PrimitiveType => // 2-level: repeated element directly
+            ArrayType(catalystType(e), containsNull = false)
+          case rg: GroupType => // 2-level repeated group element
+            ArrayType(StructType(structFields(rg)), containsNull = false)
+        }
+      case _: MapLogicalTypeAnnotation =>
+        val kv = g.getType(0).asGroupType()
+        MapType(sparkType(kv.getType(0)), sparkType(kv.getType(1)),
+          valueContainsNull = !kv.getType(1).isRepetition(Type.Repetition.REQUIRED))
+      case _ if g.isRepetition(Type.Repetition.REPEATED) =>
+        ArrayType(StructType(structFields(g)), containsNull = false)
+      case _ => StructType(structFields(g))
+    }
+  }
 
   private def catalystType(p: PrimitiveType): DataType = {
     val ann = p.getLogicalTypeAnnotation
@@ -342,48 +935,331 @@ object DocStore {
     }
   }
 
-  /** Converter from a materialized Group's field `i` to the catalyst
-    * internal value, normalizing timestamps to µs. */
-  def converter(p: PrimitiveType, i: Int): Group => Any = {
+  // ---- nested schema pruning ----
+
+  /** Project a file type down to the required Spark type: plain
+    * structs keep only the required subfields (in required order, so
+    * group positions align with the Spark struct); LIST elements and
+    * MAP values prune recursively; primitives and anything
+    * unrecognized pass through whole. This is what makes
+    * `SELECT s.x FROM store` read ONE leaf column of a wide document,
+    * not the whole subtree. */
+  def projectType(ft: Type, dt: DataType): Type = (ft, dt) match {
+    case (g: GroupType, st: StructType)
+        if g.getLogicalTypeAnnotation == null &&
+          !g.isRepetition(Type.Repetition.REPEATED) =>
+      val b = PTypes.buildGroup(g.getRepetition)
+      st.fields.foreach(f => b.addField(projectType(g.getType(f.name), f.dataType)))
+      b.named(g.getName)
+    case (g: GroupType, ArrayType(et, _))
+        if g.getLogicalTypeAnnotation.isInstanceOf[ListLogicalTypeAnnotation] =>
+      g.getType(0) match {
+        case rg: GroupType if rg.isRepetition(Type.Repetition.REPEATED) && rg.getFieldCount == 1 =>
+          val b = PTypes.buildGroup(g.getRepetition)
+            .as(LogicalTypeAnnotation.listType())
+          val rep = PTypes.repeatedGroup()
+            .addField(projectType(rg.getType(0), et))
+            .named(rg.getName)
+          b.addField(rep).named(g.getName)
+        case _ => ft
+      }
+    case (g: GroupType, MapType(kt, vt, _))
+        if g.getLogicalTypeAnnotation.isInstanceOf[MapLogicalTypeAnnotation] =>
+      val kv = g.getType(0).asGroupType()
+      val b = PTypes.buildGroup(g.getRepetition)
+        .as(LogicalTypeAnnotation.mapType())
+      val rep = PTypes.repeatedGroup()
+        .addField(projectType(kv.getType(0), kt))
+        .addField(projectType(kv.getType(1), vt))
+        .named(kv.getName)
+      b.addField(rep).named(g.getName)
+    case (g: GroupType, ArrayType(st: StructType, _))
+        if g.isRepetition(Type.Repetition.REPEATED) =>
+      val b = PTypes.repeatedGroup()
+      st.fields.foreach(f => b.addField(projectType(g.getType(f.name), f.dataType)))
+      b.named(g.getName)
+    case _ => ft
+  }
+
+  // ---- materialized Group → InternalRow (recursive) ----
+
+  /** Value extractor for a primitive at (group, fieldIndex,
+    * occurrence), normalizing timestamps to µs. */
+  private def primAt(p: PrimitiveType): (Group, Int, Int) => Any = {
     val ann = p.getLogicalTypeAnnotation
     p.getPrimitiveTypeName match {
-      case PrimitiveTypeName.BOOLEAN => g => g.getBoolean(i, 0)
-      case PrimitiveTypeName.INT32 => g => g.getInteger(i, 0)
+      case PrimitiveTypeName.BOOLEAN => (g, f, o) => g.getBoolean(f, o)
+      case PrimitiveTypeName.INT32 => (g, f, o) => g.getInteger(f, o)
       case PrimitiveTypeName.INT64 => ann match {
         case t: TimestampLogicalTypeAnnotation => t.getUnit match {
-          case TimeUnit.NANOS => g => Math.floorDiv(g.getLong(i, 0), 1000L)
-          case TimeUnit.MILLIS => g => Math.multiplyExact(g.getLong(i, 0), 1000L)
-          case _ => g => g.getLong(i, 0)
+          case TimeUnit.NANOS => (g, f, o) => Math.floorDiv(g.getLong(f, o), 1000L)
+          case TimeUnit.MILLIS => (g, f, o) => Math.multiplyExact(g.getLong(f, o), 1000L)
+          case _ => (g, f, o) => g.getLong(f, o)
         }
-        case _ => g => g.getLong(i, 0)
+        case _ => (g, f, o) => g.getLong(f, o)
       }
-      case PrimitiveTypeName.FLOAT => g => g.getFloat(i, 0)
-      case PrimitiveTypeName.DOUBLE => g => g.getDouble(i, 0)
+      case PrimitiveTypeName.FLOAT => (g, f, o) => g.getFloat(f, o)
+      case PrimitiveTypeName.DOUBLE => (g, f, o) => g.getDouble(f, o)
       case PrimitiveTypeName.BINARY => ann match {
         case _: StringLogicalTypeAnnotation =>
-          g => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-        case _ => g => g.getBinary(i, 0).getBytes
+          (g, f, o) => UTF8String.fromBytes(g.getBinary(f, o).getBytes)
+        case _ => (g, f, o) => g.getBinary(f, o).getBytes
       }
       case other =>
         throw new IllegalArgumentException(s"docstore: unreadable type $other")
     }
   }
 
-  /** Can the server evaluate this filter exactly? Comparison/IN/
-    * IsNotNull/IsNull on a flat column of a supported type with
-    * non-null literal(s). */
-  def pushable(f: Filter, schema: StructType): Boolean = f match {
+  /** Converter from field `i` of a materialized Group to the catalyst
+    * internal value — recursive over structs, lists (2- and 3-level)
+    * and maps. The projected group's subfields are in required-struct
+    * order (see [[projectType]]), so positional binding is exact. */
+  def converter(t: Type, dt: DataType, i: Int): Group => Any = (t, dt) match {
+    case (p: PrimitiveType, ArrayType(_, _)) if p.isRepetition(Type.Repetition.REPEATED) =>
+      val acc = primAt(p)
+      g => {
+        val n = g.getFieldRepetitionCount(i)
+        val arr = new Array[Any](n)
+        var j = 0
+        while (j < n) { arr(j) = acc(g, i, j); j += 1 }
+        new GenericArrayData(arr)
+      }
+    case (p: PrimitiveType, _) =>
+      val acc = primAt(p)
+      g => acc(g, i, 0)
+    case (gt: GroupType, ArrayType(et, _))
+        if gt.getLogicalTypeAnnotation.isInstanceOf[ListLogicalTypeAnnotation] =>
+      gt.getType(0) match {
+        case rg: GroupType if rg.isRepetition(Type.Repetition.REPEATED) && rg.getFieldCount == 1 =>
+          // standard 3-level list: repeated wrapper group per element
+          val elemConv = converter(rg.getType(0), et, 0)
+          g => {
+            val lg = g.getGroup(i, 0)
+            val n = lg.getFieldRepetitionCount(0)
+            val arr = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val eg = lg.getGroup(0, j)
+              arr(j) = if (eg.getFieldRepetitionCount(0) == 0) null else elemConv(eg)
+              j += 1
+            }
+            new GenericArrayData(arr)
+          }
+        case e: PrimitiveType =>
+          // 2-level list: repeated element directly under the LIST group
+          val acc = primAt(e)
+          g => {
+            val lg = g.getGroup(i, 0)
+            val n = lg.getFieldRepetitionCount(0)
+            val arr = new Array[Any](n)
+            var j = 0
+            while (j < n) { arr(j) = acc(lg, 0, j); j += 1 }
+            new GenericArrayData(arr)
+          }
+        case rg: GroupType =>
+          val rowConv = structRow(rg, et.asInstanceOf[StructType])
+          g => {
+            val lg = g.getGroup(i, 0)
+            val n = lg.getFieldRepetitionCount(0)
+            val arr = new Array[Any](n)
+            var j = 0
+            while (j < n) { arr(j) = rowConv(lg.getGroup(0, j)); j += 1 }
+            new GenericArrayData(arr)
+          }
+      }
+    case (gt: GroupType, MapType(kt, vt, _))
+        if gt.getLogicalTypeAnnotation.isInstanceOf[MapLogicalTypeAnnotation] =>
+      val kv = gt.getType(0).asGroupType()
+      val kConv = converter(kv.getType(0), kt, 0)
+      val vConv = converter(kv.getType(1), vt, 1)
+      g => {
+        val mg = g.getGroup(i, 0)
+        val n = mg.getFieldRepetitionCount(0)
+        val ks = new Array[Any](n)
+        val vs = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val kvg = mg.getGroup(0, j)
+          ks(j) = kConv(kvg)
+          vs(j) = if (kvg.getFieldRepetitionCount(1) == 0) null else vConv(kvg)
+          j += 1
+        }
+        new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs))
+      }
+    case (gt: GroupType, ArrayType(st: StructType, _))
+        if gt.isRepetition(Type.Repetition.REPEATED) =>
+      // legacy bare repeated group = array<struct>
+      val rowConv = structRow(gt, st)
+      g => {
+        val n = g.getFieldRepetitionCount(i)
+        val arr = new Array[Any](n)
+        var j = 0
+        while (j < n) { arr(j) = rowConv(g.getGroup(i, j)); j += 1 }
+        new GenericArrayData(arr)
+      }
+    case (gt: GroupType, st: StructType) =>
+      val rowConv = structRow(gt, st)
+      g => rowConv(g.getGroup(i, 0))
+    case (other, odt) =>
+      throw new IllegalArgumentException(
+        s"docstore: cannot convert $other to $odt")
+  }
+
+  private def structRow(gt: GroupType, st: StructType): Group => InternalRow = {
+    val subs = st.fields.indices.toArray.map { j =>
+      converter(gt.getType(j), st.fields(j).dataType, j)
+    }
+    sub => {
+      val row = new GenericInternalRow(subs.length)
+      var j = 0
+      while (j < subs.length) {
+        row.update(j,
+          if (sub.getFieldRepetitionCount(j) == 0) null else subs(j)(sub))
+        j += 1
+      }
+      row
+    }
+  }
+
+  // ---- Spark schema → parquet schema + InternalRow → Group (write) ----
+
+  def toMessageType(schema: StructType): MessageType = {
+    val b = PTypes.buildMessage()
+    schema.fields.foreach(f => b.addField(parquetType(f.name, f.dataType, f.nullable)))
+    b.named("docstore_schema")
+  }
+
+  private def parquetType(name: String, dt: DataType, nullable: Boolean): Type = {
+    val rep =
+      if (nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
+    dt match {
+      case BooleanType => PTypes.primitive(PrimitiveTypeName.BOOLEAN, rep).named(name)
+      case IntegerType => PTypes.primitive(PrimitiveTypeName.INT32, rep).named(name)
+      case LongType => PTypes.primitive(PrimitiveTypeName.INT64, rep).named(name)
+      case FloatType => PTypes.primitive(PrimitiveTypeName.FLOAT, rep).named(name)
+      case DoubleType => PTypes.primitive(PrimitiveTypeName.DOUBLE, rep).named(name)
+      case StringType => PTypes.primitive(PrimitiveTypeName.BINARY, rep)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case BinaryType => PTypes.primitive(PrimitiveTypeName.BINARY, rep).named(name)
+      case DateType => PTypes.primitive(PrimitiveTypeName.INT32, rep)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+      case TimestampType => PTypes.primitive(PrimitiveTypeName.INT64, rep)
+        .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS)).named(name)
+      case TimestampNTZType => PTypes.primitive(PrimitiveTypeName.INT64, rep)
+        .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS)).named(name)
+      case ArrayType(et, containsNull) =>
+        PTypes.buildGroup(rep).as(LogicalTypeAnnotation.listType())
+          .addField(PTypes.repeatedGroup()
+            .addField(parquetType("element", et, containsNull))
+            .named("list"))
+          .named(name)
+      case st: StructType =>
+        val gb = PTypes.buildGroup(rep)
+        st.fields.foreach(f => gb.addField(parquetType(f.name, f.dataType, f.nullable)))
+        gb.named(name)
+      case other =>
+        throw new IllegalArgumentException(s"docstore: unwritable type $other for $name")
+    }
+  }
+
+  /** Add the non-null value at `src(ord)` to field `i` of `g`,
+    * recursing into arrays (standard 3-level layout) and structs. */
+  def addValue(g: Group, i: Int, dt: DataType, src: SpecializedGetters, ord: Int): Unit =
+    dt match {
+      case BooleanType => g.add(i, src.getBoolean(ord))
+      case IntegerType | DateType => g.add(i, src.getInt(ord))
+      case LongType | TimestampType | TimestampNTZType => g.add(i, src.getLong(ord))
+      case FloatType => g.add(i, src.getFloat(ord))
+      case DoubleType => g.add(i, src.getDouble(ord))
+      case StringType => g.add(i, Binary.fromString(src.getUTF8String(ord).toString))
+      case BinaryType => g.add(i, Binary.fromConstantByteArray(src.getBinary(ord)))
+      case ArrayType(et, _) =>
+        val lg = g.addGroup(i)
+        val arr = src.getArray(ord)
+        var j = 0
+        while (j < arr.numElements()) {
+          val eg = lg.addGroup(0)
+          if (!arr.isNullAt(j)) addValue(eg, 0, et, arr, j)
+          j += 1
+        }
+      case st: StructType =>
+        val sg = g.addGroup(i)
+        val sub = src.getStruct(ord, st.length)
+        var j = 0
+        while (j < st.length) {
+          if (!sub.isNullAt(j)) addValue(sg, j, st.fields(j).dataType, sub, j)
+          j += 1
+        }
+      case other =>
+        throw new IllegalArgumentException(s"docstore: unwritable type $other")
+    }
+
+  /** Hive-layout partition directory value for a row's column. */
+  def partitionValueString(row: InternalRow, i: Int, dt: DataType): String =
+    if (row.isNullAt(i)) HiveDefaultPartition
+    else dt match {
+      case StringType => row.getUTF8String(i).toString
+      case IntegerType => row.getInt(i).toString
+      case LongType => row.getLong(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+      case other =>
+        throw new IllegalArgumentException(
+          s"docstore: unsupported partition column type $other")
+    }
+
+  // ---- aggregate pushdown specs ----
+
+  sealed trait AggSpec extends Serializable { def name: String }
+  case object CountStarSpec extends AggSpec { val name = "count(*)" }
+  final case class CountColSpec(col: String) extends AggSpec { def name = s"count($col)" }
+  final case class MinSpec(col: String) extends AggSpec { def name = s"min($col)" }
+  final case class MaxSpec(col: String) extends AggSpec { def name = s"max($col)" }
+
+  /** A flat (single-segment) column reference, or None. */
+  def flatRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  // ---- filter pushability ----
+
+  /** Can the server evaluate this filter exactly? Either a pure
+    * PARTITION-column predicate (equality/IN/IsNotNull on the `k=v`
+    * directory values — applied by planning-time split pruning) or a
+    * pure DATA-column predicate (comparison/IN/IsNotNull/IsNull on a
+    * flat column of a supported type with non-null literals — applied
+    * record-exactly by FilterApi). A predicate mixing the two domains
+    * stays residual. */
+  def pushable(f: Filter, schema: StructType, partCols: Set[String]): Boolean = {
+    val refs = f.references
+    if (refs.exists(partCols.contains))
+      refs.forall(partCols.contains) && partPushable(f)
+    else dataPushable(f, schema)
+  }
+
+  private def partPushable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => v != null
+    case In(_, vs) => vs.nonEmpty && vs.forall(_ != null)
+    case IsNotNull(_) => true
+    case And(l, r) => partPushable(l) && partPushable(r)
+    case Or(l, r) => partPushable(l) && partPushable(r)
+    case _ => false
+  }
+
+  private def dataPushable(f: Filter, schema: StructType): Boolean = f match {
     case EqualTo(c, v) => cmpOk(c, v, schema)
-    case GreaterThan(c, v) => cmpOk(c, v, schema)
-    case GreaterThanOrEqual(c, v) => cmpOk(c, v, schema)
-    case LessThan(c, v) => cmpOk(c, v, schema)
-    case LessThanOrEqual(c, v) => cmpOk(c, v, schema)
+    case GreaterThan(c, v) => ordOk(c, v, schema)
+    case GreaterThanOrEqual(c, v) => ordOk(c, v, schema)
+    case LessThan(c, v) => ordOk(c, v, schema)
+    case LessThanOrEqual(c, v) => ordOk(c, v, schema)
     case In(c, vs) => vs.nonEmpty && vs.forall(v => cmpOk(c, v, schema))
     case IsNotNull(c) => colOk(c, schema)
     case IsNull(c) => colOk(c, schema)
-    case And(l, r) => pushable(l, schema) && pushable(r, schema)
-    case Or(l, r) => pushable(l, schema) && pushable(r, schema)
-    case Not(child) => pushable(child, schema) && notOk(child)
+    case And(l, r) => dataPushable(l, schema) && dataPushable(r, schema)
+    case Or(l, r) => dataPushable(l, schema) && dataPushable(r, schema)
+    case Not(child) => dataPushable(child, schema) && notOk(child)
     case _ => false
   }
 
@@ -409,6 +1285,13 @@ object DocStore {
       case BooleanType => v.isInstanceOf[java.lang.Boolean]
       case _ => true
     })
+
+  /** Ordered comparisons: like [[cmpOk]] but boolean columns are
+    * excluded — parquet's FilterApi has no gt/lt over booleans, so a
+    * pushed `boolCol > false` would fail at reader creation instead of
+    * staying residual. */
+  private def ordOk(c: String, v: Any, schema: StructType): Boolean =
+    cmpOk(c, v, schema) && schema(c).dataType != BooleanType
 
   /** Spark filters → one parquet FilterPredicate, bound to the FILE's
     * physical types (a timestamp predicate on a NANOS column converts
@@ -483,7 +1366,11 @@ object DocStore {
       case PrimitiveTypeName.INT32 =>
         cmp32(FilterApi.intColumn(n), int32Value(p, v), op)
       case PrimitiveTypeName.INT64 =>
-        cmp64(FilterApi.longColumn(n), int64Value(p, v), op)
+        p.getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation if t.getUnit == TimeUnit.MILLIS =>
+            millisCmp(n, tsMicros(v), op)
+          case _ => cmp64(FilterApi.longColumn(n), int64Value(p, v), op)
+        }
       case PrimitiveTypeName.FLOAT =>
         cmpF(FilterApi.floatColumn(n),
           java.lang.Float.valueOf(v.asInstanceOf[Number].floatValue()), op)
@@ -494,6 +1381,29 @@ object DocStore {
         cmpB(FilterApi.binaryColumn(n), Binary.fromString(v.toString), op)
       case other =>
         throw new IllegalArgumentException(s"docstore: comparison on $other")
+    }
+  }
+
+  /** A µs literal against a MILLIS-stored column: the exact predicate
+    * depends on the op's rounding direction. For stored value m (ms)
+    * and literal x (µs): m·1000 > x ⟺ m > ⌊x/1000⌋; m·1000 ≥ x ⟺
+    * m ≥ ⌈x/1000⌉; m·1000 < x ⟺ m < ⌈x/1000⌉; m·1000 ≤ x ⟺
+    * m ≤ ⌊x/1000⌋; and equality is the conjunction m ≥ ⌈⌉ ∧ m ≤ ⌊⌋ —
+    * which collapses to eq when x is ms-aligned and to the empty set
+    * for a sub-millisecond literal (no ms-grain value can equal it).
+    * floorDiv/the +999 ceiling are exact for negative epochs too. */
+  private def millisCmp(n: String, micros: Long, op: String): FilterPredicate = {
+    val c = FilterApi.longColumn(n)
+    val fl = Long.box(Math.floorDiv(micros, 1000L))
+    val ce = Long.box(Math.floorDiv(Math.addExact(micros, 999L), 1000L))
+    op match {
+      case "eq" =>
+        if (fl == ce) FilterApi.eq(c, fl)
+        else FilterApi.and(FilterApi.gtEq(c, ce), FilterApi.ltEq(c, fl))
+      case "gt" => FilterApi.gt(c, fl)
+      case "gtEq" => FilterApi.gtEq(c, ce)
+      case "lt" => FilterApi.lt(c, ce)
+      case "ltEq" => FilterApi.ltEq(c, fl)
     }
   }
 
@@ -514,7 +1424,7 @@ object DocStore {
         val micros = tsMicros(v)
         Long.box(t.getUnit match {
           case TimeUnit.NANOS => Math.multiplyExact(micros, 1000L)
-          case TimeUnit.MILLIS => Math.floorDiv(micros, 1000L)
+          // MILLIS is handled op-aware in millisCmp, never here
           case _ => micros
         })
       case _ => Long.box(v.asInstanceOf[Number].longValue())

@@ -134,7 +134,7 @@ class DeterminismSpec extends SparkSpec {
       // back from its parquet artifact — bounded by construction of the
       // store (written from a vec_id < 8 key-range), invisible to the
       // structural check across the write/read boundary
-      "sim_index_serve", "sim_index_incremental")
+      "sim_index_serve", "sim_index_incremental", "sim_index_rebuild_plan")
     def hasBoundedSource(p: LogicalPlan): Boolean =
       p.isInstanceOf[Aggregate] || p.isInstanceOf[GlobalLimit] ||
         p.isInstanceOf[Deduplicate] || p.children.exists(hasBoundedSource)

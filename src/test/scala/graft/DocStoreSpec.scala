@@ -153,4 +153,315 @@ class DocStoreSpec extends SparkSpec {
     val tables = ts.list(spark)
     assert(tables.contains("orders") && tables.contains("documents"))
   }
+
+  // ---- nested columns (r13) ----
+
+  test("nested array column reads identically to the native parquet read") {
+    val via = new DocStoreTableSource(sfDir).read(spark, "embeddings")
+    val native = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assert(via.schema == native.schema,
+      s"schema drift: ${via.schema} vs ${native.schema}")
+    assert(via.orderBy("vec_id").collect().toSeq ==
+      native.orderBy("vec_id").collect().toSeq)
+  }
+
+  test("nested struct/map columns round-trip and prune to required subfields") {
+    val dir = tmpDir("docstore_nested")
+    import spark.implicits._
+    val src = Seq((1L, 10, "x", 1.5, Seq("a", "b")), (2L, 20, "y", 2.5, Seq("c")))
+      .toDF("id", "a", "b", "c", "tags")
+      .select(col("id"),
+        struct(col("a"), col("b"), struct(col("c")).as("inner")).as("s"),
+        col("tags"),
+        map(lit("k"), col("a")).as("m"))
+    src.write.mode("overwrite").parquet(dir)
+    val via = spark.read.format("docstore").option("path", dir).load()
+    val native = spark.read.parquet(dir)
+    assert(via.schema == native.schema)
+    assert(via.orderBy("id").collect().toSeq ==
+      native.orderBy("id").collect().toSeq)
+    // nested-pruned projection: only s.a crosses the boundary
+    val pruned = via.select(col("id"), col("s.a"))
+    pruned.collect()
+    val scan = docStoreScanOf(pruned)
+    val sField = scan.readSchema()("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sField.fieldNames.toSeq == Seq("a"),
+      s"struct not pruned: ${scan.readSchema().catalogString}")
+    assert(pruned.orderBy("id").collect().toSeq ==
+      native.select(col("id"), col("s.a")).orderBy("id").collect().toSeq)
+  }
+
+  test("filters on nested paths stay residual and still apply exactly") {
+    val via = new DocStoreTableSource(sfDir).read(spark, "embeddings")
+      .filter(element_at(col("embedding"), 1) > 0 && col("vec_id") < 100)
+    val scan = docStoreScanOf(via)
+    assert(!scan.pushed.exists(_.references.exists(_.contains("embedding"))),
+      s"nested predicate pushed approximately: ${scan.pushed.mkString(", ")}")
+    val native = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(element_at(col("embedding"), 1) > 0 && col("vec_id") < 100)
+    assert(via.orderBy("vec_id").collect().toSeq ==
+      native.orderBy("vec_id").collect().toSeq)
+  }
+
+  // ---- MILLIS-unit pushdown exactness (r13, ADVICE fix) ----
+
+  test("sub-millisecond literals against a MILLIS store push exactly per-op") {
+    val dir = tmpDir("docstore_millis")
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try Seq(0L, 1L, 2L, 3L).map(ms => (ms, new java.sql.Timestamp(ms)))
+      .toDF("id", "ts").write.mode("overwrite").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val via = spark.read.format("docstore").option("path", dir).load()
+    // the semantic truth comes from the native read with parquet
+    // record-level pushdown DISABLED: this Spark version's own parquet
+    // filter floor-rounds a sub-ms literal to millis for every op, so
+    // its pushed lt(1ms) drops the ts=1ms row that `ts < 1.5ms` keeps —
+    // exactly the silent-wrong-answer the connector's op-aware ceiling/
+    // floor rounding avoids; with pushdown on, native Spark returns the
+    // WRONG set here and is no oracle
+    val native = spark.read.parquet(dir)
+    def both(c: org.apache.spark.sql.Column, expectIds: Set[Long]): Unit = {
+      val v = via.filter(c).select("id").as[Long].collect().toSet
+      val prev2 = spark.conf.get("spark.sql.parquet.filterPushdown")
+      spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+      val n = try native.filter(c).select("id").as[Long].collect().toSet
+        finally spark.conf.set("spark.sql.parquet.filterPushdown", prev2)
+      assert(v == n, s"connector=$v native(no-pushdown)=$n for $c")
+      assert(v == expectIds, s"got $v expected $expectIds for $c")
+      // the predicate really is pushed (no residual Filter) — exactness
+      // comes from op-aware ms rounding, not a Spark-side re-check
+      assert(physical(via.filter(c)).collect { case f: FilterExec => f }.isEmpty,
+        s"residual filter for $c")
+    }
+    def ts(s: String) = to_timestamp(lit(s))
+    both(col("ts") >= ts("1970-01-01 00:00:00.0005"), Set(1L, 2L, 3L))
+    both(col("ts") > ts("1970-01-01 00:00:00.0005"), Set(1L, 2L, 3L))
+    both(col("ts") < ts("1970-01-01 00:00:00.0015"), Set(0L, 1L))
+    both(col("ts") <= ts("1970-01-01 00:00:00.0005"), Set(0L))
+    both(col("ts") === ts("1970-01-01 00:00:00.0005"), Set.empty)
+    both(col("ts") === ts("1970-01-01 00:00:00.001"), Set(1L))
+    both(col("ts") >= ts("1970-01-01 00:00:00.001"), Set(1L, 2L, 3L))
+  }
+
+  test("boolean ordered comparisons stay residual (FilterApi has no bool gt)") {
+    val dir = tmpDir("docstore_bool")
+    import spark.implicits._
+    Seq((1L, true), (2L, false), (3L, true)).toDF("id", "flag")
+      .write.mode("overwrite").parquet(dir)
+    val via = spark.read.format("docstore").option("path", dir).load()
+      .filter(col("flag") > false)
+    val scan = docStoreScanOf(via)
+    assert(!scan.pushed.exists {
+      case GreaterThanOrEqual("flag", _) => true
+      case org.apache.spark.sql.sources.GreaterThan("flag", _) => true
+      case _ => false
+    }, s"bool ordered cmp pushed: ${scan.pushed.mkString(", ")}")
+    assert(via.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // equality on booleans still pushes
+    val eq = spark.read.format("docstore").option("path", dir).load()
+      .filter(col("flag") === true)
+    assert(docStoreScanOf(eq).pushed.exists {
+      case org.apache.spark.sql.sources.EqualTo("flag", true) => true
+      case _ => false
+    })
+    assert(eq.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("schema drift across a multi-file store is rejected at inference") {
+    val dir = tmpDir("docstore_drift")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "s").write.mode("overwrite").parquet(s"$dir/f1")
+    Seq((1L, 2.0)).toDF("k", "d").write.mode("overwrite").parquet(s"$dir/f2")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // flatten the two files into one store dir
+    Seq("f1", "f2").foreach { sub =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .filter(st => st.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(s"$dir/${sub}_${st.getPath.getName}"))
+        }
+    }
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("docstore").option("path", dir).load()
+    }
+    assert(e.getMessage.contains("schema drift"), e.getMessage)
+  }
+
+  // ---- write path (r13) ----
+
+  test("staged-commit sink: partitioned zstd write, list, read back") {
+    val dir = tmpDir("docstore_sink")
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      .select("o_orderkey", "o_totalprice", "o_year")
+    src.write.format("docstore").option("path", dir)
+      .option("partitionBy", "o_year").mode("overwrite").save()
+    // Hive layout on disk, no staging residue
+    val children = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(children.exists(_.startsWith("o_year=")), s"no partition dirs: $children")
+    assert(!children.exists(_.startsWith("_staging")), s"staging residue: $children")
+    // read back through the connector: partition column recovered
+    val back = spark.read.format("docstore").option("path", dir).load()
+    assert(back.schema.fieldNames.contains("o_year"))
+    assert(back.count() == src.count())
+    val a = back.select(col("o_orderkey"), col("o_totalprice"),
+        col("o_year").cast("int").as("o_year"))
+      .orderBy("o_orderkey").collect().toSeq
+    val b = src.orderBy("o_orderkey").collect().toSeq
+    assert(a == b)
+    // partition-column equality prunes splits at PLANNING time
+    val oneYear = back.filter(col("o_year") === "1996")
+    val scan = docStoreScanOf(oneYear.select("o_orderkey", "o_year"))
+    val planned = scan.planInputPartitions().length
+    val all = docStoreScanOf(back.select("o_orderkey", "o_year"))
+      .planInputPartitions().length
+    assert(planned < all, s"partition pruning planned $planned of $all splits")
+    assert(oneYear.count() ==
+      src.filter(col("o_year") === 1996).count())
+    // overwrite truncates at COMMIT: same store, half the rows
+    src.filter(col("o_orderkey") % 2 === 0)
+      .write.format("docstore").option("path", dir)
+      .option("partitionBy", "o_year").mode("overwrite").save()
+    assert(spark.read.format("docstore").option("path", dir).load().count() ==
+      src.filter(col("o_orderkey") % 2 === 0).count())
+  }
+
+  test("append mode adds documents without touching existing ones") {
+    val dir = tmpDir("docstore_append")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("docstore").option("path", dir).mode("overwrite").save()
+    Seq((3L, "c")).toDF("k", "v")
+      .write.format("docstore").option("path", dir).mode("append").save()
+    val back = spark.read.format("docstore").option("path", dir).load()
+    assert(back.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("concurrent writers stage independently and both commit") {
+    val dir = tmpDir("docstore_concurrent")
+    import spark.implicits._
+    // seed the store so both concurrent writes are appends
+    Seq((0L, "seed")).toDF("k", "v")
+      .write.format("docstore").option("path", dir).mode("overwrite").save()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = Seq(1L, 2L).map { base =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          (1 to 50).map(i => (base * 1000 + i, s"w$base"))
+            .toDF("k", "v")
+            .write.format("docstore").option("path", dir).mode("append").save()
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    val back = spark.read.format("docstore").option("path", dir).load()
+    assert(back.count() == 101)
+    assert(back.groupBy("v").count().orderBy("v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("seed", 1L), ("w1", 50L), ("w2", 50L)))
+    // no staging residue after both commits
+    val children = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(!children.exists(_.startsWith("_staging")), s"residue: $children")
+  }
+
+  test("footer statistics drive broadcast decisions through the connector") {
+    // exact post-pruning row counts
+    val cust = spark.read.format("docstore")
+      .option("path", s"$sfDir/customer.parquet").load()
+    val pruned = cust.select("c_custkey", "c_mktsegment")
+    pruned.collect()
+    val scan = docStoreScanOf(pruned)
+    val stats = scan.estimateStatistics()
+    assert(stats.numRows().getAsLong ==
+      spark.read.parquet(s"$sfDir/customer.parquet").count())
+    assert(stats.sizeInBytes().getAsLong > 0)
+    // narrower projections report proportionally fewer bytes
+    val one = cust.select("c_custkey")
+    one.collect()
+    assert(docStoreScanOf(one).estimateStatistics().sizeInBytes().getAsLong <
+      stats.sizeInBytes().getAsLong)
+    // the declared join picks BroadcastHashJoin with NO hint — purely
+    // from the connector-reported statistics
+    val df = SparkEntry.queries("etl_connector_join")(spark, sfDir)
+    df.collect()
+    val bhj = physical(df).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "connector stats did not drive a broadcast join:\n" +
+      df.queryExecution.executedPlan)
+  }
+
+  // ---- aggregate pushdown (r13) ----
+
+  test("ungrouped count/min/max answer from footer statistics only") {
+    val via = spark.read.format("docstore")
+      .option("path", s"$sfDir/orders.parquet").load()
+    val agg = via.agg(count(lit(1)).as("n"),
+      min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+    val scan = physical(agg).collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get
+    assert(scan.isInstanceOf[graft.sources.DocStoreAggScan],
+      s"aggregate not pushed: ${scan.description()}")
+    // the scan's output IS the aggregate — zero data columns cross
+    assert(scan.readSchema().fieldNames.toSet ==
+      Set("count(*)", "min(o_orderkey)", "max(o_orderkey)"))
+    val native = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"))
+      .collect().head
+    assert(agg.collect().head == native)
+  }
+
+  test("min/max on timestamps normalize units; floats/strings refuse pushdown") {
+    val via = spark.read.format("docstore")
+      .option("path", s"$sfDir/orders.parquet").load()
+    val tsAgg = via.agg(min("o_orderdate").as("mn"), max("o_orderdate").as("mx"))
+    assert(physical(tsAgg).collectFirst { case b: BatchScanExec => b.scan }
+      .get.isInstanceOf[graft.sources.DocStoreAggScan])
+    val native = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(min("o_orderdate"), max("o_orderdate")).collect().head
+    assert(tsAgg.collect().head == native)
+    // double min/max: NaN makes writer stats unreliable — stays in Spark
+    val dblAgg = via.agg(min("o_totalprice"))
+    assert(!physical(dblAgg).collectFirst { case b: BatchScanExec => b.scan }
+      .get.isInstanceOf[graft.sources.DocStoreAggScan])
+    assert(dblAgg.collect().head ==
+      spark.read.parquet(s"$sfDir/orders.parquet").agg(min("o_totalprice")).collect().head)
+  }
+
+  test("data filters refuse aggregate pushdown; partition filters compose") {
+    val via = spark.read.format("docstore")
+      .option("path", s"$sfDir/orders.parquet").load()
+    // a pushed DATA filter invalidates row-group counts → no agg push
+    val filtered = via.filter(col("o_orderkey") > 100).agg(count(lit(1)).as("n"))
+    assert(!physical(filtered).collectFirst { case b: BatchScanExec => b.scan }
+      .get.isInstanceOf[graft.sources.DocStoreAggScan])
+    assert(filtered.collect().head.getLong(0) ==
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderkey") > 100).count())
+    // partition filters prune whole FILES before footers are read, so
+    // count(*) composes with them exactly
+    val dir = tmpDir("docstore_agg_part")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      .select("o_orderkey", "o_year")
+      .write.format("docstore").option("path", dir)
+      .option("partitionBy", "o_year").mode("overwrite").save()
+    val perPart = spark.read.format("docstore").option("path", dir).load()
+      .filter(col("o_year") === "1996").agg(count(lit(1)).as("n"))
+    val scan = physical(perPart).collectFirst { case b: BatchScanExec => b.scan }.get
+    assert(scan.isInstanceOf[graft.sources.DocStoreAggScan],
+      s"partition filter blocked agg pushdown: ${scan.description()}")
+    assert(perPart.collect().head.getLong(0) ==
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(year(col("o_orderdate")) === 1996).count())
+  }
 }

@@ -139,14 +139,50 @@ class QueriesSpec extends SparkSpec {
     // empty since round 7: the last global-ntile queries moved onto
     // Skew.globalNtile (range-repartitioned rank + broadcast offsets)
     val allowUnpartitioned = Set.empty[String]
+    // a window partitioned ONLY by a bounded-cardinality dimension
+    // column, fed DIRECTLY by fact-table rows, is the soft version of
+    // the same funnel: market segment has 5 values, so at 100x each
+    // window task sorts ~1/5 of the fact table. Queries that need
+    // per-dimension ranks must ride a bucketed spine (per-value counts
+    // + bucket-partitioned cumulative windows + broadcast prefix
+    // offsets — see stats_cliffs_delta / stats_anderson_darling). A
+    // window whose input subtree contains an AGGREGATION is exempt:
+    // its input is already reduced to group-count rows (the per-(g,
+    // day) daily series, per-value spines), which the dimension bounds.
+    val boundedDims = Set(
+      "seg", "c_mktsegment", "lang", "source", "event_type", "label",
+      "o_orderstatus", "l_returnflag", "l_linestatus", "n_name", "r_name",
+      "g", "grp", "bucket_id", "modality")
+    // audited exceptions: flagged by the structural check but bounded
+    // in substance — list a name ONLY with a justification
+    val allowBoundedDim = Set.empty[String]
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, ObjectHashAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    // exempt a window whose input subtree is bounded before it runs:
+    // - an AGGREGATE below reduces input to group-count rows;
+    // - a WINDOW GROUP LIMIT below (Spark's rank<=k pushdown) caps the
+    //   input at k rows per group per map task — top-k-per-dim is the
+    //   pruned shape, not a funnel
+    def hasBoundBelow(p: SparkPlan): Boolean = p.children.exists(c =>
+      c.isInstanceOf[BaseAggregateExec] || c.isInstanceOf[ObjectHashAggregateExec] ||
+        c.isInstanceOf[WindowGroupLimitExec] || hasBoundBelow(c))
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.sparkPlan
       val cartesian = plan.toString.contains("CartesianProduct")
-      val unpartitioned = !allowUnpartitioned(name) && plan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
-      }.nonEmpty
+      val windows = plan.collect { case w: WindowExec => w }
+      val unpartitioned = !allowUnpartitioned(name) &&
+        windows.exists(_.partitionSpec.isEmpty)
+      val boundedOnly = !allowBoundedDim(name) && windows.exists { w =>
+        w.partitionSpec.nonEmpty && !hasBoundBelow(w) &&
+          w.partitionSpec.forall { e =>
+            val refs = e.references.map(_.name.toLowerCase).toSet
+            refs.nonEmpty && refs.forall(boundedDims.contains)
+          }
+      }
       (if (cartesian) Seq(s"$name: CartesianProduct") else Nil) ++
-        (if (unpartitioned) Seq(s"$name: unpartitioned Window") else Nil)
+        (if (unpartitioned) Seq(s"$name: unpartitioned Window") else Nil) ++
+        (if (boundedOnly) Seq(s"$name: fact-fed Window partitioned only by bounded dims") else Nil)
     }
     assert(offenders.isEmpty, s"plan invariants violated: $offenders")
   }

@@ -241,6 +241,47 @@ class SimilaritySpec extends SparkSpec {
     assert(inc == full, s"incremental=${inc.take(3)} full=${full.take(3)}")
   }
 
+  test("band-store tombstones: serve-after-delete equals a fresh build on filtered history") {
+    import graft.ops.Dedup
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val viaTombstones = SparkEntry.queries("dedup_incremental_tombstone")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    // fresh build: band ONLY the surviving history and serve the same
+    // batch — banding is per-row, so the tombstone anti-join on the
+    // loaded store must be indistinguishable from a physical rewrite
+    val freshHist = Dedup.hyperplaneBanded(
+      e.filter(pmod(col("vec_id"), lit(10)) < 8 &&
+        pmod(col("vec_id"), lit(10)) =!= 4))
+    val batch = Dedup.hyperplaneBanded(
+      e.filter(pmod(col("vec_id"), lit(10)) >= 8))
+    val fresh = Dedup.incrementalEmbeddingServe(freshHist, batch)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaTombstones == fresh, "tombstoned store diverged from fresh build")
+    // deletions only remove rejection causes: plain incremental
+    // survivors are a subset of the after-delete survivors
+    val plain = SparkEntry.queries("dedup_incremental_embedding")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(plain.subsetOf(viaTombstones.toSet),
+      "a vector admitted by the grow-only store was rejected after deletes")
+  }
+
+  test("rebuild plan: per-list verdicts are consistent and well-formed") {
+    val out = SparkEntry.queries("sim_index_rebuild_plan")(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 8, s"${out.length} lists")
+    assert(out.forall(r => Set("retrain", "split", "keep")(r.getString(4))),
+      "unknown action verdict")
+    // Σ k·size/n over lists = k exactly
+    val k = out.length
+    val sumImb = out.map(_.getDouble(3)).sum
+    assert(math.abs(sumImb - k) < 0.01 * k, s"imbalance sums to $sumImb, k=$k")
+    // the action column is a pure function of the two scores
+    out.foreach { r =>
+      val (ccos, imb, act) = (r.getDouble(2), r.getDouble(3), r.getString(4))
+      val want = if (ccos < 0.98) "retrain" else if (imb > 2.0) "split" else "keep"
+      assert(act == want, s"cid=${r.get(0)}: $act but scores say $want")
+    }
+  }
+
   test("incremental embedding dedup: survivors are exactly the unmatched batch ids") {
     val out = SparkEntry.queries("dedup_incremental_embedding")(spark, sfDir)
       .collect().map(_.getLong(0)).toSet
