@@ -26,9 +26,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, SpecializedGetters}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -276,11 +276,47 @@ case class DocStoreScan(
     path: String,
     tableSchema: StructType,
     required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch with SupportsReportStatistics {
+    pushed: Array[Filter])
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   @transient private lazy val listing = DocStore.listFilesWithPartitions(path)
   @transient private lazy val partCols: Set[String] =
     listing.headOption.map(_._2.map(_._1).toSet).getOrElse(Set.empty)
+
+  /** Runtime (DPP-style) filters Spark delivers AFTER a join's build
+    * side materializes — join-key IN-sets. Partition-column sets prune
+    * whole files before any footer is read (the connector analogue of
+    * shard targeting); flat data-column sets ride the same exact
+    * FilterApi path as planned filters (row-group stats pruning +
+    * record-level evaluation). Runtime filtering is an optimization
+    * contract — the join re-checks keys — but everything accepted here
+    * is applied exactly anyway. */
+  @transient private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] = {
+    // only columns in the scan's OUTPUT qualify — Spark resolves these
+    // against readSchema at planning and errors on anything pruned away
+    val flat = required.fields.map(_.name).filter(n =>
+      partCols(n) || DocStore.pushable(IsNotNull(n), tableSchema, partCols))
+    flat.map(n => Expressions.column(n))
+  }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter { f =>
+      DocStore.pushable(f, tableSchema, partCols) && (f match {
+        // a runtime IN-set over DATA columns becomes an or-of-equals
+        // record predicate — cap its width so a multi-million-key
+        // build side can't inflate every row-group read (partition
+        // IN-sets are file-granular and stay unbounded)
+        case In(_, vs) =>
+          DocStore.isPartitionFilter(f, partCols) || vs.length <= 1000
+        case _ => true
+      })
+    }
+
+  private def allPushed: Array[Filter] = pushed ++ runtime
+
   @transient private lazy val dataFilters =
     pushed.filterNot(f => DocStore.isPartitionFilter(f, partCols))
 
@@ -327,7 +363,7 @@ case class DocStoreScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = ArrayBuffer.empty[InputPartition]
-    DocStore.pruneListing(listing, pushed).foreach { case (f, pv) =>
+    DocStore.pruneListing(listing, allPushed).foreach { case (f, pv) =>
       DocStore.blocksOf(f).foreach { case (start, len) =>
         parts += DocStorePartition(f, start, len, pv)
       }
@@ -339,11 +375,14 @@ case class DocStoreScan(
     // the reader materializes (required data columns) ∪ (filter-only
     // data columns); partition columns come from the split's directory
     // values, filter-only columns are read for evaluation but never
-    // returned
+    // returned. Runtime data filters (if delivered before the factory
+    // is built) ride the same exact record-level path.
+    val allData = (dataFilters ++ runtime)
+      .filterNot(f => DocStore.isPartitionFilter(f, partCols))
     val requiredData = required.fields.map(_.name).filterNot(partCols)
-    val filterCols = dataFilters.flatMap(_.references).distinct
+    val filterCols = allData.flatMap(_.references).distinct
       .filterNot(c => requiredData.contains(c))
-    DocStoreReaderFactory(requiredData ++ filterCols, required, tableSchema, dataFilters)
+    DocStoreReaderFactory(requiredData ++ filterCols, required, tableSchema, allData)
   }
 }
 

@@ -399,6 +399,46 @@ class DocStoreSpec extends SparkSpec {
       df.queryExecution.executedPlan)
   }
 
+  test("runtime filters prune partitions and rows at execution time") {
+    val dir = tmpDir("docstore_runtime")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      .select("o_orderkey", "o_custkey", "o_year")
+      .write.format("docstore").option("path", dir)
+      .option("partitionBy", "o_year").mode("overwrite").save()
+    val fact = spark.read.format("docstore").option("path", dir).load()
+    val q = fact.select("o_orderkey", "o_year")
+    q.collect()
+    val scan = docStoreScanOf(q)
+    // the contract Spark's DPP drives: filterAttributes advertises the
+    // partition column; filter() with a join-key set re-plans splits
+    assert(scan.filterAttributes().map(_.describe()).contains("o_year"))
+    val all = scan.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("o_year", "1996")))
+    val prunedN = scan.planInputPartitions().length
+    assert(prunedN < all, s"runtime filter kept $prunedN of $all splits")
+    // data-column runtime IN-sets apply exactly; oversized ones are
+    // refused (they would inflate every row-group read)
+    val dataScan = docStoreScanOf(fact.select("o_orderkey", "o_year"))
+    dataScan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("o_orderkey", Array(1L, 2L, 3L))))
+    assert(dataScan.planInputPartitions().nonEmpty)
+    val big = (1L to 5000L).map(_.asInstanceOf[Any]).toArray
+    val wide = docStoreScanOf(fact.select("o_orderkey", "o_year"))
+    wide.filter(Array[org.apache.spark.sql.sources.Filter](In("o_orderkey", big)))
+    assert(wide.planInputPartitions().length ==
+      docStoreScanOf(fact.select("o_orderkey", "o_year")).planInputPartitions().length)
+    // end-to-end: a join over the partition column stays correct under
+    // AQE whether or not the optimizer chooses to inject DPP here
+    import spark.implicits._
+    val dim = Seq(("1996", "pick")).toDF("o_year", "tag")
+    val joined = fact.join(dim, Seq("o_year")).agg(count(lit(1)).as("n"))
+    assert(joined.collect().head.getLong(0) ==
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(year(col("o_orderdate")) === 1996).count())
+  }
+
   // ---- aggregate pushdown (r13) ----
 
   test("ungrouped count/min/max answer from footer statistics only") {
