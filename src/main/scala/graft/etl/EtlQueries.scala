@@ -189,6 +189,107 @@ object EtlQueries {
         FROM orders GROUP BY 1 ORDER BY o_year""")),
 
     Q(
+      "etl_connector_copartition",
+      "STORAGE-PARTITIONED JOIN through the connector — the zero-" +
+        "shuffle fact-fact join: two stores Hive-partitioned on the " +
+        "same key (order year) are read back via `format(\"docstore\")`" +
+        ", each aggregated per year and joined on the partition key; " +
+        "the scan reports KeyGroupedPartitioning over its directory " +
+        "keys, so under spark.sql.sources.v2.bucketing.enabled BOTH " +
+        "aggregations and the join run on the directory partitioning " +
+        "with ZERO exchanges (DocStoreSpec pins the shuffle-free " +
+        "plan) — at 100 TB this deletes the largest shuffle a " +
+        "co-partitioned pipeline has. The conf is enabled here and " +
+        "left on: it only changes plan SHAPES for key-grouped " +
+        "docstore scans, never results (the oracle pins that).",
+      (s, dir) => {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val (a, b) = (
+          graft.Scratch.once(s"etl_docstore_spj_a:$dir") { p =>
+            Tables.t(s, dir, "orders")
+              .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+              .select("o_orderkey", "o_totalprice", "o_year")
+              .write.format("docstore").option("path", p)
+              .option("partitionBy", "o_year").mode("overwrite").save()
+          },
+          graft.Scratch.once(s"etl_docstore_spj_b:$dir") { p =>
+            Tables.t(s, dir, "orders")
+              .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+              .select("o_custkey", "o_year")
+              .write.format("docstore").option("path", p)
+              .option("partitionBy", "o_year").mode("overwrite").save()
+          })
+        val fa = s.read.format("docstore").option("path", a).load()
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+        val fb = s.read.format("docstore").option("path", b).load()
+          .groupBy("o_year")
+          .agg(countDistinct("o_custkey").as("n_custs"))
+        fa.join(fb.hint("merge"), Seq("o_year"))
+          .select(col("o_year").cast("int").as("o_year"),
+            col("n_orders"), col("total"), col("n_custs"))
+          .orderBy("o_year")
+      },
+      Some("""WITH y AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+            o_totalprice, o_custkey FROM orders),
+        a AS (SELECT o_year, count(*) AS n_orders,
+            round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+          FROM y GROUP BY 1),
+        b AS (SELECT o_year, count(DISTINCT o_custkey) AS n_custs
+          FROM y GROUP BY 1)
+        SELECT o_year, n_orders, total, n_custs
+        FROM a JOIN b USING (o_year) ORDER BY o_year""")),
+
+    Q(
+      "etl_connector_stream",
+      "CONTINUOUS ingestion through the connector — the streaming " +
+        "tail of the same DSv2 boundary the batch ETL crosses: two " +
+        "staged-commit batches land in a docstore, " +
+        "`readStream.format(\"docstore\")` (MicroBatchStream; offsets " +
+        "= immutable-file sets, so restarts are exactly-once by " +
+        "construction) drains it under Trigger.AvailableNow into a " +
+        "checkpointed parquet sink, and the RESULT aggregates what " +
+        "the sink persisted. The oracle computes the same aggregate " +
+        "straight from the source table, so a row lost or duplicated " +
+        "anywhere in the list/offset/replay/sink path is a hash " +
+        "mismatch. DocStoreSpec additionally pins the incremental " +
+        "path: append after a drained run, restart from the " +
+        "checkpoint, and ONLY the new files replay.",
+      (s, dir) => {
+        val store = graft.Scratch.once(s"etl_docstore_stream:$dir") { p =>
+          val o = Tables.t(s, dir, "orders")
+            .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+            .select("o_orderkey", "o_totalprice", "o_year")
+          // two atomically-published generations, like a real feed
+          o.filter(col("o_orderkey") % 2 === 0)
+            .write.format("docstore").option("path", p).mode("append").save()
+          o.filter(col("o_orderkey") % 2 =!= 0)
+            .write.format("docstore").option("path", p).mode("append").save()
+        }
+        val sink = graft.Scratch.once(s"etl_docstore_stream_sink:$dir") { p =>
+          s.readStream.format("docstore").option("path", store).load()
+            .writeStream.format("parquet")
+            .option("path", s"$p/out")
+            .option("checkpointLocation", s"$p/cp")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
+        s.read.parquet(s"$sink/out")
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders GROUP BY 1 ORDER BY o_year""")),
+
+    Q(
       "etl_orc_sink_roundtrip",
       "End-to-end exercise of a SECOND sink format (A12 generalized " +
         "beyond parquet): orders flow through a partitioned zstd ORC " +

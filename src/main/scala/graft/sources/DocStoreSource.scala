@@ -29,6 +29,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.{HasPartitionKey, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -144,6 +147,7 @@ case class DocStoreTable(path: String, tableSchema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
@@ -278,11 +282,34 @@ case class DocStoreScan(
     required: StructType,
     pushed: Array[Filter])
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   @transient private lazy val listing = DocStore.listFilesWithPartitions(path)
-  @transient private lazy val partCols: Set[String] =
-    listing.headOption.map(_._2.map(_._1).toSet).getOrElse(Set.empty)
+  @transient private lazy val partColsOrdered: Seq[String] =
+    listing.headOption.map(_._2.map(_._1)).getOrElse(Nil)
+  @transient private lazy val partCols: Set[String] = partColsOrdered.toSet
+
+  /** Storage-partitioned-join contract: a Hive-partitioned store
+    * reports KeyGroupedPartitioning over its directory keys, so two
+    * stores partitioned the same way join with ZERO exchanges (under
+    * `spark.sql.sources.v2.bucketing.enabled`, Spark groups this
+    * scan's row-group splits by [[DocStorePartition.partitionKey]] and
+    * EnsureRequirements recognizes the two sides as co-partitioned) —
+    * at 100 TB this deletes the largest shuffle a fact-fact join has.
+    * Reported only when every partition column survives projection:
+    * Spark resolves the key expressions against the scan OUTPUT. */
+  override def outputPartitioning(): Partitioning =
+    if (partColsOrdered.nonEmpty &&
+      partColsOrdered.forall(required.fieldNames.contains)) {
+      val n = DocStore.pruneListing(listing, allPushed)
+        .map(_._2.map(_._2)).distinct.size
+      new KeyGroupedPartitioning(
+        partColsOrdered.map(c =>
+          Expressions.identity(c).asInstanceOf[
+            org.apache.spark.sql.connector.expressions.Expression]).toArray,
+        n)
+    } else new UnknownPartitioning(0)
 
   /** Runtime (DPP-style) filters Spark delivers AFTER a join's build
     * side materializes — join-key IN-sets. Partition-column sets prune
@@ -371,26 +398,31 @@ case class DocStoreScan(
     parts.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // the reader materializes (required data columns) ∪ (filter-only
-    // data columns); partition columns come from the split's directory
-    // values, filter-only columns are read for evaluation but never
-    // returned. Runtime data filters (if delivered before the factory
-    // is built) ride the same exact record-level path.
-    val allData = (dataFilters ++ runtime)
-      .filterNot(f => DocStore.isPartitionFilter(f, partCols))
-    val requiredData = required.fields.map(_.name).filterNot(partCols)
-    val filterCols = allData.flatMap(_.references).distinct
-      .filterNot(c => requiredData.contains(c))
-    DocStoreReaderFactory(requiredData ++ filterCols, required, tableSchema, allData)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    // runtime data filters (if delivered before the factory is built)
+    // ride the same exact record-level path as planned filters
+    DocStore.readerFactory(listing, tableSchema, required, pushed ++ runtime)
+
+  /** Streaming read over the same store, projection and pushed filters
+    * included — see [[DocStoreMicroBatchStream]]. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DocStoreMicroBatchStream(path, tableSchema, required, pushed)
 }
 
 case class DocStorePartition(
     file: String,
     start: Long,
     length: Long,
-    partValues: Seq[(String, String)]) extends InputPartition
+    partValues: Seq[(String, String)]) extends InputPartition with HasPartitionKey {
+  /** Directory values in nesting order — consulted only when the scan
+    * reports KeyGroupedPartitioning (see
+    * [[DocStoreScan.outputPartitioning]]). */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(partValues.map {
+      case (_, DocStore.HiveDefaultPartition) => null
+      case (_, v) => UTF8String.fromString(v)
+    }.toArray[Any])
+}
 
 case class DocStoreReaderFactory(
     projectCols: Array[String],
@@ -496,6 +528,84 @@ class DocStoreReader(
   }
 
   override def close(): Unit = reader.close()
+}
+
+// ---------------------------------------------------------------------------
+// Streaming read: micro-batch continuous ingestion
+// ---------------------------------------------------------------------------
+
+/** A streaming offset = the set of data files already processed. The
+  * staged-commit sink publishes files atomically, so a file is either
+  * absent or complete — a listing snapshot is a consistent frontier.
+  * The file set (not a count or a name high-water mark) is the only
+  * offset that survives non-monotone file names; it round-trips
+  * through the checkpoint log as a JSON array. At production file
+  * counts the list belongs in a compacted metadata log (what Spark's
+  * own file source keeps) — the OFFSET SEMANTICS are identical. */
+case class DocStoreOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.sorted.map(f =>
+      "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+/** Micro-batch stream over a docstore: each batch reads exactly the
+  * files that appeared since the last committed offset — the
+  * continuous-ingestion tail of the same connector the batch ETL
+  * crosses. Exactly-once by construction: offsets name immutable
+  * files; a restart replans the same delta from the checkpoint.
+  * Implements AvailableNow admission control (the end offset is
+  * pinned once at query start, so a backfill run terminates even
+  * while writers keep appending). */
+class DocStoreMicroBatchStream(
+    path: String,
+    tableSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter]) extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def listing = DocStore.pruneListing(
+    DocStore.listFilesWithPartitions(path), pushed)
+
+  private def snap(): DocStoreOffset =
+    DocStoreOffset(listing.map(_._1).sorted)
+
+  private var fixedEnd: Option[DocStoreOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = fixedEnd = Some(snap())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): Offset = DocStoreOffset(Nil)
+
+  override def latestOffset(): Offset = snap()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    fixedEnd.getOrElse(snap())
+
+  override def reportLatestOffset(): Offset = snap()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[DocStoreOffset].files.toSet
+    val endSet = end.asInstanceOf[DocStoreOffset].files.toSet
+    val parts = ArrayBuffer.empty[InputPartition]
+    listing.foreach { case (f, pv) =>
+      if (endSet(f) && !seen(f))
+        DocStore.blocksOf(f).foreach { case (s0, len) =>
+          parts += DocStorePartition(f, s0, len, pv)
+        }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    DocStore.readerFactory(listing, tableSchema, required, pushed)
+
+  override def deserializeOffset(json: String): Offset =
+    DocStoreOffset(DocStore.parseOffsetJson(json))
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 // ---------------------------------------------------------------------------
@@ -836,6 +946,45 @@ object DocStore {
 
   def isPartitionFilter(f: Filter, partCols: Set[String]): Boolean =
     f.references.nonEmpty && f.references.forall(partCols.contains)
+
+  /** Reader factory shared by the batch scan and the micro-batch
+    * stream: the reader materializes (required data columns) ∪
+    * (filter-only data columns); partition columns come from each
+    * split's directory values; filter-only columns are read for
+    * evaluation but never returned. */
+  def readerFactory(
+      listing: Seq[(String, Seq[(String, String)])],
+      tableSchema: StructType,
+      required: StructType,
+      pushed: Array[Filter]): DocStoreReaderFactory = {
+    val partCols = listing.headOption.map(_._2.map(_._1).toSet).getOrElse(Set.empty[String])
+    val dataFilters = pushed.filterNot(f => isPartitionFilter(f, partCols))
+    val requiredData = required.fields.map(_.name).filterNot(partCols)
+    val filterCols = dataFilters.flatMap(_.references).distinct
+      .filterNot(c => requiredData.contains(c))
+    DocStoreReaderFactory(requiredData ++ filterCols, required, tableSchema, dataFilters)
+  }
+
+  /** Minimal JSON-string-array parser for [[DocStoreOffset]] round-trips
+    * (names are plain paths; quote/backslash escapes honored). */
+  def parseOffsetJson(json: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    val n = json.length
+    while (i < n) {
+      if (json.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (json.charAt(i) != '"') {
+          if (json.charAt(i) == '\\') { sb.append(json.charAt(i + 1)); i += 2 }
+          else { sb.append(json.charAt(i)); i += 1 }
+        }
+        i += 1
+        out += sb.result()
+      } else i += 1
+    }
+    out.toSeq
+  }
 
   private def partKeeps(pv: Map[String, String], f: Filter): Boolean = f match {
     case EqualTo(c, v) => pv.get(c).contains(partLit(v))

@@ -439,6 +439,78 @@ class DocStoreSpec extends SparkSpec {
         .filter(year(col("o_orderdate")) === 1996).count())
   }
 
+  test("micro-batch stream: append after a drained run replays ONLY the new files") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val store = tmpDir("docstore_stream")
+    val base = tmpDir("docstore_stream_sink")
+    val (out, cp) = (s"$base/out", s"$base/cp")
+    def drain(): Unit =
+      spark.readStream.format("docstore").option("path", store).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("docstore").option("path", store).mode("append").save()
+    drain()
+    assert(spark.read.parquet(out).count() == 2)
+    // second generation lands; restart from the checkpoint picks it up
+    // WITHOUT reprocessing generation one (offsets are file sets)
+    Seq((3L, "c")).toDF("k", "v")
+      .write.format("docstore").option("path", store).mode("append").save()
+    drain()
+    val rows = spark.read.parquet(out).orderBy("k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"stream replayed or dropped rows: $rows")
+    // a third drain with nothing new writes nothing
+    drain()
+    assert(spark.read.parquet(out).count() == 3)
+    // offsets round-trip through their JSON form
+    val off = graft.sources.DocStoreOffset(Seq("/x/part-1.parquet", "/y/k=1/p.parquet"))
+    assert(graft.sources.DocStore.parseOffsetJson(off.json()) ==
+      off.files.sorted)
+  }
+
+  test("storage-partitioned join: co-partitioned stores join with zero shuffles") {
+    val a = tmpDir("docstore_spj_a")
+    val b = tmpDir("docstore_spj_b")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+    o.select("o_orderkey", "o_totalprice", "o_year")
+      .write.format("docstore").option("path", a)
+      .option("partitionBy", "o_year").mode("overwrite").save()
+    o.select("o_orderkey", "o_custkey", "o_year")
+      .write.format("docstore").option("path", b)
+      .option("partitionBy", "o_year").mode("overwrite").save()
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val fa = spark.read.format("docstore").option("path", a).load()
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_a"))
+      val fb = spark.read.format("docstore").option("path", b).load()
+        .groupBy("o_year")
+        .agg(countDistinct("o_custkey").as("n_custs"))
+      val joined = fa.join(fb.hint("merge"), Seq("o_year"))
+      val rows = joined.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // the whole plan — two scans, two aggregations, one join — runs
+      // on the directory partitioning: ZERO exchanges anywhere
+      val shuffles = physical(joined).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"co-partitioned join still shuffled:\n${joined.queryExecution.executedPlan}")
+      val expected = spark.read.parquet(s"$sfDir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_a"), countDistinct("o_custkey").as("n_custs"))
+        .collect().map(r => (r.getInt(0).toString, r.getLong(1), r.getLong(2))).toSet
+      assert(rows == expected, s"SPJ result drifted: $rows vs $expected")
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   // ---- aggregate pushdown (r13) ----
 
   test("ungrouped count/min/max answer from footer statistics only") {
