@@ -779,7 +779,7 @@ object Dedup {
         "is correctly ADMITTED — exactly what a compaction that " +
         "physically rewrote the store would produce (banding is " +
         "per-row, so filter-after-band ≡ band-after-filter; " +
-        "DedupSpec pins serve-after-delete equality with a fresh " +
+        "SimilaritySpec pins serve-after-delete equality with a fresh " +
         "build on the filtered history). Ingest cost is unchanged — " +
         "O(batch × bucket density) — plus one broadcast-able " +
         "tombstone-id anti-join; history is never re-banded.",
