@@ -15,6 +15,11 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // storage-partitioned joins for key-grouped docstore scans: set
+      // from process start so plan shapes never depend on which query
+      // was constructed first (etl_connector_copartition also sets it
+      // for foreign sessions)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()

@@ -736,7 +736,11 @@ object Relational {
             rankCol = "__r", totalCol = Some("__n"))
           .select(
             col("c_custkey"), col("c_mktsegment"),
-            ((col("__r") - 1).cast("double") / (col("__n") - 1).cast("double")).as("pr"),
+            // singleton group: percent_rank defines 0.0 where raw
+            // division would give 0/0 = NaN
+            when(col("__n") === 1, lit(0.0))
+              .otherwise((col("__r") - 1).cast("double")
+                / (col("__n") - 1).cast("double")).as("pr"),
             (col("__r").cast("double") / col("__n").cast("double")).as("cd"))
           .orderBy("c_custkey")
       },

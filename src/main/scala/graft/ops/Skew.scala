@@ -98,7 +98,11 @@ object Skew {
       key: String,
       spreadBy: Column,
       salts: Int = 8): DataFrame = {
-    val n = math.max(1, salts)
+    // 0 was the old "adaptive" sentinel; silently mapping it to 1 would
+    // turn a requested cluster-width spread into NO salting — fail loud
+    require(salts >= 1, s"saltedJoin: salts must be >= 1 (got $salts); " +
+      "the adaptive default now lives on saltedJoinHot only")
+    val n = salts
     val b = big.withColumn("__salt", pmod(xxhash64(spreadBy), lit(n.toLong)))
     val s = small.withColumn("__salt", explode(typedlit((0L until n.toLong).toSeq)))
     b.join(s, Seq(key, "__salt")).drop("__salt")

@@ -119,17 +119,20 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
       // one footer per file — the same O(files) metadata pass split
       // planning does. Schema drift across store files is an ERROR up
       // front, not a silent misprojection through the first file's
-      // schema.
-      val first = DocStore.fileSchema(listing.head._1)
+      // schema. Drift is STRUCTURAL (converted Spark schemas): the
+      // parquet root message name differs across writers (this sink
+      // vs Spark's own) and physical timestamp units are normalized
+      // per file by the reader, so neither is drift.
+      val first = DocStore.toStructType(DocStore.fileSchema(listing.head._1))
       listing.tail.foreach { case (f, _) =>
-        val s = DocStore.fileSchema(f)
+        val s = DocStore.toStructType(DocStore.fileSchema(f))
         require(s == first,
           s"docstore: schema drift across store files — $f has\n$s\nbut ${listing.head._1} has\n$first")
       }
       val partFields = listing.head._2.map { case (k, _) =>
         StructField(k, StringType, nullable = true)
       }
-      StructType(DocStore.toStructType(first).fields.toSeq ++ partFields)
+      StructType(first.fields.toSeq ++ partFields)
     }
   }
 
@@ -343,9 +346,6 @@ case class DocStoreScan(
     }
 
   private def allPushed: Array[Filter] = pushed ++ runtime
-
-  @transient private lazy val dataFilters =
-    pushed.filterNot(f => DocStore.isPartitionFilter(f, partCols))
 
   override def readSchema(): StructType = required
 
@@ -918,7 +918,7 @@ object DocStore {
         if (n.startsWith("_") || n.startsWith(".")) Nil
         else if (s.isDirectory) {
           val kv = n.split("=", 2)
-          if (kv.length == 2) walk(s.getPath, pv :+ (kv(0) -> kv(1)))
+          if (kv.length == 2) walk(s.getPath, pv :+ (kv(0) -> unescapePathName(kv(1))))
           else walk(s.getPath, pv)
         } else if (s.isFile && n.endsWith(".parquet")) Seq((s.getPath.toString, pv))
         else Nil
@@ -1002,11 +1002,34 @@ object DocStore {
     case other => String.valueOf(other)
   }
 
-  def fileSchema(file: String): MessageType = {
-    val r = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), new Configuration()))
-    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  /** Per-JVM footer cache: planning touches a file's footer from up to
+    * four places (schema inference + drift check, aggregate-pushdown
+    * verification, statistics estimation, split planning) — without
+    * this a query over an N-file store pays ~4×N footer fetches on the
+    * driver. Keyed by (path, length, mtime): a replaced file (same
+    * name, new bytes) misses the stale entry; the staged-commit sink
+    * never reuses names anyway. Bounded: cleared wholesale past 8192
+    * entries (footers are small; this is a planning cache, not state). */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (MessageType, Seq[BlockMetaData])]()
+
+  private def footerOf(file: String): (MessageType, Seq[BlockMetaData]) = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new Configuration())
+    val st = fs.getFileStatus(p)
+    val key = s"$file:${st.getLen}:${st.getModificationTime}"
+    if (footerCache.size() > 8192) footerCache.clear()
+    footerCache.computeIfAbsent(key, _ => {
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(p, new Configuration()))
+      try {
+        val f = r.getFooter
+        (f.getFileMetaData.getSchema, f.getBlocks.asScala.toSeq)
+      } finally r.close()
+    })
   }
+
+  def fileSchema(file: String): MessageType = footerOf(file)._1
 
   /** (startingPos, compressedSize) of each row group — the split
     * boundaries; each partition's byte range contains exactly its own
@@ -1016,11 +1039,7 @@ object DocStore {
 
   /** Full row-group metadata (counts + column statistics) — what the
     * aggregate-pushdown scan answers queries from. */
-  def footerBlocks(file: String): Seq[BlockMetaData] = {
-    val r = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), new Configuration()))
-    try r.getFooter.getBlocks.asScala.toSeq finally r.close()
-  }
+  def footerBlocks(file: String): Seq[BlockMetaData] = footerOf(file)._2
 
   /** Narrowest primitive column of a file schema — the cheapest column
     * to drive row counts when the projection is empty. (A schema with
@@ -1341,6 +1360,13 @@ object DocStore {
             .addField(parquetType("element", et, containsNull))
             .named("list"))
           .named(name)
+      case MapType(kt, vt, valueContainsNull) =>
+        PTypes.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
+          .addField(PTypes.repeatedGroup()
+            .addField(parquetType("key", kt, nullable = false))
+            .addField(parquetType("value", vt, valueContainsNull))
+            .named("key_value"))
+          .named(name)
       case st: StructType =>
         val gb = PTypes.buildGroup(rep)
         st.fields.foreach(f => gb.addField(parquetType(f.name, f.dataType, f.nullable)))
@@ -1370,6 +1396,18 @@ object DocStore {
           if (!arr.isNullAt(j)) addValue(eg, 0, et, arr, j)
           j += 1
         }
+      case MapType(kt, vt, _) =>
+        val mg = g.addGroup(i)
+        val m = src.getMap(ord)
+        val ks = m.keyArray()
+        val vs = m.valueArray()
+        var j = 0
+        while (j < m.numElements()) {
+          val kvg = mg.addGroup(0)
+          addValue(kvg, 0, kt, ks, j)
+          if (!vs.isNullAt(j)) addValue(kvg, 1, vt, vs, j)
+          j += 1
+        }
       case st: StructType =>
         val sg = g.addGroup(i)
         val sub = src.getStruct(ord, st.length)
@@ -1382,10 +1420,13 @@ object DocStore {
         throw new IllegalArgumentException(s"docstore: unwritable type $other")
     }
 
-  /** Hive-layout partition directory value for a row's column. */
+  /** Hive-layout partition directory value for a row's column —
+    * path-escaped, so a value containing '/', '=', '%' or other
+    * filesystem-significant characters round-trips instead of
+    * silently splitting into nested directories. */
   def partitionValueString(row: InternalRow, i: Int, dt: DataType): String =
     if (row.isNullAt(i)) HiveDefaultPartition
-    else dt match {
+    else escapePathName(dt match {
       case StringType => row.getUTF8String(i).toString
       case IntegerType => row.getInt(i).toString
       case LongType => row.getLong(i).toString
@@ -1394,7 +1435,39 @@ object DocStore {
       case other =>
         throw new IllegalArgumentException(
           s"docstore: unsupported partition column type $other")
+    })
+
+  /** Hive-compatible %XX escaping for partition directory values (the
+    * same character set Spark's catalog escapes), inverted by
+    * [[unescapePathName]] at listing time. */
+  private val pathEscapeChars: Set[Char] =
+    "\"#%'*/:=?\\{[]^".toSet
+
+  def escapePathName(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (c < ' ' || pathEscapeChars(c)) sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
     }
+    if (sb.isEmpty) "__EMPTY__" else sb.result()
+  }
+
+  def unescapePathName(s: String): String = {
+    if (s == "__EMPTY__") return ""
+    def hex(c: Char) = (c >= '0' && c <= '9') ||
+      (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // a '%XX' triple decodes; a stray '%' (foreign layout) passes through
+      if (c == '%' && i + 2 < s.length && hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
 
   // ---- aggregate pushdown specs ----
 

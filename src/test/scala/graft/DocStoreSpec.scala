@@ -511,6 +511,37 @@ class DocStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
+  test("mixed-writer stores, path-char partition values, and map writes round-trip") {
+    import spark.implicits._
+    // root-message-name differences across writers are NOT schema
+    // drift: Spark's sink names the root 'spark_schema', ours
+    // 'docstore_schema' — drift is structural
+    val dir = tmpDir("docstore_mixed")
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    Seq((2L, "b")).toDF("k", "v")
+      .write.format("docstore").option("path", dir).mode("append").save()
+    val back = spark.read.format("docstore").option("path", dir).load()
+    assert(back.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // a partition value containing '/' and '=' survives the directory
+    // round trip (escaped on write, unescaped at listing) instead of
+    // silently splitting into nested directories
+    val pdir = tmpDir("docstore_escape")
+    Seq(("a/b=c", 1L), ("plain", 2L)).toDF("k", "n")
+      .write.format("docstore").option("path", pdir)
+      .option("partitionBy", "k").mode("overwrite").save()
+    val pback = spark.read.format("docstore").option("path", pdir).load()
+    assert(pback.select("k", "n").as[(String, Long)].collect().toSet ==
+      Set(("a/b=c", 1L), ("plain", 2L)))
+    assert(pback.filter(col("k") === "a/b=c").count() == 1)
+    // a map column writes through the sink and reads back equal
+    val mdir = tmpDir("docstore_map")
+    val src = Seq((1L, Map("x" -> 1, "y" -> 2)), (2L, Map("z" -> 3))).toDF("k", "m")
+    src.write.format("docstore").option("path", mdir).mode("overwrite").save()
+    assert(spark.read.format("docstore").option("path", mdir).load()
+      .orderBy("k").collect().toSeq == src.orderBy("k").collect().toSeq)
+  }
+
   // ---- aggregate pushdown (r13) ----
 
   test("ungrouped count/min/max answer from footer statistics only") {
