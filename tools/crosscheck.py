@@ -252,6 +252,99 @@ def main(sf, outdir):
                 f"engine ranks are NOT on the numpy trajectory: "
                 f"head={got.head(3).to_dict()}")
 
+    # ---- Markov removal-effect attribution (independent journey
+    # reconstruction + scenario remap + 20-step absorption) ----
+    import pandas as pd
+    ev = con.sql("""SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+        event_id, CASE WHEN event_type='purchase' THEN 'conv'
+        ELSE event_type END AS state FROM events""").df()
+    ev = ev.sort_values(["user_id", "tu", "event_id"]).reset_index(drop=True)
+    trans = []
+    for _, sub in ev.groupby("user_id"):
+        rows = sub.reset_index(drop=True)
+        convs = rows.index[rows["state"] == "conv"]
+        if len(convs):
+            rows = rows.iloc[:convs[0] + 1]
+        prev = "start"
+        for st in rows["state"]:
+            trans.append((prev, st))
+            prev = st
+        if not len(convs):
+            trans.append((rows.iloc[-1]["state"], "null"))
+    cnt = pd.DataFrame(trans, columns=["src", "dst"]) \
+        .groupby(["src", "dst"]).size().reset_index(name="c")
+    states = ["start", "view", "click", "signup", "error", "conv", "null"]
+
+    def absorb(dfc, k=20):
+        tot = dfc.groupby("src")["c"].transform("sum")
+        p = dfc.assign(p=dfc["c"] / tot)
+        v = {st: (1.0 if st == "conv" else 0.0) for st in states}
+        for _ in range(k):
+            nv = {}
+            for st in states:
+                if st == "conv":
+                    nv[st] = 1.0
+                elif st == "null":
+                    nv[st] = 0.0
+                else:
+                    sub = p[p["src"] == st]
+                    nv[st] = sum(sorted(float(r.p) * v[r.dst]
+                                        for r in sub.itertuples()))
+            v = nv
+        return v["start"]
+
+    vb = absorb(cnt)
+    re = {}
+    for ch in ["view", "click", "signup", "error"]:
+        d = cnt[cnt["src"] != ch].copy()
+        d["dst"] = d["dst"].where(d["dst"] != ch, "null")
+        d = d.groupby(["src", "dst"], as_index=False)["c"].sum()
+        re[ch] = (vb - absorb(d)) / vb
+    sre = sum(sorted(re.values()))
+    got = out(con, outdir, "analytics_markov_attribution")
+    okk = True
+    for _, row in got.iterrows():
+        ch = row["channel"]
+        okk &= abs(row["conv_base"] - vb) < 1e-5 and \
+            abs(row["removal_effect"] - re[ch]) < 1e-5 and \
+            abs(row["attribution_share"] - re[ch] / sre) < 1e-5
+    ok &= check("analytics_markov_attribution", okk,
+                f"base absorption ref={vb:.6f}")
+
+    # ---- Shapley attribution, by a DIFFERENT algorithm: enumerate all
+    # 4! channel orderings and average marginal contributions (the
+    # engine uses the closed-form subset-weight formula instead) ----
+    import itertools
+    masks = con.sql("""WITH firstp AS (SELECT user_id, min(ts) AS pts
+          FROM events WHERE event_type='purchase' GROUP BY 1),
+        m0 AS (SELECT e.user_id,
+            max(CASE WHEN e.event_type='view' THEN 1 ELSE 0 END)
+            + max(CASE WHEN e.event_type='click' THEN 2 ELSE 0 END)
+            + max(CASE WHEN e.event_type='signup' THEN 4 ELSE 0 END)
+            + max(CASE WHEN e.event_type='error' THEN 8 ELSE 0 END) AS m
+          FROM events e JOIN firstp f USING (user_id)
+          WHERE e.ts < f.pts GROUP BY 1)
+        SELECT coalesce(m, 0) AS m, count(*) AS c
+        FROM firstp LEFT JOIN m0 USING (user_id) GROUP BY 1""").df()
+    vfun = {}
+    for ss in range(16):
+        vfun[ss] = int(masks[(masks["m"].to_numpy() & (15 ^ ss)) == 0]["c"].sum())
+    bits = {"view": 1, "click": 2, "signup": 4, "error": 8}
+    phi = {ch: 0.0 for ch in bits}
+    for perm in itertools.permutations(bits.keys()):
+        s0 = 0
+        for ch in perm:
+            phi[ch] += vfun[s0 | bits[ch]] - vfun[s0]
+            s0 |= bits[ch]
+    phi = {ch: p / 24.0 for ch, p in phi.items()}
+    got = out(con, outdir, "analytics_shapley_attribution")
+    okk = all(abs(row["shapley"] - phi[row["channel"]]) < 1e-5
+              for _, row in got.iterrows())
+    # efficiency: Σφ = v(full) − v(∅) (v(∅) counts zero-touch converters)
+    okk &= abs(sum(phi.values()) - (vfun[15] - vfun[0])) < 1e-9
+    ok &= check("analytics_shapley_attribution", okk,
+                f"ref φ={ {k: round(v_, 4) for k, v_ in phi.items()} }")
+
     print("== crosscheck " + ("ALL PASS" if ok else "HAS FAILURES"))
     return 0 if ok else 1
 
