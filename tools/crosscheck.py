@@ -345,6 +345,67 @@ def main(sf, outdir):
     ok &= check("analytics_shapley_attribution", okk,
                 f"ref φ={ {k: round(v_, 4) for k, v_ in phi.items()} }")
 
+    # ---- Friedman χ² over day-blocks of event-type counts (textbook
+    # tie-corrected form with per-block midranks) ----
+    daily = con.sql("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        event_type AS g, count(*) AS y FROM events GROUP BY 1, 2""").df()
+    rsum = {}
+    srr = 0.0
+    nblocks = {}
+    for _, sub in daily.groupby("d"):
+        r = midranks(sub["y"].to_numpy())
+        for grp, rk in zip(sub["g"], r):
+            rsum[grp] = rsum.get(grp, 0.0) + rk
+            nblocks[grp] = nblocks.get(grp, 0) + 1
+        srr += float((r ** 2).sum())
+    k = len(rsum)
+    n = max(nblocks.values())
+    sdev = sum((rj - n * (k + 1) / 2.0) ** 2 for rj in rsum.values())
+    chi2 = (k - 1) * sdev / (srr - n * k * (k + 1) ** 2 / 4.0)
+    got = out(con, outdir, "stats_friedman").iloc[0]
+    ok &= check("stats_friedman",
+                int(got["n_blocks"]) == n and abs(got["chi2_f"] - chi2) < 1e-3,
+                f"engine χ²={got['chi2_f']} vs ref {chi2:.4f}")
+
+    # ---- Cronbach's alpha over the 4 lineitem money items
+    # (population variances, textbook k/(k-1)(1-Σv_i/v_tot)) ----
+    li = con.sql("""SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+        CAST(round(l_extendedprice*100) AS BIGINT) AS p,
+        CAST(round(l_discount*100) AS BIGINT) AS d,
+        CAST(round(l_tax*100) AS BIGINT) AS t FROM lineitem""").df()
+    items = [li[c].to_numpy().astype(np.float64) for c in ["q", "p", "d", "t"]]
+    tot = sum(items)
+    alpha = 4.0 / 3.0 * (1.0 - sum(x.var() for x in items) / tot.var())
+    got = out(con, outdir, "stats_cronbach_alpha").iloc[0]
+    acol = [c for c in got.index if "alpha" in c][0]
+    ok &= check("stats_cronbach_alpha",
+                abs(got[acol] - alpha) < 1e-4,
+                f"engine α={got[acol]} vs ref {alpha:.6f}")
+
+    # ---- simplified silhouette over the first-8 centroid book
+    # (a = cosine distance to nearest centroid, b = to second) ----
+    emb = con.sql("SELECT vec_id, embedding FROM read_parquet("
+                  f"'{sf}/embeddings.parquet') ORDER BY vec_id").df()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    C = X[:8]
+    cos = (X @ C.T) / (np.linalg.norm(X, axis=1)[:, None]
+                       * np.linalg.norm(C, axis=1)[None, :])
+    # (cos DESC, cid) tie-break: argsort on (-cos, cid) lexicographic
+    order = np.lexsort((np.arange(8)[None, :].repeat(len(X), 0),
+                        -cos))  # last key primary
+    best, second = order[:, 0], order[:, 1]
+    a = 1.0 - cos[np.arange(len(X)), best]
+    b = 1.0 - cos[np.arange(len(X)), second]
+    sil = (b - a) / np.maximum(a, b)
+    got = out(con, outdir, "sim_silhouette").sort_values("cid")
+    okk = True
+    for _, row in got.iterrows():
+        m = best == int(row["cid"])
+        okk &= int(row["n_vectors"]) == int(m.sum()) and \
+            abs(row["mean_silhouette"] - sil[m].mean()) < 1e-3
+    ok &= check("sim_silhouette", okk,
+                f"{len(got)} clusters, ref mean sil={sil.mean():.4f}")
+
     print("== crosscheck " + ("ALL PASS" if ok else "HAS FAILURES"))
     return 0 if ok else 1
 
