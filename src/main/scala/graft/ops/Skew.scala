@@ -225,6 +225,24 @@ object Skew {
     }
   }
 
+  /** Broadcast-joins the per-(group, partition) offsets frame back onto
+    * the partitioned fact rows with NULL-SAFE equality on the group
+    * keys. A plain string-list equi-join would silently DROP every row
+    * whose group key is NULL (equi-joins never match null keys) while
+    * `Window.partitionBy` treats NULL as a regular group — so the
+    * grouped primitives below would lose rows a plain window keeps.
+    * Right-side keys are prefixed before the join so the `<=>`
+    * condition never hits ambiguous-attribute resolution. */
+  private def joinOffsets(
+      parted: DataFrame,
+      offsets: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val pre = "__o_"
+    val renamed = keys.foldLeft(offsets)((d, k) => d.withColumnRenamed(k, pre + k))
+    val cond = keys.map(k => parted(k) <=> renamed(pre + k)).reduce(_ && _)
+    parted.join(broadcast(renamed), cond).drop(keys.map(pre + _): _*)
+  }
+
   /** PER-GROUP row_number at cluster width — the grouped twin of
     * [[globalRank]] for windows partitioned by a BOUNDED-cardinality
     * dimension (language, segment, source), where a plain
@@ -269,9 +287,9 @@ object Skew {
         col("o.__off").as("__off"), col("__n")): _*)
     val w = Window.partitionBy((grpCols :+ "__pid").map(col): _*)
       .orderBy(sortCols: _*)
-    val ranked = parted
-      .withColumn("__lr", row_number().over(w))
-      .join(broadcast(offsets), grpCols :+ "__pid")
+    val ranked = joinOffsets(
+        parted.withColumn("__lr", row_number().over(w)),
+        offsets, grpCols :+ "__pid")
       .withColumn(rankCol, col("__off") + col("__lr"))
       .drop("__pid", "__lr", "__off")
     totalCol match {
@@ -312,9 +330,9 @@ object Skew {
     val w = Window.partitionBy((grpCols :+ "__pid").map(col): _*)
       .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
-      .withColumn("__lc", sum(col(valueCol)).over(w))
-      .join(broadcast(offsets), grpCols :+ "__pid")
+    joinOffsets(
+        parted.withColumn("__lc", sum(col(valueCol)).over(w)),
+        offsets, grpCols :+ "__pid")
       .withColumn(outCol, col("__off") + col("__lc"))
       .drop("__pid", "__lc", "__off")
   }
@@ -351,9 +369,9 @@ object Skew {
     val w = Window.partitionBy((grpCols :+ "__pid").map(col): _*)
       .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    parted
-      .withColumn("__lm", max(col(valueCol)).over(w))
-      .join(broadcast(offsets), grpCols :+ "__pid")
+    joinOffsets(
+        parted.withColumn("__lm", max(col(valueCol)).over(w)),
+        offsets, grpCols :+ "__pid")
       .withColumn(outCol, greatest(col("__off"), col("__lm")))
       .drop("__pid", "__lm", "__off")
   }

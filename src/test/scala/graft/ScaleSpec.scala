@@ -258,6 +258,40 @@ class ScaleSpec extends SparkSpec {
     }.isEmpty, "globalNtile must not plan an unpartitioned window")
   }
 
+  test("grouped primitives keep NULL group keys, bit-identical to the window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // NULL is a regular group for Window.partitionBy; the broadcast
+    // offset join inside the grouped primitives must therefore be
+    // null-safe or it silently drops every null-keyed row
+    val df = (1 to 200).map { i =>
+      val g = if (i % 5 == 0) null else s"g${i % 3}"
+      (g, i.toLong, (i * 13 % 17).toLong)
+    }.toDF("grp", "id", "v")
+    val w = Window.partitionBy("grp").orderBy(col("id"))
+    val wantRank = df.withColumn("r", row_number().over(w))
+      .select("id", "r").as[(Long, Int)].collect().toMap
+    val gotRank = Skew.groupedRank(df, Seq("grp"), Seq(col("id")),
+        numParts = 5, rankCol = "r")
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(gotRank.size == 200, "groupedRank dropped null-keyed rows")
+    assert(gotRank == wantRank.map { case (k, v) => k -> v.toLong })
+    val wantSum = df.withColumn("c",
+        sum("v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    val gotSum = Skew.groupedRunningSum(df, Seq("grp"), Seq(col("id")), "v",
+        numParts = 5, outCol = "c")
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    assert(gotSum == wantSum, "groupedRunningSum diverged on null keys")
+    val wantMax = df.withColumn("m",
+        max("v").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .select("id", "m").as[(Long, Option[Long])].collect().toMap
+    val gotMax = Skew.groupedPrefixMax(df, Seq("grp"), Seq(col("id")), "v",
+        numParts = 5, outCol = "m")
+      .select("id", "m").as[(Long, Option[Long])].collect().toMap
+    assert(gotMax == wantMax, "groupedPrefixMax diverged on null keys")
+  }
+
   test("globalRank output is invariant to the spine width; default tracks the cluster") {
     import spark.implicits._
     // the rank-stage width must scale with the cluster (a hardcoded 32
