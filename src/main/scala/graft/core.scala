@@ -62,19 +62,38 @@ object Tables {
   * a lifecycle rule; the dataflow on either side of the store is
   * identical. */
 object Scratch {
-  private lazy val root: java.io.File = {
-    val r = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_scratch-${ProcessHandle.current().pid()}")
-    r.mkdirs()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Reclaim sibling scratch roots whose owning JVM is gone: the exit
+    * hook only runs on orderly shutdown, so a crashed run (kill -9,
+    * OOM) would otherwise leave its graft_scratch-<pid> tree behind
+    * forever — repeated crashed runs accumulating tmp garbage
+    * unboundedly. Liveness via ProcessHandle: a live pid (possibly a
+    * concurrent Bench/Verify JVM) is never touched; an unparsable
+    * suffix is left alone too (not ours to judge). */
+  private def sweepDead(tmp: java.io.File, selfPid: Long): Unit = {
+    val sibs = Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+    sibs.foreach { f =>
+      if (f.isDirectory && f.getName.startsWith("graft_scratch-")) {
+        f.getName.stripPrefix("graft_scratch-").toLongOption.foreach { pid =>
+          if (pid != selfPid && !ProcessHandle.of(pid).isPresent) rmTree(f)
+        }
       }
-      rm(r)
-    }))
+    }
+  }
+
+  private lazy val root: java.io.File = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val selfPid = ProcessHandle.current().pid()
+    try sweepDead(tmp, selfPid)
+    catch { case _: Exception => () } // best-effort: a sweep failure must not fail the run
+    val r = new java.io.File(tmp, s"graft_scratch-$selfPid")
+    r.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(r)))
     r
   }
 
