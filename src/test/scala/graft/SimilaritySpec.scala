@@ -274,11 +274,20 @@ class SimilaritySpec extends SparkSpec {
     val k = out.length
     val sumImb = out.map(_.getDouble(3)).sum
     assert(math.abs(sumImb - k) < 0.01 * k, s"imbalance sums to $sumImb, k=$k")
-    // the action column is a pure function of the two scores
+    // the action column is a pure function of the two scores — but the
+    // query derives it from the UNROUNDED values while the output
+    // columns are rounded to 4 dp, so a score within half an ulp of a
+    // threshold (ccos in [0.97995, 0.98), imbalance just over 2.0 that
+    // rounds down) could legitimately cross the threshold differently
+    // than its rounded twin. Skip exactly those boundary rows instead
+    // of failing spuriously on a new fixture.
+    val eps = 0.5e-4 // half an ulp of the 4-dp rounding
     out.foreach { r =>
       val (ccos, imb, act) = (r.getDouble(2), r.getDouble(3), r.getString(4))
-      val want = if (ccos < 0.98) "retrain" else if (imb > 2.0) "split" else "keep"
-      assert(act == want, s"cid=${r.get(0)}: $act but scores say $want")
+      if (math.abs(ccos - 0.98) > eps && math.abs(imb - 2.0) > eps) {
+        val want = if (ccos < 0.98) "retrain" else if (imb > 2.0) "split" else "keep"
+        assert(act == want, s"cid=${r.get(0)}: $act but scores say $want")
+      }
     }
   }
 
