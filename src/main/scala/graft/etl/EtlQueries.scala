@@ -13,6 +13,43 @@ import org.apache.spark.sql.functions._
   * side effect, not a DataFrame-returning query. */
 object EtlQueries {
 
+  /** Set-if-unset registration of a docstore SQL catalog on the shared
+    * session. Idempotent by construction: Spark instantiates a catalog
+    * once on first reference and caches it, and every caller passes
+    * the same (name → root) mapping, so concurrent Verify threads
+    * can't observe different bindings — unlike a plan-shape conf this
+    * only ADDS a name-resolution root, it never reshapes other
+    * queries' plans. */
+  private def ensureCatalog(s: org.apache.spark.sql.SparkSession,
+      name: String, root: String): Unit = synchronized {
+    if (s.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$name", "graft.sources.DocStoreCatalog")
+      s.conf.set(s"spark.sql.catalog.$name.root", root)
+    }
+  }
+
+  /** A per-fixture-dir SQL namespace under the process-scratch catalog
+    * root (identifier-safe spelling of the dir). */
+  private def nsOf(dir: String): String =
+    "ns_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The mutable-store catalog (DDL/DML targets live under a
+    * process-scratch root); returns the catalog name. */
+  private def mutableCatalog(s: org.apache.spark.sql.SparkSession): String = {
+    val root = graft.Scratch.once("graftds_catalog_root") { d =>
+      new java.io.File(d).mkdirs(): Unit
+    }
+    ensureCatalog(s, "graftds", root)
+    "graftds"
+  }
+
+  private def ensureNamespace(s: org.apache.spark.sql.SparkSession,
+      cat: String, ns: String): Unit =
+    try s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+    catch { // IF NOT EXISTS check-then-act can race under Verify's pool
+      case _: org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException => ()
+    }
+
   def defs: Seq[Q] = Seq(
     Q(
       "etl_connector_pushdown",
@@ -189,6 +226,225 @@ object EtlQueries {
         FROM orders GROUP BY 1 ORDER BY o_year""")),
 
     Q(
+      "etl_connector_sink_clustered",
+      "CLUSTERED sink write (RequiresDistributionAndOrdering — the " +
+        "100 TB small-files defense): the sink asks Spark to cluster " +
+        "the write by the partition column and sort within tasks by " +
+        "(o_year, o_orderdate), so a partitioned commit produces ONE " +
+        "file per partition value instead of files-per-partition-per-" +
+        "task (the explosion A12's rotation exists to manage, and " +
+        "which etl_compaction_plan could only repair after the fact), " +
+        "and the sortBy gives row groups disjoint o_orderdate ranges " +
+        "— a read-back date range prunes row groups via the same " +
+        "FilterApi statistics path as any pushed filter (DocStoreSpec " +
+        "pins one-file-per-partition and the sorted layout). The " +
+        "read-back filters Q4-1995 orders per year; the oracle " +
+        "computes the same from the source table, so clustering and " +
+        "sorting must be pure layout — never a row or value change.",
+      (s, dir) => {
+        val store = graft.Scratch.once(s"etl_docstore_sink_clustered:$dir") { p =>
+          Tables.t(s, dir, "orders")
+            .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+            .select("o_orderkey", "o_orderdate", "o_totalprice", "o_year")
+            .write.format("docstore").option("path", p)
+            .option("partitionBy", "o_year").option("sortBy", "o_orderdate")
+            .option("rowGroupBytes", "65536")
+            .mode("overwrite").save()
+        }
+        s.read.format("docstore").option("path", store).load()
+          .filter(col("o_orderdate") >= lit("1995-10-01").cast("date") &&
+            col("o_orderdate") <= lit("1995-12-31").cast("date"))
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders
+        WHERE o_orderdate BETWEEN DATE '1995-10-01' AND DATE '1995-12-31'
+        GROUP BY 1 ORDER BY o_year""")),
+
+    Q(
+      "etl_connector_group_pushdown",
+      "GROUPED aggregate pushdown through the connector: GROUP BY " +
+        "over the store's PARTITION column crosses " +
+        "SupportsPushDownAggregates with grouping expressions — the " +
+        "group values come from the Hive k=v directory layout and the " +
+        "count/min/max from row-group footer statistics, so a " +
+        "`GROUP BY year` over a 100 TB partitioned store reads ZERO " +
+        "data pages (DocStoreSpec pins the PushedGroupBy marker and " +
+        "the metadata-only schema). Pushdown is partial: the scan " +
+        "emits one footer-row per file and Spark merges per group, so " +
+        "multi-file partitions stay exact. The oracle recomputes the " +
+        "same per-year counts and key extrema from the source table.",
+      (s, dir) => {
+        val store = graft.Scratch.once(s"etl_docstore_sink:$dir") { p =>
+          Tables.t(s, dir, "orders")
+            .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
+            .write.format("docstore").option("path", p)
+            .option("partitionBy", "o_year").mode("overwrite").save()
+        }
+        s.read.format("docstore").option("path", store).load()
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .select(col("o_year").cast("int").as("o_year"), col("n_orders"),
+            col("min_key"), col("max_key"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          count(*) AS n_orders, min(o_orderkey) AS min_key,
+          max(o_orderkey) AS max_key
+        FROM orders GROUP BY 1 ORDER BY o_year""")),
+
+    Q(
+      "etl_catalog_sql",
+      "SQL-catalog resolution (the reference's two-level db→collection " +
+        "namespace, main.py:251,277-281, as a Spark V2 TableCatalog): " +
+        "the fixture store resolves BY NAME — `graftfix.<sf>.orders` — " +
+        "through graft.sources.DocStoreCatalog, planning the same " +
+        "DocStoreScan a path read plans (DocStoreCatalogSpec pins V2 " +
+        "relation resolution, listings, DDL round-trips). Pure SQL " +
+        "text end to end: per-priority order counts and exact-cents " +
+        "revenue. In production the catalog entry points at the real " +
+        "document store; every query written against the name keeps " +
+        "working unchanged.",
+      (s, dir) => {
+        val parent = new java.io.File(dir).getParent
+        val ns = new java.io.File(dir).getName
+        ensureCatalog(s, "graftfix", parent)
+        s.sql(s"""SELECT o_orderpriority AS priority, count(*) AS n,
+            round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+          FROM graftfix.`$ns`.orders
+          WHERE o_orderstatus = 'F'
+          GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY 1 ORDER BY 1""")),
+
+    Q(
+      "etl_connector_delete",
+      "DELETE pushed to the connector as a METADATA-ONLY operation: a " +
+        "catalog table Hive-partitioned by order year takes `DELETE " +
+        "FROM … WHERE o_year = 1995` — every conjunct is an exactly-" +
+        "evaluable partition predicate, so SupportsDelete drops the " +
+        "matching files (and reclaims their directories) without " +
+        "reading or rewriting a single row; at 100 TB that's a " +
+        "retention sweep at O(files-matched) metadata cost. Non-" +
+        "partition predicates instead take the copy-on-write rewrite " +
+        "(etl_connector_merge, DocStoreCatalogSpec). The oracle " +
+        "recomputes the surviving per-year aggregates from the source " +
+        "table.",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        graft.Scratch.once(s"etl_connector_delete:$dir") { _ =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.orders_del
+            (o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING docstore PARTITIONED BY (o_year)""")
+          Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).as("o_year"))
+            .writeTo(s"$cat.$ns.orders_del").append()
+          s.sql(s"DELETE FROM $cat.$ns.orders_del WHERE o_year = 1995")
+        }
+        s.table(s"$cat.$ns.orders_del")
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders WHERE year(o_orderdate) <> 1995
+        GROUP BY 1 ORDER BY o_year""")),
+
+    Q(
+      "etl_connector_merge",
+      "The SCD2 merge executed AS `MERGE INTO` through the connector — " +
+        "the oracle-checked twin of etl_scd2_merge, but the merge " +
+        "itself crosses the DSv2 row-level-operation boundary " +
+        "(SupportsRowLevelOperations, group-based COPY-ON-WRITE): " +
+        "Spark reads the affected rows through the operation's scan, " +
+        "computes closed/kept/new rows, stages replacements under " +
+        "_staging-<queryId>, and one commit atomically retires the " +
+        "replaced files — a reader planned at ANY earlier point sees " +
+        "the complete pre-merge store (DocStoreCatalogSpec pins the " +
+        "invisibility). The classic NULL-merge-key trick yields both " +
+        "an UPDATE (close the open row) and an INSERT (new current " +
+        "row) per changed key in ONE statement. The oracle recomputes " +
+        "the expected dimension straight from the source table, so " +
+        "any row lost or duplicated by the rewrite is a hash " +
+        "mismatch.",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        graft.Scratch.once(s"etl_connector_merge:$dir") { _ =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.scd_customer
+            (c_custkey BIGINT, segment STRING, valid_from DATE,
+             valid_to DATE, is_current BOOLEAN) USING docstore""")
+          Tables.t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+              lit("2020-01-01").cast("date").as("valid_from"),
+              lit(null).cast("date").as("valid_to"),
+              lit(true).as("is_current"))
+            .writeTo(s"$cat.$ns.scd_customer").append()
+          s.sql(s"""CREATE TABLE $cat.$ns.scd_changes
+            (c_custkey BIGINT, new_segment STRING) USING docstore""")
+          Tables.t(s, dir, "customer")
+            .filter(col("c_custkey") % 7 === 0)
+            .select(col("c_custkey"), lit("MIGRATED").as("new_segment"))
+            .writeTo(s"$cat.$ns.scd_changes").append()
+          s.sql(s"""MERGE INTO $cat.$ns.scd_customer t
+            USING (
+              SELECT c_custkey AS mk, c_custkey, new_segment
+              FROM $cat.$ns.scd_changes
+              UNION ALL
+              SELECT CAST(NULL AS BIGINT) AS mk, c_custkey, new_segment
+              FROM $cat.$ns.scd_changes
+            ) s
+            ON t.c_custkey = s.mk AND t.is_current
+            WHEN MATCHED THEN UPDATE SET
+              valid_to = DATE '2024-06-01', is_current = false
+            WHEN NOT MATCHED THEN INSERT
+              (c_custkey, segment, valid_from, valid_to, is_current)
+              VALUES (s.c_custkey, s.new_segment, DATE '2024-06-01',
+                CAST(NULL AS DATE), true)""")
+        }
+        s.table(s"$cat.$ns.scd_customer")
+          .select("c_custkey", "segment", "valid_from", "valid_to", "is_current")
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH changes AS (
+          SELECT c_custkey, 'MIGRATED' AS new_segment
+          FROM customer WHERE c_custkey % 7 = 0),
+        merged AS (
+          SELECT d.c_custkey, d.c_mktsegment, ch.new_segment
+          FROM customer d LEFT JOIN changes ch USING (c_custkey))
+        SELECT c_custkey, c_mktsegment AS segment,
+          DATE '2020-01-01' AS valid_from,
+          CASE WHEN new_segment IS NOT NULL THEN DATE '2024-06-01' END AS valid_to,
+          new_segment IS NULL AS is_current
+        FROM merged
+        UNION ALL
+        SELECT c_custkey, new_segment AS segment,
+          DATE '2024-06-01' AS valid_from,
+          CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        FROM merged WHERE new_segment IS NOT NULL
+        ORDER BY c_custkey, valid_from""")),
+
+    Q(
       "etl_connector_copartition",
       "STORAGE-PARTITIONED JOIN through the connector — the zero-" +
         "shuffle fact-fact join: two stores Hive-partitioned on the " +
@@ -199,11 +455,15 @@ object EtlQueries {
         "aggregations and the join run on the directory partitioning " +
         "with ZERO exchanges (DocStoreSpec pins the shuffle-free " +
         "plan) — at 100 TB this deletes the largest shuffle a " +
-        "co-partitioned pipeline has. The conf is enabled here and " +
-        "left on: it only changes plan SHAPES for key-grouped " +
-        "docstore scans, never results (the oracle pins that).",
+        "co-partitioned pipeline has. The conf is set at session " +
+        "build by every harness entrypoint (Bench/Verify/Explain/" +
+        "SparkSpec) — NOT mutated here: a runtime set from inside a " +
+        "query constructor would leak into the shared session and " +
+        "nondeterministically reshape other queries planned mid-" +
+        "flight under Verify's thread pool. In a foreign session " +
+        "without the conf the join falls back to a shuffled merge " +
+        "join — same results, just not exchange-free.",
       (s, dir) => {
-        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         val (a, b) = (
           graft.Scratch.once(s"etl_docstore_spj_a:$dir") { p =>
             Tables.t(s, dir, "orders")

@@ -25,14 +25,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, SpecializedGetters}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{HasPartitionKey, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder => ConnSortOrder, Expression => ConnExpression}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -111,30 +113,8 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val path = DocStore.pathOf(options)
-    val listing = DocStore.listFilesWithPartitions(path)
-    if (listing.isEmpty) new StructType() // fresh write target: the writing query brings the schema (ACCEPT_ANY_SCHEMA)
-    else {
-      // one footer per file — the same O(files) metadata pass split
-      // planning does. Schema drift across store files is an ERROR up
-      // front, not a silent misprojection through the first file's
-      // schema. Drift is STRUCTURAL (converted Spark schemas): the
-      // parquet root message name differs across writers (this sink
-      // vs Spark's own) and physical timestamp units are normalized
-      // per file by the reader, so neither is drift.
-      val first = DocStore.toStructType(DocStore.fileSchema(listing.head._1))
-      listing.tail.foreach { case (f, _) =>
-        val s = DocStore.toStructType(DocStore.fileSchema(f))
-        require(s == first,
-          s"docstore: schema drift across store files — $f has\n$s\nbut ${listing.head._1} has\n$first")
-      }
-      val partFields = listing.head._2.map { case (k, _) =>
-        StructField(k, StringType, nullable = true)
-      }
-      StructType(first.fields.toSeq ++ partFields)
-    }
-  }
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocStore.inferStoreSchema(DocStore.pathOf(options))
 
   override def getTable(
       schema: StructType,
@@ -143,21 +123,111 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
     DocStoreTable(DocStore.pathOf(new CaseInsensitiveStringMap(properties)), schema)
 }
 
-case class DocStoreTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+case class DocStoreTable(path: String, tableSchema: StructType,
+    tablePartitionBy: Seq[String] = Nil)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete with SupportsRowLevelOperations {
   override def name(): String = s"docstore($path)"
   override def schema(): StructType = tableSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(
+  /** Catalog-declared partitioning (CREATE TABLE … PARTITIONED BY):
+    * reported to Spark and used as the sink's default routing when a
+    * write doesn't pass its own `partitionBy` option. */
+  override def partitioning(): Array[Transform] =
+    tablePartitionBy.map(c => Expressions.identity(c)).toArray
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE)
+    // Document stores are schemaless, so a FRESH store accepts whatever
+    // schema the first write brings. Once a schema exists (file footers
+    // or a catalog-declared marker), writes go through Spark's normal
+    // output resolution instead — which is what aligns an INSERT's
+    // positional VALUES columns (col1…colN, uncast) to the table's
+    // names and types; ACCEPT_ANY_SCHEMA would skip that and corrupt
+    // the written field names.
+    if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocStoreScanBuilder(path, tableSchema)
+    new DocStoreScanBuilder(path, tableSchema,
+      Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new DocStoreWriteBuilder(path, info)
+    new DocStoreWriteBuilder(path, info, tablePartitionBy, tableSchema)
+
+  /** The store's effective partition routing: catalog-declared keys
+    * when present, else whatever the directory layout carries. */
+  private def effectivePartitionBy: Seq[String] =
+    if (tablePartitionBy.nonEmpty) tablePartitionBy
+    else DocStore.listFilesWithPartitions(path)
+      .headOption.map(_._2.map(_._1)).getOrElse(Nil)
+
+  // ---- metadata-only DELETE (file drops, zero rewrite) ----
+
+  /** A delete is answerable from metadata alone iff every conjunct is
+    * a PARTITION predicate in an exactly-evaluable form — partition
+    * values are exact per file, so dropping the matching files deletes
+    * exactly the matching rows and reads nothing. Anything else
+    * (data-column predicates, unconvertible forms) falls through to
+    * the copy-on-write rewrite below. Probed against a representative
+    * partition-value map so an unknown column or operator refuses the
+    * metadata path up front. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val partCols = effectivePartitionBy.toSet
+    val probe = partCols.map(_ -> "0").toMap
+    // ordered comparisons evaluate lexicographically on the directory
+    // text — exact only for STRING partition columns (a typed catalog
+    // column like year INT would compare "9" > "10"); equality/IN are
+    // exact for every type via the canonical text form
+    def orderedOk(f: Filter): Boolean = f match {
+      case GreaterThan(c, _) => strTyped(c)
+      case GreaterThanOrEqual(c, _) => strTyped(c)
+      case LessThan(c, _) => strTyped(c)
+      case LessThanOrEqual(c, _) => strTyped(c)
+      case And(l, r) => orderedOk(l) && orderedOk(r)
+      case Or(l, r) => orderedOk(l) && orderedOk(r)
+      case Not(i) => orderedOk(i)
+      case _ => true
+    }
+    def strTyped(c: String): Boolean =
+      tableSchema.fields.find(_.name == c).forall(_.dataType == StringType)
+    filters.forall(f => DocStore.isPartitionFilter(f, partCols) &&
+      orderedOk(f) && DocStore.partitionFilterEval(probe, f).isDefined)
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val matched = DocStore
+      .listFilesWithPartitions(path)
+      .filter { case (_, pv) =>
+        // delete a file only when the predicate is DEFINITELY TRUE on
+        // its partition values — SQL three-valued semantics, so a NULL
+        // comparison never deletes
+        val m = pv.toMap
+        filters.forall(f =>
+          DocStore.partitionFilterEval(m, f).contains(Some(true)))
+      }
+    val conf = new Configuration()
+    val fsys = new Path(path).getFileSystem(conf)
+    matched.foreach { case (f, _) =>
+      val p = new Path(f)
+      fsys.delete(p, false)
+      // reclaim partition dirs this delete emptied (root stays)
+      var d = p.getParent
+      while (d != null && d.getName.contains("=") &&
+        fsys.exists(d) && fsys.listStatus(d).isEmpty) {
+        fsys.delete(d, false)
+        d = d.getParent
+      }
+    }
+  }
+
+  // ---- group-based copy-on-write row-level operations ----
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new DocStoreRowLevelOperation(path, tableSchema,
+      effectivePartitionBy, info.command())
 }
 
 /** Receives Spark's pushdown calls. `pushFilters` partitions the
@@ -168,7 +238,8 @@ case class DocStoreTable(path: String, tableSchema: StructType)
   * (possibly nested-pruned) projection. `pushAggregation` swaps the
   * scan for a metadata-only statistics scan when exactness is
   * provable. */
-class DocStoreScanBuilder(path: String, tableSchema: StructType)
+class DocStoreScanBuilder(path: String, tableSchema: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -176,7 +247,7 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType)
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
-  private var aggSpecs: Option[(Seq[DocStore.AggSpec], StructType)] = None
+  private var aggSpecs: Option[(Seq[String], Seq[DocStore.AggSpec], StructType)] = None
 
   // one dir walk, cached for the builder's lifetime
   private lazy val listing = DocStore.listFilesWithPartitions(path)
@@ -202,10 +273,20 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType)
 
   /** Partial aggregate pushdown from row-group footer statistics. The
     * scan emits one pre-aggregated row per file; Spark runs the final
-    * merge (sum of counts, min of mins, max of maxes). Refused unless
-    * every value is provably exact — see the class doc. */
+    * merge (sum of counts, min of mins, max of maxes). GROUP BY is
+    * pushed when every grouping expression is a PARTITION column: the
+    * group values come from the `k=v` directory layout, so each
+    * per-file row carries its directory's values and a
+    * `GROUP BY year` over a Hive-partitioned 100 TB store still reads
+    * ZERO data pages — footers only. Any non-partition grouping
+    * refuses pushdown (footer stats can't group by data values).
+    * Refused unless every value is provably exact — see the class
+    * doc. */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (agg.groupByExpressions.nonEmpty) return false
+    val grpRefs = agg.groupByExpressions.toSeq.map(e =>
+      DocStore.flatRef(e).filter(partCols))
+    if (grpRefs.exists(_.isEmpty)) return false
+    val grpCols = grpRefs.flatten
     // data filters invalidate row-group counts; partition filters are
     // applied at file granularity BEFORE footers are read, so they
     // compose with statistics exactly
@@ -245,13 +326,17 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType)
       }
     }
     if (!ok) return false
+    // scan output layout (Spark's partial-pushdown contract): grouping
+    // columns FIRST — typed as the table declares them (partition
+    // columns are StringType) — then one field per aggregate
+    val grpFields = grpCols.map(c => StructField(c, tableSchema(c).dataType))
     val fields = flat.map {
       case DocStore.CountStarSpec => StructField("count(*)", LongType, nullable = false)
       case DocStore.CountColSpec(c) => StructField(s"count($c)", LongType, nullable = false)
       case DocStore.MinSpec(c) => StructField(s"min($c)", tableSchema(c).dataType, nullable = true)
       case DocStore.MaxSpec(c) => StructField(s"max($c)", tableSchema(c).dataType, nullable = true)
     }
-    aggSpecs = Some((flat, StructType(fields)))
+    aggSpecs = Some((grpCols, flat, StructType(grpFields ++ fields)))
     true
   }
 
@@ -269,8 +354,10 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType)
       })
 
   override def build(): Scan = aggSpecs match {
-    case Some((specs, schema)) => DocStoreAggScan(path, schema, specs, pushed)
-    case None => DocStoreScan(path, tableSchema, required, pushed)
+    case Some((grpCols, specs, schema)) =>
+      DocStoreAggScan(path, schema, grpCols, specs, pushed)
+    case None =>
+      DocStoreScan(path, tableSchema, required, pushed, maxFilesPerTrigger)
   }
 }
 
@@ -283,7 +370,9 @@ case class DocStoreScan(
     path: String,
     tableSchema: StructType,
     required: StructType,
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    maxFilesPerTrigger: Option[Int] = None,
+    groupFilterOnly: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -326,14 +415,20 @@ case class DocStoreScan(
 
   override def filterAttributes(): Array[NamedReference] = {
     // only columns in the scan's OUTPUT qualify — Spark resolves these
-    // against readSchema at planning and errors on anything pruned away
+    // against readSchema at planning and errors on anything pruned away.
+    // A row-level-operation scan (groupFilterOnly) reports PARTITION
+    // columns only: its runtime filter determines which GROUPS (files)
+    // get rewritten, and a data-column filter applied exactly would
+    // drop keep-rows of an affected file — silent data loss on commit.
     val flat = required.fields.map(_.name).filter(n =>
-      partCols(n) || DocStore.pushable(IsNotNull(n), tableSchema, partCols))
+      if (groupFilterOnly) partCols(n)
+      else partCols(n) || DocStore.pushable(IsNotNull(n), tableSchema, partCols))
     flat.map(n => Expressions.column(n))
   }
 
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter { f =>
+      (!groupFilterOnly || DocStore.isPartitionFilter(f, partCols)) &&
       DocStore.pushable(f, tableSchema, partCols) && (f match {
         // a runtime IN-set over DATA columns becomes an or-of-equals
         // record predicate — cap its width so a multi-million-key
@@ -344,6 +439,13 @@ case class DocStoreScan(
         case _ => true
       })
     }
+
+  /** The files this scan reads AFTER all pruning (planned + runtime
+    * partition filters) — for a row-level operation these are exactly
+    * the groups its commit replaces. Evaluated at call time so a
+    * commit sees the post-runtime-filter set. */
+  def currentFiles: Seq[String] =
+    DocStore.pruneListing(listing, allPushed).map(_._1)
 
   private def allPushed: Array[Filter] = pushed ++ runtime
 
@@ -389,10 +491,12 @@ case class DocStoreScan(
       s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val types = partColsOrdered.map(c =>
+      tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType))
     val parts = ArrayBuffer.empty[InputPartition]
     DocStore.pruneListing(listing, allPushed).foreach { case (f, pv) =>
       DocStore.blocksOf(f).foreach { case (start, len) =>
-        parts += DocStorePartition(f, start, len, pv)
+        parts += DocStorePartition(f, start, len, pv, types)
       }
     }
     parts.toArray
@@ -406,21 +510,26 @@ case class DocStoreScan(
   /** Streaming read over the same store, projection and pushed filters
     * included — see [[DocStoreMicroBatchStream]]. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new DocStoreMicroBatchStream(path, tableSchema, required, pushed)
+    new DocStoreMicroBatchStream(path, tableSchema, required, pushed,
+      maxFilesPerTrigger)
 }
 
 case class DocStorePartition(
     file: String,
     start: Long,
     length: Long,
-    partValues: Seq[(String, String)]) extends InputPartition with HasPartitionKey {
-  /** Directory values in nesting order — consulted only when the scan
-    * reports KeyGroupedPartitioning (see
-    * [[DocStoreScan.outputPartitioning]]). */
+    partValues: Seq[(String, String)],
+    partTypes: Seq[DataType] = Nil) extends InputPartition with HasPartitionKey {
+  /** Directory values in nesting order, cast to the table-declared
+    * partition types — consulted only when the scan reports
+    * KeyGroupedPartitioning (see [[DocStoreScan.outputPartitioning]]),
+    * whose key expressions resolve against the typed scan output. */
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(partValues.map {
-      case (_, DocStore.HiveDefaultPartition) => null
-      case (_, v) => UTF8String.fromString(v)
+    new GenericInternalRow(partValues.zipWithIndex.map {
+      case ((_, DocStore.HiveDefaultPartition), _) => null
+      case ((_, v), i) =>
+        DocStore.partitionValueCast(v,
+          if (i < partTypes.length) partTypes(i) else StringType)
     }.toArray[Any])
 }
 
@@ -502,7 +611,7 @@ class DocStoreReader(
     required.fields.map { f =>
       partVals.get(f.name) match {
         case Some(DocStore.HiveDefaultPartition) | None => null
-        case Some(v) => UTF8String.fromString(v)
+        case Some(v) => DocStore.partitionValueCast(v, f.dataType)
       }
     }
 
@@ -561,7 +670,9 @@ class DocStoreMicroBatchStream(
     path: String,
     tableSchema: StructType,
     required: StructType,
-    pushed: Array[Filter]) extends MicroBatchStream with SupportsTriggerAvailableNow {
+    pushed: Array[Filter],
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def listing = DocStore.pruneListing(
     DocStore.listFilesWithPartitions(path), pushed)
@@ -573,14 +684,39 @@ class DocStoreMicroBatchStream(
 
   override def prepareForTriggerAvailableNow(): Unit = fixedEnd = Some(snap())
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Admission control: with `maxFilesPerTrigger` set, each micro-
+    * batch admits at most that many NEW files — a 100 TB backlog (or
+    * an AvailableNow catch-up after downtime) drains in bounded
+    * batches instead of one giant batch that overwhelms the sink and
+    * holds checkpointing hostage for hours. Without the option the
+    * stream keeps its drain-everything default. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
 
   override def initialOffset(): Offset = DocStoreOffset(Nil)
 
   override def latestOffset(): Offset = snap()
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    fixedEnd.getOrElse(snap())
+  /** The next batch's end offset: new files beyond `start` (capped by
+    * the AvailableNow frontier when one is prepared), admitted in
+    * deterministic sorted order and truncated to the read limit. The
+    * offset stays an immutable FILE SET — a restart from the
+    * checkpoint resumes after exactly the files already committed,
+    * whatever batch sizes the previous run used. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startFiles = start.asInstanceOf[DocStoreOffset].files
+    val seen = startFiles.toSet
+    val frontier = fixedEnd.getOrElse(snap()).files
+    val fresh = frontier.filterNot(seen).sorted
+    def cap(l: ReadLimit): Int = l match {
+      case mf: ReadMaxFiles => mf.maxFiles()
+      case _: ReadAllAvailable => Int.MaxValue
+      case c: CompositeReadLimit => c.getReadLimits.map(cap).min
+      case _ => Int.MaxValue // row/time limits don't map to a file source
+    }
+    DocStoreOffset((startFiles ++ fresh.take(cap(limit))).sorted)
+  }
 
   override def reportLatestOffset(): Offset = snap()
 
@@ -614,12 +750,18 @@ class DocStoreMicroBatchStream(
 
 /** Statistics scan for pushed count/min/max: one partition per file,
   * each emitting ONE pre-aggregated row combined from that file's
-  * row-group footers — zero data pages are read. An empty store plans
-  * one synthetic partition so count(*) still yields 0 (a no-row scan
-  * would make Spark's final sum-of-counts NULL). */
+  * row-group footers — zero data pages are read. With a pushed
+  * partition-column GROUP BY, each row leads with its file's directory
+  * values; Spark's final aggregation merges the per-file rows per
+  * group (several files can share a partition directory). An empty
+  * UNGROUPED store plans one synthetic partition so count(*) still
+  * yields 0 (a no-row scan would make Spark's final sum-of-counts
+  * NULL); a grouped aggregate over an empty store correctly yields no
+  * rows. */
 case class DocStoreAggScan(
     path: String,
     aggSchema: StructType,
+    grpCols: Seq[String],
     specs: Seq[DocStore.AggSpec],
     pushed: Array[Filter]) extends Scan with Batch {
 
@@ -627,62 +769,83 @@ case class DocStoreAggScan(
 
   override def toBatch: Batch = this
 
+  @transient private lazy val grpTypes: Seq[DataType] =
+    aggSchema.fields.take(grpCols.length).map(_.dataType).toSeq
+
   override def description(): String =
     s"DocStoreAggScan path=$path, " +
       s"PushedAggregation: [${specs.map(_.name).mkString(", ")}], " +
+      s"PushedGroupBy: [${grpCols.mkString(", ")}], " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = DocStore
       .pruneListing(DocStore.listFilesWithPartitions(path), pushed)
-      .map(_._1)
-    if (files.isEmpty) Array(DocStoreAggPartition(None))
-    else files.map(f => DocStoreAggPartition(Some(f))).toArray
+    if (files.isEmpty) {
+      if (grpCols.isEmpty) Array(DocStoreAggPartition(None, Nil))
+      else Array.empty
+    } else files.map { case (f, pv) =>
+      val pvMap = pv.toMap
+      DocStoreAggPartition(Some(f), grpCols.map(pvMap.get), grpTypes)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    DocStoreAggReaderFactory(specs)
+    DocStoreAggReaderFactory(specs, grpTypes)
 }
 
-case class DocStoreAggPartition(file: Option[String]) extends InputPartition
+case class DocStoreAggPartition(
+    file: Option[String],
+    groupValues: Seq[Option[String]],
+    grpTypes: Seq[DataType] = Nil) extends InputPartition
 
-case class DocStoreAggReaderFactory(specs: Seq[DocStore.AggSpec])
+case class DocStoreAggReaderFactory(specs: Seq[DocStore.AggSpec],
+    grpTypes: Seq[DataType] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new DocStoreAggReader(partition.asInstanceOf[DocStoreAggPartition], specs)
+    new DocStoreAggReader(partition.asInstanceOf[DocStoreAggPartition], specs,
+      grpTypes)
 }
 
-class DocStoreAggReader(part: DocStoreAggPartition, specs: Seq[DocStore.AggSpec])
+class DocStoreAggReader(part: DocStoreAggPartition, specs: Seq[DocStore.AggSpec],
+    grpTypes: Seq[DataType] = Nil)
     extends PartitionReader[InternalRow] {
 
   private var emitted = false
+  private val nGrp = part.groupValues.length
 
   override def next(): Boolean = !emitted && { emitted = true; true }
 
   override def get(): InternalRow = {
-    val row = new GenericInternalRow(specs.length)
+    val row = new GenericInternalRow(nGrp + specs.length)
+    part.groupValues.zipWithIndex.foreach {
+      case (Some(DocStore.HiveDefaultPartition), i) => row.update(i, null)
+      case (Some(v), i) => row.update(i, DocStore.partitionValueCast(v,
+        if (i < grpTypes.length) grpTypes(i) else StringType))
+      case (None, i) => row.update(i, null)
+    }
     part.file match {
       case None =>
         // empty store: exact zero counts, null extrema
         specs.zipWithIndex.foreach {
-          case (DocStore.CountStarSpec, i) => row.update(i, 0L)
-          case (DocStore.CountColSpec(_), i) => row.update(i, 0L)
-          case (_, i) => row.update(i, null)
+          case (DocStore.CountStarSpec, i) => row.update(nGrp + i, 0L)
+          case (DocStore.CountColSpec(_), i) => row.update(nGrp + i, 0L)
+          case (_, i) => row.update(nGrp + i, null)
         }
       case Some(f) =>
         val blocks = DocStore.footerBlocks(f)
         val schema = DocStore.fileSchema(f)
         specs.zipWithIndex.foreach {
           case (DocStore.CountStarSpec, i) =>
-            row.update(i, blocks.map(_.getRowCount).sum)
+            row.update(nGrp + i, blocks.map(_.getRowCount).sum)
           case (DocStore.CountColSpec(c), i) =>
-            row.update(i, blocks.map { b =>
+            row.update(nGrp + i, blocks.map { b =>
               b.getRowCount - statsOf(b, c).getNumNulls
             }.sum)
           case (DocStore.MinSpec(c), i) =>
-            row.update(i, extremum(blocks, schema, c, isMin = true))
+            row.update(nGrp + i, extremum(blocks, schema, c, isMin = true))
           case (DocStore.MaxSpec(c), i) =>
-            row.update(i, extremum(blocks, schema, c, isMin = false))
+            row.update(nGrp + i, extremum(blocks, schema, c, isMin = false))
         }
     }
     row
@@ -737,20 +900,162 @@ class DocStoreAggReader(part: DocStoreAggPartition, specs: Seq[DocStore.AggSpec]
 
 /** Builds the batch write. `truncate()` (mode("overwrite")) defers the
   * delete to job COMMIT: a failed overwrite leaves the store's old
-  * contents fully intact. */
-class DocStoreWriteBuilder(path: String, info: LogicalWriteInfo)
+  * contents fully intact.
+  *
+  * [[RequiresDistributionAndOrdering]] — the 100 TB small-files
+  * defense (reference A12's file rotation, main.py:225-228, exists to
+  * manage exactly this): without a required distribution, a
+  * partitioned write produces one file per partition value per TASK —
+  * a 1000-task write into 10 partitions leaves 10,000 small files per
+  * commit, and `etl_compaction_plan` can only repair that after the
+  * fact. The sink instead requests
+  *   - distribution CLUSTERED by the partition columns: Spark routes
+  *     all rows of a partition value to ONE task → one file per
+  *     partition per commit;
+  *   - ordering by partition columns (each task writes its partition
+  *     values in contiguous runs, bounding open writers) then the
+  *     optional `sortBy` columns, which give the parquet row groups
+  *     disjoint min/max ranges on the sort key — a range predicate on
+  *     read-back then prunes row groups via the same FilterApi
+  *     statistics path the scan already uses (the connector twin of
+  *     `etl_zorder_layout` / `profile_sort_locality`).
+  * An unpartitioned write without `sortBy` requests nothing — Spark
+  * keeps the upstream layout and writes at full parallelism. */
+class DocStoreWriteBuilder(path: String, info: LogicalWriteInfo,
+    tablePartitionBy: Seq[String] = Nil,
+    tableSchema: StructType = new StructType())
     extends WriteBuilder with SupportsTruncate {
 
   private var truncateFirst = false
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    // per-write option first; the catalog-declared table partitioning
+    // (CREATE TABLE … PARTITIONED BY) is the default
+    private val partitionBy = {
+      val opt = DocStore.partitionByOf(info.options())
+      if (opt.nonEmpty) opt else tablePartitionBy
+    }
+    private val sortBy = DocStore.sortByOf(info.options())
+    private val qSchema = info.schema()
+
+    // An INSERT's query columns correspond to the table schema BY
+    // POSITION (the analyzer's output-resolution contract) but may
+    // keep their own names (a plain `VALUES …` arrives as col1…colN),
+    // so a `partitionBy`/`sortBy` table-column name resolves to a
+    // position through the table schema first, and anything addressed
+    // to Spark (distribution/ordering references) or to the parquet
+    // files (field names) is then spoken in the right dialect: QUERY
+    // attribute names for Spark, TABLE field names for the files.
+    private def posOf(c: String): Int =
+      if (tableSchema.nonEmpty && tableSchema.length == qSchema.length &&
+        tableSchema.fieldNames.contains(c)) tableSchema.fieldIndex(c)
+      else {
+        require(qSchema.fieldNames.contains(c),
+          s"docstore: partitionBy/sortBy column '$c' is not in the write schema " +
+            qSchema.fieldNames.mkString("[", ",", "]"))
+        qSchema.fieldIndex(c)
+      }
+    private val partPos = partitionBy.map(posOf)
+    private val sortPos = sortBy.map(posOf)
+
+    /** The schema the files are written under: table field names (when
+      * a table is known) with the incoming query's types. */
+    private val writeSchema: StructType =
+      if (tableSchema.nonEmpty && tableSchema.length == qSchema.length)
+        StructType(tableSchema.fields.zip(qSchema.fields).map {
+          case (t, w) => StructField(t.name, w.dataType, w.nullable)
+        })
+      else qSchema
+
+    override def requiredDistribution(): Distribution =
+      if (partPos.isEmpty) Distributions.unspecified()
+      else Distributions.clustered(
+        partPos.map(i =>
+          Expressions.identity(qSchema.fields(i).name)
+            .asInstanceOf[ConnExpression]).toArray)
+
+    override def requiredOrdering(): Array[ConnSortOrder] =
+      (partPos ++ sortPos).map(i =>
+        Expressions.sort(Expressions.column(qSchema.fields(i).name),
+          SortDirection.ASCENDING)).toArray
+
     override def toBatch: BatchWrite =
-      DocStoreBatchWrite(path, info.schema(),
-        DocStore.partitionByOf(info.options()), info.queryId(), truncateFirst)
+      DocStoreBatchWrite(path, writeSchema,
+        partPos.map(i => writeSchema.fields(i).name),
+        info.queryId(), truncateFirst,
+        DocStore.rowGroupBytesOf(info.options()))
     override def description(): String = s"DocStoreWrite path=$path"
   }
+}
+
+/** Group-based COPY-ON-WRITE row-level operation (DELETE / UPDATE /
+  * MERGE through the SQL surface): Spark reads the affected rows
+  * through [[newScanBuilder]]'s scan, computes the surviving/updated/
+  * merged rows, writes them through [[newWriteBuilder]]'s staged sink,
+  * and the commit atomically retires exactly the files the scan read
+  * while publishing their replacements.
+  *
+  * Correctness posture — the scan PUSHES NOTHING (`pushFilters`
+  * returns every predicate as residual): the optimizer pushes the
+  * operation's keep-rows predicate (e.g. `NOT cond` for DELETE) into
+  * this scan, and honoring it — at file OR record granularity — would
+  * shrink the replaced-group set or drop keep-rows, silently losing
+  * data at commit. Group NARROWING instead rides Spark's runtime
+  * group filtering: the scan reports only PARTITION columns as
+  * filter attributes ([[DocStoreScan.groupFilterOnly]]), so the
+  * matched-groups subquery prunes whole files exactly and an
+  * unpartitioned store simply rewrites everything (correct, and the
+  * documented granularity). The write clusters by the store's
+  * partition keys like any sink write, so a rewrite never explodes
+  * file counts. */
+class DocStoreRowLevelOperation(
+    path: String,
+    tableSchema: StructType,
+    partitionBy: Seq[String],
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  @volatile private var opScan: DocStoreScan = _
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"DocStoreRowLevelOperation($cmd, path=$path)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocStoreScanBuilder(path, tableSchema) {
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = filters
+      override def pushAggregation(agg: Aggregation): Boolean = false
+      override def build(): Scan = {
+        val s = super.build().asInstanceOf[DocStoreScan]
+          .copy(groupFilterOnly = true)
+        opScan = s
+        s
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write with RequiresDistributionAndOrdering {
+        override def requiredDistribution(): Distribution =
+          if (partitionBy.isEmpty) Distributions.unspecified()
+          else Distributions.clustered(
+            partitionBy.map(c =>
+              Expressions.identity(c).asInstanceOf[ConnExpression]).toArray)
+        override def requiredOrdering(): Array[ConnSortOrder] =
+          partitionBy.map(c =>
+            Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+        override def toBatch: BatchWrite =
+          DocStoreBatchWrite(path, info.schema(), partitionBy,
+            info.queryId(), truncateFirst = false, rowGroupBytes = None,
+            replaceFiles = Some(() =>
+              Option(opScan).map(_.currentFiles).getOrElse(Nil)),
+            expectOpColumn = true)
+        override def description(): String =
+          s"DocStoreCopyOnWrite($cmd, path=$path)"
+      }
+    }
 }
 
 /** Driver-side commit protocol. Tasks write only under
@@ -766,12 +1071,16 @@ case class DocStoreBatchWrite(
     schema: StructType,
     partitionBy: Seq[String],
     queryId: String,
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean,
+    rowGroupBytes: Option[Long] = None,
+    replaceFiles: Option[() => Seq[String]] = None,
+    expectOpColumn: Boolean = false) extends BatchWrite {
 
   private def staging = s"$path/_staging-$queryId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    DocStoreWriterFactory(staging, schema, partitionBy)
+    DocStoreWriterFactory(staging, schema, partitionBy, rowGroupBytes,
+      expectOpColumn)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
@@ -784,6 +1093,24 @@ case class DocStoreBatchWrite(
         if (!n.startsWith("_") && !n.startsWith(".")) {
           if (s.isFile && n.endsWith(".parquet")) fs.delete(s.getPath, false)
           else if (s.isDirectory && n.contains("=")) fs.delete(s.getPath, true)
+        }
+      }
+    }
+    // copy-on-write commit (row-level DELETE/UPDATE/MERGE): retire
+    // exactly the group files the paired operation scan read — their
+    // surviving/updated rows are among the staged files about to be
+    // published. Everything up to here was invisible to readers
+    // (staging is underscore-prefixed), so a scan planned at any point
+    // before this commit sees the complete OLD store.
+    replaceFiles.foreach { thunk =>
+      thunk().foreach { f =>
+        val p = new Path(f)
+        fs.delete(p, false)
+        var d = p.getParent
+        while (d != null && d.getName.contains("=") &&
+          fs.exists(d) && fs.listStatus(d).isEmpty) {
+          fs.delete(d, false)
+          d = d.getParent
         }
       }
     }
@@ -811,9 +1138,12 @@ case class DocStoreCommitMessage(relPaths: Seq[String]) extends WriterCommitMess
 case class DocStoreWriterFactory(
     staging: String,
     schema: StructType,
-    partitionBy: Seq[String]) extends DataWriterFactory {
+    partitionBy: Seq[String],
+    rowGroupBytes: Option[Long] = None,
+    expectOpColumn: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DocStoreDataWriter(staging, schema, partitionBy, partitionId, taskId)
+    new DocStoreDataWriter(staging, schema, partitionBy, partitionId, taskId,
+      rowGroupBytes, expectOpColumn)
 }
 
 /** Task-side writer: routes rows to one open parquet writer per
@@ -826,7 +1156,9 @@ class DocStoreDataWriter(
     schema: StructType,
     partitionBy: Seq[String],
     partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long,
+    rowGroupBytes: Option[Long] = None,
+    expectOpColumn: Boolean = false) extends DataWriter[InternalRow] {
 
   private val conf = new Configuration()
   private val partIdx: Seq[(String, Int, DataType)] = partitionBy.map { c =>
@@ -849,23 +1181,36 @@ class DocStoreDataWriter(
       val rel = (if (relDir.isEmpty) "" else relDir + "/") +
         f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.parquet"
       files += rel
-      ExampleParquetWriter
+      val b = ExampleParquetWriter
         .builder(HadoopOutputFile.fromPath(new Path(s"$staging/$rel"), conf))
         .withType(msgType)
         .withConf(conf)
         .withCompressionCodec(CompressionCodecName.ZSTD)
-        .build()
+      // `rowGroupBytes` write option: bounded row groups give a
+      // sortBy'd layout MANY disjoint-stat row groups per file, so
+      // read-back range predicates prune at row-group granularity
+      // (and split planning fans one file out across tasks)
+      rowGroupBytes.foreach(n => b.withRowGroupSize(n))
+      b.build()
     })
 
   override def write(row: InternalRow): Unit = {
+    // Row-level (ReplaceData) writes deliver rows with a LEADING
+    // __row_operation int column UNPROJECTED whenever the operation
+    // declares no metadata columns — Spark 4.1's ReplaceDataExec only
+    // applies its row projection on the metadata path
+    // (ReplaceDataExec.writingTask falls back to DataWritingSparkTask
+    // otherwise). Detect per row so a future Spark that projects keeps
+    // working unchanged.
+    val off = if (expectOpColumn && row.numFields == schema.length + 1) 1 else 0
     val relDir = partIdx.map { case (c, i, dt) =>
-      s"$c=${DocStore.partitionValueString(row, i, dt)}"
+      s"$c=${DocStore.partitionValueString(row, i + off, dt)}"
     }.mkString("/")
     val g = factory.newGroup()
     var j = 0
     while (j < dataFields.length) {
       val (i, f) = dataFields(j)
-      if (!row.isNullAt(i)) DocStore.addValue(g, j, f.dataType, row, i)
+      if (!row.isNullAt(i + off)) DocStore.addValue(g, j, f.dataType, row, i + off)
       j += 1
     }
     writerFor(relDir).write(g)
@@ -900,12 +1245,48 @@ object DocStore {
     Option(options.get("partitionBy")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
+  /** Within-file sort columns for the sink's required ordering (zone-
+    * map locality on read-back); applied AFTER the partition columns. */
+  def sortByOf(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("sortBy")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** Target parquet row-group size for the sink (bytes). */
+  def rowGroupBytesOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("rowGroupBytes")).map(_.trim.toLong)
+
   /** Data files under `path` with partition values parsed from Hive
     * `k=v` directory segments, resolved through the Hadoop FileSystem
     * API so any supported filesystem works. `_`/`.`-prefixed names
     * (staging, markers) are invisible. A missing path is an empty
-    * store, not an error — it's a valid write target. */
+    * store, not an error — it's a valid write target.
+    *
+    * MIXED PARTITION LAYOUTS ARE AN ERROR: every consumer (schema
+    * inference, partition pruning, key-grouped partition reporting)
+    * derives the store's partition-key sequence from the FIRST listing
+    * entry, so a store holding files at different partition depths or
+    * key orders — possible, since `partitionBy` is a per-write sink
+    * option — would silently drop partition columns or misprune for
+    * ALL files depending on which entry sorts first. Validated here,
+    * at the one choke point every listing flows through, mirroring
+    * the schema-drift require in inferSchema. */
   def listFilesWithPartitions(path: String): Seq[(String, Seq[(String, String)])] = {
+    val out = listFilesWithPartitionsUnchecked(path)
+    out.headOption.foreach { case (f0, pv0) =>
+      val keys0 = pv0.map(_._1)
+      out.foreach { case (f, pv) =>
+        require(pv.map(_._1) == keys0,
+          s"docstore: mixed partition layouts — $f carries partition keys " +
+            s"${pv.map(_._1).mkString("[", ",", "]")} but $f0 carries " +
+            s"${keys0.mkString("[", ",", "]")}; a store must use one " +
+            "partitionBy layout across all writes")
+      }
+    }
+    out
+  }
+
+  private def listFilesWithPartitionsUnchecked(
+      path: String): Seq[(String, Seq[(String, String)])] = {
     val conf = new Configuration()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -928,6 +1309,34 @@ object DocStore {
 
   def listFiles(path: String): Seq[String] =
     listFilesWithPartitions(path).map(_._1)
+
+  /** Store schema = the (drift-checked) file schema plus the partition
+    * columns recovered from the directory layout. An empty store is a
+    * fresh write target: the writing query brings the schema
+    * (ACCEPT_ANY_SCHEMA), so it infers as empty. One footer per file —
+    * the same O(files) metadata pass split planning does. Schema drift
+    * across store files is an ERROR up front, not a silent
+    * misprojection through the first file's schema. Drift is
+    * STRUCTURAL (converted Spark schemas): the parquet root message
+    * name differs across writers (this sink vs Spark's own) and
+    * physical timestamp units are normalized per file by the reader,
+    * so neither is drift. */
+  def inferStoreSchema(path: String): StructType = {
+    val listing = listFilesWithPartitions(path)
+    if (listing.isEmpty) new StructType()
+    else {
+      val first = toStructType(fileSchema(listing.head._1))
+      listing.tail.foreach { case (f, _) =>
+        val s = toStructType(fileSchema(f))
+        require(s == first,
+          s"docstore: schema drift across store files — $f has\n$s\nbut ${listing.head._1} has\n$first")
+      }
+      val partFields = listing.head._2.map { case (k, _) =>
+        StructField(k, StringType, nullable = true)
+      }
+      StructType(first.fields.toSeq ++ partFields)
+    }
+  }
 
   /** Planning-time partition pruning: drop files whose directory
     * values cannot satisfy the pushed partition predicates. Data
@@ -984,6 +1393,63 @@ object DocStore {
       } else i += 1
     }
     out.toSeq
+  }
+
+  /** EXACT SQL evaluation of a filter against a file's partition
+    * values, for the metadata-only DELETE: outer None = the filter
+    * form isn't evaluable here (refuse the metadata path — unlike
+    * [[pruneListing]]'s `partKeeps`, whose inclusive keep-on-unknown
+    * default would OVER-DELETE); inner Option is SQL's three-valued
+    * logic (None = NULL), so `NOT(year = '5')` over a null partition
+    * stays NULL — not deleted — exactly like a row-level predicate.
+    * Ordered comparisons are string-lexicographic, which IS Spark's
+    * comparison for these columns (partition columns surface as
+    * StringType, so pushed literals are strings). */
+  def partitionFilterEval(
+      pv: Map[String, String], f: Filter): Option[Option[Boolean]] = {
+    def v(c: String): Option[String] =
+      pv.get(c).filter(_ != HiveDefaultPartition)
+    def cmp(c: String, lit: Any, op: Int => Boolean): Option[Option[Boolean]] =
+      if (!pv.contains(c)) None // not a partition column here
+      else Some(v(c).map(x => op(x.compareTo(partLit(lit)))))
+    f match {
+      case EqualTo(c, lit) => cmp(c, lit, _ == 0)
+      case EqualNullSafe(c, null) => if (pv.contains(c)) Some(Some(v(c).isEmpty)) else None
+      case EqualNullSafe(c, lit) =>
+        if (pv.contains(c)) Some(Some(v(c).contains(partLit(lit)))) else None
+      case GreaterThan(c, lit) => cmp(c, lit, _ > 0)
+      case GreaterThanOrEqual(c, lit) => cmp(c, lit, _ >= 0)
+      case LessThan(c, lit) => cmp(c, lit, _ < 0)
+      case LessThanOrEqual(c, lit) => cmp(c, lit, _ <= 0)
+      case In(c, vs) =>
+        if (!pv.contains(c)) None
+        else Some(v(c) match {
+          case None => None
+          case Some(x) =>
+            if (vs.contains(null.asInstanceOf[Any]) && !vs.exists(y => y != null && partLit(y) == x)) None
+            else Some(vs.exists(y => y != null && partLit(y) == x))
+        })
+      case IsNull(c) => if (pv.contains(c)) Some(Some(v(c).isEmpty)) else None
+      case IsNotNull(c) => if (pv.contains(c)) Some(Some(v(c).nonEmpty)) else None
+      case And(l, r) =>
+        for (a <- partitionFilterEval(pv, l); b <- partitionFilterEval(pv, r))
+          yield (a, b) match {
+            case (Some(false), _) | (_, Some(false)) => Some(false)
+            case (Some(true), Some(true)) => Some(true)
+            case _ => None
+          }
+      case Or(l, r) =>
+        for (a <- partitionFilterEval(pv, l); b <- partitionFilterEval(pv, r))
+          yield (a, b) match {
+            case (Some(true), _) | (_, Some(true)) => Some(true)
+            case (Some(false), Some(false)) => Some(false)
+            case _ => None
+          }
+      case Not(inner) => partitionFilterEval(pv, inner).map(_.map(!_))
+      case AlwaysTrue() => Some(Some(true))
+      case AlwaysFalse() => Some(Some(false))
+      case _ => None
+    }
   }
 
   private def partKeeps(pv: Map[String, String], f: Filter): Boolean = f match {
@@ -1424,6 +1890,24 @@ object DocStore {
     * path-escaped, so a value containing '/', '=', '%' or other
     * filesystem-significant characters round-trips instead of
     * silently splitting into nested directories. */
+  /** Inverse of [[partitionValueString]]'s canonical text forms: a
+    * directory value parsed into the catalyst-internal representation
+    * of `dt`. Path-based reads surface partition columns as STRING
+    * (untyped Hive layout); a CATALOG table's declared partition type
+    * reaches the reader through the table schema, and this cast is
+    * what makes `PARTITIONED BY (year INT)` read back as an int —
+    * exactly what Spark's own file sources do with partition values. */
+  def partitionValueCast(raw: String, dt: DataType): Any = dt match {
+    case StringType => UTF8String.fromString(raw)
+    case IntegerType => raw.toInt
+    case LongType => raw.toLong
+    case BooleanType => raw.toBoolean
+    case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+    case other =>
+      throw new IllegalArgumentException(
+        s"docstore: unsupported partition column type $other")
+  }
+
   def partitionValueString(row: InternalRow, i: Int, dt: DataType): String =
     if (row.isNullAt(i)) HiveDefaultPartition
     else escapePathName(dt match {

@@ -294,7 +294,117 @@ class DocStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("schema drift"), e.getMessage)
   }
 
+  test("mixed partition layouts across a store are rejected at listing") {
+    // partitionBy is a per-write sink option, so one unpartitioned
+    // append into a Hive-partitioned store is physically possible —
+    // and would silently drop the partition column from the inferred
+    // schema (or from pruning) for ALL files depending on which entry
+    // sorts first. The listing choke point must fail loudly instead.
+    val dir = tmpDir("docstore_mixed_layout")
+    import spark.implicits._
+    Seq((1L, "x", 2020)).toDF("k", "s", "yr")
+      .write.format("docstore").option("path", dir)
+      .option("partitionBy", "yr").mode("overwrite").save()
+    Seq((2L, "y", 2021)).toDF("k", "s", "yr")
+      .write.format("docstore").option("path", dir).mode("append").save()
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("docstore").option("path", dir).load().count()
+    }
+    assert(e.getMessage.contains("mixed partition layouts"), e.getMessage)
+  }
+
   // ---- write path (r13) ----
+
+  test("clustered sink: one file per partition per commit; sortBy gives disjoint row-group stats") {
+    val dir = tmpDir("docstore_sink_clustered")
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      .select("o_orderkey", "o_orderdate", "o_totalprice", "o_year")
+      .repartition(8) // without the required distribution this layout would write 8 files per partition
+    src.write.format("docstore").option("path", dir)
+      .option("partitionBy", "o_year").option("sortBy", "o_orderdate")
+      .option("rowGroupBytes", "4096")
+      .mode("overwrite").save()
+    val listing = graft.sources.DocStore.listFilesWithPartitions(dir)
+    // RequiresDistributionAndOrdering: clustering by the partition
+    // column routes every row of a partition value to ONE task — one
+    // data file per partition per commit, not files-per-task
+    val perPart = listing.groupBy(_._2).view.mapValues(_.size)
+    assert(perPart.nonEmpty && perPart.values.forall(_ == 1),
+      s"files per partition: ${perPart.toMap}")
+    // the within-task sort by o_orderdate + bounded rowGroupBytes:
+    // row groups inside each file carry DISJOINT ascending date
+    // ranges, so a read-back range predicate prunes at row-group
+    // granularity through the same FilterApi statistics path
+    var multiGroupFiles = 0
+    listing.foreach { case (f, _) =>
+      val blocks = graft.sources.DocStore.footerBlocks(f)
+      if (blocks.size > 1) multiGroupFiles += 1
+      import scala.jdk.CollectionConverters._
+      val ranges: Seq[(Long, Long)] = blocks.map { b =>
+        val s = b.getColumns.asScala
+          .find(_.getPath.toDotString == "o_orderdate").get.getStatistics
+        (s.genericGetMin.asInstanceOf[Number].longValue,
+          s.genericGetMax.asInstanceOf[Number].longValue)
+      }
+      ranges.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax <= bMin, s"overlapping row-group ranges in $f: $ranges")
+        case _ =>
+      }
+    }
+    assert(multiGroupFiles > 0,
+      "rowGroupBytes produced no multi-row-group file — the disjointness assertion is vacuous")
+    // layout is pure layout: read-back equals the source rows exactly
+    val back = spark.read.format("docstore").option("path", dir).load()
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("o_year").cast("int").as("o_year"))
+      .orderBy("o_orderkey").collect().toSeq
+    val want = src.orderBy("o_orderkey").collect().toSeq
+    assert(back == want)
+  }
+
+  test("grouped aggregate pushdown: GROUP BY partition column answers from footers") {
+    val dir = tmpDir("docstore_group_pushdown")
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      .select("o_orderkey", "o_custkey", "o_year")
+    src.write.format("docstore").option("path", dir)
+      .option("partitionBy", "o_year").mode("overwrite").save()
+    val grouped = spark.read.format("docstore").option("path", dir).load()
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("lo"),
+        max("o_orderkey").as("hi"))
+    val scan = physical(grouped).collectFirst { case b: BatchScanExec => b.scan }.get
+    assert(scan.isInstanceOf[graft.sources.DocStoreAggScan],
+      s"grouped aggregate did not push: ${scan.getClass}")
+    assert(scan.description().contains("PushedGroupBy: [o_year]"),
+      scan.description())
+    // metadata-only: the scan's schema is group key + footer aggregates
+    assert(scan.readSchema().fieldNames.toSeq ==
+      Seq("o_year", "count(*)", "min(o_orderkey)", "max(o_orderkey)"),
+      scan.readSchema().fieldNames.toSeq.toString)
+    // values match the data-page recomputation exactly
+    val got = grouped.select(col("o_year").cast("int").as("y"),
+        col("n"), col("lo"), col("hi"))
+      .orderBy("y").collect().toSeq
+    val want = src.groupBy(col("o_year").as("y"))
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("lo"),
+        max("o_orderkey").as("hi"))
+      .orderBy("y").collect().toSeq
+    assert(got == want)
+    // a grouped aggregate over an EMPTY store yields no rows (the
+    // ungrouped count-over-empty synthetic-partition path must not
+    // leak); the schema comes from the caller — an empty schemaless
+    // store has none to infer
+    val empty = tmpDir("docstore_group_empty")
+    src.limit(0).write.format("docstore").option("path", empty)
+      .option("partitionBy", "o_year").mode("overwrite").save()
+    assert(spark.read.format("docstore")
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_year STRING")
+      .option("path", empty).load()
+      .groupBy("o_year").agg(count(lit(1)).as("n")).count() == 0)
+  }
 
   test("staged-commit sink: partitioned zstd write, list, read back") {
     val dir = tmpDir("docstore_sink")
@@ -472,6 +582,55 @@ class DocStoreSpec extends SparkSpec {
       off.files.sorted)
   }
 
+  test("admission control: maxFilesPerTrigger bounds each micro-batch; kill-and-restart keeps the frontier") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val store = tmpDir("docstore_admission")
+    val base = tmpDir("docstore_admission_sink")
+    val (out, cp) = (s"$base/out", s"$base/cp")
+    // three files (single-task commits) of 2, 2 and 3 rows — a 7-row backlog
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store).mode("append").save()
+    Seq((3L, "c"), (4L, "d")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store).mode("append").save()
+    Seq((5L, "e"), (6L, "f"), (7L, "g")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store).mode("append").save()
+    assert(graft.sources.DocStore.listFiles(store).size == 3)
+    def reader = spark.readStream.format("docstore").option("path", store)
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+    // kill mid-backlog: admit one file per batch on a clock trigger,
+    // stop as soon as the first batch commits
+    // a 10 s interval: batch 1 fires immediately, batch 2 waits for the
+    // next boundary — the stop() below lands between them
+    val q = reader.trigger(Trigger.ProcessingTime(10000)).start()
+    val deadline = System.currentTimeMillis + 120000
+    while (!q.recentProgress.exists(_.numInputRows > 0) &&
+      System.currentTimeMillis < deadline) Thread.sleep(50)
+    q.stop(); q.awaitTermination()
+    assert(q.recentProgress.exists(_.numInputRows > 0), "no batch committed before the kill")
+    // file sizes {2,2,3} make every partial row count identify its
+    // file count uniquely: 2→1, 4→2, 5→2, 7→3
+    val rowsAfterKill = spark.read.parquet(out).count()
+    val filesDone = Map(2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2, 7L -> 3)(rowsAfterKill)
+    // restart from the checkpoint: the file-set offset resumes after
+    // exactly the committed files — AvailableNow drains the REMAINDER
+    // in one-file batches, never one giant catch-up batch
+    val q2 = reader.trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val batches2 = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(batches2.forall(_.numInputRows <= 3),
+      s"a catch-up batch exceeded one file: ${batches2.map(_.numInputRows).toSeq}")
+    assert(batches2.length == 3 - filesDone,
+      s"remainder of ${3 - filesDone} file(s) drained in ${batches2.length} " +
+        s"batch(es) — admission control not honored across the restart")
+    // exactly-once across the kill: all 7 rows, no duplicates
+    val rows = spark.read.parquet(out).as[(Long, String)].collect().toSeq
+    assert(rows.length == 7 && rows.map(_._1).distinct.length == 7,
+      s"rows after restart: ${rows.sorted}")
+  }
+
   test("storage-partitioned join: co-partitioned stores join with zero shuffles") {
     val a = tmpDir("docstore_spj_a")
     val b = tmpDir("docstore_spj_b")
@@ -486,14 +645,22 @@ class DocStoreSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     try {
+      // sum() is not footer-answerable, so this aggregation stays a
+      // real scan and keeps its KeyGroupedPartitioning — a count-only
+      // aggregate would instead take the (better at scale) grouped
+      // footer pushdown, whose pre-aggregated output schema no longer
+      // carries the base relation's attributes and therefore sheds the
+      // key-grouped property (Spark resolves a scan's reported
+      // partitioning against the ORIGINAL relation output)
       val fa = spark.read.format("docstore").option("path", a).load()
         .groupBy("o_year")
-        .agg(count(lit(1)).as("n_a"))
+        .agg(count(lit(1)).as("n_a"),
+          sum("o_totalprice").as("rev"))
       val fb = spark.read.format("docstore").option("path", b).load()
         .groupBy("o_year")
         .agg(countDistinct("o_custkey").as("n_custs"))
       val joined = fa.join(fb.hint("merge"), Seq("o_year"))
-      val rows = joined.collect()
+      val rows = joined.select("o_year", "n_a", "n_custs").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       // the whole plan — two scans, two aggregations, one join — runs
       // on the directory partitioning: ZERO exchanges anywhere
