@@ -1155,6 +1155,57 @@ object Text {
       None),
 
     Q(
+      "sample_seeded_hash",
+      "Hash-Bernoulli sampling, the deterministic twin of " +
+        "sample_seeded: keep a document iff portable-hash('sb:'||id) " +
+        "mod 2^20 < floor(0.2·2^20). Unlike the native RNG sampler " +
+        "this is FULLY oracle-checked (both engines compute the same " +
+        "md5), reproducible across engines/partitionings/reruns, and " +
+        "is the sampling a production pipeline should prefer: " +
+        "membership is a pure function of the key, so a re-run, a " +
+        "backfill, or a different cluster layout selects the SAME " +
+        "subsample — no shuffle, one scan, filter fully parallel.",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .filter(pmod(PortableHash.hexHash(
+              concat(lit("sb:"), col("doc_id").cast("string"))),
+            lit(1048576L)) < lit(209715L))
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, source FROM documents
+        WHERE ${PortableHash.hexHashSql("'sb:' || CAST(doc_id AS VARCHAR)")} % 1048576 < 209715
+        ORDER BY doc_id""")),
+
+    Q(
+      "sample_stratified_hash",
+      "Per-stratum hash-Bernoulli sampling, the deterministic twin of " +
+        "sample_stratified: per-language keep-thresholds (en 0.5, " +
+        "others 0.2, unlisted 0) applied to portable-hash('st:'||lang" +
+        "||':'||id) mod 2^20 — the lang salt makes strata independent. " +
+        "Fully oracle-checked, reproducible, one scan, no shuffle; " +
+        "the class-rebalancing sampler a training-mix pipeline should " +
+        "prefer over the RNG form for exactly-once dataset freezes.",
+      (s, dir) => {
+        val thresh = when(col("lang") === "en", lit(524288L))
+          .when(col("lang").isin("es", "de", "fr", "zh"), lit(209715L))
+          .otherwise(lit(0L))
+        Tables.t(s, dir, "documents")
+          .filter(pmod(PortableHash.hexHash(
+              concat(lit("st:"), col("lang"), lit(":"),
+                col("doc_id").cast("string"))),
+            lit(1048576L)) < thresh)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang FROM documents
+        WHERE ${PortableHash.hexHashSql("'st:' || lang || ':' || CAST(doc_id AS VARCHAR)")} % 1048576
+          < (CASE WHEN lang = 'en' THEN 524288
+                  WHEN lang IN ('es','de','fr','zh') THEN 209715
+                  ELSE 0 END)
+        ORDER BY doc_id""")),
+
+    Q(
       "sample_reservoir_group",
       "Deterministic k-per-group reservoir sample: 5 documents per " +
         "language, selection order = md5 of the doc id (a fixed pseudo-" +
