@@ -47,7 +47,23 @@ object Bench {
             Double.NaN
         }
       }
+      // Stall hardening (r13 verdict #5): min-of-2 has twice manufactured
+      // phantom regressions when the VM stalled through BOTH runs (r12
+      // ngram 9.19 s, r13 markov 8.13 s vs ~1.2 s real). When min-of-2
+      // still exceeds the query's cross-round baseline (BenchBaseline,
+      // min over recent rounds — stalls only inflate) by 4× AND by an
+      // absolute 1.5 s margin, take up to two more runs; queries with
+      // no baseline yet (new this round) rerun only above an absolute
+      // 4 s floor. Runs-taken is recorded in the detail line so a
+      // rerun-heavy round is visible to the driver.
       val (a, b) = (once(), once())
+      var best = math.min(a, b)
+      var runs = 2
+      while (stallSuspect(name, best, runs)) {
+        val c = once()
+        if (!c.isNaN) best = math.min(best, c)
+        runs += 1
+      }
       // The iterative builders (components, PCA, BPE, IVF/PQ) leave
       // localCheckpoint blocks behind that only the async ContextCleaner
       // would reclaim; drop them eagerly so query N's storage pressure
@@ -56,12 +72,16 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       // -1 sentinel: a failed query must never read as a fast engine
-      name -> (if (a.isNaN || b.isNaN) -1.0 else math.min(a, b))
+      name -> ((if (a.isNaN || b.isNaN) -1.0 else best), runs)
     }
-    val ok = results.filter(_._2 >= 0)
-    val failed = results.size - ok.size
+    val runsTaken = results.collect { case (n, (_, r)) if r > 2 => n -> r }
+    val times = results.map { case (n, (t, _)) => n -> t }
+    val ok = times.filter(_._2 >= 0)
+    val failed = times.size - ok.size
     val total = ok.values.sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val rt = runsTaken.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Two lines: the FULL per-query map first (for humans and BENCHLOG),
     // then the compact machine line LAST. The driver tail-captures
@@ -70,13 +90,26 @@ object Bench {
     // leaving unparseable JSON. The final line therefore carries only a
     // fixed headline subset and stays well under the capture window
     // (pinned by BenchLineSpec).
-    println(s"""{"detail":"per_query","queries":$qs}""")
+    println(s"""{"detail":"per_query","queries":$qs,"stall_reruns":$rt}""")
     System.out.flush()
-    println(machineLine(results, total, failed, sfDir))
+    println(machineLine(times, total, failed, sfDir))
     spark.stop()
   }
 
   private def f3(v: Double) = f"$v%.3f"
+
+  /** Does this min-of-`runs` time look stall-polluted (rerun-worthy)?
+    * True when it exceeds the query's cross-round baseline by 4× AND
+    * by an absolute 1.5 s (so sub-second queries don't rerun on noise);
+    * queries without a baseline rerun only above an absolute 4 s
+    * floor. Capped at 4 total runs. */
+  private[graft] def stallSuspect(name: String, m: Double, runs: Int): Boolean = {
+    if (m.isNaN || runs >= 4) return false
+    BenchBaseline.seconds.get(name) match {
+      case Some(base) => m > 4.0 * base && m > base + 1.5
+      case None => m > 4.0
+    }
+  }
 
   /** Representative queries across every family: the compact machine
     * line reports these (plus total/failed/n_queries); the full map is

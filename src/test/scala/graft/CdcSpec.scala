@@ -72,4 +72,22 @@ class CdcSpec extends SparkSpec {
     // Every headline name is a declared query (no dead keys).
     Bench.headline.foreach(h => assert(results.contains(h), s"headline $h not declared"))
   }
+
+  test("bench stall detector: reruns only genuine outliers, bounded at 4 runs") {
+    // r12 ngram (9.19 s vs 0.72 baseline) and r13 markov (8.13 s vs
+    // 1.08) must both trigger; a legitimate 2x regression must NOT
+    // (that's a real engine delta the bench must report, not retry
+    // away), nor any sub-second jitter, and the rerun budget caps at 4
+    val ngramBase = BenchBaseline.seconds("dedup_ngram_jaccard")
+    assert(Bench.stallSuspect("dedup_ngram_jaccard", 9.19, 2))
+    assert(Bench.stallSuspect("analytics_markov_attribution", 8.13, 2))
+    assert(!Bench.stallSuspect("dedup_ngram_jaccard", 2 * ngramBase, 2))
+    assert(!Bench.stallSuspect("agg_q1", 0.9, 2), "sub-second jitter rerun")
+    assert(!Bench.stallSuspect("dedup_ngram_jaccard", 9.19, 4), "no rerun cap")
+    // unknown queries (new this round) use the absolute floor
+    assert(Bench.stallSuspect("brand_new_query", 6.0, 2))
+    assert(!Bench.stallSuspect("brand_new_query", 3.0, 2))
+    // a failed query (NaN) is never retried as a stall
+    assert(!Bench.stallSuspect("agg_q1", Double.NaN, 2))
+  }
 }
