@@ -20,6 +20,11 @@ object Bench {
       // was constructed first (etl_connector_copartition also sets it
       // for foreign sessions)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // recursive-CTE working sets scale with the table (the sf1 audit
+      // tripped the 1M default on a log2(N)-depth walk over 50k docs);
+      // the limit is a runaway guard, not a capacity plan - size it for
+      // the data like any production session would
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -59,7 +64,11 @@ object Bench {
       val (a, b) = (once(), once())
       var best = math.min(a, b)
       var runs = 2
-      while (stallSuspect(name, best, runs)) {
+      // SPARK_GRAFT_BENCH_NO_RERUN disables the stall retries for runs
+      // at a DIFFERENT scale factor than the baselines (the sf1 scale
+      // audit would otherwise retry every query 4x against sf0.1 times)
+      val rerun = !sys.env.contains("SPARK_GRAFT_BENCH_NO_RERUN")
+      while (rerun && stallSuspect(name, best, runs)) {
         val c = once()
         if (!c.isNaN) best = math.min(best, c)
         runs += 1

@@ -20,6 +20,11 @@ object Explain {
       // was constructed first (etl_connector_copartition also sets it
       // for foreign sessions)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // recursive-CTE working sets scale with the table (the sf1 audit
+      // tripped the 1M default on a log2(N)-depth walk over 50k docs);
+      // the limit is a runaway guard, not a capacity plan - size it for
+      // the data like any production session would
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()

@@ -712,15 +712,19 @@ object Dedup {
 
     Q(
       "dedup_embedding_lsh",
-      "Hyperplane-LSH near-dup (4 bands × 4 signed projections → bucket " +
-        "equi-join → exact-cosine verify): the scale path for " +
-        "dedup_embedding_cosine — O(Σ bucket²) candidates instead of " +
-        "O(N²). Verified pairs are exact (precision 1). FULLY oracle-" +
-        "checked: the hyperplanes are fixed-seed literals, so the " +
-        "oracle SQL embeds the identical 16×64 doubles and replays " +
-        "every signed projection (same sequential-fold dot product → " +
-        "bit-identical sign), band bucket, candidate pair, and exact-" +
-        "cosine verification.",
+      "Hyperplane-LSH near-dup (4 bands × ADAPTIVE-width signed " +
+        "projections → bucket equi-join → exact-cosine verify): the " +
+        "scale path for dedup_embedding_cosine. Band width tracks the " +
+        "corpus — bits = clamp(ceil(log2(N/125)), 4, 8) off a " +
+        "broadcast count — so candidate volume stays ~O(N·bucket); " +
+        "the r14 sf1 audit caught the FIXED 4-bit form degenerating " +
+        "to 110× cost at 10× data, the classic LSH scale failure. " +
+        "Verified pairs are exact (precision 1). FULLY oracle-" +
+        "checked: the hyperplanes are fixed-seed literals and the " +
+        "oracle derives the SAME width from its own count(*), so it " +
+        "replays every signed projection (same sequential-fold dot " +
+        "product → bit-identical sign), band bucket, candidate pair, " +
+        "and exact-cosine verification at any corpus size.",
       (s, dir) => embeddingLsh(Tables.t(s, dir, "embeddings")),
       Some(embeddingLshOracle)),
 
@@ -1013,7 +1017,7 @@ object Dedup {
     * the codegen'd VecDot ones). Shared by the dedup_embedding_lsh and
     * pipeline_semantic_dedup oracles. */
   def embeddingLshScoredCtes: String = {
-    s"""$hyperplaneBandedCtes,
+    s"""$adaptiveHyperplaneBandedCtes,
       cand AS (
         SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,
           a.embedding AS ea, b.embedding AS eb
@@ -1264,19 +1268,26 @@ object Dedup {
 
   /** Random-hyperplane LSH candidate pairs with exact-cosine scores,
     * UNthresholded — the shared candidate stage behind [[embeddingLsh]]
-    * (threshold filter) and sim_knn_graph (per-node top-k): 16 signed
-    * projections (4 bands × 4 bits) bucket the vectors; candidate pairs
-    * from bucket equi-joins are scored with the exact double-fold
-    * cosine, so precision is 1 and only recall is approximate —
-    * P(bit agree) = 1 − θ/π per hyperplane (the SimHash bound). The
-    * scale path: buckets shrink the pair space from O(N²) to
-    * O(Σ bucket²). Returns (v1 < v2, cos) with cos unrounded. */
-  /** The 16 fixed-seed hyperplanes behind every hyperplane-LSH
-    * consumer — one seed so the Spark literals and the oracle's
-    * regenerated double literals always agree. */
-  private[ops] def lshPlanes: Seq[Seq[Float]] = {
+    * (threshold filter) and sim_knn_graph (per-node top-k): 4 bands of
+    * ADAPTIVE-width signed projections ([[hyperplaneBandedAdaptive]])
+    * bucket the vectors; candidate pairs from bucket equi-joins are
+    * scored with the exact double-fold cosine, so precision is 1 and
+    * only recall is approximate — P(bit agree) = 1 − θ/π per
+    * hyperplane (the SimHash bound). The scale path: buckets shrink
+    * the pair space from O(N²) to O(Σ bucket²), and the adaptive width
+    * keeps bucket ~constant as N grows. Returns (v1 < v2, cos) with
+    * cos unrounded. */
+  /** The fixed-seed hyperplanes behind every hyperplane-LSH consumer —
+    * one seed so the Spark literals and the oracle's regenerated
+    * double literals always agree. The first 16 are identical for any
+    * `n` (one sequential draw stream), so the fixed-width consumers
+    * (incremental band store, multiprobe serving) and the adaptive
+    * bulk-mining path share planes 0–15. */
+  private[ops] def lshPlanes: Seq[Seq[Float]] = lshPlanesN(16)
+
+  private[ops] def lshPlanesN(n: Int): Seq[Seq[Float]] = {
     val rng = new scala.util.Random(7)
-    Seq.fill(16)(Seq.fill(64)(rng.nextGaussian().toFloat))
+    Seq.fill(n)(Seq.fill(64)(rng.nextGaussian().toFloat))
   }
 
   /** (vec_id, embedding, band, bucket) hyperplane-LSH banding: 4 bands
@@ -1351,8 +1362,75 @@ object Dedup {
       banded AS (${bandSelects.mkString(" UNION ALL ")})"""
   }
 
+  /** SCALE-ADAPTIVE hyperplane banding for the bulk pair-mining path:
+    * 4 bands × `bits` signed projections where
+    * `bits = clamp(ceil(log2(N / 125)), 4, 8)` — bucket width tracks
+    * the corpus so candidate volume stays ~O(N·bucket) instead of the
+    * O(N²/2^bits) a FIXED width degenerates to (the r14 sf1 audit
+    * measured the fixed 4-bit form at 110× cost for 10× data; with
+    * width adaptation the same corpus mines at ~10×). All 32
+    * projections are unrolled codegen'd VecDots; only the cheap bit
+    * fold is a HOF, with `bits` riding a broadcast 1-row count — no
+    * driver-side action, no literal recompile per corpus. At fixture
+    * scale (N ≤ 2000) bits clamps to 4, so buckets — and every
+    * oracle-checked result — are bit-identical to the fixed-width
+    * form. The INCREMENTAL paths keep [[hyperplaneBanded]]'s fixed
+    * width deliberately: a persisted band store must band new batches
+    * exactly like its history (and serve-after-delete ≡ fresh-rebuild
+    * only holds when width doesn't move with corpus size); their cost
+    * is O(batch × bucket density), linear in the batch. */
+  private[graft] def hyperplaneBandedAdaptive(e: DataFrame): DataFrame = {
+    val bandsN = 4
+    val planes = lshPlanesN(32)
+    val bitCols = planes.map(p =>
+      when(graft.expr.VecDot.vecDot(col("embedding"), typedlit(p)) >= 0, 1L).otherwise(0L))
+    val bits = broadcast(e.select(
+      greatest(lit(4L), least(lit(8L),
+        ceil(log2(count(lit(1)).cast("double") / 125.0)).cast("long"))).as("__bits")))
+    e.select(col("vec_id"), col("embedding"), array(bitCols: _*).as("__s"))
+      .crossJoin(bits)
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until bandsN).map(bn =>
+          struct(lit(bn).as("band"),
+            aggregate(
+              slice(col("__s"), (col("__bits") * bn + 1).cast("int"),
+                col("__bits").cast("int")),
+              lit(0L), (acc, x) => acc * 2 + x).as("bucket"))): _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** DuckDB twin of [[hyperplaneBandedAdaptive]], ending in
+    * `banded(vec_id, embedding, band, bucket)` — same 32 fixed-seed
+    * planes, same clamp(ceil(log2(N/125)), 4, 8) width, same
+    * MSB-first fold, so both engines band identically at ANY corpus
+    * size. */
+  private[ops] def adaptiveHyperplaneBandedCtes: String = {
+    val planes = lshPlanesN(32)
+    def planeLit(p: Seq[Float]) =
+      "[" + p.map(_.toDouble.toString).mkString(", ") + "]"
+    def bit(p: Seq[Float]) =
+      s"""(CASE WHEN (list_reduce(list_transform(range(1, 65),
+         | i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (${planeLit(p)})[CAST(i AS INT)]),
+         | (x, y) -> x + y)) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+        .stripMargin.replaceAll("\n", "")
+    s"""lsh_bits AS (
+        SELECT GREATEST(4, LEAST(8,
+          CAST(CEIL(LOG2(count(*) / 125.0)) AS BIGINT))) AS b
+        FROM embeddings),
+      lsh_sig AS (
+        SELECT vec_id, embedding,
+          [${planes.map(bit).mkString(", ")}] AS s
+        FROM embeddings),
+      banded AS (
+        SELECT vec_id, embedding, band,
+          list_reduce(list_slice(s, band * b + 1, band * b + b),
+            (acc, x) -> acc * 2 + x) AS bucket
+        FROM lsh_sig, lsh_bits, (SELECT unnest(range(4)) AS band))"""
+  }
+
   def embeddingLshScored(e: DataFrame): DataFrame = {
-    val banded = hyperplaneBanded(e)
+    val banded = hyperplaneBandedAdaptive(e)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -292,6 +292,29 @@ class ScaleSpec extends SparkSpec {
     assert(gotMax == wantMax, "groupedPrefixMax diverged on null keys")
   }
 
+  test("adaptive LSH banding: fixture-scale buckets identical to fixed width; large corpora widen") {
+    import spark.implicits._
+    // the r14 sf1 audit caught fixed 4-bit banding at O(N^2/16)
+    // candidates (110x cost for 10x data); the bulk-mining path now
+    // widens buckets with the corpus. At fixture scale the clamp must
+    // reproduce the fixed-width buckets BIT FOR BIT (that's what keeps
+    // every LSH oracle green), and past the clamp knee the bucket ids
+    // must spread beyond 4 bits.
+    def synth(n: Int) = (1 to n).map { i =>
+      (i.toLong, Array.tabulate(64)(d => (((i * 31 + d * 17) % 19) - 9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val small = synth(2000) // == sf0.1 embeddings cardinality -> bits = 4
+    val fixedB = Dedup.hyperplaneBanded(small)
+      .select("vec_id", "band", "bucket").as[(Long, Int, Long)].collect().toSet
+    val adaptB = Dedup.hyperplaneBandedAdaptive(small)
+      .select("vec_id", "band", "bucket").as[(Long, Int, Long)].collect().toSet
+    assert(adaptB == fixedB, "adaptive banding diverged from fixed width at fixture scale")
+    val big = Dedup.hyperplaneBandedAdaptive(synth(20000))
+      .select("bucket").as[Long].collect()
+    assert(big.max > 15, s"20k-vector corpus still banding at 4 bits (max bucket ${big.max})")
+    assert(big.max <= 255 && big.min >= 0, s"bucket out of 8-bit range: ${big.min}..${big.max}")
+  }
+
   test("globalRank output is invariant to the spine width; default tracks the cluster") {
     import spark.implicits._
     // the rank-stage width must scale with the cluster (a hardcoded 32

@@ -16,6 +16,8 @@ trait SparkSpec extends AnyFunSuite {
     // was constructed first (etl_connector_copartition also sets it
     // for foreign sessions)
     .config("spark.sql.sources.v2.bucketing.enabled", "true")
+    // recursive-CTE working sets scale with the table (see Bench.scala)
+    .config("spark.sql.cteRecursionRowLimit", "100000000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
