@@ -303,6 +303,48 @@ object EtlQueries {
         FROM orders GROUP BY 1 ORDER BY o_year""")),
 
     Q(
+      "etl_connector_stream_sink",
+      "The docstore→docstore STREAMING pipeline: the connector's " +
+        "micro-batch read (file-set offsets) drains a partitioned " +
+        "store into the connector's STREAMING sink — per-epoch staged " +
+        "commits with an idempotence marker, so a retried micro-batch " +
+        "can never double-publish (exactly-once; DocStoreSpec pins the " +
+        "re-commit no-op and the incremental second drain). The oracle " +
+        "recomputes the per-year aggregates straight from the source " +
+        "table, so any row dropped or duplicated across the " +
+        "read-offset/write-epoch machinery is a hash mismatch. At " +
+        "100 TB this is continuous ingestion between stores with " +
+        "bounded batches (maxFilesPerTrigger) and atomic publication.",
+      (s, dir) => {
+        val dst = graft.Scratch.once(s"etl_docstore_stream_dst:$dir") { p =>
+          val src = graft.Scratch.once(s"etl_docstore_sink:$dir") { q =>
+            Tables.t(s, dir, "orders")
+              .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+              .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
+              .write.format("docstore").option("path", q)
+              .option("partitionBy", "o_year").mode("overwrite").save()
+          }
+          s.readStream.format("docstore").option("path", src).load()
+            .writeStream.format("docstore").option("path", p)
+            .option("checkpointLocation", s"$p/_cp")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+        s.read.format("docstore").option("path", dst).load()
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"),
+            countDistinct(col("o_custkey")).as("n_custs"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total,
+          count(DISTINCT o_custkey) AS n_custs
+        FROM orders GROUP BY 1 ORDER BY o_year""")),
+
+    Q(
       "etl_catalog_sql",
       "SQL-catalog resolution (the reference's two-level db→collection " +
         "namespace, main.py:251,277-281, as a Spark V2 TableCatalog): " +

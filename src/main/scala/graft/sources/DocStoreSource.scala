@@ -28,8 +28,9 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.connector.read.{HasPartitionKey, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -139,6 +140,7 @@ case class DocStoreTable(path: String, tableSchema: StructType,
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
     // Document stores are schemaless, so a FRESH store accepts whatever
     // schema the first write brings. Once a schema exists (file footers
@@ -243,11 +245,31 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggSpecs: Option[(Seq[String], Seq[DocStore.AggSpec], StructType)] = None
+  private var limit: Option[Int] = None
+
+  /** PARTIAL limit pushdown: with no pushed DATA filters, footer row
+    * counts bound exactly how many row groups can contribute to the
+    * first `n` rows — split planning stops listing partitions once the
+    * cumulative row count covers the limit, so `LIMIT 10` over a
+    * 100 TB store plans ~one task instead of one per row group.
+    * Partition-only filters compose (pruning happens before counting);
+    * any pushed data filter makes footer counts an over-estimate of
+    * nothing useful — the limit is refused and Spark keeps its own.
+    * Always partial: Spark's Limit stays on top either way, so this
+    * can never change a result, only the partition count. */
+  override def pushLimit(n: Int): Boolean = {
+    val dataFiltered = pushed.exists(f => !DocStore.isPartitionFilter(f, partCols))
+    if (dataFiltered) false
+    else { limit = Some(n); true }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   // one dir walk, cached for the builder's lifetime
   private lazy val listing = DocStore.listFilesWithPartitions(path)
@@ -357,7 +379,8 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
     case Some((grpCols, specs, schema)) =>
       DocStoreAggScan(path, schema, grpCols, specs, pushed)
     case None =>
-      DocStoreScan(path, tableSchema, required, pushed, maxFilesPerTrigger)
+      DocStoreScan(path, tableSchema, required, pushed, maxFilesPerTrigger,
+        limitHint = limit)
   }
 }
 
@@ -372,7 +395,8 @@ case class DocStoreScan(
     required: StructType,
     pushed: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
-    groupFilterOnly: Boolean = false)
+    groupFilterOnly: Boolean = false,
+    limitHint: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -493,10 +517,24 @@ case class DocStoreScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val types = partColsOrdered.map(c =>
       tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType))
+    // the pushed-limit row-group bound holds only while NO data filter
+    // can drop rows (runtime filters arrive after pushLimit accepted)
+    // and while the scan doesn't report key-grouped partitioning
+    // (truncation would contradict the declared group count)
+    val lim = limitHint.filter { _ =>
+      !allPushed.exists(f => !DocStore.isPartitionFilter(f, partCols)) &&
+        !outputPartitioning().isInstanceOf[KeyGroupedPartitioning]
+    }
     val parts = ArrayBuffer.empty[InputPartition]
+    var covered = 0L
     DocStore.pruneListing(listing, allPushed).foreach { case (f, pv) =>
-      DocStore.blocksOf(f).foreach { case (start, len) =>
-        parts += DocStorePartition(f, start, len, pv, types)
+      DocStore.footerBlocks(f).foreach { b =>
+        if (lim.forall(covered < _)) {
+          val off = b.getStartingPos
+          parts += DocStorePartition(f, off,
+            b.getCompressedSize, pv, types)
+          covered += b.getRowCount
+        }
       }
     }
     parts.toArray
@@ -986,8 +1024,85 @@ class DocStoreWriteBuilder(path: String, info: LogicalWriteInfo,
         partPos.map(i => writeSchema.fields(i).name),
         info.queryId(), truncateFirst,
         DocStore.rowGroupBytesOf(info.options()))
+
+    /** Streaming sink: per-EPOCH staged commits with an idempotence
+      * marker, so a micro-batch whose commit outcome was unknown at a
+      * driver crash can be re-executed and re-committed without
+      * duplicating rows — Structured Streaming's exactly-once contract
+      * for sinks. Composes with the connector's streaming READ (whose
+      * offsets are file sets and whose admission control bounds
+      * batches) into a full docstore→docstore pipeline. */
+    override def toStreaming: StreamingWrite =
+      DocStoreStreamingWrite(path, writeSchema,
+        partPos.map(i => writeSchema.fields(i).name),
+        info.queryId(), DocStore.rowGroupBytesOf(info.options()))
+
     override def description(): String = s"DocStoreWrite path=$path"
   }
+}
+
+/** Epoch-aware staged-commit streaming sink. Tasks of epoch E stage
+  * under `_staging-<queryId>-epoch-<E>`; commit publishes the staged
+  * files and then creates the `_committed-<queryId>-<E>` marker IN the
+  * store (underscore-prefixed → invisible to listings). A RE-commit of
+  * an epoch whose marker already exists only clears its staging — the
+  * previously published files stand, so retried epochs never
+  * double-publish. Markers are tiny and per (query, epoch); a
+  * production store would compact them into a metadata log exactly
+  * like Spark's own file sink — the commit SEMANTICS are identical. */
+case class DocStoreStreamingWrite(
+    path: String,
+    schema: StructType,
+    partitionBy: Seq[String],
+    queryId: String,
+    rowGroupBytes: Option[Long] = None) extends StreamingWrite {
+
+  private def staging(epochId: Long) = s"$path/_staging-$queryId-epoch-$epochId"
+  private def marker(epochId: Long) = new Path(path, s"_committed-$queryId-$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    DocStoreStreamingWriterFactory(path, queryId, schema, partitionBy,
+      rowGroupBytes)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val stagingPath = new Path(staging(epochId))
+    if (!fs.exists(marker(epochId))) {
+      messages.foreach {
+        case DocStoreCommitMessage(rels) => rels.foreach { rel =>
+          val dst = new Path(root, rel)
+          fs.mkdirs(dst.getParent)
+          require(fs.rename(new Path(stagingPath, rel), dst),
+            s"docstore: epoch $epochId commit rename failed for $rel")
+        }
+        case _ =>
+      }
+      val out = fs.create(marker(epochId), true)
+      out.close()
+    }
+    fs.delete(stagingPath, true): Unit
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val stagingPath = new Path(staging(epochId))
+    stagingPath.getFileSystem(new Configuration()).delete(stagingPath, true): Unit
+  }
+}
+
+case class DocStoreStreamingWriterFactory(
+    path: String,
+    queryId: String,
+    schema: StructType,
+    partitionBy: Seq[String],
+    rowGroupBytes: Option[Long] = None) extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new DocStoreDataWriter(s"$path/_staging-$queryId-epoch-$epochId",
+      schema, partitionBy, partitionId, taskId, rowGroupBytes)
 }
 
 /** Group-based COPY-ON-WRITE row-level operation (DELETE / UPDATE /

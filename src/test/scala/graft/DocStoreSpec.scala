@@ -364,6 +364,32 @@ class DocStoreSpec extends SparkSpec {
     assert(back == want)
   }
 
+  test("limit pushdown plans only the row groups that can contribute; filters refuse it") {
+    val dir = tmpDir("docstore_limit")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .write.format("docstore").option("path", dir)
+      .option("rowGroupBytes", "4096").mode("overwrite").save()
+    val total = graft.sources.DocStore
+      .listFiles(dir).map(f => graft.sources.DocStore.footerBlocks(f).size).sum
+    assert(total > 3, s"fixture produced only $total row groups — vacuous")
+    // bare LIMIT: covered row count bounds the planned partitions
+    val limited = spark.read.format("docstore").option("path", dir).load().limit(7)
+    val scan = docStoreScanOf(limited)
+    assert(scan.limitHint.contains(7), "limit not pushed")
+    val planned = scan.planInputPartitions().length
+    assert(planned < total && planned >= 1, s"$planned of $total planned")
+    assert(limited.count() == 7, "partial limit changed the result")
+    // a pushed DATA filter invalidates footer counts: limit refused,
+    // every surviving row group planned, result exact
+    val filtered = spark.read.format("docstore").option("path", dir).load()
+      .filter(col("o_orderkey") > 100L).limit(7)
+    assert(filtered.count() == 7)
+    val fscan = docStoreScanOf(filtered)
+    assert(fscan.limitHint.isEmpty || fscan.planInputPartitions().length == total,
+      "limit truncated a data-filtered scan — rows could go missing")
+  }
+
   test("grouped aggregate pushdown: GROUP BY partition column answers from footers") {
     val dir = tmpDir("docstore_group_pushdown")
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -629,6 +655,69 @@ class DocStoreSpec extends SparkSpec {
     val rows = spark.read.parquet(out).as[(Long, String)].collect().toSeq
     assert(rows.length == 7 && rows.map(_._1).distinct.length == 7,
       s"rows after restart: ${rows.sorted}")
+  }
+
+  test("streaming sink: docstore-to-docstore pipeline with epoch-idempotent commits") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val a = tmpDir("docstore_pipe_src")
+    val b = tmpDir("docstore_pipe_dst")
+    val cp = tmpDir("docstore_pipe_cp")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", a).mode("append").save()
+    Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", a).mode("append").save()
+    def drain(): Unit =
+      spark.readStream.format("docstore").option("path", a)
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream.format("docstore").option("path", b)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    drain()
+    val rows = spark.read.format("docstore").option("path", b).load()
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")),
+      s"pipeline drifted: $rows")
+    // one commit marker per epoch, invisible to listings
+    val markers = new java.io.File(b).listFiles()
+      .map(_.getName).filter(_.startsWith("_committed-"))
+    assert(markers.length >= 2, s"epoch markers missing: ${markers.toSeq}")
+    // incremental: a new source file flows through without replay
+    Seq((6L, "f")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", a).mode("append").save()
+    drain()
+    assert(spark.read.format("docstore").option("path", b).load().count() == 6)
+    // epoch RE-commit is a no-op once the marker exists: a retried
+    // micro-batch (driver crash between publish and checkpoint) must
+    // not double-publish its files
+    val w = graft.sources.DocStoreStreamingWrite(b,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))), Nil, "retryq")
+    val staging = new java.io.File(s"$b/_staging-retryq-epoch-99")
+    def stageOne(): Unit = {
+      staging.mkdirs()
+      // same (k, v) structure as the pipeline's files — a committed
+      // retry file must not trip the store's schema-drift check
+      Seq((99L, "r")).toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/tmp")
+      val f = new java.io.File(s"$staging/tmp").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(staging, "retry.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    stageOne()
+    val msg = Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      graft.sources.DocStoreCommitMessage(Seq("retry.parquet")))
+    w.commit(99L, msg)
+    val after1 = spark.read.format("docstore").option("path", b).load().count()
+    stageOne() // the retry stages again…
+    w.commit(99L, msg) // …but the marker blocks a second publish
+    assert(!new java.io.File(s"$b/_staging-retryq-epoch-99").exists(),
+      "retried epoch staging not reclaimed")
+    assert(spark.read.format("docstore").option("path", b).load().count() == after1,
+      "epoch re-commit double-published")
   }
 
   test("storage-partitioned join: co-partitioned stores join with zero shuffles") {
