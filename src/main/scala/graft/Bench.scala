@@ -61,9 +61,14 @@ object Bench {
       // no baseline yet (new this round) rerun only above an absolute
       // 4 s floor. Runs-taken is recorded in the detail line so a
       // rerun-heavy round is visible to the driver.
-      val (a, b) = (once(), once())
+      // SPARK_GRAFT_BENCH_RUNS=1: single-run mode for the full-registry
+      // scale audits, where magnitude (is this superlinear?) matters
+      // and halving a multi-hour sweep beats min-of-2 noise damping
+      val singleRun = sys.env.get("SPARK_GRAFT_BENCH_RUNS").contains("1")
+      val a = once()
+      val b = if (singleRun) a else once()
       var best = math.min(a, b)
-      var runs = 2
+      var runs = if (singleRun) 1 else 2
       // SPARK_GRAFT_BENCH_NO_RERUN disables the stall retries for runs
       // at a DIFFERENT scale factor than the baselines (the sf1 scale
       // audit would otherwise retry every query 4x against sf0.1 times)

@@ -745,19 +745,25 @@ object Dedup {
         "store vector — or an earlier batch vector (batch-internal " +
         "near-dedup in the same pass, doc-id precedence). Ingest cost " +
         "is O(batch × bucket density), zero re-banding of history; " +
-        "precision is exact because every rejection is verified.",
+        "precision is exact because every rejection is verified. Band " +
+        "width is fixed at store COMMISSIONING from the reference " +
+        "corpus size (clamp(ceil(log2(N/125)), 4, 8)) — wide enough " +
+        "that bucket density stays bounded at the corpus's scale, " +
+        "stable so history, every future batch, and the oracle band " +
+        "identically and deletions never move it.",
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
         val store = graft.Scratch.once(s"dedup_band_store:$dir") { p =>
-          hyperplaneBanded(e.filter(pmod(col("vec_id"), lit(10)) < 8))
+          hyperplaneBandedAdaptive(
+              e.filter(pmod(col("vec_id"), lit(10)) < 8), widthFrom = e)
             .write.mode("overwrite").parquet(p)
         }
         val hist = s.read.parquet(store)
-        val batch = hyperplaneBanded(
-          e.filter(pmod(col("vec_id"), lit(10)) >= 8))
+        val batch = hyperplaneBandedAdaptive(
+          e.filter(pmod(col("vec_id"), lit(10)) >= 8), widthFrom = e)
         incrementalEmbeddingServe(hist, batch)
       },
-      Some(s"""WITH $hyperplaneBandedCtes,
+      Some(s"""WITH $adaptiveHyperplaneBandedCtes,
         store AS (SELECT * FROM banded WHERE vec_id % 10 < 8),
         batch AS (SELECT * FROM banded WHERE vec_id % 10 >= 8),
         hit_store AS (SELECT DISTINCT b.vec_id FROM batch b
@@ -790,18 +796,19 @@ object Dedup {
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
         val store = graft.Scratch.once(s"dedup_band_store:$dir") { p =>
-          hyperplaneBanded(e.filter(pmod(col("vec_id"), lit(10)) < 8))
+          hyperplaneBandedAdaptive(
+              e.filter(pmod(col("vec_id"), lit(10)) < 8), widthFrom = e)
             .write.mode("overwrite").parquet(p)
         }
         val tombstones = e.filter(pmod(col("vec_id"), lit(10)) === 4)
           .select(col("vec_id"))
         val hist = s.read.parquet(store)
           .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
-        val batch = hyperplaneBanded(
-          e.filter(pmod(col("vec_id"), lit(10)) >= 8))
+        val batch = hyperplaneBandedAdaptive(
+          e.filter(pmod(col("vec_id"), lit(10)) >= 8), widthFrom = e)
         incrementalEmbeddingServe(hist, batch)
       },
-      Some(s"""WITH $hyperplaneBandedCtes,
+      Some(s"""WITH $adaptiveHyperplaneBandedCtes,
         store AS (SELECT * FROM banded
           WHERE vec_id % 10 < 8 AND vec_id % 10 != 4),
         batch AS (SELECT * FROM banded WHERE vec_id % 10 >= 8),
@@ -1379,12 +1386,22 @@ object Dedup {
     * exactly like its history (and serve-after-delete ≡ fresh-rebuild
     * only holds when width doesn't move with corpus size); their cost
     * is O(batch × bucket density), linear in the batch. */
-  private[graft] def hyperplaneBandedAdaptive(e: DataFrame): DataFrame = {
+  private[graft] def hyperplaneBandedAdaptive(
+      e: DataFrame, widthFrom: DataFrame = null): DataFrame = {
     val bandsN = 4
     val planes = lshPlanesN(32)
     val bitCols = planes.map(p =>
       when(graft.expr.VecDot.vecDot(col("embedding"), typedlit(p)) >= 0, 1L).otherwise(0L))
-    val bits = broadcast(e.select(
+    // `widthFrom`: the frame whose cardinality sets the band width.
+    // Bulk mining widths on the mined corpus itself; the INCREMENTAL
+    // band store widths on the FULL reference corpus — the width an
+    // ingestion system fixes at commissioning — so the persisted
+    // history, every later batch, and the DuckDB oracle (whose count
+    // runs over the whole embeddings table) all derive the SAME width,
+    // and deletions never move it (serve-after-delete ≡ fresh-rebuild
+    // at any scale).
+    val widthRef = Option(widthFrom).getOrElse(e)
+    val bits = broadcast(widthRef.select(
       greatest(lit(4L), least(lit(8L),
         ceil(log2(count(lit(1)).cast("double") / 125.0)).cast("long"))).as("__bits")))
     e.select(col("vec_id"), col("embedding"), array(bitCols: _*).as("__s"))

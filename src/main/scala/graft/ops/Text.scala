@@ -2296,14 +2296,19 @@ object Text {
       "text_tfidf_pairs",
       "Lexical near-duplicate pairs by tf-idf cosine in the RARE-" +
         "token subspace — document pairs are candidates only if they " +
-        "share a token appearing in ≤10% of documents (rare-token " +
-        "blocking, scale-relative so the same query is meaningful at " +
-        "every SF: the classic sparse-similarity trick that turns " +
-        "all-pairs into an equi-join whose fan-out is bounded by " +
-        "df², exactly like the LSH bucket join), weights are " +
-        "tf·ln(N/df), and both the " +
-        "pair dot product and the per-doc norms fold in sorted " +
-        "order so no float summation depends on partitioning. " +
+        "share a token appearing in ≤10% of documents AND in at most " +
+        "200 documents absolute. The ABSOLUTE cap is the load-bearing " +
+        "scale bound (added after the r14 full-registry sf1 audit " +
+        "measured the relative-only gate at 438× cost for 10× data): " +
+        "a fixed fraction of N is still O(N²) pair fan-out, while " +
+        "df ≤ cap bounds per-token pair work at cap² and total work " +
+        "at cap × corpus tokens — linear in the corpus, the same " +
+        "posture as the LSH bucket join. Tokens above the cap are " +
+        "useless near-dup discriminators anyway (they're boilerplate " +
+        "by definition) and are exactly the hot keys a salted join " +
+        "would otherwise have to absorb. Weights are tf·ln(N/df), " +
+        "and both the pair dot product and the per-doc norms fold in " +
+        "sorted order so no float summation depends on partitioning. " +
         "Top-10 pairs by cosine. Complements dedup_embedding_cosine " +
         "(semantic space) with the lexical-overlap space.",
       (s, dir) => {
@@ -2314,7 +2319,8 @@ object Text {
         val nTot = docs.agg(count(lit(1)).as("nd"))
         val df = tok.groupBy("w").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(nTot))
-          .filter(col("df") >= 2 && col("df") * 10 <= col("nd"))
+          .filter(col("df") >= 2 && col("df") * 10 <= col("nd") &&
+            col("df") <= 200)
           .select("w", "df")
         val wt = tok.join(df, "w").crossJoin(broadcast(nTot))
           .select(col("doc_id"), col("w"),
@@ -2343,7 +2349,7 @@ object Text {
           GROUP BY 1, 2),
         nt AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
         df AS (SELECT w, count(*) AS df FROM tok CROSS JOIN nt GROUP BY 1, nd
-          HAVING count(*) >= 2 AND count(*) * 10 <= nd),
+          HAVING count(*) >= 2 AND count(*) * 10 <= nd AND count(*) <= 200),
         wt AS (SELECT doc_id, tok.w,
             CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / df.df) AS wt
           FROM tok JOIN df ON tok.w = df.w CROSS JOIN nt),
