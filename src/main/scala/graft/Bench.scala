@@ -42,52 +42,65 @@ object Bench {
       .map(_.split("[,\\s]+").filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val selected = SparkEntry.queries.filter { case (n, _) =>
       filters.isEmpty || filters.exists(n.contains) }
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
-          case e: Throwable =>
-            // a failed query must be visible, not a plausible timing
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            Double.NaN
-        }
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+        case e: Throwable =>
+          // a failed query must be visible, not a plausible timing
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          Double.NaN
       }
-      // Stall hardening (r13 verdict #5): min-of-2 has twice manufactured
-      // phantom regressions when the VM stalled through BOTH runs (r12
-      // ngram 9.19 s, r13 markov 8.13 s vs ~1.2 s real). When min-of-2
-      // still exceeds the query's cross-round baseline (BenchBaseline,
-      // min over recent rounds — stalls only inflate) by 4× AND by an
-      // absolute 1.5 s margin, take up to two more runs; queries with
-      // no baseline yet (new this round) rerun only above an absolute
-      // 4 s floor. Runs-taken is recorded in the detail line so a
-      // rerun-heavy round is visible to the driver.
-      // SPARK_GRAFT_BENCH_RUNS=1: single-run mode for the full-registry
-      // scale audits, where magnitude (is this superlinear?) matters
-      // and halving a multi-hour sweep beats min-of-2 noise damping
-      val singleRun = sys.env.get("SPARK_GRAFT_BENCH_RUNS").contains("1")
-      val a = once()
-      val b = if (singleRun) a else once()
-      var best = math.min(a, b)
-      var runs = if (singleRun) 1 else 2
-      // SPARK_GRAFT_BENCH_NO_RERUN disables the stall retries for runs
-      // at a DIFFERENT scale factor than the baselines (the sf1 scale
-      // audit would otherwise retry every query 4x against sf0.1 times)
-      val rerun = !sys.env.contains("SPARK_GRAFT_BENCH_NO_RERUN")
-      while (rerun && stallSuspect(name, best, runs)) {
-        val c = once()
-        if (!c.isNaN) best = math.min(best, c)
-        runs += 1
-      }
-      // The iterative builders (components, PCA, BPE, IVF/PQ) leave
-      // localCheckpoint blocks behind that only the async ContextCleaner
-      // would reclaim; drop them eagerly so query N's storage pressure
-      // never shows up in query N+1's time (r4 showed exactly that
-      // cross-query contamination in the sim cluster).
+    }
+    // The iterative builders (components, PCA, BPE, IVF/PQ) leave
+    // localCheckpoint blocks behind that only the async ContextCleaner
+    // would reclaim; drop them eagerly so query N's storage pressure
+    // never shows up in query N+1's time (r4 showed exactly that
+    // cross-query contamination in the sim cluster).
+    def cleanup(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      // -1 sentinel: a failed query must never read as a fast engine
-      name -> ((if (a.isNaN || b.isNaN) -1.0 else best), runs)
     }
+    // Stall hardening, two-pass (r13 verdict #5, tightened per r14 #3):
+    // min-of-2 has repeatedly manufactured phantom regressions when the
+    // VM stalled through BOTH runs (r12 ngram 9.19 s, r13 markov
+    // 8.13 s, r14 pretrain 16.6 s vs ~6.4 s real — the last slipped
+    // through a 4× trigger AND back-to-back reruns sharing the stall
+    // window). Trigger is now 2.5× the query's cross-round baseline
+    // (BenchBaseline, min over recent rounds — stalls only inflate)
+    // plus an absolute 1.5 s margin (sub-second queries never rerun on
+    // noise); queries with no baseline yet rerun above an absolute 4 s
+    // floor. Reruns are DEFERRED to a second pass after the whole
+    // registry has run — minutes of temporal separation, so a
+    // sustained stall window can't pollute both the measurement and
+    // its retry. Runs-taken lands in the detail line.
+    // SPARK_GRAFT_BENCH_RUNS=1: single-run mode for the full-registry
+    // scale audits, where magnitude (is this superlinear?) matters
+    // and halving a multi-hour sweep beats min-of-2 noise damping.
+    // SPARK_GRAFT_BENCH_NO_RERUN disables the stall retries for runs
+    // at a DIFFERENT scale factor than the baselines (the sf1 scale
+    // audit would otherwise retry every query 4x against sf0.1 times)
+    val singleRun = sys.env.get("SPARK_GRAFT_BENCH_RUNS").contains("1")
+    val rerun = !sys.env.contains("SPARK_GRAFT_BENCH_NO_RERUN")
+    // pass 1: the measurement sweep
+    val firstPass = selected.toSeq.map { case (name, fn) =>
+      val a = once(name, fn)
+      val b = if (singleRun) a else once(name, fn)
+      cleanup()
+      (name, fn, math.min(a, b), if (singleRun) 1 else 2, a.isNaN || b.isNaN)
+    }
+    // pass 2: temporally-separated reruns for the stall suspects only
+    val results = firstPass.map { case (name, fn, best0, runs0, failed) =>
+      var best = best0
+      var runs = runs0
+      while (rerun && !failed && stallSuspect(name, best, runs)) {
+        val c = once(name, fn)
+        if (!c.isNaN) best = math.min(best, c)
+        runs += 1
+        cleanup()
+      }
+      // -1 sentinel: a failed query must never read as a fast engine
+      name -> ((if (failed) -1.0 else best), runs)
+    }.toMap
     val runsTaken = results.collect { case (n, (_, r)) if r > 2 => n -> r }
     val times = results.map { case (n, (t, _)) => n -> t }
     val ok = times.filter(_._2 >= 0)
@@ -113,14 +126,18 @@ object Bench {
   private def f3(v: Double) = f"$v%.3f"
 
   /** Does this min-of-`runs` time look stall-polluted (rerun-worthy)?
-    * True when it exceeds the query's cross-round baseline by 4× AND
-    * by an absolute 1.5 s (so sub-second queries don't rerun on noise);
-    * queries without a baseline rerun only above an absolute 4 s
-    * floor. Capped at 4 total runs. */
+    * True when it exceeds the query's cross-round baseline by 2.5×
+    * AND by an absolute 1.5 s (so sub-second queries don't rerun on
+    * noise); queries without a baseline rerun only above an absolute
+    * 4 s floor. Capped at 4 total runs. The r14 4× trigger passed a
+    * 2.6×-inflated pretrain number straight through; a real plan
+    * regression under 2.5× is caught by the round-over-round diff
+    * instead, and a rerun of a genuinely-slower query just confirms
+    * its time. */
   private[graft] def stallSuspect(name: String, m: Double, runs: Int): Boolean = {
     if (m.isNaN || runs >= 4) return false
     BenchBaseline.seconds.get(name) match {
-      case Some(base) => m > 4.0 * base && m > base + 1.5
+      case Some(base) => m > 2.5 * base && m > base + 1.5
       case None => m > 4.0
     }
   }

@@ -20,12 +20,25 @@ object EtlQueries {
     * can't observe different bindings — unlike a plan-shape conf this
     * only ADDS a name-resolution root, it never reshapes other
     * queries' plans. */
+  /** Register (or reuse) a DocStoreCatalog rooted at `root` and return
+    * the catalog name to address it by. Catalog confs are
+    * session-sticky, so when `name` is already bound to a DIFFERENT
+    * root (one session running fixtures from two parent dirs) the
+    * binding must not silently serve the first root's tables — a
+    * root-keyed sibling (`name_<hash>`) is registered instead and the
+    * caller addresses THAT. */
   private def ensureCatalog(s: org.apache.spark.sql.SparkSession,
-      name: String, root: String): Unit = synchronized {
-    if (s.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {
-      s.conf.set(s"spark.sql.catalog.$name", "graft.sources.DocStoreCatalog")
-      s.conf.set(s"spark.sql.catalog.$name.root", root)
+      name: String, root: String): String = synchronized {
+    def rootOf(n: String) = s.conf.getOption(s"spark.sql.catalog.$n.root")
+    val cat =
+      if (s.conf.getOption(s"spark.sql.catalog.$name").isEmpty ||
+        rootOf(name).contains(root)) name
+      else name + "_" + java.lang.Integer.toHexString(root.hashCode)
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.DocStoreCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
     }
+    cat
   }
 
   /** A per-fixture-dir SQL namespace under the process-scratch catalog
@@ -40,7 +53,6 @@ object EtlQueries {
       new java.io.File(d).mkdirs(): Unit
     }
     ensureCatalog(s, "graftds", root)
-    "graftds"
   }
 
   private def ensureNamespace(s: org.apache.spark.sql.SparkSession,
@@ -359,10 +371,10 @@ object EtlQueries {
       (s, dir) => {
         val parent = new java.io.File(dir).getParent
         val ns = new java.io.File(dir).getName
-        ensureCatalog(s, "graftfix", parent)
+        val cat = ensureCatalog(s, "graftfix", parent)
         s.sql(s"""SELECT o_orderpriority AS priority, count(*) AS n,
             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
-          FROM graftfix.`$ns`.orders
+          FROM $cat.`$ns`.orders
           WHERE o_orderstatus = 'F'
           GROUP BY 1 ORDER BY 1""")
       },

@@ -735,8 +735,9 @@ object Dedup {
         "completion of the incremental family (dedup_incremental: " +
         "exact fingerprints; dedup_incremental_minhash: token " +
         "shingles; this: dense vectors). The historical 80% " +
-        "(vec_id % 10 < 8) is banded once (4 bands × 4 signed fixed-" +
-        "seed projections) and written as the parquet store a " +
+        "(vec_id % 10 < 8) is banded once (4 bands of fixed-seed " +
+        "signed projections at the commissioning width below) and " +
+        "written as the parquet store a " +
         "continuous-ingestion pipeline keeps between batches; the new " +
         "20% batch is banded, candidates come from a (band, bucket) " +
         "equi-join against the LOADED store, and a candidate is " +
@@ -1287,9 +1288,11 @@ object Dedup {
   /** The fixed-seed hyperplanes behind every hyperplane-LSH consumer —
     * one seed so the Spark literals and the oracle's regenerated
     * double literals always agree. The first 16 are identical for any
-    * `n` (one sequential draw stream), so the fixed-width consumers
-    * (incremental band store, multiprobe serving) and the adaptive
-    * bulk-mining path share planes 0–15. */
+    * `n` (one sequential draw stream), so the one remaining
+    * fixed-4-bit consumer (multiprobe serving, [[hyperplaneBanded]])
+    * and the adaptive-width paths — bulk mining AND the incremental
+    * band store, which fixes its width at commissioning via
+    * [[hyperplaneBandedAdaptive]]'s `widthFrom` — share planes 0–15. */
   private[ops] def lshPlanes: Seq[Seq[Float]] = lshPlanesN(16)
 
   private[ops] def lshPlanesN(n: Int): Seq[Seq[Float]] = {
@@ -1381,11 +1384,16 @@ object Dedup {
     * driver-side action, no literal recompile per corpus. At fixture
     * scale (N ≤ 2000) bits clamps to 4, so buckets — and every
     * oracle-checked result — are bit-identical to the fixed-width
-    * form. The INCREMENTAL paths keep [[hyperplaneBanded]]'s fixed
-    * width deliberately: a persisted band store must band new batches
-    * exactly like its history (and serve-after-delete ≡ fresh-rebuild
-    * only holds when width doesn't move with corpus size); their cost
-    * is O(batch × bucket density), linear in the batch. */
+    * form. The INCREMENTAL band store uses this form too but pins
+    * `widthFrom` to the FULL reference corpus — the width an
+    * ingestion system fixes at COMMISSIONING — because a persisted
+    * band store must band new batches exactly like its history (and
+    * serve-after-delete ≡ fresh-rebuild only holds when width doesn't
+    * move with corpus size); its cost is O(batch × bucket density),
+    * linear in the batch. Only the multiprobe SERVING path
+    * (sim_ann_multiprobe) still uses [[hyperplaneBanded]]'s fixed
+    * 4-bit width — its Hamming-1 probe set is enumerated per bit, so
+    * width is part of that query's definition. */
   private[graft] def hyperplaneBandedAdaptive(
       e: DataFrame, widthFrom: DataFrame = null): DataFrame = {
     val bandsN = 4

@@ -504,8 +504,9 @@ object Similarity {
       "sim_knn_graph",
       "Full kNN-graph construction: every vector's top-3 cosine " +
         "neighbors, candidates restricted to LSH bucket co-occupants " +
-        "(the shared Dedup.embeddingLshScored stage — 4 bands × 4 " +
-        "fixed-seed hyperplane bits, never all-pairs). Scored v1<v2 " +
+        "(the shared Dedup.embeddingLshScored stage — 4 bands of " +
+        "ADAPTIVE-width fixed-seed hyperplane bits, clamp(ceil(log2(" +
+        "N/125)), 4, 8) per band, never all-pairs). Scored v1<v2 " +
         "pairs are symmetrized (an edge serves both endpoints) and " +
         "ranked per node with row_number ≤ 3 — the WindowGroupLimit " +
         "top-k-per-group shape, so the full-sort never happens. This " +

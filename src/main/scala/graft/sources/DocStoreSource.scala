@@ -11,7 +11,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
 import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate, Operators}
-import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter, ParquetReader, ParquetWriter}
 import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
 import org.apache.parquet.hadoop.metadata.{BlockMetaData, CompressionCodecName}
 import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
@@ -1042,14 +1042,19 @@ class DocStoreWriteBuilder(path: String, info: LogicalWriteInfo,
 }
 
 /** Epoch-aware staged-commit streaming sink. Tasks of epoch E stage
-  * under `_staging-<queryId>-epoch-<E>`; commit publishes the staged
-  * files and then creates the `_committed-<queryId>-<E>` marker IN the
-  * store (underscore-prefixed → invisible to listings). A RE-commit of
-  * an epoch whose marker already exists only clears its staging — the
-  * previously published files stand, so retried epochs never
-  * double-publish. Markers are tiny and per (query, epoch); a
-  * production store would compact them into a metadata log exactly
-  * like Spark's own file sink — the commit SEMANTICS are identical. */
+  * under `_staging-<queryId>-epoch-<E>` with DETERMINISTIC names —
+  * `part-<partitionId>-e<E>.parquet`, a pure function of (partition,
+  * epoch) — and commit publishes the staged files and then creates the
+  * `_committed-<queryId>-<E>` marker IN the store (underscore-prefixed
+  * → invisible to listings). Idempotence holds across EVERY crash
+  * point: (a) marker exists → re-commit only clears staging, the
+  * published files stand; (b) crash after SOME renames but before the
+  * marker → the re-executed epoch stages the same deterministic names
+  * and the publish renames ONTO the same destinations (replacing any
+  * partially-published twins) — no UUID drift, no double-publish.
+  * Markers are tiny and per (query, epoch); a production store would
+  * compact them into a metadata log exactly like Spark's own file
+  * sink — the commit SEMANTICS are identical. */
 case class DocStoreStreamingWrite(
     path: String,
     schema: StructType,
@@ -1076,6 +1081,10 @@ case class DocStoreStreamingWrite(
         case DocStoreCommitMessage(rels) => rels.foreach { rel =>
           val dst = new Path(root, rel)
           fs.mkdirs(dst.getParent)
+          // staged names are deterministic per (partition, epoch): a
+          // file already at dst is this epoch's own partial publish
+          // from a crashed earlier attempt — replace, don't duplicate
+          if (fs.exists(dst)) fs.delete(dst, false)
           require(fs.rename(new Path(stagingPath, rel), dst),
             s"docstore: epoch $epochId commit rename failed for $rel")
         }
@@ -1102,15 +1111,18 @@ case class DocStoreStreamingWriterFactory(
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new DocStoreDataWriter(s"$path/_staging-$queryId-epoch-$epochId",
-      schema, partitionBy, partitionId, taskId, rowGroupBytes)
+      schema, partitionBy, partitionId, taskId, rowGroupBytes,
+      fileSuffix = Some(s"-e$epochId"))
 }
 
 /** Group-based COPY-ON-WRITE row-level operation (DELETE / UPDATE /
   * MERGE through the SQL surface): Spark reads the affected rows
   * through [[newScanBuilder]]'s scan, computes the surviving/updated/
   * merged rows, writes them through [[newWriteBuilder]]'s staged sink,
-  * and the commit atomically retires exactly the files the scan read
-  * while publishing their replacements.
+  * and the commit publishes the replacements FIRST and then retires
+  * exactly the files the scan read (so a crash mid-commit leaves
+  * transient duplication, never data loss — see
+  * [[DocStoreBatchWrite.commit]]).
   *
   * Correctness posture — the scan PUSHES NOTHING (`pushFilters`
   * returns every predicate as residual): the optimizer pushes the
@@ -1211,12 +1223,26 @@ case class DocStoreBatchWrite(
         }
       }
     }
+    val stagingPath = new Path(staging)
+    messages.foreach {
+      case DocStoreCommitMessage(rels) => rels.foreach { rel =>
+        val dst = new Path(root, rel)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(new Path(stagingPath, rel), dst),
+          s"docstore: commit rename failed for $rel")
+      }
+      case _ =>
+    }
     // copy-on-write commit (row-level DELETE/UPDATE/MERGE): retire
     // exactly the group files the paired operation scan read — their
-    // surviving/updated rows are among the staged files about to be
-    // published. Everything up to here was invisible to readers
-    // (staging is underscore-prefixed), so a scan planned at any point
-    // before this commit sees the complete OLD store.
+    // surviving/updated rows are in the replacement files published
+    // just above. PUBLISH-BEFORE-RETIRE ordering on purpose: a crash
+    // inside this window leaves old AND new files visible — transient
+    // DUPLICATION a retried operation or a cleanup can reconcile —
+    // whereas retire-first would lose every surviving row of the
+    // affected groups on the same crash. Durable atomicity on a real
+    // store comes from a metadata-log / manifest swap; this directory
+    // store orders the failure window toward the recoverable side.
     replaceFiles.foreach { thunk =>
       thunk().foreach { f =>
         val p = new Path(f)
@@ -1228,16 +1254,6 @@ case class DocStoreBatchWrite(
           d = d.getParent
         }
       }
-    }
-    val stagingPath = new Path(staging)
-    messages.foreach {
-      case DocStoreCommitMessage(rels) => rels.foreach { rel =>
-        val dst = new Path(root, rel)
-        fs.mkdirs(dst.getParent)
-        require(fs.rename(new Path(stagingPath, rel), dst),
-          s"docstore: commit rename failed for $rel")
-      }
-      case _ =>
     }
     fs.delete(stagingPath, true): Unit
   }
@@ -1273,7 +1289,15 @@ class DocStoreDataWriter(
     partitionId: Int,
     taskId: Long,
     rowGroupBytes: Option[Long] = None,
-    expectOpColumn: Boolean = false) extends DataWriter[InternalRow] {
+    expectOpColumn: Boolean = false,
+    // DETERMINISTIC file naming (streaming epochs): when set, staged
+    // names are part-<partitionId><suffix>.parquet — no taskId, no
+    // UUID — so a RETRIED task (or a re-executed epoch) stages onto
+    // the same paths (writer opens OVERWRITE) and the epoch commit
+    // renames onto the same destinations instead of adding new files.
+    // Batch writes keep attempt-unique names (separate appends to one
+    // store must never collide across commits).
+    fileSuffix: Option[String] = None) extends DataWriter[InternalRow] {
 
   private val conf = new Configuration()
   private val partIdx: Seq[(String, Int, DataType)] = partitionBy.map { c =>
@@ -1293,13 +1317,20 @@ class DocStoreDataWriter(
 
   private def writerFor(relDir: String): ParquetWriter[Group] =
     writers.getOrElseUpdate(relDir, {
-      val rel = (if (relDir.isEmpty) "" else relDir + "/") +
-        f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.parquet"
+      val name = fileSuffix match {
+        case Some(sfx) => f"part-$partitionId%05d$sfx.parquet"
+        case None =>
+          f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.parquet"
+      }
+      val rel = (if (relDir.isEmpty) "" else relDir + "/") + name
       files += rel
       val b = ExampleParquetWriter
         .builder(HadoopOutputFile.fromPath(new Path(s"$staging/$rel"), conf))
         .withType(msgType)
         .withConf(conf)
+        // deterministic names must tolerate a task-retry re-stage
+        .withWriteMode(if (fileSuffix.isDefined) ParquetFileWriter.Mode.OVERWRITE
+          else ParquetFileWriter.Mode.CREATE)
         .withCompressionCodec(CompressionCodecName.ZSTD)
       // `rowGroupBytes` write option: bounded row groups give a
       // sortBy'd layout MANY disjoint-stat row groups per file, so
@@ -1517,16 +1548,20 @@ object DocStore {
     * default would OVER-DELETE); inner Option is SQL's three-valued
     * logic (None = NULL), so `NOT(year = '5')` over a null partition
     * stays NULL — not deleted — exactly like a row-level predicate.
-    * Ordered comparisons are string-lexicographic, which IS Spark's
-    * comparison for these columns (partition columns surface as
-    * StringType, so pushed literals are strings). */
+    * Ordered comparisons compare as UTF8String BINARY order (UTF-8
+    * byte / code-point order) — Spark's StringType comparison for
+    * these columns (partition columns surface as StringType, so
+    * pushed literals are strings). `java.lang.String.compareTo` would
+    * differ on supplementary characters (UTF-16 code-unit order) and
+    * could classify a file differently than the row-level semantics. */
   def partitionFilterEval(
       pv: Map[String, String], f: Filter): Option[Option[Boolean]] = {
     def v(c: String): Option[String] =
       pv.get(c).filter(_ != HiveDefaultPartition)
     def cmp(c: String, lit: Any, op: Int => Boolean): Option[Option[Boolean]] =
       if (!pv.contains(c)) None // not a partition column here
-      else Some(v(c).map(x => op(x.compareTo(partLit(lit)))))
+      else Some(v(c).map(x => op(UTF8String.fromString(x)
+        .binaryCompare(UTF8String.fromString(partLit(lit))))))
     f match {
       case EqualTo(c, lit) => cmp(c, lit, _ == 0)
       case EqualNullSafe(c, null) => if (pv.contains(c)) Some(Some(v(c).isEmpty)) else None

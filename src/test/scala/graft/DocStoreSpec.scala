@@ -718,6 +718,42 @@ class DocStoreSpec extends SparkSpec {
       "retried epoch staging not reclaimed")
     assert(spark.read.format("docstore").option("path", b).load().count() == after1,
       "epoch re-commit double-published")
+    // the REAL writers stage deterministic epoch-stamped names (no
+    // UUID drift): a retried epoch can only rename onto itself
+    val published = new java.io.File(b).listFiles().map(_.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+    assert(published.exists(_.matches("part-\\d{5}-e\\d+\\.parquet")),
+      s"streaming sink files not deterministically named: ${published.toSeq}")
+    // crash AFTER a partial publish but BEFORE the marker: the files
+    // are already in the store, no marker, and the retried epoch
+    // re-stages the SAME deterministic name — commit must rename ONTO
+    // the partially-published twin, not add a duplicate beside it
+    val staging100 = new java.io.File(s"$b/_staging-retryq-epoch-100")
+    def stage100(): Unit = {
+      staging100.mkdirs()
+      Seq((100L, "s")).toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging100/tmp")
+      val f = new java.io.File(s"$staging100/tmp").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      // epoch-stamped deterministic name, like the real writers
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(staging100, "part-00000-e100.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val msg100 = Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      graft.sources.DocStoreCommitMessage(Seq("part-00000-e100.parquet")))
+    val before = spark.read.format("docstore").option("path", b).load().count()
+    stage100()
+    w.commit(100L, msg100) // publish epoch 100 fully (1 extra row)
+    val afterFull = spark.read.format("docstore").option("path", b).load().count()
+    assert(afterFull == before + 1)
+    // simulate the crash: marker gone, file still published
+    assert(new java.io.File(b, "_committed-retryq-100").delete())
+    stage100() // the re-executed epoch stages the same name again…
+    w.commit(100L, msg100) // …and republishing replaces, never duplicates
+    assert(spark.read.format("docstore").option("path", b).load().count() == afterFull,
+      "partial-publish retry duplicated rows")
+    assert(new java.io.File(b, "_committed-retryq-100").exists())
   }
 
   test("storage-partitioned join: co-partitioned stores join with zero shuffles") {

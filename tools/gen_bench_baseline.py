@@ -20,7 +20,10 @@ META = {"n", "rc", "cpus", "sf", "value", "failed", "n_queries"}
 out = {}
 for path in sys.argv[1:]:
     text = open(path).read()
-    for m in re.finditer(r'"([a-z][a-z0-9_]*)"\s*:\s*([0-9]+\.[0-9]+)', text):
+    # accepts bench JSON ("name":1.23), BENCHLOG machine lines, and the
+    # current BenchBaseline.scala itself ("name" -> 1.23) so a re-seed
+    # can take the min of the old baseline and a fresh full detail line
+    for m in re.finditer(r'"([a-z][a-z0-9_]*)"\s*(?::|->)\s*([0-9]+\.[0-9]+)', text):
         k, v = m.group(1), float(m.group(2))
         if k in META or v < 0:
             continue
