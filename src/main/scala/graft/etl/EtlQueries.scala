@@ -357,6 +357,179 @@ object EtlQueries {
         FROM orders GROUP BY 1 ORDER BY o_year""")),
 
     Q(
+      "etl_connector_topn",
+      "TOP-N PUSHDOWN through the connector (SupportsPushDownTopN, " +
+        "partial): `ORDER BY o_orderkey DESC LIMIT 10` over a store " +
+        "whose sink clustered row groups by the sort key " +
+        "(sortBy + bounded rowGroupBytes — reference A12's layout " +
+        "work, main.py:112-118). Footer min/max give an exact " +
+        "k-covering threshold, so split planning skips every row " +
+        "group that provably cannot hold a top-10 row: `ORDER BY ts " +
+        "DESC LIMIT 100` over a 100 TB time-clustered store plans a " +
+        "handful of tasks instead of one per row group. Always " +
+        "partial — Spark keeps TakeOrderedAndProject, so the pushdown " +
+        "can only shrink the scan (DocStoreSpec pins the pruned split " +
+        "count and the refusal under data filters / non-integer sort " +
+        "keys).",
+      (s, dir) => {
+        val store = graft.Scratch.once(s"etl_connector_topn:$dir") { p =>
+          Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"))
+            .write.format("docstore").option("path", p)
+            .option("sortBy", "o_orderkey")
+            .option("rowGroupBytes", "16384")
+            .mode("overwrite").save()
+        }
+        s.read.format("docstore").option("path", store).load()
+          .orderBy(col("o_orderkey").desc)
+          .limit(10)
+          .select(col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey DESC LIMIT 10""")),
+
+    Q(
+      "etl_connector_file_lineage",
+      "METADATA COLUMNS (SupportsMetadataColumns): every row exposes " +
+        "its source file (`_file`) and 0-based row position within it " +
+        "(`_pos`) — the lineage every CDC/debugging/audit workflow " +
+        "selects, at zero I/O cost (the path is split-constant; the " +
+        "position is the split's footer-derived first-row index plus " +
+        "a counter). Hidden per the DSv2 contract: unreferenced, they " +
+        "leave every existing plan byte-identical. The clustered sink " +
+        "writes ONE file per partition, so per-partition lineage is " +
+        "fully checkable against the source table: n_files ≡ 1 and " +
+        "the position span ≡ the row count — any missed, repeated, or " +
+        "misattributed row breaks the identity.",
+      (s, dir) => {
+        val store = graft.Scratch.once(s"etl_connector_lineage:$dir") { p =>
+          Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"),
+              year(col("o_orderdate")).as("o_year"))
+            .write.format("docstore").option("path", p)
+            .option("partitionBy", "o_year").mode("overwrite").save()
+        }
+        s.read.format("docstore").option("path", store).load()
+          .select(col("o_year"), col("_file"), col("_pos"))
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("_file")).as("n_files"),
+            (max(col("_pos")) - min(col("_pos")) + 1).as("pos_span"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS VARCHAR) AS o_year,
+          count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files,
+          count(*) AS pos_span
+        FROM orders GROUP BY 1 ORDER BY o_year""")),
+
+    Q(
+      "etl_connector_retention",
+      "TTL retention ENFORCED through the connector: a catalog table " +
+        "partitioned by (string-typed) order year takes `DELETE FROM … " +
+        "WHERE o_year < '1995'` — an ORDERED partition predicate, so " +
+        "SupportsDelete answers it metadata-only (UTF8String-binary " +
+        "comparison on the directory values, exactly Spark's row " +
+        "semantics) and drops whole expired partitions at O(files) " +
+        "cost with zero rows read or rewritten — the production " +
+        "retention sweep etl_retention_sweep only PLANS. The boundary " +
+        "partition (o_year = 1995) must survive untouched and " +
+        "surviving files must keep their exact paths (DocStoreSpec " +
+        "pins both, plus the refusal when the year column is " +
+        "INT-typed — ordered directory-text comparison is exact only " +
+        "for strings). The oracle recomputes the surviving per-year " +
+        "aggregates from the source table.",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        graft.Scratch.once(s"etl_connector_retention:$dir") { _ =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.orders_ttl
+            (o_orderkey BIGINT, o_totalprice DOUBLE, o_year STRING)
+            USING docstore PARTITIONED BY (o_year)""")
+          Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).cast("string").as("o_year"))
+            .writeTo(s"$cat.$ns.orders_ttl").append()
+          s.sql(s"DELETE FROM $cat.$ns.orders_ttl WHERE o_year < '1995'")
+        }
+        s.table(s"$cat.$ns.orders_ttl")
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS VARCHAR) AS o_year,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders WHERE year(o_orderdate) >= 1995
+        GROUP BY 1 ORDER BY o_year""")),
+
+    Q(
+      "etl_connector_stream_state",
+      "STATEFUL streaming through the docstore pipeline: the " +
+        "connector's micro-batch read feeds a WATERMARKED windowed " +
+        "aggregation (per-day event counts by type, 35-day watermark) " +
+        "whose append-mode output lands in the connector's streaming " +
+        "sink — the reference's A4→A12 as a continuous incremental " +
+        "job with STATE, not passthrough. The watermark exceeds the " +
+        "corpus span, so no arrival order of source files can drop a " +
+        "row as late (file-set offsets admit files in path order, not " +
+        "event time); a sentinel row far past the corpus then advances " +
+        "the watermark so every real window finalizes and emits " +
+        "EXACTLY ONCE. The oracle recomputes the windows from the raw " +
+        "events table — any state row lost, duplicated, or " +
+        "double-emitted across the offset/epoch machinery is a hash " +
+        "mismatch (DocStoreSpec additionally pins kill-and-restart " +
+        "state recovery mid-backlog).",
+      (s, dir) => {
+        val base = graft.Scratch.once(s"etl_connector_stream_state:$dir") { p =>
+          val src = s"$p/src"
+          val dst = s"$p/dst"
+          val ev = Tables.t(s, dir, "events").select(col("ts"), col("event_type"))
+          // four append commits → four source files → several batches
+          Seq(1 to 8, 9 to 16, 17 to 24, 25 to 31).foreach { days =>
+            ev.filter(dayofmonth(col("ts")).between(days.head, days.last))
+              .coalesce(1)
+              .write.format("docstore").option("path", src)
+              .mode("append").save()
+          }
+          def drain(): Unit =
+            s.readStream.format("docstore").option("path", src).load()
+              // event-time must be TIMESTAMP; the store surfaces NTZ
+              // (sessions run UTC, so the cast is value-identical)
+              .withColumn("ts", col("ts").cast("timestamp"))
+              .withWatermark("ts", "35 days")
+              .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+              .agg(count(lit(1)).as("n"))
+              .select(col("w.start").as("day"), col("event_type"), col("n"))
+              .writeStream.format("docstore").option("path", dst)
+              .option("checkpointLocation", s"$p/_cp")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start().awaitTermination()
+          drain() // builds state; nothing finalizes below the watermark
+          // sentinel: advances the watermark past every real window.
+          // Built under ev's EXACT schema (timestamp flavor and
+          // nullability) — the store rejects schema drift across files.
+          val tsVal: Any = ev.schema("ts").dataType match {
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              java.time.LocalDateTime.of(2024, 12, 1, 0, 0)
+            case _ => java.sql.Timestamp.valueOf("2024-12-01 00:00:00")
+          }
+          s.createDataFrame(
+              java.util.Arrays.asList(org.apache.spark.sql.Row(tsVal, "sentinel")),
+              ev.schema)
+            .write.format("docstore").option("path", src).mode("append").save()
+          drain() // every real window emits exactly once
+        }
+        s.read.format("docstore").option("path", s"$base/dst").load()
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          event_type, count(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q(
       "etl_catalog_sql",
       "SQL-catalog resolution (the reference's two-level db→collection " +
         "namespace, main.py:251,277-281, as a Spark V2 TableCatalog): " +

@@ -25,16 +25,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, SpecializedGetters}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.connector.read.{HasPartitionKey, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder => ConnSortOrder, Expression => ConnExpression}
+import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder => ConnSortOrder, Expression => ConnExpression}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -127,9 +127,34 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
 case class DocStoreTable(path: String, tableSchema: StructType,
     tablePartitionBy: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete with SupportsRowLevelOperations {
+    with SupportsDelete with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
   override def name(): String = s"docstore($path)"
   override def schema(): StructType = tableSchema
+
+  /** Hidden lineage columns every CDC / debugging / audit workflow
+    * selects: `_file` (the source file's path — split-constant, costs
+    * nothing) and `_pos` (the row's 0-based position within that file
+    * — the split's first-row index plus a reader-side counter, still
+    * zero extra I/O). Hidden per the DSv2 contract: they join the scan
+    * output only when explicitly referenced, so an unadorned
+    * `SELECT *` — and every existing plan — is byte-identical with or
+    * without them (DocStoreSpec pins the no-cost property). A data
+    * column with the same name shadows the metadata column (Spark's
+    * standard conflict rule). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = "_file"
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment: String = "path of the parquet file this row came from"
+    },
+    new MetadataColumn {
+      override def name: String = "_pos"
+      override def dataType: DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment: String = "0-based row position within the source file"
+    })
   /** Catalog-declared partitioning (CREATE TABLE … PARTITIONED BY):
     * reported to Spark and used as the sink's default routing when a
     * write doesn't pass its own `partitionBy` option. */
@@ -246,12 +271,63 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggSpecs: Option[(Seq[String], Seq[DocStore.AggSpec], StructType)] = None
   private var limit: Option[Int] = None
+  private var topN: Option[(String, Boolean, Int)] = None // (col, desc, k)
+
+  /** PARTIAL top-N pushdown: `ORDER BY key LIMIT k` over a store whose
+    * row groups carry min/max on the sort key — the read-side payoff
+    * of the clustered sink's disjoint row-group stats (A12's layout
+    * work). The footer extrema give an exact k-covering threshold: row
+    * groups that provably cannot hold any of the top-k rows are never
+    * planned as splits, so `ORDER BY ts DESC LIMIT 100` over a 100 TB
+    * time-clustered store plans a handful of tasks instead of one per
+    * row group. Exactness guards mirror the min/max aggregate
+    * pushdown: single sort key, integer-backed stat order (int/long/
+    * date/timestamp — float NaN and truncated binary stats refuse),
+    * Spark's default null orderings only (ASC NULLS FIRST / DESC
+    * NULLS LAST — footers count nulls but don't order them, so the
+    * bound must place nulls at a known end), no pushed data filters
+    * (they'd re-rank survivors), and every row group of every
+    * surviving file must carry the stats. Always partial: Spark keeps
+    * its TakeOrderedAndProject, so this can only shrink the scan,
+    * never change a result. */
+  override def pushTopN(orders: Array[ConnSortOrder], k: Int): Boolean = {
+    if (orders.length != 1 || k <= 0) return false
+    val o = orders(0)
+    val col = o.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        nr.fieldNames()(0)
+      case _ => return false
+    }
+    val desc = (o.direction(), o.nullOrdering()) match {
+      case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) => false
+      case (SortDirection.DESCENDING, NullOrdering.NULLS_LAST) => true
+      case _ => return false
+    }
+    if (!statTypeOk(col, needOrder = true)) return false
+    if (pushed.exists(f => !DocStore.isPartitionFilter(f, partCols))) return false
+    // every row group of every surviving file must carry usable stats
+    val files = DocStore.pruneListing(listing, pushed).map(_._1)
+    val ok = files.nonEmpty && files.forall { f =>
+      DocStore.footerBlocks(f).forall { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == col).exists { m =>
+          val st = m.getStatistics
+          st != null && !st.isEmpty && st.isNumNullsSet &&
+            (st.hasNonNullValue || st.getNumNulls == b.getRowCount) &&
+            (st.isInstanceOf[IntStatistics] || st.isInstanceOf[LongStatistics])
+        }
+      }
+    }
+    if (!ok) return false
+    topN = Some((col, desc, k))
+    true
+  }
 
   /** PARTIAL limit pushdown: with no pushed DATA filters, footer row
     * counts bound exactly how many row groups can contribute to the
@@ -380,7 +456,7 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
       DocStoreAggScan(path, schema, grpCols, specs, pushed)
     case None =>
       DocStoreScan(path, tableSchema, required, pushed, maxFilesPerTrigger,
-        limitHint = limit)
+        limitHint = limit, topNHint = topN)
   }
 }
 
@@ -396,7 +472,8 @@ case class DocStoreScan(
     pushed: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
     groupFilterOnly: Boolean = false,
-    limitHint: Option[Int] = None)
+    limitHint: Option[Int] = None,
+    topNHint: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -512,29 +589,85 @@ case class DocStoreScan(
   override def description(): String =
     s"DocStoreScan path=$path, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
+      topNHint.map { case (c, d, k) =>
+        s"PushedTopN: [ORDER BY $c ${if (d) "DESC" else "ASC"} LIMIT $k], "
+      }.getOrElse("") +
       s"ReadSchema: ${required.catalogString}"
+
+  /** Footer digest of one row group for the top-N bound: null rows
+    * counted separately (they sort at a KNOWN end under the accepted
+    * orderings), extrema normalized to a comparison-stable long. */
+  private def topNStats(
+      col: String,
+      files: Seq[String]): Option[Seq[(String, Long, Long, Long, Option[(Long, Long)])]] = {
+    val out = ArrayBuffer.empty[(String, Long, Long, Long, Option[(Long, Long)])]
+    files.foreach { f =>
+      // timestamp units can differ per file; min/max commute with the
+      // monotone unit change, so normalize to µs like the agg scan
+      val norm: Long => Long =
+        DocStore.fileSchema(f).getType(Seq(col): _*).asPrimitiveType()
+          .getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+            case TimeUnit.NANOS => v => Math.floorDiv(v, 1000L)
+            case TimeUnit.MILLIS => v => Math.multiplyExact(v, 1000L)
+            case _ => identity
+          }
+          case _ => identity
+        }
+      DocStore.footerBlocks(f).foreach { b =>
+        val st = b.getColumns.asScala.find(_.getPath.toDotString == col)
+          .map(_.getStatistics).orNull
+        val mm = st match {
+          case s: IntStatistics if s.hasNonNullValue =>
+            Some((norm(s.getMin.toLong), norm(s.getMax.toLong)))
+          case s: LongStatistics if s.hasNonNullValue =>
+            Some((norm(s.getMin), norm(s.getMax)))
+          case _ => None
+        }
+        if (st == null || st.isEmpty || !st.isNumNullsSet ||
+          (mm.isEmpty && st.getNumNulls < b.getRowCount))
+          return None // stats incomplete at plan time → no pruning
+        out += ((f, b.getStartingPos, b.getRowCount, st.getNumNulls, mm))
+      }
+    }
+    Some(out.toSeq)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val types = partColsOrdered.map(c =>
       tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType))
-    // the pushed-limit row-group bound holds only while NO data filter
-    // can drop rows (runtime filters arrive after pushLimit accepted)
-    // and while the scan doesn't report key-grouped partitioning
-    // (truncation would contradict the declared group count)
-    val lim = limitHint.filter { _ =>
+    // the pushed-limit / top-N row-group bounds hold only while NO
+    // data filter can drop rows (runtime filters arrive after the
+    // pushdown was accepted) and while the scan doesn't report
+    // key-grouped partitioning (dropping row groups could contradict
+    // the declared group count)
+    val boundsOk =
       !allPushed.exists(f => !DocStore.isPartitionFilter(f, partCols)) &&
         !outputPartitioning().isInstanceOf[KeyGroupedPartitioning]
-    }
+    val lim = limitHint.filter(_ => boundsOk)
+    val pruned = DocStore.pruneListing(listing, allPushed)
+    val keep: ((String, Long)) => Boolean =
+      topNHint.filter(_ => boundsOk)
+        .flatMap { case (c, desc, k) =>
+          topNStats(c, pruned.map(_._1))
+            .flatMap(st => DocStore.topNKeepSet(st, desc, k))
+        } match {
+        case Some(set) => set.contains _
+        case None => _ => true
+      }
     val parts = ArrayBuffer.empty[InputPartition]
     var covered = 0L
-    DocStore.pruneListing(listing, allPushed).foreach { case (f, pv) =>
+    var firstRow = 0L
+    pruned.foreach { case (f, pv) =>
+      firstRow = 0L
       DocStore.footerBlocks(f).foreach { b =>
-        if (lim.forall(covered < _)) {
+        if (lim.forall(covered < _) && keep((f, b.getStartingPos))) {
           val off = b.getStartingPos
           parts += DocStorePartition(f, off,
-            b.getCompressedSize, pv, types)
+            b.getCompressedSize, pv, types, firstRowIndex = firstRow)
           covered += b.getRowCount
         }
+        firstRow += b.getRowCount
       }
     }
     parts.toArray
@@ -557,7 +690,11 @@ case class DocStorePartition(
     start: Long,
     length: Long,
     partValues: Seq[(String, String)],
-    partTypes: Seq[DataType] = Nil) extends InputPartition with HasPartitionKey {
+    partTypes: Seq[DataType] = Nil,
+    // index of this row group's first row within its FILE (sum of the
+    // preceding row groups' counts) — the base for the `_pos` metadata
+    // column; -1 when the planning path didn't compute it
+    firstRowIndex: Long = -1L) extends InputPartition with HasPartitionKey {
   /** Directory values in nesting order, cast to the table-declared
     * partition types — consulted only when the scan reports
     * KeyGroupedPartitioning (see [[DocStoreScan.outputPartitioning]]),
@@ -618,9 +755,32 @@ class DocStoreReader(
     new MessageType(fileSchema.getName, kept.asJava)
   }
 
+  // metadata columns: 1 = `_file` (split-constant path), 2 = `_pos`
+  // (file row position = split's first-row index + in-split counter);
+  // shadowed by same-named data/partition columns per the DSv2 rule
+  private val metaKind: Array[Int] = required.fields.map { f =>
+    if (projSet.contains(f.name) || partVals.contains(f.name)) 0
+    else if (f.name == "_file") 1
+    else if (f.name == "_pos") 2
+    else 0
+  }
+  private val needPos = metaKind.contains(2)
+  private val filePathStr = UTF8String.fromString(part.file)
+  private var rowIdx: Long = math.max(part.firstRowIndex, 0L) - 1
+
+  /** With `_pos` projected, parquet RECORD-level filtering must not
+    * drop rows before they're counted — row-group-granular stats/
+    * dictionary pruning stays on (whole-group skips can't disturb the
+    * counter: each split counts from its own first-row index), and the
+    * reader applies the pushed predicates itself, exactly, per row
+    * ([[DocStore.evalFilter]]). */
+  private val selfFilter = needPos && pushed.nonEmpty
+
   private val reader: ParquetReader[Group] = {
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projSchema.toString)
+    if (selfFilter)
+      conf.setBoolean("parquet.filter.record-level.enabled", false)
     val b = ParquetReader
       .builder(new GroupReadSupport(), new Path(part.file))
       .withConf(conf)
@@ -629,6 +789,25 @@ class DocStoreReader(
       case Some(p) => b.withFilter(FilterCompat.get(p)).build()
       case None => b.build()
     }
+  }
+
+  // filter-column accessors for the self-filtering path: projected
+  // position + converter to Spark-internal form
+  private val filterGet: Map[String, (Int, Group => Any)] =
+    if (!selfFilter) Map.empty
+    else pushed.flatMap(_.references).distinct.map { c =>
+      val j = projectCols.indexOf(c)
+      require(j >= 0, s"docstore: filter column $c not projected")
+      c -> ((j, DocStore.converter(projSchema.getType(j),
+        tableSchema(c).dataType, j)))
+    }.toMap
+
+  private def passes(g: Group): Boolean = {
+    val colv: String => Any = c => {
+      val (j, conv) = filterGet(c)
+      if (g.getFieldRepetitionCount(j) == 0) null else conv(g)
+    }
+    pushed.forall(f => DocStore.evalFilter(f, colv, tableSchema).contains(true))
   }
 
   // per output column: either a converter bound to its projected
@@ -657,6 +836,11 @@ class DocStoreReader(
 
   override def next(): Boolean = {
     current = reader.read()
+    rowIdx += 1
+    while (current != null && selfFilter && !passes(current)) {
+      current = reader.read()
+      rowIdx += 1
+    }
     current != null
   }
 
@@ -666,7 +850,9 @@ class DocStoreReader(
     while (k < required.length) {
       val j = projPos(k)
       row.update(k,
-        if (j < 0) consts(k)
+        if (metaKind(k) == 1) filePathStr
+        else if (metaKind(k) == 2) rowIdx
+        else if (j < 0) consts(k)
         else if (current.getFieldRepetitionCount(j) == 0) null
         else convs(k)(current))
       k += 1
@@ -763,10 +949,14 @@ class DocStoreMicroBatchStream(
     val endSet = end.asInstanceOf[DocStoreOffset].files.toSet
     val parts = ArrayBuffer.empty[InputPartition]
     listing.foreach { case (f, pv) =>
-      if (endSet(f) && !seen(f))
-        DocStore.blocksOf(f).foreach { case (s0, len) =>
-          parts += DocStorePartition(f, s0, len, pv)
+      if (endSet(f) && !seen(f)) {
+        var firstRow = 0L
+        DocStore.footerBlocks(f).foreach { b =>
+          parts += DocStorePartition(f, b.getStartingPos, b.getCompressedSize,
+            pv, firstRowIndex = firstRow)
+          firstRow += b.getRowCount
         }
+      }
     }
     parts.toArray
   }
@@ -1507,6 +1697,129 @@ object DocStore {
     * (filter-only data columns); partition columns come from each
     * split's directory values; filter-only columns are read for
     * evaluation but never returned. */
+  /** Exact row-side evaluation of pushed DATA filters (the
+    * [[pushable]] data subset) against a materialized row — used when
+    * `_pos` is projected: parquet RECORD-level filtering silently
+    * skips rows and would corrupt the position counter, so the reader
+    * materializes every row of the (stats-surviving) row group, counts
+    * it, and applies the same predicate semantics itself. Values
+    * arrive Spark-internal (UTF8String, µs longs, day ints — the
+    * converters normalize units); literals convert exactly like
+    * [[toPredicate]]'s. Three-valued: None = NULL, and a NULL conjunct
+    * drops the row — WHERE semantics, identical to the record filter
+    * it replaces. */
+  def evalFilter(f: Filter, colv: String => Any, schema: StructType): Option[Boolean] = {
+    def cmp(c: String, v: Any): Option[Int] = Option(colv(c)).map { x =>
+      schema(c).dataType match {
+        case IntegerType => java.lang.Integer.compare(
+          x.asInstanceOf[Int], v.asInstanceOf[Number].intValue())
+        case LongType => java.lang.Long.compare(
+          x.asInstanceOf[Long], v.asInstanceOf[Number].longValue())
+        case FloatType => java.lang.Float.compare(
+          x.asInstanceOf[Float], v.asInstanceOf[Number].floatValue())
+        case DoubleType => java.lang.Double.compare(
+          x.asInstanceOf[Double], v.asInstanceOf[Number].doubleValue())
+        case StringType => x.asInstanceOf[UTF8String]
+          .binaryCompare(UTF8String.fromString(v.toString))
+        case DateType =>
+          val days = v match {
+            case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+            case d: java.time.LocalDate => d.toEpochDay.toInt
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(s"date literal $other")
+          }
+          java.lang.Integer.compare(x.asInstanceOf[Int], days)
+        case TimestampType | TimestampNTZType =>
+          java.lang.Long.compare(x.asInstanceOf[Long], tsMicros(v))
+        case BooleanType => java.lang.Boolean.compare(
+          x.asInstanceOf[Boolean], v.asInstanceOf[Boolean])
+        case other =>
+          throw new IllegalArgumentException(s"docstore: row filter on $other")
+      }
+    }
+    f match {
+      case EqualTo(c, v) => cmp(c, v).map(_ == 0)
+      case GreaterThan(c, v) => cmp(c, v).map(_ > 0)
+      case GreaterThanOrEqual(c, v) => cmp(c, v).map(_ >= 0)
+      case LessThan(c, v) => cmp(c, v).map(_ < 0)
+      case LessThanOrEqual(c, v) => cmp(c, v).map(_ <= 0)
+      case In(c, vs) =>
+        if (colv(c) == null) None
+        else Some(vs.exists(v => cmp(c, v).contains(0)))
+      case IsNull(c) => Some(colv(c) == null)
+      case IsNotNull(c) => Some(colv(c) != null)
+      case And(l, r) =>
+        (evalFilter(l, colv, schema), evalFilter(r, colv, schema)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (evalFilter(l, colv, schema), evalFilter(r, colv, schema)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case Not(i) => evalFilter(i, colv, schema).map(!_)
+      case other =>
+        throw new IllegalArgumentException(
+          s"docstore: unpushable filter reached the reader: $other")
+    }
+  }
+
+  /** The row groups that can contain a top-`k` row under a single-key
+    * ordering, from per-group footer digests `(file, startPos, rows,
+    * nulls, Option[(min, max)])`. The bound: find the tightest
+    * threshold T such that the row groups ALONE guarantee ≥ k rows
+    * ranking at-or-before T, then keep exactly the groups whose range
+    * reaches T. Nulls count toward the guarantee on the end they sort
+    * at (ASC NULLS FIRST: before every value; DESC NULLS LAST: after —
+    * so they never help a DESC bound and a corpus with < k non-null
+    * rows keeps everything). Returns None when no pruning is sound. */
+  def topNKeepSet(
+      stats: Seq[(String, Long, Long, Long, Option[(Long, Long)])],
+      desc: Boolean,
+      k: Int): Option[Set[(String, Long)]] = {
+    // (file, pos, nonNullRows, min, max) for the groups with extrema
+    val defined = stats.flatMap { case (f, pos, rows, nulls, mm) =>
+      mm.map { case (mn, mx) => (f, pos, rows - nulls, mn, mx) }
+    }
+    if (desc) {
+      val totalNonNull = defined.map(_._3).sum
+      if (totalNonNull < k) return None // nulls enter the top-k: keep all
+      // largest T with Σ_{min ≥ T} (rows − nulls) ≥ k
+      var cum = 0L
+      var t = Long.MinValue
+      val it = defined.sortBy(-_._4).iterator
+      while (cum < k && it.hasNext) {
+        val g = it.next()
+        cum += g._3
+        t = g._4
+      }
+      Some(defined.collect { case (f, pos, _, _, mx) if mx >= t =>
+        (f, pos) }.toSet)
+    } else {
+      val totalNulls = stats.map(_._4).sum
+      if (totalNulls >= k)
+        return Some(stats.collect { case (f, pos, _, nulls, _) if nulls > 0 =>
+          (f, pos) }.toSet)
+      // smallest T with totalNulls + Σ_{max ≤ T} (rows − nulls) ≥ k
+      var cum = totalNulls
+      var t = Long.MaxValue
+      val it = defined.sortBy(_._5).iterator
+      while (cum < k && it.hasNext) {
+        val g = it.next()
+        cum += g._3
+        t = g._5
+      }
+      if (cum < k) return None // fewer than k rows in total: keep all
+      Some(stats.collect {
+        case (f, pos, _, nulls, mm) if nulls > 0 || mm.exists(_._1 <= t) =>
+          (f, pos)
+      }.toSet)
+    }
+  }
+
   def readerFactory(
       listing: Seq[(String, Seq[(String, String)])],
       tableSchema: StructType,
@@ -1514,7 +1827,11 @@ object DocStore {
       pushed: Array[Filter]): DocStoreReaderFactory = {
     val partCols = listing.headOption.map(_._2.map(_._1).toSet).getOrElse(Set.empty[String])
     val dataFilters = pushed.filterNot(f => isPartitionFilter(f, partCols))
+    // metadata columns (`_file`, `_pos`) are reader-synthesized, never
+    // parquet-projected — unless a DATA column of that name shadows
     val requiredData = required.fields.map(_.name).filterNot(partCols)
+      .filterNot(n => (n == "_file" || n == "_pos") &&
+        !tableSchema.fieldNames.contains(n))
     val filterCols = dataFilters.flatMap(_.references).distinct
       .filterNot(c => requiredData.contains(c))
     DocStoreReaderFactory(requiredData ++ filterCols, required, tableSchema, dataFilters)

@@ -154,4 +154,41 @@ class DocStoreCatalogSpec extends SparkSpec {
       graft.sources.DocStore.listFiles(table).count(!_.contains("_staging")),
       "listing surfaced staging paths")
   }
+
+  test("retention: ordered partition DELETE is metadata-only, boundary-exact; typed years refuse to COW") {
+    val root = tmpDir("dscat_retention")
+    ensureCat("dsret", root)
+    spark.sql("CREATE NAMESPACE dsret.db1")
+    spark.sql("""CREATE TABLE dsret.db1.t (k BIGINT, yr STRING)
+      USING docstore PARTITIONED BY (yr)""")
+    spark.sql("""INSERT INTO dsret.db1.t
+      VALUES (1,'1993'),(2,'1994'),(3,'1995'),(4,'1996')""")
+    val dir = s"$root/db1/t"
+    val surviving = graft.sources.DocStore.listFiles(dir)
+      .filter(f => f.contains("yr=1995") || f.contains("yr=1996")).toSet
+    spark.sql("DELETE FROM dsret.db1.t WHERE yr < '1995'")
+    // metadata-only: the surviving files keep their EXACT paths (a
+    // rewrite would rename them), the boundary partition survives,
+    // expired directories are reclaimed
+    assert(graft.sources.DocStore.listFiles(dir).toSet == surviving,
+      "retention rewrote or over-deleted surviving files")
+    assert(spark.sql("SELECT k FROM dsret.db1.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    assert(new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet == Set("yr=1995", "yr=1996"))
+    // an INT-typed year column refuses the metadata path (directory
+    // text would order '9' > '10') and takes the copy-on-write route —
+    // slower, still exact
+    spark.sql("""CREATE TABLE dsret.db1.ti (k BIGINT, yr INT)
+      USING docstore PARTITIONED BY (yr)""")
+    spark.sql("INSERT INTO dsret.db1.ti VALUES (1,9),(2,10)")
+    val tbl = graft.sources.DocStoreTable(s"$root/db1/ti",
+      spark.table("dsret.db1.ti").schema, Seq("yr"))
+    assert(!tbl.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan("yr", 10))),
+      "ordered delete on a typed partition column must refuse metadata-only")
+    spark.sql("DELETE FROM dsret.db1.ti WHERE yr < 10")
+    assert(spark.sql("SELECT k FROM dsret.db1.ti").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }

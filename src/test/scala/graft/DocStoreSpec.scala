@@ -390,6 +390,96 @@ class DocStoreSpec extends SparkSpec {
       "limit truncated a data-filtered scan — rows could go missing")
   }
 
+  test("top-N pushdown prunes row groups on a sort-clustered store; filters and float keys refuse") {
+    val dir = tmpDir("docstore_topn")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .write.format("docstore").option("path", dir)
+      .option("sortBy", "o_orderkey")
+      .option("rowGroupBytes", "4096").mode("overwrite").save()
+    val total = graft.sources.DocStore
+      .listFiles(dir).map(f => graft.sources.DocStore.footerBlocks(f).size).sum
+    assert(total > 3, s"fixture produced only $total row groups — vacuous")
+    def load() = spark.read.format("docstore").option("path", dir).load()
+    val want = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey").orderBy(col("o_orderkey").desc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    // DESC NULLS LAST (Spark default): footer extrema bound the top-k
+    val q = load().orderBy(col("o_orderkey").desc).limit(5)
+    val scan = docStoreScanOf(q)
+    assert(scan.topNHint.contains(("o_orderkey", true, 5)), "top-N not pushed")
+    val planned = scan.planInputPartitions().length
+    assert(planned < total && planned >= 1, s"$planned of $total planned")
+    assert(q.collect().map(_.getLong(0)).toSeq == want,
+      "top-N pruning changed the result")
+    // ASC NULLS FIRST prunes from the other end
+    val asc = load().orderBy(col("o_orderkey")).limit(5)
+    val ascScan = docStoreScanOf(asc)
+    assert(ascScan.topNHint.contains(("o_orderkey", false, 5)))
+    assert(ascScan.planInputPartitions().length < total)
+    val wantAsc = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey").orderBy("o_orderkey").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(asc.collect().map(_.getLong(0)).toSeq == wantAsc,
+      "ASC top-N pruning changed the result")
+    // a float/double sort key refuses (NaN makes writer stats unreliable)
+    val dbl = load().orderBy(col("o_totalprice").desc).limit(5)
+    assert(docStoreScanOf(dbl).topNHint.isEmpty, "double key must refuse")
+    assert(dbl.collect().length == 5)
+    // a pushed DATA filter re-ranks survivors: top-N refused, result exact
+    val filt = load().filter(col("o_totalprice") > 1000.0)
+      .orderBy(col("o_orderkey").desc).limit(5)
+    assert(docStoreScanOf(filt).topNHint.isEmpty, "data filter must refuse")
+    val wantFilt = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_totalprice") > 1000.0)
+      .orderBy(col("o_orderkey").desc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(filt.collect().map(_.getLong(0)).toSeq == wantFilt)
+  }
+
+  test("metadata columns _file/_pos: exact lineage, no cost unselected, filter-safe positions") {
+    val dir = tmpDir("docstore_meta")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      .select("o_orderkey", "o_totalprice", "o_year")
+      .write.format("docstore").option("path", dir)
+      .option("partitionBy", "o_year")
+      .option("rowGroupBytes", "8192").mode("overwrite").save()
+    def load() = spark.read.format("docstore").option("path", dir).load()
+    // unselected → the scan never reads or emits them (no-cost pin)
+    assert(!docStoreScanOf(load().select("o_orderkey"))
+      .readSchema().fieldNames.exists(Set("_file", "_pos")),
+      "metadata columns leaked into an unadorned projection")
+    // _file names real store files; _pos is a dense 0-based per-file index
+    val lineage = load().select(col("_file"), col("_pos"), col("o_orderkey"))
+    val perFile = lineage.groupBy("_file")
+      .agg(count(lit(1)).as("n"), min("_pos").as("lo"), max("_pos").as("hi"),
+        countDistinct("_pos").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(perFile.nonEmpty)
+    val storeFiles = graft.sources.DocStore.listFiles(dir).toSet
+    perFile.foreach { case (f, n, lo, hi, d) =>
+      assert(storeFiles.contains(f), s"_file '$f' is not a store file")
+      assert(lo == 0L && hi == n - 1 && d == n,
+        s"_pos not a dense 0-based index in $f: n=$n lo=$lo hi=$hi distinct=$d")
+    }
+    // positions survive a pushed data filter: the reader counts every
+    // row it materializes even when the predicate drops it
+    val key = load().select(max("o_orderkey")).head.getLong(0) / 2
+    val withFilter = load().filter(col("o_orderkey") > key)
+      .select(col("o_orderkey"), col("_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val noFilter = load().select(col("o_orderkey"), col("_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(withFilter.nonEmpty && withFilter.size < noFilter.size)
+    withFilter.foreach { case (k, p) =>
+      assert(noFilter(k) == p,
+        s"_pos drifted under a pushed filter for key $k: $p vs ${noFilter(k)}")
+    }
+    // the filter itself stayed exact through the self-filtering path
+    assert(withFilter.keySet == noFilter.keySet.filter(_ > key))
+  }
+
   test("grouped aggregate pushdown: GROUP BY partition column answers from footers") {
     val dir = tmpDir("docstore_group_pushdown")
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -754,6 +844,61 @@ class DocStoreSpec extends SparkSpec {
     assert(spark.read.format("docstore").option("path", b).load().count() == afterFull,
       "partial-publish retry duplicated rows")
     assert(new java.io.File(b, "_committed-retryq-100").exists())
+  }
+
+  test("stateful streaming: watermarked windowed agg recovers state across a mid-backlog kill, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val src = tmpDir("docstore_state_src")
+    val dst = tmpDir("docstore_state_dst")
+    val cp = tmpDir("docstore_state_cp")
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00")
+    def writeRows(rows: Seq[(java.sql.Timestamp, String)]): Unit =
+      rows.toDF("ts", "k").coalesce(1)
+        .write.format("docstore").option("path", src).mode("append").save()
+    // a 3-file backlog spanning three event days
+    writeRows(Seq((ts(1, 1), "a"), (ts(1, 2), "a"), (ts(1, 3), "b")))
+    writeRows(Seq((ts(2, 1), "a"), (ts(2, 2), "b")))
+    writeRows(Seq((ts(3, 1), "b")))
+    // the watermark exceeds the corpus span, so NO file admission
+    // order can late-drop a row; windows finalize only via the
+    // sentinel below — emission is all-at-once, exactly once
+    def reader = spark.readStream.format("docstore").option("path", src)
+      .option("maxFilesPerTrigger", "1").load()
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 days")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("timestamp").as("day"), col("k"), col("n"))
+      .writeStream.format("docstore").option("path", dst)
+      .option("checkpointLocation", cp)
+    // kill after the FIRST micro-batch commits: state is built and
+    // checkpointed, nothing has been emitted yet
+    val q = reader.trigger(Trigger.ProcessingTime(10000)).start()
+    val deadline = System.currentTimeMillis + 120000
+    while (!q.recentProgress.exists(_.numInputRows > 0) &&
+      System.currentTimeMillis < deadline) Thread.sleep(50)
+    q.stop(); q.awaitTermination()
+    assert(q.recentProgress.exists(_.numInputRows > 0), "no batch before the kill")
+    // restart from the checkpoint: remaining backlog folds into the
+    // RECOVERED state (a lost store would undercount; a replayed
+    // batch would overcount)
+    val q2 = reader.trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // sentinel advances the watermark past every real window
+    writeRows(Seq((java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), "zz")))
+    val q3 = reader.trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val out = spark.read.format("docstore").option("path", dst).load()
+      .select(date_format(col("day"), "yyyy-MM-dd").as("d"), col("k"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.length == out.distinct.length, s"duplicate emissions: ${out.toSeq.sorted}")
+    assert(out.toSet == Set(
+      ("2024-01-01", "a", 2L), ("2024-01-01", "b", 1L),
+      ("2024-01-02", "a", 1L), ("2024-01-02", "b", 1L),
+      ("2024-01-03", "b", 1L)),
+      s"state drifted across the kill: ${out.toSeq.sorted}")
   }
 
   test("storage-partitioned join: co-partitioned stores join with zero shuffles") {
