@@ -530,6 +530,99 @@ object EtlQueries {
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     Q(
+      "etl_connector_compact",
+      "Small-file COMPACTION as an atomic snapshot commit: four drip " +
+        "appends (the streaming-ingest pattern) leave four files per " +
+        "year partition; DocStoreMaintenance.compact bin-packs each " +
+        "partition's files through ONE clustered docstore write (one " +
+        "output file per partition by the sink's required " +
+        "distribution) and commits publish+retire as a SINGLE manifest " +
+        "swap — readers see the old file set or the new one, never a " +
+        "mix, and the pre-compaction version stays time-travelable " +
+        "until vacuum. The read-back checks both the data (per-year " +
+        "counts and exact-cents revenue must survive the rewrite " +
+        "byte-for-byte) and the layout: countDistinct(_file) ≡ 1 per " +
+        "partition proves the bin-pack actually happened. At 100 TB " +
+        "this is the maintenance job that keeps a streaming-fed store " +
+        "scannable — thousands of row-group-sized files per partition " +
+        "otherwise pay per-file open/footer cost on every query.",
+      (s, dir) => {
+        val store = graft.Scratch.once(s"etl_connector_compact:$dir") { p =>
+          val orders = Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).cast("string").as("o_year"))
+          (0 until 4).foreach { i =>
+            orders.filter(pmod(col("o_orderkey"), lit(4)) === i)
+              .write.format("docstore").option("path", p)
+              .option("partitionBy", "o_year")
+              .option("snapshots", "true")
+              .mode("append").save()
+          }
+          graft.sources.DocStoreMaintenance.compact(s, p,
+            smallerThan = Long.MaxValue, sortBy = Seq("o_orderkey")): Unit
+        }
+        s.read.format("docstore").option("path", store).load()
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"),
+            countDistinct(col("_file")).as("n_files"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS VARCHAR) AS o_year,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total,
+          CAST(1 AS BIGINT) AS n_files
+        FROM orders GROUP BY 1 ORDER BY o_year""")),
+
+    Q(
+      "etl_connector_time_travel",
+      "TIME TRAVEL over snapshot manifests: a store written with " +
+        "`snapshots=true` records every commit as an immutable " +
+        "manifest version (`_snapshots/v<N>`, claimed by exclusive " +
+        "create — the optimistic-concurrency scheme of every " +
+        "production table format), so `versionAsOf` reads ANY retained " +
+        "version at zero copy cost: the manifest IS the listing. Here " +
+        "v1 holds the pre-1995 orders, v2 appends the rest; the query " +
+        "reads BOTH versions of the same store and the oracle " +
+        "recomputes each from the raw table — a wrong file set at " +
+        "either version is a hash mismatch. This is the audit/" +
+        "reproducibility primitive a 100 TB training pipeline needs: " +
+        "re-run last week's job against last week's table, exactly.",
+      (s, dir) => {
+        val store = graft.Scratch.once(s"etl_connector_time_travel:$dir") { p =>
+          val orders = Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).as("o_year"))
+          orders.filter(col("o_year") < 1995)
+            .write.format("docstore").option("path", p)
+            .option("snapshots", "true").mode("append").save() // v1
+          orders.filter(col("o_year") >= 1995)
+            .write.format("docstore").option("path", p)
+            .mode("append").save() // v2
+        }
+        def snapAgg(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+            .withColumn("snap", lit(label))
+        snapAgg(s.read.format("docstore").option("path", store)
+            .option("versionAsOf", "1").load(), "v1")
+          .unionByName(snapAgg(
+            s.read.format("docstore").option("path", store).load(), "current"))
+          .orderBy("snap")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'v1' AS snap, count(*) AS n_orders,
+            round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+          FROM orders WHERE year(o_orderdate) < 1995
+          UNION ALL
+          SELECT 'current' AS snap, count(*) AS n_orders,
+            round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+          FROM orders
+        ) ORDER BY snap""")),
+
+    Q(
       "etl_catalog_sql",
       "SQL-catalog resolution (the reference's two-level db→collection " +
         "namespace, main.py:251,277-281, as a Spark V2 TableCatalog): " +

@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
+
+/** Store maintenance: the jobs a 100 TB docstore deployment schedules
+  * around its ingest — small-file COMPACTION (the streaming sink and
+  * drip appends write one file per partition per commit; a day of
+  * micro-batches leaves thousands of row-group-sized files whose
+  * per-file open/footer cost dominates scans) and VACUUM (snapshot
+  * stores retire files logically — manifest swaps — so disk reclaim is
+  * a separate, explicitly-retention-scoped pass, exactly the
+  * Iceberg/Delta split of `expire_snapshots` from `DELETE`).
+  *
+  * Reference anchor: the reference rotates output files by size at
+  * write time (main.py:225-228) but has no post-hoc maintenance story;
+  * at streaming-ingest rates write-time rotation alone still
+  * accumulates small files, which is why every production table format
+  * grew a compactor. */
+object DocStoreMaintenance {
+
+  final case class CompactStats(
+      partitionsCompacted: Int,
+      filesIn: Int,
+      filesOut: Int,
+      version: Option[Long])
+
+  /** Bootstrap snapshot mode on a store: commits v1 whose content is
+    * the store's current directory listing, so existing data becomes
+    * the first version. Idempotent-ish: on an already-snapshot store
+    * it just commits a no-change version. */
+  def enableSnapshots(path: String): Long =
+    DocStore.commitSnapshot(path)(identity)
+
+  /** Bin-pack the small files of every partition into one clustered
+    * file per partition. ONE distributed Spark job does all the data
+    * movement (each partition's small files are a union leg routed by
+    * the clustered docstore sink, so Spark writes exactly one output
+    * file per partition); the commit then publishes the replacements
+    * and retires the inputs — as a single atomic manifest swap on a
+    * snapshot store (readers see old or new, never a mix, and the
+    * pre-compaction version stays time-travelable until vacuum), or
+    * publish-before-retire on a plain store (the same transient-
+    * duplication-not-loss window as the copy-on-write commit).
+    *
+    * Only partitions holding ≥2 files under `smallerThan` bytes are
+    * touched; everything else keeps its files byte-identical.
+    * Partition values re-attach as exact string literals (the
+    * directory text, not re-inferred types), so values like "00123"
+    * round-trip exactly. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      smallerThan: Long = 128L << 20,
+      sortBy: Seq[String] = Nil,
+      rowGroupBytes: Option[Long] = None): CompactStats = {
+    val conf = new Configuration()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val listing = DocStore.listFilesWithPartitions(path)
+    if (listing.isEmpty) return CompactStats(0, 0, 0, None)
+    val partKeys = listing.head._2.map(_._1)
+    val bins = listing
+      .filter { case (f, _) => fs.getFileStatus(new Path(f)).getLen < smallerThan }
+      .groupBy(_._2)
+      .filter(_._2.size >= 2)
+      .toSeq
+      .sortBy(_._1.map(_._2).mkString("/"))
+    if (bins.isEmpty) return CompactStats(0, 0, 0, None)
+
+    // one job: per-partition legs, partition columns re-attached as
+    // exact string literals, routed by the clustered sink → exactly
+    // one staged file per partition
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val stagingStore = s"$path/_compact-$token"
+    val legs = bins.map { case (pv, files) =>
+      pv.foldLeft(spark.read.parquet(files.map(_._1): _*)) {
+        case (df, (k, v)) => df.withColumn(k, lit(v))
+      }
+    }
+    val all = legs.reduce(_ unionByName _)
+    val w0 = all.write.format("docstore").option("path", stagingStore)
+    val w1 = if (partKeys.nonEmpty) w0.option("partitionBy", partKeys.mkString(",")) else w0
+    val w2 = if (sortBy.nonEmpty) w1.option("sortBy", sortBy.mkString(",")) else w1
+    val w3 = rowGroupBytes.fold(w2)(n => w2.option("rowGroupBytes", n.toString))
+    w3.mode("append").save()
+
+    // publish: staged rel → store rel under a compaction-unique name
+    // (visible-NAMED but, on a snapshot store, invisible until the
+    // manifest swap — the staging rename order doesn't matter there)
+    val staged = DocStore.listFilesWithPartitions(stagingStore)
+    val moved = staged.map { case (f, _) =>
+      val rel = DocStore.relOf(stagingStore, f)
+      val dir = rel.split("/").dropRight(1)
+      val dstRel = (dir :+ s"compact-$token-${rel.split("/").last}").mkString("/")
+      val dst = new Path(root, dstRel)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(new Path(f), dst),
+        s"docstore: compaction publish rename failed for $rel")
+      dstRel
+    }
+    val retiredAbs = bins.flatMap(_._2.map(_._1))
+    val retired = retiredAbs.map(DocStore.relOf(path, _)).toSet
+    val version =
+      if (DocStore.snapshotEnabled(path))
+        Some(DocStore.commitSnapshot(path)(base => base.filterNot(retired) ++ moved))
+      else {
+        // plain store: publish happened above; retire last so a crash
+        // duplicates transiently instead of losing rows
+        retiredAbs.foreach(f => fs.delete(new Path(f), false))
+        None
+      }
+    fs.delete(new Path(stagingStore), true)
+    CompactStats(bins.size, retired.size, moved.size, version)
+  }
+
+  /** Reclaim a snapshot store's disk: keep the newest `keepVersions`
+    * committed manifests, physically delete every data file no kept
+    * version references, and drop the expired manifests (time travel
+    * to them then fails with a clear error). Returns the number of
+    * data files deleted. NOT safe under concurrent writers: a commit
+    * renames its data files in BEFORE its manifest swap, and vacuum
+    * walking that window would reap them — schedule vacuum like every
+    * table format does, in the maintenance window, writers quiesced. */
+  def vacuum(path: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "vacuum must keep at least the current version")
+    require(DocStore.snapshotEnabled(path),
+      s"docstore: vacuum needs a snapshot store ($path has no ${DocStore.SnapshotDir}/)")
+    val conf = new Configuration()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val committed = DocStore.snapshotVersions(path)
+      .filter(DocStore.readManifest(path, _).isDefined)
+    val keep = committed.takeRight(keepVersions)
+    val referenced = keep.flatMap(v => DocStore.readManifest(path, v).get).toSet
+    val rootQ = fs.makeQualified(root).toString
+    val dead = DocStore.physicalWalk(fs, root).map { case (p, _) =>
+      fs.makeQualified(p).toString.stripPrefix(rootQ + "/")
+    }.filterNot(referenced)
+    dead.foreach { rel =>
+      val p = new Path(root, rel)
+      fs.delete(p, false)
+      var d = p.getParent
+      while (d != null && d.getName.contains("=") &&
+        fs.exists(d) && fs.listStatus(d).isEmpty) {
+        fs.delete(d, false)
+        d = d.getParent
+      }
+    }
+    committed.filterNot(keep.contains).foreach { v =>
+      fs.delete(new Path(new Path(root, DocStore.SnapshotDir), s"v$v"), false)
+    }
+    dead.size
+  }
+}

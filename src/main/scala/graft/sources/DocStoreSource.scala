@@ -179,7 +179,8 @@ case class DocStoreTable(path: String, tableSchema: StructType,
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(path, tableSchema,
-      Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt),
+      Option(options.get("versionAsOf")).map(_.trim.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DocStoreWriteBuilder(path, info, tablePartitionBy, tableSchema)
 
@@ -234,6 +235,14 @@ case class DocStoreTable(path: String, tableSchema: StructType,
         filters.forall(f =>
           DocStore.partitionFilterEval(m, f).contains(Some(true)))
       }
+    if (DocStore.snapshotEnabled(path)) {
+      // snapshot store: the delete is ONE manifest swap — atomic, and
+      // the dropped partitions stay readable at older versions until a
+      // vacuum reclaims the files
+      val drop = matched.map { case (f, _) => DocStore.relOf(path, f) }.toSet
+      DocStore.commitSnapshot(path)(_.filterNot(drop)): Unit
+      return
+    }
     val conf = new Configuration()
     val fsys = new Path(path).getFileSystem(conf)
     matched.foreach { case (f, _) =>
@@ -266,7 +275,8 @@ case class DocStoreTable(path: String, tableSchema: StructType,
   * scan for a metadata-only statistics scan when exactness is
   * provable. */
 class DocStoreScanBuilder(path: String, tableSchema: StructType,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    versionAsOf: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -347,8 +357,8 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
 
   override def isPartiallyPushed(): Boolean = true
 
-  // one dir walk, cached for the builder's lifetime
-  private lazy val listing = DocStore.listFilesWithPartitions(path)
+  // one dir walk (or manifest read), cached for the builder's lifetime
+  private lazy val listing = DocStore.listFilesWithPartitions(path, versionAsOf)
   private lazy val partCols: Set[String] =
     listing.headOption.map(_._2.map(_._1).toSet).getOrElse(Set.empty)
 
@@ -453,10 +463,10 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
 
   override def build(): Scan = aggSpecs match {
     case Some((grpCols, specs, schema)) =>
-      DocStoreAggScan(path, schema, grpCols, specs, pushed)
+      DocStoreAggScan(path, schema, grpCols, specs, pushed, versionAsOf)
     case None =>
       DocStoreScan(path, tableSchema, required, pushed, maxFilesPerTrigger,
-        limitHint = limit, topNHint = topN)
+        limitHint = limit, topNHint = topN, versionAsOf = versionAsOf)
   }
 }
 
@@ -473,12 +483,14 @@ case class DocStoreScan(
     maxFilesPerTrigger: Option[Int] = None,
     groupFilterOnly: Boolean = false,
     limitHint: Option[Int] = None,
-    topNHint: Option[(String, Boolean, Int)] = None)
+    topNHint: Option[(String, Boolean, Int)] = None,
+    versionAsOf: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
 
-  @transient private lazy val listing = DocStore.listFilesWithPartitions(path)
+  @transient private lazy val listing =
+    DocStore.listFilesWithPartitions(path, versionAsOf)
   @transient private lazy val partColsOrdered: Seq[String] =
     listing.headOption.map(_._2.map(_._1)).getOrElse(Nil)
   @transient private lazy val partCols: Set[String] = partColsOrdered.toSet
@@ -680,9 +692,13 @@ case class DocStoreScan(
 
   /** Streaming read over the same store, projection and pushed filters
     * included — see [[DocStoreMicroBatchStream]]. */
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(versionAsOf.isEmpty,
+      "docstore: versionAsOf is a batch-read option — a stream tails the " +
+        "store's LIVE manifest frontier, it cannot tail a pinned version")
     new DocStoreMicroBatchStream(path, tableSchema, required, pushed,
       maxFilesPerTrigger)
+  }
 }
 
 case class DocStorePartition(
@@ -991,7 +1007,8 @@ case class DocStoreAggScan(
     aggSchema: StructType,
     grpCols: Seq[String],
     specs: Seq[DocStore.AggSpec],
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter],
+    versionAsOf: Option[Long] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema
 
@@ -1008,7 +1025,7 @@ case class DocStoreAggScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = DocStore
-      .pruneListing(DocStore.listFilesWithPartitions(path), pushed)
+      .pruneListing(DocStore.listFilesWithPartitions(path, versionAsOf), pushed)
     if (files.isEmpty) {
       if (grpCols.isEmpty) Array(DocStoreAggPartition(None, Nil))
       else Array.empty
@@ -1213,7 +1230,8 @@ class DocStoreWriteBuilder(path: String, info: LogicalWriteInfo,
       DocStoreBatchWrite(path, writeSchema,
         partPos.map(i => writeSchema.fields(i).name),
         info.queryId(), truncateFirst,
-        DocStore.rowGroupBytesOf(info.options()))
+        DocStore.rowGroupBytesOf(info.options()),
+        snapshots = info.options().getBoolean("snapshots", false))
 
     /** Streaming sink: per-EPOCH staged commits with an idempotence
       * marker, so a micro-batch whose commit outcome was unknown at a
@@ -1225,7 +1243,8 @@ class DocStoreWriteBuilder(path: String, info: LogicalWriteInfo,
     override def toStreaming: StreamingWrite =
       DocStoreStreamingWrite(path, writeSchema,
         partPos.map(i => writeSchema.fields(i).name),
-        info.queryId(), DocStore.rowGroupBytesOf(info.options()))
+        info.queryId(), DocStore.rowGroupBytesOf(info.options()),
+        snapshots = info.options().getBoolean("snapshots", false))
 
     override def description(): String = s"DocStoreWrite path=$path"
   }
@@ -1250,7 +1269,8 @@ case class DocStoreStreamingWrite(
     schema: StructType,
     partitionBy: Seq[String],
     queryId: String,
-    rowGroupBytes: Option[Long] = None) extends StreamingWrite {
+    rowGroupBytes: Option[Long] = None,
+    snapshots: Boolean = false) extends StreamingWrite {
 
   private def staging(epochId: Long) = s"$path/_staging-$queryId-epoch-$epochId"
   private def marker(epochId: Long) = new Path(path, s"_committed-$queryId-$epochId")
@@ -1267,19 +1287,28 @@ case class DocStoreStreamingWrite(
     fs.mkdirs(root)
     val stagingPath = new Path(staging(epochId))
     if (!fs.exists(marker(epochId))) {
-      messages.foreach {
-        case DocStoreCommitMessage(rels) => rels.foreach { rel =>
-          val dst = new Path(root, rel)
-          fs.mkdirs(dst.getParent)
-          // staged names are deterministic per (partition, epoch): a
-          // file already at dst is this epoch's own partial publish
-          // from a crashed earlier attempt — replace, don't duplicate
-          if (fs.exists(dst)) fs.delete(dst, false)
-          require(fs.rename(new Path(stagingPath, rel), dst),
-            s"docstore: epoch $epochId commit rename failed for $rel")
-        }
-        case _ =>
+      val rels = messages.toSeq.flatMap {
+        case DocStoreCommitMessage(r) => r
+        case _ => Nil
       }
+      rels.foreach { rel =>
+        val dst = new Path(root, rel)
+        fs.mkdirs(dst.getParent)
+        // staged names are deterministic per (partition, epoch): a
+        // file already at dst is this epoch's own partial publish
+        // from a crashed earlier attempt — replace, don't duplicate
+        if (fs.exists(dst)) fs.delete(dst, false)
+        require(fs.rename(new Path(stagingPath, rel), dst),
+          s"docstore: epoch $epochId commit rename failed for $rel")
+      }
+      // snapshot store: the epoch becomes visible at the manifest swap.
+      // Ordered manifest-THEN-marker: a crash between them re-executes
+      // the epoch, which republishes onto the same deterministic names
+      // and re-adds the same rels (set semantics) — idempotent — while
+      // the reverse order could mark an epoch done whose files never
+      // entered the manifest (silent row loss).
+      if (snapshots || DocStore.snapshotEnabled(path))
+        DocStore.commitSnapshot(path)(_ ++ rels): Unit
       val out = fs.create(marker(epochId), true)
       out.close()
     }
@@ -1391,7 +1420,8 @@ case class DocStoreBatchWrite(
     truncateFirst: Boolean,
     rowGroupBytes: Option[Long] = None,
     replaceFiles: Option[() => Seq[String]] = None,
-    expectOpColumn: Boolean = false) extends BatchWrite {
+    expectOpColumn: Boolean = false,
+    snapshots: Boolean = false) extends BatchWrite {
 
   private def staging = s"$path/_staging-$queryId"
 
@@ -1404,7 +1434,13 @@ case class DocStoreBatchWrite(
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
-    if (truncateFirst) {
+    // snapshot mode (pre-existing `_snapshots/`, or bootstrapped by
+    // this write's `snapshots=true` option): visibility moves ONLY at
+    // the manifest swap below, so nothing is physically deleted here —
+    // truncated/replaced files stay on disk as older versions' content
+    // (time travel) until a vacuum reclaims them.
+    val snapMode = snapshots || DocStore.snapshotEnabled(path)
+    if (truncateFirst && !snapMode) {
       fs.listStatus(root).foreach { s =>
         val n = s.getPath.getName
         if (!n.startsWith("_") && !n.startsWith(".")) {
@@ -1414,14 +1450,27 @@ case class DocStoreBatchWrite(
       }
     }
     val stagingPath = new Path(staging)
-    messages.foreach {
-      case DocStoreCommitMessage(rels) => rels.foreach { rel =>
-        val dst = new Path(root, rel)
-        fs.mkdirs(dst.getParent)
-        require(fs.rename(new Path(stagingPath, rel), dst),
-          s"docstore: commit rename failed for $rel")
+    val newRels = messages.toSeq.flatMap {
+      case DocStoreCommitMessage(rels) => rels
+      case _ => Nil
+    }
+    newRels.foreach { rel =>
+      val dst = new Path(root, rel)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(new Path(stagingPath, rel), dst),
+        s"docstore: commit rename failed for $rel")
+    }
+    if (snapMode) {
+      // ONE manifest swap publishes the new files and retires the
+      // replaced/truncated ones together — readers see the old set or
+      // the new set, never a mix, whatever this commit crashed through
+      // before the swap (staged/renamed files outside the manifest are
+      // invisible).
+      val retired = replaceFiles.toSeq.flatMap(_.apply())
+        .map(DocStore.relOf(path, _)).toSet
+      DocStore.commitSnapshot(path) { base =>
+        (if (truncateFirst) Nil else base.filterNot(retired)) ++ newRels
       }
-      case _ =>
     }
     // copy-on-write commit (row-level DELETE/UPDATE/MERGE): retire
     // exactly the group files the paired operation scan read — their
@@ -1430,10 +1479,10 @@ case class DocStoreBatchWrite(
     // inside this window leaves old AND new files visible — transient
     // DUPLICATION a retried operation or a cleanup can reconcile —
     // whereas retire-first would lose every surviving row of the
-    // affected groups on the same crash. Durable atomicity on a real
-    // store comes from a metadata-log / manifest swap; this directory
-    // store orders the failure window toward the recoverable side.
-    replaceFiles.foreach { thunk =>
+    // affected groups on the same crash. In snapshot mode the manifest
+    // swap above IS the durable-atomic commit and the old files stay
+    // for time travel — vacuum reclaims them.
+    if (!snapMode) replaceFiles.foreach { thunk =>
       thunk().foreach { f =>
         val p = new Path(f)
         fs.delete(p, false)
@@ -1606,8 +1655,12 @@ object DocStore {
     * ALL files depending on which entry sorts first. Validated here,
     * at the one choke point every listing flows through, mirroring
     * the schema-drift require in inferSchema. */
-  def listFilesWithPartitions(path: String): Seq[(String, Seq[(String, String)])] = {
-    val out = listFilesWithPartitionsUnchecked(path)
+  def listFilesWithPartitions(path: String): Seq[(String, Seq[(String, String)])] =
+    listFilesWithPartitions(path, None)
+
+  def listFilesWithPartitions(path: String, versionAsOf: Option[Long])
+      : Seq[(String, Seq[(String, String)])] = {
+    val out = listFilesWithPartitionsUnchecked(path, versionAsOf)
     out.headOption.foreach { case (f0, pv0) =>
       val keys0 = pv0.map(_._1)
       out.foreach { case (f, pv) =>
@@ -1622,14 +1675,44 @@ object DocStore {
   }
 
   private def listFilesWithPartitionsUnchecked(
-      path: String): Seq[(String, Seq[(String, String)])] = {
+      path: String, versionAsOf: Option[Long]): Seq[(String, Seq[(String, String)])] = {
     val conf = new Configuration()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return Seq.empty
+    if (!fs.exists(root)) {
+      require(versionAsOf.isEmpty,
+        s"docstore: versionAsOf=${versionAsOf.get} on a missing store $path")
+      return Seq.empty
+    }
     val st = fs.getFileStatus(root)
-    if (!st.isDirectory) return Seq((path, Nil))
-    def walk(dir: Path, pv: Seq[(String, String)]): Seq[(String, Seq[(String, String)])] =
+    if (!st.isDirectory) {
+      require(versionAsOf.isEmpty,
+        s"docstore: versionAsOf=${versionAsOf.get} on a single-file store $path " +
+          "(snapshots exist only on snapshot-enabled store directories)")
+      return Seq((path, Nil))
+    }
+    // snapshot mode: the manifest IS the listing — visibility moves at
+    // manifest-commit granularity (atomic multi-file commits) and any
+    // still-retained version is directly readable (time travel). The
+    // directory walk serves only plain stores.
+    versionAsOf match {
+      case Some(v) =>
+        return manifestListing(fs, root, snapshotAt(path, v)._2)
+      case None =>
+        if (fs.exists(new Path(root, SnapshotDir)))
+          return manifestListing(fs, root,
+            currentSnapshot(path).map(_._2).getOrElse(Nil))
+    }
+    physicalWalk(fs, root).map { case (p, pv) => (p.toString, pv) }
+  }
+
+  /** The directory walk over visible data files — the plain store's
+    * listing, the snapshot bootstrap's base, and vacuum's ground truth
+    * (a snapshot store's physical files minus the manifests' reach is
+    * exactly the reclaimable set). */
+  private[sources] def physicalWalk(
+      fs: FileSystem, root: Path): Seq[(Path, Seq[(String, String)])] = {
+    def walk(dir: Path, pv: Seq[(String, String)]): Seq[(Path, Seq[(String, String)])] =
       fs.listStatus(dir).toSeq.sortBy(_.getPath.getName).flatMap { s =>
         val n = s.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) Nil
@@ -1637,10 +1720,157 @@ object DocStore {
           val kv = n.split("=", 2)
           if (kv.length == 2) walk(s.getPath, pv :+ (kv(0) -> unescapePathName(kv(1))))
           else walk(s.getPath, pv)
-        } else if (s.isFile && n.endsWith(".parquet")) Seq((s.getPath.toString, pv))
+        } else if (s.isFile && n.endsWith(".parquet")) Seq((s.getPath, pv))
         else Nil
       }
     walk(root, Nil)
+  }
+
+  /** Manifest entries → the same (absolute path, partition values)
+    * shape the directory walk produces: partition values parse from
+    * the store-relative `k=v` path segments, absolute paths qualify
+    * through the store's filesystem so both listing modes compare
+    * equal. */
+  private def manifestListing(fs: FileSystem, root: Path,
+      rels: Seq[String]): Seq[(String, Seq[(String, String)])] =
+    rels.sorted.map { rel =>
+      val pv = rel.split("/").dropRight(1).toSeq.flatMap { seg =>
+        val kv = seg.split("=", 2)
+        if (kv.length == 2) Some(kv(0) -> unescapePathName(kv(1))) else None
+      }
+      (fs.makeQualified(new Path(root, rel)).toString, pv)
+    }
+
+  // -------------------------------------------------------------------------
+  // Snapshot manifests (opt-in): atomic multi-file commits + time travel
+  // -------------------------------------------------------------------------
+
+  /** A store is in SNAPSHOT MODE when `<path>/_snapshots/` exists. A
+    * manifest `_snapshots/v<N>` lists the store-relative data files of
+    * version N, one per line, with a trailing `#end <count>` sentinel;
+    * the LATEST sentinel-complete manifest is the store's visible
+    * state. Underscore prefix → invisible to the directory walk, so
+    * plain consumers never trip over the metadata. This is the
+    * metadata-log the directory commits' scaladoc defers durable
+    * atomicity to: publish any number of files, retire any number,
+    * swap ONE manifest — readers see the old set or the new set,
+    * never a mix. */
+  val SnapshotDir = "_snapshots"
+
+  private def snapRoot(path: String) = new Path(path, SnapshotDir)
+  private val manifestName = "^v(\\d+)$".r
+
+  def snapshotEnabled(path: String): Boolean = {
+    val d = snapRoot(path)
+    d.getFileSystem(new Configuration()).exists(d)
+  }
+
+  /** Claimed manifest versions, ascending (committed OR in-flight —
+    * completeness is per-read via the sentinel). */
+  def snapshotVersions(path: String): Seq[Long] = {
+    val d = snapRoot(path)
+    val fs = d.getFileSystem(new Configuration())
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq
+      .flatMap(s => manifestName.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toLong)).sorted
+  }
+
+  /** Version v's relative file list — None when v is claimed but its
+    * sentinel is missing (a writer mid-stream or dead mid-write);
+    * readers then fall back to the previous version, so an exclusive
+    * CREATE can claim a version atomically without making its content
+    * write atomic too. */
+  def readManifest(path: String, v: Long): Option[Seq[String]] = {
+    val f = new Path(snapRoot(path), s"v$v")
+    val fs = f.getFileSystem(new Configuration())
+    if (!fs.exists(f)) return None
+    val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+    val in = fs.open(f)
+    try in.readFully(bytes) finally in.close()
+    val lines = new String(bytes, "UTF-8").split("\n").toSeq
+    val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+    if (lines.contains(s"#end ${entries.length}")) Some(entries) else None
+  }
+
+  /** Latest committed (version, relative files), None on a plain or
+    * still-empty snapshot store. */
+  def currentSnapshot(path: String): Option[(Long, Seq[String])] =
+    snapshotVersions(path).reverseIterator
+      .flatMap(v => readManifest(path, v).map(v -> _))
+      .nextOption()
+
+  def snapshotAt(path: String, v: Long): (Long, Seq[String]) =
+    readManifest(path, v).map(v -> _).getOrElse(
+      throw new IllegalArgumentException(
+        s"docstore: no committed snapshot v$v at $path — retained versions: " +
+          snapshotVersions(path).filter(readManifest(path, _).isDefined)
+            .mkString("[", ",", "]")))
+
+  /** OPTIMISTIC snapshot commit — the scheme every production table
+    * format ships (Iceberg/Delta): apply `update` to the current
+    * committed file set, claim the next version number by EXCLUSIVE
+    * create (atomic on local filesystems and HDFS; an object store
+    * backs the same contract with a conditional put), and on losing
+    * the race recompute against the winner's snapshot and retry.
+    * Concurrent committers serialize without locks and nobody's
+    * update is lost. The very first commit bases on the directory
+    * walk, so enabling snapshots on a populated plain store retains
+    * its data as v1's content. A claimed-but-incomplete version from
+    * a writer that died mid-write is swept after a grace window (the
+    * content write is a few KB — milliseconds) so a crash can't wedge
+    * the store. Returns the committed version. */
+  def commitSnapshot(path: String)(update: Seq[String] => Seq[String]): Long = {
+    val root = new Path(path)
+    val conf = new Configuration()
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(snapRoot(path))
+    val rootQ = fs.makeQualified(root).toString
+    var staleWaits = 0
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val cur = currentSnapshot(path)
+      val base = cur.map(_._2).getOrElse(
+        physicalWalk(fs, root).map { case (p, _) =>
+          fs.makeQualified(p).toString.stripPrefix(rootQ + "/")
+        })
+      val next = snapshotVersions(path).lastOption.getOrElse(0L) + 1
+      val entries = update(base).distinct.sorted
+      val dst = new Path(snapRoot(path), s"v$next")
+      val claimed =
+        try {
+          val out = fs.create(dst, false) // exclusive create
+          try out.write((s"# docstore snapshot v$next\n" +
+            entries.map(_ + "\n").mkString +
+            s"#end ${entries.length}\n").getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch {
+          case _: java.io.IOException if fs.exists(dst) =>
+            // lost the claim race; if the winner's manifest never
+            // completes (dead writer), sweep it after a grace window
+            if (readManifest(path, next).isEmpty) {
+              staleWaits += 1
+              if (staleWaits >= 3) { fs.delete(dst, false); staleWaits = 0 }
+              else Thread.sleep(50)
+            }
+            false
+        }
+      if (claimed) return next
+    }
+    throw new IllegalStateException(
+      s"docstore: snapshot commit at $path lost 100 races; giving up")
+  }
+
+  /** Store-relative form of an absolute file path under `path`. */
+  def relOf(path: String, abs: String): String = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val rootQ = fs.makeQualified(new Path(path)).toString
+    val absQ = fs.makeQualified(new Path(abs)).toString
+    require(absQ.startsWith(rootQ + "/"),
+      s"docstore: $abs is not under store root $path")
+    absQ.stripPrefix(rootQ + "/")
   }
 
   def listFiles(path: String): Seq[String] =

@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.sources.{DocStore, DocStoreMaintenance, DocStoreTable}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.EqualTo
+
+/** Snapshot manifests on the docstore: atomic multi-file commits,
+  * time travel (`versionAsOf`), optimistic concurrency, compaction as
+  * one manifest swap, and vacuum-scoped disk reclaim. These pin the
+  * durable-atomicity contract the directory commits' scaladoc defers
+  * to a metadata log — this IS that metadata log. */
+class SnapshotSpec extends SparkSpec {
+
+  private def seedDf = {
+    import spark.implicits._
+    // p is independent of k % 4, so every append slice (k % 4 == s)
+    // spans every partition — each append adds one file per partition
+    (0 until 40).map(i => (i.toLong, s"p${(i / 4) % 4}", i * 1.5))
+      .toDF("k", "p", "v")
+  }
+
+  /** Append `df` rows where k % 4 == slice, partitioned by p. */
+  private def appendSlice(path: String, slice: Int, snapshots: Boolean = false): Unit = {
+    val w = seedDf.filter(pmod(col("k"), lit(4)) === slice)
+      .write.format("docstore").option("path", path)
+      .option("partitionBy", "p").mode("append")
+    (if (snapshots) w.option("snapshots", "true") else w).save()
+  }
+
+  private def readStore(path: String, version: Option[Long] = None) = {
+    val r = spark.read.format("docstore").option("path", path)
+    version.fold(r)(v => r.option("versionAsOf", v.toString)).load()
+  }
+
+  test("snapshot store lists by manifest: unreferenced files are invisible, plain stores see them") {
+    val snap = tmpDir("snapstore")
+    val plain = tmpDir("plainstore")
+    appendSlice(snap, 0, snapshots = true)
+    appendSlice(plain, 0)
+    assert(readStore(snap).count() == 10)
+    assert(readStore(plain).count() == 10)
+    // drop a visible-NAMED copy of an existing data file into each
+    // store — the simulated "crashed between publish and manifest
+    // swap" leftover
+    def stray(store: String): Unit = {
+      val f = DocStore.listFiles(store).head.stripPrefix("file:")
+      Files.copy(Paths.get(f), Paths.get(f).resolveSibling("stray.parquet"),
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    stray(snap); stray(plain)
+    // the manifest is the snapshot store's listing — the stray never
+    // entered a commit, so it does not exist to readers
+    assert(readStore(snap).count() == 10)
+    // the plain store's listing is the directory walk — it sees it
+    assert(readStore(plain).count() > 10)
+  }
+
+  test("every commit is a version; versionAsOf reads any retained one; overwrite retains the old files") {
+    val store = tmpDir("snapver")
+    appendSlice(store, 0, snapshots = true) // v1
+    appendSlice(store, 1)                   // v2 (mode stays on)
+    assert(DocStore.currentSnapshot(store).map(_._1).contains(2L))
+    assert(readStore(store, Some(1L)).count() == 10)
+    assert(readStore(store).count() == 20)
+    // truncate-overwrite = one manifest whose content is just the new
+    // files; the old versions' files stay on disk and stay readable
+    seedDf.filter(col("k") >= 38).write.format("docstore")
+      .option("path", store).option("partitionBy", "p")
+      .mode("overwrite").save() // v3
+    assert(readStore(store).count() == 2)
+    assert(readStore(store, Some(2L)).count() == 20)
+    assert(readStore(store, Some(1L))
+      .agg(sum("k")).head.getLong(0) == (0 until 40 by 4).sum)
+    // a version that was never committed errors with the retained list
+    val e = intercept[Exception](readStore(store, Some(9L)).count())
+    assert(e.getMessage.contains("no committed snapshot"))
+  }
+
+  test("compaction: one atomic swap replaces the small files; the pre-compaction version is intact") {
+    val store = tmpDir("snapcompact")
+    (0 until 4).foreach(appendSlice(store, _, snapshots = true)) // v1..v4
+    val before = readStore(store).orderBy("k").collect().toSeq
+    assert(DocStore.listFiles(store).size == 16) // 4 appends × 4 partitions
+    val stats = DocStoreMaintenance.compact(spark, store,
+      smallerThan = Long.MaxValue, sortBy = Seq("k"))
+    assert(stats.version.contains(5L))
+    assert(stats.partitionsCompacted == 4 && stats.filesIn == 16 && stats.filesOut == 4)
+    // data byte-identical, layout bin-packed to one file per partition
+    assert(readStore(store).orderBy("k").collect().toSeq == before)
+    assert(DocStore.listFiles(store).size == 4)
+    val filesPerPart = readStore(store).select(col("p"), col("_file"))
+      .groupBy("p").agg(countDistinct("_file").as("n"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(filesPerPart.forall(_ == 1L))
+    // time travel to the pre-compaction version still reads the OLD
+    // file set — 16 files, same rows
+    val v4 = readStore(store, Some(4L))
+    assert(v4.orderBy("k").collect().toSeq == before)
+    assert(v4.select(countDistinct("_file")).head.getLong(0) == 16)
+    // a second compaction is a no-op (nothing left to bin)
+    assert(DocStoreMaintenance.compact(spark, store,
+      smallerThan = Long.MaxValue).partitionsCompacted == 0)
+  }
+
+  test("deleteWhere on a snapshot store is a manifest swap: files stay for time travel") {
+    val store = tmpDir("snapdelete")
+    appendSlice(store, 0, snapshots = true)
+    appendSlice(store, 1)
+    val table = DocStoreTable(store, readStore(store).schema, Seq("p"))
+    val del: Array[org.apache.spark.sql.sources.Filter] = Array(EqualTo("p", "p0"))
+    assert(table.canDeleteWhere(del))
+    table.deleteWhere(del)
+    assert(readStore(store).filter(col("p") === "p0").count() == 0)
+    assert(readStore(store).count() == 14)
+    // physically still there (older versions reference them)…
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$store/p=p0")))
+    // …and the pre-delete version still reads them
+    assert(readStore(store, Some(2L)).filter(col("p") === "p0").count() == 6)
+  }
+
+  test("optimistic concurrency: claims serialize; a dead in-flight claim is swept, not wedged") {
+    val store = tmpDir("snapclaims")
+    appendSlice(store, 0, snapshots = true) // v1
+    DocStore.commitSnapshot(store)(identity) // v2, no-change commit
+    assert(DocStore.currentSnapshot(store).map(_._1).contains(2L))
+    // a claimed-but-incomplete manifest (writer died mid-write): no
+    // #end sentinel → readers fall back to v2
+    Files.write(Paths.get(store, DocStore.SnapshotDir, "v3"),
+      "# docstore snapshot v3\nsome/file.parquet\n".getBytes("UTF-8")): Unit
+    assert(DocStore.currentSnapshot(store).map(_._1).contains(2L))
+    // the next committer sweeps the dead claim after its grace window
+    // and lands its own version on top
+    val v = DocStore.commitSnapshot(store)(base => base)
+    assert(v >= 3L)
+    assert(DocStore.readManifest(store, v).isDefined)
+    assert(readStore(store).count() == 10)
+  }
+
+  test("vacuum reclaims only what no kept version references; expired versions then error") {
+    val store = tmpDir("snapvacuum")
+    (0 until 3).foreach(appendSlice(store, _, snapshots = true)) // v1..v3
+    DocStoreMaintenance.compact(spark, store, smallerThan = Long.MaxValue) // v4
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val physicalBefore = DocStore.listFilesWithPartitions(store).size // manifest view: 4
+    assert(physicalBefore == 4)
+    val current = readStore(store).orderBy("k").collect().toSeq
+    val deleted = DocStoreMaintenance.vacuum(store, keepVersions = 1)
+    assert(deleted == 12) // the 3 appends × 4 partitions, all retired by compaction
+    // current version untouched, byte for byte
+    assert(readStore(store).orderBy("k").collect().toSeq == current)
+    // expired versions are gone — clear error, not wrong data
+    val e = intercept[Exception](readStore(store, Some(3L)).count())
+    assert(e.getMessage.contains("no committed snapshot"))
+    // the store now holds exactly the referenced files
+    assert(DocStore.snapshotVersions(store) == Seq(4L))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).count(_.startsWith("p=")) == 4)
+  }
+
+  test("streaming sink into a snapshot store: epochs become visible at the manifest swap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = tmpDir("snapstream")
+    val in = MemoryStream[Long]
+    in.addData(1L to 20L: _*)
+    val q = in.toDF().withColumnRenamed("value", "k")
+      .writeStream.format("docstore")
+      .option("path", store).option("snapshots", "true")
+      .option("checkpointLocation", tmpDir("snapstream_cp"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(DocStore.snapshotEnabled(store))
+    assert(DocStore.currentSnapshot(store).exists(_._2.nonEmpty))
+    assert(readStore(store).count() == 20)
+  }
+}

@@ -25,6 +25,12 @@ def canon(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # bound the oracle's memory so one expensive oracle SQL degrades to
+    # a per-query error instead of the kernel OOM-killing the whole
+    # sweep (lost half a run at sf0.1 with a concurrent Spark JVM)
+    con.execute("SET memory_limit='32GB'")
+    con.execute("SET threads TO 8")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
