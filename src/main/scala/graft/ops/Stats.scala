@@ -567,6 +567,14 @@ object Stats {
           lfS(col("ba") + col("bb") - 1) - lfS(col("bb") - 1)
             - (lfS(col("aa") - 1) + lfS(col("ba") - 1)
               - lfS(col("aa") + col("ba") - 1)))
+        // cc rides the fold STATE (6th element), not a captured column:
+        // a captured reference would be CollapseProject-INLINED into the
+        // lambda body and re-evaluated on EVERY step — and cc is itself
+        // an O(n) log-factorial fold, so the test would be O(n·αB) ≈
+        // quadratic in the table (the r15 full-registry sf1 sweep caught
+        // exactly that: 30+ min single-core at 10× data). Seed
+        // expressions evaluate ONCE per row in both engines; the exp()'s
+        // float-op order is unchanged, so results stay bit-identical.
         val folded = withC.withColumn("st", aggregate(
           sequence(lit(0L), col("ab") - 1),
           array(
@@ -574,7 +582,8 @@ object Stats {
             lfS(col("aa") + col("ba") + col("bb") - 1),
             lit(0.0),
             lfS(col("bb")),
-            lit(0.0)),
+            lit(0.0),
+            col("cc")),
           (acc, i) => array(
             element_at(acc, 1) + log((col("aa") + i).cast("double")),
             element_at(acc, 2) + log((col("aa") + col("ba") + col("bb") + i).cast("double")),
@@ -582,8 +591,9 @@ object Stats {
             element_at(acc, 4) + log((lit(1L) + col("bb") + i).cast("double")),
             element_at(acc, 5) + exp(
               element_at(acc, 1) - element_at(acc, 2) - element_at(acc, 3)
-                + element_at(acc, 4) + col("cc")
-                - log((col("bb") + i).cast("double"))))))
+                + element_at(acc, 4) + element_at(acc, 6)
+                - log((col("bb") + i).cast("double"))),
+            element_at(acc, 6))))
         folded.select(col("na"), col("sa"), col("nb"), col("sb"),
           round(col("sa").cast("double") / col("na").cast("double"), 6).as("rate_a"),
           round(col("sb").cast("double") / col("nb").cast("double"), 6).as("rate_b"),
@@ -616,17 +626,19 @@ object Stats {
         folded AS (SELECT *,
             list_reduce(list_prepend(
               [${dlf("aa - 1")}, ${dlf("aa + ba + bb - 1")},
-               CAST(0 AS DOUBLE), ${dlf("bb")}, CAST(0 AS DOUBLE)],
+               CAST(0 AS DOUBLE), ${dlf("bb")}, CAST(0 AS DOUBLE), cc],
               list_transform(range(0, ab),
                 k -> [CAST(k AS DOUBLE), CAST(0 AS DOUBLE),
-                  CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+                  CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                  CAST(0 AS DOUBLE)])),
               (acc, e) -> [
                 acc[1] + ln(CAST(aa + CAST(e[1] AS BIGINT) AS DOUBLE)),
                 acc[2] + ln(CAST(aa + ba + bb + CAST(e[1] AS BIGINT) AS DOUBLE)),
                 acc[3] + ln(CAST(1 + CAST(e[1] AS BIGINT) AS DOUBLE)),
                 acc[4] + ln(CAST(1 + bb + CAST(e[1] AS BIGINT) AS DOUBLE)),
-                acc[5] + exp(acc[1] - acc[2] - acc[3] + acc[4] + cc
-                  - ln(CAST(bb + CAST(e[1] AS BIGINT) AS DOUBLE)))]) AS st
+                acc[5] + exp(acc[1] - acc[2] - acc[3] + acc[4] + acc[6]
+                  - ln(CAST(bb + CAST(e[1] AS BIGINT) AS DOUBLE))),
+                acc[6]]) AS st
           FROM c)
         SELECT na, sa, nb, sb,
           round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6) AS rate_a,
