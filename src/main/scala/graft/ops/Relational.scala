@@ -111,20 +111,27 @@ object Relational {
 
     Q(
       "agg_cube",
-      "CUBE over two order dimensions with a rounded sum.",
+      "CUBE over two order dimensions with an exact-cents sum. The " +
+        "money column sums as integer cents, not doubles: the cube's " +
+        "GRAND-TOTAL row aggregates the whole table, and a float sum " +
+        "that wide is association-order-dependent — the r15 sf1 sweep " +
+        "caught the last cent flipping between engines at 10× data. " +
+        "Integer sums are order-independent at any scale (exact to " +
+        "2^63 cents).",
       (s, dir) => {
         val o = Tables.t(s, dir, "orders")
         o.cube(col("o_orderstatus"), col("o_orderpriority"))
           .agg(
             count(lit(1)).as("n"),
-            round(sum("o_totalprice"), 2).as("sum_price"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("sum_price"),
             grouping(col("o_orderstatus")).cast("int").as("g_st"),
             grouping(col("o_orderpriority")).cast("int").as("g_pr"))
           .orderBy(col("g_st"), col("g_pr"),
             col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
       },
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        round(sum(o_totalprice), 2) AS sum_price,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS sum_price,
         CAST(GROUPING(o_orderstatus) AS INT) AS g_st, CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
