@@ -1001,7 +1001,12 @@ object EtlQueries {
     Q(
       "etl_date_filter_derive",
       "A5+A7: inclusive date-range filter pushed to the parquet scan, " +
-        "then derived year/month/day columns (reference main.py:92-100,288-293).",
+        "then derived year/month/day columns (reference main.py:92-100,288-293). " +
+        "The sort covers EVERY output column: the fixture's (orderkey, " +
+        "linenumber) is not unique, so a two-key sort is not a total " +
+        "order and engines may tie-break differently — at sf1 the r15 " +
+        "sweep caught exactly that; with all columns in the key, tied " +
+        "rows are identical rows and any tie order compares equal.",
       (s, dir) => {
         val li = Tables.t(s, dir, "lineitem")
         li.filter(col("l_shipdate").between(
@@ -1011,7 +1016,7 @@ object EtlQueries {
             year(col("l_shipdate")).as("y"),
             month(col("l_shipdate")).as("m"),
             dayofmonth(col("l_shipdate")).as("d"))
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "y", "m", "d")
       },
       Some("""SELECT l_orderkey, l_linenumber,
         CAST(year(l_shipdate) AS INT) AS y,
@@ -1019,7 +1024,7 @@ object EtlQueries {
         CAST(day(l_shipdate) AS INT) AS d
         FROM lineitem
         WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, y, m, d""")),
 
     Q(
       "etl_partition_unknown",
