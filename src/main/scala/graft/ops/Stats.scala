@@ -3066,7 +3066,12 @@ object Stats {
         "is the rare case where collect-in-a-window is exactly " +
         "right), the median read by explicit middle-element " +
         "arithmetic identical to DuckDB's interpolation on the same " +
-        "sorted list. Partitioned window only.",
+        "sorted list. Emitted in CENTS: an even frame's median is a " +
+        "half-integer — exact in binary — while dividing by 100 makes " +
+        "it inexact and round(,2) then splits between Spark's " +
+        "string-repr HALF_UP and DuckDB's binary rounding (the r15 " +
+        "sf0.1 sweep caught 33917.755 rounding .76 vs .75). " +
+        "Partitioned window only.",
       (s, dir) => {
         val daily = Tables.t(s, dir, "events")
           .select(col("event_type"), dayofmonth(col("ts")).as("d"),
@@ -3078,12 +3083,11 @@ object Stats {
         daily
           .withColumn("arr", sort_array(collect_list(col("y")).over(w)))
           .select(col("event_type"), col("d").as("day"),
-            round(
-              when(n % 2 === 1,
-                element_at(col("arr"), ((n + 1) / 2).cast("int")).cast("double"))
-                .otherwise((element_at(col("arr"), (n / 2).cast("int"))
-                  + element_at(col("arr"), (n / 2 + 1).cast("int"))) / 2.0)
-                / 100.0, 2).as("med"))
+            when(n % 2 === 1,
+              element_at(col("arr"), ((n + 1) / 2).cast("int")).cast("double"))
+              .otherwise((element_at(col("arr"), (n / 2).cast("int"))
+                + element_at(col("arr"), (n / 2 + 1).cast("int"))) / 2.0)
+              .as("med_cents"))
           .orderBy("event_type", "day")
       },
       Some("""WITH daily AS (SELECT event_type,
@@ -3095,11 +3099,10 @@ object Stats {
               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
           FROM daily)
         SELECT event_type, d AS day,
-          round((CASE WHEN len(arr) % 2 = 1
+          CASE WHEN len(arr) % 2 = 1
               THEN CAST(arr[CAST((len(arr) + 1) / 2 AS INT)] AS DOUBLE)
               ELSE (arr[CAST(len(arr) / 2 AS INT)]
-                + arr[CAST(len(arr) / 2 + 1 AS INT)]) / 2.0 END)
-            / 100.0, 2) AS med
+                + arr[CAST(len(arr) / 2 + 1 AS INT)]) / 2.0 END AS med_cents
         FROM r ORDER BY event_type, day""")),
 
     Q(

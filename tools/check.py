@@ -30,13 +30,20 @@ def main(sf_dir, out_dir):
     # sweep (lost half a run at sf0.1 with a concurrent Spark JVM)
     con.execute("SET memory_limit='32GB'")
     con.execute("SET threads TO 8")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # per-process spill dir: two concurrent checks sharing one temp dir
+    # delete each other's spill files (lost a full sf1 sweep to that)
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     qdirs = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # optional name-substring filters (argv[3:]) for re-running a few
+    # queries out of a full dump without re-dumping
+    flt = sys.argv[3:]
+    if flt:
+        qdirs = [d for d in qdirs if any(f in d for f in flt)]
     n_pass = n_fail = n_rows_only = 0
     for name in qdirs:
         try:
