@@ -387,7 +387,11 @@ object Graph {
               SELECT p.o, e.dst AS id, p.dist + 1 AS d
               FROM d${k - 1} p JOIN e ON e.src = p.id) GROUP BY o, id)"""
         }.mkString(",\n")
-        s"""WITH te AS (
+        // MATERIALIZED: inlining the star-join base into the unrolled
+        // rounds made DuckDB plan a nested-loop join that spilled tens
+        // of GB at sf0.1 (r15 sweep); the materialized edge list is a
+        // few hundred rows
+        s"""WITH te AS MATERIALIZED (
             SELECT CAST(c.c_nationkey AS BIGINT) AS src,
               CAST(s.s_nationkey AS BIGINT) AS dst
             FROM lineitem l
@@ -395,7 +399,7 @@ object Graph {
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             GROUP BY 1, 2),
-          e AS (SELECT DISTINCT src, dst FROM te WHERE src <> dst),
+          e AS MATERIALIZED (SELECT DISTINCT src, dst FROM te WHERE src <> dst),
           n AS (SELECT DISTINCT id FROM
             (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
           d0 AS (SELECT id AS o, id, CAST(0 AS BIGINT) AS dist FROM n),
@@ -505,7 +509,8 @@ object Graph {
               SELECT e.dst AS id, p.dist + e.w AS d
               FROM d${k - 1} p JOIN e ON e.src = p.id) GROUP BY id)"""
         }.mkString(",\n")
-        s"""WITH te AS (
+        // MATERIALIZED: see graph_harmonic_centrality's oracle note
+        s"""WITH te AS MATERIALIZED (
             SELECT CAST(c.c_nationkey AS BIGINT) AS src,
               CAST(s.s_nationkey AS BIGINT) AS dst,
               CAST(count(*) AS BIGINT) AS cnt
@@ -514,7 +519,7 @@ object Graph {
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             GROUP BY 1, 2),
-          e AS (SELECT src, dst, 1000000 // cnt + 1 AS w
+          e AS MATERIALIZED (SELECT src, dst, 1000000 // cnt + 1 AS w
             FROM te WHERE src <> dst),
           d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
           $rounds
@@ -975,7 +980,7 @@ object Graph {
           .orderBy(col("adamic_adar").desc, col("u"), col("v"))
           .limit(30)
       },
-      Some("""WITH edges AS (
+      Some("""WITH edges AS MATERIALIZED (
           SELECT CAST(c.c_nationkey AS BIGINT) AS src,
             CAST(s.s_nationkey AS BIGINT) AS dst,
             CAST(count(*) AS DOUBLE) AS w
@@ -984,7 +989,7 @@ object Graph {
           JOIN customer c ON o.o_custkey = c.c_custkey
           JOIN supplier s ON l.l_suppkey = s.s_suppkey
           GROUP BY 1, 2),
-        ne AS (SELECT * FROM edges WHERE src <> dst),
+        ne AS MATERIALIZED (SELECT * FROM edges WHERE src <> dst),
         strong AS (SELECT DISTINCT least(src, dst) AS a,
             greatest(src, dst) AS b
           FROM ne WHERE w >= (SELECT avg(w) FROM ne)),
