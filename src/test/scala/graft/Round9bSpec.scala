@@ -188,15 +188,16 @@ class Round9bSpec extends SparkSpec {
   test("ts_rolling_median: robust to a spike the mean would follow") {
     val out = SparkEntry.queries("ts_rolling_median")(spark, sfDir).cache()
     assert(out.count() > 0)
-    assert(out.filter(col("med") < 0).count() === 0)
-    // medians are bounded by the min/max daily totals per type
+    assert(out.filter(col("med_cents") < 0).count() === 0)
+    // medians (exact cents — see the query's rounding note) are
+    // bounded by the min/max daily cent totals per type
     val daily = Tables.t(spark, sfDir, "events")
       .select(col("event_type"), dayofmonth(col("ts")).as("d"),
         round(col("value") * 100).cast("long").as("c"))
-      .groupBy("event_type", "d").agg((sum("c") / 100.0).as("y"))
+      .groupBy("event_type", "d").agg(sum("c").cast("double").as("y"))
       .groupBy("event_type").agg(min("y").as("lo"), max("y").as("hi"))
     val bad = out.join(daily, "event_type")
-      .filter(col("med") < col("lo") - 0.01 || col("med") > col("hi") + 0.01)
+      .filter(col("med_cents") < col("lo") - 1 || col("med_cents") > col("hi") + 1)
     assert(bad.count() === 0)
     out.unpersist()
   }
