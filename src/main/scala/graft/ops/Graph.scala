@@ -112,7 +112,7 @@ object Graph {
           .transform(Skew.cut)
         triangleCounts(und).orderBy("node")
       },
-      Some("""WITH edges AS (
+      Some("""WITH edges AS MATERIALIZED (
           SELECT CAST(c.c_nationkey AS BIGINT) AS src,
             CAST(s.s_nationkey AS BIGINT) AS dst
           FROM lineitem l
@@ -173,7 +173,7 @@ object Graph {
           .orderBy(col("jaccard").desc, col("u"), col("v"))
           .limit(50)
       },
-      Some("""WITH edges AS (
+      Some("""WITH edges AS MATERIALIZED (
           SELECT CAST(c.c_nationkey AS BIGINT) AS src,
             CAST(s.s_nationkey AS BIGINT) AS dst,
             CAST(count(*) AS DOUBLE) AS w
@@ -182,7 +182,7 @@ object Graph {
           JOIN customer c ON o.o_custkey = c.c_custkey
           JOIN supplier s ON l.l_suppkey = s.s_suppkey
           GROUP BY 1, 2),
-        ne AS (SELECT * FROM edges WHERE src <> dst),
+        ne AS MATERIALIZED (SELECT * FROM edges WHERE src <> dst),
         strong AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
           FROM ne WHERE w >= (SELECT avg(w) FROM ne)),
         adj AS (SELECT a AS node, b AS nbr FROM strong
@@ -219,7 +219,7 @@ object Graph {
             coalesce(col("in_w"), lit(0L)).as("in_w"))
           .orderBy("node")
       },
-      Some("""WITH edges AS (
+      Some("""WITH edges AS MATERIALIZED (
           SELECT CAST(c.c_nationkey AS BIGINT) AS src,
             CAST(s.s_nationkey AS BIGINT) AS dst,
             count(*) AS w
@@ -321,7 +321,7 @@ object Graph {
               SELECT e.dst AS id, p.dist + 1 AS d
               FROM d${k - 1} p JOIN e ON e.src = p.id) GROUP BY id)"""
         }.mkString(",\n")
-        s"""WITH te AS (
+        s"""WITH te AS MATERIALIZED (
             SELECT CAST(c.c_nationkey AS BIGINT) AS src,
               CAST(s.s_nationkey AS BIGINT) AS dst
             FROM lineitem l
@@ -329,7 +329,7 @@ object Graph {
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             GROUP BY 1, 2),
-          e AS (SELECT DISTINCT src, dst FROM te WHERE src <> dst),
+          e AS MATERIALIZED (SELECT DISTINCT src, dst FROM te WHERE src <> dst),
           d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
           $rounds
           SELECT id, dist FROM d4 ORDER BY id"""
@@ -455,7 +455,7 @@ object Graph {
               + ${math.pow(10, k).toLong} AS x
             FROM n)"""
         }.mkString(",\n")
-        s"""WITH te AS (
+        s"""WITH te AS MATERIALIZED (
             SELECT CAST(c.c_nationkey AS BIGINT) AS src,
               CAST(s.s_nationkey AS BIGINT) AS dst
             FROM lineitem l
@@ -463,7 +463,7 @@ object Graph {
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             GROUP BY 1, 2),
-          e AS (SELECT DISTINCT src, dst FROM te WHERE src <> dst),
+          e AS MATERIALIZED (SELECT DISTINCT src, dst FROM te WHERE src <> dst),
           n AS (SELECT DISTINCT id FROM
             (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
           x0 AS (SELECT id, CAST(1 AS BIGINT) AS x FROM n),
@@ -747,7 +747,7 @@ object Graph {
               .as("coeff"))
           .orderBy("node")
       },
-      Some("""WITH edges AS (
+      Some("""WITH edges AS MATERIALIZED (
           SELECT CAST(c.c_nationkey AS BIGINT) AS src,
             CAST(s.s_nationkey AS BIGINT) AS dst
           FROM lineitem l
@@ -845,7 +845,7 @@ object Graph {
             round(col("n_recip").cast("double") / col("n_edges"), 6)
               .as("reciprocity"))
       },
-      Some("""WITH edges AS (
+      Some("""WITH edges AS MATERIALIZED (
           SELECT CAST(c.c_nationkey AS BIGINT) AS src,
             CAST(s.s_nationkey AS BIGINT) AS dst
           FROM lineitem l
@@ -903,7 +903,7 @@ object Graph {
         sums.select(col("m").as("n_edges"),
           round(num / sqrt(dx * dy), 6).as("assortativity"))
       },
-      Some("""WITH edges AS (
+      Some("""WITH edges AS MATERIALIZED (
           SELECT CAST(c.c_nationkey AS BIGINT) AS src,
             CAST(s.s_nationkey AS BIGINT) AS dst,
             CAST(count(*) AS DOUBLE) AS w
@@ -1332,7 +1332,7 @@ object Graph {
           FROM $prev r JOIN norm e ON e.src = r.id GROUP BY 1) c
         USING (id))"""
     }.mkString(",\n")
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
         SELECT CAST(c.c_nationkey AS BIGINT) AS src,
           CAST(s.s_nationkey AS BIGINT) AS dst,
           CAST(count(*) AS DOUBLE) AS w
@@ -1341,7 +1341,7 @@ object Graph {
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY 1, 2),
-      norm AS (
+      norm AS MATERIALIZED (
         SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges),
       nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
       r0 AS (SELECT id, 1.0 / $n AS rank FROM nodes),
@@ -1370,7 +1370,7 @@ object Graph {
           FROM $prev r JOIN norm e ON e.src = r.id GROUP BY 1) c
         USING (id))"""
     }.mkString(",\n")
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
         SELECT CAST(c.c_nationkey AS BIGINT) AS src,
           CAST(s.s_nationkey AS BIGINT) AS dst,
           CAST(count(*) AS DOUBLE) AS w
@@ -1379,7 +1379,7 @@ object Graph {
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY 1, 2),
-      norm AS (
+      norm AS MATERIALIZED (
         SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges),
       nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
         CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS is_seed FROM nation),
@@ -1429,7 +1429,7 @@ object Graph {
     }.mkString(",\n")
     val mstUnion = (1 to MstRounds)
       .map(r => s"SELECT a, b, wt FROM me$r").mkString(" UNION ALL ")
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
         SELECT CAST(c.c_nationkey AS BIGINT) AS src,
           CAST(s.s_nationkey AS BIGINT) AS dst,
           CAST(count(*) AS DOUBLE) AS w
