@@ -576,6 +576,36 @@ object EtlQueries {
         FROM orders GROUP BY 1 ORDER BY o_year""")),
 
     Q(
+      "etl_connector_bloom_lookup",
+      "Parquet BLOOM FILTERS through the sink (`bloomFor`): point " +
+        "lookups on an UNSORTED high-cardinality key are the case " +
+        "zone maps cannot serve — with the store sorted by price, " +
+        "every row group's o_orderkey min/max straddles any probe, so " +
+        "`WHERE o_orderkey = x` over a 100 TB store reads every data " +
+        "page. A per-row-group bloom bitset turns that into a footer " +
+        "check: parquet-mr's own RowGroupFilter consults it on the " +
+        "connector's existing FilterCompat read path (DocStoreSpec " +
+        "proves the skip A/B with every other pruning tier disabled). " +
+        "The lookup itself is oracle-exact.",
+      (s, dir) => {
+        val store = graft.Scratch.once(s"etl_connector_bloom:$dir") { p =>
+          Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"))
+            .write.format("docstore").option("path", p)
+            .option("sortBy", "o_totalprice") // decorrelate the key
+            .option("rowGroupBytes", "16384")
+            .option("bloomFor", "o_orderkey")
+            .mode("overwrite").save()
+        }
+        s.read.format("docstore").option("path", store).load()
+          .filter(col("o_orderkey").isin(7L, 4711L, 29986L))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey IN (7, 4711, 29986) ORDER BY o_orderkey""")),
+
+    Q(
       "etl_connector_time_travel",
       "TIME TRAVEL over snapshot manifests: a store written with " +
         "`snapshots=true` records every commit as an immutable " +

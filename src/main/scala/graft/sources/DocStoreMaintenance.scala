@@ -105,7 +105,28 @@ object DocStoreMaintenance {
     val retired = retiredAbs.map(DocStore.relOf(path, _)).toSet
     val version =
       if (DocStore.snapshotEnabled(path))
-        Some(DocStore.commitSnapshot(path)(base => base.filterNot(retired) ++ moved))
+        try Some(DocStore.commitSnapshot(path) { base =>
+          // the compacted files' rows came FROM the retired inputs; a
+          // concurrent commit retiring any of them (DELETE/MERGE/other
+          // compactor) makes this rewrite stale — abort, like the
+          // copy-on-write commit's write-write conflict check
+          val gone = retired.filterNot(base.toSet)
+          if (gone.nonEmpty)
+            throw new IllegalStateException(
+              s"docstore: compaction conflict at $path — a concurrent " +
+                s"commit already retired ${gone.take(3).mkString(", ")}; " +
+                "re-run compaction against the current snapshot")
+          base.filterNot(retired) ++ moved
+        })
+        catch {
+          case e: IllegalStateException =>
+            // aborted swap: the moved files were never referenced by
+            // any manifest (invisible to readers) — sweep them so the
+            // failed attempt leaves no litter for vacuum to explain
+            moved.foreach(rel => fs.delete(new Path(root, rel), false))
+            fs.delete(new Path(stagingStore), true)
+            throw e
+        }
       else {
         // plain store: publish happened above; retire last so a crash
         // duplicates transiently instead of losing rows

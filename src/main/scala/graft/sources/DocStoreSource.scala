@@ -1231,7 +1231,8 @@ class DocStoreWriteBuilder(path: String, info: LogicalWriteInfo,
         partPos.map(i => writeSchema.fields(i).name),
         info.queryId(), truncateFirst,
         DocStore.rowGroupBytesOf(info.options()),
-        snapshots = info.options().getBoolean("snapshots", false))
+        snapshots = info.options().getBoolean("snapshots", false),
+        bloomFor = DocStore.bloomForOf(info.options()))
 
     /** Streaming sink: per-EPOCH staged commits with an idempotence
       * marker, so a micro-batch whose commit outcome was unknown at a
@@ -1421,13 +1422,14 @@ case class DocStoreBatchWrite(
     rowGroupBytes: Option[Long] = None,
     replaceFiles: Option[() => Seq[String]] = None,
     expectOpColumn: Boolean = false,
-    snapshots: Boolean = false) extends BatchWrite {
+    snapshots: Boolean = false,
+    bloomFor: Seq[String] = Nil) extends BatchWrite {
 
   private def staging = s"$path/_staging-$queryId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     DocStoreWriterFactory(staging, schema, partitionBy, rowGroupBytes,
-      expectOpColumn)
+      expectOpColumn, bloomFor)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
@@ -1469,6 +1471,23 @@ case class DocStoreBatchWrite(
       val retired = replaceFiles.toSeq.flatMap(_.apply())
         .map(DocStore.relOf(path, _)).toSet
       DocStore.commitSnapshot(path) { base =>
+        // WRITE-WRITE CONFLICT detection (row-level ops only): this
+        // operation computed its replacement rows FROM the retired
+        // files; if a concurrent commit already retired any of them
+        // (compaction, DELETE, another MERGE), filtering would
+        // silently RESURRECT that commit's outcome — e.g. re-adding
+        // rows a concurrent DELETE dropped. Every table format aborts
+        // here (Iceberg's validation exceptions); so do we. The
+        // optimistic retry inside commitSnapshot re-invokes this
+        // closure against the WINNER's base, so the validation always
+        // sees the serialized truth.
+        val gone = retired.filterNot(base.toSet)
+        if (gone.nonEmpty)
+          throw new IllegalStateException(
+            s"docstore: write-write conflict at $path — a concurrent " +
+              s"commit already retired ${gone.take(3).mkString(", ")}" +
+              (if (gone.size > 3) s" (+${gone.size - 3} more)" else "") +
+              "; retry the operation against the current snapshot")
         (if (truncateFirst) Nil else base.filterNot(retired)) ++ newRels
       }
     }
@@ -1510,10 +1529,11 @@ case class DocStoreWriterFactory(
     schema: StructType,
     partitionBy: Seq[String],
     rowGroupBytes: Option[Long] = None,
-    expectOpColumn: Boolean = false) extends DataWriterFactory {
+    expectOpColumn: Boolean = false,
+    bloomFor: Seq[String] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DocStoreDataWriter(staging, schema, partitionBy, partitionId, taskId,
-      rowGroupBytes, expectOpColumn)
+      rowGroupBytes, expectOpColumn, bloomFor = bloomFor)
 }
 
 /** Task-side writer: routes rows to one open parquet writer per
@@ -1536,7 +1556,11 @@ class DocStoreDataWriter(
     // renames onto the same destinations instead of adding new files.
     // Batch writes keep attempt-unique names (separate appends to one
     // store must never collide across commits).
-    fileSuffix: Option[String] = None) extends DataWriter[InternalRow] {
+    fileSuffix: Option[String] = None,
+    // data columns to write parquet bloom filters for (see
+    // [[DocStore.bloomForOf]]); unknown / partition names are ignored
+    // so one sink option serves mixed writes
+    bloomFor: Seq[String] = Nil) extends DataWriter[InternalRow] {
 
   private val conf = new Configuration()
   private val partIdx: Seq[(String, Int, DataType)] = partitionBy.map { c =>
@@ -1576,6 +1600,8 @@ class DocStoreDataWriter(
       // read-back range predicates prune at row-group granularity
       // (and split planning fans one file out across tasks)
       rowGroupBytes.foreach(n => b.withRowGroupSize(n))
+      bloomFor.filter(c => dataFields.exists(_._2.name == c))
+        .foreach(c => b.withBloomFilterEnabled(c, true))
       b.build()
     })
 
@@ -1639,6 +1665,17 @@ object DocStore {
   /** Target parquet row-group size for the sink (bytes). */
   def rowGroupBytesOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("rowGroupBytes")).map(_.trim.toLong)
+
+  /** Columns the sink writes parquet BLOOM FILTERS for. Point lookups
+    * on an unsorted high-cardinality column are the case zone maps
+    * can't serve — every row group's min/max straddles the probe — so
+    * at 100 TB `WHERE key = x` reads every data page. A bloom filter
+    * per row group turns that into a footer-and-bitset check:
+    * parquet-mr's own RowGroupFilter consults it on the read path (the
+    * reader's FilterCompat predicate), no reader changes needed. */
+  def bloomForOf(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("bloomFor")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
 
   /** Data files under `path` with partition values parsed from Hive
     * `k=v` directory segments, resolved through the Hadoop FileSystem

@@ -979,6 +979,68 @@ class DocStoreSpec extends SparkSpec {
       .orderBy("k").collect().toSeq == src.orderBy("k").collect().toSeq)
   }
 
+  test("bloomFor writes per-row-group bloom filters; point lookups skip groups zone maps can't") {
+    import spark.implicits._
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    // UNSORTED high-cardinality key with tight row groups: every
+    // group's min/max straddles any probe, so zone maps prune nothing
+    // — the exact case bloom filters exist for
+    val store = tmpDir("docstore_bloom")
+    val keys = (0L until 4000L).map(k => (k * 2654435761L) % 100000L)
+    keys.map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1)
+      .write.format("docstore").option("path", store)
+      .option("rowGroupBytes", "4096").option("bloomFor", "k")
+      .mode("overwrite").save()
+    val f = DocStore.listFiles(store).head
+    val blocks = DocStore.footerBlocks(f)
+    assert(blocks.size > 1, "tight rowGroupBytes must yield several groups")
+    import scala.jdk.CollectionConverters._
+    assert(blocks.forall(_.getColumns.asScala
+      .find(_.getPath.toDotString == "k").get.getBloomFilterOffset >= 0),
+      "every row group carries a bloom filter for k")
+    // control store without the option: no bloom
+    val plain = tmpDir("docstore_nobloom")
+    keys.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", plain)
+      .option("rowGroupBytes", "4096").mode("overwrite").save()
+    assert(DocStore.footerBlocks(DocStore.listFiles(plain).head)
+      .forall(_.getColumns.asScala
+        .find(_.getPath.toDotString == "k").get.getBloomFilterOffset < 0))
+    // A/B proof the READ path's row-group skip comes from the bloom
+    // bitset alone: stats/dictionary/record-level filtering all off,
+    // probe a value inside every group's min/max but absent from the
+    // data — bloom on: zero rows materialize; bloom off: every row does
+    val absent = 1L // odd, never hits (k*2654435761 % 100000 is even)
+    assert(keys.forall(_ != absent))
+    def rowsWithBloom(enabled: Boolean): Long = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.setBoolean("parquet.filter.stats.enabled", false)
+      conf.setBoolean("parquet.filter.dictionary.enabled", false)
+      conf.setBoolean("parquet.filter.record-level.enabled", false)
+      conf.setBoolean("parquet.filter.columnindex.enabled", false)
+      conf.setBoolean("parquet.filter.bloom.enabled", enabled)
+      val r = ParquetReader.builder(new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(f)).withConf(conf)
+        .withFilter(FilterCompat.get(
+          FilterApi.eq(FilterApi.longColumn("k"),
+            java.lang.Long.valueOf(absent))))
+        .build()
+      var n = 0L
+      while (r.read() != null) n += 1
+      r.close(); n
+    }
+    assert(rowsWithBloom(enabled = true) == 0L, "bloom skips every group")
+    assert(rowsWithBloom(enabled = false) == 4000L, "without bloom nothing prunes")
+    // and the connector read stays exact either way
+    val hit = keys.head
+    assert(spark.read.format("docstore").option("path", store).load()
+      .filter(col("k") === hit).count() == keys.count(_ == hit))
+  }
+
   // ---- aggregate pushdown (r13) ----
 
   test("ungrouped count/min/max answer from footer statistics only") {

@@ -162,6 +162,28 @@ class SnapshotSpec extends SparkSpec {
       .map(_.getPath.getName).count(_.startsWith("p=")) == 4)
   }
 
+  test("write-write conflict: a swap retiring files a concurrent commit already dropped aborts") {
+    val store = tmpDir("snapconflict")
+    appendSlice(store, 0, snapshots = true)
+    appendSlice(store, 1)
+    val victim = DocStore.listFiles(store).head
+    val victimRel = DocStore.relOf(store, victim)
+    // a "concurrent" commit retires the victim first (a DELETE, another
+    // MERGE, a compactor)…
+    DocStore.commitSnapshot(store)(_.filterNot(_ == victimRel))
+    // …then a copy-on-write commit that computed its replacement rows
+    // FROM the victim tries to retire it: filtering silently would
+    // resurrect the concurrent commit's outcome, so the swap must abort
+    val stale = graft.sources.DocStoreBatchWrite(
+      store, readStore(store).schema, Seq("p"), "conflict-test",
+      truncateFirst = false, replaceFiles = Some(() => Seq(victim)))
+    val e = intercept[IllegalStateException](stale.commit(Array.empty))
+    assert(e.getMessage.contains("write-write conflict"))
+    // the store is untouched: current snapshot still serves the winner's
+    // state and the victim stays retired
+    assert(!DocStore.currentSnapshot(store).get._2.contains(victimRel))
+  }
+
   test("streaming sink into a snapshot store: epochs become visible at the manifest swap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
