@@ -400,7 +400,11 @@ object Scalars {
     Q(
       "scalar_bitwise",
       "Bitwise scalar family: AND/OR/XOR/NOT, shifts, popcount — all " +
-        "exact integer ops, codegen'd.",
+        "exact integer ops, codegen'd. The sort adds pk_not (a " +
+        "bijection of l_partkey) because the fixture's (orderkey, " +
+        "linenumber) is NOT unique — a two-key sort leaves tie order " +
+        "engine-defined (the r15 sf1 sweep caught the swap), and with " +
+        "the discriminator tied rows are identical rows.",
       (s, dir) => {
         val li = Tables.t(s, dir, "lineitem")
         li.select(
@@ -412,7 +416,7 @@ object Scalars {
             shiftleft(col("l_linenumber"), 3).as("ln_shl"),
             shiftright(col("l_partkey"), 2).as("pk_shr"),
             bit_count(col("l_partkey")).as("pk_bits"))
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "pk_not")
       },
       Some("""SELECT l_orderkey, l_linenumber,
         l_partkey & 255 AS pk_and,
@@ -422,7 +426,7 @@ object Scalars {
         CAST(l_linenumber << 3 AS INT) AS ln_shl,
         l_partkey >> 2 AS pk_shr,
         CAST(bit_count(l_partkey) AS INT) AS pk_bits
-        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, pk_not""")),
 
     Q(
       "scalar_string3",
