@@ -1026,12 +1026,12 @@ object Dedup {
     * pipeline_semantic_dedup oracles. */
   def embeddingLshScoredCtes: String = {
     s"""$adaptiveHyperplaneBandedCtes,
-      cand AS (
+      cand AS MATERIALIZED (
         SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,
           a.embedding AS ea, b.embedding AS eb
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-      scored AS (
+      scored AS MATERIALIZED (
         SELECT v1, v2, ${graft.expr.VectorOps.duckCosine("ea", "eb")} AS cos
         FROM cand)"""
   }
@@ -1439,15 +1439,20 @@ object Dedup {
          | i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE) * (${planeLit(p)})[CAST(i AS INT)]),
          | (x, y) -> x + y)) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
         .stripMargin.replaceAll("\n", "")
-    s"""lsh_bits AS (
+    // MATERIALIZED throughout: `banded` feeds a self-join and, in the
+    // semantic-dedup oracle, a RECURSIVE label propagation whose every
+    // iteration would otherwise re-inline — and therefore recompute —
+    // the full 32-projection signature pipeline (the r15 sf1 sweep
+    // measured that wedge at 2+ hours for a seconds-long engine query)
+    s"""lsh_bits AS MATERIALIZED (
         SELECT GREATEST(4, LEAST(8,
           CAST(CEIL(LOG2(count(*) / 125.0)) AS BIGINT))) AS b
         FROM embeddings),
-      lsh_sig AS (
+      lsh_sig AS MATERIALIZED (
         SELECT vec_id, embedding,
           [${planes.map(bit).mkString(", ")}] AS s
         FROM embeddings),
-      banded AS (
+      banded AS MATERIALIZED (
         SELECT vec_id, embedding, band,
           list_reduce(list_slice(s, band * b + 1, band * b + b),
             (acc, x) -> acc * 2 + x) AS bucket

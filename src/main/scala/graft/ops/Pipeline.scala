@@ -280,10 +280,10 @@ object Pipeline {
           .orderBy("vec_id")
       },
       Some(s"""WITH RECURSIVE ${Dedup.embeddingLshScoredCtes},
-        pairs AS (SELECT v1, v2 FROM scored WHERE cos >= 0.4),
-        edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+        pairs AS MATERIALIZED (SELECT v1, v2 FROM scored WHERE cos >= 0.4),
+        edges AS MATERIALIZED (SELECT v1 AS a, v2 AS b FROM pairs
           UNION SELECT v2, v1 FROM pairs),
-        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM edges),
         r(node, lbl) AS (SELECT node, node FROM nodes
           UNION SELECT e.b, r.lbl FROM edges e JOIN r ON e.a = r.node),
         comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node)
