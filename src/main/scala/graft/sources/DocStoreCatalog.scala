@@ -115,6 +115,44 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
         marker.map(_.partitionBy).getOrElse(Nil))
   }
 
+  /** SQL time travel — `SELECT … FROM t VERSION AS OF 3`: load the
+    * table pinned at snapshot v3 (snapshot-enabled stores only; the
+    * scan lists that manifest). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadTable(ident) match {
+      case t: DocStoreTable =>
+        require(DocStore.snapshotEnabled(t.path),
+          s"docstore: ${ident.name()} is not snapshot-enabled — " +
+            "VERSION AS OF needs a store written with snapshots=true")
+        t.copy(versionAsOf = Some(version.trim.toLong))
+      case other => other
+    }
+
+  /** SQL time travel — `… TIMESTAMP AS OF '…'` (micros since epoch):
+    * resolves to the newest snapshot COMMITTED at or before the
+    * instant, via the manifests' filesystem mtimes — the same
+    * timestamp→version mapping every table format keeps in its
+    * metadata log. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadTable(ident) match {
+      case t: DocStoreTable =>
+        require(DocStore.snapshotEnabled(t.path),
+          s"docstore: ${ident.name()} is not snapshot-enabled — " +
+            "TIMESTAMP AS OF needs a store written with snapshots=true")
+        val snapDir = new Path(t.path, DocStore.SnapshotDir)
+        val cutoffMs = timestampMicros / 1000L
+        val v = DocStore.snapshotVersions(t.path)
+          .filter(v => DocStore.readManifest(t.path, v).isDefined)
+          .filter(v => fs.getFileStatus(new Path(snapDir, s"v$v"))
+            .getModificationTime <= cutoffMs)
+          .lastOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"docstore: no snapshot of ${ident.name()} existed at " +
+              s"timestamp $timestampMicros µs"))
+        t.copy(versionAsOf = Some(v))
+      case other => other
+    }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

@@ -125,11 +125,17 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
 }
 
 case class DocStoreTable(path: String, tableSchema: StructType,
-    tablePartitionBy: Seq[String] = Nil)
+    tablePartitionBy: Seq[String] = Nil,
+    // pinned snapshot version (SQL `VERSION AS OF` through the catalog,
+    // or the path API's versionAsOf read option): reads list that
+    // manifest; writes/deletes against a pinned table are rejected by
+    // Spark's own time-travel analysis
+    versionAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations
     with SupportsMetadataColumns {
-  override def name(): String = s"docstore($path)"
+  override def name(): String =
+    s"docstore($path${versionAsOf.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = tableSchema
 
   /** Hidden lineage columns every CDC / debugging / audit workflow
@@ -180,7 +186,8 @@ case class DocStoreTable(path: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(path, tableSchema,
       Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt),
-      Option(options.get("versionAsOf")).map(_.trim.toLong))
+      Option(options.get("versionAsOf")).map(_.trim.toLong)
+        .orElse(versionAsOf))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DocStoreWriteBuilder(path, info, tablePartitionBy, tableSchema)
 

@@ -184,6 +184,43 @@ class SnapshotSpec extends SparkSpec {
     assert(!DocStore.currentSnapshot(store).get._2.contains(victimRel))
   }
 
+  test("SQL time travel through the catalog: VERSION AS OF and TIMESTAMP AS OF") {
+    val root = tmpDir("snapcat_root")
+    if (spark.conf.getOption("spark.sql.catalog.snapcat").isEmpty) {
+      spark.conf.set("spark.sql.catalog.snapcat", "graft.sources.DocStoreCatalog")
+      spark.conf.set("spark.sql.catalog.snapcat.root", root)
+    }
+    spark.sql("CREATE NAMESPACE snapcat.db")
+    spark.sql("CREATE TABLE snapcat.db.t (k BIGINT, p STRING) USING docstore")
+    val path = s"$root/db/t"
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "p")
+      .write.format("docstore").option("path", path)
+      .option("snapshots", "true").mode("append").save() // v1
+    Seq((3L, "c")).toDF("k", "p")
+      .write.format("docstore").option("path", path)
+      .mode("append").save() // v2
+    assert(spark.sql("SELECT count(*) FROM snapcat.db.t").head.getLong(0) == 3)
+    assert(spark.sql("SELECT count(*) FROM snapcat.db.t VERSION AS OF 1")
+      .head.getLong(0) == 2)
+    assert(spark.sql("SELECT sum(k) FROM snapcat.db.t VERSION AS OF 2")
+      .head.getLong(0) == 6)
+    // TIMESTAMP AS OF far in the future resolves to the newest snapshot
+    assert(spark.sql(
+      "SELECT count(*) FROM snapcat.db.t TIMESTAMP AS OF '2999-01-01'")
+      .head.getLong(0) == 3)
+    // …and before the first commit is a clear error, not wrong data
+    val e = intercept[Exception](spark.sql(
+      "SELECT count(*) FROM snapcat.db.t TIMESTAMP AS OF '1990-01-01'").collect())
+    assert(e.getMessage.contains("no snapshot"))
+    // a plain (non-snapshot) table refuses time travel outright
+    spark.sql("CREATE TABLE snapcat.db.plain (k BIGINT) USING docstore")
+    spark.sql("INSERT INTO snapcat.db.plain VALUES (1)")
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM snapcat.db.plain VERSION AS OF 1").collect())
+    assert(e2.getMessage.contains("not snapshot-enabled"))
+  }
+
   test("streaming sink into a snapshot store: epochs become visible at the manifest swap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
