@@ -28,7 +28,7 @@ def main(sf_dir, out_dir):
     # bound the oracle's memory so one expensive oracle SQL degrades to
     # a per-query error instead of the kernel OOM-killing the whole
     # sweep (lost half a run at sf0.1 with a concurrent Spark JVM)
-    con.execute("SET memory_limit='32GB'")
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_CHECK_MEM', '32GB')}'")
     con.execute("SET threads TO 8")
     # per-process spill dir: two concurrent checks sharing one temp dir
     # delete each other's spill files (lost a full sf1 sweep to that)
