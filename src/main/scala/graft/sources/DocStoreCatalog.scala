@@ -130,21 +130,23 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
 
   /** SQL time travel — `… TIMESTAMP AS OF '…'` (micros since epoch):
     * resolves to the newest snapshot COMMITTED at or before the
-    * instant, via the manifests' filesystem mtimes — the same
-    * timestamp→version mapping every table format keeps in its
-    * metadata log. */
+    * instant, via the commit timestamp each manifest carries in its
+    * `#ts` header — the same timestamp→version mapping every table
+    * format keeps in its metadata log, and robust where file mtimes
+    * are not (copy/rsync/restore resets mtimes; `#ts` travels with
+    * the bytes). Pre-r16 manifests without the header fall back to
+    * mtime; a version vacuumed between listing and read is skipped,
+    * not a raw FileNotFoundException. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
     loadTable(ident) match {
       case t: DocStoreTable =>
         require(DocStore.snapshotEnabled(t.path),
           s"docstore: ${ident.name()} is not snapshot-enabled — " +
             "TIMESTAMP AS OF needs a store written with snapshots=true")
-        val snapDir = new Path(t.path, DocStore.SnapshotDir)
         val cutoffMs = timestampMicros / 1000L
         val v = DocStore.snapshotVersions(t.path)
           .filter(v => DocStore.readManifest(t.path, v).isDefined)
-          .filter(v => fs.getFileStatus(new Path(snapDir, s"v$v"))
-            .getModificationTime <= cutoffMs)
+          .filter(v => DocStore.commitTimeMs(t.path, v).exists(_ <= cutoffMs))
           .lastOption
           .getOrElse(throw new IllegalArgumentException(
             s"docstore: no snapshot of ${ident.name()} existed at " +

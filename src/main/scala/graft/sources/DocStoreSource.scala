@@ -1239,7 +1239,9 @@ class DocStoreWriteBuilder(path: String, info: LogicalWriteInfo,
         info.queryId(), truncateFirst,
         DocStore.rowGroupBytesOf(info.options()),
         snapshots = info.options().getBoolean("snapshots", false),
-        bloomFor = DocStore.bloomForOf(info.options()))
+        bloomFor = DocStore.resolveBloomFor(
+          DocStore.bloomForOf(info.options()), writeSchema,
+          partPos.map(i => writeSchema.fields(i).name)))
 
     /** Streaming sink: per-EPOCH staged commits with an idempotence
       * marker, so a micro-batch whose commit outcome was unknown at a
@@ -1564,9 +1566,10 @@ class DocStoreDataWriter(
     // Batch writes keep attempt-unique names (separate appends to one
     // store must never collide across commits).
     fileSuffix: Option[String] = None,
-    // data columns to write parquet bloom filters for (see
-    // [[DocStore.bloomForOf]]); unknown / partition names are ignored
-    // so one sink option serves mixed writes
+    // data columns to write parquet bloom filters for — already
+    // resolved to exact-case data-field names by
+    // [[DocStore.resolveBloomFor]] (unknown names errored at plan
+    // time; partition columns were dropped there)
     bloomFor: Seq[String] = Nil) extends DataWriter[InternalRow] {
 
   private val conf = new Configuration()
@@ -1683,6 +1686,23 @@ object DocStore {
   def bloomForOf(options: CaseInsensitiveStringMap): Seq[String] =
     Option(options.get("bloomFor")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** Resolve `bloomFor` names against the write schema the way Spark
+    * resolves columns — CASE-INSENSITIVELY — and make unknown names an
+    * ERROR: a silently-ignored typo means no bloom filter and no
+    * warning, discovered only when the 100 TB point-lookup reads every
+    * data page. Partition columns resolve but are dropped (they live
+    * in the directory path, not in data pages — file pruning already
+    * serves them exactly). Returns the exact-case data-field names the
+    * parquet builder needs. */
+  def resolveBloomFor(names: Seq[String], schema: StructType,
+      partitionBy: Seq[String]): Seq[String] =
+    names.map { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"docstore: bloomFor column '$c' is not in the write schema " +
+            schema.fieldNames.mkString("[", ",", "]"))).name
+    }.filterNot(partitionBy.contains)
 
   /** Data files under `path` with partition values parsed from Hive
     * `k=v` directory segments, resolved through the Hadoop FileSystem
@@ -1861,50 +1881,97 @@ object DocStore {
     * update is lost. The very first commit bases on the directory
     * walk, so enabling snapshots on a populated plain store retains
     * its data as v1's content. A claimed-but-incomplete version from
-    * a writer that died mid-write is swept after a grace window (the
-    * content write is a few KB — milliseconds) so a crash can't wedge
-    * the store. Returns the committed version. */
-  def commitSnapshot(path: String)(update: Seq[String] => Seq[String]): Long = {
+    * a writer that died mid-write is swept once its claim file's
+    * MODIFICATION-TIME age exceeds `staleClaimGraceMs` — wall-clock
+    * age since the claim, NOT the contender's own retry count, so a
+    * live writer delayed by GC or slow storage keeps its claim.
+    * Returns the committed version.
+    *
+    * Two invariants close the lost-update windows a naive claim loop
+    * has: (1) a committer NEVER claims past an uncommitted latest
+    * version — if v(N) is claimed but incomplete, basing an update on
+    * v(N-1) and claiming v(N+1) would silently exclude v(N)'s commit
+    * from all later lineage once its (live, merely slow) writer
+    * finishes; we wait for it to commit or age out instead. (2) the
+    * claimant RE-READS its own manifest after close() and only
+    * returns when the store's copy carries exactly its entry list —
+    * on a local filesystem a contender's sweep can delete (and a
+    * third committer re-claim) the version between our create and
+    * close, and our close() still succeeds; without the read-back we
+    * would report a version that holds someone else's content. */
+  def commitSnapshot(path: String, staleClaimGraceMs: Long = 30000L)(
+      update: Seq[String] => Seq[String]): Long = {
     val root = new Path(path)
     val conf = new Configuration()
     val fs = root.getFileSystem(conf)
     fs.mkdirs(snapRoot(path))
     val rootQ = fs.makeQualified(root).toString
-    var staleWaits = 0
-    var attempts = 0
-    while (attempts < 100) {
-      attempts += 1
-      val cur = currentSnapshot(path)
-      val base = cur.map(_._2).getOrElse(
-        physicalWalk(fs, root).map { case (p, _) =>
-          fs.makeQualified(p).toString.stripPrefix(rootQ + "/")
-        })
-      val next = snapshotVersions(path).lastOption.getOrElse(0L) + 1
-      val entries = update(base).distinct.sorted
-      val dst = new Path(snapRoot(path), s"v$next")
-      val claimed =
-        try {
-          val out = fs.create(dst, false) // exclusive create
-          try out.write((s"# docstore snapshot v$next\n" +
-            entries.map(_ + "\n").mkString +
-            s"#end ${entries.length}\n").getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch {
-          case _: java.io.IOException if fs.exists(dst) =>
-            // lost the claim race; if the winner's manifest never
-            // completes (dead writer), sweep it after a grace window
-            if (readManifest(path, next).isEmpty) {
-              staleWaits += 1
-              if (staleWaits >= 3) { fs.delete(dst, false); staleWaits = 0 }
-              else Thread.sleep(50)
-            }
-            false
-        }
-      if (claimed) return next
+    val deadline = System.currentTimeMillis() + staleClaimGraceMs + 60000L
+    var claimAttempts = 0
+    while (claimAttempts < 100 && System.currentTimeMillis() < deadline) {
+      val head = snapshotVersions(path).lastOption
+      val headContent = head.flatMap(v => readManifest(path, v))
+      if (head.isDefined && headContent.isEmpty) {
+        // claimed-but-uncommitted head: wait (live writer) or sweep
+        // (claim mtime past the grace window). Completeness is
+        // re-checked immediately before the delete — the writer may
+        // have finished between our first read and now.
+        val claim = new Path(snapRoot(path), s"v${head.get}")
+        val ageMs =
+          try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+          catch { case _: java.io.FileNotFoundException => -1L } // already swept
+        if (ageMs > staleClaimGraceMs) {
+          if (readManifest(path, head.get).isEmpty) fs.delete(claim, false): Unit
+        } else Thread.sleep(25)
+      } else {
+        val base = headContent.getOrElse(
+          physicalWalk(fs, root).map { case (p, _) =>
+            fs.makeQualified(p).toString.stripPrefix(rootQ + "/")
+          })
+        val next = head.getOrElse(0L) + 1
+        val entries = update(base).distinct.sorted
+        val dst = new Path(snapRoot(path), s"v$next")
+        claimAttempts += 1
+        val claimed =
+          try {
+            val out = fs.create(dst, false) // exclusive create
+            // `#ts` carries the commit wall-clock INSIDE the manifest:
+            // TIMESTAMP AS OF resolves from it, so time travel
+            // survives copy/rsync/restore (file mtimes don't)
+            try out.write((s"# docstore snapshot v$next\n" +
+              s"#ts ${System.currentTimeMillis()}\n" +
+              entries.map(_ + "\n").mkString +
+              s"#end ${entries.length}\n").getBytes("UTF-8"))
+            finally out.close()
+            true
+          } catch {
+            case _: java.io.IOException if fs.exists(dst) => false // lost the race
+          }
+        if (claimed && readManifest(path, next).contains(entries)) return next
+      }
     }
     throw new IllegalStateException(
-      s"docstore: snapshot commit at $path lost 100 races; giving up")
+      s"docstore: snapshot commit at $path gave up after $claimAttempts claim " +
+        "attempts (lost races or an in-flight claim outlived the deadline)")
+  }
+
+  /** Commit wall-clock of version `v`, preferring the manifest's own
+    * `#ts` header (written at commit since r16) and falling back to
+    * the manifest file's mtime for pre-existing stores. None when the
+    * manifest vanished underneath us (concurrent vacuum) — callers
+    * skip, they don't crash. */
+  def commitTimeMs(path: String, v: Long): Option[Long] = {
+    val f = new Path(snapRoot(path), s"v$v")
+    val fs = f.getFileSystem(new Configuration())
+    try {
+      val st = fs.getFileStatus(f)
+      val bytes = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(bytes) finally in.close()
+      new String(bytes, "UTF-8").split("\n")
+        .find(_.startsWith("#ts ")).map(_.stripPrefix("#ts ").trim.toLong)
+        .orElse(Some(st.getModificationTime))
+    } catch { case _: java.io.IOException => None }
   }
 
   /** Store-relative form of an absolute file path under `path`. */

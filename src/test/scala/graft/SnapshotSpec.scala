@@ -129,11 +129,17 @@ class SnapshotSpec extends SparkSpec {
     assert(DocStore.currentSnapshot(store).map(_._1).contains(2L))
     // a claimed-but-incomplete manifest (writer died mid-write): no
     // #end sentinel → readers fall back to v2
-    Files.write(Paths.get(store, DocStore.SnapshotDir, "v3"),
+    val dead = Paths.get(store, DocStore.SnapshotDir, "v3")
+    Files.write(dead,
       "# docstore snapshot v3\nsome/file.parquet\n".getBytes("UTF-8")): Unit
     assert(DocStore.currentSnapshot(store).map(_._1).contains(2L))
-    // the next committer sweeps the dead claim after its grace window
-    // and lands its own version on top
+    // a contender must NOT claim past the in-flight head (that's the
+    // lost-update window) — it waits out the mtime-age grace window,
+    // then sweeps. Age the dead claim past the grace so the test
+    // doesn't sit through real wall-clock.
+    Files.setLastModifiedTime(dead,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L)): Unit
     val v = DocStore.commitSnapshot(store)(base => base)
     assert(v >= 3L)
     assert(DocStore.readManifest(store, v).isDefined)
@@ -219,6 +225,66 @@ class SnapshotSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql(
       "SELECT * FROM snapcat.db.plain VERSION AS OF 1").collect())
     assert(e2.getMessage.contains("not snapshot-enabled"))
+  }
+
+  test("a contender never claims past an uncommitted head: the slow writer's commit stays in lineage") {
+    val store = tmpDir("snapslow")
+    appendSlice(store, 0, snapshots = true) // v1
+    val v1 = DocStore.readManifest(store, 1L).get
+    // simulate a LIVE writer mid-write: v2 claimed, sentinel not yet
+    // written (GC pause / slow storage)
+    val claim = Paths.get(store, DocStore.SnapshotDir, "v2")
+    Files.write(claim, "# docstore snapshot v2\n".getBytes("UTF-8")): Unit
+    // the contender must WAIT behind the young in-flight claim — not
+    // base on v1 and claim v3, which would drop v2 from all lineage
+    val contender = new Thread(() =>
+      DocStore.commitSnapshot(store, staleClaimGraceMs = 5000L)(
+        base => base :+ "marker/from-contender.parquet"): Unit)
+    contender.start()
+    Thread.sleep(300) // contender is now in its wait loop
+    // the slow writer completes v2 with its own added file
+    val v2entries = (v1 :+ "slow/writer.parquet").distinct.sorted
+    Files.write(claim, (s"# docstore snapshot v2\n" +
+      v2entries.map(_ + "\n").mkString +
+      s"#end ${v2entries.length}\n").getBytes("UTF-8")): Unit
+    contender.join(15000)
+    assert(!contender.isAlive)
+    // contender landed v3 BASED ON v2: both updates survive
+    val v3 = DocStore.readManifest(store, 3L)
+    assert(v3.exists(_.contains("slow/writer.parquet")))
+    assert(v3.exists(_.contains("marker/from-contender.parquet")))
+  }
+
+  test("TIMESTAMP AS OF survives mtime resets: commit time lives inside the manifest") {
+    val root = tmpDir("snapts_root")
+    if (spark.conf.getOption("spark.sql.catalog.snapts").isEmpty) {
+      spark.conf.set("spark.sql.catalog.snapts", "graft.sources.DocStoreCatalog")
+      spark.conf.set("spark.sql.catalog.snapts.root", root)
+    }
+    spark.sql("CREATE NAMESPACE snapts.db")
+    val path = s"$root/db/t"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "p").write.format("docstore")
+      .option("path", path).option("snapshots", "true").mode("append").save() // v1
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    Seq((2L, "b")).toDF("k", "p").write.format("docstore")
+      .option("path", path).mode("append").save() // v2
+    // a copy/rsync/restore resets every mtime — simulate the worst case
+    val snapDir = Paths.get(path, DocStore.SnapshotDir)
+    Files.list(snapDir).forEach(p => Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(0L)): Unit)
+    val midLit = java.time.Instant.ofEpochMilli(mid)
+      .atZone(java.time.ZoneId.systemDefault())
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM snapts.db.t TIMESTAMP AS OF '$midLit'")
+      .head.getLong(0) == 1)
+    assert(spark.sql(
+      "SELECT count(*) FROM snapts.db.t TIMESTAMP AS OF '2999-01-01'")
+      .head.getLong(0) == 2)
   }
 
   test("streaming sink into a snapshot store: epochs become visible at the manifest swap") {

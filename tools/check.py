@@ -9,7 +9,7 @@ named after the test tables, sort columns by name, and compare row
 count, schema-ish (loose dtype), and exact values. Reports per-query
 PASS/FAIL with the first differing cell.
 """
-import sys, os, json, math
+import sys, os, json, math, shutil
 import duckdb
 
 def canon(v):
@@ -109,4 +109,9 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    try:
+        sys.exit(main(sys.argv[1], sys.argv[2]))
+    finally:
+        # the per-pid spill dir outlives a killed run otherwise, and
+        # they add up across sweeps on a ~78 GB-free disk
+        shutil.rmtree(f"/tmp/duckdb_spill_{os.getpid()}", ignore_errors=True)
