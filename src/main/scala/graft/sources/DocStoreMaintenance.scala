@@ -141,11 +141,19 @@ object DocStoreMaintenance {
     * committed manifests, physically delete every data file no kept
     * version references, and drop the expired manifests (time travel
     * to them then fails with a clear error). Returns the number of
-    * data files deleted. NOT safe under concurrent writers: a commit
-    * renames its data files in BEFORE its manifest swap, and vacuum
-    * walking that window would reap them — schedule vacuum like every
-    * table format does, in the maintenance window, writers quiesced. */
-  def vacuum(path: String, keepVersions: Int = 1): Int = {
+    * data files deleted.
+    *
+    * SAFE-BY-DEFAULT under concurrent writers via `graceMs`: a commit
+    * renames its data files in BEFORE its manifest swap, so a vacuum
+    * walking that window sees referenced-by-nothing files that are
+    * about to become the newest version — exactly the window Iceberg's
+    * `older_than` default exists for. Files whose modification time is
+    * younger than the grace are skipped this pass; a later vacuum (or
+    * [[orphanSweep]]) reclaims genuinely dead ones once they age out.
+    * graceMs = 0 restores the quiesced-writers fast path for
+    * maintenance windows and tests. */
+  def vacuum(path: String, keepVersions: Int = 1,
+      graceMs: Long = 10L * 60 * 1000): Int = {
     require(keepVersions >= 1, "vacuum must keep at least the current version")
     require(DocStore.snapshotEnabled(path),
       s"docstore: vacuum needs a snapshot store ($path has no ${DocStore.SnapshotDir}/)")
@@ -156,10 +164,49 @@ object DocStoreMaintenance {
       .filter(DocStore.readManifest(path, _).isDefined)
     val keep = committed.takeRight(keepVersions)
     val referenced = keep.flatMap(v => DocStore.readManifest(path, v).get).toSet
+    val deleted = reapUnreferenced(fs, root, referenced, graceMs)
+    committed.filterNot(keep.contains).foreach { v =>
+      fs.delete(new Path(new Path(root, DocStore.SnapshotDir), s"v$v"), false)
+    }
+    deleted
+  }
+
+  /** GC for failed-commit litter WITHOUT expiring any version: deletes
+    * physical data files referenced by NO committed manifest (a died
+    * mid-commit writer's renamed-in files, an aborted compaction's
+    * leftovers) plus crashed writes' `_staging-*`/`_compact-*` dirs —
+    * each only once older than `graceMs`, so in-flight commits are
+    * never touched. Time travel keeps working for every retained
+    * version; run this beside writers as routinely as ingestion. */
+  def orphanSweep(path: String, graceMs: Long = 10L * 60 * 1000): Int = {
+    require(DocStore.snapshotEnabled(path),
+      s"docstore: orphanSweep needs a snapshot store ($path has no ${DocStore.SnapshotDir}/)")
+    val conf = new Configuration()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val referenced = DocStore.snapshotVersions(path)
+      .flatMap(v => DocStore.readManifest(path, v).getOrElse(Nil)).toSet
+    val n = reapUnreferenced(fs, root, referenced, graceMs)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val stale = fs.listStatus(root).toSeq.filter { s =>
+      val nme = s.getPath.getName
+      s.isDirectory && (nme.startsWith("_staging-") || nme.startsWith("_compact-")) &&
+        s.getModificationTime < cutoff
+    }
+    stale.foreach(s => fs.delete(s.getPath, true))
+    n + stale.size
+  }
+
+  /** Delete every visible data file not in `referenced` and older than
+    * `graceMs`, pruning emptied partition dirs; returns the count. */
+  private def reapUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, referenced: Set[String], graceMs: Long): Int = {
     val rootQ = fs.makeQualified(root).toString
+    val cutoff = System.currentTimeMillis() - graceMs
     val dead = DocStore.physicalWalk(fs, root).map { case (p, _) =>
       fs.makeQualified(p).toString.stripPrefix(rootQ + "/")
     }.filterNot(referenced)
+      .filter(rel => fs.getFileStatus(new Path(root, rel)).getModificationTime < cutoff)
     dead.foreach { rel =>
       val p = new Path(root, rel)
       fs.delete(p, false)
@@ -169,9 +216,6 @@ object DocStoreMaintenance {
         fs.delete(d, false)
         d = d.getParent
       }
-    }
-    committed.filterNot(keep.contains).foreach { v =>
-      fs.delete(new Path(new Path(root, DocStore.SnapshotDir), s"v$v"), false)
     }
     dead.size
   }

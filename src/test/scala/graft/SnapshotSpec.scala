@@ -155,7 +155,10 @@ class SnapshotSpec extends SparkSpec {
     val physicalBefore = DocStore.listFilesWithPartitions(store).size // manifest view: 4
     assert(physicalBefore == 4)
     val current = readStore(store).orderBy("k").collect().toSeq
-    val deleted = DocStoreMaintenance.vacuum(store, keepVersions = 1)
+    // default grace: freshly-written files are NOT reaped (safe beside
+    // concurrent writers); graceMs = 0 is the quiesced maintenance path
+    assert(DocStoreMaintenance.vacuum(store, keepVersions = 1) == 0)
+    val deleted = DocStoreMaintenance.vacuum(store, keepVersions = 1, graceMs = 0L)
     assert(deleted == 12) // the 3 appends × 4 partitions, all retired by compaction
     // current version untouched, byte for byte
     assert(readStore(store).orderBy("k").collect().toSeq == current)
@@ -166,6 +169,51 @@ class SnapshotSpec extends SparkSpec {
     assert(DocStore.snapshotVersions(store) == Seq(4L))
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(store))
       .map(_.getPath.getName).count(_.startsWith("p=")) == 4)
+  }
+
+  test("vacuum beside a slow commit: the grace window protects renamed-in-but-unswapped files") {
+    val store = tmpDir("snapgrace")
+    appendSlice(store, 0, snapshots = true) // v1
+    // a slow concurrent commit mid-window: data file renamed in,
+    // manifest swap not yet done — referenced by NOTHING right now
+    val inflight = Paths.get(store, "p=p0", "inflight-commit.parquet")
+    val donor = Paths.get(DocStore.listFiles(store).head.stripPrefix("file:"))
+    Files.copy(donor, inflight, StandardCopyOption.REPLACE_EXISTING): Unit
+    // default-grace vacuum AND orphanSweep both skip the young file
+    assert(DocStoreMaintenance.vacuum(store, keepVersions = 1) == 0)
+    assert(DocStoreMaintenance.orphanSweep(store) == 0)
+    assert(Files.exists(inflight))
+    // the slow commit completes its swap — the file is now referenced
+    // and survives even a zero-grace vacuum
+    DocStore.commitSnapshot(store)(base =>
+      base :+ "p=p0/inflight-commit.parquet") // v2
+    DocStoreMaintenance.vacuum(store, keepVersions = 1, graceMs = 0L): Unit
+    assert(Files.exists(inflight))
+    // 10 original rows + the donor file's rows duplicated into p=p0
+    val donorRows = spark.read.parquet(donor.toString).count()
+    assert(readStore(store).count() == 10 + donorRows)
+  }
+
+  test("orphanSweep reclaims aged failed-commit litter without expiring any version") {
+    val store = tmpDir("snaporphan")
+    appendSlice(store, 0, snapshots = true) // v1
+    appendSlice(store, 1) // v2
+    val old = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 3600000L)
+    // failed-commit litter: an unreferenced data file and a crashed
+    // write's staging dir, both past the grace
+    val litter = Paths.get(store, "p=p0", "dead-commit.parquet")
+    Files.copy(Paths.get(DocStore.listFiles(store).head.stripPrefix("file:")),
+      litter, StandardCopyOption.REPLACE_EXISTING): Unit
+    Files.setLastModifiedTime(litter, old): Unit
+    val staging = Paths.get(store, "_staging-deadbeef")
+    Files.createDirectories(staging): Unit
+    Files.setLastModifiedTime(staging, old): Unit
+    assert(DocStoreMaintenance.orphanSweep(store) == 2)
+    assert(!Files.exists(litter) && !Files.exists(staging))
+    // every version still reads — nothing expired
+    assert(readStore(store, Some(1L)).count() == 10)
+    assert(readStore(store).count() == 20)
   }
 
   test("write-write conflict: a swap retiring files a concurrent commit already dropped aborts") {
