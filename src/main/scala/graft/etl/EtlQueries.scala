@@ -530,6 +530,63 @@ object EtlQueries {
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     Q(
+      "etl_connector_stream_rewrite",
+      "REWRITE-SAFE continuous ingestion: the snapshot stream's " +
+        "offsets are MANIFEST VERSIONS, and each commit is classified " +
+        "by its manifest diff — appends stream, rewrites (compaction, " +
+        "copy-on-write) are SKIPPED because their outputs republish " +
+        "already-emitted rows under new file names. The scenario is " +
+        "the one that used to double-ingest: drain generation 1, " +
+        "COMPACT the store (every emitted row rewritten into new " +
+        "files), append generation 2, drain again from the same " +
+        "checkpoint. The oracle aggregates the same rows straight " +
+        "from the source table, so a single row duplicated by the " +
+        "rewrite commit (or lost by a recovery replan against the " +
+        "live listing) is a hash mismatch. DocStoreSpec additionally " +
+        "pins kill-and-recover ACROSS a compaction (recovery reads " +
+        "the offset's pinned snapshot) and the onRewrite=fail and " +
+        "plain-store append-only-contract postures.",
+      (s, dir) => {
+        val base = graft.Scratch.once(s"etl_docstore_stream_rw:$dir") { p =>
+          val store = s"$p/store"
+          val o = Tables.t(s, dir, "orders")
+            .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+            .select("o_orderkey", "o_totalprice", "o_year")
+          def drain(): Unit =
+            s.readStream.format("docstore").option("path", store).load()
+              .writeStream.format("parquet")
+              .option("path", s"$p/out").option("checkpointLocation", s"$p/cp")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start().awaitTermination()
+          // generation 1: two snapshot commits (the compactor needs ≥2
+          // small files per partition bin)
+          o.filter(col("o_orderkey") % 4 === 0)
+            .write.format("docstore").option("path", store)
+            .option("snapshots", "true").mode("append").save()
+          o.filter(col("o_orderkey") % 4 === 1)
+            .write.format("docstore").option("path", store).mode("append").save()
+          drain()
+          // the rewrite commit: every emitted row under new file names
+          graft.sources.DocStoreMaintenance.compact(
+            s, store, smallerThan = Long.MaxValue): Unit
+          // generation 2 appends; the drain tails ACROSS the rewrite
+          o.filter(col("o_orderkey") % 4 >= 2)
+            .write.format("docstore").option("path", store).mode("append").save()
+          drain()
+        }
+        s.read.parquet(s"$base/out")
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders GROUP BY 1 ORDER BY o_year""")),
+
+    Q(
       "etl_connector_compact",
       "Small-file COMPACTION as an atomic snapshot commit: four drip " +
         "appends (the streaming-ingest pattern) leave four files per " +

@@ -187,7 +187,8 @@ case class DocStoreTable(path: String, tableSchema: StructType,
     new DocStoreScanBuilder(path, tableSchema,
       Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt),
       Option(options.get("versionAsOf")).map(_.trim.toLong)
-        .orElse(versionAsOf))
+        .orElse(versionAsOf),
+      Option(options.get("onRewrite")).map(_.trim.toLowerCase).getOrElse("skip"))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DocStoreWriteBuilder(path, info, tablePartitionBy, tableSchema)
 
@@ -283,7 +284,8 @@ case class DocStoreTable(path: String, tableSchema: StructType,
   * provable. */
 class DocStoreScanBuilder(path: String, tableSchema: StructType,
     maxFilesPerTrigger: Option[Int] = None,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    onRewrite: String = "skip")
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -473,7 +475,8 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
       DocStoreAggScan(path, schema, grpCols, specs, pushed, versionAsOf)
     case None =>
       DocStoreScan(path, tableSchema, required, pushed, maxFilesPerTrigger,
-        limitHint = limit, topNHint = topN, versionAsOf = versionAsOf)
+        limitHint = limit, topNHint = topN, versionAsOf = versionAsOf,
+        onRewrite = onRewrite)
   }
 }
 
@@ -491,7 +494,8 @@ case class DocStoreScan(
     groupFilterOnly: Boolean = false,
     limitHint: Option[Int] = None,
     topNHint: Option[(String, Boolean, Int)] = None,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    onRewrite: String = "skip")
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -698,13 +702,24 @@ case class DocStoreScan(
     DocStore.readerFactory(listing, tableSchema, required, pushed ++ runtime)
 
   /** Streaming read over the same store, projection and pushed filters
-    * included — see [[DocStoreMicroBatchStream]]. */
+    * included. Snapshot stores get manifest-VERSION offsets
+    * ([[DocStoreSnapshotMicroBatchStream]]) — append deltas only,
+    * rewrite commits skipped or failed per `onRewrite`, recovery
+    * pinned to the offset's snapshot; plain stores keep file-set
+    * offsets with an append-only contract enforced loudly
+    * ([[DocStoreMicroBatchStream]]). */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(versionAsOf.isEmpty,
       "docstore: versionAsOf is a batch-read option — a stream tails the " +
         "store's LIVE manifest frontier, it cannot tail a pinned version")
-    new DocStoreMicroBatchStream(path, tableSchema, required, pushed,
-      maxFilesPerTrigger)
+    require(onRewrite == "skip" || onRewrite == "fail",
+      s"docstore: onRewrite must be 'skip' or 'fail', got '$onRewrite'")
+    if (DocStore.snapshotEnabled(path))
+      new DocStoreSnapshotMicroBatchStream(path, tableSchema, required, pushed,
+        maxFilesPerTrigger, onRewrite)
+    else
+      new DocStoreMicroBatchStream(path, tableSchema, required, pushed,
+        maxFilesPerTrigger)
   }
 }
 
@@ -890,14 +905,15 @@ class DocStoreReader(
 // Streaming read: micro-batch continuous ingestion
 // ---------------------------------------------------------------------------
 
-/** A streaming offset = the set of data files already processed. The
-  * staged-commit sink publishes files atomically, so a file is either
-  * absent or complete — a listing snapshot is a consistent frontier.
-  * The file set (not a count or a name high-water mark) is the only
-  * offset that survives non-monotone file names; it round-trips
-  * through the checkpoint log as a JSON array. At production file
-  * counts the list belongs in a compacted metadata log (what Spark's
-  * own file source keeps) — the OFFSET SEMANTICS are identical. */
+/** A plain-store streaming offset = the set of data files already
+  * processed. The staged-commit sink publishes files atomically, so a
+  * file is either absent or complete — a listing snapshot is a
+  * consistent frontier. The file set (not a count or a name
+  * high-water mark) is the only offset that survives non-monotone
+  * file names; it round-trips through the checkpoint log as a JSON
+  * array. At production file counts the list belongs in a compacted
+  * metadata log (what Spark's own file source keeps) — the OFFSET
+  * SEMANTICS are identical. */
 case class DocStoreOffset(files: Seq[String]) extends Offset {
   override def json(): String =
     files.sorted.map(f =>
@@ -905,14 +921,21 @@ case class DocStoreOffset(files: Seq[String]) extends Offset {
       .mkString("[", ",", "]")
 }
 
-/** Micro-batch stream over a docstore: each batch reads exactly the
-  * files that appeared since the last committed offset — the
-  * continuous-ingestion tail of the same connector the batch ETL
-  * crosses. Exactly-once by construction: offsets name immutable
-  * files; a restart replans the same delta from the checkpoint.
-  * Implements AvailableNow admission control (the end offset is
-  * pinned once at query start, so a backfill run terminates even
-  * while writers keep appending). */
+/** Micro-batch stream over a PLAIN (non-snapshot) docstore: each batch
+  * reads exactly the files that appeared since the last committed
+  * offset — the continuous-ingestion tail of the same connector the
+  * batch ETL crosses. Exactly-once ON APPEND-ONLY STORES: offsets name
+  * immutable files; a restart replans the same delta from the
+  * checkpoint. A plain store gives the stream no way to tell a
+  * REWRITE's output (compaction, copy-on-write MERGE/DELETE — new file
+  * names holding already-emitted rows) from fresh data, so the
+  * append-only contract is ENFORCED LOUDLY instead of silently
+  * violated: any committed-offset file that disappears from the
+  * listing fails the stream with direction to snapshot-enable the
+  * store, whose manifest diffs make rewrites classifiable
+  * ([[DocStoreSnapshotMicroBatchStream]]). Implements AvailableNow
+  * admission control (the end offset is pinned once at query start,
+  * so a backfill run terminates even while writers keep appending). */
 class DocStoreMicroBatchStream(
     path: String,
     tableSchema: StructType,
@@ -945,6 +968,19 @@ class DocStoreMicroBatchStream(
 
   override def latestOffset(): Offset = snap()
 
+  private def requireAppendOnly(committed: Seq[String], live: Set[String]): Unit = {
+    val vanished = committed.filterNot(live)
+    if (vanished.nonEmpty) throw new IllegalStateException(
+      s"docstore: streaming offset names ${vanished.size} file(s) no longer " +
+        s"in $path (first: ${vanished.head}) — the store was rewritten " +
+        "(compaction / copy-on-write MERGE or DELETE / retention) under a " +
+        "plain-store stream, which assumes append-only. New files from a " +
+        "rewrite would duplicate already-emitted rows and a recovery replan " +
+        "would lose the vanished files' rows. Snapshot-enable the store " +
+        "(DocStoreMaintenance.enableSnapshots) so the stream can classify " +
+        "commits and skip rewrites, then restart from a fresh checkpoint.")
+  }
+
   /** The next batch's end offset: new files beyond `start` (capped by
     * the AvailableNow frontier when one is prepared), admitted in
     * deterministic sorted order and truncated to the read limit. The
@@ -955,6 +991,7 @@ class DocStoreMicroBatchStream(
     val startFiles = start.asInstanceOf[DocStoreOffset].files
     val seen = startFiles.toSet
     val frontier = fixedEnd.getOrElse(snap()).files
+    requireAppendOnly(startFiles, listing.map(_._1).toSet)
     val fresh = frontier.filterNot(seen).sorted
     def cap(l: ReadLimit): Int = l match {
       case mf: ReadMaxFiles => mf.maxFiles()
@@ -969,9 +1006,14 @@ class DocStoreMicroBatchStream(
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[DocStoreOffset].files.toSet
-    val endSet = end.asInstanceOf[DocStoreOffset].files.toSet
+    val endFiles = end.asInstanceOf[DocStoreOffset].files
+    val endSet = endFiles.toSet
+    val live = listing
+    // a recovery replan iterates the CURRENT listing; offset files a
+    // rewrite retired would silently vanish from the batch — fail
+    requireAppendOnly(endFiles, live.map(_._1).toSet)
     val parts = ArrayBuffer.empty[InputPartition]
-    listing.foreach { case (f, pv) =>
+    live.foreach { case (f, pv) =>
       if (endSet(f) && !seen(f)) {
         var firstRow = 0L
         DocStore.footerBlocks(f).foreach { b =>
@@ -987,8 +1029,194 @@ class DocStoreMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     DocStore.readerFactory(listing, tableSchema, required, pushed)
 
-  override def deserializeOffset(json: String): Offset =
+  override def deserializeOffset(json: String): Offset = {
+    require(json.trim.startsWith("["),
+      "docstore: this checkpoint holds a snapshot-stream offset but the " +
+        s"store at $path is plain — was $path/${DocStore.SnapshotDir} " +
+        "removed? Restart from a fresh checkpoint.")
     DocStoreOffset(DocStore.parseOffsetJson(json))
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** A snapshot-store streaming offset: `version` = the newest manifest
+  * whose append delta has (partially) been emitted, `emitted` = how
+  * many of that delta's sorted files are already out (admission
+  * control can split one commit across micro-batches), and `base` =
+  * the version the stream STARTED from, whose FULL content was the
+  * first delta (versions ≤ base were folded into it). Manifests are
+  * immutable once committed, so (base, version, emitted) names an
+  * exact immutable row set — the checkpoint contract. */
+case class DocStoreSnapshotOffset(base: Long, version: Long, emitted: Int)
+    extends Offset {
+  override def json(): String =
+    s"""{"base":$base,"version":$version,"emitted":$emitted}"""
+}
+
+/** Micro-batch stream over a SNAPSHOT docstore: offsets are manifest
+  * versions, and each commit is CLASSIFIED by its manifest diff —
+  * a commit that only adds files is an APPEND (its delta streams), a
+  * commit that retires any file is a REWRITE (compaction, copy-on-write
+  * MERGE/DELETE): its outputs hold rows the stream already emitted
+  * from the retired inputs, so re-emitting them would duplicate.
+  * `onRewrite` picks the posture — `skip` (default; the commit's
+  * added files are NOT emitted, matching Delta's `skipChangeCommits`
+  * / Iceberg's append-only incremental scans; note a MERGE's
+  * genuinely-new inserted rows are skipped with it, the documented
+  * cost of the semantics) or `fail` (stop the stream: the pipeline
+  * owner decides). Recovery is PINNED to the offset's snapshot: a
+  * replanned batch reads its files from the immutable manifests, not
+  * the live listing, so a rewrite (even a vacuum, within retention)
+  * between crash and restart cannot lose rows — if retention already
+  * expired a needed version the stream fails with a clear error
+  * instead of silently dropping it. */
+class DocStoreSnapshotMicroBatchStream(
+    path: String,
+    tableSchema: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    maxFilesPerTrigger: Option[Int] = None,
+    onRewrite: String = "skip")
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // manifests are immutable once committed — cache forever (driver-side)
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[String]]()
+
+  private def manifest(v: Long): Seq[String] =
+    if (v <= 0L) Nil
+    else manifestCache.computeIfAbsent(v, _ =>
+      DocStore.readManifest(path, v).getOrElse(throw new IllegalStateException(
+        s"docstore: the stream needs snapshot v$v of $path but it is not " +
+          "committed/retained (expired by vacuum?) — the stream lags the " +
+          "store's retention; restart from a fresh checkpoint or raise " +
+          "vacuum keepVersions above the stream's maximum lag")))
+
+  /** The files version `v` contributes to the stream, relative paths,
+    * sorted: the full manifest at the stream's base version, the
+    * append delta later — EMPTY for a rewrite commit under
+    * onRewrite=skip, an error under onRewrite=fail. */
+  private def deltaOf(base: Long, v: Long): Seq[String] = {
+    if (v == base) return manifest(v).sorted
+    val cur = manifest(v)
+    val prev = manifest(v - 1).toSet
+    val retired = prev.diff(cur.toSet)
+    if (retired.isEmpty) cur.filterNot(prev).sorted
+    else if (onRewrite == "fail") throw new IllegalStateException(
+      s"docstore: snapshot v$v of $path is a REWRITE commit (retires " +
+        s"${retired.size} file(s), first: ${retired.head}) and this stream " +
+        "runs onRewrite=fail — its outputs hold rows the stream already " +
+        "emitted. Use onRewrite=skip to tail across rewrites, or reload " +
+        "from a fresh checkpoint to re-snapshot the table")
+    else Nil
+  }
+
+  private def currentVersion(): Long =
+    DocStore.currentSnapshot(path).map(_._1).getOrElse(0L)
+
+  private var fixedEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    fixedEnd = Some(currentVersion())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** A fresh stream starts AT the current snapshot: its full content
+    * is the first batch (same contract the plain stream's empty
+    * initial offset gives), then manifest deltas tail from there. */
+  override def initialOffset(): Offset = {
+    val v = currentVersion()
+    DocStoreSnapshotOffset(base = v, version = v, emitted = 0)
+  }
+
+  override def latestOffset(): Offset = {
+    val v = currentVersion()
+    DocStoreSnapshotOffset(v, v, deltaOf(v, v).size)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DocStoreSnapshotOffset]
+    val frontier = fixedEnd.getOrElse(currentVersion())
+    def cap(l: ReadLimit): Int = l match {
+      case mf: ReadMaxFiles => mf.maxFiles()
+      case _: ReadAllAvailable => Int.MaxValue
+      case c: CompositeReadLimit => c.getReadLimits.map(cap).min
+      case _ => Int.MaxValue
+    }
+    var budget = cap(limit)
+    var v = s.version
+    var k = s.emitted
+    var continue = true
+    while (continue && budget > 0) {
+      val files = deltaOf(s.base, v)
+      if (k < files.size) {
+        val take = math.min(budget, files.size - k)
+        k += take
+        budget -= take
+      } else if (v < frontier) { v += 1; k = 0 }
+      else continue = false
+    }
+    DocStoreSnapshotOffset(s.base, v, k)
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DocStoreSnapshotOffset]
+    val e = end.asInstanceOf[DocStoreSnapshotOffset]
+    // the batch's files come from the IMMUTABLE manifests the offsets
+    // name — never the live listing — so a rewrite or vacuum between
+    // crash and recovery replans the identical batch
+    val rels = (s.version to e.version).flatMap { v =>
+      val files = deltaOf(e.base, v)
+      val from = if (v == s.version) s.emitted else 0
+      val until = if (v == e.version) e.emitted else files.size
+      files.slice(from, until)
+    }
+    val listing = DocStore.pruneListing(
+      DocStore.resolveRels(path, rels), pushed)
+    plannedListing = listing
+    val parts = ArrayBuffer.empty[InputPartition]
+    listing.foreach { case (f, pv) =>
+      var firstRow = 0L
+      DocStore.footerBlocks(f).foreach { b =>
+        parts += DocStorePartition(f, b.getStartingPos, b.getCompressedSize,
+          pv, firstRowIndex = firstRow)
+        firstRow += b.getRowCount
+      }
+    }
+    parts.toArray
+  }
+
+  // the listing the current batch planned (readerFactory derives the
+  // partition-column set from it; the live listing is only a fallback
+  // for the degenerate everything-deleted store)
+  @volatile private var plannedListing: Seq[(String, Seq[(String, String)])] = Nil
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    DocStore.readerFactory(
+      if (plannedListing.nonEmpty) plannedListing
+      else DocStore.listFilesWithPartitions(path),
+      tableSchema, required, pushed)
+
+  override def deserializeOffset(json: String): Offset = {
+    require(json.trim.startsWith("{"),
+      "docstore: this checkpoint holds a plain-store file-set offset but " +
+        s"$path is now snapshot-enabled — version offsets cannot resume a " +
+        "file-set checkpoint. Restart from a fresh checkpoint (the first " +
+        "batch re-reads the current snapshot).")
+    def num(k: String): Long =
+      (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(json)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"docstore: malformed snapshot offset $json (missing $k)"))
+    DocStoreSnapshotOffset(num("base"), num("version"), num("emitted").toInt)
+  }
 
   override def commit(end: Offset): Unit = ()
 
@@ -1795,6 +2023,14 @@ object DocStore {
     * the store-relative `k=v` path segments, absolute paths qualify
     * through the store's filesystem so both listing modes compare
     * equal. */
+  /** Resolve store-relative manifest entries to the (absolute path,
+    * partition values) listing shape — the snapshot stream's
+    * pinned-version planning path. */
+  def resolveRels(path: String, rels: Seq[String]): Seq[(String, Seq[(String, String)])] = {
+    val root = new Path(path)
+    manifestListing(root.getFileSystem(new Configuration()), root, rels)
+  }
+
   private def manifestListing(fs: FileSystem, root: Path,
       rels: Seq[String]): Seq[(String, Seq[(String, String)])] =
     rels.sorted.map { rel =>

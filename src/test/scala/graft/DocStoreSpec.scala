@@ -747,6 +747,144 @@ class DocStoreSpec extends SparkSpec {
       s"rows after restart: ${rows.sorted}")
   }
 
+  test("snapshot stream across a mid-stream compaction: rewrite commits skipped, zero duplicates") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val store = tmpDir("docstore_snapstream")
+    val base = tmpDir("docstore_snapstream_sink")
+    val (out, cp) = (s"$base/out", s"$base/cp")
+    def drain(): Unit =
+      spark.readStream.format("docstore").option("path", store).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // two appended generations on a snapshot store
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store)
+      .option("snapshots", "true").mode("append").save() // v1
+    Seq((3L, "c")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store).mode("append").save() // v2
+    drain()
+    assert(spark.read.parquet(out).count() == 3)
+    // a compaction rewrites every emitted row under NEW file names —
+    // the exact commit that used to re-ingest everything
+    val st = graft.sources.DocStoreMaintenance.compact(
+      spark, store, smallerThan = Long.MaxValue) // v3 (rewrite)
+    assert(st.filesIn == 2 && st.filesOut >= 1)
+    // …then a genuine append lands (v4)
+    Seq((4L, "d")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store).mode("append").save()
+    drain()
+    // total emitted rows == appended rows, exactly: the rewrite commit
+    // contributed NOTHING, the append streamed
+    val rows = spark.read.parquet(out).as[(Long, String)].collect().toSeq.sorted
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      s"stream duplicated or lost rows across the compaction: $rows")
+    // nothing-new drain stays empty
+    drain()
+    assert(spark.read.parquet(out).count() == 4)
+  }
+
+  test("snapshot stream kill-and-recover across a compaction: recovery reads the pinned snapshot") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val store = tmpDir("docstore_snaprecover")
+    val base = tmpDir("docstore_snaprecover_sink")
+    val (out, cp) = (s"$base/out", s"$base/cp")
+    // a 3-file backlog on a snapshot store: 2+2+3 rows (v1..v3)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store)
+      .option("snapshots", "true").mode("append").save()
+    Seq((3L, "c"), (4L, "d")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store).mode("append").save()
+    Seq((5L, "e"), (6L, "f"), (7L, "g")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store).mode("append").save()
+    def reader = spark.readStream.format("docstore").option("path", store)
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+    // kill mid-backlog after the first one-file batch commits
+    val q = reader.trigger(Trigger.ProcessingTime(10000)).start()
+    val deadline = System.currentTimeMillis + 120000
+    while (!q.recentProgress.exists(_.numInputRows > 0) &&
+      System.currentTimeMillis < deadline) Thread.sleep(50)
+    q.stop(); q.awaitTermination()
+    val rowsAfterKill = spark.read.parquet(out).count()
+    assert(rowsAfterKill < 7, "the kill landed after the whole backlog drained")
+    // between crash and restart, a compaction retires every input file
+    // (the recovery-loss scenario: the files the offset names are no
+    // longer in the live listing — but the pinned manifests still
+    // reference them and they are still on disk)
+    graft.sources.DocStoreMaintenance.compact(
+      spark, store, smallerThan = Long.MaxValue)
+    // restart: the replanned + remaining batches read from the
+    // offset's snapshot — all 7 rows exactly once
+    val q2 = reader.trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val rows = spark.read.parquet(out).as[(Long, String)].collect().toSeq
+    assert(rows.length == 7 && rows.map(_._1).distinct.length == 7,
+      s"recovery across the compaction lost or duplicated rows: ${rows.sorted}")
+    // retention that expires a snapshot the checkpoint still needs is a
+    // CLEAR error on the next restart, not silent row loss
+    graft.sources.DocStoreMaintenance.vacuum(store, keepVersions = 1, graceMs = 0L): Unit
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q3 = reader.trigger(Trigger.AvailableNow()).start()
+      q3.awaitTermination()
+    }
+    assert(e.getMessage.contains("retention") || Option(e.getCause).exists(
+      c => String.valueOf(c.getMessage).contains("retention")),
+      s"expected a retention-lag error, got: ${e.getMessage}")
+  }
+
+  test("snapshot stream onRewrite=fail stops at a rewrite commit with a clear error") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val store = tmpDir("docstore_snapfail")
+    val base = tmpDir("docstore_snapfail_sink")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store)
+      .option("snapshots", "true").mode("append").save()
+    def drain(cpSuffix: String): Unit =
+      spark.readStream.format("docstore").option("path", store)
+        .option("onRewrite", "fail").load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/$cpSuffix")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    drain("cp")
+    Seq((3L, "c")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store).mode("append").save()
+    graft.sources.DocStoreMaintenance.compact(
+      spark, store, smallerThan = Long.MaxValue)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain("cp"))
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("REWRITE"), s"expected a rewrite-commit error, got: $msg")
+  }
+
+  test("plain-store stream fails loudly when committed files vanish (append-only contract)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val store = tmpDir("docstore_plainvanish")
+    val base = tmpDir("docstore_plainvanish_sink")
+    def drain(): Unit =
+      spark.readStream.format("docstore").option("path", store).load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store).mode("append").save()
+    Seq((3L, "c")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store).mode("append").save()
+    drain()
+    assert(spark.read.parquet(s"$base/out").count() == 3)
+    // a plain-store compaction DELETES the inputs and republishes their
+    // rows under new names — silent re-ingestion before; loud now
+    graft.sources.DocStoreMaintenance.compact(
+      spark, store, smallerThan = Long.MaxValue)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("append-only"), s"expected the append-only error, got: $msg")
+  }
+
   test("streaming sink: docstore-to-docstore pipeline with epoch-idempotent commits") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
