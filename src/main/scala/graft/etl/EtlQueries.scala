@@ -587,6 +587,49 @@ object EtlQueries {
         FROM orders GROUP BY 1 ORDER BY o_year""")),
 
     Q(
+      "etl_connector_schema_evolution",
+      "SCHEMA EVOLUTION through snapshot manifests — the reference's " +
+        "inferred-then-frozen wart (main.py:211-218, SURVEY §1.2) " +
+        "resolved the way table formats resolve it: generation 1 " +
+        "lands orders WITHOUT o_orderpriority, generation 2 adds the " +
+        "column via a mergeSchema write (validated SAFE at plan " +
+        "time: add-nullable-column / widen-int-to-bigint only; " +
+        "anything else fails before staging a byte). The read " +
+        "reconciles per-file schemas against the store schema — old " +
+        "files surface the added column as NULL, exactly DuckDB's " +
+        "union_by_name=true semantics, which the oracle mirrors with " +
+        "a CASE on the generation predicate. A wrong null-fill, a " +
+        "dropped generation, or a misprojected column is a hash " +
+        "mismatch.",
+      (s, dir) => {
+        val store = graft.Scratch.once(s"etl_docstore_evolve:$dir") { p =>
+          val o = Tables.t(s, dir, "orders")
+          o.filter(year(col("o_orderdate")) < 1995)
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+            .write.format("docstore").option("path", p)
+            .option("snapshots", "true").mode("append").save()
+          o.filter(year(col("o_orderdate")) >= 1995)
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+              col("o_orderpriority"))
+            .write.format("docstore").option("path", p)
+            .option("mergeSchema", "true").mode("append").save()
+        }
+        s.read.format("docstore").option("path", store).load()
+          .groupBy(year(col("o_orderdate")).cast("int").as("o_year"),
+            coalesce(col("o_orderpriority"), lit("<pre-evolution>")).as("prio"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("o_year", "prio")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          CASE WHEN year(o_orderdate) >= 1995 THEN o_orderpriority
+               ELSE '<pre-evolution>' END AS prio,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q(
       "etl_connector_compact",
       "Small-file COMPACTION as an atomic snapshot commit: four drip " +
         "appends (the streaming-ingest pattern) leave four files per " +

@@ -120,8 +120,11 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    DocStoreTable(DocStore.pathOf(new CaseInsensitiveStringMap(properties)), schema)
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    DocStoreTable(DocStore.pathOf(opts), schema,
+      mergeSchema = opts.getBoolean("mergeSchema", false))
+  }
 }
 
 case class DocStoreTable(path: String, tableSchema: StructType,
@@ -130,7 +133,13 @@ case class DocStoreTable(path: String, tableSchema: StructType,
     // or the path API's versionAsOf read option): reads list that
     // manifest; writes/deletes against a pinned table are rejected by
     // Spark's own time-travel analysis
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    // `mergeSchema=true` write option: the write brings a SAFELY
+    // EVOLVED schema (snapshot stores only — validated in the write
+    // builder against [[DocStore.reconcileSchemas]]); declares
+    // ACCEPT_ANY_SCHEMA so Spark's by-name output resolution doesn't
+    // reject the new columns up front
+    mergeSchema: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations
     with SupportsMetadataColumns {
@@ -180,7 +189,7 @@ case class DocStoreTable(path: String, tableSchema: StructType,
     // positional VALUES columns (col1…colN, uncast) to the table's
     // names and types; ACCEPT_ANY_SCHEMA would skip that and corrupt
     // the written field names.
-    if (tableSchema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    if (tableSchema.isEmpty || mergeSchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -775,18 +784,25 @@ class DocStoreReader(
   private val partVals = part.partValues.toMap
   private val projSet = projectCols.toSet
 
+  // schema evolution: a projected column ABSENT from this (older or
+  // newer) file reads as null — presence decides what parquet actually
+  // materializes here
+  private val presentProj: Seq[String] =
+    projectCols.toSeq.filter(fileSchema.containsField)
+
   // projection in required-column order (filter-only columns appended),
   // carrying the file's own physical types, nested-pruned to the
   // required struct subfields
   private val projSchema: MessageType = {
     val dtByName = required.fields.map(f => f.name -> f.dataType).toMap
     val kept =
-      if (projectCols.isEmpty)
-        // COUNT(*)-style scans prune to zero columns; parquet needs at
-        // least one column to drive row materialization — read the
-        // narrowest and emit empty rows
+      if (presentProj.isEmpty)
+        // COUNT(*)-style scans prune to zero columns (and an old file
+        // can lack every projected column); parquet needs at least one
+        // column to drive row materialization — read the narrowest and
+        // emit null/constant rows
         Seq(DocStore.narrowest(fileSchema))
-      else projectCols.toSeq.map { c =>
+      else presentProj.map { c =>
         val ft = fileSchema.getType(Seq(c): _*)
         dtByName.get(c).map(dt => DocStore.projectType(ft, dt)).getOrElse(ft)
       }
@@ -806,13 +822,29 @@ class DocStoreReader(
   private val filePathStr = UTF8String.fromString(part.file)
   private var rowIdx: Long = math.max(part.firstRowIndex, 0L) - 1
 
-  /** With `_pos` projected, parquet RECORD-level filtering must not
-    * drop rows before they're counted — row-group-granular stats/
-    * dictionary pruning stays on (whole-group skips can't disturb the
-    * counter: each split counts from its own first-row index), and the
-    * reader applies the pushed predicates itself, exactly, per row
-    * ([[DocStore.evalFilter]]). */
-  private val selfFilter = needPos && pushed.nonEmpty
+  /** Pushed data filters convert to a parquet predicate only when this
+    * file carries every referenced column at the table's exact type —
+    * an evolved file (column added later, or int pages under a widened
+    * bigint column) can't evaluate them page-side. */
+  private val filtersExactHere = pushed.isEmpty ||
+    pushed.flatMap(_.references).distinct.forall { c =>
+      fileSchema.containsField(c) && {
+        val ft = fileSchema.getType(Seq(c): _*)
+        DocStore.toStructType(new MessageType("probe", Seq(ft).asJava))
+          .fields(0).dataType == tableSchema(c).dataType
+      }
+    }
+
+  /** The reader evaluates pushed predicates itself, exactly, per row
+    * ([[DocStore.evalFilter]]) in two cases: (1) `_pos` projected —
+    * parquet RECORD-level filtering must not drop rows before they're
+    * counted (row-group-granular stats/dictionary pruning stays on;
+    * whole-group skips can't disturb the counter: each split counts
+    * from its own first-row index); (2) schema evolution left this
+    * file unable to evaluate a filter page-side (missing column reads
+    * null → SQL three-valued semantics; widened column compares as
+    * the table type). */
+  private val selfFilter = pushed.nonEmpty && (needPos || !filtersExactHere)
 
   private val reader: ParquetReader[Group] = {
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
@@ -823,37 +855,43 @@ class DocStoreReader(
       .builder(new GroupReadSupport(), new Path(part.file))
       .withConf(conf)
       .withFileRange(part.start, part.start + part.length)
-    DocStore.toPredicate(pushed, fileSchema) match {
+    (if (filtersExactHere) DocStore.toPredicate(pushed, fileSchema) else None) match {
       case Some(p) => b.withFilter(FilterCompat.get(p)).build()
       case None => b.build()
     }
   }
 
   // filter-column accessors for the self-filtering path: projected
-  // position + converter to Spark-internal form
+  // position + converter to Spark-internal form; a column this file
+  // lacks evaluates as null
   private val filterGet: Map[String, (Int, Group => Any)] =
     if (!selfFilter) Map.empty
-    else pushed.flatMap(_.references).distinct.map { c =>
-      val j = projectCols.indexOf(c)
-      require(j >= 0, s"docstore: filter column $c not projected")
-      c -> ((j, DocStore.converter(projSchema.getType(j),
-        tableSchema(c).dataType, j)))
-    }.toMap
+    else pushed.flatMap(_.references).distinct
+      .filter(fileSchema.containsField).map { c =>
+        val j = presentProj.indexOf(c)
+        require(j >= 0, s"docstore: filter column $c not projected")
+        c -> ((j, DocStore.converter(projSchema.getType(j),
+          tableSchema(c).dataType, j)))
+      }.toMap
 
   private def passes(g: Group): Boolean = {
-    val colv: String => Any = c => {
-      val (j, conv) = filterGet(c)
-      if (g.getFieldRepetitionCount(j) == 0) null else conv(g)
+    val colv: String => Any = c => filterGet.get(c) match {
+      case None => null // column absent from this file: reads null
+      case Some((j, conv)) =>
+        if (g.getFieldRepetitionCount(j) == 0) null else conv(g)
     }
     pushed.forall(f => DocStore.evalFilter(f, colv, tableSchema).contains(true))
   }
 
   // per output column: either a converter bound to its projected
-  // position, or a split-constant partition value (projPos -1)
+  // position, or a split-constant partition value / evolved-null
+  // (projPos -1)
   private val projPos: Array[Int] = {
+    val presentSet = presentProj.toSet
     var j = -1
     required.fields.map { f =>
-      if (projSet.contains(f.name)) { j += 1; j } else -1
+      if (projSet.contains(f.name) && presentSet.contains(f.name)) { j += 1; j }
+      else -1
     }
   }
   private val convs: Array[Group => Any] =
@@ -1448,6 +1486,25 @@ class DocStoreWriteBuilder(path: String, info: LogicalWriteInfo,
           case (t, w) => StructField(t.name, w.dataType, w.nullable)
         })
       else qSchema
+
+    // mergeSchema (schema evolution): validate the write's schema is a
+    // SAFE evolution of the store's — at PLAN time, so an unsafe write
+    // fails before staging a byte, and the store can never become
+    // unreadable (the read-side reconcile would throw the same error)
+    if (info.options().getBoolean("mergeSchema", false) && !truncateFirst) {
+      require(DocStore.snapshotEnabled(path) || DocStore.listFiles(path).isEmpty,
+        s"docstore: mergeSchema writes (schema evolution) need a snapshot " +
+          s"store — $path is plain; enable snapshots first " +
+          "(DocStoreMaintenance.enableSnapshots)")
+      val existing = DocStore.inferStoreSchema(path)
+      val existingData = StructType(
+        existing.fields.filterNot(f => partitionBy.contains(f.name)))
+      val writeData = StructType(
+        writeSchema.fields.filterNot(f => partitionBy.contains(f.name)))
+      if (existingData.nonEmpty)
+        DocStore.reconcileSchemas(Seq(
+          s"store $path" -> existingData, "this write" -> writeData)): Unit
+    }
 
     override def requiredDistribution(): Distribution =
       if (partPos.isEmpty) Distributions.unspecified()
@@ -2223,32 +2280,93 @@ object DocStore {
   def listFiles(path: String): Seq[String] =
     listFilesWithPartitions(path).map(_._1)
 
-  /** Store schema = the (drift-checked) file schema plus the partition
-    * columns recovered from the directory layout. An empty store is a
-    * fresh write target: the writing query brings the schema
+  /** Store schema = the file schema plus the partition columns
+    * recovered from the directory layout. An empty store is a fresh
+    * write target: the writing query brings the schema
     * (ACCEPT_ANY_SCHEMA), so it infers as empty. One footer per file —
-    * the same O(files) metadata pass split planning does. Schema drift
-    * across store files is an ERROR up front, not a silent
-    * misprojection through the first file's schema. Drift is
-    * STRUCTURAL (converted Spark schemas): the parquet root message
-    * name differs across writers (this sink vs Spark's own) and
-    * physical timestamp units are normalized per file by the reader,
-    * so neither is drift. */
+    * the same O(files) metadata pass split planning does.
+    *
+    * PLAIN stores require one schema: drift across files is an ERROR
+    * up front, not a silent misprojection through the first file's
+    * schema. Drift is STRUCTURAL (converted Spark schemas): the
+    * parquet root message name differs across writers (this sink vs
+    * Spark's own) and physical timestamp units are normalized per
+    * file by the reader, so neither is drift.
+    *
+    * SNAPSHOT stores EVOLVE: per-file schemas reconcile into the
+    * table schema ([[reconcileSchemas]]) the way table formats
+    * resolve the reference's inferred-then-frozen wart
+    * (main.py:211-218) — SAFE changes only (add a nullable column;
+    * widen int→bigint), anything else still errors. The files
+    * themselves are the schema log (footers are authoritative and
+    * immutable; manifests add atomic visibility), so catalog and
+    * path reads can never disagree. */
   def inferStoreSchema(path: String): StructType = {
     val listing = listFilesWithPartitions(path)
     if (listing.isEmpty) new StructType()
     else {
       val first = toStructType(fileSchema(listing.head._1))
-      listing.tail.foreach { case (f, _) =>
-        val s = toStructType(fileSchema(f))
-        require(s == first,
-          s"docstore: schema drift across store files — $f has\n$s\nbut ${listing.head._1} has\n$first")
-      }
+      val dataSchema =
+        if (snapshotEnabled(path))
+          reconcileSchemas(listing.map { case (f, _) =>
+            f -> toStructType(fileSchema(f)) })
+        else {
+          listing.tail.foreach { case (f, _) =>
+            val s = toStructType(fileSchema(f))
+            require(s == first,
+              s"docstore: schema drift across store files — $f has\n$s\nbut ${listing.head._1} has\n$first" +
+                "\n(snapshot-enabled stores support safe schema evolution; " +
+                "plain stores require one schema)")
+          }
+          first
+        }
       val partFields = listing.head._2.map { case (k, _) =>
         StructField(k, StringType, nullable = true)
       }
-      StructType(first.fields.toSeq ++ partFields)
+      StructType(dataSchema.fields.toSeq ++ partFields)
     }
+  }
+
+  /** Reconcile per-file schemas into one table schema — first-seen
+    * field order, later-added columns appended. SAFE changes only:
+    * a column absent from some files reads as null there (so it
+    * reconciles nullable); int and bigint for the same column widen
+    * to bigint (old INT32 pages read as long). Any other type change
+    * — including nested-type changes, which must match exactly — is
+    * an unsafe evolution and errors with both file names. */
+  private[sources] def reconcileSchemas(
+      schemas: Seq[(String, StructType)]): StructType = {
+    val merged = mutable.LinkedHashMap.empty[String, StructField]
+    val seenIn = mutable.Map.empty[String, Int]
+    val firstFile = mutable.Map.empty[String, String]
+    schemas.foreach { case (file, s) =>
+      s.fields.foreach { fld =>
+        seenIn(fld.name) = seenIn.getOrElse(fld.name, 0) + 1
+        merged.get(fld.name) match {
+          case None =>
+            merged(fld.name) = fld
+            firstFile(fld.name) = file
+          case Some(prev) =>
+            val dt =
+              if (prev.dataType == fld.dataType) prev.dataType
+              else (prev.dataType, fld.dataType) match {
+                case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+                case _ => throw new IllegalArgumentException(
+                  s"docstore: UNSAFE schema change on column '${fld.name}' — " +
+                    s"$file has ${fld.dataType.simpleString} but " +
+                    s"${firstFile(fld.name)} has ${prev.dataType.simpleString}; " +
+                    "snapshot stores evolve by ADDING nullable columns or " +
+                    "WIDENING int->bigint only")
+              }
+            merged(fld.name) =
+              prev.copy(dataType = dt, nullable = prev.nullable || fld.nullable)
+        }
+      }
+    }
+    val n = schemas.size
+    StructType(merged.values.map { f =>
+      if (seenIn(f.name) < n) f.copy(nullable = true) else f
+    }.toSeq)
   }
 
   /** Planning-time partition pruning: drop files whose directory
@@ -2732,6 +2850,14 @@ object DocStore {
     * and maps. The projected group's subfields are in required-struct
     * order (see [[projectType]]), so positional binding is exact. */
   def converter(t: Type, dt: DataType, i: Int): Group => Any = (t, dt) match {
+    // SAFE WIDENING (snapshot-store schema evolution): a file written
+    // before an int column was widened to bigint carries INT32; the
+    // table reads it as long
+    case (p: PrimitiveType, LongType)
+        if p.getPrimitiveTypeName == PrimitiveTypeName.INT32 &&
+          !p.isRepetition(Type.Repetition.REPEATED) &&
+          p.getLogicalTypeAnnotation == null =>
+      g => g.getInteger(i, 0).toLong
     case (p: PrimitiveType, ArrayType(_, _)) if p.isRepetition(Type.Repetition.REPEATED) =>
       val acc = primAt(p)
       g => {

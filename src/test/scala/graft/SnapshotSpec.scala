@@ -335,6 +335,56 @@ class SnapshotSpec extends SparkSpec {
       .head.getLong(0) == 2)
   }
 
+  test("schema evolution on snapshot stores: add nullable column, widen int to bigint; unsafe changes rejected") {
+    import spark.implicits._
+    val store = tmpDir("snapevolve")
+    // generation 1: (k int, v string)
+    Seq((1, "a"), (2, "b")).toDF("k", "v")
+      .write.format("docstore").option("path", store)
+      .option("snapshots", "true").mode("append").save()
+    // generation 2 EVOLVES: k widened to bigint, nullable column added
+    Seq((3L, "c", 1.5), (4L, "d", 2.5)).toDF("k", "v", "score")
+      .write.format("docstore").option("path", store)
+      .option("mergeSchema", "true").mode("append").save()
+    val df = spark.read.format("docstore").option("path", store).load()
+    // reconciled schema: k is bigint, score exists and is nullable
+    assert(df.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("score").nullable)
+    // old files read score as null, widened k as long
+    val rows = df.orderBy("k")
+      .select(col("k"), col("v"), col("score")).collect().toSeq
+    assert(rows.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))) ==
+      Seq((1L, "a", None), (2L, "b", None),
+        (3L, "c", Some(1.5)), (4L, "d", Some(2.5))))
+    // filters on the evolved column apply exactly (null never passes >)
+    assert(df.filter(col("score") > 2.0).select("k").as[Long].collect().toSeq == Seq(4L))
+    assert(df.filter(col("score").isNull).count() == 2)
+    // projecting ONLY the new column over an old file yields nulls
+    assert(df.select("score").collect().count(_.isNullAt(0)) == 2)
+    // aggregate pushdown refuses evolved columns per-file (stats absent
+    // from old files) but still answers correctly through the data scan
+    assert(df.agg(sum("k")).head.getLong(0) == 10L)
+    // UNSAFE: a type change that isn't int->bigint fails the WRITE, at
+    // plan time, with both sides named
+    val e = intercept[Exception] {
+      Seq(("x", "y", 1.0)).toDF("k", "v", "score")
+        .write.format("docstore").option("path", store)
+        .option("mergeSchema", "true").mode("append").save()
+    }
+    assert(e.getMessage.contains("UNSAFE schema change"))
+    // …and a mergeSchema write to a PLAIN store is refused outright
+    val plain = tmpDir("plainevolve")
+    Seq((1, "a")).toDF("k", "v")
+      .write.format("docstore").option("path", plain).mode("append").save()
+    val e2 = intercept[Exception] {
+      Seq((2, "b", 1.0)).toDF("k", "v", "score")
+        .write.format("docstore").option("path", plain)
+        .option("mergeSchema", "true").mode("append").save()
+    }
+    assert(e2.getMessage.contains("snapshot store"))
+  }
+
   test("streaming sink into a snapshot store: epochs become visible at the manifest swap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
