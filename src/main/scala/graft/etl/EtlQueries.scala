@@ -389,6 +389,38 @@ object EtlQueries {
         ORDER BY o_orderkey DESC LIMIT 10""")),
 
     Q(
+      "etl_connector_topn_multi",
+      "MULTI-COLUMN TOP-N PUSHDOWN: `ORDER BY o_custkey, o_orderkey " +
+        "LIMIT 12` — a lexicographic PREFIX of the sink's sortBy, the " +
+        "natural query over a clustered store (ORDER BY (year, ts) on " +
+        "a time-clustered feed). Per-column footer extrema bound " +
+        "every row's key TUPLE ([mins…] ≤ row ≤ [maxs…] " +
+        "lexicographically), giving the same exact k-covering " +
+        "threshold as the single-key path; accepted only when all " +
+        "keys sort one direction and every row group is null-free in " +
+        "every key (footers can't order null tuples — DocStoreSpec " +
+        "pins both refusals and the pruned split count). The key " +
+        "tuple is unique (o_orderkey), so the oracle's top-12 is " +
+        "deterministic and any over-pruned row group is a hash " +
+        "mismatch.",
+      (s, dir) => {
+        val store = graft.Scratch.once(s"etl_connector_topn_multi:$dir") { p =>
+          Tables.t(s, dir, "orders")
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+            .write.format("docstore").option("path", p)
+            .option("sortBy", "o_custkey,o_orderkey")
+            .option("rowGroupBytes", "16384")
+            .mode("overwrite").save()
+        }
+        s.read.format("docstore").option("path", store).load()
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+          .limit(12)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        ORDER BY o_custkey, o_orderkey LIMIT 12""")),
+
+    Q(
       "etl_connector_file_lineage",
       "METADATA COLUMNS (SupportsMetadataColumns): every row exposes " +
         "its source file (`_file`) and 0-based row position within it " +

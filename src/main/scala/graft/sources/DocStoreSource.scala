@@ -306,7 +306,7 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
   private var required: StructType = tableSchema
   private var aggSpecs: Option[(Seq[String], Seq[DocStore.AggSpec], StructType)] = None
   private var limit: Option[Int] = None
-  private var topN: Option[(String, Boolean, Int)] = None // (col, desc, k)
+  private var topN: Option[(Seq[String], Boolean, Int)] = None // (cols, desc, k)
 
   /** PARTIAL top-N pushdown: `ORDER BY key LIMIT k` over a store whose
     * row groups carry min/max on the sort key — the read-side payoff
@@ -326,34 +326,49 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
     * its TakeOrderedAndProject, so this can only shrink the scan,
     * never change a result. */
   override def pushTopN(orders: Array[ConnSortOrder], k: Int): Boolean = {
-    if (orders.length != 1 || k <= 0) return false
-    val o = orders(0)
-    val col = o.expression() match {
+    if (orders.isEmpty || k <= 0) return false
+    val colOpts = orders.toSeq.map(_.expression() match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
-        nr.fieldNames()(0)
-      case _ => return false
-    }
-    val desc = (o.direction(), o.nullOrdering()) match {
-      case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) => false
-      case (SortDirection.DESCENDING, NullOrdering.NULLS_LAST) => true
-      case _ => return false
-    }
-    if (!statTypeOk(col, needOrder = true)) return false
+        Some(nr.fieldNames()(0))
+      case _ => None
+    })
+    if (colOpts.exists(_.isEmpty)) return false
+    val cols = colOpts.flatten
+    val dirOpts = orders.toSeq.map(o => (o.direction(), o.nullOrdering()) match {
+      case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) => Some(false)
+      case (SortDirection.DESCENDING, NullOrdering.NULLS_LAST) => Some(true)
+      case _ => None
+    })
+    // MULTI-COLUMN orderings bound lexicographically: per-column
+    // extrema bound every row's tuple ([mins…] ≤ row ≤ [maxs…],
+    // because each component is bounded independently) — the natural
+    // clustered-store query being `ORDER BY <prefix of the sink's
+    // sortBy> LIMIT k`. Sound only when all keys sort the SAME
+    // direction (mixed directions break the tuple bound) and, beyond
+    // one key, every key column is NULL-FREE in every row group
+    // (footers count nulls but can't order null tuples).
+    if (dirOpts.exists(_.isEmpty) || dirOpts.flatten.distinct.length != 1)
+      return false
+    val desc = dirOpts.head.get
+    if (cols.exists(c => !statTypeOk(c, needOrder = true))) return false
     if (pushed.exists(f => !DocStore.isPartitionFilter(f, partCols))) return false
     // every row group of every surviving file must carry usable stats
     val files = DocStore.pruneListing(listing, pushed).map(_._1)
     val ok = files.nonEmpty && files.forall { f =>
       DocStore.footerBlocks(f).forall { b =>
-        b.getColumns.asScala.find(_.getPath.toDotString == col).exists { m =>
-          val st = m.getStatistics
-          st != null && !st.isEmpty && st.isNumNullsSet &&
-            (st.hasNonNullValue || st.getNumNulls == b.getRowCount) &&
-            (st.isInstanceOf[IntStatistics] || st.isInstanceOf[LongStatistics])
+        cols.forall { col =>
+          b.getColumns.asScala.find(_.getPath.toDotString == col).exists { m =>
+            val st = m.getStatistics
+            st != null && !st.isEmpty && st.isNumNullsSet &&
+              (st.hasNonNullValue || st.getNumNulls == b.getRowCount) &&
+              (st.isInstanceOf[IntStatistics] || st.isInstanceOf[LongStatistics]) &&
+              (cols.length == 1 || st.getNumNulls == 0L)
+          }
         }
       }
     }
     if (!ok) return false
-    topN = Some((col, desc, k))
+    topN = Some((cols, desc, k))
     true
   }
 
@@ -502,7 +517,7 @@ case class DocStoreScan(
     maxFilesPerTrigger: Option[Int] = None,
     groupFilterOnly: Boolean = false,
     limitHint: Option[Int] = None,
-    topNHint: Option[(String, Boolean, Int)] = None,
+    topNHint: Option[(Seq[String], Boolean, Int)] = None,
     versionAsOf: Option[Long] = None,
     onRewrite: String = "skip")
     extends Scan with Batch
@@ -621,8 +636,9 @@ case class DocStoreScan(
   override def description(): String =
     s"DocStoreScan path=$path, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
-      topNHint.map { case (c, d, k) =>
-        s"PushedTopN: [ORDER BY $c ${if (d) "DESC" else "ASC"} LIMIT $k], "
+      topNHint.map { case (cs, d, k) =>
+        s"PushedTopN: [ORDER BY ${cs.mkString(", ")} " +
+          s"${if (d) "DESC" else "ASC"} LIMIT $k], "
       }.getOrElse("") +
       s"ReadSchema: ${required.catalogString}"
 
@@ -665,6 +681,50 @@ case class DocStoreScan(
     Some(out.toSeq)
   }
 
+  /** Footer digest for the MULTI-KEY top-N bound: per row group, the
+    * per-column minima and maxima as lexicographic tuple bounds.
+    * Pushdown already verified every key column is null-free in every
+    * row group; empty row groups contribute nothing and are skipped
+    * (so they prune). Incomplete stats at plan time → None (a file
+    * can have been replaced since acceptance). */
+  private def topNStatsMulti(cols: Seq[String], files: Seq[String])
+      : Option[Seq[(String, Long, Long, Seq[Long], Seq[Long])]] = {
+    val out = ArrayBuffer.empty[(String, Long, Long, Seq[Long], Seq[Long])]
+    files.foreach { f =>
+      val norms: Seq[Long => Long] = cols.map { col =>
+        DocStore.fileSchema(f).getType(Seq(col): _*).asPrimitiveType()
+          .getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+            case TimeUnit.NANOS => (v: Long) => Math.floorDiv(v, 1000L)
+            case TimeUnit.MILLIS => (v: Long) => Math.multiplyExact(v, 1000L)
+            case _ => identity[Long] _
+          }
+          case _ => identity[Long] _
+        }
+      }
+      DocStore.footerBlocks(f).foreach { b =>
+        if (b.getRowCount > 0L) {
+          val mms = cols.zip(norms).map { case (col, norm) =>
+            b.getColumns.asScala.find(_.getPath.toDotString == col)
+              .map(_.getStatistics).orNull match {
+              case s: IntStatistics if s.hasNonNullValue &&
+                s.isNumNullsSet && s.getNumNulls == 0L =>
+                Some((norm(s.getMin.toLong), norm(s.getMax.toLong)))
+              case s: LongStatistics if s.hasNonNullValue &&
+                s.isNumNullsSet && s.getNumNulls == 0L =>
+                Some((norm(s.getMin), norm(s.getMax)))
+              case _ => None
+            }
+          }
+          if (mms.exists(_.isEmpty)) return None
+          out += ((f, b.getStartingPos, b.getRowCount,
+            mms.map(_.get._1), mms.map(_.get._2)))
+        }
+      }
+    }
+    Some(out.toSeq)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val types = partColsOrdered.map(c =>
       tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType))
@@ -680,9 +740,13 @@ case class DocStoreScan(
     val pruned = DocStore.pruneListing(listing, allPushed)
     val keep: ((String, Long)) => Boolean =
       topNHint.filter(_ => boundsOk)
-        .flatMap { case (c, desc, k) =>
-          topNStats(c, pruned.map(_._1))
-            .flatMap(st => DocStore.topNKeepSet(st, desc, k))
+        .flatMap { case (cs, desc, k) =>
+          if (cs.length == 1)
+            topNStats(cs.head, pruned.map(_._1))
+              .flatMap(st => DocStore.topNKeepSet(st, desc, k))
+          else
+            topNStatsMulti(cs, pruned.map(_._1))
+              .flatMap(st => DocStore.topNKeepSetMulti(st, desc, k))
         } match {
         case Some(set) => set.contains _
         case None => _ => true
@@ -2512,6 +2576,40 @@ object DocStore {
         case (f, pos, _, nulls, mm) if nulls > 0 || mm.exists(_._1 <= t) =>
           (f, pos)
       }.toSet)
+    }
+  }
+
+  /** Multi-key (lexicographic) variant of [[topNKeepSet]] from
+    * per-group tuple bounds `(file, startPos, rows, mins, maxs)` —
+    * every row's key tuple satisfies mins ≤ row ≤ maxs
+    * lexicographically (each component bounded independently; a tie
+    * on an earlier component defers to a bounded later one). Pushdown
+    * verified zero nulls in every key column, so rows ≡ ranked rows:
+    * find the tightest tuple threshold T guaranteed to cover ≥ k rows
+    * from the groups' far bounds, keep exactly the groups whose near
+    * bound reaches T. None when fewer than k rows exist (keep all). */
+  def topNKeepSetMulti(
+      stats: Seq[(String, Long, Long, Seq[Long], Seq[Long])],
+      desc: Boolean,
+      k: Int): Option[Set[(String, Long)]] = {
+    import scala.math.Ordering.Implicits._
+    if (stats.map(_._3).sum < k) return None
+    var cum = 0L
+    if (desc) {
+      // largest T with Σ_{mins ≥ T} rows ≥ k — all of a group's rows
+      // rank at-or-after its mins tuple under DESC
+      var t: Seq[Long] = null
+      val it = stats.sortBy(_._4).reverseIterator
+      while (cum < k && it.hasNext) { val g = it.next(); cum += g._3; t = g._4 }
+      Some(stats.collect { case (f, pos, _, _, maxs) if maxs >= t =>
+        (f, pos) }.toSet)
+    } else {
+      // smallest T with Σ_{maxs ≤ T} rows ≥ k
+      var t: Seq[Long] = null
+      val it = stats.sortBy(_._5).iterator
+      while (cum < k && it.hasNext) { val g = it.next(); cum += g._3; t = g._5 }
+      Some(stats.collect { case (f, pos, _, mins, _) if mins <= t =>
+        (f, pos) }.toSet)
     }
   }
 

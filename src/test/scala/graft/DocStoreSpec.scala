@@ -407,7 +407,7 @@ class DocStoreSpec extends SparkSpec {
     // DESC NULLS LAST (Spark default): footer extrema bound the top-k
     val q = load().orderBy(col("o_orderkey").desc).limit(5)
     val scan = docStoreScanOf(q)
-    assert(scan.topNHint.contains(("o_orderkey", true, 5)), "top-N not pushed")
+    assert(scan.topNHint.contains((Seq("o_orderkey"), true, 5)), "top-N not pushed")
     val planned = scan.planInputPartitions().length
     assert(planned < total && planned >= 1, s"$planned of $total planned")
     assert(q.collect().map(_.getLong(0)).toSeq == want,
@@ -415,7 +415,7 @@ class DocStoreSpec extends SparkSpec {
     // ASC NULLS FIRST prunes from the other end
     val asc = load().orderBy(col("o_orderkey")).limit(5)
     val ascScan = docStoreScanOf(asc)
-    assert(ascScan.topNHint.contains(("o_orderkey", false, 5)))
+    assert(ascScan.topNHint.contains((Seq("o_orderkey"), false, 5)))
     assert(ascScan.planInputPartitions().length < total)
     val wantAsc = spark.read.parquet(s"$sfDir/orders.parquet")
       .select("o_orderkey").orderBy("o_orderkey").limit(5)
@@ -435,6 +435,62 @@ class DocStoreSpec extends SparkSpec {
       .orderBy(col("o_orderkey").desc).limit(5)
       .collect().map(_.getLong(0)).toSeq
     assert(filt.collect().map(_.getLong(0)).toSeq == wantFilt)
+  }
+
+  test("multi-column top-N pushes lexicographic bounds; mixed directions and nullable keys refuse") {
+    import spark.implicits._
+    val dir = tmpDir("docstore_topn_multi")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .write.format("docstore").option("path", dir)
+      .option("sortBy", "o_custkey,o_orderkey")
+      .option("rowGroupBytes", "4096").mode("overwrite").save()
+    val total = graft.sources.DocStore
+      .listFiles(dir).map(f => graft.sources.DocStore.footerBlocks(f).size).sum
+    assert(total > 3, s"fixture produced only $total row groups — vacuous")
+    def load() = spark.read.format("docstore").option("path", dir).load()
+    def want(q: org.apache.spark.sql.DataFrame) =
+      q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ref = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey", "o_orderkey")
+    // DESC on the sink's sortBy prefix: per-column extrema bound every
+    // row's tuple lexicographically
+    val q = load().orderBy(col("o_custkey").desc, col("o_orderkey").desc)
+      .limit(5).select("o_custkey", "o_orderkey")
+    val scan = docStoreScanOf(q)
+    assert(scan.topNHint.contains((Seq("o_custkey", "o_orderkey"), true, 5)),
+      "multi-column top-N not pushed")
+    val planned = scan.planInputPartitions().length
+    assert(planned < total && planned >= 1, s"$planned of $total planned")
+    assert(want(q) == want(
+      ref.orderBy(col("o_custkey").desc, col("o_orderkey").desc).limit(5)),
+      "multi-column top-N pruning changed the result")
+    // ASC prunes from the other end
+    val asc = load().orderBy(col("o_custkey"), col("o_orderkey"))
+      .limit(5).select("o_custkey", "o_orderkey")
+    assert(docStoreScanOf(asc).topNHint
+      .contains((Seq("o_custkey", "o_orderkey"), false, 5)))
+    assert(docStoreScanOf(asc).planInputPartitions().length < total)
+    assert(want(asc) == want(
+      ref.orderBy(col("o_custkey"), col("o_orderkey")).limit(5)))
+    // MIXED directions break the tuple bound: refused, result exact
+    val mixed = load().orderBy(col("o_custkey").desc, col("o_orderkey").asc)
+      .limit(5).select("o_custkey", "o_orderkey")
+    assert(docStoreScanOf(mixed).topNHint.isEmpty, "mixed directions must refuse")
+    assert(want(mixed) == want(
+      ref.orderBy(col("o_custkey").desc, col("o_orderkey").asc).limit(5)))
+    // a NULLABLE key refuses the multi-key bound (footers can't order
+    // null tuples) but the same column alone still pushes
+    val nd = tmpDir("docstore_topn_nulls")
+    Seq((Some(5L), 1L), (None, 2L), (Some(3L), 3L), (Some(7L), 4L))
+      .toDF("a", "b").coalesce(1)
+      .write.format("docstore").option("path", nd).mode("overwrite").save()
+    def loadNd() = spark.read.format("docstore").option("path", nd).load()
+    val multiNull = loadNd().orderBy(col("a").desc, col("b").desc).limit(2)
+    assert(docStoreScanOf(multiNull).topNHint.isEmpty, "nullable multi-key must refuse")
+    assert(multiNull.select("b").as[Long].collect().toSeq == Seq(4L, 1L))
+    val singleNull = loadNd().orderBy(col("a").desc).limit(2)
+    assert(docStoreScanOf(singleNull).topNHint.contains((Seq("a"), true, 2)))
   }
 
   test("metadata columns _file/_pos: exact lineage, no cost unselected, filter-safe positions") {
