@@ -2903,16 +2903,23 @@ object Stats {
           "CAST(b AS STRING), ':', CAST(x.d AS STRING))), 1, 8), 16, 10) " +
           "AS BIGINT), 2) = 0, x.diff, -x.diff))), " +
           "CAST(0.0 AS DOUBLE), (a, y) -> a + y)"
+        // t_obs and the 200 replicate sums materialize ONCE in a prior
+        // projection, each referenced more than once downstream so
+        // CollapseProject cannot inline the O(days·log days) folds back
+        // into the filter lambda (the fold-inline hazard QueriesSpec
+        // lints: an invariant re-evaluated per replicate)
         diffs
           .agg(sort_array(collect_list(struct(col("d"), col("diff")))).as("ds"))
+          .select(col("ds"),
+            expr(tFold).as("t_raw"),
+            expr(s"transform(sequence(1, 200), b -> $permFold)").as("sbs"))
           .select(
             size(col("ds")).cast("long").as("n_days"),
-            expr(s"round($tFold, 6)").as("t_obs"),
-            expr(s"""size(filter(transform(sequence(1, 200), b -> $permFold),
-              sb -> abs(sb) >= abs($tFold)))""").cast("long").as("n_extreme"),
-            expr(s"""round((1.0D + size(filter(
-                transform(sequence(1, 200), b -> $permFold),
-                sb -> abs(sb) >= abs($tFold)))) / 201.0D, 6)""").as("p_value"))
+            round(col("t_raw"), 6).as("t_obs"),
+            expr("size(filter(sbs, sb -> abs(sb) >= abs(t_raw)))")
+              .cast("long").as("n_extreme"),
+            expr("""round((1.0D + size(filter(sbs,
+                sb -> abs(sb) >= abs(t_raw)))) / 201.0D, 6)""").as("p_value"))
       },
       Some(s"""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
             event_type AS t, value

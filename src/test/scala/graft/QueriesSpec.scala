@@ -187,6 +187,80 @@ class QueriesSpec extends SparkSpec {
     assert(offenders.isEmpty, s"plan invariants violated: $offenders")
   }
 
+  test("no lambda re-evaluates a data-sized loop-invariant HOF per element (the fold-inline hazard)") {
+    // the stats_bayes_ab wedge (r15): CollapseProject inlines a
+    // once-referenced O(n) normalizer INTO a fold lambda → the
+    // optimized plan re-evaluates it per element, O(n·steps), 40+ min
+    // at sf1. Its sibling stats_fisher_exact survives only because a
+    // double reference blocks the inline. This lint makes the hazard
+    // structural: inside any lambda of the OPTIMIZED plan, a nested
+    // higher-order function whose data arguments reference NO
+    // enclosing lambda variable (loop-invariant) but DO depend on data
+    // columns (so its cost scales with the data, unlike a literal
+    // grid) is exactly that re-evaluation. Fix = carry the invariant
+    // in the fold SEED or force a second reference.
+    import org.apache.spark.sql.catalyst.expressions._
+    def refsAny(e: Expression, ids: Set[Long]): Boolean = e.exists {
+      case v: NamedLambdaVariable => ids(v.exprId.id)
+      case _ => false
+    }
+    def dataSized(e: Expression): Boolean = e.exists {
+      case _: AttributeReference => true
+      case _ => false
+    }
+    def offendersIn(root: Expression): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(e: Expression, scope: Set[Long]): Unit = e match {
+        case h: HigherOrderFunction =>
+          // invariant = NOTHING about the nested HOF depends on an
+          // enclosing lambda variable — neither its data arguments nor
+          // its own lambda bodies (an inner lambda reading the outer
+          // element, e.g. a per-permutation transform, is a genuine
+          // per-element computation, not the inline hazard)
+          if (scope.nonEmpty && h.arguments.nonEmpty &&
+            !h.arguments.exists(refsAny(_, scope)) &&
+            !h.functions.exists(refsAny(_, scope)) &&
+            h.arguments.exists(dataSized))
+            out += s"${h.prettyName}(${h.arguments.map(_.sql).mkString(", ").take(80)}) " +
+              "re-evaluated per element of an enclosing lambda"
+          h.arguments.foreach(walk(_, scope))
+          h.functions.foreach {
+            case l: LambdaFunction =>
+              walk(l.function, scope ++ l.arguments.map(_.exprId.id))
+            case other => walk(other, scope)
+          }
+        case l: LambdaFunction =>
+          walk(l.function, scope ++ l.arguments.map(_.exprId.id))
+        case other => other.children.foreach(walk(_, scope))
+      }
+      walk(root, Set.empty)
+      out.toSeq
+    }
+    def offendersOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+      plan.flatMap(_.expressions.flatMap(offendersIn)).toSeq
+
+    // the lint is RED on a deliberately-inlined repro (a Range source —
+    // a LocalRelation literal would constant-fold the expression away)
+    val src = spark.range(3).selectExpr("array(id, id + 1) AS xs")
+    val repro = src.selectExpr(
+      "aggregate(xs, 0L, (acc, x) -> acc + aggregate(xs, 0L, (a, y) -> a + y)) AS v")
+    assert(offendersOf(repro.queryExecution.optimizedPlan).nonEmpty,
+      "lint failed to flag the deliberate fold-inline repro")
+    // …and on the seed-carried fix of the same shape it is green
+    val fixed = src.selectExpr(
+      "aggregate(xs, aggregate(xs, 0L, (a, y) -> a + y), (acc, x) -> acc + x) AS v")
+    assert(offendersOf(fixed.queryExecution.optimizedPlan).isEmpty,
+      "lint flagged the seed-carried fix")
+
+    // …and GREEN on the whole registry's optimized plans
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      offendersOf(fn(spark, sfDir).queryExecution.optimizedPlan)
+        .map(o => s"$name: $o")
+    }
+    assert(offenders.isEmpty,
+      s"fold-inline hazard in declared queries: ${offenders.mkString("\n")}")
+  }
+
   test("README's query counts match the registry (no bookkeeping drift)") {
     val readme = scala.io.Source.fromFile("README.md", "UTF-8").mkString
     val m = """(\d+) queries, (\d+) oracle-checked""".r
