@@ -812,6 +812,58 @@ object EtlQueries {
         GROUP BY 1 ORDER BY 1""")),
 
     Q(
+      "etl_catalog_evolution",
+      "SQL-NATIVE SCHEMA EVOLUTION (the DDL face of " +
+        "etl_connector_schema_evolution): a catalog table is created " +
+        "narrow (o_orderkey INT), loads generation 1, then `ALTER " +
+        "TABLE … ADD COLUMNS (o_orderpriority STRING)` and `ALTER " +
+        "COLUMN o_orderkey TYPE BIGINT` evolve it — the change lands " +
+        "in the table marker, existing INT32 pages widen at the " +
+        "reader, the added column reads null from generation-1 files " +
+        "— and generation 2 writes the evolved schema. Unsafe changes " +
+        "(non-widening type change, DROP COLUMN, populated-plain-" +
+        "store ALTER) refuse with clear errors " +
+        "(DocStoreCatalogSpec). The oracle recomputes from the source " +
+        "table with the generation predicate as a CASE; the summed " +
+        "keys prove the widen (a misread INT32 page corrupts the " +
+        "sum), the null-bucket counts prove the fill.",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        graft.Scratch.once(s"etl_catalog_evolution:$dir") { _ =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.orders_evo
+            (o_orderkey INT, o_totalprice DOUBLE) USING docstore""")
+          val o = Tables.t(s, dir, "orders")
+            .withColumn("o_year", year(col("o_orderdate")))
+          // generation 1, narrow schema, snapshot mode (ALTER on a
+          // populated plain store refuses by design)
+          o.filter(col("o_year") < 1995)
+            .select(col("o_orderkey").cast("int"), col("o_totalprice"))
+            .writeTo(s"$cat.$ns.orders_evo")
+            .option("snapshots", "true").append()
+          s.sql(s"ALTER TABLE $cat.$ns.orders_evo ADD COLUMNS (o_orderpriority STRING)")
+          s.sql(s"ALTER TABLE $cat.$ns.orders_evo ALTER COLUMN o_orderkey TYPE BIGINT")
+          // generation 2 writes the evolved (bigint, wide) schema
+          o.filter(col("o_year") >= 1995)
+            .select(col("o_orderkey").cast("bigint"), col("o_totalprice"),
+              col("o_orderpriority"))
+            .writeTo(s"$cat.$ns.orders_evo").append()
+        }
+        s.sql(s"""SELECT coalesce(o_orderpriority, '<gen1>') AS prio,
+            count(*) AS n_orders,
+            sum(o_orderkey) AS key_sum,
+            round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+          FROM $cat.$ns.orders_evo GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT CASE WHEN year(o_orderdate) >= 1995
+              THEN o_orderpriority ELSE '<gen1>' END AS prio,
+          count(*) AS n_orders,
+          CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    Q(
       "etl_connector_delete",
       "DELETE pushed to the connector as a METADATA-ONLY operation: a " +
         "catalog table Hive-partitioned by order year takes `DELETE " +

@@ -9,7 +9,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** SQL catalog over docstore roots — the reference's two-level
@@ -96,19 +96,30 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
       // a populated store's footers win for DATA columns (catalog and
       // path reads must never disagree); the marker covers the
       // declared-but-still-empty window, remembers the partition
-      // routing, and supplies the declared TYPE of each partition
+      // routing, supplies the declared TYPE of each partition
       // column — directory values are untyped text, and the reader
       // casts them back per the table schema (PARTITIONED BY (y INT)
-      // reads as int through the catalog, as string via bare paths)
+      // reads as int through the catalog, as string via bare paths) —
+      // and carries ALTER TABLE's declared evolution: columns ADDED
+      // before any file holds them append at the end (files read them
+      // as null), and a marker bigint over inferred int is the
+      // declared WIDENING (old int pages widen at the reader)
       val schema =
         if (inferred.isEmpty) marker.map(_.schema).getOrElse(new StructType())
         else marker match {
           case Some(m) =>
-            StructType(inferred.fields.map { f =>
+            val merged = inferred.fields.map { f =>
               if (m.partitionBy.contains(f.name))
                 m.schema.fields.find(_.name == f.name).getOrElse(f)
-              else f
-            })
+              else m.schema.fields.find(_.name == f.name) match {
+                case Some(mf) if f.dataType == IntegerType &&
+                  mf.dataType == LongType => mf
+                case _ => f
+              }
+            }
+            val extras = m.schema.fields.filterNot(mf =>
+              inferred.fieldNames.contains(mf.name))
+            StructType(merged ++ extras)
           case None => inferred
         }
       DocStoreTable(p.toString, schema,
@@ -143,11 +154,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
         require(DocStore.snapshotEnabled(t.path),
           s"docstore: ${ident.name()} is not snapshot-enabled — " +
             "TIMESTAMP AS OF needs a store written with snapshots=true")
-        val cutoffMs = timestampMicros / 1000L
-        val v = DocStore.snapshotVersions(t.path)
-          .filter(v => DocStore.readManifest(t.path, v).isDefined)
-          .filter(v => DocStore.commitTimeMs(t.path, v).exists(_ <= cutoffMs))
-          .lastOption
+        val v = DocStore.versionAtMillis(t.path, timestampMicros / 1000L)
           .getOrElse(throw new IllegalArgumentException(
             s"docstore: no snapshot of ${ident.name()} existed at " +
               s"timestamp $timestampMicros µs"))
@@ -181,9 +188,59 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
     DocStoreTable(dir.toString, schema, partCols)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "docstore tables are schemaless at the store (ACCEPT_ANY_SCHEMA); ALTER TABLE is not supported")
+  /** SQL-native SAFE schema evolution — the DDL face of the store's
+    * mergeSchema contract: `ALTER TABLE … ADD COLUMNS (c T)` (nullable,
+    * top-level, appended — existing files read the column as null) and
+    * `ALTER COLUMN c TYPE BIGINT` over int (old INT32 pages widen at
+    * the reader). The change lands in the `_schema.json` marker;
+    * loadTable merges it over the footers, so reads see the evolved
+    * schema immediately and the next INSERT writes it. Populated PLAIN
+    * stores refuse (new files would drift from old with no manifest to
+    * reconcile through); anything beyond add-nullable / widen-int
+    * refuses — same rules the write-side validation enforces. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident).getOrElse(throw new NoSuchTableException(ident))
+    require(!p.getName.endsWith(".parquet"),
+      s"docstore: ${ident.name()} is a single-file fixture table; ALTER needs a store directory")
+    val cur = loadTable(ident).asInstanceOf[DocStoreTable]
+    val populated = DocStore.listFiles(p.toString).nonEmpty
+    require(!populated || DocStore.snapshotEnabled(p.toString),
+      s"docstore: ALTER TABLE on a populated PLAIN store would strand " +
+        "readers (post-ALTER files drift from pre-ALTER ones with no " +
+        "manifest to reconcile through) — enable snapshots first " +
+        "(DocStoreMaintenance.enableSnapshots)")
+    var schema = cur.tableSchema
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "docstore: ADD COLUMNS supports top-level columns only, got " +
+            add.fieldNames().mkString("."))
+        val name = add.fieldNames()(0)
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"docstore: column '$name' already exists")
+        require(add.isNullable,
+          s"docstore: added column '$name' must be nullable — existing rows read it as null")
+        schema = schema.add(StructField(name, add.dataType(), nullable = true))
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1,
+          "docstore: ALTER COLUMN TYPE supports top-level columns only")
+        val name = upd.fieldNames()(0)
+        val f = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(s"docstore: no column '$name'"))
+        require(f.dataType == IntegerType && upd.newDataType() == LongType,
+          s"docstore: only int→bigint widening is a safe type change " +
+            s"(got ${f.dataType.simpleString} → ${upd.newDataType().simpleString})")
+        require(!cur.tablePartitionBy.contains(f.name),
+          s"docstore: cannot widen partition column '$name' (directory values are text)")
+        schema = StructType(schema.fields.map(x =>
+          if (x.name == f.name) x.copy(dataType = LongType) else x))
+      case other => throw new UnsupportedOperationException(
+        s"docstore: unsupported ALTER TABLE change $other — safe evolution " +
+          "is ADD COLUMNS (nullable) and ALTER COLUMN TYPE int→bigint")
+    }
+    SchemaMarker.write(fs, p, SchemaMarker(schema, cur.tablePartitionBy))
+    DocStoreTable(p.toString, schema, cur.tablePartitionBy)
+  }
 
   override def dropTable(ident: Identifier): Boolean = tablePath(ident) match {
     case Some(p) => fs.delete(p, true)

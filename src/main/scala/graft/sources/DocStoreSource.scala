@@ -194,10 +194,11 @@ case class DocStoreTable(path: String, tableSchema: StructType,
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(path, tableSchema,
-      Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt),
+      DocStore.streamOptsOf(options),
       Option(options.get("versionAsOf")).map(_.trim.toLong)
-        .orElse(versionAsOf),
-      Option(options.get("onRewrite")).map(_.trim.toLowerCase).getOrElse("skip"))
+        .orElse(Option(options.get("timestampAsOf"))
+          .map(ts => DocStore.versionAtTimestamp(path, ts.trim)))
+        .orElse(versionAsOf))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DocStoreWriteBuilder(path, info, tablePartitionBy, tableSchema)
 
@@ -292,9 +293,8 @@ case class DocStoreTable(path: String, tableSchema: StructType,
   * scan for a metadata-only statistics scan when exactness is
   * provable. */
 class DocStoreScanBuilder(path: String, tableSchema: StructType,
-    maxFilesPerTrigger: Option[Int] = None,
-    versionAsOf: Option[Long] = None,
-    onRewrite: String = "skip")
+    streamOpts: DocStore.StreamOpts = DocStore.StreamOpts(),
+    versionAsOf: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -498,9 +498,8 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
     case Some((grpCols, specs, schema)) =>
       DocStoreAggScan(path, schema, grpCols, specs, pushed, versionAsOf)
     case None =>
-      DocStoreScan(path, tableSchema, required, pushed, maxFilesPerTrigger,
-        limitHint = limit, topNHint = topN, versionAsOf = versionAsOf,
-        onRewrite = onRewrite)
+      DocStoreScan(path, tableSchema, required, pushed, streamOpts,
+        limitHint = limit, topNHint = topN, versionAsOf = versionAsOf)
   }
 }
 
@@ -514,12 +513,11 @@ case class DocStoreScan(
     tableSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    maxFilesPerTrigger: Option[Int] = None,
+    streamOpts: DocStore.StreamOpts = DocStore.StreamOpts(),
     groupFilterOnly: Boolean = false,
     limitHint: Option[Int] = None,
     topNHint: Option[(Seq[String], Boolean, Int)] = None,
-    versionAsOf: Option[Long] = None,
-    onRewrite: String = "skip")
+    versionAsOf: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -784,15 +782,19 @@ case class DocStoreScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(versionAsOf.isEmpty,
       "docstore: versionAsOf is a batch-read option — a stream tails the " +
-        "store's LIVE manifest frontier, it cannot tail a pinned version")
-    require(onRewrite == "skip" || onRewrite == "fail",
-      s"docstore: onRewrite must be 'skip' or 'fail', got '$onRewrite'")
+        "store's LIVE manifest frontier, it cannot tail a pinned version " +
+        "(use startingVersion to BEGIN tailing at a historical snapshot)")
+    require(streamOpts.onRewrite == "skip" || streamOpts.onRewrite == "fail",
+      s"docstore: onRewrite must be 'skip' or 'fail', got '${streamOpts.onRewrite}'")
     if (DocStore.snapshotEnabled(path))
       new DocStoreSnapshotMicroBatchStream(path, tableSchema, required, pushed,
-        maxFilesPerTrigger, onRewrite)
-    else
+        streamOpts)
+    else {
+      require(streamOpts.startingVersion.isEmpty,
+        s"docstore: startingVersion needs a snapshot store — $path is plain")
       new DocStoreMicroBatchStream(path, tableSchema, required, pushed,
-        maxFilesPerTrigger)
+        streamOpts)
+    }
   }
 }
 
@@ -1043,7 +1045,7 @@ class DocStoreMicroBatchStream(
     tableSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    maxFilesPerTrigger: Option[Int] = None)
+    opts: DocStore.StreamOpts = DocStore.StreamOpts())
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def listing = DocStore.pruneListing(
@@ -1056,14 +1058,17 @@ class DocStoreMicroBatchStream(
 
   override def prepareForTriggerAvailableNow(): Unit = fixedEnd = Some(snap())
 
-  /** Admission control: with `maxFilesPerTrigger` set, each micro-
-    * batch admits at most that many NEW files — a 100 TB backlog (or
-    * an AvailableNow catch-up after downtime) drains in bounded
-    * batches instead of one giant batch that overwhelms the sink and
-    * holds checkpointing hostage for hours. Without the option the
-    * stream keeps its drain-everything default. */
+  /** Admission control: with `maxFilesPerTrigger` / `maxBytesPerTrigger`
+    * set, each micro-batch admits at most that many NEW files / bytes
+    * (whole files; at least one per batch) — a 100 TB backlog (or an
+    * AvailableNow catch-up after downtime) drains in bounded batches
+    * instead of one giant batch that overwhelms the sink and holds
+    * checkpointing hostage for hours. The byte cap is the one that
+    * matters when file sizes vary (the file cap is what Spark's
+    * ReadLimit can express; bytes are enforced stream-side). Without
+    * the options the stream keeps its drain-everything default. */
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+    opts.maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
 
   override def initialOffset(): Offset = DocStoreOffset(Nil)
@@ -1101,7 +1106,18 @@ class DocStoreMicroBatchStream(
       case c: CompositeReadLimit => c.getReadLimits.map(cap).min
       case _ => Int.MaxValue // row/time limits don't map to a file source
     }
-    DocStoreOffset((startFiles ++ fresh.take(cap(limit))).sorted)
+    val fileCap = cap(limit)
+    val byteCap = opts.maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    val admitted = ArrayBuffer.empty[String]
+    var bytes = 0L
+    val it = fresh.iterator
+    while (it.hasNext && admitted.size < fileCap &&
+      (admitted.isEmpty || bytes < byteCap)) {
+      val f = it.next()
+      admitted += f
+      if (byteCap != Long.MaxValue) bytes += DocStore.fileLen(f)
+    }
+    DocStoreOffset((startFiles ++ admitted).sorted)
   }
 
   override def reportLatestOffset(): Offset = snap()
@@ -1180,9 +1196,10 @@ class DocStoreSnapshotMicroBatchStream(
     tableSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    maxFilesPerTrigger: Option[Int] = None,
-    onRewrite: String = "skip")
+    opts: DocStore.StreamOpts = DocStore.StreamOpts())
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def onRewrite: String = opts.onRewrite
 
   // manifests are immutable once committed — cache forever (driver-side)
   private val manifestCache =
@@ -1225,15 +1242,27 @@ class DocStoreSnapshotMicroBatchStream(
     fixedEnd = Some(currentVersion())
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+    opts.maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
 
   /** A fresh stream starts AT the current snapshot: its full content
     * is the first batch (same contract the plain stream's empty
-    * initial offset gives), then manifest deltas tail from there. */
-  override def initialOffset(): Offset = {
-    val v = currentVersion()
-    DocStoreSnapshotOffset(base = v, version = v, emitted = 0)
+    * initial offset gives), then manifest deltas tail from there.
+    * With `startingVersion=N` the stream instead tails APPEND DELTAS
+    * from version N onward and emits no initial snapshot — Delta's
+    * startingVersion semantics, the replay-history entry point; N-1
+    * must still be retained (its manifest anchors N's diff). */
+  override def initialOffset(): Offset = opts.startingVersion match {
+    case Some(n) =>
+      require(n >= 1, s"docstore: startingVersion must be >= 1, got $n")
+      val b = n - 1
+      // position the offset at "all of version b emitted": the next
+      // delta computed is version n's
+      DocStoreSnapshotOffset(base = b, version = b,
+        emitted = if (b == 0) 0 else manifest(b).size)
+    case None =>
+      val v = currentVersion()
+      DocStoreSnapshotOffset(base = v, version = v, emitted = 0)
   }
 
   override def latestOffset(): Offset = {
@@ -1251,15 +1280,23 @@ class DocStoreSnapshotMicroBatchStream(
       case _ => Int.MaxValue
     }
     var budget = cap(limit)
+    val byteCap = opts.maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var bytes = 0L
+    var admitted = 0
     var v = s.version
     var k = s.emitted
     var continue = true
-    while (continue && budget > 0) {
+    while (continue && budget > 0 && (admitted == 0 || bytes < byteCap)) {
       val files = deltaOf(s.base, v)
       if (k < files.size) {
-        val take = math.min(budget, files.size - k)
-        k += take
-        budget -= take
+        // admit one whole file at a time so the byte cap composes with
+        // the file cap (always at least one file per batch); skip the
+        // per-file stat entirely when no byte cap is set
+        if (byteCap != Long.MaxValue)
+          bytes += DocStore.fileLen(new Path(path, files(k)).toString)
+        k += 1
+        admitted += 1
+        budget -= 1
       } else if (v < frontier) { v += 1; k = 0 }
       else continue = false
     }
@@ -2035,6 +2072,65 @@ object DocStore {
   def bloomForOf(options: CaseInsensitiveStringMap): Seq[String] =
     Option(options.get("bloomFor")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** Streaming-read options, parsed once at the scan boundary:
+    * admission control by files and/or whole-file bytes, the
+    * historical tail-from entry point, and the rewrite-commit
+    * posture. */
+  final case class StreamOpts(
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None,
+      startingVersion: Option[Long] = None,
+      onRewrite: String = "skip")
+
+  def streamOptsOf(options: CaseInsensitiveStringMap): StreamOpts = StreamOpts(
+    Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt),
+    Option(options.get("maxBytesPerTrigger")).map(_.trim.toLong),
+    Option(options.get("startingVersion")).map(_.trim.toLong),
+    Option(options.get("onRewrite")).map(_.trim.toLowerCase).getOrElse("skip"))
+
+  def fileLen(f: String): Long = {
+    val p = new Path(f)
+    p.getFileSystem(new Configuration()).getFileStatus(p).getLen
+  }
+
+  /** The newest snapshot committed at or before `cutoffMs` — the one
+    * timestamp→version mapping (manifest `#ts`, mtime fallback) the
+    * catalog's TIMESTAMP AS OF and the path API's `timestampAsOf`
+    * both resolve through. */
+  def versionAtMillis(path: String, cutoffMs: Long): Option[Long] =
+    snapshotVersions(path)
+      .filter(v => readManifest(path, v).isDefined)
+      .filter(v => commitTimeMs(path, v).exists(_ <= cutoffMs))
+      .lastOption
+
+  /** Path-API time travel: `timestampAsOf` accepts a SQL timestamp
+    * ("2024-03-01 12:00:00[.fff]"), a bare date ("2024-03-01"), or
+    * epoch MILLIS, in the JVM/session timezone — the same instant
+    * semantics as the catalog's TIMESTAMP AS OF. */
+  def versionAtTimestamp(path: String, ts: String): Long = {
+    require(snapshotEnabled(path),
+      s"docstore: timestampAsOf needs a snapshot store ($path has no $SnapshotDir/)")
+    val cutoffMs =
+      try java.sql.Timestamp.valueOf(ts).getTime
+      catch {
+        case _: IllegalArgumentException =>
+          try java.sql.Date.valueOf(ts).getTime
+          catch {
+            case _: IllegalArgumentException =>
+              try ts.toLong
+              catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"docstore: unparseable timestampAsOf '$ts' — use " +
+                      "'yyyy-MM-dd[ HH:mm:ss[.fff]]' or epoch millis")
+              }
+          }
+      }
+    versionAtMillis(path, cutoffMs).getOrElse(
+      throw new IllegalArgumentException(
+        s"docstore: no snapshot of $path existed at $ts"))
+  }
 
   /** Resolve `bloomFor` names against the write schema the way Spark
     * resolves columns — CASE-INSENSITIVELY — and make unknown names an

@@ -59,6 +59,49 @@ class DocStoreCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN dstest.db1").collect().isEmpty)
   }
 
+  test("ALTER TABLE: add nullable column and widen int->bigint via the marker; unsafe changes refuse") {
+    val root = tmpDir("dscat_alter_root")
+    ensureCat("dsalter", root)
+    spark.sql("CREATE NAMESPACE dsalter.db")
+    spark.sql("CREATE TABLE dsalter.db.t (k INT, v STRING) USING docstore")
+    // populate as a SNAPSHOT store (ALTER on a populated plain store refuses)
+    spark.sql("INSERT INTO dsalter.db.t VALUES (1, 'a'), (2, 'b')")
+    val plainErr = intercept[Exception](
+      spark.sql("ALTER TABLE dsalter.db.t ADD COLUMNS (score DOUBLE)"))
+    assert(plainErr.getMessage.contains("enable snapshots"))
+    graft.sources.DocStoreMaintenance.enableSnapshots(s"$root/db/t"): Unit
+    // add a nullable column: existing rows read it as null immediately
+    spark.sql("ALTER TABLE dsalter.db.t ADD COLUMNS (score DOUBLE)")
+    assert(spark.sql("SELECT score FROM dsalter.db.t")
+      .collect().forall(_.isNullAt(0)))
+    // widen k to BIGINT: old INT32 pages read as long
+    spark.sql("ALTER TABLE dsalter.db.t ALTER COLUMN k TYPE BIGINT")
+    assert(spark.table("dsalter.db.t").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT sum(k) FROM dsalter.db.t").head.getLong(0) == 3L)
+    // the next INSERT writes the evolved schema; mixed files reconcile
+    spark.sql("INSERT INTO dsalter.db.t VALUES (3000000000, 'c', 1.5)")
+    val rows = spark.sql(
+      "SELECT k, v, score FROM dsalter.db.t ORDER BY k").collect()
+    assert(rows.length == 3 && rows(2).getLong(0) == 3000000000L &&
+      rows(2).getDouble(2) == 1.5)
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2))
+    // unsafe changes refuse with clear errors: Spark's analyzer stops
+    // non-up-cast changes itself (string->int), and the catalog stops
+    // Spark-allowed up-casts that aren't safe for EXISTING files
+    // (int->double would misread INT32 pages)
+    val e0 = intercept[Exception](
+      spark.sql("ALTER TABLE dsalter.db.t ALTER COLUMN v TYPE INT"))
+    assert(e0.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    spark.sql("ALTER TABLE dsalter.db.t ADD COLUMNS (n INT)")
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE dsalter.db.t ALTER COLUMN n TYPE DOUBLE"))
+    assert(e1.getMessage.contains("widening"))
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE dsalter.db.t DROP COLUMN v"))
+    assert(e2.getMessage.contains("unsupported ALTER"))
+  }
+
   test("catalog resolves the harness fixtures' single-file tables by name") {
     ensureCat("dsfix", "/root/testdata")
     val viaCat = spark.sql("SELECT count(*) AS n FROM dsfix.`sf0.001`.orders")

@@ -892,6 +892,55 @@ class DocStoreSpec extends SparkSpec {
       s"expected a retention-lag error, got: ${e.getMessage}")
   }
 
+  test("startingVersion tails append deltas from a historical snapshot; byte-cap admission bounds batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val store = tmpDir("docstore_startver")
+    val base = tmpDir("docstore_startver_sink")
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store)
+      .option("snapshots", "true").mode("append").save() // v1
+    Seq((2L, "b")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store).mode("append").save() // v2
+    Seq((3L, "c")).toDF("k", "v").coalesce(1)
+      .write.format("docstore").option("path", store).mode("append").save() // v3
+    // startingVersion=2: v1's content is NOT replayed — only the
+    // deltas of v2 and v3 stream (Delta's startingVersion semantics)
+    val q = spark.readStream.format("docstore").option("path", store)
+      .option("startingVersion", "2").load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$base/out").select("k")
+      .as[Long].collect().toSeq.sorted == Seq(2L, 3L))
+    // a plain store refuses startingVersion with a clear error
+    val plain = tmpDir("docstore_startver_plain")
+    Seq((1L, "a")).toDF("k", "v")
+      .write.format("docstore").option("path", plain).mode("append").save()
+    val e = intercept[Exception] {
+      spark.readStream.format("docstore").option("path", plain)
+        .option("startingVersion", "1").load()
+        .writeStream.format("noop").start().awaitTermination()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("snapshot store"))
+    // maxBytesPerTrigger: a tiny byte cap admits one whole file per
+    // batch across the same 3-commit backlog (files are ~KB each)
+    val base2 = tmpDir("docstore_bytecap_sink")
+    val q2 = spark.readStream.format("docstore").option("path", store)
+      .option("maxBytesPerTrigger", "1").load()
+      .writeStream.format("parquet")
+      .option("path", s"$base2/out").option("checkpointLocation", s"$base2/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val batches = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3 && batches.forall(_.numInputRows == 1),
+      s"byte cap should admit one file per batch, got " +
+        batches.map(_.numInputRows).toSeq)
+    assert(spark.read.parquet(s"$base2/out").count() == 3)
+  }
+
   test("snapshot stream onRewrite=fail stops at a rewrite commit with a clear error") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._

@@ -333,6 +333,15 @@ class SnapshotSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) FROM snapts.db.t TIMESTAMP AS OF '2999-01-01'")
       .head.getLong(0) == 2)
+    // the PATH API resolves the same instants via the timestampAsOf
+    // read option (epoch millis / SQL timestamp / bare date)
+    assert(spark.read.format("docstore").option("path", path)
+      .option("timestampAsOf", mid.toString).load().count() == 1)
+    assert(spark.read.format("docstore").option("path", path)
+      .option("timestampAsOf", "2999-01-01").load().count() == 2)
+    val e = intercept[Exception](spark.read.format("docstore")
+      .option("path", path).option("timestampAsOf", "1990-01-01").load().count())
+    assert(e.getMessage.contains("no snapshot"))
   }
 
   test("schema evolution on snapshot stores: add nullable column, widen int to bigint; unsafe changes rejected") {
