@@ -55,6 +55,12 @@ object EtlQueries {
     ensureCatalog(s, "graftds", root)
   }
 
+  /** Filesystem path of a catalog table (`<root>/<ns>/<table>`) for
+    * the maintenance/change-feed APIs that address stores by path. */
+  private def pathOfTable(s: org.apache.spark.sql.SparkSession,
+      cat: String, ns: String, table: String): String =
+    s"${s.conf.get(s"spark.sql.catalog.$cat.root")}/$ns/$table"
+
   private def ensureNamespace(s: org.apache.spark.sql.SparkSession,
       cat: String, ns: String): Unit =
     try s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
@@ -862,6 +868,67 @@ object EtlQueries {
           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
         FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    Q(
+      "etl_connector_cdf",
+      "CHANGE DATA FEED over snapshot manifests: each commit's " +
+        "manifest diff says WHICH files changed and its `#op` header " +
+        "says WHY — appends emit their rows as `insert`, " +
+        "metadata-only DELETEs emit the retired (still-retained) " +
+        "rows as `delete`, and COMPACTION EMITS NOTHING (bytes moved, " +
+        "no row changed — Delta's dataChange=false distinction, which " +
+        "is what keeps an incremental consumer from reprocessing the " +
+        "table every time maintenance runs). The scenario commits " +
+        "two append generations, a partition DELETE of 1995, and a " +
+        "compaction; DocStoreChanges.changes(0, current) then feeds " +
+        "the whole history through one aggregation. The oracle " +
+        "recomputes inserts (= all rows) and deletes (= the 1995 " +
+        "rows) from the source table — a compaction leaking into the " +
+        "feed, a lost delete, or a misattached partition value is a " +
+        "hash mismatch. This is the incremental-ETL driver pattern " +
+        "that replaces the reference's full re-extract on a date " +
+        "window (main.py:288-299).",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        val store = graft.Scratch.once(s"etl_connector_cdf:$dir") { _ =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.orders_cdf
+            (o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING docstore PARTITIONED BY (o_year)""")
+          val o = Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).as("o_year"))
+          o.filter(col("o_orderkey") % 2 === 0)
+            .writeTo(s"$cat.$ns.orders_cdf")
+            .option("snapshots", "true").append() // v1
+          o.filter(col("o_orderkey") % 2 =!= 0)
+            .writeTo(s"$cat.$ns.orders_cdf").append() // v2
+          s.sql(s"DELETE FROM $cat.$ns.orders_cdf WHERE o_year = 1995") // v3
+          graft.sources.DocStoreMaintenance.compact(s, pathOfTable(s, cat, ns, "orders_cdf"),
+            smallerThan = Long.MaxValue): Unit // v4, invisible to the feed
+        }
+        val path = pathOfTable(s, cat, ns, "orders_cdf")
+        graft.sources.DocStoreChanges.changes(s, path, 0L,
+          graft.sources.DocStore.currentSnapshot(path).map(_._1).getOrElse(0L))
+          .groupBy(col("_change_type").as("change_type"),
+            col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("change_type", "o_year")
+      },
+      Some("""WITH y AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+            o_totalprice FROM orders)
+        SELECT * FROM (
+          SELECT 'insert' AS change_type, o_year, count(*) AS n,
+            round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+          FROM y GROUP BY 2
+          UNION ALL
+          SELECT 'delete' AS change_type, o_year, count(*) AS n,
+            round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+          FROM y WHERE o_year = 1995 GROUP BY 2
+        ) ORDER BY change_type, o_year""")),
 
     Q(
       "etl_connector_delete",

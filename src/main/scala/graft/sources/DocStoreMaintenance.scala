@@ -105,7 +105,7 @@ object DocStoreMaintenance {
     val retired = retiredAbs.map(DocStore.relOf(path, _)).toSet
     val version =
       if (DocStore.snapshotEnabled(path))
-        try Some(DocStore.commitSnapshot(path) { base =>
+        try Some(DocStore.commitSnapshot(path, op = "compact") { base =>
           // the compacted files' rows came FROM the retired inputs; a
           // concurrent commit retiring any of them (DELETE/MERGE/other
           // compactor) makes this rewrite stale — abort, like the

@@ -258,7 +258,7 @@ case class DocStoreTable(path: String, tableSchema: StructType,
       // the dropped partitions stay readable at older versions until a
       // vacuum reclaims the files
       val drop = matched.map { case (f, _) => DocStore.relOf(path, f) }.toSet
-      DocStore.commitSnapshot(path)(_.filterNot(drop)): Unit
+      DocStore.commitSnapshot(path, op = "delete")(_.filterNot(drop)): Unit
       return
     }
     val conf = new Configuration()
@@ -1865,7 +1865,11 @@ case class DocStoreBatchWrite(
       // invisible).
       val retired = replaceFiles.toSeq.flatMap(_.apply())
         .map(DocStore.relOf(path, _)).toSet
-      DocStore.commitSnapshot(path) { base =>
+      val op =
+        if (truncateFirst) "overwrite"
+        else if (retired.nonEmpty) "merge" // copy-on-write DELETE/UPDATE/MERGE
+        else "append"
+      DocStore.commitSnapshot(path, op = op) { base =>
         // WRITE-WRITE CONFLICT detection (row-level ops only): this
         // operation computed its replacement rows FROM the retired
         // files; if a concurrent commit already retired any of them
@@ -2352,7 +2356,8 @@ object DocStore {
     * third committer re-claim) the version between our create and
     * close, and our close() still succeeds; without the read-back we
     * would report a version that holds someone else's content. */
-  def commitSnapshot(path: String, staleClaimGraceMs: Long = 30000L)(
+  def commitSnapshot(path: String, staleClaimGraceMs: Long = 30000L,
+      op: String = "append")(
       update: Seq[String] => Seq[String]): Long = {
     val root = new Path(path)
     val conf = new Configuration()
@@ -2388,11 +2393,17 @@ object DocStore {
         val claimed =
           try {
             val out = fs.create(dst, false) // exclusive create
-            // `#ts` carries the commit wall-clock INSIDE the manifest:
-            // TIMESTAMP AS OF resolves from it, so time travel
-            // survives copy/rsync/restore (file mtimes don't)
+            // `#ts` carries the commit wall-clock INSIDE the manifest
+            // (TIMESTAMP AS OF resolves from it, so time travel
+            // survives copy/rsync/restore — file mtimes don't); `#op`
+            // classifies the commit (append / delete / merge /
+            // overwrite / compact) so the change feed and other
+            // manifest-diff consumers know HOW the file set changed,
+            // not just what changed — a compaction rewrites bytes but
+            // changes no data
             try out.write((s"# docstore snapshot v$next\n" +
               s"#ts ${System.currentTimeMillis()}\n" +
+              s"#op $op\n" +
               entries.map(_ + "\n").mkString +
               s"#end ${entries.length}\n").getBytes("UTF-8"))
             finally out.close()
@@ -2425,6 +2436,22 @@ object DocStore {
         .find(_.startsWith("#ts ")).map(_.stripPrefix("#ts ").trim.toLong)
         .orElse(Some(st.getModificationTime))
     } catch { case _: java.io.IOException => None }
+  }
+
+  /** The `#op` classification of version `v`'s commit — "unknown" for
+    * pre-r16 manifests (change-feed consumers treat unknown as a full
+    * rewrite: churn over silence, never silent loss). */
+  def commitOp(path: String, v: Long): String = {
+    val f = new Path(snapRoot(path), s"v$v")
+    val fs = f.getFileSystem(new Configuration())
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(bytes) finally in.close()
+      new String(bytes, "UTF-8").split("\n")
+        .find(_.startsWith("#op ")).map(_.stripPrefix("#op ").trim)
+        .getOrElse("unknown")
+    } catch { case _: java.io.IOException => "unknown" }
   }
 
   /** Store-relative form of an absolute file path under `path`. */

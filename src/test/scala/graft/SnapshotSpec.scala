@@ -394,6 +394,55 @@ class SnapshotSpec extends SparkSpec {
     assert(e2.getMessage.contains("snapshot store"))
   }
 
+  test("change feed: appends insert, deletes delete, compaction is invisible, ranges chain") {
+    import graft.sources.DocStoreChanges
+    import spark.implicits._
+    val store = tmpDir("snapcdf")
+    appendSlice(store, 0, snapshots = true) // v1: 10 rows across 4 partitions
+    appendSlice(store, 1) // v2: 10 more
+    // v3: metadata-only partition DELETE of p=p0
+    val table = DocStoreTable(store, readStore(store).schema, Seq("p"))
+    val del: Array[org.apache.spark.sql.sources.Filter] = Array(EqualTo("p", "p0"))
+    table.deleteWhere(del)
+    val deleted = 20 - readStore(store).count() // rows the delete dropped
+    assert(deleted > 0)
+    // v4: compaction — bytes move, no data changes
+    DocStoreMaintenance.compact(spark, store, smallerThan = Long.MaxValue): Unit
+    assert(DocStore.currentSnapshot(store).map(_._1).contains(4L))
+    assert(DocStore.commitOp(store, 3) == "delete")
+    assert(DocStore.commitOp(store, 4) == "compact")
+    val all = DocStoreChanges.changes(spark, store, 0, 4)
+    // 20 inserts (v1+v2), `deleted` deletes (v3), nothing from v4
+    val byType = all.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 20L, "delete" -> deleted),
+      s"change feed mismatch: $byType")
+    // partition values re-attach exactly; deletes carry the dropped rows
+    assert(all.filter(col("_change_type") === "delete")
+      .select("p").distinct().as[String].collect().toSeq == Seq("p0"))
+    // versions stamp correctly and ranges CHAIN: (0,2] ∪ (2,4] = (0,4]
+    val first = DocStoreChanges.changes(spark, store, 0, 2)
+    val second = DocStoreChanges.changes(spark, store, 2, 4)
+    assert(first.count() + second.count() == all.count())
+    assert(second.filter(col("_change_type") === "insert").count() == 0)
+    assert(DocStore.commitOp(store, 1) == "append")
+    // a rewrite commit (here: op=merge retiring one file, adding a
+    // copy under a new name) surfaces as delete+insert churn of the
+    // rewritten group — the documented copy-on-write semantics
+    val victim = DocStore.currentSnapshot(store).get._2.head
+    val twinRel = victim.replaceAll("[^/]+$", "rewrite-twin.parquet")
+    Files.copy(Paths.get(store, victim), Paths.get(store, twinRel),
+      StandardCopyOption.REPLACE_EXISTING): Unit
+    DocStore.commitSnapshot(store, op = "merge")(
+      base => base.filterNot(_ == victim) :+ twinRel): Unit // v5
+    val cow = DocStoreChanges.changes(spark, store, 4, 5)
+    val cowTypes = cow.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(cowTypes.getOrElse("delete", 0L) == cowTypes.getOrElse("insert", 0L) &&
+      cowTypes.getOrElse("delete", 0L) > 0L,
+      s"rewrite commit should emit matched delete+insert churn: $cowTypes")
+  }
+
   test("streaming sink into a snapshot store: epochs become visible at the manifest swap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
