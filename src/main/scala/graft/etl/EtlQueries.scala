@@ -931,6 +931,55 @@ object EtlQueries {
         ) ORDER BY change_type, o_year""")),
 
     Q(
+      "etl_connector_history",
+      "COMMIT HISTORY as a queryable DataFrame (the `DESCRIBE " +
+        "HISTORY` every table format ships), derived from what the " +
+        "manifests already record — version, `#op` classification, " +
+        "and the manifest-diff file counts; commit timestamps ride " +
+        "along but are excluded here (wall-clock is not " +
+        "oracle-replayable). Reuses etl_connector_cdf's store, so the " +
+        "expected history IS that scenario's commit sequence: two " +
+        "appends, a partition DELETE that retires files without " +
+        "adding any, and a compaction that both adds and retires — " +
+        "the oracle pins the sequence as literals. At 100 TB this is " +
+        "the audit query that answers 'what changed, when, by what " +
+        "kind of operation' without reading a data byte.",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        // same Scratch key as etl_connector_cdf: build once, audit here
+        graft.Scratch.once(s"etl_connector_cdf:$dir") { _ =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.orders_cdf
+            (o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING docstore PARTITIONED BY (o_year)""")
+          val o = Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).as("o_year"))
+          o.filter(col("o_orderkey") % 2 === 0)
+            .writeTo(s"$cat.$ns.orders_cdf")
+            .option("snapshots", "true").append() // v1
+          o.filter(col("o_orderkey") % 2 =!= 0)
+            .writeTo(s"$cat.$ns.orders_cdf").append() // v2
+          s.sql(s"DELETE FROM $cat.$ns.orders_cdf WHERE o_year = 1995") // v3
+          graft.sources.DocStoreMaintenance.compact(s, pathOfTable(s, cat, ns, "orders_cdf"),
+            smallerThan = Long.MaxValue): Unit // v4
+        }
+        graft.sources.DocStoreMaintenance
+          .history(s, pathOfTable(s, cat, ns, "orders_cdf"))
+          .select(col("version"), col("op"),
+            (col("n_added") > 0).as("added"),
+            (col("n_retired") > 0).as("retired"))
+          .orderBy("version")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'append',  true,  false),
+          (CAST(2 AS BIGINT), 'append',  true,  false),
+          (CAST(3 AS BIGINT), 'delete',  false, true),
+          (CAST(4 AS BIGINT), 'compact', true,  true))
+        AS t(version, op, added, retired) ORDER BY version""")),
+
+    Q(
       "etl_connector_delete",
       "DELETE pushed to the connector as a METADATA-ONLY operation: a " +
         "catalog table Hive-partitioned by order year takes `DELETE " +

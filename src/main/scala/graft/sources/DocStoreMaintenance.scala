@@ -34,6 +34,32 @@ object DocStoreMaintenance {
   def enableSnapshots(path: String): Long =
     DocStore.commitSnapshot(path)(identity)
 
+  /** The store's commit HISTORY as a DataFrame — the `DESCRIBE
+    * HISTORY` every table format ships, derived from what the
+    * manifests already record: version, commit wall-clock (`#ts`),
+    * operation (`#op`), and the manifest-diff file counts. The audit
+    * answer to "what changed, when, by what kind of operation" without
+    * reading a data byte; expired versions simply don't appear. */
+  def history(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    require(DocStore.snapshotEnabled(path),
+      s"docstore: history needs a snapshot store ($path has no ${DocStore.SnapshotDir}/)")
+    val committed = DocStore.snapshotVersions(path)
+      .flatMap(v => DocStore.readManifest(path, v).map(v -> _))
+    val rows = committed.map { case (v, cur) =>
+      val prev = committed.collectFirst { case (pv, pc) if pv == v - 1 => pc }
+        .getOrElse(Nil).toSet
+      (v,
+        DocStore.commitTimeMs(path, v).map(new java.sql.Timestamp(_)).orNull,
+        DocStore.commitOp(path, v),
+        cur.count(!prev.contains(_)).toLong,
+        prev.count(!cur.toSet.contains(_)).toLong,
+        cur.length.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("version", "commit_ts", "op",
+      "n_added", "n_retired", "n_files")
+  }
+
   /** Bin-pack the small files of every partition into one clustered
     * file per partition. ONE distributed Spark job does all the data
     * movement (each partition's small files are a union leg routed by
