@@ -114,8 +114,23 @@ class DocStoreSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DocStore.inferStoreSchema(DocStore.pathOf(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = DocStore.inferStoreSchema(DocStore.pathOf(options))
+    // `changeFeed=true` STREAMING reads surface the change lineage as
+    // REGULAR schema columns (reader-synthesized) — Spark's streaming
+    // DSv2 path never prunes columns into the scan, so the batch-side
+    // metadata-column mechanism can't deliver them to a stream; the
+    // schema route works on both
+    if (options.getBoolean("changeFeed", false)) {
+      require(!base.fieldNames.exists(n =>
+        n == "_change_type" || n == "_commit_version"),
+        "docstore: changeFeed reserves _change_type/_commit_version but the " +
+          "store carries a data column with that name")
+      StructType(base.fields.toSeq ++ Seq(
+        StructField("_change_type", StringType, nullable = false),
+        StructField("_commit_version", LongType, nullable = false)))
+    } else base
+  }
 
   override def getTable(
       schema: StructType,
@@ -169,6 +184,21 @@ case class DocStoreTable(path: String, tableSchema: StructType,
       override def dataType: DataType = LongType
       override def isNullable: Boolean = false
       override def comment: String = "0-based row position within the source file"
+    },
+    new MetadataColumn {
+      override def name: String = "_change_type"
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        "insert | delete — how this row changed (streaming change feed; " +
+          "batch reads always see insert)"
+    },
+    new MetadataColumn {
+      override def name: String = "_commit_version"
+      override def dataType: DataType = LongType
+      override def isNullable: Boolean = true
+      override def comment: String =
+        "snapshot version that committed this row's file (null on plain stores)"
     })
   /** Catalog-declared partitioning (CREATE TABLE … PARTITIONED BY):
     * reported to Spark and used as the sink's default routing when a
@@ -398,9 +428,15 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // a filter is pushable only if the server can evaluate it EXACTLY
     // (same null semantics, same comparison order) — anything else
-    // stays Spark-side; never push "approximately"
+    // stays Spark-side; never push "approximately". changeFeed's
+    // synthetic lineage columns are reader-constants, not stored data:
+    // filters on them stay Spark-side.
+    val synthetic: Set[String] =
+      if (streamOpts.changeFeed) Set("_change_type", "_commit_version")
+      else Set.empty
     val (ok, residual) =
-      filters.partition(f => DocStore.pushable(f, tableSchema, partCols))
+      filters.partition(f => f.references.forall(!synthetic.contains(_)) &&
+        DocStore.pushable(f, tableSchema, partCols))
     pushed = ok
     residual
   }
@@ -724,6 +760,9 @@ case class DocStoreScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    require(!streamOpts.changeFeed,
+      "docstore: changeFeed is a STREAMING read option — for batch change " +
+        "reads use graft.sources.DocStoreChanges.changes(spark, path, from, to)")
     val types = partColsOrdered.map(c =>
       tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType))
     // the pushed-limit / top-N row-group bounds hold only while NO
@@ -749,16 +788,36 @@ case class DocStoreScan(
         case Some(set) => set.contains _
         case None => _ => true
       }
+    // `_commit_version` lineage for batch reads: the first snapshot
+    // that contained each file — computed only when the projection
+    // actually asks for it (one pass over the retained manifests)
+    val verByRel: Map[String, Long] =
+      if (!required.fieldNames.contains("_commit_version") ||
+        tableSchema.fieldNames.contains("_commit_version") ||
+        !DocStore.snapshotEnabled(path)) Map.empty
+      else {
+        val out = scala.collection.mutable.Map.empty[String, Long]
+        DocStore.snapshotVersions(path).sorted.foreach { v =>
+          DocStore.readManifest(path, v).foreach(_.foreach { r =>
+            if (!out.contains(r)) out(r) = v
+          })
+        }
+        out.toMap
+      }
     val parts = ArrayBuffer.empty[InputPartition]
     var covered = 0L
     var firstRow = 0L
     pruned.foreach { case (f, pv) =>
       firstRow = 0L
+      val ver =
+        if (verByRel.isEmpty) -1L
+        else verByRel.getOrElse(DocStore.relOf(path, f), -1L)
       DocStore.footerBlocks(f).foreach { b =>
         if (lim.forall(covered < _) && keep((f, b.getStartingPos))) {
           val off = b.getStartingPos
           parts += DocStorePartition(f, off,
-            b.getCompressedSize, pv, types, firstRowIndex = firstRow)
+            b.getCompressedSize, pv, types, firstRowIndex = firstRow,
+            commitVersion = ver)
           covered += b.getRowCount
         }
         firstRow += b.getRowCount
@@ -792,6 +851,9 @@ case class DocStoreScan(
     else {
       require(streamOpts.startingVersion.isEmpty,
         s"docstore: startingVersion needs a snapshot store — $path is plain")
+      require(!streamOpts.changeFeed,
+        s"docstore: changeFeed needs a snapshot store (manifest diffs ARE " +
+          s"the change log) — $path is plain")
       new DocStoreMicroBatchStream(path, tableSchema, required, pushed,
         streamOpts)
     }
@@ -807,7 +869,12 @@ case class DocStorePartition(
     // index of this row group's first row within its FILE (sum of the
     // preceding row groups' counts) — the base for the `_pos` metadata
     // column; -1 when the planning path didn't compute it
-    firstRowIndex: Long = -1L) extends InputPartition with HasPartitionKey {
+    firstRowIndex: Long = -1L,
+    // split-constant change-feed lineage for the `_change_type` /
+    // `_commit_version` metadata columns: batch scans and plain
+    // streams are always inserts; -1 = version unknown (emits null)
+    changeType: String = "insert",
+    commitVersion: Long = -1L) extends InputPartition with HasPartitionKey {
   /** Directory values in nesting order, cast to the table-declared
     * partition types — consulted only when the scan reports
     * KeyGroupedPartitioning (see [[DocStoreScan.outputPartitioning]]),
@@ -882,10 +949,15 @@ class DocStoreReader(
     if (projSet.contains(f.name) || partVals.contains(f.name)) 0
     else if (f.name == "_file") 1
     else if (f.name == "_pos") 2
+    else if (f.name == "_change_type") 3
+    else if (f.name == "_commit_version") 4
     else 0
   }
   private val needPos = metaKind.contains(2)
   private val filePathStr = UTF8String.fromString(part.file)
+  private val changeTypeStr = UTF8String.fromString(part.changeType)
+  private val commitVer: Any =
+    if (part.commitVersion >= 0L) part.commitVersion else null
   private var rowIdx: Long = math.max(part.firstRowIndex, 0L) - 1
 
   /** Pushed data filters convert to a parquet predicate only when this
@@ -994,6 +1066,8 @@ class DocStoreReader(
       row.update(k,
         if (metaKind(k) == 1) filePathStr
         else if (metaKind(k) == 2) rowIdx
+        else if (metaKind(k) == 3) changeTypeStr
+        else if (metaKind(k) == 4) commitVer
         else if (j < 0) consts(k)
         else if (current.getFieldRepetitionCount(j) == 0) null
         else convs(k)(current))
@@ -1214,22 +1288,42 @@ class DocStoreSnapshotMicroBatchStream(
           "store's retention; restart from a fresh checkpoint or raise " +
           "vacuum keepVersions above the stream's maximum lag")))
 
-  /** The files version `v` contributes to the stream, relative paths,
-    * sorted: the full manifest at the stream's base version, the
-    * append delta later — EMPTY for a rewrite commit under
-    * onRewrite=skip, an error under onRewrite=fail. */
-  private def deltaOf(base: Long, v: Long): Seq[String] = {
-    if (v == base) return manifest(v).sorted
+  /** The (file, changeType) pairs version `v` contributes to the
+    * stream, in a FIXED order (deletes sorted, then inserts sorted) so
+    * admission slicing is deterministic across retries and restarts.
+    *
+    * Default mode streams DATA: the full manifest at the stream's base
+    * version, append deltas later — EMPTY for a rewrite commit under
+    * onRewrite=skip, an error under onRewrite=fail.
+    *
+    * changeFeed mode streams CHANGES, classified by the commit's `#op`
+    * exactly like the batch feed ([[DocStoreChanges]]): appends emit
+    * inserts, metadata DELETEs emit the retired (still-retained) rows
+    * as deletes, compaction emits nothing (dataChange=false), rewrites
+    * emit delete+insert churn. Consumers read `_change_type` /
+    * `_commit_version` via the metadata columns — a changeFeed stream
+    * that ignores `_change_type` would mistake deletes for data, so
+    * selecting it is part of the mode's contract. */
+  private def deltaOf(base: Long, v: Long): Seq[(String, String)] = {
+    if (v == base) return manifest(v).sorted.map(_ -> "insert")
     val cur = manifest(v)
     val prev = manifest(v - 1).toSet
-    val retired = prev.diff(cur.toSet)
-    if (retired.isEmpty) cur.filterNot(prev).sorted
+    val added = cur.filterNot(prev).sorted
+    val retired = (prev -- cur.toSet).toSeq.sorted
+    if (opts.changeFeed) DocStore.commitOp(path, v) match {
+      case "append" => added.map(_ -> "insert")
+      case "delete" => retired.map(_ -> "delete")
+      case "compact" => Nil // bytes rewritten, no data changed
+      case _ => retired.map(_ -> "delete") ++ added.map(_ -> "insert")
+    }
+    else if (retired.isEmpty) added.map(_ -> "insert")
     else if (onRewrite == "fail") throw new IllegalStateException(
       s"docstore: snapshot v$v of $path is a REWRITE commit (retires " +
         s"${retired.size} file(s), first: ${retired.head}) and this stream " +
         "runs onRewrite=fail — its outputs hold rows the stream already " +
-        "emitted. Use onRewrite=skip to tail across rewrites, or reload " +
-        "from a fresh checkpoint to re-snapshot the table")
+        "emitted. Use onRewrite=skip to tail across rewrites, " +
+        "changeFeed=true to consume them as delete+insert changes, or " +
+        "reload from a fresh checkpoint to re-snapshot the table")
     else Nil
   }
 
@@ -1293,7 +1387,7 @@ class DocStoreSnapshotMicroBatchStream(
         // the file cap (always at least one file per batch); skip the
         // per-file stat entirely when no byte cap is set
         if (byteCap != Long.MaxValue)
-          bytes += DocStore.fileLen(new Path(path, files(k)).toString)
+          bytes += DocStore.fileLen(new Path(path, files(k)._1).toString)
         k += 1
         admitted += 1
         budget -= 1
@@ -1310,25 +1404,32 @@ class DocStoreSnapshotMicroBatchStream(
     val e = end.asInstanceOf[DocStoreSnapshotOffset]
     // the batch's files come from the IMMUTABLE manifests the offsets
     // name — never the live listing — so a rewrite or vacuum between
-    // crash and recovery replans the identical batch
-    val rels = (s.version to e.version).flatMap { v =>
+    // crash and recovery replans the identical batch; each split
+    // carries its commit version and change type for the metadata
+    // columns (a within-version rel is added OR retired, never both,
+    // so the tag lookup is unambiguous)
+    val parts = ArrayBuffer.empty[InputPartition]
+    val planned = ArrayBuffer.empty[(String, Seq[(String, String)])]
+    (s.version to e.version).foreach { v =>
       val files = deltaOf(e.base, v)
       val from = if (v == s.version) s.emitted else 0
       val until = if (v == e.version) e.emitted else files.size
-      files.slice(from, until)
-    }
-    val listing = DocStore.pruneListing(
-      DocStore.resolveRels(path, rels), pushed)
-    plannedListing = listing
-    val parts = ArrayBuffer.empty[InputPartition]
-    listing.foreach { case (f, pv) =>
-      var firstRow = 0L
-      DocStore.footerBlocks(f).foreach { b =>
-        parts += DocStorePartition(f, b.getStartingPos, b.getCompressedSize,
-          pv, firstRowIndex = firstRow)
-        firstRow += b.getRowCount
+      val slice = files.slice(from, until)
+      val tagByRel = slice.toMap
+      val listing = DocStore.pruneListing(
+        DocStore.resolveRels(path, slice.map(_._1)), pushed)
+      planned ++= listing
+      listing.foreach { case (f, pv) =>
+        val tag = tagByRel(DocStore.relOf(path, f))
+        var firstRow = 0L
+        DocStore.footerBlocks(f).foreach { b =>
+          parts += DocStorePartition(f, b.getStartingPos, b.getCompressedSize,
+            pv, firstRowIndex = firstRow, changeType = tag, commitVersion = v)
+          firstRow += b.getRowCount
+        }
       }
     }
+    plannedListing = planned.toSeq
     parts.toArray
   }
 
@@ -1337,11 +1438,21 @@ class DocStoreSnapshotMicroBatchStream(
   // for the degenerate everything-deleted store)
   @volatile private var plannedListing: Seq[(String, Seq[(String, String)])] = Nil
 
+  // changeFeed mode appended _change_type/_commit_version to the TABLE
+  // schema (the streaming path can't deliver metadata columns); the
+  // reader synthesizes them, so the data-side schema strips them — the
+  // requiredData/metaKind machinery then treats them exactly like the
+  // batch metadata columns
+  private val dataSchema: StructType =
+    if (!opts.changeFeed) tableSchema
+    else StructType(tableSchema.fields.filterNot(f =>
+      f.name == "_change_type" || f.name == "_commit_version"))
+
   override def createReaderFactory(): PartitionReaderFactory =
     DocStore.readerFactory(
       if (plannedListing.nonEmpty) plannedListing
       else DocStore.listFilesWithPartitions(path),
-      tableSchema, required, pushed)
+      dataSchema, required, pushed)
 
   override def deserializeOffset(json: String): Offset = {
     require(json.trim.startsWith("{"),
@@ -2085,13 +2196,15 @@ object DocStore {
       maxFilesPerTrigger: Option[Int] = None,
       maxBytesPerTrigger: Option[Long] = None,
       startingVersion: Option[Long] = None,
-      onRewrite: String = "skip")
+      onRewrite: String = "skip",
+      changeFeed: Boolean = false)
 
   def streamOptsOf(options: CaseInsensitiveStringMap): StreamOpts = StreamOpts(
     Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt),
     Option(options.get("maxBytesPerTrigger")).map(_.trim.toLong),
     Option(options.get("startingVersion")).map(_.trim.toLong),
-    Option(options.get("onRewrite")).map(_.trim.toLowerCase).getOrElse("skip"))
+    Option(options.get("onRewrite")).map(_.trim.toLowerCase).getOrElse("skip"),
+    Option(options.get("changeFeed")).exists(_.trim.toBoolean))
 
   def fileLen(f: String): Long = {
     val p = new Path(f)
@@ -2301,17 +2414,24 @@ object DocStore {
     * sentinel is missing (a writer mid-stream or dead mid-write);
     * readers then fall back to the previous version, so an exclusive
     * CREATE can claim a version atomically without making its content
-    * write atomic too. */
+    * write atomic too. A read that FAILS mid-write — the local
+    * filesystem raises ChecksumException/EOF when the bytes move under
+    * the reader — is the same state as a missing sentinel: not yet
+    * committed, read None, re-read later. Without this, a contender
+    * polling the in-flight head crashes the COMMITTER's retry loop on
+    * a transient torn read (found by the 8-writer contention spec). */
   def readManifest(path: String, v: Long): Option[Seq[String]] = {
     val f = new Path(snapRoot(path), s"v$v")
     val fs = f.getFileSystem(new Configuration())
-    if (!fs.exists(f)) return None
-    val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
-    val in = fs.open(f)
-    try in.readFully(bytes) finally in.close()
-    val lines = new String(bytes, "UTF-8").split("\n").toSeq
-    val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
-    if (lines.contains(s"#end ${entries.length}")) Some(entries) else None
+    try {
+      if (!fs.exists(f)) return None
+      val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(bytes) finally in.close()
+      val lines = new String(bytes, "UTF-8").split("\n").toSeq
+      val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+      if (lines.contains(s"#end ${entries.length}")) Some(entries) else None
+    } catch { case _: java.io.IOException => None }
   }
 
   /** Latest committed (version, relative files), None on a plain or
@@ -2392,7 +2512,7 @@ object DocStore {
         claimAttempts += 1
         val claimed =
           try {
-            val out = fs.create(dst, false) // exclusive create
+            val out = createExclusive(fs, dst)
             // `#ts` carries the commit wall-clock INSIDE the manifest
             // (TIMESTAMP AS OF resolves from it, so time travel
             // survives copy/rsync/restore — file mtimes don't); `#op`
@@ -2411,13 +2531,50 @@ object DocStore {
           } catch {
             case _: java.io.IOException if fs.exists(dst) => false // lost the race
           }
-        if (claimed && readManifest(path, next).contains(entries)) return next
+        if (claimed) {
+          // the read-back can hit the same transient torn-read None a
+          // contender's poll can — retry briefly before concluding the
+          // claim was swept (a false negative here would re-apply the
+          // update closure on top of its own committed result)
+          var check = readManifest(path, next)
+          var tries = 0
+          while (check.isEmpty && tries < 5) {
+            Thread.sleep(10)
+            check = readManifest(path, next)
+            tries += 1
+          }
+          if (check.contains(entries)) return next
+        }
       }
     }
     throw new IllegalStateException(
       s"docstore: snapshot commit at $path gave up after $claimAttempts claim " +
         "attempts (lost races or an in-flight claim outlived the deadline)")
   }
+
+  /** TRULY exclusive create for the claim file. HDFS `create(…,
+    * overwrite=false)` is atomic and object stores back the same
+    * contract with a conditional put — but Hadoop's LOCAL filesystems
+    * implement it as exists-check-then-open, a check-then-act race:
+    * two contenders can BOTH pass the check, and the later close
+    * silently truncates the earlier writer's committed manifest — a
+    * lost update the read-back verify cannot reliably catch (the
+    * overwrite can land after the first writer's verify). On local
+    * paths, claim through POSIX O_CREAT|O_EXCL instead (atomic at the
+    * kernel; java.nio CREATE_NEW), found by the 8-writer contention
+    * spec. The manifest then has no .crc sidecar — fine: the sentinel
+    * + torn-read handling already cover consistency. */
+  private def createExclusive(fs: FileSystem, dst: Path): java.io.OutputStream =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val p = java.nio.file.Paths.get(dst.toUri.getPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.newOutputStream(p,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      case other => other.create(dst, false)
+    }
 
   /** Commit wall-clock of version `v`, preferring the manifest's own
     * `#ts` header (written at commit since r16) and falling back to
@@ -2743,11 +2900,12 @@ object DocStore {
       pushed: Array[Filter]): DocStoreReaderFactory = {
     val partCols = listing.headOption.map(_._2.map(_._1).toSet).getOrElse(Set.empty[String])
     val dataFilters = pushed.filterNot(f => isPartitionFilter(f, partCols))
-    // metadata columns (`_file`, `_pos`) are reader-synthesized, never
+    // metadata columns (`_file`, `_pos`, `_change_type`,
+    // `_commit_version`) are reader-synthesized, never
     // parquet-projected — unless a DATA column of that name shadows
+    val metaNames = Set("_file", "_pos", "_change_type", "_commit_version")
     val requiredData = required.fields.map(_.name).filterNot(partCols)
-      .filterNot(n => (n == "_file" || n == "_pos") &&
-        !tableSchema.fieldNames.contains(n))
+      .filterNot(n => metaNames(n) && !tableSchema.fieldNames.contains(n))
     val filterCols = dataFilters.flatMap(_.references).distinct
       .filterNot(c => requiredData.contains(c))
     DocStoreReaderFactory(requiredData ++ filterCols, required, tableSchema, dataFilters)

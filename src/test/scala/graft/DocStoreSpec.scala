@@ -941,6 +941,77 @@ class DocStoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base2/out").count() == 3)
   }
 
+  test("streaming change feed: inserts+deletes with metadata lineage; compaction invisible; plain refuses") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val store = tmpDir("docstore_cdfstream")
+    val base = tmpDir("docstore_cdfstream_sink")
+    def drain(): Unit =
+      spark.readStream.format("docstore").option("path", store)
+        .option("changeFeed", "true").load()
+        .select(col("k"), col("v"), col("p"),
+          col("_change_type"), col("_commit_version"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // v1+v2: two appends into partitions p0/p1
+    Seq((1L, "a", "p0"), (2L, "b", "p1")).toDF("k", "v", "p")
+      .write.format("docstore").option("path", store)
+      .option("partitionBy", "p").option("snapshots", "true")
+      .mode("append").save()
+    Seq((3L, "c", "p0"), (4L, "d", "p1")).toDF("k", "v", "p")
+      .write.format("docstore").option("path", store)
+      .option("partitionBy", "p").mode("append").save()
+    drain()
+    val afterAppends = spark.read.parquet(s"$base/out")
+    assert(afterAppends.count() == 4 &&
+      afterAppends.filter(col("_change_type") =!= "insert").count() == 0)
+    // v3: metadata-only partition DELETE of p0 — the stream emits the
+    // retired rows as deletes; v4: compaction — emits NOTHING
+    val table = graft.sources.DocStoreTable(store,
+      spark.read.format("docstore").option("path", store).load().schema, Seq("p"))
+    val del: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.EqualTo("p", "p0"))
+    table.deleteWhere(del)
+    val cst = graft.sources.DocStoreMaintenance.compact(
+      spark, store, smallerThan = Long.MaxValue)
+    assert(cst.version.contains(4L) && cst.filesIn == 2,
+      s"compaction must really commit v4 over p1's two files: $cst")
+    drain()
+    val all = spark.read.parquet(s"$base/out")
+    val deletes = all.filter(col("_change_type") === "delete")
+    assert(all.count() == 6, s"expected 4 inserts + 2 deletes, got ${all.count()}")
+    assert(deletes.select("k").as[Long].collect().toSeq.sorted == Seq(1L, 3L))
+    assert(deletes.select("p").distinct().as[String].collect().toSeq == Seq("p0"))
+    assert(deletes.select("_commit_version").distinct().as[Long]
+      .collect().toSeq == Seq(3L))
+    // nothing-new drain stays empty (the compaction never surfaces)
+    drain()
+    assert(spark.read.parquet(s"$base/out").count() == 6)
+    // BATCH reads expose the same lineage via metadata columns: every
+    // surviving row's file was committed by the v4 compaction, and a
+    // batch row is by definition an insert
+    val batch = spark.read.format("docstore").option("path", store).load()
+      .select(col("k"), col("_change_type"), col("_commit_version"))
+    assert(batch.select("_change_type").distinct()
+      .as[String].collect().toSeq == Seq("insert"))
+    assert(batch.select("_commit_version").distinct()
+      .as[Long].collect().toSeq == Seq(4L))
+    // plain stores refuse changeFeed with a clear error
+    val plain = tmpDir("docstore_cdfstream_plain")
+    Seq((1L, "a")).toDF("k", "v")
+      .write.format("docstore").option("path", plain).mode("append").save()
+    val e = intercept[Exception] {
+      spark.readStream.format("docstore").option("path", plain)
+        .option("changeFeed", "true").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("cdfplain_cp"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("snapshot store"))
+  }
+
   test("snapshot stream onRewrite=fail stops at a rewrite commit with a clear error") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._

@@ -303,6 +303,37 @@ class SnapshotSpec extends SparkSpec {
     assert(v3.exists(_.contains("marker/from-contender.parquet")))
   }
 
+  test("commit protocol under real contention: 8 writers x 5 commits, nobody's update lost") {
+    val store = tmpDir("snapcontend")
+    appendSlice(store, 0, snapshots = true) // v1
+    val writers = 8
+    val each = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until writers).map { w =>
+      new Thread(() =>
+        try (0 until each).foreach { i =>
+          DocStore.commitSnapshot(store, staleClaimGraceMs = 10000L)(
+            base => base :+ s"marker/w$w-$i.parquet"): Unit
+        } catch { case t: Throwable => errs.add(t): Unit })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.getMessage)}")
+    // every commit serialized to its own version: v1 + 40 commits
+    val versions = DocStore.snapshotVersions(store)
+      .filter(DocStore.readManifest(store, _).isDefined)
+    assert(versions == (1L to (1 + writers * each)).toSeq,
+      s"non-contiguous committed versions: $versions")
+    // and the FINAL lineage contains every writer's every marker —
+    // the 'nobody's update is lost' contract under real interleaving
+    val last = DocStore.currentSnapshot(store).get._2.toSet
+    val missing = for {
+      w <- 0 until writers; i <- 0 until each
+      m = s"marker/w$w-$i.parquet" if !last.contains(m)
+    } yield m
+    assert(missing.isEmpty, s"lost updates: $missing")
+  }
+
   test("TIMESTAMP AS OF survives mtime resets: commit time lives inside the manifest") {
     val root = tmpDir("snapts_root")
     if (spark.conf.getOption("spark.sql.catalog.snapts").isEmpty) {
