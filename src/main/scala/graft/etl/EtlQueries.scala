@@ -980,6 +980,72 @@ object EtlQueries {
         AS t(version, op, added, retired) ORDER BY version""")),
 
     Q(
+      "etl_connector_stream_cdf",
+      "STREAMING change feed: `readStream … changeFeed=true` tails " +
+        "classified changes continuously — the incremental consumer " +
+        "that keeps a downstream table in sync without re-extracts. " +
+        "The scenario interleaves the stream with every commit kind: " +
+        "drain after generation 1, then a partition DELETE of 1995 " +
+        "(emits gen-1's 1995 rows as deletes), generation 2 (which " +
+        "re-adds 1995 rows — inserted AFTER the delete, so they stay), " +
+        "and a compaction (emits NOTHING), then drain again from the " +
+        "same checkpoint. The oracle derives the exact expected change " +
+        "set from the source table: inserts = both generations, " +
+        "deletes = generation 1's 1995 slice only. A compaction row " +
+        "leaking into the feed, a delete lost across the checkpoint, " +
+        "or a version misattribution is a hash mismatch.",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        val base = graft.Scratch.once(s"etl_connector_stream_cdf:$dir") { p =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.orders_scdf
+            (o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING docstore PARTITIONED BY (o_year)""")
+          val store = pathOfTable(s, cat, ns, "orders_scdf")
+          val o = Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).as("o_year"))
+          def drain(): Unit =
+            s.readStream.format("docstore").option("path", store)
+              .option("changeFeed", "true").load()
+              .writeStream.format("parquet")
+              .option("path", s"$p/out").option("checkpointLocation", s"$p/cp")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start().awaitTermination()
+          o.filter(col("o_orderkey") % 2 === 0)
+            .writeTo(s"$cat.$ns.orders_scdf")
+            .option("snapshots", "true").append() // v1
+          drain()
+          s.sql(s"DELETE FROM $cat.$ns.orders_scdf WHERE o_year = 1995") // v2
+          o.filter(col("o_orderkey") % 2 =!= 0)
+            .writeTo(s"$cat.$ns.orders_scdf").append() // v3
+          graft.sources.DocStoreMaintenance.compact(s, store,
+            smallerThan = Long.MaxValue): Unit // v4: silent to the feed
+          drain()
+        }
+        s.read.parquet(s"$base/out")
+          .groupBy(col("_change_type").as("change_type"),
+            col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("change_type", "o_year")
+      },
+      Some("""WITH y AS (SELECT o_orderkey,
+            CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+          FROM orders)
+        SELECT * FROM (
+          SELECT 'insert' AS change_type, o_year, count(*) AS n,
+            round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+          FROM y GROUP BY 2
+          UNION ALL
+          SELECT 'delete' AS change_type, o_year, count(*) AS n,
+            round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+          FROM y WHERE o_year = 1995 AND o_orderkey % 2 = 0 GROUP BY 2
+        ) ORDER BY change_type, o_year""")),
+
+    Q(
       "etl_connector_delete",
       "DELETE pushed to the connector as a METADATA-ONLY operation: a " +
         "catalog table Hive-partitioned by order year takes `DELETE " +
