@@ -1012,6 +1012,38 @@ class DocStoreSpec extends SparkSpec {
       .contains("snapshot store"))
   }
 
+  test("changeFeed composes with startingVersion: changes-since-N streaming") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val store = tmpDir("docstore_cdf_since")
+    val base = tmpDir("docstore_cdf_since_sink")
+    Seq((1L, "a", "p0")).toDF("k", "v", "p")
+      .write.format("docstore").option("path", store)
+      .option("partitionBy", "p").option("snapshots", "true")
+      .mode("append").save() // v1
+    Seq((2L, "b", "p1")).toDF("k", "v", "p")
+      .write.format("docstore").option("path", store)
+      .option("partitionBy", "p").mode("append").save() // v2
+    val table = graft.sources.DocStoreTable(store,
+      spark.read.format("docstore").option("path", store).load().schema, Seq("p"))
+    val del: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.EqualTo("p", "p0"))
+    table.deleteWhere(del) // v3: deletes k=1
+    // changes SINCE v2: v1's insert is history, v2's insert and v3's
+    // delete stream — the incremental consumer that already processed
+    // through v1 and resumes without replaying it
+    spark.readStream.format("docstore").option("path", store)
+      .option("changeFeed", "true").option("startingVersion", "2").load()
+      .select(col("k"), col("_change_type"), col("_commit_version"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val rows = spark.read.parquet(s"$base/out")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(rows == Seq((1L, "delete", 3L), (2L, "insert", 2L)),
+      s"changes-since-v2 mismatch: $rows")
+  }
+
   test("snapshot stream onRewrite=fail stops at a rewrite commit with a clear error") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
