@@ -1044,6 +1044,41 @@ class DocStoreSpec extends SparkSpec {
       s"changes-since-v2 mismatch: $rows")
   }
 
+  test("schema evolution mid-stream: the stream's fixed schema keeps reading evolved files") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val store = tmpDir("docstore_evolve_stream")
+    val base = tmpDir("docstore_evolve_stream_sink")
+    def drain(): Unit =
+      spark.readStream.format("docstore").option("path", store).load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    Seq((1L, "a")).toDF("k", "v")
+      .write.format("docstore").option("path", store)
+      .option("snapshots", "true").mode("append").save() // v1: (k, v)
+    drain()
+    // the store evolves: a column is added by a mergeSchema append —
+    // the RUNNING stream's schema was fixed at (k, v); the evolved
+    // files still serve those columns (presence-aware projection)
+    Seq((2L, "b", 1.5)).toDF("k", "v", "score")
+      .write.format("docstore").option("path", store)
+      .option("mergeSchema", "true").mode("append").save() // v2: (k, v, score)
+    drain()
+    val rows = spark.read.parquet(s"$base/out")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(rows == Seq((1L, "a"), (2L, "b")),
+      s"stream across the evolution lost or corrupted rows: $rows")
+    // a FRESH stream sees the evolved schema, old files null-filled
+    val base2 = tmpDir("docstore_evolve_stream_sink2")
+    spark.readStream.format("docstore").option("path", store).load()
+      .writeStream.format("parquet")
+      .option("path", s"$base2/out").option("checkpointLocation", s"$base2/cp")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val fresh = spark.read.parquet(s"$base2/out").orderBy("k").collect()
+    assert(fresh.length == 2 && fresh(0).isNullAt(2) && fresh(1).getDouble(2) == 1.5)
+  }
+
   test("snapshot stream onRewrite=fail stops at a rewrite commit with a clear error") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
