@@ -1044,7 +1044,7 @@ class DocStoreSpec extends SparkSpec {
       s"changes-since-v2 mismatch: $rows")
   }
 
-  test("schema evolution mid-stream: the stream's fixed schema keeps reading evolved files") {
+  test("schema evolution across stream restarts: the restart adopts the evolved schema, no rows lost") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
     val store = tmpDir("docstore_evolve_stream")
@@ -1058,24 +1058,28 @@ class DocStoreSpec extends SparkSpec {
       .write.format("docstore").option("path", store)
       .option("snapshots", "true").mode("append").save() // v1: (k, v)
     drain()
-    // the store evolves: a column is added by a mergeSchema append —
-    // the RUNNING stream's schema was fixed at (k, v); the evolved
-    // files still serve those columns (presence-aware projection)
+    // the store evolves: a column is added by a mergeSchema append.
+    // The restarted stream (new query run, same checkpoint) re-infers
+    // the reconciled schema and resumes from the offset — only the NEW
+    // file replays, carrying the evolved shape; the sink dir then
+    // holds both generations' shapes (mergeSchema unions them)
     Seq((2L, "b", 1.5)).toDF("k", "v", "score")
       .write.format("docstore").option("path", store)
       .option("mergeSchema", "true").mode("append").save() // v2: (k, v, score)
     drain()
-    val rows = spark.read.parquet(s"$base/out")
-      .as[(Long, String)].collect().toSeq.sorted
+    val rows = spark.read.option("mergeSchema", "true").parquet(s"$base/out")
+      .select("k", "v").as[(Long, String)].collect().toSeq.sorted
     assert(rows == Seq((1L, "a"), (2L, "b")),
-      s"stream across the evolution lost or corrupted rows: $rows")
-    // a FRESH stream sees the evolved schema, old files null-filled
+      s"restart across the evolution lost or duplicated rows: $rows")
+    // a FRESH stream replays everything under the evolved schema, the
+    // pre-evolution file null-filled by the connector
     val base2 = tmpDir("docstore_evolve_stream_sink2")
     spark.readStream.format("docstore").option("path", store).load()
       .writeStream.format("parquet")
       .option("path", s"$base2/out").option("checkpointLocation", s"$base2/cp")
       .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    val fresh = spark.read.parquet(s"$base2/out").orderBy("k").collect()
+    val fresh = spark.read.parquet(s"$base2/out")
+      .select("k", "v", "score").orderBy("k").collect()
     assert(fresh.length == 2 && fresh(0).isNullAt(2) && fresh(1).getDouble(2) == 1.5)
   }
 
