@@ -102,7 +102,38 @@ object Bench {
       name -> ((if (failed) -1.0 else best), runs)
     }.toMap
     val runsTaken = results.collect { case (n, (_, r)) if r > 2 => n -> r }
-    val times = results.map { case (n, (t, _)) => n -> t }
+    var times = results.map { case (n, (t, _)) => n -> t }
+    // TOTAL-level machine-load guard (r16 verdict #4): the per-query
+    // 2.5× stall trigger is blind to a UNIFORM ~15% load inflation —
+    // every query lands under its own trigger, the official artifact
+    // silently absorbs the machine. When the baselined subtotal runs
+    // >1.15× its cross-round baseline sum, sweep the inflated HALF
+    // (queries above their own baseline) once more, minutes after
+    // their first runs, and report per-query minimums. Both totals
+    // land in the detail JSON so a future reader sees the inflation
+    // was detected and repaired, not absorbed.
+    val fnByName = selected.toMap
+    val baselined = times.toSeq.collect {
+      case (n, t) if t >= 0 && BenchBaseline.seconds.contains(n) =>
+        (n, t, BenchBaseline.seconds(n))
+    }
+    val totalFirst = times.values.filter(_ >= 0).sum
+    val baseSum = baselined.map(_._3).sum
+    val loadInflated = rerun && !singleRun && baselined.size >= 50 &&
+      baselined.map(_._2).sum > 1.15 * baseSum
+    if (loadInflated) {
+      System.err.println(f"[bench] load guard: baselined subtotal " +
+        f"${baselined.map(_._2).sum}%.1f s > 1.15x baseline $baseSum%.1f s " +
+        "— re-sweeping queries above their own baseline")
+      val redo = baselined.collect { case (n, t, b) if t > b => n }
+      times = times ++ redo.flatMap { n =>
+        fnByName.get(n).map { fn =>
+          val c = once(n, fn)
+          cleanup()
+          n -> (if (c.isNaN) times(n) else math.min(times(n), c))
+        }
+      }
+    }
     val ok = times.filter(_._2 >= 0)
     val failed = times.size - ok.size
     val total = ok.values.sum
@@ -117,7 +148,8 @@ object Bench {
     // leaving unparseable JSON. The final line therefore carries only a
     // fixed headline subset and stays well under the capture window
     // (pinned by BenchLineSpec).
-    println(s"""{"detail":"per_query","queries":$qs,"stall_reruns":$rt}""")
+    println(s"""{"detail":"per_query","queries":$qs,"stall_reruns":$rt,""" +
+      s""""total_first_pass":${f3(totalFirst)},"load_guard_tripped":$loadInflated}""")
     System.out.flush()
     println(machineLine(times, total, failed, sfDir))
     spark.stop()

@@ -1161,6 +1161,221 @@ object EtlQueries {
         ORDER BY c_custkey, valid_from""")),
 
     Q(
+      "etl_connector_merge_mor",
+      "The SCD2 `MERGE INTO` executed MERGE-ON-READ: the table declares " +
+        "TBLPROPERTIES('rowlevel'='mor'), so matched rows retire as " +
+        "DELETION-VECTOR positions (`#dv` manifest bindings over " +
+        "immutable `_deletes/` sidecars — Delta DV / Iceberg v2 " +
+        "position-delete semantics) and only genuinely-new rows write " +
+        "files; ZERO pre-existing data files are rewritten " +
+        "(MergeOnReadSpec pins the manifest diff). At 100 TB this is " +
+        "the difference between a MERGE whose matches scatter across " +
+        "partitions costing O(matched ROWS) and costing O(matched " +
+        "FILE GROUPS) — the exact cost copy-on-write " +
+        "(etl_connector_merge) pays. Readers subtract the vectors at " +
+        "scan (pointer-merge on sorted positions, zero extra I/O on " +
+        "DV-free files); the oracle recomputes the dimension from the " +
+        "source table, so a resurrected or lost row is a hash " +
+        "mismatch.",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        graft.Scratch.once(s"etl_connector_merge_mor:$dir") { _ =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.scd_customer_mor
+            (c_custkey BIGINT, segment STRING, valid_from DATE,
+             valid_to DATE, is_current BOOLEAN) USING docstore
+            TBLPROPERTIES ('rowlevel'='mor')""")
+          Tables.t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+              lit("2020-01-01").cast("date").as("valid_from"),
+              lit(null).cast("date").as("valid_to"),
+              lit(true).as("is_current"))
+            .writeTo(s"$cat.$ns.scd_customer_mor").append()
+          s.sql(s"""CREATE TABLE $cat.$ns.scd_changes_mor
+            (c_custkey BIGINT, new_segment STRING) USING docstore""")
+          Tables.t(s, dir, "customer")
+            .filter(col("c_custkey") % 7 === 0)
+            .select(col("c_custkey"), lit("MIGRATED").as("new_segment"))
+            .writeTo(s"$cat.$ns.scd_changes_mor").append()
+          s.sql(s"""MERGE INTO $cat.$ns.scd_customer_mor t
+            USING (
+              SELECT c_custkey AS mk, c_custkey, new_segment
+              FROM $cat.$ns.scd_changes_mor
+              UNION ALL
+              SELECT CAST(NULL AS BIGINT) AS mk, c_custkey, new_segment
+              FROM $cat.$ns.scd_changes_mor
+            ) s
+            ON t.c_custkey = s.mk AND t.is_current
+            WHEN MATCHED THEN UPDATE SET
+              valid_to = DATE '2024-06-01', is_current = false
+            WHEN NOT MATCHED THEN INSERT
+              (c_custkey, segment, valid_from, valid_to, is_current)
+              VALUES (s.c_custkey, s.new_segment, DATE '2024-06-01',
+                CAST(NULL AS DATE), true)""")
+        }
+        s.table(s"$cat.$ns.scd_customer_mor")
+          .select("c_custkey", "segment", "valid_from", "valid_to", "is_current")
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH changes AS (
+          SELECT c_custkey, 'MIGRATED' AS new_segment
+          FROM customer WHERE c_custkey % 7 = 0),
+        merged AS (
+          SELECT d.c_custkey, d.c_mktsegment, ch.new_segment
+          FROM customer d LEFT JOIN changes ch USING (c_custkey))
+        SELECT c_custkey, c_mktsegment AS segment,
+          DATE '2020-01-01' AS valid_from,
+          CASE WHEN new_segment IS NOT NULL THEN DATE '2024-06-01' END AS valid_to,
+          new_segment IS NULL AS is_current
+        FROM merged
+        UNION ALL
+        SELECT c_custkey, new_segment AS segment,
+          DATE '2024-06-01' AS valid_from,
+          CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        FROM merged WHERE new_segment IS NOT NULL
+        ORDER BY c_custkey, valid_from""")),
+
+    Q(
+      "etl_connector_delete_mor",
+      "DELETE with a DATA predicate on a merge-on-read table: no " +
+        "partition fast path applies (the predicate isn't a partition " +
+        "conjunct) and no file is rewritten either — the matched rows' " +
+        "(file, position) ids become per-file deletion vectors in one " +
+        "`rowdelta` snapshot commit. The operation scan pushes the " +
+        "predicate (unlike copy-on-write's group scan, which must read " +
+        "whole groups), so the scan cost is the predicate's row-group " +
+        "survivors. Footer aggregate pushdown REFUSES under DVs " +
+        "(counts would include deleted rows); the aggregate below " +
+        "therefore reads data pages and still answers exactly — the " +
+        "oracle recomputes from the source.",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        graft.Scratch.once(s"etl_connector_delete_mor:$dir") { _ =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.orders_del_mor
+            (o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING docstore PARTITIONED BY (o_year)
+            TBLPROPERTIES ('rowlevel'='mor')""")
+          Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).as("o_year"))
+            .writeTo(s"$cat.$ns.orders_del_mor").append()
+          s.sql(s"DELETE FROM $cat.$ns.orders_del_mor WHERE o_orderkey % 3 = 0")
+        }
+        s.table(s"$cat.$ns.orders_del_mor")
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders WHERE o_orderkey % 3 <> 0
+        GROUP BY 1 ORDER BY o_year""")),
+
+    Q(
+      "etl_catalog_iddl",
+      "DROP + RENAME COLUMN via STABLE COLUMN IDs — the evolution " +
+        "add/widen alone can't express: the schema marker binds every " +
+        "name ever used to a column id, `ALTER TABLE RENAME COLUMN` " +
+        "re-binds the current name while pre-rename files keep " +
+        "resolving through the old binding (the reader tries the " +
+        "current name, then the id's older names, per file), and " +
+        "`DROP COLUMN` retires the id so old files' bytes become " +
+        "invisible without rewriting anything. Generation 1 writes " +
+        "(k, price, flag); price is renamed to amount and flag " +
+        "dropped; generation 2 writes (k, amount) — the aggregate " +
+        "below reads BOTH generations by the new name, and the oracle " +
+        "recomputes it from the source table, so a row read under the " +
+        "wrong binding (or a resurrected dropped column shifting the " +
+        "projection) is a hash mismatch. Name REUSE is refused with " +
+        "the files still carrying the old column (ColumnIdSpec) — " +
+        "the one ambiguity name-mapping over id-less parquet cannot " +
+        "survive, exactly Iceberg's name-mapping rule.",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        graft.Scratch.once(s"etl_catalog_iddl:$dir") { _ =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.orders_iddl
+            (o_orderkey BIGINT, price DOUBLE, flag INT)
+            USING docstore TBLPROPERTIES ('rowlevel'='mor')""")
+          Tables.t(s, dir, "orders")
+            .filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), col("o_totalprice").as("price"),
+              lit(1).as("flag"))
+            .writeTo(s"$cat.$ns.orders_iddl").append() // generation 1
+          s.sql(s"ALTER TABLE $cat.$ns.orders_iddl RENAME COLUMN price TO amount")
+          s.sql(s"ALTER TABLE $cat.$ns.orders_iddl DROP COLUMN flag")
+          Tables.t(s, dir, "orders")
+            .filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_totalprice").as("amount"))
+            .writeTo(s"$cat.$ns.orders_iddl").append() // generation 2
+        }
+        val t = s.table(s"$cat.$ns.orders_iddl")
+        require(t.schema.fieldNames.toSeq == Seq("o_orderkey", "amount"),
+          s"iddl schema drift: ${t.schema.fieldNames.mkString(",")}")
+        t.groupBy((col("o_orderkey") % 5).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("amount") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT o_orderkey % 5 AS bucket, count(*) AS n,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    Q(
+      "etl_connector_sql_maintenance",
+      "Maintenance WITHOUT leaving SQL — `CALL docstore.system.compact`" +
+        " through the DSv2 procedure machinery (ProcedureCatalog / " +
+        "BoundProcedure, the API Iceberg's procedures ride): a table " +
+        "ingested in three small commits (the streaming-sink shape " +
+        "that accumulates files) is bin-packed by a SQL CALL, the " +
+        "procedure's result row reports what moved, and the read-back " +
+        "aggregate proves the rewrite was byte-faithful — the oracle " +
+        "recomputes it from the source table. DESCRIBE-style history " +
+        "(`CALL docstore.system.history`) and vacuum ride the same " +
+        "surface (DocStoreCatalogSpec pins their shapes); operators " +
+        "schedule retention from a SQL console, no Scala required.",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        graft.Scratch.once(s"etl_connector_sql_maintenance:$dir") { _ =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.orders_maint
+            (o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING docstore PARTITIONED BY (o_year)
+            TBLPROPERTIES ('rowlevel'='mor')""")
+          val src = Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).as("o_year"))
+          (0 until 3).foreach { slice =>
+            src.filter(pmod(col("o_orderkey"), lit(3)) === slice)
+              .writeTo(s"$cat.$ns.orders_maint").append()
+          }
+          val r = s.sql(
+            s"CALL $cat.system.compact(table => '$ns.orders_maint')").head
+          require(r.getInt(0) > 0 && r.getInt(1) > r.getInt(2),
+            s"compaction did not bin-pack: $r")
+        }
+        s.table(s"$cat.$ns.orders_maint")
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders GROUP BY 1 ORDER BY o_year""")),
+
+    Q(
       "etl_connector_copartition",
       "STORAGE-PARTITIONED JOIN through the connector — the zero-" +
         "shuffle fact-fact join: two stores Hive-partitioned on the " +

@@ -172,6 +172,97 @@ object Dedup {
         ORDER BY doc_id""")),
 
     Q(
+      "dedup_cdf_incremental",
+      "CHANGE-FEED-DRIVEN incremental dedup — THE production shape for " +
+        "continuous corpus curation at 100 TB: the corpus lives in a " +
+        "merge-on-read docstore (v2 = historical load, v3 = retention " +
+        "DELETE as deletion vectors, v4 = new-batch append), a band " +
+        "store is built ONCE from the v2 snapshot, and the consumer " +
+        "processes `changes(2, 4)` instead of ever rescanning the " +
+        "table: delete rows TOMBSTONE their doc's (band, key) entries, " +
+        "insert rows run through the incremental minhash probe " +
+        "(equi-joins on band keys, batch-internal precedence). The " +
+        "result provably equals the full-corpus recompute — the oracle " +
+        "IS that recompute (store from surviving history only, same " +
+        "banding, same probes) — while the consumer touched only the " +
+        "delta: O(changes), not O(corpus), and compaction commits " +
+        "would contribute zero change rows. Composes the r16 change " +
+        "feed with the persisted band store of " +
+        "dedup_incremental_minhash; MergeOnReadSpec pins that the " +
+        "DELETE rewrote no data file.",
+      (s, dir) => {
+        import graft.sources.DocStoreChanges
+        val hist = Seq("src0", "src1", "src2", "src3", "src4")
+        val root = graft.Scratch.once("graft_cdfdedup_root") { _ => () }
+        val ns = "db" + math.abs(dir.hashCode).toString
+        if (s.conf.getOption("spark.sql.catalog.graftcdf").isEmpty) {
+          s.conf.set("spark.sql.catalog.graftcdf", "graft.sources.DocStoreCatalog")
+          s.conf.set("spark.sql.catalog.graftcdf.root", root)
+        }
+        graft.Scratch.once(s"dedup_cdf_incremental:$dir") { _ =>
+          s.sql(s"CREATE NAMESPACE IF NOT EXISTS graftcdf.$ns")
+          s.sql(s"""CREATE TABLE graftcdf.$ns.docs_cdf
+            (doc_id BIGINT, source STRING, text STRING)
+            USING docstore TBLPROPERTIES ('rowlevel'='mor')""") // v1: empty
+          Tables.t(s, dir, "documents").filter(col("doc_id") < 400)
+            .filter(col("source").isInCollection(hist))
+            .select(col("doc_id").cast("bigint").as("doc_id"),
+              col("source"), col("text"))
+            .writeTo(s"graftcdf.$ns.docs_cdf").append() // v2: history
+          s.sql(s"DELETE FROM graftcdf.$ns.docs_cdf WHERE doc_id % 7 = 0") // v3: rowdelta
+          Tables.t(s, dir, "documents").filter(col("doc_id") < 400)
+            .filter(!col("source").isInCollection(hist))
+            .select(col("doc_id").cast("bigint").as("doc_id"),
+              col("source"), col("text"))
+            .writeTo(s"graftcdf.$ns.docs_cdf").append() // v4: the batch
+        }
+        val path = s"$root/$ns/docs_cdf"
+        // band store built once, from the v2 snapshot (doc-attributed
+        // so a delete can tombstone exactly its doc's keys)
+        val histDocs = s.read.format("docstore").option("path", path)
+          .option("versionAsOf", "2").load()
+        val store0 = portableBandIndex(histDocs.select("doc_id", "text"))
+          .select("doc_id", "band", "key")
+        // the consumer's ONLY corpus read after v2: the change feed
+        val ch = DocStoreChanges.changes(s, path, 2, 4)
+        val deletedIds = ch.filter(col("_change_type") === "delete")
+          .select("doc_id").distinct()
+        val store = store0.join(deletedIds, Seq("doc_id"), "left_anti")
+          .select("band", "key").distinct()
+        val inserts = ch.filter(col("_change_type") === "insert")
+          .select("doc_id", "source", "text")
+        val batch = portableBandIndex(inserts.select("doc_id", "text"))
+          .join(inserts.select("doc_id", "source"), "doc_id")
+        incrementalMinhash(batch, store).orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tokens
+          FROM documents WHERE doc_id < 400),
+        ex AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+        hashed AS (
+          SELECT doc_id, p,
+            ${PortableHash.hexHashSql("CAST(p AS VARCHAR) || ':' || token")} AS h
+          FROM ex CROSS JOIN (SELECT unnest(range(32)) AS p)),
+        sigs AS (SELECT doc_id, p, min(h) AS m FROM hashed GROUP BY 1, 2),
+        banded AS (
+          SELECT s.doc_id, CAST(p // 4 AS INT) AS band,
+            string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS key, any_value(t.source) AS source
+          FROM sigs s JOIN toks t USING (doc_id) GROUP BY 1, 2),
+        store AS (SELECT DISTINCT band, key FROM banded
+          WHERE source IN ('src0','src1','src2','src3','src4')
+            AND doc_id % 7 <> 0),
+        batch AS (SELECT * FROM banded
+          WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        hit_store AS (SELECT DISTINCT b.doc_id FROM batch b
+          JOIN store s ON b.band = s.band AND b.key = s.key),
+        hit_earlier AS (SELECT DISTINCT a.doc_id FROM batch a
+          JOIN batch b ON a.band = b.band AND a.key = b.key AND b.doc_id < a.doc_id)
+        SELECT DISTINCT doc_id, source FROM batch
+        WHERE doc_id NOT IN (SELECT doc_id FROM hit_store)
+          AND doc_id NOT IN (SELECT doc_id FROM hit_earlier)
+        ORDER BY doc_id""")),
+
+    Q(
       "dedup_ngram_jaccard",
       "Near-dup detection by bigram-shingle Jaccard, top-50 pairs. " +
         "Scalable shape: explode shingles → self-equi-join on shingle → " +

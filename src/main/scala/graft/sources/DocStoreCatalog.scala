@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,7 +41,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * partition columns; a populated store infers schema from footers
   * exactly like the path-based reads, so catalog and path reads can
   * never disagree. */
-class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
+class DocStoreCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -107,8 +109,35 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
       val schema =
         if (inferred.isEmpty) marker.map(_.schema).getOrElse(new StructType())
         else marker match {
-          case Some(m) =>
-            val merged = inferred.fields.map { f =>
+          case Some(m0) =>
+            val m = m0.withIds
+            // COLUMN-ID translation first: a footer column under an
+            // OLD name folds into its id's CURRENT name (pre-rename
+            // files), a DROPPED id's column vanishes; old+new files
+            // then collapse to one field (int|bigint reconciles wide)
+            val translated = inferred.fields.toSeq.flatMap { f =>
+              if (m.partitionBy.contains(f.name)) Some(f)
+              else m.nameMap.get(f.name) match {
+                case Some(id) if m.dropped(id) => None
+                case Some(id) =>
+                  Some(f.copy(name = m.currentNameOf(id).getOrElse(f.name)))
+                case None => Some(f)
+              }
+            }
+            val dedup = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+            translated.foreach { f =>
+              dedup.get(f.name) match {
+                case None => dedup(f.name) = f
+                case Some(prev) =>
+                  val dt = (prev.dataType, f.dataType) match {
+                    case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+                    case _ => prev.dataType
+                  }
+                  dedup(f.name) =
+                    prev.copy(dataType = dt, nullable = prev.nullable || f.nullable)
+              }
+            }
+            val merged = dedup.values.toSeq.map { f =>
               if (m.partitionBy.contains(f.name))
                 m.schema.fields.find(_.name == f.name).getOrElse(f)
               else m.schema.fields.find(_.name == f.name) match {
@@ -118,12 +147,14 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
               }
             }
             val extras = m.schema.fields.filterNot(mf =>
-              inferred.fieldNames.contains(mf.name))
+              dedup.contains(mf.name))
             StructType(merged ++ extras)
           case None => inferred
         }
       DocStoreTable(p.toString, schema,
-        marker.map(_.partitionBy).getOrElse(Nil))
+        marker.map(_.partitionBy).getOrElse(Nil),
+        rowLevelMode = marker.map(_.rowLevel).getOrElse("cow"),
+        renamedFrom = marker.map(_.withIds.renamedFrom).getOrElse(Map.empty))
   }
 
   /** SQL time travel — `SELECT … FROM t VERSION AS OF 3`: load the
@@ -182,10 +213,19 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
         .contains(dt.simpleString),
         s"docstore partition column '$c' must be string/int/bigint/boolean/date, got $dt")
     }
+    // TBLPROPERTIES('rowlevel'='mor') opts the table into MERGE-ON-READ
+    // row-level operations (deletion vectors); default stays
+    // copy-on-write. MoR commits need snapshots, so the table's store
+    // is snapshot-enabled at creation.
+    val rowLevel = Option(properties.get("rowlevel")).map(_.trim.toLowerCase)
+      .getOrElse("cow")
+    require(rowLevel == "cow" || rowLevel == "mor",
+      s"docstore: table property rowlevel must be 'cow' or 'mor', got '$rowLevel'")
     val dir = new Path(nsPath(ident.namespace()), ident.name())
     fs.mkdirs(dir)
-    SchemaMarker.write(fs, dir, SchemaMarker(schema, partCols))
-    DocStoreTable(dir.toString, schema, partCols)
+    SchemaMarker.write(fs, dir, SchemaMarker(schema, partCols, rowLevel))
+    if (rowLevel == "mor") DocStoreMaintenance.enableSnapshots(dir.toString): Unit
+    DocStoreTable(dir.toString, schema, partCols, rowLevelMode = rowLevel)
   }
 
   /** SQL-native SAFE schema evolution — the DDL face of the store's
@@ -209,7 +249,22 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
         "readers (post-ALTER files drift from pre-ALTER ones with no " +
         "manifest to reconcile through) — enable snapshots first " +
         "(DocStoreMaintenance.enableSnapshots)")
+    // marker state carries the COLUMN IDs; a marker written before ids
+    // existed (or a bare store) seeds ids from the loaded table schema
+    var m = SchemaMarker.read(fs, p)
+      .getOrElse(SchemaMarker(cur.tableSchema, cur.tablePartitionBy, cur.rowLevelMode))
+      .withIds
+    // columns that reached the table via mergeSchema writes (footer-
+    // only, never declared) get ids on first ALTER
+    cur.tableSchema.fieldNames.filterNot(m.nameMap.contains).foreach { n =>
+      m = m.copy(nameMap = m.nameMap + (n -> m.nextId), nextId = m.nextId + 1)
+    }
     var schema = cur.tableSchema
+    // files still physically carrying column `n` — the error payload
+    // the name-reuse refusals cite
+    def filesCarrying(n: String): Seq[String] =
+      DocStore.listFiles(p.toString)
+        .filter(f => DocStore.fileSchema(f).containsField(n)).take(3)
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -218,9 +273,16 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
         val name = add.fieldNames()(0)
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"docstore: column '$name' already exists")
+        require(!m.nameMap.contains(name),
+          s"docstore: column name '$name' was used before (column id " +
+            s"${m.nameMap(name)}) and files may still carry it physically" +
+            s"${filesCarrying(name).mkString(" — e.g. ", ", ", "")}; " +
+            "re-using a historical name would make their columns " +
+            "ambiguous — pick a fresh name")
         require(add.isNullable,
           s"docstore: added column '$name' must be nullable — existing rows read it as null")
         schema = schema.add(StructField(name, add.dataType(), nullable = true))
+        m = m.copy(nameMap = m.nameMap + (name -> m.nextId), nextId = m.nextId + 1)
       case upd: TableChange.UpdateColumnType =>
         require(upd.fieldNames().length == 1,
           "docstore: ALTER COLUMN TYPE supports top-level columns only")
@@ -234,12 +296,50 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
           s"docstore: cannot widen partition column '$name' (directory values are text)")
         schema = StructType(schema.fields.map(x =>
           if (x.name == f.name) x.copy(dataType = LongType) else x))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "docstore: RENAME COLUMN supports top-level columns only")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        val f = schema.fields.find(_.name == from).getOrElse(
+          throw new IllegalArgumentException(s"docstore: no column '$from'"))
+        require(!cur.tablePartitionBy.contains(from),
+          s"docstore: cannot rename partition column '$from' — its values " +
+            "ARE the directory names; rewriting them is a data migration, not DDL")
+        require(!m.nameMap.contains(to),
+          s"docstore: column name '$to' is already bound (column id " +
+            s"${m.nameMap.getOrElse(to, -1)})" +
+            s"${filesCarrying(to).mkString(" — files still carrying it: ", ", ", "")}; " +
+            "renames never reuse a historical name")
+        val id = m.nameMap(from)
+        schema = StructType(schema.fields.map(x =>
+          if (x.name == from) x.copy(name = to) else x))
+        // the OLD binding stays: pre-rename files resolve through it
+        m = m.copy(nameMap = m.nameMap + (to -> id))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "docstore: DROP COLUMN supports top-level columns only")
+        val name = del.fieldNames()(0)
+        schema.fields.find(_.name == name) match {
+          case None =>
+            require(del.ifExists(), s"docstore: no column '$name'")
+          case Some(_) =>
+            require(!cur.tablePartitionBy.contains(name),
+              s"docstore: cannot drop partition column '$name' — the " +
+                "directory layout depends on it; repartition the store instead")
+            schema = StructType(schema.fields.filterNot(_.name == name))
+            m = m.copy(dropped = m.dropped + m.nameMap(name))
+        }
       case other => throw new UnsupportedOperationException(
-        s"docstore: unsupported ALTER TABLE change $other — safe evolution " +
-          "is ADD COLUMNS (nullable) and ALTER COLUMN TYPE int→bigint")
+        s"docstore: unsupported ALTER TABLE change $other — supported " +
+          "evolution: ADD COLUMNS (nullable), ALTER COLUMN TYPE " +
+          "int→bigint, RENAME COLUMN, DROP COLUMN")
     }
-    SchemaMarker.write(fs, p, SchemaMarker(schema, cur.tablePartitionBy))
-    DocStoreTable(p.toString, schema, cur.tablePartitionBy)
+    m = m.copy(schema = schema, partitionBy = cur.tablePartitionBy,
+      rowLevel = cur.rowLevelMode)
+    SchemaMarker.write(fs, p, m)
+    DocStoreTable(p.toString, schema, cur.tablePartitionBy,
+      rowLevelMode = cur.rowLevelMode, renamedFrom = m.renamedFrom)
   }
 
   override def dropTable(ident: Identifier): Boolean = tablePath(ident) match {
@@ -255,6 +355,22 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
     val dst = new Path(dstDir,
       if (src.getName.endsWith(".parquet")) to.name() + ".parquet" else to.name())
     require(fs.rename(src, dst), s"docstore: rename $src -> $dst failed")
+  }
+
+  // ---- procedures (CALL docstore.system.<proc>(…)) ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.toSeq != Seq("system")) return Array.empty
+    DocStoreProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"docstore: procedures live in the 'system' namespace, got ${ident.namespace().mkString(".")}")
+    DocStoreProcedures.load(root, ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"docstore: no procedure '${ident.name()}' — available: " +
+          DocStoreProcedures.names.mkString(", ")))
   }
 
   // ---- namespaces ----
@@ -305,15 +421,53 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces {
   * a schema before its first write and a catalog write routes into
   * the declared partitions. Underscore-prefixed → invisible to every
   * listing. Serialized via StructType's own json round-trip. */
-case class SchemaMarker(schema: StructType, partitionBy: Seq[String])
+case class SchemaMarker(schema: StructType, partitionBy: Seq[String],
+    rowLevel: String = "cow",
+    // STABLE COLUMN IDs — what makes DROP/RENAME sound without field
+    // ids in the files themselves: `nameMap` binds every name EVER
+    // used to its column id (pre-rename files resolve through their
+    // old name), `dropped` retires ids (old files' columns vanish
+    // from reads), and a name is NEVER reused while any historical
+    // binding holds it (the one ambiguity plain-parquet name mapping
+    // cannot survive — Iceberg's name-mapping spec makes the same
+    // call for id-less files).
+    nameMap: Map[String, Int] = Map.empty,
+    dropped: Set[Int] = Set.empty,
+    nextId: Int = -1) {
+
+  /** Pre-ID markers get ids assigned by schema position. */
+  def withIds: SchemaMarker =
+    if (nameMap.nonEmpty || schema.isEmpty) this
+    else copy(nameMap = schema.fieldNames.zipWithIndex.toMap,
+      nextId = schema.length)
+
+  def currentNameOf(id: Int): Option[String] =
+    schema.fieldNames.find(n => nameMap.get(n).contains(id))
+
+  /** current name → older names of the same id (reader resolution). */
+  def renamedFrom: Map[String, Seq[String]] =
+    schema.fieldNames.toSeq.flatMap { n =>
+      nameMap.get(n).map { id =>
+        n -> nameMap.collect { case (o, i) if i == id && o != n => o }
+          .toSeq.sorted
+      }
+    }.filter(_._2.nonEmpty).toMap
+}
 
 object SchemaMarker {
   private val FILE = "_schema.json"
 
-  def write(fs: org.apache.hadoop.fs.FileSystem, dir: Path, m: SchemaMarker): Unit = {
+  def write(fs: org.apache.hadoop.fs.FileSystem, dir: Path, m0: SchemaMarker): Unit = {
+    val m = m0.withIds
+    val nm = m.nameMap.toSeq.sortBy(_._2)
+      .map { case (n, i) => "\"" + n + "\":" + i }.mkString("{", ",", "}")
     val out = fs.create(new Path(dir, FILE), true)
     try out.write(
       s"""{"partitionBy":${m.partitionBy.map(p => "\"" + p + "\"").mkString("[", ",", "]")},
+         |"rowLevel":"${m.rowLevel}",
+         |"nameMap":$nm,
+         |"dropped":${m.dropped.toSeq.sorted.mkString("[", ",", "]")},
+         |"nextId":${m.nextId},
          |"schema":${m.schema.json}}""".stripMargin.getBytes("UTF-8"))
     finally out.close()
   }
@@ -329,9 +483,22 @@ object SchemaMarker {
     val pb = """"partitionBy"\s*:\s*\[([^\]]*)\]""".r
       .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
     val cols = "\"([^\"]*)\"".r.findAllMatchIn(pb).map(_.group(1)).toSeq
+    val rowLevel = """"rowLevel"\s*:\s*"(\w+)"""".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse("cow") // pre-r17 markers
+    val nameMap = """"nameMap"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(text).map(_.group(1)).map { body =>
+        """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toInt).toMap
+      }.getOrElse(Map.empty[String, Int])
+    val droppedIds = """"dropped"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(text).map(_.group(1)).map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
+      .getOrElse(Set.empty[Int])
+    val nextId = """"nextId"\s*:\s*(-?\d+)""".r
+      .findFirstMatchIn(text).map(_.group(1).toInt).getOrElse(-1)
     val schemaJson = text.substring(text.indexOf("\"schema\":") + 9).stripSuffix("}")
     Some(SchemaMarker(
       org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      cols))
+      cols, rowLevel, nameMap, droppedIds, nextId).withIds)
   }
 }

@@ -41,23 +41,30 @@ object DocStoreMaintenance {
     * answer to "what changed, when, by what kind of operation" without
     * reading a data byte; expired versions simply don't appear. */
   def history(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    historyRows(path).map { case (v, ts, op, a, r, n) =>
+      (v, ts.map(new java.sql.Timestamp(_)).orNull, op, a, r, n)
+    }.toDF("version", "commit_ts", "op", "n_added", "n_retired", "n_files")
+  }
+
+  /** The history rows without a SparkSession — shared by the DataFrame
+    * API above and `CALL docstore.system.history(…)`. */
+  def historyRows(path: String)
+      : Seq[(Long, Option[Long], String, Long, Long, Long)] = {
     require(DocStore.snapshotEnabled(path),
       s"docstore: history needs a snapshot store ($path has no ${DocStore.SnapshotDir}/)")
     val committed = DocStore.snapshotVersions(path)
       .flatMap(v => DocStore.readManifest(path, v).map(v -> _))
-    val rows = committed.map { case (v, cur) =>
+    committed.map { case (v, cur) =>
       val prev = committed.collectFirst { case (pv, pc) if pv == v - 1 => pc }
         .getOrElse(Nil).toSet
       (v,
-        DocStore.commitTimeMs(path, v).map(new java.sql.Timestamp(_)).orNull,
+        DocStore.commitTimeMs(path, v),
         DocStore.commitOp(path, v),
         cur.count(!prev.contains(_)).toLong,
         prev.count(!cur.toSet.contains(_)).toLong,
         cur.length.toLong)
     }
-    import spark.implicits._
-    rows.toDF("version", "commit_ts", "op",
-      "n_added", "n_retired", "n_files")
   }
 
   /** Bin-pack the small files of every partition into one clustered
@@ -88,10 +95,17 @@ object DocStoreMaintenance {
     val listing = DocStore.listFilesWithPartitions(path)
     if (listing.isEmpty) return CompactStats(0, 0, 0, None)
     val partKeys = listing.head._2.map(_._1)
+    // deletion vectors MATERIALIZE here: a DV'd file is a compaction
+    // candidate regardless of size (its vector's rows drop from the
+    // rewrite and the binding dies with the retired file), which is
+    // what keeps any one vector from growing without bound
+    val dvs = DocStore.dvMap(path, None)
+    def hasDv(f: String): Boolean = dvs.contains(DocStore.relOf(path, f))
     val bins = listing
-      .filter { case (f, _) => fs.getFileStatus(new Path(f)).getLen < smallerThan }
+      .filter { case (f, _) =>
+        fs.getFileStatus(new Path(f)).getLen < smallerThan || hasDv(f) }
       .groupBy(_._2)
-      .filter(_._2.size >= 2)
+      .filter { case (_, fl) => fl.size >= 2 || fl.exists(f => hasDv(f._1)) }
       .toSeq
       .sortBy(_._1.map(_._2).mkString("/"))
     if (bins.isEmpty) return CompactStats(0, 0, 0, None)
@@ -102,11 +116,23 @@ object DocStoreMaintenance {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val stagingStore = s"$path/_compact-$token"
     val legs = bins.map { case (pv, files) =>
-      pv.foldLeft(spark.read.parquet(files.map(_._1): _*)) {
+      pv.foldLeft(readWithDvsApplied(spark, path, files.map(_._1), dvs)) {
         case (df, (k, v)) => df.withColumn(k, lit(v))
       }
     }
-    val all = legs.reduce(_ unionByName _)
+    val all0 = legs.reduce(_ unionByName _)
+    // an UNPARTITIONED store has no cluster keys to route one file per
+    // partition — bin-pack by sizing the shuffle to the input bytes
+    // (⌈total/smallerThan⌉ output files), else the staged write keeps
+    // the upstream task layout and "compaction" re-emits N files
+    val all =
+      if (partKeys.nonEmpty) all0
+      else {
+        val totalBytes = bins.flatMap(_._2)
+          .map(f => fs.getFileStatus(new Path(f._1)).getLen).sum
+        all0.repartition(math.max(1L,
+          (totalBytes + smallerThan - 1) / smallerThan).toInt)
+      }
     val w0 = all.write.format("docstore").option("path", stagingStore)
     val w1 = if (partKeys.nonEmpty) w0.option("partitionBy", partKeys.mkString(",")) else w0
     val w2 = if (sortBy.nonEmpty) w1.option("sortBy", sortBy.mkString(",")) else w1
@@ -131,18 +157,29 @@ object DocStoreMaintenance {
     val retired = retiredAbs.map(DocStore.relOf(path, _)).toSet
     val version =
       if (DocStore.snapshotEnabled(path))
-        try Some(DocStore.commitSnapshot(path, op = "compact") { base =>
+        try Some(DocStore.commitSnapshotWithDvs(path, op = "compact") { (base, dvsNow) =>
           // the compacted files' rows came FROM the retired inputs; a
           // concurrent commit retiring any of them (DELETE/MERGE/other
           // compactor) makes this rewrite stale — abort, like the
-          // copy-on-write commit's write-write conflict check
+          // copy-on-write commit's write-write conflict check. The same
+          // goes for a retired file whose DELETION VECTOR moved since
+          // we applied it: the rewrite would resurrect the concurrent
+          // operation's deleted rows.
           val gone = retired.filterNot(base.toSet)
           if (gone.nonEmpty)
             throw new IllegalStateException(
               s"docstore: compaction conflict at $path — a concurrent " +
                 s"commit already retired ${gone.take(3).mkString(", ")}; " +
                 "re-run compaction against the current snapshot")
-          base.filterNot(retired) ++ moved
+          val dvMoved = retired.filter(rel => dvsNow.get(rel) != dvs.get(rel))
+          if (dvMoved.nonEmpty)
+            throw new IllegalStateException(
+              s"docstore: compaction conflict at $path — a concurrent " +
+                "row-level operation changed the deletion vector of " +
+                s"${dvMoved.take(3).mkString(", ")}; re-run compaction " +
+                "against the current snapshot")
+          // retired files' DV bindings are pruned by the commit core
+          (base.filterNot(retired) ++ moved, dvsNow)
         })
         catch {
           case e: IllegalStateException =>
@@ -194,6 +231,9 @@ object DocStoreMaintenance {
     committed.filterNot(keep.contains).foreach { v =>
       fs.delete(new Path(new Path(root, DocStore.SnapshotDir), s"v$v"), false)
     }
+    // deletion-vector sidecars expire with the versions that bound
+    // them: reap every `_deletes/` file no KEPT manifest references
+    reapDvs(fs, root, path, keep, graceMs): Unit
     deleted
   }
 
@@ -210,9 +250,14 @@ object DocStoreMaintenance {
     val conf = new Configuration()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val referenced = DocStore.snapshotVersions(path)
+    val committed = DocStore.snapshotVersions(path)
+      .filter(v => DocStore.readManifest(path, v).isDefined)
+    val referenced = committed
       .flatMap(v => DocStore.readManifest(path, v).getOrElse(Nil)).toSet
-    val n = reapUnreferenced(fs, root, referenced, graceMs)
+    val n = reapUnreferenced(fs, root, referenced, graceMs) +
+      // a failed rowdelta commit's orphaned DV sidecars (bound by no
+      // committed manifest) are litter exactly like its data files
+      reapDvs(fs, root, path, committed, graceMs)
     val cutoff = System.currentTimeMillis() - graceMs
     val stale = fs.listStatus(root).toSeq.filter { s =>
       val nme = s.getPath.getName
@@ -221,6 +266,51 @@ object DocStoreMaintenance {
     }
     stale.foreach(s => fs.delete(s.getPath, true))
     n + stale.size
+  }
+
+  /** Read `files` with their deletion vectors applied — the compaction
+    * input. DV-free files read plain; DV'd files drop their vector's
+    * positions via an anti-join on the builtin reader's hidden
+    * (_metadata.file_name, row_index) pair (names are UUID-unique
+    * within a store). */
+  private def readWithDvsApplied(spark: SparkSession, path: String,
+      files: Seq[String], dvs: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (dved, plain) = files.partition(f => dvs.contains(DocStore.relOf(path, f)))
+    val plainDf = if (plain.isEmpty) None else Some(spark.read.parquet(plain: _*))
+    val dvedDf =
+      if (dved.isEmpty) None
+      else {
+        import spark.implicits._
+        val pairs = dved.flatMap { f =>
+          val rel = DocStore.relOf(path, f)
+          val name = rel.split("/").last
+          DocStore.readDv(new Path(path, dvs(rel)).toString).map(p => (name, p))
+        }
+        val posDf = pairs.toDF("__dv_name", "__dv_idx")
+        val base = spark.read.parquet(dved: _*)
+        Some(base.join(posDf,
+          base("_metadata.file_name") === posDf("__dv_name") &&
+            base("_metadata.row_index") === posDf("__dv_idx"),
+          "left_anti"))
+      }
+    (plainDf.toSeq ++ dvedDf.toSeq).reduce(_ unionByName _)
+  }
+
+  /** Reap `_deletes/` sidecars referenced by NO manifest in `kept`,
+    * each only once older than `graceMs`; returns the count. */
+  private def reapDvs(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      path: String, kept: Seq[Long], graceMs: Long): Int = {
+    val dvDir = new Path(root, DocStore.DeletesDir)
+    if (!fs.exists(dvDir)) return 0
+    val referenced = kept.flatMap(v => DocStore.readManifestDvs(path, v).values).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dead = fs.listStatus(dvDir).toSeq.filter { s =>
+      s.isFile && !referenced(s"${DocStore.DeletesDir}/${s.getPath.getName}") &&
+        s.getModificationTime < cutoff
+    }
+    dead.foreach(s => fs.delete(s.getPath, false))
+    dead.size
   }
 
   /** Delete every visible data file not in `referenced` and older than

@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-NATIVE maintenance surface — `CALL docstore.system.<proc>(…)`
+  * through Spark's DSv2 procedure machinery (ProcedureCatalog /
+  * UnboundProcedure / BoundProcedure, the API Iceberg's procedures
+  * ride), so an operator schedules compaction, retention, and audits
+  * without ever leaving SQL:
+  *
+  * {{{
+  *   CALL docstore.system.compact(table => 'db.t')
+  *   CALL docstore.system.vacuum(table => 'db.t', keep_versions => 3)
+  *   CALL docstore.system.orphan_sweep(table => 'db.t')
+  *   CALL docstore.system.history(table => 'db.t')
+  *   CALL docstore.system.enable_snapshots(table => 'db.t')
+  * }}}
+  *
+  * Each procedure resolves `table` ('db.table') under the catalog's
+  * root and delegates to [[DocStoreMaintenance]] — the SQL face and
+  * the Scala API share one implementation, so every maintenance spec
+  * binds both. Results come back as rows (a [[LocalScan]]): a
+  * maintenance run that reports nothing is a maintenance run nobody
+  * can audit. */
+object DocStoreProcedures {
+
+  val names: Seq[String] = Seq(
+    "compact", "vacuum", "orphan_sweep", "history", "enable_snapshots")
+
+  def load(root: String, name: String): Option[UnboundProcedure] = {
+    def pathOf(table: String): String = {
+      val parts = table.split("\\.", 2)
+      require(parts.length == 2,
+        s"docstore: procedure table argument must be 'db.table', got '$table'")
+      val p = new Path(new Path(root, parts(0)), parts(1))
+      require(p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p),
+        s"docstore: no table at $p")
+      p.toString
+    }
+    def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+    def inDef(n: String, t: DataType, d: String) =
+      ProcedureParameter.in(n, t).defaultValue(d).build()
+    def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+    name match {
+      case "compact" => Some(proc("compact",
+        "bin-pack small files and materialize deletion vectors; one atomic commit",
+        Array(in("table", StringType),
+          inDef("smaller_than", LongType, (128L << 20).toString),
+          inDef("sort_by", StringType, "''")),
+        StructType(Seq(
+          StructField("partitions_compacted", IntegerType, nullable = false),
+          StructField("files_in", IntegerType, nullable = false),
+          StructField("files_out", IntegerType, nullable = false),
+          StructField("version", LongType, nullable = true))),
+        args => {
+          val sortBy = str(args, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val st = DocStoreMaintenance.compact(SparkSession.active,
+            pathOf(str(args, 0)), smallerThan = args.getLong(1), sortBy = sortBy)
+          Array[InternalRow](new GenericInternalRow(Array[Any](
+            st.partitionsCompacted, st.filesIn, st.filesOut,
+            st.version.map(Long.box).orNull)))
+        }))
+      case "vacuum" => Some(proc("vacuum",
+        "expire old snapshots and reclaim unreferenced data files and DV sidecars",
+        Array(in("table", StringType),
+          inDef("keep_versions", IntegerType, "1"),
+          inDef("grace_ms", LongType, (10L * 60 * 1000).toString)),
+        StructType(Seq(StructField("files_deleted", IntegerType, nullable = false))),
+        args => {
+          val n = DocStoreMaintenance.vacuum(pathOf(str(args, 0)),
+            keepVersions = args.getInt(1), graceMs = args.getLong(2))
+          Array[InternalRow](new GenericInternalRow(Array[Any](n)))
+        }))
+      case "orphan_sweep" => Some(proc("orphan_sweep",
+        "GC failed-commit litter without expiring any version",
+        Array(in("table", StringType),
+          inDef("grace_ms", LongType, (10L * 60 * 1000).toString)),
+        StructType(Seq(StructField("items_removed", IntegerType, nullable = false))),
+        args => {
+          val n = DocStoreMaintenance.orphanSweep(pathOf(str(args, 0)),
+            graceMs = args.getLong(1))
+          Array[InternalRow](new GenericInternalRow(Array[Any](n)))
+        }))
+      case "history" => Some(proc("history",
+        "commit history from the manifests: version, wall-clock, op, file-count diffs",
+        Array(in("table", StringType)),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("commit_ts", TimestampType, nullable = true),
+          StructField("op", StringType, nullable = false),
+          StructField("n_added", LongType, nullable = false),
+          StructField("n_retired", LongType, nullable = false),
+          StructField("n_files", LongType, nullable = false))),
+        args => DocStoreMaintenance.historyRows(pathOf(str(args, 0))).map {
+          case (v, ts, op, added, retired, files) =>
+            new GenericInternalRow(Array[Any](v,
+              ts.map(ms => Long.box(ms * 1000L)).orNull,
+              UTF8String.fromString(op), added, retired, files)): InternalRow
+        }.toArray))
+      case "enable_snapshots" => Some(proc("enable_snapshots",
+        "bootstrap snapshot mode: the current listing becomes version 1",
+        Array(in("table", StringType)),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        args => Array[InternalRow](new GenericInternalRow(Array[Any](
+          DocStoreMaintenance.enableSnapshots(pathOf(str(args, 0))))))))
+      case _ => None
+    }
+  }
+
+  private def proc(procName: String, doc: String,
+      params: Array[ProcedureParameter], outSchema: StructType,
+      run: InternalRow => Array[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = doc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = doc
+          override def parameters(): Array[ProcedureParameter] = params
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] =
+            java.util.Collections.singletonList[Scan](
+              DocStoreProcedureResult(outSchema, run(input))).iterator()
+        }
+    }
+}
+
+/** Driver-local procedure result rows. */
+case class DocStoreProcedureResult(schema: StructType,
+    out: Array[InternalRow]) extends LocalScan {
+  override def rows(): Array[InternalRow] = out
+  override def readSchema(): StructType = schema
+}

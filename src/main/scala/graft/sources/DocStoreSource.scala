@@ -35,7 +35,7 @@ import org.apache.spark.sql.connector.read.{HasPartitionKey, SupportsReportParti
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder => ConnSortOrder, Expression => ConnExpression}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -154,7 +154,17 @@ case class DocStoreTable(path: String, tableSchema: StructType,
     // builder against [[DocStore.reconcileSchemas]]); declares
     // ACCEPT_ANY_SCHEMA so Spark's by-name output resolution doesn't
     // reject the new columns up front
-    mergeSchema: Boolean = false)
+    mergeSchema: Boolean = false,
+    // row-level-operation strategy, declared per table ("rowlevel"
+    // table property): "cow" rewrites matched file groups (read-
+    // optimized); "mor" writes deletion vectors + new files only
+    // (write-optimized — Delta DV / Iceberg v2 position-delete
+    // semantics). MoR requires a snapshot store; the first MoR commit
+    // bootstraps snapshots if needed.
+    rowLevelMode: String = "cow",
+    // RENAME evolution (catalog tables): current name → older names of
+    // the same column ID, so pre-rename files read under the new name
+    renamedFrom: Map[String, Seq[String]] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations
     with SupportsMetadataColumns {
@@ -228,7 +238,8 @@ case class DocStoreTable(path: String, tableSchema: StructType,
       Option(options.get("versionAsOf")).map(_.trim.toLong)
         .orElse(Option(options.get("timestampAsOf"))
           .map(ts => DocStore.versionAtTimestamp(path, ts.trim)))
-        .orElse(versionAsOf))
+        .orElse(versionAsOf),
+      renamedFrom)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DocStoreWriteBuilder(path, info, tablePartitionBy, tableSchema)
 
@@ -310,8 +321,13 @@ case class DocStoreTable(path: String, tableSchema: StructType,
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new DocStoreRowLevelOperation(path, tableSchema,
-      effectivePartitionBy, info.command())
+    () =>
+      if (rowLevelMode == "mor")
+        new DocStoreDeltaOperation(path, tableSchema,
+          effectivePartitionBy, info.command(), renamedFrom)
+      else
+        new DocStoreRowLevelOperation(path, tableSchema,
+          effectivePartitionBy, info.command(), renamedFrom)
 }
 
 /** Receives Spark's pushdown calls. `pushFilters` partitions the
@@ -324,7 +340,8 @@ case class DocStoreTable(path: String, tableSchema: StructType,
   * provable. */
 class DocStoreScanBuilder(path: String, tableSchema: StructType,
     streamOpts: DocStore.StreamOpts = DocStore.StreamOpts(),
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    renames: Map[String, Seq[String]] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -335,6 +352,9 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggSpecs: Option[(Seq[String], Seq[DocStore.AggSpec], StructType)] = None
+  // manifest stats backing an accepted aggregate (file → stat):
+  // non-empty ⇒ the agg scan answers with ZERO footer reads
+  private var aggStats: Map[String, DocStore.FileStat] = Map.empty
   private var limit: Option[Int] = None
   private var topN: Option[(Seq[String], Boolean, Int)] = None // (cols, desc, k)
 
@@ -460,6 +480,10 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
     * Refused unless every value is provably exact — see the class
     * doc. */
   override def pushAggregation(agg: Aggregation): Boolean = {
+    // deletion vectors invalidate footer statistics (counts include
+    // deleted rows; a min/max row may be deleted) — the aggregate
+    // stays in Spark and the scan applies the DVs row-side
+    if (DocStore.dvMap(path, versionAsOf).nonEmpty) return false
     val grpRefs = agg.groupByExpressions.toSeq.map(e =>
       DocStore.flatRef(e).filter(partCols))
     if (grpRefs.exists(_.isEmpty)) return false
@@ -489,10 +513,24 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
       case DocStore.MaxSpec(c) => c
     }.distinct
     val nullCols = flat.collect { case DocStore.CountColSpec(c) => c }.toSet
-    // every row group of every (partition-surviving) file must carry
-    // the needed statistics, or the whole aggregate stays in Spark
+    // every (partition-surviving) file must carry the needed
+    // statistics, or the whole aggregate stays in Spark. On a
+    // snapshot store with manifest-embedded stats the check — and
+    // later the ANSWER — reads zero footers: a stat entry exists only
+    // when every row group's footer stats were complete at commit.
     val files = DocStore.pruneListing(listing, pushed).map(_._1)
-    val ok = files.forall { f =>
+    val mStats = DocStore.manifestStats(path, versionAsOf)
+    val statsAnswer: Map[String, DocStore.FileStat] =
+      if (mStats.isEmpty) Map.empty
+      else {
+        val byFile = files.flatMap { f =>
+          mStats.get(DocStore.relOf(path, f))
+            .filter(st => statCols.forall(st.cols.contains))
+            .map(f -> _)
+        }.toMap
+        if (byFile.size == files.size) byFile else Map.empty
+      }
+    val ok = statsAnswer.nonEmpty || files.isEmpty || files.forall { f =>
       DocStore.footerBlocks(f).forall { b =>
         statCols.forall { c =>
           b.getColumns.asScala.find(_.getPath.toDotString == c).exists { m =>
@@ -503,6 +541,7 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
       }
     }
     if (!ok) return false
+    aggStats = statsAnswer
     // scan output layout (Spark's partial-pushdown contract): grouping
     // columns FIRST — typed as the table declares them (partition
     // columns are StringType) — then one field per aggregate
@@ -532,10 +571,11 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
 
   override def build(): Scan = aggSpecs match {
     case Some((grpCols, specs, schema)) =>
-      DocStoreAggScan(path, schema, grpCols, specs, pushed, versionAsOf)
+      DocStoreAggScan(path, schema, grpCols, specs, pushed, versionAsOf, aggStats)
     case None =>
       DocStoreScan(path, tableSchema, required, pushed, streamOpts,
-        limitHint = limit, topNHint = topN, versionAsOf = versionAsOf)
+        limitHint = limit, topNHint = topN, versionAsOf = versionAsOf,
+        renames = renames)
   }
 }
 
@@ -553,7 +593,11 @@ case class DocStoreScan(
     groupFilterOnly: Boolean = false,
     limitHint: Option[Int] = None,
     topNHint: Option[(Seq[String], Boolean, Int)] = None,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    // RENAME evolution: current column name → its older names (column
+    // IDs resolved through the catalog's schema marker) — the reader
+    // resolves each file's physical column through this chain
+    renames: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -563,6 +607,28 @@ case class DocStoreScan(
   @transient private lazy val partColsOrdered: Seq[String] =
     listing.headOption.map(_._2.map(_._1)).getOrElse(Nil)
   @transient private lazy val partCols: Set[String] = partColsOrdered.toSet
+  // deletion-vector bindings at the read version (merge-on-read)
+  @transient private lazy val dvByRel: Map[String, String] =
+    DocStore.dvMap(path, versionAsOf)
+  // manifest-embedded per-file statistics at the read version:
+  // data-filter file skipping answers from these WITHOUT opening the
+  // skipped file's footer (plain stores: empty → footer paths as ever)
+  @transient private lazy val statByRel: Map[String, DocStore.FileStat] =
+    DocStore.manifestStats(path, versionAsOf)
+
+  /** Files surviving partition pruning AND manifest-stat skipping for
+    * `filters` — a skipped file costs zero footer reads. */
+  private def statPrune(
+      listed: Seq[(String, Seq[(String, String)])],
+      filters: Array[Filter]): Seq[(String, Seq[(String, String)])] = {
+    val dataFilters = filters.filterNot(f =>
+      DocStore.isPartitionFilter(f, partCols)).toSeq
+    if (dataFilters.isEmpty || statByRel.isEmpty) listed
+    else listed.filter { case (f, _) =>
+      statByRel.get(DocStore.relOf(path, f))
+        .forall(st => DocStore.statsMayMatch(dataFilters, st, tableSchema))
+    }
+  }
 
   /** Storage-partitioned-join contract: a Hive-partitioned store
     * reports KeyGroupedPartitioning over its directory keys, so two
@@ -647,7 +713,7 @@ case class DocStoreScan(
     * post-partition-pruning upper bound — conservative, never
     * broadcast-happy. */
   override def estimateStatistics(): Statistics = {
-    val files = DocStore.pruneListing(listing, pushed).map(_._1)
+    val files = statPrune(DocStore.pruneListing(listing, pushed), pushed).map(_._1)
     var rows = 0L
     var bytes = 0L
     val wanted = required.fieldNames.filterNot(partCols).toSet
@@ -659,8 +725,14 @@ case class DocStoreScan(
             bytes += c.getTotalUncompressedSize
         }
       }
+      // deletion vectors shrink the live row count; their cardinality
+      // is a 12-byte header read, so the estimate stays exact
+      if (dvByRel.nonEmpty)
+        dvByRel.get(DocStore.relOf(path, f)).foreach { dvRel =>
+          rows -= DocStore.dvCardinality(new Path(path, dvRel).toString)
+        }
     }
-    val (r, s) = (rows, math.max(bytes, 1L))
+    val (r, s) = (math.max(rows, 0L), math.max(bytes, 1L))
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(s)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(r)
@@ -684,6 +756,9 @@ case class DocStoreScan(
       files: Seq[String]): Option[Seq[(String, Long, Long, Long, Option[(Long, Long)])]] = {
     val out = ArrayBuffer.empty[(String, Long, Long, Long, Option[(Long, Long)])]
     files.foreach { f =>
+      // a file can have been replaced since pushTopN acceptance — one
+      // now lacking the sort key disables pruning, it doesn't throw
+      if (!DocStore.fileSchema(f).containsField(col)) return None
       // timestamp units can differ per file; min/max commute with the
       // monotone unit change, so normalize to µs like the agg scan
       val norm: Long => Long =
@@ -725,6 +800,8 @@ case class DocStoreScan(
       : Option[Seq[(String, Long, Long, Seq[Long], Seq[Long])]] = {
     val out = ArrayBuffer.empty[(String, Long, Long, Seq[Long], Seq[Long])]
     files.foreach { f =>
+      // replaced-since-acceptance guard, as in [[topNStats]]
+      if (cols.exists(c => !DocStore.fileSchema(f).containsField(c))) return None
       val norms: Seq[Long => Long] = cols.map { col =>
         DocStore.fileSchema(f).getType(Seq(col): _*).asPrimitiveType()
           .getLogicalTypeAnnotation match {
@@ -767,14 +844,17 @@ case class DocStoreScan(
       tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType))
     // the pushed-limit / top-N row-group bounds hold only while NO
     // data filter can drop rows (runtime filters arrive after the
-    // pushdown was accepted) and while the scan doesn't report
+    // pushdown was accepted), while the scan doesn't report
     // key-grouped partitioning (dropping row groups could contradict
-    // the declared group count)
+    // the declared group count), and while NO deletion vector is in
+    // force (footer row counts over-count DV'd files, so a "covering"
+    // row-group set might not actually cover k rows)
     val boundsOk =
       !allPushed.exists(f => !DocStore.isPartitionFilter(f, partCols)) &&
-        !outputPartitioning().isInstanceOf[KeyGroupedPartitioning]
+        !outputPartitioning().isInstanceOf[KeyGroupedPartitioning] &&
+        dvByRel.isEmpty
     val lim = limitHint.filter(_ => boundsOk)
-    val pruned = DocStore.pruneListing(listing, allPushed)
+    val pruned = statPrune(DocStore.pruneListing(listing, allPushed), allPushed)
     val keep: ((String, Long)) => Boolean =
       topNHint.filter(_ => boundsOk)
         .flatMap { case (cs, desc, k) =>
@@ -809,15 +889,24 @@ case class DocStoreScan(
     var firstRow = 0L
     pruned.foreach { case (f, pv) =>
       firstRow = 0L
+      // store-relative name only where a manifest consumer needs it —
+      // single-FILE stores (path = one .parquet) have no rel form
+      lazy val rel = DocStore.relOf(path, f)
       val ver =
         if (verByRel.isEmpty) -1L
-        else verByRel.getOrElse(DocStore.relOf(path, f), -1L)
+        else verByRel.getOrElse(rel, -1L)
+      // merge-on-read: the file's deletion vector (if the read
+      // version binds one) rides every split — the reader skips the
+      // listed positions
+      val dv =
+        if (dvByRel.isEmpty) None
+        else dvByRel.get(rel).map(r => new Path(path, r).toString)
       DocStore.footerBlocks(f).foreach { b =>
         if (lim.forall(covered < _) && keep((f, b.getStartingPos))) {
           val off = b.getStartingPos
           parts += DocStorePartition(f, off,
             b.getCompressedSize, pv, types, firstRowIndex = firstRow,
-            commitVersion = ver)
+            commitVersion = ver, dvFile = dv)
           covered += b.getRowCount
         }
         firstRow += b.getRowCount
@@ -829,7 +918,8 @@ case class DocStoreScan(
   override def createReaderFactory(): PartitionReaderFactory =
     // runtime data filters (if delivered before the factory is built)
     // ride the same exact record-level path as planned filters
-    DocStore.readerFactory(listing, tableSchema, required, pushed ++ runtime)
+    DocStore.readerFactory(listing, tableSchema, required, pushed ++ runtime,
+      renames)
 
   /** Streaming read over the same store, projection and pushed filters
     * included. Snapshot stores get manifest-VERSION offsets
@@ -847,7 +937,7 @@ case class DocStoreScan(
       s"docstore: onRewrite must be 'skip' or 'fail', got '${streamOpts.onRewrite}'")
     if (DocStore.snapshotEnabled(path))
       new DocStoreSnapshotMicroBatchStream(path, tableSchema, required, pushed,
-        streamOpts)
+        streamOpts, renames)
     else {
       require(streamOpts.startingVersion.isEmpty,
         s"docstore: startingVersion needs a snapshot store — $path is plain")
@@ -874,7 +964,17 @@ case class DocStorePartition(
     // `_commit_version` metadata columns: batch scans and plain
     // streams are always inserts; -1 = version unknown (emits null)
     changeType: String = "insert",
-    commitVersion: Long = -1L) extends InputPartition with HasPartitionKey {
+    commitVersion: Long = -1L,
+    // DELETION-VECTOR application: `dvFile` (absolute path of the
+    // file's DV sidecar at the read version) makes the reader SKIP the
+    // listed positions (merge-on-read). With `dvEmitDeleted` the
+    // reader instead EMITS ONLY the positions of dvFile that are NOT
+    // in dvPrevFile (the previous version's DV, when one existed) —
+    // the change feed's "rows deleted by this commit" read. Requires
+    // firstRowIndex >= 0 (positions are file-global).
+    dvFile: Option[String] = None,
+    dvPrevFile: Option[String] = None,
+    dvEmitDeleted: Boolean = false) extends InputPartition with HasPartitionKey {
   /** Directory values in nesting order, cast to the table-declared
     * partition types — consulted only when the scan reports
     * KeyGroupedPartitioning (see [[DocStoreScan.outputPartitioning]]),
@@ -892,10 +992,11 @@ case class DocStoreReaderFactory(
     projectCols: Array[String],
     required: StructType,
     tableSchema: StructType,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter],
+    renames: Map[String, Seq[String]] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new DocStoreReader(partition.asInstanceOf[DocStorePartition],
-      projectCols, required, tableSchema, pushed)
+      projectCols, required, tableSchema, pushed, renames)
 }
 
 /** Executor-side reader for one row group: opens the file with the
@@ -910,22 +1011,36 @@ class DocStoreReader(
     projectCols: Array[String],
     required: StructType,
     tableSchema: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter],
+    renames: Map[String, Seq[String]] = Map.empty) extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
   private val fileSchema = DocStore.fileSchema(part.file)
   private val partVals = part.partValues.toMap
   private val projSet = projectCols.toSet
 
+  // COLUMN-ID resolution under RENAME evolution: a projected column is
+  // addressed by its CURRENT name; the PHYSICAL column in this file is
+  // the first of (current name, older names of the same column id)
+  // the file actually carries — pre-rename files keep reading under
+  // the new name, post-rename files resolve directly. Absent under
+  // every name → the add-nullable null path below.
+  private val physOf: Map[String, String] =
+    projectCols.toSeq.flatMap { c =>
+      (c +: renames.getOrElse(c, Nil))
+        .find(fileSchema.containsField).map(c -> _)
+    }.toMap
+
   // schema evolution: a projected column ABSENT from this (older or
   // newer) file reads as null — presence decides what parquet actually
   // materializes here
   private val presentProj: Seq[String] =
-    projectCols.toSeq.filter(fileSchema.containsField)
+    projectCols.toSeq.filter(physOf.contains)
 
   // projection in required-column order (filter-only columns appended),
-  // carrying the file's own physical types, nested-pruned to the
-  // required struct subfields
+  // carrying the file's own physical types (and physical NAMES — the
+  // converters bind by position, the output speaks current names),
+  // nested-pruned to the required struct subfields
   private val projSchema: MessageType = {
     val dtByName = required.fields.map(f => f.name -> f.dataType).toMap
     val kept =
@@ -936,7 +1051,7 @@ class DocStoreReader(
         // emit null/constant rows
         Seq(DocStore.narrowest(fileSchema))
       else presentProj.map { c =>
-        val ft = fileSchema.getType(Seq(c): _*)
+        val ft = fileSchema.getType(Seq(physOf(c)): _*)
         dtByName.get(c).map(dt => DocStore.projectType(ft, dt)).getOrElse(ft)
       }
     new MessageType(fileSchema.getName, kept.asJava)
@@ -954,6 +1069,44 @@ class DocStoreReader(
     else 0
   }
   private val needPos = metaKind.contains(2)
+
+  // Deletion-vector application. Positions are file-global and sorted;
+  // rowIdx increases strictly within a split, so one monotone pointer
+  // replaces any per-row set lookup. Exclude mode (dvFile only) skips
+  // the deleted positions — the merge-on-read data scan; delta mode
+  // (dvPrevFile too) emits ONLY positions newly deleted since the
+  // previous version — the change feed's delete leg for a rowdelta
+  // commit.
+  private val dvDelta: Boolean = part.dvEmitDeleted
+  private val dvPositions: Array[Long] = part.dvFile match {
+    case None => Array.emptyLongArray
+    case Some(f) =>
+      require(part.firstRowIndex >= 0L,
+        "docstore: deletion-vector split planned without a first-row index")
+      val cur = DocStore.readDv(f)
+      part.dvPrevFile match {
+        case None => cur
+        case Some(pf) => // sorted-merge difference cur \ prev
+          val prev = DocStore.readDv(pf)
+          val out = new ArrayBuffer[Long](cur.length)
+          var i = 0; var j = 0
+          while (i < cur.length) {
+            while (j < prev.length && prev(j) < cur(i)) j += 1
+            if (j >= prev.length || prev(j) != cur(i)) out += cur(i)
+            i += 1
+          }
+          out.toArray
+      }
+  }
+  private var dvPtr = 0
+  private def dvKeep(i: Long): Boolean =
+    if (part.dvFile.isEmpty) true
+    else {
+      while (dvPtr < dvPositions.length && dvPositions(dvPtr) < i) dvPtr += 1
+      val listed = dvPtr < dvPositions.length && dvPositions(dvPtr) == i
+      if (dvDelta) listed else !listed
+    }
+
   private val filePathStr = UTF8String.fromString(part.file)
   private val changeTypeStr = UTF8String.fromString(part.changeType)
   private val commitVer: Any =
@@ -966,7 +1119,9 @@ class DocStoreReader(
     * bigint column) can't evaluate them page-side. */
   private val filtersExactHere = pushed.isEmpty ||
     pushed.flatMap(_.references).distinct.forall { c =>
-      fileSchema.containsField(c) && {
+      // a RENAMED column (physical name ≠ current) can't evaluate
+      // page-side either: the parquet predicate speaks current names
+      physOf.get(c).contains(c) && {
         val ft = fileSchema.getType(Seq(c): _*)
         DocStore.toStructType(new MessageType("probe", Seq(ft).asJava))
           .fields(0).dataType == tableSchema(c).dataType
@@ -982,7 +1137,10 @@ class DocStoreReader(
     * file unable to evaluate a filter page-side (missing column reads
     * null → SQL three-valued semantics; widened column compares as
     * the table type). */
-  private val selfFilter = pushed.nonEmpty && (needPos || !filtersExactHere)
+  // …and (3) a deletion vector attached: positions must count every
+  // physical row, exactly like a projected `_pos`
+  private val selfFilter = pushed.nonEmpty &&
+    (needPos || part.dvFile.isDefined || !filtersExactHere)
 
   private val reader: ParquetReader[Group] = {
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
@@ -1005,7 +1163,7 @@ class DocStoreReader(
   private val filterGet: Map[String, (Int, Group => Any)] =
     if (!selfFilter) Map.empty
     else pushed.flatMap(_.references).distinct
-      .filter(fileSchema.containsField).map { c =>
+      .filter(physOf.contains).map { c =>
         val j = presentProj.indexOf(c)
         require(j >= 0, s"docstore: filter column $c not projected")
         c -> ((j, DocStore.converter(projSchema.getType(j),
@@ -1051,7 +1209,8 @@ class DocStoreReader(
   override def next(): Boolean = {
     current = reader.read()
     rowIdx += 1
-    while (current != null && selfFilter && !passes(current)) {
+    while (current != null &&
+      ((selfFilter && !passes(current)) || !dvKeep(rowIdx))) {
       current = reader.read()
       rowIdx += 1
     }
@@ -1270,7 +1429,8 @@ class DocStoreSnapshotMicroBatchStream(
     tableSchema: StructType,
     required: StructType,
     pushed: Array[Filter],
-    opts: DocStore.StreamOpts = DocStore.StreamOpts())
+    opts: DocStore.StreamOpts = DocStore.StreamOpts(),
+    renames: Map[String, Seq[String]] = Map.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def onRewrite: String = opts.onRewrite
@@ -1310,11 +1470,37 @@ class DocStoreSnapshotMicroBatchStream(
     val prev = manifest(v - 1).toSet
     val added = cur.filterNot(prev).sorted
     val retired = (prev -- cur.toSet).toSeq.sorted
-    if (opts.changeFeed) DocStore.commitOp(path, v) match {
+    val op = DocStore.commitOp(path, v)
+    // merge-on-read commits (`rowdelta`) can change data WITHOUT
+    // touching the file set — the deletion-vector bindings moved
+    val dvChanged: Seq[String] =
+      if (op != "rowdelta") Nil
+      else {
+        val dvPrev = DocStore.readManifestDvs(path, v - 1)
+        DocStore.readManifestDvs(path, v).toSeq.collect {
+          case (rel, dvRel) if cur.contains(rel) &&
+            !dvPrev.get(rel).contains(dvRel) => rel
+        }.sorted
+      }
+    if (opts.changeFeed) op match {
       case "append" => added.map(_ -> "insert")
       case "delete" => retired.map(_ -> "delete")
       case "compact" => Nil // bytes rewritten, no data changed
+      case "rowdelta" => // MoR DELETE/UPDATE/MERGE: DV deltas are the
+        // deletes (plus fully-deleted files, retired outright); new
+        // files are the inserts
+        retired.map(_ -> "delete") ++ dvChanged.map(_ -> "delete") ++
+          added.map(_ -> "insert")
       case _ => retired.map(_ -> "delete") ++ added.map(_ -> "insert")
+    }
+    else if (op == "rowdelta") {
+      if (onRewrite == "fail") throw new IllegalStateException(
+        s"docstore: snapshot v$v of $path is a merge-on-read ROWDELTA " +
+          "commit (deletion vectors changed) and this stream runs " +
+          "onRewrite=fail — rows the stream already emitted were deleted " +
+          "or updated. Use onRewrite=skip to tail appends only, or " +
+          "changeFeed=true to consume the changes")
+      Nil // skip: its added files are merge outputs, not plain appends
     }
     else if (retired.isEmpty) added.map(_ -> "insert")
     else if (onRewrite == "fail") throw new IllegalStateException(
@@ -1419,12 +1605,30 @@ class DocStoreSnapshotMicroBatchStream(
       val listing = DocStore.pruneListing(
         DocStore.resolveRels(path, slice.map(_._1)), pushed)
       planned ++= listing
+      // deletion-vector context of this commit: insert legs exclude
+      // the version's own DVs (rows already deleted never emit);
+      // delete legs of a still-present file emit ONLY the commit's DV
+      // delta; delete legs of a retired file exclude the PREVIOUS
+      // version's DV (those rows were already emitted as deletes)
+      lazy val dvAtV = DocStore.readManifestDvs(path, v)
+      lazy val dvAtPrev =
+        if (v > 0) DocStore.readManifestDvs(path, v - 1) else Map.empty[String, String]
+      lazy val inManifest = manifest(v).toSet
+      def abs(dvRel: String) = new Path(path, dvRel).toString
       listing.foreach { case (f, pv) =>
-        val tag = tagByRel(DocStore.relOf(path, f))
+        val rel = DocStore.relOf(path, f)
+        val tag = tagByRel(rel)
+        val (dvF, dvP, emitDel) = tag match {
+          case "insert" => (dvAtV.get(rel).map(abs), None, false)
+          case _ if v > e.base && inManifest(rel) => // MoR dv-delta leg
+            (dvAtV.get(rel).map(abs), dvAtPrev.get(rel).map(abs), true)
+          case _ => (dvAtPrev.get(rel).map(abs), None, false)
+        }
         var firstRow = 0L
         DocStore.footerBlocks(f).foreach { b =>
           parts += DocStorePartition(f, b.getStartingPos, b.getCompressedSize,
-            pv, firstRowIndex = firstRow, changeType = tag, commitVersion = v)
+            pv, firstRowIndex = firstRow, changeType = tag, commitVersion = v,
+            dvFile = dvF, dvPrevFile = dvP, dvEmitDeleted = emitDel)
           firstRow += b.getRowCount
         }
       }
@@ -1452,7 +1656,7 @@ class DocStoreSnapshotMicroBatchStream(
     DocStore.readerFactory(
       if (plannedListing.nonEmpty) plannedListing
       else DocStore.listFilesWithPartitions(path),
-      dataSchema, required, pushed)
+      dataSchema, required, pushed, renames)
 
   override def deserializeOffset(json: String): Offset = {
     require(json.trim.startsWith("{"),
@@ -1493,7 +1697,13 @@ case class DocStoreAggScan(
     grpCols: Seq[String],
     specs: Seq[DocStore.AggSpec],
     pushed: Array[Filter],
-    versionAsOf: Option[Long] = None) extends Scan with Batch {
+    versionAsOf: Option[Long] = None,
+    // manifest-embedded stats (file → stat) covering every surviving
+    // file and agg column: the per-file rows are PRECOMPUTED at plan
+    // time and the readers open no footer at all — metadata-only both
+    // in planning and execution. Empty → per-file footer fallback
+    // (plain stores, pre-stat manifests).
+    statsByFile: Map[String, DocStore.FileStat] = Map.empty) extends Scan with Batch {
 
   override def readSchema(): StructType = aggSchema
 
@@ -1508,6 +1718,27 @@ case class DocStoreAggScan(
       s"PushedGroupBy: [${grpCols.mkString(", ")}], " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
+  /** Agg slot values for one file, straight from its manifest stat —
+    * boxed per the DECLARED agg-schema type (see the reader's
+    * extremum doc for why the declared type governs). */
+  private def precomputedFor(st: DocStore.FileStat): Seq[Any] = {
+    val aggTypes = aggSchema.fields.drop(grpCols.length).map(_.dataType)
+    specs.zipWithIndex.map {
+      case (DocStore.CountStarSpec, _) => st.rows
+      case (DocStore.CountColSpec(c), _) => st.rows - st.cols(c).nulls
+      case (DocStore.MinSpec(c), i) => box(st.cols(c).min, aggTypes(i))
+      case (DocStore.MaxSpec(c), i) => box(st.cols(c).max, aggTypes(i))
+    }
+  }
+
+  private def box(v: Option[Long], dt: DataType): Any = v match {
+    case None => null
+    case Some(x) => dt match {
+      case IntegerType | DateType => x.toInt
+      case _ => x // LongType, TimestampType (already µs-normalized)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val files = DocStore
       .pruneListing(DocStore.listFilesWithPartitions(path, versionAsOf), pushed)
@@ -1516,29 +1747,36 @@ case class DocStoreAggScan(
       else Array.empty
     } else files.map { case (f, pv) =>
       val pvMap = pv.toMap
-      DocStoreAggPartition(Some(f), grpCols.map(pvMap.get), grpTypes)
+      DocStoreAggPartition(Some(f), grpCols.map(pvMap.get), grpTypes,
+        precomputed = statsByFile.get(f).map(precomputedFor))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    DocStoreAggReaderFactory(specs, grpTypes)
+    DocStoreAggReaderFactory(specs, grpTypes,
+      aggSchema.fields.drop(grpCols.length).map(_.dataType).toSeq)
 }
 
 case class DocStoreAggPartition(
     file: Option[String],
     groupValues: Seq[Option[String]],
-    grpTypes: Seq[DataType] = Nil) extends InputPartition
+    grpTypes: Seq[DataType] = Nil,
+    // agg slot values precomputed from manifest stats at plan time —
+    // when set, the reader touches NO file at all
+    precomputed: Option[Seq[Any]] = None) extends InputPartition
 
 case class DocStoreAggReaderFactory(specs: Seq[DocStore.AggSpec],
-    grpTypes: Seq[DataType] = Nil)
+    grpTypes: Seq[DataType] = Nil,
+    aggTypes: Seq[DataType] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new DocStoreAggReader(partition.asInstanceOf[DocStoreAggPartition], specs,
-      grpTypes)
+      grpTypes, aggTypes)
 }
 
 class DocStoreAggReader(part: DocStoreAggPartition, specs: Seq[DocStore.AggSpec],
-    grpTypes: Seq[DataType] = Nil)
+    grpTypes: Seq[DataType] = Nil,
+    aggTypes: Seq[DataType] = Nil)
     extends PartitionReader[InternalRow] {
 
   private var emitted = false
@@ -1553,6 +1791,13 @@ class DocStoreAggReader(part: DocStoreAggPartition, specs: Seq[DocStore.AggSpec]
       case (Some(v), i) => row.update(i, DocStore.partitionValueCast(v,
         if (i < grpTypes.length) grpTypes(i) else StringType))
       case (None, i) => row.update(i, null)
+    }
+    part.precomputed match {
+      case Some(vals) =>
+        // manifest-stat answer: planned on the driver, zero file I/O
+        vals.zipWithIndex.foreach { case (v, i) => row.update(nGrp + i, v) }
+        return row
+      case None => ()
     }
     part.file match {
       case None =>
@@ -1573,9 +1818,11 @@ class DocStoreAggReader(part: DocStoreAggPartition, specs: Seq[DocStore.AggSpec]
               b.getRowCount - statsOf(b, c).getNumNulls
             }.sum)
           case (DocStore.MinSpec(c), i) =>
-            row.update(nGrp + i, extremum(blocks, schema, c, isMin = true))
+            row.update(nGrp + i, extremum(blocks, schema, c, isMin = true,
+              declaredType(i)))
           case (DocStore.MaxSpec(c), i) =>
-            row.update(nGrp + i, extremum(blocks, schema, c, isMin = false))
+            row.update(nGrp + i, extremum(blocks, schema, c, isMin = false,
+              declaredType(i)))
         }
     }
     row
@@ -1584,16 +1831,29 @@ class DocStoreAggReader(part: DocStoreAggPartition, specs: Seq[DocStore.AggSpec]
   private def statsOf(b: BlockMetaData, c: String) =
     b.getColumns.asScala.find(_.getPath.toDotString == c).get.getStatistics
 
+  /** The Spark type `pushAggregation` declared for agg slot i — the
+    * TABLE's type, which under int→bigint schema widening can be
+    * wider than any one file's physical type. */
+  private def declaredType(i: Int): DataType =
+    if (i < aggTypes.length) aggTypes(i) else NullType
+
   /** Combine a column's per-row-group min/max into one value in
     * Spark's internal representation. Row groups whose stats carry no
     * non-null value contribute nothing; an all-null column yields
     * null (Spark's min/max ignore nulls). Timestamp units normalize
-    * to µs — min/max commute with a monotone unit change. */
+    * to µs — min/max commute with a monotone unit change.
+    *
+    * The emitted box is chosen by the DECLARED (table/agg-schema)
+    * type, not the file's physical type: under int→bigint widening an
+    * old INT32 file must still feed a `Long` into the LongType slot
+    * `pushAggregation` promised, or Spark's partial-agg merge throws
+    * ClassCastException. */
   private def extremum(
       blocks: Seq[BlockMetaData],
       schema: MessageType,
       c: String,
-      isMin: Boolean): Any = {
+      isMin: Boolean,
+      declared: DataType): Any = {
     val p = schema.getType(Seq(c): _*).asPrimitiveType()
     val vals: Seq[Long] = blocks.flatMap { b =>
       statsOf(b, c) match {
@@ -1607,16 +1867,22 @@ class DocStoreAggReader(part: DocStoreAggPartition, specs: Seq[DocStore.AggSpec]
     if (vals.isEmpty) null
     else {
       val v = if (isMin) vals.min else vals.max
-      p.getPrimitiveTypeName match {
-        case PrimitiveTypeName.INT32 => v.toInt
-        case _ => p.getLogicalTypeAnnotation match {
-          case t: TimestampLogicalTypeAnnotation => t.getUnit match {
-            case TimeUnit.NANOS => Math.floorDiv(v, 1000L)
-            case TimeUnit.MILLIS => Math.multiplyExact(v, 1000L)
+      declared match {
+        case IntegerType | DateType => v.toInt
+        case LongType => v
+        case TimestampType | TimestampNTZType =>
+          p.getLogicalTypeAnnotation match {
+            case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+              case TimeUnit.NANOS => Math.floorDiv(v, 1000L)
+              case TimeUnit.MILLIS => Math.multiplyExact(v, 1000L)
+              case _ => v
+            }
             case _ => v
           }
-          case _ => v
-        }
+        // statTypeOk admits no other min/max type; fall back to the
+        // file's own width so an unexpected declared type degrades to
+        // the pre-widening behavior rather than a wrong box
+        case _ => if (p.getPrimitiveTypeName == PrimitiveTypeName.INT32) v.toInt else v
       }
     }
   }
@@ -1867,7 +2133,8 @@ class DocStoreRowLevelOperation(
     path: String,
     tableSchema: StructType,
     partitionBy: Seq[String],
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    renames: Map[String, Seq[String]] = Map.empty) extends RowLevelOperation {
 
   @volatile private var opScan: DocStoreScan = _
 
@@ -1877,7 +2144,7 @@ class DocStoreRowLevelOperation(
     s"DocStoreRowLevelOperation($cmd, path=$path)"
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocStoreScanBuilder(path, tableSchema) {
+    new DocStoreScanBuilder(path, tableSchema, renames = renames) {
       override def pushFilters(filters: Array[Filter]): Array[Filter] = filters
       override def pushAggregation(agg: Aggregation): Boolean = false
       override def build(): Scan = {
@@ -1909,6 +2176,232 @@ class DocStoreRowLevelOperation(
           s"DocStoreCopyOnWrite($cmd, path=$path)"
       }
     }
+}
+
+/** MERGE-ON-READ row-level operations via Spark's DELTA write path
+  * (`SupportsDelta`) — the DSv2 face of Delta Lake deletion vectors /
+  * Iceberg v2 position deletes. Where the group-based operation above
+  * REWRITES every file holding a matched row (copy-on-write: right at
+  * read time, brutal at 100 TB when a MERGE's matches scatter across
+  * partitions), this one writes what actually changed:
+  *
+  *  - deletes arrive as (_file, _pos) row ids → a per-file DELETION
+  *    VECTOR sidecar, committed as `#dv` manifest bindings in the same
+  *    snapshot; readers subtract the positions at scan time;
+  *  - inserts (and the insert half of updates —
+  *    `representUpdateAsDeleteAndInsert`) stage as ordinary new files;
+  *  - a file whose DV would cover EVERY row is retired outright
+  *    instead (no 100%-dead file ever carries a vector).
+  *
+  * The operation scan is a NORMAL pushdown scan — unlike the
+  * copy-on-write scan it pushes predicates freely, because only
+  * matched rows are touched: `DELETE WHERE pred` reads the pred's
+  * row-group survivors, not whole file groups. Existing DVs apply
+  * during the scan, so re-deleting an already-deleted row is
+  * impossible by construction.
+  *
+  * Concurrency: the snapshot commit validates that every DV'd file is
+  * still present with an UNCHANGED binding versus the operation's read
+  * snapshot — a concurrent rewrite/compaction/other row-level op on
+  * the same file aborts (Iceberg's validate-no-conflicts posture);
+  * operations on disjoint files serialize cleanly through the
+  * optimistic manifest race. */
+class DocStoreDeltaOperation(
+    path: String,
+    tableSchema: StructType,
+    partitionBy: Seq[String],
+    cmd: RowLevelOperation.Command,
+    renames: Map[String, Seq[String]] = Map.empty) extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"DocStoreDeltaOperation($cmd, path=$path, mor)"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocStoreScanBuilder(path, tableSchema, renames = renames) {
+      // the scan feeds a row-accurate delta computation: aggregate
+      // pushdown would collapse it to footer rows
+      override def pushAggregation(agg: Aggregation): Boolean = false
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite with RequiresDistributionAndOrdering {
+        // a pure DELETE's delta plan carries ONLY (operation, row id)
+        // — no data columns to cluster on; UPDATE/MERGE plans carry
+        // the insert rows' data columns, which cluster like any sink
+        // write so new files stay one-per-partition-per-task
+        private def deleteOnly = cmd == RowLevelOperation.Command.DELETE
+        override def requiredDistribution(): Distribution =
+          if (partitionBy.isEmpty || deleteOnly) Distributions.unspecified()
+          else Distributions.clustered(
+            partitionBy.map(c =>
+              Expressions.identity(c).asInstanceOf[ConnExpression]).toArray)
+        override def requiredOrdering(): Array[ConnSortOrder] =
+          if (partitionBy.isEmpty || deleteOnly) Array.empty
+          else partitionBy.map(c =>
+            Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+        override def toBatch: DeltaBatchWrite =
+          new DocStoreDeltaBatchWrite(path, info.schema(), partitionBy,
+            info.queryId())
+        override def description(): String =
+          s"DocStoreMergeOnRead($cmd, path=$path)"
+      }
+    }
+}
+
+/** Driver side of the merge-on-read write: collects each task's staged
+  * insert files and per-file deleted positions, then commits ONE
+  * `rowdelta` snapshot that adds the files, merges the positions into
+  * each file's (possibly pre-existing) deletion vector, and retires
+  * any file the merged vector would fully cover. */
+class DocStoreDeltaBatchWrite(
+    path: String,
+    rowSchema: StructType,
+    partitionBy: Seq[String],
+    queryId: String) extends DeltaBatchWrite {
+
+  private def staging = s"$path/_staging-$queryId"
+
+  // the operation's read snapshot's DV bindings — the conflict baseline
+  private val baselineDv: Map[String, String] = DocStore.dvMap(path, None)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    DocStoreDeltaWriterFactory(path, staging, rowSchema, partitionBy)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val newRels = messages.toSeq.flatMap {
+      case DocStoreDeltaCommitMessage(rels, _) => rels
+      case _ => Nil
+    }
+    // union each file's deleted positions across tasks (disjoint by
+    // construction — a (_file, _pos) row id exists once in the scan)
+    val deletes = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
+    messages.foreach {
+      case DocStoreDeltaCommitMessage(_, dels) =>
+        dels.foreach { case (file, ps) =>
+          deletes.getOrElseUpdate(DocStore.relOf(path, file),
+            mutable.ArrayBuffer.empty[Long]) ++= ps
+        }
+      case _ => ()
+    }
+    val stagingPath = new Path(staging)
+    newRels.foreach { rel =>
+      val dst = new Path(root, rel)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(new Path(stagingPath, rel), dst),
+        s"docstore: merge-on-read commit rename failed for $rel")
+    }
+    DocStore.commitSnapshotWithDvs(path, op = "rowdelta") { (base, dvs) =>
+      val baseSet = base.toSet
+      val updated = deletes.toSeq.sortBy(_._1).map { case (rel, ps) =>
+        if (!baseSet(rel))
+          throw new IllegalStateException(
+            s"docstore: write-write conflict at $path — $rel was retired " +
+              "by a concurrent commit after this operation read it; retry " +
+              "against the current snapshot")
+        if (dvs.get(rel) != baselineDv.get(rel))
+          throw new IllegalStateException(
+            s"docstore: write-write conflict at $path — $rel's deletion " +
+              "vector changed under a concurrent row-level operation; " +
+              "retry against the current snapshot")
+        val existing = dvs.get(rel)
+          .map(r => DocStore.readDv(new Path(path, r).toString))
+          .getOrElse(Array.emptyLongArray)
+        val merged = (existing ++ ps).distinct.sorted
+        val totalRows = DocStore.footerBlocks(new Path(root, rel).toString)
+          .map(_.getRowCount).sum
+        (rel, merged, merged.length.toLong >= totalRows)
+      }
+      val fullyDead = updated.collect { case (rel, _, true) => rel }.toSet
+      val newDvs = updated.collect { case (rel, merged, false) =>
+        rel -> DocStore.writeDv(path, merged)
+      }
+      (base.filterNot(fullyDead) ++ newRels, dvs ++ newDvs)
+    }
+    fs.delete(stagingPath, true): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val stagingPath = new Path(staging)
+    stagingPath.getFileSystem(new Configuration()).delete(stagingPath, true): Unit
+  }
+}
+
+case class DocStoreDeltaCommitMessage(
+    stagedRels: Seq[String],
+    deletes: Seq[(String, Array[Long])]) extends WriterCommitMessage
+
+case class DocStoreDeltaWriterFactory(
+    path: String,
+    staging: String,
+    rowSchema: StructType,
+    partitionBy: Seq[String]) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DocStoreDeltaWriter(path, staging, rowSchema, partitionBy,
+      partitionId, taskId)
+}
+
+/** Task side: inserts delegate to the ordinary staging parquet writer;
+  * deletes accumulate (file → positions). An UPDATE arrives pre-split
+  * (`representUpdateAsDeleteAndInsert`), so `update` only exists as a
+  * defensive delegation. */
+class DocStoreDeltaWriter(
+    path: String,
+    staging: String,
+    rowSchema: StructType,
+    partitionBy: Seq[String],
+    partitionId: Int,
+    taskId: Long) extends DeltaWriter[InternalRow] {
+
+  // a pure DELETE has NO row schema (the delta plan carries only
+  // operation + row id) — the insert writer must never materialize
+  private lazy val inserts =
+    new DocStoreDataWriter(staging, rowSchema,
+      partitionBy.filter(rowSchema.fieldNames.contains), partitionId, taskId)
+  private var wroteInserts = false
+  private val deleted = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Long]]
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val file = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    deleted.getOrElseUpdate(file, mutable.ArrayBuffer.empty[Long]) += pos
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    wroteInserts = true
+    inserts.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val staged =
+      if (!wroteInserts) Nil
+      else inserts.commit() match {
+        case DocStoreCommitMessage(rels) => rels
+        case _ => Nil
+      }
+    DocStoreDeltaCommitMessage(staged,
+      deleted.toSeq.map { case (f, ps) => (f, ps.toArray.sorted) })
+  }
+
+  override def abort(): Unit = if (wroteInserts) inserts.abort()
+
+  override def close(): Unit = if (wroteInserts) inserts.close()
 }
 
 /** Driver-side commit protocol. Tasks write only under
@@ -2419,7 +2912,16 @@ object DocStore {
     * the reader — is the same state as a missing sentinel: not yet
     * committed, read None, re-read later. Without this, a contender
     * polling the in-flight head crashes the COMMITTER's retry loop on
-    * a transient torn read (found by the 8-writer contention spec). */
+    * a transient torn read (found by the 8-writer contention spec).
+    *
+    * ONLY the torn-read signatures map to None: ChecksumException /
+    * EOFException (bytes moving under the reader) and
+    * FileNotFoundException (claimed-then-removed race — verifiably
+    * absent). Any OTHER IOException — a transient read failure on a
+    * manifest that may well be COMMITTED — propagates: callers that
+    * sweep stale claims or reap unreferenced files must never act on
+    * "the read failed" as if it were "the sentinel is absent", or a
+    * blip turns into committed-data loss. */
   def readManifest(path: String, v: Long): Option[Seq[String]] = {
     val f = new Path(snapRoot(path), s"v$v")
     val fs = f.getFileSystem(new Configuration())
@@ -2431,8 +2933,53 @@ object DocStore {
       val lines = new String(bytes, "UTF-8").split("\n").toSeq
       val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
       if (lines.contains(s"#end ${entries.length}")) Some(entries) else None
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case _: java.io.EOFException => None
+      case _: org.apache.hadoop.fs.ChecksumException => None
+    }
   }
+
+  /** Version v's deletion-vector bindings (`#dv <dataRel>\t<dvRel>`
+    * manifest lines): data files whose deleted row POSITIONS live in a
+    * `_deletes/` sidecar instead of having been rewritten — the
+    * merge-on-read half of row-level operations (Delta deletion
+    * vectors / Iceberg v2 position deletes, re-expressed on this
+    * manifest format). Empty for uncommitted versions, pre-DV
+    * manifests, and plain stores. Binding invariant (enforced at
+    * commit): every `#dv` data file is an entry of the same manifest. */
+  def readManifestDvs(path: String, v: Long): Map[String, String] = {
+    val f = new Path(snapRoot(path), s"v$v")
+    val fs = f.getFileSystem(new Configuration())
+    try {
+      if (!fs.exists(f)) return Map.empty
+      val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(bytes) finally in.close()
+      val lines = new String(bytes, "UTF-8").split("\n").toSeq
+      val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+      if (!lines.contains(s"#end ${entries.length}")) return Map.empty
+      lines.filter(_.startsWith("#dv ")).flatMap { l =>
+        l.stripPrefix("#dv ").split("\t", 2) match {
+          case Array(dataRel, dvRel) => Some(dataRel -> dvRel)
+          case _ => None
+        }
+      }.toMap
+    } catch {
+      case _: java.io.FileNotFoundException => Map.empty
+      case _: java.io.EOFException => Map.empty
+      case _: org.apache.hadoop.fs.ChecksumException => Map.empty
+    }
+  }
+
+  /** The deletion-vector bindings in force for a read of `path` at
+    * `versionAsOf` (or the current snapshot) — empty on plain stores. */
+  def dvMap(path: String, versionAsOf: Option[Long]): Map[String, String] =
+    if (!snapshotEnabled(path)) Map.empty
+    else versionAsOf.orElse(currentSnapshot(path).map(_._1)) match {
+      case Some(v) => readManifestDvs(path, v)
+      case None => Map.empty
+    }
 
   /** Latest committed (version, relative files), None on a plain or
     * still-empty snapshot store. */
@@ -2478,7 +3025,22 @@ object DocStore {
     * would report a version that holds someone else's content. */
   def commitSnapshot(path: String, staleClaimGraceMs: Long = 30000L,
       op: String = "append")(
-      update: Seq[String] => Seq[String]): Long = {
+      update: Seq[String] => Seq[String]): Long =
+    commitSnapshotWithDvs(path, staleClaimGraceMs, op) { (base, dvs) =>
+      // plain entry-set commits carry existing DV bindings through
+      // unchanged; bindings of retired entries are pruned by the core
+      (update(base), dvs)
+    }
+
+  /** [[commitSnapshot]] with DELETION-VECTOR bindings in the update:
+    * the closure sees (entries, dvByDataRel) of the base snapshot and
+    * returns both for the new one. Bindings whose data file is not in
+    * the returned entry list are dropped (a retired file's DV dies
+    * with it); DV sidecar files themselves are immutable and live in
+    * `_deletes/` — vacuum reclaims unreferenced ones. */
+  def commitSnapshotWithDvs(path: String, staleClaimGraceMs: Long = 30000L,
+      op: String = "append")(
+      update: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String])): Long = {
     val root = new Path(path)
     val conf = new Configuration()
     val fs = root.getFileSystem(conf)
@@ -2486,6 +3048,14 @@ object DocStore {
     val rootQ = fs.makeQualified(root).toString
     val deadline = System.currentTimeMillis() + staleClaimGraceMs + 60000L
     var claimAttempts = 0
+    // per-file stats computed at most once per commit, even across
+    // optimistic retries (footers of files this commit didn't add are
+    // carried over from the base manifest, never recomputed)
+    val statCache = mutable.Map.empty[String, Option[String]]
+    def statOf(rel: String, carried: Map[String, String]): Option[String] =
+      carried.get(rel).orElse(statCache.getOrElseUpdate(rel,
+        try Some(encodeStat(computeFileStat(new Path(root, rel).toString)))
+        catch { case scala.util.control.NonFatal(_) => None }))
     while (claimAttempts < 100 && System.currentTimeMillis() < deadline) {
       val head = snapshotVersions(path).lastOption
       val headContent = head.flatMap(v => readManifest(path, v))
@@ -2495,21 +3065,71 @@ object DocStore {
         // re-checked immediately before the delete — the writer may
         // have finished between our first read and now.
         val claim = new Path(snapRoot(path), s"v${head.get}")
-        val ageMs =
+        def claimAgeMs: Long =
           try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
           catch { case _: java.io.FileNotFoundException => -1L } // already swept
-        if (ageMs > staleClaimGraceMs) {
-          if (readManifest(path, head.get).isEmpty) fs.delete(claim, false): Unit
+        if (claimAgeMs > staleClaimGraceMs) {
+          // Sweep TOCTOU defense: re-read BOTH age and completeness
+          // immediately before the delete. A live writer's write bumps
+          // the claim's mtime, so a writer that finished between our
+          // first look and now fails the age re-check; one that closed
+          // but whose mtime read races us fails the completeness
+          // re-check. The residual window — writer's close AND
+          // read-back verify both landing inside our two-syscall
+          // check→delete gap — is closed from the COMMITTER's side
+          // below (post-verify re-confirm when its claim aged past the
+          // grace window).
+          if (claimAgeMs > staleClaimGraceMs &&
+            readManifest(path, head.get).isEmpty) fs.delete(claim, false): Unit
         } else Thread.sleep(25)
       } else {
         val base = headContent.getOrElse(
           physicalWalk(fs, root).map { case (p, _) =>
             fs.makeQualified(p).toString.stripPrefix(rootQ + "/")
           })
+        val baseDvs =
+          if (headContent.isDefined) readManifestDvs(path, head.get) else Map.empty[String, String]
+        val baseStats: Map[String, String] =
+          if (headContent.isDefined)
+            readManifestStats(path, head.get).map { case (r, s) => r -> encodeStat(s) }
+          else Map.empty
         val next = head.getOrElse(0L) + 1
-        val entries = update(base).distinct.sorted
+        val (rawEntries, rawDvs) = update(base, baseDvs)
+        val entries = rawEntries.distinct.sorted
+        val entrySet = entries.toSet
+        val dvs = rawDvs.filter { case (dataRel, _) => entrySet(dataRel) }
+        // `#stat` lines: carried over for entries the base already
+        // described, computed from the (commit-hot) footer for files
+        // this commit adds; a file whose footer can't be read right
+        // now simply gets no stat line — every consumer falls back to
+        // footers per file
+        val stats = entries.flatMap(rel => statOf(rel, baseStats).map(rel -> _))
+        // `#schema`: the reconciled data schema, carried forward and
+        // re-reconciled only over the files this commit ADDS — schema
+        // inference then never opens a footer. Unreconcilable content
+        // (a hand-committed alien file) just omits the line.
+        val baseSchema: Option[StructType] =
+          if (headContent.isDefined) readManifestSchema(path, head.get) else None
+        val schemaLine: Option[String] = {
+          val newEntries = entries.filterNot(base.toSet)
+          val keptBase = base.filter(entrySet)
+          try {
+            // base schema participates only while base FILES survive
+            // (a truncating overwrite starts the schema line over)
+            val baseParts =
+              if (keptBase.isEmpty) Nil
+              else baseSchema.map(s => Seq("<base>" -> s)).getOrElse(
+                keptBase.map(r =>
+                  r -> toStructType(fileSchema(new Path(root, r).toString))))
+            val parts = baseParts ++ newEntries.map(r =>
+              r -> toStructType(fileSchema(new Path(root, r).toString)))
+            if (parts.isEmpty) None
+            else Some(reconcileSchemas(parts).json)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
         val dst = new Path(snapRoot(path), s"v$next")
         claimAttempts += 1
+        val claimStartMs = System.currentTimeMillis()
         val claimed =
           try {
             val out = createExclusive(fs, dst)
@@ -2524,6 +3144,11 @@ object DocStore {
             try out.write((s"# docstore snapshot v$next\n" +
               s"#ts ${System.currentTimeMillis()}\n" +
               s"#op $op\n" +
+              dvs.toSeq.sorted.map { case (dataRel, dvRel) =>
+                s"#dv $dataRel\t$dvRel\n"
+              }.mkString +
+              schemaLine.map(j => s"#schema $j\n").getOrElse("") +
+              stats.map { case (rel, enc) => s"#stat $rel\t$enc\n" }.mkString +
               entries.map(_ + "\n").mkString +
               s"#end ${entries.length}\n").getBytes("UTF-8"))
             finally out.close()
@@ -2543,13 +3168,339 @@ object DocStore {
             check = readManifest(path, next)
             tries += 1
           }
-          if (check.contains(entries)) return next
+          if (check.contains(entries)) {
+            // A contender may only sweep claims older than the grace
+            // window — so when OUR claim aged past it before the
+            // verify (a stalled write), a sweeper's delayed delete can
+            // still land after our verify read. Wait out the sweeper's
+            // check→delete gap and re-confirm; if swept, fall through
+            // and re-claim rather than report a committed version that
+            // no longer exists. Fast commits (the normal case) never
+            // pay this. Residual window: a sweeper pausing longer than
+            // this re-confirm delay between ITS completeness re-check
+            // and its delete — two adjacent syscalls, so that needs a
+            // multi-hundred-ms preemption exactly there.
+            if (System.currentTimeMillis() - claimStartMs <= staleClaimGraceMs)
+              return next
+            Thread.sleep(100)
+            if (readManifest(path, next).contains(entries)) return next
+          }
         }
       }
     }
     throw new IllegalStateException(
       s"docstore: snapshot commit at $path gave up after $claimAttempts claim " +
         "attempts (lost races or an in-flight claim outlived the deadline)")
+  }
+
+  // -------------------------------------------------------------------------
+  // Manifest-embedded file statistics (metadata-only planning)
+  // -------------------------------------------------------------------------
+
+  /** One column's commit-time statistics. `min`/`max` are normalized
+    * longs (int widened, date → epoch days, timestamp → µs) present
+    * only for integer-backed columns whose every row group carries
+    * exact order stats; absent for an all-null column. `nulls` is
+    * always exact when the entry exists at all. */
+  final case class ColStat(min: Option[Long], max: Option[Long], nulls: Long)
+
+  /** One data file's commit-time statistics: exact row count, total
+    * uncompressed bytes, and per-column [[ColStat]] for every column
+    * whose footer statistics were complete. Describes the PHYSICAL
+    * file — a deletion vector only shrinks matches, so stat-based
+    * file SKIPPING stays sound under DVs while counts become upper
+    * bounds (aggregate answering already refuses under DVs). */
+  final case class FileStat(rows: Long, bytes: Long, cols: Map[String, ColStat])
+
+  /** Compute a file's manifest statistics from its footer — called
+    * once at COMMIT time (the writer's own footer is cache-hot), so
+    * every later read plans from the manifest instead of re-opening
+    * footers: the Iceberg manifest-stats design, and the difference
+    * between metadata-only planning and O(files) GETs on a cold
+    * driver over a 100 TB store. */
+  def computeFileStat(abs: String): FileStat = {
+    val schema = fileSchema(abs)
+    val blocks = footerBlocks(abs)
+    val rows = blocks.map(_.getRowCount).sum
+    val bytes = blocks.flatMap(_.getColumns.asScala.map(_.getTotalUncompressedSize)).sum
+    val cols = schema.getFields.asScala.toSeq.filter(_.isPrimitive).flatMap { f =>
+      val name = f.getName
+      val norm: Long => Long = f.asPrimitiveType().getLogicalTypeAnnotation match {
+        case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+          case TimeUnit.NANOS => v => Math.floorDiv(v, 1000L)
+          case TimeUnit.MILLIS => v => Math.multiplyExact(v, 1000L)
+          case _ => identity
+        }
+        case _ => identity
+      }
+      val perBlock = blocks.map { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == name)
+          .map(_.getStatistics).orNull match {
+          case s: IntStatistics if !s.isEmpty && s.isNumNullsSet &&
+            (s.hasNonNullValue || s.getNumNulls == b.getRowCount) =>
+            Some((if (s.hasNonNullValue)
+              Some((norm(s.getMin.toLong), norm(s.getMax.toLong))) else None,
+              s.getNumNulls))
+          case s: LongStatistics if !s.isEmpty && s.isNumNullsSet &&
+            (s.hasNonNullValue || s.getNumNulls == b.getRowCount) =>
+            Some((if (s.hasNonNullValue)
+              Some((norm(s.getMin), norm(s.getMax))) else None, s.getNumNulls))
+          case s if s != null && !s.isEmpty && s.isNumNullsSet =>
+            // non-integer-backed flat column: exact null count only
+            // (float NaN and truncated binary stats refuse ordering)
+            Some((None, s.getNumNulls))
+          case _ => None
+        }
+      }
+      if (perBlock.exists(_.isEmpty)) None // incomplete anywhere → no entry
+      else {
+        val flat = perBlock.flatten
+        val mms = flat.flatMap(_._1)
+        Some(name -> ColStat(
+          if (mms.isEmpty) None else Some(mms.map(_._1).min),
+          if (mms.isEmpty) None else Some(mms.map(_._2).max),
+          flat.map(_._2).sum))
+      }
+    }.toMap
+    FileStat(rows, bytes, cols)
+  }
+
+  private def encodeStat(st: FileStat): String = {
+    def l(o: Option[Long]) = o.map(_.toString).getOrElse("-")
+    val cols = st.cols.toSeq.sortBy(_._1).map { case (n, c) =>
+      s"${java.net.URLEncoder.encode(n, "UTF-8")}=${l(c.min)}:${l(c.max)}:${c.nulls}"
+    }.mkString(";")
+    s"${st.rows}\t${st.bytes}\t$cols"
+  }
+
+  private def decodeStat(s: String): Option[FileStat] =
+    s.split("\t", 3) match {
+      case Array(rows, bytes, cols) =>
+        def l(x: String) = if (x == "-") None else Some(x.toLong)
+        try Some(FileStat(rows.toLong, bytes.toLong,
+          cols.split(";").filter(_.nonEmpty).flatMap { c =>
+            c.split("=", 2) match {
+              case Array(n, v) => v.split(":", 3) match {
+                case Array(mn, mx, nl) =>
+                  Some(java.net.URLDecoder.decode(n, "UTF-8") ->
+                    ColStat(l(mn), l(mx), nl.toLong))
+                case _ => None
+              }
+              case _ => None
+            }
+          }.toMap))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+
+  /** Version v's `#stat <rel>\t<enc>` lines, decoded. Empty for
+    * pre-stat manifests (consumers fall back to footers). */
+  def readManifestStats(path: String, v: Long): Map[String, FileStat] = {
+    val f = new Path(snapRoot(path), s"v$v")
+    val fs = f.getFileSystem(new Configuration())
+    try {
+      if (!fs.exists(f)) return Map.empty
+      val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(bytes) finally in.close()
+      val lines = new String(bytes, "UTF-8").split("\n").toSeq
+      val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+      if (!lines.contains(s"#end ${entries.length}")) return Map.empty
+      lines.filter(_.startsWith("#stat ")).flatMap { l =>
+        l.stripPrefix("#stat ").split("\t", 2) match {
+          case Array(rel, enc) => decodeStat(enc).map(rel -> _)
+          case _ => None
+        }
+      }.toMap
+    } catch {
+      case _: java.io.FileNotFoundException => Map.empty
+      case _: java.io.EOFException => Map.empty
+      case _: org.apache.hadoop.fs.ChecksumException => Map.empty
+    }
+  }
+
+  /** The statistics in force for a read at `versionAsOf` (or the
+    * current snapshot) — empty on plain stores. */
+  def manifestStats(path: String, versionAsOf: Option[Long]): Map[String, FileStat] =
+    if (!snapshotEnabled(path)) Map.empty
+    else versionAsOf.orElse(currentSnapshot(path).map(_._1)) match {
+      case Some(v) => readManifestStats(path, v)
+      case None => Map.empty
+    }
+
+  /** Version v's `#schema <json>` line — the reconciled DATA schema
+    * the commit computed, so schema inference on a snapshot store is
+    * ONE manifest read instead of O(files) footer opens. None for
+    * pre-schema manifests (fall back to footer reconciliation). */
+  def readManifestSchema(path: String, v: Long): Option[StructType] = {
+    val f = new Path(snapRoot(path), s"v$v")
+    val fs = f.getFileSystem(new Configuration())
+    try {
+      if (!fs.exists(f)) return None
+      val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(bytes) finally in.close()
+      val lines = new String(bytes, "UTF-8").split("\n").toSeq
+      val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+      if (!lines.contains(s"#end ${entries.length}")) return None
+      lines.find(_.startsWith("#schema "))
+        .flatMap { l =>
+          try Some(org.apache.spark.sql.types.DataType
+            .fromJson(l.stripPrefix("#schema ")).asInstanceOf[StructType])
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case _: java.io.EOFException => None
+      case _: org.apache.hadoop.fs.ChecksumException => None
+    }
+  }
+
+  /** Can a file with statistics `st` contain ANY row matching every
+    * pushed data filter? False → the file is skipped without reading
+    * its footer. Sound by construction: only a DEFINITELY-false
+    * verdict skips (SQL three-valued — a NULL comparison never
+    * matches, so range skipping is safe with nulls present); anything
+    * unevaluable keeps the file. */
+  def statsMayMatch(filters: Seq[Filter], st: FileStat,
+      schema: StructType): Boolean = {
+    def lit(c: String, v: Any): Option[Long] =
+      if (!schema.fieldNames.contains(c)) None
+      else schema(c).dataType match {
+        case IntegerType | LongType => v match {
+          case n: Number => Some(n.longValue())
+          case _ => None
+        }
+        case DateType => v match {
+          case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+          case d: java.time.LocalDate => Some(d.toEpochDay)
+          case n: Number => Some(n.longValue())
+          case _ => None
+        }
+        case TimestampType | TimestampNTZType =>
+          try Some(tsMicros(v)) catch { case _: IllegalArgumentException => None }
+        case _ => None
+      }
+    def may(f: Filter): Boolean = f match {
+      case EqualTo(c, v) => st.cols.get(c) match {
+        case Some(ColStat(Some(mn), Some(mx), _)) =>
+          lit(c, v).forall(x => mn <= x && x <= mx)
+        case Some(ColStat(None, None, _)) => lit(c, v).isEmpty // all-null
+        case _ => true
+      }
+      case GreaterThan(c, v) => st.cols.get(c) match {
+        case Some(ColStat(_, Some(mx), _)) => lit(c, v).forall(mx > _)
+        case Some(ColStat(None, None, _)) => lit(c, v).isEmpty
+        case _ => true
+      }
+      case GreaterThanOrEqual(c, v) => st.cols.get(c) match {
+        case Some(ColStat(_, Some(mx), _)) => lit(c, v).forall(mx >= _)
+        case Some(ColStat(None, None, _)) => lit(c, v).isEmpty
+        case _ => true
+      }
+      case LessThan(c, v) => st.cols.get(c) match {
+        case Some(ColStat(Some(mn), _, _)) => lit(c, v).forall(mn < _)
+        case Some(ColStat(None, None, _)) => lit(c, v).isEmpty
+        case _ => true
+      }
+      case LessThanOrEqual(c, v) => st.cols.get(c) match {
+        case Some(ColStat(Some(mn), _, _)) => lit(c, v).forall(mn <= _)
+        case Some(ColStat(None, None, _)) => lit(c, v).isEmpty
+        case _ => true
+      }
+      case In(c, vs) => st.cols.get(c) match {
+        case Some(ColStat(Some(mn), Some(mx), _)) =>
+          vs.exists(v => lit(c, v).forall(x => mn <= x && x <= mx))
+        case Some(ColStat(None, None, _)) => vs.exists(v => lit(c, v).isEmpty)
+        case _ => true
+      }
+      case IsNull(c) => st.cols.get(c).forall(_.nulls > 0L)
+      case IsNotNull(c) => st.cols.get(c).forall(_.nulls < st.rows)
+      case And(a, b) => may(a) && may(b)
+      case Or(a, b) => may(a) || may(b)
+      case _ => true // Not(...) and anything else: keep conservatively
+    }
+    filters.forall(may)
+  }
+
+  // -------------------------------------------------------------------------
+  // Deletion-vector sidecars (merge-on-read row-level operations)
+  // -------------------------------------------------------------------------
+
+  val DeletesDir = "_deletes"
+
+  /** Write a deletion vector — the SORTED 0-based row positions of one
+    * data file's deleted rows — as an immutable sidecar under
+    * `_deletes/` (underscore → invisible to the directory walk), named
+    * by UUID so concurrent committers never collide; returns the
+    * store-relative path a `#dv` manifest line binds. Encoding:
+    * "GDV1" magic, long count, then delta-varint positions — sorted
+    * deltas are small, so a dense vector costs ~1-2 bytes/row instead
+    * of 8 (a RoaringBitmap would do better still, but needs a dep this
+    * build doesn't have; COMPACTION materializes large DVs away, which
+    * bounds how big one can live). */
+  def writeDv(path: String, positions: Array[Long]): String = {
+    require(positions.nonEmpty, "docstore: empty deletion vector")
+    var i = 1
+    while (i < positions.length) {
+      require(positions(i) > positions(i - 1),
+        "docstore: deletion-vector positions must be strictly increasing")
+      i += 1
+    }
+    val rel = s"$DeletesDir/dv-${java.util.UUID.randomUUID()}.bin"
+    val dst = new Path(path, rel)
+    val fs = dst.getFileSystem(new Configuration())
+    fs.mkdirs(dst.getParent)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(dst, false)))
+    try {
+      out.writeInt(0x47445631) // "GDV1"
+      out.writeLong(positions.length.toLong)
+      var prev = -1L
+      positions.foreach { p =>
+        var d = p - prev // >= 1
+        while ((d & ~0x7fL) != 0L) { out.writeByte(((d & 0x7f) | 0x80).toInt); d >>>= 7 }
+        out.writeByte(d.toInt)
+        prev = p
+      }
+    } finally out.close()
+    rel
+  }
+
+  /** Read a deletion vector's sorted positions. */
+  def readDv(abs: String): Array[Long] = {
+    val p = new Path(abs)
+    val fs = p.getFileSystem(new Configuration())
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(p)))
+    try {
+      require(in.readInt() == 0x47445631, s"docstore: $abs is not a deletion vector")
+      val n = in.readLong().toInt
+      val out = new Array[Long](n)
+      var prev = -1L
+      var i = 0
+      while (i < n) {
+        var d = 0L; var shift = 0; var b = 0
+        do { b = in.readUnsignedByte(); d |= (b & 0x7fL) << shift; shift += 7 }
+        while ((b & 0x80) != 0)
+        prev += d
+        out(i) = prev
+        i += 1
+      }
+      out
+    } finally in.close()
+  }
+
+  /** A deletion vector's cardinality from its 12-byte header — the
+    * cost of exact planning counts without decoding positions. */
+  def dvCardinality(abs: String): Long = {
+    val p = new Path(abs)
+    val fs = p.getFileSystem(new Configuration())
+    val in = new java.io.DataInputStream(fs.open(p))
+    try {
+      require(in.readInt() == 0x47445631, s"docstore: $abs is not a deletion vector")
+      in.readLong()
+    } finally in.close()
   }
 
   /** TRULY exclusive create for the claim file. HDFS `create(…,
@@ -2649,6 +3600,22 @@ object DocStore {
     val listing = listFilesWithPartitions(path)
     if (listing.isEmpty) new StructType()
     else {
+      // snapshot stores carry the commit-reconciled schema IN the
+      // manifest (`#schema`): one metadata read replaces O(files)
+      // footer opens on a cold driver — pre-r17 manifests fall through
+      // to the footer reconciliation below
+      if (snapshotEnabled(path)) {
+        val fromManifest = currentSnapshot(path).map(_._1)
+          .flatMap(v => readManifestSchema(path, v))
+        fromManifest match {
+          case Some(ds) =>
+            val partFields = listing.head._2.map { case (k, _) =>
+              StructField(k, StringType, nullable = true)
+            }
+            return StructType(ds.fields.toSeq ++ partFields)
+          case None => ()
+        }
+      }
       val first = toStructType(fileSchema(listing.head._1))
       val dataSchema =
         if (snapshotEnabled(path))
@@ -2897,7 +3864,8 @@ object DocStore {
       listing: Seq[(String, Seq[(String, String)])],
       tableSchema: StructType,
       required: StructType,
-      pushed: Array[Filter]): DocStoreReaderFactory = {
+      pushed: Array[Filter],
+      renames: Map[String, Seq[String]] = Map.empty): DocStoreReaderFactory = {
     val partCols = listing.headOption.map(_._2.map(_._1).toSet).getOrElse(Set.empty[String])
     val dataFilters = pushed.filterNot(f => isPartitionFilter(f, partCols))
     // metadata columns (`_file`, `_pos`, `_change_type`,
@@ -2908,7 +3876,8 @@ object DocStore {
       .filterNot(n => metaNames(n) && !tableSchema.fieldNames.contains(n))
     val filterCols = dataFilters.flatMap(_.references).distinct
       .filterNot(c => requiredData.contains(c))
-    DocStoreReaderFactory(requiredData ++ filterCols, required, tableSchema, dataFilters)
+    DocStoreReaderFactory(requiredData ++ filterCols, required, tableSchema,
+      dataFilters, renames)
   }
 
   /** Minimal JSON-string-array parser for [[DocStoreOffset]] round-trips
@@ -3020,7 +3989,21 @@ object DocStore {
   private val footerCache =
     new java.util.concurrent.ConcurrentHashMap[String, (MessageType, Seq[BlockMetaData])]()
 
+  /** Footer consultations since JVM start — cache hits INCLUDED: a hit
+    * still means planning depended on a footer, which is exactly what
+    * manifest-embedded statistics exist to avoid. Tests diff this
+    * around a plan to prove metadata-only planning (a pruned file's
+    * footer is never opened). */
+  val footerConsults = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-path consult log, enabled by tests to prove a specific file's
+    * footer was never opened during a metadata-only plan. */
+  @volatile var footerLogEnabled = false
+  val footerConsultLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   private def footerOf(file: String): (MessageType, Seq[BlockMetaData]) = {
+    footerConsults.incrementAndGet()
+    if (footerLogEnabled) footerConsultLog.add(file): Unit
     val p = new Path(file)
     val fs = p.getFileSystem(new Configuration())
     val st = fs.getFileStatus(p)

@@ -97,8 +97,12 @@ class DocStoreCatalogSpec extends SparkSpec {
     val e1 = intercept[Exception](
       spark.sql("ALTER TABLE dsalter.db.t ALTER COLUMN n TYPE DOUBLE"))
     assert(e1.getMessage.contains("widening"))
+    // DROP COLUMN is supported since r17 (column IDs — ColumnIdSpec);
+    // a change OUTSIDE the supported evolution set still refuses
+    spark.sql("ALTER TABLE dsalter.db.t DROP COLUMN n")
+    assert(!spark.table("dsalter.db.t").schema.fieldNames.contains("n"))
     val e2 = intercept[Exception](
-      spark.sql("ALTER TABLE dsalter.db.t DROP COLUMN v"))
+      spark.sql("ALTER TABLE dsalter.db.t ALTER COLUMN v COMMENT 'nope'"))
     assert(e2.getMessage.contains("unsupported ALTER"))
   }
 

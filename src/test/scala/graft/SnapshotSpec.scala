@@ -425,6 +425,51 @@ class SnapshotSpec extends SparkSpec {
     assert(e2.getMessage.contains("snapshot store"))
   }
 
+  test("aggregate pushdown across an int->bigint widening: old INT32 files feed the LongType agg slot") {
+    import spark.implicits._
+    val store = tmpDir("snapwideagg")
+    Seq((1, "a"), (2, "b")).toDF("k", "v") // gen 1: k is int
+      .write.format("docstore").option("path", store)
+      .option("snapshots", "true").mode("append").save()
+    Seq((30L, "c"), (40L, "d")).toDF("k", "v") // gen 2: k widened to bigint
+      .write.format("docstore").option("path", store)
+      .option("mergeSchema", "true").mode("append").save()
+    val df = spark.read.format("docstore").option("path", store).load()
+    val agg = df.agg(min("k").as("lo"), max("k").as("hi"),
+      count("k").as("n"))
+    // the aggregate must actually push (footer stats carry k in every
+    // file), and the per-file partial rows must box Long even for the
+    // INT32 gen-1 file — the pre-fix behavior threw CCE at the merge
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      agg.queryExecution.executedPlan.toString.take(1500))
+    val r = agg.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 40L, 4L)))
+  }
+
+  test("change feed across an int->bigint widening: one commit's legs span both physical schemas") {
+    import graft.sources.DocStoreChanges
+    import spark.implicits._
+    val store = tmpDir("snapwidecdf")
+    Seq((1, "a"), (2, "b")).toDF("k", "v") // v1: k int
+      .write.format("docstore").option("path", store)
+      .option("snapshots", "true").mode("append").save()
+    Seq((30L, "c")).toDF("k", "v") // v2: k widened
+      .write.format("docstore").option("path", store)
+      .option("mergeSchema", "true").mode("append").save()
+    // v3: a single rewrite commit retiring files of BOTH widths —
+    // builtin mergeSchema cannot merge int with bigint, so the
+    // pre-fix leg read failed here even though the store reads fine
+    DocStore.commitSnapshot(store, op = "overwrite")(_ => Nil): Unit
+    val all = DocStoreChanges.changes(spark, store, 0, 3)
+    assert(all.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    val byType = all.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 3L, "delete" -> 3L), s"got $byType")
+    // the delete leg carries the retired rows with k read as long
+    assert(all.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 30L))
+  }
+
   test("change feed: appends insert, deletes delete, compaction is invisible, ranges chain") {
     import graft.sources.DocStoreChanges
     import spark.implicits._
