@@ -1330,6 +1330,59 @@ object EtlQueries {
         FROM orders GROUP BY 1 ORDER BY bucket""")),
 
     Q(
+      "etl_connector_partition_evolution",
+      "PARTITION EVOLUTION without a rewrite: orders through 1994 " +
+        "commit under spec (o_year); `setPartitionSpec` re-points the " +
+        "store to (o_year, o_month) as ONE `#partspec` manifest line; " +
+        "later orders route into the finer year/month directories " +
+        "while every gen-1 file keeps its own coarser layout — at " +
+        "100 TB this is how a store re-partitions as it grows (the " +
+        "thing a fixed layout forces a full rewrite for). The union " +
+        "read recovers each file's columns from ITS path (gen-1 rows " +
+        "read o_month as null — the value exists nowhere else), " +
+        "pruning stays exact per layout (PartitionEvolutionSpec pins " +
+        "that an o_month filter drops whole gen-1 files), and the " +
+        "oracle recomputes the same aggregate with o_month nulled " +
+        "before the cutover — any row routed, read, or pruned under " +
+        "the wrong spec is a hash mismatch.",
+      (s, dir) => {
+        val store = graft.Scratch.once(s"etl_partition_evolution:$dir") { p =>
+          val src = Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).as("o_year"),
+              month(col("o_orderdate")).as("o_mon"))
+          src.filter(col("o_year") <= 1994)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_year").cast("string").as("o_year"))
+            .write.format("docstore").option("path", p)
+            .option("partitionBy", "o_year").option("snapshots", "true")
+            .mode("append").save()
+          graft.sources.DocStoreMaintenance
+            .setPartitionSpec(p, Seq("o_year", "o_month")): Unit
+          // generation 2 routes by the CURRENT spec — no option passed
+          src.filter(col("o_year") > 1994)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_year").cast("string").as("o_year"),
+              col("o_mon").cast("string").as("o_month"))
+            .write.format("docstore").option("path", p)
+            .mode("append").save()
+        }
+        s.read.format("docstore").option("path", store).load()
+          .groupBy(col("o_year").cast("int").as("o_year"),
+            col("o_month").cast("int").as("o_month"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy(col("o_year"), col("o_month").asc_nulls_first)
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          CASE WHEN year(o_orderdate) > 1994
+               THEN CAST(month(o_orderdate) AS INT) END AS o_month,
+          count(*) AS n_orders,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month NULLS FIRST""")),
+
+    Q(
       "etl_connector_sql_maintenance",
       "Maintenance WITHOUT leaving SQL — `CALL docstore.system.compact`" +
         " through the DSv2 procedure machinery (ProcedureCatalog / " +

@@ -67,6 +67,35 @@ object DocStoreMaintenance {
     }
   }
 
+  /** PARTITION EVOLUTION — re-point the store's write routing (year →
+    * year,month as data grows) WITHOUT rewriting a byte: the new spec
+    * lands as a `#partspec` manifest line, files already written keep
+    * their own (coarser) directory layout, new writes route by the new
+    * spec, and reads union the layouts — a file whose layout lacks a
+    * partition column reads it as null and prunes exactly (its rows
+    * hold no other value). Spec columns must be DIRECTORY-ONLY: a name
+    * that exists as a data column in the store is refused (its values
+    * would be ambiguous between pages and paths). Returns the
+    * committed version. */
+  def setPartitionSpec(path: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "docstore: empty partition spec — pass the full new spec")
+    require(cols.distinct == cols, s"docstore: duplicate spec column in $cols")
+    val dataCols = DocStore.currentSnapshot(path).map(_._1)
+      .flatMap(v => DocStore.readManifestSchema(path, v))
+      .map(_.fieldNames.toSet)
+      .getOrElse(DocStore.listFilesWithPartitions(path).headOption
+        .map(f => DocStore.toStructType(DocStore.fileSchema(f._1)).fieldNames.toSet)
+        .getOrElse(Set.empty))
+    val clash = cols.filter(dataCols)
+    require(clash.isEmpty,
+      s"docstore: partition spec column(s) ${clash.mkString(", ")} exist as " +
+        "DATA columns in the store — directory-encoded and page-encoded " +
+        "values would be ambiguous; partition columns must be new " +
+        "(stripped into the path by the sink)")
+    DocStore.commitSnapshotWithDvs(path, op = "partspec",
+      partSpec = Some(cols))((e, d) => (e, d))
+  }
+
   /** Bin-pack the small files of every partition into one clustered
     * file per partition. ONE distributed Spark job does all the data
     * movement (each partition's small files are a union leg routed by

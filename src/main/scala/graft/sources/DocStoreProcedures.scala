@@ -32,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object DocStoreProcedures {
 
   val names: Seq[String] = Seq(
-    "compact", "vacuum", "orphan_sweep", "history", "enable_snapshots")
+    "compact", "vacuum", "orphan_sweep", "history", "enable_snapshots",
+    "set_partition_spec")
 
   def load(root: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -104,6 +105,33 @@ object DocStoreProcedures {
               ts.map(ms => Long.box(ms * 1000L)).orNull,
               UTF8String.fromString(op), added, retired, files)): InternalRow
         }.toArray))
+      case "set_partition_spec" => Some(proc("set_partition_spec",
+        "partition evolution: re-point write routing (e.g. 'year' -> " +
+          "'year,month') without rewriting existing files",
+        Array(in("table", StringType), in("spec", StringType)),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        args => {
+          val table = str(args, 0)
+          val p = pathOf(table)
+          val cols = str(args, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val v = DocStoreMaintenance.setPartitionSpec(p, cols)
+          // catalog-managed tables keep their marker in step: routing
+          // AND schema (new partition columns append as the directory
+          // type, string — INSERTs provide them, the sink strips them
+          // into the path)
+          val dir = new Path(p)
+          val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          SchemaMarker.read(fs, dir).foreach { m0 =>
+            var m = m0.withIds
+            cols.filterNot(m.schema.fieldNames.contains).foreach { c =>
+              m = m.copy(
+                schema = m.schema.add(StructField(c, StringType, nullable = true)),
+                nameMap = m.nameMap + (c -> m.nextId), nextId = m.nextId + 1)
+            }
+            SchemaMarker.write(fs, dir, m.copy(partitionBy = cols))
+          }
+          Array[InternalRow](new GenericInternalRow(Array[Any](v)))
+        }))
       case "enable_snapshots" => Some(proc("enable_snapshots",
         "bootstrap snapshot mode: the current listing becomes version 1",
         Array(in("table", StringType)),

@@ -443,7 +443,7 @@ class DocStoreScanBuilder(path: String, tableSchema: StructType,
   // one dir walk (or manifest read), cached for the builder's lifetime
   private lazy val listing = DocStore.listFilesWithPartitions(path, versionAsOf)
   private lazy val partCols: Set[String] =
-    listing.headOption.map(_._2.map(_._1).toSet).getOrElse(Set.empty)
+    DocStore.partColsOf(listing).toSet
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // a filter is pushable only if the server can evaluate it EXACTLY
@@ -605,8 +605,12 @@ case class DocStoreScan(
   @transient private lazy val listing =
     DocStore.listFilesWithPartitions(path, versionAsOf)
   @transient private lazy val partColsOrdered: Seq[String] =
-    listing.headOption.map(_._2.map(_._1)).getOrElse(Nil)
+    DocStore.partColsOf(listing)
   @transient private lazy val partCols: Set[String] = partColsOrdered.toSet
+  // partition EVOLUTION leaves mixed layouts in one store; key-grouped
+  // guarantees only hold while every file shares the SAME key list
+  @transient private lazy val uniformLayout: Boolean =
+    listing.forall(_._2.map(_._1) == partColsOrdered)
   // deletion-vector bindings at the read version (merge-on-read)
   @transient private lazy val dvByRel: Map[String, String] =
     DocStore.dvMap(path, versionAsOf)
@@ -640,7 +644,7 @@ case class DocStoreScan(
     * Reported only when every partition column survives projection:
     * Spark resolves the key expressions against the scan OUTPUT. */
   override def outputPartitioning(): Partitioning =
-    if (partColsOrdered.nonEmpty &&
+    if (partColsOrdered.nonEmpty && uniformLayout &&
       partColsOrdered.forall(required.fieldNames.contains)) {
       val n = DocStore.pruneListing(listing, allPushed)
         .map(_._2.map(_._2)).distinct.size
@@ -1927,11 +1931,14 @@ class DocStoreWriteBuilder(path: String, info: LogicalWriteInfo,
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
-    // per-write option first; the catalog-declared table partitioning
+    // per-write option first; then the store's CURRENT `#partspec`
+    // (partition evolution — the manifest is the source of truth for
+    // where NEW files route); the catalog-declared table partitioning
     // (CREATE TABLE … PARTITIONED BY) is the default
     private val partitionBy = {
       val opt = DocStore.partitionByOf(info.options())
-      if (opt.nonEmpty) opt else tablePartitionBy
+      if (opt.nonEmpty) opt
+      else DocStore.currentPartSpec(path).getOrElse(tablePartitionBy)
     }
     private val sortBy = DocStore.sortByOf(info.options())
     private val qSchema = info.schema()
@@ -2782,12 +2789,21 @@ object DocStore {
     val out = listFilesWithPartitionsUnchecked(path, versionAsOf)
     out.headOption.foreach { case (f0, pv0) =>
       val keys0 = pv0.map(_._1)
+      // DECLARED partition evolution (a `#partspec` manifest line at
+      // the read version) legitimizes mixed layouts: each file's own
+      // path encodes its spec, readers union the columns. Without the
+      // declaration, mixed layouts are still accidental drift — error.
+      lazy val evolved = snapshotEnabled(path) &&
+        versionAsOf.orElse(currentSnapshot(path).map(_._1))
+          .exists(v => readManifestPartSpec(path, v).isDefined)
       out.foreach { case (f, pv) =>
-        require(pv.map(_._1) == keys0,
+        require(pv.map(_._1) == keys0 || evolved,
           s"docstore: mixed partition layouts — $f carries partition keys " +
             s"${pv.map(_._1).mkString("[", ",", "]")} but $f0 carries " +
             s"${keys0.mkString("[", ",", "]")}; a store must use one " +
-            "partitionBy layout across all writes")
+            "partitionBy layout across all writes (declare PARTITION " +
+            "EVOLUTION via DocStoreMaintenance.setPartitionSpec / CALL " +
+            "docstore.system.set_partition_spec to mix layouts)")
       }
     }
     out
@@ -3039,7 +3055,10 @@ object DocStore {
     * with it); DV sidecar files themselves are immutable and live in
     * `_deletes/` — vacuum reclaims unreferenced ones. */
   def commitSnapshotWithDvs(path: String, staleClaimGraceMs: Long = 30000L,
-      op: String = "append")(
+      op: String = "append",
+      // Some(cols) changes the store's partition ROUTING from this
+      // version on (partition evolution); None carries the base's
+      partSpec: Option[Seq[String]] = None)(
       update: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String])): Long = {
     val root = new Path(path)
     val conf = new Configuration()
@@ -3104,6 +3123,9 @@ object DocStore {
         // now simply gets no stat line — every consumer falls back to
         // footers per file
         val stats = entries.flatMap(rel => statOf(rel, baseStats).map(rel -> _))
+        val specLine: Option[Seq[String]] = partSpec.orElse(
+          if (headContent.isDefined) readManifestPartSpec(path, head.get)
+          else None)
         // `#schema`: the reconciled data schema, carried forward and
         // re-reconciled only over the files this commit ADDS — schema
         // inference then never opens a footer. Unreconcilable content
@@ -3148,6 +3170,9 @@ object DocStore {
                 s"#dv $dataRel\t$dvRel\n"
               }.mkString +
               schemaLine.map(j => s"#schema $j\n").getOrElse("") +
+              specLine.map(cols => "#partspec " + cols.map(
+                java.net.URLEncoder.encode(_, "UTF-8")).mkString(",") + "\n")
+                .getOrElse("") +
               stats.map { case (rel, enc) => s"#stat $rel\t$enc\n" }.mkString +
               entries.map(_ + "\n").mkString +
               s"#end ${entries.length}\n").getBytes("UTF-8"))
@@ -3355,6 +3380,40 @@ object DocStore {
       case _: org.apache.hadoop.fs.ChecksumException => None
     }
   }
+
+  /** Version v's `#partspec` line — the partition ROUTING in force for
+    * writes committed after v (partition EVOLUTION: year → year,month
+    * as a store grows — each file keeps the layout it was written
+    * under, encoded in its own path, so no rewrite ever happens; reads
+    * union the specs and files lacking a partition column read it as
+    * null). None for pre-spec manifests (routing falls back to the
+    * write option / catalog declaration / head file's layout). */
+  def readManifestPartSpec(path: String, v: Long): Option[Seq[String]] = {
+    val f = new Path(snapRoot(path), s"v$v")
+    val fs = f.getFileSystem(new Configuration())
+    try {
+      if (!fs.exists(f)) return None
+      val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(bytes) finally in.close()
+      val lines = new String(bytes, "UTF-8").split("\n").toSeq
+      val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+      if (!lines.contains(s"#end ${entries.length}")) return None
+      lines.find(_.startsWith("#partspec")).map(
+        _.stripPrefix("#partspec").trim.split(",").map(_.trim)
+          .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq)
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case _: java.io.EOFException => None
+      case _: org.apache.hadoop.fs.ChecksumException => None
+    }
+  }
+
+  /** The partition spec new writes route by — current snapshot's
+    * `#partspec`, None on plain stores / pre-spec manifests. */
+  def currentPartSpec(path: String): Option[Seq[String]] =
+    if (!snapshotEnabled(path)) None
+    else currentSnapshot(path).map(_._1).flatMap(readManifestPartSpec(path, _))
 
   /** Can a file with statistics `st` contain ANY row matching every
     * pushed data filter? False → the file is skipped without reading
@@ -3609,9 +3668,8 @@ object DocStore {
           .flatMap(v => readManifestSchema(path, v))
         fromManifest match {
           case Some(ds) =>
-            val partFields = listing.head._2.map { case (k, _) =>
-              StructField(k, StringType, nullable = true)
-            }
+            val partFields = DocStore.partColsOf(listing).map(k =>
+              StructField(k, StringType, nullable = true))
             return StructType(ds.fields.toSeq ++ partFields)
           case None => ()
         }
@@ -3631,9 +3689,8 @@ object DocStore {
           }
           first
         }
-      val partFields = listing.head._2.map { case (k, _) =>
-        StructField(k, StringType, nullable = true)
-      }
+      val partFields = DocStore.partColsOf(listing).map(k =>
+        StructField(k, StringType, nullable = true))
       StructType(dataSchema.fields.toSeq ++ partFields)
     }
   }
@@ -3683,10 +3740,21 @@ object DocStore {
   /** Planning-time partition pruning: drop files whose directory
     * values cannot satisfy the pushed partition predicates. Data
     * filters are ignored here (the reader applies them exactly). */
+  /** Partition columns of a listing — the UNION across files in
+    * first-seen order: partition EVOLUTION mixes layouts within one
+    * store, and a file whose layout lacks a column holds only null for
+    * it (the value lives nowhere else), so pruning and reads stay
+    * exact per file. */
+  def partColsOf(listing: Seq[(String, Seq[(String, String)])]): Seq[String] = {
+    val seen = mutable.LinkedHashSet.empty[String]
+    listing.foreach(_._2.foreach { case (k, _) => seen += k })
+    seen.toSeq
+  }
+
   def pruneListing(
       listing: Seq[(String, Seq[(String, String)])],
       pushed: Array[Filter]): Seq[(String, Seq[(String, String)])] = {
-    val partCols = listing.headOption.map(_._2.map(_._1).toSet).getOrElse(Set.empty)
+    val partCols = partColsOf(listing).toSet
     val partFilters = pushed.filter(f => isPartitionFilter(f, partCols))
     if (partFilters.isEmpty) listing
     else listing.filter { case (_, pv) =>
@@ -3866,7 +3934,7 @@ object DocStore {
       required: StructType,
       pushed: Array[Filter],
       renames: Map[String, Seq[String]] = Map.empty): DocStoreReaderFactory = {
-    val partCols = listing.headOption.map(_._2.map(_._1).toSet).getOrElse(Set.empty[String])
+    val partCols = partColsOf(listing).toSet
     val dataFilters = pushed.filterNot(f => isPartitionFilter(f, partCols))
     // metadata columns (`_file`, `_pos`, `_change_type`,
     // `_commit_version`) are reader-synthesized, never
