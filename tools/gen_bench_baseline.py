@@ -16,7 +16,8 @@ Usage: python3 tools/gen_bench_baseline.py BENCH_r12.json BENCH_r13.json > \
 import re
 import sys
 
-META = {"n", "rc", "cpus", "sf", "value", "failed", "n_queries"}
+META = {"n", "rc", "cpus", "sf", "value", "failed", "n_queries",
+        "total_first_pass", "load_guard_tripped"}
 out = {}
 for path in sys.argv[1:]:
     text = open(path).read()
