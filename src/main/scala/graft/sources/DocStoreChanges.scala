@@ -41,6 +41,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * pattern: checkpoint the last version you processed, feed the next
   * range through the same transformations as the full table.
   *
+  * PATH-level semantics: the feed reads files directly, so columns
+  * surface under their PHYSICAL (as-written) names — a catalog table
+  * renamed via column IDs emits pre-rename legs under the old name
+  * (consumers that need current names read through the catalog or
+  * apply the marker's mapping). Rename-free stores — the normal case
+  * for CDC consumers — are unaffected.
+  *
   * Reference anchor: the reference re-extracts full collections on a
   * date window (main.py:288-299); a change feed is what replaces the
   * re-extract once the store is the system of record. */

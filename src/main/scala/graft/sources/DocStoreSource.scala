@@ -1606,6 +1606,11 @@ class DocStoreSnapshotMicroBatchStream(
       val until = if (v == e.version) e.emitted else files.size
       val slice = files.slice(from, until)
       val tagByRel = slice.toMap
+      // NOTE: `pushed` is empty in practice — Spark's V2 pushdown rule
+      // runs for batch relations only, so streaming filters arrive
+      // post-scan and manifest-stat file skipping (the batch scan's
+      // statPrune) has nothing to act on here; partition pruning below
+      // still applies when a pushdown-capable Spark delivers filters
       val listing = DocStore.pruneListing(
         DocStore.resolveRels(path, slice.map(_._1)), pushed)
       planned ++= listing
