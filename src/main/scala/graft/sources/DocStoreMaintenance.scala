@@ -263,6 +263,9 @@ object DocStoreMaintenance {
     // deletion-vector sidecars expire with the versions that bound
     // them: reap every `_deletes/` file no KEPT manifest references
     reapDvs(fs, root, path, keep, graceMs): Unit
+    // delta manifests likewise: chain files only expired versions
+    // referenced are reclaimable once the versions are gone
+    reapManifests(fs, root, path, keep, graceMs): Unit
     deleted
   }
 
@@ -286,7 +289,10 @@ object DocStoreMaintenance {
     val n = reapUnreferenced(fs, root, referenced, graceMs) +
       // a failed rowdelta commit's orphaned DV sidecars (bound by no
       // committed manifest) are litter exactly like its data files
-      reapDvs(fs, root, path, committed, graceMs)
+      reapDvs(fs, root, path, committed, graceMs) +
+      // …as are the delta manifests a lost-race or swept-claim commit
+      // attempt wrote before failing to place its version file
+      reapManifests(fs, root, path, committed, graceMs)
     val cutoff = System.currentTimeMillis() - graceMs
     val stale = fs.listStatus(root).toSeq.filter { s =>
       val nme = s.getPath.getName
@@ -337,6 +343,26 @@ object DocStoreMaintenance {
     val dead = fs.listStatus(dvDir).toSeq.filter { s =>
       s.isFile && !referenced(s"${DocStore.DeletesDir}/${s.getPath.getName}") &&
         s.getModificationTime < cutoff
+    }
+    dead.foreach(s => fs.delete(s.getPath, false))
+    dead.size
+  }
+
+  /** Reap `_snapshots/m-*` delta manifests referenced by NO version in
+    * `kept`, each only once older than `graceMs` (a just-written
+    * manifest whose commit hasn't claimed its version yet is
+    * referenced by nothing — the grace is what protects it, the same
+    * window that protects renamed-in-but-unswapped data files). */
+  private def reapManifests(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      path: String, kept: Seq[Long], graceMs: Long): Int = {
+    val snapDir = new Path(root, DocStore.SnapshotDir)
+    if (!fs.exists(snapDir)) return 0
+    val referenced = kept.flatMap(v =>
+      DocStore.snapState(path, v).map(_.chain).getOrElse(Nil)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dead = fs.listStatus(snapDir).toSeq.filter { s =>
+      s.isFile && s.getPath.getName.startsWith("m-") &&
+        !referenced(s.getPath.getName) && s.getModificationTime < cutoff
     }
     dead.foreach(s => fs.delete(s.getPath, false))
     dead.size

@@ -2269,10 +2269,27 @@ class DocStoreDeltaOperation(
 }
 
 /** Driver side of the merge-on-read write: collects each task's staged
-  * insert files and per-file deleted positions, then commits ONE
-  * `rowdelta` snapshot that adds the files, merges the positions into
-  * each file's (possibly pre-existing) deletion vector, and retires
-  * any file the merged vector would fully cover. */
+  * insert files and per-file deletion-vector FRAGMENT bindings, then
+  * commits ONE `rowdelta` snapshot that adds the files, merges the
+  * fragments into each file's (possibly pre-existing) deletion
+  * vector, and retires any file the merged vector would fully cover.
+  *
+  * Scale posture: no deleted POSITION ever crosses the commit-message
+  * RPC or accumulates globally on the driver — tasks stage per-file
+  * DV-encoded fragments under the write's staging dir and the message
+  * carries only (dataRel, fragRel, count) triples, the same shape
+  * Iceberg position-delete files and Delta DV descriptors commit. A
+  * predicate DELETE matching 10⁹ rows at 100 TB is then O(files
+  * touched) driver metadata; position bytes stay on the filesystem.
+  * Driver memory during commit is bounded by ONE file's positions at
+  * a time (the per-file merge), itself bounded by rows-per-file, and
+  * the common fresh-file single-fragment case is a pure RENAME — the
+  * fragment is promoted to the DV with no decode at all. The
+  * fully-dead check answers from manifest `#stat` row counts (footer
+  * fallback only for stat-less files), and a candidate-dead file is
+  * CONFIRMED by exact merged cardinality before being retired, so an
+  * unexpected positional overlap degrades to a conservative DV, never
+  * to data loss. */
 class DocStoreDeltaBatchWrite(
     path: String,
     rowSchema: StructType,
@@ -2296,17 +2313,18 @@ class DocStoreDeltaBatchWrite(
       case DocStoreDeltaCommitMessage(rels, _) => rels
       case _ => Nil
     }
-    // union each file's deleted positions across tasks (disjoint by
+    // fragments per data file (tasks' position sets are disjoint by
     // construction — a (_file, _pos) row id exists once in the scan)
-    val deletes = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
-    messages.foreach {
-      case DocStoreDeltaCommitMessage(_, dels) =>
-        dels.foreach { case (file, ps) =>
-          deletes.getOrElseUpdate(DocStore.relOf(path, file),
-            mutable.ArrayBuffer.empty[Long]) ++= ps
-        }
-      case _ => ()
-    }
+    val frags: Map[String, Seq[DocStoreDvFragment]] = messages.toSeq.flatMap {
+      case DocStoreDeltaCommitMessage(_, fr) => fr
+      case _ => Nil
+    }.groupBy(_.dataRel)
+    // per-file physical row counts from the read snapshot's manifest
+    // stats — zero footer reads on stat-carrying stores; a rel's stat
+    // is immutable (it describes the physical file), so reading it
+    // outside the optimistic retry loop is race-free
+    val statRows: Map[String, Long] =
+      DocStore.manifestStats(path, None).map { case (r, s) => r -> s.rows }
     val stagingPath = new Path(staging)
     newRels.foreach { rel =>
       val dst = new Path(root, rel)
@@ -2314,9 +2332,14 @@ class DocStoreDeltaBatchWrite(
       require(fs.rename(new Path(stagingPath, rel), dst),
         s"docstore: merge-on-read commit rename failed for $rel")
     }
+    // each rel's merged DV is written (or its fragment promoted) at
+    // most once even across optimistic commit retries: the merge input
+    // is conflict-pinned to the baseline bindings, so the result can't
+    // differ between attempts
+    val dvWritten = mutable.Map.empty[String, String]
     DocStore.commitSnapshotWithDvs(path, op = "rowdelta") { (base, dvs) =>
       val baseSet = base.toSet
-      val updated = deletes.toSeq.sortBy(_._1).map { case (rel, ps) =>
+      val updated = frags.toSeq.sortBy(_._1).map { case (rel, fr) =>
         if (!baseSet(rel))
           throw new IllegalStateException(
             s"docstore: write-write conflict at $path — $rel was retired " +
@@ -2327,18 +2350,48 @@ class DocStoreDeltaBatchWrite(
             s"docstore: write-write conflict at $path — $rel's deletion " +
               "vector changed under a concurrent row-level operation; " +
               "retry against the current snapshot")
-        val existing = dvs.get(rel)
-          .map(r => DocStore.readDv(new Path(path, r).toString))
-          .getOrElse(Array.emptyLongArray)
-        val merged = (existing ++ ps).distinct.sorted
-        val totalRows = DocStore.footerBlocks(new Path(root, rel).toString)
-          .map(_.getRowCount).sum
-        (rel, merged, merged.length.toLong >= totalRows)
+        val existingRel = dvs.get(rel)
+        val existingCount = existingRel
+          .map(r => DocStore.dvCardinality(new Path(path, r).toString))
+          .getOrElse(0L)
+        val fragCount = fr.map(_.count).sum
+        val totalRows = statRows.getOrElse(rel,
+          DocStore.footerBlocks(new Path(root, rel).toString)
+            .map(_.getRowCount).sum)
+        // ONE file's positions at most — never the whole delete
+        def mergedPositions(): Array[Long] =
+          (existingRel.map(r => DocStore.readDv(new Path(path, r).toString))
+            .getOrElse(Array.emptyLongArray) ++
+            fr.flatMap(f =>
+              DocStore.readDv(new Path(stagingPath, f.fragRel).toString)))
+            .distinct.sorted
+        if (existingCount + fragCount >= totalRows) {
+          // candidate fully dead by counts (exact when disjoint);
+          // confirm by exact merged cardinality before retiring —
+          // an overlap falls back to a DV, never drops live rows
+          val merged = mergedPositions()
+          if (merged.length.toLong >= totalRows) (rel, None, true)
+          else (rel, Some(dvWritten.getOrElseUpdate(rel,
+            DocStore.writeDv(path, merged))), false)
+        } else if (existingRel.isEmpty && fr.size == 1) {
+          // fresh file, one task: the staged fragment IS the DV —
+          // promote by rename, no position ever decoded
+          val dvRel = dvWritten.getOrElseUpdate(rel, {
+            val name = s"${DocStore.DeletesDir}/dv-${java.util.UUID.randomUUID()}.bin"
+            val dst = new Path(root, name)
+            fs.mkdirs(dst.getParent)
+            require(fs.rename(new Path(stagingPath, fr.head.fragRel), dst),
+              s"docstore: deletion-vector fragment promote failed for $rel")
+            name
+          })
+          (rel, Some(dvRel), false)
+        } else {
+          (rel, Some(dvWritten.getOrElseUpdate(rel,
+            DocStore.writeDv(path, mergedPositions()))), false)
+        }
       }
       val fullyDead = updated.collect { case (rel, _, true) => rel }.toSet
-      val newDvs = updated.collect { case (rel, merged, false) =>
-        rel -> DocStore.writeDv(path, merged)
-      }
+      val newDvs = updated.collect { case (rel, Some(dv), _) => rel -> dv }
       (base.filterNot(fullyDead) ++ newRels, dvs ++ newDvs)
     }
     fs.delete(stagingPath, true): Unit
@@ -2350,9 +2403,15 @@ class DocStoreDeltaBatchWrite(
   }
 }
 
+/** One task's deletion-vector fragment for one data file: the DV
+  * sidecar it staged (DV-encoded, under the write's staging dir) and
+  * its exact position count. The commit-message shape — bindings and
+  * counts only, NEVER raw positions. */
+case class DocStoreDvFragment(dataRel: String, fragRel: String, count: Long)
+
 case class DocStoreDeltaCommitMessage(
     stagedRels: Seq[String],
-    deletes: Seq[(String, Array[Long])]) extends WriterCommitMessage
+    dvFragments: Seq[DocStoreDvFragment]) extends WriterCommitMessage
 
 case class DocStoreDeltaWriterFactory(
     path: String,
@@ -2407,8 +2466,18 @@ class DocStoreDeltaWriter(
         case DocStoreCommitMessage(rels) => rels
         case _ => Nil
       }
-    DocStoreDeltaCommitMessage(staged,
-      deleted.toSeq.map { case (f, ps) => (f, ps.toArray.sorted) })
+    // stage each file's positions as a DV-encoded fragment HERE, on
+    // the task — the commit message carries only the binding + count,
+    // so a billion-row delete never transits the driver's RPC path
+    val frags = deleted.toSeq.map { case (f, ps) =>
+      val dataRel = DocStore.relOf(path, f)
+      val fragRel = s"${DocStore.DeletesDir}/frag-$partitionId-$taskId-" +
+        s"${java.util.UUID.randomUUID()}.bin"
+      val sorted = ps.toArray.sorted
+      DocStore.writeDvFile(new Path(staging, fragRel).toString, sorted)
+      DocStoreDvFragment(dataRel, fragRel, sorted.length.toLong)
+    }
+    DocStoreDeltaCommitMessage(staged, frags)
   }
 
   override def abort(): Unit = if (wroteInserts) inserts.abort()
@@ -2943,21 +3012,187 @@ object DocStore {
     * sweep stale claims or reap unreferenced files must never act on
     * "the read failed" as if it were "the sentinel is absent", or a
     * blip turns into committed-data loss. */
-  def readManifest(path: String, v: Long): Option[Seq[String]] = {
+  def readManifest(path: String, v: Long): Option[Seq[String]] =
+    snapState(path, v).map(_.entries)
+
+  // ---------------------------------------------------------------------
+  // Manifest-list resolution (O(delta) commit metadata)
+  // ---------------------------------------------------------------------
+
+  /** One operation recorded in an immutable DELTA MANIFEST — the unit
+    * that makes commit metadata O(changes) instead of O(live files):
+    * a version file references a CHAIN of these (`#mlist` lines) and
+    * the snapshot's state is the fold. The Iceberg
+    * manifest-list/manifest-file split and Delta's log-segment +
+    * checkpoint design, re-expressed on this `#`-line format. */
+  sealed trait MOp
+  object MOp {
+    /** Entry added, with its encoded `#stat` (None = stat unavailable). */
+    final case class Add(rel: String, stat: Option[String]) extends MOp
+    /** Entry retired — its stat and DV binding die with it. */
+    final case class Retire(rel: String) extends MOp
+    /** Deletion-vector binding set (or replaced) for a live entry. */
+    final case class Dv(dataRel: String, dvRel: String) extends MOp
+    /** Deletion-vector binding dropped while the entry stays live. */
+    final case class DvDrop(dataRel: String) extends MOp
+  }
+
+  /** Fully-resolved snapshot state at one version: what every reader
+    * actually wants, independent of whether the version file carries
+    * its entries inline (legacy format) or as a delta-manifest chain. */
+  final case class SnapState(
+      entries: Seq[String],
+      dvs: Map[String, String],
+      statEnc: Map[String, String],
+      schemaJson: Option[String],
+      partSpecEnc: Option[String],
+      chain: Seq[String])
+
+  /** Parsed delta manifests by qualified path — manifest files are
+    * immutable and UUID-named (never reused, even across store
+    * re-creation), so positive parses cache forever; bounded by a
+    * crude clear-on-overflow (fixture scale never hits it). */
+  private val manifestOpsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[MOp]]()
+
+  /** Folded (entries, dvs, statEnc) per manifest CHAIN — a chain of
+    * immutable manifests folds deterministically, so the result caches
+    * by the joined chain key. Saves re-folding on the hot planning
+    * path (currentSnapshot + dvMap + manifestStats per scan). */
+  private val foldCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[String], Map[String, String], Map[String, String])]()
+
+  /** Read + parse one immutable delta manifest. Unlike the version
+    * file, a torn or missing manifest under a COMMITTED version is a
+    * real integrity error (they are fully written before the version
+    * claim): propagate, never silently degrade to "empty". */
+  private def readDeltaManifest(path: String, name: String): Seq[MOp] = {
+    val f = new Path(snapRoot(path), name)
+    val fs = f.getFileSystem(new Configuration())
+    val key = fs.makeQualified(f).toString
+    val cached = manifestOpsCache.get(key)
+    if (cached != null) return cached
+    val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+    val in = fs.open(f)
+    try in.readFully(bytes) finally in.close()
+    val lines = new String(bytes, "UTF-8").split("\n").toSeq
+    val body = lines.filter(l => l.startsWith("#add ") || l.startsWith("#retire ") ||
+      l.startsWith("#dv ") || l.startsWith("#dvdrop "))
+    require(lines.contains(s"#mend ${body.length}"),
+      s"docstore: delta manifest $name at $path is torn or incomplete — " +
+        "a committed version references it, so this indicates corruption " +
+        "or a concurrent vacuum of a version still being read")
+    val ops: Seq[MOp] = body.map { l =>
+      if (l.startsWith("#add ")) l.stripPrefix("#add ").split("\t", 2) match {
+        case Array(rel, enc) => MOp.Add(rel, if (enc == "-") None else Some(enc))
+        case Array(rel) => MOp.Add(rel, None)
+      }
+      else if (l.startsWith("#retire ")) MOp.Retire(l.stripPrefix("#retire "))
+      else if (l.startsWith("#dvdrop ")) MOp.DvDrop(l.stripPrefix("#dvdrop "))
+      else l.stripPrefix("#dv ").split("\t", 2) match {
+        case Array(a, b) => MOp.Dv(a, b)
+        case Array(a) => MOp.DvDrop(a) // unreachable by writer; safe fold
+      }
+    }
+    if (manifestOpsCache.size > 8192) manifestOpsCache.clear()
+    manifestOpsCache.put(key, ops)
+    ops
+  }
+
+  /** Append `ops` as a new immutable delta manifest under
+    * `_snapshots/`; returns its name. Written (and fsync'd via close)
+    * BEFORE the version-file claim that references it, so a reader
+    * that sees the version sees the manifest. */
+  private def writeDeltaManifest(path: String, ops: Seq[MOp]): String = {
+    val name = s"m-${java.util.UUID.randomUUID()}"
+    val dst = new Path(snapRoot(path), name)
+    val fs = dst.getFileSystem(new Configuration())
+    fs.mkdirs(dst.getParent)
+    val out = fs.create(dst, false)
+    try out.write((s"# docstore delta manifest\n" +
+      ops.map {
+        case MOp.Add(rel, st) => s"#add $rel\t${st.getOrElse("-")}\n"
+        case MOp.Retire(rel) => s"#retire $rel\n"
+        case MOp.Dv(a, b) => s"#dv $a\t$b\n"
+        case MOp.DvDrop(a) => s"#dvdrop $a\n"
+      }.mkString + s"#mend ${ops.length}\n").getBytes("UTF-8"))
+    finally out.close()
+    name
+  }
+
+  /** Fold a manifest chain (oldest → newest) into resolved
+    * (entries, dvs, statEnc), cached by chain identity. */
+  private def foldChain(path: String, chain: Seq[String])
+      : (Seq[String], Map[String, String], Map[String, String]) = {
+    val fs = snapRoot(path).getFileSystem(new Configuration())
+    val key = fs.makeQualified(snapRoot(path)).toString + "|" + chain.mkString(",")
+    val cached = foldCache.get(key)
+    if (cached != null) return cached
+    val entries = mutable.LinkedHashSet.empty[String]
+    val dvs = mutable.Map.empty[String, String]
+    val stats = mutable.Map.empty[String, String]
+    chain.foreach { name =>
+      readDeltaManifest(path, name).foreach {
+        case MOp.Add(rel, st) =>
+          entries += rel
+          st.fold(stats.remove(rel): Unit)(stats(rel) = _)
+        case MOp.Retire(rel) =>
+          entries -= rel; stats -= rel; dvs -= rel
+        case MOp.Dv(a, b) => dvs(a) = b
+        case MOp.DvDrop(a) => dvs -= a
+      }
+    }
+    val res = (entries.toSeq.sorted, dvs.toMap, stats.toMap)
+    if (foldCache.size > 1024) foldCache.clear()
+    foldCache.put(key, res)
+    res
+  }
+
+  /** Resolve version v's full snapshot state — None when v is claimed
+    * but uncommitted (torn-read semantics identical to the legacy
+    * single-file reader: only FileNotFound/EOF/Checksum map to None;
+    * other IOExceptions propagate). Handles both formats: legacy
+    * inline-entry version files and `#mlist` manifest-chain files. */
+  def snapState(path: String, v: Long): Option[SnapState] = {
     val f = new Path(snapRoot(path), s"v$v")
     val fs = f.getFileSystem(new Configuration())
-    try {
-      if (!fs.exists(f)) return None
-      val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
-      val in = fs.open(f)
-      try in.readFully(bytes) finally in.close()
-      val lines = new String(bytes, "UTF-8").split("\n").toSeq
-      val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
-      if (lines.contains(s"#end ${entries.length}")) Some(entries) else None
-    } catch {
-      case _: java.io.FileNotFoundException => None
-      case _: java.io.EOFException => None
-      case _: org.apache.hadoop.fs.ChecksumException => None
+    val lines: Seq[String] =
+      try {
+        if (!fs.exists(f)) return None
+        val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+        val in = fs.open(f)
+        try in.readFully(bytes) finally in.close()
+        new String(bytes, "UTF-8").split("\n").toSeq
+      } catch {
+        case _: java.io.FileNotFoundException => return None
+        case _: java.io.EOFException => return None
+        case _: org.apache.hadoop.fs.ChecksumException => return None
+      }
+    val inline = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+    if (!lines.contains(s"#end ${inline.length}")) return None
+    val schemaJson = lines.find(_.startsWith("#schema ")).map(_.stripPrefix("#schema "))
+    val partSpecEnc = lines.find(_.startsWith("#partspec"))
+      .map(_.stripPrefix("#partspec").trim)
+    val chain = lines.filter(_.startsWith("#mlist "))
+      .map(_.stripPrefix("#mlist ").trim).filter(_.nonEmpty)
+    if (chain.isEmpty) {
+      // legacy format: entries inline, #dv/#stat lines in the version file
+      val dvs = lines.filter(_.startsWith("#dv ")).flatMap { l =>
+        l.stripPrefix("#dv ").split("\t", 2) match {
+          case Array(a, b) => Some(a -> b)
+          case _ => None
+        }
+      }.toMap
+      val stats = lines.filter(_.startsWith("#stat ")).flatMap { l =>
+        l.stripPrefix("#stat ").split("\t", 2) match {
+          case Array(rel, enc) => Some(rel -> enc)
+          case _ => None
+        }
+      }.toMap
+      Some(SnapState(inline, dvs, stats, schemaJson, partSpecEnc, Nil))
+    } else {
+      val (entries, dvs, stats) = foldChain(path, chain)
+      Some(SnapState(entries, dvs, stats, schemaJson, partSpecEnc, chain))
     }
   }
 
@@ -2969,29 +3204,8 @@ object DocStore {
     * manifest format). Empty for uncommitted versions, pre-DV
     * manifests, and plain stores. Binding invariant (enforced at
     * commit): every `#dv` data file is an entry of the same manifest. */
-  def readManifestDvs(path: String, v: Long): Map[String, String] = {
-    val f = new Path(snapRoot(path), s"v$v")
-    val fs = f.getFileSystem(new Configuration())
-    try {
-      if (!fs.exists(f)) return Map.empty
-      val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
-      val in = fs.open(f)
-      try in.readFully(bytes) finally in.close()
-      val lines = new String(bytes, "UTF-8").split("\n").toSeq
-      val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
-      if (!lines.contains(s"#end ${entries.length}")) return Map.empty
-      lines.filter(_.startsWith("#dv ")).flatMap { l =>
-        l.stripPrefix("#dv ").split("\t", 2) match {
-          case Array(dataRel, dvRel) => Some(dataRel -> dvRel)
-          case _ => None
-        }
-      }.toMap
-    } catch {
-      case _: java.io.FileNotFoundException => Map.empty
-      case _: java.io.EOFException => Map.empty
-      case _: org.apache.hadoop.fs.ChecksumException => Map.empty
-    }
-  }
+  def readManifestDvs(path: String, v: Long): Map[String, String] =
+    snapState(path, v).map(_.dvs).getOrElse(Map.empty)
 
   /** The deletion-vector bindings in force for a read of `path` at
     * `versionAsOf` (or the current snapshot) — empty on plain stores. */
@@ -3059,6 +3273,13 @@ object DocStore {
     * the returned entry list are dropped (a retired file's DV dies
     * with it); DV sidecar files themselves are immutable and live in
     * `_deletes/` — vacuum reclaims unreferenced ones. */
+  /** A version file references at most this many chained delta
+    * manifests; the commit that would exceed it writes ONE
+    * consolidated manifest instead (Delta's checkpoint cadence). Keeps
+    * the read path O(chain ≤ 16) and amortizes the O(live files)
+    * consolidation write to 1/16th of commits. */
+  val ConsolidateChainLen = 16
+
   def commitSnapshotWithDvs(path: String, staleClaimGraceMs: Long = 30000L,
       op: String = "append",
       // Some(cols) changes the store's partition ROUTING from this
@@ -3074,15 +3295,16 @@ object DocStore {
     var claimAttempts = 0
     // per-file stats computed at most once per commit, even across
     // optimistic retries (footers of files this commit didn't add are
-    // carried over from the base manifest, never recomputed)
+    // carried in earlier chain manifests, never recomputed)
     val statCache = mutable.Map.empty[String, Option[String]]
-    def statOf(rel: String, carried: Map[String, String]): Option[String] =
-      carried.get(rel).orElse(statCache.getOrElseUpdate(rel,
+    def computeStatOf(rel: String): Option[String] =
+      statCache.getOrElseUpdate(rel,
         try Some(encodeStat(computeFileStat(new Path(root, rel).toString)))
-        catch { case scala.util.control.NonFatal(_) => None }))
+        catch { case scala.util.control.NonFatal(_) => None })
     while (claimAttempts < 100 && System.currentTimeMillis() < deadline) {
       val head = snapshotVersions(path).lastOption
-      val headContent = head.flatMap(v => readManifest(path, v))
+      val headState = head.flatMap(v => snapState(path, v))
+      val headContent = headState.map(_.entries)
       if (head.isDefined && headContent.isEmpty) {
         // claimed-but-uncommitted head: wait (live writer) or sweep
         // (claim mtime past the grace window). Completeness is
@@ -3111,35 +3333,67 @@ object DocStore {
           physicalWalk(fs, root).map { case (p, _) =>
             fs.makeQualified(p).toString.stripPrefix(rootQ + "/")
           })
-        val baseDvs =
-          if (headContent.isDefined) readManifestDvs(path, head.get) else Map.empty[String, String]
-        val baseStats: Map[String, String] =
-          if (headContent.isDefined)
-            readManifestStats(path, head.get).map { case (r, s) => r -> encodeStat(s) }
-          else Map.empty
+        val baseDvs = headState.map(_.dvs).getOrElse(Map.empty[String, String])
+        val baseStats = headState.map(_.statEnc).getOrElse(Map.empty[String, String])
         val next = head.getOrElse(0L) + 1
         val (rawEntries, rawDvs) = update(base, baseDvs)
         val entries = rawEntries.distinct.sorted
         val entrySet = entries.toSet
         val dvs = rawDvs.filter { case (dataRel, _) => entrySet(dataRel) }
-        // `#stat` lines: carried over for entries the base already
-        // described, computed from the (commit-hot) footer for files
-        // this commit adds; a file whose footer can't be read right
-        // now simply gets no stat line — every consumer falls back to
-        // footers per file
-        val stats = entries.flatMap(rel => statOf(rel, baseStats).map(rel -> _))
-        val specLine: Option[Seq[String]] = partSpec.orElse(
-          if (headContent.isDefined) readManifestPartSpec(path, head.get)
-          else None)
+        // the commit's CHANGES — what actually gets written: O(delta)
+        // per commit, never the live-file listing. Stats are computed
+        // from the (commit-hot) footer only for files this commit
+        // ADDS; carried stats ride earlier chain manifests untouched.
+        // A file whose footer can't be read right now gets no stat —
+        // every consumer falls back to footers per file.
+        def statFor(rel: String): Option[String] =
+          baseStats.get(rel).orElse(computeStatOf(rel))
+        // the very first commit bases its UPDATE on the directory walk
+        // but its recorded DELTA on the empty state — the walked files
+        // must land as adds in v1's manifest
+        val diffBase = if (headState.isEmpty) Nil else base
+        val baseSet = diffBase.toSet
+        val added = entries.filterNot(baseSet)
+        val retired = diffBase.filterNot(entrySet).distinct.sorted
+        val dvChanged = dvs.toSeq
+          .filter { case (k, dv) => !baseDvs.get(k).contains(dv) }.sortBy(_._1)
+        val dvDropped = baseDvs.keysIterator
+          .filter(k => entrySet(k) && !dvs.contains(k)).toSeq.sorted
+        val changes: Seq[MOp] =
+          added.map(r => MOp.Add(r, statFor(r))) ++
+            retired.map(MOp.Retire(_)) ++
+            dvChanged.map { case (a, b) => MOp.Dv(a, b) } ++
+            dvDropped.map(MOp.DvDrop(_))
+        val baseChain = headState.map(_.chain).getOrElse(Nil)
+        // a LEGACY base (inline-entry version file, e.g. hand-written
+        // by an external tool) has no chain to extend — consolidate
+        val baseIsLegacy = headState.exists(s =>
+          s.chain.isEmpty && (s.entries.nonEmpty || s.dvs.nonEmpty))
+        val chainNew: Seq[String] =
+          if (changes.isEmpty && !baseIsLegacy) baseChain // identity commit: reuse
+          else if (baseIsLegacy || baseChain.length + 1 > ConsolidateChainLen)
+            // consolidated manifest: the full new state in one file,
+            // backfilling stats missing from the carried set
+            Seq(writeDeltaManifest(path,
+              entries.map(r => MOp.Add(r, statFor(r))) ++
+                dvs.toSeq.sortBy(_._1).map { case (a, b) => MOp.Dv(a, b) }))
+          else baseChain :+ writeDeltaManifest(path, changes)
+        val specEnc: Option[String] = partSpec.map(_.map(
+          java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))
+          .orElse(headState.flatMap(_.partSpecEnc))
         // `#schema`: the reconciled data schema, carried forward and
         // re-reconciled only over the files this commit ADDS — schema
         // inference then never opens a footer. Unreconcilable content
         // (a hand-committed alien file) just omits the line.
         val baseSchema: Option[StructType] =
-          if (headContent.isDefined) readManifestSchema(path, head.get) else None
+          headState.flatMap(_.schemaJson).flatMap { j =>
+            try Some(org.apache.spark.sql.types.DataType
+              .fromJson(j).asInstanceOf[StructType])
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
         val schemaLine: Option[String] = {
-          val newEntries = entries.filterNot(base.toSet)
-          val keptBase = base.filter(entrySet)
+          val newEntries = added
+          val keptBase = diffBase.filter(entrySet)
           try {
             // base schema participates only while base FILES survive
             // (a truncating overwrite starts the schema line over)
@@ -3167,20 +3421,16 @@ object DocStore {
             // overwrite / compact) so the change feed and other
             // manifest-diff consumers know HOW the file set changed,
             // not just what changed — a compaction rewrites bytes but
-            // changes no data
+            // changes no data. Entries live in the `#mlist` chain —
+            // the version file itself is O(headers + chain), so commit
+            // metadata cost is independent of live-file count.
             try out.write((s"# docstore snapshot v$next\n" +
               s"#ts ${System.currentTimeMillis()}\n" +
               s"#op $op\n" +
-              dvs.toSeq.sorted.map { case (dataRel, dvRel) =>
-                s"#dv $dataRel\t$dvRel\n"
-              }.mkString +
               schemaLine.map(j => s"#schema $j\n").getOrElse("") +
-              specLine.map(cols => "#partspec " + cols.map(
-                java.net.URLEncoder.encode(_, "UTF-8")).mkString(",") + "\n")
-                .getOrElse("") +
-              stats.map { case (rel, enc) => s"#stat $rel\t$enc\n" }.mkString +
-              entries.map(_ + "\n").mkString +
-              s"#end ${entries.length}\n").getBytes("UTF-8"))
+              specEnc.map(enc => s"#partspec $enc\n").getOrElse("") +
+              chainNew.map(n => s"#mlist $n\n").mkString +
+              s"#end 0\n").getBytes("UTF-8"))
             finally out.close()
             true
           } catch {
@@ -3325,29 +3575,10 @@ object DocStore {
 
   /** Version v's `#stat <rel>\t<enc>` lines, decoded. Empty for
     * pre-stat manifests (consumers fall back to footers). */
-  def readManifestStats(path: String, v: Long): Map[String, FileStat] = {
-    val f = new Path(snapRoot(path), s"v$v")
-    val fs = f.getFileSystem(new Configuration())
-    try {
-      if (!fs.exists(f)) return Map.empty
-      val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
-      val in = fs.open(f)
-      try in.readFully(bytes) finally in.close()
-      val lines = new String(bytes, "UTF-8").split("\n").toSeq
-      val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
-      if (!lines.contains(s"#end ${entries.length}")) return Map.empty
-      lines.filter(_.startsWith("#stat ")).flatMap { l =>
-        l.stripPrefix("#stat ").split("\t", 2) match {
-          case Array(rel, enc) => decodeStat(enc).map(rel -> _)
-          case _ => None
-        }
-      }.toMap
-    } catch {
-      case _: java.io.FileNotFoundException => Map.empty
-      case _: java.io.EOFException => Map.empty
-      case _: org.apache.hadoop.fs.ChecksumException => Map.empty
-    }
-  }
+  def readManifestStats(path: String, v: Long): Map[String, FileStat] =
+    snapState(path, v).map(_.statEnc.flatMap { case (rel, enc) =>
+      decodeStat(enc).map(rel -> _)
+    }).getOrElse(Map.empty)
 
   /** The statistics in force for a read at `versionAsOf` (or the
     * current snapshot) — empty on plain stores. */
@@ -3362,29 +3593,12 @@ object DocStore {
     * the commit computed, so schema inference on a snapshot store is
     * ONE manifest read instead of O(files) footer opens. None for
     * pre-schema manifests (fall back to footer reconciliation). */
-  def readManifestSchema(path: String, v: Long): Option[StructType] = {
-    val f = new Path(snapRoot(path), s"v$v")
-    val fs = f.getFileSystem(new Configuration())
-    try {
-      if (!fs.exists(f)) return None
-      val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
-      val in = fs.open(f)
-      try in.readFully(bytes) finally in.close()
-      val lines = new String(bytes, "UTF-8").split("\n").toSeq
-      val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
-      if (!lines.contains(s"#end ${entries.length}")) return None
-      lines.find(_.startsWith("#schema "))
-        .flatMap { l =>
-          try Some(org.apache.spark.sql.types.DataType
-            .fromJson(l.stripPrefix("#schema ")).asInstanceOf[StructType])
-          catch { case scala.util.control.NonFatal(_) => None }
-        }
-    } catch {
-      case _: java.io.FileNotFoundException => None
-      case _: java.io.EOFException => None
-      case _: org.apache.hadoop.fs.ChecksumException => None
+  def readManifestSchema(path: String, v: Long): Option[StructType] =
+    snapState(path, v).flatMap(_.schemaJson).flatMap { j =>
+      try Some(org.apache.spark.sql.types.DataType
+        .fromJson(j).asInstanceOf[StructType])
+      catch { case scala.util.control.NonFatal(_) => None }
     }
-  }
 
   /** Version v's `#partspec` line — the partition ROUTING in force for
     * writes committed after v (partition EVOLUTION: year → year,month
@@ -3393,26 +3607,10 @@ object DocStore {
     * union the specs and files lacking a partition column read it as
     * null). None for pre-spec manifests (routing falls back to the
     * write option / catalog declaration / head file's layout). */
-  def readManifestPartSpec(path: String, v: Long): Option[Seq[String]] = {
-    val f = new Path(snapRoot(path), s"v$v")
-    val fs = f.getFileSystem(new Configuration())
-    try {
-      if (!fs.exists(f)) return None
-      val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
-      val in = fs.open(f)
-      try in.readFully(bytes) finally in.close()
-      val lines = new String(bytes, "UTF-8").split("\n").toSeq
-      val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
-      if (!lines.contains(s"#end ${entries.length}")) return None
-      lines.find(_.startsWith("#partspec")).map(
-        _.stripPrefix("#partspec").trim.split(",").map(_.trim)
-          .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq)
-    } catch {
-      case _: java.io.FileNotFoundException => None
-      case _: java.io.EOFException => None
-      case _: org.apache.hadoop.fs.ChecksumException => None
-    }
-  }
+  def readManifestPartSpec(path: String, v: Long): Option[Seq[String]] =
+    snapState(path, v).flatMap(_.partSpecEnc).map(
+      _.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq)
 
   /** The partition spec new writes route by — current snapshot's
     * `#partspec`, None on plain stores / pre-spec manifests. */
@@ -3504,6 +3702,17 @@ object DocStore {
     * build doesn't have; COMPACTION materializes large DVs away, which
     * bounds how big one can live). */
   def writeDv(path: String, positions: Array[Long]): String = {
+    val rel = s"$DeletesDir/dv-${java.util.UUID.randomUUID()}.bin"
+    writeDvFile(new Path(path, rel).toString, positions)
+    rel
+  }
+
+  /** Write DV-encoded positions to an explicit absolute path
+    * (exclusive create). Factored from [[writeDv]] so merge-on-read
+    * TASKS stage per-file fragments under their write's staging dir —
+    * the fragment format IS the DV format, which makes promoting a
+    * single fresh fragment to the committed vector a pure rename. */
+  def writeDvFile(abs: String, positions: Array[Long]): Unit = {
     require(positions.nonEmpty, "docstore: empty deletion vector")
     var i = 1
     while (i < positions.length) {
@@ -3511,8 +3720,7 @@ object DocStore {
         "docstore: deletion-vector positions must be strictly increasing")
       i += 1
     }
-    val rel = s"$DeletesDir/dv-${java.util.UUID.randomUUID()}.bin"
-    val dst = new Path(path, rel)
+    val dst = new Path(abs)
     val fs = dst.getFileSystem(new Configuration())
     fs.mkdirs(dst.getParent)
     val out = new java.io.DataOutputStream(
@@ -3528,7 +3736,6 @@ object DocStore {
         prev = p
       }
     } finally out.close()
-    rel
   }
 
   /** Read a deletion vector's sorted positions. */

@@ -220,6 +220,74 @@ class MergeOnReadSpec extends SparkSpec {
     assert(e2.getMessage.contains("no table"), e2.getMessage)
   }
 
+  test("MoR commit messages carry DV fragment bindings, never raw positions") {
+    // task-side contract, exercised on a writer directly: deletes are
+    // staged as DV-encoded fragment FILES and the WriterCommitMessage
+    // transports only (dataRel, fragRel, count) — at 100 TB a
+    // predicate delete matches billions of rows and raw positions on
+    // the RPC path are a driver OOM, so this pins the message shape
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val store = tmpDir("morfrag_store")
+    val staging = s"$store/_staging-fragtest"
+    val w = new graft.sources.DocStoreDeltaWriter(store, staging,
+      new org.apache.spark.sql.types.StructType(), Nil, 0, 7L)
+    val file = s"$store/part-0.parquet"
+    (0L until 5000L).filter(_ % 3 == 0).foreach { p =>
+      w.delete(null, InternalRow(UTF8String.fromString(file), p))
+    }
+    val msg = w.commit().asInstanceOf[graft.sources.DocStoreDeltaCommitMessage]
+    // no Array[Long] (or any array) anywhere in the message tree
+    def flatten(x: Any): Iterator[Any] = x match {
+      case p: Product => Iterator(p) ++ p.productIterator.flatMap(flatten)
+      case s: Iterable[_] => s.iterator.flatMap(flatten)
+      case other => Iterator(other)
+    }
+    assert(flatten(msg).forall(!_.isInstanceOf[Array[_]]),
+      "commit message must not carry position arrays")
+    // the binding points at a real staged fragment holding EXACTLY the
+    // deleted positions in DV encoding
+    assert(msg.stagedRels.isEmpty)
+    val frag = msg.dvFragments match {
+      case Seq(f) => f
+      case other => fail(s"expected one fragment, got $other")
+    }
+    assert(frag.dataRel == "part-0.parquet")
+    assert(frag.count == (0L until 5000L).count(_ % 3 == 0).toLong)
+    val decoded = DocStore.readDv(s"$staging/${frag.fragRel}")
+    assert(decoded.toSeq == (0L until 5000L).filter(_ % 3 == 0))
+    // and the message class itself declares no array-typed field
+    assert(classOf[graft.sources.DocStoreDeltaCommitMessage].getDeclaredFields
+      .forall(f => !f.getType.isArray))
+  }
+
+  test("MoR large delete: a million-position predicate delete commits as bindings, zero files rewritten") {
+    val root = tmpDir("morbig_root")
+    ensureCat("morbig", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS morbig.db")
+    spark.sql("""CREATE TABLE morbig.db.t (id BIGINT, grp BIGINT)
+      USING docstore TBLPROPERTIES ('rowlevel'='mor')""")
+    spark.sql("INSERT INTO morbig.db.t SELECT id, id % 7 FROM range(2000000)")
+    val path = s"$root/db/t"
+    val before = dataRels(path)
+    spark.sql("DELETE FROM morbig.db.t WHERE id % 2 = 0") // 10⁶ positions
+    assert(spark.table("morbig.db.t").count() == 1000000L)
+    assert(spark.table("morbig.db.t").agg(min("id"), max("id")).head match {
+      case r => (r.getLong(0), r.getLong(1)) == ((1L, 1999999L))
+    })
+    // every data file intact — the delete is manifest bindings + sidecars
+    assert(dataRels(path) == before,
+      "a large MoR delete must not rewrite any data file")
+    val v = DocStore.currentSnapshot(path).get._1
+    assert(DocStore.commitOp(path, v) == "rowdelta")
+    val dvs = DocStore.readManifestDvs(path, v)
+    assert(dvs.keySet == before, "every file holds deleted rows here")
+    // sidecar cardinalities sum to exactly the deleted count
+    val total = dvs.values.map(r =>
+      DocStore.dvCardinality(new org.apache.hadoop.fs.Path(path, r).toString)).sum
+    assert(total == 1000000L, total.toString)
+  }
+
   test("MoR streaming: data streams skip or fail on rowdelta commits; changeFeed streams the deltas") {
     import org.apache.spark.sql.streaming.Trigger
     val root = tmpDir("morstream_root")
