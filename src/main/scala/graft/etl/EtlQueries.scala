@@ -1046,6 +1046,71 @@ object EtlQueries {
         ) ORDER BY change_type, o_year""")),
 
     Q(
+      "etl_connector_stream_upsert",
+      "STREAMING UPSERT sink — the CDC loop closed natively: " +
+        "`writeStream.format(\"docstore\").option(\"mode\",\"upsert\")" +
+        ".option(\"keys\",\"o_orderkey\")` applies a source store's " +
+        "change feed to a TARGET store as per-epoch merge-on-read " +
+        "commits (Delta's `foreachBatch MERGE` shape, without the " +
+        "foreachBatch). The scenario runs inserts, a merge-on-read " +
+        "UPDATE (delete+insert at one version), and a MoR DELETE on " +
+        "the source, tailing the feed into the target across TWO " +
+        "drains of one checkpoint — restart-safe incremental " +
+        "convergence. Deletes land as executor-written DV fragments " +
+        "(no position crosses the driver), inserts as new files, one " +
+        "rowdelta snapshot per epoch. The oracle recomputes the " +
+        "source's final state from the orders table; any lost delete, " +
+        "double-applied epoch, or stale row in the target is a hash " +
+        "mismatch.",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        val base = graft.Scratch.once(s"etl_connector_stream_upsert:$dir") { p =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.orders_ups
+            (o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING docstore TBLPROPERTIES ('rowlevel'='mor')""")
+          val src = pathOfTable(s, cat, ns, "orders_ups")
+          val target = s"$p/target"
+          val o = Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).as("o_year"))
+          def drain(): Unit =
+            s.readStream.format("docstore").option("path", src)
+              .option("changeFeed", "true").option("startingVersion", "1").load()
+              .writeStream.format("docstore").option("path", target)
+              .option("mode", "upsert").option("keys", "o_orderkey")
+              .option("checkpointLocation", s"$p/cp")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start().awaitTermination()
+          o.filter(col("o_orderkey") % 2 === 0)
+            .writeTo(s"$cat.$ns.orders_ups")
+            .option("snapshots", "true").append() // v1: inserts
+          s.sql(s"""UPDATE $cat.$ns.orders_ups
+            SET o_totalprice = o_totalprice + 1
+            WHERE o_orderkey % 10 = 0""") // v2: MoR delete+insert
+          drain()
+          s.sql(s"DELETE FROM $cat.$ns.orders_ups WHERE o_orderkey % 14 = 0") // v3
+          drain() // same checkpoint: only v3's deletes apply
+        }
+        s.read.format("docstore").option("path", s"$base/target").load()
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("o_year")
+      },
+      Some("""WITH final AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+            CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1
+                 ELSE o_totalprice END AS p
+          FROM orders
+          WHERE o_orderkey % 2 = 0 AND o_orderkey % 14 <> 0)
+        SELECT o_year, count(*) AS n,
+          round(CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM final GROUP BY 1 ORDER BY 1""")),
+
+    Q(
       "etl_connector_delete",
       "DELETE pushed to the connector as a METADATA-ONLY operation: a " +
         "catalog table Hive-partitioned by order year takes `DELETE " +

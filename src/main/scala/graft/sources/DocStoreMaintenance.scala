@@ -42,15 +42,21 @@ object DocStoreMaintenance {
     * reading a data byte; expired versions simply don't appear. */
   def history(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    historyRows(path).map { case (v, ts, op, a, r, n) =>
-      (v, ts.map(new java.sql.Timestamp(_)).orNull, op, a, r, n)
-    }.toDF("version", "commit_ts", "op", "n_added", "n_retired", "n_files")
+    historyRows(path).map { case (v, ts, op, a, r, n, nd, dr) =>
+      (v, ts.map(new java.sql.Timestamp(_)).orNull, op, a, r, n, nd, dr)
+    }.toDF("version", "commit_ts", "op", "n_added", "n_retired", "n_files",
+      "n_dvs", "dv_rows")
   }
 
   /** The history rows without a SparkSession — shared by the DataFrame
-    * API above and `CALL docstore.system.history(…)`. */
+    * API above and `CALL docstore.system.history(…)`. The last two
+    * fields surface MERGE-ON-READ DEBT per version — how many files
+    * carry deletion vectors and how many rows those vectors hide — so
+    * an operator can see when `compact(dv_fraction => …)` is due
+    * without decoding a sidecar (cardinalities read from the 12-byte
+    * DV headers). */
   def historyRows(path: String)
-      : Seq[(Long, Option[Long], String, Long, Long, Long)] = {
+      : Seq[(Long, Option[Long], String, Long, Long, Long, Long, Long)] = {
     require(DocStore.snapshotEnabled(path),
       s"docstore: history needs a snapshot store ($path has no ${DocStore.SnapshotDir}/)")
     val committed = DocStore.snapshotVersions(path)
@@ -58,12 +64,19 @@ object DocStoreMaintenance {
     committed.map { case (v, cur) =>
       val prev = committed.collectFirst { case (pv, pc) if pv == v - 1 => pc }
         .getOrElse(Nil).toSet
+      val dvs = DocStore.readManifestDvs(path, v)
+      val dvRows = dvs.values.map { r =>
+        try DocStore.dvCardinality(new Path(path, r).toString)
+        catch { case scala.util.control.NonFatal(_) => 0L } // vacuumed under us
+      }.sum
       (v,
         DocStore.commitTimeMs(path, v),
         DocStore.commitOp(path, v),
         cur.count(!prev.contains(_)).toLong,
         prev.count(!cur.toSet.contains(_)).toLong,
-        cur.length.toLong)
+        cur.length.toLong,
+        dvs.size.toLong,
+        dvRows)
     }
   }
 
@@ -117,7 +130,8 @@ object DocStoreMaintenance {
       path: String,
       smallerThan: Long = 128L << 20,
       sortBy: Seq[String] = Nil,
-      rowGroupBytes: Option[Long] = None): CompactStats = {
+      rowGroupBytes: Option[Long] = None,
+      dvFraction: Double = 0.0): CompactStats = {
     val conf = new Configuration()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -127,14 +141,37 @@ object DocStoreMaintenance {
     // deletion vectors MATERIALIZE here: a DV'd file is a compaction
     // candidate regardless of size (its vector's rows drop from the
     // rewrite and the binding dies with the retired file), which is
-    // what keeps any one vector from growing without bound
+    // what keeps any one vector from growing without bound. A
+    // dvFraction THRESHOLD (Delta's optimize DV-rewrite heuristic)
+    // restricts that to files whose DELETED FRACTION has crossed it —
+    // rewriting a 1 GB file to drop 3 rows is the wrong trade; the
+    // fraction reads from the DV header + manifest `#stat` rows, no
+    // data or position bytes touched.
     val dvs = DocStore.dvMap(path, None)
-    def hasDv(f: String): Boolean = dvs.contains(DocStore.relOf(path, f))
+    lazy val statRows: Map[String, Long] =
+      DocStore.manifestStats(path, None).map { case (r, s) => r -> s.rows }
+    def dvQualifies(f: String): Boolean = {
+      val rel = DocStore.relOf(path, f)
+      dvs.get(rel).exists { dvRel =>
+        dvFraction <= 0.0 || {
+          val deleted = DocStore.dvCardinality(new Path(path, dvRel).toString)
+          val rows = statRows.getOrElse(rel,
+            DocStore.footerBlocks(f).map(_.getRowCount).sum)
+          rows > 0 && deleted.toDouble / rows >= dvFraction
+        }
+      }
+    }
+    // DV'd files are the POLICY's to decide: below-threshold ones are
+    // excluded even when small — rewriting them is exactly the cost
+    // the threshold exists to defer (their debt compounds until a
+    // later pass crosses it)
+    def candidate(f: String): Boolean =
+      if (dvs.contains(DocStore.relOf(path, f))) dvQualifies(f)
+      else fs.getFileStatus(new Path(f)).getLen < smallerThan
     val bins = listing
-      .filter { case (f, _) =>
-        fs.getFileStatus(new Path(f)).getLen < smallerThan || hasDv(f) }
+      .filter { case (f, _) => candidate(f) }
       .groupBy(_._2)
-      .filter { case (_, fl) => fl.size >= 2 || fl.exists(f => hasDv(f._1)) }
+      .filter { case (_, fl) => fl.size >= 2 || fl.exists(f => dvQualifies(f._1)) }
       .toSeq
       .sortBy(_._1.map(_._2).mkString("/"))
     if (bins.isEmpty) return CompactStats(0, 0, 0, None)

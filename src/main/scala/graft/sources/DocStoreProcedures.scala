@@ -51,10 +51,13 @@ object DocStoreProcedures {
     def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
     name match {
       case "compact" => Some(proc("compact",
-        "bin-pack small files and materialize deletion vectors; one atomic commit",
+        "bin-pack small files and materialize deletion vectors; one atomic " +
+          "commit. dv_fraction > 0 rewrites only files whose DELETED " +
+          "fraction exceeds it (the DV-debt heuristic)",
         Array(in("table", StringType),
           inDef("smaller_than", LongType, (128L << 20).toString),
-          inDef("sort_by", StringType, "''")),
+          inDef("sort_by", StringType, "''"),
+          inDef("dv_fraction", DoubleType, "0.0D")),
         StructType(Seq(
           StructField("partitions_compacted", IntegerType, nullable = false),
           StructField("files_in", IntegerType, nullable = false),
@@ -63,7 +66,8 @@ object DocStoreProcedures {
         args => {
           val sortBy = str(args, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
           val st = DocStoreMaintenance.compact(SparkSession.active,
-            pathOf(str(args, 0)), smallerThan = args.getLong(1), sortBy = sortBy)
+            pathOf(str(args, 0)), smallerThan = args.getLong(1), sortBy = sortBy,
+            dvFraction = args.getDouble(3))
           Array[InternalRow](new GenericInternalRow(Array[Any](
             st.partitionsCompacted, st.filesIn, st.filesOut,
             st.version.map(Long.box).orNull)))
@@ -90,7 +94,8 @@ object DocStoreProcedures {
           Array[InternalRow](new GenericInternalRow(Array[Any](n)))
         }))
       case "history" => Some(proc("history",
-        "commit history from the manifests: version, wall-clock, op, file-count diffs",
+        "commit history from the manifests: version, wall-clock, op, " +
+          "file-count diffs, and merge-on-read debt (DV'd files + hidden rows)",
         Array(in("table", StringType)),
         StructType(Seq(
           StructField("version", LongType, nullable = false),
@@ -98,12 +103,15 @@ object DocStoreProcedures {
           StructField("op", StringType, nullable = false),
           StructField("n_added", LongType, nullable = false),
           StructField("n_retired", LongType, nullable = false),
-          StructField("n_files", LongType, nullable = false))),
+          StructField("n_files", LongType, nullable = false),
+          StructField("n_dvs", LongType, nullable = false),
+          StructField("dv_rows", LongType, nullable = false))),
         args => DocStoreMaintenance.historyRows(pathOf(str(args, 0))).map {
-          case (v, ts, op, added, retired, files) =>
+          case (v, ts, op, added, retired, files, nDvs, dvRows) =>
             new GenericInternalRow(Array[Any](v,
               ts.map(ms => Long.box(ms * 1000L)).orNull,
-              UTF8String.fromString(op), added, retired, files)): InternalRow
+              UTF8String.fromString(op), added, retired, files,
+              nDvs, dvRows)): InternalRow
         }.toArray))
       case "set_partition_spec" => Some(proc("set_partition_spec",
         "partition evolution: re-point write routing (e.g. 'year' -> " +

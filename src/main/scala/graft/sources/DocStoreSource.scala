@@ -2025,11 +2025,26 @@ class DocStoreWriteBuilder(path: String, info: LogicalWriteInfo,
       * for sinks. Composes with the connector's streaming READ (whose
       * offsets are file sets and whose admission control bounds
       * batches) into a full docstore→docstore pipeline. */
-    override def toStreaming: StreamingWrite =
-      DocStoreStreamingWrite(path, writeSchema,
-        partPos.map(i => writeSchema.fields(i).name),
-        info.queryId(), DocStore.rowGroupBytesOf(info.options()),
-        snapshots = info.options().getBoolean("snapshots", false))
+    override def toStreaming: StreamingWrite = {
+      val mode = Option(info.options().get("mode")).getOrElse("append")
+      if (mode.equalsIgnoreCase("upsert")) {
+        val keys = Option(info.options().get("keys")).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        require(keys.nonEmpty,
+          "docstore: upsert sink needs option(\"keys\", \"col[,col…]\")")
+        val missing = keys.filterNot(writeSchema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"docstore: upsert key(s) ${missing.mkString(", ")} not in the " +
+            s"stream schema ${writeSchema.fieldNames.mkString("[", ",", "]")}")
+        DocStoreUpsertStreamingWrite(path, writeSchema,
+          partPos.map(i => writeSchema.fields(i).name),
+          info.queryId(), keys, DocStore.rowGroupBytesOf(info.options()))
+      } else
+        DocStoreStreamingWrite(path, writeSchema,
+          partPos.map(i => writeSchema.fields(i).name),
+          info.queryId(), DocStore.rowGroupBytesOf(info.options()),
+          snapshots = info.options().getBoolean("snapshots", false))
+    }
 
     override def description(): String = s"DocStoreWrite path=$path"
   }
@@ -2117,6 +2132,172 @@ case class DocStoreStreamingWriterFactory(
     new DocStoreDataWriter(s"$path/_staging-$queryId-epoch-$epochId",
       schema, partitionBy, partitionId, taskId, rowGroupBytes,
       fileSuffix = Some(s"-e$epochId"))
+}
+
+/** STREAMING UPSERT sink — `writeStream.format("docstore")
+  * .option("mode","upsert").option("keys","id")`: applies each
+  * micro-batch as a MERGE against the target, closing the CDC loop
+  * natively (the Delta `foreachBatch MERGE` shape, without the
+  * foreachBatch). Composes with the connector's `changeFeed` read:
+  * tail one store's change feed, upsert into another, and the target
+  * converges to the source.
+  *
+  * Per-epoch semantics (exactly-once via the same deterministic-name
+  * staging + marker protocol as the plain streaming sink):
+  *  - rows stage under `_staging-<queryId>-epoch-<E>` UNPARTITIONED
+  *    (all columns as data — partition routing happens at publish);
+  *  - commit resolves each key's FINAL action: with a
+  *    `_commit_version` column only max-version rows act (a replayed
+  *    feed range collapses to its end state); with `_change_type`,
+  *    `delete` rows remove and anything else upserts; with neither,
+  *    every row is an upsert;
+  *  - existing target rows matching ANY batch key are deleted
+  *    merge-on-read: the (file, pos) hits are computed by a
+  *    DISTRIBUTED semi-join on the target's metadata columns and the
+  *    DV fragments are written BY THE EXECUTORS (repartitioned by
+  *    file) — only (file, fragment, count) bindings reach the driver,
+  *    the same no-positions-on-the-RPC-path contract as the SQL MoR
+  *    write;
+  *  - surviving rows publish as new files and ONE `rowdelta` snapshot
+  *    commits deletes + inserts together, so the target's OWN change
+  *    feed emits exactly the applied delta. */
+case class DocStoreUpsertStreamingWrite(
+    path: String,
+    schema: StructType,
+    partitionBy: Seq[String],
+    queryId: String,
+    keys: Seq[String],
+    rowGroupBytes: Option[Long] = None) extends StreamingWrite {
+
+  private def staging(epochId: Long) = s"$path/_staging-$queryId-epoch-$epochId"
+  private def pubStore(epochId: Long) = s"$path/_staging-$queryId-epoch-$epochId-pub"
+  private def marker(epochId: Long) = new Path(path, s"_committed-$queryId-$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    DocStoreStreamingWriterFactory(path, queryId, schema, Nil, rowGroupBytes)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val stagingPath = new Path(staging(epochId))
+    val pubPath = new Path(pubStore(epochId))
+    if (!fs.exists(marker(epochId))) {
+      val stagedRels = messages.toSeq.flatMap {
+        case DocStoreCommitMessage(r) => r
+        case _ => Nil
+      }
+      if (stagedRels.nonEmpty) applyBatch(epochId, stagingPath)
+      // marker AFTER the manifest swap — a crash between them
+      // re-executes the epoch, whose re-application aborts on the DV
+      // conflict check or re-applies onto the already-updated state
+      // idempotently (max-version rows re-resolve to the same final
+      // state; re-deleting already-DV'd rows matches nothing)
+      val out = fs.create(marker(epochId), true)
+      out.close()
+    }
+    fs.delete(stagingPath, true): Unit
+    fs.delete(pubPath, true): Unit
+  }
+
+  private def applyBatch(epochId: Long, stagingPath: Path): Unit = {
+    val spark = SparkSession.active
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, max}
+    val keyCols = keys.map(col)
+    val batch = spark.read.schema(schema).parquet(stagingPath.toString)
+    val metaCols = Seq("_change_type", "_commit_version")
+      .filter(schema.fieldNames.contains)
+    val hasType = metaCols.contains("_change_type")
+    val hasVer = metaCols.contains("_commit_version")
+    val finalRows =
+      if (!hasVer) batch
+      else {
+        val w = Window.partitionBy(keyCols: _*)
+        batch.withColumn("__maxv", max(col("_commit_version")).over(w))
+          .filter(col("_commit_version") === col("__maxv")).drop("__maxv")
+      }
+    val inserts = (if (hasType) finalRows.filter(col("_change_type") =!= "delete")
+      else finalRows).drop(metaCols: _*)
+    // one surviving row per key, or the epoch is ambiguous — fail
+    // loudly (Delta's multiple-source-rows-matched MERGE error)
+    val dup = inserts.groupBy(keyCols: _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"docstore: upsert epoch $epochId resolves ${dup.headOption.orNull} " +
+        "to multiple surviving rows for one key — deduplicate upstream " +
+        "or provide a _commit_version column")
+    // MoR deletes for every touched key: executor-written DV fragments
+    val baselineDv = DocStore.dvMap(path, None)
+    val fragsDir = new Path(stagingPath, "_frags").toString
+    val frags: Map[String, Seq[(String, Long)]] =
+      if (DocStore.listFiles(path).isEmpty) Map.empty
+      else {
+        val touched = batch.select(keyCols: _*).distinct()
+        val target = spark.read.format("docstore").option("path", path).load()
+        val hits = target
+          .select(keyCols :+ col("_file") :+ col("_pos"): _*)
+          .join(touched, keys, "left_semi")
+          .select(col("_file"), col("_pos"))
+        implicit val enc2: org.apache.spark.sql.Encoder[(String, Long)] =
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong)
+        implicit val enc3: org.apache.spark.sql.Encoder[(String, String, Long)] =
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong)
+        hits.repartition(col("_file")).sortWithinPartitions("_file", "_pos")
+          .as[(String, Long)]
+          .mapPartitions { it =>
+            val out = mutable.Buffer.empty[(String, String, Long)]
+            var curFile: String = null
+            val buf = mutable.ArrayBuffer.empty[Long]
+            def flush(): Unit = if (curFile != null && buf.nonEmpty) {
+              val frag = s"$fragsDir/frag-${java.util.UUID.randomUUID()}.bin"
+              DocStore.writeDvFile(frag, buf.toArray)
+              out += ((curFile, frag, buf.length.toLong))
+              buf.clear()
+            }
+            it.foreach { case (f, p) =>
+              if (f != curFile) { flush(); curFile = f }
+              buf += p
+            }
+            flush()
+            out.iterator
+          }
+          .collect() // bindings only — never positions
+          .groupBy(t => DocStore.relOf(path, t._1))
+          .map { case (rel, fr) => rel -> fr.toSeq.map(t => (t._2, t._3)) }
+      }
+    // publish surviving rows as data files (routed by the target's
+    // partitioning), rename into the store, commit ONE rowdelta
+    val pub = pubStore(epochId)
+    val w0 = inserts.write.format("docstore").option("path", pub)
+    val w1 = if (partitionBy.nonEmpty)
+      w0.option("partitionBy", partitionBy.mkString(",")) else w0
+    rowGroupBytes.fold(w1)(n => w1.option("rowGroupBytes", n.toString))
+      .mode("append").save()
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val newRels = DocStore.listFiles(pub).map { f =>
+      val rel = DocStore.relOf(pub, f)
+      val dst = new Path(path, rel)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(new Path(f), dst),
+        s"docstore: upsert epoch $epochId publish rename failed for $rel")
+      rel
+    }
+    DocStore.commitRowDelta(path, newRels, frags, baselineDv): Unit
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.delete(new Path(staging(epochId)), true): Unit
+    fs.delete(new Path(pubStore(epochId)), true): Unit
+  }
 }
 
 /** Group-based COPY-ON-WRITE row-level operation (DELETE / UPDATE /
@@ -2315,16 +2496,12 @@ class DocStoreDeltaBatchWrite(
     }
     // fragments per data file (tasks' position sets are disjoint by
     // construction — a (_file, _pos) row id exists once in the scan)
-    val frags: Map[String, Seq[DocStoreDvFragment]] = messages.toSeq.flatMap {
+    val frags: Map[String, Seq[(String, Long)]] = messages.toSeq.flatMap {
       case DocStoreDeltaCommitMessage(_, fr) => fr
       case _ => Nil
-    }.groupBy(_.dataRel)
-    // per-file physical row counts from the read snapshot's manifest
-    // stats — zero footer reads on stat-carrying stores; a rel's stat
-    // is immutable (it describes the physical file), so reading it
-    // outside the optimistic retry loop is race-free
-    val statRows: Map[String, Long] =
-      DocStore.manifestStats(path, None).map { case (r, s) => r -> s.rows }
+    }.groupBy(_.dataRel).map { case (rel, fr) =>
+      rel -> fr.map(f => (s"$staging/${f.fragRel}", f.count))
+    }
     val stagingPath = new Path(staging)
     newRels.foreach { rel =>
       val dst = new Path(root, rel)
@@ -2332,68 +2509,7 @@ class DocStoreDeltaBatchWrite(
       require(fs.rename(new Path(stagingPath, rel), dst),
         s"docstore: merge-on-read commit rename failed for $rel")
     }
-    // each rel's merged DV is written (or its fragment promoted) at
-    // most once even across optimistic commit retries: the merge input
-    // is conflict-pinned to the baseline bindings, so the result can't
-    // differ between attempts
-    val dvWritten = mutable.Map.empty[String, String]
-    DocStore.commitSnapshotWithDvs(path, op = "rowdelta") { (base, dvs) =>
-      val baseSet = base.toSet
-      val updated = frags.toSeq.sortBy(_._1).map { case (rel, fr) =>
-        if (!baseSet(rel))
-          throw new IllegalStateException(
-            s"docstore: write-write conflict at $path — $rel was retired " +
-              "by a concurrent commit after this operation read it; retry " +
-              "against the current snapshot")
-        if (dvs.get(rel) != baselineDv.get(rel))
-          throw new IllegalStateException(
-            s"docstore: write-write conflict at $path — $rel's deletion " +
-              "vector changed under a concurrent row-level operation; " +
-              "retry against the current snapshot")
-        val existingRel = dvs.get(rel)
-        val existingCount = existingRel
-          .map(r => DocStore.dvCardinality(new Path(path, r).toString))
-          .getOrElse(0L)
-        val fragCount = fr.map(_.count).sum
-        val totalRows = statRows.getOrElse(rel,
-          DocStore.footerBlocks(new Path(root, rel).toString)
-            .map(_.getRowCount).sum)
-        // ONE file's positions at most — never the whole delete
-        def mergedPositions(): Array[Long] =
-          (existingRel.map(r => DocStore.readDv(new Path(path, r).toString))
-            .getOrElse(Array.emptyLongArray) ++
-            fr.flatMap(f =>
-              DocStore.readDv(new Path(stagingPath, f.fragRel).toString)))
-            .distinct.sorted
-        if (existingCount + fragCount >= totalRows) {
-          // candidate fully dead by counts (exact when disjoint);
-          // confirm by exact merged cardinality before retiring —
-          // an overlap falls back to a DV, never drops live rows
-          val merged = mergedPositions()
-          if (merged.length.toLong >= totalRows) (rel, None, true)
-          else (rel, Some(dvWritten.getOrElseUpdate(rel,
-            DocStore.writeDv(path, merged))), false)
-        } else if (existingRel.isEmpty && fr.size == 1) {
-          // fresh file, one task: the staged fragment IS the DV —
-          // promote by rename, no position ever decoded
-          val dvRel = dvWritten.getOrElseUpdate(rel, {
-            val name = s"${DocStore.DeletesDir}/dv-${java.util.UUID.randomUUID()}.bin"
-            val dst = new Path(root, name)
-            fs.mkdirs(dst.getParent)
-            require(fs.rename(new Path(stagingPath, fr.head.fragRel), dst),
-              s"docstore: deletion-vector fragment promote failed for $rel")
-            name
-          })
-          (rel, Some(dvRel), false)
-        } else {
-          (rel, Some(dvWritten.getOrElseUpdate(rel,
-            DocStore.writeDv(path, mergedPositions()))), false)
-        }
-      }
-      val fullyDead = updated.collect { case (rel, _, true) => rel }.toSet
-      val newDvs = updated.collect { case (rel, Some(dv), _) => rel -> dv }
-      (base.filterNot(fullyDead) ++ newRels, dvs ++ newDvs)
-    }
+    DocStore.commitRowDelta(path, newRels, frags, baselineDv): Unit
     fs.delete(stagingPath, true): Unit
   }
 
@@ -3705,6 +3821,95 @@ object DocStore {
     val rel = s"$DeletesDir/dv-${java.util.UUID.randomUUID()}.bin"
     writeDvFile(new Path(path, rel).toString, positions)
     rel
+  }
+
+  /** Commit a merge-on-read ROW DELTA in one snapshot: add `newRels`
+    * (already renamed into the store), merge each data file's staged
+    * DV FRAGMENTS (absolute paths, DV-encoded, with their position
+    * counts) into its possibly pre-existing deletion vector, and
+    * retire any file the merged vector fully covers. Shared by the
+    * SQL row-level delta write and the streaming upsert sink.
+    *
+    * Scale contract: driver memory is bounded by ONE file's positions
+    * at a time; the fully-dead check answers from manifest `#stat`
+    * rows (footer fallback), with candidate-dead files CONFIRMED by
+    * exact merged cardinality before retiring — an unexpected overlap
+    * degrades to a conservative DV, never to data loss. A fresh file's
+    * single fragment is promoted to the committed vector by pure
+    * RENAME. `baselineDv` is the operation's read-snapshot bindings:
+    * a concurrent change to any touched file's binding (or its
+    * retirement) aborts as a write-write conflict. */
+  def commitRowDelta(path: String, newRels: Seq[String],
+      frags: Map[String, Seq[(String, Long)]],
+      baselineDv: Map[String, String], op: String = "rowdelta"): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    // per-file physical row counts from the read snapshot's manifest
+    // stats — zero footer reads on stat-carrying stores; a rel's stat
+    // is immutable (it describes the physical file), so reading it
+    // outside the optimistic retry loop is race-free
+    val statRows: Map[String, Long] =
+      manifestStats(path, None).map { case (r, s) => r -> s.rows }
+    // each rel's merged DV is written (or its fragment promoted) at
+    // most once even across optimistic commit retries: the merge input
+    // is conflict-pinned to the baseline bindings, so the result can't
+    // differ between attempts
+    val dvWritten = mutable.Map.empty[String, String]
+    commitSnapshotWithDvs(path, op = op) { (base, dvs) =>
+      val baseSet = base.toSet
+      val updated = frags.toSeq.sortBy(_._1).map { case (rel, fr) =>
+        if (!baseSet(rel))
+          throw new IllegalStateException(
+            s"docstore: write-write conflict at $path — $rel was retired " +
+              "by a concurrent commit after this operation read it; retry " +
+              "against the current snapshot")
+        if (dvs.get(rel) != baselineDv.get(rel))
+          throw new IllegalStateException(
+            s"docstore: write-write conflict at $path — $rel's deletion " +
+              "vector changed under a concurrent row-level operation; " +
+              "retry against the current snapshot")
+        val existingRel = dvs.get(rel)
+        val existingCount = existingRel
+          .map(r => dvCardinality(new Path(path, r).toString))
+          .getOrElse(0L)
+        val fragCount = fr.map(_._2).sum
+        val totalRows = statRows.getOrElse(rel,
+          footerBlocks(new Path(root, rel).toString).map(_.getRowCount).sum)
+        // ONE file's positions at most — never the whole delete
+        def mergedPositions(): Array[Long] =
+          (existingRel.map(r => readDv(new Path(path, r).toString))
+            .getOrElse(Array.emptyLongArray) ++
+            fr.flatMap(f => readDv(f._1)))
+            .distinct.sorted
+        if (existingCount + fragCount >= totalRows) {
+          // candidate fully dead by counts (exact when disjoint);
+          // confirm by exact merged cardinality before retiring —
+          // an overlap falls back to a DV, never drops live rows
+          val merged = mergedPositions()
+          if (merged.length.toLong >= totalRows) (rel, None, true)
+          else (rel, Some(dvWritten.getOrElseUpdate(rel,
+            writeDv(path, merged))), false)
+        } else if (existingRel.isEmpty && fr.size == 1) {
+          // fresh file, one task: the staged fragment IS the DV —
+          // promote by rename, no position ever decoded
+          val dvRel = dvWritten.getOrElseUpdate(rel, {
+            val name = s"$DeletesDir/dv-${java.util.UUID.randomUUID()}.bin"
+            val dst = new Path(root, name)
+            fs.mkdirs(dst.getParent)
+            require(fs.rename(new Path(fr.head._1), dst),
+              s"docstore: deletion-vector fragment promote failed for $rel")
+            name
+          })
+          (rel, Some(dvRel), false)
+        } else {
+          (rel, Some(dvWritten.getOrElseUpdate(rel,
+            writeDv(path, mergedPositions()))), false)
+        }
+      }
+      val fullyDead = updated.collect { case (rel, _, true) => rel }.toSet
+      val newDvs = updated.collect { case (rel, Some(dv), _) => rel -> dv }
+      (base.filterNot(fullyDead) ++ newRels, dvs ++ newDvs)
+    }
   }
 
   /** Write DV-encoded positions to an explicit absolute path

@@ -220,6 +220,53 @@ class MergeOnReadSpec extends SparkSpec {
     assert(e2.getMessage.contains("no table"), e2.getMessage)
   }
 
+  test("MoR debt policy: compact(dv_fraction) rewrites only files past the deleted-fraction threshold; history reports the debt") {
+    val root = tmpDir("mordebt_root")
+    ensureCat("mordebt", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mordebt.db")
+    spark.sql("""CREATE TABLE mordebt.db.t (k BIGINT, grp BIGINT)
+      USING docstore TBLPROPERTIES ('rowlevel'='mor')""")
+    // two files: grp 0 (k 0..9) and grp 1 (k 100..109), one file each
+    spark.sql("""INSERT INTO mordebt.db.t
+      SELECT /*+ REPARTITION(1) */ id, 0L FROM range(0, 10)""")
+    spark.sql("""INSERT INTO mordebt.db.t
+      SELECT /*+ REPARTITION(1) */ id + 100, 1L FROM range(0, 10)""")
+    val path = s"$root/db/t"
+    // 50% deleted in grp 0's file, 10% in grp 1's
+    spark.sql("DELETE FROM mordebt.db.t WHERE grp = 0 AND k < 5")
+    spark.sql("DELETE FROM mordebt.db.t WHERE k = 100")
+    val vDel = DocStore.currentSnapshot(path).get._1
+    val dvsBefore = DocStore.readManifestDvs(path, vDel)
+    assert(dvsBefore.size == 2)
+    // history surfaces the debt: 2 DV'd files hiding 6 rows
+    val debt = DocStoreMaintenance.history(spark, path)
+      .orderBy(col("version").desc).select("n_dvs", "dv_rows").head
+    assert((debt.getLong(0), debt.getLong(1)) == ((2L, 6L)))
+    // threshold compact via SQL: only the 50%-deleted file rewrites —
+    // the 10%-deleted one is the POLICY's to leave alone even though
+    // it is small
+    val st = spark.sql("""CALL mordebt.system.compact(table => 'db.t',
+      dv_fraction => 0.3)""").head
+    assert(st.getInt(1) == 1 && st.getInt(2) == 1, st.toString)
+    val vCompact = DocStore.currentSnapshot(path).get._1
+    assert(vCompact == vDel + 1, "one atomic commit")
+    val dvsAfter = DocStore.readManifestDvs(path, vCompact)
+    // below-threshold file keeps its vector, above-threshold binding died
+    assert(dvsAfter.keySet == dvsBefore.keySet.filter(r =>
+      DocStore.dvCardinality(
+        new org.apache.hadoop.fs.Path(path, dvsBefore(r)).toString) == 1L))
+    import spark.implicits._
+    assert(spark.table("mordebt.db.t").select("k").as[Long].collect().sorted.toSeq ==
+      ((5L until 10L) ++ (101L until 110L)))
+    // the policy rewrite changes no data: CDF emits nothing for it
+    assert(DocStoreChanges.changes(spark, path, vCompact - 1, vCompact).count() == 0)
+    // a second threshold pass is a no-op: the remaining DV'd file is
+    // below threshold, and the rewritten file alone can't bin-pack
+    val st2 = spark.sql("""CALL mordebt.system.compact(table => 'db.t',
+      dv_fraction => 0.3)""").head
+    assert(st2.getInt(1) == 0, st2.toString)
+  }
+
   test("MoR commit messages carry DV fragment bindings, never raw positions") {
     // task-side contract, exercised on a writer directly: deletes are
     // staged as DV-encoded fragment FILES and the WriterCommitMessage
