@@ -1111,6 +1111,77 @@ object EtlQueries {
         FROM final GROUP BY 1 ORDER BY 1""")),
 
     Q(
+      "etl_connector_branch_wap",
+      "WRITE-AUDIT-PUBLISH via branch refs: `CALL docstore.system." +
+        "create_branch` pins the published view (`main`), a load lands " +
+        "on the branch (`option(\"branch\",\"audit\")` — committed to " +
+        "the global chain, invisible to default readers), the audit " +
+        "gate reads the branch, and `fast_forward` publishes " +
+        "atomically (a ref CAS — refused across lineage divergence). " +
+        "The Iceberg WAP / Delta branch pattern: at 100 TB a bad load " +
+        "is a ref that never fast-forwards, not a rollback. The query " +
+        "emits the main-view aggregate BEFORE publish (evens only), " +
+        "the audited branch view (all rows), and the main view AFTER " +
+        "publish — each recomputed exactly by the oracle; a branch " +
+        "row leaking into pre-publish main or a lost row at publish " +
+        "is a hash mismatch.",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        val base = graft.Scratch.once(s"etl_connector_branch_wap:$dir") { p =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.orders_wap
+            (o_orderkey BIGINT, o_totalprice DOUBLE) USING docstore""")
+          val store = pathOfTable(s, cat, ns, "orders_wap")
+          val o = Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"))
+          o.filter(col("o_orderkey") % 2 === 0)
+            .writeTo(s"$cat.$ns.orders_wap")
+            .option("snapshots", "true").append() // v1: the published base
+          s.sql(s"CALL $cat.system.create_branch(table => '$ns.orders_wap', " +
+            "branch => 'audit')")
+          o.filter(col("o_orderkey") % 2 =!= 0)
+            .write.format("docstore").option("path", store)
+            .option("branch", "audit").mode("append").save()
+          def agg(df: org.apache.spark.sql.DataFrame, phase: String) =
+            df.agg(count(lit(1)).as("n"),
+              round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+                .as("total"))
+              .select(lit(phase).as("phase"), col("n"), col("total"))
+          // audit gate: pre-publish main view + branch view, captured
+          // BEFORE the fast-forward moves main
+          agg(s.table(s"$cat.$ns.orders_wap"), "main_before")
+            .unionByName(agg(s.read.format("docstore").option("path", store)
+              .option("branch", "audit").load(), "audit"))
+            .write.mode("overwrite").parquet(s"$p/phases")
+          s.sql(s"CALL $cat.system.fast_forward(table => '$ns.orders_wap', " +
+            "branch => 'audit')")
+        }
+        val store = pathOfTable(s, mutableCatalog(s), nsOf(dir), "orders_wap")
+        val after = s.read.format("docstore").option("path", store).load()
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .select(lit("main_after").as("phase"), col("n"), col("total"))
+        s.read.parquet(s"$base/phases").unionByName(after)
+          .orderBy("phase")
+      },
+      Some("""WITH m AS (SELECT o_orderkey, o_totalprice FROM orders),
+          agg AS (
+            SELECT 'main_before' AS phase, count(*) AS n,
+              round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+            FROM m WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT 'audit', count(*),
+              round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2)
+            FROM m
+            UNION ALL
+            SELECT 'main_after', count(*),
+              round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2)
+            FROM m)
+        SELECT phase, n, total FROM agg ORDER BY phase""")),
+
+    Q(
       "etl_connector_delete",
       "DELETE pushed to the connector as a METADATA-ONLY operation: a " +
         "catalog table Hive-partitioned by order year takes `DELETE " +

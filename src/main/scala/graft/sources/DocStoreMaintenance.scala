@@ -62,7 +62,10 @@ object DocStoreMaintenance {
     val committed = DocStore.snapshotVersions(path)
       .flatMap(v => DocStore.readManifest(path, v).map(v -> _))
     committed.map { case (v, cur) =>
-      val prev = committed.collectFirst { case (pv, pc) if pv == v - 1 => pc }
+      // diff against the commit's RECORDED parent (v-1 on linear
+      // stores; the branch base once lineages fork)
+      val parentV = DocStore.commitParent(path, v).getOrElse(v - 1)
+      val prev = committed.collectFirst { case (pv, pc) if pv == parentV => pc }
         .getOrElse(Nil).toSet
       val dvs = DocStore.readManifestDvs(path, v)
       val dvRows = dvs.values.map { r =>
@@ -107,6 +110,64 @@ object DocStoreMaintenance {
         "(stripped into the path by the sink)")
     DocStore.commitSnapshotWithDvs(path, op = "partspec",
       partSpec = Some(cols))((e, d) => (e, d))
+  }
+
+  /** Create branch `name` pointing at `fromVersion` (default: the
+    * current published head) — the WRITE half of write-audit-publish:
+    * a pipeline writes to the branch (`option("branch", name)`),
+    * audits it (`readStream`/read with the same option), and only a
+    * [[fastForward]] makes the work visible to default readers.
+    * Bootstraps `main` at the current head first, so the default view
+    * is pinned the moment branching starts. */
+  def createBranch(path: String, name: String,
+      fromVersion: Option[Long] = None): Long = {
+    require(DocStore.snapshotEnabled(path),
+      s"docstore: branches need a snapshot store ($path has no ${DocStore.SnapshotDir}/)")
+    require(DocStore.validRefName(name),
+      s"docstore: invalid branch name '$name' ([A-Za-z0-9_-]+ only)")
+    if (DocStore.refHead(path, DocStore.MainRef).isEmpty) {
+      val head = DocStore.snapshotVersions(path)
+        .filter(v => DocStore.readManifest(path, v).isDefined).lastOption
+        .getOrElse(throw new IllegalStateException(
+          s"docstore: cannot branch $path before its first commit"))
+      DocStore.casRef(path, DocStore.MainRef, None, head): Unit // loser = concurrent bootstrap, same head
+    }
+    if (name == DocStore.MainRef)
+      return DocStore.refVersion(path, DocStore.MainRef)
+    val v = fromVersion.getOrElse(DocStore.refVersion(path, DocStore.MainRef))
+    require(DocStore.readManifest(path, v).isDefined,
+      s"docstore: cannot branch at v$v of $path — not committed/retained")
+    require(DocStore.refHead(path, name).isEmpty,
+      s"docstore: branch '$name' already exists at $path")
+    require(DocStore.casRef(path, name, None, v),
+      s"docstore: branch '$name' was created concurrently at $path")
+    v
+  }
+
+  /** Fast-forward `toRef` (default `main` — the PUBLISH half of
+    * write-audit-publish) to `branch`'s head. Refuses unless the
+    * target is a descendant of the current position (`#parent`
+    * lineage walk): moving across a divergence would silently drop
+    * the commits only the old position reached. */
+  def fastForward(path: String, branch: String,
+      toRef: String = DocStore.MainRef): Long = {
+    val target = DocStore.refVersion(path, branch)
+    var tries = 0
+    while (tries < 5) {
+      val cur = DocStore.refHead(path, toRef).getOrElse(
+        throw new IllegalArgumentException(
+          s"docstore: no ref '$toRef' at $path to fast-forward"))
+      if (cur._2 == target) return target
+      require(DocStore.isAncestor(path, cur._2, target),
+        s"docstore: cannot fast-forward '$toRef' (v${cur._2}) to " +
+          s"'$branch' (v$target) — v${cur._2} is not an ancestor of " +
+          s"v$target; the lineages diverged (merge by re-applying the " +
+          "branch's changes on the current head)")
+      if (DocStore.casRef(path, toRef, Some(cur._1), target)) return target
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"docstore: fast-forward of '$toRef' at $path lost 5 CAS races — retry")
   }
 
   /** Bin-pack the small files of every partition into one clustered
@@ -291,7 +352,11 @@ object DocStoreMaintenance {
     val fs = root.getFileSystem(conf)
     val committed = DocStore.snapshotVersions(path)
       .filter(DocStore.readManifest(path, _).isDefined)
-    val keep = committed.takeRight(keepVersions)
+    // ref-reachable heads are retention-exempt: a branch mid-audit (or
+    // a lagging main) must survive any keepVersions setting
+    val refKeep = DocStore.listRefs(path).values.toSet
+    val keep = (committed.takeRight(keepVersions) ++
+      committed.filter(refKeep)).distinct.sorted
     val referenced = keep.flatMap(v => DocStore.readManifest(path, v).get).toSet
     val deleted = reapUnreferenced(fs, root, referenced, graceMs)
     committed.filterNot(keep.contains).foreach { v =>

@@ -33,7 +33,7 @@ object DocStoreProcedures {
 
   val names: Seq[String] = Seq(
     "compact", "vacuum", "orphan_sweep", "history", "enable_snapshots",
-    "set_partition_spec")
+    "set_partition_spec", "create_branch", "fast_forward")
 
   def load(root: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -140,6 +140,31 @@ object DocStoreProcedures {
           }
           Array[InternalRow](new GenericInternalRow(Array[Any](v)))
         }))
+      case "create_branch" => Some(proc("create_branch",
+        "write-audit-publish: create a named branch ref at the current " +
+          "published head (or from_version); branch writes stay invisible " +
+          "to default readers until fast_forward",
+        Array(in("table", StringType), in("branch", StringType),
+          inDef("from_version", LongType, "-1L")),
+        StructType(Seq(
+          StructField("branch", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        args => {
+          val from = args.getLong(2)
+          val v = DocStoreMaintenance.createBranch(pathOf(str(args, 0)),
+            str(args, 1), if (from < 0L) None else Some(from))
+          Array[InternalRow](new GenericInternalRow(Array[Any](
+            UTF8String.fromString(str(args, 1)), v)))
+        }))
+      case "fast_forward" => Some(proc("fast_forward",
+        "publish a branch: move `to` (default main) to the branch's head " +
+          "— refused unless the move is along lineage",
+        Array(in("table", StringType), in("branch", StringType),
+          inDef("to", StringType, s"'${DocStore.MainRef}'")),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        args => Array[InternalRow](new GenericInternalRow(Array[Any](
+          DocStoreMaintenance.fastForward(pathOf(str(args, 0)),
+            str(args, 1), str(args, 2)))))))
       case "enable_snapshots" => Some(proc("enable_snapshots",
         "bootstrap snapshot mode: the current listing becomes version 1",
         Array(in("table", StringType)),

@@ -238,6 +238,8 @@ case class DocStoreTable(path: String, tableSchema: StructType,
       Option(options.get("versionAsOf")).map(_.trim.toLong)
         .orElse(Option(options.get("timestampAsOf"))
           .map(ts => DocStore.versionAtTimestamp(path, ts.trim)))
+        .orElse(Option(options.get("branch"))
+          .map(b => DocStore.refVersion(path, b.trim)))
         .orElse(versionAsOf),
       renamedFrom)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -2016,7 +2018,8 @@ class DocStoreWriteBuilder(path: String, info: LogicalWriteInfo,
         snapshots = info.options().getBoolean("snapshots", false),
         bloomFor = DocStore.resolveBloomFor(
           DocStore.bloomForOf(info.options()), writeSchema,
-          partPos.map(i => writeSchema.fields(i).name)))
+          partPos.map(i => writeSchema.fields(i).name)),
+        branchTo = Option(info.options().get("branch")).map(_.trim))
 
     /** Streaming sink: per-EPOCH staged commits with an idempotence
       * marker, so a micro-batch whose commit outcome was unknown at a
@@ -2619,7 +2622,8 @@ case class DocStoreBatchWrite(
     replaceFiles: Option[() => Seq[String]] = None,
     expectOpColumn: Boolean = false,
     snapshots: Boolean = false,
-    bloomFor: Seq[String] = Nil) extends BatchWrite {
+    bloomFor: Seq[String] = Nil,
+    branchTo: Option[String] = None) extends BatchWrite {
 
   private def staging = s"$path/_staging-$queryId"
 
@@ -2638,6 +2642,8 @@ case class DocStoreBatchWrite(
     // truncated/replaced files stay on disk as older versions' content
     // (time travel) until a vacuum reclaims them.
     val snapMode = snapshots || DocStore.snapshotEnabled(path)
+    require(branchTo.isEmpty || snapMode,
+      s"docstore: branch writes need a snapshot store — $path is plain")
     if (truncateFirst && !snapMode) {
       fs.listStatus(root).foreach { s =>
         val n = s.getPath.getName
@@ -2670,7 +2676,7 @@ case class DocStoreBatchWrite(
         if (truncateFirst) "overwrite"
         else if (retired.nonEmpty) "merge" // copy-on-write DELETE/UPDATE/MERGE
         else "append"
-      DocStore.commitSnapshot(path, op = op) { base =>
+      DocStore.commitSnapshot(path, op = op, branch = branchTo) { base =>
         // WRITE-WRITE CONFLICT detection (row-level ops only): this
         // operation computed its replacement rows FROM the retired
         // files; if a concurrent commit already retired any of them
@@ -3333,11 +3339,136 @@ object DocStore {
     }
 
   /** Latest committed (version, relative files), None on a plain or
-    * still-empty snapshot store. */
+    * still-empty snapshot store. On a store with BRANCH REFS
+    * (`_snapshots/refs/main` exists), the current snapshot is what
+    * `main` points at — the write-audit-publish contract: branch
+    * commits land in the global version chain but stay invisible to
+    * default readers until a fast-forward moves `main`. */
   def currentSnapshot(path: String): Option[(Long, Seq[String])] =
-    snapshotVersions(path).reverseIterator
-      .flatMap(v => readManifest(path, v).map(v -> _))
-      .nextOption()
+    refHead(path, MainRef) match {
+      case Some((_, v)) => readManifest(path, v).map(v -> _)
+      case None =>
+        snapshotVersions(path).reverseIterator
+          .flatMap(v => readManifest(path, v).map(v -> _))
+          .nextOption()
+    }
+
+  // ---------------------------------------------------------------------
+  // Branch refs (write-audit-publish)
+  // ---------------------------------------------------------------------
+
+  /** The published branch every default read resolves and every
+    * un-branched write advances, once refs exist at all. */
+  val MainRef = "main"
+
+  private def refsRoot(path: String) = new Path(snapRoot(path), "refs")
+  private val refName = "^([A-Za-z0-9_\\-]+)\\.(\\d+)$".r
+
+  def validRefName(name: String): Boolean =
+    name.matches("[A-Za-z0-9_\\-]+")
+
+  /** A ref is a NAMED POINTER to a committed version (Iceberg branch
+    * refs / Delta named commits), stored as `refs/<name>.<seq>` files:
+    * the head is the highest seq, and advancing is an EXCLUSIVE create
+    * of seq+1 — a compare-and-swap on the same primitive the version
+    * claim uses, so two writers advancing one branch serialize and the
+    * loser retries against the winner's base. Returns (seq, version). */
+  def refHead(path: String, name: String): Option[(Long, Long)] = {
+    val d = refsRoot(path)
+    val fs = d.getFileSystem(new Configuration())
+    val seqs =
+      try fs.listStatus(d).toSeq.flatMap(s =>
+        refName.findFirstMatchIn(s.getPath.getName)
+          .filter(_.group(1) == name).map(_.group(2).toLong))
+      catch { case _: java.io.FileNotFoundException => return None }
+    seqs.sorted.reverseIterator.flatMap { seq =>
+      // the newest seq whose content is readable wins; an in-flight
+      // writer's not-yet-visible content falls back one step (it holds
+      // the SAME version its CAS is advancing from, so reads are never
+      // wrong, at most one CAS behind)
+      readRefFile(path, name, seq).map(v => (seq, v))
+    }.nextOption()
+  }
+
+  private def readRefFile(path: String, name: String, seq: Long): Option[Long] = {
+    val f = new Path(refsRoot(path), s"$name.$seq")
+    val fs = f.getFileSystem(new Configuration())
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(bytes) finally in.close()
+      val s = new String(bytes, "UTF-8").trim
+      if (s.matches("\\d+")) Some(s.toLong) else None
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Resolve a ref to its version or fail clearly. */
+  def refVersion(path: String, name: String): Long =
+    refHead(path, name).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"docstore: no branch '$name' at $path — existing: " +
+          listRefs(path).keys.toSeq.sorted.mkString("[", ",", "]")))
+
+  /** All refs' head versions. */
+  def listRefs(path: String): Map[String, Long] = {
+    val d = refsRoot(path)
+    val fs = d.getFileSystem(new Configuration())
+    val names =
+      try fs.listStatus(d).toSeq.flatMap(s =>
+        refName.findFirstMatchIn(s.getPath.getName).map(_.group(1)))
+      catch { case _: java.io.FileNotFoundException => return Map.empty }
+    names.distinct.flatMap(n => refHead(path, n).map(h => n -> h._2)).toMap
+  }
+
+  /** Advance `name` from the head seq `prevSeq` (None = create at seq
+    * 1) to `version` — atomic via exclusive create; false = lost the
+    * race, re-read the head and retry against the winner's state. */
+  def casRef(path: String, name: String, prevSeq: Option[Long], version: Long): Boolean = {
+    require(validRefName(name),
+      s"docstore: invalid branch name '$name' ([A-Za-z0-9_-]+ only)")
+    val dst = new Path(refsRoot(path), s"$name.${prevSeq.getOrElse(0L) + 1}")
+    val fs = dst.getFileSystem(new Configuration())
+    fs.mkdirs(dst.getParent)
+    try {
+      val out = createExclusive(fs, dst)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      case _: java.io.IOException if fs.exists(dst) => false
+    }
+  }
+
+  /** The committed PARENT version recorded in v's `#parent` line — the
+    * base the commit applied its update to. v-1 on pre-branch
+    * manifests (linear lineage); None when the file is unreadable. */
+  def commitParent(path: String, v: Long): Option[Long] = {
+    val f = new Path(snapRoot(path), s"v$v")
+    val fs = f.getFileSystem(new Configuration())
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(bytes) finally in.close()
+      new String(bytes, "UTF-8").split("\n")
+        .find(_.startsWith("#parent ")).map(_.stripPrefix("#parent ").trim.toLong)
+        .orElse(Some(v - 1))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Is `ancestor` reachable from `v` by walking `#parent` pointers?
+    * (0 is every lineage's root.) The fast-forward guard: `main` may
+    * only move ALONG a branch's lineage, never across a divergence —
+    * crossing would silently drop main's own commits. */
+  def isAncestor(path: String, ancestor: Long, v: Long): Boolean = {
+    if (ancestor == v) return true
+    var cur = v
+    var steps = 0
+    while (cur > 0L && steps < 1000000) {
+      cur = commitParent(path, cur).getOrElse(return false)
+      if (cur == ancestor) return true
+      steps += 1
+    }
+    ancestor == 0L && cur == 0L
+  }
 
   def snapshotAt(path: String, v: Long): (Long, Seq[String]) =
     readManifest(path, v).map(v -> _).getOrElse(
@@ -3375,9 +3506,9 @@ object DocStore {
     * close, and our close() still succeeds; without the read-back we
     * would report a version that holds someone else's content. */
   def commitSnapshot(path: String, staleClaimGraceMs: Long = 30000L,
-      op: String = "append")(
+      op: String = "append", branch: Option[String] = None)(
       update: Seq[String] => Seq[String]): Long =
-    commitSnapshotWithDvs(path, staleClaimGraceMs, op) { (base, dvs) =>
+    commitSnapshotWithDvs(path, staleClaimGraceMs, op, branch = branch) { (base, dvs) =>
       // plain entry-set commits carry existing DV bindings through
       // unchanged; bindings of retired entries are pruned by the core
       (update(base), dvs)
@@ -3400,13 +3531,20 @@ object DocStore {
       op: String = "append",
       // Some(cols) changes the store's partition ROUTING from this
       // version on (partition evolution); None carries the base's
-      partSpec: Option[Seq[String]] = None)(
+      partSpec: Option[Seq[String]] = None,
+      // Some(name) bases the update on that BRANCH's head and advances
+      // its ref; None advances `main` once refs exist (default writes
+      // stay on the published branch) and is the plain linear commit
+      // on ref-less stores
+      branch: Option[String] = None)(
       update: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String])): Long = {
     val root = new Path(path)
     val conf = new Configuration()
     val fs = root.getFileSystem(conf)
     fs.mkdirs(snapRoot(path))
     val rootQ = fs.makeQualified(root).toString
+    val effBranch: Option[String] = branch.orElse(
+      if (refHead(path, MainRef).isDefined) Some(MainRef) else None)
     val deadline = System.currentTimeMillis() + staleClaimGraceMs + 60000L
     var claimAttempts = 0
     // per-file stats computed at most once per commit, even across
@@ -3419,9 +3557,26 @@ object DocStore {
         catch { case scala.util.control.NonFatal(_) => None })
     while (claimAttempts < 100 && System.currentTimeMillis() < deadline) {
       val head = snapshotVersions(path).lastOption
-      val headState = head.flatMap(v => snapState(path, v))
+      val headCommitted = head.flatMap(v => snapState(path, v))
+      // branch commits BASE on the ref's version, not the global head
+      // (which may be another branch's work); claims still serialize
+      // through the global chain, and a ref only ever points at a
+      // committed version
+      val refNow: Option[(Long, Long)] = effBranch.map { b =>
+        refHead(path, b).getOrElse(throw new IllegalArgumentException(
+          s"docstore: no branch '$b' at $path — create it first " +
+            "(CALL docstore.system.create_branch)"))
+      }
+      val baseVersion: Option[Long] = refNow.map(_._2).orElse(head)
+      val headState =
+        if (refNow.isDefined) baseVersion.flatMap(v => snapState(path, v))
+        else headCommitted
+      if (refNow.isDefined && headState.isEmpty)
+        throw new IllegalStateException(
+          s"docstore: branch '${effBranch.get}' at $path points at " +
+            s"v${baseVersion.get} which is not committed/retained")
       val headContent = headState.map(_.entries)
-      if (head.isDefined && headContent.isEmpty) {
+      if (head.isDefined && headCommitted.isEmpty) {
         // claimed-but-uncommitted head: wait (live writer) or sweep
         // (claim mtime past the grace window). Completeness is
         // re-checked immediately before the delete — the writer may
@@ -3543,6 +3698,7 @@ object DocStore {
             try out.write((s"# docstore snapshot v$next\n" +
               s"#ts ${System.currentTimeMillis()}\n" +
               s"#op $op\n" +
+              s"#parent ${baseVersion.getOrElse(0L)}\n" +
               schemaLine.map(j => s"#schema $j\n").getOrElse("") +
               specEnc.map(enc => s"#partspec $enc\n").getOrElse("") +
               chainNew.map(n => s"#mlist $n\n").mkString +
@@ -3576,10 +3732,20 @@ object DocStore {
             // this re-confirm delay between ITS completeness re-check
             // and its delete — two adjacent syscalls, so that needs a
             // multi-hundred-ms preemption exactly there.
-            if (System.currentTimeMillis() - claimStartMs <= staleClaimGraceMs)
-              return next
-            Thread.sleep(100)
-            if (readManifest(path, next).contains(entries)) return next
+            val durable =
+              if (System.currentTimeMillis() - claimStartMs <= staleClaimGraceMs) true
+              else { Thread.sleep(100); readManifest(path, next).contains(entries) }
+            if (durable) {
+              effBranch match {
+                case None => return next
+                case Some(b) =>
+                  // branched commit becomes VISIBLE at the ref CAS, not
+                  // the claim: losing this race orphans v$next (litter
+                  // for the sweep — referenced by no ref) and retries
+                  // the whole update against the advanced branch head
+                  if (casRef(path, b, refNow.map(_._1), next)) return next
+              }
+            }
           }
         }
       }
