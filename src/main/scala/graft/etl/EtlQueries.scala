@@ -1111,6 +1111,61 @@ object EtlQueries {
         FROM final GROUP BY 1 ORDER BY 1""")),
 
     Q(
+      "etl_connector_stream_filtered",
+      "STREAMING FILTER PUSHDOWN via the `filters` read option: " +
+        "Spark's V2 pushdown rule runs for batch relations only, so a " +
+        "streaming scan normally plans with an empty filter set and " +
+        "reads every admitted file; `option(\"filters\", \"o_orderkey " +
+        ">= N\")` is the explicit channel (Kafka's source-option " +
+        "posture) — manifest-stat file skipping at admission (pruned " +
+        "files never enter an offset, consume no trigger budget, and " +
+        "no batch plans them — footer-log-proven in " +
+        "ManifestStatsSpec) plus exact record-level evaluation on " +
+        "boundary files. The scenario writes three commits with " +
+        "disjoint o_orderkey ranges and tails the store with a " +
+        "threshold filter; the oracle recomputes the matching rows " +
+        "from orders.",
+      (s, dir) => {
+        val base = graft.Scratch.once(s"etl_connector_stream_filtered:$dir") { p =>
+          val store = s"$p/store"
+          val o = Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).as("o_year"))
+          // scale-invariant tercile thresholds (keys are dense 0..N-1
+          // in the fixtures; a fixed cut would go empty at small SFs)
+          val t = (o.agg(max(col("o_orderkey"))).head.getLong(0) + 1) / 3
+          // three commits with DISJOINT key ranges → per-file stats
+          // make two of them provably unmatchable for the filter
+          Seq(
+            col("o_orderkey") < t,
+            col("o_orderkey") >= t && col("o_orderkey") < 2 * t,
+            col("o_orderkey") >= 2 * t
+          ).foreach { slice =>
+            o.filter(slice).coalesce(1)
+              .write.format("docstore").option("path", store)
+              .option("snapshots", "true").mode("append").save()
+          }
+          s.readStream.format("docstore").option("path", store)
+            .option("filters", s"o_orderkey >= ${2 * t}").load()
+            .writeStream.format("parquet").option("path", s"$p/out")
+            .option("checkpointLocation", s"$p/cp")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+        s.read.parquet(s"$base/out")
+          .groupBy(col("o_year").cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("o_totalprice") * 100).cast("bigint")).cast("bigint") / 1e2, 2)
+              .as("total"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
+          round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2, 2) AS total
+        FROM orders
+        WHERE o_orderkey >= 2 * ((SELECT (max(o_orderkey) + 1) // 3 FROM orders))
+        GROUP BY 1 ORDER BY 1""")),
+
+    Q(
       "etl_connector_branch_wap",
       "WRITE-AUDIT-PUBLISH via branch refs: `CALL docstore.system." +
         "create_branch` pins the published view (`main`), a load lands " +

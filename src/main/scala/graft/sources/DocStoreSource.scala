@@ -941,8 +941,14 @@ case class DocStoreScan(
         "(use startingVersion to BEGIN tailing at a historical snapshot)")
     require(streamOpts.onRewrite == "skip" || streamOpts.onRewrite == "fail",
       s"docstore: onRewrite must be 'skip' or 'fail', got '${streamOpts.onRewrite}'")
+    // the `filters` option is the streaming pushdown channel (Spark's
+    // V2 pushdown rule is batch-only): parsed filters join the pushed
+    // set, getting the same file/partition pruning AND exact row-level
+    // evaluation the batch scan gives pushed filters
+    val effPushed = pushed ++ streamOpts.filters
+      .map(DocStore.parseFilterOption(_, tableSchema)).getOrElse(Array.empty[Filter])
     if (DocStore.snapshotEnabled(path))
-      new DocStoreSnapshotMicroBatchStream(path, tableSchema, required, pushed,
+      new DocStoreSnapshotMicroBatchStream(path, tableSchema, required, effPushed,
         streamOpts, renames)
     else {
       require(streamOpts.startingVersion.isEmpty,
@@ -950,7 +956,7 @@ case class DocStoreScan(
       require(!streamOpts.changeFeed,
         s"docstore: changeFeed needs a snapshot store (manifest diffs ARE " +
           s"the change log) — $path is plain")
-      new DocStoreMicroBatchStream(path, tableSchema, required, pushed,
+      new DocStoreMicroBatchStream(path, tableSchema, required, effPushed,
         streamOpts)
     }
   }
@@ -1470,7 +1476,42 @@ class DocStoreSnapshotMicroBatchStream(
     * `_commit_version` via the metadata columns — a changeFeed stream
     * that ignores `_change_type` would mistake deletes for data, so
     * selecting it is part of the mode's contract. */
-  private def deltaOf(base: Long, v: Long): Seq[(String, String)] = {
+  /** [[deltaOfAll]] with FILE SKIPPING under the stream's filter set
+    * (the `filters` option and anything a pushdown-capable Spark
+    * delivers): a file whose manifest stats or partition values prove
+    * no row can match never enters an offset — it consumes no
+    * admission budget and no batch ever plans it. This restores the
+    * batch scan's manifest-stat pruning to the streaming planner,
+    * which Spark's batch-only V2 pushdown rule otherwise strands.
+    * Offsets stay deterministic across restarts because the filter
+    * set is part of the stream definition (changing `filters` needs a
+    * fresh checkpoint, like any source-option change). Cached per
+    * (base, version): manifests are immutable, so the filtered delta
+    * is too. */
+  private val deltaCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), Seq[(String, String)]]()
+
+  private def deltaOf(base: Long, v: Long): Seq[(String, String)] =
+    if (pushed.isEmpty) deltaOfAll(base, v)
+    else deltaCache.computeIfAbsent((base, v), { case (b, vv) =>
+      val raw = deltaOfAll(b, vv)
+      if (raw.isEmpty) raw
+      else {
+        // a retired file's stats live in the PREVIOUS version's state
+        val stats = (if (vv > 1) DocStore.readManifestStats(path, vv - 1)
+          else Map.empty[String, DocStore.FileStat]) ++
+          DocStore.readManifestStats(path, vv)
+        val resolved = DocStore.resolveRels(path, raw.map(_._1))
+        val keepPart = DocStore.pruneListing(resolved, pushed)
+          .map(t => DocStore.relOf(path, t._1)).toSet
+        raw.filter { case (rel, _) =>
+          keepPart(rel) && stats.get(rel).forall(st =>
+            DocStore.statsMayMatch(pushed.toSeq, st, dataSchema))
+        }
+      }
+    })
+
+  private def deltaOfAll(base: Long, v: Long): Seq[(String, String)] = {
     if (v == base) return manifest(v).sorted.map(_ -> "insert")
     val cur = manifest(v)
     val prev = manifest(v - 1).toSet
@@ -1543,9 +1584,10 @@ class DocStoreSnapshotMicroBatchStream(
       require(n >= 1, s"docstore: startingVersion must be >= 1, got $n")
       val b = n - 1
       // position the offset at "all of version b emitted": the next
-      // delta computed is version n's
+      // delta computed is version n's (the FILTERED delta — emitted
+      // counts index the same lists admission and planning slice)
       DocStoreSnapshotOffset(base = b, version = b,
-        emitted = if (b == 0) 0 else manifest(b).size)
+        emitted = if (b == 0) 0 else deltaOf(b, b).size)
     case None =>
       val v = currentVersion()
       DocStoreSnapshotOffset(base = v, version = v, emitted = 0)
@@ -1608,11 +1650,11 @@ class DocStoreSnapshotMicroBatchStream(
       val until = if (v == e.version) e.emitted else files.size
       val slice = files.slice(from, until)
       val tagByRel = slice.toMap
-      // NOTE: `pushed` is empty in practice — Spark's V2 pushdown rule
-      // runs for batch relations only, so streaming filters arrive
-      // post-scan and manifest-stat file skipping (the batch scan's
-      // statPrune) has nothing to act on here; partition pruning below
-      // still applies when a pushdown-capable Spark delivers filters
+      // `pushed` holds the `filters` READ OPTION's parsed predicates
+      // (Spark's own V2 pushdown rule is batch-only, so the option is
+      // the streaming channel) — deltaOf already stat/partition-pruned
+      // the slice, this pruneListing is belt-and-braces for filters a
+      // pushdown-capable Spark might deliver directly
       val listing = DocStore.pruneListing(
         DocStore.resolveRels(path, slice.map(_._1)), pushed)
       planned ++= listing
@@ -2893,14 +2935,78 @@ object DocStore {
       maxBytesPerTrigger: Option[Long] = None,
       startingVersion: Option[Long] = None,
       onRewrite: String = "skip",
-      changeFeed: Boolean = false)
+      changeFeed: Boolean = false,
+      filters: Option[String] = None)
 
   def streamOptsOf(options: CaseInsensitiveStringMap): StreamOpts = StreamOpts(
     Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt),
     Option(options.get("maxBytesPerTrigger")).map(_.trim.toLong),
     Option(options.get("startingVersion")).map(_.trim.toLong),
     Option(options.get("onRewrite")).map(_.trim.toLowerCase).getOrElse("skip"),
-    Option(options.get("changeFeed")).exists(_.trim.toBoolean))
+    Option(options.get("changeFeed")).exists(_.trim.toBoolean),
+    Option(options.get("filters")).map(_.trim).filter(_.nonEmpty))
+
+  /** Parse the `filters` STREAMING read option — `col op literal [AND
+    * …]` with ops `= != <> < <= > >=` plus `IS [NOT] NULL` — into V2
+    * filters. Spark's V2 pushdown rule runs for BATCH relations only,
+    * so a streaming scan always plans with an empty pushed set and the
+    * manifest-stat file skipping the batch path gets for free never
+    * engages; this option is the explicit channel (Kafka's
+    * startingOffsets posture: source selection belongs to source
+    * options). The parsed filters behave exactly like pushed ones —
+    * file/partition PRUNING at admission and planning, plus exact
+    * record-level evaluation — so the stream yields only matching
+    * rows. Literals type through the table schema (dates/timestamps in
+    * their SQL text forms); unknown columns and unparseable predicates
+    * refuse loudly rather than silently scanning everything. */
+  def parseFilterOption(s: String, schema: StructType): Array[Filter] = {
+    val isNotNullRe = "(?i)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+IS\\s+NOT\\s+NULL\\s*$".r
+    val isNullRe = "(?i)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+IS\\s+NULL\\s*$".r
+    val cmpRe = "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*(<=|>=|!=|<>|=|<|>)\\s*(.+?)\\s*$".r
+    def checkCol(c: String): String = {
+      require(schema.fieldNames.contains(c),
+        s"docstore: filters option references unknown column '$c' — " +
+          s"schema is ${schema.fieldNames.mkString("[", ",", "]")}")
+      c
+    }
+    def lit(c: String, raw: String): Any = {
+      val quoted = raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'")
+      val txt = if (quoted) raw.substring(1, raw.length - 1) else raw
+      schema(c).dataType match {
+        case IntegerType => txt.toInt
+        case LongType => txt.toLong
+        case DoubleType => txt.toDouble
+        case FloatType => txt.toFloat
+        case ShortType => txt.toShort
+        case BooleanType => txt.toBoolean
+        case DateType => java.sql.Date.valueOf(txt)
+        case TimestampType | TimestampNTZType => java.sql.Timestamp.valueOf(txt)
+        case _ =>
+          require(quoted,
+            s"docstore: filters option: string literal for '$c' must be " +
+              s"single-quoted, got $raw")
+          txt
+      }
+    }
+    s.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty).map {
+      case isNotNullRe(c) => IsNotNull(checkCol(c))
+      case isNullRe(c) => IsNull(checkCol(c))
+      case cmpRe(c, op, raw) =>
+        val v = lit(checkCol(c), raw)
+        op match {
+          case "=" => EqualTo(c, v)
+          case "!=" | "<>" => Not(EqualTo(c, v))
+          case "<" => LessThan(c, v)
+          case "<=" => LessThanOrEqual(c, v)
+          case ">" => GreaterThan(c, v)
+          case ">=" => GreaterThanOrEqual(c, v)
+        }
+      case other => throw new IllegalArgumentException(
+        s"docstore: cannot parse filters option predicate '$other' — " +
+          "supported: col op literal (= != <> < <= > >=), col IS [NOT] NULL, " +
+          "joined by AND")
+    }
+  }
 
   def fileLen(f: String): Long = {
     val p = new Path(f)

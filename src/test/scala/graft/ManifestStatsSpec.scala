@@ -128,6 +128,42 @@ class ManifestStatsSpec extends SparkSpec {
       s"all-null file's footer was consulted: $consulted2")
   }
 
+  test("streaming `filters` option: stat-pruned files never enter a batch (footer-log proof)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val store = mkStore("mstream")
+    val rels = DocStore.currentSnapshot(store).get._2
+    val stats = DocStore.readManifestStats(store, DocStore.currentSnapshot(store).get._1)
+    val prunedRels = rels.filter(r => stats(r).cols("k").max.exists(_ < 250L))
+    assert(prunedRels.size == 2)
+    val out = tmpDir("mstream_out")
+    val (_, consulted) = loggedFooters {
+      spark.readStream.format("docstore").option("path", store)
+        .option("filters", "k >= 250").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", tmpDir("mstream_cp"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    // exact row semantics: only matching rows emitted…
+    assert(spark.read.parquet(out).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == (250L until 300L).toSeq)
+    // …and the pruned files' footers were never opened: they entered
+    // no offset and no batch planned them
+    val consultedRels = consulted.flatMap(c => rels.find(r => c.endsWith(r))).toSet
+    assert(prunedRels.forall(r => !consultedRels.contains(r)),
+      s"stat-pruned files entered the stream: ${consultedRels.intersect(prunedRels.toSet)}")
+    // malformed / unknown-column filters refuse loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("docstore").option("path", store)
+        .option("filters", "nope >= 250").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("mstream_cp2"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_: Any)).mkString(" | ")
+    assert(msg.contains("unknown column"), msg)
+  }
+
   test("stat skipping composes with time travel and stays sound under deletion vectors") {
     import spark.implicits._
     val store = mkStore("mtt")
