@@ -720,9 +720,68 @@ case class DocStoreScan(
     * broadcast-happy. */
   override def estimateStatistics(): Statistics = {
     val files = statPrune(DocStore.pruneListing(listing, pushed), pushed).map(_._1)
+    val wanted = required.fieldNames.filterNot(partCols).toSet
+    // single-file stores (path IS one .parquet) have no rel form and
+    // never carry manifest stats — guard before any relOf
+    val rels =
+      if (statByRel.isEmpty) Nil
+      else files.map(f => f -> DocStore.relOf(path, f))
+    // MANIFEST-BACKED estimates: when every surviving file carries a
+    // v2 stat line (per-column bytes), rows/bytes AND per-column
+    // statistics answer without a single footer read — the CBO face
+    // of metadata-only planning. Per-column NDV (HLL, measured by the
+    // writer) sums across files capped at the live row count, so a
+    // dimension table's join key reports a credible distinct count
+    // and Spark's cost rules see data, not conf defaults.
+    val statBacked = rels.nonEmpty &&
+      rels.forall { case (_, r) =>
+        statByRel.get(r).exists(st =>
+          st.cols.nonEmpty && st.cols.values.forall(_.bytes.isDefined))
+      }
+    if (statBacked) {
+      var rows = 0L
+      var bytes = 0L
+      rels.foreach { case (_, r) =>
+        val st = statByRel(r)
+        rows += st.rows
+        st.cols.foreach { case (n, c) =>
+          if (wanted.isEmpty || wanted.contains(n)) bytes += c.bytes.getOrElse(0L)
+        }
+        dvByRel.get(r).foreach { dvRel =>
+          rows -= DocStore.dvCardinality(new Path(path, dvRel).toString)
+        }
+      }
+      val (rC, sC) = (math.max(rows, 0L), math.max(bytes, 1L))
+      val colNames =
+        if (wanted.nonEmpty) wanted
+        else rels.flatMap(t => statByRel(t._2).cols.keys).toSet
+      val colStats = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      colNames.foreach { n =>
+        val per = rels.flatMap(t => statByRel(t._2).cols.get(n))
+        if (per.nonEmpty) {
+          val nulls = per.map(_.nulls).sum
+          val ndvs = per.flatMap(_.ndv)
+          colStats.put(Expressions.column(n),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(nulls)
+              override def distinctCount(): java.util.OptionalLong =
+                if (ndvs.isEmpty) java.util.OptionalLong.empty()
+                else java.util.OptionalLong.of(
+                  math.max(1L, math.min(ndvs.sum, math.max(rC, 1L))))
+            })
+        }
+      }
+      return new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(sC)
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rC)
+        override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
+      }
+    }
     var rows = 0L
     var bytes = 0L
-    val wanted = required.fieldNames.filterNot(partCols).toSet
     files.foreach { f =>
       DocStore.footerBlocks(f).foreach { b =>
         rows += b.getRowCount
@@ -2133,7 +2192,7 @@ case class DocStoreStreamingWrite(
     val stagingPath = new Path(staging(epochId))
     if (!fs.exists(marker(epochId))) {
       val rels = messages.toSeq.flatMap {
-        case DocStoreCommitMessage(r) => r
+        case m: DocStoreCommitMessage => m.relPaths
         case _ => Nil
       }
       rels.foreach { rel =>
@@ -2153,7 +2212,10 @@ case class DocStoreStreamingWrite(
       // the reverse order could mark an epoch done whose files never
       // entered the manifest (silent row loss).
       if (snapshots || DocStore.snapshotEnabled(path))
-        DocStore.commitSnapshot(path)(_ ++ rels): Unit
+        DocStore.commitSnapshot(path, ndvHints = messages.toSeq.flatMap {
+          case m: DocStoreCommitMessage => m.ndv
+          case _ => Nil
+        }.map { case (rel, cols) => rel -> cols.toMap }.toMap)(_ ++ rels): Unit
       val out = fs.create(marker(epochId), true)
       out.close()
     }
@@ -2231,7 +2293,7 @@ case class DocStoreUpsertStreamingWrite(
     val pubPath = new Path(pubStore(epochId))
     if (!fs.exists(marker(epochId))) {
       val stagedRels = messages.toSeq.flatMap {
-        case DocStoreCommitMessage(r) => r
+        case m: DocStoreCommitMessage => m.relPaths
         case _ => Nil
       }
       if (stagedRels.nonEmpty) applyBatch(epochId, stagingPath)
@@ -2624,7 +2686,7 @@ class DocStoreDeltaWriter(
     val staged =
       if (!wroteInserts) Nil
       else inserts.commit() match {
-        case DocStoreCommitMessage(rels) => rels
+        case m: DocStoreCommitMessage => m.relPaths
         case _ => Nil
       }
     // stage each file's positions as a DV-encoded fragment HERE, on
@@ -2697,7 +2759,7 @@ case class DocStoreBatchWrite(
     }
     val stagingPath = new Path(staging)
     val newRels = messages.toSeq.flatMap {
-      case DocStoreCommitMessage(rels) => rels
+      case m: DocStoreCommitMessage => m.relPaths
       case _ => Nil
     }
     newRels.foreach { rel =>
@@ -2718,7 +2780,12 @@ case class DocStoreBatchWrite(
         if (truncateFirst) "overwrite"
         else if (retired.nonEmpty) "merge" // copy-on-write DELETE/UPDATE/MERGE
         else "append"
-      DocStore.commitSnapshot(path, op = op, branch = branchTo) { base =>
+      val ndvHints = messages.toSeq.flatMap {
+        case m: DocStoreCommitMessage => m.ndv
+        case _ => Nil
+      }.map { case (rel, cols) => rel -> cols.toMap }.toMap
+      DocStore.commitSnapshot(path, op = op, branch = branchTo,
+        ndvHints = ndvHints) { base =>
         // WRITE-WRITE CONFLICT detection (row-level ops only): this
         // operation computed its replacement rows FROM the retired
         // files; if a concurrent commit already retired any of them
@@ -2770,7 +2837,10 @@ case class DocStoreBatchWrite(
   }
 }
 
-case class DocStoreCommitMessage(relPaths: Seq[String]) extends WriterCommitMessage
+/** Staged rels plus each file's writer-measured per-column NDV
+  * estimates — a handful of Longs per file, never a sketch. */
+case class DocStoreCommitMessage(relPaths: Seq[String],
+    ndv: Seq[(String, Seq[(String, Long)])] = Nil) extends WriterCommitMessage
 
 case class DocStoreWriterFactory(
     staging: String,
@@ -2826,6 +2896,12 @@ class DocStoreDataWriter(
 
   private val writers = mutable.LinkedHashMap.empty[String, ParquetWriter[Group]]
   private val files = ArrayBuffer.empty[String]
+  // per-file, per-data-column NDV sketches (flat columns only) — the
+  // write-time measurement behind the `#stat` lines' ndv field
+  private val ndvTracked: Array[Boolean] =
+    dataFields.map(f => DocStore.ndvTracked(f._2.dataType)).toArray
+  private val sketches = mutable.LinkedHashMap.empty[String, Array[DocStore.NdvSketch]]
+  private val relByDir = mutable.Map.empty[String, String]
 
   private def writerFor(relDir: String): ParquetWriter[Group] =
     writers.getOrElseUpdate(relDir, {
@@ -2836,6 +2912,8 @@ class DocStoreDataWriter(
       }
       val rel = (if (relDir.isEmpty) "" else relDir + "/") + name
       files += rel
+      relByDir(relDir) = rel
+      sketches(relDir) = Array.fill(dataFields.length)(new DocStore.NdvSketch)
       val b = ExampleParquetWriter
         .builder(HadoopOutputFile.fromPath(new Path(s"$staging/$rel"), conf))
         .withType(msgType)
@@ -2867,18 +2945,29 @@ class DocStoreDataWriter(
       s"$c=${DocStore.partitionValueString(row, i + off, dt)}"
     }.mkString("/")
     val g = factory.newGroup()
+    val w = writerFor(relDir)
+    val sk = sketches(relDir)
     var j = 0
     while (j < dataFields.length) {
       val (i, f) = dataFields(j)
-      if (!row.isNullAt(i + off)) DocStore.addValue(g, j, f.dataType, row, i + off)
+      if (!row.isNullAt(i + off)) {
+        DocStore.addValue(g, j, f.dataType, row, i + off)
+        if (ndvTracked(j)) sk(j).update(DocStore.ndvHash(f.dataType, row, i + off))
+      }
       j += 1
     }
-    writerFor(relDir).write(g)
+    w.write(g)
   }
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_.close())
-    DocStoreCommitMessage(files.toSeq)
+    val ndv = relByDir.toSeq.map { case (dir, rel) =>
+      val sk = sketches(dir)
+      rel -> dataFields.zipWithIndex.collect {
+        case ((_, f), j) if ndvTracked(j) => f.name -> sk(j).estimate()
+      }
+    }
+    DocStoreCommitMessage(files.toSeq, ndv)
   }
 
   override def abort(): Unit = close()
@@ -2894,6 +2983,74 @@ class DocStoreDataWriter(
 object DocStore {
 
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Fixed 2¹¹-register hyperloglog over 64-bit hashes — the sink's
+    * per-file, per-column NDV measurement (~2.3% typical error, 2 KB
+    * per column WHILE writing, one Long per column once committed as
+    * the `#stat` line's ndv field). The one planning statistic a
+    * parquet footer cannot yield, measured at the only moment it is
+    * free: while the writer already has every row in hand. */
+  final class NdvSketch {
+    private val p = 11
+    private val m = 1 << p
+    private[this] val regs = new Array[Byte](m)
+    def update(h: Long): Unit = {
+      val idx = (h >>> (64 - p)).toInt
+      val w = h << p
+      val rank = (if (w == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1
+      if (rank > regs(idx)) regs(idx) = rank.toByte
+    }
+    def estimate(): Long = {
+      var sum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        val r = regs(i)
+        sum += 1.0 / (1L << r)
+        if (r == 0) zeros += 1
+        i += 1
+      }
+      val alpha = 0.7213 / (1 + 1.079 / m)
+      val raw = alpha * m * m / sum
+      val est = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+      math.max(1L, math.round(est))
+    }
+  }
+
+  /** Is `dt` a type the sink NDV-sketches? (Flat comparable values;
+    * nested/binary columns are skipped.) */
+  def ndvTracked(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | BooleanType | DateType |
+         DoubleType | FloatType | TimestampType | TimestampNTZType |
+         StringType => true
+    case _ => false
+  }
+
+  /** Deterministic 64-bit value hash for NDV sketching (splitmix64
+    * finalizer; FNV-1a over bytes for strings). */
+  def ndvHash(dt: DataType, row: InternalRow, i: Int): Long = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => mix(row.getLong(i))
+      case IntegerType | DateType => mix(row.getInt(i).toLong)
+      case ShortType => mix(row.getShort(i).toLong)
+      case BooleanType => mix(if (row.getBoolean(i)) 1L else 0L)
+      case DoubleType => mix(java.lang.Double.doubleToLongBits(row.getDouble(i)))
+      case FloatType => mix(java.lang.Float.floatToIntBits(row.getFloat(i)).toLong)
+      case StringType =>
+        val b = row.getUTF8String(i).getBytes
+        var h = 0xcbf29ce484222325L
+        var k = 0
+        while (k < b.length) { h ^= (b(k) & 0xffL); h *= 0x100000001b3L; k += 1 }
+        mix(h)
+      case _ => 0L
+    }
+  }
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -3612,9 +3769,11 @@ object DocStore {
     * close, and our close() still succeeds; without the read-back we
     * would report a version that holds someone else's content. */
   def commitSnapshot(path: String, staleClaimGraceMs: Long = 30000L,
-      op: String = "append", branch: Option[String] = None)(
+      op: String = "append", branch: Option[String] = None,
+      ndvHints: Map[String, Map[String, Long]] = Map.empty)(
       update: Seq[String] => Seq[String]): Long =
-    commitSnapshotWithDvs(path, staleClaimGraceMs, op, branch = branch) { (base, dvs) =>
+    commitSnapshotWithDvs(path, staleClaimGraceMs, op, branch = branch,
+      ndvHints = ndvHints) { (base, dvs) =>
       // plain entry-set commits carry existing DV bindings through
       // unchanged; bindings of retired entries are pruned by the core
       (update(base), dvs)
@@ -3642,7 +3801,10 @@ object DocStore {
       // its ref; None advances `main` once refs exist (default writes
       // stay on the published branch) and is the plain linear commit
       // on ref-less stores
-      branch: Option[String] = None)(
+      branch: Option[String] = None,
+      // writer-measured per-file per-column NDV estimates, merged into
+      // the `#stat` lines this commit computes for its ADDED entries
+      ndvHints: Map[String, Map[String, Long]] = Map.empty)(
       update: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String])): Long = {
     val root = new Path(path)
     val conf = new Configuration()
@@ -3659,7 +3821,14 @@ object DocStore {
     val statCache = mutable.Map.empty[String, Option[String]]
     def computeStatOf(rel: String): Option[String] =
       statCache.getOrElseUpdate(rel,
-        try Some(encodeStat(computeFileStat(new Path(root, rel).toString)))
+        try {
+          val st0 = computeFileStat(new Path(root, rel).toString)
+          val hints = ndvHints.getOrElse(rel, Map.empty)
+          val st = if (hints.isEmpty) st0 else st0.copy(cols = st0.cols.map {
+            case (n, c) => n -> c.copy(ndv = hints.get(n).orElse(c.ndv))
+          })
+          Some(encodeStat(st))
+        }
         catch { case scala.util.control.NonFatal(_) => None })
     while (claimAttempts < 100 && System.currentTimeMillis() < deadline) {
       val head = snapshotVersions(path).lastOption
@@ -3870,7 +4039,13 @@ object DocStore {
     * only for integer-backed columns whose every row group carries
     * exact order stats; absent for an all-null column. `nulls` is
     * always exact when the entry exists at all. */
-  final case class ColStat(min: Option[Long], max: Option[Long], nulls: Long)
+  final case class ColStat(min: Option[Long], max: Option[Long], nulls: Long,
+      // v2 extensions (absent in pre-r18 stat lines): the column's
+      // uncompressed byte size in this file (projected-size estimates
+      // without a footer) and the WRITER-measured approximate distinct
+      // count (HLL at write time — the one statistic a footer cannot
+      // yield), surfaced to Spark's CBO as connector column stats
+      bytes: Option[Long] = None, ndv: Option[Long] = None)
 
   /** One data file's commit-time statistics: exact row count, total
     * uncompressed bytes, and per-column [[ColStat]] for every column
@@ -3924,10 +4099,14 @@ object DocStore {
       else {
         val flat = perBlock.flatten
         val mms = flat.flatMap(_._1)
+        val colBytes = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == name)
+          .map(_.getTotalUncompressedSize).sum
         Some(name -> ColStat(
           if (mms.isEmpty) None else Some(mms.map(_._1).min),
           if (mms.isEmpty) None else Some(mms.map(_._2).max),
-          flat.map(_._2).sum))
+          flat.map(_._2).sum,
+          bytes = Some(colBytes)))
       }
     }.toMap
     FileStat(rows, bytes, cols)
@@ -3936,7 +4115,8 @@ object DocStore {
   private def encodeStat(st: FileStat): String = {
     def l(o: Option[Long]) = o.map(_.toString).getOrElse("-")
     val cols = st.cols.toSeq.sortBy(_._1).map { case (n, c) =>
-      s"${java.net.URLEncoder.encode(n, "UTF-8")}=${l(c.min)}:${l(c.max)}:${c.nulls}"
+      s"${java.net.URLEncoder.encode(n, "UTF-8")}=" +
+        s"${l(c.min)}:${l(c.max)}:${c.nulls}:${l(c.bytes)}:${l(c.ndv)}"
     }.mkString(";")
     s"${st.rows}\t${st.bytes}\t$cols"
   }
@@ -3948,7 +4128,11 @@ object DocStore {
         try Some(FileStat(rows.toLong, bytes.toLong,
           cols.split(";").filter(_.nonEmpty).flatMap { c =>
             c.split("=", 2) match {
-              case Array(n, v) => v.split(":", 3) match {
+              // v2 lines carry :bytes:ndv; pre-r18 lines stop at nulls
+              case Array(n, v) => v.split(":", 5) match {
+                case Array(mn, mx, nl, bs, nd) =>
+                  Some(java.net.URLDecoder.decode(n, "UTF-8") ->
+                    ColStat(l(mn), l(mx), nl.toLong, l(bs), l(nd)))
                 case Array(mn, mx, nl) =>
                   Some(java.net.URLDecoder.decode(n, "UTF-8") ->
                     ColStat(l(mn), l(mx), nl.toLong))
@@ -4033,35 +4217,35 @@ object DocStore {
       }
     def may(f: Filter): Boolean = f match {
       case EqualTo(c, v) => st.cols.get(c) match {
-        case Some(ColStat(Some(mn), Some(mx), _)) =>
+        case Some(ColStat(Some(mn), Some(mx), _, _, _)) =>
           lit(c, v).forall(x => mn <= x && x <= mx)
-        case Some(ColStat(None, None, _)) => lit(c, v).isEmpty // all-null
+        case Some(ColStat(None, None, _, _, _)) => lit(c, v).isEmpty // all-null
         case _ => true
       }
       case GreaterThan(c, v) => st.cols.get(c) match {
-        case Some(ColStat(_, Some(mx), _)) => lit(c, v).forall(mx > _)
-        case Some(ColStat(None, None, _)) => lit(c, v).isEmpty
+        case Some(ColStat(_, Some(mx), _, _, _)) => lit(c, v).forall(mx > _)
+        case Some(ColStat(None, None, _, _, _)) => lit(c, v).isEmpty
         case _ => true
       }
       case GreaterThanOrEqual(c, v) => st.cols.get(c) match {
-        case Some(ColStat(_, Some(mx), _)) => lit(c, v).forall(mx >= _)
-        case Some(ColStat(None, None, _)) => lit(c, v).isEmpty
+        case Some(ColStat(_, Some(mx), _, _, _)) => lit(c, v).forall(mx >= _)
+        case Some(ColStat(None, None, _, _, _)) => lit(c, v).isEmpty
         case _ => true
       }
       case LessThan(c, v) => st.cols.get(c) match {
-        case Some(ColStat(Some(mn), _, _)) => lit(c, v).forall(mn < _)
-        case Some(ColStat(None, None, _)) => lit(c, v).isEmpty
+        case Some(ColStat(Some(mn), _, _, _, _)) => lit(c, v).forall(mn < _)
+        case Some(ColStat(None, None, _, _, _)) => lit(c, v).isEmpty
         case _ => true
       }
       case LessThanOrEqual(c, v) => st.cols.get(c) match {
-        case Some(ColStat(Some(mn), _, _)) => lit(c, v).forall(mn <= _)
-        case Some(ColStat(None, None, _)) => lit(c, v).isEmpty
+        case Some(ColStat(Some(mn), _, _, _, _)) => lit(c, v).forall(mn <= _)
+        case Some(ColStat(None, None, _, _, _)) => lit(c, v).isEmpty
         case _ => true
       }
       case In(c, vs) => st.cols.get(c) match {
-        case Some(ColStat(Some(mn), Some(mx), _)) =>
+        case Some(ColStat(Some(mn), Some(mx), _, _, _)) =>
           vs.exists(v => lit(c, v).forall(x => mn <= x && x <= mx))
-        case Some(ColStat(None, None, _)) => vs.exists(v => lit(c, v).isEmpty)
+        case Some(ColStat(None, None, _, _, _)) => vs.exists(v => lit(c, v).isEmpty)
         case _ => true
       }
       case IsNull(c) => st.cols.get(c).forall(_.nulls > 0L)
