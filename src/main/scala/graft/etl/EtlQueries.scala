@@ -1237,6 +1237,73 @@ object EtlQueries {
         SELECT phase, n, total FROM agg ORDER BY phase""")),
 
     Q(
+      "etl_connector_meta_tables",
+      "METADATA TABLES + snapshot TAGS: the table format's state read " +
+        "AS TABLES — `SELECT … FROM docstore.db.t.{files,partitions," +
+        "history,refs}`, the Iceberg metadata-table idiom. A MoR table " +
+        "partitioned by order year takes one clustered load, a " +
+        "row-level DELETE (deletion vector on exactly the 1995 file), " +
+        "a `CALL create_tag` (immutable audit anchor vacuum must " +
+        "honor) and a branch. The query then audits the format FROM " +
+        "ITS OWN METADATA: per-partition live/deleted rowcounts, the " +
+        "file+DV census, the commit log's op sequence, and the ref " +
+        "listing — every row recomputed independently by the oracle " +
+        "from the source table, so a wrong stat line, a lost DV " +
+        "binding, or a mispointed ref is a hash mismatch, not a " +
+        "dashboard curiosity. Rows/bytes/DV cardinalities answer from " +
+        "manifest `#stat` lines and 12-byte DV headers (zero parquet " +
+        "footers — spec-proven), and materialization distributes over " +
+        "chunked input partitions: at a million files this audit is " +
+        "an ordinary aggregation, not a driver collapse.",
+      (s, dir) => {
+        val cat = mutableCatalog(s)
+        val ns = nsOf(dir)
+        graft.Scratch.once(s"etl_connector_meta_tables:$dir") { _ =>
+          ensureNamespace(s, cat, ns)
+          s.sql(s"""CREATE TABLE $cat.$ns.orders_meta
+            (o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)
+            USING docstore PARTITIONED BY (o_year)
+            TBLPROPERTIES ('rowlevel' = 'mor')""")
+          Tables.t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).as("o_year"))
+            .coalesce(1)
+            .writeTo(s"$cat.$ns.orders_meta").append() // v2: one file/partition
+          s.sql(s"DELETE FROM $cat.$ns.orders_meta " +
+            "WHERE o_orderkey % 10 = 0 AND o_year = 1995") // v3: DV, 1995 only
+          s.sql(s"CALL $cat.system.create_tag(table => '$ns.orders_meta', " +
+            "tag => 'audit')")
+          s.sql(s"CALL $cat.system.create_branch(table => '$ns.orders_meta', " +
+            "branch => 'wip')")
+        }
+        val t = s"$cat.$ns.orders_meta"
+        s.sql(s"SELECT concat('part:', partition) AS item, rows AS a, dv_rows AS b FROM $t.partitions")
+          .unionByName(s.sql(
+            s"""SELECT 'files' AS item, count(*) AS a,
+                 sum(CASE WHEN dv_file IS NOT NULL THEN 1L ELSE 0L END) AS b
+               FROM $t.files"""))
+          .unionByName(s.sql(
+            s"SELECT concat('hist:v', version, ':', op) AS item, n_files AS a, n_dvs AS b FROM $t.history"))
+          .unionByName(s.sql(
+            s"SELECT concat('ref:', type, ':', name) AS item, version AS a, 0L AS b FROM $t.refs"))
+          .orderBy("item")
+      },
+      Some("""WITH y AS (SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderkey FROM orders),
+          ny AS (SELECT count(DISTINCT yr) AS n FROM y)
+        SELECT item, a, b FROM (
+          SELECT 'part:o_year=' || yr AS item, count(*) AS a,
+            CAST(sum(CASE WHEN yr = 1995 AND o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b
+          FROM y GROUP BY yr
+          UNION ALL SELECT 'files', (SELECT n FROM ny), 1
+          UNION ALL SELECT 'hist:v1:append', 0, 0
+          UNION ALL SELECT 'hist:v2:append', (SELECT n FROM ny), 0
+          UNION ALL SELECT 'hist:v3:rowdelta', (SELECT n FROM ny), 1
+          UNION ALL SELECT 'ref:branch:main', 3, 0
+          UNION ALL SELECT 'ref:branch:wip', 3, 0
+          UNION ALL SELECT 'ref:tag:audit', 3, 0
+        ) ORDER BY item""")),
+
+    Q(
       "etl_connector_delete",
       "DELETE pushed to the connector as a METADATA-ONLY operation: a " +
         "catalog table Hive-partitioned by order year takes `DELETE " +

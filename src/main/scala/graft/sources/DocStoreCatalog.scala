@@ -90,7 +90,25 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
       .toArray
   }
 
-  override def loadTable(ident: Identifier): Table = tablePath(ident) match {
+  override def loadTable(ident: Identifier): Table = {
+    // METADATA TABLES — `docstore.db.t.files` parses as
+    // namespace=[db,t], name=files: when the two namespace levels name
+    // a real table and the last level is a reserved kind, resolve the
+    // table's metadata as a readable relation (Iceberg's SparkCatalog
+    // resolves `db.table.files` the same way).
+    if (ident.namespace().length == 2) {
+      val base = Identifier.of(Array(ident.namespace()(0)), ident.namespace()(1))
+      val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
+      tablePath(base) match {
+        case Some(p) if DocStoreMetaTable.kinds(kind) =>
+          return DocStoreMetaTable(p.toString, kind)
+        case _ => throw new NoSuchTableException(ident)
+      }
+    }
+    loadDataTable(ident)
+  }
+
+  private def loadDataTable(ident: Identifier): Table = tablePath(ident) match {
     case None => throw new NoSuchTableException(ident)
     case Some(p) =>
       val marker = SchemaMarker.read(fs, p)

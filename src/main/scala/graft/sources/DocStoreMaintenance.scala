@@ -352,9 +352,12 @@ object DocStoreMaintenance {
     val fs = root.getFileSystem(conf)
     val committed = DocStore.snapshotVersions(path)
       .filter(DocStore.readManifest(path, _).isDefined)
-    // ref-reachable heads are retention-exempt: a branch mid-audit (or
-    // a lagging main) must survive any keepVersions setting
-    val refKeep = DocStore.listRefs(path).values.toSet
+    // ref- and tag-reachable heads are retention-exempt: a branch
+    // mid-audit (or a lagging main) must survive any keepVersions
+    // setting, and a TAG is a pinned audit anchor by definition —
+    // dropping the tag is how its version becomes expirable
+    val refKeep = DocStore.listRefs(path).values.toSet ++
+      DocStore.listTags(path).values
     val keep = (committed.takeRight(keepVersions) ++
       committed.filter(refKeep)).distinct.sorted
     val referenced = keep.flatMap(v => DocStore.readManifest(path, v).get).toSet

@@ -33,7 +33,8 @@ object DocStoreProcedures {
 
   val names: Seq[String] = Seq(
     "compact", "vacuum", "orphan_sweep", "history", "enable_snapshots",
-    "set_partition_spec", "create_branch", "fast_forward")
+    "set_partition_spec", "create_branch", "fast_forward",
+    "create_tag", "drop_tag")
 
   def load(root: String, name: String): Option[UnboundProcedure] = {
     def pathOf(table: String): String = {
@@ -165,6 +166,32 @@ object DocStoreProcedures {
         args => Array[InternalRow](new GenericInternalRow(Array[Any](
           DocStoreMaintenance.fastForward(pathOf(str(args, 0)),
             str(args, 1), str(args, 2)))))))
+      case "create_tag" => Some(proc("create_tag",
+        "pin a committed version under an IMMUTABLE name (audit/release " +
+          "anchor): reads via the tag= option always see exactly that " +
+          "snapshot, and vacuum keeps it alive until drop_tag",
+        Array(in("table", StringType), in("tag", StringType),
+          inDef("version", LongType, "-1L")),
+        StructType(Seq(
+          StructField("tag", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))),
+        args => {
+          val p = pathOf(str(args, 0))
+          val v0 = args.getLong(2)
+          val v = if (v0 >= 0L) v0
+            else DocStore.currentSnapshot(p).map(_._1).getOrElse(
+              throw new IllegalArgumentException(
+                s"docstore: $p has no committed snapshot to tag"))
+          DocStore.createTag(p, str(args, 1), v)
+          Array[InternalRow](new GenericInternalRow(Array[Any](
+            UTF8String.fromString(str(args, 1)), v)))
+        }))
+      case "drop_tag" => Some(proc("drop_tag",
+        "remove a tag — its pinned version becomes vacuum-expirable again",
+        Array(in("table", StringType), in("tag", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType, nullable = false))),
+        args => Array[InternalRow](new GenericInternalRow(Array[Any](
+          DocStore.dropTag(pathOf(str(args, 0)), str(args, 1)))))))
       case "enable_snapshots" => Some(proc("enable_snapshots",
         "bootstrap snapshot mode: the current listing becomes version 1",
         Array(in("table", StringType)),

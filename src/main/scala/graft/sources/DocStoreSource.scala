@@ -240,6 +240,8 @@ case class DocStoreTable(path: String, tableSchema: StructType,
           .map(ts => DocStore.versionAtTimestamp(path, ts.trim)))
         .orElse(Option(options.get("branch"))
           .map(b => DocStore.refVersion(path, b.trim)))
+        .orElse(Option(options.get("tag"))
+          .map(t => DocStore.tagVersion(path, t.trim)))
         .orElse(versionAsOf),
       renamedFrom)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -3699,6 +3701,73 @@ object DocStore {
     } catch {
       case _: java.io.IOException if fs.exists(dst) => false
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Snapshot tags (immutable named versions)
+  // ---------------------------------------------------------------------
+
+  private def tagsRoot(path: String) = new Path(snapRoot(path), "tags")
+
+  /** A TAG is an IMMUTABLE named pointer to a committed version
+    * (Iceberg tags / Delta named snapshots): one exclusive-created
+    * file `_snapshots/tags/<name>` whose bytes are the version.
+    * Unlike a branch ref a tag can never advance — create-once IS the
+    * whole protocol (no CAS, no seq), so a published audit anchor
+    * ("the corpus we trained run X on") cannot move out from under a
+    * reader. Vacuum keeps tag-reachable versions alive at any
+    * `keepVersions` setting; dropping the tag releases them. */
+  def createTag(path: String, name: String, version: Long): Unit = {
+    require(validRefName(name),
+      s"docstore: invalid tag name '$name' ([A-Za-z0-9_-]+ only)")
+    require(readManifest(path, version).isDefined,
+      s"docstore: cannot tag version $version at $path — not a committed version")
+    val dst = new Path(tagsRoot(path), name)
+    val fs = dst.getFileSystem(new Configuration())
+    fs.mkdirs(dst.getParent)
+    try {
+      val out = createExclusive(fs, dst)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case _: java.io.IOException if fs.exists(dst) =>
+        throw new IllegalStateException(
+          s"docstore: tag '$name' already exists at $path — tags are " +
+            "immutable; drop_tag first if you really mean to re-point it")
+    }
+  }
+
+  /** All tags' versions; empty on untagged stores. */
+  def listTags(path: String): Map[String, Long] = {
+    val d = tagsRoot(path)
+    val fs = d.getFileSystem(new Configuration())
+    val stats =
+      try fs.listStatus(d).toSeq.filter(_.isFile)
+      catch { case _: java.io.FileNotFoundException => return Map.empty }
+    stats.flatMap { s =>
+      try {
+        val bytes = new Array[Byte](s.getLen.toInt)
+        val in = fs.open(s.getPath)
+        try in.readFully(bytes) finally in.close()
+        val v = new String(bytes, "UTF-8").trim
+        if (v.matches("\\d+")) Some(s.getPath.getName -> v.toLong) else None
+      } catch { case _: java.io.IOException => None }
+    }.toMap
+  }
+
+  /** Resolve a tag to its version or fail clearly. */
+  def tagVersion(path: String, name: String): Long =
+    listTags(path).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"docstore: no tag '$name' at $path — existing: " +
+          listTags(path).keys.toSeq.sorted.mkString("[", ",", "]")))
+
+  /** Remove a tag (its version becomes vacuum-expirable again);
+    * false when the tag never existed. */
+  def dropTag(path: String, name: String): Boolean = {
+    val f = new Path(tagsRoot(path), name)
+    val fs = f.getFileSystem(new Configuration())
+    try fs.delete(f, false)
+    catch { case _: java.io.FileNotFoundException => false }
   }
 
   /** The committed PARENT version recorded in v's `#parent` line — the
