@@ -185,6 +185,17 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
           s"docstore: ${ident.name()} is not snapshot-enabled — " +
             "VERSION AS OF needs a store written with snapshots=true")
         t.copy(versionAsOf = Some(version.trim.toLong))
+      // metadata tables time-travel too: `db.t.files VERSION AS OF 3`
+      // answers "what files did version 3 hold" (refs refuse — they
+      // are current-state pointers)
+      case m: DocStoreMetaTable =>
+        require(DocStore.snapshotEnabled(m.path),
+          s"docstore: ${ident.namespace().mkString(".")} is not snapshot-" +
+            "enabled — VERSION AS OF needs a store written with snapshots=true")
+        val v = version.trim.toLong
+        require(DocStore.readManifest(m.path, v).isDefined,
+          s"docstore: no committed version $v at ${m.path}")
+        m.copy(versionAsOf = Some(v))
       case other => other
     }
 
@@ -208,6 +219,14 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
             s"docstore: no snapshot of ${ident.name()} existed at " +
               s"timestamp $timestampMicros µs"))
         t.copy(versionAsOf = Some(v))
+      case m: DocStoreMetaTable =>
+        require(DocStore.snapshotEnabled(m.path),
+          s"docstore: ${ident.namespace().mkString(".")} is not snapshot-" +
+            "enabled — TIMESTAMP AS OF needs a store written with snapshots=true")
+        val v = DocStore.versionAtMillis(m.path, timestampMicros / 1000L)
+          .getOrElse(throw new IllegalArgumentException(
+            s"docstore: no snapshot existed at timestamp $timestampMicros µs"))
+        m.copy(versionAsOf = Some(v))
       case other => other
     }
 

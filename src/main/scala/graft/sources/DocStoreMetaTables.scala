@@ -33,10 +33,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * so a million-file `files` query aggregates like any other table
   * instead of collapsing onto the driver. DV cardinalities read from
   * the 12-byte sidecar headers, never the vectors. */
-case class DocStoreMetaTable(path: String, kind: String)
+case class DocStoreMetaTable(path: String, kind: String,
+    versionAsOf: Option[Long] = None)
     extends Table with SupportsRead {
 
-  override def name(): String = s"$path#$kind"
+  override def name(): String =
+    s"$path#$kind${versionAsOf.map(v => s"@v$v").getOrElse("")}"
   override def schema(): StructType = DocStoreMetaTable.schemaOf(kind)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -48,7 +50,7 @@ case class DocStoreMetaTable(path: String, kind: String)
         override def toBatch: Batch = this
         override def description(): String = s"docstore-meta $kind $path"
         override def planInputPartitions(): Array[InputPartition] = {
-          val rows = DocStoreMetaTable.rowsOf(path, kind)
+          val rows = DocStoreMetaTable.rowsOf(path, kind, versionAsOf)
           if (rows.isEmpty) Array(DocStoreMetaChunk(Array.empty))
           else rows.grouped(4096)
             .map(ch => DocStoreMetaChunk(ch.toArray): InputPartition).toArray
@@ -119,13 +121,18 @@ object DocStoreMetaTable {
   }
 
   /** `file` / `partition` / rows / bytes / dv per live file — stat
-    * lines first, footers only where no stat exists (plain stores). */
-  private def fileRows(path: String): Seq[(String, String, Long, Long, Option[String], Long)] = {
-    val listing = DocStore.listFilesWithPartitions(path, None)
-    val snap = if (DocStore.snapshotEnabled(path)) DocStore.currentSnapshot(path) else None
+    * lines first, footers only where no stat exists (plain stores).
+    * `asOf` pins the walk at a historical snapshot (time travel on
+    * metadata: "what files did version 3 hold, and what DVs bound?"). */
+  private def fileRows(path: String, asOf: Option[Long])
+      : Seq[(String, String, Long, Long, Option[String], Long)] = {
+    val listing = DocStore.listFilesWithPartitions(path, asOf)
+    val snap =
+      if (!DocStore.snapshotEnabled(path)) None
+      else asOf.map(v => (v, Seq.empty[String])).orElse(DocStore.currentSnapshot(path))
     val stats = snap.map { case (v, _) => DocStore.readManifestStats(path, v) }
       .getOrElse(Map.empty)
-    val dvs = DocStore.dvMap(path, None)
+    val dvs = DocStore.dvMap(path, asOf)
     listing.map { case (abs, parts) =>
       // single-file fixture stores have no rel form — the basename is
       // the display name and carries no stat/DV binding by definition
@@ -150,13 +157,14 @@ object DocStoreMetaTable {
     }
   }
 
-  def rowsOf(path: String, kind: String): Seq[Array[Any]] = kind match {
+  def rowsOf(path: String, kind: String,
+      asOf: Option[Long] = None): Seq[Array[Any]] = kind match {
     case "files" =>
-      fileRows(path).map { case (f, p, r, b, dv, dr) =>
+      fileRows(path, asOf).map { case (f, p, r, b, dv, dr) =>
         Array[Any](f, p, r, b, dv.orNull, dr)
       }
     case "partitions" =>
-      fileRows(path).groupBy(_._2).toSeq
+      fileRows(path, asOf).groupBy(_._2).toSeq
         .sortBy(t => Option(t._1).getOrElse(""))
         .map { case (p, fs) =>
           Array[Any](p, fs.size.toLong, fs.map(_._3).sum, fs.map(_._4).sum,
@@ -164,11 +172,17 @@ object DocStoreMetaTable {
         }
     case "history" =>
       if (!DocStore.snapshotEnabled(path)) Nil
-      else DocStoreMaintenance.historyRows(path).map {
+      else DocStoreMaintenance.historyRows(path)
+        .filter(row => asOf.forall(row._1 <= _)).map {
         case (v, ts, op, a, r, n, nd, dr) =>
           Array[Any](v, ts.map(ms => Long.box(ms * 1000L)).orNull, op, a, r, n, nd, dr)
       }
     case "refs" =>
+      // refs are CURRENT state by definition — no historical ref log
+      // exists to answer "what did the pointers say at version 3"
+      require(asOf.isEmpty,
+        "docstore: the refs metadata table is current-state only — " +
+          "VERSION/TIMESTAMP AS OF does not apply to ref pointers")
       (DocStore.listRefs(path).toSeq.map { case (n, v) => (n, "branch", v) } ++
         DocStore.listTags(path).toSeq.map { case (n, v) => (n, "tag", v) })
         .sortBy(t => (t._1, t._2))
@@ -176,7 +190,7 @@ object DocStoreMetaTable {
     case "manifests" =>
       if (!DocStore.snapshotEnabled(path)) Nil
       else (for {
-        (v, _) <- DocStore.currentSnapshot(path).toSeq
+        v <- asOf.orElse(DocStore.currentSnapshot(path).map(_._1)).toSeq
         st <- DocStore.snapState(path, v).toSeq
         (m, i) <- st.chain.zipWithIndex
       } yield {

@@ -997,9 +997,10 @@ case class DocStoreScan(
     * ([[DocStoreMicroBatchStream]]). */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(versionAsOf.isEmpty,
-      "docstore: versionAsOf is a batch-read option — a stream tails the " +
-        "store's LIVE manifest frontier, it cannot tail a pinned version " +
-        "(use startingVersion to BEGIN tailing at a historical snapshot)")
+      "docstore: versionAsOf/timestampAsOf/branch/tag are batch-read " +
+        "options — a stream tails the store's LIVE manifest frontier, it " +
+        "cannot tail a pinned version (use startingVersion to BEGIN " +
+        "tailing at a historical snapshot)")
     require(streamOpts.onRewrite == "skip" || streamOpts.onRewrite == "fail",
       s"docstore: onRewrite must be 'skip' or 'fail', got '${streamOpts.onRewrite}'")
     // the `filters` option is the streaming pushdown channel (Spark's

@@ -122,6 +122,20 @@ class TagsMetaTablesSpec extends SparkSpec {
       mans.toString)
     // unknown metadata kind refuses with the table error, not a crash
     intercept[Exception](spark.sql("SELECT * FROM mtc.db.ev.nonsense").collect()): Unit
+    // METADATA TIME TRAVEL: at v2 (pre-delete) no DV is bound and all
+    // 300 rows are live — the files table answers for THAT snapshot
+    val v2 = spark.sql("SELECT sum(rows), sum(dv_rows), count(*) " +
+      "FROM mtc.db.ev.files VERSION AS OF 2").head
+    assert((v2.getLong(0), v2.getLong(1), v2.getLong(2)) == ((300L, 0L, 3L)), v2.toString)
+    assert(spark.sql("SELECT count(*) FROM mtc.db.ev.history VERSION AS OF 2")
+      .head.getLong(0) == 2L)
+    // refs are current-state pointers — time travel refuses loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM mtc.db.ev.refs VERSION AS OF 2").collect())
+    assert(e.getMessage.contains("current-state"), e.getMessage)
+    // an uncommitted version refuses at resolution, not mid-scan
+    intercept[Exception](
+      spark.sql("SELECT * FROM mtc.db.ev.files VERSION AS OF 99").collect()): Unit
   }
 
   test("metadata tables on plain and single-file stores (no snapshots, no rel form)") {
