@@ -440,14 +440,32 @@ object Analytics {
         "before the metric join — the same cut a production run " +
         "makes, and the reason the pair table stays bounded.",
       (s, dir) => {
-        val b = Tables.t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
-          .distinct()
-        val nB = b.select("okey").distinct().agg(count(lit(1)).as("n_baskets"))
-        val item = b.groupBy(col("pkey")).agg(count(lit(1)).as("supp"))
-        val pairs = b.as("x").join(b.as("y"),
-            col("x.okey") === col("y.okey") && col("x.pkey") < col("y.pkey"))
-          .groupBy(col("x.pkey").as("p1"), col("y.pkey").as("p2"))
+        // r18 (guide §2.3/§2.4): every downstream quantity flows from
+        // ONE grouped basket table — each order's sorted distinct item
+        // array (collect_set dedupes map-side, replacing the
+        // standalone distinct). The r17 form referenced the distinct
+        // (order, part) table five ways (pair join ×2, item supports
+        // via the p1/p2 joins, basket total) and the plan audit showed
+        // five full scan+distinct passes over lineitem; now baskets
+        // are materialized once (bounded arrays — order size caps at
+        // 7 lines in TPC-H), pairs explode per-row from the sorted
+        // array (the (i < j) combinations ARE the x.pkey < y.pkey
+        // join condition), and supports/totals re-derive from the
+        // same cut table with map-side-combinable counts
+        val baskets = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey").as("okey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .transform(Skew.cut)
+        val nB = baskets.agg(count(lit(1)).as("n_baskets"))
+        val item = baskets.select(explode(col("ps")).as("pkey"))
+          .groupBy(col("pkey")).agg(count(lit(1)).as("supp"))
+          .transform(Skew.cut)
+        val pairs = baskets
+          .select(explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(slice(ps, i + 2, size(ps)), " +
+              "y -> struct(x AS p1, y AS p2))))")).as("p"))
+          .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
           .agg(count(lit(1)).as("n_both"))
           .filter(col("n_both") >= 2)
         pairs

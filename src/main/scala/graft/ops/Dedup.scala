@@ -960,30 +960,40 @@ object Dedup {
         "between every pair of sources (the corpus-planning view " +
         "over the same shingle space the per-document near-dup " +
         "operators use: which feeds are republishing each other and " +
-        "in what direction, via containment). Distinct (source, " +
-        "shingle) pairs reduce first; then ONE groupBy collapses " +
-        "each shingle to its source SET \u2014 bounded by |sources|, a " +
-        "dimension \u2014 and the pair contributions explode from that " +
-        "bounded array AFTER the reduce (the r10 bench showed the " +
-        "self-join form shuffling the shingle table twice and " +
-        "paying hot-shingle fan-out inside the exchange; this form " +
-        "shuffles it once). Marginals broadcast back onto the " +
-        "|sources|²-bounded pair table; every ratio divides exact " +
-        "integers. Top-15 pairs by Jaccard.",
+        "in what direction, via containment). The raw (source, " +
+        "shingle) stream groups STRAIGHT to each shingle's source " +
+        "SET \u2014 bounded by |sources|, a dimension; partial " +
+        "collect_set dedupes map-side \u2014 and the pair contributions " +
+        "explode from that bounded array AFTER the reduce (the r10 " +
+        "bench showed the self-join form shuffling the shingle " +
+        "table twice; r18 also removed the standalone distinct " +
+        "pass, whose output re-shuffled wholesale onto the gram key " +
+        "\u2014 guide §2.4). Marginals re-derive from the checkpointed " +
+        "per-gram sets (map-side-combinable count) and broadcast " +
+        "back onto the |sources|²-bounded pair table; every ratio " +
+        "divides exact integers. Top-15 pairs by Jaccard.",
       (s, dir) => {
-        // one shingle pass feeds the marginals AND the intersections:
-        // without the checkpoint the three consuming subtrees each
-        // re-scan + re-shingle the corpus (3x the dominant cost)
-        val sh = Tables.t(s, dir, "documents")
+        // ONE corpus-wide shuffle (optimization r18, guide §2.3/§2.4):
+        // group the raw (source, gram) stream straight to the per-gram
+        // source SET — partial collect_set dedupes map-side exactly
+        // like the old standalone .distinct() did, but lands directly
+        // on the gram key, so the r17 form's SECOND full shuffle of
+        // the distinct pair table (by g, after the distinct by
+        // (source, g)) disappears. Marginals re-derive from the
+        // checkpointed per-gram sets by re-exploding them — a
+        // map-side-combinable count whose shuffle payload is |sources|
+        // partial counts, not the pair table.
+        val ss = Tables.t(s, dir, "documents")
           .select(col("source"),
             explode(graft.ops.TextFns.wordGrams(
               split(col("text"), " "), 3)).as("g"))
-          .distinct()
-          .transform(Skew.cut)
-        val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
-          .transform(Skew.cut)
-        val inter = sh.groupBy("g")
+          .groupBy("g")
           .agg(sort_array(collect_set("source")).as("ss"))
+          .transform(Skew.cut)
+        val sizes = ss.select(explode(col("ss")).as("source"))
+          .groupBy("source").agg(count(lit(1)).as("sz"))
+          .transform(Skew.cut)
+        val inter = ss
           .select(explode(expr(
             "flatten(transform(ss, (x, i) -> " +
               "transform(slice(ss, i + 2, size(ss)), " +

@@ -295,17 +295,27 @@ object Features {
         "md5-derived salted hashes keep it engine-portable; the oracle " +
         "replays the identical sketch.",
       (s, dir) => {
-        val tok = Tables.t(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("token"))
+        // r18 (guide §1.2/§2.3): ONE corpus pass. The r17 form
+        // exploded the raw token stream twice (cells + exact subtrees
+        // = two scans) and md5-hashed every raw token ×3 salts; but a
+        // cell's count is just the sum of the exact counts of the
+        // tokens hashing into it, so the sketch now derives FROM the
+        // exact table — md5 runs 3× per DISTINCT token, the corpus is
+        // scanned and exploded once, and the salted frame is cut so
+        // the cells aggregate and the probe join read the same rows.
+        // Cell integers are identical (sum of per-token counts =
+        // count of raw occurrences).
         val salts = array(lit(0), lit(1), lit(2))
         def bucket(c: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
           hexHash(concat_ws(":", j, c)) % 16
-        val cells = tok.select(col("token"), explode(salts).as("j"))
+        val salted = Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("exact_n"))
+          .select(col("token"), col("exact_n"), explode(salts).as("j"))
           .withColumn("bucket", bucket(col("token"), col("j")))
-          .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
-        val exact = tok.groupBy("token").agg(count(lit(1)).as("exact_n"))
-        exact.select(col("token"), col("exact_n"), explode(salts).as("j"))
-          .withColumn("bucket", bucket(col("token"), col("j")))
+          .transform(graft.ops.Skew.cut)
+        val cells = salted.groupBy("j", "bucket").agg(sum("exact_n").as("c"))
+        salted
           .join(broadcast(cells), Seq("j", "bucket"))
           .groupBy("token", "exact_n").agg(min("c").as("cm_est"))
           .orderBy("token")

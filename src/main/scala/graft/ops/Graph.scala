@@ -83,6 +83,12 @@ object Graph {
             .select(col("id"),
               (lit((1.0 - Damping) / n) + lit(Damping) *
                 (coalesce(col("contrib"), lit(0.0)) + col("dang") / n)).as("rank"))
+            // per-round cut is load-bearing for EXECUTION cost, not
+            // just plan size: ranks is referenced twice per round
+            // (dangling + contribs), and without the materialization
+            // the two consumers re-execute the previous rounds — r18
+            // measured cadence-2 cutting at 3.3 s vs 1.9 s for this
+            // per-round form
             .transform(Skew.cut)
         }
         ranks.select(col("id").as("nation_id"), round(col("rank"), 6).as("pagerank"))
@@ -539,12 +545,24 @@ object Graph {
         "reduce map-side; the top-50 plans TakeOrderedAndProject, " +
         "never a global sort.",
       (s, dir) => {
-        val op = Tables.t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        op.as("x").join(op.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+        // r18 (guide §2.3/§2.4): ONE shuffle — group each order to its
+        // sorted distinct item array (collect_set dedupes map-side,
+        // replacing the standalone distinct) and explode the C(k,2)
+        // pairs per-row from that bounded array (order size is capped,
+        // 7 lines in TPC-H). The r17 self-join form shuffled the
+        // distinct basket table twice more (both join sides) and
+        // re-ran scan+distinct per side; pair SETS are identical: the
+        // sorted array's (i < j) combinations ARE the x.pk < y.pk
+        // join condition
+        val pairs = Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(slice(ps, i + 2, size(ps)), " +
+              "y -> struct(x AS pa, y AS pb))))")).as("p"))
+        pairs
+          .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
           .agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
           .limit(50)

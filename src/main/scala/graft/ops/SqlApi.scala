@@ -524,30 +524,44 @@ object SqlApi {
 
     Q(
       "sql_min_cost_supplier",
-      "TPC-H Q2 shape (minimum-cost supplier): a correlated scalar " +
-        "subquery WITH AN AGGREGATE in the WHERE clause — for each " +
-        "small part, keep only the supplier(s) whose unit cost equals " +
-        "the per-part minimum. Catalyst decorrelates the MIN subquery " +
-        "into a per-part aggregate joined back on the correlation key " +
-        "(one extra hash agg + equi-join, never a per-row re-scan); " +
-        "unit costs are rounded to integer cents before the MIN so " +
+      "TPC-H Q2 shape (minimum-cost supplier): for each small part, " +
+        "keep only the supplier(s) whose unit cost equals the " +
+        "per-part minimum. r17 spelled the minimum as a correlated " +
+        "scalar subquery, whose decorrelation re-expanded the ps CTE " +
+        "— two full lineitem aggregation passes; r18 computes the " +
+        "same per-part MIN as a window over ps after the p_size " +
+        "filter (the filter commutes: the correlation key is the " +
+        "part), one pass, identical rows — the correlated spelling " +
+        "lives on in the DuckDB oracle, which pins the equivalence. " +
+        "Unit costs are rounded to integer cents before the MIN so " +
         "the equality predicate is exact in both engines. Ties keep " +
         "every minimal supplier, made deterministic by the total " +
         "ORDER BY.",
       (s, dir) => withViews(s, dir, "lineitem", "part", "supplier")(
+        // r18 (guide §1.2): the correlated-MIN form expanded the ps
+        // CTE twice (two full lineitem scan+agg passes — the
+        // decorrelation joins ps against a second copy of itself);
+        // the per-part MIN is the same quantity as a window over ps
+        // computed ONCE, and because the correlation key is the part,
+        // the p_size filter commutes in front of the window (a
+        // dropped part's min was never consulted). Result rows are
+        // identical; the DuckDB oracle keeps the original correlated
+        // spelling and still hash-matches, pinning the equivalence.
         """WITH ps AS (
              SELECT l_partkey, l_suppkey,
                CAST(min(CAST(round(l_extendedprice * 100 / l_quantity)
                  AS BIGINT)) AS BIGINT) AS cost_c
-             FROM lineitem GROUP BY 1, 2)
+             FROM lineitem GROUP BY 1, 2),
+           pm AS (
+             SELECT p_partkey, p_name, l_suppkey, cost_c,
+               min(cost_c) OVER (PARTITION BY l_partkey) AS min_c
+             FROM ps JOIN part ON p_partkey = l_partkey
+             WHERE p_size <= 3)
            SELECT p_partkey, p_name, s_suppkey, s_name,
              round(cost_c / 1e2, 2) AS unit_cost
-           FROM ps
-           JOIN part     ON p_partkey = l_partkey
+           FROM pm
            JOIN supplier ON s_suppkey = l_suppkey
-           WHERE p_size <= 3
-             AND cost_c = (SELECT min(cost_c) FROM ps ps2
-                           WHERE ps2.l_partkey = ps.l_partkey)
+           WHERE cost_c = min_c
            ORDER BY p_partkey, s_suppkey"""),
       Some("""WITH ps AS (
           SELECT l_partkey, l_suppkey,

@@ -1346,8 +1346,14 @@ object Text {
         "document through min(doc_id) carried on the doc-frequency " +
         "aggregation itself — so the heavy gram-keyed shuffle happens " +
         "exactly once and nothing re-joins the full gram stream " +
-        "(measured 2× over the join-back form at sf0.1). All counts " +
-        "are integers; the ratio is exact at any aggregation order.",
+        "(measured 2× over the join-back form at sf0.1). The counts " +
+        "subtree deliberately RE-derives the gram arrays from the " +
+        "scan rather than checkpointing them once: r18 measured the " +
+        "checkpoint variant at 6.3 s vs 3.4 s — materializing the " +
+        "corpus-sized string arrays costs more than the second " +
+        "generation pass (guide §5: caching only pays when recompute " +
+        "is dearer than the memory traffic). All counts are " +
+        "integers; the ratio is exact at any aggregation order.",
       (s, dir) => {
         val d = Tables.t(s, dir, "documents")
           .select(col("doc_id"), array_distinct(
@@ -1444,24 +1450,33 @@ object Text {
         "the distinct selected hashes form the document's fingerprint " +
         "set — guaranteed to share members for any sufficiently long " +
         "common substring, the locality property plain k-gram " +
-        "sampling lacks. One posexplode → window-min partitioned by " +
-        "the doc key → distinct → per-doc aggregate; emits the set " +
-        "size and an order-canonical md5 digest of the sorted set.",
+        "sampling lacks. The whole fingerprint is PER-ROW array math " +
+        "(hash the gram array, slide the min with a 4-slice transform, " +
+        "array_distinct + sort) — the document is the natural unit of " +
+        "winnowing, so nothing ever leaves its row: zero exchanges " +
+        "where the round-17 form exploded every gram, shuffled the " +
+        "corpus by doc key, and window-sorted it back together " +
+        "(optimization r18, guide §2.4 — the shuffle was " +
+        "reconstructing locality the scan already had). Emits the set " +
+        "size and an order-canonical md5 digest of the sorted set; " +
+        "bit-identical: array_min over a 4-slice ≡ the rowsBetween" +
+        "(-3, 0) window min at pos ≥ 3, on the same integer hashes.",
       (s, dir) => {
-        val g = Tables.t(s, dir, "documents")
+        val hs = transform(
+          TextFns.wordGrams(split(col("text"), " "), 3),
+          g => PortableHash.hexHash(g))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), hs.as("hs"))
+          // docs with < 4 grams have no full window — same rows the
+          // old pos >= 3 filter dropped
+          .filter(size(col("hs")) >= 4)
           .select(col("doc_id"),
-            posexplode(TextFns.wordGrams(split(col("text"), " "), 3)))
-          .select(col("doc_id"), col("pos"),
-            PortableHash.hexHash(col("col")).as("h"))
-        val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
-        g.withColumn("wmin", min("h").over(win))
-          .filter(col("pos") >= 3) // full windows only
-          .select(col("doc_id"), col("wmin"))
-          .distinct()
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_fp"),
-            md5(concat_ws(",", sort_array(collect_list(col("wmin"))))
-              .cast("binary")).as("fp"))
+            sort_array(array_distinct(transform(
+              sequence(lit(1), size(col("hs")) - 3),
+              st => array_min(slice(col("hs"), st, lit(4)))))).as("fps"))
+          .select(col("doc_id"),
+            size(col("fps")).cast("long").as("n_fp"),
+            md5(concat_ws(",", col("fps")).cast("binary")).as("fp"))
           .orderBy("doc_id")
       },
       Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
