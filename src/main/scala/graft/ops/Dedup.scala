@@ -138,8 +138,14 @@ object Dedup {
       (s, dir) => {
         val hist = Seq("src0", "src1", "src2", "src3", "src4")
         val docs = Tables.t(s, dir, "documents").filter(col("doc_id") < 400)
+        // banded feeds the store AND the batch, and the batch side is
+        // probed three ways downstream: uncut, the r18 plan audit
+        // showed the 32-hash band-index subtree replicated into 20
+        // document scans (guide §1.2); the index is 8 tiny rows per
+        // doc, the exact table a production pipeline persists anyway
         val banded = portableBandIndex(docs)
           .join(docs.select("doc_id", "source"), "doc_id")
+          .transform(Skew.cut)
         val store = banded.filter(col("source").isInCollection(hist))
           .select("band", "key").distinct()
         val batch = banded.filter(!col("source").isInCollection(hist))
@@ -1561,7 +1567,12 @@ object Dedup {
   }
 
   def embeddingLshScored(e: DataFrame): DataFrame = {
-    val banded = hyperplaneBandedAdaptive(e)
+    // both sides of the bucket self-join read the band index: cut it
+    // once — uncut, each side re-ran the 32 hyperplane dot products
+    // per vector (r18 plan audit: the banding subtree replicated into
+    // 8 scans across this stage's consumers — guide §1.2). This is
+    // the band table a production pipeline persists anyway.
+    val banded = Skew.cut(hyperplaneBandedAdaptive(e))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -2688,14 +2688,21 @@ object Stats {
             col("o_custkey") === col("c_custkey"))
           .select(col("seg"),
             round(col("o_totalprice") * 100).cast("long").as("c"))
-        val mom = o.groupBy("seg").agg(
-          count(lit(1)).as("n"),
-          sum(col("c").cast("decimal(38,0)")).as("s1"),
-          sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
         // value spine: one row per distinct (seg, cents); buckets are
         // value-range-bounded (~width/2^18), so every window partition
-        // is (seg, bucket) — thousands of tasks at any data scale
+        // is (seg, bucket) — thousands of tasks at any data scale.
+        // r18: the spine is cut ONCE and the moments derive FROM it
+        // (n = Σk, s1 = Σ c·k, s2 = Σ c²·k — identical exact
+        // decimal/integer sums, just regrouped over ties); the r17
+        // form aggregated the orders⋈customer join separately for
+        // moments, spine, and offsets — the plan audit showed the
+        // join subtree replicated into 12 scans (guide §1.2)
         val vc = o.groupBy("seg", "c").agg(count(lit(1)).as("k"))
+          .transform(graft.ops.Skew.cut)
+        val mom = vc.groupBy("seg").agg(
+          sum(col("k")).as("n"),
+          sum(col("c").cast("decimal(38,0)") * col("k")).as("s1"),
+          sum(col("c").cast("decimal(38,0)") * col("c") * col("k")).as("s2"))
         val bkt = vc.withColumn("b", floor(col("c") / 262144L).cast("long"))
         val wIn = Window.partitionBy("seg", "b").orderBy("c")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -108,6 +108,12 @@ object Text {
           .select(col("token").as("stoken"))
         val w = Window.partitionBy("doc_id").orderBy("pos")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // NOTE (r18): flagged feeds three joins and the plan audit
+        // shows the window subtree replicated into six scans, but the
+        // measured checkpoint variant (cut flagged + phrases) ran
+        // SLOWER at sf0.1 (2.12 s vs 1.97 s A/B) — the eager
+        // materializations cost more than the recomputes here; left
+        // uncut deliberately (guide §1.1: measure, don't assume)
         val flagged = toks
           .join(broadcast(stop), toks("token") === stop("stoken"), "left")
           .withColumn("pid",
