@@ -55,7 +55,12 @@ object Similarity {
               lit(0.7) * col("rel") - lit(0.3) * coalesce(col("msim"), lit(0.0)))
             .orderBy(col("score").desc, col("id")).limit(1)
             .select(lit(r).as("rank"), col("id"), col("rel"), col("score"))
-          sel = sel.unionByName(pick)
+          // r18: cut the ≤5-row selection each round — sel feeds two
+          // consumers per round (anti-join + max-sim), so the uncut
+          // union chain expanded the final plan into 322 scans of the
+          // cands/sims checkpoints (plans/r18/sim_mmr_rerank_before
+          // .txt); four tiny materializations collapse it to linear
+          sel = Skew.cut(sel.unionByName(pick))
         }
         sel.select(col("rank"), col("id").as("vec_id"),
             round(col("rel"), 6).as("rel"), round(col("score"), 6).as("mmr_score"))
