@@ -991,8 +991,8 @@ object Dedup {
         // partial counts, not the pair table.
         val ss = Tables.t(s, dir, "documents")
           .select(col("source"),
-            explode(graft.ops.TextFns.wordGrams(
-              split(col("text"), " "), 3)).as("g"))
+            explode(array_distinct(graft.ops.TextFns.wordGrams(
+              split(col("text"), " "), 3))).as("g"))
           .groupBy("g")
           .agg(sort_array(collect_set("source")).as("ss"))
           .transform(Skew.cut)

@@ -830,6 +830,10 @@ object Graph {
         var hub = nodes.select(col("id"), lit(1.0).as("hub"))
         var auth = nodes.select(col("id"), lit(0.0).as("auth"))
         for (_ <- 1 to 3) {
+          // per-phase cut is load-bearing for cost here too: r18
+          // measured the cut-per-iteration variant (auth lazy into
+          // hub's job) at 3.44 s vs 2.96 s — the doubled auth subtree
+          // re-executes despite exchange reuse
           auth = normalize(
             e.join(hub.select(col("id").as("src"), col("hub")), Seq("src"))
               .groupBy(col("dst").as("id"))
