@@ -575,7 +575,13 @@ object Text {
         val tok = Tables.t(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val df_ = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        // df derives from tf — one row per (doc, token), so count(*)
+        // per token IS the distinct doc count. The r18 form re-exploded
+        // the corpus a second time and ran a two-phase countDistinct
+        // over the raw token stream (guide §1.2: don't compute things
+        // twice); tf's (doc_id, token) exchange is shared by both
+        // consumers, so the corpus is tokenized once.
+        val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val n = Tables.t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
         tf.join(df_, "token")
           .crossJoin(broadcast(n))
@@ -933,14 +939,27 @@ object Text {
         val k1 = 1.2
         val b = 0.75
         val docs = Tables.t(s, dir, "documents")
-        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        // doc length = token count = size of the split array, computed
+        // per row with NO explode and NO shuffle (guide §2.4): the r18
+        // form exploded the whole corpus and re-aggregated it back to
+        // one row per doc just to count — identical integers, since
+        // explode emits exactly one row per array element.
+        val dl = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
         val stats = docs.agg(count(lit(1)).as("n_docs"))
           .crossJoin(dl.agg(round(avg("dl"), 6).as("avgdl")))
         val qterms = Seq("spark", "merge", "batch")
-        val tf = tok.filter(col("token").isin(qterms: _*))
+        // generate only the matching tokens: the array filter runs
+        // per input row inside the fused generator, so non-matching
+        // tokens are never emitted as rows (same rows as
+        // explode-then-filter — filter(explode(xs)) ≡ explode(filter(xs)))
+        val tf = docs.select(col("doc_id"),
+            explode(filter(split(col("text"), " "),
+              t => t.isin(qterms: _*))).as("token"))
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val df_ = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        // tf is one row per (doc, token), so the distinct doc count per
+        // token is a plain count — no two-phase distinct aggregation
+        val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val scored = tf.join(df_, "token").join(dl, "doc_id").crossJoin(broadcast(stats))
           .withColumn("idf",
             log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
@@ -995,14 +1014,21 @@ object Text {
         val k1 = 1.2
         val b = 0.75
         val docs = Tables.t(s, dir, "documents")
-        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        // same three rewrites as text_bm25_search (shared BM25 arm):
+        // per-row size() doc lengths (no corpus explode+shuffle), the
+        // fused array filter so only query-term tokens are generated,
+        // and plain count for df over the already-(doc,token)-distinct
+        // tf table.
+        val dl = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
         val stats = docs.agg(count(lit(1)).as("n_docs"))
           .crossJoin(dl.agg(round(avg("dl"), 6).as("avgdl")))
         val qterms = Seq("spark", "merge", "batch")
-        val tf = tok.filter(col("token").isin(qterms: _*))
+        val tf = docs.select(col("doc_id"),
+            explode(filter(split(col("text"), " "),
+              t => t.isin(qterms: _*))).as("token"))
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val df_ = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val bmTop = tf.join(df_, "token").join(dl, "doc_id").crossJoin(broadcast(stats))
           .withColumn("idf",
             log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
