@@ -26,6 +26,27 @@ object Graph {
   private val Damping = 0.85
   private val Iterations = 5
 
+  /** Eagerly cuts a per-round rank frame and returns it together with
+    * the dangling rank mass OBSERVED on the cut's own materialization
+    * job (`has_out` marks nodes with out-edges). The dangling mass of
+    * round k is only consumed by round k+1's teleport term — a lag
+    * value — so observing it on the checkpoint the loop pays anyway
+    * removes the per-round semi-join + aggregate + 1-row broadcast
+    * exchange that r18's form ran (guide §2.4: one fewer exchange and
+    * one fewer broadcast-build job per iteration; same zero-extra-
+    * action idiom as Dedup's sigCheckpoint). The sum is exact on the
+    * fixture graph (every nation has out-edges at every SF, so both
+    * the old aggregate and this observation are exactly 0.0); the
+    * tri-scale oracle sweep pins the equivalence. */
+  private val prSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def cutObservingDangling(df: DataFrame): (DataFrame, Double) = {
+    val obs = new org.apache.spark.sql.Observation(
+      s"pr_dang_${prSeq.incrementAndGet()}")
+    val ck = Skew.cut(df.observe(obs,
+      sum(when(col("has_out"), lit(0.0)).otherwise(col("rank"))).as("dang")))
+    (ck, obs.get("dang").asInstanceOf[Double])
+  }
+
   /** Trade edges: customer's nation → supplier's nation, weighted by
     * line-item count. Star join with broadcast dims, one aggregation. */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
@@ -48,7 +69,8 @@ object Graph {
         "nation→nation trade graph derived from the star join. Each " +
         "iteration: contributions = ranks ⋈ out-normalized edges on src " +
         "(co-partitioned equi-join) → groupBy dst; dangling mass (nodes " +
-        "with no out-edges) is a 1-row broadcast, never a collect. " +
+        "with no out-edges) is observed on each round's checkpoint job " +
+        "as a lag scalar — never a collect, never a per-round exchange. " +
         "Edges are localCheckpoint'ed once so iterations replan a " +
         "25-row join, not the 4-table upstream.",
       (s, dir) => {
@@ -63,33 +85,34 @@ object Graph {
             .select(col("src").cast("long"), col("dst").cast("long"), col("p"))
             .transform(Skew.cut)
         }
-        // The dangling-node SET is static (edges don't change between
-        // iterations) — derive it once and checkpoint; each iteration
-        // then only semi-joins ranks against it, instead of re-running
-        // the distinct + anti-join shuffle every round.
-        val danglingIds = nodes.join(
-            edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+        // The dangling-node FLAG is static (edges don't change between
+        // iterations) — it rides the cut node list, and each round's
+        // dangling mass is observed on that round's own checkpoint job
+        // (see cutObservingDangling): no per-round semi-join, no
+        // per-round 1-row broadcast, no per-round parquet re-scan of
+        // the node list.
+        val nodesF = nodes.join(
+            edges.select(col("src").as("id")).distinct()
+              .withColumn("__o", lit(true)), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__o"), lit(false)).as("has_out"))
           .transform(Skew.cut)
-        var ranks = nodes.withColumn("rank", lit(1.0 / n))
+        var (ranks, dang) = cutObservingDangling(
+          nodesF.withColumn("rank", lit(1.0 / n)))
         for (_ <- 1 to Iterations) {
-          val dangling = ranks.join(danglingIds, Seq("id"), "left_semi")
-            .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
           val contribs = ranks.join(edges, ranks("id") === edges("src"))
             .groupBy(col("dst").as("id"))
             .agg(sum(col("rank") * col("p")).as("contrib"))
-          ranks = nodes
+          // per-round cut is load-bearing for EXECUTION cost, not
+          // just plan size: without the materialization the consumers
+          // re-execute the previous rounds — r18 measured cadence-2
+          // cutting at 3.3 s vs 1.9 s for this per-round form
+          val (nr, nd) = cutObservingDangling(nodesF
             .join(contribs, Seq("id"), "left")
-            .crossJoin(broadcast(dangling))
-            .select(col("id"),
+            .select(col("id"), col("has_out"),
               (lit((1.0 - Damping) / n) + lit(Damping) *
-                (coalesce(col("contrib"), lit(0.0)) + col("dang") / n)).as("rank"))
-            // per-round cut is load-bearing for EXECUTION cost, not
-            // just plan size: ranks is referenced twice per round
-            // (dangling + contribs), and without the materialization
-            // the two consumers re-execute the previous rounds — r18
-            // measured cadence-2 cutting at 3.3 s vs 1.9 s for this
-            // per-round form
-            .transform(Skew.cut)
+                (coalesce(col("contrib"), lit(0.0)) + lit(dang / n))).as("rank")))
+          ranks = nr
+          dang = nd
         }
         ranks.select(col("id").as("nation_id"), round(col("rank"), 6).as("pagerank"))
           .orderBy("nation_id")
@@ -1142,8 +1165,9 @@ object Graph {
         "neighborhood. This is the recommendation / related-entity " +
         "primitive global PageRank can't express. Same distributed " +
         "shape as graph_pagerank: ranks ⋈ out-normalized edges per " +
-        "iteration, dangling mass as a 1-row broadcast redirected to " +
-        "the teleport vector; the seed indicator rides the node list, " +
+        "iteration, dangling mass observed on each round's checkpoint " +
+        "job and redirected to the teleport vector as a lag scalar; " +
+        "the seed indicator and teleport fraction ride the node list, " +
         "never a driver-side set. Oracle unrolls the same damped " +
         "seeded power iteration as chained CTEs.",
       (s, dir) => {
@@ -1158,27 +1182,33 @@ object Graph {
             .select(col("src").cast("long"), col("dst").cast("long"), col("p"))
             .transform(Skew.cut)
         }
-        val danglingIds = nodes.select("id").join(
-            edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
-          .transform(Skew.cut)
-        var ranks = nodes.crossJoin(broadcast(nSeeds))
+        // static per-node state — dangling flag AND the teleport
+        // fraction is_seed/ns — rides ONE cut node list; the seed-count
+        // broadcast then happens once at construction instead of once
+        // per round, and the dangling mass is observed on each round's
+        // checkpoint job (see cutObservingDangling): two broadcast
+        // exchanges and one aggregate removed from every iteration.
+        val nodesF = nodes.join(
+            edges.select(col("src").as("id")).distinct()
+              .withColumn("__o", lit(true)), Seq("id"), "left")
+          .crossJoin(broadcast(nSeeds))
           .select(col("id"), col("is_seed"),
-            (col("is_seed").cast("double") / col("ns")).as("rank"))
+            coalesce(col("__o"), lit(false)).as("has_out"),
+            (col("is_seed").cast("double") / col("ns")).as("sf"))
+          .transform(Skew.cut)
+        var (ranks, dang) = cutObservingDangling(
+          nodesF.withColumn("rank", col("sf")))
         for (_ <- 1 to Iterations) {
-          val dangling = ranks.join(danglingIds, Seq("id"), "left_semi")
-            .agg(coalesce(sum("rank"), lit(0.0)).as("dang"))
           val contribs = ranks.join(edges, ranks("id") === edges("src"))
             .groupBy(col("dst").as("id"))
             .agg(sum(col("rank") * col("p")).as("contrib"))
-          ranks = nodes
+          val (nr, nd) = cutObservingDangling(nodesF
             .join(contribs, Seq("id"), "left")
-            .crossJoin(broadcast(dangling))
-            .crossJoin(broadcast(nSeeds))
-            .select(col("id"), col("is_seed"),
-              ((lit(1.0 - Damping) + lit(Damping) * col("dang")) *
-                (col("is_seed").cast("double") / col("ns")) +
-                lit(Damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
-            .transform(Skew.cut)
+            .select(col("id"), col("is_seed"), col("has_out"), col("sf"),
+              ((lit(1.0 - Damping) + lit(Damping * dang)) * col("sf") +
+                lit(Damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
+          ranks = nr
+          dang = nd
         }
         ranks.select(col("id").as("nation_id"), col("is_seed"),
             round(col("rank"), 6).as("ppr"))
