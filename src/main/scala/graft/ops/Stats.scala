@@ -1564,25 +1564,35 @@ object Stats {
       "agg_weighted_median",
       "Exact weighted median per group (price weighted by quantity): " +
         "pre-aggregate to (group, value) with summed weights — a " +
-        "map-side-combinable hash agg that shrinks the window input " +
-        "to distinct values per group — then one cumulative-sum " +
-        "window over the reduced table picks the smallest value whose " +
-        "cumulative weight reaches half the total. Weights are " +
-        "integer-valued doubles, so the running sums are exact and " +
-        "the threshold comparison is deterministic in both engines. " +
-        "For groups whose distinct-value set is itself huge at 100 TB, " +
-        "the in-repo KLL sketch (agg_kll_quantiles) is the approximate " +
+        "map-side-combinable hash agg that shrinks the cumsum input " +
+        "to distinct values per group — then a cluster-width " +
+        "Skew.groupedRunningSum spine (range-partitioned local " +
+        "cumsums + broadcast prefix offsets) picks the smallest value " +
+        "whose cumulative weight reaches half the total. A plain " +
+        "grouped window here would cap the stage at |groups| tasks " +
+        "(6 on this fixture — 1/6th of the table on ONE task at " +
+        "100 TB); the spine is bit-identical (weights are integer-" +
+        "valued, sums exact at any partitioning) and runs at " +
+        "thousands of tasks. Per-group totals re-derive from the " +
+        "spine's checkpointed input and broadcast back. For groups " +
+        "whose distinct-value set is itself huge at 100 TB, the " +
+        "in-repo KLL sketch (agg_kll_quantiles) is the approximate " +
         "path; this is the exact one.",
       (s, dir) => {
         val w = Tables.t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"),
             col("l_extendedprice").as("price"))
-          .agg(sum("l_quantity").as("wt"))
-        val cum = Window.partitionBy("l_returnflag", "l_linestatus")
-          .orderBy("price")
-        val tot = Window.partitionBy("l_returnflag", "l_linestatus")
-        w.withColumn("cw", sum("wt").over(cum))
-          .withColumn("tw", sum("wt").over(tot))
+          .agg(sum("l_quantity").cast("long").as("wt"))
+        // price is unique within (flag, status) after the pre-agg, so
+        // the ROWS-frame spine cumsum equals the old RANGE-frame
+        // window exactly; weights are integer-valued, so regrouped
+        // sums are exact at any partition boundaries.
+        val cum = Skew.groupedRunningSum(w,
+          Seq("l_returnflag", "l_linestatus"), Seq(col("price")), "wt",
+          outCol = "cw")
+        val tot = cum.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("wt").as("tw"))
+        cum.join(broadcast(tot), Seq("l_returnflag", "l_linestatus"))
           .filter(col("cw") * 2 >= col("tw"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(min("price").as("w_median"))
