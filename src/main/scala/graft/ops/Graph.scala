@@ -692,17 +692,21 @@ object Graph {
         val ls = lab.select(col("id").as("src"), col("lbl").as("slbl"))
         val ld = lab.select(col("id").as("dst"), col("lbl").as("dlbl"))
         val tagged = e.join(ls, "src").join(ld, "dst").transform(Skew.cut)
-        val intra = tagged.filter(col("slbl") === col("dlbl"))
-          .groupBy(col("slbl").as("community")).agg(sum("wl").as("w_intra"))
-        val outW = tagged.groupBy(col("slbl").as("community"))
-          .agg(sum("wl").as("w_out"))
+        // intra and out share the slbl key: ONE aggregation pass
+        // computes both (conditional sum for intra — a group with no
+        // intra edges yields 0, exactly what the old left-join
+        // coalesce produced), so the checkpointed tagged edges are
+        // scanned twice (src-keyed + dst-keyed), not three times.
+        val bySrc = tagged.groupBy(col("slbl").as("community"))
+          .agg(sum("wl").as("w_out"),
+            sum(when(col("slbl") === col("dlbl"), col("wl"))
+              .otherwise(lit(0L))).as("w_intra"))
         val inW = tagged.groupBy(col("dlbl").as("community"))
           .agg(sum("wl").as("w_in"))
         val nn = lab.groupBy(col("lbl").as("community"))
           .agg(count(lit(1)).as("n_nodes"))
         val tot = e.agg(sum("wl").as("tw"))
-        nn.join(intra, Seq("community"), "left")
-          .join(outW, Seq("community"), "left")
+        nn.join(bySrc, Seq("community"), "left")
           .join(inW, Seq("community"), "left")
           .crossJoin(broadcast(tot))
           .select(col("community"), col("n_nodes"),
