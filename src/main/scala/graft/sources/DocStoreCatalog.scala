@@ -47,7 +47,7 @@ class DocStoreCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var root: String = _
   @transient private lazy val fs =
-    new Path(root).getFileSystem(new Configuration())
+    new Path(root).getFileSystem(DocStore.hadoopConf)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

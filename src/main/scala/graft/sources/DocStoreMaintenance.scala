@@ -193,7 +193,7 @@ object DocStoreMaintenance {
       sortBy: Seq[String] = Nil,
       rowGroupBytes: Option[Long] = None,
       dvFraction: Double = 0.0): CompactStats = {
-    val conf = new Configuration()
+    val conf = DocStore.hadoopConf
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val listing = DocStore.listFilesWithPartitions(path)
@@ -347,7 +347,7 @@ object DocStoreMaintenance {
     require(keepVersions >= 1, "vacuum must keep at least the current version")
     require(DocStore.snapshotEnabled(path),
       s"docstore: vacuum needs a snapshot store ($path has no ${DocStore.SnapshotDir}/)")
-    val conf = new Configuration()
+    val conf = DocStore.hadoopConf
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val committed = DocStore.snapshotVersions(path)
@@ -384,7 +384,7 @@ object DocStoreMaintenance {
   def orphanSweep(path: String, graceMs: Long = 10L * 60 * 1000): Int = {
     require(DocStore.snapshotEnabled(path),
       s"docstore: orphanSweep needs a snapshot store ($path has no ${DocStore.SnapshotDir}/)")
-    val conf = new Configuration()
+    val conf = DocStore.hadoopConf
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val committed = DocStore.snapshotVersions(path)

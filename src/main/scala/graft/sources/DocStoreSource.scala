@@ -306,7 +306,7 @@ case class DocStoreTable(path: String, tableSchema: StructType,
       DocStore.commitSnapshot(path, op = "delete")(_.filterNot(drop)): Unit
       return
     }
-    val conf = new Configuration()
+    val conf = DocStore.hadoopConf
     val fsys = new Path(path).getFileSystem(conf)
     matched.foreach { case (f, _) =>
       val p = new Path(f)
@@ -1088,7 +1088,7 @@ class DocStoreReader(
     pushed: Array[Filter],
     renames: Map[String, Seq[String]] = Map.empty) extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = new Configuration(DocStore.hadoopConf)
   private val fileSchema = DocStore.fileSchema(part.file)
   private val partVals = part.partValues.toMap
   private val projSet = projectCols.toSet
@@ -2188,7 +2188,7 @@ case class DocStoreStreamingWrite(
       rowGroupBytes)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = DocStore.hadoopConf
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
@@ -2227,7 +2227,7 @@ case class DocStoreStreamingWrite(
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val stagingPath = new Path(staging(epochId))
-    stagingPath.getFileSystem(new Configuration()).delete(stagingPath, true): Unit
+    stagingPath.getFileSystem(DocStore.hadoopConf).delete(stagingPath, true): Unit
   }
 }
 
@@ -2288,7 +2288,7 @@ case class DocStoreUpsertStreamingWrite(
     DocStoreStreamingWriterFactory(path, queryId, schema, Nil, rowGroupBytes)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = DocStore.hadoopConf
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
@@ -2391,7 +2391,7 @@ case class DocStoreUpsertStreamingWrite(
       w0.option("partitionBy", partitionBy.mkString(",")) else w0
     rowGroupBytes.fold(w1)(n => w1.option("rowGroupBytes", n.toString))
       .mode("append").save()
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(DocStore.hadoopConf)
     val newRels = DocStore.listFiles(pub).map { f =>
       val rel = DocStore.relOf(pub, f)
       val dst = new Path(path, rel)
@@ -2404,7 +2404,7 @@ case class DocStoreUpsertStreamingWrite(
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(DocStore.hadoopConf)
     fs.delete(new Path(staging(epochId)), true): Unit
     fs.delete(new Path(pubStore(epochId)), true): Unit
   }
@@ -2596,7 +2596,7 @@ class DocStoreDeltaBatchWrite(
     DocStoreDeltaWriterFactory(path, staging, rowSchema, partitionBy)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = DocStore.hadoopConf
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
@@ -2625,7 +2625,7 @@ class DocStoreDeltaBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val stagingPath = new Path(staging)
-    stagingPath.getFileSystem(new Configuration()).delete(stagingPath, true): Unit
+    stagingPath.getFileSystem(DocStore.hadoopConf).delete(stagingPath, true): Unit
   }
 }
 
@@ -2739,7 +2739,7 @@ case class DocStoreBatchWrite(
       expectOpColumn, bloomFor)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = DocStore.hadoopConf
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
@@ -2836,7 +2836,7 @@ case class DocStoreBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val stagingPath = new Path(staging)
-    stagingPath.getFileSystem(new Configuration()).delete(stagingPath, true): Unit
+    stagingPath.getFileSystem(DocStore.hadoopConf).delete(stagingPath, true): Unit
   }
 }
 
@@ -2884,7 +2884,7 @@ class DocStoreDataWriter(
     // time; partition columns were dropped there)
     bloomFor: Seq[String] = Nil) extends DataWriter[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = new Configuration(DocStore.hadoopConf)
   private val partIdx: Seq[(String, Int, DataType)] = partitionBy.map { c =>
     val i = schema.fieldIndex(c)
     (c, i, schema.fields(i).dataType)
@@ -2986,6 +2986,23 @@ class DocStoreDataWriter(
 object DocStore {
 
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** One shared, read-only Hadoop Configuration for every store
+    * helper. Constructing a Configuration is NOT free — each instance
+    * re-parses the default XML resources on first property access —
+    * and the helpers here run per metadata scan, sometimes per FILE
+    * (relOf, dvCardinality), so the per-call `DocStore.hadoopConf`
+    * pattern was measurable planner overhead on every connector
+    * query. Mutating call sites (the parquet reader's projection
+    * schema) copy it (`new Configuration(hadoopConf)`) instead of
+    * sharing it; everything else only resolves filesystems, which is
+    * read-only. Resources are force-loaded once at init so even the
+    * first user pays no parse. */
+  val hadoopConf: Configuration = {
+    val c = new Configuration()
+    c.get("fs.defaultFS"): Unit
+    c
+  }
 
   /** Fixed 2¹¹-register hyperloglog over 64-bit hashes — the sink's
     * per-file, per-column NDV measurement (~2.3% typical error, 2 KB
@@ -3170,7 +3187,7 @@ object DocStore {
 
   def fileLen(f: String): Long = {
     val p = new Path(f)
-    p.getFileSystem(new Configuration()).getFileStatus(p).getLen
+    p.getFileSystem(DocStore.hadoopConf).getFileStatus(p).getLen
   }
 
   /** The newest snapshot committed at or before `cutoffMs` — the one
@@ -3273,7 +3290,7 @@ object DocStore {
 
   private def listFilesWithPartitionsUnchecked(
       path: String, versionAsOf: Option[Long]): Seq[(String, Seq[(String, String)])] = {
-    val conf = new Configuration()
+    val conf = DocStore.hadoopConf
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) {
@@ -3333,7 +3350,7 @@ object DocStore {
     * pinned-version planning path. */
   def resolveRels(path: String, rels: Seq[String]): Seq[(String, Seq[(String, String)])] = {
     val root = new Path(path)
-    manifestListing(root.getFileSystem(new Configuration()), root, rels)
+    manifestListing(root.getFileSystem(DocStore.hadoopConf), root, rels)
   }
 
   private def manifestListing(fs: FileSystem, root: Path,
@@ -3367,14 +3384,14 @@ object DocStore {
 
   def snapshotEnabled(path: String): Boolean = {
     val d = snapRoot(path)
-    d.getFileSystem(new Configuration()).exists(d)
+    d.getFileSystem(DocStore.hadoopConf).exists(d)
   }
 
   /** Claimed manifest versions, ascending (committed OR in-flight —
     * completeness is per-read via the sentinel). */
   def snapshotVersions(path: String): Seq[Long] = {
     val d = snapRoot(path)
-    val fs = d.getFileSystem(new Configuration())
+    val fs = d.getFileSystem(DocStore.hadoopConf)
     if (!fs.exists(d)) Nil
     else fs.listStatus(d).toSeq
       .flatMap(s => manifestName.findFirstMatchIn(s.getPath.getName)
@@ -3456,7 +3473,7 @@ object DocStore {
     * claim): propagate, never silently degrade to "empty". */
   private def readDeltaManifest(path: String, name: String): Seq[MOp] = {
     val f = new Path(snapRoot(path), name)
-    val fs = f.getFileSystem(new Configuration())
+    val fs = f.getFileSystem(DocStore.hadoopConf)
     val key = fs.makeQualified(f).toString
     val cached = manifestOpsCache.get(key)
     if (cached != null) return cached
@@ -3494,7 +3511,7 @@ object DocStore {
   private def writeDeltaManifest(path: String, ops: Seq[MOp]): String = {
     val name = s"m-${java.util.UUID.randomUUID()}"
     val dst = new Path(snapRoot(path), name)
-    val fs = dst.getFileSystem(new Configuration())
+    val fs = dst.getFileSystem(DocStore.hadoopConf)
     fs.mkdirs(dst.getParent)
     val out = fs.create(dst, false)
     try out.write((s"# docstore delta manifest\n" +
@@ -3512,7 +3529,7 @@ object DocStore {
     * (entries, dvs, statEnc), cached by chain identity. */
   private def foldChain(path: String, chain: Seq[String])
       : (Seq[String], Map[String, String], Map[String, String]) = {
-    val fs = snapRoot(path).getFileSystem(new Configuration())
+    val fs = snapRoot(path).getFileSystem(DocStore.hadoopConf)
     val key = fs.makeQualified(snapRoot(path)).toString + "|" + chain.mkString(",")
     val cached = foldCache.get(key)
     if (cached != null) return cached
@@ -3543,7 +3560,7 @@ object DocStore {
     * inline-entry version files and `#mlist` manifest-chain files. */
   def snapState(path: String, v: Long): Option[SnapState] = {
     val f = new Path(snapRoot(path), s"v$v")
-    val fs = f.getFileSystem(new Configuration())
+    val fs = f.getFileSystem(DocStore.hadoopConf)
     val lines: Seq[String] =
       try {
         if (!fs.exists(f)) return None
@@ -3641,7 +3658,7 @@ object DocStore {
     * loser retries against the winner's base. Returns (seq, version). */
   def refHead(path: String, name: String): Option[(Long, Long)] = {
     val d = refsRoot(path)
-    val fs = d.getFileSystem(new Configuration())
+    val fs = d.getFileSystem(DocStore.hadoopConf)
     val seqs =
       try fs.listStatus(d).toSeq.flatMap(s =>
         refName.findFirstMatchIn(s.getPath.getName)
@@ -3658,7 +3675,7 @@ object DocStore {
 
   private def readRefFile(path: String, name: String, seq: Long): Option[Long] = {
     val f = new Path(refsRoot(path), s"$name.$seq")
-    val fs = f.getFileSystem(new Configuration())
+    val fs = f.getFileSystem(DocStore.hadoopConf)
     try {
       val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
       val in = fs.open(f)
@@ -3678,7 +3695,7 @@ object DocStore {
   /** All refs' head versions. */
   def listRefs(path: String): Map[String, Long] = {
     val d = refsRoot(path)
-    val fs = d.getFileSystem(new Configuration())
+    val fs = d.getFileSystem(DocStore.hadoopConf)
     val names =
       try fs.listStatus(d).toSeq.flatMap(s =>
         refName.findFirstMatchIn(s.getPath.getName).map(_.group(1)))
@@ -3693,7 +3710,7 @@ object DocStore {
     require(validRefName(name),
       s"docstore: invalid branch name '$name' ([A-Za-z0-9_-]+ only)")
     val dst = new Path(refsRoot(path), s"$name.${prevSeq.getOrElse(0L) + 1}")
-    val fs = dst.getFileSystem(new Configuration())
+    val fs = dst.getFileSystem(DocStore.hadoopConf)
     fs.mkdirs(dst.getParent)
     try {
       val out = createExclusive(fs, dst)
@@ -3724,7 +3741,7 @@ object DocStore {
     require(readManifest(path, version).isDefined,
       s"docstore: cannot tag version $version at $path — not a committed version")
     val dst = new Path(tagsRoot(path), name)
-    val fs = dst.getFileSystem(new Configuration())
+    val fs = dst.getFileSystem(DocStore.hadoopConf)
     fs.mkdirs(dst.getParent)
     try {
       val out = createExclusive(fs, dst)
@@ -3740,7 +3757,7 @@ object DocStore {
   /** All tags' versions; empty on untagged stores. */
   def listTags(path: String): Map[String, Long] = {
     val d = tagsRoot(path)
-    val fs = d.getFileSystem(new Configuration())
+    val fs = d.getFileSystem(DocStore.hadoopConf)
     val stats =
       try fs.listStatus(d).toSeq.filter(_.isFile)
       catch { case _: java.io.FileNotFoundException => return Map.empty }
@@ -3766,7 +3783,7 @@ object DocStore {
     * false when the tag never existed. */
   def dropTag(path: String, name: String): Boolean = {
     val f = new Path(tagsRoot(path), name)
-    val fs = f.getFileSystem(new Configuration())
+    val fs = f.getFileSystem(DocStore.hadoopConf)
     try fs.delete(f, false)
     catch { case _: java.io.FileNotFoundException => false }
   }
@@ -3776,7 +3793,7 @@ object DocStore {
     * manifests (linear lineage); None when the file is unreadable. */
   def commitParent(path: String, v: Long): Option[Long] = {
     val f = new Path(snapRoot(path), s"v$v")
-    val fs = f.getFileSystem(new Configuration())
+    val fs = f.getFileSystem(DocStore.hadoopConf)
     try {
       val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
       val in = fs.open(f)
@@ -3877,7 +3894,7 @@ object DocStore {
       ndvHints: Map[String, Map[String, Long]] = Map.empty)(
       update: (Seq[String], Map[String, String]) => (Seq[String], Map[String, String])): Long = {
     val root = new Path(path)
-    val conf = new Configuration()
+    val conf = DocStore.hadoopConf
     val fs = root.getFileSystem(conf)
     fs.mkdirs(snapRoot(path))
     val rootQ = fs.makeQualified(root).toString
@@ -4369,7 +4386,7 @@ object DocStore {
       frags: Map[String, Seq[(String, Long)]],
       baselineDv: Map[String, String], op: String = "rowdelta"): Long = {
     val root = new Path(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(DocStore.hadoopConf)
     // per-file physical row counts from the read snapshot's manifest
     // stats — zero footer reads on stat-carrying stores; a rel's stat
     // is immutable (it describes the physical file), so reading it
@@ -4452,7 +4469,7 @@ object DocStore {
       i += 1
     }
     val dst = new Path(abs)
-    val fs = dst.getFileSystem(new Configuration())
+    val fs = dst.getFileSystem(DocStore.hadoopConf)
     fs.mkdirs(dst.getParent)
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(fs.create(dst, false)))
@@ -4472,7 +4489,7 @@ object DocStore {
   /** Read a deletion vector's sorted positions. */
   def readDv(abs: String): Array[Long] = {
     val p = new Path(abs)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(DocStore.hadoopConf)
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(fs.open(p)))
     try {
@@ -4497,7 +4514,7 @@ object DocStore {
     * cost of exact planning counts without decoding positions. */
   def dvCardinality(abs: String): Long = {
     val p = new Path(abs)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(DocStore.hadoopConf)
     val in = new java.io.DataInputStream(fs.open(p))
     try {
       require(in.readInt() == 0x47445631, s"docstore: $abs is not a deletion vector")
@@ -4536,7 +4553,7 @@ object DocStore {
     * skip, they don't crash. */
   def commitTimeMs(path: String, v: Long): Option[Long] = {
     val f = new Path(snapRoot(path), s"v$v")
-    val fs = f.getFileSystem(new Configuration())
+    val fs = f.getFileSystem(DocStore.hadoopConf)
     try {
       val st = fs.getFileStatus(f)
       val bytes = new Array[Byte](st.getLen.toInt)
@@ -4553,7 +4570,7 @@ object DocStore {
     * rewrite: churn over silence, never silent loss). */
   def commitOp(path: String, v: Long): String = {
     val f = new Path(snapRoot(path), s"v$v")
-    val fs = f.getFileSystem(new Configuration())
+    val fs = f.getFileSystem(DocStore.hadoopConf)
     try {
       val bytes = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
       val in = fs.open(f)
@@ -4566,7 +4583,7 @@ object DocStore {
 
   /** Store-relative form of an absolute file path under `path`. */
   def relOf(path: String, abs: String): String = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(DocStore.hadoopConf)
     val rootQ = fs.makeQualified(new Path(path)).toString
     val absQ = fs.makeQualified(new Path(abs)).toString
     require(absQ.startsWith(rootQ + "/"),
@@ -5016,13 +5033,13 @@ object DocStore {
     footerConsults.incrementAndGet()
     if (footerLogEnabled) footerConsultLog.add(file): Unit
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(DocStore.hadoopConf)
     val st = fs.getFileStatus(p)
     val key = s"$file:${st.getLen}:${st.getModificationTime}"
     if (footerCache.size() > 8192) footerCache.clear()
     footerCache.computeIfAbsent(key, _ => {
       val r = ParquetFileReader.open(
-        HadoopInputFile.fromPath(p, new Configuration()))
+        HadoopInputFile.fromPath(p, DocStore.hadoopConf))
       try {
         val f = r.getFooter
         (f.getFileMetaData.getSchema, f.getBlocks.asScala.toSeq)
