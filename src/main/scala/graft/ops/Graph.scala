@@ -466,8 +466,14 @@ object Graph {
           .select(col("src").cast("long"), col("dst").cast("long"))
           .distinct()
           .transform(Skew.cut)
+        // cut the node set once: it re-enters every round's rebuild
+        // join, and uncut each round's checkpoint job re-ran the
+        // union+distinct exchange over the edge checkpoint (§2.4 —
+        // one exchange per round removed; same move as pagerank's
+        // cut node list)
         val nodes = edges.select(col("src").as("id"))
           .union(edges.select(col("dst").as("id"))).distinct()
+          .transform(Skew.cut)
         var x = nodes.select(col("id"), lit(1L).as("x"))
         for (r <- 1 to 4) {
           val contrib = x.join(edges, x("id") === edges("src"))
